@@ -1,0 +1,107 @@
+"""Warehouse catalog: namespaces + tables + SQL-facing views.
+
+Reference parity (SURVEY.md §2.11): `CREATE NAMESPACE IF NOT EXISTS`
+(scripts/raw-bronze.py:113), `SHOW NAMESPACES` / `USE` / `SHOW
+TABLES` (README.md:220-222), `spark.catalog.tableExists`
+(scripts/raw-bronze.py:180). Namespacing is a warehouse directory
+tree: ``<warehouse>/<namespace>/<table>``.
+
+``attach_views`` registers each table's current snapshot as a Spark
+temp view named ``<namespace>_<table>`` plus metadata views
+``<namespace>_<table>_history`` — so the full Spark SQL surface
+(including the reference's interactive queries, README.md:220-229)
+runs against lakehouse tables.
+"""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+from typing import Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from .table import Table
+
+
+class Catalog:
+    def __init__(self, warehouse: str | Path):
+        self.warehouse = Path(warehouse)
+        self.warehouse.mkdir(parents=True, exist_ok=True)
+
+    # -- namespaces (D2, D3) -------------------------------------------
+    def create_namespace(self, namespace: str) -> None:
+        (self.warehouse / namespace).mkdir(parents=True, exist_ok=True)
+
+    def namespaces(self) -> list[str]:
+        return sorted(
+            p.name for p in self.warehouse.iterdir() if p.is_dir()
+        )
+
+    def drop_namespace(self, namespace: str, force: bool = False) -> None:
+        ns = self.warehouse / namespace
+        if force:
+            shutil.rmtree(ns, ignore_errors=True)
+        else:
+            ns.rmdir()  # fails if non-empty, like DROP NAMESPACE
+
+    # -- tables (D5, D6, D9) -------------------------------------------
+    def table_path(self, namespace: str, name: str) -> Path:
+        return self.warehouse / namespace / name
+
+    def table(self, namespace: str, name: str) -> Table:
+        return Table(self.table_path(namespace, name))
+
+    def table_exists(self, namespace: str, name: str) -> bool:
+        return self.table(namespace, name).exists()
+
+    def tables(self, namespace: str) -> list[str]:
+        ns = self.warehouse / namespace
+        if not ns.is_dir():
+            return []
+        return sorted(
+            p.name for p in ns.iterdir() if Table(p).exists()
+        )
+
+    def create_table(
+        self,
+        namespace: str,
+        name: str,
+        schema: T.StructType,
+        partition_by: Iterable[str] = (),
+        properties: dict[str, str] | None = None,
+        replace: bool = False,
+    ) -> Table:
+        self.create_namespace(namespace)
+        return Table.create(
+            self.table_path(namespace, name),
+            schema,
+            partition_by=partition_by,
+            properties=properties,
+            replace=replace,
+        )
+
+    def drop_table(self, namespace: str, name: str) -> None:
+        shutil.rmtree(self.table_path(namespace, name), ignore_errors=True)
+
+    # -- SQL surface (D4, D7; README.md:220-229) -----------------------
+    def attach_views(
+        self, spark: SparkSession, namespace: str, with_metadata: bool = True
+    ) -> list[str]:
+        """Expose every table in `namespace` to Spark SQL as temp views."""
+        names = []
+        for name in self.tables(namespace):
+            t = self.table(namespace, name)
+            view = f"{namespace}_{name}"
+            t.read(spark).createOrReplaceTempView(view)
+            names.append(view)
+            if with_metadata:
+                t.history_df(spark).createOrReplaceTempView(f"{view}_history")
+                t.snapshots_df(spark).createOrReplaceTempView(f"{view}_snapshots")
+        return names
+
+    def sql(self, spark: SparkSession, namespace: str, query: str) -> DataFrame:
+        """Attach current views then run a Spark SQL query against them."""
+        self.attach_views(spark, namespace)
+        return spark.sql(query)

@@ -1,0 +1,134 @@
+"""MERGE INTO — file-scoped copy-on-write upsert.
+
+Engine equivalent of the reference's
+``MERGE INTO target USING source ON target.invoiceid =
+source.invoiceid WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN
+INSERT *`` (template scripts/bronze-silver.py:254-269, executed
+:213), the only join in the reference (SURVEY.md §2.3 J1). Also
+supports CDC deletes (``Op='D'`` — implied by the DMS convention the
+fixtures use, FIXTURES.md §1).
+
+Execution strategy (what Iceberg's COW RowLevelCommand does, built
+from DataFrame ops so Catalyst owns the physical plan):
+
+1. *Touched-file discovery*: semi-join target(key, _file) against the
+   distinct source keys; only data files that actually contain a
+   matched key are rewritten. The scan is column-pruned to the key,
+   and at 100 TB this is the difference between rewriting a handful
+   of files and rewriting the table.
+2. *Rewrite*: rows of touched files anti-joined against source keys
+   (drop matched rows) unioned with the source's upsert rows
+   (update + insert in one pass). Untouched files are carried over in
+   the manifest unchanged.
+3. AQE broadcasts the deduped source side when small (the common CDC
+   case: a micro-batch of changed keys vs a huge target).
+
+The caller is responsible for source dedup (one row per key) — the
+pipeline layer does keep-latest-per-key first (W1), matching the
+reference's dedup-then-merge order (scripts/bronze-silver.py:258-266).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .table import Snapshot, Table
+
+
+def _project_to(df: DataFrame, table: Table) -> DataFrame:
+    """Project source columns onto the target schema (MERGE binds by name).
+
+    Mirrors the reference behavior where the silver schema excludes
+    bronze-only columns (`Op`, `input_file`, ...) — the merge writes
+    only the declared columns (SURVEY.md §7.4).
+    """
+    schema = table.schema
+    return df.select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+    )
+
+
+def merge_into(
+    spark: SparkSession,
+    table: Table,
+    source: DataFrame,
+    on: str | list[str],
+    delete_predicate: str | None = None,
+) -> Snapshot:
+    """Upsert `source` into `table` on key columns `on`.
+
+    WHEN MATCHED UPDATE SET * / WHEN NOT MATCHED INSERT * semantics;
+    rows satisfying `delete_predicate` (evaluated against the raw
+    source, e.g. ``"Op = 'D'"``) instead delete their matched target
+    rows and are not inserted.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+
+    if delete_predicate is not None:
+        deletes = source.filter(F.expr(delete_predicate))
+        upserts = source.filter(~F.expr(delete_predicate))
+    else:
+        deletes = None
+        upserts = source
+
+    upsert_rows = _project_to(upserts, table)
+    all_keys = upserts.select(*keys)
+    if deletes is not None:
+        all_keys = all_keys.unionByName(deletes.select(*keys))
+    all_keys = all_keys.distinct()
+
+    snap = table.current_snapshot()
+    if not snap.files:
+        # Empty target: MERGE degenerates to INSERT *.
+        return table.replace_files([], upsert_rows, operation="merge")
+
+    if _small(all_keys):
+        all_keys = F.broadcast(all_keys)
+
+    # 1. touched-file discovery (column-pruned scan of key + file path)
+    target = table.read(spark)
+    touched = (
+        target.withColumn("_file", F.input_file_name())
+        .select("_file", *keys)
+        .join(all_keys, keys, "left_semi")
+        .select("_file")
+        .distinct()
+        .collect()
+    )
+    data_root = str(table.data_root)
+    touched_rel = sorted({_to_rel(r["_file"], data_root) for r in touched})
+
+    if not touched_rel:
+        # Pure insert: no file rewrite at all, just new files.
+        return table.replace_files([], upsert_rows, operation="merge")
+
+    # 2. rewrite only touched files
+    touched_df = table._read_files(spark, touched_rel, table.schema)
+    kept = touched_df.join(all_keys, keys, "left_anti")
+    rewritten = kept.unionByName(upsert_rows)
+    return table.replace_files(touched_rel, rewritten, operation="merge")
+
+
+def _small(df: DataFrame) -> bool:
+    """Heuristic broadcast hint for the CDC-typical tiny key set.
+
+    AQE would also convert at runtime; the explicit hint saves the
+    initial shuffle planning when the source is a micro-batch.
+    """
+    try:
+        n = len(df.take(10_001))
+        return n <= 10_000
+    except Exception:
+        return False
+
+
+def _to_rel(uri: str, data_root: str) -> str:
+    p = uri
+    if p.startswith("file:"):
+        p = p[len("file:") :]
+        while p.startswith("//"):
+            p = p[1:]
+    return str(Path(p).relative_to(data_root))

@@ -1,0 +1,413 @@
+"""Snapshot-manifest table: immutable Parquet data files + JSON manifests.
+
+Reproduces the Iceberg table semantics the reference depends on
+(SURVEY.md §2.1 S6-S15) without the Iceberg runtime:
+
+- every write commits a new *snapshot* — a manifest JSON listing the
+  exact set of live data files (manifests are driver-side metadata,
+  as in Iceberg);
+- data files are immutable and written by Spark executors; commits
+  are an atomic pointer swap (``CURRENT`` via ``os.replace``);
+- time travel = read any snapshot's file set; incremental
+  ("changelog") read = file-set difference between two snapshots
+  (reference scripts/bronze-silver.py:149-152);
+- partitioned layout is Hive-style ``col=value`` directories so
+  Spark's partition discovery prunes directories on read;
+- optimistic concurrency: a commit fails if another writer advanced
+  ``CURRENT`` since the operation began (single-writer per table is
+  the reference's operating model).
+
+Scale: the only driver-side state is the file list per snapshot
+(O(#files), like an Iceberg manifest list). Row data never reaches
+the driver. On a real cluster the same layout works on any Hadoop
+filesystem; local ``os`` calls are the offline stand-in for the
+FileSystem API.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..schema import schema_from_json, schema_to_json
+
+SNAPSHOT_DIR = "snapshots"
+DATA_DIR = "data"
+CURRENT_PTR = "CURRENT"
+
+
+@dataclass
+class Snapshot:
+    version: int
+    snapshot_id: int
+    parent_id: int | None
+    timestamp_ms: int
+    operation: str  # create | append | overwrite | merge | delete
+    files: list[str]  # relative to <table>/data/
+    added_files: list[str]
+    removed_files: list[str]
+    schema_json: str
+    partition_by: list[str]
+    properties: dict[str, str]
+    summary: dict[str, int] = field(default_factory=dict)
+
+    def to_json(self) -> str:
+        return json.dumps(self.__dict__, indent=0)
+
+    @staticmethod
+    def from_json(text: str) -> "Snapshot":
+        return Snapshot(**json.loads(text))
+
+
+def _list_parquet(root: Path) -> list[str]:
+    out = []
+    for dirpath, _dirs, names in os.walk(root):
+        for n in names:
+            if n.endswith(".parquet"):
+                out.append(str(Path(dirpath, n).relative_to(root)))
+    return sorted(out)
+
+
+def _file_rows(path: Path) -> int:
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(path).metadata.num_rows
+
+
+class Table:
+    """One lakehouse table rooted at ``<warehouse>/<namespace>/<name>``."""
+
+    def __init__(self, root: str | Path):
+        self.root = Path(root)
+        self.data_root = self.root / DATA_DIR
+        self.snap_root = self.root / SNAPSHOT_DIR
+
+    # ------------------------------------------------------------------
+    # metadata plumbing
+    # ------------------------------------------------------------------
+    def exists(self) -> bool:
+        return (self.root / CURRENT_PTR).exists()
+
+    def _current_version(self) -> int:
+        return int((self.root / CURRENT_PTR).read_text().strip())
+
+    def current_snapshot(self) -> Snapshot:
+        return self._load(self._current_version())
+
+    def _load(self, version: int) -> Snapshot:
+        return Snapshot.from_json(
+            (self.snap_root / f"v{version:08d}.json").read_text()
+        )
+
+    def snapshots(self) -> list[Snapshot]:
+        cur = self._current_version()
+        return [self._load(v) for v in range(1, cur + 1)]
+
+    def snapshot_by_id(self, snapshot_id: int) -> Snapshot:
+        for s in self.snapshots():
+            if s.snapshot_id == snapshot_id:
+                return s
+        raise KeyError(f"snapshot {snapshot_id} not found under {self.root}")
+
+    @property
+    def schema(self) -> T.StructType:
+        return schema_from_json(self.current_snapshot().schema_json)
+
+    @property
+    def partition_by(self) -> list[str]:
+        return list(self.current_snapshot().partition_by)
+
+    @property
+    def properties(self) -> dict[str, str]:
+        return dict(self.current_snapshot().properties)
+
+    def _commit(self, snap: Snapshot, expected_parent_version: int | None) -> Snapshot:
+        """Atomic snapshot commit: write manifest, swap CURRENT pointer."""
+        self.snap_root.mkdir(parents=True, exist_ok=True)
+        if expected_parent_version is not None and self.exists():
+            actual = self._current_version()
+            if actual != expected_parent_version:
+                raise RuntimeError(
+                    f"concurrent commit detected on {self.root}: expected "
+                    f"v{expected_parent_version}, found v{actual}"
+                )
+        (self.snap_root / f"v{snap.version:08d}.json").write_text(snap.to_json())
+        tmp = self.root / f".CURRENT.{uuid.uuid4().hex}"
+        tmp.write_text(str(snap.version))
+        os.replace(tmp, self.root / CURRENT_PTR)
+        return snap
+
+    # ------------------------------------------------------------------
+    # writes
+    # ------------------------------------------------------------------
+    @classmethod
+    def create(
+        cls,
+        root: str | Path,
+        schema: T.StructType,
+        partition_by: Iterable[str] = (),
+        properties: dict[str, str] | None = None,
+        replace: bool = False,
+    ) -> "Table":
+        """Create an (empty) table from a declared schema.
+
+        Engine equivalent of the reference's empty-DataFrame
+        ``writeTo(...).tableProperty(...).partitionedBy(...).create()``
+        (scripts/bronze-silver.py:171-207). Table properties are set
+        here, at CREATE time — fixing the reference's inert v1-writer
+        options (SURVEY.md §2.1 S13 caveat).
+        """
+        t = cls(root)
+        if t.exists() and not replace:
+            raise FileExistsError(f"table exists: {root}")
+        t.root.mkdir(parents=True, exist_ok=True)
+        t.data_root.mkdir(parents=True, exist_ok=True)
+        version = (t._current_version() + 1) if t.exists() else 1
+        snap = Snapshot(
+            version=version,
+            snapshot_id=version,
+            parent_id=None,
+            timestamp_ms=time.time_ns() // 1_000_000,
+            operation="create",
+            files=[],
+            added_files=[],
+            removed_files=[],
+            schema_json=schema_to_json(schema),
+            partition_by=list(partition_by),
+            properties=dict(properties or {}),
+            summary={"added_records": 0, "total_records": 0},
+        )
+        t._commit(snap, expected_parent_version=None)
+        return t
+
+    def _write_files(self, df: DataFrame, partition_by: list[str]) -> list[str]:
+        """Write df as parquet into the canonical layout; return new rel paths.
+
+        Executors write to a staging dir; the driver then renames the
+        produced files into ``data/<part dirs>/<batch>-<name>`` —
+        pure metadata ops, O(#files), no data copy on a real
+        FileSystem either.
+        """
+        batch = uuid.uuid4().hex[:12]
+        staging = self.root / f"_staging-{batch}"
+        writer = df.write.mode("overwrite")
+        codec = self.properties.get("write.parquet.compression-codec") if self.exists() else None
+        if codec:
+            writer = writer.option("compression", codec)
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(str(staging))
+        added: list[str] = []
+        for rel in _list_parquet(staging):
+            rel_p = Path(rel)
+            dest_rel = rel_p.parent / f"{batch}-{rel_p.name}"
+            dest = self.data_root / dest_rel
+            dest.parent.mkdir(parents=True, exist_ok=True)
+            os.replace(staging / rel, dest)
+            added.append(str(dest_rel))
+        shutil.rmtree(staging, ignore_errors=True)
+        return added
+
+    def _next_snapshot(
+        self,
+        operation: str,
+        files: list[str],
+        added: list[str],
+        removed: list[str],
+        schema: T.StructType,
+        expected_version: int,
+    ) -> Snapshot:
+        parent = self._load(expected_version)
+        added_records = sum(_file_rows(self.data_root / f) for f in added)
+        total_records = parent.summary.get("total_records", 0)
+        removed_records = sum(_file_rows(self.data_root / f) for f in removed)
+        if operation == "overwrite":
+            total_records = added_records
+        else:
+            total_records = total_records + added_records - removed_records
+        snap = Snapshot(
+            version=expected_version + 1,
+            snapshot_id=expected_version + 1,
+            parent_id=parent.snapshot_id,
+            timestamp_ms=time.time_ns() // 1_000_000,
+            operation=operation,
+            files=sorted(files),
+            added_files=sorted(added),
+            removed_files=sorted(removed),
+            schema_json=schema_to_json(schema),
+            partition_by=parent.partition_by,
+            properties=parent.properties,
+            summary={
+                "added_files": len(added),
+                "removed_files": len(removed),
+                "added_records": added_records,
+                "total_records": total_records,
+            },
+        )
+        return self._commit(snap, expected_parent_version=expected_version)
+
+    def append(self, df: DataFrame) -> Snapshot:
+        """Append-only write (reference scripts/raw-bronze.py:180-182)."""
+        base = self._current_version()
+        cur = self._load(base)
+        added = self._write_files(df, cur.partition_by)
+        return self._next_snapshot(
+            "append", cur.files + added, added, [], df.schema, base
+        )
+
+    def overwrite(self, df: DataFrame) -> Snapshot:
+        """Replace table contents (first-load path, scripts/raw-bronze.py:183-185)."""
+        base = self._current_version()
+        cur = self._load(base)
+        added = self._write_files(df, cur.partition_by)
+        return self._next_snapshot("overwrite", added, added, cur.files, df.schema, base)
+
+    def replace_files(
+        self, removed: list[str], df: DataFrame, operation: str = "merge"
+    ) -> Snapshot:
+        """Copy-on-write file swap: rewrite `removed` as the rows of `df`.
+
+        The primitive under MERGE INTO (lakehouse/merge.py) — same
+        shape as Iceberg's COW RowLevelCommand file rewrite.
+        """
+        base = self._current_version()
+        cur = self._load(base)
+        added = self._write_files(df, cur.partition_by)
+        removed_set = set(removed)
+        files = [f for f in cur.files if f not in removed_set] + added
+        return self._next_snapshot(operation, files, added, removed, df.schema, base)
+
+    # ------------------------------------------------------------------
+    # reads
+    # ------------------------------------------------------------------
+    def _read_files(
+        self, spark: SparkSession, files: list[str], schema: T.StructType
+    ) -> DataFrame:
+        if not files:
+            return spark.createDataFrame([], schema)
+        paths = [str(self.data_root / f) for f in files]
+        return (
+            spark.read.schema(schema)
+            .option("basePath", str(self.data_root))
+            .parquet(*paths)
+        )
+
+    def read(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:
+        """Full-table scan, optionally time-traveled to a snapshot.
+
+        Partition pruning: files live under Hive-style ``col=value``
+        dirs and the read carries an explicit schema, so Catalyst
+        prunes partitions and pushes predicates into the Parquet scan.
+        """
+        snap = (
+            self.current_snapshot()
+            if snapshot_id is None
+            else self.snapshot_by_id(snapshot_id)
+        )
+        return self._read_files(spark, snap.files, schema_from_json(snap.schema_json))
+
+    def read_incremental(
+        self,
+        spark: SparkSession,
+        start_snapshot_id: int | None,
+        end_snapshot_id: int | None = None,
+        allow_replace: bool = False,
+    ) -> DataFrame:
+        """Changelog read: rows appended after `start` up to `end`.
+
+        Engine equivalent of the Iceberg
+        ``start-snapshot-id``/``end-snapshot-id`` scan the reference
+        uses for bronze->silver CDC (scripts/bronze-silver.py:149-152).
+        `start` is exclusive, `end` inclusive (Iceberg semantics).
+        Like Iceberg's incremental append scan, raises if the range
+        crosses a non-append snapshot (overwrite/merge rewrites files,
+        so "new files" would double-count old rows) unless
+        ``allow_replace`` is set.
+        """
+        end = (
+            self.current_snapshot()
+            if end_snapshot_id is None
+            else self.snapshot_by_id(end_snapshot_id)
+        )
+        if start_snapshot_id is None:
+            return self._read_files(
+                spark, end.files, schema_from_json(end.schema_json)
+            )
+        start = self.snapshot_by_id(start_snapshot_id)
+        if not allow_replace:
+            for s in self.snapshots():
+                if start.version < s.version <= end.version and s.operation not in (
+                    "append",
+                    "create",
+                ):
+                    raise ValueError(
+                        f"incremental read crosses non-append snapshot "
+                        f"{s.snapshot_id} ({s.operation})"
+                    )
+        new_files = [f for f in end.files if f not in set(start.files)]
+        return self._read_files(
+            spark, new_files, schema_from_json(end.schema_json)
+        )
+
+    # ------------------------------------------------------------------
+    # metadata tables (reference scripts/bronze-silver.py:119 queries
+    # `<table>.history`; Iceberg also exposes .snapshots / .files)
+    # ------------------------------------------------------------------
+    def history_df(self, spark: SparkSession) -> DataFrame:
+        rows = [
+            (s.timestamp_ms, s.snapshot_id, s.parent_id, True)
+            for s in self.snapshots()
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "made_current_at_ms long, snapshot_id long, parent_id long, is_current_ancestor boolean",
+        )
+        return df.withColumn(
+            "made_current_at", F.timestamp_millis(F.col("made_current_at_ms"))
+        ).drop("made_current_at_ms")
+
+    def snapshots_df(self, spark: SparkSession) -> DataFrame:
+        rows = [
+            (
+                s.timestamp_ms,
+                s.snapshot_id,
+                s.parent_id,
+                s.operation,
+                json.dumps(s.summary),
+            )
+            for s in self.snapshots()
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "committed_at_ms long, snapshot_id long, parent_id long, operation string, summary string",
+        )
+        return df.withColumn(
+            "committed_at", F.timestamp_millis(F.col("committed_at_ms"))
+        ).drop("committed_at_ms")
+
+    def files_df(self, spark: SparkSession) -> DataFrame:
+        snap = self.current_snapshot()
+        rows = [
+            (
+                f,
+                _file_rows(self.data_root / f),
+                (self.data_root / f).stat().st_size,
+            )
+            for f in snap.files
+        ]
+        return spark.createDataFrame(
+            rows, "file_path string, record_count long, file_size_in_bytes long"
+        )
+
+    def latest_snapshot_id(self) -> int:
+        return self.current_snapshot().snapshot_id
