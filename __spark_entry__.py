@@ -1,38 +1,239 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query on sf0.001. ``queries()``
+exposes one callable per implemented operator (SURVEY.md §2 plus the
+LLM-pipeline extension surface); ``oracle_sql()`` gives each one a
+DuckDB-equivalent ANSI SQL twin over the same parquet tables.
+
+Column-name and value-determinism rules are documented in
+medallion_architecture_using_apache_iceberg_table_buckets_spark/operators/relational.py.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators import (  # noqa: E402
+    relational as R,
+)
+
+_MONEY = "round(CAST(sum(CAST({x} AS DECIMAL(18,4))) AS DOUBLE), 2)"
+
+
+def _money(x: str) -> str:
+    return _MONEY.format(x=x)
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: multi-join revenue rollup (TPC-H Q5 shape)."""
+    return R.q5_region_revenue(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # §2.1/§2.2 scans, projections, filters
+        "s1_scan_filter_project": R.s1_scan_filter_project,
+        "f3_derive_partition_date": R.f3_derive_partition_date,
+        "a1_count_star": R.a1_count_star,
+        # §2.5/§2.6 windows + top-k
+        "w1_latest_per_key": R.w1_latest_per_key,
+        "o1_topk_latest": R.o1_topk_latest,
+        "window_running_totals": R.window_running_totals,
+        # joins + aggregations
+        "q1_pricing_summary": R.q1_pricing_summary,
+        "q3_shipping_priority": R.q3_shipping_priority,
+        "q5_region_revenue": R.q5_region_revenue,
+        "join_semi_big_spenders": R.join_semi_big_spenders,
+        "join_anti_never_ordered": R.join_anti_never_ordered,
+        "join_broadcast_brand_stats": R.join_broadcast_brand_stats,
+        "agg_rollup_orders": R.agg_rollup_orders,
+        "agg_distinct_customers": R.agg_distinct_customers,
+        # set operations
+        "set_union_segments": R.set_union_segments,
+        "set_intersect_building_buyers": R.set_intersect_building_buyers,
+        "set_except_nonbuyers": R.set_except_nonbuyers,
+        # scalar functions / JSON / calendar
+        "scalar_string_math": R.scalar_string_math,
+        "json_extract_events": R.json_extract_events,
+        "events_daily_summary": R.events_daily_summary,
+        # as-of join + CDC merge machinery
+        "asof_click_purchase": R.asof_click_purchase,
+        "medallion_merge_state": R.medallion_merge_state,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_LATEST_PER_USER = """
+SELECT user_id, event_id, event_type, value, ts FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events) WHERE rn = 1
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "s1_scan_filter_project": """
+            SELECT o_orderkey, o_orderstatus, o_totalprice
+            FROM orders WHERE o_totalprice > 450000.0
+        """,
+        "f3_derive_partition_date": """
+            SELECT o_orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d') AS order_date_str,
+                   CAST(year(o_orderdate) AS INTEGER) AS order_year,
+                   CAST(month(o_orderdate) AS INTEGER) AS order_month,
+                   CAST(quarter(o_orderdate) AS INTEGER) AS order_quarter,
+                   CAST(day(o_orderdate) AS INTEGER) AS order_day
+            FROM orders
+        """,
+        "a1_count_star": "SELECT count(*) AS cnt FROM lineitem",
+        "w1_latest_per_key": _LATEST_PER_USER,
+        "o1_topk_latest": """
+            SELECT event_id, user_id, event_type, ts
+            FROM events ORDER BY ts DESC, event_id DESC LIMIT 10
+        """,
+        "window_running_totals": f"""
+            SELECT o_custkey, o_orderkey,
+                   row_number() OVER w AS order_seq,
+                   round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+                         OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS DOUBLE), 2) AS running_spend,
+                   lag(o_totalprice) OVER w AS prev_price,
+                   rank() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS spend_rank
+            FROM orders WHERE o_custkey <= 200
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        """,
+        "q1_pricing_summary": f"""
+            SELECT l_returnflag, l_linestatus,
+                   {_money('l_quantity')} AS sum_qty,
+                   {_money('l_extendedprice')} AS sum_base_price,
+                   {_money('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+                   {_money('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+                   round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_qty,
+                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_price,
+                   round(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q3_shipping_priority": f"""
+            SELECT l_orderkey, o_orderdate, o_orderpriority,
+                   {_money('l_extendedprice * (1 - l_discount)')} AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+              AND l_shipdate > TIMESTAMP '1998-01-01'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, l_orderkey ASC
+            LIMIT 10
+        """,
+        "q5_region_revenue": f"""
+            SELECT n_name,
+                   {_money('l_extendedprice * (1 - l_discount)')} AS revenue
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            WHERE c_nationkey = s_nationkey AND r_name = 'ASIA'
+            GROUP BY n_name
+        """,
+        "join_semi_big_spenders": """
+            SELECT c_custkey, c_name, c_mktsegment FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_totalprice > 450000.0)
+        """,
+        "join_anti_never_ordered": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey)
+        """,
+        "join_broadcast_brand_stats": f"""
+            SELECT p_brand,
+                   count(*) AS n_items,
+                   {_money('l_extendedprice')} AS brand_revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand
+        """,
+        "agg_rollup_orders": f"""
+            SELECT coalesce(o_orderstatus, 'ALL') AS status,
+                   coalesce(o_orderpriority, 'ALL') AS priority,
+                   count(*) AS n_orders,
+                   {_money('o_totalprice')} AS total_spend
+            FROM orders
+            GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        """,
+        "agg_distinct_customers": """
+            SELECT o_orderstatus,
+                   count(DISTINCT o_custkey) AS uniq_customers,
+                   count(*) AS n_orders,
+                   round(min(o_totalprice), 2) AS min_price,
+                   round(max(o_totalprice), 2) AS max_price
+            FROM orders GROUP BY o_orderstatus
+        """,
+        "set_union_segments": """
+            SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+            UNION
+            SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+        """,
+        "set_intersect_building_buyers": """
+            SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+            INTERSECT
+            SELECT o_custkey FROM orders WHERE o_totalprice > 400000.0
+        """,
+        "set_except_nonbuyers": """
+            SELECT c_custkey FROM customer
+            EXCEPT
+            SELECT o_custkey FROM orders
+        """,
+        "scalar_string_math": """
+            SELECT p_partkey,
+                   upper(p_brand) AS brand_u,
+                   substring(p_name, 1, 8) AS name_prefix,
+                   CAST(length(p_name) AS INTEGER) AS name_len,
+                   round(p_retailprice * 1.1, 2) AS bumped_price,
+                   abs(p_size - 25) AS size_dist,
+                   CASE WHEN p_size > 25 THEN 'L'
+                        WHEN p_size > 10 THEN 'M'
+                        ELSE 'S' END AS size_class,
+                   concat_ws('-', p_brand, p_type) AS brand_type
+            FROM part WHERE p_name LIKE '%a%'
+        """,
+        "json_extract_events": """
+            SELECT event_id,
+                   CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
+            FROM events
+        """,
+        "events_daily_summary": f"""
+            SELECT CAST(ts AS DATE) AS day, event_type,
+                   count(*) AS n_events,
+                   {_money('value')} AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "asof_click_purchase": """
+            SELECT click_id, user_id, click_ts, purchase_id, purchase_value
+            FROM (
+              SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
+                     p.event_id AS purchase_id, p.value AS purchase_value,
+                     row_number() OVER (PARTITION BY c.event_id
+                                        ORDER BY p.ts DESC, p.event_id DESC) AS rn
+              FROM (SELECT * FROM events WHERE event_type = 'click') c
+              LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+                ON p.user_id = c.user_id AND p.ts <= c.ts
+            ) WHERE rn = 1
+        """,
+        "medallion_merge_state": _LATEST_PER_USER,
+    }

@@ -1,0 +1,399 @@
+"""Core relational query surface (SURVEY.md §2) on the test tables.
+
+Every function takes ``(spark, sf_dir)`` and returns a DataFrame;
+each has a DuckDB oracle twin in ``__spark_entry__.oracle_sql``.
+
+Determinism rules shared with the oracles:
+- monetary aggregates are summed as DECIMAL(18,4) (exact, order-
+  insensitive) then cast to double and rounded — never raw
+  double-sum, whose value depends on partial-aggregation order;
+- every top-k query orders by a rounded measure plus a unique key so
+  both engines select the identical row set;
+- all computed columns are aliased identically in Spark and SQL.
+
+Scale notes are on each operator; the common ones: filters/projects
+push into the Parquet scan, small dimensions are broadcast, windows
+shuffle once on their partition key, and no operator collects row
+data to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one test table. The events table stores TIMESTAMP(NANOS),
+    which Spark's vectorized Parquet reader rejects by default —
+    read it as long nanos and convert to a microsecond timestamp
+    (matching DuckDB's value semantics)."""
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dec(col):
+    """Exact summation element: double -> DECIMAL(18,4)."""
+    return F.col(col).cast("decimal(18,4)") if isinstance(col, str) else col.cast("decimal(18,4)")
+
+
+def _money(sum_col, scale: int = 2):
+    return F.round(sum_col.cast("double"), scale)
+
+
+# ----------------------------------------------------------------------
+# §2.1/§2.2 — scans, projections, filters
+# ----------------------------------------------------------------------
+
+def s1_scan_filter_project(spark, sf_dir):
+    """S1+P2+P4: pruned scan with pushed-down predicate.
+
+    The plan must show PushedFilters + a 3-column ReadSchema — at
+    100 TB this is the difference between reading 3 columns and 11.
+    """
+    return (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 450_000.0)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+
+
+def f3_derive_partition_date(spark, sf_dir):
+    """F3 + date scalar functions: the bronze partition-date derivation
+    (string yyyy-MM-dd, reference scripts/raw-bronze.py:215) plus
+    calendar parts."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date_str"),
+        F.year("o_orderdate").cast("int").alias("order_year"),
+        F.month("o_orderdate").cast("int").alias("order_month"),
+        F.quarter("o_orderdate").cast("int").alias("order_quarter"),
+        F.dayofmonth("o_orderdate").cast("int").alias("order_day"),
+    )
+
+
+def a1_count_star(spark, sf_dir):
+    """A1: global COUNT(*) (reference README.md:224-225)."""
+    return load(spark, sf_dir, "lineitem").agg(F.count("*").alias("cnt"))
+
+
+# ----------------------------------------------------------------------
+# §2.5/§2.6 — windows, top-k
+# ----------------------------------------------------------------------
+
+def w1_latest_per_key(spark, sf_dir):
+    """W1: keep-latest-per-key dedup (reference
+    scripts/bronze-silver.py:258-266) on the events stream; one
+    shuffle on user_id, deterministic (ts, event_id) tie-break."""
+    from .window_ops import keep_latest_per_key
+
+    e = load(spark, sf_dir, "events")
+    return keep_latest_per_key(e, ["user_id"], ["ts", "event_id"]).select(
+        "user_id", "event_id", "event_type", "value", "ts"
+    )
+
+
+def o1_topk_latest(spark, sf_dir):
+    """O1: ORDER BY ts DESC LIMIT k — Catalyst plans TakeOrderedAndProject
+    (per-partition top-k + merge), never a full sort."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.orderBy(F.desc("ts"), F.desc("event_id"))
+        .select("event_id", "user_id", "event_type", "ts")
+        .limit(10)
+    )
+
+
+def window_running_totals(spark, sf_dir):
+    """Analytic windows: running count/sum, lag, rank per customer."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 200)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wrank = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).alias("order_seq"),
+        _money(F.sum(_dec("o_totalprice")).over(cum)).alias("running_spend"),
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.rank().over(wrank).alias("spend_rank"),
+    )
+
+
+# ----------------------------------------------------------------------
+# §2.3/§2.4 — joins and aggregations
+# ----------------------------------------------------------------------
+
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: wide scan, partial+final hash agg, tiny result.
+    Exact decimal sums keep the value independent of partial-agg order."""
+    l = load(spark, sf_dir, "lineitem")
+    disc_price = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    charge = _dec(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+    )
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _money(F.sum(_dec("l_quantity"))).alias("sum_qty"),
+            _money(F.sum(_dec("l_extendedprice"))).alias("sum_base_price"),
+            _money(F.sum(disc_price)).alias("sum_disc_price"),
+            _money(F.sum(charge)).alias("sum_charge"),
+            F.round(F.sum(_dec("l_quantity")).cast("double") / F.count("*"), 4).alias("avg_qty"),
+            F.round(F.sum(_dec("l_extendedprice")).cast("double") / F.count("*"), 4).alias("avg_price"),
+            F.round(F.sum(_dec("l_discount")).cast("double") / F.count("*"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: selective dim filter -> join -> agg -> top-k.
+    Revenue ordered on the rounded value + key for a deterministic
+    top-10 across engines."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    l = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    revenue = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_money(F.sum(revenue)).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q5_region_revenue(spark, sf_dir):
+    """TPC-H Q5 shape: two tiny dims (region, nation) broadcast into a
+    6-way join; revenue per nation."""
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load(spark, sf_dir, "nation")
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem")
+    revenue = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .filter(c.c_nationkey == s.s_nationkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(_money(F.sum(revenue)).alias("revenue"))
+    )
+
+
+def join_semi_big_spenders(spark, sf_dir):
+    """Left-semi join: customers with at least one 450k+ order."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450_000.0)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+def join_anti_never_ordered(spark, sf_dir):
+    """Left-anti join: customers with no orders at all."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+def join_broadcast_brand_stats(spark, sf_dir):
+    """Explicit broadcast of the part dimension into the lineitem fact
+    (the 100 TB-correct plan: no shuffle of the big side)."""
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_items"),
+            _money(F.sum(_dec("l_extendedprice"))).alias("brand_revenue"),
+        )
+    )
+
+
+def agg_rollup_orders(spark, sf_dir):
+    """ROLLUP(status, priority) with grand total; NULL group keys
+    coalesced to 'ALL' so both engines emit identical rows."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            _money(F.sum(_dec("o_totalprice"))).alias("total_spend"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total_spend",
+        )
+    )
+
+
+def agg_distinct_customers(spark, sf_dir):
+    """COUNT(DISTINCT) + min/max per group (two-phase distinct agg)."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("uniq_customers"),
+        F.count("*").alias("n_orders"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )
+
+
+# ----------------------------------------------------------------------
+# §2.7 — set operations
+# ----------------------------------------------------------------------
+
+def set_union_segments(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = c.filter(F.col("c_mktsegment") == "MACHINERY").select("c_custkey")
+    return a.union(b).distinct()
+
+
+def set_intersect_building_buyers(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    buyers = o.filter(F.col("o_totalprice") > 400_000.0).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return building.intersect(buyers)
+
+
+def set_except_nonbuyers(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.select("c_custkey").exceptAll(
+        o.select(F.col("o_custkey").alias("c_custkey"))
+    ).distinct()
+
+
+# ----------------------------------------------------------------------
+# scalar functions / JSON / calendar windows
+# ----------------------------------------------------------------------
+
+def scalar_string_math(spark, sf_dir):
+    """String/math scalar surface — all JVM built-ins, zero UDFs."""
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").like("%a%"))
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_u"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.round(F.col("p_retailprice") * 1.1, 2).alias("bumped_price"),
+        F.abs(F.col("p_size") - 25).alias("size_dist"),
+        F.when(F.col("p_size") > 25, "L")
+        .when(F.col("p_size") > 10, "M")
+        .otherwise("S")
+        .alias("size_class"),
+        F.concat_ws("-", "p_brand", "p_type").alias("brand_type"),
+    )
+
+
+def json_extract_events(spark, sf_dir):
+    """JSON scalar extraction from the events props column."""
+    e = load(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_val"),
+    )
+
+
+def events_daily_summary(spark, sf_dir):
+    """Tumbling 1-day windows over the event stream, per type — the
+    batch shape of a streaming windowed aggregation."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.to_date("ts").alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            _money(F.sum(_dec("value"))).alias("sum_value"),
+        )
+    )
+
+
+# ----------------------------------------------------------------------
+# as-of join (operator the reference lacks; SURVEY.md §2.3)
+# ----------------------------------------------------------------------
+
+def asof_click_purchase(spark, sf_dir):
+    """For every click, the user's latest purchase at-or-before the
+    click. Union + window forward-fill: one shuffle, no range join."""
+    from .window_ops import asof_join
+
+    e = load(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    return asof_join(
+        clicks,
+        purchases,
+        on=["user_id"],
+        left_ts="click_ts",
+        right_ts="p_ts",
+        right_payload=["purchase_id", "purchase_value"],
+        right_order=["purchase_id"],
+    )
+
+
+# ----------------------------------------------------------------------
+# medallion CDC current-state via the real lakehouse MERGE machinery
+# ----------------------------------------------------------------------
+
+def medallion_merge_state(spark, sf_dir):
+    """J1 end-to-end: build a bronze/silver pair from the events table
+    through the actual lakehouse MERGE INTO path, return silver.
+
+    Batch 1 = first half of the month (create + merge), batch 2 =
+    second half (upsert). The result is provably the global
+    latest-event-per-user — which is what the oracle asserts.
+    """
+    import tempfile
+
+    from ..lakehouse import Catalog, merge_into
+    from .window_ops import keep_latest_per_key
+
+    e = load(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    batch1 = e.filter(F.col("ts") < cut)
+    batch2 = e.filter(F.col("ts") >= cut)
+
+    cat = Catalog(tempfile.mkdtemp(prefix="mats_merge_"))
+    t = cat.create_table("demo", "user_state", e.schema, partition_by=())
+    for batch in (batch1, batch2):
+        src = keep_latest_per_key(batch, ["user_id"], ["ts", "event_id"])
+        merge_into(spark, t, src, on="user_id")
+    return t.read(spark).select("user_id", "event_id", "event_type", "value", "ts")
