@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators import (  # noqa: E402
+    llm_queries as L,
     relational as R,
 )
 
@@ -65,7 +66,104 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # as-of join + CDC merge machinery
         "asof_click_purchase": R.asof_click_purchase,
         "medallion_merge_state": R.medallion_merge_state,
+        # LLM-data-pipeline surface: dedup
+        "dedup_exact_groups": L.dedup_exact_groups,
+        "dedup_normalized_groups": L.dedup_normalized_groups,
+        "dedup_ngram_jaccard_pairs": L.dedup_ngram_jaccard_pairs,
+        "dedup_minhash_lsh_pairs": L.dedup_minhash_lsh_pairs,
+        "dedup_simhash_pairs": L.dedup_simhash_pairs,
+        "dedup_embedding_pairs": L.dedup_embedding_pairs,
+        # similarity search
+        "ann_bruteforce_topk": L.ann_bruteforce_topk,
+        "ann_lsh_topk": L.ann_lsh_topk,  # approximate: rows-only check
+        # text analysis
+        "text_langid": L.text_langid,
+        "text_quality": L.text_quality,
+        "text_token_counts": L.text_token_counts,
+        "text_fingerprint": L.text_fingerprint,
+        # multimodal metadata plumbing
+        "multimodal_meta": L.multimodal_meta,
     }
+
+
+# ---------------------------------------------------------------------------
+# Extension-surface oracle SQL builders (shared fragments)
+# ---------------------------------------------------------------------------
+
+_NORM = (
+    "trim(regexp_replace(regexp_replace(lower({t}), '[^a-z0-9 ]', ' ', 'g'),"
+    " ' +', ' ', 'g'))"
+)
+_TOKEN_ID = "(('0x' || substr(md5({t}), 1, 15))::BIGINT % 2147483647)"
+
+_PLANT_TAIL = """
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text || ' extra token tail' AS text
+  FROM documents WHERE doc_id < 30
+)
+"""
+
+_SHINGLES = f"""
+norm AS (
+  SELECT doc_id, string_split({_NORM.format(t='text')}, ' ') AS w FROM corpus
+),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(w) - 1),
+                  i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS shingle
+    FROM norm)
+),
+sids AS (
+  SELECT DISTINCT doc_id, {_TOKEN_ID.format(t='shingle')} AS sid FROM sh
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sids GROUP BY doc_id)
+"""
+
+_MINHASH_SEEDS = ",".join(
+    f"({j},{a},{b})"
+    for j, (a, b) in enumerate(
+        zip([7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47],
+            [3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41])
+    )
+)
+
+
+def _simhash_oracle() -> str:
+    bitsums = ",\n         ".join(
+        f"sum((({2 * b + 3} * tid + {3 * b + 1}) % 2147483647) % 2) AS c{b}"
+        for b in range(62)
+    )
+    simhash = " + ".join(
+        f"CASE WHEN 2 * c{b} > n_tok THEN CAST({2 ** b} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for b in range(62)
+    )
+    return f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, text || ' zzzz' AS text
+      FROM documents WHERE doc_id < 30
+    ),
+    toks AS (
+      SELECT DISTINCT doc_id, u.word AS word
+      FROM (SELECT doc_id, string_split({_NORM.format(t='text')}, ' ') AS w FROM corpus),
+           unnest(w) AS u(word)
+    ),
+    tids AS (SELECT doc_id, {_TOKEN_ID.format(t='word')} AS tid FROM toks),
+    counts AS (
+      SELECT doc_id, count(*) AS n_tok,
+         {bitsums}
+      FROM tids GROUP BY doc_id
+    ),
+    sigs AS (SELECT doc_id, ({simhash}) AS simhash FROM counts)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """
 
 
 _LATEST_PER_USER = """
@@ -236,4 +334,161 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rn = 1
         """,
         "medallion_merge_state": _LATEST_PER_USER,
+        "dedup_exact_groups": """
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 100000, text FROM documents WHERE doc_id < 20
+            )
+            SELECT md5(text) AS content_hash, count(*) AS n_docs,
+                   min(doc_id) AS keeper_id
+            FROM corpus GROUP BY md5(text)
+        """,
+        "dedup_normalized_groups": f"""
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 100000, upper(text) || '!!!' FROM documents
+              WHERE doc_id < 20
+            )
+            SELECT md5({_NORM.format(t='text')}) AS content_hash,
+                   count(*) AS n_docs, min(doc_id) AS keeper_id
+            FROM corpus GROUP BY 1
+        """,
+        "dedup_ngram_jaccard_pairs": f"""
+            WITH {_PLANT_TAIL}, {_SHINGLES},
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+              FROM sids a JOIN sids b
+                ON a.sid = b.sid AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b,
+                   round(inter / (sa.sz + sb.sz - inter), 4) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE round(inter / (sa.sz + sb.sz - inter), 4) >= 0.5
+        """,
+        "dedup_minhash_lsh_pairs": f"""
+            WITH {_PLANT_TAIL}, {_SHINGLES},
+            seeds AS (SELECT * FROM (VALUES {_MINHASH_SEEDS}) s(j, a, b)),
+            mh AS (
+              SELECT doc_id, j, min((a * sid + b) % 2147483647) AS mh
+              FROM sids CROSS JOIN seeds GROUP BY doc_id, j
+            ),
+            bands AS (
+              SELECT doc_id, j // 3 AS band,
+                     string_agg(CAST(mh AS VARCHAR), '_' ORDER BY j) AS key
+              FROM mh GROUP BY doc_id, j // 3
+            ),
+            cands AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+            ),
+            inter AS (
+              SELECT c.doc_a, c.doc_b, count(*) AS inter
+              FROM cands c
+              JOIN sids sa ON sa.doc_id = c.doc_a
+              JOIN sids sb ON sb.doc_id = c.doc_b AND sb.sid = sa.sid
+              GROUP BY 1, 2
+            )
+            SELECT i.doc_a, i.doc_b,
+                   round(inter / (sa.sz + sb.sz - inter), 4) AS jaccard
+            FROM inter i
+            JOIN sizes sa ON sa.doc_id = i.doc_a
+            JOIN sizes sb ON sb.doc_id = i.doc_b
+            WHERE round(inter / (sa.sz + sb.sz - inter), 4) >= 0.5
+        """,
+        "dedup_simhash_pairs": _simhash_oracle(),
+        "dedup_embedding_pairs": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                b.embedding::DOUBLE[]), 4) AS cos_sim
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                               b.embedding::DOUBLE[]), 4) >= 0.4
+        """,
+        "ann_bruteforce_topk": """
+            SELECT query_id, neighbor_id, cos_sim, rnk FROM (
+              SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                     round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                                  e.embedding::DOUBLE[]), 4) AS cos_sim,
+                     CAST(row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                                             e.embedding::DOUBLE[]), 4) DESC,
+                                e.vec_id ASC) AS INTEGER) AS rnk
+              FROM embeddings q JOIN embeddings e ON e.vec_id != q.vec_id
+              WHERE q.vec_id < 10
+            ) WHERE rnk <= 5
+        """,
+        "text_langid": f"""
+            WITH scored AS (
+              SELECT doc_id,
+                CAST(len(list_filter(w, x -> list_contains(
+                  ['the','a','of','and','to','in','is'], x))) AS INTEGER) AS score_en,
+                CAST(len(list_filter(w, x -> list_contains(
+                  ['der','die','und','das','ist','nicht'], x))) AS INTEGER) AS score_de,
+                CAST(len(list_filter(w, x -> list_contains(
+                  ['el','los','y','que','es','una'], x))) AS INTEGER) AS score_es,
+                CAST(len(list_filter(w, x -> list_contains(
+                  ['le','les','et','des','est','une'], x))) AS INTEGER) AS score_fr
+              FROM (SELECT doc_id, string_split({_NORM.format(t='text')}, ' ') AS w
+                    FROM documents)
+            )
+            SELECT doc_id, score_en, score_de, score_es, score_fr,
+                   CASE WHEN greatest(score_en, score_de, score_es, score_fr) <= 0 THEN 'und'
+                        WHEN score_en = greatest(score_en, score_de, score_es, score_fr) THEN 'en'
+                        WHEN score_de = greatest(score_en, score_de, score_es, score_fr) THEN 'de'
+                        WHEN score_es = greatest(score_en, score_de, score_es, score_fr) THEN 'es'
+                        ELSE 'fr' END AS predicted_lang
+            FROM scored
+        """,
+        "text_quality": f"""
+            WITH feat AS (
+              SELECT doc_id,
+                     CAST(length(text) AS INTEGER) AS n_chars,
+                     CAST(len(w) AS INTEGER) AS n_words,
+                     length(replace({_NORM.format(t='text')}, ' ', '')) AS nospace_chars,
+                     length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS alpha_chars,
+                     len(list_filter(w, x -> list_contains(
+                       ['the','a','an','of','and','to','in','is','it','for'], x))) AS stop_cnt
+              FROM (SELECT doc_id, text,
+                           string_split({_NORM.format(t='text')}, ' ') AS w
+                    FROM documents)
+            )
+            SELECT doc_id, n_chars, n_words,
+                   round(nospace_chars / n_words, 4) AS avg_word_len,
+                   round(alpha_chars / n_chars, 4) AS alpha_ratio,
+                   round(stop_cnt / n_words, 4) AS stop_ratio,
+                   round(least(1.0, n_words / 120.0) * 0.5
+                         + stop_cnt / n_words * 0.3
+                         + alpha_chars / n_chars * 0.2, 4) AS quality_score
+            FROM feat
+        """,
+        "text_token_counts": r"""
+            SELECT doc_id,
+                   CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS ws_tokens,
+                   CAST(len(regexp_extract_all(lower(text),
+                        '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INTEGER) AS re_tokens
+            FROM documents
+        """,
+        "text_fingerprint": f"""
+            SELECT doc_id,
+                   md5({_NORM.format(t='text')}) AS fp_md5,
+                   list_reduce(
+                     list_prepend(CAST(7 AS BIGINT),
+                       list_transform(string_split({_NORM.format(t='text')}, ' '),
+                                      t -> {_TOKEN_ID.format(t='t')})),
+                     (acc, x) -> (acc * 31 + x) % 144115188075855872) AS fp_rolling
+            FROM documents
+        """,
+        "multimodal_meta": """
+            SELECT doc_id, 'text/plain' AS media_type,
+                   CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
+                   sha256(text) AS sha256
+            FROM documents
+        """,
     }

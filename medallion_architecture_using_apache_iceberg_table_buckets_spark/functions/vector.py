@@ -1,0 +1,38 @@
+"""Vector math over array<float|double> columns via higher-order
+functions (zip_with / aggregate) — executed in the JVM, vectorized by
+codegen, no Python round-trip.
+
+Determinism: elements are cast to double before any arithmetic and
+summed in array order, so the result is bit-identical across engines
+that do the same (the DuckDB oracles cast to DOUBLE[] likewise).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def to_double_array(c: Column | str) -> Column:
+    c = F.col(c) if isinstance(c, str) else c
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-order dot product of two double arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine_sim(a: Column | str, b: Column | str) -> Column:
+    """Cosine similarity; null when either vector has zero norm."""
+    ad, bd = to_double_array(a), to_double_array(b)
+    denom = l2_norm(ad) * l2_norm(bd)
+    return F.when(denom != 0.0, dot(ad, bd) / denom)

@@ -1,0 +1,332 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five families, all expressed as DataFrame transforms (no driver-side
+loops over row data, no Python UDFs in the hot path):
+
+- exact            : hash-groupBy on the raw text
+- normalized       : hash-groupBy on normalized text
+- n-gram Jaccard   : inverted-index shingle join + exact verify
+- MinHash + LSH    : signature -> band buckets -> candidate join ->
+                     exact-Jaccard verify (the 100 TB scale path:
+                     candidate generation never compares all pairs)
+- SimHash          : 62-bit signature, chunk-banded candidate join
+                     with a pigeonhole guarantee, Hamming verify
+- embedding cosine : threshold pairs over vectors (brute at test
+                     scale; similarity.py holds the LSH-bucketed
+                     variant)
+
+Determinism/portability: MinHash and SimHash need per-token integer
+hashes that DuckDB can reproduce. Default backend is ``md5`` — the
+top 60 bits of md5(token) as an int64 (identical in any engine:
+DuckDB ``('0x' || substr(md5(t),1,15))::BIGINT``), dictionary-free so
+there is no global vocabulary shuffle at 100 TB. ``xxhash64`` is the
+faster Spark-only alternative for production. All modular arithmetic
+stays well inside int64 (ANSI mode raises on overflow).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import normalize_text, word_shingles, words
+from ..functions.vector import cosine_sim
+
+# MinHash parameters (shared with the SQL oracles): K signatures in
+# B bands of R rows; universal-hash constants (a*j + b) mod P.
+MINHASH_K = 12
+MINHASH_BANDS = 4
+MINHASH_P = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
+MINHASH_A = [7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47]
+MINHASH_B = [3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41]
+
+SIMHASH_BITS = 62
+SIMHASH_CHUNKS = 4  # pigeonhole: hamming <= 3 => >= 1 identical chunk
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups: md5(text) -> group size + keeper id.
+
+    One hash-shuffle; at 100 TB the md5 key also load-balances skew
+    (identical docs hash to one reducer each).
+    """
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("keeper_id"))
+    )
+
+
+def normalized_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Near-exact duplicates modulo case/punct/whitespace."""
+    return (
+        df.groupBy(F.md5(normalize_text(text_col)).alias("content_hash"))
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("keeper_id"))
+    )
+
+
+def _doc_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """Distinct (doc, shingle) pairs."""
+    return (
+        df.select(F.col(id_col).alias("doc_id"), word_shingles(words(text_col), n).alias("shingles"))
+        .select("doc_id", F.explode("shingles").alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs via an inverted-index self-join.
+
+    Plan: explode shingles -> (optional) drop shingles with document
+    frequency > max_df (stop-shingles explode candidate counts at
+    scale) -> join on shingle -> per-pair intersection size ->
+    Jaccard from per-doc set sizes. Never materializes the full
+    doc x doc matrix.
+    """
+    sh = _doc_shingles(df, text_col, id_col, n)
+    if max_df is not None:
+        keep = sh.groupBy("shingle").count().filter(F.col("count") <= max_df).select("shingle")
+        sh = sh.join(keep, "shingle")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("set_size"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("set_size").alias("size_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")), 4
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def token_id(col) -> F.Column:
+    """Portable 60-bit integer hash of a token: top 15 hex chars of
+    md5, mod P. DuckDB twin:
+    ``('0x' || substr(md5(t), 1, 15))::BIGINT % 2147483647``."""
+    return (
+        F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long") % MINHASH_P
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    token_ids: str = "md5",
+) -> DataFrame:
+    """Per-doc MinHash signature columns mh0..mh{K-1}.
+
+    minhash_j(doc) = min over shingle ids s of (A_j * s + B_j) mod P —
+    computed with array higher-order functions after collecting each
+    doc's shingle-id set (JVM-side, no UDF).
+    """
+    sh = _doc_shingles(df, text_col, id_col, n)
+    if token_ids == "md5":
+        sh = sh.withColumn("sid", token_id(F.col("shingle")))
+    else:
+        sh = sh.withColumn("sid", F.abs(F.xxhash64("shingle")) % MINHASH_P)
+    doc_sets = sh.groupBy("doc_id").agg(F.collect_set("sid").alias("sids"))
+    mh_cols = [
+        F.array_min(
+            F.transform(
+                "sids", lambda s: (F.lit(MINHASH_A[j]) * s + F.lit(MINHASH_B[j])) % MINHASH_P
+            )
+        ).alias(f"mh{j}")
+        for j in range(MINHASH_K)
+    ]
+    return doc_sets.select("doc_id", "sids", *mh_cols)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    token_ids: str = "md5",
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs, exact-Jaccard verified.
+
+    Banding: K=12 signatures in 4 bands of 3; docs sharing any band
+    key become candidates (join on the band key — the only pairwise
+    step, linear in bucket sizes, never all-pairs). Candidates are
+    then verified with exact Jaccard over the shingle-id sets and
+    filtered at `threshold`, so LSH affects only recall pressure,
+    not correctness of emitted pairs.
+    """
+    sigs = minhash_signatures(df, text_col, id_col, n, token_ids)
+    r = MINHASH_K // MINHASH_BANDS
+    bands = sigs.select(
+        "doc_id",
+        "sids",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "_", *[F.col(f"mh{b * r + i}") for i in range(r)]
+                        ).alias("key"),
+                    )
+                    for b in range(MINHASH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "sids", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sids").alias("sids_a"),
+            F.col("b.sids").alias("sids_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    inter = F.size(F.array_intersect("sids_a", "sids_b"))
+    union = F.size("sids_a") + F.size("sids_b") - inter
+    return (
+        cands.withColumn("jaccard", F.round(inter / union, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    token_ids: str = "md5",
+) -> DataFrame:
+    """62-bit SimHash over word tokens (distinct words per doc).
+
+    Bit b of token t = ((A_b * tid + B_b) mod P) mod 2 with
+    A_b = 2b+3, B_b = 3b+1 — reproducible in plain SQL. Doc bit b is
+    1 when strictly more than half its tokens set the bit.
+    """
+    w = df.select(F.col(id_col).alias("doc_id"), F.explode(words(text_col)).alias("word")).distinct()
+    if token_ids == "md5":
+        w = w.withColumn("tid", token_id(F.col("word")))
+    else:
+        w = w.withColumn("tid", F.abs(F.xxhash64("word")) % MINHASH_P)
+    bit_aggs = [
+        F.sum(
+            ((F.lit(2 * b + 3) * F.col("tid") + F.lit(3 * b + 1)) % MINHASH_P) % 2
+        ).alias(f"c{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    counts = w.groupBy("doc_id").agg(F.count("*").alias("n_tok"), *bit_aggs)
+    sim = sum(
+        (F.when(2 * F.col(f"c{b}") > F.col("n_tok"), 1).otherwise(0).cast("long") * F.lit(2**b))
+        for b in range(SIMHASH_BITS)
+    )
+    return counts.select("doc_id", sim.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    token_ids: str = "md5",
+) -> DataFrame:
+    """SimHash near-dup pairs at Hamming distance <= max_hamming.
+
+    Candidates come from joining on any equal chunk of the signature.
+    The signature is split into ``max_hamming + 1`` chunks, so by
+    pigeonhole every pair within the threshold shares at least one
+    chunk — banding is lossless at ANY requested threshold (a fixed
+    chunk count would silently drop distant-but-qualifying pairs).
+    The verify step computes the exact Hamming distance.
+    """
+    sigs = simhash_signatures(df, text_col, id_col, token_ids)
+    n_chunks = min(max_hamming + 1, SIMHASH_BITS)
+    base, rem = divmod(SIMHASH_BITS, n_chunks)
+    widths = [base + (1 if i < rem else 0) for i in range(n_chunks)]
+    offsets = [sum(widths[:i]) for i in range(n_chunks)]
+    chunks = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk"),
+                        F.shiftright("simhash", offsets[i]).bitwiseAND(
+                            F.lit((1 << widths[i]) - 1)
+                        ).alias("ckey"),
+                    )
+                    for i in range(n_chunks)
+                ]
+            )
+        ).alias("c"),
+    ).select("doc_id", "simhash", F.col("c.chunk").alias("chunk"), F.col("c.ckey").alias("ckey"))
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.ckey") == F.col("b.ckey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("h_a"),
+            F.col("b.simhash").alias("h_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (
+        cands.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def embedding_cosine_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Embedding near-dup pairs: cosine >= threshold, id_a < id_b.
+
+    Brute-force at test scale (exact oracle twin); the LSH-bucketed
+    candidate generation for 100 TB lives in similarity.py
+    (hyperplane_buckets) and composes with the same verify step.
+    """
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", F.round(cosine_sim(F.col("va"), F.col("vb")), 4))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )

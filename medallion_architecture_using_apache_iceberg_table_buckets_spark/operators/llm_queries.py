@@ -1,0 +1,98 @@
+"""LLM-data-pipeline queries over the documents/embeddings tables.
+
+Each function is a ``(spark, sf_dir)`` queries() entry. Where the
+source data contains no real duplicates (TESTDATA is synthetic word
+salads), the query itself plants deterministic duplicates — a UNION
+ALL of perturbed copies of the first docs, replicated identically in
+the DuckDB oracle — so the dedup checks exercise non-trivial
+positives.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import dedup as D
+from . import similarity as S
+from . import text as TX
+from .relational import load
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "documents")
+
+
+def _planted(spark, sf_dir, n: int, perturb) -> DataFrame:
+    """documents UNION ALL perturbed copies of doc_id < n."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    extra = (
+        d.filter(F.col("doc_id") < n)
+        .select((F.col("doc_id") + 100000).alias("doc_id"), perturb(F.col("text")).alias("text"))
+    )
+    return d.unionByName(extra)
+
+
+def dedup_exact_groups(spark, sf_dir):
+    corpus = _planted(spark, sf_dir, 20, lambda t: t)
+    return D.exact_dedup_groups(corpus)
+
+
+def dedup_normalized_groups(spark, sf_dir):
+    corpus = _planted(spark, sf_dir, 20, lambda t: F.concat(F.upper(t), F.lit("!!!")))
+    return D.normalized_dedup_groups(corpus)
+
+
+def dedup_ngram_jaccard_pairs(spark, sf_dir):
+    corpus = _planted(spark, sf_dir, 30, lambda t: F.concat(t, F.lit(" extra token tail")))
+    return D.ngram_jaccard_pairs(corpus, threshold=0.5)
+
+
+def dedup_minhash_lsh_pairs(spark, sf_dir):
+    corpus = _planted(spark, sf_dir, 30, lambda t: F.concat(t, F.lit(" extra token tail")))
+    return D.minhash_lsh_pairs(corpus, threshold=0.5)
+
+
+def dedup_simhash_pairs(spark, sf_dir):
+    corpus = _planted(spark, sf_dir, 30, lambda t: F.concat(t, F.lit(" zzzz")))
+    return D.simhash_pairs(corpus, max_hamming=3)
+
+
+def dedup_embedding_pairs(spark, sf_dir):
+    return D.embedding_cosine_pairs(load(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+def ann_bruteforce_topk(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    return S.cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+def ann_lsh_topk(spark, sf_dir):
+    """Approximate (bucketed) variant — rows-only driver check; recall
+    vs brute force is asserted in tests/test_similarity.py."""
+    emb = load(spark, sf_dir, "embeddings")
+    return S.cosine_topk_lsh(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+def text_langid(spark, sf_dir):
+    return TX.langid(_docs(spark, sf_dir))
+
+
+def text_quality(spark, sf_dir):
+    return TX.quality_score(_docs(spark, sf_dir))
+
+
+def text_token_counts(spark, sf_dir):
+    return TX.token_counts(_docs(spark, sf_dir))
+
+
+def text_fingerprint(spark, sf_dir):
+    return TX.fingerprint(_docs(spark, sf_dir))
+
+
+def multimodal_meta(spark, sf_dir):
+    from .multimodal import attach_media
+
+    return attach_media(_docs(spark, sf_dir)).select(
+        "doc_id", "media_type", "byte_len", "sha256"
+    )
