@@ -1,0 +1,78 @@
+"""Benchmark harness — prints ONE JSON line with headline query times.
+
+Contract (driver): runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]; output is
+a single JSON line:
+  {"metric": "headline_queries_total", "value": <sec>, "unit": "sec",
+   "queries": {"q1": sec, ...}, "sf": 0.1}
+
+Each query is forced end-to-end with the noop sink (full execution,
+no collection/driver materialization cost in the measurement).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import medallion_architecture_using_apache_iceberg_table_buckets_spark as mats
+from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators import (
+    llm_queries as L,
+    relational as R,
+)
+
+HEADLINE = {
+    "q1_pricing_summary": R.q1_pricing_summary,
+    "q3_shipping_priority": R.q3_shipping_priority,
+    "q5_region_revenue": R.q5_region_revenue,
+    "w1_latest_per_key": R.w1_latest_per_key,
+    "o1_topk_latest": R.o1_topk_latest,
+    "join_broadcast_brand_stats": R.join_broadcast_brand_stats,
+    "agg_rollup_orders": R.agg_rollup_orders,
+    "asof_click_purchase": R.asof_click_purchase,
+    "events_daily_summary": R.events_daily_summary,
+    "medallion_merge_state": R.medallion_merge_state,
+    "dedup_minhash_lsh_pairs": L.dedup_minhash_lsh_pairs,
+    "dedup_simhash_pairs": L.dedup_simhash_pairs,
+    "ann_bruteforce_topk": L.ann_bruteforce_topk,
+    "text_quality": L.text_quality,
+}
+
+
+def force(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+    spark = mats.get_spark(app_name="mats-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warmup: JIT/codegen + file listing, not measured
+    force(R.a1_count_star(spark, sf_dir))
+
+    times: dict[str, float] = {}
+    for name, fn in HEADLINE.items():
+        t0 = time.perf_counter()
+        force(fn(spark, sf_dir))
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

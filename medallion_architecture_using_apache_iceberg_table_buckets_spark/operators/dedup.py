@@ -64,11 +64,40 @@ def normalized_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str =
     )
 
 
+def _fan_out(df: DataFrame) -> DataFrame:
+    """Spread rows across the cluster before CPU-heavy per-row work.
+
+    Document corpora often arrive as few large files; without this the
+    shingling/hashing below runs on as many cores as there are input
+    splits. One cheap row-shuffle buys full parallelism — at 100 TB
+    the same applies (size maxPartitionBytes vs. per-row cost).
+    """
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def _doc_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
-    """Distinct (doc, shingle) pairs."""
+    """Distinct (doc, shingle) pairs.
+
+    Built as posexplode + lead() windows rather than per-index array
+    slicing: nested slice-in-transform re-evaluates the tokenization
+    chain per element (no CSE through lambdas), which measured ~10x
+    slower. The window shuffles once on doc_id and streams each
+    token list linearly.
+    """
+    from pyspark.sql import Window
+
+    toks = _fan_out(df).select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(words(text_col)).alias("pos", "word"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.col("word")] + [F.lead("word", i).over(w) for i in range(1, n)]
     return (
-        df.select(F.col(id_col).alias("doc_id"), word_shingles(words(text_col), n).alias("shingles"))
-        .select("doc_id", F.explode("shingles").alias("shingle"))
+        toks.select(
+            "doc_id",
+            F.when(leads[-1].isNotNull(), F.concat_ws(" ", *leads)).alias("shingle"),
+        )
+        .filter(F.col("shingle").isNotNull())
         .distinct()
     )
 
@@ -172,12 +201,17 @@ def minhash_lsh_pairs(
     then verified with exact Jaccard over the shingle-id sets and
     filtered at `threshold`, so LSH affects only recall pressure,
     not correctness of emitted pairs.
+
+    Execution shape (matters at scale): the per-doc shingle-id sets
+    are computed once and persisted — they feed the signatures AND
+    both sides of the verify join; the band self-join carries only
+    (doc_id, band, key), never the array payload, so the pairwise
+    shuffle is a few dozen bytes per row.
     """
-    sigs = minhash_signatures(df, text_col, id_col, n, token_ids)
+    sigs = minhash_signatures(df, text_col, id_col, n, token_ids).persist()
     r = MINHASH_K // MINHASH_BANDS
     bands = sigs.select(
         "doc_id",
-        "sids",
         F.explode(
             F.array(
                 *[
@@ -191,7 +225,7 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bk"),
-    ).select("doc_id", "sids", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     a, b = bands.alias("a"), bands.alias("b")
     cands = (
         a.join(
@@ -200,13 +234,14 @@ def minhash_lsh_pairs(
             & (F.col("a.key") == F.col("b.key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sids").alias("sids_a"),
-            F.col("b.sids").alias("sids_b"),
-        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sets = sigs.select("doc_id", "sids")
+    cands = cands.join(
+        sets.select(F.col("doc_id").alias("doc_a"), F.col("sids").alias("sids_a")), "doc_a"
+    ).join(
+        sets.select(F.col("doc_id").alias("doc_b"), F.col("sids").alias("sids_b")), "doc_b"
     )
     inter = F.size(F.array_intersect("sids_a", "sids_b"))
     union = F.size("sids_a") + F.size("sids_b") - inter
@@ -229,7 +264,9 @@ def simhash_signatures(
     A_b = 2b+3, B_b = 3b+1 — reproducible in plain SQL. Doc bit b is
     1 when strictly more than half its tokens set the bit.
     """
-    w = df.select(F.col(id_col).alias("doc_id"), F.explode(words(text_col)).alias("word")).distinct()
+    w = _fan_out(df).select(
+        F.col(id_col).alias("doc_id"), F.explode(words(text_col)).alias("word")
+    ).distinct()
     if token_ids == "md5":
         w = w.withColumn("tid", token_id(F.col("word")))
     else:
