@@ -55,6 +55,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_broadcast_brand_stats": R.join_broadcast_brand_stats,
         "agg_rollup_orders": R.agg_rollup_orders,
         "agg_distinct_customers": R.agg_distinct_customers,
+        "agg_cube_status_priority": R.agg_cube_status_priority,
+        "agg_percentiles": R.agg_percentiles,
+        "agg_collect_sorted": R.agg_collect_sorted,
+        "pivot_event_counts": R.pivot_event_counts,
+        "window_moving_avg": R.window_moving_avg,
+        "join_full_outer_spend": R.join_full_outer_spend,
+        "subquery_max_order": R.subquery_max_order,
+        "catalog_history_metadata": R.catalog_history_metadata,
         # set operations
         "set_union_segments": R.set_union_segments,
         "set_intersect_building_buyers": R.set_intersect_building_buyers,
@@ -273,6 +281,69 @@ def oracle_sql() -> dict[str, str]:
                    {_money('o_totalprice')} AS total_spend
             FROM orders
             GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        """,
+        "agg_cube_status_priority": """
+            SELECT coalesce(o_orderstatus, 'ALL') AS status,
+                   coalesce(o_orderpriority, 'ALL') AS priority,
+                   count(*) AS n_orders
+            FROM orders
+            GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        """,
+        "agg_percentiles": """
+            SELECT o_orderstatus,
+                   round(quantile_cont(o_totalprice, 0.5), 2) AS median_price,
+                   round(quantile_cont(o_totalprice, 0.9), 2) AS p90_price
+            FROM orders GROUP BY o_orderstatus
+        """,
+        "agg_collect_sorted": """
+            SELECT o_custkey,
+                   list_sort(list(o_orderpriority)) AS priorities,
+                   count(*) AS n_orders
+            FROM orders WHERE o_custkey <= 50 GROUP BY o_custkey
+        """,
+        "pivot_event_counts": """
+            SELECT user_id,
+                   count(*) FILTER (WHERE event_type = 'click') AS click,
+                   count(*) FILTER (WHERE event_type = 'view') AS view,
+                   count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+                   count(*) FILTER (WHERE event_type = 'signup') AS signup,
+                   count(*) FILTER (WHERE event_type = 'error') AS error
+            FROM events GROUP BY user_id
+        """,
+        "window_moving_avg": f"""
+            WITH daily AS (
+              SELECT CAST(ts AS DATE) AS day, event_type,
+                     {_money('value')} AS day_value
+              FROM events GROUP BY 1, 2
+            )
+            SELECT day, event_type, day_value,
+                   round(avg(day_value) OVER (
+                     PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7
+            FROM daily
+        """,
+        "join_full_outer_spend": f"""
+            SELECT c_custkey, c_name, o_custkey, spend
+            FROM (SELECT c_custkey, c_name FROM customer WHERE c_custkey <= 100) c
+            FULL OUTER JOIN (
+              SELECT o_custkey, {_money('o_totalprice')} AS spend
+              FROM orders WHERE o_custkey BETWEEN 50 AND 150
+              GROUP BY o_custkey) o
+            ON c.c_custkey = o.o_custkey
+        """,
+        "subquery_max_order": """
+            SELECT c_custkey, c_name,
+                   (SELECT round(max(o_totalprice), 2) FROM orders o
+                    WHERE o.o_custkey = c.c_custkey) AS max_order
+            FROM customer c WHERE c_custkey <= 200
+        """,
+        "catalog_history_metadata": """
+            SELECT * FROM (VALUES
+              (CAST(1 AS BIGINT), CAST(NULL AS BIGINT), 'create', true),
+              (CAST(2 AS BIGINT), CAST(1 AS BIGINT), 'append', true),
+              (CAST(3 AS BIGINT), CAST(2 AS BIGINT), 'append', true),
+              (CAST(4 AS BIGINT), CAST(3 AS BIGINT), 'merge', true)
+            ) t(snapshot_id, parent_id, operation, is_current_ancestor)
         """,
         "agg_distinct_customers": """
             SELECT o_orderstatus,

@@ -74,6 +74,17 @@ def merge_into(
         deletes = None
         upserts = source
 
+    # merge-on-read path: append delta files, defer resolution to read
+    # time (the Iceberg write.merge.mode table property — the
+    # reference sets it at scripts/bronze-silver.py:179-194)
+    if table.properties.get("write.merge.mode") == "merge-on-read":
+        delta = _project_to(upserts, table).withColumn("_op", F.lit("u"))
+        if deletes is not None:
+            delta = delta.unionByName(
+                _project_to(deletes, table).withColumn("_op", F.lit("d"))
+            )
+        return table.append_merge_delta(delta, keys)
+
     upsert_rows = _project_to(upserts, table)
     all_keys = upserts.select(*keys)
     if deletes is not None:

@@ -226,6 +226,7 @@ class Table:
         removed: list[str],
         schema: T.StructType,
         expected_version: int,
+        new_properties: dict[str, str] | None = None,
     ) -> Snapshot:
         parent = self._load(expected_version)
         added_records = sum(_file_rows(self.data_root / f) for f in added)
@@ -246,7 +247,7 @@ class Table:
             removed_files=sorted(removed),
             schema_json=schema_to_json(schema),
             partition_by=parent.partition_by,
-            properties=parent.properties,
+            properties={**parent.properties, **(new_properties or {})},
             summary={
                 "added_files": len(added),
                 "removed_files": len(removed),
@@ -288,6 +289,94 @@ class Table:
         return self._next_snapshot(operation, files, added, removed, df.schema, base)
 
     # ------------------------------------------------------------------
+    # merge-on-read deltas + compaction
+    # ------------------------------------------------------------------
+    MOR_OP_COL = "_op"
+    MOR_SEQ_COL = "_seq"
+
+    def append_merge_delta(self, delta_df: DataFrame, keys: list[str]) -> Snapshot:
+        """MOR merge: append an upsert/delete delta file set instead of
+        rewriting base files (operation ``merge-delta``).
+
+        ``delta_df`` carries the table columns plus ``_op``
+        ('u' upsert / 'd' delete), one row per key. The declared table
+        schema is unchanged; read() resolves deltas (newest sequence
+        wins). This is the high-churn-table mode: merge cost is
+        O(delta), reads pay the resolve until compact() runs —
+        exactly the Iceberg COW/MOR trade (SURVEY.md §2.1 S13).
+        """
+        base = self._current_version()
+        cur = self._load(base)
+        added = self._write_files(delta_df, cur.partition_by)
+        return self._next_snapshot(
+            "merge-delta",
+            cur.files + added,
+            added,
+            [],
+            schema_from_json(cur.schema_json),
+            base,
+            new_properties={"merge-on-read.key": ",".join(keys)},
+        )
+
+    def _file_sequence(self) -> dict[str, int]:
+        """file (rel path) -> version of the snapshot that added it."""
+        seq: dict[str, int] = {}
+        for s in self.snapshots():
+            for f in s.added_files:
+                seq[f] = s.version
+        return seq
+
+    def _delta_files(self, snap: Snapshot) -> set[str]:
+        delta: set[str] = set()
+        for s in self.snapshots():
+            if s.version <= snap.version and s.operation == "merge-delta":
+                delta.update(s.added_files)
+        return delta & set(snap.files)
+
+    def _resolve_mor(
+        self, spark: SparkSession, snap: Snapshot, schema: T.StructType
+    ) -> DataFrame:
+        """Newest-sequence-wins resolve of base + delta files."""
+        from pyspark.sql import Window
+
+        keys = [
+            k for k in snap.properties.get("merge-on-read.key", "").split(",") if k
+        ]
+        schema_plus = T.StructType(
+            schema.fields + [T.StructField(self.MOR_OP_COL, T.StringType())]
+        )
+        df = self._read_files(spark, snap.files, schema_plus)
+        seq_rows = [(f, v) for f, v in self._file_sequence().items() if f in set(snap.files)]
+        seq_df = spark.createDataFrame(seq_rows, "rel_path string, _seq long")
+        norm = F.regexp_replace(F.input_file_name(), "^file:/+", "/")
+        data_root = str(self.data_root) + "/"
+        rel = norm.substr(F.lit(len(data_root) + 1), F.lit(100_000))
+        df = df.withColumn("_path", rel).join(
+            F.broadcast(seq_df), F.col("_path") == F.col("rel_path"), "left"
+        )
+        w = Window.partitionBy(*keys).orderBy(F.desc(self.MOR_SEQ_COL))
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter((F.col("_rn") == 1) & (F.coalesce(F.col(self.MOR_OP_COL), F.lit("u")) != "d"))
+            .select(*[f.name for f in schema.fields])
+        )
+
+    def compact(self, spark: SparkSession, target_partitions: int | None = None) -> Snapshot:
+        """Rewrite the table to plain base files: resolves MOR deltas
+        and merges small files (the maintenance pass every
+        streaming-append/MOR table needs).
+        """
+        df = self.read(spark)
+        if target_partitions:
+            df = df.repartition(target_partitions)
+        base = self._current_version()
+        cur = self._load(base)
+        added = self._write_files(df, cur.partition_by)
+        return self._next_snapshot(
+            "replace", added, added, cur.files, schema_from_json(cur.schema_json), base
+        )
+
+    # ------------------------------------------------------------------
     # reads
     # ------------------------------------------------------------------
     def _read_files(
@@ -314,7 +403,10 @@ class Table:
             if snapshot_id is None
             else self.snapshot_by_id(snapshot_id)
         )
-        return self._read_files(spark, snap.files, schema_from_json(snap.schema_json))
+        schema = schema_from_json(snap.schema_json)
+        if self._delta_files(snap):
+            return self._resolve_mor(spark, snap, schema)
+        return self._read_files(spark, snap.files, schema)
 
     def read_incremental(
         self,

@@ -339,6 +339,132 @@ def events_daily_summary(spark, sf_dir):
     )
 
 
+def agg_cube_status_priority(spark, sf_dir):
+    """CUBE: all grouping-set combinations of (status, priority)."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+        )
+    )
+
+
+def agg_percentiles(spark, sf_dir):
+    """Exact percentiles (median / p90) per order status — the exact
+    `percentile` aggregate, not approx_percentile (oracle-matched)."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 2).alias("median_price"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 2).alias("p90_price"),
+    )
+
+
+def agg_collect_sorted(spark, sf_dir):
+    """Array aggregation: deterministic (sorted) list per group."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 50)
+    return o.groupBy("o_custkey").agg(
+        F.sort_array(F.collect_list("o_orderpriority")).alias("priorities"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+def pivot_event_counts(spark, sf_dir):
+    """PIVOT: one count column per event type, fixed category list
+    (explicit values keep the output schema static — required for
+    both determinism and sane planning on wide pivots)."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .count()
+        .na.fill(0, EVENT_TYPES)
+    )
+
+
+def window_moving_avg(spark, sf_dir):
+    """7-day moving average over the daily event value series."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("day"), "event_type").agg(
+        _money(F.sum(_dec("value"))).alias("day_value")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        "day",
+        "event_type",
+        "day_value",
+        F.round(F.avg("day_value").over(w), 4).alias("ma7"),
+    )
+
+
+def join_full_outer_spend(spark, sf_dir):
+    """FULL OUTER join: every customer and every order bucket, null
+    sides preserved."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 100).select(
+        "c_custkey", "c_name"
+    )
+    spend = (
+        load(spark, sf_dir, "orders")
+        .filter((F.col("o_custkey") >= 50) & (F.col("o_custkey") <= 150))
+        .groupBy(F.col("o_custkey"))
+        .agg(_money(F.sum(_dec("o_totalprice"))).alias("spend"))
+    )
+    return c.join(spend, c.c_custkey == spend.o_custkey, "full_outer").select(
+        "c_custkey", "c_name", "o_custkey", "spend"
+    )
+
+
+def subquery_max_order(spark, sf_dir):
+    """Correlated scalar subquery (Catalyst decorrelates to a join)."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name,
+               (SELECT round(max(o_totalprice), 2) FROM v_orders o
+                WHERE o.o_custkey = c.c_custkey) AS max_order
+        FROM v_customer c WHERE c_custkey <= 200
+        """
+    )
+
+
+def catalog_history_metadata(spark, sf_dir):
+    """D2-D8 + S8: namespace/table DDL and the history metadata table,
+    driven through the real catalog; output is the deterministic
+    (snapshot_id, parent_id, operation, is_current_ancestor) sequence
+    for a create+append+append+merge lifecycle."""
+    import tempfile
+
+    from ..lakehouse import Catalog, merge_into
+
+    cat = Catalog(tempfile.mkdtemp(prefix="mats_meta_"))
+    cat.create_namespace("meta_demo")
+    assert "meta_demo" in cat.namespaces()  # D3 SHOW NAMESPACES
+    n = load(spark, sf_dir, "nation")
+    t = cat.create_table("meta_demo", "nations", n.schema)
+    t.append(n.filter(F.col("n_nationkey") < 10))
+    t.append(n.filter(F.col("n_nationkey") >= 10))
+    merge_into(spark, t, n.limit(5), on="n_nationkey")
+    assert cat.table_exists("meta_demo", "nations")  # D6
+    hist = t.history_df(spark)  # S8 metadata table
+    ops = t.snapshots_df(spark).select("snapshot_id", "operation")
+    return (
+        hist.join(ops, "snapshot_id")
+        .select("snapshot_id", "parent_id", "operation", "is_current_ancestor")
+        .orderBy("snapshot_id")
+    )
+
+
 # ----------------------------------------------------------------------
 # as-of join (operator the reference lacks; SURVEY.md §2.3)
 # ----------------------------------------------------------------------
