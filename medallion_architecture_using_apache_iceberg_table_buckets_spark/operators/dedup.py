@@ -301,7 +301,9 @@ def simhash_pairs(
     chunk count would silently drop distant-but-qualifying pairs).
     The verify step computes the exact Hamming distance.
     """
-    sigs = simhash_signatures(df, text_col, id_col, token_ids)
+    # persisted: feeds the chunk explode AND both sides of the
+    # candidate self-join (3 consumers of a 62-aggregate pipeline)
+    sigs = simhash_signatures(df, text_col, id_col, token_ids).persist()
     n_chunks = min(max_hamming + 1, SIMHASH_BITS)
     base, rem = divmod(SIMHASH_BITS, n_chunks)
     widths = [base + (1 if i < rem else 0) for i in range(n_chunks)]
