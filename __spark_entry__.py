@@ -50,6 +50,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": R.q1_pricing_summary,
         "q3_shipping_priority": R.q3_shipping_priority,
         "q5_region_revenue": R.q5_region_revenue,
+        "q7_volume_shipping": R.q7_volume_shipping,
+        "q10_returned_items": R.q10_returned_items,
+        "q18_large_orders": R.q18_large_orders,
         "join_semi_big_spenders": R.join_semi_big_spenders,
         "join_anti_never_ordered": R.join_anti_never_ordered,
         "join_broadcast_brand_stats": R.join_broadcast_brand_stats,
@@ -255,6 +258,48 @@ def oracle_sql() -> dict[str, str]:
             JOIN region   ON n_regionkey = r_regionkey
             WHERE c_nationkey = s_nationkey AND r_name = 'ASIA'
             GROUP BY n_name
+        """,
+        "q7_volume_shipping": f"""
+            SELECT supp_nation, cust_nation, l_year,
+                   {_money('l_extendedprice * (1 - l_discount)')} AS revenue
+            FROM (
+              SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                     CAST(year(l_shipdate) AS INTEGER) AS l_year,
+                     l_extendedprice, l_discount
+              FROM lineitem
+              JOIN orders   ON l_orderkey = o_orderkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation n1 ON s_nationkey = n1.n_nationkey
+              JOIN nation n2 ON c_nationkey = n2.n_nationkey
+              WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                 OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+            ) GROUP BY supp_nation, cust_nation, l_year
+        """,
+        "q10_returned_items": f"""
+            SELECT c_custkey, c_name, n_name,
+                   {_money('l_extendedprice * (1 - l_discount)')} AS revenue
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o_orderdate <  TIMESTAMP '1998-01-01'
+            GROUP BY c_custkey, c_name, n_name
+            ORDER BY revenue DESC, c_custkey ASC
+            LIMIT 20
+        """,
+        "q18_large_orders": """
+            SELECT c_custkey, c_name, o_orderkey, o_orderdate, total_qty
+            FROM (
+              SELECT l_orderkey,
+                     round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 2) AS total_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 2) > 300.0
+            ) big
+            JOIN orders   ON big.l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
         """,
         "join_semi_big_spenders": """
             SELECT c_custkey, c_name, c_mktsegment FROM customer c

@@ -39,6 +39,13 @@ from ..lakehouse import Catalog, Table
 from .checkpoint import JsonCheckpoint
 
 
+def strip_scheme(path: str) -> str:
+    """file:/x, file:///x, s3a://bucket/x -> scheme-less join key."""
+    import re
+
+    return re.sub(r"^[a-z0-9+.-]+:/+", "/", path)
+
+
 class IncrementalFileSource:
     """New-files-since-checkpoint discovery over a local/posix prefix.
 
@@ -65,14 +72,15 @@ class IncrementalFileSource:
         return sorted(out)
 
     def new_files(self) -> tuple[list[str], dict]:
-        """Return (paths to process, next checkpoint state)."""
+        """Return (paths to process in mtime order, next ckpt state)."""
         state = self.checkpoint.load() or {"last_mtime_ns": -1, "seen_at_last_mtime": []}
         last = state["last_mtime_ns"]
         seen = set(state["seen_at_last_mtime"])
         listing = self._list_files()
-        fresh = [
-            (p, m) for p, m in listing if m > last or (m == last and p not in seen)
-        ]
+        fresh = sorted(
+            ((p, m) for p, m in listing if m > last or (m == last and p not in seen)),
+            key=lambda pm: (pm[1], pm[0]),
+        )
         if not fresh:
             return [], state
         max_m = max(m for _, m in listing)
@@ -84,6 +92,38 @@ class IncrementalFileSource:
 
     def commit(self, state: dict) -> None:
         self.checkpoint.commit(state)
+
+
+class HadoopIncrementalFileSource(IncrementalFileSource):
+    """Scheme-agnostic discovery via the Hadoop FileSystem API
+    (S2+S3+S4 in SURVEY.md §2.1): the same code path serves
+    ``file:``, ``hdfs:``, ``s3a:`` etc. — dispatch is Hadoop's,
+    exactly as Spark's own file sources do it. Replaces the
+    reference's boto3-vs-os.walk split (scripts/raw-bronze.py:59-85).
+    """
+
+    def __init__(self, spark: SparkSession, input_path: str,
+                 checkpoint: JsonCheckpoint, suffix: str = ".csv"):
+        super().__init__(input_path, checkpoint, suffix)
+        self.spark = spark
+        self.raw_path = str(input_path)
+
+    def _list_files(self) -> list[tuple[str, int]]:
+        jvm = self.spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(self.raw_path)
+        fs = jpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        if not fs.exists(jpath):
+            return []
+        out = []
+        it = fs.listFiles(jpath, True)  # recursive
+        while it.hasNext():
+            st = it.next()
+            p = st.getPath().toString()
+            if p.endswith(self.suffix):
+                # Hadoop mtime is ms; keep the ns field name for
+                # checkpoint compatibility
+                out.append((p, st.getModificationTime() * 1_000_000))
+        return sorted(out)
 
 
 def read_csv_batch(
@@ -130,8 +170,9 @@ def enrich_for_bronze(
     )
     if file_seq is None:
         return out.withColumn("ingest_seq", F.lit(0).cast("long"))
-    # normalize Spark's file URI (file:///x) to a plain path for the join
-    norm = F.regexp_replace(F.col("input_file"), "^file:/+", "/")
+    # normalize Spark's file URI (file:///x, s3a://…) for the join,
+    # mirroring strip_scheme()
+    norm = F.regexp_replace(F.col("input_file"), "^[a-z0-9+.-]+:/+", "/")
     return (
         out.withColumn("_path", norm)
         .join(F.broadcast(file_seq), F.col("_path") == file_seq["input_file"], "left")
@@ -160,15 +201,15 @@ def ingest_raw_to_bronze(
     contract: write first, commit the checkpoint only on success
     (scripts/raw-bronze.py:252-255).
     """
-    source = IncrementalFileSource(
-        input_path, JsonCheckpoint(checkpoint_path), suffix=suffix
+    source = HadoopIncrementalFileSource(
+        spark, str(input_path), JsonCheckpoint(checkpoint_path), suffix=suffix
     )
     files, next_state = source.new_files()
     if not files:
         return 0
-    by_mtime = sorted(files, key=lambda p: (Path(p).stat().st_mtime_ns, p))
+    # new_files() returns mtime order -> positional ingest sequence
     file_seq = spark.createDataFrame(
-        [(str(Path(p).resolve()), i) for i, p in enumerate(by_mtime)],
+        [(strip_scheme(p), i) for i, p in enumerate(files)],
         "input_file string, ingest_seq long",
     )
     df = enrich_for_bronze(
