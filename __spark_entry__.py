@@ -87,6 +87,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search
         "ann_bruteforce_topk": L.ann_bruteforce_topk,
         "ann_lsh_topk": L.ann_lsh_topk,  # approximate: rows-only check
+        "ann_ivf_topk": L.ann_ivf_topk,  # approximate: rows-only check
+        "skew_salted_agg": L.skew_salted_agg,
         # text analysis
         "text_langid": L.text_langid,
         "text_quality": L.text_quality,
@@ -539,6 +541,13 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings q JOIN embeddings e ON e.vec_id != q.vec_id
               WHERE q.vec_id < 10
             ) WHERE rnk <= 5
+        """,
+        "skew_salted_agg": """
+            SELECT l_returnflag,
+                   count(*) AS n_items,
+                   round(max(l_extendedprice), 2) AS max_price,
+                   round(min(l_quantity), 2) AS min_qty
+            FROM lineitem GROUP BY l_returnflag
         """,
         "text_langid": f"""
             WITH scored AS (

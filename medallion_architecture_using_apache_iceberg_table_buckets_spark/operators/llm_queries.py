@@ -69,9 +69,36 @@ def ann_bruteforce_topk(spark, sf_dir):
 
 def ann_lsh_topk(spark, sf_dir):
     """Approximate (bucketed) variant — rows-only driver check; recall
-    vs brute force is asserted in tests/test_similarity.py."""
+    vs brute force is asserted in tests/test_llm_operators.py."""
     emb = load(spark, sf_dir, "embeddings")
     return S.cosine_topk_lsh(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+def ann_ivf_topk(spark, sf_dir):
+    """IVF inverted-list variant (nprobe centroids per query) —
+    rows-only driver check; approximate by design."""
+    emb = load(spark, sf_dir, "embeddings")
+    return S.cosine_topk_ivf(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+def skew_salted_agg(spark, sf_dir):
+    """Skew-safe two-phase aggregation; result must equal the plain
+    GROUP BY (which is exactly what the oracle asserts)."""
+    from .skew import salted_agg
+
+    li = load(spark, sf_dir, "lineitem")
+    out = salted_agg(
+        li,
+        ["l_returnflag"],
+        {
+            "n_items": ("*", "count"),
+            "max_price": ("l_extendedprice", "max"),
+            "min_qty": ("l_quantity", "min"),
+        },
+        salt_buckets=8,
+    )
+    return out.select("l_returnflag", "n_items", F.round("max_price", 2).alias("max_price"),
+                      F.round("min_qty", 2).alias("min_qty"))
 
 
 def text_langid(spark, sf_dir):

@@ -91,6 +91,127 @@ def hyperplane_buckets(
     )
 
 
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (max cosine,
+    deterministic centroid-id tie-break) — the IVF coarse quantizer.
+
+    Centroids (columns ``centroid_id``, ``cv``) are broadcast; the
+    corpus streams through one pass. At 100 TB this is a map-only
+    stage: no shuffle of the big side.
+    """
+    scored = df.crossJoin(F.broadcast(centroids)).withColumn(
+        "_sim", F.round(cosine_sim(F.col(vec_col), F.col("cv")), 6)
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("_sim"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"), "centroid_id")
+    )
+
+
+def ivf_centroids(
+    df: DataFrame,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    refine_iterations: int = 1,
+) -> DataFrame:
+    """Deterministic IVF centroids: seed with evenly-spaced corpus
+    vectors (by id rank), then `refine_iterations` Lloyd steps.
+
+    The refinement mean is computed distributively: posexplode the
+    assigned vectors to (cluster, dim, value), average per cell, and
+    rebuild the array — groupBy shuffles only (cluster, dim) cells,
+    never whole-vector lists to one task.
+    """
+    w = Window.orderBy(id_col)
+    ranked = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("embedding"),
+        F.row_number().over(w).alias("_rk"),
+    )
+    n = ranked.count()
+    step = max(1, n // n_centroids)
+    seeds = (
+        ranked.filter(((F.col("_rk") - 1) % step == 0) & (F.col("_rk") <= step * n_centroids))
+        .select(
+            (((F.col("_rk") - 1) / step).cast("int")).alias("centroid_id"),
+            F.col("embedding").alias("cv"),
+        )
+    )
+    cents = seeds
+    for _ in range(refine_iterations):
+        assigned = ivf_assign(df, cents, vec_col, id_col)
+        cells = assigned.select(
+            "centroid_id", F.posexplode(to_double_array("embedding")).alias("d", "x")
+        )
+        means = cells.groupBy("centroid_id", "d").agg(F.avg("x").alias("m"))
+        cents = (
+            means.groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("d"), F.col("m")))
+                    ),
+                    lambda s: s.getField("m").cast("float"),
+                ).alias("cv")
+            )
+        )
+    return cents
+
+
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF approximate top-k: search only the `nprobe` inverted lists
+    nearest to each query. Complements the hyperplane-LSH variant;
+    recall is measured against brute force in tests.
+    """
+    cents = ivf_centroids(corpus, n_centroids, vec_col, id_col).persist()
+    lists = ivf_assign(corpus, cents, vec_col, id_col).persist()
+
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    qscore = q.crossJoin(F.broadcast(cents)).withColumn(
+        "_sim", F.round(cosine_sim(F.col("qv"), F.col("cv")), 6)
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("_sim"), F.asc("centroid_id"))
+    probes = (
+        qscore.withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= nprobe)
+        .select("query_id", "qv", "centroid_id")
+    )
+    scored = (
+        lists.join(F.broadcast(probes), "centroid_id")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .withColumn("cos_sim", F.round(cosine_sim(F.col("qv"), F.col("embedding")), 4))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .dropDuplicates(["query_id", "vec_id"])
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "cos_sim",
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
+
+
 def cosine_topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,

@@ -110,6 +110,29 @@ def test_lsh_recall_against_bruteforce(spark, sf_dir):
     assert len(approx - exact) <= len(approx)
 
 
+def test_ivf_recall_and_structure(spark, sf_dir):
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators.relational import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = {(r["query_id"], r["neighbor_id"]) for r in S.cosine_topk(emb, queries, k=3).collect()}
+    approx = S.cosine_topk_ivf(emb, queries, k=3, n_centroids=8, nprobe=4).collect()
+    got = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact & got) / len(exact)
+    assert recall > 0.3, f"recall={recall}"
+    # every query returns at most k, ranks are 1..k without gaps
+    by_q = {}
+    for r in approx:
+        by_q.setdefault(r["query_id"], []).append(r["rnk"])
+    for q, rnks in by_q.items():
+        assert sorted(rnks) == list(range(1, len(rnks) + 1))
+
+    # centroid refinement yields one vector of the right dimension each
+    cents = S.ivf_centroids(emb, n_centroids=8, dim=64).collect()
+    assert len(cents) == 8
+    assert all(len(c["cv"]) == 64 for c in cents)
+
+
 def test_langid_and_quality(spark):
     df = spark.createDataFrame(
         [

@@ -1,0 +1,112 @@
+"""Property-based tests (hypothesis) for the pure-Python layers and
+invariant checks on the core operators."""
+
+import json
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from medallion_architecture_using_apache_iceberg_table_buckets_spark.schema import (
+    avro_schema_to_spark_schema,
+    schema_from_json,
+    schema_to_json,
+)
+
+AVRO_PRIMS = ["string", "int", "long", "float", "double", "boolean", "bytes"]
+
+avro_field_type = st.one_of(
+    st.sampled_from(AVRO_PRIMS),
+    st.sampled_from(AVRO_PRIMS).map(lambda t: ["null", t]),
+    st.sampled_from(
+        [
+            {"type": "long", "logicalType": "timestamp-micros"},
+            {"type": "int", "logicalType": "date"},
+            {"type": "array", "items": "string"},
+            {"type": "map", "values": "double"},
+            {"type": "bytes", "logicalType": "decimal", "precision": 10, "scale": 2},
+        ]
+    ),
+)
+
+field_names = st.lists(
+    st.text(alphabet="abcdefghijklmnopqrstuvwxyz_", min_size=1, max_size=12),
+    min_size=1,
+    max_size=8,
+    unique=True,
+)
+
+
+@given(names=field_names, types=st.lists(avro_field_type, min_size=8, max_size=8))
+@settings(max_examples=60, deadline=None)
+def test_avro_translator_total_and_roundtrippable(names, types):
+    """Any well-formed Avro record translates, field count/order/
+    nullability are preserved, and the resulting StructType survives a
+    JSON round trip (the manifest storage path)."""
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [{"name": n, "type": t} for n, t in zip(names, types)],
+    }
+    out = avro_schema_to_spark_schema(json.dumps(schema))
+    assert [f.name for f in out.fields] == names
+    for f, t in zip(out.fields, types[: len(names)]):
+        assert f.nullable == (isinstance(t, list) and "null" in t)
+    assert schema_from_json(schema_to_json(out)) == out
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),  # key
+            st.integers(min_value=0, max_value=1_000_000),  # order value
+            st.text(alphabet="abc", min_size=0, max_size=4),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_keep_latest_per_key_invariants(spark, rows):
+    """keep_latest_per_key: one row per key, and it is the maximal
+    (order, uniq) row — for arbitrary inputs including ties."""
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators import (
+        keep_latest_per_key,
+    )
+
+    df = spark.createDataFrame(
+        [(k, o, i, v) for i, (k, o, v) in enumerate(rows)],
+        "k long, o long, uniq long, v string",
+    )
+    out = keep_latest_per_key(df, ["k"], ["o", "uniq"]).collect()
+    expected = {}
+    for i, (k, o, v) in enumerate(rows):
+        if k not in expected or (expected[k][1], expected[k][2]) < (o, i):
+            expected[k] = (k, o, i)
+    assert {(r["k"], r["o"], r["uniq"]) for r in out} == set(expected.values())
+
+
+@given(
+    ids=st.lists(st.integers(min_value=0, max_value=50), min_size=2, max_size=30),
+)
+@settings(max_examples=10, deadline=None)
+def test_merge_idempotent_and_key_unique(spark, tmp_path_factory, ids):
+    """MERGE INTO with a deduped source: target keys stay unique and
+    re-merging the same source is a no-op on the data."""
+    from pyspark.sql import types as T
+
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.lakehouse import (
+        Catalog,
+        merge_into,
+    )
+
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.LongType())]
+    )
+    cat = Catalog(tmp_path_factory.mktemp("wh"))
+    t = cat.create_table("p", "t", schema)
+    src = spark.createDataFrame([(i, i * 10) for i in set(ids)], schema)
+    merge_into(spark, t, src, on="id")
+    merge_into(spark, t, src, on="id")
+    rows = t.read(spark).collect()
+    assert len(rows) == len(set(ids))
+    assert {(r["id"], r["v"]) for r in rows} == {(i, i * 10) for i in set(ids)}
