@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard_pairs": L.dedup_ngram_jaccard_pairs,
         "dedup_minhash_lsh_pairs": L.dedup_minhash_lsh_pairs,
         "dedup_simhash_pairs": L.dedup_simhash_pairs,
+        "dedup_keep_list": L.dedup_keep_list,
         "dedup_embedding_pairs": L.dedup_embedding_pairs,
         # similarity search
         "ann_bruteforce_topk": L.ann_bruteforce_topk,
@@ -520,6 +521,40 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(inter / (sa.sz + sb.sz - inter), 4) >= 0.5
         """,
         "dedup_simhash_pairs": _simhash_oracle(),
+        "dedup_keep_list": f"""
+            WITH {_PLANT_TAIL}, {_SHINGLES},
+            seeds AS (SELECT * FROM (VALUES {_MINHASH_SEEDS}) s(j, a, b)),
+            mh AS (
+              SELECT doc_id, j, min((a * sid + b) % 2147483647) AS mh
+              FROM sids CROSS JOIN seeds GROUP BY doc_id, j
+            ),
+            bands AS (
+              SELECT doc_id, j // 3 AS band,
+                     string_agg(CAST(mh AS VARCHAR), '_' ORDER BY j) AS key
+              FROM mh GROUP BY doc_id, j // 3
+            ),
+            cands AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+            ),
+            inter AS (
+              SELECT c.doc_a, c.doc_b, count(*) AS inter
+              FROM cands c
+              JOIN sids sa ON sa.doc_id = c.doc_a
+              JOIN sids sb ON sb.doc_id = c.doc_b AND sb.sid = sa.sid
+              GROUP BY 1, 2
+            ),
+            pairs AS (
+              SELECT i.doc_a, i.doc_b
+              FROM inter i
+              JOIN sizes sa ON sa.doc_id = i.doc_a
+              JOIN sizes sb ON sb.doc_id = i.doc_b
+              WHERE round(inter / (sa.sz + sb.sz - inter), 4) >= 0.5
+            )
+            SELECT doc_id FROM corpus
+            WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
+        """,
         "dedup_embedding_pairs": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    round(list_cosine_similarity(a.embedding::DOUBLE[],

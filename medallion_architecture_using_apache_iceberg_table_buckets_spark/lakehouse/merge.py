@@ -57,6 +57,7 @@ def merge_into(
     source: DataFrame,
     on: str | list[str],
     delete_predicate: str | None = None,
+    broadcast_source: bool = True,
 ) -> Snapshot:
     """Upsert `source` into `table` on key columns `on`.
 
@@ -64,6 +65,12 @@ def merge_into(
     rows satisfying `delete_predicate` (evaluated against the raw
     source, e.g. ``"Op = 'D'"``) instead delete their matched target
     rows and are not inserted.
+
+    ``broadcast_source`` (default True) hints the deduped source key
+    set for the touched-file discovery and rewrite joins — the right
+    call for CDC micro-batches (small source vs huge target) and it
+    avoids a probing job. Pass False for bulk merges where the source
+    rivals the target; AQE then picks the strategy from runtime stats.
     """
     keys = [on] if isinstance(on, str) else list(on)
 
@@ -96,7 +103,7 @@ def merge_into(
         # Empty target: MERGE degenerates to INSERT *.
         return table.replace_files([], upsert_rows, operation="merge")
 
-    if _small(all_keys):
+    if broadcast_source:
         all_keys = F.broadcast(all_keys)
 
     # 1. touched-file discovery (column-pruned scan of key + file path)
@@ -121,19 +128,6 @@ def merge_into(
     kept = touched_df.join(all_keys, keys, "left_anti")
     rewritten = kept.unionByName(upsert_rows)
     return table.replace_files(touched_rel, rewritten, operation="merge")
-
-
-def _small(df: DataFrame) -> bool:
-    """Heuristic broadcast hint for the CDC-typical tiny key set.
-
-    AQE would also convert at runtime; the explicit hint saves the
-    initial shuffle planning when the source is a micro-batch.
-    """
-    try:
-        n = len(df.take(10_001))
-        return n <= 10_000
-    except Exception:
-        return False
 
 
 def _to_rel(uri: str, data_root: str) -> str:

@@ -349,6 +349,20 @@ def simhash_pairs(
     )
 
 
+def keep_list(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Keep/drop decision from near-dup pairs: drop the larger id of
+    every pair (the standard keep-first policy — transitive chains
+    collapse to the smallest id since every later member pairs with
+    an earlier one directly or drops via its own pair).
+
+    One anti-join of the corpus against the distinct drop set; at
+    scale the drop set is small relative to the corpus and AQE
+    broadcasts it.
+    """
+    drops = pairs.select(F.col("doc_b").alias(id_col)).distinct()
+    return df.join(drops, id_col, "left_anti")
+
+
 def embedding_cosine_pairs(
     df: DataFrame,
     vec_col: str = "embedding",

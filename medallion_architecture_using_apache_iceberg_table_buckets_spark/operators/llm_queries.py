@@ -53,6 +53,14 @@ def dedup_minhash_lsh_pairs(spark, sf_dir):
     return D.minhash_lsh_pairs(corpus, threshold=0.5)
 
 
+def dedup_keep_list(spark, sf_dir):
+    """End-to-end near-dup dedup decision: MinHash-LSH pairs -> keep
+    the smallest id of each duplicate group; returns survivors."""
+    corpus = _planted(spark, sf_dir, 30, lambda t: F.concat(t, F.lit(" extra token tail")))
+    pairs = D.minhash_lsh_pairs(corpus, threshold=0.5)
+    return D.keep_list(corpus, pairs).select("doc_id")
+
+
 def dedup_simhash_pairs(spark, sf_dir):
     corpus = _planted(spark, sf_dir, 30, lambda t: F.concat(t, F.lit(" zzzz")))
     return D.simhash_pairs(corpus, max_hamming=3)
