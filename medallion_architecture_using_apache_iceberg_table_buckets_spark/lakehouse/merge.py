@@ -106,8 +106,39 @@ def merge_into(
     if broadcast_source:
         all_keys = F.broadcast(all_keys)
 
+    # 0. partition pruning for the discovery scan: when a partition
+    # transform is a function of the merge keys alone (identity or
+    # bucket(N, key)), every matched target row must live in a
+    # partition derived from some source key — so discovery only
+    # scans those directories. Key-independent transforms (e.g.
+    # days(event_ts)) are never pruned: an update may move the row
+    # across those partitions.
+    from .transforms import parse_spec
+
+    candidate_files = list(snap.files)
+    prunable = [t for t in parse_spec(table.partition_by) if t.col in keys]
+    if prunable:
+        vals = (
+            all_keys.select(*[t.expr().alias(t.partition_col) for t in prunable])
+            .distinct()
+            .collect()
+        )
+        if not any(v is None for row in vals for v in row):
+            allowed = {
+                t.partition_col: {f"{t.partition_col}={row[t.partition_col]}" for row in vals}
+                for t in prunable
+            }
+            candidate_files = [
+                f
+                for f in candidate_files
+                if all(
+                    any(seg in f.split("/") for seg in segs)
+                    for segs in allowed.values()
+                )
+            ]
+
     # 1. touched-file discovery (column-pruned scan of key + file path)
-    target = table.read(spark)
+    target = table._read_files(spark, candidate_files, table.schema)
     touched = (
         target.withColumn("_file", F.input_file_name())
         .select("_file", *keys)

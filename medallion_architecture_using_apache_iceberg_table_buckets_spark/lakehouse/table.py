@@ -198,14 +198,20 @@ class Table:
         pure metadata ops, O(#files), no data copy on a real
         FileSystem either.
         """
+        from .transforms import parse_spec
+
         batch = uuid.uuid4().hex[:12]
         staging = self.root / f"_staging-{batch}"
+        transforms = parse_spec(list(partition_by))
+        for t in transforms:
+            if t.hidden:
+                df = df.withColumn(t.partition_col, t.expr())
         writer = df.write.mode("overwrite")
         codec = self.properties.get("write.parquet.compression-codec") if self.exists() else None
         if codec:
             writer = writer.option("compression", codec)
-        if partition_by:
-            writer = writer.partitionBy(*partition_by)
+        if transforms:
+            writer = writer.partitionBy(*[t.partition_col for t in transforms])
         writer.parquet(str(staging))
         added: list[str] = []
         for rel in _list_parquet(staging):
@@ -382,14 +388,24 @@ class Table:
     def _read_files(
         self, spark: SparkSession, files: list[str], schema: T.StructType
     ) -> DataFrame:
+        from .transforms import parse_spec
+
         if not files:
             return spark.createDataFrame([], schema)
         paths = [str(self.data_root / f) for f in files]
-        return (
+        df = (
             spark.read.schema(schema)
             .option("basePath", str(self.data_root))
             .parquet(*paths)
         )
+        # hidden transform partition columns (_p_*) come back from
+        # directory inference — strip them from the user-facing schema
+        hidden = [
+            t.partition_col
+            for t in parse_spec(self.partition_by if self.exists() else [])
+            if t.hidden and t.partition_col in df.columns
+        ]
+        return df.drop(*hidden) if hidden else df
 
     def read(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:
         """Full-table scan, optionally time-traveled to a snapshot.
