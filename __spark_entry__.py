@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_daily_summary": R.events_daily_summary,
         # as-of join + CDC merge machinery
         "asof_click_purchase": R.asof_click_purchase,
+        "sessionize_events": R.sessionize_events,
         "medallion_merge_state": R.medallion_merge_state,
         # LLM-data-pipeline surface: dedup
         "dedup_exact_groups": L.dedup_exact_groups,
@@ -453,6 +454,25 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rn = 1
         """,
         "medallion_merge_state": _LATEST_PER_USER,
+        "sessionize_events": """
+            WITH g AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                               - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+                          THEN 1 ELSE 0 END AS brk
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+              SELECT user_id, ts,
+                     CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                       AS session_id
+              FROM g
+            )
+            SELECT user_id, session_id, count(*) AS n_events,
+                   min(ts) AS session_start, max(ts) AS session_end
+            FROM s GROUP BY user_id, session_id
+        """,
         "dedup_exact_groups": """
             WITH corpus AS (
               SELECT doc_id, text FROM documents

@@ -566,6 +566,44 @@ def asof_click_purchase(spark, sf_dir):
     )
 
 
+def sessionize_events(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity splits): the batch
+    form of the classic stateful-streaming operator.
+
+    session_id = running count of gap-breaks per user (lag + windowed
+    sum — two window passes over one shuffle by user); output is one
+    row per session with span and event count. The streaming
+    equivalent (applyInPandasWithState) lives in
+    streaming/sessionize.py; this batch form is the oracle-checked
+    one.
+    """
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gaps = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w) > 1800,
+            1,
+        )
+        .otherwise(0)
+        .alias("brk"),
+    )
+    sess = gaps.select(
+        "user_id", "ts", "event_id", F.sum("brk").over(cum).alias("session_id")
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )
+
+
 # ----------------------------------------------------------------------
 # medallion CDC current-state via the real lakehouse MERGE machinery
 # ----------------------------------------------------------------------
