@@ -367,13 +367,29 @@ class Table:
             .select(*[f.name for f in schema.fields])
         )
 
-    def compact(self, spark: SparkSession, target_partitions: int | None = None) -> Snapshot:
+    def compact(
+        self,
+        spark: SparkSession,
+        target_partitions: int | None = None,
+        sort_by: list[str] | None = None,
+    ) -> Snapshot:
         """Rewrite the table to plain base files: resolves MOR deltas
         and merges small files (the maintenance pass every
         streaming-append/MOR table needs).
+
+        ``sort_by`` range-partitions and sorts the rewrite on the
+        given columns — data clustering, so Parquet row-group min/max
+        stats prune selective scans on those columns (the z-order-lite
+        maintenance Iceberg calls rewriteDataFiles with sort order).
         """
         df = self.read(spark)
-        if target_partitions:
+        if sort_by:
+            df = (
+                df.repartitionByRange(target_partitions, *sort_by)
+                if target_partitions
+                else df.repartitionByRange(*sort_by)
+            ).sortWithinPartitions(*sort_by)
+        elif target_partitions:
             df = df.repartition(target_partitions)
         base = self._current_version()
         cur = self._load(base)

@@ -131,13 +131,25 @@ def read_csv_batch(
     files: list[str],
     sep: str = "\t",
     schema: T.StructType | None = None,
+    mode: str = "PERMISSIVE",
+    corrupt_record_col: str | None = None,
 ) -> DataFrame:
     """Batch CSV scan (reference scripts/raw-bronze.py:119-130).
 
     With an explicit schema the inference pass over the input is
-    skipped — the right default at 100 TB.
+    skipped — the right default at 100 TB. ``mode`` is the standard
+    malformed-row policy (PERMISSIVE null-fills, DROPMALFORMED skips,
+    FAILFAST raises); with ``corrupt_record_col`` the raw text of bad
+    rows is captured into that column for a quarantine flow.
     """
-    reader = spark.read.option("sep", sep).option("header", "true")
+    reader = (
+        spark.read.option("sep", sep).option("header", "true").option("mode", mode)
+    )
+    if corrupt_record_col and schema is not None:
+        schema = T.StructType(
+            schema.fields + [T.StructField(corrupt_record_col, T.StringType())]
+        )
+        reader = reader.option("columnNameOfCorruptRecord", corrupt_record_col)
     if schema is not None:
         reader = reader.schema(schema)
     else:
