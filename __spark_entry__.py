@@ -73,6 +73,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # scalar functions / JSON / calendar
         "scalar_string_math": R.scalar_string_math,
         "json_extract_events": R.json_extract_events,
+        "array_map_funcs": R.array_map_funcs,
+        "date_arithmetic": R.date_arithmetic,
         "events_daily_summary": R.events_daily_summary,
         # as-of join + CDC merge machinery
         "asof_click_purchase": R.asof_click_purchase,
@@ -434,6 +436,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id,
                    CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
             FROM events
+        """,
+        "array_map_funcs": """
+            SELECT event_id,
+                   l[3] AS arr_third,
+                   list_contains(l, user_id) AS has_user,
+                   CAST(len(list_filter(l, x -> x % 2 = 0)) AS INTEGER) AS n_even,
+                   list_transform(l, x -> x * 2)[1] AS first_doubled,
+                   user_id AS map_uid,
+                   list_max(l) AS arr_max,
+                   list_sort(l, 'DESC') AS arr_sorted_desc
+            FROM (SELECT event_id, user_id,
+                         [event_id, user_id, event_id + user_id] AS l
+                  FROM events WHERE event_id < 2000)
+        """,
+        "date_arithmetic": """
+            SELECT o_orderkey,
+                   CAST(date_diff('day', d, DATE '2000-01-01') AS INTEGER) AS days_to_y2k,
+                   d + 30 AS due_date,
+                   CAST(d + INTERVAL 3 MONTH AS DATE) AS quarter_later,
+                   last_day(d) AS month_end,
+                   CAST(date_trunc('month', d) AS DATE) AS month_start,
+                   CAST(dayofyear(d) AS INTEGER) AS doy,
+                   CAST(weekofyear(d) AS INTEGER) AS woy
+            FROM (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d
+                  FROM orders WHERE o_orderkey < 3000)
         """,
         "events_daily_summary": f"""
             SELECT CAST(ts AS DATE) AS day, event_type,

@@ -110,8 +110,14 @@ class Table:
         )
 
     def snapshots(self) -> list[Snapshot]:
+        """All retained snapshots (expired manifests are skipped)."""
         cur = self._current_version()
-        return [self._load(v) for v in range(1, cur + 1)]
+        out = []
+        for v in range(1, cur + 1):
+            p = self.snap_root / f"v{v:08d}.json"
+            if p.exists():
+                out.append(Snapshot.from_json(p.read_text()))
+        return out
 
     def snapshot_by_id(self, snapshot_id: int) -> Snapshot:
         for s in self.snapshots():
@@ -535,3 +541,49 @@ class Table:
 
     def latest_snapshot_id(self) -> int:
         return self.current_snapshot().snapshot_id
+
+    # ------------------------------------------------------------------
+    # maintenance: snapshot expiry + orphan-file vacuum (the
+    # expire_snapshots / remove_orphan_files pair every production
+    # Iceberg table runs on a schedule)
+    # ------------------------------------------------------------------
+    def expire_snapshots(self, keep_last: int = 1) -> list[int]:
+        """Drop manifest history older than the last `keep_last`
+        snapshots (time travel to them stops working); data files
+        still referenced by retained snapshots are kept. Returns the
+        expired snapshot ids."""
+        if keep_last < 1:
+            raise ValueError("must keep at least the current snapshot")
+        cur = self._current_version()
+        cutoff = cur - keep_last + 1
+        current_files = set(self.current_snapshot().files)
+        to_expire = [s for s in self.snapshots() if s.version < cutoff]
+        for s in to_expire:
+            if s.operation == "merge-delta" and set(s.added_files) & current_files:
+                raise ValueError(
+                    "cannot expire a merge-delta snapshot whose delta files "
+                    "are still live: MOR resolution needs their sequence — "
+                    "run compact() first"
+                )
+        expired = []
+        for s in to_expire:
+            (self.snap_root / f"v{s.version:08d}.json").unlink(missing_ok=True)
+            expired.append(s.snapshot_id)
+        return expired
+
+    def vacuum(self, dry_run: bool = False) -> list[str]:
+        """Delete data files referenced by no remaining snapshot
+        (files replaced by COW merges / compactions, or left by a
+        writer that died before commit). Returns the removed paths."""
+        referenced: set[str] = set()
+        for s in self.snapshots():
+            referenced.update(s.files)
+        orphans = [f for f in _list_parquet(self.data_root) if f not in referenced]
+        if not dry_run:
+            for f in orphans:
+                (self.data_root / f).unlink(missing_ok=True)
+            # drop now-empty partition dirs
+            for dirpath, dirs, names in os.walk(self.data_root, topdown=False):
+                if not dirs and not names and Path(dirpath) != self.data_root:
+                    os.rmdir(dirpath)
+        return sorted(orphans)

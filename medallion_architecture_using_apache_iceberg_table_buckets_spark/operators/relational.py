@@ -566,6 +566,46 @@ def asof_click_purchase(spark, sf_dir):
     )
 
 
+def array_map_funcs(spark, sf_dir):
+    """Complex-type scalar surface: array construct/index/contains/
+    filter/transform and map construct/lookup — all higher-order
+    built-ins, no UDFs."""
+    e = load(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    arr = F.array(F.col("event_id"), F.col("user_id"), F.col("event_id") + F.col("user_id"))
+    return e.select(
+        "event_id",
+        F.element_at(arr, 3).alias("arr_third"),
+        F.array_contains(arr, F.col("user_id")).alias("has_user"),
+        F.size(F.filter(arr, lambda x: x % 2 == 0)).cast("int").alias("n_even"),
+        F.element_at(
+            F.transform(arr, lambda x: x * 2), 1
+        ).alias("first_doubled"),
+        F.element_at(
+            F.create_map(F.lit("uid"), F.col("user_id"), F.lit("eid"), F.col("event_id")),
+            "uid",
+        ).alias("map_uid"),
+        F.array_max(arr).alias("arr_max"),
+        F.sort_array(arr, asc=False).alias("arr_sorted_desc"),
+    )
+
+
+def date_arithmetic(spark, sf_dir):
+    """Date/interval scalar surface: diffs, offsets, truncation,
+    extraction, last-day — cross-engine-deterministic calendar math."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 3000)
+    d = F.to_date("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.datediff(F.lit("2000-01-01").cast("date"), d).cast("int").alias("days_to_y2k"),
+        F.date_add(d, 30).alias("due_date"),
+        F.add_months(d, 3).alias("quarter_later"),
+        F.last_day(d).alias("month_end"),
+        F.trunc(d, "month").alias("month_start"),
+        F.dayofyear(d).cast("int").alias("doy"),
+        F.weekofyear(d).cast("int").alias("woy"),
+    )
+
+
 def sessionize_events(spark, sf_dir):
     """Gap-based sessionization (30-min inactivity splits): the batch
     form of the classic stateful-streaming operator.
