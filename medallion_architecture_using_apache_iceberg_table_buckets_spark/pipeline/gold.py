@@ -1,0 +1,143 @@
+"""Silver -> Gold: aggregated marts with incremental refresh.
+
+Completes the medallion (BASELINE.json: bronze/silver/gold). A gold
+mart is a grouped aggregation over silver, stored as its own
+lakehouse table. Two refresh strategies:
+
+- ``full``: recompute the whole mart (correct for any aggregate).
+- ``partition``: recompute only the mart groups whose silver
+  partitions changed since the last gold build — the scale play when
+  silver is partitioned on (a prefix of) the mart's group keys:
+  a CDC batch that touched 3 states re-aggregates 3 states, not all.
+  Implemented as: diff silver's file sets between the last-built and
+  current snapshots -> affected partition values from the changed
+  file paths (manifest-only, no data read) -> recompute those groups
+  -> MERGE into gold on the group keys.
+
+State (last built silver snapshot) lives in the gold table's own
+properties, so the mart is self-describing.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..lakehouse import Catalog
+from ..lakehouse.transforms import parse_spec
+
+
+def _affected_partition_values(
+    silver, last_snapshot_id: int | None, part_col: str
+) -> set[str] | None:
+    """Partition values touched since `last_snapshot_id`, from manifest
+    file paths alone. None = unknown (no identity partition info) ->
+    caller falls back to full refresh."""
+    specs = {t.partition_col: t for t in parse_spec(silver.partition_by)}
+    if part_col not in specs:
+        return None
+    cur = silver.current_snapshot()
+    if last_snapshot_id is None:
+        return None
+    try:
+        prev = silver.snapshot_by_id(last_snapshot_id)
+    except KeyError:
+        return None
+    changed = set(cur.files).symmetric_difference(prev.files)
+    vals = set()
+    prefix = f"{part_col}="
+    for f in changed:
+        for seg in f.split("/"):
+            if seg.startswith(prefix):
+                vals.add(seg[len(prefix):])
+    return vals
+
+
+def build_gold_mart(
+    spark: SparkSession,
+    catalog: Catalog,
+    namespace: str,
+    silver_table: str,
+    gold_table: str,
+    group_by: Sequence[str],
+    aggs: dict[str, tuple[str, str]],
+    strategy: str = "partition",
+) -> dict:
+    """Build/refresh a gold mart: group_by silver on `group_by` with
+    `aggs` (out_col -> (in_col, fn), fn in sum/count/min/max/avg).
+
+    Returns a status dict with the refresh mode actually used.
+    """
+    silver = catalog.table(namespace, silver_table)
+    silver_snap = silver.latest_snapshot_id()
+
+    agg_exprs = []
+    for out, (col, fn) in aggs.items():
+        if fn == "count":
+            agg_exprs.append(F.count("*" if col == "*" else col).alias(out))
+        elif fn in ("sum", "min", "max", "avg"):
+            agg_exprs.append(
+                F.round(getattr(F, fn)(col).cast("double"), 4).alias(out)
+            )
+        else:
+            raise ValueError(f"unsupported aggregate: {fn}")
+
+    def aggregate(df: DataFrame) -> DataFrame:
+        return df.groupBy(*group_by).agg(*agg_exprs)
+
+    exists = catalog.table_exists(namespace, gold_table)
+    last_built = None
+    if exists:
+        props = catalog.table(namespace, gold_table).properties
+        if "gold.last-silver-snapshot" in props:
+            last_built = int(props["gold.last-silver-snapshot"])
+        if last_built == silver_snap:
+            return {"status": "up_to_date", "silver_snapshot": silver_snap}
+
+    affected = (
+        _affected_partition_values(silver, last_built, group_by[0])
+        if strategy == "partition" and exists
+        else None
+    )
+
+    if affected is not None and exists:
+        gold = catalog.table(namespace, gold_table)
+        if affected:
+            # recompute ONLY the affected silver partitions (the
+            # expensive side); replace those groups in the mart.
+            # Vanished groups disappear too — a merge-only upsert
+            # would leave stale rows for partitions deleted upstream.
+            changed = aggregate(
+                silver.read(spark).filter(F.col(group_by[0]).isin(*affected))
+            )
+            remaining = gold.read(spark).filter(
+                ~F.col(group_by[0]).isin(*affected)
+            )
+            gold.overwrite(remaining.unionByName(changed))
+        mode = f"incremental({len(affected)} partitions)"
+    else:
+        full = aggregate(silver.read(spark))
+        if not exists:
+            gold = catalog.create_table(
+                namespace, gold_table, full.schema, partition_by=()
+            )
+        else:
+            gold = catalog.table(namespace, gold_table)
+        gold.overwrite(full)
+        mode = "full"
+
+    # record the silver snapshot this mart reflects
+    base = gold._current_version()
+    snap = gold._load(base)
+    gold._next_snapshot(
+        "set-properties",
+        snap.files,
+        [],
+        [],
+        gold.schema,
+        base,
+        new_properties={"gold.last-silver-snapshot": str(silver_snap)},
+    )
+    return {"status": "refreshed", "mode": mode, "silver_snapshot": silver_snap}
