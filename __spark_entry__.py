@@ -93,6 +93,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": L.ann_lsh_topk,  # approximate: rows-only check
         "ann_ivf_topk": L.ann_ivf_topk,  # approximate: rows-only check
         "skew_salted_agg": L.skew_salted_agg,
+        "medallion_gold_mart": L.medallion_gold_mart,
+        "string_distance_pairs": L.string_distance_pairs,
         # text analysis
         "text_langid": L.text_langid,
         "text_quality": L.text_quality,
@@ -630,6 +632,22 @@ def oracle_sql() -> dict[str, str]:
                    round(max(l_extendedprice), 2) AS max_price,
                    round(min(l_quantity), 2) AS min_qty
             FROM lineitem GROUP BY l_returnflag
+        """,
+        "medallion_gold_mart": """
+            SELECT event_type,
+                   count(*) AS n_events,
+                   round(CAST(sum(CAST(CASE WHEN event_id = 0 THEN 999.99
+                                            ELSE value END
+                                       AS DECIMAL(18,4))) AS DOUBLE), 4)
+                     AS total_value
+            FROM events GROUP BY event_type
+        """,
+        "string_distance_pairs": """
+            SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+                   CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS edit_dist
+            FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+            WHERE a.p_partkey <= 200 AND b.p_partkey <= 200
+              AND levenshtein(a.p_name, b.p_name) <= 3
         """,
         "text_langid": f"""
             WITH scored AS (

@@ -84,9 +84,17 @@ def main() -> None:
         for k, v in overrides.items():
             spark.conf.set(k, v)
         try:
-            t0 = time.perf_counter()
-            force(fn(spark, sf_dir))
-            times[name] = round(time.perf_counter() - t0, 3)
+            # min of two runs: steady-state time, robust to background
+            # load spikes on a shared box (single runs varied +/-20%).
+            # clearCache between runs so operators that persist
+            # intermediates don't get a free warm-cache second run.
+            runs = []
+            for _ in range(2):
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                force(fn(spark, sf_dir))
+                runs.append(time.perf_counter() - t0)
+            times[name] = round(min(runs), 3)
         finally:
             for k, v in saved.items():
                 spark.conf.set(k, v)

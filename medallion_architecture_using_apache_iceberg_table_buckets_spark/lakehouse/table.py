@@ -579,6 +579,9 @@ class Table:
         for s in self.snapshots():
             referenced.update(s.files)
         orphans = [f for f in _list_parquet(self.data_root) if f not in referenced]
+        stale_staging = sorted(
+            p.name for p in self.root.glob("_staging-*") if p.is_dir()
+        )
         if not dry_run:
             for f in orphans:
                 (self.data_root / f).unlink(missing_ok=True)
@@ -586,4 +589,7 @@ class Table:
             for dirpath, dirs, names in os.walk(self.data_root, topdown=False):
                 if not dirs and not names and Path(dirpath) != self.data_root:
                     os.rmdir(dirpath)
-        return sorted(orphans)
+            # staging dirs left by writers that died before commit
+            for name in stale_staging:
+                shutil.rmtree(self.root / name, ignore_errors=True)
+        return sorted(orphans) + stale_staging

@@ -89,6 +89,59 @@ def ann_ivf_topk(spark, sf_dir):
     return S.cosine_topk_ivf(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
+def medallion_gold_mart(spark, sf_dir):
+    """Full medallion through the real machinery: events -> silver
+    (partitioned lakehouse table, one CDC merge) -> gold mart with
+    partition-incremental refresh. Returns the mart; the oracle
+    recomputes the same aggregation over the equivalently-updated
+    events in plain SQL."""
+    import tempfile
+
+    from ..lakehouse import Catalog, merge_into
+    from ..pipeline.gold import build_gold_mart
+
+    e = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    cat = Catalog(tempfile.mkdtemp(prefix="mats_gold_"))
+    silver = cat.create_table(
+        "demo", "silver_events", e.schema, partition_by=["event_type"]
+    )
+    silver.append(e)
+    build_gold_mart(
+        spark, cat, "demo", "silver_events", "gold_by_type",
+        group_by=["event_type"],
+        aggs={"n_events": ("*", "count"), "total_value": ("value", "sum")},
+    )
+    # CDC update: event 0's value becomes 999.99 -> incremental refresh
+    upd = e.filter(F.col("event_id") == 0).withColumn("value", F.lit(999.99))
+    merge_into(spark, silver, upd, on="event_id")
+    build_gold_mart(
+        spark, cat, "demo", "silver_events", "gold_by_type",
+        group_by=["event_type"],
+        aggs={"n_events": ("*", "count"), "total_value": ("value", "sum")},
+    )
+    return cat.table("demo", "gold_by_type").read(spark)
+
+
+def string_distance_pairs(spark, sf_dir):
+    """Edit-distance near-match pairs (levenshtein <= 3) over a keyed
+    sample of part names — the fuzzy-matching primitive for entity
+    resolution."""
+    p = load(spark, sf_dir, "part").filter(F.col("p_partkey") <= 200).select(
+        "p_partkey", "p_name"
+    )
+    a, b = p.alias("a"), p.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(b, F.col("a.p_partkey") < F.col("b.p_partkey"))
+        .select(
+            F.col("a.p_partkey").alias("key_a"),
+            F.col("b.p_partkey").alias("key_b"),
+            dist.cast("int").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 3)
+    )
+
+
 def skew_salted_agg(spark, sf_dir):
     """Skew-safe two-phase aggregation; result must equal the plain
     GROUP BY (which is exactly what the oracle asserts)."""

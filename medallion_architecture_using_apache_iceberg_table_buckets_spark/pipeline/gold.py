@@ -77,7 +77,24 @@ def build_gold_mart(
     for out, (col, fn) in aggs.items():
         if fn == "count":
             agg_exprs.append(F.count("*" if col == "*" else col).alias(out))
-        elif fn in ("sum", "min", "max", "avg"):
+        elif fn == "sum":
+            # exact decimal summation: the mart value must not depend
+            # on partial-aggregation order (same rule as the oracle-
+            # checked queries)
+            agg_exprs.append(
+                F.round(
+                    F.sum(F.col(col).cast("decimal(18,4)")).cast("double"), 4
+                ).alias(out)
+            )
+        elif fn == "avg":
+            agg_exprs.append(
+                F.round(
+                    F.sum(F.col(col).cast("decimal(18,4)")).cast("double")
+                    / F.count(col),
+                    4,
+                ).alias(out)
+            )
+        elif fn in ("min", "max"):
             agg_exprs.append(
                 F.round(getattr(F, fn)(col).cast("double"), 4).alias(out)
             )

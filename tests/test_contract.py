@@ -18,7 +18,7 @@ def test_every_query_has_oracle_or_is_known_approximate():
 
 def test_query_count_floor():
     # coverage must not silently shrink between rounds
-    assert len(entry.queries()) >= 52
+    assert len(entry.queries()) >= 54
 
 
 def test_sorted_compaction_clusters(spark, tmp_path):
