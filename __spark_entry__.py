@@ -26,9 +26,22 @@ from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators i
 
 _MONEY = "round(CAST(sum(CAST({x} AS DECIMAL(18,4))) AS DOUBLE), 2)"
 
+# Decimal-first revenue: cast each 2-decimal factor to a narrow decimal
+# BEFORE multiplying so the product is exact in both engines (twin of
+# relational._revenue). Casting the double *product* rounds per-row,
+# where Spark (HALF_UP) and DuckDB (nearest-even) can disagree.
+_REV = ("CAST(l_extendedprice AS DECIMAL(12,2))"
+        " * (CAST(1 AS DECIMAL(2,0)) - CAST(l_discount AS DECIMAL(4,2)))")
+_CHARGE = _REV + " * (CAST(1 AS DECIMAL(2,0)) + CAST(l_tax AS DECIMAL(4,2)))"
+
 
 def _money(x: str) -> str:
     return _MONEY.format(x=x)
+
+
+def _money_exact(expr: str) -> str:
+    """Sum of an already-exact decimal expression -> double, 2dp."""
+    return f"round(CAST(sum({expr}) AS DOUBLE), 2)"
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -232,8 +245,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, l_linestatus,
                    {_money('l_quantity')} AS sum_qty,
                    {_money('l_extendedprice')} AS sum_base_price,
-                   {_money('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
-                   {_money('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+                   {_money_exact(_REV)} AS sum_disc_price,
+                   {_money_exact(_CHARGE)} AS sum_charge,
                    round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_qty,
                    round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_price,
                    round(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_disc,
@@ -244,7 +257,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q3_shipping_priority": f"""
             SELECT l_orderkey, o_orderdate, o_orderpriority,
-                   {_money('l_extendedprice * (1 - l_discount)')} AS revenue
+                   {_money_exact(_REV)} AS revenue
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
@@ -257,7 +270,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q5_region_revenue": f"""
             SELECT n_name,
-                   {_money('l_extendedprice * (1 - l_discount)')} AS revenue
+                   {_money_exact(_REV)} AS revenue
             FROM lineitem
             JOIN orders   ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
@@ -269,7 +282,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q7_volume_shipping": f"""
             SELECT supp_nation, cust_nation, l_year,
-                   {_money('l_extendedprice * (1 - l_discount)')} AS revenue
+                   {_money_exact(_REV)} AS revenue
             FROM (
               SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                      CAST(year(l_shipdate) AS INTEGER) AS l_year,
@@ -286,7 +299,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q10_returned_items": f"""
             SELECT c_custkey, c_name, n_name,
-                   {_money('l_extendedprice * (1 - l_discount)')} AS revenue
+                   {_money_exact(_REV)} AS revenue
             FROM lineitem
             JOIN orders   ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
@@ -350,7 +363,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "agg_collect_sorted": """
             SELECT o_custkey,
-                   list_sort(list(o_orderpriority)) AS priorities,
+                   array_to_string(list_sort(list(o_orderpriority)), ',') AS priorities,
                    count(*) AS n_orders
             FROM orders WHERE o_custkey <= 50 GROUP BY o_custkey
         """,
@@ -447,7 +460,7 @@ def oracle_sql() -> dict[str, str]:
                    list_transform(l, x -> x * 2)[1] AS first_doubled,
                    user_id AS map_uid,
                    list_max(l) AS arr_max,
-                   list_sort(l, 'DESC') AS arr_sorted_desc
+                   array_to_string(list_sort(l, 'DESC'), ',') AS arr_sorted_desc
             FROM (SELECT event_id, user_id,
                          [event_id, user_id, event_id + user_id] AS l
                   FROM events WHERE event_id < 2000)

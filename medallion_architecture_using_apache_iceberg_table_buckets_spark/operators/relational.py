@@ -46,6 +46,21 @@ def _money(sum_col, scale: int = 2):
     return F.round(sum_col.cast("double"), scale)
 
 
+def _revenue():
+    """extendedprice * (1 - discount), computed decimal-first.
+
+    Inputs are 2-decimal money values; casting each factor to a narrow
+    decimal BEFORE multiplying keeps the product exact (DECIMAL(18,4))
+    in both Spark and DuckDB. Casting the double *product* instead
+    rounds per-row, where the engines can disagree on near-ties
+    (Spark HALF_UP on shortest-repr vs DuckDB scaled-double).
+    Oracle twin: ``__spark_entry__._REV``.
+    """
+    ext = F.col("l_extendedprice").cast("decimal(12,2)")
+    one = F.lit(1).cast("decimal(2,0)")
+    return ext * (one - F.col("l_discount").cast("decimal(4,2)"))
+
+
 # ----------------------------------------------------------------------
 # §2.1/§2.2 — scans, projections, filters
 # ----------------------------------------------------------------------
@@ -134,12 +149,20 @@ def window_running_totals(spark, sf_dir):
 
 def q1_pricing_summary(spark, sf_dir):
     """TPC-H Q1 shape: wide scan, partial+final hash agg, tiny result.
-    Exact decimal sums keep the value independent of partial-agg order."""
+
+    Determinism: money inputs are 2-decimal values, so each factor is
+    cast to a narrow decimal BEFORE multiplying — the products
+    (DECIMAL(18,4) / DECIMAL(24,6)) stay exact in both Spark and
+    DuckDB, and the sums are order-insensitive. Casting the *product*
+    of doubles instead puts a double->decimal rounding on every row,
+    where Spark (HALF_UP on shortest-repr) and DuckDB (scaled-double
+    nearest-even) can disagree by 0.0001 per row.
+    """
     l = load(spark, sf_dir, "lineitem")
-    disc_price = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
-    charge = _dec(
-        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
-    )
+    one = F.lit(1).cast("decimal(2,0)")
+    one_plus_tax = one + F.col("l_tax").cast("decimal(4,2)")
+    disc_price = _revenue()
+    charge = _revenue() * one_plus_tax
     return (
         l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -167,7 +190,7 @@ def q3_shipping_priority(spark, sf_dir):
     l = load(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
     )
-    revenue = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    revenue = _revenue()
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
@@ -187,7 +210,7 @@ def q5_region_revenue(spark, sf_dir):
     s = load(spark, sf_dir, "supplier")
     o = load(spark, sf_dir, "orders")
     l = load(spark, sf_dir, "lineitem")
-    revenue = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    revenue = _revenue()
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
@@ -352,7 +375,7 @@ def q7_volume_shipping(spark, sf_dir):
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders")
     l = load(spark, sf_dir, "lineitem")
-    revenue = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    revenue = _revenue()
     pair = (
         (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
     ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
@@ -380,7 +403,7 @@ def q10_returned_items(spark, sf_dir):
     )
     l = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     n = load(spark, sf_dir, "nation")
-    revenue = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    revenue = _revenue()
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
@@ -435,10 +458,18 @@ def agg_percentiles(spark, sf_dir):
 
 
 def agg_collect_sorted(spark, sf_dir):
-    """Array aggregation: deterministic (sorted) list per group."""
+    """Array aggregation: deterministic (sorted) list per group.
+
+    The contract surface serializes the array with array_join — the
+    driver's canonicalizer hashes cells and can't hash Python lists
+    (CORRECTNESS_r01: "unhashable type: 'list'"). The array-typed
+    form is covered by pytest (tests/test_relational_extra.py).
+    """
     o = load(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 50)
     return o.groupBy("o_custkey").agg(
-        F.sort_array(F.collect_list("o_orderpriority")).alias("priorities"),
+        F.array_join(
+            F.sort_array(F.collect_list("o_orderpriority")), ","
+        ).alias("priorities"),
         F.count("*").alias("n_orders"),
     )
 
@@ -585,7 +616,11 @@ def array_map_funcs(spark, sf_dir):
             "uid",
         ).alias("map_uid"),
         F.array_max(arr).alias("arr_max"),
-        F.sort_array(arr, asc=False).alias("arr_sorted_desc"),
+        # serialized, not array-typed: the driver's canonicalizer
+        # can't hash list cells (see agg_collect_sorted)
+        F.array_join(
+            F.sort_array(arr, asc=False).cast("array<string>"), ","
+        ).alias("arr_sorted_desc"),
     )
 
 

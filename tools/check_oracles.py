@@ -34,8 +34,8 @@ def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        # driver-style stable float repr; queries already round
-        return f"{v:.6g}"
+        # full precision: the driver hashes exact values, so must we
+        return f"{v:.17g}"
     if hasattr(v, "isoformat"):
         return v.isoformat()
     if isinstance(v, bytes):
