@@ -103,8 +103,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_pairs": L.dedup_embedding_pairs,
         # similarity search
         "ann_bruteforce_topk": L.ann_bruteforce_topk,
-        "ann_lsh_topk": L.ann_lsh_topk,  # approximate: rows-only check
-        "ann_ivf_topk": L.ann_ivf_topk,  # approximate: rows-only check
+        "ann_lsh_topk": L.ann_lsh_topk,
+        "ann_ivf_topk": L.ann_ivf_topk,
         "skew_salted_agg": L.skew_salted_agg,
         "medallion_gold_mart": L.medallion_gold_mart,
         "string_distance_pairs": L.string_distance_pairs,
@@ -153,6 +153,123 @@ sids AS (
 ),
 sizes AS (SELECT doc_id, count(*) AS sz FROM sids GROUP BY doc_id)
 """
+
+def _lsh_bucket_sql(dim: int = 64, n_planes: int = 8) -> str:
+    """Hyperplane-LSH bucket id, replicating
+    similarity.hyperplane_buckets bit-for-bit: same +/-1 signs
+    (closed form, no RNG) and the same left-to-right double summation
+    order, so the sign bits are identical in both engines."""
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators.similarity import (
+        _plane_sign,
+    )
+
+    parts = []
+    for j in range(n_planes):
+        terms = "".join(
+            ("+" if _plane_sign(j, d) > 0 else "-") + f"e[{d + 1}]"
+            for d in range(dim)
+        )
+        parts.append(f"(CASE WHEN (0.0{terms}) >= 0 THEN {1 << j} ELSE 0 END)")
+    return " + ".join(parts)
+
+
+def _ann_lsh_oracle(k: int = 5, n_planes: int = 8) -> str:
+    """Exact oracle for the deterministic LSH pipeline: same buckets,
+    same Hamming-1 multiprobe, same (rounded cosine, id) ranking."""
+    probes = ", ".join(["bucket"] + [f"xor(bucket, {1 << j})" for j in range(n_planes)])
+    return f"""
+    WITH base AS (
+      SELECT vec_id, embedding, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    b AS (
+      SELECT vec_id, embedding, CAST({_lsh_bucket_sql()} AS INTEGER) AS bucket
+      FROM base
+    ),
+    qb AS (
+      SELECT vec_id AS query_id, embedding AS qv, unnest([{probes}]) AS bucket
+      FROM b WHERE vec_id < 10
+    ),
+    scored AS (
+      SELECT qb.query_id, b.vec_id AS neighbor_id,
+             round(list_cosine_similarity(qb.qv::DOUBLE[],
+                                          b.embedding::DOUBLE[]), 4) AS cos_sim
+      FROM b JOIN qb ON b.bucket = qb.bucket AND b.vec_id != qb.query_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rnk FROM (
+      SELECT query_id, neighbor_id, cos_sim,
+             CAST(row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY cos_sim DESC, neighbor_id ASC) AS INTEGER) AS rnk
+      FROM scored)
+    WHERE rnk <= {k}
+    """
+
+
+def _ann_ivf_oracle(k: int = 5, n_centroids: int = 16, nprobe: int = 4) -> str:
+    """Exact oracle for the deterministic IVF pipeline: rank-seeded
+    centroids, one Lloyd step with round(avg, 6)-quantized means
+    (mirrors similarity.ivf_centroids), nprobe inverted lists."""
+    assign = """
+      SELECT vec_id, embedding, centroid_id FROM (
+        SELECT r.vec_id, r.embedding, c.centroid_id,
+               row_number() OVER (PARTITION BY r.vec_id
+                 ORDER BY round(list_cosine_similarity(
+                            CAST(r.embedding AS DOUBLE[]), c.cv), 6) DESC,
+                          c.centroid_id ASC) AS rn
+        FROM embeddings r CROSS JOIN {cents} c)
+      WHERE rn = 1
+    """
+    return f"""
+    WITH ranked AS (
+      SELECT vec_id, embedding, row_number() OVER (ORDER BY vec_id) AS rk
+      FROM embeddings
+    ),
+    params AS (SELECT greatest(1, count(*) // {n_centroids}) AS step FROM embeddings),
+    seeds AS (
+      SELECT CAST((rk - 1) // step AS INTEGER) AS centroid_id,
+             CAST(embedding AS DOUBLE[]) AS cv
+      FROM ranked, params
+      WHERE (rk - 1) % step = 0 AND rk <= step * {n_centroids}
+    ),
+    assign0 AS ({assign.format(cents='seeds')}),
+    cells AS (
+      SELECT a.centroid_id, CAST(t.range AS INTEGER) AS d,
+             CAST(a.embedding AS DOUBLE[])[t.range] AS x
+      FROM assign0 a CROSS JOIN range(1, 65) t
+    ),
+    cents AS (
+      SELECT centroid_id, list(m ORDER BY d) AS cv FROM (
+        SELECT centroid_id, d, round(avg(x), 6) AS m
+        FROM cells GROUP BY centroid_id, d)
+      GROUP BY centroid_id
+    ),
+    lists AS ({assign.format(cents='cents')}),
+    probes AS (
+      SELECT query_id, qv, centroid_id FROM (
+        SELECT q.vec_id AS query_id, q.embedding AS qv, c.centroid_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY round(list_cosine_similarity(
+                            CAST(q.embedding AS DOUBLE[]), c.cv), 6) DESC,
+                          c.centroid_id ASC) AS rn
+        FROM embeddings q CROSS JOIN cents c WHERE q.vec_id < 10)
+      WHERE rn <= {nprobe}
+    ),
+    scored AS (
+      SELECT p.query_id, l.vec_id AS neighbor_id,
+             round(list_cosine_similarity(p.qv::DOUBLE[],
+                                          l.embedding::DOUBLE[]), 4) AS cos_sim
+      FROM lists l
+      JOIN probes p ON l.centroid_id = p.centroid_id AND l.vec_id != p.query_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rnk FROM (
+      SELECT query_id, neighbor_id, cos_sim,
+             CAST(row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY cos_sim DESC, neighbor_id ASC) AS INTEGER) AS rnk
+      FROM scored)
+    WHERE rnk <= {k}
+    """
+
 
 _MINHASH_SEEDS = ",".join(
     f"({j},{a},{b})"
@@ -639,6 +756,8 @@ def oracle_sql() -> dict[str, str]:
               WHERE q.vec_id < 10
             ) WHERE rnk <= 5
         """,
+        "ann_lsh_topk": _ann_lsh_oracle(),
+        "ann_ivf_topk": _ann_ivf_oracle(),
         "skew_salted_agg": """
             SELECT l_returnflag,
                    count(*) AS n_items,

@@ -130,6 +130,11 @@ def ivf_centroids(
     assigned vectors to (cluster, dim, value), average per cell, and
     rebuild the array — groupBy shuffles only (cluster, dim) cells,
     never whole-vector lists to one task.
+
+    Each mean is rounded to 6 decimals: double summation order is
+    partition-dependent, and the rounding quantizes that noise away so
+    the centroids (and everything downstream) are reproducible — the
+    DuckDB oracle mirrors round(avg(x), 6).
     """
     w = Window.orderBy(id_col)
     ranked = df.select(
@@ -152,7 +157,9 @@ def ivf_centroids(
         cells = assigned.select(
             "centroid_id", F.posexplode(to_double_array("embedding")).alias("d", "x")
         )
-        means = cells.groupBy("centroid_id", "d").agg(F.avg("x").alias("m"))
+        means = cells.groupBy("centroid_id", "d").agg(
+            F.round(F.avg("x"), 6).alias("m")
+        )
         cents = (
             means.groupBy("centroid_id")
             .agg(
@@ -160,7 +167,7 @@ def ivf_centroids(
                     F.array_sort(
                         F.collect_list(F.struct(F.col("d"), F.col("m")))
                     ),
-                    lambda s: s.getField("m").cast("float"),
+                    lambda s: s.getField("m"),
                 ).alias("cv")
             )
         )
@@ -238,14 +245,17 @@ def cosine_topk_lsh(
         "bucket",
     )
     if multiprobe >= 1:
-        # probe set: own bucket + every bucket one bit-flip away
-        # (multiprobe>1 would extend recursively; 1 is the sweet spot)
+        # probe set: every bucket within Hamming distance `multiprobe`
+        # of the query's own bucket — the standard recall/cost dial.
+        masks = [0] + [1 << j for j in range(n_planes)]
+        if multiprobe >= 2:
+            masks += [
+                (1 << i) | (1 << j)
+                for i in range(n_planes)
+                for j in range(i + 1, n_planes)
+            ]
         probes = F.array(
-            F.col("bucket"),
-            *[
-                F.col("bucket").bitwiseXOR(F.lit(1 << j))
-                for j in range(n_planes)
-            ],
+            *[F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks]
         )
         qb = qb.withColumn("bucket", F.explode(probes))
     scored = (

@@ -7,13 +7,10 @@ from pyspark.sql import types as T
 
 import __spark_entry__ as entry
 
-ROWS_ONLY = {"ann_lsh_topk", "ann_ivf_topk"}  # approximate by design
-
-
-def test_every_query_has_oracle_or_is_known_approximate():
+def test_every_query_has_oracle():
     qs, oracles = set(entry.queries()), set(entry.oracle_sql())
     assert oracles <= qs, f"oracles without queries: {oracles - qs}"
-    assert qs - oracles == ROWS_ONLY
+    assert qs == oracles, f"queries without oracles: {qs - oracles}"
 
 
 def test_query_count_floor():

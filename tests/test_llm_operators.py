@@ -103,11 +103,19 @@ def test_lsh_recall_against_bruteforce(spark, sf_dir):
     exact = {(r["query_id"], r["neighbor_id"]) for r in S.cosine_topk(emb, queries, k=3).collect()}
     approx = {(r["query_id"], r["neighbor_id"]) for r in S.cosine_topk_lsh(emb, queries, k=3).collect()}
     recall = len(exact & approx) / len(exact)
-    # near-random vectors are a worst case for hyperplane LSH; the
-    # check is that buckets are sound (plumbing) and recall is nonzero
-    assert recall > 0.1, f"recall={recall}"
-    # every approx neighbor must share the query's bucket -> subset of corpus
-    assert len(approx - exact) <= len(approx)
+    # near-random 64-dim vectors are the worst case for hyperplane
+    # LSH (cosines concentrate near 0); exactness of the bucketing is
+    # separately proven by the ann_lsh_topk DuckDB oracle — this floor
+    # guards gross bucketing breakage at the measured-recall level.
+    assert recall > 0.2, f"recall={recall}"
+    # the multiprobe dial must buy recall, not lose it
+    wide = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.cosine_topk_lsh(emb, queries, k=3, multiprobe=2).collect()
+    }
+    recall2 = len(exact & wide) / len(exact)
+    assert recall2 >= recall, f"multiprobe=2 recall {recall2} < {recall}"
+    assert recall2 > 0.3, f"recall2={recall2}"
 
 
 def test_ivf_recall_and_structure(spark, sf_dir):
@@ -119,7 +127,7 @@ def test_ivf_recall_and_structure(spark, sf_dir):
     approx = S.cosine_topk_ivf(emb, queries, k=3, n_centroids=8, nprobe=4).collect()
     got = {(r["query_id"], r["neighbor_id"]) for r in approx}
     recall = len(exact & got) / len(exact)
-    assert recall > 0.3, f"recall={recall}"
+    assert recall > 0.6, f"recall={recall}"
     # every query returns at most k, ranks are 1..k without gaps
     by_q = {}
     for r in approx:
