@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": L.dedup_simhash_pairs,
         "dedup_keep_list": L.dedup_keep_list,
         "dedup_embedding_pairs": L.dedup_embedding_pairs,
+        "dedup_embedding_lsh_pairs": L.dedup_embedding_lsh_pairs,
         # similarity search
         "ann_bruteforce_topk": L.ann_bruteforce_topk,
         "ann_lsh_topk": L.ann_lsh_topk,
@@ -202,6 +203,31 @@ def _ann_lsh_oracle(k: int = 5, n_planes: int = 8) -> str:
                ORDER BY cos_sim DESC, neighbor_id ASC) AS INTEGER) AS rnk
       FROM scored)
     WHERE rnk <= {k}
+    """
+
+
+def _embedding_lsh_pairs_oracle(threshold: float = 0.4, n_planes: int = 8) -> str:
+    """Exact oracle for the bucketed near-dup pairs: reproduces the
+    deterministic LSH candidate set (own bucket + Hamming-1 probes on
+    the a-side), then the same cosine-threshold verify."""
+    probes = ", ".join(["bucket"] + [f"xor(bucket, {1 << j})" for j in range(n_planes)])
+    return f"""
+    WITH base AS (
+      SELECT vec_id, embedding, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    b AS (
+      SELECT vec_id, embedding, CAST({_lsh_bucket_sql()} AS INTEGER) AS bucket
+      FROM base
+    ),
+    probes AS (
+      SELECT vec_id AS id_a, embedding AS va, unnest([{probes}]) AS bucket FROM b
+    )
+    SELECT id_a, id_b, cos_sim FROM (
+      SELECT p.id_a, b.vec_id AS id_b,
+             round(list_cosine_similarity(p.va::DOUBLE[],
+                                          b.embedding::DOUBLE[]), 4) AS cos_sim
+      FROM probes p JOIN b ON b.bucket = p.bucket AND p.id_a < b.vec_id)
+    WHERE cos_sim >= {threshold}
     """
 
 
@@ -756,6 +782,7 @@ def oracle_sql() -> dict[str, str]:
               WHERE q.vec_id < 10
             ) WHERE rnk <= 5
         """,
+        "dedup_embedding_lsh_pairs": _embedding_lsh_pairs_oracle(),
         "ann_lsh_topk": _ann_lsh_oracle(),
         "ann_ivf_topk": _ann_ivf_oracle(),
         "skew_salted_agg": """
@@ -774,12 +801,14 @@ def oracle_sql() -> dict[str, str]:
                      AS total_value
             FROM events GROUP BY event_type
         """,
+        # blocking on the Spark side is lossless, so the oracle is
+        # the plain all-distinct-pairs form
         "string_distance_pairs": """
-            SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+            WITH names AS (SELECT DISTINCT p_name FROM part)
+            SELECT a.p_name AS name_a, b.p_name AS name_b,
                    CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS edit_dist
-            FROM part a JOIN part b ON a.p_partkey < b.p_partkey
-            WHERE a.p_partkey <= 200 AND b.p_partkey <= 200
-              AND levenshtein(a.p_name, b.p_name) <= 3
+            FROM names a JOIN names b ON a.p_name < b.p_name
+            WHERE levenshtein(a.p_name, b.p_name) <= 3
         """,
         "text_langid": f"""
             WITH scored AS (

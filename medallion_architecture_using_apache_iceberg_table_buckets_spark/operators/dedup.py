@@ -388,9 +388,9 @@ def embedding_cosine_pairs(
 ) -> DataFrame:
     """Embedding near-dup pairs: cosine >= threshold, id_a < id_b.
 
-    Brute-force at test scale (exact oracle twin); the LSH-bucketed
-    candidate generation for 100 TB lives in similarity.py
-    (hyperplane_buckets) and composes with the same verify step.
+    Brute-force correctness baseline — O(n^2) by design, small inputs
+    only. The scale path is ``embedding_cosine_pairs_lsh`` (bucketed
+    candidates, never all pairs); both are oracle-checked.
     """
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
@@ -399,4 +399,154 @@ def embedding_cosine_pairs(
         .withColumn("cos_sim", F.round(cosine_sim(F.col("va"), F.col("vb")), 4))
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
+    )
+
+
+def embedding_cosine_pairs_lsh(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.4,
+    n_planes: int = 8,
+    dim: int = 64,
+    multiprobe: int = 1,
+) -> DataFrame:
+    """Scale-safe embedding near-dup pairs: hyperplane-LSH candidate
+    generation + exact-cosine verify on candidates only.
+
+    One side probes its own bucket plus every bucket within
+    ``multiprobe`` bit flips; the join key is the bucket id, so the
+    plan is an equi-join whose cost scales with bucket occupancy
+    (~ n^2 / 2^n_planes per probe), never an all-pairs cartesian.
+    Probe buckets are distinct, so each (id_a < id_b) pair appears at
+    most once — no dedup pass needed. Buckets are closed-form
+    deterministic (similarity._plane_sign), so the DuckDB oracle
+    reproduces the candidate set exactly. Recall vs the brute-force
+    baseline is the documented LSH trade; the dial is (n_planes,
+    multiprobe).
+    """
+    from .similarity import hyperplane_buckets
+
+    b = hyperplane_buckets(df, vec_col, id_col, n_planes, dim)
+    masks = [0]
+    if multiprobe >= 1:
+        masks += [1 << j for j in range(n_planes)]
+    if multiprobe >= 2:
+        masks += [
+            (1 << i) | (1 << j)
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
+        ]
+    probes = b.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+        F.explode(
+            F.array(*[F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks])
+        ).alias("bucket"),
+    )
+    cands = b.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), "bucket"
+    )
+    return (
+        probes.join(cands, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", F.round(cosine_sim(F.col("va"), F.col("vb")), 4))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    text_col: str,
+    key_col: str,
+    max_dist: int = 3,
+) -> DataFrame:
+    """Edit-distance pairs (levenshtein <= max_dist) with LOSSLESS
+    blocking — returns exactly the all-pairs result without ever
+    joining all pairs.
+
+    Three sound filters (each implied by dist <= t, so no pair is
+    lost; the DuckDB oracle can therefore stay the simple all-pairs
+    SQL):
+
+    1. length band: |len_a - len_b| <= t (an edit changes length by
+       <= 1).
+    2. prefix filter on positional q-grams (PPJoin-style, q = 2):
+       dist <= t destroys at most t*q multiset bigrams, so a matching
+       pair shares >= max(len)-1 - t*q positional bigrams. Ordering
+       every string's (bigram, occurrence) tokens by global frequency
+       (rarest first), two matching strings MUST collide within their
+       first t*q + 1 tokens. The inverted index holds only those
+       t*q + 1 rarest tokens per string -> candidate join fan-out is
+       governed by rare-token bucket sizes, not vocabulary skew.
+       Applies when max(len) >= t*q + 2 (else the overlap bound is
+       vacuous).
+    3. short-string fallback: when BOTH strings are shorter than
+       t*q + 2 chars the overlap bound is vacuous (t edits can destroy
+       every bigram), so short strings are additionally brute-joined
+       among themselves — a closed tiny set. Mixed short/long pairs
+       are covered by the prefix filter (the bound depends on
+       max(len) only), so every string is indexed.
+
+    Exact levenshtein verifies candidates. At 100 TB stage 2 is the
+    workhorse: one groupBy for global frequencies, one window for
+    per-string rarity ranks, one equi-join on (bigram, occurrence).
+    """
+    q = 2
+    prefix_len = max_dist * q + 1
+    min_long = max_dist * q + 2  # strings where the overlap bound bites
+
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.col(text_col).alias("txt"),
+        F.length(text_col).alias("len"),
+    )
+    grams = base.select(
+        "key",
+        "len",
+        # guard: sequence(1, 0) runs DESCENDING in Spark, so a
+        # 1-char string must yield an empty gram array, not junk
+        F.posexplode(
+            F.expr(
+                f"CASE WHEN length(txt) >= {q} THEN"
+                f" transform(sequence(1, length(txt) - 1),"
+                f" i -> substring(txt, i, {q}))"
+                f" ELSE array() END"
+            )
+        ).alias("pos", "gram"),
+    )
+    from pyspark.sql import Window
+
+    w_occ = Window.partitionBy("key", "gram").orderBy("pos")
+    occ = grams.withColumn("occ", F.row_number().over(w_occ))
+    freq = occ.groupBy("gram", "occ").agg(F.count("*").alias("df"))
+    w_rare = Window.partitionBy("key").orderBy("df", "gram", "occ")
+    sig = (
+        occ.join(freq, ["gram", "occ"])
+        .withColumn("rk", F.row_number().over(w_rare))
+        .filter(F.col("rk") <= prefix_len)
+        .select("key", "gram", "occ")
+    )
+    cand_long = (
+        sig.select(F.col("key").alias("key_a"), "gram", "occ")
+        .join(sig.select(F.col("key").alias("key_b"), "gram", "occ"), ["gram", "occ"])
+        .filter(F.col("key_a") < F.col("key_b"))
+        .select("key_a", "key_b")
+    )
+    shorts = base.filter(F.col("len") < min_long)
+    cand_short = (
+        shorts.select(F.col("key").alias("key_a"))
+        .join(shorts.select(F.col("key").alias("key_b")), F.col("key_a") < F.col("key_b"))
+    )
+    cands = cand_long.unionByName(cand_short).distinct()
+    a = base.select(F.col("key").alias("key_a"), F.col("txt").alias("ta"), F.col("len").alias("la"))
+    b = base.select(F.col("key").alias("key_b"), F.col("txt").alias("tb"), F.col("len").alias("lb"))
+    return (
+        cands.join(a, "key_a")
+        .join(b, "key_b")
+        .filter(F.abs(F.col("la") - F.col("lb")) <= max_dist)
+        .withColumn("edit_dist", F.levenshtein("ta", "tb").cast("int"))
+        .filter(F.col("edit_dist") <= max_dist)
+        .select("key_a", "key_b", "edit_dist")
     )

@@ -70,6 +70,16 @@ def dedup_embedding_pairs(spark, sf_dir):
     return D.embedding_cosine_pairs(load(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
+def dedup_embedding_lsh_pairs(spark, sf_dir):
+    """Scale path for embedding near-dup: LSH-bucketed candidates +
+    exact-cosine verify (dedup.embedding_cosine_pairs_lsh). The
+    candidate set is deterministic (closed-form buckets), so the
+    oracle reproduces it exactly."""
+    return D.embedding_cosine_pairs_lsh(
+        load(spark, sf_dir, "embeddings"), threshold=0.4
+    )
+
+
 def ann_bruteforce_topk(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
     return S.cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
@@ -123,22 +133,24 @@ def medallion_gold_mart(spark, sf_dir):
 
 
 def string_distance_pairs(spark, sf_dir):
-    """Edit-distance near-match pairs (levenshtein <= 3) over a keyed
-    sample of part names — the fuzzy-matching primitive for entity
-    resolution."""
-    p = load(spark, sf_dir, "part").filter(F.col("p_partkey") <= 200).select(
-        "p_partkey", "p_name"
-    )
-    a, b = p.alias("a"), p.alias("b")
-    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
-    return (
-        a.join(b, F.col("a.p_partkey") < F.col("b.p_partkey"))
-        .select(
-            F.col("a.p_partkey").alias("key_a"),
-            F.col("b.p_partkey").alias("key_b"),
-            dist.cast("int").alias("edit_dist"),
-        )
-        .filter(F.col("edit_dist") <= 3)
+    """Edit-distance near-match pairs (levenshtein <= 3) over the
+    DISTINCT part names — the fuzzy-matching primitive for entity
+    resolution.
+
+    Scale shape: one hash-agg collapses the corpus to distinct
+    strings (the big shuffle), then dedup.edit_distance_pairs
+    generates candidates with LOSSLESS blocking (length band +
+    PPJoin-style positional-bigram prefix filter) and verifies with
+    exact levenshtein — the plan never joins all pairs, yet returns
+    exactly the all-pairs result, so the oracle is the plain
+    all-distinct-pairs SQL."""
+    from .dedup import edit_distance_pairs
+
+    names = load(spark, sf_dir, "part").select("p_name").distinct()
+    return edit_distance_pairs(names, "p_name", "p_name").select(
+        F.col("key_a").alias("name_a"),
+        F.col("key_b").alias("name_b"),
+        "edit_dist",
     )
 
 

@@ -185,3 +185,42 @@ def test_multimodal_plumbing(spark, docs_df):
     assert rows[1]["sha256"] == rows[2]["sha256"]  # same content
     with pytest.raises(NotImplementedError):
         M.decode_image(b"\x89PNG")
+
+
+def test_edit_distance_blocking_is_lossless(spark):
+    """The blocked plan must return EXACTLY the all-pairs result,
+    including the adversarial cases: both-short pairs with zero
+    shared bigrams, mixed short/long, repeated bigrams, 1-char."""
+    import itertools
+
+    names = [
+        "abcdefg", "xyzdefg",          # short pair, 3 edits, shares grams
+        "aaaaaaa", "bbbaaaa",          # short pair
+        "ab", "cd",                    # tiny: dist 2, ZERO shared bigrams
+        "a", "b",                      # 1-char: no bigrams at all
+        "red plate", "hot plate", "red plates",
+        "small widget", "small widgets",
+        "banana", "bananana",          # repeated bigrams (multiset occ)
+        "completely different string",
+    ]
+    df = spark.createDataFrame([(n,) for n in names], "name string")
+    got = {
+        (r["key_a"], r["key_b"], r["edit_dist"])
+        for r in D.edit_distance_pairs(df, "name", "name").collect()
+    }
+    def lev(s, t):
+        prev = list(range(len(t) + 1))
+        for i, cs in enumerate(s, 1):
+            cur = [i]
+            for j, ct in enumerate(t, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (cs != ct)))
+            prev = cur
+        return prev[-1]
+
+    want = {
+        (a, b, lev(a, b))
+        for a, b in itertools.combinations(sorted(names), 2)
+        if lev(a, b) <= 3
+    }
+    assert got == want
