@@ -307,9 +307,13 @@ _MINHASH_SEEDS = ",".join(
 
 
 def _simhash_oracle() -> str:
+    # token bit b = bit b of md5 (two 60-bit chunks) — twin of
+    # dedup.simhash_signatures' shift+mask scheme
+    def bit(b: int) -> str:
+        return f"((tid_lo >> {b}) & 1)" if b < 60 else f"((tid_hi >> {b - 60}) & 1)"
+
     bitsums = ",\n         ".join(
-        f"sum((({2 * b + 3} * tid + {3 * b + 1}) % 2147483647) % 2) AS c{b}"
-        for b in range(62)
+        f"sum({bit(b)}) AS c{b}" for b in range(62)
     )
     simhash = " + ".join(
         f"CASE WHEN 2 * c{b} > n_tok THEN CAST({2 ** b} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
@@ -327,7 +331,12 @@ def _simhash_oracle() -> str:
       FROM (SELECT doc_id, string_split({_NORM.format(t='text')}, ' ') AS w FROM corpus),
            unnest(w) AS u(word)
     ),
-    tids AS (SELECT doc_id, {_TOKEN_ID.format(t='word')} AS tid FROM toks),
+    tids AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(word), 1, 15))::BIGINT AS tid_lo,
+             ('0x' || substr(md5(word), 16, 15))::BIGINT AS tid_hi
+      FROM toks
+    ),
     counts AS (
       SELECT doc_id, count(*) AS n_tok,
          {bitsums}
