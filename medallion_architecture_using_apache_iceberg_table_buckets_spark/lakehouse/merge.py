@@ -113,7 +113,7 @@ def merge_into(
     # scans those directories. Key-independent transforms (e.g.
     # days(event_ts)) are never pruned: an update may move the row
     # across those partitions.
-    from .transforms import parse_spec
+    from .transforms import parse_spec, partition_segment
 
     candidate_files = list(snap.files)
     prunable = [t for t in parse_spec(table.partition_by) if t.col in keys]
@@ -123,11 +123,23 @@ def merge_into(
             .distinct()
             .collect()
         )
-        if not any(v is None for row in vals for v in row):
-            allowed = {
-                t.partition_col: {f"{t.partition_col}={row[t.partition_col]}" for row in vals}
-                for t in prunable
+        # On-disk segments are escapePathName()-encoded by the
+        # partitioned writer; partition_segment reproduces that
+        # encoding and returns None for values whose written form is
+        # not reproducible (null/empty -> default partition, floats,
+        # sub-second timestamps) — any None disables pruning rather
+        # than risk dropping the file that holds a matched row.
+        allowed: dict[str, set[str]] = {}
+        for t in prunable:
+            segs = {
+                partition_segment(t.partition_col, row[t.partition_col])
+                for row in vals
             }
+            if None in segs:
+                allowed = {}
+                break
+            allowed[t.partition_col] = segs
+        if allowed:
             candidate_files = [
                 f
                 for f in candidate_files
@@ -162,9 +174,15 @@ def merge_into(
 
 
 def _to_rel(uri: str, data_root: str) -> str:
+    """input_file_name() yields a percent-encoded URI; decode it so
+    the stored relative path is the literal on-disk name (partition
+    dirs legitimately contain '%' from escapePathName, which arrives
+    double-encoded as %25)."""
+    from urllib.parse import unquote
+
     p = uri
     if p.startswith("file:"):
-        p = p[len("file:") :]
+        p = unquote(p[len("file:") :])
         while p.startswith("//"):
             p = p[1:]
     return str(Path(p).relative_to(data_root))

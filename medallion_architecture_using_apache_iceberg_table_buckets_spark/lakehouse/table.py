@@ -414,7 +414,15 @@ class Table:
 
         if not files:
             return spark.createDataFrame([], schema)
-        paths = [str(self.data_root / f) for f in files]
+        # Partition dirs are escapePathName()-encoded, so a literal
+        # '%' can appear in a path; Hadoop's Path/glob machinery
+        # re-encodes raw '%' and then fails to find the file. Wrapping
+        # it in a glob character class ([%]) matches it literally.
+        # Every other glob-special char (* ? [ ] {) is itself escaped
+        # to %XX by the writer, so '%' is the only one reachable.
+        paths = [
+            str(self.data_root / f).replace("%", "[%]") for f in files
+        ]
         df = (
             spark.read.schema(schema)
             .option("basePath", str(self.data_root))
@@ -571,16 +579,40 @@ class Table:
             expired.append(s.snapshot_id)
         return expired
 
-    def vacuum(self, dry_run: bool = False) -> list[str]:
+    def vacuum(
+        self, dry_run: bool = False, older_than_seconds: float = 3600.0
+    ) -> list[str]:
         """Delete data files referenced by no remaining snapshot
         (files replaced by COW merges / compactions, or left by a
-        writer that died before commit). Returns the removed paths."""
+        writer that died before commit). Returns the removed paths.
+
+        Only candidates whose mtime is older than
+        ``older_than_seconds`` (default 1 h) are touched: an in-flight
+        writer stages files and renames them into the data root BEFORE
+        its snapshot commit, so an out-of-band vacuum must not sweep
+        young files — the same retention guard Iceberg's
+        remove_orphan_files applies. Pass 0 to force (tests,
+        known-quiesced tables)."""
+        now = time.time()
+
+        def _old(p) -> bool:
+            try:
+                return now - p.stat().st_mtime >= older_than_seconds
+            except OSError:
+                return False
+
         referenced: set[str] = set()
         for s in self.snapshots():
             referenced.update(s.files)
-        orphans = [f for f in _list_parquet(self.data_root) if f not in referenced]
+        orphans = [
+            f
+            for f in _list_parquet(self.data_root)
+            if f not in referenced and _old(self.data_root / f)
+        ]
         stale_staging = sorted(
-            p.name for p in self.root.glob("_staging-*") if p.is_dir()
+            p.name
+            for p in self.root.glob("_staging-*")
+            if p.is_dir() and _old(p)
         )
         if not dry_run:
             for f in orphans:

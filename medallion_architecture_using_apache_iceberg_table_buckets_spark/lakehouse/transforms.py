@@ -59,3 +59,77 @@ class Transform:
 
 def parse_spec(partition_by: list[str]) -> list[Transform]:
     return [Transform(s) for s in partition_by]
+
+
+# --- Hive partition-path escaping -----------------------------------------
+# Twin of Spark's ExternalCatalogUtils.escapePathName (what the
+# partitioned parquet writer applies to directory names on Linux):
+# ASCII control chars plus the reserved set below become %XX (upper
+# hex). Anything comparing computed partition values against manifest
+# file paths (merge pruning, gold incremental refresh) MUST go through
+# this, or values containing ':', '#', '%', ... silently fail to match
+# their own directories.
+
+_ESCAPED_CHARS = set('"#%\'*/:=?\\{[]^')
+
+HIVE_DEFAULT_PARTITION = "__HIVE_DEFAULT_PARTITION__"
+
+
+def escape_path_name(value: str) -> str:
+    out = []
+    for ch in value:
+        o = ord(ch)
+        if (1 <= o <= 31) or o == 127 or ch in _ESCAPED_CHARS:
+            out.append(f"%{o:02X}")
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def unescape_path_name(path: str) -> str:
+    out, i, n = [], 0, len(path)
+    while i < n:
+        ch = path[i]
+        if ch == "%" and i + 2 < n:
+            try:
+                out.append(chr(int(path[i + 1 : i + 3], 16)))
+                i += 3
+                continue
+            except ValueError:
+                pass
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
+def partition_segment(partition_col: str, value) -> str | None:
+    """The on-disk Hive directory segment for a partition value, or
+    None when the written form is not reliably reproducible from the
+    Python value (caller must then skip path-based pruning).
+
+    Reproducible: int/bool (Spark prints true/false), non-empty
+    strings (escaped), dates, and microsecond-free timestamps. Not
+    reproducible: None / empty string (both land in
+    __HIVE_DEFAULT_PARTITION__ and read back as null), floats and
+    anything else (engine-specific formatting)."""
+    import datetime
+
+    if value is None:
+        return None
+    if isinstance(value, bool):
+        s = "true" if value else "false"
+    elif isinstance(value, int):
+        s = str(value)
+    elif isinstance(value, str):
+        if value == "":
+            return None
+        s = value
+    elif isinstance(value, datetime.datetime):
+        if value.microsecond:
+            return None
+        s = value.strftime("%Y-%m-%d %H:%M:%S")
+    elif isinstance(value, datetime.date):
+        s = value.isoformat()
+    else:
+        return None
+    return f"{partition_col}={escape_path_name(s)}"

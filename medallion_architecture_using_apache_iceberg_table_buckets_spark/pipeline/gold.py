@@ -26,15 +26,23 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..lakehouse import Catalog
-from ..lakehouse.transforms import parse_spec
+from ..lakehouse.transforms import (
+    HIVE_DEFAULT_PARTITION,
+    parse_spec,
+    unescape_path_name,
+)
 
 
 def _affected_partition_values(
     silver, last_snapshot_id: int | None, part_col: str
 ) -> set[str] | None:
     """Partition values touched since `last_snapshot_id`, from manifest
-    file paths alone. None = unknown (no identity partition info) ->
-    caller falls back to full refresh."""
+    file paths alone. None = unknown -> caller falls back to full
+    refresh. Path segments are escapePathName()-encoded by the writer,
+    so values are unescaped before being compared against column
+    values; a change in the null/empty-string partition
+    (__HIVE_DEFAULT_PARTITION__) is not representable as a value and
+    forces the full-refresh fallback."""
     specs = {t.partition_col: t for t in parse_spec(silver.partition_by)}
     if part_col not in specs:
         return None
@@ -51,7 +59,10 @@ def _affected_partition_values(
     for f in changed:
         for seg in f.split("/"):
             if seg.startswith(prefix):
-                vals.add(seg[len(prefix):])
+                raw = seg[len(prefix):]
+                if raw == HIVE_DEFAULT_PARTITION:
+                    return None
+                vals.add(unescape_path_name(raw))
     return vals
 
 
@@ -129,8 +140,13 @@ def build_gold_mart(
             changed = aggregate(
                 silver.read(spark).filter(F.col(group_by[0]).isin(*affected))
             )
+            # NULL-keyed mart rows: ~isin(...) is NULL for them, which
+            # would silently drop the null group on every incremental
+            # refresh — keep it explicitly (a changed null partition
+            # already forced the full-refresh fallback above).
             remaining = gold.read(spark).filter(
                 ~F.col(group_by[0]).isin(*affected)
+                | F.col(group_by[0]).isNull()
             )
             gold.overwrite(remaining.unionByName(changed))
         mode = f"incremental({len(affected)} partitions)"

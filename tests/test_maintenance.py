@@ -24,17 +24,19 @@ def test_vacuum_removes_cow_replaced_files(spark, tmp_path):
     merge_into(spark, t, make(spark, [(1, "a2")]), on="id")  # COW rewrite
 
     # replaced files still on disk for time travel
-    orphans_before = t.vacuum(dry_run=True)
+    orphans_before = t.vacuum(dry_run=True, older_than_seconds=0)
     assert orphans_before == []  # still referenced by snapshot 2
 
     t.expire_snapshots(keep_last=1)
-    orphans = t.vacuum(dry_run=True)
+    # default retention protects young files (in-flight writer guard)
+    assert t.vacuum(dry_run=True) == []
+    orphans = t.vacuum(dry_run=True, older_than_seconds=0)
     assert len(orphans) >= 1
-    removed = t.vacuum()
+    removed = t.vacuum(older_than_seconds=0)
     assert removed == orphans
     # table still reads fine; orphans really gone
     assert {r["v"] for r in t.read(spark).collect()} == {"a2", "b"}
-    assert t.vacuum(dry_run=True) == []
+    assert t.vacuum(dry_run=True, older_than_seconds=0) == []
 
 
 def test_expire_blocks_time_travel_but_keeps_current(spark, tmp_path):
@@ -64,5 +66,5 @@ def test_expire_refuses_live_mor_deltas(spark, tmp_path):
     # after compaction the expiry is safe
     t.compact(spark)
     t.expire_snapshots(keep_last=1)
-    t.vacuum()
+    t.vacuum(older_than_seconds=0)
     assert {r["v"] for r in t.read(spark).collect()} == {"a2", "b"}
