@@ -358,13 +358,19 @@ class Table:
             schema.fields + [T.StructField(self.MOR_OP_COL, T.StringType())]
         )
         df = self._read_files(spark, snap.files, schema_plus)
-        seq_rows = [(f, v) for f, v in self._file_sequence().items() if f in set(snap.files)]
-        seq_df = spark.createDataFrame(seq_rows, "rel_path string, _seq long")
-        norm = F.regexp_replace(F.input_file_name(), "^file:/+", "/")
-        data_root = str(self.data_root) + "/"
-        rel = norm.substr(F.lit(len(data_root) + 1), F.lit(100_000))
-        df = df.withColumn("_path", rel).join(
-            F.broadcast(seq_df), F.col("_path") == F.col("rel_path"), "left"
+        # keyed by basename, not full rel path: input_file_name()
+        # percent-encodes partition dirs (escaped chars arrive as
+        # %25XX), while basenames are uuid-hex + part names — always
+        # URI-safe and unique per file (uuid batch prefix)
+        seq_rows = [
+            (f.rsplit("/", 1)[-1], v)
+            for f, v in self._file_sequence().items()
+            if f in set(snap.files)
+        ]
+        seq_df = spark.createDataFrame(seq_rows, "base_name string, _seq long")
+        base_name = F.element_at(F.split(F.input_file_name(), "/"), -1)
+        df = df.withColumn("_base", base_name).join(
+            F.broadcast(seq_df), F.col("_base") == F.col("base_name"), "left"
         )
         w = Window.partitionBy(*keys).orderBy(F.desc(self.MOR_SEQ_COL))
         return (

@@ -122,3 +122,19 @@ def test_gold_null_partition_change_falls_back_to_full(spark, tmp_path):
         for r in cat.table("s", "gold").read(spark).collect()
     }
     assert got[None] == (2, 12.0)
+
+
+def test_mor_resolve_with_escaped_partition_keys(spark, tmp_path):
+    """MOR delta resolution joins manifest sequence info per file;
+    escaped partition dirs must not break the newest-wins resolve."""
+    cat = Catalog(tmp_path / "wh")
+    t = cat.create_table(
+        "d", "mor", SCHEMA, partition_by=["k"],
+        properties={"write.merge.mode": "merge-on-read"},
+    )
+    t.append(spark.createDataFrame([("a:b", 1), ("plain", 2)], SCHEMA))
+    merge_into(
+        spark, t, spark.createDataFrame([("a:b", 10)], SCHEMA), on="k"
+    )
+    got = {r["k"]: r["v"] for r in t.read(spark).collect()}
+    assert got == {"a:b": 10, "plain": 2}
