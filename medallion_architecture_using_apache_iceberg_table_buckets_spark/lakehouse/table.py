@@ -357,7 +357,9 @@ class Table:
         schema_plus = T.StructType(
             schema.fields + [T.StructField(self.MOR_OP_COL, T.StringType())]
         )
-        df = self._read_files(spark, snap.files, schema_plus)
+        df = self._read_files(
+            spark, snap.files, schema_plus, renames=self._snap_renames(snap)
+        )
         # keyed by basename, not full rel path: input_file_name()
         # percent-encodes partition dirs (escaped chars arrive as
         # %25XX), while basenames are uuid-hex + part names — always
@@ -411,15 +413,133 @@ class Table:
         )
 
     # ------------------------------------------------------------------
+    # schema evolution (backs the stored format-version: 2 intent —
+    # reference scripts/bronze-silver.py:197 delegates to Iceberg v2;
+    # here evolution is a metadata-only snapshot: same files, new
+    # declared schema, old files resolved at read time)
+    # ------------------------------------------------------------------
+    RENAMES_PROP = "schema.renames"
+
+    def _snap_renames(self, snap: Snapshot) -> dict[str, list[str]]:
+        """current column name -> every physical name older files may
+        use for it (newest first). A column renamed twice has files in
+        three generations, each storing a different physical name —
+        flattening to a single alias would lose the middle one."""
+        return json.loads(snap.properties.get(self.RENAMES_PROP, "{}"))
+
+    def _evolution_guard(self, cur: Snapshot, col: str) -> None:
+        from .transforms import parse_spec
+
+        part_cols = {t.col for t in parse_spec(cur.partition_by)}
+        if col in part_cols:
+            raise ValueError(
+                f"column {col!r} drives the partition spec "
+                f"{cur.partition_by}: directory layout is derived from "
+                f"it, so it cannot be renamed or dropped"
+            )
+
+    def add_column(self, name: str, dtype: T.DataType | str) -> Snapshot:
+        """Append a nullable column (metadata-only commit). Existing
+        files simply lack the column; the Parquet reader fills null —
+        no data rewrite. ``dtype`` is a DataType or DDL string (DDL
+        parsing needs an active SparkSession)."""
+        base = self._current_version()
+        cur = self._load(base)
+        schema = schema_from_json(cur.schema_json)
+        renames = self._snap_renames(cur)
+        if name in [f.name for f in schema.fields]:
+            raise ValueError(f"column {name!r} already exists")
+        if any(name in aliases for aliases in renames.values()):
+            raise ValueError(
+                f"{name!r} is the physical name of a renamed column; "
+                f"reusing it would make old files ambiguous"
+            )
+        dt = dtype if isinstance(dtype, T.DataType) else T._parse_datatype_string(dtype)
+        new_schema = T.StructType(
+            schema.fields + [T.StructField(name, dt, True)]
+        )
+        return self._next_snapshot(
+            "evolve-schema", cur.files, [], [], new_schema, base
+        )
+
+    def rename_column(self, old: str, new: str) -> Snapshot:
+        """Rename a column without rewriting data. The mapping
+        new -> physical name is stored in table properties; reads
+        coalesce the physical column out of pre-rename files (chained
+        renames flatten to the original physical name)."""
+        base = self._current_version()
+        cur = self._load(base)
+        schema = schema_from_json(cur.schema_json)
+        names = [f.name for f in schema.fields]
+        if old not in names:
+            raise KeyError(f"no column {old!r}")
+        if new in names:
+            raise ValueError(f"column {new!r} already exists")
+        self._evolution_guard(cur, old)
+        renames = self._snap_renames(cur)
+        if any(new in aliases for aliases in renames.values()):
+            raise ValueError(
+                f"{new!r} is the physical name of another renamed column"
+            )
+        renames[new] = [old] + renames.pop(old, [])
+        fields = [
+            T.StructField(new, f.dataType, f.nullable) if f.name == old else f
+            for f in schema.fields
+        ]
+        return self._next_snapshot(
+            "evolve-schema",
+            cur.files,
+            [],
+            [],
+            T.StructType(fields),
+            base,
+            new_properties={self.RENAMES_PROP: json.dumps(renames)},
+        )
+
+    def drop_column(self, name: str) -> Snapshot:
+        """Remove a column from the declared schema (metadata-only;
+        old files keep the bytes, readers never select them)."""
+        base = self._current_version()
+        cur = self._load(base)
+        schema = schema_from_json(cur.schema_json)
+        if name not in [f.name for f in schema.fields]:
+            raise KeyError(f"no column {name!r}")
+        if len(schema.fields) == 1:
+            raise ValueError("cannot drop the last column")
+        self._evolution_guard(cur, name)
+        renames = self._snap_renames(cur)
+        renames.pop(name, None)
+        fields = [f for f in schema.fields if f.name != name]
+        return self._next_snapshot(
+            "evolve-schema",
+            cur.files,
+            [],
+            [],
+            T.StructType(fields),
+            base,
+            new_properties={self.RENAMES_PROP: json.dumps(renames)},
+        )
+
+    # ------------------------------------------------------------------
     # reads
     # ------------------------------------------------------------------
     def _read_files(
-        self, spark: SparkSession, files: list[str], schema: T.StructType
+        self,
+        spark: SparkSession,
+        files: list[str],
+        schema: T.StructType,
+        renames: dict[str, str] | None = None,
     ) -> DataFrame:
         from .transforms import parse_spec
 
         if not files:
             return spark.createDataFrame([], schema)
+        if renames is None:
+            renames = (
+                self._snap_renames(self.current_snapshot())
+                if self.exists()
+                else {}
+            )
         # Partition dirs are escapePathName()-encoded, so a literal
         # '%' can appear in a path; Hadoop's Path/glob machinery
         # re-encodes raw '%' and then fails to find the file. Wrapping
@@ -429,11 +549,38 @@ class Table:
         paths = [
             str(self.data_root / f).replace("%", "[%]") for f in files
         ]
+        # renamed columns: also request every physical (pre-rename)
+        # name, then coalesce newest-first — each file stores exactly
+        # one generation's name and fills the others with null, so one
+        # pass serves all generations
+        declared = {f.name for f in schema.fields}
+        active = {
+            new: aliases
+            for new, aliases in renames.items()
+            if new in declared
+        }
+        read_schema = schema
+        if active:
+            by_name = {f.name: f for f in schema.fields}
+            read_schema = T.StructType(
+                schema.fields
+                + [
+                    T.StructField(a, by_name[new].dataType, True)
+                    for new, aliases in active.items()
+                    for a in aliases
+                ]
+            )
         df = (
-            spark.read.schema(schema)
+            spark.read.schema(read_schema)
             .option("basePath", str(self.data_root))
             .parquet(*paths)
         )
+        for new, aliases in active.items():
+            df = df.withColumn(
+                new, F.coalesce(F.col(new), *[F.col(a) for a in aliases])
+            )
+        if active:
+            df = df.drop(*[a for aliases in active.values() for a in aliases])
         # hidden transform partition columns (_p_*) come back from
         # directory inference — strip them from the user-facing schema
         hidden = [
@@ -458,7 +605,9 @@ class Table:
         schema = schema_from_json(snap.schema_json)
         if self._delta_files(snap):
             return self._resolve_mor(spark, snap, schema)
-        return self._read_files(spark, snap.files, schema)
+        return self._read_files(
+            spark, snap.files, schema, renames=self._snap_renames(snap)
+        )
 
     def read_incremental(
         self,
@@ -485,7 +634,10 @@ class Table:
         )
         if start_snapshot_id is None:
             return self._read_files(
-                spark, end.files, schema_from_json(end.schema_json)
+                spark,
+                end.files,
+                schema_from_json(end.schema_json),
+                renames=self._snap_renames(end),
             )
         start = self.snapshot_by_id(start_snapshot_id)
         if not allow_replace:
@@ -493,6 +645,8 @@ class Table:
                 if start.version < s.version <= end.version and s.operation not in (
                     "append",
                     "create",
+                    "evolve-schema",  # metadata-only: adds no files
+                    "set-properties",
                 ):
                     raise ValueError(
                         f"incremental read crosses non-append snapshot "
@@ -500,7 +654,10 @@ class Table:
                     )
         new_files = [f for f in end.files if f not in set(start.files)]
         return self._read_files(
-            spark, new_files, schema_from_json(end.schema_json)
+            spark,
+            new_files,
+            schema_from_json(end.schema_json),
+            renames=self._snap_renames(end),
         )
 
     # ------------------------------------------------------------------
