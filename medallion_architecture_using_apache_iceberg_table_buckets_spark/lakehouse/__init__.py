@@ -24,3 +24,4 @@ the driver never touches row data.
 from .table import Table, Snapshot  # noqa: F401
 from .catalog import Catalog  # noqa: F401
 from .merge import merge_into  # noqa: F401
+from .sql import SqlSession  # noqa: F401

@@ -105,3 +105,13 @@ class Catalog:
         """Attach current views then run a Spark SQL query against them."""
         self.attach_views(spark, namespace)
         return spark.sql(query)
+
+    def sql_session(
+        self, spark: SparkSession, namespace: str | None = None
+    ) -> "SqlSession":
+        """Statement dispatcher for the reference's SQL surface
+        (CREATE NAMESPACE / SHOW / USE / DROP / MERGE INTO / SELECT) —
+        see lakehouse/sql.py."""
+        from .sql import SqlSession
+
+        return SqlSession(spark, self, namespace)

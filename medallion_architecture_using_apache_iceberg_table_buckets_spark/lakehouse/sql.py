@@ -1,0 +1,220 @@
+"""SQL-statement surface for the lakehouse catalog.
+
+The reference drives its workflow through ``spark.sql`` text:
+``CREATE NAMESPACE IF NOT EXISTS`` (scripts/raw-bronze.py:113),
+``SHOW NAMESPACES`` / ``USE`` / ``SHOW TABLES`` / bare-name SELECTs
+(README.md:220-229), and a textual ``MERGE INTO ... USING (...) ON
+... WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *``
+(scripts/bronze-silver.py:213,254-269). Without an Iceberg runtime
+those statements have no home, so :class:`SqlSession` dispatches
+them onto :class:`Catalog` / :func:`merge_into`, and passes every
+other statement (SELECT/WITH/...) to Spark SQL with the current
+namespace's tables attached as bare-name temp views — the same
+resolution ``USE <ns>`` buys in the reference.
+
+Catalog name prefixes (``s3tablesbucket.example_namespace``) are
+accepted and ignored: this engine IS the catalog.
+
+Scale note: dispatch is driver-side string parsing on statements a
+human wrote; all data movement stays in the underlying DataFrame
+plans (merge_into's file-scoped COW, snapshot-scoped view reads).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .catalog import Catalog
+from .merge import merge_into
+
+_CREATE_NS = re.compile(
+    r"^\s*CREATE\s+NAMESPACE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*$", re.I
+)
+_SHOW_NS = re.compile(r"^\s*SHOW\s+NAMESPACES(?:\s+IN\s+[\w.]+)?\s*$", re.I)
+_USE = re.compile(r"^\s*USE\s+([\w.]+)\s*$", re.I)
+_SHOW_TABLES = re.compile(r"^\s*SHOW\s+TABLES(?:\s+IN\s+([\w.]+))?\s*$", re.I)
+_DROP_TABLE = re.compile(
+    r"^\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([\w.]+)\s*$", re.I
+)
+_DROP_NS = re.compile(
+    r"^\s*DROP\s+NAMESPACE\s+(IF\s+EXISTS\s+)?([\w.]+)\s*$", re.I
+)
+_MERGE_HEAD = re.compile(
+    r"^\s*MERGE\s+INTO\s+([\w.]+)(?:\s+AS\s+(\w+))?\s+USING\s+", re.I | re.S
+)
+_MERGE_TAIL = re.compile(
+    r"\s*(?:AS\s+(\w+)\s+)?ON\s+(.+?)\s+(WHEN\s.+)$", re.I | re.S
+)
+_WHEN = re.compile(
+    r"WHEN\s+(NOT\s+)?MATCHED(?:\s+AND\s+(.*?))?\s+THEN\s+"
+    r"(UPDATE\s+SET\s+\*|INSERT\s+\*|DELETE)",
+    re.I | re.S,
+)
+_EQ_KEY = re.compile(r"^\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*$")
+
+
+class SqlSession:
+    """Statement dispatcher bound to one catalog + current namespace."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        catalog: Catalog,
+        namespace: str | None = None,
+    ):
+        self.spark = spark
+        self.catalog = catalog
+        self.namespace = namespace
+
+    # -- identifier helpers --------------------------------------------
+    def _ns_of(self, ident: str) -> str:
+        return ident.split(".")[-1]
+
+    def _table_of(self, ident: str) -> tuple[str, str]:
+        parts = ident.split(".")
+        if len(parts) >= 2:
+            return parts[-2], parts[-1]
+        if self.namespace is None:
+            raise ValueError(
+                f"table {ident!r} is unqualified and no namespace is "
+                f"active — run USE <namespace> first"
+            )
+        return self.namespace, parts[-1]
+
+    def _empty(self) -> DataFrame:
+        return self.spark.range(0).drop("id")
+
+    def _attach_current(self) -> None:
+        """Bare-name snapshot views for the active namespace (what
+        ``USE ns`` buys in the reference)."""
+        if self.namespace is None:
+            return
+        for name in self.catalog.tables(self.namespace):
+            t = self.catalog.table(self.namespace, name)
+            t.read(self.spark).createOrReplaceTempView(name)
+
+    # -- dispatch ------------------------------------------------------
+    def sql(self, statement: str) -> DataFrame:
+        s = statement.strip().rstrip(";")
+        if m := _CREATE_NS.match(s):
+            self.catalog.create_namespace(self._ns_of(m.group(1)))
+            return self._empty()
+        if _SHOW_NS.match(s):
+            return self.spark.createDataFrame(
+                [(ns,) for ns in self.catalog.namespaces()],
+                "namespace string",
+            )
+        if m := _USE.match(s):
+            ns = self._ns_of(m.group(1))
+            if ns not in self.catalog.namespaces():
+                raise ValueError(f"namespace {ns!r} does not exist")
+            self.namespace = ns
+            return self._empty()
+        if m := _SHOW_TABLES.match(s):
+            ns = self._ns_of(m.group(1)) if m.group(1) else self.namespace
+            if ns is None:
+                raise ValueError("SHOW TABLES needs USE <ns> or IN <ns>")
+            return self.spark.createDataFrame(
+                [(ns, t, False) for t in self.catalog.tables(ns)],
+                "namespace string, tableName string, isTemporary boolean",
+            )
+        if m := _DROP_TABLE.match(s):
+            ns, name = self._table_of(m.group(2))
+            if not self.catalog.table_exists(ns, name) and not m.group(1):
+                raise ValueError(f"table {ns}.{name} does not exist")
+            self.catalog.drop_table(ns, name)
+            return self._empty()
+        if m := _DROP_NS.match(s):
+            ns = self._ns_of(m.group(2))
+            if ns not in self.catalog.namespaces() and not m.group(1):
+                raise ValueError(f"namespace {ns!r} does not exist")
+            self.catalog.drop_namespace(ns, force=True)
+            return self._empty()
+        if _MERGE_HEAD.match(s):
+            return self._merge(s)
+        # everything else (SELECT / WITH / ...) runs on Spark SQL with
+        # the active namespace attached as bare-name views
+        self._attach_current()
+        return self.spark.sql(s)
+
+    # -- MERGE INTO ----------------------------------------------------
+    def _merge(self, s: str) -> DataFrame:
+        head = _MERGE_HEAD.match(s)
+        target_ident = head.group(1)
+        target_alias = head.group(2) or "target"
+        rest = s[head.end():].lstrip()
+
+        self._attach_current()  # USING may reference lakehouse tables
+        if rest.startswith("("):
+            depth, end = 0, None
+            for i, ch in enumerate(rest):
+                depth += ch == "("
+                depth -= ch == ")"
+                if depth == 0:
+                    end = i
+                    break
+            if end is None:
+                raise ValueError("unbalanced parentheses in MERGE USING")
+            source_df = self.spark.sql(rest[1:end])
+            rest = rest[end + 1 :]
+        else:
+            m = re.match(r"([\w.]+)", rest)
+            source_df = self.spark.table(m.group(1))
+            rest = rest[m.end():]
+
+        tail = _MERGE_TAIL.match(rest)
+        if not tail:
+            raise ValueError("unsupported MERGE syntax (expected ON ... WHEN ...)")
+        source_alias = tail.group(1) or "source"
+        cond, clauses = tail.group(2), tail.group(3)
+
+        keys = []
+        for part in re.split(r"\s+AND\s+", cond, flags=re.I):
+            eq = _EQ_KEY.match(part)
+            if not eq:
+                raise ValueError(
+                    f"unsupported MERGE ON term {part!r}: only "
+                    f"alias.col = alias.col equi-keys are dispatchable"
+                )
+            a_alias, a_col, b_alias, b_col = eq.groups()
+            if {a_alias, b_alias} != {target_alias, source_alias} or a_col != b_col:
+                raise ValueError(
+                    f"MERGE ON term {part!r} must equate the same column "
+                    f"of {target_alias!r} and {source_alias!r}"
+                )
+            keys.append(a_col)
+
+        saw_update = saw_insert = False
+        delete_pred = None
+        for w in _WHEN.finditer(clauses):
+            negated, pred, action = w.group(1), w.group(2), w.group(3).upper()
+            action = re.sub(r"\s+", " ", action)
+            if action == "UPDATE SET *" and not negated:
+                saw_update = True
+            elif action == "INSERT *" and negated:
+                saw_insert = True
+            elif action == "DELETE" and not negated and pred:
+                delete_pred = re.sub(
+                    rf"\b{re.escape(source_alias)}\.", "", pred
+                ).strip()
+            else:
+                raise ValueError(
+                    f"unsupported MERGE clause: WHEN "
+                    f"{'NOT ' if negated else ''}MATCHED ... THEN {action} "
+                    f"(dispatchable: UPDATE SET *, INSERT *, "
+                    f"conditional DELETE)"
+                )
+        if not (saw_update and saw_insert):
+            raise ValueError(
+                "MERGE must contain WHEN MATCHED THEN UPDATE SET * and "
+                "WHEN NOT MATCHED THEN INSERT *"
+            )
+
+        ns, name = self._table_of(target_ident)
+        table = self.catalog.table(ns, name)
+        merge_into(
+            self.spark, table, source_df, on=keys, delete_predicate=delete_pred
+        )
+        return self._empty()
