@@ -78,23 +78,26 @@ def main() -> None:
     force(R.q1_pricing_summary(spark, sf_dir))
 
     times: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name, fn in HEADLINE.items():
         overrides = QUERY_CONF.get(name, {})
         saved = {k: spark.conf.get(k) for k in overrides}
         for k, v in overrides.items():
             spark.conf.set(k, v)
         try:
-            # min of two runs: steady-state time, robust to background
-            # load spikes on a shared box (single runs varied +/-20%).
+            # min of three runs: steady-state time, robust to
+            # background load spikes on a shared box (single runs
+            # varied +/-20%, ~+/-1.5s on the suite total).
             # clearCache between runs so operators that persist
             # intermediates don't get a free warm-cache second run.
             runs = []
-            for _ in range(2):
+            for _ in range(3):
                 spark.catalog.clearCache()
                 t0 = time.perf_counter()
                 force(fn(spark, sf_dir))
                 runs.append(time.perf_counter() - t0)
             times[name] = round(min(runs), 3)
+            spreads[name] = round(max(runs) - min(runs), 3)
         finally:
             for k, v in saved.items():
                 spark.conf.set(k, v)
@@ -105,6 +108,12 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "sf": sf,
+        # protocol: per-query min of 3 cache-cleared runs; spread =
+        # max-min observed, so round-over-round diffs smaller than the
+        # spread are box noise, not regressions
+        "protocol": "min-of-3, clearCache between runs",
+        "spread": round(sum(spreads.values()), 3),
+        "query_spread": spreads,
     }
     print(json.dumps(out))
 
