@@ -246,16 +246,13 @@ def _ann_ivf_oracle(k: int = 5, n_centroids: int = 16, nprobe: int = 4) -> str:
       WHERE rn = 1
     """
     return f"""
-    WITH ranked AS (
-      SELECT vec_id, embedding, row_number() OVER (ORDER BY vec_id) AS rk
-      FROM embeddings
-    ),
-    params AS (SELECT greatest(1, count(*) // {n_centroids}) AS step FROM embeddings),
+    WITH params AS (SELECT greatest(1, count(*) // {n_centroids}) AS step FROM embeddings),
     seeds AS (
-      SELECT CAST((rk - 1) // step AS INTEGER) AS centroid_id,
-             CAST(embedding AS DOUBLE[]) AS cv
-      FROM ranked, params
-      WHERE (rk - 1) % step = 0 AND rk <= step * {n_centroids}
+      SELECT CAST(rk - 1 AS INTEGER) AS centroid_id, cv FROM (
+        SELECT CAST(embedding AS DOUBLE[]) AS cv,
+               row_number() OVER (ORDER BY vec_id) AS rk
+        FROM embeddings, params WHERE vec_id % step = 0)
+      WHERE rk <= {n_centroids}
     ),
     assign0 AS ({assign.format(cents='seeds')}),
     cells AS (

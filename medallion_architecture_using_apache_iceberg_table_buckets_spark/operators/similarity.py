@@ -124,7 +124,14 @@ def ivf_centroids(
     refine_iterations: int = 1,
 ) -> DataFrame:
     """Deterministic IVF centroids: seed with evenly-spaced corpus
-    vectors (by id rank), then `refine_iterations` Lloyd steps.
+    vectors (ids divisible by n/n_centroids), then
+    `refine_iterations` Lloyd steps.
+
+    Seeding never ranks the whole corpus: the id-mod filter reduces to
+    ~n_centroids candidate rows BEFORE the (tiny) global window — a
+    full-corpus row_number would funnel every vector through one
+    partition at 100 TB. For dense 0-based ids this selects exactly
+    the rank-spaced vectors.
 
     The refinement mean is computed distributively: posexplode the
     assigned vectors to (cluster, dim, value), average per cell, and
@@ -136,18 +143,17 @@ def ivf_centroids(
     the centroids (and everything downstream) are reproducible — the
     DuckDB oracle mirrors round(avg(x), 6).
     """
-    w = Window.orderBy(id_col)
-    ranked = df.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).alias("embedding"),
-        F.row_number().over(w).alias("_rk"),
-    )
-    n = ranked.count()
+    n = df.count()
     step = max(1, n // n_centroids)
+    cand = df.filter((F.col(id_col) % step) == 0).select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+    )
+    w = Window.orderBy("vec_id")  # ~n_centroids rows, not the corpus
     seeds = (
-        ranked.filter(((F.col("_rk") - 1) % step == 0) & (F.col("_rk") <= step * n_centroids))
+        cand.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n_centroids)
         .select(
-            (((F.col("_rk") - 1) / step).cast("int")).alias("centroid_id"),
+            (F.col("_rk") - 1).cast("int").alias("centroid_id"),
             F.col("embedding").alias("cv"),
         )
     )

@@ -70,3 +70,76 @@ def test_streaming_medallion_roundtrip(spark, tmp_path):
     assert stream_bronze_to_silver(
         spark, cat, "sales", "bronze", "silver", tmp_path / "ck_silver.json"
     ) == 0
+
+
+def test_windowed_counts_with_watermark_drops_late_data(spark, tmp_path):
+    """Event-time windows + watermark: a second drain must count
+    events within the watermark and drop ones older than
+    (max event time seen - delay), using the checkpointed watermark."""
+    import datetime
+
+    from pyspark.sql import types as T
+
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.streaming.windowed import (
+        run_windowed_counts,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+
+    def ts(h, m):
+        return datetime.datetime(2024, 1, 1, h, m)
+
+    inp = tmp_path / "stream_in"
+    inp.mkdir()
+    spark.createDataFrame(
+        [
+            (1, "click", 1.0, ts(10, 5)),
+            (2, "click", 2.0, ts(10, 40)),
+            (3, "view", 3.0, ts(11, 10)),
+            (4, "click", 4.0, ts(12, 0)),  # max event time -> wm 11:30
+        ],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(str(inp))
+
+    rows1 = []
+    run_windowed_counts(
+        spark, inp, schema, tmp_path / "ck",
+        lambda df, _id: rows1.extend(df.collect()),
+        window_duration="1 hour", watermark_delay="30 minutes",
+    )
+    got1 = {
+        (r["window_start"].hour, r["event_type"]): r["n_events"]
+        for r in rows1
+    }
+    assert got1 == {(10, "click"): 2, (11, "view"): 1, (12, "click"): 1}
+
+    # second batch: one event inside the watermark (11:45 >= 11:30),
+    # one hopelessly late (9:00 < 11:30)
+    spark.createDataFrame(
+        [
+            (5, "view", 5.0, ts(11, 45)),
+            (6, "click", 6.0, ts(9, 0)),
+        ],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(str(inp))
+
+    rows2 = []
+    run_windowed_counts(
+        spark, inp, schema, tmp_path / "ck",
+        lambda df, _id: rows2.extend(df.collect()),
+        window_duration="1 hour", watermark_delay="30 minutes",
+    )
+    got2 = {
+        (r["window_start"].hour, r["event_type"]): r["n_events"]
+        for r in rows2
+    }
+    # update mode: only the changed window appears; the 9:00 event
+    # must NOT have produced or updated any window
+    assert got2 == {(11, "view"): 2}
