@@ -116,6 +116,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": L.text_fingerprint,
         # multimodal metadata plumbing
         "multimodal_meta": L.multimodal_meta,
+        "multimodal_frames": L.multimodal_frames,
+        "multimodal_resize": L.multimodal_resize,
+        "multimodal_embed_dims": L.multimodal_embed_dims,
     }
 
 
@@ -882,5 +885,52 @@ def oracle_sql() -> dict[str, str]:
                    CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
                    sha256(text) AS sha256
             FROM documents
+        """,
+        "multimodal_frames": """
+            WITH media AS (
+              SELECT doc_id, octet_length(encode(text)) AS byte_len FROM documents
+            ),
+            n AS (
+              SELECT doc_id, byte_len,
+                     least(8, byte_len // 200 + 1) AS n_frames
+              FROM media
+            )
+            SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+                   CAST(i * 1000 AS BIGINT) AS frame_ts_ms,
+                   CAST(i * byte_len // n_frames AS BIGINT) AS byte_offset
+            FROM (SELECT doc_id, byte_len, n_frames,
+                         unnest(range(n_frames)) AS i
+                  FROM n)
+        """,
+        "multimodal_resize": """
+            WITH media AS (
+              SELECT doc_id, octet_length(encode(text)) AS len FROM documents
+            ),
+            dims AS (
+              SELECT doc_id, len % 640 + 1 AS w, len % 480 + 1 AS h FROM media
+            )
+            SELECT doc_id,
+                   CAST(w AS INTEGER) AS src_width,
+                   CAST(h AS INTEGER) AS src_height,
+                   CAST(CASE WHEN greatest(w, h) > 256
+                             THEN w * 256 // greatest(w, h) ELSE w END
+                        AS INTEGER) AS dst_width,
+                   CAST(CASE WHEN greatest(w, h) > 256
+                             THEN h * 256 // greatest(w, h) ELSE h END
+                        AS INTEGER) AS dst_height
+            FROM dims
+        """,
+        "multimodal_embed_dims": """
+            WITH h AS (SELECT doc_id, sha256(text) AS hx FROM documents)
+            SELECT doc_id,
+                   ('0x' || substr(hx, 1, 4))::BIGINT / 65535.0 AS d0,
+                   ('0x' || substr(hx, 5, 4))::BIGINT / 65535.0 AS d1,
+                   ('0x' || substr(hx, 9, 4))::BIGINT / 65535.0 AS d2,
+                   ('0x' || substr(hx, 13, 4))::BIGINT / 65535.0 AS d3,
+                   ('0x' || substr(hx, 17, 4))::BIGINT / 65535.0 AS d4,
+                   ('0x' || substr(hx, 21, 4))::BIGINT / 65535.0 AS d5,
+                   ('0x' || substr(hx, 25, 4))::BIGINT / 65535.0 AS d6,
+                   ('0x' || substr(hx, 29, 4))::BIGINT / 65535.0 AS d7
+            FROM h
         """,
     }

@@ -196,3 +196,34 @@ def multimodal_meta(spark, sf_dir):
     return attach_media(_docs(spark, sf_dir)).select(
         "doc_id", "media_type", "byte_len", "sha256"
     )
+
+
+def multimodal_frames(spark, sf_dir):
+    """1-to-N frame-sampling plumbing (video keyframe shape): row
+    explosion through mapInPandas with deterministic positions."""
+    from .multimodal import attach_media, frame_sample
+
+    return frame_sample(attach_media(_docs(spark, sf_dir)))
+
+
+def multimodal_resize(spark, sf_dir):
+    """Aspect-preserving resize geometry over fake-decoded dims."""
+    from .multimodal import attach_media, fake_decode_meta, resize_meta
+
+    return resize_meta(fake_decode_meta(attach_media(_docs(spark, sf_dir))))
+
+
+def multimodal_embed_dims(spark, sf_dir):
+    """Feature-extraction plumbing: batch-inference-shaped UDF
+    producing a fixed-dim vector; surfaced as scalar columns so the
+    driver's value-hash applies."""
+    from .multimodal import attach_media, fake_feature_extract
+
+    emb = fake_feature_extract(attach_media(_docs(spark, sf_dir)))
+    return emb.select(
+        "doc_id",
+        *[
+            F.element_at(F.col("embedding"), j + 1).alias(f"d{j}")
+            for j in range(8)
+        ],
+    )

@@ -224,3 +224,29 @@ def test_edit_distance_blocking_is_lossless(spark):
         if lev(a, b) <= 3
     }
     assert got == want
+
+
+def test_multimodal_frames_resize_embed(spark, docs_df):
+    media = M.attach_media(docs_df)
+    frames = M.frame_sample(media).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    blens = {r["doc_id"]: r["byte_len"] for r in media.collect()}
+    for doc_id, rows in by_doc.items():
+        n = min(8, blens[doc_id] // 200 + 1)
+        assert sorted(r["frame_idx"] for r in rows) == list(range(n))
+        assert all(0 <= r["byte_offset"] < blens[doc_id] for r in rows)
+
+    rz = M.resize_meta(M.fake_decode_meta(media)).collect()
+    for r in rz:
+        assert max(r["dst_width"], r["dst_height"]) <= 256
+        # aspect preserved within integer truncation
+        if max(r["src_width"], r["src_height"]) <= 256:
+            assert (r["dst_width"], r["dst_height"]) == (
+                r["src_width"], r["src_height"]
+            )
+
+    emb = {r["doc_id"]: r["embedding"] for r in M.fake_feature_extract(media).collect()}
+    assert all(len(v) == 8 and all(0.0 <= x <= 1.0 for x in v) for v in emb.values())
+    assert emb[1] == emb[2]  # identical content -> identical features
