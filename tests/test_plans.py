@@ -106,3 +106,42 @@ def test_merge_prunes_partitions(spark, tmp_path):
     untouched = [f for f in before if "part=p0" not in f]
     assert set(untouched) <= set(snap.files)
     assert all("part=p0" in f for f in snap.removed_files)
+
+
+def test_edit_distance_pairs_never_joins_all_pairs(spark, sf_dir):
+    """The candidate join must be an equi-join on (gram, occ); the
+    only nested-loop join allowed is the closed both-short fallback
+    (its inputs are filtered to len < 8)."""
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators import (
+        llm_queries as L,
+    )
+
+    plan = plan_of(L.string_distance_pairs(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # exactly one BNLJ: the short-string fallback
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_embedding_lsh_pairs_is_bucket_equi_join(spark, sf_dir):
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators import (
+        llm_queries as L,
+    )
+
+    plan = plan_of(L.dedup_embedding_lsh_pairs(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "bucket" in plan  # candidate join keyed on the LSH bucket
+
+
+def test_ann_lsh_and_ivf_no_cartesian_on_corpus(spark, sf_dir):
+    """The corpus side must join candidates on a key (bucket /
+    centroid), never nested-loop against the whole query set. (The
+    query-side crossJoin with broadcast centroids is fine: it is
+    |queries| x n_centroids, both tiny.)"""
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators import (
+        llm_queries as L,
+    )
+
+    lsh = plan_of(L.ann_lsh_topk(spark, sf_dir))
+    assert "CartesianProduct" not in lsh
+    assert "bucket" in lsh
