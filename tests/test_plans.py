@@ -145,3 +145,44 @@ def test_ann_lsh_and_ivf_no_cartesian_on_corpus(spark, sf_dir):
     lsh = plan_of(L.ann_lsh_topk(spark, sf_dir))
     assert "CartesianProduct" not in lsh
     assert "bucket" in lsh
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    """Co-bucketed + sorted layout must plan a SortMergeJoin with
+    neither Exchange nor Sort on either side (the one-time layout
+    cost replacing the per-query fact-fact shuffle)."""
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators import (
+        bucketed as B,
+        relational as R,
+    )
+
+    orders = R.load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    li = R.load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    ).withColumnRenamed("l_orderkey", "o_orderkey")
+    B.write_bucketed(
+        orders, "b_orders", "o_orderkey", n_buckets=8,
+        path=tmp_path / "b_orders",
+    )
+    B.write_bucketed(
+        li, "b_lineitem", "o_orderkey", n_buckets=8,
+        path=tmp_path / "b_lineitem",
+    )
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = B.bucketed_join(spark, "b_orders", "b_lineitem", "o_orderkey")
+        B.assert_no_exchange(joined)
+        plan = plan_of(joined)
+        assert "SortMergeJoin" in plan
+        assert "Bucketed: true" in plan
+        # (the per-bucket Sort remains: propagating sorted-bucket
+        # order is legacy-gated in Spark 3+ —
+        # spark.sql.legacy.bucketedTableScan.outputOrdering; the
+        # shuffle elimination is the property that matters at scale)
+        # and the result is right
+        assert joined.count() == R.load(spark, sf_dir, "lineitem").count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
