@@ -76,30 +76,35 @@ def _fan_out(df: DataFrame) -> DataFrame:
 
 
 def _doc_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
-    """Distinct (doc, shingle) pairs.
+    """Distinct (doc, shingle) pairs — zero shuffles beyond the
+    fan-out repartition.
 
-    Built as posexplode + lead() windows rather than per-index array
-    slicing: nested slice-in-transform re-evaluates the tokenization
-    chain per element (no CSE through lambdas), which measured ~10x
-    slower. The window shuffles once on doc_id and streams each
-    token list linearly.
+    The tokenized array is materialized BEHIND the repartition
+    barrier, then shingles index into that attribute
+    (element_at on the in-memory array). Ordering matters: with the
+    tokenization in the same stage as the indexing lambda, Catalyst
+    collapses the projections and re-evaluates the whole
+    normalize+split chain per element (measured ~10x slower, round-1
+    note); the Exchange in between blocks that collapse. Per-doc
+    dedup is array_distinct (row-local) instead of a .distinct()
+    shuffle of the exploded table, and the old lead()-window version
+    cost a second shuffle — both gone.
     """
-    from pyspark.sql import Window
-
-    toks = _fan_out(df).select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(words(text_col)).alias("pos", "word"),
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    leads = [F.col("word")] + [F.lead("word", i).over(w) for i in range(1, n)]
-    return (
-        toks.select(
-            "doc_id",
-            F.when(leads[-1].isNotNull(), F.concat_ws(" ", *leads)).alias("shingle"),
-        )
-        .filter(F.col("shingle").isNotNull())
-        .distinct()
-    )
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), words(text_col).alias("w")
+    ).repartition(df.sparkSession.sparkContext.defaultParallelism)
+    shingles = F.when(
+        F.size("w") >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - (n - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at("w", i + k) for k in range(n)]
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return toks.select("doc_id", F.explode(shingles).alias("shingle"))
 
 
 def ngram_jaccard_pairs(
@@ -264,9 +269,13 @@ def simhash_signatures(
     chunks, shift+mask) — reproducible in plain SQL. Doc bit b is
     1 when strictly more than half its tokens set the bit.
     """
-    w = _fan_out(df).select(
-        F.col(id_col).alias("doc_id"), F.explode(words(text_col)).alias("word")
-    ).distinct()
+    # per-doc distinct via array_distinct behind the fan-out barrier:
+    # row-local dedup, no (doc, word) shuffle (see _doc_shingles)
+    w = (
+        df.select(F.col(id_col).alias("doc_id"), words(text_col).alias("_ws"))
+        .repartition(df.sparkSession.sparkContext.defaultParallelism)
+        .select("doc_id", F.explode(F.array_distinct("_ws")).alias("word"))
+    )
     if token_ids == "md5":
         # Token bits come straight from md5: two 60-bit chunks of the
         # hex digest, bit b extracted with shift+mask. One hash + 62
