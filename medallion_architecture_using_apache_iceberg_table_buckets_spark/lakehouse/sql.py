@@ -41,6 +41,11 @@ _DROP_TABLE = re.compile(
 _DROP_NS = re.compile(
     r"^\s*DROP\s+NAMESPACE\s+(IF\s+EXISTS\s+)?([\w.]+)\s*$", re.I
 )
+_DELETE = re.compile(r"^\s*DELETE\s+FROM\s+([\w.]+)\s+WHERE\s+(.+)$", re.I | re.S)
+_UPDATE = re.compile(
+    r"^\s*UPDATE\s+([\w.]+)\s+SET\s+(.+?)\s+WHERE\s+(.+)$", re.I | re.S
+)
+_INSERT = re.compile(r"^\s*INSERT\s+INTO\s+([\w.]+)\s+(.+)$", re.I | re.S)
 _MERGE_HEAD = re.compile(
     r"^\s*MERGE\s+INTO\s+([\w.]+)(?:\s+AS\s+(\w+))?\s+USING\s+", re.I | re.S
 )
@@ -53,6 +58,28 @@ _WHEN = re.compile(
     re.I | re.S,
 )
 _EQ_KEY = re.compile(r"^\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*$")
+
+
+def _split_top_level(s: str) -> list[str]:
+    """Split on commas outside parentheses/quotes (UPDATE SET lists
+    whose expressions contain function calls or string literals)."""
+    parts, depth, start, quote = [], 0, 0, None
+    for i, ch in enumerate(s):
+        if quote:
+            if ch == quote:
+                quote = None
+            continue
+        if ch in ("'", '"'):
+            quote = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(s[start:i])
+            start = i + 1
+    parts.append(s[start:])
+    return [p for p in (x.strip() for x in parts) if p]
 
 
 class SqlSession:
@@ -131,6 +158,45 @@ class SqlSession:
             if ns not in self.catalog.namespaces() and not m.group(1):
                 raise ValueError(f"namespace {ns!r} does not exist")
             self.catalog.drop_namespace(ns, force=True)
+            return self._empty()
+        if m := _DELETE.match(s):
+            ns, name = self._table_of(m.group(1))
+            self.catalog.table(ns, name).delete_where(
+                self.spark, m.group(2).strip()
+            )
+            return self._empty()
+        if m := _UPDATE.match(s):
+            ns, name = self._table_of(m.group(1))
+            assignments = {}
+            for part in _split_top_level(m.group(2)):
+                col, expr = part.split("=", 1)
+                assignments[col.strip()] = expr.strip()
+            self.catalog.table(ns, name).update_where(
+                self.spark, assignments, m.group(3).strip()
+            )
+            return self._empty()
+        if m := _INSERT.match(s):
+            ns, name = self._table_of(m.group(1))
+            self._attach_current()
+            src = self.spark.sql(m.group(2).strip())  # SELECT or VALUES
+            t = self.catalog.table(ns, name)
+            fields = t.schema.fields
+            if len(src.columns) != len(fields):
+                raise ValueError(
+                    f"INSERT provides {len(src.columns)} columns, table "
+                    f"{ns}.{name} has {len(fields)} (positional insert "
+                    f"needs the full schema)"
+                )
+            from pyspark.sql import functions as _F
+
+            t.append(
+                src.select(
+                    *[
+                        _F.col(c).cast(f.dataType).alias(f.name)
+                        for c, f in zip(src.columns, fields)
+                    ]
+                )
+            )
             return self._empty()
         if _MERGE_HEAD.match(s):
             return self._merge(s)

@@ -300,6 +300,71 @@ class Table:
         files = [f for f in cur.files if f not in removed_set] + added
         return self._next_snapshot(operation, files, added, removed, df.schema, base)
 
+    def _touched_by(self, spark: SparkSession, condition: str) -> list[str]:
+        """Data files containing at least one row matching
+        ``condition`` — the discovery scan behind row-level DELETE and
+        UPDATE (file-scoped COW, same shape as MERGE's)."""
+        from urllib.parse import unquote
+
+        snap = self.current_snapshot()
+        df = self._read_files(spark, snap.files, self.schema)
+        hits = (
+            df.filter(F.expr(condition))
+            .select(F.input_file_name().alias("_f"))
+            .distinct()
+            .collect()
+        )
+        root = str(self.data_root)
+        out = []
+        for r in hits:
+            p = r["_f"]
+            if p.startswith("file:"):
+                p = unquote(p[len("file:"):])
+                while p.startswith("//"):
+                    p = p[1:]
+            out.append(str(Path(p).relative_to(root)))
+        return sorted(set(out))
+
+    def delete_where(self, spark: SparkSession, condition: str) -> Snapshot:
+        """Row-level DELETE: rewrite only the files that contain a
+        matching row (untouched files carry over in the manifest)."""
+        touched = self._touched_by(spark, condition)
+        if not touched:
+            return self.current_snapshot()
+        kept = self._read_files(spark, touched, self.schema).filter(
+            ~F.expr(condition) | F.expr(condition).isNull()
+        )
+        return self.replace_files(touched, kept, operation="delete")
+
+    def update_where(
+        self, spark: SparkSession, assignments: dict[str, str], condition: str
+    ) -> Snapshot:
+        """Row-level UPDATE ... SET col = expr WHERE cond, file-scoped
+        COW like delete_where. Assignment expressions may reference
+        any table column."""
+        schema = self.schema
+        names = [f.name for f in schema.fields]
+        for col in assignments:
+            if col not in names:
+                raise KeyError(f"no column {col!r}")
+        touched = self._touched_by(spark, condition)
+        if not touched:
+            return self.current_snapshot()
+        df = self._read_files(spark, touched, schema)
+        cond = F.expr(condition)
+        by_name = {f.name: f for f in schema.fields}
+        rewritten = df.select(
+            *[
+                F.when(cond, F.expr(assignments[n]).cast(by_name[n].dataType))
+                .otherwise(F.col(n))
+                .alias(n)
+                if n in assignments
+                else F.col(n)
+                for n in names
+            ]
+        )
+        return self.replace_files(touched, rewritten, operation="update")
+
     # ------------------------------------------------------------------
     # merge-on-read deltas + compaction
     # ------------------------------------------------------------------

@@ -138,3 +138,33 @@ def test_drop_statements_and_errors(spark, sess):
             "MERGE INTO t2 AS t USING t2 AS s ON t.invoiceid < s.invoiceid "
             "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
         )
+
+
+def test_row_level_insert_update_delete(spark, sess):
+    sess.sql("CREATE NAMESPACE IF NOT EXISTS ns")
+    sess.sql("USE ns")
+    t = sess.catalog.create_table("ns", "orders", SCHEMA)
+    sess.sql(
+        "INSERT INTO orders VALUES (1, 'Office', 10), (2, 'Books', 20), "
+        "(3, 'Games', 30)"
+    )
+    assert t.read(spark).count() == 3
+    sess.sql(
+        "UPDATE orders SET category = concat(category, '!'), "
+        "processed_time = processed_time + 1 WHERE invoiceid = 2"
+    )
+    got = {r["invoiceid"]: (r["category"], r["processed_time"])
+           for r in t.read(spark).collect()}
+    assert got[2] == ("Books!", 21)
+    assert got[1] == ("Office", 10)  # untouched
+    sess.sql("DELETE FROM orders WHERE invoiceid = 1")
+    assert {r["invoiceid"] for r in t.read(spark).collect()} == {2, 3}
+    # file-scoped: the delete rewrote only touched files
+    snap = t.current_snapshot()
+    assert snap.operation == "delete"
+    # INSERT ... SELECT over attached views
+    sess.sql(
+        "INSERT INTO orders SELECT invoiceid + 100, category, "
+        "processed_time FROM orders"
+    )
+    assert t.read(spark).count() == 4
