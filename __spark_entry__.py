@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": L.ann_ivf_topk,
         "skew_salted_agg": L.skew_salted_agg,
         "medallion_gold_mart": L.medallion_gold_mart,
+        "sql_dispatch_pipeline": L.sql_dispatch_pipeline,
         "string_distance_pairs": L.string_distance_pairs,
         # text analysis
         "text_langid": L.text_langid,
@@ -809,6 +810,26 @@ def oracle_sql() -> dict[str, str]:
                                        AS DECIMAL(18,4))) AS DOUBLE), 4)
                      AS total_value
             FROM events GROUP BY event_type
+        """,
+        "sql_dispatch_pipeline": """
+            WITH base AS (
+              SELECT event_id, event_type, value FROM events
+              WHERE event_id < 3000
+            ),
+            merged AS (
+              SELECT event_id, event_type,
+                     CASE WHEN event_id < 1000 THEN value * 2
+                          ELSE value END AS value
+              FROM base
+            ),
+            kept AS (
+              SELECT * FROM merged
+              WHERE event_type != 'error' OR event_type IS NULL
+            )
+            SELECT event_id, event_type,
+                   CASE WHEN event_type = 'signup' THEN value + 1
+                        ELSE value END AS value
+            FROM kept
         """,
         # blocking on the Spark side is lossless, so the oracle is
         # the plain all-distinct-pairs form

@@ -132,6 +132,47 @@ def medallion_gold_mart(spark, sf_dir):
     return cat.table("demo", "gold_by_type").read(spark)
 
 
+def sql_dispatch_pipeline(spark, sf_dir):
+    """The SQL-statement surface end-to-end: CREATE NAMESPACE / USE /
+    MERGE INTO (UPDATE SET * / INSERT *) / DELETE FROM / UPDATE / a
+    final SELECT — all as statement text through lakehouse.SqlSession,
+    against a throwaway warehouse seeded from the events table. The
+    oracle recomputes the same value transformations in plain SQL.
+
+    All arithmetic is FP-exact (x*2, x+1 on parquet doubles), so the
+    final doubles are bit-identical across engines."""
+    import tempfile
+
+    from ..lakehouse import Catalog
+
+    e = (
+        load(spark, sf_dir, "events")
+        .select("event_id", "event_type", "value")
+        .filter(F.col("event_id") < 3000)
+    )
+    cat = Catalog(tempfile.mkdtemp(prefix="mats_sqlq_"))
+    sess = cat.sql_session(spark)
+    sess.sql("CREATE NAMESPACE IF NOT EXISTS demo")
+    sess.sql("USE demo")
+    t = cat.create_table("demo", "ev", e.schema)
+    t.append(e)
+    e.filter(F.col("event_id") < 1000).createOrReplaceTempView("__sql_src")
+    sess.sql(
+        """
+        MERGE INTO ev AS target
+        USING (SELECT event_id, event_type, value * 2 AS value
+               FROM __sql_src) AS source
+        ON target.event_id = source.event_id
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+        """
+    )
+    sess.sql("DELETE FROM ev WHERE event_type = 'error'")
+    sess.sql("UPDATE ev SET value = value + 1 WHERE event_type = 'signup'")
+    spark.catalog.dropTempView("__sql_src")
+    return sess.sql("SELECT event_id, event_type, value FROM ev")
+
+
 def string_distance_pairs(spark, sf_dir):
     """Edit-distance near-match pairs (levenshtein <= 3) over the
     DISTINCT part names — the fuzzy-matching primitive for entity
