@@ -41,6 +41,13 @@ _DROP_TABLE = re.compile(
 _DROP_NS = re.compile(
     r"^\s*DROP\s+NAMESPACE\s+(IF\s+EXISTS\s+)?([\w.]+)\s*$", re.I
 )
+_CREATE_TABLE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*\((.+?)\)\s*"
+    r"(?:USING\s+\w+\s*)?"
+    r"(?:PARTITIONED\s+BY\s*\(([^)]*)\)\s*)?"
+    r"(?:TBLPROPERTIES\s*\((.*)\)\s*)?$",
+    re.I | re.S,
+)
 _DELETE = re.compile(r"^\s*DELETE\s+FROM\s+([\w.]+)\s+WHERE\s+(.+)$", re.I | re.S)
 _UPDATE = re.compile(
     r"^\s*UPDATE\s+([\w.]+)\s+SET\s+(.+?)\s+WHERE\s+(.+)$", re.I | re.S
@@ -159,6 +166,8 @@ class SqlSession:
                 raise ValueError(f"namespace {ns!r} does not exist")
             self.catalog.drop_namespace(ns, force=True)
             return self._empty()
+        if m := _CREATE_TABLE.match(s):
+            return self._create_table(m)
         if m := _DELETE.match(s):
             ns, name = self._table_of(m.group(1))
             self.catalog.table(ns, name).delete_where(
@@ -204,6 +213,49 @@ class SqlSession:
         # the active namespace attached as bare-name views
         self._attach_current()
         return self.spark.sql(s)
+
+    # -- CREATE TABLE --------------------------------------------------
+    def _create_table(self, m) -> DataFrame:
+        from pyspark.sql import types as T
+
+        if_not_exists, ident = bool(m.group(1)), m.group(2)
+        cols, part, props_raw = m.group(3), m.group(4), m.group(5)
+        ns, name = self._table_of(ident)
+        if self.catalog.table_exists(ns, name):
+            if if_not_exists:
+                return self._empty()
+            raise ValueError(f"table {ns}.{name} already exists")
+        fields = []
+        for coldef in _split_top_level(cols):
+            parts = coldef.split(None, 1)
+            if len(parts) != 2:
+                raise ValueError(f"bad column definition {coldef!r}")
+            cname, ctype = parts
+            nullable = True
+            low = ctype.lower()
+            if low.endswith("not null"):
+                ctype, nullable = ctype[: -len("not null")].strip(), False
+            fields.append(
+                T.StructField(
+                    cname, T._parse_datatype_string(ctype), nullable
+                )
+            )
+        partition_by = (
+            [p.strip() for p in part.split(",") if p.strip()] if part else ()
+        )
+        properties = {}
+        if props_raw:
+            for kv in _split_top_level(props_raw):
+                k, v = kv.split("=", 1)
+                properties[k.strip().strip("'\"")] = v.strip().strip("'\"")
+        self.catalog.create_table(
+            ns,
+            name,
+            T.StructType(fields),
+            partition_by=partition_by,
+            properties=properties or None,
+        )
+        return self._empty()
 
     # -- MERGE INTO ----------------------------------------------------
     def _merge(self, s: str) -> DataFrame:

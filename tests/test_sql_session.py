@@ -168,3 +168,37 @@ def test_row_level_insert_update_delete(spark, sess):
         "processed_time FROM orders"
     )
     assert t.read(spark).count() == 4
+
+
+def test_create_table_statement(spark, sess):
+    sess.sql("CREATE NAMESPACE IF NOT EXISTS ns")
+    sess.sql("USE ns")
+    sess.sql(
+        """
+        CREATE TABLE ns.silver_orders (
+            invoiceid BIGINT NOT NULL,
+            category STRING,
+            price DECIMAL(10,2),
+            orderdate DATE
+        ) USING iceberg
+        PARTITIONED BY (category)
+        TBLPROPERTIES ('write.merge.mode' = 'copy-on-write', 'fmt' = '2')
+        """
+    )
+    t = sess.catalog.table("ns", "silver_orders")
+    assert [f.name for f in t.schema.fields] == [
+        "invoiceid", "category", "price", "orderdate"
+    ]
+    assert t.schema.fields[0].nullable is False
+    assert t.partition_by == ["category"]
+    assert t.properties["write.merge.mode"] == "copy-on-write"
+    # IF NOT EXISTS is a no-op; without it, an error
+    sess.sql("CREATE TABLE IF NOT EXISTS silver_orders (x INT)")
+    with pytest.raises(ValueError, match="already exists"):
+        sess.sql("CREATE TABLE silver_orders (x INT)")
+    # created table is immediately usable through the dispatcher
+    sess.sql(
+        "INSERT INTO silver_orders VALUES "
+        "(1, 'Office', 9.99, DATE '2024-01-01')"
+    )
+    assert sess.sql("SELECT count(*) FROM silver_orders").collect()[0][0] == 1
