@@ -301,32 +301,49 @@ def simhash_signatures(
             return F.shiftright("tid_lo", b).bitwiseAND(F.lit(1))
         return F.shiftright("tid_hi", b - 60).bitwiseAND(F.lit(1))
 
-    # Pack 3 per-bit counters into each SUM using a 2^20 radix (valid
-    # while per-doc token counts < 2^20): 21 aggregate columns instead
-    # of 62 — measured 3.7x faster, bit-identical signatures.
-    radix = 1 << 20
+    # Pack per-bit counters into each SUM using a 2^radix_bits radix
+    # (20 bits -> 3 counters per 63-bit long -> 21 aggregate columns
+    # instead of 62 naive ones; measured 3.7x). Valid while every
+    # doc's distinct-token count stays below 2^radix_bits (1M at 20
+    # bits); a raise_error guard enforces that at run time — overflow
+    # would corrupt counters silently otherwise. Decoding reverses
+    # the packing, so signatures are bit-identical for ANY radix and
+    # the oracle needs no knowledge of it. (Denser 12-bit packing
+    # measured no faster locally: the candidate join dominates, and
+    # a 4096-token cap would reject real long documents.)
+    radix_bits = 20
+    radix = 1 << radix_bits
+    per = 63 // radix_bits
     packs = []
-    for g in range(0, SIMHASH_BITS, 3):
-        bits = [_bit(b) for b in range(g, min(g + 3, SIMHASH_BITS))]
+    for gi, g in enumerate(range(0, SIMHASH_BITS, per)):
+        bits = [_bit(b) for b in range(g, min(g + per, SIMHASH_BITS))]
         expr = bits[0].cast("long")
         for i, bcol in enumerate(bits[1:], start=1):
             expr = expr + bcol.cast("long") * F.lit(radix**i)
-        packs.append(F.sum(expr).alias(f"p{g // 3}"))
+        packs.append(F.sum(expr).alias(f"p{gi}"))
     counts = w.groupBy("doc_id").agg(F.count("*").alias("n_tok"), *packs)
     decoded = []
-    for g in range(0, SIMHASH_BITS, 3):
-        for i, b in enumerate(range(g, min(g + 3, SIMHASH_BITS))):
+    for gi, g in enumerate(range(0, SIMHASH_BITS, per)):
+        for i, b in enumerate(range(g, min(g + per, SIMHASH_BITS))):
             c = (
-                F.expr(f"p{g // 3} div {radix**i}") % radix
+                F.expr(f"p{gi} div {radix**i}") % radix
                 if i
-                else F.col(f"p{g // 3}") % radix
+                else F.col(f"p{gi}") % radix
             )
             decoded.append(
                 F.when(2 * c > F.col("n_tok"), 1).otherwise(0).cast("long")
                 * F.lit(2**b)
             )
     sim = sum(decoded)
-    return counts.select("doc_id", sim.alias("simhash"))
+    guarded = F.when(F.col("n_tok") < radix, sim).otherwise(
+        F.raise_error(
+            F.lit(
+                f"simhash counter overflow: doc has >= {radix} distinct "
+                f"tokens; raise radix_bits"
+            )
+        )
+    )
+    return counts.select("doc_id", guarded.alias("simhash"))
 
 
 def simhash_pairs(
