@@ -424,7 +424,7 @@ def keep_list(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFr
     return df.join(drops, id_col, "left_anti")
 
 
-def embedding_cosine_pairs(
+def embedding_cosine_pairs_brute(
     df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",

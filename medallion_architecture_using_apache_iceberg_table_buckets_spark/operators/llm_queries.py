@@ -66,8 +66,8 @@ def dedup_simhash_pairs(spark, sf_dir):
     return D.simhash_pairs(corpus, max_hamming=3)
 
 
-def dedup_embedding_pairs(spark, sf_dir):
-    return D.embedding_cosine_pairs(load(spark, sf_dir, "embeddings"), threshold=0.4)
+def dedup_embedding_pairs_brute(spark, sf_dir):
+    return D.embedding_cosine_pairs_brute(load(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
 def dedup_embedding_lsh_pairs(spark, sf_dir):

@@ -87,7 +87,7 @@ def test_embedding_pairs_and_topk(spark):
     ]
     df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
     pairs = {(r["id_a"], r["id_b"]): r["cos_sim"] for r in
-             D.embedding_cosine_pairs(df, threshold=0.9).collect()}
+             D.embedding_cosine_pairs_brute(df, threshold=0.9).collect()}
     assert list(pairs) == [(1, 2)]
     assert pairs[(1, 2)] > 0.99
 
