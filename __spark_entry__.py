@@ -68,6 +68,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames": L.multimodal_frames,
         "multimodal_resize": L.multimodal_resize,
         "multimodal_embed_dims": L.multimodal_embed_dims,
+        # new in round 3: CTAS + VERSION AS OF + metadata-table SQL
+        "sql_ctas_time_travel": L.sql_ctas_time_travel,
         # --- previously-green contract queries ---
         # §2.5/§2.6 windows + top-k
         "w1_latest_per_key": R.w1_latest_per_key,
@@ -88,7 +90,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_percentiles": R.agg_percentiles,
         "agg_collect_sorted": R.agg_collect_sorted,
         "pivot_event_counts": R.pivot_event_counts,
-        "window_moving_avg": R.window_moving_avg,
         "join_full_outer_spend": R.join_full_outer_spend,
         "subquery_max_order": R.subquery_max_order,
         "catalog_history_metadata": R.catalog_history_metadata,
@@ -129,6 +130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_except_nonbuyers": R.set_except_nonbuyers,
         "scalar_string_math": R.scalar_string_math,
         "date_arithmetic": R.date_arithmetic,
+        "window_moving_avg": R.window_moving_avg,
     }
 
 
@@ -778,6 +780,30 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id FROM corpus
             WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
+        """,
+        "sql_ctas_time_travel": """
+            WITH base AS (
+              SELECT event_id, event_type, value FROM events
+              WHERE event_id < 2000
+            ),
+            cur AS (
+              SELECT event_id, event_type,
+                     CASE WHEN event_type = 'signup' THEN value * 2
+                          ELSE value END AS value
+              FROM base WHERE event_type <> 'error'
+            ),
+            mart AS (
+              SELECT event_type, count(*) AS n_now,
+                     round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2)
+                         AS total_now
+              FROM cur GROUP BY event_type
+            ),
+            old AS (
+              SELECT event_type, count(*) AS n_v1 FROM base GROUP BY event_type
+            )
+            SELECT m.event_type, m.n_now, m.total_now, old.n_v1,
+                   CAST(4 AS BIGINT) AS n_commits
+            FROM mart m JOIN old ON m.event_type = old.event_type
         """,
         "dedup_embedding_pairs_brute": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -48,6 +48,29 @@ _CREATE_TABLE = re.compile(
     r"(?:TBLPROPERTIES\s*\((.*)\)\s*)?$",
     re.I | re.S,
 )
+_CTAS = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*"
+    r"(?:USING\s+\w+\s*)?"
+    r"(?:PARTITIONED\s+BY\s*\(([^)]*)\)\s*)?"
+    r"(?:TBLPROPERTIES\s*\((.*?)\)\s*)?"
+    r"AS\s+((?:SELECT|WITH)\b.+)$",
+    re.I | re.S,
+)
+# ``SELECT * FROM <table>.history`` — the reference's own silver job
+# statement (scripts/bronze-silver.py:119). Matched only right after
+# FROM/JOIN so ``alias.history`` column refs are never touched.
+_META_REF = re.compile(
+    r"\b(FROM|JOIN)\s+((?:\w+\.)*\w+)\.(history|snapshots|files)\b", re.I
+)
+# Iceberg-style time travel in statement text:
+#   FROM t VERSION AS OF 123 / FOR SYSTEM_VERSION AS OF 123
+#   FROM t TIMESTAMP AS OF '2026-01-01 00:00:00' / FOR SYSTEM_TIME AS OF ...
+_TIME_TRAVEL = re.compile(
+    r"\b(FROM|JOIN)\s+((?:\w+\.)*\w+)\s+(?:FOR\s+)?"
+    r"(?:(?:SYSTEM_VERSION|VERSION)\s+AS\s+OF\s+(\d+)"
+    r"|(?:SYSTEM_TIME|TIMESTAMP)\s+AS\s+OF\s+'([^']*)')",
+    re.I,
+)
 _DELETE = re.compile(r"^\s*DELETE\s+FROM\s+([\w.]+)\s+WHERE\s+(.+)$", re.I | re.S)
 _UPDATE = re.compile(
     r"^\s*UPDATE\s+([\w.]+)\s+SET\s+(.+?)\s+WHERE\s+(.+)$", re.I | re.S
@@ -69,14 +92,19 @@ _EQ_KEY = re.compile(r"^\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*$")
 
 def _split_top_level(s: str) -> list[str]:
     """Split on commas outside parentheses/quotes (UPDATE SET lists
-    whose expressions contain function calls or string literals)."""
+    whose expressions contain function calls or string literals).
+    Doubled quotes (``'it''s'``) stay inside one literal."""
     parts, depth, start, quote = [], 0, 0, None
-    for i, ch in enumerate(s):
+    i, n = 0, len(s)
+    while i < n:
+        ch = s[i]
         if quote:
             if ch == quote:
+                if i + 1 < n and s[i + 1] == quote:  # '' escape
+                    i += 2
+                    continue
                 quote = None
-            continue
-        if ch in ("'", '"'):
+        elif ch in ("'", '"'):
             quote = ch
         elif ch == "(":
             depth += 1
@@ -85,8 +113,70 @@ def _split_top_level(s: str) -> list[str]:
         elif ch == "," and depth == 0:
             parts.append(s[start:i])
             start = i + 1
+        i += 1
     parts.append(s[start:])
     return [p for p in (x.strip() for x in parts) if p]
+
+
+def _quote_mask(s: str) -> list[bool]:
+    """Per-character flag: True where ``s[i]`` belongs to a string
+    literal (quotes included, ``''`` escapes handled)."""
+    mask = [False] * len(s)
+    quote = None
+    i, n = 0, len(s)
+    while i < n:
+        ch = s[i]
+        if quote:
+            mask[i] = True
+            if ch == quote:
+                if i + 1 < n and s[i + 1] == quote:
+                    mask[i + 1] = True
+                    i += 2
+                    continue
+                quote = None
+        elif ch in ("'", '"'):
+            mask[i] = True
+            quote = ch
+        i += 1
+    return mask
+
+
+def _sub_unquoted(pattern: re.Pattern, fn, s: str) -> str:
+    """``pattern.sub(fn, s)`` skipping matches that START inside a
+    string literal — so ``'text mentioning FROM t.history'`` is never
+    rewritten, while real syntax whose match merely *ends* in a
+    literal (``TIMESTAMP AS OF '...'``) still is."""
+    mask = _quote_mask(s)
+
+    def guarded(m: re.Match) -> str:
+        return m.group(0) if mask[m.start()] else fn(m)
+
+    return pattern.sub(guarded, s)
+
+
+def _balanced_paren_end(s: str) -> int | None:
+    """Index of the ``)`` closing the paren at ``s[0]``, ignoring
+    parens inside string literals. None if unbalanced."""
+    depth, quote = 0, None
+    i, n = 0, len(s)
+    while i < n:
+        ch = s[i]
+        if quote:
+            if ch == quote:
+                if i + 1 < n and s[i + 1] == quote:
+                    i += 2
+                    continue
+                quote = None
+        elif ch in ("'", '"'):
+            quote = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+        i += 1
+    return None
 
 
 class SqlSession:
@@ -129,6 +219,62 @@ class SqlSession:
             t = self.catalog.table(self.namespace, name)
             t.read(self.spark).createOrReplaceTempView(name)
 
+    # -- statement-text rewrites (metadata tables, time travel) --------
+    def _known(self, ident: str) -> tuple[str, str] | None:
+        try:
+            ns, name = self._table_of(ident)
+        except ValueError:
+            return None
+        if ns not in self.catalog.namespaces() or not self.catalog.table_exists(
+            ns, name
+        ):
+            return None
+        return ns, name
+
+    def _meta_sub(self, m: re.Match) -> str:
+        resolved = self._known(m.group(2))
+        if resolved is None:
+            return m.group(0)
+        ns, name = resolved
+        suffix = m.group(3).lower()
+        view = f"__{ns}__{name}__{suffix}"
+        df = getattr(self.catalog.table(ns, name), f"{suffix}_df")(self.spark)
+        df.createOrReplaceTempView(view)
+        return f"{m.group(1)} {view}"
+
+    def _tt_sub(self, m: re.Match) -> str:
+        resolved = self._known(m.group(2))
+        if resolved is None:
+            return m.group(0)
+        ns, name = resolved
+        t = self.catalog.table(ns, name)
+        if m.group(3) is not None:
+            sid = int(m.group(3))
+        else:
+            from datetime import datetime, timezone
+
+            dt = datetime.fromisoformat(m.group(4))
+            if dt.tzinfo is None:
+                dt = dt.replace(tzinfo=timezone.utc)
+            ts_ms = int(dt.timestamp() * 1000)
+            older = [s for s in t.snapshots() if s.timestamp_ms <= ts_ms]
+            if not older:
+                raise ValueError(
+                    f"no snapshot of {ns}.{name} at or before {m.group(4)!r}"
+                )
+            sid = older[-1].snapshot_id
+        view = f"__{ns}__{name}__v{sid}"
+        t.read(self.spark, snapshot_id=sid).createOrReplaceTempView(view)
+        return f"{m.group(1)} {view}"
+
+    def _rewrite_refs(self, s: str) -> str:
+        """Resolve ``FROM t.history``-style metadata references and
+        ``VERSION/TIMESTAMP AS OF`` time travel into registered
+        snapshot views. Pure driver-side text rewrite; matches
+        starting inside string literals are left alone."""
+        s = _sub_unquoted(_META_REF, self._meta_sub, s)
+        return _sub_unquoted(_TIME_TRAVEL, self._tt_sub, s)
+
     # -- dispatch ------------------------------------------------------
     def sql(self, statement: str) -> DataFrame:
         s = statement.strip().rstrip(";")
@@ -166,6 +312,8 @@ class SqlSession:
                 raise ValueError(f"namespace {ns!r} does not exist")
             self.catalog.drop_namespace(ns, force=True)
             return self._empty()
+        if m := _CTAS.match(s):
+            return self._create_table_as(m)
         if m := _CREATE_TABLE.match(s):
             return self._create_table(m)
         if m := _DELETE.match(s):
@@ -187,7 +335,8 @@ class SqlSession:
         if m := _INSERT.match(s):
             ns, name = self._table_of(m.group(1))
             self._attach_current()
-            src = self.spark.sql(m.group(2).strip())  # SELECT or VALUES
+            # SELECT or VALUES
+            src = self.spark.sql(self._rewrite_refs(m.group(2).strip()))
             t = self.catalog.table(ns, name)
             fields = t.schema.fields
             if len(src.columns) != len(fields):
@@ -212,7 +361,7 @@ class SqlSession:
         # everything else (SELECT / WITH / ...) runs on Spark SQL with
         # the active namespace attached as bare-name views
         self._attach_current()
-        return self.spark.sql(s)
+        return self.spark.sql(self._rewrite_refs(s))
 
     # -- CREATE TABLE --------------------------------------------------
     def _create_table(self, m) -> DataFrame:
@@ -257,6 +406,42 @@ class SqlSession:
         )
         return self._empty()
 
+    # -- CREATE TABLE AS SELECT ----------------------------------------
+    def _create_table_as(self, m: re.Match) -> DataFrame:
+        """CTAS: evaluate the SELECT against the active namespace's
+        views (metadata/time-travel rewrites included), then create
+        the table from the result's schema and load it in one append.
+
+        Scale note: the SELECT stays one Spark plan end-to-end; the
+        append is a single partitioned parquet write — no row ever
+        passes through the driver."""
+        if_not_exists, ident = bool(m.group(1)), m.group(2)
+        part, props_raw, select = m.group(3), m.group(4), m.group(5)
+        ns, name = self._table_of(ident)
+        if self.catalog.table_exists(ns, name):
+            if if_not_exists:
+                return self._empty()
+            raise ValueError(f"table {ns}.{name} already exists")
+        self._attach_current()
+        df = self.spark.sql(self._rewrite_refs(select.strip()))
+        partition_by = (
+            [p.strip() for p in part.split(",") if p.strip()] if part else ()
+        )
+        properties = {}
+        if props_raw:
+            for kv in _split_top_level(props_raw):
+                k, v = kv.split("=", 1)
+                properties[k.strip().strip("'\"")] = v.strip().strip("'\"")
+        self.catalog.create_table(
+            ns,
+            name,
+            df.schema,
+            partition_by=partition_by,
+            properties=properties or None,
+        )
+        self.catalog.table(ns, name).append(df)
+        return self._empty()
+
     # -- MERGE INTO ----------------------------------------------------
     def _merge(self, s: str) -> DataFrame:
         head = _MERGE_HEAD.match(s)
@@ -266,16 +451,10 @@ class SqlSession:
 
         self._attach_current()  # USING may reference lakehouse tables
         if rest.startswith("("):
-            depth, end = 0, None
-            for i, ch in enumerate(rest):
-                depth += ch == "("
-                depth -= ch == ")"
-                if depth == 0:
-                    end = i
-                    break
+            end = _balanced_paren_end(rest)
             if end is None:
                 raise ValueError("unbalanced parentheses in MERGE USING")
-            source_df = self.spark.sql(rest[1:end])
+            source_df = self.spark.sql(self._rewrite_refs(rest[1:end]))
             rest = rest[end + 1 :]
         else:
             m = re.match(r"([\w.]+)", rest)
@@ -306,14 +485,32 @@ class SqlSession:
 
         saw_update = saw_insert = False
         delete_pred = None
+        # Every byte of the WHEN region must be consumed by a
+        # recognized clause: a WHEN variant the regex cannot parse
+        # (e.g. WHEN NOT MATCHED BY SOURCE THEN DELETE) surfaces as a
+        # gap and raises, instead of silently altering semantics.
+        pos = 0
         for w in _WHEN.finditer(clauses):
+            gap = clauses[pos : w.start()].strip()
+            if gap:
+                raise ValueError(
+                    f"unsupported MERGE clause near {gap[:80]!r} "
+                    f"(dispatchable: WHEN MATCHED THEN UPDATE SET *, "
+                    f"WHEN NOT MATCHED THEN INSERT *, "
+                    f"WHEN MATCHED AND <pred> THEN DELETE)"
+                )
+            pos = w.end()
             negated, pred, action = w.group(1), w.group(2), w.group(3).upper()
             action = re.sub(r"\s+", " ", action)
-            if action == "UPDATE SET *" and not negated:
+            if action == "UPDATE SET *" and not negated and not pred:
                 saw_update = True
-            elif action == "INSERT *" and negated:
+            elif action == "INSERT *" and negated and not pred:
                 saw_insert = True
             elif action == "DELETE" and not negated and pred:
+                if delete_pred is not None:
+                    raise ValueError(
+                        "duplicate WHEN MATCHED ... THEN DELETE clause"
+                    )
                 delete_pred = re.sub(
                     rf"\b{re.escape(source_alias)}\.", "", pred
                 ).strip()
@@ -324,6 +521,11 @@ class SqlSession:
                     f"(dispatchable: UPDATE SET *, INSERT *, "
                     f"conditional DELETE)"
                 )
+        tail_gap = clauses[pos:].strip()
+        if tail_gap:
+            raise ValueError(
+                f"unsupported MERGE clause near {tail_gap[:80]!r}"
+            )
         if not (saw_update and saw_insert):
             raise ValueError(
                 "MERGE must contain WHEN MATCHED THEN UPDATE SET * and "

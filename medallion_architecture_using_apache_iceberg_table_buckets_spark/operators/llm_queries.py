@@ -173,6 +173,56 @@ def sql_dispatch_pipeline(spark, sf_dir):
     return sess.sql("SELECT event_id, event_type, value FROM ev")
 
 
+def sql_ctas_time_travel(spark, sf_dir):
+    """Round-trips the round-3 SQL surface: CTAS materializing a gold
+    mart, ``VERSION AS OF`` time travel, and a metadata table
+    (``ev.snapshots``) — all as statement text through
+    lakehouse.SqlSession (the way the reference drives everything,
+    scripts/bronze-silver.py:119,213). The oracle recomputes each
+    state transition in plain SQL; commit counts are fixed by
+    construction (create + append + delete + update = 4).
+
+    Sums go through DECIMAL(18,4) before the final double so the
+    aggregation is order-insensitive and engine-exact."""
+    import tempfile
+
+    from ..lakehouse import Catalog
+
+    e = (
+        load(spark, sf_dir, "events")
+        .select("event_id", "event_type", "value")
+        .filter(F.col("event_id") < 2000)
+    )
+    cat = Catalog(tempfile.mkdtemp(prefix="mats_ctas_"))
+    sess = cat.sql_session(spark)
+    sess.sql("CREATE NAMESPACE IF NOT EXISTS demo")
+    sess.sql("USE demo")
+    t = cat.create_table("demo", "ev", e.schema)
+    t.append(e)
+    v1 = t.latest_snapshot_id()
+    sess.sql("DELETE FROM ev WHERE event_type = 'error'")
+    sess.sql("UPDATE ev SET value = value * 2 WHERE event_type = 'signup'")
+    sess.sql(
+        """
+        CREATE TABLE demo.mart PARTITIONED BY (event_type) AS
+        SELECT event_type, count(*) AS n_now,
+               round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2)
+                   AS total_now
+        FROM ev GROUP BY event_type
+        """
+    )
+    return sess.sql(
+        f"""
+        SELECT m.event_type, m.n_now, m.total_now, old.n_v1, s.n_commits
+        FROM mart m
+        JOIN (SELECT event_type, count(*) AS n_v1
+              FROM ev VERSION AS OF {v1} GROUP BY event_type) old
+          ON m.event_type = old.event_type
+        CROSS JOIN (SELECT count(*) AS n_commits FROM ev.snapshots) s
+        """
+    )
+
+
 def string_distance_pairs(spark, sf_dir):
     """Edit-distance near-match pairs (levenshtein <= 3) over the
     DISTINCT part names — the fuzzy-matching primitive for entity

@@ -202,3 +202,189 @@ def test_create_table_statement(spark, sess):
         "(1, 'Office', 9.99, DATE '2024-01-01')"
     )
     assert sess.sql("SELECT count(*) FROM silver_orders").collect()[0][0] == 1
+
+
+def test_metadata_tables_via_sql(spark, sess):
+    """The reference's silver job runs the literal statement
+    ``SELECT * FROM {table}.history`` (scripts/bronze-silver.py:119);
+    .snapshots and .files resolve the same way."""
+    sess.sql("CREATE NAMESPACE IF NOT EXISTS example_namespace")
+    sess.sql("USE example_namespace")
+    t = sess.catalog.create_table("example_namespace", "orders", SCHEMA)
+    t.append(spark.createDataFrame([(1, "A", 1)], SCHEMA))
+    t.append(spark.createDataFrame([(2, "B", 2)], SCHEMA))
+
+    hist = sess.sql("SELECT * FROM orders.history").collect()
+    assert len(hist) == 3  # create + 2 appends
+    assert all(r["is_current_ancestor"] for r in hist)
+    # fully-qualified (catalog-prefixed) spelling, as the reference
+    # writes it
+    hist2 = sess.sql(
+        "SELECT snapshot_id FROM s3tablesbucket.example_namespace.orders.history"
+    ).collect()
+    assert {r["snapshot_id"] for r in hist2} == {r["snapshot_id"] for r in hist}
+
+    snaps = sess.sql(
+        "SELECT operation, snapshot_id FROM orders.snapshots ORDER BY committed_at"
+    ).collect()
+    assert [r["operation"] for r in snaps] == ["create", "append", "append"]
+
+    files = sess.sql(
+        "SELECT file_path, record_count FROM orders.files"
+    ).collect()
+    assert sum(r["record_count"] for r in files) == 2
+    # metadata tables join against data tables in one statement
+    joined = sess.sql(
+        "SELECT count(*) AS n FROM orders.snapshots s JOIN orders.history h "
+        "ON s.snapshot_id = h.snapshot_id"
+    ).collect()
+    assert joined[0]["n"] == 3
+    # a quoted literal mentioning FROM x.history is never rewritten
+    lit = sess.sql(
+        "SELECT 'not FROM orders.history' AS s FROM orders LIMIT 1"
+    ).collect()
+    assert lit[0]["s"] == "not FROM orders.history"
+
+
+def test_time_travel_via_sql(spark, sess):
+    sess.sql("CREATE NAMESPACE IF NOT EXISTS ns")
+    sess.sql("USE ns")
+    t = sess.catalog.create_table("ns", "orders", SCHEMA)
+    t.append(spark.createDataFrame([(1, "A", 1)], SCHEMA))
+    v1 = t.latest_snapshot_id()
+    ts1 = [s for s in t.snapshots() if s.snapshot_id == v1][0].timestamp_ms
+    t.append(spark.createDataFrame([(2, "B", 2)], SCHEMA))
+
+    assert sess.sql("SELECT count(*) FROM orders").collect()[0][0] == 2
+    assert (
+        sess.sql(f"SELECT count(*) FROM orders VERSION AS OF {v1}").collect()[0][0]
+        == 1
+    )
+    assert (
+        sess.sql(
+            f"SELECT count(*) FROM orders FOR SYSTEM_VERSION AS OF {v1}"
+        ).collect()[0][0]
+        == 1
+    )
+    import datetime as dt
+
+    stamp = dt.datetime.fromtimestamp(
+        ts1 / 1000, dt.timezone.utc
+    ).strftime("%Y-%m-%d %H:%M:%S.%f+00:00")
+    got = sess.sql(
+        f"SELECT count(*) FROM orders TIMESTAMP AS OF '{stamp}'"
+    ).collect()[0][0]
+    assert got == 1
+    with pytest.raises(ValueError, match="no snapshot"):
+        sess.sql(
+            "SELECT * FROM orders TIMESTAMP AS OF '1999-01-01 00:00:00+00:00'"
+        )
+
+
+def test_create_table_as_select(spark, sess):
+    sess.sql("CREATE NAMESPACE IF NOT EXISTS ns")
+    sess.sql("USE ns")
+    t = sess.catalog.create_table("ns", "orders", SCHEMA)
+    t.append(
+        spark.createDataFrame(
+            [(1, "Office", 10), (2, "Books", 20), (3, "Office", 30)], SCHEMA
+        )
+    )
+    sess.sql(
+        """
+        CREATE TABLE ns.category_mart
+        USING iceberg
+        PARTITIONED BY (category)
+        TBLPROPERTIES ('origin' = 'ctas')
+        AS SELECT category, count(*) AS n, sum(processed_time) AS total
+           FROM orders GROUP BY category
+        """
+    )
+    mart = sess.catalog.table("ns", "category_mart")
+    assert mart.partition_by == ["category"]
+    assert mart.properties["origin"] == "ctas"
+    got = {r["category"]: (r["n"], r["total"])
+           for r in sess.sql("SELECT * FROM category_mart").collect()}
+    assert got == {"Office": (2, 40), "Books": (1, 20)}
+    # IF NOT EXISTS no-op; plain re-create raises
+    sess.sql("CREATE TABLE IF NOT EXISTS category_mart AS SELECT 1 AS x")
+    with pytest.raises(ValueError, match="already exists"):
+        sess.sql("CREATE TABLE category_mart AS SELECT 1 AS x")
+    # CTAS straight off a metadata table
+    sess.sql(
+        "CREATE TABLE ns.audit AS SELECT snapshot_id, operation "
+        "FROM orders.snapshots"
+    )
+    assert sess.sql("SELECT count(*) FROM audit").collect()[0][0] == 2
+
+
+def test_merge_rejects_unsupported_clauses(spark, sess):
+    sess.sql("CREATE NAMESPACE IF NOT EXISTS ns")
+    sess.sql("USE ns")
+    t = sess.catalog.create_table("ns", "orders", SCHEMA)
+    t.append(spark.createDataFrame([(1, "A", 1)], SCHEMA))
+    spark.createDataFrame([(1, "A2", 5)], SCHEMA).createOrReplaceTempView(
+        "__src"
+    )
+    base = (
+        "MERGE INTO orders AS target USING __src AS source "
+        "ON target.invoiceid = source.invoiceid "
+    )
+    # silently-droppable-before: WHEN NOT MATCHED BY SOURCE must raise
+    with pytest.raises(ValueError, match="unsupported MERGE clause"):
+        sess.sql(
+            base
+            + "WHEN MATCHED THEN UPDATE SET * "
+            + "WHEN NOT MATCHED THEN INSERT * "
+            + "WHEN NOT MATCHED BY SOURCE THEN DELETE"
+        )
+    # duplicate conditional DELETE must raise, not last-one-wins
+    with pytest.raises(ValueError, match="duplicate"):
+        sess.sql(
+            base
+            + "WHEN MATCHED AND source.category = 'X' THEN DELETE "
+            + "WHEN MATCHED AND source.category = 'Y' THEN DELETE "
+            + "WHEN MATCHED THEN UPDATE SET * "
+            + "WHEN NOT MATCHED THEN INSERT *"
+        )
+    # conditional UPDATE SET * (predicate would be silently dropped)
+    with pytest.raises(ValueError, match="unsupported MERGE clause"):
+        sess.sql(
+            base
+            + "WHEN MATCHED AND source.category = 'X' THEN UPDATE SET * "
+            + "WHEN NOT MATCHED THEN INSERT *"
+        )
+    # the table is untouched by all rejected statements
+    assert {r["category"] for r in t.read(spark).collect()} == {"A"}
+
+
+def test_quote_robust_parsing(spark, sess):
+    """String literals containing parens/commas/doubled quotes must
+    not derail the USING paren scan or SET-list splitting."""
+    sess.sql("CREATE NAMESPACE IF NOT EXISTS ns")
+    sess.sql("USE ns")
+    t = sess.catalog.create_table("ns", "orders", SCHEMA)
+    t.append(spark.createDataFrame([(1, "A", 1), (2, "B", 1)], SCHEMA))
+    # paren + doubled-quote inside the USING subquery's literals
+    sess.sql(
+        """
+        MERGE INTO orders AS target
+        USING (
+            SELECT 1 AS invoiceid, concat('it''s (x', ')') AS category,
+                   9 AS processed_time
+        ) AS source
+        ON target.invoiceid = source.invoiceid
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+        """
+    )
+    got = {r["invoiceid"]: r["category"] for r in t.read(spark).collect()}
+    assert got[1] == "it's (x)"
+    # UPDATE SET list with ')' and ',' and '' escapes in literals
+    sess.sql(
+        "UPDATE orders SET category = concat(category, ' (a,b)', ''''), "
+        "processed_time = 7 WHERE invoiceid = 2"
+    )
+    got = {r["invoiceid"]: (r["category"], r["processed_time"])
+           for r in t.read(spark).collect()}
+    assert got[2] == ("B (a,b)'", 7)
