@@ -5,10 +5,11 @@ The reference imports ``from_avro``/``to_avro``
 from this environment. Rather than leave the data plane untranslated,
 this module implements the Avro 1.11 BINARY ENCODING (public spec:
 zigzag-varint ints/longs, little-endian IEEE floats, length-prefixed
-strings/bytes, union-index prefix, logical date = days-int and
-timestamp-micros = long) for the type subset the reference's schema
-uses — records of primitives, ``['null', X]`` unions, and
-date / timestamp logical types.
+strings/bytes, union-index prefix following the schema's declared
+branch order, block-encoded arrays/maps, logical date = days-int and
+timestamp-micros = long) for records of primitives, 2-branch null
+unions, nested records, arrays, maps, enums, and fixed — a superset
+of what the reference's orders schema needs.
 
 Spark surface:
 - ``from_avro(df, binary_col, schema_json)`` -> decoded struct
@@ -68,20 +69,39 @@ def _zigzag_decode(buf: bytes, pos: int) -> tuple[int, int]:
 
 
 def _norm_type(t: Any) -> Any:
-    """Collapse a field type to one of: primitive name, ('union', t),
-    ('date',), ('timestamp',)."""
+    """Collapse a field type to one of: primitive name,
+    ('union', inner, null_branch), ('date',), ('timestamp', logical),
+    ('array', items), ('map', values), ('record', fields),
+    ('enum', symbols), ('fixed', size)."""
     if isinstance(t, list):
         non_null = [x for x in t if x != "null"]
         if len(t) == 2 and len(non_null) == 1:
-            return ("union", _norm_type(non_null[0]))
-        raise ValueError(f"unsupported Avro union {t!r} (only [null, X])")
+            # Branch indices follow the DECLARED order: ["null", X]
+            # puts null at 0, ["X", "null"] at 1 — bytes must agree
+            # with the schema or a spec-compliant reader misparses.
+            return ("union", _norm_type(non_null[0]), t.index("null"))
+        raise ValueError(f"unsupported Avro union {t!r} (only 2-branch with null)")
     if isinstance(t, dict):
         logical = t.get("logicalType")
         if logical == "date":
             return ("date",)
         if logical in ("timestamp-micros", "timestamp-millis"):
             return ("timestamp", logical)
-        return _norm_type(t["type"])
+        kind = t.get("type")
+        if kind == "record":
+            return (
+                "record",
+                [(f["name"], _norm_type(f["type"])) for f in t["fields"]],
+            )
+        if kind == "array":
+            return ("array", _norm_type(t["items"]))
+        if kind == "map":
+            return ("map", _norm_type(t["values"]))
+        if kind == "enum":
+            return ("enum", list(t["symbols"]))
+        if kind == "fixed":
+            return ("fixed", int(t["size"]))
+        return _norm_type(kind)
     if t in ("string", "int", "long", "float", "double", "boolean", "bytes"):
         return t
     raise ValueError(f"unsupported Avro type {t!r}")
@@ -89,9 +109,10 @@ def _norm_type(t: Any) -> Any:
 
 def _encode_value(t: Any, v: Any) -> bytes:
     if isinstance(t, tuple) and t[0] == "union":
+        _, inner, null_branch = t
         if v is None:
-            return _zigzag_encode(0)  # branch 0 = null
-        return _zigzag_encode(1) + _encode_value(t[1], v)
+            return _zigzag_encode(null_branch)
+        return _zigzag_encode(1 - null_branch) + _encode_value(inner, v)
     if v is None:
         raise ValueError("null value for non-nullable Avro field")
     if isinstance(t, tuple) and t[0] == "date":
@@ -115,13 +136,40 @@ def _encode_value(t: Any, v: Any) -> bytes:
         return _zigzag_encode(len(raw)) + raw
     if t == "bytes":
         return _zigzag_encode(len(v)) + bytes(v)
+    if isinstance(t, tuple) and t[0] == "array":
+        items = list(v)
+        if not items:
+            return _zigzag_encode(0)
+        body = b"".join(_encode_value(t[1], x) for x in items)
+        return _zigzag_encode(len(items)) + body + _zigzag_encode(0)
+    if isinstance(t, tuple) and t[0] == "map":
+        entries = dict(v)
+        if not entries:
+            return _zigzag_encode(0)
+        body = b"".join(
+            _encode_value("string", k) + _encode_value(t[1], x)
+            for k, x in entries.items()
+        )
+        return _zigzag_encode(len(entries)) + body + _zigzag_encode(0)
+    if isinstance(t, tuple) and t[0] == "record":
+        return b"".join(_encode_value(ft, v.get(n)) for n, ft in t[1])
+    if isinstance(t, tuple) and t[0] == "enum":
+        try:
+            return _zigzag_encode(t[1].index(v))
+        except ValueError:
+            raise ValueError(f"{v!r} is not an enum symbol of {t[1]}") from None
+    if isinstance(t, tuple) and t[0] == "fixed":
+        raw = bytes(v)
+        if len(raw) != t[1]:
+            raise ValueError(f"fixed({t[1]}) value has {len(raw)} bytes")
+        return raw
     raise ValueError(f"unsupported Avro type {t!r}")
 
 
 def _decode_value(t: Any, buf: bytes, pos: int) -> tuple[Any, int]:
     if isinstance(t, tuple) and t[0] == "union":
         branch, pos = _zigzag_decode(buf, pos)
-        if branch == 0:
+        if branch == t[2]:
             return None, pos
         return _decode_value(t[1], buf, pos)
     if isinstance(t, tuple) and t[0] == "date":
@@ -145,6 +193,40 @@ def _decode_value(t: Any, buf: bytes, pos: int) -> tuple[Any, int]:
     if t == "bytes":
         ln, pos = _zigzag_decode(buf, pos)
         return bytes(buf[pos : pos + ln]), pos + ln
+    if isinstance(t, tuple) and t[0] == "array":
+        out = []
+        while True:
+            count, pos = _zigzag_decode(buf, pos)
+            if count == 0:
+                return out, pos
+            if count < 0:  # block with byte-size prefix (spec-legal)
+                count = -count
+                _, pos = _zigzag_decode(buf, pos)
+            for _ in range(count):
+                x, pos = _decode_value(t[1], buf, pos)
+                out.append(x)
+    if isinstance(t, tuple) and t[0] == "map":
+        out = {}
+        while True:
+            count, pos = _zigzag_decode(buf, pos)
+            if count == 0:
+                return out, pos
+            if count < 0:
+                count = -count
+                _, pos = _zigzag_decode(buf, pos)
+            for _ in range(count):
+                k, pos = _decode_value("string", buf, pos)
+                out[k], pos = _decode_value(t[1], buf, pos)
+    if isinstance(t, tuple) and t[0] == "record":
+        rec = {}
+        for n, ft in t[1]:
+            rec[n], pos = _decode_value(ft, buf, pos)
+        return rec, pos
+    if isinstance(t, tuple) and t[0] == "enum":
+        idx, pos = _zigzag_decode(buf, pos)
+        return t[1][idx], pos
+    if isinstance(t, tuple) and t[0] == "fixed":
+        return bytes(buf[pos : pos + t[1]]), pos + t[1]
     raise ValueError(f"unsupported Avro type {t!r}")
 
 
@@ -175,6 +257,23 @@ def decode_record(schema_json: str | dict, buf: bytes) -> dict:
 # Spark surface
 # --------------------------------------------------------------------------
 
+def _as_null(t: Any, v: Any) -> Any:
+    """Map pandas missing-markers to None — but ONLY where Avro has no
+    value for them: NaN in a float/double field is a legal Avro double
+    and must be encoded, not nulled; list/dict cells are never
+    missing-markers (pd.isna on them is elementwise)."""
+    if v is None:
+        return None
+    inner = t[1] if isinstance(t, tuple) and t[0] == "union" else t
+    if inner in ("float", "double"):
+        return v
+    if isinstance(inner, tuple) and inner[0] in ("array", "map", "record"):
+        return v
+    import pandas as pd
+
+    return None if pd.isna(v) else v
+
+
 def to_avro(df: DataFrame, schema_json: str, out_col: str = "avro") -> DataFrame:
     """Encode each row (columns named by the schema) into one binary
     Avro datum column."""
@@ -187,8 +286,7 @@ def to_avro(df: DataFrame, schema_json: str, out_col: str = "avro") -> DataFrame
         for pdf in batches:
             payload = [
                 b"".join(
-                    _encode_value(t, None if pd.isna(row[n]) else row[n])
-                    for n, t in fields
+                    _encode_value(t, _as_null(t, row[n])) for n, t in fields
                 )
                 for _, row in pdf[names].iterrows()
             ]
@@ -201,17 +299,32 @@ def from_avro(
     df: DataFrame, binary_col: str, schema_json: str
 ) -> DataFrame:
     """Decode a binary Avro-datum column into the schema's columns
-    (engine stand-in for spark-avro's from_avro)."""
-    import pandas as pd
+    (engine stand-in for spark-avro's from_avro).
+
+    Uses ``mapInArrow`` (not mapInPandas): the pandas return path
+    coerces float NaN to null on the Arrow transfer, which both
+    corrupts a legal Avro double and violates non-nullable fields —
+    building the Arrow arrays directly keeps NaN a value."""
+    import pyarrow as pa
 
     fields = _record_fields(schema_json)
     spark_schema = avro_schema_to_spark_schema(schema_json)
 
-    def dec(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        for pdf in batches:
-            rows = [decode_record(schema_json, b) for b in pdf[binary_col]]
-            yield pd.DataFrame(
-                {n: [r[n] for r in rows] for n, _ in fields}
-            )
+    def dec(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        from pyspark.sql.pandas.types import to_arrow_schema
 
-    return df.mapInPandas(dec, schema=spark_schema)
+        arrow_schema = to_arrow_schema(spark_schema)
+        for batch in batches:
+            col = batch.column(batch.schema.get_field_index(binary_col))
+            rows = [decode_record(schema_json, b.as_py()) for b in col]
+            arrays = [
+                pa.array(
+                    [r[n] for r in rows],
+                    type=arrow_schema.field(i).type,
+                    from_pandas=False,
+                )
+                for i, (n, _) in enumerate(fields)
+            ]
+            yield pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
+
+    return df.mapInArrow(dec, schema=spark_schema)

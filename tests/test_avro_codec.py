@@ -90,3 +90,125 @@ def test_spark_from_to_avro_roundtrip(spark):
         (tuple(r) for r in decoded.collect()), key=lambda t: t[1]
     )
     assert got == sorted(rows, key=lambda t: t[1])
+
+
+# ---------------------------------------------------------------------------
+# round-3 breadth: unions in declared order, NaN doubles, complex types
+# ---------------------------------------------------------------------------
+
+COMPLEX_SCHEMA = """
+{
+  "type": "record",
+  "name": "doc",
+  "fields": [
+    {"name": "id", "type": "long"},
+    {"name": "tags", "type": {"type": "array", "items": "string"}},
+    {"name": "scores", "type": {"type": "map", "values": "double"}},
+    {"name": "geo", "type": {"type": "record", "name": "geo",
+        "fields": [{"name": "lat", "type": "double"},
+                   {"name": "lon", "type": "double"}]}},
+    {"name": "status", "type": {"type": "enum", "name": "st",
+        "symbols": ["NEW", "OPEN", "DONE"]}},
+    {"name": "digest", "type": {"type": "fixed", "name": "md5x", "size": 4}},
+    {"name": "maybe_nums", "type": ["null", {"type": "array", "items": "long"}]}
+  ]
+}
+"""
+
+
+def test_array_spec_vector():
+    # Avro spec: the long array [3, 27] encodes as 04 06 36 00
+    sc = {"type": "record", "name": "r",
+          "fields": [{"name": "a", "type": {"type": "array", "items": "long"}}]}
+    assert encode_record(sc, {"a": [3, 27]}) == b"\x04\x06\x36\x00"
+    assert decode_record(sc, b"\x04\x06\x36\x00") == {"a": [3, 27]}
+    assert encode_record(sc, {"a": []}) == b"\x00"
+    # negative block count with byte-size prefix is spec-legal input
+    assert decode_record(sc, b"\x03\x04\x06\x36\x00") == {"a": [3, 27]}
+
+
+def test_union_branch_follows_declared_order():
+    # ["null","string"]: null = branch 0; ["string","null"]: null = 1
+    null_first = {"type": "record", "name": "r",
+                  "fields": [{"name": "x", "type": ["null", "string"]}]}
+    null_last = {"type": "record", "name": "r",
+                 "fields": [{"name": "x", "type": ["string", "null"]}]}
+    assert encode_record(null_first, {"x": None}) == b"\x00"
+    assert encode_record(null_last, {"x": None}) == b"\x02"  # branch 1
+    assert encode_record(null_first, {"x": "a"}) == b"\x02\x02a"
+    assert encode_record(null_last, {"x": "a"}) == b"\x00\x02a"  # branch 0
+    for sc in (null_first, null_last):
+        for v in (None, "hello"):
+            assert decode_record(sc, encode_record(sc, {"x": v})) == {"x": v}
+
+
+def test_complex_record_roundtrip():
+    rec = {
+        "id": 7,
+        "tags": ["a", "b", "c"],
+        "scores": {"q": 1.5, "r": -2.25},
+        "geo": {"lat": 48.85, "lon": 2.35},
+        "status": "OPEN",
+        "digest": b"\x01\x02\x03\x04",
+        "maybe_nums": [10, 20],
+    }
+    buf = encode_record(COMPLEX_SCHEMA, rec)
+    assert decode_record(COMPLEX_SCHEMA, buf) == rec
+    rec2 = dict(rec, maybe_nums=None, tags=[], scores={})
+    assert decode_record(COMPLEX_SCHEMA, encode_record(COMPLEX_SCHEMA, rec2)) == rec2
+    # enum symbol outside the declared set fails loudly
+    import pytest
+    with pytest.raises(ValueError, match="enum symbol"):
+        encode_record(COMPLEX_SCHEMA, dict(rec, status="NOPE"))
+    with pytest.raises(ValueError, match="fixed"):
+        encode_record(COMPLEX_SCHEMA, dict(rec, digest=b"\x01"))
+
+
+def test_nan_double_is_a_value_not_null():
+    import math
+
+    sc = {"type": "record", "name": "r",
+          "fields": [{"name": "d", "type": "double"},
+                     {"name": "maybe_d", "type": ["null", "double"]}]}
+    buf = encode_record(sc, {"d": float("nan"), "maybe_d": float("nan")})
+    out = decode_record(sc, buf)
+    assert math.isnan(out["d"]) and math.isnan(out["maybe_d"])
+
+
+def test_spark_to_avro_nan_double(spark):
+    """A NaN in a non-nullable double column must encode as IEEE NaN
+    through the mapInPandas path (pd.isna would have nulled it)."""
+    import math
+
+    sc = ('{"type": "record", "name": "r", "fields": ['
+          '{"name": "id", "type": "long"}, {"name": "d", "type": "double"}]}')
+    df = spark.createDataFrame([(1, float("nan")), (2, 2.5)], "id long, d double")
+    back = from_avro(to_avro(df, sc), "avro", sc).collect()
+    got = {r["id"]: r["d"] for r in back}
+    assert math.isnan(got[1]) and got[2] == 2.5
+
+
+def test_spark_complex_roundtrip(spark):
+    """Arrays/maps/nested records survive the Spark surface (Arrow
+    batch -> Avro bytes -> Arrow batch)."""
+    sc = COMPLEX_SCHEMA
+    rows = [
+        (1, ["x"], {"a": 1.0}, (1.0, 2.0), "NEW", b"\xde\xad\xbe\xef", [1, 2]),
+        (2, [], {}, (-3.5, 4.5), "DONE", b"\x00\x00\x00\x00", None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "id long, tags array<string>, scores map<string,double>, "
+        "geo struct<lat:double,lon:double>, status string, digest binary, "
+        "maybe_nums array<bigint>",
+    )
+    from pyspark.sql import functions as F
+
+    enc = to_avro(df, sc)
+    back = from_avro(enc, "avro", sc).orderBy("id").collect()
+    assert back[0]["tags"] == ["x"]
+    assert back[0]["scores"] == {"a": 1.0}
+    assert back[0]["geo"]["lon"] == 2.0
+    assert back[1]["status"] == "DONE"
+    assert back[1]["maybe_nums"] is None
+    assert back[0]["digest"] == bytearray(b"\xde\xad\xbe\xef")
