@@ -37,6 +37,11 @@ from pyspark.sql import functions as F
 
 from .table import Snapshot, Table
 
+# Upper bound on distinct partition-key values collected for discovery
+# pruning; beyond this the merge falls back to an unpruned discovery
+# scan (correct, just less surgical).
+PRUNE_MAX_VALUES = 1024
+
 
 def _project_to(df: DataFrame, table: Table) -> DataFrame:
     """Project source columns onto the target schema (MERGE binds by name).
@@ -118,11 +123,18 @@ def merge_into(
     candidate_files = list(snap.files)
     prunable = [t for t in parse_spec(table.partition_by) if t.col in keys]
     if prunable:
+        # The distinct partition values come to the driver; cap the
+        # haul so an unbounded-cardinality key (e.g. identity
+        # partition on the merge key itself) degrades to no pruning
+        # instead of collecting millions of rows.
         vals = (
             all_keys.select(*[t.expr().alias(t.partition_col) for t in prunable])
             .distinct()
+            .limit(PRUNE_MAX_VALUES + 1)
             .collect()
         )
+        if len(vals) > PRUNE_MAX_VALUES:
+            vals = []
         # On-disk segments are escapePathName()-encoded by the
         # partitioned writer; partition_segment reproduces that
         # encoding and returns None for values whose written form is
@@ -130,7 +142,7 @@ def merge_into(
         # sub-second timestamps) — any None disables pruning rather
         # than risk dropping the file that holds a matched row.
         allowed: dict[str, set[str]] = {}
-        for t in prunable:
+        for t in prunable if vals else ():
             segs = {
                 partition_segment(t.partition_col, row[t.partition_col])
                 for row in vals

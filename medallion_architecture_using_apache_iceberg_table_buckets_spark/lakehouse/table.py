@@ -69,6 +69,42 @@ class Snapshot:
         return Snapshot(**json.loads(text))
 
 
+def _split_conjuncts(s: str) -> list[str]:
+    """Top-level AND conjuncts of a SQL boolean expression (quote- and
+    paren-aware, ``''`` escapes respected)."""
+    import re
+
+    parts, depth, quote, start = [], 0, None, 0
+    i, n = 0, len(s)
+    while i < n:
+        ch = s[i]
+        if quote:
+            if ch == quote:
+                if i + 1 < n and s[i + 1] == quote:
+                    i += 2
+                    continue
+                quote = None
+        elif ch in ("'", '"'):
+            quote = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif (
+            depth == 0
+            and ch in "aA"
+            and (i == 0 or not (s[i - 1].isalnum() or s[i - 1] == "_"))
+            and re.match(r"AND\b", s[i:], re.I)
+        ):
+            parts.append(s[start:i])
+            i += 3
+            start = i
+            continue
+        i += 1
+    parts.append(s[start:])
+    return [p.strip() for p in parts if p.strip()]
+
+
 def _list_parquet(root: Path) -> list[str]:
     out = []
     for dirpath, _dirs, names in os.walk(root):
@@ -300,14 +336,129 @@ class Table:
         files = [f for f in cur.files if f not in removed_set] + added
         return self._next_snapshot(operation, files, added, removed, df.schema, base)
 
+    def _prune_files_by_predicate(
+        self, spark: SparkSession, files: list[str], condition: str
+    ) -> list[str]:
+        """Partition-predicate pruning for the DELETE/UPDATE discovery
+        scan: AND-conjuncts of ``condition`` that reference ONLY
+        identity partition columns are evaluated against the
+        manifest's partition-directory values; files in partitions
+        that cannot satisfy them are skipped before any data is read.
+
+        At 100 TB a ``DELETE WHERE event_type='error'`` on an
+        event_type-partitioned table must not scan every partition —
+        this is the manifest-side equivalent of Iceberg's partition
+        filter on RowLevelCommand. The evaluation itself is a tiny
+        Spark job over one row per distinct partition (exact SQL
+        semantics, including nulls and casts, with no hand-rolled
+        expression interpreter). Conservative by construction: any
+        unresolvable conjunct, unparseable value, or missing segment
+        keeps the file."""
+        from .transforms import parse_spec, unescape_path_name
+
+        idents = [
+            t for t in parse_spec(self.partition_by) if t.kind == "identity"
+        ]
+        by_name = {f.name: f for f in self.schema.fields}
+        idents = [t for t in idents if t.col in by_name]
+        if not idents or not files:
+            return files
+
+        empty = spark.createDataFrame(
+            [], T.StructType([by_name[t.col] for t in idents])
+        )
+        usable = []
+        for conj in _split_conjuncts(condition):
+            try:
+                empty.filter(F.expr(conj)).schema  # resolution probe
+                usable.append(conj)
+            except Exception:
+                continue
+        if not usable:
+            return files
+
+        # group files by their partition-dir raw segments (driver-side
+        # manifest strings; O(#files), no data read)
+        groups: dict[tuple, list[str]] = {}
+        unpruned: list[str] = []
+        for f in files:
+            kv = {}
+            for seg in f.split("/")[:-1]:
+                if "=" in seg:
+                    k, v = seg.split("=", 1)
+                    kv[k] = v
+            key = tuple(kv.get(t.col) for t in idents)
+            if any(raw is None for raw in key):
+                unpruned.append(f)  # pre-spec or opaque layout: keep
+            else:
+                groups.setdefault(key, []).append(f)
+        if not groups:
+            return files
+
+        keys = list(groups)
+        rows = [
+            tuple(
+                None
+                if raw == "__HIVE_DEFAULT_PARTITION__"
+                else unescape_path_name(raw)
+                for raw in key
+            )
+            + (i,)
+            for i, key in enumerate(keys)
+        ]
+        raw_cols = [f"_raw_{t.col}" for t in idents]
+        pdf = spark.createDataFrame(
+            rows,
+            T.StructType(
+                [T.StructField(c, T.StringType()) for c in raw_cols]
+                + [T.StructField("_pidx", T.IntegerType(), False)]
+            ),
+        )
+        typed = pdf.select(
+            "_pidx",
+            *raw_cols,
+            *[
+                F.expr(
+                    f"try_cast(`_raw_{t.col}` AS "
+                    f"{by_name[t.col].dataType.simpleString()})"
+                ).alias(t.col)
+                for t in idents
+            ],
+        )
+        # keep when the conjuncts hold — or when a non-null raw value
+        # failed to cast (unparseable written form: keep, don't guess)
+        unparseable = F.lit(False)
+        pred = F.lit(True)
+        for t in idents:
+            unparseable = unparseable | (
+                F.col(f"_raw_{t.col}").isNotNull() & F.col(t.col).isNull()
+            )
+        for conj in usable:
+            pred = pred & F.expr(conj)
+        kept_idx = {
+            r["_pidx"]
+            for r in typed.filter(unparseable | pred).select("_pidx").collect()
+        }
+        out = list(unpruned)
+        for i, key in enumerate(keys):
+            if i in kept_idx:
+                out.extend(groups[key])
+        return out
+
     def _touched_by(self, spark: SparkSession, condition: str) -> list[str]:
         """Data files containing at least one row matching
         ``condition`` — the discovery scan behind row-level DELETE and
-        UPDATE (file-scoped COW, same shape as MERGE's)."""
+        UPDATE (file-scoped COW, same shape as MERGE's). Partition
+        predicates prune the scan via the manifest first."""
         from urllib.parse import unquote
 
         snap = self.current_snapshot()
-        df = self._read_files(spark, snap.files, self.schema)
+        candidates = self._prune_files_by_predicate(
+            spark, snap.files, condition
+        )
+        if not candidates:
+            return []
+        df = self._read_files(spark, candidates, self.schema)
         hits = (
             df.filter(F.expr(condition))
             .select(F.input_file_name().alias("_f"))

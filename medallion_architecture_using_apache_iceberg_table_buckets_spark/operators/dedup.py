@@ -296,10 +296,10 @@ def simhash_signatures(
             .withColumn("tid_hi", F.abs(F.xxhash64("word", F.lit(1))) % F.lit(1 << 60))
         )
 
-    def _bit(b: int):
+    def _bit_sql(b: int) -> str:
         if b < 60:
-            return F.shiftright("tid_lo", b).bitwiseAND(F.lit(1))
-        return F.shiftright("tid_hi", b - 60).bitwiseAND(F.lit(1))
+            return f"(shiftright(tid_lo, {b}) & 1)"
+        return f"(shiftright(tid_hi, {b - 60}) & 1)"
 
     # Pack per-bit counters into each SUM using a 2^radix_bits radix
     # (20 bits -> 3 counters per 63-bit long -> 21 aggregate columns
@@ -307,43 +307,42 @@ def simhash_signatures(
     # doc's distinct-token count stays below 2^radix_bits (1M at 20
     # bits); a raise_error guard enforces that at run time — overflow
     # would corrupt counters silently otherwise. Decoding reverses
-    # the packing, so signatures are bit-identical for ANY radix and
-    # the oracle needs no knowledge of it. (Denser 12-bit packing
-    # measured no faster locally: the candidate join dominates, and
-    # a 4096-token cap would reject real long documents.)
+    # the packing (shift+mask, exact: the radix is a power of two),
+    # so signatures are bit-identical for ANY radix and the oracle
+    # needs no knowledge of it.
+    #
+    # The 62-bit pack/decode expressions are assembled as SQL STRINGS,
+    # not Column-API chains: one py4j call per expression instead of
+    # ~600 — the Column version spent ~1.5 s of every run in driver
+    # round-trips building the plan (measured r3), 2x the time the
+    # query itself takes.
     radix_bits = 20
     radix = 1 << radix_bits
     per = 63 // radix_bits
     packs = []
     for gi, g in enumerate(range(0, SIMHASH_BITS, per)):
-        bits = [_bit(b) for b in range(g, min(g + per, SIMHASH_BITS))]
-        expr = bits[0].cast("long")
-        for i, bcol in enumerate(bits[1:], start=1):
-            expr = expr + bcol.cast("long") * F.lit(radix**i)
-        packs.append(F.sum(expr).alias(f"p{gi}"))
+        span = range(g, min(g + per, SIMHASH_BITS))
+        terms = [
+            _bit_sql(b) if i == 0 else f"{_bit_sql(b)} * {radix**i}L"
+            for i, b in enumerate(span)
+        ]
+        packs.append(
+            F.expr(f"sum(CAST({' + '.join(terms)} AS BIGINT))").alias(f"p{gi}")
+        )
     counts = w.groupBy("doc_id").agg(F.count("*").alias("n_tok"), *packs)
     decoded = []
     for gi, g in enumerate(range(0, SIMHASH_BITS, per)):
-        for i, b in enumerate(range(g, min(g + per, SIMHASH_BITS))):
-            c = (
-                F.expr(f"p{gi} div {radix**i}") % radix
-                if i
-                else F.col(f"p{gi}") % radix
-            )
-            decoded.append(
-                F.when(2 * c > F.col("n_tok"), 1).otherwise(0).cast("long")
-                * F.lit(2**b)
-            )
-    sim = sum(decoded)
-    guarded = F.when(F.col("n_tok") < radix, sim).otherwise(
-        F.raise_error(
-            F.lit(
-                f"simhash counter overflow: doc has >= {radix} distinct "
-                f"tokens; raise radix_bits"
-            )
-        )
+        span = range(g, min(g + per, SIMHASH_BITS))
+        for i, b in enumerate(span):
+            c = f"(shiftright(p{gi}, {radix_bits * i}) & {radix - 1})"
+            decoded.append(f"IF(2 * {c} > n_tok, {2**b}L, 0L)")
+    sim = " + ".join(decoded)
+    guarded = (
+        f"CASE WHEN n_tok < {radix} THEN ({sim}) "
+        f"ELSE raise_error('simhash counter overflow: doc has >= {radix} "
+        f"distinct tokens; raise radix_bits') END"
     )
-    return counts.select("doc_id", guarded.alias("simhash"))
+    return counts.selectExpr("doc_id", f"{guarded} AS simhash")
 
 
 def simhash_pairs(
@@ -387,24 +386,41 @@ def simhash_pairs(
         ).alias("c"),
     ).select("doc_id", "simhash", F.col("c.chunk").alias("chunk"), F.col("c.ckey").alias("ckey"))
     a, b = chunks.alias("a"), chunks.alias("b")
-    cands = (
-        a.join(
-            b,
-            (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.ckey") == F.col("b.ckey"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("h_a"),
-            F.col("b.simhash").alias("h_b"),
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
+    cands = a.join(
+        b,
+        (F.col("a.chunk") == F.col("b.chunk"))
+        & (F.col("a.ckey") == F.col("b.ckey"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.chunk").alias("chunk"),
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.simhash").alias("h_a"),
+        F.col("b.simhash").alias("h_b"),
     )
-    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    # First-matching-chunk-wins replaces the former
+    # dropDuplicates(doc_a, doc_b): a pair agreeing on several chunks
+    # is kept only where it matched at its LOWEST agreeing chunk — a
+    # row-local bitwise filter on the xor, so candidate dedup costs no
+    # Exchange at all (the dropDuplicates shuffled every candidate).
+    x = F.col("h_a").bitwiseXOR(F.col("h_b"))
+    chunk_differs = [
+        F.shiftright(x, offsets[j]).bitwiseAND(F.lit((1 << widths[j]) - 1))
+        != 0
+        for j in range(n_chunks)
+    ]
+    first_match = F.lit(True)
+    for i in range(n_chunks - 1, 0, -1):
+        earlier_all_differ = chunk_differs[0]
+        for j in range(1, i):
+            earlier_all_differ = earlier_all_differ & chunk_differs[j]
+        first_match = F.when(F.col("chunk") == i, earlier_all_differ).otherwise(
+            first_match
+        )
+    hamming = F.bit_count(x)
     return (
-        cands.withColumn("hamming", hamming.cast("int"))
+        cands.filter(first_match)
+        .withColumn("hamming", hamming.cast("int"))
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
