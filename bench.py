@@ -41,6 +41,12 @@ HEADLINE = {
     "dedup_simhash_pairs": L.dedup_simhash_pairs,
     "ann_bruteforce_topk": L.ann_bruteforce_topk,
     "text_quality": L.text_quality,
+    # round-3 additions: cover the newer machinery so regressions in
+    # it show up in the per-round bench record
+    "dedup_embedding_lsh_pairs": L.dedup_embedding_lsh_pairs,
+    "string_distance_pairs": L.string_distance_pairs,
+    "sql_dispatch_pipeline": L.sql_dispatch_pipeline,
+    "sql_ctas_time_travel": L.sql_ctas_time_travel,
 }
 
 

@@ -67,7 +67,9 @@ def dedup_simhash_pairs(spark, sf_dir):
 
 
 def dedup_embedding_pairs_brute(spark, sf_dir):
-    return D.embedding_cosine_pairs_brute(load(spark, sf_dir, "embeddings"), threshold=0.4)
+    return D.embedding_cosine_pairs_brute(
+        load(spark, sf_dir, "embeddings"), threshold=0.4, dim=64
+    )
 
 
 def dedup_embedding_lsh_pairs(spark, sf_dir):
@@ -82,7 +84,7 @@ def dedup_embedding_lsh_pairs(spark, sf_dir):
 
 def ann_bruteforce_topk(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
-    return S.cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    return S.cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, dim=64)
 
 
 def ann_lsh_topk(spark, sf_dir):

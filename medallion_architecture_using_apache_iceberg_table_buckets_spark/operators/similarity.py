@@ -26,9 +26,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vector import cosine_sim, to_double_array
+from ..functions.vector import cosine_sim, cosine_sim_expr, to_double_array
 
 N_PLANES = 8
+
+
+def _cos(a: str, b: str, dim: int | None):
+    """Fixed-dim inline cosine when the dimensionality is known
+    (whole-stage-codegen'd, r3 — see functions/vector.py), generic
+    interpreted fold otherwise. Bit-identical either way."""
+    return cosine_sim_expr(a, b, dim) if dim else cosine_sim(F.col(a), F.col(b))
 
 
 def cosine_topk(
@@ -37,6 +44,7 @@ def cosine_topk(
     k: int = 5,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k neighbors for each query vector (self excluded).
 
@@ -49,7 +57,7 @@ def cosine_topk(
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos_sim", F.round(cosine_sim(F.col("qv"), F.col("cv")), 4))
+        .withColumn("cos_sim", F.round(_cos("qv", "cv", dim), 4))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
@@ -72,22 +80,28 @@ def hyperplane_buckets(
 ) -> DataFrame:
     """Sign-pattern LSH bucket id per vector (0 .. 2^n_planes - 1).
 
-    Each plane's projection is a +/-1 re-weighted element sum —
-    computed with aggregate() over the array, JVM-side.
+    Each plane's projection is a +/-1 re-weighted element sum,
+    assembled as one inline SQL chain (r3): the former
+    aggregate(zip_with(...)) fold is CodegenFallback — interpreted,
+    one zipped-array allocation per plane per row — while the inline
+    chain whole-stage-codegens. The summation order (0.0, then
+    elements left to right) is unchanged, so bucket ids are
+    bit-identical and the DuckDB oracle (__spark_entry__
+    _lsh_bucket_sql, which mirrors this chain verbatim) still
+    reproduces them exactly.
     """
-    v = to_double_array(vec_col)
-    plane_bits = []
+    parts = []
     for j in range(n_planes):
-        signs = F.array(*[F.lit(float(_plane_sign(j, d))) for d in range(dim)])
-        proj = F.aggregate(
-            F.zip_with(v, signs, lambda x, s: x * s), F.lit(0.0), lambda a, x: a + x
+        body = "0.0D" + "".join(
+            f" {'+' if _plane_sign(j, d) > 0 else '-'} "
+            f"CAST(`{vec_col}`[{d}] AS DOUBLE)"
+            for d in range(dim)
         )
-        plane_bits.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2**j))
-    bucket = sum(plane_bits)
-    return df.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).alias("embedding"),
-        bucket.cast("int").alias("bucket"),
+        parts.append(f"(CASE WHEN ({body}) >= 0.0D THEN {1 << j} ELSE 0 END)")
+    return df.selectExpr(
+        f"`{id_col}` AS vec_id",
+        f"`{vec_col}` AS embedding",
+        f"CAST({' + '.join(parts)} AS INT) AS bucket",
     )
 
 
@@ -96,6 +110,7 @@ def ivf_assign(
     centroids: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    dim: int | None = None,
 ) -> DataFrame:
     """Assign each vector to its nearest centroid (max cosine,
     deterministic centroid-id tie-break) — the IVF coarse quantizer.
@@ -105,7 +120,7 @@ def ivf_assign(
     stage: no shuffle of the big side.
     """
     scored = df.crossJoin(F.broadcast(centroids)).withColumn(
-        "_sim", F.round(cosine_sim(F.col(vec_col), F.col("cv")), 6)
+        "_sim", F.round(_cos(vec_col, "cv", dim), 6)
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("_sim"), F.asc("centroid_id"))
     return (
@@ -159,7 +174,7 @@ def ivf_centroids(
     )
     cents = seeds
     for _ in range(refine_iterations):
-        assigned = ivf_assign(df, cents, vec_col, id_col)
+        assigned = ivf_assign(df, cents, vec_col, id_col, dim)
         cells = assigned.select(
             "centroid_id", F.posexplode(to_double_array("embedding")).alias("d", "x")
         )
@@ -188,17 +203,18 @@ def cosine_topk_ivf(
     nprobe: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    dim: int | None = 64,
 ) -> DataFrame:
     """IVF approximate top-k: search only the `nprobe` inverted lists
     nearest to each query. Complements the hyperplane-LSH variant;
     recall is measured against brute force in tests.
     """
     cents = ivf_centroids(corpus, n_centroids, vec_col, id_col).persist()
-    lists = ivf_assign(corpus, cents, vec_col, id_col).persist()
+    lists = ivf_assign(corpus, cents, vec_col, id_col, dim).persist()
 
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     qscore = q.crossJoin(F.broadcast(cents)).withColumn(
-        "_sim", F.round(cosine_sim(F.col("qv"), F.col("cv")), 6)
+        "_sim", F.round(_cos("qv", "cv", dim), 6)
     )
     wq = Window.partitionBy("query_id").orderBy(F.desc("_sim"), F.asc("centroid_id"))
     probes = (
@@ -209,7 +225,7 @@ def cosine_topk_ivf(
     scored = (
         lists.join(F.broadcast(probes), "centroid_id")
         .filter(F.col("query_id") != F.col("vec_id"))
-        .withColumn("cos_sim", F.round(cosine_sim(F.col("qv"), F.col("embedding")), 4))
+        .withColumn("cos_sim", F.round(_cos("qv", "embedding", dim), 4))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
     return (
@@ -267,7 +283,7 @@ def cosine_topk_lsh(
     scored = (
         cb.join(F.broadcast(qb), "bucket")
         .filter(F.col("query_id") != F.col("vec_id"))
-        .withColumn("cos_sim", F.round(cosine_sim(F.col("qv"), F.col("embedding")), 4))
+        .withColumn("cos_sim", F.round(_cos("qv", "embedding", dim), 4))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
     return (

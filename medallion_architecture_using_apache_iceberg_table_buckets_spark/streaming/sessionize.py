@@ -15,15 +15,16 @@ Note: the fold function is defined as a closure inside
 ``sessionize_stream`` so cloudpickle ships it by value — Python
 workers do not have this package on their import path.
 
-ENVIRONMENT CAVEAT: in this container's Spark 4.1.2 build BOTH
-Python stateful-streaming APIs fail before user code runs —
-``applyInPandasWithState`` dies in planning (NullPointerException in
-PythonSQLMetrics: SparkPlan.session() is null) and
-``transformWithStateInPandas`` crashes its driver-side state worker.
-The operator is therefore exercised only by its batch twin
-(operators/relational.py:sessionize_events, oracle-checked); the
-streaming test is skipped with this reason. The code here is the
-correct production shape for a working Spark build.
+Verified live (round 3): the container's Spark build now runs
+``applyInPandasWithState`` end-to-end, and
+tests/test_sessionize_stream.py exercises both closure paths (event
+-time gaps in-batch, wall-clock timeout flush of open sessions)
+against a real streaming query. Remaining upstream quirk: a query
+with a registered ProcessingTimeTimeout never self-terminates under
+``availableNow`` (loops on "cleaning up state"), so callers using
+one-shot triggers should poll-and-stop rather than awaitTermination.
+The batch twin (operators/relational.py:sessionize_events) stays the
+oracle-checked reference for the session semantics.
 """
 
 from __future__ import annotations
