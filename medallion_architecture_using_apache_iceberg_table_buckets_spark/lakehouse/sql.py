@@ -71,6 +71,20 @@ _TIME_TRAVEL = re.compile(
     r"|(?:SYSTEM_TIME|TIMESTAMP)\s+AS\s+OF\s+'([^']*)')",
     re.I,
 )
+_ALTER = re.compile(r"^\s*ALTER\s+TABLE\s+([\w.]+)\s+(.+)$", re.I | re.S)
+_ALTER_ADD = re.compile(r"^ADD\s+COLUMNS?\s+(.+)$", re.I | re.S)
+_ALTER_RENAME = re.compile(
+    r"^RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)$", re.I
+)
+_ALTER_DROP = re.compile(r"^DROP\s+COLUMNS?\s+\(?\s*(\w+)\s*\)?$", re.I)
+_DESCRIBE = re.compile(
+    r"^\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?(?:EXTENDED\s+)?([\w.]+)\s*$", re.I
+)
+_INSERT_OVERWRITE = re.compile(
+    r"^\s*INSERT\s+OVERWRITE\s+(?:TABLE\s+)?([\w.]+)\s+(.+)$", re.I | re.S
+)
+# Iceberg-style stored procedures: CALL [cat.]system.<proc>(args).
+_CALL = re.compile(r"^\s*CALL\s+(?:\w+\.)*(\w+)\s*\((.*)\)\s*$", re.I | re.S)
 _DELETE = re.compile(r"^\s*DELETE\s+FROM\s+([\w.]+)\s+WHERE\s+(.+)$", re.I | re.S)
 _UPDATE = re.compile(
     r"^\s*UPDATE\s+([\w.]+)\s+SET\s+(.+?)\s+WHERE\s+(.+)$", re.I | re.S
@@ -316,6 +330,20 @@ class SqlSession:
             return self._create_table_as(m)
         if m := _CREATE_TABLE.match(s):
             return self._create_table(m)
+        if m := _ALTER.match(s):
+            return self._alter_table(m)
+        if m := _DESCRIBE.match(s):
+            return self._describe(m.group(1))
+        if m := _INSERT_OVERWRITE.match(s):
+            ns, name = self._table_of(m.group(1))
+            self._attach_current()
+            src = self.spark.sql(self._rewrite_refs(m.group(2).strip()))
+            t = self.catalog.table(ns, name)
+            self._check_insert_shape(src, t, ns, name)
+            t.overwrite(self._cast_positional(src, t))
+            return self._empty()
+        if m := _CALL.match(s):
+            return self._call(m.group(1).lower(), m.group(2))
         if m := _DELETE.match(s):
             ns, name = self._table_of(m.group(1))
             self.catalog.table(ns, name).delete_where(
@@ -338,23 +366,8 @@ class SqlSession:
             # SELECT or VALUES
             src = self.spark.sql(self._rewrite_refs(m.group(2).strip()))
             t = self.catalog.table(ns, name)
-            fields = t.schema.fields
-            if len(src.columns) != len(fields):
-                raise ValueError(
-                    f"INSERT provides {len(src.columns)} columns, table "
-                    f"{ns}.{name} has {len(fields)} (positional insert "
-                    f"needs the full schema)"
-                )
-            from pyspark.sql import functions as _F
-
-            t.append(
-                src.select(
-                    *[
-                        _F.col(c).cast(f.dataType).alias(f.name)
-                        for c, f in zip(src.columns, fields)
-                    ]
-                )
-            )
+            self._check_insert_shape(src, t, ns, name)
+            t.append(self._cast_positional(src, t))
             return self._empty()
         if _MERGE_HEAD.match(s):
             return self._merge(s)
@@ -405,6 +418,124 @@ class SqlSession:
             properties=properties or None,
         )
         return self._empty()
+
+    # -- INSERT helpers ------------------------------------------------
+    @staticmethod
+    def _check_insert_shape(src: DataFrame, t, ns: str, name: str) -> None:
+        fields = t.schema.fields
+        if len(src.columns) != len(fields):
+            raise ValueError(
+                f"INSERT provides {len(src.columns)} columns, table "
+                f"{ns}.{name} has {len(fields)} (positional insert "
+                f"needs the full schema)"
+            )
+
+    @staticmethod
+    def _cast_positional(src: DataFrame, t) -> DataFrame:
+        from pyspark.sql import functions as _F
+
+        return src.select(
+            *[
+                _F.col(c).cast(f.dataType).alias(f.name)
+                for c, f in zip(src.columns, t.schema.fields)
+            ]
+        )
+
+    # -- ALTER TABLE (schema evolution) --------------------------------
+    def _alter_table(self, m: re.Match) -> DataFrame:
+        """ADD/RENAME/DROP COLUMN onto the lakehouse schema-evolution
+        primitives (Table.add_column/rename_column/drop_column) —
+        metadata-only commits, no data rewrite, like Iceberg v2."""
+        from pyspark.sql import types as T
+
+        ns, name = self._table_of(m.group(1))
+        t = self.catalog.table(ns, name)
+        action = m.group(2).strip()
+        if a := _ALTER_ADD.match(action):
+            cols = a.group(1).strip()
+            if cols.startswith("(") and cols.endswith(")"):
+                cols = cols[1:-1]
+            for coldef in _split_top_level(cols):
+                parts = coldef.split(None, 1)
+                if len(parts) != 2:
+                    raise ValueError(f"bad ADD COLUMN definition {coldef!r}")
+                t.add_column(parts[0], T._parse_datatype_string(parts[1]))
+            return self._empty()
+        if a := _ALTER_RENAME.match(action):
+            t.rename_column(a.group(1), a.group(2))
+            return self._empty()
+        if a := _ALTER_DROP.match(action):
+            t.drop_column(a.group(1))
+            return self._empty()
+        raise ValueError(
+            f"unsupported ALTER TABLE action {action!r} (dispatchable: "
+            f"ADD COLUMN(S), RENAME COLUMN ... TO ..., DROP COLUMN)"
+        )
+
+    # -- DESCRIBE ------------------------------------------------------
+    def _describe(self, ident: str) -> DataFrame:
+        ns, name = self._table_of(ident)
+        t = self.catalog.table(ns, name)
+        rows = [
+            (f.name, f.dataType.simpleString(), None) for f in t.schema.fields
+        ]
+        if t.partition_by:
+            rows.append(("# Partition Information", "", None))
+            rows.extend((spec, "", None) for spec in t.partition_by)
+        return self.spark.createDataFrame(
+            rows, "col_name string, data_type string, comment string"
+        )
+
+    # -- CALL procedures (Iceberg system-procedure parity) -------------
+    def _call(self, proc: str, raw_args: str) -> DataFrame:
+        """``CALL [cat.]system.<proc>(...)`` maintenance procedures:
+        expire_snapshots, rewrite_data_files (compact), and
+        remove_orphan_files (vacuum). Positional or ``name => value``
+        arguments; the first/`table` argument is the table ident."""
+        args, kwargs = [], {}
+        for part in _split_top_level(raw_args):
+            if "=>" in part:
+                k, v = part.split("=>", 1)
+                kwargs[k.strip().lower()] = v.strip()
+            else:
+                args.append(part.strip())
+
+        def _val(key: str, pos: int, default: str | None = None) -> str | None:
+            if key in kwargs:
+                return kwargs[key]
+            if pos < len(args):
+                return args[pos]
+            return default
+
+        ident = _val("table", 0)
+        if ident is None:
+            raise ValueError(f"CALL {proc}: missing table argument")
+        ns, name = self._table_of(ident.strip("'\""))
+        t = self.catalog.table(ns, name)
+        if proc == "expire_snapshots":
+            keep = int(_val("retain_last", 1, "1"))
+            expired = t.expire_snapshots(keep_last=keep)
+            return self.spark.createDataFrame(
+                [(i,) for i in expired], "expired_snapshot_id long"
+            )
+        if proc in ("rewrite_data_files", "compact"):
+            tp = _val("target_partitions", 1)
+            t.compact(
+                self.spark, target_partitions=int(tp) if tp else None
+            )
+            return self.spark.createDataFrame(
+                [(len(t.current_snapshot().files),)], "data_files long"
+            )
+        if proc in ("remove_orphan_files", "vacuum"):
+            older = float(_val("older_than_seconds", 1, "3600"))
+            removed = t.vacuum(older_than_seconds=older)
+            return self.spark.createDataFrame(
+                [(p,) for p in removed] or [], "orphan_file_location string"
+            )
+        raise ValueError(
+            f"unknown procedure {proc!r} (dispatchable: expire_snapshots, "
+            f"rewrite_data_files/compact, remove_orphan_files/vacuum)"
+        )
 
     # -- CREATE TABLE AS SELECT ----------------------------------------
     def _create_table_as(self, m: re.Match) -> DataFrame:

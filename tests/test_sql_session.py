@@ -388,3 +388,72 @@ def test_quote_robust_parsing(spark, sess):
     got = {r["invoiceid"]: (r["category"], r["processed_time"])
            for r in t.read(spark).collect()}
     assert got[2] == ("B (a,b)'", 7)
+
+
+def test_alter_table_describe(spark, sess):
+    sess.sql("CREATE NAMESPACE IF NOT EXISTS ns")
+    sess.sql("USE ns")
+    t = sess.catalog.create_table("ns", "orders", SCHEMA)
+    t.append(spark.createDataFrame([(1, "A", 1)], SCHEMA))
+    sess.sql("ALTER TABLE orders ADD COLUMN discount DOUBLE")
+    sess.sql("ALTER TABLE orders RENAME COLUMN category TO cat")
+    # old rows resolve through the rename; new column reads null
+    row = sess.sql("SELECT invoiceid, cat, discount FROM orders").collect()[0]
+    assert (row["invoiceid"], row["cat"], row["discount"]) == (1, "A", None)
+    sess.sql("ALTER TABLE orders DROP COLUMN processed_time")
+    t = sess.catalog.table("ns", "orders")
+    assert [f.name for f in t.schema.fields] == ["invoiceid", "cat", "discount"]
+    with pytest.raises(ValueError, match="unsupported ALTER"):
+        sess.sql("ALTER TABLE orders SET TBLPROPERTIES ('a'='b')")
+    # multi-column ADD with parens
+    sess.sql("ALTER TABLE orders ADD COLUMNS (x BIGINT, y STRING)")
+    assert [f.name for f in sess.catalog.table("ns", "orders").schema.fields] == [
+        "invoiceid", "cat", "discount", "x", "y"
+    ]
+    desc = sess.sql("DESCRIBE TABLE orders").collect()
+    assert [(r["col_name"], r["data_type"]) for r in desc[:3]] == [
+        ("invoiceid", "bigint"), ("cat", "string"), ("discount", "double")
+    ]
+
+
+def test_insert_overwrite(spark, sess):
+    sess.sql("CREATE NAMESPACE IF NOT EXISTS ns")
+    sess.sql("USE ns")
+    t = sess.catalog.create_table("ns", "orders", SCHEMA)
+    sess.sql("INSERT INTO orders VALUES (1, 'A', 1), (2, 'B', 2)")
+    sess.sql("INSERT OVERWRITE orders VALUES (9, 'Z', 9)")
+    got = [(r["invoiceid"], r["category"]) for r in t.read(spark).collect()]
+    assert got == [(9, "Z")]
+    assert t.current_snapshot().operation == "overwrite"
+
+
+def test_call_procedures(spark, sess):
+    sess.sql("CREATE NAMESPACE IF NOT EXISTS ns")
+    sess.sql("USE ns")
+    t = sess.catalog.create_table("ns", "orders", SCHEMA)
+    for i in range(3):
+        t.append(spark.createDataFrame([(i, "A", i)], SCHEMA))
+    assert len(t.snapshots()) == 4
+    n_files_before = len(t.current_snapshot().files)
+    # Iceberg-style spelling, catalog prefix and named args included
+    out = sess.sql(
+        "CALL system.expire_snapshots(table => 'ns.orders', retain_last => 2)"
+    ).collect()
+    assert len(out) == 2  # create + first append expired
+    assert len(t.snapshots()) == 2
+    compacted = sess.sql(
+        "CALL lake.system.rewrite_data_files('ns.orders')"
+    ).collect()
+    assert compacted[0]["data_files"] <= n_files_before
+    removed = sess.sql(
+        "CALL system.remove_orphan_files('ns.orders', 0)"
+    ).collect()
+    # the compaction's replaced files are orphans once expired
+    sess.sql("CALL system.expire_snapshots('ns.orders', 1)")
+    removed2 = sess.sql(
+        "CALL system.remove_orphan_files(table => 'ns.orders', older_than_seconds => 0)"
+    ).collect()
+    assert len(removed2) >= 1
+    assert {r["invoiceid"] for r in t.read(spark).collect()} == {0, 1, 2}
+    with pytest.raises(ValueError, match="unknown procedure"):
+        sess.sql("CALL system.nope('ns.orders')")
