@@ -68,8 +68,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames": L.multimodal_frames,
         "multimodal_resize": L.multimodal_resize,
         "multimodal_embed_dims": L.multimodal_embed_dims,
-        # new in round 3: CTAS + VERSION AS OF + metadata-table SQL
+        # new in round 3: CTAS + VERSION AS OF + metadata-table SQL,
+        # changelog scan, MOR+compact, ALTER-driven schema evolution,
+        # CALL-procedure maintenance
         "sql_ctas_time_travel": L.sql_ctas_time_travel,
+        "incremental_scan_changelog": L.incremental_scan_changelog,
+        "mor_merge_compact": L.mor_merge_compact,
+        "schema_evolution_sql": L.schema_evolution_sql,
+        "maintenance_procedures": L.maintenance_procedures,
         # --- previously-green contract queries ---
         # §2.5/§2.6 windows + top-k
         "w1_latest_per_key": R.w1_latest_per_key,
@@ -88,10 +94,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_distinct_customers": R.agg_distinct_customers,
         "agg_cube_status_priority": R.agg_cube_status_priority,
         "agg_percentiles": R.agg_percentiles,
-        "agg_collect_sorted": R.agg_collect_sorted,
-        "pivot_event_counts": R.pivot_event_counts,
-        "join_full_outer_spend": R.join_full_outer_spend,
-        "subquery_max_order": R.subquery_max_order,
         "catalog_history_metadata": R.catalog_history_metadata,
         # scalar functions / JSON / calendar
         "json_extract_events": R.json_extract_events,
@@ -131,6 +133,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_string_math": R.scalar_string_math,
         "date_arithmetic": R.date_arithmetic,
         "window_moving_avg": R.window_moving_avg,
+        "agg_collect_sorted": R.agg_collect_sorted,
+        "pivot_event_counts": R.pivot_event_counts,
+        "join_full_outer_spend": R.join_full_outer_spend,
+        "subquery_max_order": R.subquery_max_order,
     }
 
 
@@ -804,6 +810,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT m.event_type, m.n_now, m.total_now, old.n_v1,
                    CAST(4 AS BIGINT) AS n_commits
             FROM mart m JOIN old ON m.event_type = old.event_type
+        """,
+        "incremental_scan_changelog": """
+            SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+            WHERE o_orderkey >= 1000
+        """,
+        "mor_merge_compact": """
+            WITH base AS (
+              SELECT event_id, event_type, value FROM events
+              WHERE event_id < 2000
+            )
+            SELECT event_id, event_type,
+                   CASE WHEN event_id < 500 THEN value * 2 ELSE value END
+                       AS value
+            FROM base
+            WHERE NOT (event_id >= 500 AND event_id < 700)
+        """,
+        "schema_evolution_sql": """
+            SELECT c_custkey AS custkey, c_name AS cust_name,
+                   CASE WHEN c_custkey >= 500 THEN c_mktsegment END AS segment
+            FROM customer WHERE c_custkey < 1000
+        """,
+        "maintenance_procedures": """
+            SELECT p_partkey, p_brand, CAST(1 AS BIGINT) AS n_snapshots
+            FROM part WHERE p_brand <> 'Brand#11'
         """,
         "dedup_embedding_pairs_brute": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -225,6 +225,134 @@ def sql_ctas_time_travel(spark, sf_dir):
     )
 
 
+def incremental_scan_changelog(spark, sf_dir):
+    """Snapshot-range changelog read (SURVEY S7; Iceberg
+    start-snapshot-id semantics, reference
+    scripts/bronze-silver.py:149-152): three appends, then
+    ``read_incremental`` from the first snapshot — only rows added
+    AFTER it come back (start exclusive, end inclusive)."""
+    import tempfile
+
+    from ..lakehouse import Catalog
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    cat = Catalog(tempfile.mkdtemp(prefix="mats_incr_"))
+    t = cat.create_table("demo", "ord", o.schema)
+    t.append(o.filter(F.col("o_orderkey") < 1000))
+    v1 = t.latest_snapshot_id()
+    t.append(
+        o.filter((F.col("o_orderkey") >= 1000) & (F.col("o_orderkey") < 2000))
+    )
+    t.append(o.filter(F.col("o_orderkey") >= 2000))
+    return t.read_incremental(spark, v1)
+
+
+def mor_merge_compact(spark, sf_dir):
+    """Merge-on-read end-to-end (SURVEY S13): a MOR table takes an
+    upsert delta and a CDC-delete delta WITHOUT rewriting base files,
+    resolves them on read, then ``compact`` rewrites everything to
+    plain base files — returned post-compact so both the delta-merge
+    write path and the compaction rewrite are exercised."""
+    import tempfile
+
+    from ..lakehouse import Catalog, merge_into
+
+    e = (
+        load(spark, sf_dir, "events")
+        .select("event_id", "event_type", "value")
+        .filter(F.col("event_id") < 2000)
+    )
+    cat = Catalog(tempfile.mkdtemp(prefix="mats_mor_"))
+    t = cat.create_table(
+        "demo",
+        "ev",
+        e.schema,
+        properties={"write.merge.mode": "merge-on-read"},
+    )
+    t.append(e)
+    upd = e.filter(F.col("event_id") < 500).withColumn(
+        "value", F.col("value") * 2
+    )
+    merge_into(spark, t, upd, on="event_id")
+    assert t.current_snapshot().operation == "merge-delta"
+    dele = (
+        e.filter((F.col("event_id") >= 500) & (F.col("event_id") < 700))
+        .withColumn("Op", F.lit("D"))
+    )
+    merge_into(spark, t, dele, on="event_id", delete_predicate="Op = 'D'")
+    t.compact(spark)
+    assert t.current_snapshot().operation == "replace"
+    return t.read(spark)
+
+
+def schema_evolution_sql(spark, sf_dir):
+    """Schema evolution driven purely by ALTER TABLE statements: rows
+    written before ADD COLUMN read back null in it; RENAME COLUMN
+    resolves pre-rename files by alias (metadata-only commits, no data
+    rewrite — lakehouse/table.py add/rename_column)."""
+    import tempfile
+
+    from ..lakehouse import Catalog
+
+    c = load(spark, sf_dir, "customer")
+    cat = Catalog(tempfile.mkdtemp(prefix="mats_evo_"))
+    sess = cat.sql_session(spark)
+    sess.sql("CREATE NAMESPACE IF NOT EXISTS demo")
+    sess.sql("USE demo")
+    sess.sql("CREATE TABLE demo.cust (custkey BIGINT, name STRING)")
+    c.createOrReplaceTempView("__evo_src")
+    sess.sql(
+        "INSERT INTO cust SELECT c_custkey, c_name FROM __evo_src "
+        "WHERE c_custkey < 500"
+    )
+    sess.sql("ALTER TABLE cust ADD COLUMN segment STRING")
+    sess.sql(
+        "INSERT INTO cust SELECT c_custkey, c_name, c_mktsegment "
+        "FROM __evo_src WHERE c_custkey >= 500 AND c_custkey < 1000"
+    )
+    sess.sql("ALTER TABLE cust RENAME COLUMN name TO cust_name")
+    out = sess.sql("SELECT custkey, cust_name, segment FROM cust")
+    spark.catalog.dropTempView("__evo_src")
+    return out
+
+
+def maintenance_procedures(spark, sf_dir):
+    """Maintenance lifecycle as CALL statements: three appends and a
+    row-level DELETE, then rewrite_data_files (compaction),
+    expire_snapshots to 1, and remove_orphan_files — the surviving
+    data must be intact and exactly one snapshot remains."""
+    import tempfile
+
+    from ..lakehouse import Catalog
+
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    cat = Catalog(tempfile.mkdtemp(prefix="mats_maint_"))
+    sess = cat.sql_session(spark)
+    sess.sql("CREATE NAMESPACE IF NOT EXISTS demo")
+    sess.sql("USE demo")
+    t = cat.create_table("demo", "parts", p.schema)
+    third = p.count() // 3
+    t.append(p.filter(F.col("p_partkey") <= third))
+    t.append(
+        p.filter((F.col("p_partkey") > third) & (F.col("p_partkey") <= 2 * third))
+    )
+    t.append(p.filter(F.col("p_partkey") > 2 * third))
+    sess.sql("DELETE FROM parts WHERE p_brand = 'Brand#11'")
+    sess.sql("CALL system.rewrite_data_files('demo.parts')")
+    sess.sql("CALL system.expire_snapshots(table => 'demo.parts', retain_last => 1)")
+    sess.sql(
+        "CALL system.remove_orphan_files(table => 'demo.parts', "
+        "older_than_seconds => 0)"
+    )
+    n_snaps = len(t.snapshots())
+    return sess.sql(
+        f"SELECT p_partkey, p_brand, CAST({n_snaps} AS BIGINT) AS n_snapshots "
+        f"FROM parts"
+    )
+
+
 def string_distance_pairs(spark, sf_dir):
     """Edit-distance near-match pairs (levenshtein <= 3) over the
     DISTINCT part names — the fuzzy-matching primitive for entity
