@@ -58,6 +58,36 @@ def dot_expr(a: str, b: str, dim: int) -> Column:
 
 def cosine_sim_expr(a: str, b: str, dim: int) -> Column:
     """Fixed-dim inline twin of :func:`cosine_sim` (same null-on-zero
-    -norm semantics, bit-identical values)."""
+    -norm semantics, bit-identical values).
+
+    CODEGEN SIZE WARNING: this expands to ~3*dim chained terms. Inside
+    a join's whole-stage-codegen consume method (where it combines
+    with the join's own code) that breaches the JVM's 64 KB
+    per-method bytecode limit at dim=64 — Janino fails, Spark retries
+    the multi-second compile on EVERY execution, then runs the stage
+    interpreted. Joins should precompute :func:`norm_expr` per side
+    in an earlier (map) stage and verify with
+    :func:`cosine_from_norms`, which carries only the dim-term dot.
+    """
     denom = F.sqrt(dot_expr(a, a, dim)) * F.sqrt(dot_expr(b, b, dim))
+    return F.when(denom != 0.0, dot_expr(a, b, dim) / denom)
+
+
+def norm_expr(a: str, dim: int) -> Column:
+    """Inline-chain L2 norm of a fixed-dim array column — the same
+    sqrt(0.0 + sum a[d]^2) fold :func:`cosine_sim_expr` computes
+    inline, exposed so joins can precompute it per side."""
+    return F.sqrt(dot_expr(a, a, dim))
+
+
+def cosine_from_norms(a: str, b: str, norm_a: Column, norm_b: Column, dim: int) -> Column:
+    """Cosine similarity from PREcomputed per-side norms.
+
+    Bit-identical to :func:`cosine_sim_expr` — the norm folds are the
+    same chains, just evaluated in an earlier stage, and the denom
+    keeps the same norm_a * norm_b multiplication order — but the
+    join stage itself only carries the dim-term dot, staying under
+    the 64 KB codegen method limit (see cosine_sim_expr warning).
+    """
+    denom = norm_a * norm_b
     return F.when(denom != 0.0, dot_expr(a, b, dim) / denom)

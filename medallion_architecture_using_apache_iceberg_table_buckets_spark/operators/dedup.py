@@ -455,15 +455,22 @@ def embedding_cosine_pairs_brute(
     ``dim`` when known to get the codegen'd inline cosine
     (functions/vector.py:cosine_sim_expr).
     """
-    from ..functions.vector import cosine_sim_expr
+    from ..functions.vector import cosine_from_norms, norm_expr
 
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    cos = (
-        cosine_sim_expr("va", "vb", dim)
-        if dim
-        else cosine_sim(F.col("va"), F.col("vb"))
-    )
+    base = _fan_out(df)
+    if dim:
+        base = base.withColumn("_nrm", norm_expr(vec_col, dim))
+        nrm_a, nrm_b = [F.col("_nrm").alias(n) for n in ("na", "nb")]
+        a = base.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), nrm_a)
+        b = base.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), nrm_b)
+        # norms precomputed per side: the full inline cosine inside the
+        # join stage breaches the 64 KB codegen method limit (see
+        # functions/vector.py:cosine_sim_expr)
+        cos = cosine_from_norms("va", "vb", F.col("na"), F.col("nb"), dim)
+    else:
+        a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+        b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+        cos = cosine_sim(F.col("va"), F.col("vb"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .withColumn("cos_sim", F.round(cos, 4))
@@ -495,10 +502,12 @@ def embedding_cosine_pairs_lsh(
     baseline is the documented LSH trade; the dial is (n_planes,
     multiprobe).
     """
-    from ..functions.vector import cosine_sim_expr
+    from ..functions.vector import cosine_from_norms, norm_expr
     from .similarity import hyperplane_buckets
 
-    b = hyperplane_buckets(df, vec_col, id_col, n_planes, dim)
+    b = hyperplane_buckets(_fan_out(df), vec_col, id_col, n_planes, dim).withColumn(
+        "nrm", norm_expr("embedding", dim)
+    )
     masks = [0]
     if multiprobe >= 1:
         masks += [1 << j for j in range(n_planes)]
@@ -511,21 +520,31 @@ def embedding_cosine_pairs_lsh(
     probes = b.select(
         F.col("vec_id").alias("id_a"),
         F.col("embedding").alias("va"),
+        F.col("nrm").alias("na"),
         F.explode(
             F.array(*[F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks])
         ).alias("bucket"),
     )
     cands = b.select(
-        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), "bucket"
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+        F.col("nrm").alias("nb"),
+        "bucket",
     )
-    # Verify with the inline fixed-dim cosine (r3): per-pair norms
-    # recomputed inline measured FASTER than attaching precomputed
-    # norms before the join (5.3s -> 3.7s at sf0.1) — the wider join
-    # payload outweighed the saved arithmetic. Keep the narrow rows.
+    # Norms are precomputed per side (bit-identical fold, see
+    # functions/vector.py:cosine_from_norms): the full inline cosine
+    # inside the candidate join's codegen'd consume method breached
+    # the JVM 64 KB method limit — Janino failed, and Spark re-ran
+    # the multi-second compile on every execution before falling back
+    # to the interpreted path. The dot-only verify compiles, and the
+    # _fan_out guarantees the shuffle-free probe pipeline isn't
+    # serialized onto the input's (possibly single) scan splits.
+    # 3.8s -> 1.5s at sf0.1.
+    cos = cosine_from_norms("va", "vb", F.col("na"), F.col("nb"), dim)
     return (
         probes.join(cands, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos_sim", F.round(cosine_sim_expr("va", "vb", dim), 4))
+        .withColumn("cos_sim", F.round(cos, 4))
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )

@@ -26,7 +26,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vector import cosine_sim, cosine_sim_expr, to_double_array
+from ..functions.vector import (
+    cosine_from_norms,
+    cosine_sim,
+    cosine_sim_expr,
+    norm_expr,
+    to_double_array,
+)
 
 N_PLANES = 8
 
@@ -34,8 +40,44 @@ N_PLANES = 8
 def _cos(a: str, b: str, dim: int | None):
     """Fixed-dim inline cosine when the dimensionality is known
     (whole-stage-codegen'd, r3 — see functions/vector.py), generic
-    interpreted fold otherwise. Bit-identical either way."""
+    interpreted fold otherwise. Bit-identical either way.
+
+    Only for NON-join projections: inside a join stage the expanded
+    chain breaches the 64 KB codegen method limit (see
+    functions/vector.py:cosine_sim_expr) — joins below precompute
+    norm_expr per side and verify with cosine_from_norms.
+    """
     return cosine_sim_expr(a, b, dim) if dim else cosine_sim(F.col(a), F.col(b))
+
+
+def _cos_join(a: str, b: str, norm_a: str, norm_b: str, dim: int | None):
+    """Join-stage cosine: factored through precomputed norm columns
+    when dim is known (bit-identical values, ~1/3 the codegen), the
+    generic fold otherwise."""
+    if dim:
+        return cosine_from_norms(a, b, F.col(norm_a), F.col(norm_b), dim)
+    return cosine_sim(F.col(a), F.col(b))
+
+
+def _norm_col(df: DataFrame, vec_col: str, out: str, dim: int | None) -> DataFrame:
+    """Attach the precomputed L2 norm (no-op when dim is unknown)."""
+    if not dim:
+        return df
+    return df.withColumn(out, norm_expr(vec_col, dim))
+
+
+def fan_out(df: DataFrame) -> DataFrame:
+    """Spread rows across the cluster before CPU-heavy per-row work.
+
+    Embedding corpora often arrive as few large files, and a scan
+    cannot split below row-group granularity — without this, a
+    shuffle-free pipeline (bucket + broadcast-join + verify) runs on
+    as many cores as there are input splits, regardless of cluster
+    size. One cheap row-shuffle buys full parallelism; at 100 TB the
+    scan is many-split and the same repartition keeps per-task verify
+    work balanced across executors.
+    """
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
 
 def cosine_topk(
@@ -51,13 +93,21 @@ def cosine_topk(
     queries is expected to be small (it is broadcast); ordering is
     (rounded cosine desc, neighbor id) for cross-engine determinism.
     """
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    q = _norm_col(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        ),
+        "qv", "qn", dim,
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    c = _norm_col(
+        fan_out(corpus).select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+        ),
+        "cv", "cn", dim,
+    )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos_sim", F.round(_cos("qv", "cv", dim), 4))
+        .withColumn("cos_sim", F.round(_cos_join("qv", "cv", "qn", "cn", dim), 4))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
@@ -119,14 +169,22 @@ def ivf_assign(
     corpus streams through one pass. At 100 TB this is a map-only
     stage: no shuffle of the big side.
     """
-    scored = df.crossJoin(F.broadcast(centroids)).withColumn(
-        "_sim", F.round(_cos(vec_col, "cv", dim), 6)
+    base = _norm_col(df, vec_col, "_vnrm", dim)
+    cents = _norm_col(centroids, "cv", "_cnrm", dim)
+    scored = base.crossJoin(F.broadcast(cents)).withColumn(
+        "_sim", F.round(_cos_join(vec_col, "cv", "_vnrm", "_cnrm", dim), 6)
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("_sim"), F.asc("centroid_id"))
+    out_nrm = [F.col("_vnrm").alias("nrm")] if dim else []
     return (
         scored.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"), "centroid_id")
+        .select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("embedding"),
+            "centroid_id",
+            *out_nrm,
+        )
     )
 
 
@@ -209,23 +267,28 @@ def cosine_topk_ivf(
     nearest to each query. Complements the hyperplane-LSH variant;
     recall is measured against brute force in tests.
     """
+    corpus = fan_out(corpus)
     cents = ivf_centroids(corpus, n_centroids, vec_col, id_col).persist()
     lists = ivf_assign(corpus, cents, vec_col, id_col, dim).persist()
 
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    qscore = q.crossJoin(F.broadcast(cents)).withColumn(
-        "_sim", F.round(_cos("qv", "cv", dim), 6)
+    q = _norm_col(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")),
+        "qv", "qn", dim,
+    )
+    qscore = q.crossJoin(F.broadcast(_norm_col(cents, "cv", "_cnrm", dim))).withColumn(
+        "_sim", F.round(_cos_join("qv", "cv", "qn", "_cnrm", dim), 6)
     )
     wq = Window.partitionBy("query_id").orderBy(F.desc("_sim"), F.asc("centroid_id"))
+    probe_cols = ["query_id", "qv", "centroid_id"] + (["qn"] if dim else [])
     probes = (
         qscore.withColumn("_rn", F.row_number().over(wq))
         .filter(F.col("_rn") <= nprobe)
-        .select("query_id", "qv", "centroid_id")
+        .select(*probe_cols)
     )
     scored = (
         lists.join(F.broadcast(probes), "centroid_id")
         .filter(F.col("query_id") != F.col("vec_id"))
-        .withColumn("cos_sim", F.round(_cos("qv", "embedding", dim), 4))
+        .withColumn("cos_sim", F.round(_cos_join("qv", "embedding", "qn", "nrm", dim), 4))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
     return (
@@ -260,11 +323,18 @@ def cosine_topk_lsh(
     query is ~ (1 + n_planes^multiprobe) * N / 2^n_planes instead
     of N.
     """
-    cb = hyperplane_buckets(corpus, vec_col, id_col, n_planes, dim)
-    qb = hyperplane_buckets(queries, vec_col, id_col, n_planes, dim).select(
+    cb = _norm_col(
+        hyperplane_buckets(fan_out(corpus), vec_col, id_col, n_planes, dim),
+        "embedding", "nrm", dim,
+    )
+    qb = _norm_col(
+        hyperplane_buckets(queries, vec_col, id_col, n_planes, dim),
+        "embedding", "qn", dim,
+    ).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),
         "bucket",
+        *(["qn"] if dim else []),
     )
     if multiprobe >= 1:
         # probe set: every bucket within Hamming distance `multiprobe`
@@ -283,7 +353,7 @@ def cosine_topk_lsh(
     scored = (
         cb.join(F.broadcast(qb), "bucket")
         .filter(F.col("query_id") != F.col("vec_id"))
-        .withColumn("cos_sim", F.round(_cos("qv", "embedding", dim), 4))
+        .withColumn("cos_sim", F.round(_cos_join("qv", "embedding", "qn", "nrm", dim), 4))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
     return (
