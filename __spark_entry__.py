@@ -76,6 +76,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mor_merge_compact": L.mor_merge_compact,
         "schema_evolution_sql": L.schema_evolution_sql,
         "maintenance_procedures": L.maintenance_procedures,
+        # Structured Streaming driven to deterministic batch-complete
+        # results (availableNow drains) -> exact SQL oracles
+        "streaming_windowed_counts": L.streaming_windowed_counts,
+        "streaming_sessionize": L.streaming_sessionize,
         # --- previously-green contract queries ---
         # §2.5/§2.6 windows + top-k
         "w1_latest_per_key": R.w1_latest_per_key,
@@ -834,6 +838,40 @@ def oracle_sql() -> dict[str, str]:
         "maintenance_procedures": """
             SELECT p_partkey, p_brand, CAST(1 AS BIGINT) AS n_snapshots
             FROM part WHERE p_brand <> 'Brand#11'
+        """,
+        "streaming_windowed_counts": """
+            SELECT date_trunc('hour', ts) AS window_start,
+                   date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+                   event_type,
+                   count(*) AS n_events,
+                   round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4)
+                       AS sum_value
+            FROM events GROUP BY 1, 2, 3
+        """,
+        "streaming_sessionize": """
+            WITH g AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                               - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+                          THEN 1 ELSE 0 END AS brk
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+              SELECT user_id, ts,
+                     CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                       AS session_id
+              FROM g
+            ), agg AS (
+              SELECT user_id, session_id, count(*) AS n_events,
+                     date_trunc('second', min(ts)) AS session_start,
+                     date_trunc('second', max(ts)) AS session_end
+              FROM s GROUP BY user_id, session_id
+            )
+            SELECT user_id, session_id, n_events, session_start, session_end
+            FROM agg
+            WHERE session_id < (SELECT max(a2.session_id) FROM agg a2
+                                WHERE a2.user_id = agg.user_id)
         """,
         "dedup_embedding_pairs_brute": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,

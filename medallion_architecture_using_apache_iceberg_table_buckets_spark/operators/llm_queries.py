@@ -353,6 +353,101 @@ def maintenance_procedures(spark, sf_dir):
     )
 
 
+def _events_stream(spark, sf_dir):
+    """File-source stream over the events table (TIMESTAMP(NANOS)
+    parquet — read as long nanos, convert to microsecond timestamps,
+    mirroring relational.load)."""
+    import os
+    import tempfile
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = f"{sf_dir}/events.parquet"
+    file_schema = spark.read.parquet(path).schema
+    # the file stream source requires a DIRECTORY; expose the single
+    # test file through a temp dir of symlinks (no data copied)
+    src_dir = tempfile.mkdtemp(prefix="mats_stream_src_")
+    os.symlink(path, os.path.join(src_dir, "events.parquet"))
+    src = spark.readStream.schema(file_schema).parquet(src_dir)
+    if dict(src.dtypes).get("ts") == "bigint":
+        src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return src
+
+
+def streaming_windowed_counts(spark, sf_dir):
+    """Structured Streaming windowed aggregation, driven to batch
+    completion: event-time 1-hour tumbling windows with a watermark
+    (streaming/windowed.py), Trigger.AvailableNow into a memory sink
+    in complete mode. One drain consumes the whole table, so the
+    final sink contents equal the batch GROUP BY — giving the
+    streaming operator an exact SQL oracle."""
+    import tempfile
+    import uuid
+
+    from ..streaming.windowed import windowed_event_counts
+
+    agg = windowed_event_counts(_events_stream(spark, sf_dir))
+    name = f"wincounts_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="mats_wc_ck_"))
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def streaming_sessionize(spark, sf_dir):
+    """Custom stateful streaming operator, driven to a deterministic
+    result: gap-based sessionization via ``applyInPandasWithState``
+    (streaming/sessionize.py), availableNow drain into a memory sink.
+
+    Emitted rows are exactly the sessions CLOSED by a later event
+    (gap > 1800s on floor-to-second event time); each user's final
+    session stays open in the state store (its wall-clock timeout is
+    outside the drain window), so the oracle is the batch
+    gaps-and-islands SQL minus each user's last session. The
+    registered ProcessingTimeTimeout keeps availableNow from
+    self-terminating in this Spark build (see sessionize.py), so the
+    drain is detected by an empty progress batch after data flowed,
+    then the query is stopped."""
+    import tempfile
+    import time
+    import uuid
+
+    from ..streaming.sessionize import sessionize_stream
+
+    out = sessionize_stream(_events_stream(spark, sf_dir), gap_seconds=1800)
+    name = f"sessions_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="mats_ss_ck_"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        deadline = time.time() + 180
+        while time.time() < deadline:
+            if q.exception() is not None:
+                raise q.exception()
+            p = q.lastProgress
+            if (
+                p is not None
+                and p["numInputRows"] == 0
+                and spark.table(name).limit(1).count() > 0
+            ):
+                break
+            time.sleep(0.5)
+    finally:
+        if q.isActive:
+            q.stop()
+    return spark.table(name)
+
+
 def string_distance_pairs(spark, sf_dir):
     """Edit-distance near-match pairs (levenshtein <= 3) over the
     DISTINCT part names — the fuzzy-matching primitive for entity
