@@ -80,6 +80,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # results (availableNow drains) -> exact SQL oracles
         "streaming_windowed_counts": L.streaming_windowed_counts,
         "streaming_sessionize": L.streaming_sessionize,
+        # bin-bucketed interval join + corpus n-gram heavy hitters
+        "range_join_incidents": L.range_join_incidents,
+        "text_top_ngrams": L.text_top_ngrams,
         # --- previously-green contract queries ---
         # §2.5/§2.6 windows + top-k
         "w1_latest_per_key": R.w1_latest_per_key,
@@ -838,6 +841,32 @@ def oracle_sql() -> dict[str, str]:
         "maintenance_procedures": """
             SELECT p_partkey, p_brand, CAST(1 AS BIGINT) AS n_snapshots
             FROM part WHERE p_brand <> 'Brand#11'
+        """,
+        "range_join_incidents": """
+            WITH inc AS (
+              SELECT event_id AS incident_id, event_type,
+                     ts AS start_ts, ts + INTERVAL 2 HOUR AS end_ts
+              FROM events WHERE event_id < 300
+            )
+            SELECT i.incident_id, e.event_id, e.event_type, e.ts
+            FROM inc i JOIN events e
+              ON e.event_type = i.event_type
+             AND e.ts >= i.start_ts AND e.ts <= i.end_ts
+        """,
+        "text_top_ngrams": f"""
+            WITH norm AS (
+              SELECT doc_id, string_split({_NORM.format(t='text')}, ' ') AS w
+              FROM documents
+            ),
+            sh AS (
+              SELECT DISTINCT doc_id, gram FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(w)),
+                              i -> w[i] || ' ' || w[i + 1])) AS gram
+                FROM norm)
+            )
+            SELECT gram, count(*) AS df FROM sh GROUP BY gram
+            ORDER BY df DESC, gram ASC LIMIT 20
         """,
         "streaming_windowed_counts": """
             SELECT date_trunc('hour', ts) AS window_start,

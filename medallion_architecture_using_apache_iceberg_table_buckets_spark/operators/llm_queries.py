@@ -448,6 +448,44 @@ def streaming_sessionize(spark, sf_dir):
     return spark.table(name)
 
 
+def range_join_incidents(spark, sf_dir):
+    """Interval join via bin bucketing (operators/interval.py): the
+    first 300 events become 2-hour same-type 'incident' windows; every
+    event inside a window attaches through an (event_type, time-bucket)
+    EQUI-join + exact range recheck — never the BroadcastNestedLoopJoin
+    Spark would plan for the raw inequality join."""
+    from .interval import range_join_points
+
+    e = load(spark, sf_dir, "events")
+    inc = e.filter(F.col("event_id") < 300).select(
+        F.col("event_id").alias("incident_id"),
+        "event_type",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end_ts"),
+    )
+    pts = e.select("event_id", "event_type", "ts")
+    out = range_join_points(
+        pts, inc, "ts", "start_ts", "end_ts", keys=["event_type"], bucket_width_s=7200
+    )
+    return out.select("incident_id", "event_id", "event_type", "ts")
+
+
+def text_top_ngrams(spark, sf_dir):
+    """Corpus-level vocabulary statistics: top-20 word bigrams by
+    document frequency (distinct per doc), deterministic (df desc,
+    gram asc) tie-break — the heavy-hitter collection step of a
+    training-data pipeline. One shingle explode + one groupBy; the
+    top-k is a TakeOrdered, not a global sort."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    sh = D._doc_shingles(d, "text", "doc_id", 2)
+    return (
+        sh.groupBy(F.col("shingle").alias("gram"))
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.desc("df"), F.asc("gram"))
+        .limit(20)
+    )
+
+
 def string_distance_pairs(spark, sf_dir):
     """Edit-distance near-match pairs (levenshtein <= 3) over the
     DISTINCT part names — the fuzzy-matching primitive for entity

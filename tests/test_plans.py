@@ -186,3 +186,19 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_range_join_is_equi_join(spark, sf_dir):
+    """The bin-bucketed interval join must plan as an EQUI-join on
+    (event_type, _bkt) — not the BroadcastNestedLoopJoin Spark plans
+    for a raw inequality join."""
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators import (
+        llm_queries as L,
+    )
+
+    plan = plan_of(L.range_join_incidents(spark, sf_dir))
+    assert "NestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    )
