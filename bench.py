@@ -47,6 +47,8 @@ HEADLINE = {
     "string_distance_pairs": L.string_distance_pairs,
     "sql_dispatch_pipeline": L.sql_dispatch_pipeline,
     "sql_ctas_time_travel": L.sql_ctas_time_travel,
+    "range_join_incidents": L.range_join_incidents,
+    "text_top_ngrams": L.text_top_ngrams,
 }
 
 
