@@ -60,6 +60,14 @@ class Snapshot:
     partition_by: list[str]
     properties: dict[str, str]
     summary: dict[str, int] = field(default_factory=dict)
+    # per-file column stats for manifest-level file skipping:
+    # rel path -> {col: [min, max, null_count, num_values]} with
+    # min/max as castable strings (None when the column is all-null in
+    # the file). Stored whole per snapshot for simplicity; a
+    # production implementation shards this into manifest files the
+    # way Iceberg does, but the SKIPPING semantics (scan planning
+    # reads stats, not data) are identical.
+    stats: dict[str, dict] = field(default_factory=dict)
 
     def to_json(self) -> str:
         return json.dumps(self.__dict__, indent=0)
@@ -118,6 +126,76 @@ def _file_rows(path: Path) -> int:
     import pyarrow.parquet as pq
 
     return pq.ParquetFile(path).metadata.num_rows
+
+
+# Spark types whose Parquet footer min/max are trusted for skipping.
+# Strings are excluded on purpose: writers may TRUNCATE string stats,
+# and a truncated max is an upper bound only under prefix semantics —
+# Iceberg handles that with explicit truncate(N) transforms; skipping
+# on full-fidelity numeric/temporal stats is always sound.
+_STATS_TYPES = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType, T.DecimalType,
+    T.DateType, T.TimestampType, T.BooleanType,
+)
+
+
+def _file_column_stats(path: Path, schema: T.StructType) -> dict:
+    """Per-column [min, max, null_count, num_values] from the Parquet
+    FOOTER (no data pages read) for stats-eligible top-level columns.
+
+    Values are serialized as plain strings the engine later try_casts
+    back through the declared column type — the same
+    evaluate-with-SQL-semantics trick the partition pruner uses, so
+    no hand-rolled comparator can disagree with Spark. Columns with
+    incomplete row-group stats are omitted (conservative: no entry =
+    never skipped on that column)."""
+    import pyarrow.parquet as pq
+
+    eligible = {
+        f.name for f in schema.fields if isinstance(f.dataType, _STATS_TYPES)
+    }
+    md = pq.ParquetFile(path).metadata
+    agg: dict[str, list] = {}
+    broken: set[str] = set()
+    for rg_i in range(md.num_row_groups):
+        rg = md.row_group(rg_i)
+        for c_i in range(rg.num_columns):
+            col = rg.column(c_i)
+            name = col.path_in_schema
+            if name not in eligible or name in broken or "." in name:
+                continue
+            st = col.statistics
+            if st is None or st.null_count is None:
+                broken.add(name)
+                continue
+            n_vals = st.num_values or 0
+            if n_vals > 0 and not st.has_min_max:
+                broken.add(name)
+                continue
+            cur = agg.setdefault(name, [None, None, 0, 0])
+            if n_vals > 0:
+                lo, hi = st.min, st.max
+                if cur[0] is None or lo < cur[0]:
+                    cur[0] = lo
+                if cur[1] is None or hi > cur[1]:
+                    cur[1] = hi
+            cur[2] += st.null_count
+            cur[3] += n_vals + st.null_count
+    out = {}
+    for name, (lo, hi, nulls, rows) in agg.items():
+        if name in broken:
+            continue
+        try:
+            out[name] = [
+                None if lo is None else str(lo),
+                None if hi is None else str(hi),
+                nulls,
+                rows,
+            ]
+        except Exception:
+            continue
+    return out
 
 
 class Table:
@@ -277,6 +355,15 @@ class Table:
         new_properties: dict[str, str] | None = None,
     ) -> Snapshot:
         parent = self._load(expected_version)
+        file_set = set(files)
+        stats = {
+            f: s for f, s in parent.stats.items() if f in file_set
+        }
+        for f in added:
+            try:
+                stats[f] = _file_column_stats(self.data_root / f, schema)
+            except Exception:
+                stats.pop(f, None)  # no stats = never skipped
         added_records = sum(_file_rows(self.data_root / f) for f in added)
         total_records = parent.summary.get("total_records", 0)
         removed_records = sum(_file_rows(self.data_root / f) for f in removed)
@@ -302,6 +389,7 @@ class Table:
                 "added_records": added_records,
                 "total_records": total_records,
             },
+            stats=stats,
         )
         return self._commit(snap, expected_parent_version=expected_version)
 
@@ -445,6 +533,134 @@ class Table:
                 out.extend(groups[key])
         return out
 
+    _CMP_RE = None  # compiled lazily in _prune_files_by_stats
+
+    def _prune_files_by_stats(
+        self, spark: SparkSession, files: list[str], condition: str
+    ) -> list[str]:
+        """Manifest-level FILE skipping on per-file column min/max:
+        AND-conjuncts of ``condition`` of the shape ``col <op>
+        literal`` (or reversed) drop every file whose footer-derived
+        range cannot contain a matching row — before any data file or
+        even footer is opened at scan time.
+
+        This is the Iceberg scan-planning move that matters most at
+        100 TB: with millions of files, evaluating predicates against
+        manifest stats costs O(#files) driver-side metadata, while
+        "let Parquet row-group stats handle it" still opens every
+        footer. Same conservative contract as the partition pruner —
+        unsupported conjuncts, missing stats, or unparseable values
+        keep the file; comparison semantics are evaluated by Spark
+        itself (try_cast through the declared type), never a
+        hand-rolled comparator. All-null files drop out of comparison
+        conjuncts naturally (NULL range -> NULL predicate -> no
+        match), which is exactly SQL's answer."""
+        import re
+
+        snap = self.current_snapshot()
+        if not files or not snap.stats:
+            return files
+        cmp_re = re.compile(
+            r"^\s*`?([A-Za-z_]\w*)`?\s*(<=|>=|!=|<>|==|=|<|>)\s*(.+?)\s*$"
+        )
+        flip = {"<": ">", ">": "<", "<=": ">=", ">=": "<="}
+        by_name = {f.name: f for f in self.schema.fields}
+
+        def parse(conj: str):
+            c = conj.strip()
+            while c.startswith("(") and c.endswith(")"):
+                inner = c[1:-1].strip()
+                if _split_conjuncts(inner) != [inner]:
+                    break
+                c = inner
+            m = cmp_re.match(c)
+            col, op, lit = (None, None, None)
+            if m and m.group(1) in by_name:
+                col, op, lit = m.groups()
+            else:
+                m = re.match(
+                    r"^\s*(.+?)\s*(<=|>=|!=|<>|==|=|<|>)\s*`?([A-Za-z_]\w*)`?\s*$",
+                    c,
+                )
+                if m and m.group(3) in by_name:
+                    lit, op, col = m.groups()
+                    op = flip.get(op, op)
+            if col is None or not isinstance(
+                by_name[col].dataType, _STATS_TYPES
+            ):
+                return None
+            try:  # the literal side must be a constant expression:
+                # resolving against a 1-col relation rejects any other
+                # column reference; 'id' (that relation's column) is
+                # rejected explicitly below
+                spark.range(1).select(F.expr(lit)).schema
+            except Exception:
+                return None
+            if re.search(r"\bid\b|`", lit, re.I):
+                return None
+            return col, op, lit
+
+        supported = [
+            p for p in (parse(c) for c in _split_conjuncts(condition)) if p
+        ]
+        if not supported:
+            return files
+
+        rows, kept_passthrough = [], []
+        for i, f in enumerate(files):
+            st = snap.stats.get(f)
+            if st is None:
+                kept_passthrough.append(f)
+                continue
+            row = [i]
+            for col, _op, _lit in supported:
+                ent = st.get(col)
+                if ent is None:
+                    row += [None, None, False]
+                else:
+                    row += [ent[0], ent[1], True]
+            rows.append(tuple(row))
+        if not rows:
+            return files
+
+        fields = [T.StructField("_fidx", T.IntegerType(), False)]
+        for j in range(len(supported)):
+            fields += [
+                T.StructField(f"_min_{j}", T.StringType()),
+                T.StructField(f"_max_{j}", T.StringType()),
+                T.StructField(f"_has_{j}", T.BooleanType(), False),
+            ]
+        sdf = spark.createDataFrame(rows, T.StructType(fields))
+        keep = F.lit(True)
+        for j, (col, op, lit) in enumerate(supported):
+            dt = by_name[col].dataType.simpleString()
+            tmin = F.expr(f"try_cast(_min_{j} AS {dt})")
+            tmax = F.expr(f"try_cast(_max_{j} AS {dt})")
+            lit_c = F.expr(lit)
+            if op in ("=", "=="):
+                rng = (tmin <= lit_c) & (lit_c <= tmax)
+            elif op == "<":
+                rng = tmin < lit_c
+            elif op == "<=":
+                rng = tmin <= lit_c
+            elif op == ">":
+                rng = tmax > lit_c
+            elif op == ">=":
+                rng = tmax >= lit_c
+            else:  # != / <> : only an all-constant file can be skipped
+                rng = ~((tmin == lit_c) & (tmax == lit_c))
+            unparseable = (
+                F.col(f"_min_{j}").isNotNull() & tmin.isNull()
+            ) | (F.col(f"_max_{j}").isNotNull() & tmax.isNull())
+            keep = keep & (~F.col(f"_has_{j}") | unparseable | rng)
+        kept_idx = {
+            r["_fidx"]
+            for r in sdf.filter(keep).select("_fidx").collect()
+        }
+        out = list(kept_passthrough)
+        out.extend(f for i, f in enumerate(files) if i in kept_idx)
+        return out
+
     def _touched_by(self, spark: SparkSession, condition: str) -> list[str]:
         """Data files containing at least one row matching
         ``condition`` — the discovery scan behind row-level DELETE and
@@ -456,6 +672,7 @@ class Table:
         candidates = self._prune_files_by_predicate(
             spark, snap.files, condition
         )
+        candidates = self._prune_files_by_stats(spark, candidates, condition)
         if not candidates:
             return []
         df = self._read_files(spark, candidates, self.schema)
@@ -824,6 +1041,25 @@ class Table:
         return self._read_files(
             spark, snap.files, schema, renames=self._snap_renames(snap)
         )
+
+    def scan(self, spark: SparkSession, where: str | None = None) -> DataFrame:
+        """Predicate-planned scan: manifest partition pruning + file
+        skipping on column stats BEFORE the read, then the residual
+        filter on what's left — Iceberg's planFiles() shape. With no
+        predicate (or a MOR delta pending) this is read()."""
+        snap = self.current_snapshot()
+        if not where:
+            return self.read(spark)
+        if self._delta_files(snap):
+            # delta resolution needs every base+delta file; the
+            # residual filter still applies
+            return self.read(spark).filter(F.expr(where))
+        schema = schema_from_json(snap.schema_json)
+        files = self._prune_files_by_predicate(spark, snap.files, where)
+        files = self._prune_files_by_stats(spark, files, where)
+        return self._read_files(
+            spark, files, schema, renames=self._snap_renames(snap)
+        ).filter(F.expr(where))
 
     def read_incremental(
         self,

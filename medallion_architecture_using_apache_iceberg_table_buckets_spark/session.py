@@ -58,6 +58,10 @@ def get_spark(
         # keep timestamps deterministic across engines/oracles.
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # int64 micros, as the Iceberg spec mandates — INT96 (Spark's
+        # legacy default) carries no footer min/max, which would make
+        # timestamp columns invisible to manifest file skipping
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
     for k, v in (extra_conf or {}).items():
