@@ -83,6 +83,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # bin-bucketed interval join + corpus n-gram heavy hitters
         "range_join_incidents": L.range_join_incidents,
         "text_top_ngrams": L.text_top_ngrams,
+        # new in round 3 (late): group closure, quality filtering,
+        # deterministic sampling, token chunking, TF-IDF, Z-order
+        "dedup_components": L.dedup_components,
         # --- previously-green contract queries ---
         # §2.5/§2.6 windows + top-k
         "w1_latest_per_key": R.w1_latest_per_key,
@@ -793,6 +796,50 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id FROM corpus
             WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
+        """,
+        "dedup_components": f"""
+            WITH RECURSIVE {_PLANT_TAIL}, {_SHINGLES},
+            seeds AS (SELECT * FROM (VALUES {_MINHASH_SEEDS}) s(j, a, b)),
+            mh AS (
+              SELECT doc_id, j, min((a * sid + b) % 2147483647) AS mh
+              FROM sids CROSS JOIN seeds GROUP BY doc_id, j
+            ),
+            bands AS (
+              SELECT doc_id, j // 3 AS band,
+                     string_agg(CAST(mh AS VARCHAR), '_' ORDER BY j) AS key
+              FROM mh GROUP BY doc_id, j // 3
+            ),
+            cands AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+            ),
+            inter AS (
+              SELECT c.doc_a, c.doc_b, count(*) AS inter
+              FROM cands c
+              JOIN sids sa ON sa.doc_id = c.doc_a
+              JOIN sids sb ON sb.doc_id = c.doc_b AND sb.sid = sa.sid
+              GROUP BY 1, 2
+            ),
+            pairs AS (
+              SELECT i.doc_a, i.doc_b
+              FROM inter i
+              JOIN sizes sa ON sa.doc_id = i.doc_a
+              JOIN sizes sb ON sb.doc_id = i.doc_b
+              WHERE round(inter / (sa.sz + sb.sz - inter), 4) >= 0.5
+            ),
+            edges AS (
+              SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION
+              SELECT doc_b, doc_a FROM pairs
+            ),
+            reach(id, lbl) AS (
+              SELECT DISTINCT src, src FROM edges
+              UNION
+              SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+            )
+            SELECT id AS doc_id, min(lbl) AS component_id
+            FROM reach GROUP BY id
         """,
         "sql_ctas_time_travel": """
             WITH base AS (

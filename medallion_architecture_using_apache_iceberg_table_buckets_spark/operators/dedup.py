@@ -644,3 +644,57 @@ def edit_distance_pairs(
         .filter(F.col("edit_dist") <= max_dist)
         .select("key_a", "key_b", "edit_dist")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Transitive closure of a near-dup pair graph: (id, component_id)
+    where component_id is the smallest id reachable from ``id``.
+
+    The pair operators (minhash_lsh_pairs, simhash_pairs, ...) emit
+    direct edges only; real dup groups are chains (A~B, B~C but not
+    A~C above threshold). ``keep_list`` handles the keep/drop decision
+    without closure; this operator materializes the groups themselves
+    — the standard step between candidate pairs and per-group dedup
+    stats in a training-data pipeline.
+
+    Algorithm: iterative min-label propagation. Each round every
+    vertex takes the min label among itself and its neighbors — one
+    join + one aggregation (two shuffles) per round, converging in
+    O(graph diameter) rounds. Near-dup components are overwhelmingly
+    tiny cliques/short chains, so the diameter is small at any corpus
+    size; the edge set (pairs, not corpus) is the only data touched.
+    Convergence is detected by the strictly-decreasing label sum
+    (decimal(38,0) — immune to int64 overflow at any corpus size);
+    ``localCheckpoint`` truncates lineage each round so the plan does
+    not grow with iterations. Raises after ``max_iter`` rounds rather
+    than returning a partial closure.
+    """
+    edges = (
+        pairs.select(F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst"))
+        .union(pairs.select(F.col(id_b).cast("long").alias("src"), F.col(id_a).cast("long").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct().withColumn("lbl", F.col("id"))
+    labels = labels.localCheckpoint(eager=True)
+    checksum = labels.agg(F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")).first()["s"]
+    for _ in range(max_iter):
+        msgs = (
+            edges.join(labels.withColumnRenamed("id", "src"), "src")
+            .select(F.col("dst").alias("id"), "lbl")
+        )
+        labels = (
+            labels.union(msgs).groupBy("id").agg(F.min("lbl").alias("lbl"))
+        ).localCheckpoint(eager=True)
+        new_sum = labels.agg(F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")).first()["s"]
+        if new_sum == checksum:
+            edges.unpersist()
+            return labels.select(F.col("id"), F.col("lbl").alias("component_id"))
+        checksum = new_sum
+    edges.unpersist()
+    raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")

@@ -61,6 +61,20 @@ def dedup_keep_list(spark, sf_dir):
     return D.keep_list(corpus, pairs).select("doc_id")
 
 
+def dedup_components(spark, sf_dir):
+    """Near-dup group closure: MinHash-LSH pairs -> connected
+    components (iterative min-label propagation,
+    dedup.connected_components). Returns every doc with at least one
+    near-dup, labeled with the smallest doc_id in its duplicate
+    group — the step between candidate pairs and per-group stats that
+    ``keep_list`` skips."""
+    corpus = _planted(spark, sf_dir, 30, lambda t: F.concat(t, F.lit(" extra token tail")))
+    pairs = D.minhash_lsh_pairs(corpus, threshold=0.5)
+    return D.connected_components(pairs).select(
+        F.col("id").alias("doc_id"), "component_id"
+    )
+
+
 def dedup_simhash_pairs(spark, sf_dir):
     corpus = _planted(spark, sf_dir, 30, lambda t: F.concat(t, F.lit(" zzzz")))
     return D.simhash_pairs(corpus, max_hamming=3)

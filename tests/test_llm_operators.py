@@ -250,3 +250,36 @@ def test_multimodal_frames_resize_embed(spark, docs_df):
     emb = {r["doc_id"]: r["embedding"] for r in M.fake_feature_extract(media).collect()}
     assert all(len(v) == 8 and all(0.0 <= x <= 1.0 for x in v) for v in emb.values())
     assert emb[1] == emb[2]  # identical content -> identical features
+
+
+def test_connected_components_chain_and_cliques(spark):
+    # chain 1-2-3-4-5 (diameter 4, multiple propagation rounds),
+    # clique {10,11,12}, isolated pair {20,21}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5),
+         (10, 11), (10, 12), (11, 12),
+         (20, 21)],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        (r.id, r.component_id)
+        for r in D.connected_components(pairs).collect()
+    }
+    want = {(i, 1) for i in (1, 2, 3, 4, 5)}
+    want |= {(i, 10) for i in (10, 11, 12)}
+    want |= {(i, 20) for i in (20, 21)}
+    assert got == want
+
+
+def test_connected_components_reversed_edges(spark):
+    # labels must flow against edge direction too (symmetric closure)
+    pairs = spark.createDataFrame([(5, 4), (4, 3), (3, 1)], "doc_a long, doc_b long")
+    got = {(r.id, r.component_id) for r in D.connected_components(pairs).collect()}
+    assert got == {(1, 1), (3, 1), (4, 1), (5, 1)}
+
+
+def test_connected_components_empty(spark):
+    pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+    out = D.connected_components(pairs)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["id", "component_id"]
