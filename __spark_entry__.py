@@ -86,6 +86,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in round 3 (late): group closure, quality filtering,
         # deterministic sampling, token chunking, TF-IDF, Z-order
         "dedup_components": L.dedup_components,
+        "text_quality_filter": L.text_quality_filter,
+        "sample_hash_events": L.sample_hash_events,
+        "sample_stratified_events": L.sample_stratified_events,
+        "text_chunk_windows": L.text_chunk_windows,
+        "text_chunk_texts": L.text_chunk_texts,
+        "text_tfidf_topk": L.text_tfidf_topk,
         # --- previously-green contract queries ---
         # §2.5/§2.6 windows + top-k
         "w1_latest_per_key": R.w1_latest_per_key,
@@ -185,6 +191,66 @@ sids AS (
 ),
 sizes AS (SELECT doc_id, count(*) AS sz FROM sids GROUP BY doc_id)
 """
+
+def _quality_filter_oracle() -> str:
+    """Twin of text.quality_filter: same integer cross-multiplied
+    rules (no float thresholds), flags cast to int, first-failed rule
+    in declaration order."""
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators.text import (
+        EN_STOPWORDS,
+        QF_MAX_AVG_WLEN,
+        QF_MAX_WORD_LEN,
+        QF_MAX_WORDS,
+        QF_MIN_ALPHA_PCT,
+        QF_MIN_AVG_WLEN,
+        QF_MIN_DISTINCT_PCT,
+        QF_MIN_STOP_HITS,
+        QF_MIN_WORDS,
+    )
+
+    stops = ", ".join(f"'{s}'" for s in EN_STOPWORDS)
+    rules = [
+        ("word_count", f"(n_words >= {QF_MIN_WORDS} AND n_words <= {QF_MAX_WORDS})"),
+        ("avg_word_len", f"(word_chars >= {QF_MIN_AVG_WLEN} * n_words"
+                         f" AND word_chars <= {QF_MAX_AVG_WLEN} * n_words)"),
+        ("alpha_ratio", f"(alpha_chars * 100 >= {QF_MIN_ALPHA_PCT} * n_chars)"),
+        ("stopwords", f"(stop_cnt >= {QF_MIN_STOP_HITS})"),
+        ("max_word_len", f"(max_wlen <= {QF_MAX_WORD_LEN})"),
+        ("repetition", f"(n_distinct * 100 >= {QF_MIN_DISTINCT_PCT} * n_words)"),
+    ]
+    flag_defs = ",\n              ".join(
+        f"{cond} AS ok_{name}" for name, cond in rules
+    )
+    flag_casts = ",\n              ".join(
+        f"CAST(ok_{name} AS INTEGER) AS ok_{name}" for name, _ in rules
+    )
+    keep = " AND ".join(f"ok_{name}" for name, _ in rules)
+    reason = " ".join(f"WHEN NOT ok_{name} THEN '{name}'" for name, _ in rules)
+    return f"""
+        WITH f AS (
+          SELECT doc_id,
+                 len(w) AS n_words,
+                 length(text) AS n_chars,
+                 length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS alpha_chars,
+                 coalesce(list_sum(list_transform(w, x -> length(x))), 0) AS word_chars,
+                 len(list_filter(w, x -> list_contains([{stops}], x))) AS stop_cnt,
+                 coalesce(list_max(list_transform(w, x -> length(x))), 0) AS max_wlen,
+                 len(list_distinct(w)) AS n_distinct
+          FROM (SELECT doc_id, text,
+                       string_split({_NORM.format(t='text')}, ' ') AS w
+                FROM documents)
+        ), r AS (
+          SELECT doc_id, n_words,
+              {flag_defs}
+          FROM f
+        )
+        SELECT doc_id, CAST(n_words AS INTEGER) AS n_words,
+              {flag_casts},
+              CAST(({keep}) AS INTEGER) AS keep,
+              CASE {reason} ELSE NULL END AS drop_reason
+        FROM r
+    """
+
 
 def _lsh_bucket_sql(dim: int = 64, n_planes: int = 8) -> str:
     """Hyperplane-LSH bucket id, replicating
@@ -840,6 +906,76 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id AS doc_id, min(lbl) AS component_id
             FROM reach GROUP BY id
+        """,
+        "text_quality_filter": _quality_filter_oracle(),
+        "sample_hash_events": f"""
+            SELECT event_id, event_type FROM events
+            WHERE ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT
+                  < {int(0.05 * 16 ** 15)}
+        """,
+        "sample_stratified_events": """
+            WITH d AS (
+              SELECT event_id, event_type,
+                     ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT AS h
+              FROM events
+            ), r AS (
+              SELECT event_id, event_type,
+                     row_number() OVER (PARTITION BY event_type ORDER BY h, event_id) AS rn,
+                     count(*) OVER (PARTITION BY event_type) AS cnt
+              FROM d
+            )
+            SELECT event_id, event_type FROM r
+            WHERE rn <= CAST(ceil(cnt * 0.1) AS BIGINT)
+        """,
+        "text_chunk_windows": f"""
+            WITH norm AS (
+              SELECT doc_id, string_split({_NORM.format(t='text')}, ' ') AS w
+              FROM documents
+            ), s AS (
+              SELECT doc_id, len(w) AS doc_tokens,
+                     unnest(generate_series(1, greatest(len(w) - 8, 1), 24)) AS start
+              FROM norm
+            )
+            SELECT doc_id,
+                   CAST((start - 1) // 24 AS INTEGER) AS chunk_id,
+                   CAST(least(32, doc_tokens - start + 1) AS INTEGER) AS n_tokens
+            FROM s
+        """,
+        "text_chunk_texts": f"""
+            WITH norm AS (
+              SELECT doc_id, string_split({_NORM.format(t='text')}, ' ') AS w
+              FROM documents WHERE doc_id < 100
+            ), s AS (
+              SELECT doc_id, w,
+                     unnest(generate_series(1, greatest(len(w) - 8, 1), 24)) AS start
+              FROM norm
+            )
+            SELECT doc_id,
+                   CAST((start - 1) // 24 AS INTEGER) AS chunk_id,
+                   array_to_string(list_slice(w, start, start + 31), ' ') AS chunk_text
+            FROM s
+        """,
+        "text_tfidf_topk": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split({_NORM.format(t='text')}, ' ')) AS term
+              FROM documents
+            ), tf AS (
+              SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+            ), dfreq AS (
+              SELECT term, count(*) AS df FROM tf GROUP BY 1
+            ), nd AS (
+              SELECT count(DISTINCT doc_id) AS n_docs FROM documents
+            ), scored AS (
+              SELECT doc_id, term, tf, df,
+                     round(tf * n_docs / df, 4) AS tfidf
+              FROM tf JOIN dfreq USING (term) CROSS JOIN nd
+            )
+            SELECT doc_id, term, tf, df, tfidf, CAST(rk AS INTEGER) AS rk
+            FROM (
+              SELECT *, row_number() OVER (PARTITION BY doc_id
+                          ORDER BY tfidf DESC, term) AS rk
+              FROM scored
+            ) WHERE rk <= 5
         """,
         "sql_ctas_time_travel": """
             WITH base AS (

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import dedup as D
+from . import sampling as SA
 from . import similarity as S
 from . import text as TX
 from .relational import load
@@ -556,6 +557,57 @@ def text_token_counts(spark, sf_dir):
 
 def text_fingerprint(spark, sf_dir):
     return TX.fingerprint(_docs(spark, sf_dir))
+
+
+def text_quality_filter(spark, sf_dir):
+    """Gopher-rule document filter: per-rule pass flags + keep verdict
+    + first-failed-rule accounting (text.quality_filter). Flags cast
+    to int here only for cross-engine hash stability."""
+    out = TX.quality_filter(_docs(spark, sf_dir))
+    flags = [c for c in out.columns if c.startswith("ok_")]
+    return out.select(
+        "doc_id", "n_words",
+        *[F.col(c).cast("int").alias(c) for c in flags],
+        F.col("keep").cast("int").alias("keep"),
+        "drop_reason",
+    )
+
+
+def sample_hash_events(spark, sf_dir):
+    """Deterministic map-only Bernoulli sample (5% by md5 of the key):
+    membership is a pure function of event_id — reruns and
+    repartitions agree, larger fractions nest smaller ones."""
+    ev = load(spark, sf_dir, "events")
+    return SA.sample_hash(ev, 0.05, "event_id").select("event_id", "event_type")
+
+
+def sample_stratified_events(spark, sf_dir):
+    """Exact per-stratum quota sample: ceil(10%) of each event_type,
+    picking the smallest md5 draws (deterministic set)."""
+    ev = load(spark, sf_dir, "events")
+    return SA.sample_stratified(ev, ["event_type"], 0.1, "event_id").select(
+        "event_id", "event_type"
+    )
+
+
+def text_chunk_windows(spark, sf_dir):
+    """Sequence-packing prep: fixed 32-token windows, 8-token overlap,
+    counts only (text.chunk_tokens)."""
+    return TX.chunk_tokens(_docs(spark, sf_dir), size=32, overlap=8)
+
+
+def text_chunk_texts(spark, sf_dir):
+    """chunk_tokens + materialized window text for a doc subset."""
+    return TX.chunk_texts(
+        _docs(spark, sf_dir).filter(F.col("doc_id") < 100), size=32, overlap=8
+    )
+
+
+def text_tfidf_topk(spark, sf_dir):
+    """Top-5 characteristic terms per doc by rational TF-IDF
+    (text.tfidf_topk; N/df instead of log-idf for cross-engine
+    bit-exactness)."""
+    return TX.tfidf_topk(_docs(spark, sf_dir), k=5)
 
 
 def multimodal_meta(spark, sf_dir):

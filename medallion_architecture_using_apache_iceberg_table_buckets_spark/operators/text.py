@@ -114,3 +114,159 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         F.md5(norm).alias("fp_md5"),
         rolling.alias("fp_rolling"),
     )
+
+
+# Gopher-style quality-filter rule parameters (Rae et al. 2021,
+# "Scaling Language Models" appendix A1.1, adapted to the synthetic
+# corpus scale). All comparisons are integer cross-multiplications so
+# the keep decision is bit-exact in any engine — no float thresholds.
+QF_MIN_WORDS = 20
+QF_MAX_WORDS = 100_000
+QF_MIN_AVG_WLEN = 3   # 3 <= total_word_chars / n_words <= 10
+QF_MAX_AVG_WLEN = 10
+QF_MIN_ALPHA_PCT = 60      # alpha chars >= 60% of all chars
+QF_MIN_STOP_HITS = 2       # >= 2 stopword occurrences
+QF_MAX_WORD_LEN = 20       # no single token longer than this
+QF_MIN_DISTINCT_PCT = 20   # distinct words >= 20% of words (repetition)
+
+
+def quality_filter(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """C4/Gopher-style document filter: per-rule flags + keep verdict.
+
+    Emits one row per doc with each rule's pass flag, the keep
+    decision (AND of all rules), and the first failed rule's name
+    (priority = declaration order) for drop accounting. Map-only —
+    no shuffle; at 100 TB this is a single scan-project pass and the
+    flags let the pipeline report per-rule drop rates with one
+    follow-up aggregation.
+    """
+    w = words(text_col)
+    n_words = F.size(w)
+    n_chars = F.length(text_col)
+    alpha_chars = F.length(F.regexp_replace(F.lower(text_col), "[^a-z]", ""))
+    word_chars = F.aggregate(w, F.lit(0), lambda acc, x: acc + F.length(x))
+    stop_cnt = _marker_hits(w, EN_STOPWORDS)
+    max_wlen = F.coalesce(F.array_max(F.transform(w, F.length)), F.lit(0))
+    n_distinct = F.size(F.array_distinct(w))
+    rules = [
+        ("word_count", (n_words >= QF_MIN_WORDS) & (n_words <= QF_MAX_WORDS)),
+        ("avg_word_len", (word_chars >= QF_MIN_AVG_WLEN * n_words)
+                         & (word_chars <= QF_MAX_AVG_WLEN * n_words)),
+        ("alpha_ratio", alpha_chars * 100 >= QF_MIN_ALPHA_PCT * n_chars),
+        ("stopwords", stop_cnt >= QF_MIN_STOP_HITS),
+        ("max_word_len", max_wlen <= QF_MAX_WORD_LEN),
+        ("repetition", n_distinct * 100 >= QF_MIN_DISTINCT_PCT * n_words),
+    ]
+    keep = rules[0][1]
+    for _, cond in rules[1:]:
+        keep = keep & cond
+    reason = F.lit(None).cast("string")
+    for name, cond in reversed(rules):
+        reason = F.when(~cond, F.lit(name)).otherwise(reason)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n_words.cast("int").alias("n_words"),
+        *[cond.alias(f"ok_{name}") for name, cond in rules],
+        keep.alias("keep"),
+        reason.alias("drop_reason"),
+    )
+
+
+def chunk_tokens(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = 32,
+    overlap: int = 8,
+) -> DataFrame:
+    """Split docs into fixed-size token windows with overlap — the
+    sequence-packing prep step for a training pipeline (context
+    windows of `size` tokens, stride `size - overlap`).
+
+    Chunks start at 1, 1+stride, ...; a chunk is emitted only if it
+    contributes at least one token beyond the previous chunk's end
+    (start <= n_tokens - overlap), so the last chunk may be short but
+    never redundant. explode() is the only data expansion — no
+    shuffle, no UDF; at 100 TB this is a map-only pass whose output
+    is ~(1 + overlap/size)x the input tokens.
+    """
+    if not 0 <= overlap < size:
+        raise ValueError(f"need 0 <= overlap < size, got size={size} overlap={overlap}")
+    stride = size - overlap
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size("w") - overlap, F.lit(1)), F.lit(stride)
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"), words(text_col).alias("w"))
+        .select("doc_id", F.size("w").alias("doc_tokens"),
+                F.posexplode(starts).alias("chunk_id", "start"))
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("int").alias("chunk_id"),
+            F.least(F.lit(size), F.col("doc_tokens") - F.col("start") + 1)
+             .cast("int").alias("n_tokens"),
+        )
+    )
+
+
+def chunk_texts(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = 32,
+    overlap: int = 8,
+) -> DataFrame:
+    """chunk_tokens + the materialized chunk text (separate entry so
+    count-only consumers never pay for the string rebuild)."""
+    if not 0 <= overlap < size:
+        raise ValueError(f"need 0 <= overlap < size, got size={size} overlap={overlap}")
+    stride = size - overlap
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size("w") - overlap, F.lit(1)), F.lit(stride)
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"), words(text_col).alias("w"))
+        .select("doc_id", "w", F.posexplode(starts).alias("chunk_id", "start"))
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("int").alias("chunk_id"),
+            F.concat_ws(" ", F.slice("w", F.col("start"), size)).alias("chunk_text"),
+        )
+    )
+
+
+def tfidf_topk(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """Top-k characteristic terms per doc by TF-IDF.
+
+    idf uses the raw rational N/df (not log) so the score is the
+    exact IEEE double tf*N/df in every engine — ln() differs in the
+    last ulp across libm implementations and would poison value-hash
+    comparison; the rational form preserves the same per-doc ranking.
+    Plan: one explode + (doc,term) count, a broadcast-joined df table
+    (terms << corpus), one per-doc window for the top-k — the same
+    shape at 100 TB, with the term-df aggregation map-side combined.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(F.col(id_col).alias("doc_id"), F.explode(words(text_col)).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = df.select(F.countDistinct(id_col).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("tfidf", F.round(F.col("tf") * F.col("n_docs") / F.col("df"), 4))
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    )
+    return (
+        scored.withColumn("rk", rk)
+        .filter(F.col("rk") <= k)
+        .select("doc_id", "term", "tf", "df", "tfidf", F.col("rk").cast("int").alias("rk"))
+    )

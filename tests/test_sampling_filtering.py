@@ -1,0 +1,94 @@
+"""Quality-filter rules, deterministic sampling, token chunking,
+TF-IDF ranking — rule-level checks the oracle diff can't see
+(it only proves Spark==DuckDB, not that the rules do what the
+docstrings claim)."""
+
+from pyspark.sql import functions as F
+
+from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators import (
+    sampling as SA,
+    text as TX,
+)
+
+GOOD = ("the quick brown fox jumps over a lazy dog and then runs to "
+        "the old stone bridge in the rain for an hour and a half")
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_quality_filter_rules(spark):
+    rows = [
+        (1, GOOD),                                   # passes everything
+        (2, "too short for the corpus"),             # word_count
+        (3, " ".join(["antidisestablishmentarianism"] * 30)),  # avg/max wlen + stopwords
+        (4, "the " + "9999 " * 40 + "of it is and to in a"),   # alpha_ratio
+        (5, " ".join(["word"] * 40)),                # stopwords + repetition
+    ]
+    out = {r["doc_id"]: r for r in TX.quality_filter(_docs(spark, rows)).collect()}
+    assert out[1]["keep"] and out[1]["drop_reason"] is None
+    assert not out[2]["keep"] and out[2]["drop_reason"] == "word_count"
+    # doc 3: first failed rule in declaration order wins
+    assert not out[3]["ok_avg_word_len"] and not out[3]["ok_max_word_len"]
+    assert out[3]["drop_reason"] == "avg_word_len"
+    assert not out[4]["ok_alpha_ratio"] and out[4]["drop_reason"] == "alpha_ratio"
+    assert not out[5]["ok_stopwords"] and not out[5]["ok_repetition"]
+    assert out[5]["drop_reason"] == "stopwords"
+
+
+def test_sample_hash_nested_and_repartition_stable(spark):
+    df = spark.range(0, 2000).withColumnRenamed("id", "k")
+    small = {r.k for r in SA.sample_hash(df, 0.05, "k").collect()}
+    big = {r.k for r in SA.sample_hash(df, 0.20, "k").collect()}
+    assert small and small < big  # nested samples
+    again = {r.k for r in SA.sample_hash(df.repartition(7), 0.05, "k").collect()}
+    assert again == small  # membership independent of partitioning
+    assert 0.01 < len(small) / 2000 < 0.10  # roughly the asked fraction
+
+
+def test_sample_stratified_exact_quota(spark):
+    import math
+
+    rows = [(i, "a" if i % 3 else "b") for i in range(300)]
+    df = spark.createDataFrame(rows, "k long, g string")
+    per_stratum = {r.g: r.cnt for r in df.groupBy("g").agg(F.count("*").alias("cnt")).collect()}
+    out = SA.sample_stratified(df, ["g"], 0.1, "k")
+    got = {r.g: r.cnt for r in out.groupBy("g").agg(F.count("*").alias("cnt")).collect()}
+    assert got == {g: math.ceil(0.1 * n) for g, n in per_stratum.items()}
+    # deterministic set, not just deterministic counts
+    again = {(r.k, r.g) for r in SA.sample_stratified(df.repartition(5), ["g"], 0.1, "k").collect()}
+    assert again == {(r.k, r.g) for r in out.collect()}
+
+
+def test_chunk_tokens_boundaries(spark):
+    def chunks(n_words):
+        doc = _docs(spark, [(1, " ".join(f"w{i}" for i in range(n_words)))])
+        return sorted(
+            (r.chunk_id, r.n_tokens)
+            for r in TX.chunk_tokens(doc, size=32, overlap=8).collect()
+        )
+
+    assert chunks(8) == [(0, 8)]           # shorter than one window
+    assert chunks(32) == [(0, 32)]         # exactly one window, no echo chunk
+    assert chunks(33) == [(0, 32), (1, 9)]  # tail contributes 1 new token
+    assert chunks(56) == [(0, 32), (1, 32)]  # 56 = 32 + stride 24
+    assert chunks(57) == [(0, 32), (1, 32), (2, 9)]
+
+
+def test_chunk_texts_reconstruct(spark):
+    doc = _docs(spark, [(1, " ".join(f"w{i}" for i in range(40)))])
+    out = {r.chunk_id: r.chunk_text for r in TX.chunk_texts(doc, size=32, overlap=8).collect()}
+    assert out[0].split(" ") == [f"w{i}" for i in range(32)]
+    assert out[1].split(" ") == [f"w{i}" for i in range(24, 40)]
+
+
+def test_tfidf_ranks_rare_terms_first(spark):
+    rows = [
+        (1, "shared shared rare1"),
+        (2, "shared shared rare2"),
+        (3, "shared shared rare3"),
+    ]
+    out = TX.tfidf_topk(_docs(spark, rows), k=1).collect()
+    # 'shared' has tf=2 but df=3 -> score 2; each rareN has tf=1 df=1 -> score 3
+    assert {(r.doc_id, r.term) for r in out} == {(1, "rare1"), (2, "rare2"), (3, "rare3")}
