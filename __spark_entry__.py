@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_chunk_windows": L.text_chunk_windows,
         "text_chunk_texts": L.text_chunk_texts,
         "text_tfidf_topk": L.text_tfidf_topk,
+        "zorder_cluster_events": L.zorder_cluster_events,
         # --- previously-green contract queries ---
         # §2.5/§2.6 windows + top-k
         "w1_latest_per_key": R.w1_latest_per_key,
@@ -249,6 +250,23 @@ def _quality_filter_oracle() -> str:
               CAST(({keep}) AS INTEGER) AS keep,
               CASE {reason} ELSE NULL END AS drop_reason
         FROM r
+    """
+
+
+def _zorder_oracle() -> str:
+    """Twin of llm_queries.zorder_cluster_events: the SQL interleave
+    comes from the same generator (functions/zorder.py:zorder_sql) as
+    the Spark expression, so bit layouts cannot drift apart."""
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.functions.zorder import (
+        zorder_sql,
+    )
+
+    return f"""
+        SELECT event_id, user_id, day,
+               {zorder_sql(['user_id', 'day'])} AS zkey
+        FROM (SELECT event_id, user_id,
+                     CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+              FROM events)
     """
 
 
@@ -908,6 +926,7 @@ def oracle_sql() -> dict[str, str]:
             FROM reach GROUP BY id
         """,
         "text_quality_filter": _quality_filter_oracle(),
+        "zorder_cluster_events": _zorder_oracle(),
         "sample_hash_events": f"""
             SELECT event_id, event_type FROM events
             WHERE ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT

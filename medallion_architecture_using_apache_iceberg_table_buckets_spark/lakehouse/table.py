@@ -819,6 +819,8 @@ class Table:
         spark: SparkSession,
         target_partitions: int | None = None,
         sort_by: list[str] | None = None,
+        zorder_by: list[str] | None = None,
+        zorder_bits: int = 16,
     ) -> Snapshot:
         """Rewrite the table to plain base files: resolves MOR deltas
         and merges small files (the maintenance pass every
@@ -826,11 +828,28 @@ class Table:
 
         ``sort_by`` range-partitions and sorts the rewrite on the
         given columns — data clustering, so Parquet row-group min/max
-        stats prune selective scans on those columns (the z-order-lite
-        maintenance Iceberg calls rewriteDataFiles with sort order).
+        stats prune selective scans on those columns (the sort
+        strategy of Iceberg's rewrite_data_files). ``zorder_by``
+        clusters on the Morton interleave of 2+ columns instead
+        (functions/zorder.py) — per-file bounds stay tight on EVERY
+        listed column, so manifest skipping prunes filters on any of
+        them, not just the leading sort key (Iceberg's zorder
+        strategy). Columns must be pre-scaled into [0, 2^bits).
         """
+        if sort_by and zorder_by:
+            raise ValueError("pass sort_by or zorder_by, not both")
         df = self.read(spark)
-        if sort_by:
+        if zorder_by:
+            from ..functions.zorder import zorder_key
+
+            zk = "_zorder_key"
+            df = df.withColumn(zk, zorder_key(zorder_by, zorder_bits))
+            df = (
+                df.repartitionByRange(target_partitions, zk)
+                if target_partitions
+                else df.repartitionByRange(zk)
+            ).sortWithinPartitions(zk).drop(zk)
+        elif sort_by:
             df = (
                 df.repartitionByRange(target_partitions, *sort_by)
                 if target_partitions

@@ -610,6 +610,22 @@ def text_tfidf_topk(spark, sf_dir):
     return TX.tfidf_topk(_docs(spark, sf_dir), k=5)
 
 
+def zorder_cluster_events(spark, sf_dir):
+    """Morton interleave key over (user_id, event day) — the sort key
+    Table.compact(zorder_by=...) clusters rewrites on so manifest
+    min/max skipping prunes filters on either dimension
+    (functions/zorder.py; layout effect proven in
+    tests/test_zorder.py)."""
+    from ..functions.zorder import zorder_key
+
+    e = load(spark, sf_dir, "events").withColumn(
+        "day", F.expr("CAST(ts AS LONG) div 86400")
+    )
+    return e.select(
+        "event_id", "user_id", "day", zorder_key(["user_id", "day"]).alias("zkey")
+    )
+
+
 def multimodal_meta(spark, sf_dir):
     from .multimodal import attach_media
 
