@@ -520,9 +520,35 @@ class SqlSession:
             )
         if proc in ("rewrite_data_files", "compact"):
             tp = _val("target_partitions", 1)
-            t.compact(
-                self.spark, target_partitions=int(tp) if tp else None
+            strategy = (_val("strategy", 2, "binpack") or "binpack").strip("'\"").lower()
+            sort_order = _val("sort_order", 3)
+            cols = (
+                [c.strip().strip("'\"") for c in sort_order.strip("'\"").split(",")]
+                if sort_order
+                else None
             )
+            if strategy == "binpack":
+                if cols:
+                    raise ValueError("sort_order requires strategy => 'sort' or 'zorder'")
+                t.compact(self.spark, target_partitions=int(tp) if tp else None)
+            elif strategy == "sort":
+                if not cols:
+                    raise ValueError("strategy 'sort' needs sort_order => 'col[, col...]'")
+                t.compact(
+                    self.spark, target_partitions=int(tp) if tp else None, sort_by=cols
+                )
+            elif strategy == "zorder":
+                if not cols or len(cols) < 2:
+                    raise ValueError(
+                        "strategy 'zorder' needs sort_order => 'colA, colB[, ...]'"
+                    )
+                t.compact(
+                    self.spark, target_partitions=int(tp) if tp else None, zorder_by=cols
+                )
+            else:
+                raise ValueError(
+                    f"unknown rewrite strategy {strategy!r} (binpack, sort, zorder)"
+                )
             return self.spark.createDataFrame(
                 [(len(t.current_snapshot().files),)], "data_files long"
             )

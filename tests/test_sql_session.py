@@ -457,3 +457,41 @@ def test_call_procedures(spark, sess):
     assert {r["invoiceid"] for r in t.read(spark).collect()} == {0, 1, 2}
     with pytest.raises(ValueError, match="unknown procedure"):
         sess.sql("CALL system.nope('ns.orders')")
+
+def test_call_rewrite_strategies(spark, sess):
+    sess.sql("CREATE NAMESPACE IF NOT EXISTS ns2")
+    sess.sql("USE ns2")
+    t = sess.catalog.create_table(
+        "ns2", "grid", spark.createDataFrame([], "x long, y long").schema
+    )
+    rows = [(x, y) for x in range(16) for y in range(16)]
+    t.append(spark.createDataFrame(rows, "x long, y long"))
+    out = sess.sql(
+        "CALL system.rewrite_data_files(table => 'ns2.grid', "
+        "target_partitions => 4, strategy => 'zorder', sort_order => 'x, y')"
+    ).collect()
+    assert out[0]["data_files"] == 4
+    # both dims prune after the z-order rewrite
+    files = t.current_snapshot().files
+    assert len(t._prune_files_by_stats(spark, files, "x < 4")) < 4
+    assert len(t._prune_files_by_stats(spark, files, "y < 4")) < 4
+    assert {(r.x, r.y) for r in t.read(spark).collect()} == set(rows)
+    sess.sql(
+        "CALL system.rewrite_data_files(table => 'ns2.grid', "
+        "target_partitions => 2, strategy => 'sort', sort_order => 'x')"
+    )
+    assert {(r.x, r.y) for r in t.read(spark).collect()} == set(rows)
+    with pytest.raises(ValueError, match="zorder"):
+        sess.sql(
+            "CALL system.rewrite_data_files(table => 'ns2.grid', "
+            "strategy => 'zorder', sort_order => 'x')"
+        )
+    with pytest.raises(ValueError, match="sort_order"):
+        sess.sql(
+            "CALL system.rewrite_data_files(table => 'ns2.grid', "
+            "strategy => 'binpack', sort_order => 'x')"
+        )
+    with pytest.raises(ValueError, match="unknown rewrite strategy"):
+        sess.sql(
+            "CALL system.rewrite_data_files(table => 'ns2.grid', strategy => 'hilbert')"
+        )
