@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_chunk_texts": L.text_chunk_texts,
         "text_tfidf_topk": L.text_tfidf_topk,
         "zorder_cluster_events": L.zorder_cluster_events,
+        "pack_training_sequences": L.pack_training_sequences,
         # --- previously-green contract queries ---
         # §2.5/§2.6 windows + top-k
         "w1_latest_per_key": R.w1_latest_per_key,
@@ -973,6 +974,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST((start - 1) // 24 AS INTEGER) AS chunk_id,
                    array_to_string(list_slice(w, start, start + 31), ' ') AS chunk_text
             FROM s
+        """,
+        "pack_training_sequences": f"""
+            WITH norm AS (
+              SELECT doc_id, string_split({_NORM.format(t='text')}, ' ') AS w
+              FROM documents
+            ), s AS (
+              SELECT doc_id, len(w) AS doc_tokens,
+                     unnest(generate_series(1, greatest(len(w) - 8, 1), 24)) AS start
+              FROM norm
+            ), c AS (
+              SELECT doc_id,
+                     CAST((start - 1) // 24 AS INTEGER) AS chunk_id,
+                     CAST(least(32, doc_tokens - start + 1) AS INTEGER) AS n_tokens,
+                     doc_id // 100 AS shard_id
+              FROM s
+            ), q AS (
+              SELECT *, coalesce(sum(n_tokens) OVER (
+                          PARTITION BY shard_id ORDER BY doc_id, chunk_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+              FROM c
+            )
+            SELECT doc_id, chunk_id, n_tokens, shard_id,
+                   cum // 256 AS seq_id, cum % 256 AS seq_offset
+            FROM q
         """,
         "text_tfidf_topk": f"""
             WITH toks AS (

@@ -610,6 +610,20 @@ def text_tfidf_topk(spark, sf_dir):
     return TX.tfidf_topk(_docs(spark, sf_dir), k=5)
 
 
+def pack_training_sequences(spark, sf_dir):
+    """Concatenate-and-cut sequence packing (text.pack_sequences):
+    chunked docs are laid into fixed 256-token training sequences per
+    100-doc shard; each chunk learns its sequence id and offset."""
+    chunks = TX.chunk_tokens(_docs(spark, sf_dir), size=32, overlap=8)
+    chunks = chunks.withColumn("shard_id", F.expr("doc_id div 100"))
+    out = TX.pack_sequences(
+        chunks, "n_tokens", "shard_id", ["doc_id", "chunk_id"], budget=256
+    )
+    return out.select(
+        "doc_id", "chunk_id", "n_tokens", "shard_id", "seq_id", "seq_offset"
+    )
+
+
 def zorder_cluster_events(spark, sf_dir):
     """Morton interleave key over (user_id, event day) — the sort key
     Table.compact(zorder_by=...) clusters rewrites on so manifest

@@ -270,3 +270,38 @@ def tfidf_topk(
         .filter(F.col("rk") <= k)
         .select("doc_id", "term", "tf", "df", "tfidf", F.col("rk").cast("int").alias("rk"))
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    tokens_col: str,
+    shard_col: str,
+    order_cols: list[str],
+    budget: int = 256,
+) -> DataFrame:
+    """Token-stream sequence packing: chunks are concatenated in
+    ``order_cols`` order within each shard and cut every ``budget``
+    tokens — each row learns which training sequence its first token
+    lands in (seq_id) and where (seq_offset).
+
+    This is the standard concatenate-and-split packing of LLM
+    pretraining (documents joined by the tokenizer, cut into fixed
+    windows). One exclusive-prefix window sum per shard — a single
+    shuffle on the shard key, so packing 100 TB parallelizes across
+    shards while each shard's layout is deterministic (total order =
+    order_cols, which must be a per-shard unique key).
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = F.coalesce(F.sum(tokens_col).over(w), F.lit(0)).cast("long")
+    return (
+        df.withColumn("_cum", cum)
+        .withColumn("seq_id", F.expr(f"_cum div {int(budget)}"))
+        .withColumn("seq_offset", F.col("_cum") % F.lit(int(budget)))
+        .drop("_cum")
+    )

@@ -92,3 +92,20 @@ def test_tfidf_ranks_rare_terms_first(spark):
     out = TX.tfidf_topk(_docs(spark, rows), k=1).collect()
     # 'shared' has tf=2 but df=3 -> score 2; each rareN has tf=1 df=1 -> score 3
     assert {(r.doc_id, r.term) for r in out} == {(1, "rare1"), (2, "rare2"), (3, "rare3")}
+
+
+def test_pack_sequences_layout(spark):
+    rows = [(0, i, 0, 100) for i in range(5)] + [(1, i, 1, 90) for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, chunk_id long, shard_id long, n_tokens long")
+    out = {(r.shard_id, r.chunk_id): (r.seq_id, r.seq_offset)
+           for r in TX.pack_sequences(df, "n_tokens", "shard_id",
+                                      ["doc_id", "chunk_id"], budget=256).collect()}
+    # shard 0: cum-before 0,100,200,300,400 -> seqs 0,0,0,1,1
+    assert out[(0, 0)] == (0, 0)
+    assert out[(0, 1)] == (0, 100)
+    assert out[(0, 2)] == (0, 200)
+    assert out[(0, 3)] == (1, 300 - 256)
+    assert out[(0, 4)] == (1, 400 - 256)
+    # shard 1 packs independently: 0,90,180
+    assert out[(1, 0)] == (0, 0)
+    assert out[(1, 2)] == (0, 180)
