@@ -49,6 +49,13 @@ HEADLINE = {
     "sql_ctas_time_travel": L.sql_ctas_time_travel,
     "range_join_incidents": L.range_join_incidents,
     "text_top_ngrams": L.text_top_ngrams,
+    # round-3 curation surface: group closure (iterative), quality
+    # filter, TF-IDF, chunk+pack, z-order key
+    "dedup_components": L.dedup_components,
+    "text_quality_filter": L.text_quality_filter,
+    "text_tfidf_topk": L.text_tfidf_topk,
+    "pack_training_sequences": L.pack_training_sequences,
+    "zorder_cluster_events": L.zorder_cluster_events,
 }
 
 

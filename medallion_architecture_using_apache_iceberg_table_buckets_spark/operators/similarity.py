@@ -216,10 +216,17 @@ def ivf_centroids(
     the centroids (and everything downstream) are reproducible — the
     DuckDB oracle mirrors round(avg(x), 6).
     """
-    n = df.count()
-    step = max(1, n // n_centroids)
-    cand = df.filter((F.col(id_col) % step) == 0).select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+    # step = max(1, n // n_centroids) as a broadcast scalar inside the
+    # plan — no eager df.count() on the driver, so centroid building
+    # is one job, and the corpus count comes from the same scan
+    # Catalyst already optimizes to a metadata/columnar count
+    step_df = df.agg(
+        F.greatest(F.expr(f"count(*) div {int(n_centroids)}"), F.lit(1)).alias("_step")
+    )
+    cand = (
+        df.crossJoin(F.broadcast(step_df))
+        .filter((F.col(id_col) % F.col("_step")) == 0)
+        .select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
     )
     w = Window.orderBy("vec_id")  # ~n_centroids rows, not the corpus
     seeds = (

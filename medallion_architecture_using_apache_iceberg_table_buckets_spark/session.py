@@ -52,6 +52,12 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Runtime row-level filtering: build a bloom filter from the
+        # selective side of large joins and push it into the probe
+        # scan — at 100 TB this skips row groups the join would
+        # discard anyway (explicit: the default has flipped across
+        # Spark minors).
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         # Columnar Python exchange for pandas UDFs.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Parquet: vectorized reader + pushdown are Spark defaults;
