@@ -202,3 +202,32 @@ def test_range_join_is_equi_join(spark, sf_dir):
     assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan) or (
         "ShuffledHashJoin" in plan
     )
+
+
+def test_curation_ops_plan_shapes(spark, sf_dir):
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators import (
+        llm_queries as L,
+    )
+
+    # quality filter: map-only — no Exchange anywhere in the plan
+    plan = plan_of(L.text_quality_filter(spark, sf_dir))
+    assert "Exchange" not in plan
+    # chunking: explode is the only expansion; still no shuffle
+    plan = plan_of(L.text_chunk_windows(spark, sf_dir))
+    assert "Exchange" not in plan and "Generate" in plan
+    # hash sampling: pure filter pushed onto the scan stage, no shuffle
+    plan = plan_of(L.sample_hash_events(spark, sf_dir))
+    assert "Exchange" not in plan
+    # z-order key: projection only, inside whole-stage codegen
+    # ('*(n)' prefixes mark codegen spans in plan text)
+    plan = plan_of(L.zorder_cluster_events(spark, sf_dir))
+    assert "Exchange" not in plan and "*(1)" in plan
+    # tf-idf: the df and N sides must broadcast (never shuffle the
+    # term table against the corpus-sized tf table)
+    plan = plan_of(L.text_tfidf_topk(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row N scalar
+    assert "CartesianProduct" not in plan
+    # packing: exactly one shuffle — the shard-key window
+    plan = plan_of(L.pack_training_sequences(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
