@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tfidf_topk": L.text_tfidf_topk,
         "zorder_cluster_events": L.zorder_cluster_events,
         "pack_training_sequences": L.pack_training_sequences,
+        "curation_end_to_end": L.curation_end_to_end,
         # --- previously-green contract queries ---
         # §2.5/§2.6 windows + top-k
         "w1_latest_per_key": R.w1_latest_per_key,
@@ -194,12 +195,10 @@ sids AS (
 sizes AS (SELECT doc_id, count(*) AS sz FROM sids GROUP BY doc_id)
 """
 
-def _quality_filter_oracle() -> str:
-    """Twin of text.quality_filter: same integer cross-multiplied
-    rules (no float thresholds), flags cast to int, first-failed rule
-    in declaration order."""
+def _qf_rules() -> list[tuple[str, str]]:
+    """Quality rules as (name, SQL condition over the feature CTE) —
+    the single source both quality oracles derive from."""
     from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators.text import (
-        EN_STOPWORDS,
         QF_MAX_AVG_WLEN,
         QF_MAX_WORD_LEN,
         QF_MAX_WORDS,
@@ -210,8 +209,7 @@ def _quality_filter_oracle() -> str:
         QF_MIN_WORDS,
     )
 
-    stops = ", ".join(f"'{s}'" for s in EN_STOPWORDS)
-    rules = [
+    return [
         ("word_count", f"(n_words >= {QF_MIN_WORDS} AND n_words <= {QF_MAX_WORDS})"),
         ("avg_word_len", f"(word_chars >= {QF_MIN_AVG_WLEN} * n_words"
                          f" AND word_chars <= {QF_MAX_AVG_WLEN} * n_words)"),
@@ -220,16 +218,17 @@ def _quality_filter_oracle() -> str:
         ("max_word_len", f"(max_wlen <= {QF_MAX_WORD_LEN})"),
         ("repetition", f"(n_distinct * 100 >= {QF_MIN_DISTINCT_PCT} * n_words)"),
     ]
-    flag_defs = ",\n              ".join(
-        f"{cond} AS ok_{name}" for name, cond in rules
+
+
+def _qf_features_sql(src: str) -> str:
+    """Feature CTE body for the quality rules over table/CTE ``src``
+    (must expose doc_id, text)."""
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators.text import (
+        EN_STOPWORDS,
     )
-    flag_casts = ",\n              ".join(
-        f"CAST(ok_{name} AS INTEGER) AS ok_{name}" for name, _ in rules
-    )
-    keep = " AND ".join(f"ok_{name}" for name, _ in rules)
-    reason = " ".join(f"WHEN NOT ok_{name} THEN '{name}'" for name, _ in rules)
+
+    stops = ", ".join(f"'{s}'" for s in EN_STOPWORDS)
     return f"""
-        WITH f AS (
           SELECT doc_id,
                  len(w) AS n_words,
                  length(text) AS n_chars,
@@ -240,7 +239,26 @@ def _quality_filter_oracle() -> str:
                  len(list_distinct(w)) AS n_distinct
           FROM (SELECT doc_id, text,
                        string_split({_NORM.format(t='text')}, ' ') AS w
-                FROM documents)
+                FROM {src})
+    """
+
+
+def _quality_filter_oracle() -> str:
+    """Twin of text.quality_filter: same integer cross-multiplied
+    rules (no float thresholds), flags cast to int, first-failed rule
+    in declaration order."""
+    rules = _qf_rules()
+    flag_defs = ",\n              ".join(
+        f"{cond} AS ok_{name}" for name, cond in rules
+    )
+    flag_casts = ",\n              ".join(
+        f"CAST(ok_{name} AS INTEGER) AS ok_{name}" for name, _ in rules
+    )
+    keep = " AND ".join(f"ok_{name}" for name, _ in rules)
+    reason = " ".join(f"WHEN NOT ok_{name} THEN '{name}'" for name, _ in rules)
+    return f"""
+        WITH f AS (
+          {_qf_features_sql('documents')}
         ), r AS (
           SELECT doc_id, n_words,
               {flag_defs}
@@ -251,6 +269,85 @@ def _quality_filter_oracle() -> str:
               CAST(({keep}) AS INTEGER) AS keep,
               CASE {reason} ELSE NULL END AS drop_reason
         FROM r
+    """
+
+
+def _curation_oracle() -> str:
+    """Twin of llm_queries.curation_end_to_end: quality keep ->
+    minhash keep-list -> chunk -> pack -> per-sequence stats, built
+    from the same fragments as the standalone oracles (the filtered
+    corpus is named `corpus` so _SHINGLES reads it unchanged)."""
+    keep = " AND ".join(cond for _, cond in _qf_rules())
+    return f"""
+        WITH corpus_raw AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 100000 AS doc_id, text || ' extra token tail' AS text
+          FROM documents WHERE doc_id < 30
+        ),
+        f AS (
+          {_qf_features_sql('corpus_raw')}
+        ),
+        q AS (SELECT doc_id FROM f WHERE {keep}),
+        corpus AS (
+          SELECT r.doc_id, r.text FROM corpus_raw r JOIN q USING (doc_id)
+        ),
+        {_SHINGLES},
+        seeds AS (SELECT * FROM (VALUES {_MINHASH_SEEDS}) s(j, a, b)),
+        mh AS (
+          SELECT doc_id, j, min((a * sid + b) % 2147483647) AS mh
+          FROM sids CROSS JOIN seeds GROUP BY doc_id, j
+        ),
+        bands AS (
+          SELECT doc_id, j // 3 AS band,
+                 string_agg(CAST(mh AS VARCHAR), '_' ORDER BY j) AS key
+          FROM mh GROUP BY doc_id, j // 3
+        ),
+        cands AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        ),
+        inter AS (
+          SELECT c.doc_a, c.doc_b, count(*) AS inter
+          FROM cands c
+          JOIN sids sa ON sa.doc_id = c.doc_a
+          JOIN sids sb ON sb.doc_id = c.doc_b AND sb.sid = sa.sid
+          GROUP BY 1, 2
+        ),
+        pairs AS (
+          SELECT i.doc_a, i.doc_b
+          FROM inter i
+          JOIN sizes sa ON sa.doc_id = i.doc_a
+          JOIN sizes sb ON sb.doc_id = i.doc_b
+          WHERE round(inter / (sa.sz + sb.sz - inter), 4) >= 0.5
+        ),
+        survivors AS (
+          SELECT doc_id FROM corpus
+          WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
+        ),
+        cs AS (
+          SELECT nm.doc_id, len(nm.w) AS doc_tokens,
+                 unnest(generate_series(1, greatest(len(nm.w) - 8, 1), 24)) AS start
+          FROM norm nm JOIN survivors USING (doc_id)
+        ),
+        c AS (
+          SELECT doc_id,
+                 CAST((start - 1) // 24 AS INTEGER) AS chunk_id,
+                 least(32, doc_tokens - start + 1) AS n_tokens,
+                 doc_id // 100 AS shard_id
+          FROM cs
+        ),
+        p AS (
+          SELECT *, coalesce(sum(n_tokens) OVER (
+                      PARTITION BY shard_id ORDER BY doc_id, chunk_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+          FROM c
+        )
+        SELECT shard_id, cum // 256 AS seq_id, count(*) AS n_chunks,
+               CAST(sum(n_tokens) AS BIGINT) AS seq_tokens,
+               count(DISTINCT doc_id) AS n_docs
+        FROM p GROUP BY 1, 2
     """
 
 
@@ -975,6 +1072,7 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(list_slice(w, start, start + 31), ' ') AS chunk_text
             FROM s
         """,
+        "curation_end_to_end": _curation_oracle(),
         "pack_training_sequences": f"""
             WITH norm AS (
               SELECT doc_id, string_split({_NORM.format(t='text')}, ' ') AS w

@@ -624,6 +624,31 @@ def pack_training_sequences(spark, sf_dir):
     )
 
 
+def curation_end_to_end(spark, sf_dir):
+    """The full curation chain a training-data pipeline runs, as ONE
+    oracle-checked query: planted corpus -> Gopher quality filter ->
+    MinHash-LSH near-dup keep-list -> token chunking -> sequence
+    packing -> per-sequence stats. Every stage is the same operator
+    the standalone queries use; composing them proves the stages
+    agree on schemas and determinism end to end."""
+    corpus = _planted(spark, sf_dir, 30, lambda t: F.concat(t, F.lit(" extra token tail")))
+    kept_ids = TX.quality_filter(corpus).filter("keep").select("doc_id")
+    kept = corpus.join(kept_ids, "doc_id")
+    pairs = D.minhash_lsh_pairs(kept, threshold=0.5)
+    survivors = D.keep_list(kept, pairs)
+    chunks = TX.chunk_tokens(survivors, size=32, overlap=8).withColumn(
+        "shard_id", F.expr("doc_id div 100")
+    )
+    packed = TX.pack_sequences(
+        chunks, "n_tokens", "shard_id", ["doc_id", "chunk_id"], budget=256
+    )
+    return packed.groupBy("shard_id", "seq_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum("n_tokens").alias("seq_tokens"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+
+
 def zorder_cluster_events(spark, sf_dir):
     """Morton interleave key over (user_id, event day) — the sort key
     Table.compact(zorder_by=...) clusters rewrites on so manifest
