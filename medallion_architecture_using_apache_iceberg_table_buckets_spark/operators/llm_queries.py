@@ -383,8 +383,13 @@ def _events_stream(spark, sf_dir):
     src_dir = tempfile.mkdtemp(prefix="mats_stream_src_")
     os.symlink(path, os.path.join(src_dir, "events.parquet"))
     src = spark.readStream.schema(file_schema).parquet(src_dir)
-    if dict(src.dtypes).get("ts") == "bigint":
+    ts_type = dict(src.dtypes).get("ts")
+    if ts_type == "bigint":
         src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # newer builds surface TIMESTAMP(NANOS) as NTZ (see
+        # relational.load); UTC session makes the cast value-preserving
+        src = src.withColumn("ts", F.col("ts").cast("timestamp"))
     return src
 
 

@@ -31,8 +31,16 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # Newer Spark builds read TIMESTAMP(NANOS) natively as
+            # TIMESTAMP_NTZ (the legacy nanosAsLong conf is ignored).
+            # The session runs in UTC, so casting to the LTZ timestamp
+            # type is value-preserving and keeps downstream epoch
+            # arithmetic (cast to bigint) legal.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
