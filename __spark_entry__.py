@@ -95,6 +95,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_cluster_events": L.zorder_cluster_events,
         "pack_training_sequences": L.pack_training_sequences,
         "curation_end_to_end": L.curation_end_to_end,
+        # new in round 3 (this session): TPC-H shape sweep — EXISTS /
+        # NOT EXISTS, disjunctive join residuals, scalar-threshold
+        # subqueries, outer-join histogram — plus benchmark
+        # decontamination for the training-data surface
+        "q4_priority_late_exists": R.q4_priority_late_exists,
+        "q6_forecast_revenue": R.q6_forecast_revenue,
+        "q12_late_lines_by_status": R.q12_late_lines_by_status,
+        "q13_customer_order_distribution": R.q13_customer_order_distribution,
+        "q14_promo_revenue_share": R.q14_promo_revenue_share,
+        "q17_small_quantity_revenue": R.q17_small_quantity_revenue,
+        "q19_disjunctive_predicates": R.q19_disjunctive_predicates,
+        "q21_waiting_supplier": R.q21_waiting_supplier,
+        "q22_dormant_customers": R.q22_dormant_customers,
+        "text_decontaminate": L.text_decontaminate,
         # --- previously-green contract queries ---
         # §2.5/§2.6 windows + top-k
         "w1_latest_per_key": R.w1_latest_per_key,
@@ -177,6 +191,9 @@ corpus AS (
   FROM documents WHERE doc_id < 30
 )
 """
+
+# word 8-gram over a split array `w` (1-indexed; i ranges so i+7 <= len)
+_GRAM8 = " || ' ' || ".join(["w[i]"] + [f"w[i + {k}]" for k in range(1, 8)])
 
 _SHINGLES = f"""
 norm AS (
@@ -684,6 +701,127 @@ def oracle_sql() -> dict[str, str]:
             JOIN orders   ON big.l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
         """,
+        "q4_priority_late_exists": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+              AND o_orderdate <  TIMESTAMP '1997-01-01'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+            GROUP BY o_orderpriority
+        """,
+        "q6_forecast_revenue": """
+            SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                                  * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE), 2) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-01-01'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24
+        """,
+        "q12_late_lines_by_status": """
+            SELECT l_linestatus,
+                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS high_line_count,
+                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-01-01'
+              AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+            GROUP BY l_linestatus
+        """,
+        "q13_customer_order_distribution": """
+            SELECT c_count, count(*) AS custdist
+            FROM (
+              SELECT c_custkey, count(o_orderkey) AS c_count
+              FROM customer
+              LEFT OUTER JOIN orders
+                ON c_custkey = o_custkey
+               AND o_orderpriority <> '4-NOT SPECIFIED'
+              GROUP BY c_custkey
+            ) per_cust
+            GROUP BY c_count
+            ORDER BY custdist DESC, c_count DESC
+        """,
+        "q14_promo_revenue_share": f"""
+            SELECT round(100.0
+                     * CAST(sum(CASE WHEN p_type = 'PROMO' THEN {_REV}
+                                     ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                     / CAST(sum({_REV}) AS DOUBLE), 4) AS promo_pct
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+              AND l_shipdate <  TIMESTAMP '1996-04-01'
+        """,
+        "q17_small_quantity_revenue": """
+            WITH lp AS (
+              SELECT l_partkey, l_quantity, l_extendedprice
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE p_brand = 'Brand#23' AND p_size <= 10
+            ),
+            stats AS (
+              SELECT l_partkey AS sp_partkey,
+                     sum(CAST(l_quantity AS DECIMAL(18,4))) AS qty_sum,
+                     count(*) AS qty_n
+              FROM lp GROUP BY l_partkey
+            )
+            SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0, 2)
+                   AS avg_yearly
+            FROM lp JOIN stats ON l_partkey = sp_partkey
+            WHERE CAST(l_quantity AS DECIMAL(18,4)) * 5 * qty_n < qty_sum
+        """,
+        "q19_disjunctive_predicates": f"""
+            SELECT round(CAST(sum({_REV}) AS DOUBLE), 2) AS revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 20 AND 30)
+        """,
+        "q21_waiting_supplier": """
+            WITH late AS (
+              SELECT l_orderkey, l_suppkey
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              WHERE o_orderstatus = 'F'
+                AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+            )
+            SELECT s_name, count(*) AS numwait
+            FROM late l1
+            JOIN supplier ON l1.l_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            WHERE n_name = 'NATION_3'
+              AND EXISTS (SELECT 1 FROM lineitem l2
+                          WHERE l2.l_orderkey = l1.l_orderkey
+                            AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (SELECT 1 FROM late l3
+                              WHERE l3.l_orderkey = l1.l_orderkey
+                                AND l3.l_suppkey <> l1.l_suppkey)
+            GROUP BY s_name
+            ORDER BY numwait DESC, s_name ASC
+            LIMIT 20
+        """,
+        "q22_dormant_customers": """
+            WITH pool AS (
+              SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+              WHERE c_mktsegment IN ('AUTOMOBILE', 'HOUSEHOLD', 'MACHINERY')
+            ),
+            thresh AS (
+              SELECT sum(CAST(c_acctbal AS DECIMAL(18,4))) AS bal_tot,
+                     count(*) AS bal_n
+              FROM pool WHERE c_acctbal > 0.0
+            )
+            SELECT c_mktsegment, count(*) AS numcust,
+                   round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE), 2) AS totacctbal
+            FROM pool, thresh
+            WHERE CAST(c_acctbal AS DECIMAL(18,4)) * bal_n > bal_tot
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderdate >= TIMESTAMP '2000-01-01')
+            GROUP BY c_mktsegment
+        """,
         "join_semi_big_spenders": """
             SELECT c_custkey, c_name, c_mktsegment FROM customer c
             WHERE EXISTS (SELECT 1 FROM orders o
@@ -876,6 +1014,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, session_id, count(*) AS n_events,
                    min(ts) AS session_start, max(ts) AS session_end
             FROM s GROUP BY user_id, session_id
+        """,
+        "text_decontaminate": f"""
+            WITH base AS (SELECT doc_id, text FROM documents),
+            bench AS (SELECT doc_id, text FROM base WHERE doc_id % 25 = 3),
+            train AS (
+              SELECT doc_id, text FROM base WHERE doc_id % 25 <> 3
+              UNION ALL
+              SELECT doc_id + 200000 AS doc_id,
+                     'intro snippet ' || text AS text
+              FROM bench WHERE doc_id < 150
+            ),
+            tw AS (SELECT doc_id, string_split({_NORM.format(t='text')}, ' ') AS w
+                   FROM train),
+            tsh AS (
+              SELECT DISTINCT doc_id, shingle FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(w) - 6),
+                              i -> {_GRAM8})) AS shingle
+                FROM tw)
+            ),
+            bw AS (SELECT doc_id, string_split({_NORM.format(t='text')}, ' ') AS w
+                   FROM bench),
+            bsh AS (
+              SELECT DISTINCT shingle FROM (
+                SELECT unnest(list_transform(range(1, len(w) - 6),
+                              i -> {_GRAM8})) AS shingle
+                FROM bw)
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n_shingles FROM tsh GROUP BY doc_id),
+            hits AS (
+              SELECT t.doc_id, count(*) AS n_shared
+              FROM tsh t JOIN bsh USING (shingle)
+              GROUP BY t.doc_id
+            )
+            SELECT h.doc_id, n_shared, n_shingles,
+                   round(CAST(n_shared AS DOUBLE) / CAST(n_shingles AS DOUBLE), 4)
+                     AS frac_shared
+            FROM hits h JOIN sizes s ON h.doc_id = s.doc_id
         """,
         "dedup_exact_groups": """
             WITH corpus AS (

@@ -698,3 +698,54 @@ def connected_components(
         checksum = new_sum
     edges.unpersist()
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+
+
+def decontaminate_ngram_overlap(
+    train: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share
+    any word ``n``-gram with an evaluation/benchmark set.
+
+    Standard guard in LLM training-data pipelines (the reference has
+    no counterpart): before training, any document containing a
+    long-enough verbatim n-gram from a held-out benchmark is removed
+    or down-weighted so eval scores measure generalization, not
+    memorized test data.
+
+    Returns one row per CONTAMINATED training doc:
+    ``(doc_id, n_shared, n_shingles, frac_shared)`` where n_shared =
+    distinct shared n-grams, n_shingles = the doc's distinct n-gram
+    count, frac_shared = n_shared / n_shingles rounded to 4dp.
+
+    Scale: the benchmark side is tiny relative to a 100 TB corpus
+    (thousands of eval docs vs billions of training docs), so its
+    distinct-shingle set is BROADCAST: the contamination probe is a
+    map-side hash semi-join over the training shingles — no shuffle
+    of the big side by shingle. The only wide exchanges are the two
+    per-doc count aggregations on doc_id. Per-doc shingle dedup is
+    row-local array_distinct inside _doc_shingles.
+    """
+    train_sh = _doc_shingles(train, text_col, id_col, n)
+    bench_sh = (
+        _doc_shingles(benchmark, text_col, id_col, n)
+        .select("shingle")
+        .distinct()
+    )
+    sizes = train_sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    hits = (
+        train_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return hits.join(sizes, "doc_id").select(
+        "doc_id",
+        "n_shared",
+        "n_shingles",
+        F.round(
+            F.col("n_shared").cast("double") / F.col("n_shingles").cast("double"), 4
+        ).alias("frac_shared"),
+    )

@@ -76,6 +76,23 @@ def dedup_components(spark, sf_dir):
     )
 
 
+def text_decontaminate(spark, sf_dir):
+    """Benchmark decontamination over the documents table: docs with
+    doc_id % 25 == 3 act as the held-out benchmark; the training side
+    is everything else PLUS planted contaminated copies (benchmark
+    text wrapped in a prefix, id+200000) so the overlap probe has
+    non-trivial positives in the synthetic corpus. Flags training
+    docs sharing any word 8-gram with the benchmark."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    bench = d.filter(F.col("doc_id") % 25 == 3)
+    contaminated = bench.filter(F.col("doc_id") < 150).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.lit("intro snippet "), F.col("text")).alias("text"),
+    )
+    train = d.filter(F.col("doc_id") % 25 != 3).unionByName(contaminated)
+    return D.decontaminate_ngram_overlap(train, bench, n=8)
+
+
 def dedup_simhash_pairs(spark, sf_dir):
     corpus = _planted(spark, sf_dir, 30, lambda t: F.concat(t, F.lit(" zzzz")))
     return D.simhash_pairs(corpus, max_hamming=3)

@@ -715,3 +715,309 @@ def medallion_merge_state(spark, sf_dir):
         src = keep_latest_per_key(batch, ["user_id"], ["ts", "event_id"])
         merge_into(spark, t, src, on="user_id")
     return t.read(spark).select("user_id", "event_id", "event_type", "value", "ts")
+
+
+# ----------------------------------------------------------------------
+# TPC-H shape sweep (round 3): EXISTS / NOT EXISTS, disjunctive join
+# predicates, scalar-threshold subqueries, outer-join distributions.
+# The test tables carry a trimmed TPC-H schema (no l_commitdate /
+# l_receiptdate / l_shipmode / c_phone / partsupp), so each query keeps
+# the original's OPERATOR pattern with equivalent predicates over the
+# columns that exist.
+# ----------------------------------------------------------------------
+
+def q4_priority_late_exists(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS correlated subquery -> left-semi join.
+
+    Orders from 1996-H2 counted per priority when at least one of
+    their lines shipped >90 days after the order date ("late", the
+    stand-in for the missing commit/receipt pair).
+
+    Scale: the date filter pushes into the orders scan; the semi-join
+    never duplicates the probe side (no distinct needed), and both
+    sides hash-shuffle once on orderkey. The non-equi lateness
+    condition rides along as the semi-join residual.
+    """
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            l,
+            (o.o_orderkey == l.l_orderkey)
+            & (l.l_shipdate > o.o_orderdate + F.expr("INTERVAL 90 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: single-table selective filter + global agg.
+
+    The whole query is one scan with every predicate pushed down and
+    a two-column ReadSchema beyond the filters — the canonical "does
+    pushdown work" probe. Revenue term extendedprice*discount is
+    decimal-exact (2dp x 2dp factors), so the global sum is
+    order-insensitive.
+    """
+    l = load(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * F.col(
+        "l_discount"
+    ).cast("decimal(4,2)")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        ).agg(_money(F.sum(rev)).alias("revenue"))
+    )
+
+
+def q12_late_lines_by_status(spark, sf_dir):
+    """TPC-H Q12 shape: fact-fact equi-join + CASE-WHEN conditional
+    aggregation (late 1996 lines split into high/low order priority
+    per line status).
+
+    Scale: both facts shuffle once on orderkey; the conditional
+    counts are algebraic (map-side partial agg), and the final
+    groupBy key (l_linestatus) is tiny.
+    """
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(is_high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+def q13_customer_order_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: left-outer join + two-level aggregation
+    (orders-per-customer histogram, never-ordered customers kept as
+    count 0).
+
+    Scale: the priority filter applies to the orders side BEFORE the
+    outer join (filter-below-outer-join is only legal on the
+    preserved side's opposite — Catalyst can't push it out of a WHERE
+    without changing semantics, so it is placed there explicitly).
+    Both aggregations are algebraic; the second one's key space is
+    tiny (distinct order counts).
+    """
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "4-NOT SPECIFIED"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def q14_promo_revenue_share(spark, sf_dir):
+    """TPC-H Q14 shape: fact->dim broadcast join + global conditional
+    ratio (share of March-1996 revenue from PROMO parts).
+
+    Determinism: both the promo and total sums are exact decimals;
+    the single ratio is computed double-from-decimal at the very end
+    with an identical expression tree in the oracle.
+    """
+    p = load(spark, sf_dir, "part")
+    l = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = _revenue()
+    zero = F.lit(0).cast("decimal(18,4)")
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero))
+    total = F.sum(rev)
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                F.lit(100.0) * promo.cast("double") / total.cast("double"), 4
+            ).alias("promo_pct")
+        )
+    )
+
+
+def q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: per-group scalar AVG subquery joined back to
+    the fact (brand parts whose line quantity is below 20% of that
+    part's average quantity; yearly-revenue estimate sum/7).
+
+    The correlated `avg(l_quantity)` is algebraized: per-part
+    (sum, count) aggregate, broadcast back, and the threshold
+    l_quantity < 0.2*avg is compared WITHOUT division as
+    5*quantity*count < sum in exact decimals — no double rounding at
+    the boundary in either engine.
+
+    Scale: parts filter broadcast into the fact scan; the per-part
+    stats table is |filtered parts| rows — broadcast on the way back.
+    One shuffle total (the per-part aggregation).
+    """
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#23") & (F.col("p_size") <= 10)
+    )
+    l = load(spark, sf_dir, "lineitem")
+    lp = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    stats = lp.groupBy("p_partkey").agg(
+        F.sum(_dec("l_quantity")).alias("qty_sum"),
+        F.count("*").alias("qty_n"),
+    ).withColumnRenamed("p_partkey", "sp_partkey")
+    return (
+        lp.join(F.broadcast(stats), lp.p_partkey == stats.sp_partkey)
+        .filter(
+            _dec("l_quantity") * F.lit(5) * F.col("qty_n") < F.col("qty_sum")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).cast(
+                    "double"
+                )
+                / F.lit(7.0),
+                2,
+            ).alias("avg_yearly")
+        )
+    )
+
+
+def q19_disjunctive_predicates(spark, sf_dir):
+    """TPC-H Q19 shape: equi-join with an OR-of-ANDs residual.
+
+    Catalyst must extract the common l_partkey = p_partkey
+    conjunct from the disjunction so the join stays a hash join with
+    the brand/size/quantity triplets as a post-join residual filter —
+    the naive reading is a nested-loop over the full cross product.
+    (tests/test_plans.py pins the no-nested-loop shape.)
+    """
+    p = load(spark, sf_dir, "part")
+    l = load(spark, sf_dir, "lineitem")
+    joined = l.join(p, l.l_partkey == p.p_partkey)
+    case = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return joined.filter(case).agg(_money(F.sum(_revenue())).alias("revenue"))
+
+
+def q21_waiting_supplier(spark, sf_dir):
+    """TPC-H Q21 shape: EXISTS + NOT EXISTS double-correlated pattern.
+
+    For one nation's suppliers: count 'F'-status orders where this
+    supplier's line shipped late (>90 days after order date), the
+    order involves at least one OTHER supplier (EXISTS -> left-semi),
+    and no other supplier's line was late (NOT EXISTS -> left-anti).
+
+    Scale: `late` is computed once and reused for both the driving
+    rows and the NOT EXISTS side; semi/anti joins shuffle on
+    orderkey with the suppkey-inequality as residual; the supplier x
+    nation side is broadcast.
+    """
+    n = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    s = load(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    l = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    late = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    l2 = l.select(
+        F.col("l_orderkey").alias("o2_orderkey"),
+        F.col("l_suppkey").alias("o2_suppkey"),
+    )
+    l3 = late.select(
+        F.col("l_orderkey").alias("o3_orderkey"),
+        F.col("l_suppkey").alias("o3_suppkey"),
+    )
+    waiting = (
+        late.join(F.broadcast(s), late.l_suppkey == s.s_suppkey)
+        .join(
+            l2,
+            (F.col("l_orderkey") == F.col("o2_orderkey"))
+            & (F.col("l_suppkey") != F.col("o2_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("o3_orderkey"))
+            & (F.col("l_suppkey") != F.col("o3_suppkey")),
+            "left_anti",
+        )
+    )
+    return (
+        waiting.groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
+def q22_dormant_customers(spark, sf_dir):
+    """TPC-H Q22 shape: global scalar AVG threshold + anti join
+    (above-average-balance customers in three segments with no order
+    since 2000, per segment — every test customer has SOME order, so
+    "dormant since" stands in for the original's never-ordered).
+
+    The `c_acctbal > avg(...)` comparison is division-free:
+    acctbal*count > sum in exact decimals, so the boundary rows agree
+    bit-for-bit with the oracle. The 1-row threshold aggregate is
+    broadcast; dormancy is a left-anti join on custkey against the
+    date-filtered (scan-pushed) orders side.
+    """
+    segs = ("AUTOMOBILE", "HOUSEHOLD", "MACHINERY")
+    pool = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment").isin(*segs))
+    thresh = pool.filter(F.col("c_acctbal") > 0.0).agg(
+        F.sum(_dec("c_acctbal")).alias("bal_tot"),
+        F.count("*").alias("bal_n"),
+    )
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    return (
+        pool.crossJoin(F.broadcast(thresh))
+        .filter(_dec("c_acctbal") * F.col("bal_n") > F.col("bal_tot"))
+        .join(o, pool.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("numcust"),
+            _money(F.sum(_dec("c_acctbal"))).alias("totacctbal"),
+        )
+    )

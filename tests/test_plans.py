@@ -231,3 +231,44 @@ def test_curation_ops_plan_shapes(spark, sf_dir):
     # packing: exactly one shuffle — the shard-key window
     plan = plan_of(L.pack_training_sequences(spark, sf_dir))
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_tpch_sweep_plan_shapes(spark, sf_dir):
+    """Round-3 TPC-H sweep: the shapes that would melt at 100 TB if
+    Catalyst fell back to a nested loop or a full sort."""
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators import (
+        llm_queries as L,
+    )
+
+    # q19: OR-of-ANDs must stay an equi hash join on partkey with the
+    # disjunction as a residual — never a cartesian/nested loop
+    q19 = plan_of(R.q19_disjunctive_predicates(spark, sf_dir))
+    assert "CartesianProduct" not in q19
+    assert "BroadcastNestedLoopJoin" not in q19
+
+    # q4: EXISTS compiles to a left-semi join (no distinct/aggregate
+    # dedup of the probe side)
+    q4 = plan_of(R.q4_priority_late_exists(spark, sf_dir))
+    assert "LeftSemi" in q4
+
+    # q21: EXISTS + NOT EXISTS = semi + anti on the same driving rows
+    q21 = plan_of(R.q21_waiting_supplier(spark, sf_dir))
+    assert "LeftSemi" in q21 and "LeftAnti" in q21
+    assert "CartesianProduct" not in q21
+
+    # q22: the 1-row threshold aggregate joins in as a broadcast, and
+    # the dormancy date filter pushes into the orders scan
+    q22 = plan_of(R.q22_dormant_customers(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in q22 or "BroadcastHashJoin" in q22
+    assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate" in q22
+
+    # q17: both the part filter and the per-part stats ride broadcast
+    # joins; one wide exchange total (the per-part aggregation)
+    q17 = plan_of(R.q17_small_quantity_revenue(spark, sf_dir))
+    assert q17.count("BroadcastHashJoin") >= 2
+
+    # decontamination: the benchmark shingle set is broadcast — the
+    # training side is never shuffled by shingle for the probe
+    dec = plan_of(L.text_decontaminate(spark, sf_dir))
+    assert "BroadcastHashJoin" in dec
+    assert "CartesianProduct" not in dec
