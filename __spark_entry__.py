@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # results (availableNow drains) -> exact SQL oracles
         "streaming_windowed_counts": L.streaming_windowed_counts,
         "streaming_sessionize": L.streaming_sessionize,
+        "streaming_dedup": L.streaming_dedup,
         # bin-bucketed interval join + corpus n-gram heavy hitters
         "range_join_incidents": L.range_join_incidents,
         "text_top_ngrams": L.text_top_ngrams,
@@ -1377,6 +1378,9 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4)
                        AS sum_value
             FROM events GROUP BY 1, 2, 3
+        """,
+        "streaming_dedup": """
+            SELECT event_id, user_id, event_type, value, ts FROM events
         """,
         "streaming_sessionize": """
             WITH g AS (

@@ -56,6 +56,14 @@ HEADLINE = {
     "text_tfidf_topk": L.text_tfidf_topk,
     "pack_training_sequences": L.pack_training_sequences,
     "zorder_cluster_events": L.zorder_cluster_events,
+    # round-3 TPC-H sweep + decontamination: the heaviest of the new
+    # shapes (fact-fact late join, outer-join histogram, disjunctive
+    # residual join, double-correlated semi/anti, 8-gram broadcast probe)
+    "q12_late_lines_by_status": R.q12_late_lines_by_status,
+    "q13_customer_order_distribution": R.q13_customer_order_distribution,
+    "q19_disjunctive_predicates": R.q19_disjunctive_predicates,
+    "q21_waiting_supplier": R.q21_waiting_supplier,
+    "text_decontaminate": L.text_decontaminate,
 }
 
 

@@ -385,10 +385,12 @@ def maintenance_procedures(spark, sf_dir):
     )
 
 
-def _events_stream(spark, sf_dir):
+def _events_stream(spark, sf_dir, copies: int = 1):
     """File-source stream over the events table (TIMESTAMP(NANOS)
     parquet — read as long nanos, convert to microsecond timestamps,
-    mirroring relational.load)."""
+    mirroring relational.load). ``copies > 1`` exposes the same file
+    N times (distinct symlink names, no data copied) — deterministic
+    byte-identical duplicates for exercising streaming dedup."""
     import os
     import tempfile
 
@@ -398,7 +400,8 @@ def _events_stream(spark, sf_dir):
     # the file stream source requires a DIRECTORY; expose the single
     # test file through a temp dir of symlinks (no data copied)
     src_dir = tempfile.mkdtemp(prefix="mats_stream_src_")
-    os.symlink(path, os.path.join(src_dir, "events.parquet"))
+    for i in range(copies):
+        os.symlink(path, os.path.join(src_dir, f"events_{i}.parquet"))
     src = spark.readStream.schema(file_schema).parquet(src_dir)
     ts_type = dict(src.dtypes).get("ts")
     if ts_type == "bigint":
@@ -429,6 +432,36 @@ def streaming_windowed_counts(spark, sf_dir):
         .queryName(name)
         .option("checkpointLocation", tempfile.mkdtemp(prefix="mats_wc_ck_"))
         .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def streaming_dedup(spark, sf_dir):
+    """Streaming exactly-once dedup, driven to a deterministic
+    result: the events file is exposed to the stream source TWICE
+    (byte-identical duplicate rows — at-least-once redelivery), and
+    ``dropDuplicatesWithinWatermark`` on event_id must collapse the
+    doubled input back to exactly the original table (the oracle).
+    State is watermark-bounded, so this is the 100 TB-safe dedup —
+    a count-only check would pass without dedup at 2x rows, so the
+    full-row hash is the real assertion."""
+    import tempfile
+    import uuid
+
+    from ..streaming.dedup import dedup_stream
+
+    deduped = dedup_stream(_events_stream(spark, sf_dir, copies=2)).select(
+        "event_id", "user_id", "event_type", "value", "ts"
+    )
+    name = f"streamdedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="mats_sd_ck_"))
+        .outputMode("append")
         .trigger(availableNow=True)
         .start()
     )

@@ -143,3 +143,62 @@ def test_windowed_counts_with_watermark_drops_late_data(spark, tmp_path):
     # update mode: only the changed window appears; the 9:00 event
     # must NOT have produced or updated any window
     assert got2 == {(11, "view"): 2}
+
+
+def test_streaming_dedup_state_survives_restart(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: duplicates redelivered in a
+    LATER drain (fresh query, same checkpoint) must still be dropped —
+    the dedup state lives in the checkpointed state store, not the
+    query object."""
+    import datetime
+
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.streaming.dedup import (
+        dedup_stream,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+
+    def ts(h, m):
+        return datetime.datetime(2024, 1, 1, h, m)
+
+    inp = tmp_path / "dedup_in"
+    inp.mkdir()
+    ck = str(tmp_path / "dedup_ck")
+
+    def drain(sink_rows):
+        src = spark.readStream.schema(schema).parquet(str(inp))
+        q = (
+            dedup_stream(src, keys=("event_id",), watermark_delay="2 hours")
+            .writeStream.foreachBatch(
+                lambda df, _id: sink_rows.extend(df.collect())
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    batch1 = [(1, 1.0, ts(10, 0)), (2, 2.0, ts(10, 5)), (1, 1.0, ts(10, 0))]
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(inp))
+    rows1 = []
+    drain(rows1)
+    assert sorted(r["event_id"] for r in rows1) == [1, 2]
+
+    # redeliver event 1 and 2 in a new file + one genuinely new event;
+    # both replays are within the 2h watermark -> dropped by state
+    batch2 = [(1, 1.0, ts(10, 0)), (2, 2.0, ts(10, 5)), (3, 3.0, ts(10, 30))]
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(inp))
+    rows2 = []
+    drain(rows2)
+    assert sorted(r["event_id"] for r in rows2) == [3]
