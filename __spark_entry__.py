@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_filter": L.text_quality_filter,
         "sample_hash_events": L.sample_hash_events,
         "sample_stratified_events": L.sample_stratified_events,
+        "sample_mixture_documents": L.sample_mixture_documents,
         "text_chunk_windows": L.text_chunk_windows,
         "text_chunk_texts": L.text_chunk_texts,
         "text_tfidf_topk": L.text_tfidf_topk,
@@ -366,6 +367,29 @@ def _curation_oracle() -> str:
                CAST(sum(n_tokens) AS BIGINT) AS seq_tokens,
                count(DISTINCT doc_id) AS n_docs
         FROM p GROUP BY 1, 2
+    """
+
+
+def _mixture_oracle() -> str:
+    """Twin of llm_queries.sample_mixture_documents: per-domain
+    thresholds computed by the SAME int(rate * 16^15) expression the
+    Spark operator compiles into its literal map, so the keep decision
+    cannot drift between engines."""
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators.llm_queries import (
+        MIXTURE_RATES,
+    )
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators.sampling import (
+        HASH_SPACE,
+    )
+
+    whens = " ".join(
+        f"WHEN '{d}' THEN {int(r * HASH_SPACE)}"
+        for d, r in sorted(MIXTURE_RATES.items())
+    )
+    return f"""
+        SELECT doc_id, lang, source FROM documents
+        WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+              < CASE lang {whens} END
     """
 
 
@@ -1207,6 +1231,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT
                   < {int(0.05 * 16 ** 15)}
         """,
+        "sample_mixture_documents": _mixture_oracle(),
         "sample_stratified_events": """
             WITH d AS (
               SELECT event_id, event_type,

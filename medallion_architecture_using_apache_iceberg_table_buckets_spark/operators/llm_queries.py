@@ -645,6 +645,20 @@ def sample_stratified_events(spark, sf_dir):
     )
 
 
+MIXTURE_RATES = {"en": 0.9, "de": 0.5, "fr": 0.25, "zh": 0.1}
+
+
+def sample_mixture_documents(spark, sf_dir):
+    """Domain-mixture construction over documents by language:
+    per-domain deterministic Bernoulli rates (sampling.sample_mixture)
+    — en kept at 90%, de 50%, fr 25%, zh 10%, and es (unlisted)
+    dropped entirely, exercising the allowlist semantics."""
+    d = _docs(spark, sf_dir)
+    return SA.sample_mixture(d, MIXTURE_RATES, "lang", "doc_id").select(
+        "doc_id", "lang", "source"
+    )
+
+
 def text_chunk_windows(spark, sf_dir):
     """Sequence-packing prep: fixed 32-token windows, 8-token overlap,
     counts only (text.chunk_tokens)."""

@@ -77,3 +77,40 @@ def sample_stratified(
         .filter(F.col("_rn") <= F.col("_quota"))
         .drop("_rn", "_quota")
     )
+
+
+def sample_mixture(
+    df: DataFrame,
+    rates: dict[str, float],
+    domain_col: str,
+    key_col: str,
+) -> DataFrame:
+    """Training-mixture construction: per-domain deterministic
+    Bernoulli rates (e.g. upweight-by-keeping-more of high-quality
+    sources, downsample boilerplate-heavy ones — the DoReMi /
+    Pile-style domain reweighting step, realized as sampling).
+
+    Domains absent from ``rates`` are DROPPED — an explicit mixture
+    is an allowlist; silently passing an unlisted domain through is
+    how unvetted data leaks into a training set.
+
+    Same scale story as ``sample_hash``: map-only, no shuffle — the
+    keep decision is a scan-local predicate on (domain, md5(key)),
+    and the per-domain thresholds are precomputed integers compiled
+    into a literal map, so membership is a pure function of the row
+    (retry/repartition/rerun stable), and samples nest as any
+    domain's rate grows.
+    """
+    for d, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for domain {d!r} must be in [0,1], got {r}")
+    thresholds = F.create_map(
+        *[
+            F.lit(x)
+            for d, r in sorted(rates.items())
+            for x in (d, int(r * HASH_SPACE))
+        ]
+    )
+    thr = thresholds[F.col(domain_col)]
+    # null threshold (unlisted domain) compares to null -> filter drops
+    return df.filter(hash_draw(F.col(key_col)) < thr)

@@ -109,3 +109,34 @@ def test_pack_sequences_layout(spark):
     # shard 1 packs independently: 0,90,180
     assert out[(1, 0)] == (0, 0)
     assert out[(1, 2)] == (0, 180)
+
+
+def test_sample_mixture_rates_and_allowlist(spark):
+    import pytest
+
+    df = (
+        spark.range(0, 3000)
+        .withColumnRenamed("id", "k")
+        .withColumn(
+            "dom",
+            F.when(F.col("k") % 3 == 0, "a")
+            .when(F.col("k") % 3 == 1, "b")
+            .otherwise("c"),
+        )
+    )
+    out = SA.sample_mixture(df, {"a": 0.8, "b": 0.1}, "dom", "k")
+    by_dom = {
+        r["dom"]: r["n"]
+        for r in out.groupBy("dom").agg(F.count("*").alias("n")).collect()
+    }
+    assert "c" not in by_dom  # unlisted domain dropped (allowlist)
+    assert 0.6 < by_dom["a"] / 1000 < 0.95
+    assert 0.03 < by_dom["b"] / 1000 < 0.20
+    # per-domain membership == sample_hash at the same rate (nesting,
+    # determinism, and partition independence all inherited)
+    a_only = {
+        r.k for r in SA.sample_hash(df.filter(F.col("dom") == "a"), 0.8, "k").collect()
+    }
+    assert {r.k for r in out.filter(F.col("dom") == "a").collect()} == a_only
+    with pytest.raises(ValueError):
+        SA.sample_mixture(df, {"a": 1.5}, "dom", "k")
