@@ -558,9 +558,20 @@ class SqlSession:
             return self.spark.createDataFrame(
                 [(p,) for p in removed] or [], "orphan_file_location string"
             )
+        if proc in ("rollback_to_snapshot", "set_current_snapshot"):
+            sid = _val("snapshot_id", 1)
+            if sid is None:
+                raise ValueError(f"CALL {proc}: missing snapshot_id argument")
+            prev = t.current_snapshot().snapshot_id
+            snap = t.rollback_to(int(sid.strip("'\"")))
+            return self.spark.createDataFrame(
+                [(prev, snap.summary.get("rolled_back_to", snap.snapshot_id))],
+                "previous_snapshot_id long, current_snapshot_id long",
+            )
         raise ValueError(
             f"unknown procedure {proc!r} (dispatchable: expire_snapshots, "
-            f"rewrite_data_files/compact, remove_orphan_files/vacuum)"
+            f"rewrite_data_files/compact, remove_orphan_files/vacuum, "
+            f"rollback_to_snapshot/set_current_snapshot)"
         )
 
     # -- CREATE TABLE AS SELECT ----------------------------------------

@@ -1213,6 +1213,53 @@ class Table:
             expired.append(s.snapshot_id)
         return expired
 
+    def rollback_to(self, snapshot_id: int) -> Snapshot:
+        """Roll the table back to an earlier snapshot's state
+        (Iceberg ``CALL system.rollback_to_snapshot`` parity).
+
+        Metadata-only: commits a NEW head snapshot that re-points at
+        the target's file set, schema, and stats — no data is
+        rewritten, and the rolled-back snapshots stay in history for
+        audit (expire_snapshots removes them later). Refuses if any
+        target file has already been vacuumed away.
+        """
+        base = self._current_version()
+        cur = self._load(base)
+        target = self.snapshot_by_id(snapshot_id)
+        if target.snapshot_id == cur.snapshot_id:
+            return cur
+        missing = [f for f in target.files if not (self.data_root / f).exists()]
+        if missing:
+            raise ValueError(
+                f"cannot roll back to snapshot {snapshot_id}: "
+                f"{len(missing)} data file(s) already vacuumed "
+                f"(e.g. {missing[0]!r})"
+            )
+        cur_files = set(cur.files)
+        target_files = set(target.files)
+        snap = Snapshot(
+            version=base + 1,
+            snapshot_id=base + 1,
+            parent_id=cur.snapshot_id,
+            timestamp_ms=time.time_ns() // 1_000_000,
+            operation="rollback",
+            files=sorted(target.files),
+            added_files=sorted(target_files - cur_files),
+            removed_files=sorted(cur_files - target_files),
+            schema_json=target.schema_json,
+            partition_by=target.partition_by,
+            properties=cur.properties,
+            summary={
+                "added_files": len(target_files - cur_files),
+                "removed_files": len(cur_files - target_files),
+                "added_records": 0,
+                "total_records": target.summary.get("total_records", 0),
+                "rolled_back_to": target.snapshot_id,
+            },
+            stats=target.stats,
+        )
+        return self._commit(snap, expected_parent_version=base)
+
     def vacuum(
         self, dry_run: bool = False, older_than_seconds: float = 3600.0
     ) -> list[str]:

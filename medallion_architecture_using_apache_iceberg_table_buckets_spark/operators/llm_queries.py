@@ -351,10 +351,12 @@ def schema_evolution_sql(spark, sf_dir):
 
 
 def maintenance_procedures(spark, sf_dir):
-    """Maintenance lifecycle as CALL statements: three appends and a
-    row-level DELETE, then rewrite_data_files (compaction),
-    expire_snapshots to 1, and remove_orphan_files — the surviving
-    data must be intact and exactly one snapshot remains."""
+    """Maintenance lifecycle as CALL statements: three appends, a
+    row-level DELETE, a rollback_to_snapshot undoing it (metadata-only
+    revert), the DELETE re-applied, then rewrite_data_files
+    (compaction), expire_snapshots to 1, and remove_orphan_files —
+    the surviving data must be intact and exactly one snapshot
+    remains."""
     import tempfile
 
     from ..lakehouse import Catalog
@@ -371,6 +373,9 @@ def maintenance_procedures(spark, sf_dir):
         p.filter((F.col("p_partkey") > third) & (F.col("p_partkey") <= 2 * third))
     )
     t.append(p.filter(F.col("p_partkey") > 2 * third))
+    pre_delete = t.current_snapshot().snapshot_id
+    sess.sql("DELETE FROM parts WHERE p_brand = 'Brand#11'")
+    sess.sql(f"CALL system.rollback_to_snapshot('demo.parts', {pre_delete})")
     sess.sql("DELETE FROM parts WHERE p_brand = 'Brand#11'")
     sess.sql("CALL system.rewrite_data_files('demo.parts')")
     sess.sql("CALL system.expire_snapshots(table => 'demo.parts', retain_last => 1)")

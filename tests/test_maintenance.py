@@ -68,3 +68,61 @@ def test_expire_refuses_live_mor_deltas(spark, tmp_path):
     t.expire_snapshots(keep_last=1)
     t.vacuum(older_than_seconds=0)
     assert {r["v"] for r in t.read(spark).collect()} == {"a2", "b"}
+
+
+def test_rollback_to_snapshot(spark, tmp_path):
+    """rollback_to: metadata-only revert — new head re-points at the
+    target's files/schema; history keeps the undone snapshots."""
+    cat = Catalog(tmp_path / "wh")
+    t = cat.create_table("d", "t", SCHEMA)
+    t.append(make(spark, [(1, "a"), (2, "b")]))
+    good = t.current_snapshot()
+    t.append(make(spark, [(3, "oops")]))
+    t.delete_where(spark, "id = 1")
+    assert sorted(r.id for r in t.read(spark).collect()) == [2, 3]
+
+    snap = t.rollback_to(good.snapshot_id)
+    assert snap.operation == "rollback"
+    assert sorted(r.id for r in t.read(spark).collect()) == [1, 2]
+    # undone snapshots stay in history for audit
+    assert [s.operation for s in t.snapshots()].count("rollback") == 1
+    assert len(t.snapshots()) == 5  # create, append, append, delete, rollback
+
+    # the SQL procedure spelling reports (previous, rolled-back-to)
+    sess = cat.sql_session(spark)
+    sess.sql("USE d")
+    t.append(make(spark, [(9, "z")]))
+    row = sess.sql(
+        f"CALL system.rollback_to_snapshot('d.t', {good.snapshot_id})"
+    ).collect()[0]
+    assert row["current_snapshot_id"] == good.snapshot_id
+    assert sorted(r.id for r in t.read(spark).collect()) == [1, 2]
+
+    # no-op rollback to the state we're already at is tolerated
+    head = t.current_snapshot()
+    assert t.rollback_to(head.snapshot_id).snapshot_id == head.snapshot_id
+
+
+def test_rollback_refuses_missing_target_state(spark, tmp_path):
+    cat = Catalog(tmp_path / "wh")
+    t = cat.create_table("d", "t", SCHEMA)
+    t.append(make(spark, [(1, "a")]))
+    old = t.current_snapshot()
+    t.overwrite(make(spark, [(2, "b")]))
+
+    # expired manifest -> the snapshot no longer exists at all
+    t2 = cat.create_table("d", "t2", SCHEMA)
+    t2.append(make(spark, [(1, "a")]))
+    gone = t2.current_snapshot()
+    t2.overwrite(make(spark, [(2, "b")]))
+    t2.expire_snapshots(keep_last=1)
+    with pytest.raises(KeyError, match="not found"):
+        t2.rollback_to(gone.snapshot_id)
+
+    # manifest retained but a data file lost out-of-band (the state
+    # vacuum would leave only if something external deleted files):
+    # refuse with the explicit message instead of resurrecting a
+    # snapshot that cannot be read
+    (t.data_root / old.files[0]).unlink()
+    with pytest.raises(ValueError, match="vacuumed"):
+        t.rollback_to(old.snapshot_id)
