@@ -110,6 +110,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_disjunctive_predicates": R.q19_disjunctive_predicates,
         "q21_waiting_supplier": R.q21_waiting_supplier,
         "q22_dormant_customers": R.q22_dormant_customers,
+        "q8_market_share": R.q8_market_share,
+        "q15_top_supplier": R.q15_top_supplier,
         "text_decontaminate": L.text_decontaminate,
         # --- previously-green contract queries ---
         # §2.5/§2.6 windows + top-k
@@ -846,6 +848,37 @@ def oracle_sql() -> dict[str, str]:
                               WHERE o_custkey = c_custkey
                                 AND o_orderdate >= TIMESTAMP '2000-01-01')
             GROUP BY c_mktsegment
+        """,
+        "q8_market_share": f"""
+            SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+                   round(CAST(sum(CASE WHEN n2.n_name = 'NATION_3' THEN {_REV}
+                                       ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                         / CAST(sum({_REV}) AS DOUBLE), 4) AS mkt_share
+            FROM lineitem
+            JOIN part     ON l_partkey = p_partkey
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON c_nationkey = n1.n_nationkey
+            JOIN region   ON n1.n_regionkey = r_regionkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n2 ON s_nationkey = n2.n_nationkey
+            WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1998-01-01'
+            GROUP BY o_year
+        """,
+        "q15_top_supplier": f"""
+            WITH revenue AS (
+              SELECT l_suppkey AS supplier_no,
+                     {_money_exact(_REV)} AS total_revenue
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate <  TIMESTAMP '1996-07-01'
+              GROUP BY l_suppkey
+            )
+            SELECT s_suppkey, s_name, total_revenue
+            FROM revenue JOIN supplier ON supplier_no = s_suppkey
+            WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
         """,
         "join_semi_big_spenders": """
             SELECT c_custkey, c_name, c_mktsegment FROM customer c

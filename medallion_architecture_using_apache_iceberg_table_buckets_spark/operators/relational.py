@@ -1021,3 +1021,78 @@ def q22_dormant_customers(spark, sf_dir):
             _money(F.sum(_dec("c_acctbal"))).alias("totacctbal"),
         )
     )
+
+
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: 8-way join (two roles for nation) feeding a
+    per-year conditional ratio — the supplier-nation share of ECONOMY
+    part volume sold into one region over two years.
+
+    Scale: region/nation/part filters broadcast; the fact-side joins
+    (lineitem-orders-customer) shuffle on their keys; the share ratio
+    divides two exact decimal sums per year at the very end. The two
+    nation roles join independently (customer's nation gates region
+    membership, supplier's nation labels the share) — aliased scans,
+    both broadcast.
+    """
+    n1 = load(spark, sf_dir, "nation").alias("n1")
+    n2 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_nationkey"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    p = load(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    s = load(spark, sf_dir, "supplier")
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    l = load(spark, sf_dir, "lineitem")
+    vol = _revenue()
+    zero = F.lit(0).cast("decimal(18,4)")
+    share_vol = F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(zero)
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1.n_nationkey"))
+        .join(F.broadcast(r), F.col("n1.n_regionkey") == r.r_regionkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("sn_nationkey"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(share_vol).cast("double") / F.sum(vol).cast("double"), 4
+            ).alias("mkt_share")
+        )
+    )
+
+
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: aggregate 'view' + scalar MAX subquery —
+    suppliers whose half-year revenue equals the global maximum.
+
+    The revenue relation is computed once and reused for both the
+    candidates and the maximum (a 1-row aggregate broadcast back);
+    equality compares the same rounded double on both sides, so the
+    tie set is identical across engines. Two shuffles total: the
+    per-supplier aggregation and nothing else wide (max + final joins
+    are broadcast).
+    """
+    l = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    s = load(spark, sf_dir, "supplier")
+    revenue = (
+        l.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(_money(F.sum(_revenue())).alias("total_revenue"))
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        revenue.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
