@@ -674,9 +674,24 @@ def connected_components(
     not grow with iterations. Raises after ``max_iter`` rounds rather
     than returning a partial closure.
     """
+    # both orientations in ONE pass over pairs: a union of two selects
+    # would evaluate the (expensive) upstream pair pipeline twice
     edges = (
-        pairs.select(F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst"))
-        .union(pairs.select(F.col(id_b).cast("long").alias("src"), F.col(id_a).cast("long").alias("dst")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(id_a).cast("long").alias("src"),
+                        F.col(id_b).cast("long").alias("dst"),
+                    ),
+                    F.struct(
+                        F.col(id_b).cast("long").alias("src"),
+                        F.col(id_a).cast("long").alias("dst"),
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
         .distinct()
         .persist()
     )
