@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_windowed_counts": L.streaming_windowed_counts,
         "streaming_sessionize": L.streaming_sessionize,
         "streaming_dedup": L.streaming_dedup,
+        "streaming_interval_join": L.streaming_interval_join,
         # bin-bucketed interval join + corpus n-gram heavy hitters
         "range_join_incidents": L.range_join_incidents,
         "text_top_ngrams": L.text_top_ngrams,
@@ -1439,6 +1440,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         "streaming_dedup": """
             SELECT event_id, user_id, event_type, value, ts FROM events
+        """,
+        "streaming_interval_join": """
+            SELECT c.user_id,
+                   c.event_id AS click_id,
+                   p.event_id AS purchase_id,
+                   c.ts AS click_ts,
+                   p.ts AS purchase_ts
+            FROM events c JOIN events p
+              ON c.user_id = p.user_id
+             AND c.event_type = 'click' AND p.event_type = 'purchase'
+             AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
         """,
         "streaming_sessionize": """
             WITH g AS (

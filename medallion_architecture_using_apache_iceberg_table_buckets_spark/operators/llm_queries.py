@@ -474,6 +474,55 @@ def streaming_dedup(spark, sf_dir):
     return spark.table(name)
 
 
+def streaming_interval_join(spark, sf_dir):
+    """Stream-stream interval join driven to batch completion: clicks
+    joined to the purchases the same user made within 30 minutes,
+    both sides watermarked so join state is evictable
+    (streaming/join.py). One availableNow drain consumes the whole
+    table, so the emitted matches equal the batch interval join — an
+    exact SQL oracle for the stateful two-stream operator."""
+    import tempfile
+    import uuid
+
+    from ..streaming.join import interval_join_streams
+
+    ev = _events_stream(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("click_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("purchase_user"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    joined = interval_join_streams(
+        clicks,
+        purchases,
+        key=("click_user", "purchase_user"),
+        ts=("click_ts", "purchase_ts"),
+        upper="30 minutes",
+    ).select(
+        F.col("click_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        "click_ts",
+        "purchase_ts",
+    )
+    name = f"streamjoin_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="mats_sj_ck_"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def streaming_sessionize(spark, sf_dir):
     """Custom stateful streaming operator, driven to a deterministic
     result: gap-based sessionization via ``applyInPandasWithState``

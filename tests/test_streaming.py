@@ -2,6 +2,7 @@
 
 import time
 
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from medallion_architecture_using_apache_iceberg_table_buckets_spark.lakehouse import Catalog
@@ -202,3 +203,67 @@ def test_streaming_dedup_state_survives_restart(spark, tmp_path):
     rows2 = []
     drain(rows2)
     assert sorted(r["event_id"] for r in rows2) == [3]
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    import datetime
+
+    import pytest
+
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.streaming.join import (
+        interval_join_streams,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("user", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+
+    def ts(h, m):
+        return datetime.datetime(2024, 1, 1, h, m)
+
+    rows = [
+        (1, "click", 7, ts(10, 0)),
+        (2, "purchase", 7, ts(10, 20)),   # within 30m of click 1
+        (3, "purchase", 7, ts(11, 30)),   # too late for click 1
+        (4, "click", 8, ts(10, 0)),
+        (5, "purchase", 9, ts(10, 10)),   # wrong user
+    ]
+    inp = tmp_path / "join_in"
+    inp.mkdir()
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(
+        str(inp)
+    )
+
+    src = spark.readStream.schema(schema).parquet(str(inp))
+    clicks = src.filter(F.col("kind") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user").alias("cu"),
+        F.col("ts").alias("cts"),
+    )
+    purchases = src.filter(F.col("kind") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user").alias("pu"),
+        F.col("ts").alias("pts"),
+    )
+    out = []
+    q = (
+        interval_join_streams(
+            clicks, purchases, key=("cu", "pu"), ts=("cts", "pts"),
+            upper="30 minutes",
+        )
+        .writeStream.foreachBatch(lambda df, _id: out.extend(df.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert [(r["click_id"], r["purchase_id"]) for r in out] == [(1, 2)]
+
+    with pytest.raises(ValueError, match="must differ"):
+        interval_join_streams(clicks, purchases, key=("cu", "cu"), ts=("cts", "pts"))
