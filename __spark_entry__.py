@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q8_market_share": R.q8_market_share,
         "q15_top_supplier": R.q15_top_supplier,
         "text_decontaminate": L.text_decontaminate,
+        "text_quality_percentile_cut": L.text_quality_percentile_cut,
         # --- previously-green contract queries ---
         # §2.5/§2.6 windows + top-k
         "w1_latest_per_key": R.w1_latest_per_key,
@@ -1590,6 +1591,24 @@ def oracle_sql() -> dict[str, str]:
                          + stop_cnt / n_words * 0.3
                          + alpha_chars / n_chars * 0.2, 4) AS quality_score
             FROM feat
+        """,
+        "text_quality_percentile_cut": f"""
+            WITH scored AS (
+              SELECT doc_id,
+                     round(least(1.0, len(w) / 120.0) * 0.5
+                           + len(list_filter(w, x -> list_contains(
+                               ['the','a','an','of','and','to','in','is','it','for'], x)))
+                             / len(w) * 0.3
+                           + length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+                             / length(text) * 0.2, 4) AS quality_score
+              FROM (SELECT doc_id, text,
+                           string_split({_NORM.format(t='text')}, ' ') AS w
+                    FROM documents)
+            ),
+            t AS (SELECT quantile_cont(quality_score, 0.25) AS q25 FROM scored)
+            SELECT doc_id, quality_score, q25
+            FROM scored, t
+            WHERE quality_score >= q25
         """,
         "text_token_counts": r"""
             SELECT doc_id,

@@ -713,6 +713,30 @@ def sample_mixture_documents(spark, sf_dir):
     )
 
 
+def text_quality_percentile_cut(spark, sf_dir):
+    """Dynamic quality thresholding: keep documents at or above the
+    corpus's exact 25th-percentile composite quality score —
+    data-relative cutoffs (drop the worst quartile) instead of fixed
+    constants, the usual way corpus-quality gates are tuned.
+
+    Scale: scoring is map-only column expressions; the exact
+    percentile is one aggregation whose 1-row result broadcasts back
+    as the filter threshold (same shape as q22's AVG threshold). The
+    unrounded threshold is carried in the output so the comparison
+    and the reported cutoff are the same double in both engines."""
+    scored = TX.quality_score(_docs(spark, sf_dir)).select(
+        "doc_id", "quality_score"
+    )
+    thr = scored.agg(
+        F.percentile("quality_score", F.lit(0.25)).alias("q25")
+    )
+    return (
+        scored.crossJoin(F.broadcast(thr))
+        .filter(F.col("quality_score") >= F.col("q25"))
+        .select("doc_id", "quality_score", "q25")
+    )
+
+
 def text_chunk_windows(spark, sf_dir):
     """Sequence-packing prep: fixed 32-token windows, 8-token overlap,
     counts only (text.chunk_tokens)."""
