@@ -14,6 +14,12 @@ State is hash-partitioned by the join key across executors (same
 scaling story as any stateful operator). Inner joins emit matches as
 they form; the optional outer variants emit the unmatched side only
 once its watermark passes (late data accounting).
+
+Outer-join caveat (observed on this Spark line, pinned by
+tests/test_streaming.py): the two legs must come from DISTINCT
+sources. Filtering ONE stream into both legs (a self-join) couples
+the legs' watermarks and the unmatched-side rows never flush; inner
+joins are unaffected.
 """
 
 from __future__ import annotations

@@ -267,3 +267,93 @@ def test_stream_stream_interval_join(spark, tmp_path):
 
     with pytest.raises(ValueError, match="must differ"):
         interval_join_streams(clicks, purchases, key=("cu", "cu"), ts=("cts", "pts"))
+
+
+def test_stream_stream_left_outer_join_emits_unmatched_after_watermark(
+    spark, tmp_path
+):
+    """Left-outer interval join over two DISTINCT sources: an
+    unmatched click is emitted with NULL purchase columns once the
+    watermark passes (click_ts + upper) — the state store holds it
+    exactly as long as a match could still arrive. (Both sides must
+    be separate sources: filtering one stream into both legs couples
+    the watermarks and outer rows never flush — noted in
+    streaming/join.py.)"""
+    import datetime
+    import time as _time
+
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.streaming.join import (
+        interval_join_streams,
+    )
+
+    cs = T.StructType(
+        [
+            T.StructField("click_id", T.LongType()),
+            T.StructField("cu", T.LongType()),
+            T.StructField("cts", T.TimestampType()),
+        ]
+    )
+    ps = T.StructType(
+        [
+            T.StructField("purchase_id", T.LongType()),
+            T.StructField("pu", T.LongType()),
+            T.StructField("pts", T.TimestampType()),
+        ]
+    )
+
+    def ts(h, m):
+        return datetime.datetime(2024, 1, 1, h, m)
+
+    cin = tmp_path / "clicks"
+    pin = tmp_path / "purchases"
+    cin.mkdir()
+    pin.mkdir()
+    out = []
+
+    spark.createDataFrame([(1, 7, ts(10, 0)), (3, 9, ts(10, 0))], cs).coalesce(
+        1
+    ).write.mode("append").parquet(str(cin))
+    spark.createDataFrame([(2, 7, ts(10, 20))], ps).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(pin))
+
+    q = (
+        interval_join_streams(
+            spark.readStream.schema(cs).parquet(str(cin)),
+            spark.readStream.schema(ps).parquet(str(pin)),
+            key=("cu", "pu"),
+            ts=("cts", "pts"),
+            upper="30 minutes",
+            watermark_delay="10 minutes",
+            how="left_outer",
+        )
+        .writeStream.foreachBatch(lambda df, _id: out.extend(df.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+    try:
+        deadline = _time.time() + 30
+        while _time.time() < deadline and not out:
+            _time.sleep(0.5)
+        assert [(r["click_id"], r["purchase_id"]) for r in out] == [(1, 2)]
+
+        # late traffic on BOTH sides pushes the watermark far past
+        # click 3's window -> the held row flushes as (3, NULL)
+        spark.createDataFrame([(4, 7, ts(13, 0))], ps).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(pin))
+        spark.createDataFrame([(9, 7, ts(13, 0))], cs).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(cin))
+        deadline = _time.time() + 60
+        while _time.time() < deadline and not any(
+            r["click_id"] == 3 and r["purchase_id"] is None for r in out
+        ):
+            _time.sleep(0.5)
+        assert any(
+            r["click_id"] == 3 and r["purchase_id"] is None for r in out
+        )
+    finally:
+        q.stop()
