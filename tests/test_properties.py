@@ -110,3 +110,53 @@ def test_merge_idempotent_and_key_unique(spark, tmp_path_factory, ids):
     rows = t.read(spark).collect()
     assert len(rows) == len(set(ids))
     assert {(r["id"], r["v"]) for r in rows} == {(i, i * 10) for i in set(ids)}
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from("aa bb cc dd ee ff gg hh".split()),
+            min_size=0,
+            max_size=10,
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    n=st.integers(min_value=2, max_value=4),
+)
+@settings(max_examples=12, deadline=None)
+def test_decontaminate_matches_bruteforce(spark, docs, n):
+    """decontaminate_ngram_overlap == brute-force n-gram set algebra
+    for arbitrary tiny corpora: every odd-id doc is 'benchmark', the
+    rest 'training'; the operator must report exactly the training
+    docs with a shared n-gram and the exact distinct counts."""
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators.dedup import (
+        decontaminate_ngram_overlap,
+    )
+
+    rows = [(i, " ".join(words)) for i, words in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = df.filter("doc_id % 2 = 1")
+    train = df.filter("doc_id % 2 = 0")
+    got = {
+        r["doc_id"]: (r["n_shared"], r["n_shingles"])
+        for r in decontaminate_ngram_overlap(train, bench, n=n).collect()
+    }
+
+    def grams(words):
+        return {
+            " ".join(words[i : i + n]) for i in range(len(words) - n + 1)
+        }
+
+    bench_grams = set()
+    for i, words in enumerate(docs):
+        if i % 2 == 1:
+            bench_grams |= grams(words)
+    expected = {}
+    for i, words in enumerate(docs):
+        if i % 2 == 0:
+            g = grams(words)
+            shared = g & bench_grams
+            if shared:
+                expected[i] = (len(shared), len(g))
+    assert got == expected
