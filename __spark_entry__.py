@@ -115,6 +115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q15_top_supplier": R.q15_top_supplier,
         "text_decontaminate": L.text_decontaminate,
         "text_quality_percentile_cut": L.text_quality_percentile_cut,
+        "window_rank_functions": R.window_rank_functions,
         # --- previously-green contract queries ---
         # §2.5/§2.6 windows + top-k
         "w1_latest_per_key": R.w1_latest_per_key,
@@ -868,6 +869,17 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate >= TIMESTAMP '1996-01-01'
               AND o_orderdate <  TIMESTAMP '1998-01-01'
             GROUP BY o_year
+        """,
+        "window_rank_functions": """
+            SELECT o_orderstatus, o_orderkey,
+                   ntile(4) OVER w AS spend_quartile,
+                   round(percent_rank() OVER w, 6) AS pct_rank,
+                   round(cume_dist() OVER w, 6) AS cume,
+                   dense_rank() OVER w AS drank
+            FROM orders
+            WHERE o_custkey <= 300
+            WINDOW w AS (PARTITION BY o_orderstatus
+                         ORDER BY o_totalprice DESC, o_orderkey ASC)
         """,
         "q15_top_supplier": f"""
             WITH revenue AS (

@@ -1096,3 +1096,26 @@ def q15_top_supplier(spark, sf_dir):
         .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
     )
+
+
+def window_rank_functions(spark, sf_dir):
+    """Distribution-rank window family: ntile quartiles, percent_rank,
+    cume_dist, dense_rank over per-status order spend.
+
+    All four share one window (single hash-shuffle on o_orderstatus);
+    the order key includes the unique o_orderkey so tie rows get
+    identical ranks in both engines. percent_rank/cume_dist are exact
+    rational values of row positions — doubles agree bit-for-bit.
+    """
+    o = load(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 300)
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return o.select(
+        "o_orderstatus",
+        "o_orderkey",
+        F.ntile(4).over(w).alias("spend_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.dense_rank().over(w).alias("drank"),
+    )
