@@ -116,6 +116,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_decontaminate": L.text_decontaminate,
         "text_quality_percentile_cut": L.text_quality_percentile_cut,
         "window_rank_functions": R.window_rank_functions,
+        "text_boilerplate_ngrams": L.text_boilerplate_ngrams,
+        "agg_grouping_sets": R.agg_grouping_sets,
         # --- previously-green contract queries ---
         # §2.5/§2.6 windows + top-k
         "w1_latest_per_key": R.w1_latest_per_key,
@@ -372,6 +374,43 @@ def _curation_oracle() -> str:
                CAST(sum(n_tokens) AS BIGINT) AS seq_tokens,
                count(DISTINCT doc_id) AS n_docs
         FROM p GROUP BY 1, 2
+    """
+
+
+def _boilerplate_oracle() -> str:
+    """Twin of llm_queries.text_boilerplate_ngrams — same planted
+    footer constant, trigram split, df >= 3 commonality."""
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators.llm_queries import (
+        BOILER_FOOTER,
+    )
+
+    gram3 = "w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]"
+    return f"""
+        WITH corpus AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 4 = 0 THEN text || '{BOILER_FOOTER}'
+                      ELSE text END AS text
+          FROM documents
+        ),
+        nw AS (SELECT doc_id, string_split({_NORM.format(t='text')}, ' ') AS w
+               FROM corpus),
+        sh AS (
+          SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(w) - 1),
+                          i -> {gram3})) AS shingle
+            FROM nw)
+        ),
+        common AS (
+          SELECT shingle FROM sh GROUP BY shingle HAVING count(*) >= 3
+        )
+        SELECT s.doc_id,
+               count(*) AS n_shingles,
+               count(c.shingle) AS n_boiler,
+               round(CAST(count(c.shingle) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE), 4) AS boiler_frac
+        FROM sh s LEFT JOIN common c ON s.shingle = c.shingle
+        GROUP BY s.doc_id
     """
 
 
@@ -870,6 +909,14 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate <  TIMESTAMP '1998-01-01'
             GROUP BY o_year
         """,
+        "agg_grouping_sets": """
+            SELECT o_orderstatus, o_orderpriority,
+                   count(*) AS n_orders,
+                   round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2)
+                       AS total_spend
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """,
         "window_rank_functions": """
             SELECT o_orderstatus, o_orderkey,
                    ntile(4) OVER w AS spend_quartile,
@@ -1087,6 +1134,7 @@ def oracle_sql() -> dict[str, str]:
                    min(ts) AS session_start, max(ts) AS session_end
             FROM s GROUP BY user_id, session_id
         """,
+        "text_boilerplate_ngrams": _boilerplate_oracle(),
         "text_decontaminate": f"""
             WITH base AS (SELECT doc_id, text FROM documents),
             bench AS (SELECT doc_id, text FROM base WHERE doc_id % 25 = 3),

@@ -764,3 +764,51 @@ def decontaminate_ngram_overlap(
             F.col("n_shared").cast("double") / F.col("n_shingles").cast("double"), 4
         ).alias("frac_shared"),
     )
+
+
+def boilerplate_ngram_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_df: int = 3,
+) -> DataFrame:
+    """Corpus-wide boilerplate accounting: for each document, what
+    fraction of its distinct word ``n``-grams appear in at least
+    ``min_df`` documents (navigation chrome, license footers, share
+    buttons — the C4-style cleanup signal: docs dominated by
+    high-document-frequency n-grams are templates, not content).
+
+    Returns ``(doc_id, n_shingles, n_boiler, boiler_frac)`` for every
+    doc with at least one shingle.
+
+    Scale: one shuffle computes document frequency per shingle; the
+    per-doc membership probe joins the (shingle -> is_common) relation
+    back on the SAME shingle key — with AQE the exchange is reused,
+    and the df table only carries shingles at min_df or above. Final
+    per-doc counts are one aggregation; nothing touches doc x doc.
+    """
+    sh = _doc_shingles(df, text_col, id_col, n)
+    common = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= min_df)
+        .select("shingle")
+    )
+    flagged = sh.join(common.withColumn("_boiler", F.lit(1)), "shingle", "left")
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.count("_boiler").alias("n_boiler"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_boiler",
+            F.round(
+                F.col("n_boiler").cast("double") / F.col("n_shingles").cast("double"),
+                4,
+            ).alias("boiler_frac"),
+        )
+    )

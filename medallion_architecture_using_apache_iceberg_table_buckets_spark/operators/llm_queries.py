@@ -713,6 +713,29 @@ def sample_mixture_documents(spark, sf_dir):
     )
 
 
+BOILER_FOOTER = " all rights reserved share this page contact us"
+
+
+def text_boilerplate_ngrams(spark, sf_dir):
+    """C4-style boilerplate accounting: every doc with doc_id % 4 == 0
+    gets a fixed footer appended (planted template chrome — the
+    synthetic word salads share no natural n-grams), then
+    dedup.boilerplate_ngram_stats reports the fraction of each doc's
+    distinct trigrams appearing in >= 3 documents. The planted docs
+    carry a guaranteed-common footer; organic trigram collisions in
+    the limited synthetic vocabulary also register, which is the
+    point — the measure is exact either way (oracle-matched)."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 4 == 0, F.concat(F.col("text"), F.lit(BOILER_FOOTER))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return D.boilerplate_ngram_stats(d, n=3, min_df=3)
+
+
 def text_quality_percentile_cut(spark, sf_dir):
     """Dynamic quality thresholding: keep documents at or above the
     corpus's exact 25th-percentile composite quality score —

@@ -1119,3 +1119,20 @@ def window_rank_functions(spark, sf_dir):
         F.round(F.cume_dist().over(w), 6).alias("cume"),
         F.dense_rank().over(w).alias("drank"),
     )
+
+
+def agg_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (beyond rollup/cube): per-status,
+    per-priority, and grand-total rows in one aggregation pass —
+    Spark expands the sets into a single Expand + hash aggregate, so
+    the fact table is scanned once however many sets are requested.
+    """
+    o = load(spark, sf_dir, "orders")
+    return o.groupingSets(
+        [["o_orderstatus"], ["o_orderpriority"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.count("*").alias("n_orders"),
+        _money(F.sum(_dec("o_totalprice"))).alias("total_spend"),
+    )
