@@ -370,7 +370,7 @@ def _curation_oracle() -> str:
                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
           FROM c
         )
-        SELECT shard_id, cum // 256 AS seq_id, count(*) AS n_chunks,
+        SELECT shard_id, CAST(cum // 256 AS BIGINT) AS seq_id, count(*) AS n_chunks,
                CAST(sum(n_tokens) AS BIGINT) AS seq_tokens,
                count(DISTINCT doc_id) AS n_docs
         FROM p GROUP BY 1, 2
@@ -791,10 +791,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q12_late_lines_by_status": """
             SELECT l_linestatus,
-                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                            THEN 1 ELSE 0 END) AS high_line_count,
-                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                            THEN 0 ELSE 1 END) AS low_line_count
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             WHERE l_shipdate >= TIMESTAMP '1996-01-01'
               AND l_shipdate <  TIMESTAMP '1997-01-01'
@@ -1391,7 +1391,8 @@ def oracle_sql() -> dict[str, str]:
               FROM c
             )
             SELECT doc_id, chunk_id, n_tokens, shard_id,
-                   cum // 256 AS seq_id, cum % 256 AS seq_offset
+                   CAST(cum // 256 AS BIGINT) AS seq_id,
+                   CAST(cum % 256 AS BIGINT) AS seq_offset
             FROM q
         """,
         "text_tfidf_topk": f"""
