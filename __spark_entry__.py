@@ -51,42 +51,110 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness gate samples a bounded
-    # prefix of this registry (50 rows in rounds 1-2). Entries that have
-    # not yet earned a green driver row are listed FIRST; long-stable
-    # entries (green in both r01 and r02) are rotated to the tail and
-    # remain covered by the local mirror (tools/check_oracles.py).
+    # prefix of this registry (50 rows per round so far). Each round a
+    # fresh slice rotates into positions 1-50 so every entry earns a
+    # driver row on recent code; rotated-out entries stay covered by the
+    # full local mirror (tools/check_oracles.py) and pytest.
+    #
+    # Round-4 window: (a) the three r03-red queries whose oracle HUGEINT
+    # typing was fixed this round, (b) the three new sketch-validation
+    # queries, (c) 44 of the 47 entries whose last driver row is
+    # r02-vintage. The 3 deferred to r05 (listed first in the tail) are
+    # the most trivially-stable double-green scans: s1_scan_filter_project,
+    # a1_count_star, f3_derive_partition_date.
     return {
-        # --- not yet driver-checked (rounds 1-2 window ended at 50) ---
+        # --- fixed this round: oracle integer sums now cast to BIGINT
+        # so DuckDB serializes int64, matching Spark's hash input ---
+        "q12_late_lines_by_status": R.q12_late_lines_by_status,
+        "pack_training_sequences": L.pack_training_sequences,
+        "curation_end_to_end": L.curation_end_to_end,
+        # --- new in round 4: sketch family (exact figures + in-query
+        # error-bound validation flags; estimates never hashed) ---
+        "sketch_hll_distinct": L.sketch_hll_distinct,
+        "sketch_hll_rollup_merge": L.sketch_hll_rollup_merge,
+        "sketch_quantiles": L.sketch_quantiles,
+        # --- r02-vintage rotation (last driver row: round 2) ---
+        # dedup surface first: dedup_embedding_pairs_brute has never
+        # been driver-checked under its current name (renamed after r02)
+        "dedup_embedding_pairs_brute": L.dedup_embedding_pairs_brute,
+        "dedup_exact_groups": L.dedup_exact_groups,
+        "dedup_normalized_groups": L.dedup_normalized_groups,
+        "dedup_ngram_jaccard_pairs": L.dedup_ngram_jaccard_pairs,
+        "dedup_minhash_lsh_pairs": L.dedup_minhash_lsh_pairs,
+        "dedup_simhash_pairs": L.dedup_simhash_pairs,
+        "dedup_keep_list": L.dedup_keep_list,
+        "dedup_embedding_lsh_pairs": L.dedup_embedding_lsh_pairs,
+        # similarity search
+        "ann_bruteforce_topk": L.ann_bruteforce_topk,
+        "ann_lsh_topk": L.ann_lsh_topk,
+        "ann_ivf_topk": L.ann_ivf_topk,
+        # lakehouse / medallion machinery
+        "medallion_merge_state": R.medallion_merge_state,
+        "medallion_gold_mart": L.medallion_gold_mart,
+        "sql_dispatch_pipeline": L.sql_dispatch_pipeline,
+        "catalog_history_metadata": R.catalog_history_metadata,
+        # §2.5/§2.6 windows + top-k
+        "w1_latest_per_key": R.w1_latest_per_key,
+        "window_running_totals": R.window_running_totals,
+        "window_moving_avg": R.window_moving_avg,
+        "o1_topk_latest": R.o1_topk_latest,
+        # joins + aggregations
+        "q1_pricing_summary": R.q1_pricing_summary,
+        "q3_shipping_priority": R.q3_shipping_priority,
+        "q5_region_revenue": R.q5_region_revenue,
+        "q7_volume_shipping": R.q7_volume_shipping,
+        "q10_returned_items": R.q10_returned_items,
+        "q18_large_orders": R.q18_large_orders,
+        "join_semi_big_spenders": R.join_semi_big_spenders,
+        "join_anti_never_ordered": R.join_anti_never_ordered,
+        "join_broadcast_brand_stats": R.join_broadcast_brand_stats,
+        "join_full_outer_spend": R.join_full_outer_spend,
+        "agg_rollup_orders": R.agg_rollup_orders,
+        "agg_distinct_customers": R.agg_distinct_customers,
+        "agg_cube_status_priority": R.agg_cube_status_priority,
+        "agg_percentiles": R.agg_percentiles,
+        "agg_collect_sorted": R.agg_collect_sorted,
+        "pivot_event_counts": R.pivot_event_counts,
+        "subquery_max_order": R.subquery_max_order,
+        # scalar functions / JSON / calendar
+        "json_extract_events": R.json_extract_events,
+        "array_map_funcs": R.array_map_funcs,
+        "events_daily_summary": R.events_daily_summary,
+        "scalar_string_math": R.scalar_string_math,
+        "date_arithmetic": R.date_arithmetic,
+        # set operations
+        "set_union_segments": R.set_union_segments,
+        "set_intersect_building_buyers": R.set_intersect_building_buyers,
+        "set_except_nonbuyers": R.set_except_nonbuyers,
+        # as-of join + sessionization + skew
+        "asof_click_purchase": R.asof_click_purchase,
+        "sessionize_events": R.sessionize_events,
+        "skew_salted_agg": L.skew_salted_agg,
+        # --- tail: deferred r02-vintage (rotate into the r05 window) ---
+        "s1_scan_filter_project": R.s1_scan_filter_project,
+        "a1_count_star": R.a1_count_star,
+        "f3_derive_partition_date": R.f3_derive_partition_date,
+        # --- tail: r03-green (driver row on round-3 code) ---
         "string_distance_pairs": L.string_distance_pairs,
-        # text analysis
         "text_langid": L.text_langid,
         "text_quality": L.text_quality,
         "text_token_counts": L.text_token_counts,
         "text_fingerprint": L.text_fingerprint,
-        # multimodal metadata plumbing
         "multimodal_meta": L.multimodal_meta,
         "multimodal_frames": L.multimodal_frames,
         "multimodal_resize": L.multimodal_resize,
         "multimodal_embed_dims": L.multimodal_embed_dims,
-        # new in round 3: CTAS + VERSION AS OF + metadata-table SQL,
-        # changelog scan, MOR+compact, ALTER-driven schema evolution,
-        # CALL-procedure maintenance
         "sql_ctas_time_travel": L.sql_ctas_time_travel,
         "incremental_scan_changelog": L.incremental_scan_changelog,
         "mor_merge_compact": L.mor_merge_compact,
         "schema_evolution_sql": L.schema_evolution_sql,
         "maintenance_procedures": L.maintenance_procedures,
-        # Structured Streaming driven to deterministic batch-complete
-        # results (availableNow drains) -> exact SQL oracles
         "streaming_windowed_counts": L.streaming_windowed_counts,
         "streaming_sessionize": L.streaming_sessionize,
         "streaming_dedup": L.streaming_dedup,
         "streaming_interval_join": L.streaming_interval_join,
-        # bin-bucketed interval join + corpus n-gram heavy hitters
         "range_join_incidents": L.range_join_incidents,
         "text_top_ngrams": L.text_top_ngrams,
-        # new in round 3 (late): group closure, quality filtering,
-        # deterministic sampling, token chunking, TF-IDF, Z-order
         "dedup_components": L.dedup_components,
         "text_quality_filter": L.text_quality_filter,
         "sample_hash_events": L.sample_hash_events,
@@ -96,15 +164,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_chunk_texts": L.text_chunk_texts,
         "text_tfidf_topk": L.text_tfidf_topk,
         "zorder_cluster_events": L.zorder_cluster_events,
-        "pack_training_sequences": L.pack_training_sequences,
-        "curation_end_to_end": L.curation_end_to_end,
-        # new in round 3 (this session): TPC-H shape sweep — EXISTS /
-        # NOT EXISTS, disjunctive join residuals, scalar-threshold
-        # subqueries, outer-join histogram — plus benchmark
-        # decontamination for the training-data surface
         "q4_priority_late_exists": R.q4_priority_late_exists,
         "q6_forecast_revenue": R.q6_forecast_revenue,
-        "q12_late_lines_by_status": R.q12_late_lines_by_status,
         "q13_customer_order_distribution": R.q13_customer_order_distribution,
         "q14_promo_revenue_share": R.q14_promo_revenue_share,
         "q17_small_quantity_revenue": R.q17_small_quantity_revenue,
@@ -118,67 +179,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_rank_functions": R.window_rank_functions,
         "text_boilerplate_ngrams": L.text_boilerplate_ngrams,
         "agg_grouping_sets": R.agg_grouping_sets,
-        # --- previously-green contract queries ---
-        # §2.5/§2.6 windows + top-k
-        "w1_latest_per_key": R.w1_latest_per_key,
-        "window_running_totals": R.window_running_totals,
-        # joins + aggregations
-        "q1_pricing_summary": R.q1_pricing_summary,
-        "q3_shipping_priority": R.q3_shipping_priority,
-        "q5_region_revenue": R.q5_region_revenue,
-        "q7_volume_shipping": R.q7_volume_shipping,
-        "q10_returned_items": R.q10_returned_items,
-        "q18_large_orders": R.q18_large_orders,
-        "join_semi_big_spenders": R.join_semi_big_spenders,
-        "join_anti_never_ordered": R.join_anti_never_ordered,
-        "join_broadcast_brand_stats": R.join_broadcast_brand_stats,
-        "agg_rollup_orders": R.agg_rollup_orders,
-        "agg_distinct_customers": R.agg_distinct_customers,
-        "agg_cube_status_priority": R.agg_cube_status_priority,
-        "agg_percentiles": R.agg_percentiles,
-        "catalog_history_metadata": R.catalog_history_metadata,
-        # scalar functions / JSON / calendar
-        "json_extract_events": R.json_extract_events,
-        "array_map_funcs": R.array_map_funcs,
-        "events_daily_summary": R.events_daily_summary,
-        # as-of join + CDC merge machinery
-        "asof_click_purchase": R.asof_click_purchase,
-        "sessionize_events": R.sessionize_events,
-        "medallion_merge_state": R.medallion_merge_state,
-        # LLM-data-pipeline surface: dedup
-        "dedup_exact_groups": L.dedup_exact_groups,
-        "dedup_normalized_groups": L.dedup_normalized_groups,
-        "dedup_ngram_jaccard_pairs": L.dedup_ngram_jaccard_pairs,
-        "dedup_minhash_lsh_pairs": L.dedup_minhash_lsh_pairs,
-        "dedup_simhash_pairs": L.dedup_simhash_pairs,
-        "dedup_keep_list": L.dedup_keep_list,
-        "dedup_embedding_pairs_brute": L.dedup_embedding_pairs_brute,
-        "dedup_embedding_lsh_pairs": L.dedup_embedding_lsh_pairs,
-        # similarity search
-        "ann_bruteforce_topk": L.ann_bruteforce_topk,
-        "ann_lsh_topk": L.ann_lsh_topk,
-        "ann_ivf_topk": L.ann_ivf_topk,
-        "skew_salted_agg": L.skew_salted_agg,
-        "medallion_gold_mart": L.medallion_gold_mart,
-        "sql_dispatch_pipeline": L.sql_dispatch_pipeline,
-        # --- long-stable tail (green in r01+r02; rotate back if the
-        # driver window ever widens) ---
-        # §2.1/§2.2 scans, projections, filters
-        "s1_scan_filter_project": R.s1_scan_filter_project,
-        "f3_derive_partition_date": R.f3_derive_partition_date,
-        "a1_count_star": R.a1_count_star,
-        "o1_topk_latest": R.o1_topk_latest,
-        # set operations
-        "set_union_segments": R.set_union_segments,
-        "set_intersect_building_buyers": R.set_intersect_building_buyers,
-        "set_except_nonbuyers": R.set_except_nonbuyers,
-        "scalar_string_math": R.scalar_string_math,
-        "date_arithmetic": R.date_arithmetic,
-        "window_moving_avg": R.window_moving_avg,
-        "agg_collect_sorted": R.agg_collect_sorted,
-        "pivot_event_counts": R.pivot_event_counts,
-        "join_full_outer_spend": R.join_full_outer_spend,
-        "subquery_max_order": R.subquery_max_order,
     }
 
 
@@ -1570,6 +1570,33 @@ def oracle_sql() -> dict[str, str]:
                    round(max(l_extendedprice), 2) AS max_price,
                    round(min(l_quantity), 2) AS min_qty
             FROM lineitem GROUP BY l_returnflag
+        """,
+        # Sketch family: the Spark side computes the exact figure AND
+        # an in-query proof that the engine-specific estimate landed
+        # inside its error bound; the oracle claims the proof holds
+        # (flag = 1). The estimate itself is never hashed, so the two
+        # engines' different sketch implementations cannot cause a
+        # spurious mismatch — but a broken sketch or a wrong exact
+        # aggregate still turns the row red.
+        "sketch_hll_distinct": """
+            SELECT event_type,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+                   CAST(1 AS INTEGER) AS within_bounds
+            FROM events GROUP BY event_type
+        """,
+        "sketch_hll_rollup_merge": """
+            SELECT event_type,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+                   CAST(1 AS INTEGER) AS within_bounds
+            FROM events GROUP BY event_type
+        """,
+        "sketch_quantiles": """
+            SELECT event_type,
+                   count(*) AS n_rows,
+                   CAST(1 AS INTEGER) AS p50_ok,
+                   CAST(1 AS INTEGER) AS p95_ok,
+                   CAST(1 AS INTEGER) AS p99_ok
+            FROM events GROUP BY event_type
         """,
         "medallion_gold_mart": """
             SELECT event_type,

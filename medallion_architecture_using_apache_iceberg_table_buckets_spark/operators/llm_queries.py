@@ -872,3 +872,98 @@ def multimodal_embed_dims(spark, sf_dir):
             for j in range(8)
         ],
     )
+
+
+# -- approximate-sketch surface (sketches.py), driver-checkable -------------
+#
+# Sketch estimates are engine-specific, so they cannot hash-match a
+# DuckDB value directly. Each query instead emits the EXACT figures
+# (which both engines compute identically) plus a validation flag
+# asserting the sketch landed inside its published error bound; the
+# oracle claims the flag is 1. A hash mismatch therefore means either
+# an exact-aggregation bug or a broken sketch — both real failures —
+# while the estimate itself stays free to differ per engine.
+
+
+def sketch_hll_distinct(spark, sf_dir):
+    """HLL++ distinct users per event_type (sketches.approx_distinct_rollup,
+    rsd=0.02) validated in-query against the exact count: the flag is
+    |approx - exact| <= 5%*exact + 2 (generous vs the 2% rsd). Scale
+    shape: two map-side-combined aggs + a tiny join AQE broadcasts."""
+    from .sketches import approx_distinct_rollup
+
+    ev = load(spark, sf_dir, "events")
+    approx = approx_distinct_rollup(ev, "user_id", ["event_type"], rsd=0.02)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    tol = F.col("exact_distinct") * 0.05 + F.lit(2)
+    return exact.join(approx, "event_type").select(
+        "event_type",
+        "exact_distinct",
+        (F.abs(F.col("approx_distinct") - F.col("exact_distinct")) <= tol)
+        .cast("int")
+        .alias("within_bounds"),
+    )
+
+
+def sketch_hll_rollup_merge(spark, sf_dir):
+    """The mergeability contract end-to-end: store one Datasketches
+    HLL per (event_type, day) fine cell (sketches.hll_rollup), then
+    answer the coarser per-event_type distinct-user question by
+    unioning registers only (sketches.hll_merge) — the fact table is
+    never re-scanned. Validated against the exact per-type count with
+    the same 5%+2 bound (lg_k=12 => rsd ~1.6%)."""
+    from .sketches import hll_merge, hll_rollup
+
+    ev = load(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    fine = hll_rollup(ev, "user_id", ["event_type", "day"], lg_k=12)
+    merged = hll_merge(fine, ["event_type"])
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    tol = F.col("exact_distinct") * 0.05 + F.lit(2)
+    return exact.join(merged, "event_type").select(
+        "event_type",
+        "exact_distinct",
+        (F.abs(F.col("approx_distinct") - F.col("exact_distinct")) <= tol)
+        .cast("int")
+        .alias("within_bounds"),
+    )
+
+
+def sketch_quantiles(spark, sf_dir):
+    """Greenwald-Khanna quantiles (sketches.approx_quantiles) with an
+    in-query rank-bound proof: for each p the returned value q_p must
+    satisfy rank_le(q_p) >= p*n - slack and rank_lt(q_p) <= p*n +
+    slack, slack = eps*n + 1 with eps = 1/accuracy plus 1% headroom.
+    The per-type quantile row set is tiny, so the validation join is
+    an AQE broadcast; the heavy work stays two single-pass aggs."""
+    from .sketches import approx_quantiles
+
+    probs = [0.5, 0.95, 0.99]
+    labels = ["p50", "p95", "p99"]
+    ev = load(spark, sf_dir, "events")
+    q = approx_quantiles(ev, "value", ["event_type"], probs, accuracy=10_000)
+    qe = q.select(
+        "event_type",
+        *[F.col("quantiles")[i].alias(f"q{i}") for i in range(len(probs))],
+    )
+    aggs = [F.count("*").alias("n_rows")]
+    for i in range(len(probs)):
+        aggs.append(
+            F.sum((F.col("value") <= F.col(f"q{i}")).cast("long")).alias(f"le{i}")
+        )
+        aggs.append(
+            F.sum((F.col("value") < F.col(f"q{i}")).cast("long")).alias(f"lt{i}")
+        )
+    g = ev.join(qe, "event_type").groupBy("event_type").agg(*aggs)
+    sel = ["event_type", "n_rows"]
+    for i, (p, label) in enumerate(zip(probs, labels)):
+        slack = F.col("n_rows") * (1.0 / 10_000 + 0.01) + F.lit(1)
+        ok = (
+            (F.col(f"le{i}") >= F.col("n_rows") * p - slack)
+            & (F.col(f"lt{i}") <= F.col("n_rows") * p + slack)
+        )
+        sel.append(ok.cast("int").alias(f"{label}_ok"))
+    return g.select(*sel)

@@ -247,9 +247,14 @@ def tfidf_topk(
     exact IEEE double tf*N/df in every engine — ln() differs in the
     last ulp across libm implementations and would poison value-hash
     comparison; the rational form preserves the same per-doc ranking.
-    Plan: one explode + (doc,term) count, a broadcast-joined df table
-    (terms << corpus), one per-doc window for the top-k — the same
-    shape at 100 TB, with the term-df aggregation map-side combined.
+    Plan: one explode + (doc,term) count, a df-table join whose
+    strategy is left to AQE, one per-doc window for the top-k — the
+    same shape at 100 TB, with the term-df aggregation map-side
+    combined. The df table is NOT broadcast-pinned: at web scale the
+    vocabulary (typos, numbers, code tokens) reaches 1e8-1e9 distinct
+    terms, far past driver/executor broadcast budgets — AQE converts
+    the join to broadcast only when the built table is actually small.
+    Only the 1-row corpus count keeps an explicit broadcast.
     """
     from pyspark.sql import Window
 
@@ -258,7 +263,7 @@ def tfidf_topk(
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     n_docs = df.select(F.countDistinct(id_col).alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(dfreq), "term")
+        tf.join(dfreq, "term")
         .crossJoin(F.broadcast(n_docs))
         .withColumn("tfidf", F.round(F.col("tf") * F.col("n_docs") / F.col("df"), 4))
     )

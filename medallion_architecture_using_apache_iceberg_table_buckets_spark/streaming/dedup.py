@@ -18,6 +18,8 @@ each executor owns its key range's state.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 
 
@@ -26,13 +28,35 @@ def dedup_stream(
     keys: tuple[str, ...] = ("event_id",),
     ts_col: str = "ts",
     watermark_delay: str = "30 minutes",
+    allow_unbounded_state: bool = False,
 ) -> DataFrame:
     """Watermarked exactly-once dedup on ``keys``.
 
-    Falls back to the unbounded-state ``dropDuplicates`` only on
-    builds without ``dropDuplicatesWithinWatermark`` (pre-3.5).
+    On builds without ``dropDuplicatesWithinWatermark`` (pre-3.5)
+    the only fallback is plain ``dropDuplicates``, which differs in
+    BOTH state growth (keeps every key forever) and semantics (a key
+    replayed after the watermark passes is dropped forever, where the
+    real operator re-emits it). That silent divergence across Spark
+    versions is a correctness trap, so the fallback must be opted
+    into explicitly with ``allow_unbounded_state=True``; otherwise a
+    ``RuntimeError`` names the missing operator. Even when allowed,
+    a warning is emitted.
     """
     s = stream.withWatermark(ts_col, watermark_delay)
     if hasattr(s, "dropDuplicatesWithinWatermark"):
         return s.dropDuplicatesWithinWatermark(list(keys))
+    if not allow_unbounded_state:
+        raise RuntimeError(
+            "dropDuplicatesWithinWatermark is unavailable on this Spark "
+            "build (< 3.5); pass allow_unbounded_state=True to accept the "
+            "dropDuplicates fallback's unbounded state and "
+            "drop-forever-after-watermark semantics"
+        )
+    warnings.warn(
+        "dedup_stream: falling back to unbounded-state dropDuplicates — "
+        "keys replayed after the watermark passes are dropped forever, "
+        "unlike dropDuplicatesWithinWatermark",
+        RuntimeWarning,
+        stacklevel=2,
+    )
     return s.dropDuplicates(list(keys))

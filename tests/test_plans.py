@@ -272,3 +272,67 @@ def test_tpch_sweep_plan_shapes(spark, sf_dir):
     dec = plan_of(L.text_decontaminate(spark, sf_dir))
     assert "BroadcastHashJoin" in dec
     assert "CartesianProduct" not in dec
+
+
+def test_brute_baselines_are_the_only_all_pairs_plans(spark, sf_dir):
+    """Registry-wide fence: the two labeled correctness baselines
+    (dedup_embedding_pairs_brute, ann_bruteforce_topk) are the ONLY
+    queries allowed an all-pairs join (CartesianProduct, or a
+    BroadcastNestedLoopJoin whose broadcast side is data-sized). A
+    1-row-scalar BNLJ (count/threshold/percentile broadcast) is fine
+    at any scale and stays allowed; everything else must candidate-
+    generate through an equi-join. Guards against a future edit
+    silently reintroducing an O(n^2) plan under a scale-safe name.
+
+    Sweeps every side-effect-free registry query (lakehouse/streaming
+    queries execute writes at DataFrame-construction time and carry
+    their own plan tests above).
+    """
+    import __spark_entry__ as entrymod
+
+    CARTESIAN_OK = {"dedup_embedding_pairs_brute", "ann_bruteforce_topk"}
+    # BNLJ with a deliberately tiny broadcast side:
+    #  - the two _brute baselines (whole-corpus broadcast BY DESIGN)
+    #  - string_distance_pairs: closed both-short fallback (len < 8)
+    #  - text_tfidf_topk / q22 / q15 / q17 / subquery_max_order /
+    #    text_quality_percentile_cut: 1-row scalar aggregate joins
+    BNLJ_OK = CARTESIAN_OK | {
+        "string_distance_pairs",
+        "text_tfidf_topk",
+        "q22_dormant_customers",
+        "q15_top_supplier",
+        "q17_small_quantity_revenue",
+        "subquery_max_order",
+        "text_quality_percentile_cut",
+        "sketch_quantiles",
+    }
+    # Queries whose construction performs writes/iterative jobs; their
+    # plan hygiene is asserted by dedicated tests.
+    SIDE_EFFECTING_PREFIXES = (
+        "medallion_", "sql_", "incremental_", "mor_", "schema_",
+        "maintenance_", "streaming_", "catalog_", "zorder_",
+    )
+    SKIP = {"dedup_components", "ann_ivf_topk", "curation_end_to_end"}
+
+    offenders = {}
+    for name, fn in entrymod.queries().items():
+        if name in SKIP or name.startswith(SIDE_EFFECTING_PREFIXES):
+            continue
+        plan = plan_of(fn(spark, sf_dir))
+        if "CartesianProduct" in plan and name not in CARTESIAN_OK:
+            offenders[name] = "CartesianProduct"
+        elif "BroadcastNestedLoopJoin" in plan and name not in BNLJ_OK:
+            offenders[name] = "BroadcastNestedLoopJoin"
+    assert not offenders, f"all-pairs plan outside the fence: {offenders}"
+
+    # and the baselines themselves still ARE all-pairs (label honesty)
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators import (
+        llm_queries as L,
+    )
+
+    brute_dedup = plan_of(L.dedup_embedding_pairs_brute(spark, sf_dir))
+    brute_ann = plan_of(L.ann_bruteforce_topk(spark, sf_dir))
+    assert ("CartesianProduct" in brute_dedup
+            or "BroadcastNestedLoopJoin" in brute_dedup)
+    assert ("CartesianProduct" in brute_ann
+            or "BroadcastNestedLoopJoin" in brute_ann)
