@@ -1,0 +1,410 @@
+"""Iceberg v2 metadata adapter: the documented migration boundary.
+
+The engine stores table state as one JSON manifest per snapshot
+(``table.py``) because the Iceberg runtime jars are unavailable in
+this environment. Capability-wise the two models are isomorphic, and
+this module IS the isomorphism: it exports a table's metadata as an
+Apache Iceberg **format-version 2** ``TableMetadata`` document (plus
+per-snapshot manifest entries) and re-imports the semantic content,
+so a migration shim that writes real Avro manifest files has a
+single, tested seam to plug into. Field names and value spellings
+follow the public Iceberg table spec
+(https://iceberg.apache.org/spec/, v2).
+
+Mapping (ours -> Iceberg v2):
+
+=====================  ===========================================
+snapshot JSON           ``snapshots[]`` entry
+``snapshot_id``         ``snapshot-id`` (also ``sequence-number``:
+                        our ids are a dense monotonic commit
+                        sequence, which is exactly Iceberg's
+                        data-sequence-number contract)
+``parent_id``           ``parent-snapshot-id``
+``timestamp_ms``        ``timestamp-ms``
+``operation``           ``summary.operation`` — Iceberg admits only
+                        {append, replace, overwrite, delete}; see
+                        ``_OP_MAP`` (create->append of zero files,
+                        compaction/rollback->replace: same logical
+                        rows, different file set)
+``files``               the snapshot's manifest: entries with
+                        status EXISTING(0)/ADDED(1); ``removed``
+                        files appear as DELETED(2) entries
+``stats``               per-file ``lower-bounds``/``upper-bounds``/
+                        ``null-value-counts`` (Iceberg stores these
+                        binary-encoded per field-id; the shim keeps
+                        readable values keyed by field-id)
+``schema_json``         ``schemas[]`` with assigned field-ids;
+                        Spark TimestampType -> ``timestamptz``,
+                        TimestampNTZType -> ``timestamp``
+``partition_by``        ``partition-specs[]``: ``bucket(N, c)`` ->
+                        transform ``bucket[N]``, ``days(c)`` ->
+                        ``day``, else ``identity`` (our bucket hash
+                        is xxhash64-based, Iceberg's is murmur3 —
+                        a REAL shim must rewrite bucket partition
+                        values; flagged in ``compat_notes``)
+``properties``          ``properties`` (verbatim — we already use
+                        Iceberg property spellings such as
+                        ``write.parquet.compression-codec``)
+=====================  ===========================================
+
+Incremental-read parity (reference scripts/bronze-silver.py:149-152):
+our ``Table.read_incremental(start, end)`` matches Iceberg's
+``option("start-snapshot-id", s).option("end-snapshot-id", e)``
+changelog scan — start EXCLUSIVE, end INCLUSIVE, append-only ranges
+only. The exported ``snapshot-log`` preserves the id/timestamp pairs
+that scan needs.
+
+What this adapter does NOT do (jar-gated, by design): write Avro
+manifest/manifest-list files, maintain a real catalog pointer file
+(``version-hint.text`` / catalog atomic swap), or re-hash bucket
+partition values to murmur3. Each is listed in ``compat_notes()`` so
+the migration work is enumerable rather than guessed.
+"""
+
+from __future__ import annotations
+
+import uuid
+from typing import Any
+
+from pyspark.sql import types as T
+
+from ..schema import schema_to_json
+from .table import Snapshot, Table
+from .transforms import parse_spec
+
+_OP_MAP = {
+    "create": "append",
+    "append": "append",
+    "overwrite": "overwrite",
+    "merge": "overwrite",
+    "delete": "delete",
+    "rollback": "replace",
+    "compact": "replace",
+    "replace": "replace",
+}
+
+# Iceberg entry status codes (spec: manifest entry `status`)
+EXISTING, ADDED, DELETED = 0, 1, 2
+
+
+def _field_id_assigner():
+    next_id = [0]
+
+    def nxt() -> int:
+        next_id[0] += 1
+        return next_id[0]
+
+    return nxt
+
+
+def _type_to_iceberg(dt: T.DataType, nxt) -> Any:
+    """Spark type -> Iceberg type JSON (spec §Schemas). Nested types
+    consume ids for their element/key/value fields, depth-first, the
+    same order Iceberg's own Spark conversion assigns them."""
+    if isinstance(dt, T.StructType):
+        fields = []
+        for f in dt.fields:
+            fid = nxt()
+            fields.append(
+                {
+                    "id": fid,
+                    "name": f.name,
+                    "required": not f.nullable,
+                    "type": _type_to_iceberg(f.dataType, nxt),
+                }
+            )
+        return {"type": "struct", "fields": fields}
+    if isinstance(dt, T.ArrayType):
+        eid = nxt()
+        return {
+            "type": "list",
+            "element-id": eid,
+            "element": _type_to_iceberg(dt.elementType, nxt),
+            "element-required": not dt.containsNull,
+        }
+    if isinstance(dt, T.MapType):
+        kid, vid = nxt(), nxt()
+        return {
+            "type": "map",
+            "key-id": kid,
+            "key": _type_to_iceberg(dt.keyType, nxt),
+            "value-id": vid,
+            "value": _type_to_iceberg(dt.valueType, nxt),
+            "value-required": not dt.valueContainsNull,
+        }
+    if isinstance(dt, T.DecimalType):
+        return f"decimal({dt.precision}, {dt.scale})"
+    simple = {
+        T.BooleanType: "boolean",
+        T.IntegerType: "int",
+        T.ShortType: "int",
+        T.ByteType: "int",
+        T.LongType: "long",
+        T.FloatType: "float",
+        T.DoubleType: "double",
+        T.DateType: "date",
+        T.TimestampType: "timestamptz",
+        T.TimestampNTZType: "timestamp",
+        T.StringType: "string",
+        T.BinaryType: "binary",
+    }
+    for k, v in simple.items():
+        if isinstance(dt, k):
+            return v
+    # Iceberg has no variant/null/interval primitive pre-v3
+    return "string"
+
+
+def schema_to_iceberg(schema: T.StructType, schema_id: int = 0) -> dict:
+    nxt = _field_id_assigner()
+    body = _type_to_iceberg(schema, nxt)
+    return {"type": "struct", "schema-id": schema_id, "fields": body["fields"]}
+
+
+def _top_level_field_ids(ice_schema: dict) -> dict[str, int]:
+    return {f["name"]: f["id"] for f in ice_schema["fields"]}
+
+
+def partition_spec_to_iceberg(
+    partition_by: list[str], ice_schema: dict, spec_id: int = 0
+) -> dict:
+    """Our spec strings -> Iceberg partition-spec JSON. Partition
+    field-ids start at 1000 per the spec."""
+    ids = _top_level_field_ids(ice_schema)
+    fields = []
+    for i, tr in enumerate(parse_spec(list(partition_by))):
+        if tr.kind == "bucket":
+            transform, name = f"bucket[{tr.n}]", f"{tr.col}_bucket"
+        elif tr.kind == "days":
+            transform, name = "day", f"{tr.col}_day"
+        else:
+            transform, name = "identity", tr.col
+        fields.append(
+            {
+                "name": name,
+                "transform": transform,
+                "source-id": ids[tr.col],
+                "field-id": 1000 + i,
+            }
+        )
+    return {"spec-id": spec_id, "fields": fields}
+
+
+def snapshot_to_iceberg(snap: Snapshot, field_ids: dict[str, int]) -> dict:
+    """One snapshot -> (snapshots[] entry, manifest entries)."""
+    added = set(snap.added_files)
+    entries = []
+    for f in sorted(snap.files):
+        st = snap.stats.get(f, {})
+        data_file = {
+            "content": 0,  # DATA (we rewrite, never delete-files)
+            "file-path": f"data/{f}",
+            "file-format": "PARQUET",
+        }
+        if st:
+            data_file["lower-bounds"] = {
+                field_ids[c]: v[0] for c, v in st.items() if c in field_ids
+            }
+            data_file["upper-bounds"] = {
+                field_ids[c]: v[1] for c, v in st.items() if c in field_ids
+            }
+            data_file["null-value-counts"] = {
+                field_ids[c]: v[2] for c, v in st.items() if c in field_ids
+            }
+            counts = {c: v[3] for c, v in st.items() if v[3] is not None}
+            if counts:
+                data_file["record-count"] = max(counts.values())
+        entries.append(
+            {"status": ADDED if f in added else EXISTING, "data-file": data_file}
+        )
+    for f in sorted(snap.removed_files):
+        entries.append(
+            {"status": DELETED, "data-file": {"content": 0,
+                                              "file-path": f"data/{f}",
+                                              "file-format": "PARQUET"}}
+        )
+    summary = {"operation": _OP_MAP.get(snap.operation, "overwrite")}
+    summary.update({k: str(v) for k, v in snap.summary.items()})
+    # preserve the native spelling so import is lossless
+    summary["engine-operation"] = snap.operation
+    entry = {
+        "snapshot-id": snap.snapshot_id,
+        "sequence-number": snap.snapshot_id,
+        "timestamp-ms": snap.timestamp_ms,
+        "summary": summary,
+        "manifest-list": f"metadata/snap-{snap.snapshot_id}.avro",
+        "schema-id": 0,
+    }
+    if snap.parent_id is not None:
+        entry["parent-snapshot-id"] = snap.parent_id
+    return {"snapshot": entry, "manifest": entries}
+
+
+def table_metadata(table: Table) -> dict:
+    """Export the full Iceberg v2 TableMetadata document (+ one
+    manifest entry list per snapshot under ``manifests``)."""
+    snaps = table.snapshots()
+    head = table.current_snapshot()
+    ice_schema = schema_to_iceberg(table.schema)
+    field_ids = _top_level_field_ids(ice_schema)
+    exported = [snapshot_to_iceberg(s, field_ids) for s in snaps]
+    return {
+        "format-version": 2,
+        "table-uuid": str(uuid.uuid5(uuid.NAMESPACE_URL, str(table.root))),
+        "location": str(table.root),
+        "last-sequence-number": head.snapshot_id,
+        "last-updated-ms": head.timestamp_ms,
+        "last-column-id": max(field_ids.values(), default=0),
+        "schemas": [ice_schema],
+        "current-schema-id": 0,
+        "partition-specs": [
+            partition_spec_to_iceberg(head.partition_by, ice_schema)
+        ],
+        "default-spec-id": 0,
+        "last-partition-id": 999 + len(head.partition_by),
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "default-sort-order-id": 0,
+        "properties": dict(head.properties),
+        "current-snapshot-id": head.snapshot_id,
+        "snapshots": [e["snapshot"] for e in exported],
+        "snapshot-log": [
+            {"snapshot-id": s.snapshot_id, "timestamp-ms": s.timestamp_ms}
+            for s in snaps
+        ],
+        "metadata-log": [],
+        "manifests": {
+            str(e["snapshot"]["snapshot-id"]): e["manifest"] for e in exported
+        },
+    }
+
+
+def snapshot_from_iceberg(snap_entry: dict, manifest: list[dict],
+                          schema_json: str, partition_by: list[str],
+                          properties: dict[str, str]) -> Snapshot:
+    """Import one exported snapshot back into the native shape. The
+    semantic fields (ids, lineage, operation, live/added/removed file
+    sets) round-trip exactly; per-file stats are not reconstructed
+    (a real migration re-derives them from parquet footers)."""
+    live, added, removed = [], [], []
+    for e in manifest:
+        path = e["data-file"]["file-path"].removeprefix("data/")
+        if e["status"] == DELETED:
+            removed.append(path)
+        else:
+            live.append(path)
+            if e["status"] == ADDED:
+                added.append(path)
+    op = snap_entry["summary"].get("engine-operation") or snap_entry[
+        "summary"
+    ]["operation"]
+    return Snapshot(
+        version=snap_entry["snapshot-id"],
+        snapshot_id=snap_entry["snapshot-id"],
+        parent_id=snap_entry.get("parent-snapshot-id"),
+        timestamp_ms=snap_entry["timestamp-ms"],
+        operation=op,
+        files=sorted(live),
+        added_files=sorted(added),
+        removed_files=sorted(removed),
+        schema_json=schema_json,
+        partition_by=list(partition_by),
+        properties=dict(properties),
+        summary={},
+        stats={},
+    )
+
+
+def _type_from_iceberg(t: Any) -> T.DataType:
+    """Iceberg type JSON -> Spark type (inverse of _type_to_iceberg;
+    int/short/byte and enum/uuid degrade the same way Iceberg's own
+    Spark reader types them)."""
+    if isinstance(t, dict):
+        if t["type"] == "struct":
+            return T.StructType(
+                [
+                    T.StructField(
+                        f["name"],
+                        _type_from_iceberg(f["type"]),
+                        nullable=not f.get("required", False),
+                    )
+                    for f in t["fields"]
+                ]
+            )
+        if t["type"] == "list":
+            return T.ArrayType(
+                _type_from_iceberg(t["element"]),
+                containsNull=not t.get("element-required", False),
+            )
+        if t["type"] == "map":
+            return T.MapType(
+                _type_from_iceberg(t["key"]),
+                _type_from_iceberg(t["value"]),
+                valueContainsNull=not t.get("value-required", False),
+            )
+        raise ValueError(f"unknown iceberg type node {t!r}")
+    if t.startswith("decimal("):
+        p, s = t[8:-1].split(",")
+        return T.DecimalType(int(p), int(s))
+    simple = {
+        "boolean": T.BooleanType(), "int": T.IntegerType(),
+        "long": T.LongType(), "float": T.FloatType(),
+        "double": T.DoubleType(), "date": T.DateType(),
+        "timestamptz": T.TimestampType(), "timestamp": T.TimestampNTZType(),
+        "string": T.StringType(), "binary": T.BinaryType(),
+        "uuid": T.StringType(),
+    }
+    return simple.get(t, T.StringType())
+
+
+def import_table_metadata(doc: dict) -> list[Snapshot]:
+    """Re-import an exported document: native snapshots in commit
+    order, schema/spec/properties attached to each."""
+    struct = _type_from_iceberg(
+        {"type": "struct", "fields": doc["schemas"][0]["fields"]}
+    )
+    schema_json = schema_to_json(struct)
+    spec = doc["partition-specs"][0]
+    partition_by = []
+    for f in spec["fields"]:
+        tr = f["transform"]
+        src = _name_of(doc["schemas"][0], f["source-id"])
+        if tr.startswith("bucket["):
+            partition_by.append(f"bucket({tr[7:-1]}, {src})")
+        elif tr == "day":
+            partition_by.append(f"days({src})")
+        else:
+            partition_by.append(src)
+    out = []
+    for entry in sorted(doc["snapshots"], key=lambda s: s["snapshot-id"]):
+        manifest = doc["manifests"][str(entry["snapshot-id"])]
+        out.append(
+            snapshot_from_iceberg(
+                entry, manifest, schema_json, partition_by, doc["properties"]
+            )
+        )
+    return out
+
+
+def _name_of(ice_schema: dict, field_id: int) -> str:
+    for f in ice_schema["fields"]:
+        if f["id"] == field_id:
+            return f["name"]
+    raise KeyError(field_id)
+
+
+def compat_notes() -> list[str]:
+    """The enumerated gap list a real-Iceberg migration shim must
+    close (everything else round-trips through this module)."""
+    return [
+        "manifest/manifest-list files must be written as Avro per the "
+        "spec (we export JSON entry lists)",
+        "bucket[N] partition values must be re-derived with Iceberg's "
+        "murmur3 bucket hash (ours is pmod(xxhash64, N))",
+        "lower/upper bounds must be single-value-serialized binary "
+        "per field-id (we export readable strings)",
+        "catalog pointer: an atomic metadata-location swap in a real "
+        "catalog replaces our CURRENT file",
+        "column field-ids are assigned positionally at export; tables "
+        "evolved with ALTER must map dropped/renamed ids through the "
+        "schema history instead",
+    ]

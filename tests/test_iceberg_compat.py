@@ -1,0 +1,199 @@
+"""The Iceberg migration boundary: export our JSON-manifest table
+state as an Iceberg v2 TableMetadata document, validate its spec
+shape, and re-import it losslessly (lakehouse/iceberg_compat.py).
+
+This is the seam a real-Iceberg shim plugs into once the runtime
+jars exist; `compat_notes()` enumerates exactly what such a shim
+still owes (Avro manifests, murmur3 bucket values, binary bounds,
+catalog pointer, schema-history field-ids).
+"""
+
+import json
+
+from pyspark.sql import types as T
+
+from medallion_architecture_using_apache_iceberg_table_buckets_spark.lakehouse import (
+    Catalog,
+    merge_into,
+)
+from medallion_architecture_using_apache_iceberg_table_buckets_spark.lakehouse.iceberg_compat import (
+    compat_notes,
+    import_table_metadata,
+    schema_to_iceberg,
+    table_metadata,
+)
+
+def _schema():
+    # fromDDL needs an active session -> build lazily inside tests
+    return T.StructType.fromDDL(
+        "id long, v string, amount decimal(12,2), ts timestamp, "
+        "tags array<string>, attrs map<string,double>"
+    )
+
+
+def _table(spark, tmp_path):
+    SCHEMA = _schema()
+    cat = Catalog(tmp_path / "wh")
+    t = cat.create_table(
+        "d", "t", SCHEMA, partition_by=["bucket(4, id)", "days(ts)"]
+    )
+    rows = [
+        (i, f"v{i}", None, None, ["a"], {"x": 1.0}) for i in range(20)
+    ]
+    t.append(spark.createDataFrame(rows, SCHEMA))
+    t.append(
+        spark.createDataFrame(
+            [(100, "new", None, None, None, None)], SCHEMA
+        )
+    )
+    merge_into(
+        spark,
+        t,
+        spark.createDataFrame([(0, "updated", None, None, None, None)], SCHEMA),
+        on="id",
+    )
+    t.delete_where(spark, "id = 1")
+    return t
+
+
+def test_export_is_valid_v2_metadata(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    doc = table_metadata(t)
+
+    # required v2 top-level keys (public spec, "Table Metadata" table)
+    for key in [
+        "format-version", "table-uuid", "location", "last-sequence-number",
+        "last-updated-ms", "last-column-id", "schemas", "current-schema-id",
+        "partition-specs", "default-spec-id", "last-partition-id",
+        "sort-orders", "default-sort-order-id", "properties",
+        "current-snapshot-id", "snapshots", "snapshot-log",
+    ]:
+        assert key in doc, key
+    assert doc["format-version"] == 2
+    assert json.dumps(doc["snapshots"])  # serializable end-to-end
+
+    # snapshots: dense monotonic ids, linear parent lineage, spec ops
+    snaps = doc["snapshots"]
+    ids = [s["snapshot-id"] for s in snaps]
+    assert ids == sorted(ids)
+    for prev, cur in zip(snaps, snaps[1:]):
+        assert cur["parent-snapshot-id"] == prev["snapshot-id"]
+    allowed_ops = {"append", "replace", "overwrite", "delete"}
+    assert all(s["summary"]["operation"] in allowed_ops for s in snaps)
+    assert doc["current-snapshot-id"] == ids[-1]
+    assert doc["last-sequence-number"] == ids[-1]
+
+    # schema: unique field-ids covering nested element/key/value ids
+    ice_schema = doc["schemas"][0]
+    seen = []
+
+    def walk(node):
+        if isinstance(node, dict):
+            if node.get("type") == "struct":
+                for f in node["fields"]:
+                    seen.append(f["id"])
+                    walk(f["type"])
+            elif node.get("type") == "list":
+                seen.append(node["element-id"])
+                walk(node["element"])
+            elif node.get("type") == "map":
+                seen.append(node["key-id"])
+                seen.append(node["value-id"])
+                walk(node["key"])
+                walk(node["value"])
+
+    walk(ice_schema)
+    assert len(seen) == len(set(seen)) > 6
+    assert doc["last-column-id"] in seen
+    by_name = {f["name"]: f["type"] for f in ice_schema["fields"]}
+    assert by_name["amount"] == "decimal(12, 2)"
+    assert by_name["ts"] == "timestamptz"  # Spark TimestampType is LTZ
+    assert by_name["tags"]["type"] == "list"
+    assert by_name["attrs"]["type"] == "map"
+
+    # partition spec: transform spellings + source-id resolution
+    spec = doc["partition-specs"][0]
+    assert [f["transform"] for f in spec["fields"]] == ["bucket[4]", "day"]
+    assert [f["field-id"] for f in spec["fields"]] == [1000, 1001]
+    name_to_id = {f["name"]: f["id"] for f in ice_schema["fields"]}
+    assert spec["fields"][0]["source-id"] == name_to_id["id"]
+    assert spec["fields"][1]["source-id"] == name_to_id["ts"]
+
+
+def test_manifest_entries_track_file_lifecycle(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    doc = table_metadata(t)
+    snaps = t.snapshots()
+    for snap in snaps:
+        manifest = doc["manifests"][str(snap.snapshot_id)]
+        live = {
+            e["data-file"]["file-path"].removeprefix("data/")
+            for e in manifest
+            if e["status"] in (0, 1)
+        }
+        added = {
+            e["data-file"]["file-path"].removeprefix("data/")
+            for e in manifest
+            if e["status"] == 1
+        }
+        deleted = {
+            e["data-file"]["file-path"].removeprefix("data/")
+            for e in manifest
+            if e["status"] == 2
+        }
+        assert live == set(snap.files)
+        assert added == set(snap.added_files)
+        assert deleted == set(snap.removed_files)
+
+    # changelog parity: the ADDED entries between start(exclusive)
+    # and end(inclusive) are exactly what read_incremental scans
+    start, end = snaps[0], snaps[1]
+    inc_added = {
+        e["data-file"]["file-path"].removeprefix("data/")
+        for e in doc["manifests"][str(end.snapshot_id)]
+        if e["status"] == 1
+    }
+    assert inc_added == set(end.added_files)
+    got = t.read_incremental(
+        spark, start.snapshot_id, end.snapshot_id
+    ).count()
+    want = sum(
+        1
+        for _ in spark.read.parquet(
+            *[str(t.data_root / f) for f in end.added_files]
+        ).collect()
+    )
+    assert got == want
+
+
+def test_roundtrip_is_lossless(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    doc = json.loads(json.dumps(table_metadata(t)))  # through-serialized
+    back = import_table_metadata(doc)
+    native = t.snapshots()
+    assert len(back) == len(native)
+    for b, n in zip(back, native):
+        assert b.snapshot_id == n.snapshot_id
+        assert b.parent_id == n.parent_id
+        assert b.timestamp_ms == n.timestamp_ms
+        assert b.operation == n.operation  # engine spelling preserved
+        assert b.files == sorted(n.files)
+        assert b.added_files == sorted(n.added_files)
+        assert b.removed_files == sorted(n.removed_files)
+        assert b.partition_by == n.partition_by
+        assert b.properties == n.properties
+    # schema survives the Iceberg type system and back
+    assert T.StructType.fromJson(json.loads(back[-1].schema_json)) == _schema()
+
+
+def test_field_ids_are_deterministic(spark):
+    a = schema_to_iceberg(_schema())
+    b = schema_to_iceberg(_schema())
+    assert a == b
+
+
+def test_compat_notes_enumerate_the_shim_work():
+    notes = compat_notes()
+    assert len(notes) >= 4
+    assert any("murmur3" in n for n in notes)
+    assert any("Avro" in n for n in notes)
