@@ -64,7 +64,47 @@ HEADLINE = {
     "q19_disjunctive_predicates": R.q19_disjunctive_predicates,
     "q21_waiting_supplier": R.q21_waiting_supplier,
     "text_decontaminate": L.text_decontaminate,
+    # round-4 fold-in: the rest of the registry's heavy/representative
+    # tail, so a regression in any rotated-out query moves a recorded
+    # number, not just an oracle. (Trivial scans and the streaming
+    # drains — availableNow checkpoint setup dominates their time —
+    # stay out; the oracle mirror covers them.)
+    "q4_priority_late_exists": R.q4_priority_late_exists,
+    "q6_forecast_revenue": R.q6_forecast_revenue,
+    "q7_volume_shipping": R.q7_volume_shipping,
+    "q8_market_share": R.q8_market_share,
+    "q10_returned_items": R.q10_returned_items,
+    "q14_promo_revenue_share": R.q14_promo_revenue_share,
+    "q15_top_supplier": R.q15_top_supplier,
+    "q17_small_quantity_revenue": R.q17_small_quantity_revenue,
+    "q18_large_orders": R.q18_large_orders,
+    "q22_dormant_customers": R.q22_dormant_customers,
+    "join_semi_big_spenders": R.join_semi_big_spenders,
+    "join_anti_never_ordered": R.join_anti_never_ordered,
+    "agg_cube_status_priority": R.agg_cube_status_priority,
+    "agg_percentiles": R.agg_percentiles,
+    "dedup_exact_groups": L.dedup_exact_groups,
+    "dedup_ngram_jaccard_pairs": L.dedup_ngram_jaccard_pairs,
+    "dedup_embedding_pairs_brute": L.dedup_embedding_pairs_brute,
+    "ann_lsh_topk": L.ann_lsh_topk,
+    "ann_ivf_topk": L.ann_ivf_topk,
+    "skew_salted_agg": L.skew_salted_agg,
+    "medallion_gold_mart": L.medallion_gold_mart,
+    "curation_end_to_end": L.curation_end_to_end,
+    "sample_mixture_documents": L.sample_mixture_documents,
+    "sketch_hll_rollup_merge": L.sketch_hll_rollup_merge,
+    "sketch_quantiles": L.sketch_quantiles,
 }
+
+# the 14 queries recorded since round 1 — their sum is the anchored
+# baseline comparison (BASELINE.md: r01 = 20.605s at sf0.1)
+R01_SUBSET = [
+    "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
+    "w1_latest_per_key", "o1_topk_latest", "join_broadcast_brand_stats",
+    "agg_rollup_orders", "asof_click_purchase", "events_daily_summary",
+    "medallion_merge_state", "dedup_minhash_lsh_pairs",
+    "dedup_simhash_pairs", "ann_bruteforce_topk", "text_quality",
+]
 
 
 def force(df) -> None:
@@ -131,6 +171,11 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "sf": sf,
+        # anchored comparison: same 14 queries recorded every round
+        # since r01 (BASELINE.md) — compare THIS against 20.605
+        "value_r01_subset": round(
+            sum(times[q] for q in R01_SUBSET if q in times), 3
+        ),
         # protocol: per-query min of 3 cache-cleared runs; spread =
         # max-min observed, so round-over-round diffs smaller than the
         # spread are box noise, not regressions

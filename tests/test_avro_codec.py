@@ -3,6 +3,10 @@ round-trip properties, and the Spark from_avro/to_avro surface over
 the reference's own orders schema (scripts/bronze-silver.py:236-253)."""
 
 import datetime
+import json
+import math
+
+from pyspark.sql import functions as F
 
 from hypothesis import given, settings
 from hypothesis import strategies as st
@@ -212,3 +216,98 @@ def test_spark_complex_roundtrip(spark):
     assert back[1]["status"] == "DONE"
     assert back[1]["maybe_nums"] is None
     assert back[0]["digest"] == bytearray(b"\xde\xad\xbe\xef")
+
+
+# -- stock-signature Column shim (functions/avro_functions.py) --------------
+
+
+SHIM_SCHEMA = json.dumps(
+    {
+        "type": "record",
+        "name": "shim",
+        "fields": [
+            {"name": "x", "type": "long"},
+            {"name": "d", "type": "double"},
+            {"name": "s", "type": ["null", "string"]},
+        ],
+    }
+)
+
+
+def test_shim_column_roundtrip(spark):
+    """from_avro(to_avro(struct)) with the stock call shape, offline
+    (no spark-avro jar): values, nulls and NaN all survive."""
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.functions import (
+        from_avro,
+        to_avro,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 1.5, "a"), (2, float("nan"), None)], "x long, d double, s string"
+    )
+    enc = df.select(to_avro(F.struct("x", "d", "s"), SHIM_SCHEMA).alias("bin"))
+    dec = enc.select(from_avro("bin", SHIM_SCHEMA).alias("r")).select(
+        "r.x", "r.d", "r.s"
+    )
+    rows = sorted(dec.collect(), key=lambda r: r.x)
+    assert [r.x for r in rows] == [1, 2]
+    assert rows[0].d == 1.5 and rows[0].s == "a"
+    assert math.isnan(rows[1].d)  # NaN is a value, not null
+    assert rows[1].s is None
+
+
+def test_shim_interops_with_mapinarrow_codec(spark):
+    """Bytes written by the Column shim decode through the bulk
+    mapInArrow codec and vice versa — one wire format."""
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.functions import (
+        from_avro,
+        to_avro,
+    )
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.functions import (
+        avro_codec as C,
+    )
+
+    df = spark.createDataFrame([(7, 2.25, "z")], "x long, d double, s string")
+    # shim-encoded -> codec-decoded
+    enc_shim = df.select(to_avro(F.struct("x", "d", "s"), SHIM_SCHEMA).alias("avro"))
+    via_codec = C.from_avro(enc_shim, "avro", SHIM_SCHEMA).collect()[0]
+    assert (via_codec.x, via_codec.d, via_codec.s) == (7, 2.25, "z")
+    # codec-encoded -> shim-decoded
+    enc_codec = C.to_avro(df, SHIM_SCHEMA, out_col="bin")
+    via_shim = (
+        enc_codec.select(from_avro("bin", SHIM_SCHEMA).alias("r"))
+        .select("r.x", "r.d", "r.s")
+        .collect()[0]
+    )
+    assert (via_shim.x, via_shim.d, via_shim.s) == (7, 2.25, "z")
+
+
+def test_shim_corrupt_datum_modes(spark):
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.functions import (
+        from_avro,
+    )
+
+    bad = spark.createDataFrame([(bytearray(b"\xff"),)], "bin binary")
+    # PERMISSIVE: corrupt datum -> null struct
+    row = bad.select(from_avro("bin", SHIM_SCHEMA, {"mode": "PERMISSIVE"}).alias("r")).collect()[0]
+    assert row.r is None
+    # FAILFAST (default): raises
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        bad.select(from_avro("bin", SHIM_SCHEMA).alias("r")).collect()
+    with _pytest.raises(ValueError):
+        from_avro("bin", SHIM_SCHEMA, {"mode": "DROPMALFORMED"})
+
+
+def test_shim_to_avro_requires_schema_offline(spark):
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.functions import (
+        avro_functions as AF,
+    )
+
+    if AF._jvm_avro_loaded():  # pragma: no cover - jarful environments
+        return
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="spark-avro"):
+        AF.to_avro(F.struct(F.lit(1).alias("x")))
