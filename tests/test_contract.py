@@ -15,7 +15,7 @@ def test_every_query_has_oracle():
 
 def test_query_count_floor():
     # coverage must not silently shrink between rounds
-    assert len(entry.queries()) >= 54
+    assert len(entry.queries()) >= 100
 
 
 def test_sorted_compaction_clusters(spark, tmp_path):
