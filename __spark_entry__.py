@@ -164,6 +164,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_chunk_texts": L.text_chunk_texts,
         "text_tfidf_topk": L.text_tfidf_topk,
         "zorder_cluster_events": L.zorder_cluster_events,
+        # new in round 4 (tail -> r05 window): intra-doc repetition
+        # metrics and the content-hash leakage-safe split
+        "text_repetition_scores": L.text_repetition_scores,
+        "text_leakage_safe_split": L.text_leakage_safe_split,
         "q4_priority_late_exists": R.q4_priority_late_exists,
         "q6_forecast_revenue": R.q6_forecast_revenue,
         "q13_customer_order_distribution": R.q13_customer_order_distribution,
@@ -1570,6 +1574,69 @@ def oracle_sql() -> dict[str, str]:
                    round(max(l_extendedprice), 2) AS max_price,
                    round(min(l_quantity), 2) AS min_qty
             FROM lineitem GROUP BY l_returnflag
+        """,
+        "text_repetition_scores": f"""
+            WITH corpus AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 7 = 0 THEN text || ' ' || text
+                          ELSE text END AS text
+              FROM documents
+            ),
+            nw AS (
+              SELECT doc_id, string_split({_NORM.format(t='text')}, ' ') AS w
+              FROM corpus
+            ),
+            g AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, len(w)),
+                            i -> w[i] || ' ' || w[i + 1])) AS gram
+              FROM nw WHERE len(w) >= 2
+            ),
+            pg AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2),
+            pd AS (
+              SELECT doc_id,
+                     CAST(sum(cnt) AS BIGINT) AS n_grams,
+                     CAST(sum(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END)
+                          AS BIGINT) AS dup_occ,
+                     max(cnt) AS top_cnt
+              FROM pg GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   coalesce(n_grams, 0) AS n_grams,
+                   round(coalesce(CAST(dup_occ AS DOUBLE) / n_grams, 0.0), 4)
+                     AS dup_gram_frac,
+                   round(coalesce(CAST(top_cnt AS DOUBLE) / n_grams, 0.0), 4)
+                     AS top_gram_frac
+            FROM (SELECT DISTINCT doc_id FROM corpus) d
+            LEFT JOIN pd USING (doc_id)
+        """,
+        "text_leakage_safe_split": f"""
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 200000 AS doc_id,
+                     '  ' || upper(text) || '   ' AS text
+              FROM documents WHERE doc_id < 40
+            ),
+            s AS (
+              SELECT doc_id,
+                     CAST(('0x' || substr(md5({_NORM.format(t='text')}), 1, 15))::BIGINT
+                          % 100 AS INTEGER) AS bucket
+              FROM corpus
+            ),
+            sp AS (
+              SELECT doc_id, bucket,
+                     CASE WHEN bucket < 10 THEN 'val' ELSE 'train' END AS split
+              FROM s
+            ),
+            pairs AS (
+              SELECT doc_id - 200000 AS doc_id, split AS copy_split
+              FROM sp WHERE doc_id >= 200000
+            )
+            SELECT sp.doc_id, sp.bucket, sp.split,
+                   CAST(coalesce(sp.split = p.copy_split, TRUE) AS INTEGER)
+                     AS copy_same_side
+            FROM sp LEFT JOIN pairs p USING (doc_id)
         """,
         # Sketch family: the Spark side computes the exact figure AND
         # an in-query proof that the engine-specific estimate landed

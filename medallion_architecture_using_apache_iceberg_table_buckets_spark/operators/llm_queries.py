@@ -967,3 +967,46 @@ def sketch_quantiles(spark, sf_dir):
         )
         sel.append(ok.cast("int").alias(f"{label}_ok"))
     return g.select(*sel)
+
+
+def text_repetition_scores(spark, sf_dir):
+    """Gopher repetition-rule metrics per doc (text.repetition_scores,
+    word 2-grams): duplicate-gram occurrence fraction + top-gram
+    share. Planted repetitive docs (every 7th doc's text doubled)
+    must score strictly higher than their originals."""
+    docs = _docs(spark, sf_dir)
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat_ws(" ", "text", "text")
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return TX.repetition_scores(planted)
+
+
+def text_leakage_safe_split(spark, sf_dir):
+    """Content-hash train/val split (text.leakage_safe_split): planted
+    byte-different duplicates (copies with extra whitespace and
+    casing) must land on the same side as their originals — asserted
+    by emitting both rows' buckets through a self-join check column."""
+    docs = _docs(spark, sf_dir)
+    copies = docs.filter(F.col("doc_id") < 40).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.lit("  "), F.upper("text"), F.lit("   ")).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(copies)
+    split = TX.leakage_safe_split(corpus)
+    # self-check: every planted copy shares its original's split side
+    pairs = (
+        split.filter(F.col("doc_id") >= 200000)
+        .select((F.col("doc_id") - 200000).alias("doc_id"),
+                F.col("split").alias("copy_split"))
+    )
+    return (
+        split.join(pairs, "doc_id", "left")
+        .select(
+            "doc_id", "bucket", "split",
+            F.coalesce(F.col("split") == F.col("copy_split"), F.lit(True))
+            .cast("int").alias("copy_same_side"),
+        )
+    )

@@ -310,3 +310,91 @@ def pack_sequences(
         .withColumn("seq_offset", F.col("_cum") % F.lit(int(budget)))
         .drop("_cum")
     )
+
+
+def repetition_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+) -> DataFrame:
+    """Intra-document repetition metrics (the Gopher repetition-rule
+    family): the fraction of a doc's word n-gram occurrences whose
+    n-gram appears more than once in that doc (``dup_gram_frac``) and
+    the share of the single most frequent n-gram (``top_gram_frac``).
+    Autogenerated/spam text scores near 1.0; natural prose stays low
+    — the standard cut drops docs above a dup-fraction threshold.
+
+    Plan: explode n-grams, count per (doc, gram) with map-side
+    combine, then re-aggregate per doc — two key-local shuffles, no
+    driver state, so it scales with corpus bytes. Docs shorter than
+    ``n`` words emit 0 grams and 0.0 fractions.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    w = words(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(w) - F.lit(n) + F.lit(1)),
+        lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+    )
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.when(F.size(w) >= n, grams).otherwise(
+            F.array().cast("array<string>")
+        ).alias("grams"),
+    )
+    per_gram = (
+        base.select("doc_id", F.explode_outer("grams").alias("gram"))
+        .filter(F.col("gram").isNotNull())
+        .groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("cnt"))
+    )
+    per_doc = per_gram.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_grams"),
+        F.sum(F.when(F.col("cnt") >= 2, F.col("cnt")).otherwise(F.lit(0))).alias("dup_occ"),
+        F.max("cnt").alias("top_cnt"),
+    )
+    # left join back so zero-gram docs keep a row
+    ids = df.select(F.col(id_col).alias("doc_id")).distinct()
+    return (
+        ids.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.round(
+                F.coalesce(F.col("dup_occ") / F.col("n_grams"), F.lit(0.0)), 4
+            ).alias("dup_gram_frac"),
+            F.round(
+                F.coalesce(F.col("top_cnt") / F.col("n_grams"), F.lit(0.0)), 4
+            ).alias("top_gram_frac"),
+        )
+    )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    val_pct: int = 10,
+) -> DataFrame:
+    """Deterministic train/validation split keyed on the NORMALIZED
+    CONTENT hash, not the doc id: two byte-different copies of the
+    same text (whitespace/punctuation variants included) always land
+    on the same side, so exact/normalized duplicates can never leak
+    train→val. Near-duplicates need the minhash keep-list first
+    (dedup.py) — this operator closes the exact-duplicate hole that
+    id-hash splits leave open.
+
+    Map-only (one md5 per row, no shuffle); the split is a pure
+    function of content, so reruns and backfills agree forever.
+    """
+    from .sampling import hash_draw
+
+    if not 0 <= val_pct <= 100:
+        raise ValueError(f"val_pct must be in [0,100], got {val_pct}")
+    bucket = (hash_draw(normalize_text(text_col)) % 100).cast("int")
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        bucket.alias("bucket"),
+        F.when(bucket < val_pct, F.lit("val")).otherwise(F.lit("train")).alias("split"),
+    )

@@ -140,3 +140,70 @@ def test_sample_mixture_rates_and_allowlist(spark):
     assert {r.k for r in out.filter(F.col("dom") == "a").collect()} == a_only
     with pytest.raises(ValueError):
         SA.sample_mixture(df, {"a": 1.5}, "dom", "k")
+
+
+def test_repetition_scores_rank_repetitive_docs(spark):
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators.text import (
+        repetition_scores,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),          # all unique
+            (2, "spam ham spam ham spam ham spam ham"),          # one gram cycle
+            (3, "alpha beta gamma alpha beta gamma"),            # doubled text
+            (4, "single"),                                       # < n words
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in repetition_scores(df).collect()}
+    # unique doc: zero duplicate grams
+    assert out[1].dup_gram_frac == 0.0
+    # brute-force expected values for doc 2: grams are
+    # [spam ham, ham spam] * alternating -> 7 grams, all duplicated
+    assert out[2].n_grams == 7
+    assert out[2].dup_gram_frac == 1.0
+    assert out[2].top_gram_frac == round(4 / 7, 4)
+    # doubled text scores strictly higher than unique text
+    assert out[3].dup_gram_frac > out[1].dup_gram_frac
+    # short doc: no grams, zero fractions, but the row exists
+    assert out[4].n_grams == 0 and out[4].dup_gram_frac == 0.0
+
+
+def test_leakage_safe_split_coassigns_duplicates(spark):
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators.text import (
+        leakage_safe_split,
+    )
+
+    base = [(i, f"some document body number {i} with words") for i in range(60)]
+    # byte-different duplicates: whitespace, casing, punctuation noise
+    dups = [
+        (1000 + i, f"  SOME document BODY number {i} with words!! ")
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(base + dups, "doc_id long, text string")
+    out = leakage_safe_split(df, val_pct=30)
+    rows = {r.doc_id: r for r in out.collect()}
+    # every duplicate lands on its original's side, always
+    for i in range(60):
+        assert rows[i].split == rows[1000 + i].split, i
+        assert rows[i].bucket == rows[1000 + i].bucket, i
+    # both sides are populated at val_pct=30 over 60 distinct contents
+    sides = {r.split for r in rows.values()}
+    assert sides == {"train", "val"}
+    # deterministic: a rerun reproduces the assignment exactly
+    again = {r.doc_id: r.split for r in leakage_safe_split(df, val_pct=30).collect()}
+    assert again == {k: v.split for k, v in rows.items()}
+    # id-hash split (the naive approach) WOULD leak these pairs:
+    # sanity-check our premise by showing some pair differs under it
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators.sampling import (
+        hash_draw,
+    )
+
+    naive = {
+        r.doc_id: r.b
+        for r in df.select(
+            "doc_id", (hash_draw(F.col("doc_id")) % 100 < 30).alias("b")
+        ).collect()
+    }
+    assert any(naive[i] != naive[1000 + i] for i in range(60))
