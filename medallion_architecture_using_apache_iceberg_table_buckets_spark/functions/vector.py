@@ -9,6 +9,8 @@ that do the same (the DuckDB oracles cast to DOUBLE[] likewise).
 
 from __future__ import annotations
 
+import pandas  # module-level: pandas_udf type hints resolve via module globals
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -91,3 +93,56 @@ def cosine_from_norms(a: str, b: str, norm_a: Column, norm_b: Column, dim: int) 
     """
     denom = norm_a * norm_b
     return F.when(denom != 0.0, dot_expr(a, b, dim) / denom)
+
+
+def dot_chain_pandas(a: Column | str, b: Column | str) -> Column:
+    """Arrow-vectorized dot product, bit-identical to :func:`dot_expr`.
+
+    Same arithmetic, different engine: each float element widens to
+    double (exact), products accumulate STRICTLY left-to-right with
+    the chain's leading 0.0 (a zero-prepended row-wise cumsum — numpy
+    pairwise/SIMD reductions would reassociate and drift in the last
+    ulp, so ``(a*b).sum(axis=1)`` is deliberately NOT used).
+
+    Why it exists: inside a nested-loop join, Catalyst pushes a
+    deterministic cosine filter into the join CONDITION, where the
+    dim-term chain runs interpreted on every CROSS pair (no codegen
+    in BNLJ) — measured ~20s for 2k vectors at dim 64. A Python UDF
+    cannot be evaluated in a join condition, so this expression
+    forces the plan into [join on cheap id predicate] -> [Arrow-batch
+    dot on surviving pairs]: half the evaluations, BLAS-grade element
+    math, identical values. Dense brute-force linear algebra is the
+    textbook case for a vectorized pandas UDF over built-ins.
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    # NOTE: `from __future__ import annotations` stringifies hints;
+    # they resolve through module globals, hence the module-level
+    # pandas import above.
+    @pandas_udf("double")
+    def _dot(xs: pandas.Series, ys: pandas.Series) -> pandas.Series:
+        A = np.stack(xs.to_numpy()).astype(np.float64)
+        B = np.stack(ys.to_numpy()).astype(np.float64)
+        prod = A * B
+        lead = np.zeros((prod.shape[0], 1), dtype=np.float64)
+        out = np.concatenate([lead, prod], axis=1).cumsum(axis=1)[:, -1]
+        return pandas.Series(out)
+
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    # The function IS deterministic; the marker only disables the
+    # optimizer moves that hurt here — pushing a filter over the UDF
+    # back through the projection (which re-extracts a SECOND
+    # ArrowEvalPython node and doubles the Python work) and pushing
+    # the expression into a join condition. Values are unaffected.
+    return _dot.asNondeterministic()(a, b)
+
+
+def cosine_from_norms_pandas(
+    a: Column | str, b: Column | str, norm_a: Column, norm_b: Column
+) -> Column:
+    """Twin of :func:`cosine_from_norms` with the dot on the Arrow
+    path (same denom order, same null-on-zero-norm semantics)."""
+    denom = norm_a * norm_b
+    return F.when(denom != 0.0, dot_chain_pandas(a, b) / denom)

@@ -455,7 +455,7 @@ def embedding_cosine_pairs_brute(
     ``dim`` when known to get the codegen'd inline cosine
     (functions/vector.py:cosine_sim_expr).
     """
-    from ..functions.vector import cosine_from_norms, norm_expr
+    from ..functions.vector import cosine_from_norms_pandas, norm_expr
 
     base = _fan_out(df)
     if dim:
@@ -463,10 +463,13 @@ def embedding_cosine_pairs_brute(
         nrm_a, nrm_b = [F.col("_nrm").alias(n) for n in ("na", "nb")]
         a = base.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), nrm_a)
         b = base.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), nrm_b)
-        # norms precomputed per side: the full inline cosine inside the
-        # join stage breaches the 64 KB codegen method limit (see
-        # functions/vector.py:cosine_sim_expr)
-        cos = cosine_from_norms("va", "vb", F.col("na"), F.col("nb"), dim)
+        # norms precomputed per side (codegen'd map stage); the dot
+        # rides the Arrow pandas path so Catalyst CANNOT push the
+        # cosine filter into the BNLJ condition — the nested loop
+        # prunes on id_a < id_b first, then the surviving half gets a
+        # vectorized bit-identical dot (functions/vector.py:
+        # dot_chain_pandas; was ~20s of interpreted per-pair chains)
+        cos = cosine_from_norms_pandas("va", "vb", F.col("na"), F.col("nb"))
     else:
         a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
         b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
