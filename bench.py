@@ -94,6 +94,9 @@ HEADLINE = {
     "sample_mixture_documents": L.sample_mixture_documents,
     "sketch_hll_rollup_merge": L.sketch_hll_rollup_merge,
     "sketch_quantiles": L.sketch_quantiles,
+    # round-4 additions
+    "text_repetition_scores": L.text_repetition_scores,
+    "text_leakage_safe_split": L.text_leakage_safe_split,
 }
 
 # the 14 queries recorded since round 1 — their sum is the anchored
