@@ -168,25 +168,43 @@ def main() -> None:
             for k, v in saved.items():
                 spark.conf.set(k, v)
 
-    out = {
+    total = round(sum(times.values()), 3)
+    # anchored comparison: same 14 queries recorded every round
+    # since r01 (BASELINE.md) — compare THIS against 20.605
+    r01_subset = round(sum(times[q] for q in R01_SUBSET if q in times), 3)
+    # protocol: per-query min of 3 cache-cleared runs; spread =
+    # max-min observed, so round-over-round diffs smaller than the
+    # spread are box noise, not regressions
+    spread = round(sum(spreads.values()), 3)
+
+    # Truncation-proofing (BENCH_r04 lost its headline `value` when the
+    # 57-query line outgrew the driver's tail-capture window, which keeps
+    # line ENDS): (a) the big per-query dicts come FIRST in the full
+    # record so the headline scalars sit at the tail-survivable end, and
+    # (b) a compact summary record is printed LAST so at least one fully
+    # parseable JSON line always survives any front-truncation.
+    full = {
         "metric": "headline_queries_total",
-        "value": round(sum(times.values()), 3),
         "unit": "sec",
-        "queries": times,
         "sf": sf,
-        # anchored comparison: same 14 queries recorded every round
-        # since r01 (BASELINE.md) — compare THIS against 20.605
-        "value_r01_subset": round(
-            sum(times[q] for q in R01_SUBSET if q in times), 3
-        ),
-        # protocol: per-query min of 3 cache-cleared runs; spread =
-        # max-min observed, so round-over-round diffs smaller than the
-        # spread are box noise, not regressions
         "protocol": "min-of-3, clearCache between runs",
-        "spread": round(sum(spreads.values()), 3),
+        "queries": times,
         "query_spread": spreads,
+        "value_r01_subset": r01_subset,
+        "spread": spread,
+        "value": total,
     }
-    print(json.dumps(out))
+    print(json.dumps(full))
+    compact = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "value_r01_subset": r01_subset,
+        "spread": spread,
+        "n_queries": len(times),
+    }
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

@@ -47,16 +47,23 @@ from .avro_codec import (
     decode_record,
 )
 
-_JVM_AVAILABLE: bool | None = None
+# Probe result cached PER SESSION (keyed on the SparkSession object
+# id): a module-global bool would pin the first probe's answer forever,
+# so a probe made before any session exists — or against a jarless
+# session later replaced by a jar-loaded one — would permanently force
+# the UDF fallback. No active session -> return False WITHOUT caching.
+_JVM_AVAILABLE: dict[int, bool] = {}
 
 
 def _jvm_avro_loaded() -> bool:
     """True iff the spark-avro data source is registered in the
-    active session's JVM (probe once, cache)."""
-    global _JVM_AVAILABLE
-    if _JVM_AVAILABLE is not None:
-        return _JVM_AVAILABLE
+    active session's JVM (probe once per session, cache)."""
     spark = SparkSession.getActiveSession()
+    if spark is None:
+        return False
+    key = id(spark)
+    if key in _JVM_AVAILABLE:
+        return _JVM_AVAILABLE[key]
     try:
         # the class object always resolves lazily through py4j; only a
         # real call proves the data source is loaded, so probe with a
@@ -65,10 +72,10 @@ def _jvm_avro_loaded() -> bool:
 
         df = spark.range(1).select(_stock_to_avro(F.struct(F.lit(1).alias("x"))))
         df.collect()
-        _JVM_AVAILABLE = True
+        _JVM_AVAILABLE[key] = True
     except Exception:
-        _JVM_AVAILABLE = False
-    return _JVM_AVAILABLE
+        _JVM_AVAILABLE[key] = False
+    return _JVM_AVAILABLE[key]
 
 
 def from_avro(

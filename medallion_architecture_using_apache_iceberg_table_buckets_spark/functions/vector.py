@@ -95,7 +95,9 @@ def cosine_from_norms(a: str, b: str, norm_a: Column, norm_b: Column, dim: int) 
     return F.when(denom != 0.0, dot_expr(a, b, dim) / denom)
 
 
-def dot_chain_pandas(a: Column | str, b: Column | str) -> Column:
+def dot_chain_pandas(
+    a: Column | str, b: Column | str, dim: int | None = None
+) -> Column:
     """Arrow-vectorized dot product, bit-identical to :func:`dot_expr`.
 
     Same arithmetic, different engine: each float element widens to
@@ -103,6 +105,13 @@ def dot_chain_pandas(a: Column | str, b: Column | str) -> Column:
     the chain's leading 0.0 (a zero-prepended row-wise cumsum — numpy
     pairwise/SIMD reductions would reassociate and drift in the last
     ulp, so ``(a*b).sum(axis=1)`` is deliberately NOT used).
+
+    ``dim`` bounds the dot to the first ``dim`` elements, matching the
+    expression path (norm_expr/dot_expr only ever read indices
+    0..dim-1) — without it an over-long vector would contribute extra
+    terms the per-side norms never saw and cosine could exceed 1.
+    Null vectors on either side yield null (as the expression chain
+    propagates null) instead of an np.stack task failure.
 
     Why it exists: inside a nested-loop join, Catalyst pushes a
     deterministic cosine filter into the join CONDITION, where the
@@ -122,12 +131,18 @@ def dot_chain_pandas(a: Column | str, b: Column | str) -> Column:
     # pandas import above.
     @pandas_udf("double")
     def _dot(xs: pandas.Series, ys: pandas.Series) -> pandas.Series:
-        A = np.stack(xs.to_numpy()).astype(np.float64)
-        B = np.stack(ys.to_numpy()).astype(np.float64)
-        prod = A * B
-        lead = np.zeros((prod.shape[0], 1), dtype=np.float64)
-        out = np.concatenate([lead, prod], axis=1).cumsum(axis=1)[:, -1]
-        return pandas.Series(out)
+        mask = xs.isna().to_numpy() | ys.isna().to_numpy()
+        res = np.full(len(xs), np.nan, dtype=np.float64)
+        if (~mask).any():
+            A = np.stack(xs[~mask].to_numpy()).astype(np.float64)
+            B = np.stack(ys[~mask].to_numpy()).astype(np.float64)
+            if dim is not None:
+                A, B = A[:, :dim], B[:, :dim]
+            prod = A * B
+            lead = np.zeros((prod.shape[0], 1), dtype=np.float64)
+            res[~mask] = np.concatenate([lead, prod], axis=1).cumsum(axis=1)[:, -1]
+        out = pandas.Series(res, dtype="Float64")
+        return out.mask(mask, None)
 
     a = F.col(a) if isinstance(a, str) else a
     b = F.col(b) if isinstance(b, str) else b
@@ -140,9 +155,11 @@ def dot_chain_pandas(a: Column | str, b: Column | str) -> Column:
 
 
 def cosine_from_norms_pandas(
-    a: Column | str, b: Column | str, norm_a: Column, norm_b: Column
+    a: Column | str, b: Column | str, norm_a: Column, norm_b: Column,
+    dim: int | None = None,
 ) -> Column:
     """Twin of :func:`cosine_from_norms` with the dot on the Arrow
-    path (same denom order, same null-on-zero-norm semantics)."""
+    path (same denom order, same null-on-zero-norm semantics; pass
+    the same ``dim`` the norms were computed with)."""
     denom = norm_a * norm_b
-    return F.when(denom != 0.0, dot_chain_pandas(a, b) / denom)
+    return F.when(denom != 0.0, dot_chain_pandas(a, b, dim) / denom)

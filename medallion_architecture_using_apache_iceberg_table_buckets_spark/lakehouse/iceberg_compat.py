@@ -196,24 +196,35 @@ def snapshot_to_iceberg(snap: Snapshot, field_ids: dict[str, int]) -> dict:
     entries = []
     for f in sorted(snap.files):
         st = snap.stats.get(f, {})
+        # exact row count (nulls included) is collected under the
+        # reserved ":rows:" key since r5; the column entries carry
+        # [lower, upper, null_count, value_count]
+        rows_exact = st.get(":rows:")
+        col_stats = {c: v for c, v in st.items() if c != ":rows:"}
         data_file = {
             "content": 0,  # DATA (we rewrite, never delete-files)
             "file-path": f"data/{f}",
             "file-format": "PARQUET",
         }
-        if st:
+        if col_stats:
             data_file["lower-bounds"] = {
-                field_ids[c]: v[0] for c, v in st.items() if c in field_ids
+                field_ids[c]: v[0] for c, v in col_stats.items() if c in field_ids
             }
             data_file["upper-bounds"] = {
-                field_ids[c]: v[1] for c, v in st.items() if c in field_ids
+                field_ids[c]: v[1] for c, v in col_stats.items() if c in field_ids
             }
             data_file["null-value-counts"] = {
-                field_ids[c]: v[2] for c, v in st.items() if c in field_ids
+                field_ids[c]: v[2] for c, v in col_stats.items() if c in field_ids
             }
-            counts = {c: v[3] for c, v in st.items() if v[3] is not None}
-            if counts:
-                data_file["record-count"] = max(counts.values())
+        if rows_exact is None:
+            # legacy (pre-r5) manifests: each column's v[3] is
+            # value_count + null_count, i.e. already the file row
+            # count whenever that column's row groups had complete
+            # stats, so max over columns is exact for them
+            counts = [v[3] for v in col_stats.values() if v[3] is not None]
+            rows_exact = max(counts) if counts else None
+        if rows_exact is not None:
+            data_file["record-count"] = rows_exact
         entries.append(
             {"status": ADDED if f in added else EXISTING, "data-file": data_file}
         )

@@ -564,20 +564,22 @@ class SqlSession:
                 raise ValueError(f"CALL {proc}: missing snapshot_id argument")
             prev = t.current_snapshot().snapshot_id
             snap = t.rollback_to(int(sid.strip("'\"")))
-            # current_snapshot_id is the LIVE head (the new 'rollback'
-            # snapshot), matching what current_snapshot()/time-travel
-            # see afterwards; the restored state's id is reported
-            # separately as rolled_back_to. (Iceberg re-points the ref
-            # so the two coincide there; our history-preserving commit
-            # makes them distinct.)
+            # Stock-contract columns first: Iceberg's procedure re-points
+            # the branch ref, so its current_snapshot_id IS the rollback
+            # target — scripts assert current == target, and this surface
+            # honors that. Our engine instead records the restore as a new
+            # history-preserving 'rollback' commit, so the live head
+            # (what current_snapshot()/time travel see afterwards) is a
+            # different id; it rides along in the engine-specific third
+            # column.
             return self.spark.createDataFrame(
                 [(
                     prev,
-                    snap.snapshot_id,
                     int(snap.summary.get("rolled_back_to", snap.snapshot_id)),
+                    snap.snapshot_id,
                 )],
                 "previous_snapshot_id long, current_snapshot_id long,"
-                " rolled_back_to long",
+                " engine_commit_snapshot_id long",
             )
         raise ValueError(
             f"unknown procedure {proc!r} (dispatchable: expire_snapshots, "

@@ -195,6 +195,12 @@ def _file_column_stats(path: Path, schema: T.StructType) -> dict:
             ]
         except Exception:
             continue
+    # Exact file row count (nulls included) under a reserved key no
+    # column predicate can ever reference (":" is not a valid
+    # identifier char, so the stats pruner's parsed `col` never hits
+    # it). Iceberg's data_file record-count needs this even when no
+    # column is stats-eligible or every eligible column was broken.
+    out[":rows:"] = md.num_rows
     return out
 
 

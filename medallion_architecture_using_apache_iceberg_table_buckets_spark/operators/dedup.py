@@ -469,7 +469,7 @@ def embedding_cosine_pairs_brute(
         # prunes on id_a < id_b first, then the surviving half gets a
         # vectorized bit-identical dot (functions/vector.py:
         # dot_chain_pandas; was ~20s of interpreted per-pair chains)
-        cos = cosine_from_norms_pandas("va", "vb", F.col("na"), F.col("nb"))
+        cos = cosine_from_norms_pandas("va", "vb", F.col("na"), F.col("nb"), dim)
     else:
         a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
         b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))

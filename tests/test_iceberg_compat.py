@@ -186,6 +186,33 @@ def test_roundtrip_is_lossless(spark, tmp_path):
     assert T.StructType.fromJson(json.loads(back[-1].schema_json)) == _schema()
 
 
+def test_record_count_is_exact_and_unconditional(spark, tmp_path):
+    """data_file record-count must be the actual file row count (nulls
+    included) and present even when no column is stats-eligible —
+    all-null eligible columns and string-only schemas are the two
+    shapes parquet column stats alone cannot count."""
+    import pyarrow.parquet as pq
+
+    cat = Catalog(tmp_path / "wh")
+    sch = T.StructType.fromDDL("id long, v string")
+    t = cat.create_table("d", "nulls", sch)
+    t.append(
+        spark.createDataFrame([(None, "a"), (None, "b"), (7, "c")], sch)
+        .coalesce(1)
+    )
+    s_only = T.StructType.fromDDL("s string")
+    t2 = cat.create_table("d", "stronly", s_only)
+    t2.append(spark.createDataFrame([("x",), ("y",), ("z",)], s_only).coalesce(1))
+
+    for tbl in (t, t2):
+        doc = table_metadata(tbl)
+        manifest = doc["manifests"][str(doc["current-snapshot-id"])]
+        for e in manifest:
+            f = e["data-file"]["file-path"].removeprefix("data/")
+            truth = pq.ParquetFile(tbl.data_root / f).metadata.num_rows
+            assert e["data-file"].get("record-count") == truth, f
+
+
 def test_field_ids_are_deterministic(spark):
     a = schema_to_iceberg(_schema())
     b = schema_to_iceberg(_schema())

@@ -88,18 +88,22 @@ def test_rollback_to_snapshot(spark, tmp_path):
     assert [s.operation for s in t.snapshots()].count("rollback") == 1
     assert len(t.snapshots()) == 5  # create, append, append, delete, rollback
 
-    # the SQL procedure reports the LIVE head as current_snapshot_id
-    # (usable with snapshot_by_id/time-travel) and the restored
-    # state's id separately as rolled_back_to
+    # the SQL procedure honors the stock Iceberg contract — scripts
+    # assert current_snapshot_id == rollback target — and reports the
+    # engine's live head (our history-preserving 'rollback' commit,
+    # usable with snapshot_by_id/time travel) in the extra
+    # engine_commit_snapshot_id column
     sess = cat.sql_session(spark)
     sess.sql("USE d")
     t.append(make(spark, [(9, "z")]))
     row = sess.sql(
         f"CALL system.rollback_to_snapshot('d.t', {good.snapshot_id})"
     ).collect()[0]
-    assert row["rolled_back_to"] == good.snapshot_id
-    assert row["current_snapshot_id"] == t.current_snapshot().snapshot_id
-    assert t.snapshot_by_id(row["current_snapshot_id"]).operation == "rollback"
+    assert row["current_snapshot_id"] == good.snapshot_id
+    assert row["engine_commit_snapshot_id"] == t.current_snapshot().snapshot_id
+    assert (
+        t.snapshot_by_id(row["engine_commit_snapshot_id"]).operation == "rollback"
+    )
     assert sorted(r.id for r in t.read(spark).collect()) == [1, 2]
 
     # no-op rollback to the state we're already at is tolerated
