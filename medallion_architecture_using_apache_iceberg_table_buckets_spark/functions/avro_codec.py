@@ -254,6 +254,102 @@ def decode_record(schema_json: str | dict, buf: bytes) -> dict:
 
 
 # --------------------------------------------------------------------------
+# Object Container File framing (Avro 1.11 spec, "Object Container
+# Files"): magic 'Obj\x01', file-metadata map (avro.schema +
+# avro.codec), 16-byte sync marker, then blocks of
+# <count, byte-length, data, sync>. This is the on-disk format
+# Iceberg manifest / manifest-list files use (iceberg_compat writes
+# them through these two functions).
+# --------------------------------------------------------------------------
+
+_OCF_MAGIC = b"Obj\x01"
+
+
+def _sync_marker(schema_json: str | dict) -> bytes:
+    """Deterministic 16-byte sync derived from the schema: exports
+    are byte-reproducible (no RNG), which the spec allows — the
+    marker only has to be consistent within the file."""
+    import hashlib
+
+    s = schema_json if isinstance(schema_json, str) else json.dumps(schema_json)
+    return hashlib.md5(("mats-ocf:" + s).encode()).digest()
+
+
+def write_container_file(
+    path, schema_json: str | dict, records: list[dict], block_size: int = 1000
+) -> None:
+    """Write records as an Avro OCF (codec null, deflate-free: spec's
+    only REQUIRED codec) with the schema embedded in the header."""
+    schema_str = (
+        schema_json if isinstance(schema_json, str) else json.dumps(schema_json)
+    )
+    fields = _record_fields(schema_str)
+    sync = _sync_marker(schema_str)
+    meta = {"avro.schema": schema_str.encode(), "avro.codec": b"null"}
+    buf = bytearray()
+    buf += _OCF_MAGIC
+    buf += _zigzag_encode(len(meta))
+    for k, v in meta.items():
+        buf += _encode_value("string", k)
+        buf += _encode_value("bytes", v)
+    buf += _zigzag_encode(0)  # end of metadata map
+    buf += sync
+    for i in range(0, len(records), block_size):
+        block = records[i : i + block_size]
+        body = b"".join(
+            b"".join(_encode_value(t, r.get(n)) for n, t in fields)
+            for r in block
+        )
+        buf += _zigzag_encode(len(block))
+        buf += _zigzag_encode(len(body))
+        buf += body
+        buf += sync
+    with open(path, "wb") as f:
+        f.write(bytes(buf))
+
+
+def read_container_file(path) -> tuple[dict, list[dict]]:
+    """Read an OCF written by any spec-compliant writer (codec null);
+    returns (embedded schema as dict, records)."""
+    with open(path, "rb") as f:
+        buf = f.read()
+    if buf[:4] != _OCF_MAGIC:
+        raise ValueError(f"{path}: not an Avro object container file")
+    pos = 4
+    meta: dict[str, bytes] = {}
+    while True:
+        count, pos = _zigzag_decode(buf, pos)
+        if count == 0:
+            break
+        if count < 0:  # size-prefixed block (spec-legal)
+            count = -count
+            _, pos = _zigzag_decode(buf, pos)
+        for _ in range(count):
+            k, pos = _decode_value("string", buf, pos)
+            meta[k], pos = _decode_value("bytes", buf, pos)
+    codec = meta.get("avro.codec", b"null")
+    if codec != b"null":
+        raise ValueError(f"unsupported OCF codec {codec!r}")
+    schema = json.loads(meta["avro.schema"].decode())
+    fields = _record_fields(schema)
+    sync = buf[pos : pos + 16]
+    pos += 16
+    records: list[dict] = []
+    while pos < len(buf):
+        count, pos = _zigzag_decode(buf, pos)
+        _, pos = _zigzag_decode(buf, pos)  # block byte length
+        for _ in range(count):
+            rec = {}
+            for n, t in fields:
+                rec[n], pos = _decode_value(t, buf, pos)
+            records.append(rec)
+        if buf[pos : pos + 16] != sync:
+            raise ValueError(f"{path}: sync marker mismatch at {pos}")
+        pos += 16
+    return schema, records
+
+
+# --------------------------------------------------------------------------
 # Spark surface
 # --------------------------------------------------------------------------
 

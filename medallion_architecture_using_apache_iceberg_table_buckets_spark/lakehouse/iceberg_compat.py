@@ -38,10 +38,11 @@ snapshot JSON           ``snapshots[]`` entry
                         TimestampNTZType -> ``timestamp``
 ``partition_by``        ``partition-specs[]``: ``bucket(N, c)`` ->
                         transform ``bucket[N]``, ``days(c)`` ->
-                        ``day``, else ``identity`` (our bucket hash
-                        is xxhash64-based, Iceberg's is murmur3 —
-                        a REAL shim must rewrite bucket partition
-                        values; flagged in ``compat_notes``)
+                        ``day``, else ``identity``. Since r5 the
+                        engine's bucket hash IS Iceberg's
+                        murmur3_32 (lakehouse/murmur3.py, spec
+                        Appendix-B vectors tested), so written
+                        bucket partition values are spec-true
 ``properties``          ``properties`` (verbatim — we already use
                         Iceberg property spellings such as
                         ``write.parquet.compression-codec``)
@@ -54,11 +55,12 @@ changelog scan — start EXCLUSIVE, end INCLUSIVE, append-only ranges
 only. The exported ``snapshot-log`` preserves the id/timestamp pairs
 that scan needs.
 
-What this adapter does NOT do (jar-gated, by design): write Avro
-manifest/manifest-list files, maintain a real catalog pointer file
-(``version-hint.text`` / catalog atomic swap), or re-hash bucket
-partition values to murmur3. Each is listed in ``compat_notes()`` so
-the migration work is enumerable rather than guessed.
+Since r5 :func:`export_iceberg_dir` writes the REAL on-disk shape —
+Avro manifest + manifest-list files through the repo's own OCF codec
+(functions/avro_codec.py), binary single-value bounds (spec
+Appendix D), typed partition values parsed back from the Hive
+directories, and a ``version-hint.text`` pointer. The remaining
+jar-gated gaps are enumerated in ``compat_notes()``.
 """
 
 from __future__ import annotations
@@ -403,19 +405,420 @@ def _name_of(ice_schema: dict, field_id: int) -> str:
     raise KeyError(field_id)
 
 
+# ---------------------------------------------------------------------------
+# Avro manifest / manifest-list files (spec: "Manifests", "Manifest
+# Lists") written through the repo's own OCF codec
+# (functions/avro_codec.py) — the on-disk layout a real Iceberg
+# reader expects: metadata/vN.metadata.json + snap-<id>.avro
+# (manifest list) + manifest-<id>.avro + version-hint.text.
+# Field names follow the Java implementation's Avro spellings, field
+# ids follow the spec tables.
+# ---------------------------------------------------------------------------
+
+_KV_INT_LONG = {
+    "type": "array",
+    "logicalType": "map",
+    "items": {
+        "type": "record",
+        "name": "k121_v122",
+        "fields": [
+            {"name": "key", "type": "int", "field-id": 121},
+            {"name": "value", "type": "long", "field-id": 122},
+        ],
+    },
+}
+
+
+def _kv_int_bytes(name: str, kid: int, vid: int) -> dict:
+    return {
+        "type": "array",
+        "logicalType": "map",
+        "items": {
+            "type": "record",
+            "name": name,
+            "fields": [
+                {"name": "key", "type": "int", "field-id": kid},
+                {"name": "value", "type": "bytes", "field-id": vid},
+            ],
+        },
+    }
+
+
+def _spec_field_name(tr) -> str:
+    """Iceberg partition-field name — same spelling
+    partition_spec_to_iceberg exports in the metadata JSON."""
+    if tr.kind == "bucket":
+        return f"{tr.col}_bucket"
+    if tr.kind == "days":
+        return f"{tr.col}_day"
+    return tr.col
+
+
+def _avro_partition_type(tr) -> Any:
+    """Avro type of one partition field's VALUE (spec: bucket -> int,
+    day -> date; identity covered for the scalar source types the
+    engine writes partition directories for)."""
+    if tr.kind == "bucket":
+        return "int"
+    if tr.kind == "days":
+        return {"type": "int", "logicalType": "date"}
+    return "string"  # identity: directory segments are strings
+
+
+def _manifest_entry_schema(transforms) -> dict:
+    part_fields = [
+        {
+            "name": _spec_field_name(tr),
+            "type": ["null", _avro_partition_type(tr)],
+            "default": None,
+            "field-id": 1000 + i,
+        }
+        for i, tr in enumerate(transforms)
+    ]
+    data_file = {
+        "type": "record",
+        "name": "r2",
+        "fields": [
+            {"name": "content", "type": "int", "field-id": 134},
+            {"name": "file_path", "type": "string", "field-id": 100},
+            {"name": "file_format", "type": "string", "field-id": 101},
+            {
+                "name": "partition",
+                "type": {"type": "record", "name": "r102", "fields": part_fields},
+                "field-id": 102,
+            },
+            {"name": "record_count", "type": "long", "field-id": 103},
+            {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+            {"name": "null_value_counts", "type": ["null", _KV_INT_LONG],
+             "default": None, "field-id": 110},
+            {"name": "lower_bounds",
+             "type": ["null", _kv_int_bytes("k126_v127", 126, 127)],
+             "default": None, "field-id": 125},
+            {"name": "upper_bounds",
+             "type": ["null", _kv_int_bytes("k129_v130", 129, 130)],
+             "default": None, "field-id": 128},
+        ],
+    }
+    return {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int", "field-id": 0},
+            {"name": "snapshot_id", "type": ["null", "long"],
+             "default": None, "field-id": 1},
+            {"name": "sequence_number", "type": ["null", "long"],
+             "default": None, "field-id": 3},
+            {"name": "file_sequence_number", "type": ["null", "long"],
+             "default": None, "field-id": 4},
+            {"name": "data_file", "type": data_file, "field-id": 2},
+        ],
+    }
+
+
+_FIELD_SUMMARY = {
+    "type": "record",
+    "name": "r508",
+    "fields": [
+        {"name": "contains_null", "type": "boolean", "field-id": 509},
+        {"name": "contains_nan", "type": ["null", "boolean"],
+         "default": None, "field-id": 518},
+        {"name": "lower_bound", "type": ["null", "bytes"],
+         "default": None, "field-id": 510},
+        {"name": "upper_bound", "type": ["null", "bytes"],
+         "default": None, "field-id": 511},
+    ],
+}
+
+MANIFEST_FILE_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string", "field-id": 500},
+        {"name": "manifest_length", "type": "long", "field-id": 501},
+        {"name": "partition_spec_id", "type": "int", "field-id": 502},
+        {"name": "content", "type": "int", "field-id": 517},
+        {"name": "sequence_number", "type": "long", "field-id": 515},
+        {"name": "min_sequence_number", "type": "long", "field-id": 516},
+        {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+        {"name": "added_data_files_count", "type": "int", "field-id": 504},
+        {"name": "existing_data_files_count", "type": "int", "field-id": 505},
+        {"name": "deleted_data_files_count", "type": "int", "field-id": 506},
+        {"name": "added_rows_count", "type": "long", "field-id": 512},
+        {"name": "existing_rows_count", "type": "long", "field-id": 513},
+        {"name": "deleted_rows_count", "type": "long", "field-id": 514},
+        {"name": "partitions",
+         "type": ["null", {"type": "array", "items": _FIELD_SUMMARY}],
+         "default": None, "field-id": 507},
+    ],
+}
+
+
+def single_value_bytes(value, dt: T.DataType) -> bytes:
+    """Iceberg single-value BINARY serialization (spec Appendix D):
+    the encoding bounds maps use. Covers the engine's stats-eligible
+    types (all fixed-width) plus strings."""
+    import datetime
+    import decimal
+    import struct
+
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType)):
+        return struct.pack("<i", int(value))
+    if isinstance(dt, T.LongType):
+        return struct.pack("<q", int(value))
+    if isinstance(dt, T.FloatType):
+        return struct.pack("<f", float(value))
+    if isinstance(dt, T.DoubleType):
+        return struct.pack("<d", float(value))
+    if isinstance(dt, T.BooleanType):
+        return b"\x01" if value in (True, "True", "true") else b"\x00"
+    if isinstance(dt, T.DateType):
+        d = (
+            value
+            if isinstance(value, datetime.date)
+            else datetime.date.fromisoformat(str(value))
+        )
+        return struct.pack("<i", (d - datetime.date(1970, 1, 1)).days)
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        ts = (
+            value
+            if isinstance(value, datetime.datetime)
+            else datetime.datetime.fromisoformat(str(value))
+        )
+        if ts.tzinfo is not None:
+            epoch = datetime.datetime(1970, 1, 1, tzinfo=datetime.timezone.utc)
+        else:
+            epoch = datetime.datetime(1970, 1, 1)
+        delta = ts - epoch
+        micros = (delta.days * 86400 + delta.seconds) * 1_000_000 + delta.microseconds
+        return struct.pack("<q", micros)
+    if isinstance(dt, T.DecimalType):
+        unscaled = int(
+            decimal.Decimal(str(value)).scaleb(dt.scale).to_integral_value()
+        )
+        length = max(1, (unscaled.bit_length() + 8) // 8)
+        return unscaled.to_bytes(length, "big", signed=True)
+    if isinstance(dt, T.StringType):
+        return str(value).encode("utf-8")
+    raise TypeError(f"no single-value serialization for {dt.simpleString()}")
+
+
+def _partition_value(tr, file_rel: str):
+    """Typed partition value of one transform, parsed back from the
+    file's Hive directory segments (the writer's own encoding,
+    transforms.partition_segment). None = null partition."""
+    import datetime
+
+    from .transforms import HIVE_DEFAULT_PARTITION, unescape_path_name
+
+    prefix = f"{tr.partition_col}="
+    for seg in file_rel.split("/")[:-1]:
+        if seg.startswith(prefix):
+            raw = unescape_path_name(seg[len(prefix):])
+            if raw == HIVE_DEFAULT_PARTITION:
+                return None
+            if tr.kind == "bucket":
+                return int(raw)
+            if tr.kind == "days":
+                return datetime.date.fromisoformat(raw)
+            return raw
+    return None
+
+
+def export_iceberg_dir(table: Table, dest) -> "Path":
+    """Write the full Iceberg-shaped metadata directory for ``table``:
+
+    - ``metadata/manifest-<sid>.avro`` — one v2 manifest per snapshot
+      (status/sequence-number/data_file with partition values,
+      record counts, and BINARY single-value bounds), through the
+      repo's own OCF codec;
+    - ``metadata/snap-<sid>.avro`` — the manifest list;
+    - ``metadata/v<N>.metadata.json`` — the TableMetadata document
+      (manifest-list paths pointing at the snap files);
+    - ``metadata/version-hint.text`` — the HadoopCatalog-convention
+      current-version pointer.
+
+    Data files are NOT copied; file_path entries keep the table-
+    relative ``data/...`` spelling. Round-trip readable by
+    read_container_file (tests) — byte-level interop with a real
+    runtime needs only the catalog's atomic swap (compat_notes).
+    """
+    import os
+    from pathlib import Path
+
+    from ..functions.avro_codec import write_container_file
+    from .transforms import parse_spec
+
+    dest = Path(dest)
+    meta_dir = dest / "metadata"
+    meta_dir.mkdir(parents=True, exist_ok=True)
+
+    doc = table_metadata(table)
+    snaps = table.snapshots()
+    ice_schema = doc["schemas"][0]
+    field_ids = _top_level_field_ids(ice_schema)
+    dtypes = {f.name: f.dataType for f in table.schema.fields}
+    transforms = parse_spec(list(table.current_snapshot().partition_by))
+    entry_schema = _manifest_entry_schema(transforms)
+
+    # first snapshot each file appeared in = its data sequence number
+    first_seq: dict[str, int] = {}
+    rows_of: dict[str, int] = {}
+    for s in snaps:
+        for f in s.files:
+            first_seq.setdefault(f, s.snapshot_id)
+            st = s.stats.get(f)
+            if st and st.get(":rows:") is not None:
+                rows_of.setdefault(f, st[":rows:"])
+
+    def _data_file_record(f: str, snap: Snapshot) -> dict:
+        st = {
+            c: v
+            for c, v in snap.stats.get(f, {}).items()
+            if c != ":rows:" and c in field_ids
+        }
+        part = {
+            _spec_field_name(tr): _partition_value(tr, f) for tr in transforms
+        }
+        path_on_disk = table.data_root / f
+        size = os.stat(path_on_disk).st_size if path_on_disk.exists() else 0
+        rec: dict = {
+            "content": 0,
+            "file_path": f"data/{f}",
+            "file_format": "PARQUET",
+            "partition": part,
+            "record_count": rows_of.get(f, 0),
+            "file_size_in_bytes": size,
+        }
+        if st:
+            rec["null_value_counts"] = [
+                {"key": field_ids[c], "value": v[2]} for c, v in st.items()
+            ]
+            rec["lower_bounds"] = [
+                {"key": field_ids[c],
+                 "value": single_value_bytes(v[0], dtypes[c])}
+                for c, v in st.items() if v[0] is not None
+            ]
+            rec["upper_bounds"] = [
+                {"key": field_ids[c],
+                 "value": single_value_bytes(v[1], dtypes[c])}
+                for c, v in st.items() if v[1] is not None
+            ]
+        return rec
+
+    list_records_by_snap: dict[int, list] = {}
+    for snap in snaps:
+        added = set(snap.added_files)
+        entries = []
+        for f in sorted(snap.files):
+            entries.append(
+                {
+                    "status": ADDED if f in added else EXISTING,
+                    "snapshot_id": first_seq.get(f, snap.snapshot_id),
+                    "sequence_number": first_seq.get(f, snap.snapshot_id),
+                    "file_sequence_number": first_seq.get(f, snap.snapshot_id),
+                    "data_file": _data_file_record(f, snap),
+                }
+            )
+        for f in sorted(snap.removed_files):
+            entries.append(
+                {
+                    "status": DELETED,
+                    "snapshot_id": snap.snapshot_id,
+                    "sequence_number": first_seq.get(f, snap.snapshot_id),
+                    "file_sequence_number": first_seq.get(f, snap.snapshot_id),
+                    "data_file": _data_file_record(f, snap),
+                }
+            )
+        man_path = meta_dir / f"manifest-{snap.snapshot_id}.avro"
+        write_container_file(man_path, entry_schema, entries)
+
+        # per-partition-field summaries over the manifest's live files
+        summaries = []
+        for i, tr in enumerate(transforms):
+            vals = [
+                _partition_value(tr, f) for f in snap.files
+            ]
+            non_null = [v for v in vals if v is not None]
+            part_dt = (
+                T.IntegerType() if tr.kind == "bucket"
+                else T.DateType() if tr.kind == "days"
+                else T.StringType()
+            )
+            summaries.append(
+                {
+                    "contains_null": any(v is None for v in vals),
+                    "contains_nan": False,
+                    "lower_bound": single_value_bytes(min(non_null), part_dt)
+                    if non_null else None,
+                    "upper_bound": single_value_bytes(max(non_null), part_dt)
+                    if non_null else None,
+                }
+            )
+        seqs = [first_seq.get(f, snap.snapshot_id) for f in snap.files] or [
+            snap.snapshot_id
+        ]
+        list_records_by_snap[snap.snapshot_id] = [
+            {
+                "manifest_path": f"metadata/manifest-{snap.snapshot_id}.avro",
+                "manifest_length": os.stat(man_path).st_size,
+                "partition_spec_id": 0,
+                "content": 0,  # data manifest
+                "sequence_number": snap.snapshot_id,
+                "min_sequence_number": min(seqs),
+                "added_snapshot_id": snap.snapshot_id,
+                "added_data_files_count": len(snap.added_files),
+                "existing_data_files_count": len(snap.files)
+                - len(snap.added_files),
+                "deleted_data_files_count": len(snap.removed_files),
+                "added_rows_count": sum(
+                    rows_of.get(f, 0) for f in snap.added_files
+                ),
+                "existing_rows_count": sum(
+                    rows_of.get(f, 0)
+                    for f in snap.files
+                    if f not in set(snap.added_files)
+                ),
+                "deleted_rows_count": sum(
+                    rows_of.get(f, 0) for f in snap.removed_files
+                ),
+                "partitions": summaries if transforms else None,
+            }
+        ]
+        write_container_file(
+            meta_dir / f"snap-{snap.snapshot_id}.avro",
+            MANIFEST_FILE_SCHEMA,
+            list_records_by_snap[snap.snapshot_id],
+        )
+
+    # TableMetadata JSON: drop the engine's inline "manifests"
+    # extension — the Avro files are now the real thing
+    import json as _json
+
+    doc.pop("manifests", None)
+    version = doc["current-snapshot-id"]
+    (meta_dir / f"v{version}.metadata.json").write_text(
+        _json.dumps(doc, indent=2, default=str)
+    )
+    (meta_dir / "version-hint.text").write_text(str(version))
+    return dest
+
+
 def compat_notes() -> list[str]:
     """The enumerated gap list a real-Iceberg migration shim must
-    close (everything else round-trips through this module)."""
+    close (everything else round-trips through this module).
+
+    Closed in r5 (no longer listed): murmur3 bucket hashing (the
+    engine's bucket transform IS the spec hash, lakehouse/murmur3.py);
+    Avro manifest/manifest-list files + binary single-value bounds +
+    version-hint.text (export_iceberg_dir)."""
     return [
-        "manifest/manifest-list files must be written as Avro per the "
-        "spec (we export JSON entry lists)",
-        "bucket[N] partition values must be re-derived with Iceberg's "
-        "murmur3 bucket hash (ours is pmod(xxhash64, N))",
-        "lower/upper bounds must be single-value-serialized binary "
-        "per field-id (we export readable strings)",
-        "catalog pointer: an atomic metadata-location swap in a real "
-        "catalog replaces our CURRENT file",
+        "catalog pointer: version-hint.text is written, but a real "
+        "catalog's ATOMIC metadata-location swap (rename-if-absent / "
+        "conditional put) replaces our CURRENT file semantics",
         "column field-ids are assigned positionally at export; tables "
         "evolved with ALTER must map dropped/renamed ids through the "
         "schema history instead",
+        "delete files (v2 MOR position/equality deletes) are not "
+        "exported: the engine's MOR deltas compact to data files "
+        "before export",
     ]

@@ -128,7 +128,12 @@ def merge_into(
         # partition on the merge key itself) degrades to no pruning
         # instead of collecting millions of rows.
         vals = (
-            all_keys.select(*[t.expr().alias(t.partition_col) for t in prunable])
+            all_keys.select(
+                *[
+                    t.expr(all_keys.schema[t.col].dataType).alias(t.partition_col)
+                    for t in prunable
+                ]
+            )
             .distinct()
             .limit(PRUNE_MAX_VALUES + 1)
             .collect()

@@ -331,7 +331,9 @@ class Table:
         transforms = parse_spec(list(partition_by))
         for t in transforms:
             if t.hidden:
-                df = df.withColumn(t.partition_col, t.expr())
+                df = df.withColumn(
+                    t.partition_col, t.expr(df.schema[t.col].dataType)
+                )
         writer = df.write.mode("overwrite")
         codec = self.properties.get("write.parquet.compression-codec") if self.exists() else None
         if codec:

@@ -19,6 +19,7 @@ import re
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 _BUCKET_RE = re.compile(r"^bucket\(\s*(\d+)\s*,\s*(\w+)\s*\)$")
 _DAYS_RE = re.compile(r"^days\(\s*(\w+)\s*\)$")
@@ -48,10 +49,25 @@ class Transform:
     def hidden(self) -> bool:
         return self.kind != "identity"
 
-    def expr(self) -> Column:
+    def expr(self, dtype: T.DataType | None = None) -> Column:
+        """Partition-value Column. ``bucket`` needs the source
+        column's Spark type (Iceberg's hash serialization is
+        per-type); callers pass ``df.schema[col].dataType``."""
         if self.kind == "bucket":
-            # pmod(xxhash64) spreads skew and is stable across writers
-            return F.pmod(F.xxhash64(F.col(self.col)), F.lit(self.n)).cast("int")
+            # Iceberg-spec murmur3_32 bucket (spec Appendix B,
+            # vector-tested): partition values match what a real
+            # Iceberg runtime computes, so exported metadata is
+            # spec-true. Codegen'd JVM expression for the long/date/
+            # timestamp family; null key -> null (Iceberg's null
+            # partition). Stable across writers by construction.
+            from .murmur3 import bucket_col
+
+            if dtype is None:
+                raise TypeError(
+                    f"bucket({self.n}, {self.col}) needs the source "
+                    "column dtype — pass df.schema[col].dataType"
+                )
+            return bucket_col(F.col(self.col), dtype, self.n)
         if self.kind == "days":
             return F.date_format(F.col(self.col), "yyyy-MM-dd")
         return F.col(self.col)

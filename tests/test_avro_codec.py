@@ -311,3 +311,61 @@ def test_shim_to_avro_requires_schema_offline(spark):
 
     with _pytest.raises(ValueError, match="spark-avro"):
         AF.to_avro(F.struct(F.lit(1).alias("x")))
+
+
+def test_container_file_roundtrip(tmp_path):
+    """OCF framing: header map, deterministic sync, multi-block body
+    read back losslessly — including 2-branch unions, arrays of
+    records (Iceberg's map encoding), and enough records to force
+    several blocks."""
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.functions.avro_codec import (
+        read_container_file,
+        write_container_file,
+    )
+
+    schema = {
+        "type": "record",
+        "name": "row",
+        "fields": [
+            {"name": "k", "type": "long"},
+            {"name": "s", "type": ["null", "string"], "default": None},
+            {
+                "name": "kv",
+                "type": [
+                    "null",
+                    {
+                        "type": "array",
+                        "logicalType": "map",
+                        "items": {
+                            "type": "record",
+                            "name": "pair",
+                            "fields": [
+                                {"name": "key", "type": "int"},
+                                {"name": "value", "type": "bytes"},
+                            ],
+                        },
+                    },
+                ],
+                "default": None,
+            },
+        ],
+    }
+    records = [
+        {
+            "k": i,
+            "s": None if i % 3 == 0 else f"v{i}",
+            "kv": None if i % 5 == 0 else [{"key": i, "value": bytes([i % 256])}],
+        }
+        for i in range(2500)  # > 2 blocks at the default block_size
+    ]
+    p = tmp_path / "t.avro"
+    write_container_file(p, schema, records)
+    got_schema, got = read_container_file(p)
+    assert got_schema == schema
+    assert got == records
+    # header magic per spec
+    assert p.read_bytes()[:4] == b"Obj\x01"
+    # byte-reproducible export (deterministic sync marker)
+    p2 = tmp_path / "t2.avro"
+    write_container_file(p2, schema, records)
+    assert p.read_bytes() == p2.read_bytes()
