@@ -56,85 +56,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver row on recent code; rotated-out entries stay covered by the
     # full local mirror (tools/check_oracles.py) and pytest.
     #
-    # Round-4 window: (a) the three r03-red queries whose oracle HUGEINT
-    # typing was fixed this round, (b) the three new sketch-validation
-    # queries, (c) 44 of the 47 entries whose last driver row is
-    # r02-vintage. The 3 deferred to r05 (listed first in the tail) are
-    # the most trivially-stable double-green scans: s1_scan_filter_project,
-    # a1_count_star, f3_derive_partition_date.
+    # Round-5 window (positions 1-50, counted exactly this time —
+    # the r4 comment mis-counted and 3 entries fell off the end):
+    #   2 never-driver-checked r4 queries + 2 new r5 queries
+    #   + 3 r02-vintage deferrals + the 3 entries r4's miscount
+    #   dropped (ADVICE item) + 40 of the 44 r03-vintage entries.
+    # The 4 r03-vintage deferred to r06 lead the tail:
+    # text_quality_percentile_cut, window_rank_functions,
+    # text_boilerplate_ngrams, agg_grouping_sets.
     return {
-        # --- fixed this round: oracle integer sums now cast to BIGINT
-        # so DuckDB serializes int64, matching Spark's hash input ---
-        "q12_late_lines_by_status": R.q12_late_lines_by_status,
-        "pack_training_sequences": L.pack_training_sequences,
-        "curation_end_to_end": L.curation_end_to_end,
-        # --- new in round 4: sketch family (exact figures + in-query
-        # error-bound validation flags; estimates never hashed) ---
-        "sketch_hll_distinct": L.sketch_hll_distinct,
-        "sketch_hll_rollup_merge": L.sketch_hll_rollup_merge,
-        "sketch_quantiles": L.sketch_quantiles,
-        # --- r02-vintage rotation (last driver row: round 2) ---
-        # dedup surface first: dedup_embedding_pairs_brute has never
-        # been driver-checked under its current name (renamed after r02)
-        "dedup_embedding_pairs_brute": L.dedup_embedding_pairs_brute,
-        "dedup_exact_groups": L.dedup_exact_groups,
-        "dedup_normalized_groups": L.dedup_normalized_groups,
-        "dedup_ngram_jaccard_pairs": L.dedup_ngram_jaccard_pairs,
-        "dedup_minhash_lsh_pairs": L.dedup_minhash_lsh_pairs,
-        "dedup_simhash_pairs": L.dedup_simhash_pairs,
-        "dedup_keep_list": L.dedup_keep_list,
-        "dedup_embedding_lsh_pairs": L.dedup_embedding_lsh_pairs,
-        # similarity search
-        "ann_bruteforce_topk": L.ann_bruteforce_topk,
-        "ann_lsh_topk": L.ann_lsh_topk,
-        "ann_ivf_topk": L.ann_ivf_topk,
-        # lakehouse / medallion machinery
-        "medallion_merge_state": R.medallion_merge_state,
-        "medallion_gold_mart": L.medallion_gold_mart,
-        "sql_dispatch_pipeline": L.sql_dispatch_pipeline,
-        "catalog_history_metadata": R.catalog_history_metadata,
-        # §2.5/§2.6 windows + top-k
-        "w1_latest_per_key": R.w1_latest_per_key,
-        "window_running_totals": R.window_running_totals,
-        "window_moving_avg": R.window_moving_avg,
-        "o1_topk_latest": R.o1_topk_latest,
-        # joins + aggregations
-        "q1_pricing_summary": R.q1_pricing_summary,
-        "q3_shipping_priority": R.q3_shipping_priority,
-        "q5_region_revenue": R.q5_region_revenue,
-        "q7_volume_shipping": R.q7_volume_shipping,
-        "q10_returned_items": R.q10_returned_items,
-        "q18_large_orders": R.q18_large_orders,
-        "join_semi_big_spenders": R.join_semi_big_spenders,
-        "join_anti_never_ordered": R.join_anti_never_ordered,
-        "join_broadcast_brand_stats": R.join_broadcast_brand_stats,
-        "join_full_outer_spend": R.join_full_outer_spend,
-        "agg_rollup_orders": R.agg_rollup_orders,
-        "agg_distinct_customers": R.agg_distinct_customers,
-        "agg_cube_status_priority": R.agg_cube_status_priority,
-        "agg_percentiles": R.agg_percentiles,
-        "agg_collect_sorted": R.agg_collect_sorted,
-        "pivot_event_counts": R.pivot_event_counts,
-        "subquery_max_order": R.subquery_max_order,
-        # scalar functions / JSON / calendar
-        "json_extract_events": R.json_extract_events,
-        "array_map_funcs": R.array_map_funcs,
-        "events_daily_summary": R.events_daily_summary,
-        "scalar_string_math": R.scalar_string_math,
-        "date_arithmetic": R.date_arithmetic,
-        # set operations
-        "set_union_segments": R.set_union_segments,
-        "set_intersect_building_buyers": R.set_intersect_building_buyers,
-        "set_except_nonbuyers": R.set_except_nonbuyers,
-        # as-of join + sessionization + skew
-        "asof_click_purchase": R.asof_click_purchase,
-        "sessionize_events": R.sessionize_events,
-        "skew_salted_agg": L.skew_salted_agg,
-        # --- tail: deferred r02-vintage (rotate into the r05 window) ---
+        # --- (1-2) added in r4 after that window froze: never had a
+        # driver row ---
+        "text_repetition_scores": L.text_repetition_scores,
+        "text_leakage_safe_split": L.text_leakage_safe_split,
+        # --- (3-4) NEW in round 5: real image decode (pure-Python
+        # PPM/BMP/PGM codec) and ANN recall@k quality evidence ---
+        "multimodal_decode_image": L.multimodal_decode_image,
+        "ann_recall_at_k": L.ann_recall_at_k,
+        # --- (5-7) r02-vintage deferrals ---
         "s1_scan_filter_project": R.s1_scan_filter_project,
         "a1_count_star": R.a1_count_star,
         "f3_derive_partition_date": R.f3_derive_partition_date,
-        # --- tail: r03-green (driver row on round-3 code) ---
+        # --- (8-10) dropped by r4's window miscount ---
+        "asof_click_purchase": R.asof_click_purchase,
+        "sessionize_events": R.sessionize_events,
+        "skew_salted_agg": L.skew_salted_agg,
+        # --- (11-50) r03-vintage rotation ---
         "string_distance_pairs": L.string_distance_pairs,
         "text_langid": L.text_langid,
         "text_quality": L.text_quality,
@@ -164,10 +111,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_chunk_texts": L.text_chunk_texts,
         "text_tfidf_topk": L.text_tfidf_topk,
         "zorder_cluster_events": L.zorder_cluster_events,
-        # new in round 4 (tail -> r05 window): intra-doc repetition
-        # metrics and the content-hash leakage-safe split
-        "text_repetition_scores": L.text_repetition_scores,
-        "text_leakage_safe_split": L.text_leakage_safe_split,
         "q4_priority_late_exists": R.q4_priority_late_exists,
         "q6_forecast_revenue": R.q6_forecast_revenue,
         "q13_customer_order_distribution": R.q13_customer_order_distribution,
@@ -179,10 +122,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q8_market_share": R.q8_market_share,
         "q15_top_supplier": R.q15_top_supplier,
         "text_decontaminate": L.text_decontaminate,
+        # ================= tail (51+): r06 window starts here =======
+        # --- r03-vintage deferred to r06 ---
         "text_quality_percentile_cut": L.text_quality_percentile_cut,
         "window_rank_functions": R.window_rank_functions,
         "text_boilerplate_ngrams": L.text_boilerplate_ngrams,
         "agg_grouping_sets": R.agg_grouping_sets,
+        # --- r04-green (driver rows on round-4 code) ---
+        "q12_late_lines_by_status": R.q12_late_lines_by_status,
+        "pack_training_sequences": L.pack_training_sequences,
+        "curation_end_to_end": L.curation_end_to_end,
+        "sketch_hll_distinct": L.sketch_hll_distinct,
+        "sketch_hll_rollup_merge": L.sketch_hll_rollup_merge,
+        "sketch_quantiles": L.sketch_quantiles,
+        "dedup_embedding_pairs_brute": L.dedup_embedding_pairs_brute,
+        "dedup_exact_groups": L.dedup_exact_groups,
+        "dedup_normalized_groups": L.dedup_normalized_groups,
+        "dedup_ngram_jaccard_pairs": L.dedup_ngram_jaccard_pairs,
+        "dedup_minhash_lsh_pairs": L.dedup_minhash_lsh_pairs,
+        "dedup_simhash_pairs": L.dedup_simhash_pairs,
+        "dedup_keep_list": L.dedup_keep_list,
+        "dedup_embedding_lsh_pairs": L.dedup_embedding_lsh_pairs,
+        "ann_bruteforce_topk": L.ann_bruteforce_topk,
+        "ann_lsh_topk": L.ann_lsh_topk,
+        "ann_ivf_topk": L.ann_ivf_topk,
+        "medallion_merge_state": R.medallion_merge_state,
+        "medallion_gold_mart": L.medallion_gold_mart,
+        "sql_dispatch_pipeline": L.sql_dispatch_pipeline,
+        "catalog_history_metadata": R.catalog_history_metadata,
+        "w1_latest_per_key": R.w1_latest_per_key,
+        "window_running_totals": R.window_running_totals,
+        "window_moving_avg": R.window_moving_avg,
+        "o1_topk_latest": R.o1_topk_latest,
+        "q1_pricing_summary": R.q1_pricing_summary,
+        "q3_shipping_priority": R.q3_shipping_priority,
+        "q5_region_revenue": R.q5_region_revenue,
+        "q7_volume_shipping": R.q7_volume_shipping,
+        "q10_returned_items": R.q10_returned_items,
+        "q18_large_orders": R.q18_large_orders,
+        "join_semi_big_spenders": R.join_semi_big_spenders,
+        "join_anti_never_ordered": R.join_anti_never_ordered,
+        "join_broadcast_brand_stats": R.join_broadcast_brand_stats,
+        "join_full_outer_spend": R.join_full_outer_spend,
+        "agg_rollup_orders": R.agg_rollup_orders,
+        "agg_distinct_customers": R.agg_distinct_customers,
+        "agg_cube_status_priority": R.agg_cube_status_priority,
+        "agg_percentiles": R.agg_percentiles,
+        "agg_collect_sorted": R.agg_collect_sorted,
+        "pivot_event_counts": R.pivot_event_counts,
+        "subquery_max_order": R.subquery_max_order,
+        "json_extract_events": R.json_extract_events,
+        "array_map_funcs": R.array_map_funcs,
+        "events_daily_summary": R.events_daily_summary,
+        "scalar_string_math": R.scalar_string_math,
+        "date_arithmetic": R.date_arithmetic,
+        "set_union_segments": R.set_union_segments,
+        "set_intersect_building_buyers": R.set_intersect_building_buyers,
+        "set_except_nonbuyers": R.set_except_nonbuyers,
     }
 
 
@@ -594,6 +590,47 @@ def _ann_ivf_oracle(k: int = 5, n_centroids: int = 16, nprobe: int = 4) -> str:
                ORDER BY cos_sim DESC, neighbor_id ASC) AS INTEGER) AS rnk
       FROM scored)
     WHERE rnk <= {k}
+    """
+
+
+_BRUTE_TOPK_PAIRS = """
+    SELECT query_id, neighbor_id FROM (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             CAST(row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                                     e.embedding::DOUBLE[]), 4) DESC,
+                        e.vec_id ASC) AS INTEGER) AS rnk
+      FROM embeddings q JOIN embeddings e ON e.vec_id != q.vec_id
+      WHERE q.vec_id < 10
+    ) WHERE rnk <= 5
+"""
+
+
+def _ann_recall_oracle(k: int = 5) -> str:
+    """Recall@k oracle composed from the three exact ANN mirrors:
+    brute ground truth, LSH, and IVF all recomputed in SQL, then the
+    same hit counting the Spark query does. Floors mirror
+    llm_queries.ANN_RECALL_FLOOR."""
+    return f"""
+    WITH brute AS ({_BRUTE_TOPK_PAIRS}),
+    lshq AS ({_ann_lsh_oracle(k=k)}),
+    ivfq AS ({_ann_ivf_oracle(k=k)}),
+    truth AS (SELECT count(*) AS truth FROM brute),
+    m AS (
+      SELECT 'lsh' AS method, count(*) AS hits
+      FROM lshq JOIN brute USING (query_id, neighbor_id)
+      UNION ALL
+      SELECT 'ivf' AS method, count(*) AS hits
+      FROM ivfq JOIN brute USING (query_id, neighbor_id)
+    )
+    SELECT method, CAST({k} AS INTEGER) AS k,
+           CAST(hits AS BIGINT) AS hits,
+           CAST(truth AS BIGINT) AS truth,
+           round(hits / truth, 4) AS recall,
+           (CASE method WHEN 'lsh' THEN hits > 0.2 * truth
+                        ELSE hits > 0.4 * truth END) AS meets_floor
+    FROM m CROSS JOIN truth
     """
 
 
@@ -1568,6 +1605,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding_lsh_pairs": _embedding_lsh_pairs_oracle(),
         "ann_lsh_topk": _ann_lsh_oracle(),
         "ann_ivf_topk": _ann_ivf_oracle(),
+        "ann_recall_at_k": _ann_recall_oracle(),
         "skew_salted_agg": """
             SELECT l_returnflag,
                    count(*) AS n_items,
@@ -1834,5 +1872,38 @@ def oracle_sql() -> dict[str, str]:
                    ('0x' || substr(hx, 25, 4))::BIGINT / 65535.0 AS d6,
                    ('0x' || substr(hx, 29, 4))::BIGINT / 65535.0 AS d7
             FROM h
+        """,
+        # REAL decode check: the Spark side parses synthesized
+        # PPM/BMP/PGM container bytes; the oracle recomputes the
+        # generator's geometry and pixel-byte arithmetic — any header
+        # misparse, BMP row-padding slip, or channel-layout error
+        # breaks the hash
+        "multimodal_decode_image": """
+            WITH dims AS (
+              SELECT doc_id,
+                     doc_id % 8 + 2 AS w,
+                     doc_id % 6 + 2 AS h,
+                     CASE WHEN doc_id % 3 = 2
+                          THEN (doc_id % 8 + 2) * (doc_id % 6 + 2)
+                          ELSE 3 * (doc_id % 8 + 2) * (doc_id % 6 + 2)
+                     END AS n
+              FROM documents
+            ),
+            px AS (SELECT doc_id, unnest(range(n)) AS i FROM dims),
+            sums AS (
+              SELECT doc_id,
+                     CAST(sum((7 * i + doc_id) % 256) AS BIGINT) AS pixel_sum
+              FROM px GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CASE d.doc_id % 3 WHEN 0 THEN 'ppm'
+                                     WHEN 1 THEN 'bmp'
+                                     ELSE 'pgm' END AS img_format,
+                   CAST(d.w AS INTEGER) AS width,
+                   CAST(d.h AS INTEGER) AS height,
+                   CAST(CASE WHEN d.doc_id % 3 = 2 THEN 1 ELSE 3 END
+                        AS INTEGER) AS channels,
+                   s.pixel_sum
+            FROM dims d JOIN sums s USING (doc_id)
         """,
     }

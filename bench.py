@@ -97,6 +97,9 @@ HEADLINE = {
     # round-4 additions
     "text_repetition_scores": L.text_repetition_scores,
     "text_leakage_safe_split": L.text_leakage_safe_split,
+    # round-5 additions: real image decode + ANN recall evidence
+    "multimodal_decode_image": L.multimodal_decode_image,
+    "ann_recall_at_k": L.ann_recall_at_k,
 }
 
 # the 14 queries recorded since round 1 — their sum is the anchored

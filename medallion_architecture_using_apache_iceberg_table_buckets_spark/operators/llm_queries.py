@@ -133,6 +133,47 @@ def ann_ivf_topk(spark, sf_dir):
     return S.cosine_topk_ivf(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
+ANN_RECALL_FLOOR = {"lsh": 0.2, "ivf": 0.4}
+
+
+def ann_recall_at_k(spark, sf_dir, k: int = 5):
+    """Search QUALITY as driver-checked data: recall@k of the two
+    scale-safe ANN variants against the fenced brute-force ground
+    truth, computed entirely in-query (left-semi join on
+    (query_id, neighbor_id), integer hit counts, no collect). The
+    meets_floor flag asserts recall above the per-method floor the
+    pytest suite also enforces — a bucketing/seeding regression flips
+    it to false and the driver hash breaks."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    brute = S.cosine_topk(emb, q, k=k, dim=64).select("query_id", "neighbor_id")
+    variants = {
+        "lsh": S.cosine_topk_lsh(emb, q, k=k),
+        "ivf": S.cosine_topk_ivf(emb, q, k=k),
+    }
+    out = None
+    for method, approx in variants.items():
+        scored = (
+            approx.select("query_id", "neighbor_id")
+            .join(brute, ["query_id", "neighbor_id"], "left_semi")
+            .agg(F.count(F.lit(1)).alias("hits"))
+            .crossJoin(F.broadcast(brute.agg(F.count(F.lit(1)).alias("truth"))))
+            .select(
+                F.lit(method).alias("method"),
+                F.lit(k).cast("int").alias("k"),
+                F.col("hits").cast("long").alias("hits"),
+                F.col("truth").cast("long").alias("truth"),
+                F.round(F.col("hits") / F.col("truth"), 4).alias("recall"),
+                (
+                    F.col("hits")
+                    > F.lit(ANN_RECALL_FLOOR[method]) * F.col("truth")
+                ).alias("meets_floor"),
+            )
+        )
+        out = scored if out is None else out.unionByName(scored)
+    return out
+
+
 def medallion_gold_mart(spark, sf_dir):
     """Full medallion through the real machinery: events -> silver
     (partitioned lakehouse table, one CDC merge) -> gold mart with
@@ -856,6 +897,19 @@ def multimodal_resize(spark, sf_dir):
     from .multimodal import attach_media, fake_decode_meta, resize_meta
 
     return resize_meta(fake_decode_meta(attach_media(_docs(spark, sf_dir))))
+
+
+def multimodal_decode_image(spark, sf_dir):
+    """REAL image decoding end-to-end: deterministic PPM/BMP/PGM
+    container bytes are synthesized per doc (Arrow-batched
+    mapInPandas, multimodal.synth_images), then parsed BACK from the
+    bytes by the pure-Python codec (multimodal.decode_image) on the
+    same execution shape. The oracle recomputes the generator's
+    geometry/byte arithmetic in SQL, so a decoder that misparses any
+    header/row-padding/channel layout hash-mismatches."""
+    from .multimodal import decode_images, synth_images
+
+    return decode_images(synth_images(_docs(spark, sf_dir)))
 
 
 def multimodal_embed_dims(spark, sf_dir):

@@ -12,11 +12,16 @@ Design for image/audio/video at 100 TB:
 - partitioning: blobs are heavy, so upstream repartition targets
   bytes-per-partition, not rows (``target_partitions`` helper).
 
-The actual codecs (PIL/ffmpeg/librosa) are NOT in this container, so
-``decode_image`` raises ``NotImplementedError`` by design; the
-deterministic stub ``fake_decode_meta`` exercises the full Spark
-plumbing (schema, Arrow batches, partitioning) and is what the tests
-drive.
+Compressed-codec libraries (PIL/ffmpeg/librosa) are NOT in this
+container, so JPEG/PNG/audio/video decoding stays a documented seam —
+but ``decode_image`` is REAL for the uncompressed formats a
+pure-Python parser can own: PPM (P6), PGM (P5), and 24-bit BI_RGB
+BMP. ``decode_images`` runs it over the standard Arrow-batched
+``mapInPandas`` path and is oracle-checked end-to-end on
+deterministic synthetic bytes (``synth_images``); swapping the
+parser body for PIL calls would change no plan or schema.
+``fake_decode_meta`` remains the plumbing stub for formats the
+container cannot decode.
 """
 
 from __future__ import annotations
@@ -46,16 +51,186 @@ def attach_media(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     )
 
 
-def decode_image(content: bytes) -> "object":
-    """Real image decode — requires PIL/opencv, absent from this
-    container. STUB by design; the Spark-side plumbing around it
-    (Arrow batching, schema, partitioning) is real and tested via
-    fake_decode_meta."""
-    raise NotImplementedError(
-        "image decoding requires an image codec library (e.g. PIL), "
-        "not available in this environment; use fake_decode_meta for "
-        "pipeline plumbing"
+# ---------------------------------------------------------------------------
+# Real image codec: uncompressed formats a pure-Python parser can own.
+# Compressed formats (JPEG/PNG) remain the library-gated seam.
+# ---------------------------------------------------------------------------
+
+def encode_ppm(width: int, height: int, pixels: bytes) -> bytes:
+    """P6 binary PPM: ASCII header + raw row-major RGB bytes
+    (len(pixels) == 3*width*height)."""
+    if len(pixels) != 3 * width * height:
+        raise ValueError("P6 needs 3*w*h pixel bytes")
+    return f"P6\n{width} {height}\n255\n".encode() + pixels
+
+
+def encode_pgm(width: int, height: int, pixels: bytes) -> bytes:
+    """P5 binary PGM (grayscale): header + raw w*h bytes."""
+    if len(pixels) != width * height:
+        raise ValueError("P5 needs w*h pixel bytes")
+    return f"P5\n{width} {height}\n255\n".encode() + pixels
+
+
+def encode_bmp(width: int, height: int, pixels: bytes) -> bytes:
+    """24-bit uncompressed (BI_RGB) BMP from row-major RGB bytes:
+    rows are written bottom-up in BGR order, padded to 4 bytes —
+    the standard Windows DIB layout."""
+    import struct
+
+    if len(pixels) != 3 * width * height:
+        raise ValueError("24-bit BMP needs 3*w*h pixel bytes")
+    row_pad = (-3 * width) % 4
+    body = bytearray()
+    for r in range(height - 1, -1, -1):  # bottom-up
+        row = pixels[3 * width * r : 3 * width * (r + 1)]
+        for c in range(width):  # RGB -> BGR
+            body += bytes((row[3 * c + 2], row[3 * c + 1], row[3 * c]))
+        body += b"\x00" * row_pad
+    header_len = 14 + 40
+    return (
+        b"BM"
+        + struct.pack("<IHHI", header_len + len(body), 0, 0, header_len)
+        + struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                      len(body), 2835, 2835, 0, 0)
+        + bytes(body)
     )
+
+
+def _parse_pnm_header(content: bytes) -> tuple[int, int, int, int]:
+    """(width, height, maxval, data_offset) of a binary PNM header;
+    handles '#' comments and arbitrary whitespace per the netpbm
+    spec."""
+    pos, tokens = 2, []
+    n = len(content)
+    while len(tokens) < 3:
+        while pos < n and content[pos : pos + 1].isspace():
+            pos += 1
+        if pos < n and content[pos : pos + 1] == b"#":
+            while pos < n and content[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < n and not content[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(content[start:pos]))
+    return tokens[0], tokens[1], tokens[2], pos + 1  # single ws after maxval
+
+
+def decode_image(content: bytes) -> dict:
+    """Decode an uncompressed image: P6 PPM (RGB), P5 PGM (gray), or
+    24-bit BI_RGB BMP. Returns format, geometry, channel count, and
+    the sum of all pixel-sample bytes (an order-invariant content
+    checksum the oracle recomputes). Compressed formats raise
+    NotImplementedError — that codec seam needs PIL/opencv, absent
+    from this environment."""
+    import struct
+
+    if content[:2] in (b"P6", b"P5"):
+        w, h, maxval, off = _parse_pnm_header(content)
+        ch = 3 if content[:2] == b"P6" else 1
+        n_bytes = ch * w * h * (2 if maxval > 255 else 1)
+        pix = content[off : off + n_bytes]
+        if len(pix) != n_bytes:
+            raise ValueError("truncated PNM pixel data")
+        return {
+            "img_format": "ppm" if ch == 3 else "pgm",
+            "width": w, "height": h, "channels": ch,
+            "pixel_sum": sum(pix),
+        }
+    if content[:2] == b"BM":
+        data_off = struct.unpack_from("<I", content, 10)[0]
+        hdr_size, w, h = struct.unpack_from("<Iii", content, 14)
+        planes, bpp = struct.unpack_from("<HH", content, 26)
+        compression = struct.unpack_from("<I", content, 30)[0]
+        if bpp != 24 or compression != 0:
+            raise NotImplementedError(
+                f"only 24-bit BI_RGB BMP supported (bpp={bpp}, "
+                f"compression={compression})"
+            )
+        top_down = h < 0
+        h = abs(h)
+        row_bytes, row_pad = 3 * w, (-3 * w) % 4
+        total = 0
+        pos = data_off
+        for _ in range(h):
+            row = content[pos : pos + row_bytes]
+            if len(row) != row_bytes:
+                raise ValueError("truncated BMP pixel data")
+            total += sum(row)
+            pos += row_bytes + row_pad
+        return {
+            "img_format": "bmp", "width": w, "height": h,
+            "channels": 3, "pixel_sum": total,
+        }
+    raise NotImplementedError(
+        "compressed image formats (JPEG/PNG/...) need an image codec "
+        "library (e.g. PIL), not available in this environment"
+    )
+
+
+def synth_images(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic synthetic image table: doc_id -> encoded bytes.
+    Geometry w = id%8+2, h = id%6+2; logical pixel bytes
+    p_i = (7*i + id) % 256 (row-major); format rotates
+    ppm/bmp/pgm by id%3. Runs as Arrow-batched mapInPandas — the
+    ingestion stand-in producing REAL container bytes that
+    decode_images must parse back."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs, types = [], [], []
+            for d in pdf[id_col]:
+                d = int(d)
+                w, h = d % 8 + 2, d % 6 + 2
+                n = (w * h) if d % 3 == 2 else (3 * w * h)
+                pix = bytes((7 * i + d) % 256 for i in range(n))
+                if d % 3 == 0:
+                    blob, mt = encode_ppm(w, h, pix), "image/x-portable-pixmap"
+                elif d % 3 == 1:
+                    blob, mt = encode_bmp(w, h, pix), "image/bmp"
+                else:
+                    blob, mt = encode_pgm(w, h, pix), "image/x-portable-graymap"
+                ids.append(d)
+                blobs.append(blob)
+                types.append(mt)
+            yield pd.DataFrame(
+                {"doc_id": pd.Series(ids, dtype="int64"),
+                 "content": blobs, "media_type": types}
+            )
+
+    return df.select(id_col).mapInPandas(
+        gen, schema="doc_id long, content binary, media_type string"
+    )
+
+
+DECODE_SCHEMA = (
+    "doc_id long, img_format string, width int, height int, "
+    "channels int, pixel_sum long"
+)
+
+
+def decode_images(df: DataFrame) -> DataFrame:
+    """Decode a binary image column through the standard multimodal
+    execution shape (Arrow-batched mapInPandas, one worker per
+    partition, blobs never leave the executor). Real parsing — the
+    geometry and checksum come from the container bytes, not from
+    metadata riding alongside."""
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [decode_image(bytes(b)) for b in pdf["content"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "img_format": [r["img_format"] for r in rows],
+                    "width": pd.Series([r["width"] for r in rows], dtype="int32"),
+                    "height": pd.Series([r["height"] for r in rows], dtype="int32"),
+                    "channels": pd.Series([r["channels"] for r in rows], dtype="int32"),
+                    "pixel_sum": pd.Series([r["pixel_sum"] for r in rows], dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(dec, schema=DECODE_SCHEMA)
 
 
 def fake_decode_meta(df: DataFrame) -> DataFrame:

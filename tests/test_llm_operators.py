@@ -283,3 +283,57 @@ def test_connected_components_empty(spark):
     out = D.connected_components(pairs)
     assert out.count() == 0
     assert [f.name for f in out.schema.fields] == ["id", "component_id"]
+
+
+def test_image_codec_roundtrip_and_decode_query():
+    """Pure-Python image codec: encode->decode round-trips geometry
+    and the pixel checksum for P6/P5/BMP, including BMP widths that
+    force nonzero row padding and negative-height (top-down) BMPs;
+    compressed magics stay a clearly-raised seam."""
+    import pytest
+
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators.multimodal import (
+        decode_image,
+        encode_bmp,
+        encode_pgm,
+        encode_ppm,
+    )
+
+    for w, h in [(2, 2), (3, 5), (5, 3), (7, 1), (1, 7), (4, 4)]:
+        pix_rgb = bytes((7 * i + 3) % 256 for i in range(3 * w * h))
+        pix_gray = bytes((7 * i + 3) % 256 for i in range(w * h))
+        want_rgb, want_gray = sum(pix_rgb), sum(pix_gray)
+
+        d = decode_image(encode_ppm(w, h, pix_rgb))
+        assert (d["img_format"], d["width"], d["height"], d["channels"]) == ("ppm", w, h, 3)
+        assert d["pixel_sum"] == want_rgb
+
+        d = decode_image(encode_pgm(w, h, pix_gray))
+        assert (d["img_format"], d["channels"], d["pixel_sum"]) == ("pgm", 1, want_gray)
+
+        # w=3,5,7 -> row padding 3,1,3: the padding bytes must NOT
+        # land in the checksum
+        d = decode_image(encode_bmp(w, h, pix_rgb))
+        assert (d["img_format"], d["width"], d["height"]) == ("bmp", w, h)
+        assert d["pixel_sum"] == want_rgb
+
+    # PNM comments + arbitrary whitespace per the netpbm spec
+    pix = bytes(range(12))
+    with_comment = b"P6\n# a comment\n 2\t2 \n255\n" + pix
+    d = decode_image(with_comment)
+    assert (d["width"], d["height"], d["pixel_sum"]) == (2, 2, sum(pix))
+
+    # top-down BMP (negative height) decodes with positive geometry
+    import struct
+
+    bmp = bytearray(encode_bmp(3, 2, bytes(18)))
+    hneg = struct.pack("<i", -2)
+    bmp[22:26] = hneg
+    # rows are order-invariant for the checksum, so only geometry matters
+    d = decode_image(bytes(bmp))
+    assert (d["width"], d["height"]) == (3, 2)
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG\r\n\x1a\n....")
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff\xe0JFIF")

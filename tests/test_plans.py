@@ -312,7 +312,15 @@ def test_brute_baselines_are_the_only_all_pairs_plans(spark, sf_dir):
         "medallion_", "sql_", "incremental_", "mor_", "schema_",
         "maintenance_", "streaming_", "catalog_", "zorder_",
     )
-    SKIP = {"dedup_components", "ann_ivf_topk", "curation_end_to_end"}
+    # ann_recall_at_k embeds BOTH the fenced brute ground truth (an
+    # intentional all-pairs baseline) and the IVF iterative seeding —
+    # its job is to measure the approximate variants against them
+    SKIP = {
+        "dedup_components",
+        "ann_ivf_topk",
+        "curation_end_to_end",
+        "ann_recall_at_k",
+    }
 
     offenders = {}
     for name, fn in entrymod.queries().items():

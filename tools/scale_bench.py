@@ -1,0 +1,191 @@
+"""Scale step-up harness: does each heavy query scale ~linearly?
+
+Replicates the sf0.1 tables 10x into a scratch dir (key domains
+shifted per copy so join cardinalities grow linearly, text/embedding
+content perturbed per copy so near-dup candidate sets don't develop
+artificial 10-way duplicate cliques), then times the heaviest
+headline queries at sf0.1 and the 10x copy and reports per-query
+scale factors.
+
+A ~10x factor (plus AQE wiggle) backs the "scales" design claims
+empirically; a superlinear factor names the operator to fix. Run:
+
+    python tools/scale_bench.py [out_json]
+
+Writes BENCH_SCALE_r05.json-style output (one JSON line, scalars
+after dicts — same truncation-proofing as bench.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import medallion_architecture_using_apache_iceberg_table_buckets_spark as mats
+from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators import (
+    llm_queries as L,
+    relational as R,
+)
+
+SRC = "/root/testdata/sf0.1"
+DST = os.environ.get("SPARK_GRAFT_SCALE_DIR", "/tmp/mats_sf1")
+COPIES = 10
+
+# The heaviest / most representative headline queries (r4 verdict's
+# plan-audit list + the big TPC-H joins + the new r5 ops).
+QUERIES = {
+    "q1_pricing_summary": R.q1_pricing_summary,
+    "q3_shipping_priority": R.q3_shipping_priority,
+    "q5_region_revenue": R.q5_region_revenue,
+    "q18_large_orders": R.q18_large_orders,
+    "medallion_merge_state": R.medallion_merge_state,
+    "dedup_minhash_lsh_pairs": L.dedup_minhash_lsh_pairs,
+    "dedup_ngram_jaccard_pairs": L.dedup_ngram_jaccard_pairs,
+    "dedup_embedding_lsh_pairs": L.dedup_embedding_lsh_pairs,
+    "dedup_components": L.dedup_components,
+    "ann_ivf_topk": L.ann_ivf_topk,
+    "text_repetition_scores": L.text_repetition_scores,
+    "pack_training_sequences": L.pack_training_sequences,
+    "curation_end_to_end": L.curation_end_to_end,
+    "multimodal_decode_image": L.multimodal_decode_image,
+}
+
+
+def _copies(spark, name: str, shift_cols: dict[str, int], extra=None):
+    """UNION of COPIES key-shifted copies of one sf0.1 table."""
+    from pyspark.sql import functions as F
+
+    base = spark.read.parquet(f"{SRC}/{name}.parquet")
+    out = None
+    for i in range(COPIES):
+        df = base
+        for col, domain in shift_cols.items():
+            df = df.withColumn(col, F.col(col) + F.lit(i * domain))
+        if extra is not None:
+            df = extra(df, i)
+        out = df if out is None else out.unionByName(df)
+    return out
+
+
+def build_scaled_dir() -> None:
+    from pyspark.sql import functions as F
+
+    if os.path.isdir(DST) and os.path.exists(f"{DST}/_DONE"):
+        return
+    shutil.rmtree(DST, ignore_errors=True)
+    os.makedirs(DST, exist_ok=True)
+    spark = mats.get_spark(app_name="mats-scale-gen")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # key-domain sizes (next power-of-10 above the sf0.1 max) so
+    # shifted copies never collide
+    K = {"cust": 10**6, "ord": 10**7, "part": 10**6, "supp": 10**5,
+         "ev": 10**7, "user": 10**6, "doc": 10**6, "vec": 10**6}
+
+    for name in ("region", "nation"):
+        spark.read.parquet(f"{SRC}/{name}.parquet").write.mode(
+            "overwrite"
+        ).parquet(f"{DST}/{name}.parquet")
+
+    plans = {
+        "customer": {"c_custkey": K["cust"]},
+        "orders": {"o_orderkey": K["ord"], "o_custkey": K["cust"]},
+        "lineitem": {"l_orderkey": K["ord"], "l_partkey": K["part"],
+                     "l_suppkey": K["supp"]},
+        "part": {"p_partkey": K["part"]},
+        "supplier": {"s_suppkey": K["supp"]},
+        "events": {"event_id": K["ev"], "user_id": K["user"]},
+    }
+    for name, shifts in plans.items():
+        _copies(spark, name, shifts).write.mode("overwrite").parquet(
+            f"{DST}/{name}.parquet"
+        )
+
+    # documents: perturb text per copy so near-dup relations stay
+    # within-copy instead of forming 10-way identical cliques
+    def doc_extra(df, i):
+        if i == 0:
+            return df
+        return df.withColumn(
+            "text",
+            F.concat(F.col("text"), F.lit(f" copyvariant{i} doc"),
+                     F.col("doc_id").cast("string")),
+        )
+
+    _copies(spark, "documents", {"doc_id": K["doc"]}, doc_extra).write.mode(
+        "overwrite"
+    ).parquet(f"{DST}/documents.parquet")
+
+    # embeddings: deterministic per-copy jitter keeps vectors distinct
+    # across copies (identical vectors would make LSH buckets
+    # artificially clique-y) while preserving the overall geometry
+    def emb_extra(df, i):
+        if i == 0:
+            return df
+        return df.withColumn(
+            "embedding",
+            F.transform(
+                "embedding",
+                lambda x, j: (
+                    x + (F.lit(0.003 * i) * ((j % 7) - 3))
+                ).cast("float"),
+            ),
+        )
+
+    _copies(spark, "embeddings", {"vec_id": K["vec"]}, emb_extra).write.mode(
+        "overwrite"
+    ).parquet(f"{DST}/embeddings.parquet")
+
+    open(f"{DST}/_DONE", "w").write("ok")
+    spark.stop()
+
+
+def main() -> None:
+    build_scaled_dir()
+    spark = mats.get_spark(app_name="mats-scale-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def force(df):
+        df.write.mode("overwrite").format("noop").save()
+
+    force(R.a1_count_star(spark, SRC))  # warmup
+
+    times: dict[str, dict] = {}
+    for name, fn in QUERIES.items():
+        rec = {}
+        for label, sf_dir in (("sf0.1", SRC), ("sf1", DST)):
+            runs = []
+            for _ in range(2):
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                force(fn(spark, sf_dir))
+                runs.append(time.perf_counter() - t0)
+            rec[label] = round(min(runs), 3)
+        rec["factor"] = round(rec["sf1"] / rec["sf0.1"], 2)
+        times[name] = rec
+        print(f"# {name}: {rec}", file=sys.stderr)
+
+    factors = {k: v["factor"] for k, v in times.items()}
+    out = {
+        "metric": "scale_stepup_10x",
+        "unit": "sec",
+        "copies": COPIES,
+        "protocol": "min-of-2 per scale, clearCache between runs",
+        "queries": times,
+        "worst_factor": max(factors.values()),
+        "median_factor": sorted(factors.values())[len(factors) // 2],
+    }
+    line = json.dumps(out)
+    print(line)
+    if len(sys.argv) > 1:
+        with open(sys.argv[1], "w") as f:
+            f.write(line + "\n")
+
+
+if __name__ == "__main__":
+    main()
