@@ -803,6 +803,43 @@ def export_iceberg_dir(table: Table, dest) -> "Path":
     return dest
 
 
+def import_iceberg_dir(dest) -> list[Snapshot]:
+    """Inverse of :func:`export_iceberg_dir`: follow
+    version-hint.text -> vN.metadata.json -> snap-<id>.avro manifest
+    lists -> manifest-<id>.avro entry files (all read through the
+    repo's own OCF codec) and rebuild native snapshots. Proves the
+    exported Avro layout is complete enough to reconstruct the table
+    without the engine's JSON manifests."""
+    import json as _json
+    from pathlib import Path
+
+    from ..functions.avro_codec import read_container_file
+
+    meta_dir = Path(dest) / "metadata"
+    version = (meta_dir / "version-hint.text").read_text().strip()
+    doc = _json.loads((meta_dir / f"v{version}.metadata.json").read_text())
+
+    manifests: dict[str, list[dict]] = {}
+    for snap_entry in doc["snapshots"]:
+        sid = snap_entry["snapshot-id"]
+        _, mlist = read_container_file(meta_dir / f"snap-{sid}.avro")
+        entries_json = []
+        for mf in mlist:
+            man_file = meta_dir / Path(mf["manifest_path"]).name
+            _, entries = read_container_file(man_file)
+            entries_json += [
+                {
+                    "status": e["status"],
+                    "data-file": {"file-path": e["data_file"]["file_path"]},
+                }
+                for e in entries
+            ]
+        manifests[str(sid)] = entries_json
+    doc = dict(doc)
+    doc["manifests"] = manifests
+    return import_table_metadata(doc)
+
+
 def compat_notes() -> list[str]:
     """The enumerated gap list a real-Iceberg migration shim must
     close (everything else round-trips through this module).

@@ -304,3 +304,28 @@ def test_export_iceberg_dir_writes_real_avro_manifests(spark, tmp_path):
     for s in t.snapshots():
         assert (meta / f"manifest-{s.snapshot_id}.avro").exists()
         assert (meta / f"snap-{s.snapshot_id}.avro").exists()
+
+
+def test_import_iceberg_dir_roundtrips_from_avro_only(spark, tmp_path):
+    """The exported Avro layout alone (version-hint -> metadata.json
+    -> snap lists -> manifests) must reconstruct the native
+    snapshots — file lifecycle included — without the engine's JSON
+    manifests."""
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.lakehouse.iceberg_compat import (
+        export_iceberg_dir,
+        import_iceberg_dir,
+    )
+
+    t = _table(spark, tmp_path)
+    dest = export_iceberg_dir(t, tmp_path / "export")
+    back = import_iceberg_dir(dest)
+    native = t.snapshots()
+    assert len(back) == len(native)
+    for b, n in zip(back, native):
+        assert b.snapshot_id == n.snapshot_id
+        assert b.parent_id == n.parent_id
+        assert b.operation == n.operation
+        assert b.files == sorted(n.files)
+        assert b.added_files == sorted(n.added_files)
+        assert b.removed_files == sorted(n.removed_files)
+        assert b.partition_by == n.partition_by
