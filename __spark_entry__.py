@@ -179,6 +179,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_union_segments": R.set_union_segments,
         "set_intersect_building_buyers": R.set_intersect_building_buyers,
         "set_except_nonbuyers": R.set_except_nonbuyers,
+        # --- NEW in round 5 (post-window): TPC-H completion — the 5
+        # remaining query shapes (partsupp derived from lineitem since
+        # the testdata has no partsupp table). Rotate into the r06
+        # window per the discipline above. ---
+        "q2_min_cost_supplier": R.q2_min_cost_supplier,
+        "q9_product_type_profit": R.q9_product_type_profit,
+        "q11_important_part_value": R.q11_important_part_value,
+        "q16_parts_supplier_counts": R.q16_parts_supplier_counts,
+        "q20_promotable_suppliers": R.q20_promotable_suppliers,
     }
 
 
@@ -1905,5 +1914,98 @@ def oracle_sql() -> dict[str, str]:
                         AS INTEGER) AS channels,
                    s.pixel_sum
             FROM dims d JOIN sums s USING (doc_id)
+        """,
+        # --- TPC-H completion (round 5, post-window). partsupp is
+        # derived from lineitem (min quoted extendedprice per pair) —
+        # min() picks an original 2-decimal value, so the decimal
+        # arithmetic below stays exact in both engines. ---
+        "q2_min_cost_supplier": """
+            WITH ps AS (
+              SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+                     min(l_extendedprice) AS ps_supplycost
+              FROM lineitem GROUP BY 1, 2
+            ),
+            elig AS (
+              SELECT ps_partkey, ps_suppkey, ps_supplycost,
+                     s_acctbal, s_name, n_name, p_partkey, p_brand
+              FROM ps
+              JOIN part ON ps_partkey = p_partkey
+              JOIN supplier ON ps_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+              WHERE r_name = 'EUROPE' AND p_size = 25
+            )
+            SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+                   ps_suppkey, ps_supplycost
+            FROM elig e
+            WHERE ps_supplycost = (SELECT min(e2.ps_supplycost)
+                                   FROM elig e2
+                                   WHERE e2.ps_partkey = e.ps_partkey)
+            ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, ps_suppkey
+            LIMIT 100
+        """,
+        "q9_product_type_profit": f"""
+            WITH ps AS (
+              SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+                     min(l_extendedprice) AS ps_supplycost
+              FROM lineitem GROUP BY 1, 2
+            )
+            SELECT n_name AS nation,
+                   CAST(year(o_orderdate) AS INTEGER) AS o_year,
+                   round(CAST(sum({_REV}
+                         - CAST(ps_supplycost AS DECIMAL(12,2))
+                           * CAST(l_quantity AS DECIMAL(12,2)))
+                         AS DOUBLE), 2) AS sum_profit
+            FROM lineitem
+            JOIN ps ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+            JOIN part ON l_partkey = p_partkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE p_name LIKE '%widget%'
+            GROUP BY 1, 2
+        """,
+        "q11_important_part_value": """
+            WITH per_part AS (
+              SELECT l_partkey,
+                     sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                         * CAST(l_quantity AS DECIMAL(12,2))) AS value_dec
+              FROM lineitem
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+              WHERE n_name = 'NATION_3'
+              GROUP BY l_partkey
+            )
+            SELECT l_partkey,
+                   round(CAST(value_dec AS DOUBLE), 2) AS part_value
+            FROM per_part
+            WHERE value_dec > (SELECT sum(value_dec) FROM per_part)
+                              * CAST('0.001' AS DECIMAL(4,3))
+        """,
+        "q16_parts_supplier_counts": """
+            SELECT p_brand, p_type, p_size,
+                   count(DISTINCT l_suppkey) AS supplier_cnt
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_type <> 'PROMO'
+              AND p_size IN (1, 5, 10, 15, 20, 25)
+              AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                    WHERE s_acctbal < 1000.0)
+            GROUP BY 1, 2, 3
+        """,
+        "q20_promotable_suppliers": """
+            SELECT s_suppkey, s_name, s_acctbal
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_name = 'NATION_19'
+              AND s_suppkey IN (
+                SELECT l_suppkey
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE p_name LIKE 'small%'
+                GROUP BY l_partkey, l_suppkey
+                HAVING sum(CASE WHEN year(l_shipdate) = 1997
+                                THEN CAST(l_quantity AS DECIMAL(12,2))
+                                ELSE CAST(0 AS DECIMAL(12,2)) END)
+                       * CAST(2 AS DECIMAL(2,0))
+                       > sum(CAST(l_quantity AS DECIMAL(12,2)))
+              )
         """,
     }

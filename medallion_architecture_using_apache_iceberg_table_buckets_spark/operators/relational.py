@@ -1136,3 +1136,199 @@ def agg_grouping_sets(spark, sf_dir):
         F.count("*").alias("n_orders"),
         _money(F.sum(_dec("o_totalprice"))).alias("total_spend"),
     )
+
+# ----------------------------------------------------------------------
+# TPC-H completion: q2 / q9 / q11 / q16 / q20 shapes.
+#
+# The testdata has no partsupp table, so the part-supplier relation is
+# DERIVED from lineitem: supply cost for a (part, supplier) pair is the
+# cheapest extended price ever quoted for it. min() does no arithmetic
+# — the result is one of the original 2-decimal values, so the same
+# decimal casts the other money queries rely on stay exact here.
+# ----------------------------------------------------------------------
+
+def _derived_partsupp(spark, sf_dir):
+    """partsupp stand-in: one row per (part, supplier) pair seen in
+    lineitem with the minimum quoted extendedprice as ps_supplycost.
+
+    Scale: one hash shuffle on the composite key; the result is
+    ~|distinct pairs|, far smaller than lineitem, and every consumer
+    below joins it on the same (partkey, suppkey) key so AQE can reuse
+    the exchange."""
+    l = load(spark, sf_dir, "lineitem")
+    return l.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(F.min("l_extendedprice").alias("ps_supplycost"))
+
+
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape: per-part minimum-cost supplier within one
+    region — a correlated MIN subquery decorrelated into a grouped
+    aggregate joined back on the part key.
+
+    Scale: region/nation/part are broadcast; the derived partsupp
+    shuffles once on (part, supp), then the per-part MIN is a window
+    over ps_partkey — ONE pass over the eligible relation (a grouped
+    min joined back would scan and join it twice). The equality
+    filter compares the identical double (min picks a member value,
+    no arithmetic), so the tie set is engine-stable. Top-100 is
+    ordered on a total key (acctbal, nation, supplier, part, supp)
+    so both engines cut the same rows.
+    """
+    ps = _derived_partsupp(spark, sf_dir)
+    p = load(spark, sf_dir, "part").filter(F.col("p_size") == 25).select(
+        "p_partkey", "p_brand"
+    )
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    elig = (
+        ps.join(F.broadcast(p), ps.ps_partkey == p.p_partkey)
+        .join(s, ps.ps_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("ps_partkey", "ps_suppkey", "ps_supplycost",
+                "s_acctbal", "s_name", "n_name", "p_partkey", "p_brand")
+    )
+    w = Window.partitionBy("ps_partkey")
+    return (
+        elig.withColumn("min_cost", F.min("ps_supplycost").over(w))
+        .filter(F.col("ps_supplycost") == F.col("min_cost"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand",
+                "ps_suppkey", "ps_supplycost")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey",
+                 "ps_suppkey")
+        .limit(100)
+    )
+
+
+def q9_product_type_profit(spark, sf_dir):
+    """TPC-H Q9 shape: profit by supplier nation and order year —
+    revenue minus derived supply cost times quantity, over parts whose
+    name matches a pattern.
+
+    Scale: the part filter broadcasts; the partsupp self-aggregate
+    joins lineitem on its composite key; orders joins on l_orderkey;
+    nation broadcasts. Profit terms are decimal-exact per row
+    (supplycost is an original 2-dec value, quantity integer-valued),
+    so the final sums are order-insensitive.
+    """
+    ps = _derived_partsupp(spark, sf_dir)
+    p = load(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%widget%")
+    ).select("p_partkey")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem")
+    cost = F.col("ps_supplycost").cast("decimal(12,2)") * F.col(
+        "l_quantity"
+    ).cast("decimal(12,2)")
+    amount = _revenue() - cost
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(ps, (l.l_partkey == ps.ps_partkey) & (l.l_suppkey == ps.ps_suppkey))
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(_money(F.sum(amount)).alias("sum_profit"))
+    )
+
+
+def q11_important_part_value(spark, sf_dir):
+    """TPC-H Q11 shape: per-part inventory value from one nation's
+    suppliers, kept only when it exceeds a fixed fraction of the
+    national total — a scalar aggregate broadcast back as a HAVING
+    threshold.
+
+    Scale: the value relation is computed once (one shuffle on
+    l_partkey) and reused for both the per-part rows and the 1-row
+    total (broadcast crossJoin, q15 pattern). The threshold compare
+    happens on exact decimals — no double rounding at the cut line.
+    """
+    n = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    s = load(spark, sf_dir, "supplier")
+    l = load(spark, sf_dir, "lineitem")
+    val = F.col("l_extendedprice").cast("decimal(12,2)") * F.col(
+        "l_quantity"
+    ).cast("decimal(12,2)")
+    per_part = (
+        l.join(s, l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(val).alias("value_dec"))
+    )
+    total = per_part.agg(F.sum("value_dec").alias("total_dec"))
+    frac = F.lit("0.001").cast("decimal(4,3)")
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("value_dec") > F.col("total_dec") * frac)
+        .select("l_partkey", _money(F.col("value_dec")).alias("part_value"))
+    )
+
+
+def q16_parts_supplier_counts(spark, sf_dir):
+    """TPC-H Q16 shape: distinct suppliers per (brand, type, size)
+    over selected part classes, excluding a supplier denylist via
+    NOT IN — planned as a broadcast anti-join, never a filter scan.
+
+    Scale: part and the denylist broadcast; count(DISTINCT) expands
+    to a two-phase aggregate on (brand, type, size, suppkey) then
+    (brand, type, size) — both key-local shuffles.
+    """
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad = load(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 1000.0
+    ).select(F.col("s_suppkey").alias("bad_suppkey"))
+    l = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(bad), l.l_suppkey == F.col("bad_suppkey"),
+              "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q20_promotable_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape: nested semi-join — suppliers in one nation
+    who, for some tracked part, shipped more than half their lifetime
+    quantity of it during 1997.
+
+    Scale: the tracked-part filter broadcasts into lineitem; the
+    per-(part, supplier) conditional sums are one composite-key
+    shuffle; the qualifying supplier keys semi-join back into the
+    supplier dimension (no row multiplication). The half threshold is
+    compared as 2*qty97 > total on exact decimals.
+    """
+    p = load(spark, sf_dir, "part").filter(
+        F.col("p_name").like("small%")
+    ).select("p_partkey")
+    n = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_19")
+    s = load(spark, sf_dir, "supplier")
+    l = load(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    zero = F.lit(0).cast("decimal(12,2)")
+    pairs = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(F.when(F.year("l_shipdate") == 1997, qty).otherwise(zero)).alias("qty97"),
+            F.sum(qty).alias("qty_total"),
+        )
+        .filter(F.col("qty97") * F.lit(2).cast("decimal(2,0)") > F.col("qty_total"))
+        .select("l_suppkey")
+    )
+    return (
+        s.join(pairs, s.s_suppkey == pairs.l_suppkey, "left_semi")
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_suppkey", "s_name", "s_acctbal")
+    )
