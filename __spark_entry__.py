@@ -188,6 +188,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q11_important_part_value": R.q11_important_part_value,
         "q16_parts_supplier_counts": R.q16_parts_supplier_counts,
         "q20_promotable_suppliers": R.q20_promotable_suppliers,
+        # --- NEW in round 5 (post-window): PII scrub + CCNet-style
+        # paragraph dedup with reassembly ---
+        "text_pii_scrub": L.text_pii_scrub,
+        "text_paragraph_dedup": L.text_paragraph_dedup,
     }
 
 
@@ -2007,5 +2011,87 @@ def oracle_sql() -> dict[str, str]:
                        * CAST(2 AS DECIMAL(2,0))
                        > sum(CAST(l_quantity AS DECIMAL(12,2)))
               )
+        """,
+        # PII scrub: the planted emails/phones/IPs are mirrored
+        # verbatim; patterns use the common Java-regex/RE2 subset and
+        # the redaction order (email, ip, phone) matches the operator
+        "text_pii_scrub": """
+            WITH planted AS (
+              SELECT doc_id,
+                     text || CASE
+                       WHEN doc_id % 5 = 0 THEN ' contact user'
+                            || CAST(doc_id AS VARCHAR) || '@example.com now'
+                       WHEN doc_id % 7 = 0 THEN ' call 555-'
+                            || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                            || '-0199 today'
+                       WHEN doc_id % 11 = 0 THEN ' from 10.0.'
+                            || CAST(doc_id % 256 AS VARCHAR) || '.'
+                            || CAST((doc_id * 7) % 256 AS VARCHAR) || ' logged'
+                       ELSE '' END AS text
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                     AS INTEGER) AS n_emails,
+                   CAST(len(regexp_extract_all(text,
+                     '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))
+                     AS INTEGER) AS n_ips,
+                   CAST(len(regexp_extract_all(text,
+                     '\\b\\d{3}[- .]\\d{3}[- .]\\d{4}\\b'))
+                     AS INTEGER) AS n_phones,
+                   regexp_replace(regexp_replace(regexp_replace(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                     '[EMAIL]', 'g'),
+                     '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                     '[IP]', 'g'),
+                     '\\b\\d{3}[- .]\\d{3}[- .]\\d{4}\\b',
+                     '[PHONE]', 'g') AS redacted_text,
+                   (len(regexp_extract_all(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                    + len(regexp_extract_all(text,
+                      '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))
+                    + len(regexp_extract_all(text,
+                      '\\b\\d{3}[- .]\\d{3}[- .]\\d{4}\\b'))) > 0 AS has_pii
+            FROM planted
+        """,
+        "text_paragraph_dedup": f"""
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 300000 AS doc_id,
+                     'subscribe to our newsletter click here to continue'
+                     || ' reading below ' || text AS text
+              FROM documents WHERE doc_id < 40
+            ),
+            tw AS (SELECT doc_id, string_split({_NORM.format(t='text')}, ' ') AS w
+                   FROM corpus),
+            numbered AS (
+              SELECT doc_id, w,
+                     unnest(range(CAST(ceil(len(w) / 10.0) AS BIGINT))) AS i
+              FROM tw
+            ),
+            paras AS (
+              SELECT doc_id, CAST(i AS INTEGER) AS para_idx,
+                     array_to_string(list_slice(w, i * 10 + 1, i * 10 + 10),
+                                     ' ') AS para
+              FROM numbered
+            ),
+            common AS (
+              SELECT para FROM paras
+              GROUP BY para HAVING count(DISTINCT doc_id) >= 3
+            ),
+            marked AS (
+              SELECT p.doc_id, p.para_idx, p.para, c.para IS NULL AS keep
+              FROM paras p LEFT JOIN common c ON p.para = c.para
+            )
+            SELECT doc_id,
+                   coalesce(array_to_string(
+                     list(para ORDER BY para_idx) FILTER (WHERE keep), ' '),
+                     '') AS clean_text,
+                   CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_paras_kept,
+                   CAST(count(*) FILTER (WHERE NOT keep) AS BIGINT)
+                     AS n_paras_dropped
+            FROM marked GROUP BY doc_id
         """,
     }

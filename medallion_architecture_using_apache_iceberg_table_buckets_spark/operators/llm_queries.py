@@ -1064,3 +1064,60 @@ def text_leakage_safe_split(spark, sf_dir):
             .cast("int").alias("copy_same_side"),
         )
     )
+
+
+def text_pii_scrub(spark, sf_dir):
+    """PII detect + redact (text.pii_scrub). The synthetic corpus has
+    no real PII, so the query plants deterministic emails / phone
+    numbers / IPv4 addresses keyed on doc_id (mirrored verbatim in
+    the oracle); the operator must count and replace exactly those."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    did = F.col("doc_id")
+    tail = (
+        F.when(
+            did % 5 == 0,
+            F.concat(
+                F.lit(" contact user"), did.cast("string"),
+                F.lit("@example.com now"),
+            ),
+        )
+        .when(
+            did % 7 == 0,
+            F.concat(
+                F.lit(" call 555-"),
+                F.lpad((did % 1000).cast("string"), 3, "0"),
+                F.lit("-0199 today"),
+            ),
+        )
+        .when(
+            did % 11 == 0,
+            F.concat(
+                F.lit(" from 10.0."), (did % 256).cast("string"),
+                F.lit("."), ((did * 7) % 256).cast("string"),
+                F.lit(" logged"),
+            ),
+        )
+        .otherwise(F.lit(""))
+    )
+    planted = docs.select("doc_id", F.concat("text", tail).alias("text"))
+    return TX.pii_scrub(planted)
+
+
+def text_paragraph_dedup(spark, sf_dir):
+    """Corpus-level paragraph dedup + reassembly (text.paragraph_dedup,
+    CCNet/C4 boilerplate removal). A 10-word boilerplate header is
+    planted onto copies of the first 40 docs; it appears in >= 3
+    distinct documents, so exactly that paragraph must be dropped
+    from every copy while the (word-soup, globally unique) body
+    paragraphs survive in order. Copy tails also duplicate their
+    original's paragraphs — but only across 2 docs, below the
+    min_docs=3 cut, proving the threshold is applied per distinct
+    document."""
+    boiler = "subscribe to our newsletter click here to continue reading below"
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    copies = docs.filter(F.col("doc_id") < 40).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.concat(F.lit(boiler + " "), F.col("text")).alias("text"),
+    )
+    corpus = docs.unionByName(copies)
+    return TX.paragraph_dedup(corpus, para_words=10, min_docs=3)

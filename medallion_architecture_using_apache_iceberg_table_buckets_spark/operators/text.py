@@ -406,3 +406,104 @@ def leakage_safe_split(
         bucket.alias("bucket"),
         F.when(bucket < val_pct, F.lit("val")).otherwise(F.lit("train")).alias("split"),
     )
+
+
+# PII patterns shared by detect and redact; written in the common
+# Java-regex / RE2 subset so Spark and the DuckDB oracle compile the
+# same automaton (\b, \d, bounded repeats only — no lookaround).
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ip": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\b\d{3}[- .]\d{3}[- .]\d{4}\b",
+}
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """PII detection + redaction: emails, IPv4 addresses, and
+    NANP-style phone numbers found by pattern, counted per document,
+    and replaced with typed placeholders ([EMAIL]/[IP]/[PHONE]).
+
+    Redaction order is fixed (email, ip, phone) so a token consumed
+    by an earlier pattern can't be re-matched by a later one — the
+    oracle applies the same order. Map-only: three regexp_count +
+    three regexp_replace per row, all whole-stage codegen; no
+    shuffle, so it scales with corpus bytes. (A production pipeline
+    adds NER-model detection via a pandas UDF behind the same
+    column contract.)
+    """
+    t = F.col(text_col)
+    counts = {
+        kind: F.regexp_count(t, F.lit(pat)).cast("int").alias(f"n_{kind}s")
+        for kind, pat in PII_PATTERNS.items()
+    }
+    red = t
+    for kind, pat in PII_PATTERNS.items():  # insertion order = apply order
+        red = F.regexp_replace(red, pat, f"[{kind.upper()}]")
+    total = sum(F.regexp_count(t, F.lit(p)) for p in PII_PATTERNS.values())
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        *counts.values(),
+        red.alias("redacted_text"),
+        (total > 0).alias("has_pii"),
+    )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    para_words: int = 10,
+    min_docs: int = 3,
+) -> DataFrame:
+    """Corpus-level paragraph dedup with document reassembly (the
+    CCNet/C4 boilerplate-removal step): segment each document into
+    fixed ``para_words``-word paragraphs, drop every paragraph that
+    appears verbatim in >= ``min_docs`` distinct documents (cookie
+    banners, navigation chrome, license headers), and reassemble the
+    surviving paragraphs in their original order.
+
+    Plan: the paragraph list is built expression-side (one slice per
+    window, no per-word explode), then ONE posexplode feeds a
+    count-distinct on the paragraph string (key-local shuffle, heavy
+    hitters only survive the HAVING), a plain left join marks common
+    paragraphs (the common set is small by construction — AQE
+    broadcasts it at runtime; no pinned hint, the tfidf lesson), and
+    reassembly is a per-doc collect_list + array_sort. Three
+    shuffles total, all on keys that scale with corpus size.
+    """
+    if para_words < 1:
+        raise ValueError(f"para_words must be >= 1, got {para_words}")
+    tokened = df.select(F.col(id_col).alias("doc_id"), words(text_col).alias("_w"))
+    w = F.col("_w")
+    n_paras = F.ceil(F.size(w) / F.lit(para_words)).cast("int")
+    paras_arr = F.when(
+        n_paras >= 1,
+        F.transform(
+            F.sequence(F.lit(0), n_paras - F.lit(1)),
+            lambda i: F.concat_ws(
+                " ", F.slice(w, i * para_words + F.lit(1), para_words)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    paras = tokened.select(
+        "doc_id", F.posexplode_outer(paras_arr).alias("para_idx", "para")
+    ).filter(F.col("para").isNotNull())
+    common = (
+        paras.groupBy("para")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("para", F.lit(True).alias("is_common"))
+    )
+    marked = paras.join(common, "para", "left")
+    keep = F.col("is_common").isNull()
+    kept_struct = F.when(
+        keep, F.struct(F.col("para_idx").alias("i"), F.col("para").alias("p"))
+    )
+    return marked.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(F.array_sort(F.collect_list(kept_struct)), lambda s: s["p"]),
+        ).alias("clean_text"),
+        F.sum(F.when(keep, 1).otherwise(0)).cast("long").alias("n_paras_kept"),
+        F.sum(F.when(keep, 0).otherwise(1)).cast("long").alias("n_paras_dropped"),
+    )

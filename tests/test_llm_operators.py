@@ -337,3 +337,70 @@ def test_image_codec_roundtrip_and_decode_query():
         decode_image(b"\x89PNG\r\n\x1a\n....")
     with pytest.raises(NotImplementedError):
         decode_image(b"\xff\xd8\xff\xe0JFIF")
+
+
+# ---------------------------------------------------------------------------
+# PII scrub
+# ---------------------------------------------------------------------------
+
+def test_pii_scrub_detects_and_redacts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "reach me at jane.doe+x@corp.example.org or 555-123-4567 ok"),
+            (2, "server 192.168.1.200 answered and 10.0.0.1 timed out"),
+            (3, "no personal data in this sentence at all"),
+            (4, "two mails a@b.co and c.d@e.f.org here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in TX.pii_scrub(df).collect()}
+    assert (rows[1]["n_emails"], rows[1]["n_phones"]) == (1, 1)
+    assert rows[1]["redacted_text"] == "reach me at [EMAIL] or [PHONE] ok"
+    assert rows[2]["n_ips"] == 2 and "[IP]" in rows[2]["redacted_text"]
+    assert "192.168" not in rows[2]["redacted_text"]
+    assert rows[3]["has_pii"] is False
+    assert rows[3]["redacted_text"] == "no personal data in this sentence at all"
+    assert rows[4]["n_emails"] == 2
+
+
+# ---------------------------------------------------------------------------
+# Paragraph dedup + reassembly
+# ---------------------------------------------------------------------------
+
+def test_paragraph_dedup_drops_common_keeps_order(spark):
+    boiler = "one two three four five"  # 5-word paragraphs below
+    bodies = {
+        1: "alpha bravo charlie delta echo foxtrot golf hotel india juliet",
+        2: "kilo lima mike november oscar papa quebec romeo sierra tango",
+        3: "uniform victor whiskey xray yankee zulu apple banana cherry date",
+    }
+    rows = [(i, f"{boiler} {b}") for i, b in bodies.items()]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in TX.paragraph_dedup(df, para_words=5, min_docs=3).collect()
+    }
+    for i, body in bodies.items():
+        # the shared header paragraph is dropped, the unique body
+        # paragraphs survive in their original order
+        assert out[i]["clean_text"] == body
+        assert out[i]["n_paras_dropped"] == 1
+        assert out[i]["n_paras_kept"] == 2
+
+
+def test_paragraph_dedup_below_threshold_keeps_everything(spark):
+    df = spark.createDataFrame(
+        [(1, "shared header words here body one"), (2, "shared header words here body two")],
+        "doc_id long, text string",
+    )
+    out = TX.paragraph_dedup(df, para_words=5, min_docs=3).collect()
+    assert all(r["n_paras_dropped"] == 0 for r in out)
+
+
+def test_paragraph_dedup_all_common_doc_empties(spark):
+    df = spark.createDataFrame(
+        [(i, "exactly five words right here") for i in range(1, 5)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in TX.paragraph_dedup(df, para_words=5, min_docs=3).collect()}
+    assert all(r["clean_text"] == "" and r["n_paras_kept"] == 0 for r in out.values())
