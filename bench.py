@@ -100,6 +100,15 @@ HEADLINE = {
     # round-5 additions: real image decode + ANN recall evidence
     "multimodal_decode_image": L.multimodal_decode_image,
     "ann_recall_at_k": L.ann_recall_at_k,
+    # round-5 TPC-H completion (derived-partsupp shapes) + PII scrub
+    # + paragraph dedup
+    "q2_min_cost_supplier": R.q2_min_cost_supplier,
+    "q9_product_type_profit": R.q9_product_type_profit,
+    "q11_important_part_value": R.q11_important_part_value,
+    "q16_parts_supplier_counts": R.q16_parts_supplier_counts,
+    "q20_promotable_suppliers": R.q20_promotable_suppliers,
+    "text_pii_scrub": L.text_pii_scrub,
+    "text_paragraph_dedup": L.text_paragraph_dedup,
 }
 
 # the 14 queries recorded since round 1 — their sum is the anchored

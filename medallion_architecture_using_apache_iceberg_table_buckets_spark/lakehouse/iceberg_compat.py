@@ -167,6 +167,98 @@ def _top_level_field_ids(ice_schema: dict) -> dict[str, int]:
     return {f["name"]: f["id"] for f in ice_schema["fields"]}
 
 
+def _max_field_id(node) -> int:
+    """Highest field id anywhere in an Iceberg schema tree (nested
+    element/key/value ids included) — the spec's last-column-id."""
+    best = 0
+    if isinstance(node, dict):
+        if node.get("type") == "struct":
+            for f in node["fields"]:
+                best = max(best, f["id"], _max_field_id(f["type"]))
+        elif node.get("type") == "list":
+            best = max(best, node["element-id"], _max_field_id(node["element"]))
+        elif node.get("type") == "map":
+            best = max(
+                best, node["key-id"], node["value-id"],
+                _max_field_id(node["key"]), _max_field_id(node["value"]),
+            )
+    return best
+
+
+# ---------------------------------------------------------------------------
+# Field-id history (Iceberg's schema-evolution id contract): a column
+# keeps its id across renames, a dropped id is retired forever, and a
+# new column always gets last-column-id + 1. The engine's evolution
+# primitives (Table.add_column/rename_column/drop_column) thread every
+# change through evolve_field_ids, persisting the id-carrying schema
+# in table properties — export then emits HISTORY-true ids instead of
+# re-assigning positionally from the current schema (which would give
+# a column a different id after any earlier column was dropped).
+# ---------------------------------------------------------------------------
+
+FIELD_IDS_PROP = "iceberg.field-ids"
+
+
+def _ids_doc(prop_json: str | None, schema_before: T.StructType) -> dict:
+    import json as _json
+
+    if prop_json:
+        return _json.loads(prop_json)
+    ice = schema_to_iceberg(schema_before)
+    return {"schema": ice, "last-column-id": _max_field_id(ice)}
+
+
+def evolve_field_ids(
+    prop_json: str | None,
+    schema_before: T.StructType,
+    action: str,
+    name: str | None = None,
+    new_name: str | None = None,
+    dtype: T.DataType | None = None,
+) -> str:
+    """Apply one evolution action to the persisted id-carrying schema
+    and return the new property value. ``schema_before`` seeds the
+    document positionally the first time a table without the property
+    evolves (its pre-evolution ids were positional by construction,
+    so the seed is exact, not a guess)."""
+    import json as _json
+
+    doc = _ids_doc(prop_json, schema_before)
+    fields = doc["schema"]["fields"]
+    if action == "add":
+        nid = [doc["last-column-id"]]
+
+        def nxt() -> int:
+            nid[0] += 1
+            return nid[0]
+
+        fields.append(
+            {
+                "id": nxt(),
+                "name": name,
+                "required": False,  # engine adds nullable columns only
+                "type": _type_to_iceberg(dtype, nxt),
+            }
+        )
+        doc["last-column-id"] = nid[0]
+    elif action == "rename":
+        for f in fields:
+            if f["name"] == name:
+                f["name"] = new_name
+                break
+        else:
+            raise KeyError(f"no column {name!r} in the field-id history")
+    elif action == "drop":
+        kept = [f for f in fields if f["name"] != name]
+        if len(kept) == len(fields):
+            raise KeyError(f"no column {name!r} in the field-id history")
+        doc["schema"]["fields"] = kept
+        # last-column-id is NOT lowered: the dropped ids stay retired
+    else:
+        raise ValueError(f"unknown field-id action {action!r}")
+    return _json.dumps(doc)
+
+
 def partition_spec_to_iceberg(
     partition_by: list[str], ice_schema: dict, spec_id: int = 0
 ) -> dict:
@@ -256,9 +348,20 @@ def snapshot_to_iceberg(snap: Snapshot, field_ids: dict[str, int]) -> dict:
 def table_metadata(table: Table) -> dict:
     """Export the full Iceberg v2 TableMetadata document (+ one
     manifest entry list per snapshot under ``manifests``)."""
+    import json as _json
+
     snaps = table.snapshots()
     head = table.current_snapshot()
-    ice_schema = schema_to_iceberg(table.schema)
+    ids_prop = head.properties.get(FIELD_IDS_PROP)
+    if ids_prop:
+        # evolution happened: use the history-true ids (renames keep
+        # their id, dropped ids stay retired, adds extend the tail)
+        ids_doc = _json.loads(ids_prop)
+        ice_schema = ids_doc["schema"]
+        last_column_id = ids_doc["last-column-id"]
+    else:
+        ice_schema = schema_to_iceberg(table.schema)
+        last_column_id = _max_field_id(ice_schema)
     field_ids = _top_level_field_ids(ice_schema)
     exported = [snapshot_to_iceberg(s, field_ids) for s in snaps]
     return {
@@ -267,7 +370,7 @@ def table_metadata(table: Table) -> dict:
         "location": str(table.root),
         "last-sequence-number": head.snapshot_id,
         "last-updated-ms": head.timestamp_ms,
-        "last-column-id": max(field_ids.values(), default=0),
+        "last-column-id": last_column_id,
         "schemas": [ice_schema],
         "current-schema-id": 0,
         "partition-specs": [
@@ -277,7 +380,11 @@ def table_metadata(table: Table) -> dict:
         "last-partition-id": 999 + len(head.partition_by),
         "sort-orders": [{"order-id": 0, "fields": []}],
         "default-sort-order-id": 0,
-        "properties": dict(head.properties),
+        # the field-id history is engine plumbing: its content IS the
+        # exported "schemas" entry, so don't duplicate it as a prop
+        "properties": {
+            k: v for k, v in head.properties.items() if k != FIELD_IDS_PROP
+        },
         "current-snapshot-id": head.snapshot_id,
         "snapshots": [e["snapshot"] for e in exported],
         "snapshot-log": [
@@ -624,6 +731,86 @@ def _partition_value(tr, file_rel: str):
     return None
 
 
+def _link_rename_if_absent(src, dst) -> bool:
+    """POSIX rename-if-absent: hard-link ``src`` to ``dst`` (fails
+    atomically with EEXIST when ``dst`` exists — the kernel is the
+    arbiter, no read-check-write window), then drop ``src``. This is
+    the same commit primitive Iceberg's HadoopTableOperations gets
+    from HDFS ``rename`` (which, unlike POSIX rename, does not
+    overwrite). Object stores without an atomic create-if-absent
+    need a real catalog's conditional put instead — documented in
+    the module docstring, not pretended here.
+    """
+    import os
+
+    try:
+        os.link(src, dst)
+    except FileExistsError:
+        return False
+    os.unlink(src)
+    return True
+
+
+def current_metadata_version(meta_dir) -> int:
+    """Current committed version: start from ``version-hint.text``
+    (best-effort in the HadoopCatalog protocol — a crashed or racing
+    writer may leave it stale) and WALK FORWARD while ``v<N+1>``
+    exists, exactly like HadoopTableOperations.findVersion(). A
+    hint-only read would pin a stale value forever; the walk always
+    converges on the true head. 0 when nothing was ever committed."""
+    from pathlib import Path
+
+    meta_dir = Path(meta_dir)
+    hint = meta_dir / "version-hint.text"
+    version = 0
+    if hint.exists():
+        try:
+            v = int(hint.read_text().strip())
+            if (meta_dir / f"v{v}.metadata.json").exists():
+                version = v
+        except ValueError:
+            pass
+    while (meta_dir / f"v{version + 1}.metadata.json").exists():
+        version += 1
+    return version
+
+
+def commit_metadata_atomic(meta_dir, metadata_text: str,
+                           max_retries: int = 20) -> int:
+    """HadoopTableOperations-protocol commit of one TableMetadata
+    document: write to a uniquely named temp file, then CAS it to
+    ``v<N+1>.metadata.json`` via rename-if-absent. Losing the race
+    means another writer committed N+1 first — re-probe and retry on
+    top of the new head (optimistic concurrency, exactly Iceberg's
+    contract). The version-hint update afterwards is best-effort and
+    non-atomic by design; correctness rests on the CAS alone.
+
+    Returns the committed version number.
+    """
+    import uuid as _uuid
+    from pathlib import Path
+
+    meta_dir = Path(meta_dir)
+    meta_dir.mkdir(parents=True, exist_ok=True)
+    tmp = meta_dir / f".{_uuid.uuid4().hex}.metadata.json.tmp"
+    tmp.write_text(metadata_text)
+    try:
+        for _ in range(max_retries):
+            version = current_metadata_version(meta_dir) + 1
+            if _link_rename_if_absent(tmp, meta_dir / f"v{version}.metadata.json"):
+                # best-effort hint; never move it backwards for a
+                # slow writer that lost many races
+                hint = meta_dir / "version-hint.text"
+                if current_metadata_version(meta_dir) <= version:
+                    hint.write_text(str(version))
+                return version
+        raise RuntimeError(
+            f"metadata commit lost {max_retries} races in {meta_dir}"
+        )
+    finally:
+        tmp.unlink(missing_ok=True)
+
+
 def export_iceberg_dir(table: Table, dest) -> "Path":
     """Write the full Iceberg-shaped metadata directory for ``table``:
 
@@ -795,11 +982,11 @@ def export_iceberg_dir(table: Table, dest) -> "Path":
     import json as _json
 
     doc.pop("manifests", None)
-    version = doc["current-snapshot-id"]
-    (meta_dir / f"v{version}.metadata.json").write_text(
-        _json.dumps(doc, indent=2, default=str)
-    )
-    (meta_dir / "version-hint.text").write_text(str(version))
+    # sequential version allocated by the HadoopCatalog CAS protocol
+    # (rename-if-absent on v<N+1>.metadata.json): re-exports of an
+    # evolving table into the same dir commit v1, v2, ... and racing
+    # writers serialize without locks
+    commit_metadata_atomic(meta_dir, _json.dumps(doc, indent=2, default=str))
     return dest
 
 
@@ -816,7 +1003,7 @@ def import_iceberg_dir(dest) -> list[Snapshot]:
     from ..functions.avro_codec import read_container_file
 
     meta_dir = Path(dest) / "metadata"
-    version = (meta_dir / "version-hint.text").read_text().strip()
+    version = current_metadata_version(meta_dir)  # hint + forward walk
     doc = _json.loads((meta_dir / f"v{version}.metadata.json").read_text())
 
     manifests: dict[str, list[dict]] = {}
@@ -847,15 +1034,19 @@ def compat_notes() -> list[str]:
     Closed in r5 (no longer listed): murmur3 bucket hashing (the
     engine's bucket transform IS the spec hash, lakehouse/murmur3.py);
     Avro manifest/manifest-list files + binary single-value bounds +
-    version-hint.text (export_iceberg_dir)."""
+    version-hint.text (export_iceberg_dir); the catalog pointer's
+    ATOMIC swap (commit_metadata_atomic — HadoopTableOperations'
+    rename-if-absent CAS with findVersion forward-walk; POSIX/HDFS
+    semantics — an object store without atomic create-if-absent still
+    needs a real catalog's conditional put); schema-history field-ids
+    (evolve_field_ids + FIELD_IDS_PROP — renames keep their id,
+    dropped ids are retired forever, adds take last-column-id + 1,
+    threaded through every ALTER primitive and preferred at export)."""
     return [
-        "catalog pointer: version-hint.text is written, but a real "
-        "catalog's ATOMIC metadata-location swap (rename-if-absent / "
-        "conditional put) replaces our CURRENT file semantics",
-        "column field-ids are assigned positionally at export; tables "
-        "evolved with ALTER must map dropped/renamed ids through the "
-        "schema history instead",
         "delete files (v2 MOR position/equality deletes) are not "
         "exported: the engine's MOR deltas compact to data files "
         "before export",
+        "pre-existing tables that evolved before this engine version "
+        "have no recorded id history; their first post-upgrade ALTER "
+        "seeds ids positionally from the then-current schema",
     ]

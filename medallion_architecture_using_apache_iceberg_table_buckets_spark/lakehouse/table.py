@@ -918,8 +918,15 @@ class Table:
         new_schema = T.StructType(
             schema.fields + [T.StructField(name, dt, True)]
         )
+        from .iceberg_compat import FIELD_IDS_PROP, evolve_field_ids
+
+        ids = evolve_field_ids(
+            cur.properties.get(FIELD_IDS_PROP), schema, "add",
+            name=name, dtype=dt,
+        )
         return self._next_snapshot(
-            "evolve-schema", cur.files, [], [], new_schema, base
+            "evolve-schema", cur.files, [], [], new_schema, base,
+            new_properties={FIELD_IDS_PROP: ids},
         )
 
     def rename_column(self, old: str, new: str) -> Snapshot:
@@ -946,6 +953,12 @@ class Table:
             T.StructField(new, f.dataType, f.nullable) if f.name == old else f
             for f in schema.fields
         ]
+        from .iceberg_compat import FIELD_IDS_PROP, evolve_field_ids
+
+        ids = evolve_field_ids(
+            cur.properties.get(FIELD_IDS_PROP), schema, "rename",
+            name=old, new_name=new,
+        )
         return self._next_snapshot(
             "evolve-schema",
             cur.files,
@@ -953,7 +966,8 @@ class Table:
             [],
             T.StructType(fields),
             base,
-            new_properties={self.RENAMES_PROP: json.dumps(renames)},
+            new_properties={self.RENAMES_PROP: json.dumps(renames),
+                            FIELD_IDS_PROP: ids},
         )
 
     def drop_column(self, name: str) -> Snapshot:
@@ -970,6 +984,11 @@ class Table:
         renames = self._snap_renames(cur)
         renames.pop(name, None)
         fields = [f for f in schema.fields if f.name != name]
+        from .iceberg_compat import FIELD_IDS_PROP, evolve_field_ids
+
+        ids = evolve_field_ids(
+            cur.properties.get(FIELD_IDS_PROP), schema, "drop", name=name
+        )
         return self._next_snapshot(
             "evolve-schema",
             cur.files,
@@ -977,7 +996,8 @@ class Table:
             [],
             T.StructType(fields),
             base,
-            new_properties={self.RENAMES_PROP: json.dumps(renames)},
+            new_properties={self.RENAMES_PROP: json.dumps(renames),
+                            FIELD_IDS_PROP: ids},
         )
 
     # ------------------------------------------------------------------

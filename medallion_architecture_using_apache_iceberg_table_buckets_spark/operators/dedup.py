@@ -482,12 +482,32 @@ def embedding_cosine_pairs_brute(
     )
 
 
+def _auto_planes(df: DataFrame, target_occupancy: int = 8,
+                 lo: int = 4, hi: int = 24) -> int:
+    """log2-size the hyperplane count so expected bucket occupancy
+    stays ~constant as the corpus grows. A FIXED plane count is the
+    one way hyperplane LSH goes quadratic: 10x rows in the same
+    2^n_planes buckets means ~100x in-bucket candidate pairs — the
+    round-5 10x step-up bench measured a 54x runtime factor for the
+    pinned-8-planes configuration. Auto-sizing restores ~linear cost
+    (occupancy constant, probe count grows only with log n).
+
+    Planning-side count: parquet-backed inputs answer from footer
+    metadata; the general-DataFrame fallback is one count job — the
+    same planning-cost class as merge partition pruning.
+    """
+    import math
+
+    n = df.count()
+    return max(lo, min(hi, math.ceil(math.log2(max(2.0, n / target_occupancy)))))
+
+
 def embedding_cosine_pairs_lsh(
     df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.4,
-    n_planes: int = 8,
+    n_planes: int | None = None,
     dim: int = 64,
     multiprobe: int = 1,
 ) -> DataFrame:
@@ -504,9 +524,18 @@ def embedding_cosine_pairs_lsh(
     reproduces the candidate set exactly. Recall vs the brute-force
     baseline is the documented LSH trade; the dial is (n_planes,
     multiprobe).
+
+    ``n_planes=None`` (the default) auto-sizes the plane count from
+    the corpus size (``_auto_planes``) so bucket occupancy — and with
+    it the candidate-join cost per row — stays constant at any scale.
+    Callers that need a reproducible bucket layout across differently
+    sized corpora (the driver oracle does) pin an explicit value.
     """
     from ..functions.vector import cosine_from_norms, norm_expr
     from .similarity import hyperplane_buckets
+
+    if n_planes is None:
+        n_planes = _auto_planes(df)
 
     b = hyperplane_buckets(_fan_out(df), vec_col, id_col, n_planes, dim).withColumn(
         "nrm", norm_expr("embedding", dim)

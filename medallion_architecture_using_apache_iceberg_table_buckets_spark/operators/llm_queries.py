@@ -108,9 +108,13 @@ def dedup_embedding_lsh_pairs(spark, sf_dir):
     """Scale path for embedding near-dup: LSH-bucketed candidates +
     exact-cosine verify (dedup.embedding_cosine_pairs_lsh). The
     candidate set is deterministic (closed-form buckets), so the
-    oracle reproduces it exactly."""
+    oracle reproduces it exactly. n_planes is PINNED to 8 here so the
+    static oracle SQL sees the same bucket layout at every sf; the
+    library default auto-sizes planes from the corpus size
+    (dedup._auto_planes) to keep bucket occupancy — and candidate-join
+    cost per row — constant at scale."""
     return D.embedding_cosine_pairs_lsh(
-        load(spark, sf_dir, "embeddings"), threshold=0.4
+        load(spark, sf_dir, "embeddings"), threshold=0.4, n_planes=8
     )
 
 

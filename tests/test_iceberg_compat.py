@@ -4,8 +4,9 @@ shape, and re-import it losslessly (lakehouse/iceberg_compat.py).
 
 This is the seam a real-Iceberg shim plugs into once the runtime
 jars exist; `compat_notes()` enumerates exactly what such a shim
-still owes (Avro manifests, murmur3 bucket values, binary bounds,
-catalog pointer, schema-history field-ids).
+still owes (schema-history field-ids, MOR delete files). Closed
+here across r5: Avro manifests, murmur3 bucket values, binary
+bounds, and the catalog pointer's atomic CAS commit.
 """
 
 import json
@@ -221,13 +222,14 @@ def test_field_ids_are_deterministic(spark):
 
 def test_compat_notes_enumerate_the_shim_work():
     notes = compat_notes()
-    assert len(notes) >= 3
+    assert len(notes) >= 2
     # gaps CLOSED in r5 must not be listed: murmur3 bucket hash
-    # (lakehouse/murmur3.py) and Avro manifests / binary bounds
-    # (export_iceberg_dir)
+    # (lakehouse/murmur3.py), Avro manifests / binary bounds
+    # (export_iceberg_dir), and the catalog pointer's atomic swap
+    # (commit_metadata_atomic)
     assert not any("murmur3" in n for n in notes)
     assert not any("Avro manifest" in n for n in notes)
-    assert any("catalog" in n for n in notes)
+    assert not any("catalog pointer" in n for n in notes)
 
 
 def test_export_iceberg_dir_writes_real_avro_manifests(spark, tmp_path):
@@ -249,11 +251,12 @@ def test_export_iceberg_dir_writes_real_avro_manifests(spark, tmp_path):
     meta = dest / "metadata"
 
     head = t.current_snapshot()
-    version = head.snapshot_id
-    assert (meta / "version-hint.text").read_text() == str(version)
-    doc = json.loads((meta / f"v{version}.metadata.json").read_text())
+    # sequential HadoopCatalog version (first commit into this dir)
+    assert (meta / "version-hint.text").read_text() == "1"
+    doc = json.loads((meta / "v1.metadata.json").read_text())
     assert doc["format-version"] == 2
     assert "manifests" not in doc  # JSON extension replaced by Avro
+    version = head.snapshot_id  # snap/manifest files keep snapshot ids
 
     # manifest list: one entry pointing at an existing manifest file
     # whose recorded length is the actual byte length
@@ -329,3 +332,116 @@ def test_import_iceberg_dir_roundtrips_from_avro_only(spark, tmp_path):
         assert b.added_files == sorted(n.added_files)
         assert b.removed_files == sorted(n.removed_files)
         assert b.partition_by == n.partition_by
+
+
+def test_atomic_commit_races_serialize(tmp_path):
+    """The HadoopCatalog CAS protocol: 16 threads race to commit; the
+    kernel's link-if-absent serializes them into 16 DISTINCT
+    sequential versions with no lost or duplicated commit, and the
+    forward-walk reader converges on the true head even though the
+    hint is only best-effort."""
+    import threading
+
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.lakehouse.iceberg_compat import (
+        commit_metadata_atomic,
+        current_metadata_version,
+    )
+
+    meta = tmp_path / "metadata"
+    versions, errs = [], []
+    barrier = threading.Barrier(16)
+
+    def worker(i):
+        try:
+            barrier.wait()
+            v = commit_metadata_atomic(meta, f'{{"writer": {i}}}')
+            versions.append(v)
+        except Exception as exc:  # pragma: no cover
+            errs.append(exc)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(16)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs
+    assert sorted(versions) == list(range(1, 17))
+    assert current_metadata_version(meta) == 16
+    # no stray temp files from the losers' retries
+    assert not list(meta.glob(".*.tmp"))
+
+
+def test_stale_hint_forward_walk(tmp_path):
+    """A stale (or garbage) version-hint must not pin the version:
+    the reader walks forward to the newest committed file, and the
+    next commit lands above it — HadoopTableOperations.findVersion
+    semantics."""
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.lakehouse.iceberg_compat import (
+        commit_metadata_atomic,
+        current_metadata_version,
+    )
+
+    meta = tmp_path / "metadata"
+    for i in range(3):
+        commit_metadata_atomic(meta, f'{{"n": {i}}}')
+    (meta / "version-hint.text").write_text("1")  # crashed writer
+    assert current_metadata_version(meta) == 3
+    assert commit_metadata_atomic(meta, '{"n": 3}') == 4
+    (meta / "version-hint.text").write_text("not a number")
+    assert current_metadata_version(meta) == 4
+
+
+def test_repeated_export_bumps_version(spark, tmp_path):
+    """Re-exporting an evolving table into the same dir commits
+    sequential versions and import follows the newest."""
+    import json as _json
+
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.lakehouse.iceberg_compat import (
+        export_iceberg_dir,
+        import_iceberg_dir,
+    )
+
+    t = _table(spark, tmp_path)
+    dest = export_iceberg_dir(t, tmp_path / "export")
+    export_iceberg_dir(t, tmp_path / "export")
+    meta = dest / "metadata"
+    assert (meta / "v1.metadata.json").exists()
+    assert (meta / "v2.metadata.json").exists()
+    assert (meta / "version-hint.text").read_text() == "2"
+    back = import_iceberg_dir(dest)
+    assert len(back) == len(t.snapshots())
+
+
+def test_field_ids_survive_schema_evolution(spark, tmp_path):
+    """Iceberg's id contract through ALTER history: a renamed column
+    keeps its original id, a dropped id is retired forever (never
+    reused by a later add), and every add takes last-column-id + 1 —
+    positional re-assignment from the current schema would violate
+    all three after the first drop."""
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.lakehouse.iceberg_compat import (
+        table_metadata,
+    )
+
+    cat = Catalog(tmp_path / "wh")
+    sch = T.StructType.fromDDL("a long, b string, c double")
+    t = cat.create_table("d", "evo", sch)
+    t.append(spark.createDataFrame([(1, "x", 1.0)], sch))
+
+    base = {f["name"]: f["id"] for f in table_metadata(t)["schemas"][0]["fields"]}
+    assert base == {"a": 1, "b": 2, "c": 3}
+
+    t.rename_column("b", "b2")      # keeps id 2
+    t.drop_column("a")              # retires id 1
+    t.add_column("d", "string")     # takes 4, never 1
+    t.rename_column("d", "d2")      # keeps 4
+    t.add_column("e", "array<long>")  # 5 + element-id 6
+
+    doc = table_metadata(t)
+    ids = {f["name"]: f["id"] for f in doc["schemas"][0]["fields"]}
+    assert ids == {"b2": 2, "c": 3, "d2": 4, "e": 5}
+    e_field = next(f for f in doc["schemas"][0]["fields"] if f["name"] == "e")
+    assert e_field["type"]["element-id"] == 6
+    assert doc["last-column-id"] == 6
+    assert 1 not in ids.values()  # retired, not reused
+    # partition-spec source ids resolve through the SAME id space
+    assert "iceberg.field-ids" not in doc["properties"]

@@ -305,6 +305,9 @@ def test_brute_baselines_are_the_only_all_pairs_plans(spark, sf_dir):
         "subquery_max_order",
         "text_quality_percentile_cut",
         "sketch_quantiles",
+        # q11: 1-row national-total aggregate broadcast back as the
+        # HAVING threshold (q15 pattern)
+        "q11_important_part_value",
     }
     # Queries whose construction performs writes/iterative jobs; their
     # plan hygiene is asserted by dedicated tests.

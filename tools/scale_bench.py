@@ -46,7 +46,18 @@ QUERIES = {
     "medallion_merge_state": R.medallion_merge_state,
     "dedup_minhash_lsh_pairs": L.dedup_minhash_lsh_pairs,
     "dedup_ngram_jaccard_pairs": L.dedup_ngram_jaccard_pairs,
-    "dedup_embedding_lsh_pairs": L.dedup_embedding_lsh_pairs,
+    # the registry wrapper pins n_planes=8 for oracle determinism,
+    # which is exactly the configuration that goes quadratic at 10x
+    # (measured 54x in the first r5 run); the library default
+    # auto-sizes planes from the corpus count — bench both so the
+    # pinned-vs-auto contrast is recorded evidence
+    "dedup_embedding_lsh_pairs_pinned8": L.dedup_embedding_lsh_pairs,
+    "dedup_embedding_lsh_pairs_auto": lambda spark, sf_dir: __import__(
+        "medallion_architecture_using_apache_iceberg_table_buckets_spark.operators.dedup",
+        fromlist=["dedup"],
+    ).embedding_cosine_pairs_lsh(
+        R.load(spark, sf_dir, "embeddings"), threshold=0.4
+    ),
     "dedup_components": L.dedup_components,
     "ann_ivf_topk": L.ann_ivf_topk,
     "text_repetition_scores": L.text_repetition_scores,
@@ -121,19 +132,24 @@ def build_scaled_dir() -> None:
         "overwrite"
     ).parquet(f"{DST}/documents.parquet")
 
-    # embeddings: deterministic per-copy jitter keeps vectors distinct
-    # across copies (identical vectors would make LSH buckets
-    # artificially clique-y) while preserving the overall geometry
+    # embeddings: CIRCULAR-SHIFT each copy's vectors by the copy
+    # index. The first harness version jittered elements by ±0.003,
+    # which left copies at cosine ~0.999 of their originals — the 10x
+    # corpus then contained genuine 10-way near-dup cliques, and the
+    # TRUE near-dup pair count (the operators' output) grew
+    # quadratically, polluting the runtime factors with output size.
+    # A rotation decorrelates cross-copy cosine (~random-vector
+    # level) while preserving every within-copy pair relation exactly
+    # (both sides rotate identically), so 10x data means 10x content
+    # at the same internal duplicate rate — what a real corpus does.
     def emb_extra(df, i):
         if i == 0:
             return df
         return df.withColumn(
             "embedding",
-            F.transform(
-                "embedding",
-                lambda x, j: (
-                    x + (F.lit(0.003 * i) * ((j % 7) - 3))
-                ).cast("float"),
+            F.concat(
+                F.slice("embedding", i + 1, 64 - i),
+                F.slice("embedding", 1, i),
             ),
         )
 
