@@ -604,6 +604,12 @@ def _manifest_entry_schema(transforms) -> dict:
             {"name": "upper_bounds",
              "type": ["null", _kv_int_bytes("k129_v130", 129, 130)],
              "default": None, "field-id": 128},
+            # set only on content=2 entries (equality delete files):
+            # the field ids whose values identify deleted rows
+            {"name": "equality_ids",
+             "type": ["null", {"type": "array", "items": "int",
+                              "element-id": 136}],
+             "default": None, "field-id": 135},
         ],
     }
     return {
@@ -824,10 +830,12 @@ def export_iceberg_dir(table: Table, dest) -> "Path":
     - ``metadata/version-hint.text`` — the HadoopCatalog-convention
       current-version pointer.
 
-    Data files are NOT copied; file_path entries keep the table-
-    relative ``data/...`` spelling. Round-trip readable by
-    read_container_file (tests) — byte-level interop with a real
-    runtime needs only the catalog's atomic swap (compat_notes).
+    The export dir is SELF-CONTAINED: data files are hardlinked
+    (copy-free; copy fallback across devices) under ``dest/data/``,
+    and pending MOR delta files are translated into Iceberg v2
+    equality-delete + data file pairs under ``dest/data/__mor__/``
+    with a per-snapshot DELETE manifest (content=1) alongside the
+    data manifest. Every ``file_path`` resolves against ``dest``.
     """
     import os
     from pathlib import Path
@@ -856,6 +864,66 @@ def export_iceberg_dir(table: Table, dest) -> "Path":
             st = s.stats.get(f)
             if st and st.get(":rows:") is not None:
                 rows_of.setdefault(f, st[":rows:"])
+
+    # ---- MOR delta translation: v2 equality-delete + data pairs ----
+    # The engine's merge-delta file holds full rows tagged _op=u/d.
+    # Iceberg's spelling of the same state: an equality DELETE file
+    # (key values of every delta row — an upsert equality-deletes its
+    # older copy too) at the delta's sequence number, plus a plain
+    # data file holding the upserted rows. The sequence rule
+    # (equality deletes hit data files with seq STRICTLY LESS) gives
+    # exactly the engine's newest-sequence-wins resolve, including
+    # across chained deltas. Translation happens offline via pyarrow;
+    # the translated pair lives under data/__mor__/<snap>/ inside the
+    # export dir, with the ORIGINAL relative path flattened into the
+    # file name so import can fuse the pair back into a native delta.
+    delta_info: dict[str, dict] = {}
+    for s in snaps:
+        if s.operation == "merge-delta":
+            keys = [
+                k for k in s.properties.get("merge-on-read.key", "").split(",") if k
+            ]
+            for f in s.added_files:
+                delta_info.setdefault(f, {"snap": s.snapshot_id, "keys": keys})
+    if delta_info:
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        for f, info in delta_info.items():
+            tbl = pq.read_table(table.data_root / f)
+            flat = f.replace("/", "%2F")
+            d = dest / "data" / "__mor__" / str(info["snap"])
+            d.mkdir(parents=True, exist_ok=True)
+            data_part = tbl.filter(pc.equal(tbl.column("_op"), "u")).drop(["_op"])
+            del_part = tbl.select(info["keys"])
+            data_rel = f"data/__mor__/{info['snap']}/{flat}.data.parquet"
+            del_rel = f"data/__mor__/{info['snap']}/{flat}.eqdel.parquet"
+            pq.write_table(data_part, dest / data_rel)
+            pq.write_table(del_part, dest / del_rel)
+            info.update(
+                data_rel=data_rel, del_rel=del_rel,
+                data_rows=data_part.num_rows, del_rows=del_part.num_rows,
+            )
+
+    # hardlink (copy-free) every untranslated data file into
+    # dest/data/ so the export dir is a SELF-CONTAINED Iceberg table:
+    # every file_path below resolves against dest, nothing points
+    # back into the engine's directory
+    all_files: set[str] = set()
+    for s in snaps:
+        all_files.update(s.files)
+        all_files.update(s.removed_files)
+    import shutil as _shutil
+
+    for f in all_files - set(delta_info):
+        src, dst = table.data_root / f, dest / "data" / f
+        if dst.exists() or not src.exists():
+            continue
+        dst.parent.mkdir(parents=True, exist_ok=True)
+        try:
+            os.link(src, dst)
+        except OSError:
+            _shutil.copy2(src, dst)
 
     def _data_file_record(f: str, snap: Snapshot) -> dict:
         st = {
@@ -892,32 +960,76 @@ def export_iceberg_dir(table: Table, dest) -> "Path":
             ]
         return rec
 
+    def _mor_records(f: str):
+        """(data-part record | None, delete-part record) for one
+        translated delta file. Partition values parse from the
+        ORIGINAL relative path (delta files are partition-laid-out);
+        file paths point at the translated pair."""
+        info = delta_info[f]
+        part = {
+            _spec_field_name(tr): _partition_value(tr, f) for tr in transforms
+        }
+
+        def rec(rel: str, rows: int, content: int) -> dict:
+            r = {
+                "content": content,
+                "file_path": rel,
+                "file_format": "PARQUET",
+                "partition": part,
+                "record_count": rows,
+                "file_size_in_bytes": os.stat(dest / rel).st_size,
+            }
+            if content == 2:
+                r["equality_ids"] = [field_ids[k] for k in info["keys"]]
+            return r
+
+        data_rec = (
+            rec(info["data_rel"], info["data_rows"], 0)
+            if info["data_rows"] else None
+        )
+        return data_rec, rec(info["del_rel"], info["del_rows"], 2)
+
     list_records_by_snap: dict[int, list] = {}
     for snap in snaps:
         added = set(snap.added_files)
-        entries = []
+
+        def _entry(status: int, f: str, rec: dict) -> dict:
+            seq = first_seq.get(f, snap.snapshot_id)
+            return {
+                "status": status,
+                "snapshot_id": seq if status != DELETED else snap.snapshot_id,
+                "sequence_number": seq,
+                "file_sequence_number": seq,
+                "data_file": rec,
+            }
+
+        entries: list[dict] = []
+        delete_entries: list[dict] = []
         for f in sorted(snap.files):
-            entries.append(
-                {
-                    "status": ADDED if f in added else EXISTING,
-                    "snapshot_id": first_seq.get(f, snap.snapshot_id),
-                    "sequence_number": first_seq.get(f, snap.snapshot_id),
-                    "file_sequence_number": first_seq.get(f, snap.snapshot_id),
-                    "data_file": _data_file_record(f, snap),
-                }
-            )
+            status = ADDED if f in added else EXISTING
+            if f in delta_info:
+                data_rec, del_rec = _mor_records(f)
+                if data_rec is not None:
+                    entries.append(_entry(status, f, data_rec))
+                delete_entries.append(_entry(status, f, del_rec))
+            else:
+                entries.append(_entry(status, f, _data_file_record(f, snap)))
         for f in sorted(snap.removed_files):
-            entries.append(
-                {
-                    "status": DELETED,
-                    "snapshot_id": snap.snapshot_id,
-                    "sequence_number": first_seq.get(f, snap.snapshot_id),
-                    "file_sequence_number": first_seq.get(f, snap.snapshot_id),
-                    "data_file": _data_file_record(f, snap),
-                }
-            )
+            if f in delta_info:
+                data_rec, del_rec = _mor_records(f)
+                if data_rec is not None:
+                    entries.append(_entry(DELETED, f, data_rec))
+                delete_entries.append(_entry(DELETED, f, del_rec))
+            else:
+                entries.append(
+                    _entry(DELETED, f, _data_file_record(f, snap))
+                )
         man_path = meta_dir / f"manifest-{snap.snapshot_id}.avro"
         write_container_file(man_path, entry_schema, entries)
+        del_man_path = None
+        if delete_entries:
+            del_man_path = meta_dir / f"manifest-{snap.snapshot_id}-deletes.avro"
+            write_container_file(del_man_path, entry_schema, delete_entries)
 
         # per-partition-field summaries over the manifest's live files
         summaries = []
@@ -941,36 +1053,37 @@ def export_iceberg_dir(table: Table, dest) -> "Path":
                     if non_null else None,
                 }
             )
-        seqs = [first_seq.get(f, snap.snapshot_id) for f in snap.files] or [
-            snap.snapshot_id
-        ]
-        list_records_by_snap[snap.snapshot_id] = [
-            {
-                "manifest_path": f"metadata/manifest-{snap.snapshot_id}.avro",
-                "manifest_length": os.stat(man_path).st_size,
+        def _list_record(path, man_entries, content: int) -> dict:
+            seqs = [e["sequence_number"] for e in man_entries] or [
+                snap.snapshot_id
+            ]
+            by = {ADDED: [], EXISTING: [], DELETED: []}
+            for e in man_entries:
+                by[e["status"]].append(e["data_file"]["record_count"])
+            return {
+                "manifest_path": f"metadata/{path.name}",
+                "manifest_length": os.stat(path).st_size,
                 "partition_spec_id": 0,
-                "content": 0,  # data manifest
+                "content": content,  # 0 = data, 1 = deletes
                 "sequence_number": snap.snapshot_id,
                 "min_sequence_number": min(seqs),
                 "added_snapshot_id": snap.snapshot_id,
-                "added_data_files_count": len(snap.added_files),
-                "existing_data_files_count": len(snap.files)
-                - len(snap.added_files),
-                "deleted_data_files_count": len(snap.removed_files),
-                "added_rows_count": sum(
-                    rows_of.get(f, 0) for f in snap.added_files
-                ),
-                "existing_rows_count": sum(
-                    rows_of.get(f, 0)
-                    for f in snap.files
-                    if f not in set(snap.added_files)
-                ),
-                "deleted_rows_count": sum(
-                    rows_of.get(f, 0) for f in snap.removed_files
-                ),
+                "added_data_files_count": len(by[ADDED]),
+                "existing_data_files_count": len(by[EXISTING]),
+                "deleted_data_files_count": len(by[DELETED]),
+                "added_rows_count": sum(by[ADDED]),
+                "existing_rows_count": sum(by[EXISTING]),
+                "deleted_rows_count": sum(by[DELETED]),
                 "partitions": summaries if transforms else None,
             }
+
+        list_records_by_snap[snap.snapshot_id] = [
+            _list_record(man_path, entries, 0)
         ]
+        if del_man_path is not None:
+            list_records_by_snap[snap.snapshot_id].append(
+                _list_record(del_man_path, delete_entries, 1)
+            )
         write_container_file(
             meta_dir / f"snap-{snap.snapshot_id}.avro",
             MANIFEST_FILE_SCHEMA,
@@ -1011,16 +1124,33 @@ def import_iceberg_dir(dest) -> list[Snapshot]:
         sid = snap_entry["snapshot-id"]
         _, mlist = read_container_file(meta_dir / f"snap-{sid}.avro")
         entries_json = []
+        seen: set[tuple[int, str]] = set()
         for mf in mlist:
             man_file = meta_dir / Path(mf["manifest_path"]).name
             _, entries = read_container_file(man_file)
-            entries_json += [
-                {
-                    "status": e["status"],
-                    "data-file": {"file-path": e["data_file"]["file_path"]},
-                }
-                for e in entries
-            ]
+            for e in entries:
+                path = e["data_file"]["file_path"]
+                # fuse a translated MOR pair (data/__mor__/<snap>/
+                # <flattened-orig>.{data,eqdel}.parquet) back into the
+                # single native delta file it came from: both halves
+                # carry the original relative path in their flattened
+                # file name
+                if path.startswith("data/__mor__/"):
+                    flat = path.rsplit("/", 1)[-1]
+                    for suffix in (".data.parquet", ".eqdel.parquet"):
+                        if flat.endswith(suffix):
+                            flat = flat.removesuffix(suffix)
+                    path = "data/" + flat.replace("%2F", "/")
+                key = (e["status"], path)
+                if key in seen:
+                    continue
+                seen.add(key)
+                entries_json.append(
+                    {
+                        "status": e["status"],
+                        "data-file": {"file-path": path},
+                    }
+                )
         manifests[str(sid)] = entries_json
     doc = dict(doc)
     doc["manifests"] = manifests
@@ -1041,12 +1171,16 @@ def compat_notes() -> list[str]:
     needs a real catalog's conditional put); schema-history field-ids
     (evolve_field_ids + FIELD_IDS_PROP — renames keep their id,
     dropped ids are retired forever, adds take last-column-id + 1,
-    threaded through every ALTER primitive and preferred at export)."""
+    threaded through every ALTER primitive and preferred at export);
+    MOR equality deletes (pending merge-delta files translate to v2
+    equality-delete + data pairs with per-snapshot DELETE manifests —
+    the sequence rule reproduces newest-wins resolve exactly)."""
     return [
-        "delete files (v2 MOR position/equality deletes) are not "
-        "exported: the engine's MOR deltas compact to data files "
-        "before export",
         "pre-existing tables that evolved before this engine version "
         "have no recorded id history; their first post-upgrade ALTER "
         "seeds ids positionally from the then-current schema",
+        "position deletes are never emitted: the engine's only "
+        "row-level delete representation is key-based, which maps to "
+        "equality deletes; a migration needing position deletes must "
+        "rewrite them from the equality form",
     ]

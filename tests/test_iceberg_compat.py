@@ -445,3 +445,102 @@ def test_field_ids_survive_schema_evolution(spark, tmp_path):
     assert 1 not in ids.values()  # retired, not reused
     # partition-spec source ids resolve through the SAME id space
     assert "iceberg.field-ids" not in doc["properties"]
+
+
+def test_mor_deltas_export_as_equality_deletes(spark, tmp_path):
+    """Pending merge-delta files export as Iceberg v2 equality-delete
+    + data file pairs. Three checks: (1) layout — DELETE manifests
+    (content=1) alongside data manifests, equality_ids on content=2
+    entries, self-contained data dir; (2) SEMANTICS — an independent
+    'Iceberg reader' (DuckDB applying the sequence rule: equality
+    deletes hit data files with seq strictly less) reproduces the
+    engine's MOR-resolved read exactly; (3) import fuses each pair
+    back into its native delta file."""
+    import duckdb
+
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.functions.avro_codec import (
+        read_container_file,
+    )
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.lakehouse.iceberg_compat import (
+        export_iceberg_dir,
+        import_iceberg_dir,
+    )
+
+    sch = T.StructType.fromDDL("id long, v string, amount double")
+    cat = Catalog(tmp_path / "wh")
+    t = cat.create_table(
+        "d", "mor", sch, properties={"write.merge.mode": "merge-on-read"}
+    )
+    t.append(spark.createDataFrame([(i, f"v{i}", float(i)) for i in range(10)], sch))
+    from pyspark.sql import functions as F
+
+    # delta 1: upsert ids 0-2, then a CDC delete of id 3
+    up = spark.createDataFrame(
+        [(0, "u0", 100.0), (1, "u1", 101.0), (2, "u2", 102.0)], sch)
+    merge_into(spark, t, up, on="id")
+    dele = spark.createDataFrame([(3, "x", 0.0)], sch).withColumn("Op", F.lit("D"))
+    merge_into(spark, t, dele, on="id", delete_predicate="Op = 'D'")
+    # delta 2 re-upserts id 0 (newest-wins across chained deltas)
+    merge_into(spark, t, spark.createDataFrame([(0, "u0b", 200.0)], sch), on="id")
+    assert t.current_snapshot().operation == "merge-delta"
+
+    dest = export_iceberg_dir(t, tmp_path / "export")
+    meta = dest / "metadata"
+
+    # (1) layout
+    head = t.current_snapshot()
+    _, mlist = read_container_file(meta / f"snap-{head.snapshot_id}.avro")
+    contents = sorted(mf["content"] for mf in mlist)
+    assert contents == [0, 1], "expected one data + one delete manifest"
+    del_mf = next(mf for mf in mlist if mf["content"] == 1)
+    _, del_entries = read_container_file(
+        meta / del_mf["manifest_path"].removeprefix("metadata/")
+    )
+    id_fid = 1  # first column
+    for e in del_entries:
+        assert e["data_file"]["content"] == 2
+        assert e["data_file"]["equality_ids"] == [id_fid]
+        assert (dest / e["data_file"]["file_path"]).exists()
+    data_mf = next(mf for mf in mlist if mf["content"] == 0)
+    _, data_entries = read_container_file(
+        meta / data_mf["manifest_path"].removeprefix("metadata/")
+    )
+    for e in data_entries:
+        assert e["data_file"]["content"] == 0
+        assert e["data_file"].get("equality_ids") is None
+        assert (dest / e["data_file"]["file_path"]).exists()  # self-contained
+
+    # (2) semantics: DuckDB plays the Iceberg reader over the export
+    con = duckdb.connect()
+    live = [(e["data_file"]["file_path"], e["sequence_number"])
+            for e in data_entries if e["status"] in (0, 1)]
+    dels = [(e["data_file"]["file_path"], e["sequence_number"])
+            for e in del_entries if e["status"] in (0, 1)]
+    parts = []
+    for path, seq in live:
+        cond = " AND ".join(
+            f"id NOT IN (SELECT id FROM '{dest}/{dp}')"
+            for dp, dseq in dels if dseq > seq
+        ) or "TRUE"
+        parts.append(
+            f"SELECT id, v, amount FROM '{dest}/{path}' WHERE {cond}"
+        )
+    got = con.execute(
+        " UNION ALL ".join(parts) + " ORDER BY id"
+    ).fetchall()
+    want = [
+        tuple(r) for r in sorted(
+            t.read(spark).select("id", "v", "amount").collect()
+        )
+    ]
+    assert got == want, f"iceberg-reader {got} != engine {want}"
+    assert any(r[0] == 0 and r[1] == "u0b" for r in got)  # newest wins
+    assert not any(r[0] == 3 for r in got)  # delete applied
+
+    # (3) import fuses the pairs back into native delta files
+    back = import_iceberg_dir(dest)
+    native = t.snapshots()
+    assert len(back) == len(native)
+    for b, n in zip(back, native):
+        assert b.files == sorted(n.files)
+        assert b.added_files == sorted(n.added_files)

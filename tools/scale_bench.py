@@ -171,6 +171,19 @@ def main() -> None:
 
     force(R.a1_count_star(spark, SRC))  # warmup
 
+    # queries whose OUTPUT is data-dependent and can legitimately grow
+    # superlinearly (near-dup pairs at a loose threshold on clustered
+    # data are Θ(true-pair-count), and the true pair count itself can
+    # be quadratic — measured 244 -> 15,418 pairs for 10x on this
+    # corpus). Record output rows so runtime factors can be read
+    # against output factors: runtime <= output growth means the
+    # operator is output-bound, i.e. optimal up to constants.
+    OUTPUT_TRACKED = {
+        "dedup_minhash_lsh_pairs", "dedup_ngram_jaccard_pairs",
+        "dedup_embedding_lsh_pairs_pinned8",
+        "dedup_embedding_lsh_pairs_auto", "dedup_components",
+    }
+
     times: dict[str, dict] = {}
     for name, fn in QUERIES.items():
         rec = {}
@@ -182,7 +195,11 @@ def main() -> None:
                 force(fn(spark, sf_dir))
                 runs.append(time.perf_counter() - t0)
             rec[label] = round(min(runs), 3)
+            if name in OUTPUT_TRACKED:
+                rec[f"rows_{label}"] = fn(spark, sf_dir).count()
         rec["factor"] = round(rec["sf1"] / rec["sf0.1"], 2)
+        if "rows_sf0.1" in rec and rec["rows_sf0.1"]:
+            rec["rows_factor"] = round(rec["rows_sf1"] / rec["rows_sf0.1"], 2)
         times[name] = rec
         print(f"# {name}: {rec}", file=sys.stderr)
 
