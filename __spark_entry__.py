@@ -64,6 +64,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The 4 r03-vintage deferred to r06 lead the tail:
     # text_quality_percentile_cut, window_rank_functions,
     # text_boilerplate_ngrams, agg_grouping_sets.
+    #
+    # r06 window plan: those 4 deferred entries first, then the 8
+    # added late in r5 (q2/q9/q11/q16/q20 TPC-H completion,
+    # text_pii_scrub, text_paragraph_dedup, text_token_rarity — all
+    # at the dict tail,
+    # never driver-checked), then rotate the oldest of the r05-window
+    # block to fill the remaining 38 slots.
     return {
         # --- (1-2) added in r4 after that window froze: never had a
         # driver row ---
@@ -192,6 +199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # paragraph dedup with reassembly ---
         "text_pii_scrub": L.text_pii_scrub,
         "text_paragraph_dedup": L.text_paragraph_dedup,
+        "text_token_rarity": L.text_token_rarity,
     }
 
 
@@ -2093,5 +2101,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) FILTER (WHERE NOT keep) AS BIGINT)
                      AS n_paras_dropped
             FROM marked GROUP BY doc_id
+        """,
+        # token rarity: integer corpus frequencies joined back, one
+        # identical-operand division — exact across engines (the
+        # log-prob version of this filter would hit libm ulp skew)
+        "text_token_rarity": f"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split({_NORM.format(t='text')}, ' ')) AS tok
+              FROM documents
+            ),
+            toks2 AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+            freqs AS (SELECT tok, count(*) AS tok_freq
+                      FROM toks2 GROUP BY tok)
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   round(CAST(sum(tok_freq) AS DOUBLE) / count(*), 4)
+                     AS avg_token_freq,
+                   CAST(min(tok_freq) AS BIGINT) AS min_token_freq
+            FROM toks2 JOIN freqs USING (tok)
+            GROUP BY doc_id
         """,
     }

@@ -109,6 +109,7 @@ HEADLINE = {
     "q20_promotable_suppliers": R.q20_promotable_suppliers,
     "text_pii_scrub": L.text_pii_scrub,
     "text_paragraph_dedup": L.text_paragraph_dedup,
+    "text_token_rarity": L.text_token_rarity,
 }
 
 # the 14 queries recorded since round 1 — their sum is the anchored

@@ -1125,3 +1125,9 @@ def text_paragraph_dedup(spark, sf_dir):
     )
     corpus = docs.unionByName(copies)
     return TX.paragraph_dedup(corpus, para_words=10, min_docs=3)
+
+
+def text_token_rarity(spark, sf_dir):
+    """Corpus-frequency rarity profile per doc (text.token_rarity):
+    the exact-arithmetic core of a unigram-LM quality filter."""
+    return TX.token_rarity(_docs(spark, sf_dir))

@@ -507,3 +507,37 @@ def paragraph_dedup(
         F.sum(F.when(keep, 1).otherwise(0)).cast("long").alias("n_paras_kept"),
         F.sum(F.when(keep, 0).otherwise(1)).cast("long").alias("n_paras_dropped"),
     )
+
+
+def token_rarity(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document token-rarity profile against the corpus unigram
+    table: average and minimum corpus frequency of the document's
+    tokens. Low avg_token_freq = novel/rare vocabulary (or noise);
+    high = boilerplate-heavy. The unigram-LM perplexity filter most
+    pipelines run is this operator with log-probs — the join shape
+    is identical, and integer frequencies keep the oracle exact
+    (libm log differs across engines in the last ulp).
+
+    Plan: one explode + count per token (key-local shuffle), join
+    tokens back to frequencies (no pinned broadcast — the vocabulary
+    is corpus-sized at web scale, AQE decides), one per-doc
+    re-aggregation. All arithmetic is integer sums plus a single
+    identical-operand division — bit-identical across engines.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(words(text_col)).alias("tok")
+    ).filter(F.col("tok") != "")
+    freqs = toks.groupBy("tok").agg(F.count("*").alias("tok_freq"))
+    return (
+        toks.join(freqs, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.round(
+                F.sum("tok_freq").cast("double") / F.count("*"), 4
+            ).alias("avg_token_freq"),
+            F.min("tok_freq").cast("long").alias("min_token_freq"),
+        )
+    )

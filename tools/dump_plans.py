@@ -66,6 +66,24 @@ QUERIES = {
         "1-row global threshold broadcast into the pool scan; dormancy as "
         "left-anti join on the date-filtered (pushed-down) orders side.",
     ),
+    # round-5 TPC-H completion
+    "q2_min_cost_supplier": (
+        R.q2_min_cost_supplier,
+        "Correlated per-part MIN decorrelated into a WINDOW over the "
+        "eligible relation — ONE pass (a grouped-min join-back scans the "
+        "join subtree twice); part/nation/region broadcast.",
+    ),
+    "q16_parts_supplier_counts": (
+        R.q16_parts_supplier_counts,
+        "NOT IN denylist planned as a broadcast LEFT ANTI hash join; "
+        "count(DISTINCT) expands to the two-phase aggregate.",
+    ),
+    "q20_promotable_suppliers": (
+        R.q20_promotable_suppliers,
+        "Nested semi-join: conditional half-sum HAVING on the composite "
+        "key, then LEFT SEMI into the supplier dimension — no row "
+        "multiplication anywhere.",
+    ),
 }
 
 
@@ -94,6 +112,19 @@ def llm_queries_section():
             "register union) — shuffle payload is one sketch per group, "
             "independent of entity cardinality; the exactness-validation "
             "join is AQE-broadcast of the per-type row.",
+        ),
+        # round-5 curation additions
+        "text_pii_scrub": (
+            L.text_pii_scrub,
+            "Map-only: three regexp_count + three ordered regexp_replace "
+            "per row inside one WholeStageCodegen span — zero exchanges.",
+        ),
+        "text_paragraph_dedup": (
+            L.text_paragraph_dedup,
+            "Expression-side paragraph build (no per-word explode), one "
+            "posexplode, heavy-hitter count-distinct, UNPINNED left join "
+            "(AQE picks broadcast only if the common set is runtime-small), "
+            "order-preserving collect_list+array_sort rebuild.",
         ),
     }
 
