@@ -65,12 +65,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # text_quality_percentile_cut, window_rank_functions,
     # text_boilerplate_ngrams, agg_grouping_sets.
     #
-    # r06 window plan: those 4 deferred entries first, then the 8
+    # r06 window plan: those 4 deferred entries first, then the 11
     # added late in r5 (q2/q9/q11/q16/q20 TPC-H completion,
-    # text_pii_scrub, text_paragraph_dedup, text_token_rarity — all
-    # at the dict tail,
+    # text_pii_scrub, text_paragraph_dedup, text_token_rarity,
+    # dedup_containment_pairs, dedup_incremental_probe,
+    # corpus_data_card — all at the dict tail,
     # never driver-checked), then rotate the oldest of the r05-window
-    # block to fill the remaining 38 slots.
+    # block to fill the remaining 35 slots.
     return {
         # --- (1-2) added in r4 after that window froze: never had a
         # driver row ---
@@ -200,6 +201,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_scrub": L.text_pii_scrub,
         "text_paragraph_dedup": L.text_paragraph_dedup,
         "text_token_rarity": L.text_token_rarity,
+        "dedup_containment_pairs": L.dedup_containment_pairs,
+        "dedup_incremental_probe": L.dedup_incremental_probe,
+        "corpus_data_card": L.corpus_data_card,
     }
 
 
@@ -2121,5 +2125,96 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(tok_freq) AS BIGINT) AS min_token_freq
             FROM toks2 JOIN freqs USING (tok)
             GROUP BY doc_id
+        """,
+        # containment works on shingle STRINGS (not hashed sids):
+        # intersection over the smaller set, inner = smaller set
+        # (tie: smaller id, which is doc_a since a < b)
+        "dedup_containment_pairs": f"""
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 500000 AS doc_id,
+                     'article wrapper intro paragraph begins here ' || text
+                     || ' reader commentary section follows the quoted'
+                     || ' document' AS text
+              FROM documents WHERE doc_id < 20
+            ), {_SHINGLES},
+            szs AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+              FROM sh a JOIN sh b
+                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT CASE WHEN sa.sz <= sb.sz THEN doc_a ELSE doc_b END
+                     AS inner_doc,
+                   CASE WHEN sa.sz <= sb.sz THEN doc_b ELSE doc_a END
+                     AS outer_doc,
+                   round(inter / least(sa.sz, sb.sz), 4) AS containment
+            FROM inter
+            JOIN szs sa ON sa.doc_id = doc_a
+            JOIN szs sb ON sb.doc_id = doc_b
+            WHERE round(inter / least(sa.sz, sb.sz), 4) >= 0.8
+        """,
+        # incremental probe: signatures are per-doc, so one corpus-wide
+        # minhash chain equals Spark's per-side computation; the band
+        # join is then new-side x hist-side only
+        "dedup_incremental_probe": f"""
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents WHERE doc_id % 4 != 0
+              UNION ALL
+              SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0
+              UNION ALL
+              SELECT doc_id + 400000 AS doc_id,
+                     text || ' extra token tail' AS text
+              FROM documents WHERE doc_id % 4 != 0 AND doc_id < 30
+            ), {_SHINGLES},
+            seeds AS (SELECT * FROM (VALUES {_MINHASH_SEEDS}) s(j, a, b)),
+            mh AS (
+              SELECT doc_id, j, min((a * sid + b) % 2147483647) AS mh
+              FROM sids CROSS JOIN seeds GROUP BY doc_id, j
+            ),
+            bands AS (
+              SELECT doc_id, j // 3 AS band,
+                     string_agg(CAST(mh AS VARCHAR), '_' ORDER BY j) AS key
+              FROM mh GROUP BY doc_id, j // 3
+            ),
+            cands AS (
+              SELECT DISTINCT n.doc_id AS new_doc, h.doc_id AS hist_doc
+              FROM bands n JOIN bands h
+                ON n.band = h.band AND n.key = h.key
+              WHERE (n.doc_id >= 400000 OR n.doc_id % 4 = 0)
+                AND h.doc_id < 400000 AND h.doc_id % 4 != 0
+            ),
+            inter AS (
+              SELECT c.new_doc, c.hist_doc, count(*) AS inter
+              FROM cands c
+              JOIN sids sn ON sn.doc_id = c.new_doc
+              JOIN sids sh2 ON sh2.doc_id = c.hist_doc AND sh2.sid = sn.sid
+              GROUP BY 1, 2
+            )
+            SELECT i.new_doc, i.hist_doc,
+                   round(inter / (sn.sz + sh3.sz - inter), 4) AS jaccard
+            FROM inter i
+            JOIN sizes sn ON sn.doc_id = i.new_doc
+            JOIN sizes sh3 ON sh3.doc_id = i.hist_doc
+            WHERE round(inter / (sn.sz + sh3.sz - inter), 4) >= 0.5
+        """,
+        "corpus_data_card": f"""
+            WITH per AS (
+              SELECT source, lang,
+                     CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                     CAST(sum(len(string_split({_NORM.format(t='text')}, ' ')))
+                          AS BIGINT) AS total_tokens,
+                     round(CAST(sum(len(string_split({_NORM.format(t='text')},
+                           ' '))) AS DOUBLE) / count(*), 4) AS avg_tokens
+              FROM documents GROUP BY 1, 2
+            )
+            SELECT source, lang, n_docs, total_chars, total_tokens,
+                   avg_tokens,
+                   round(n_docs / (SELECT sum(n_docs) FROM per), 6)
+                     AS doc_share
+            FROM per
         """,
     }

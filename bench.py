@@ -110,6 +110,9 @@ HEADLINE = {
     "text_pii_scrub": L.text_pii_scrub,
     "text_paragraph_dedup": L.text_paragraph_dedup,
     "text_token_rarity": L.text_token_rarity,
+    "dedup_containment_pairs": L.dedup_containment_pairs,
+    "dedup_incremental_probe": L.dedup_incremental_probe,
+    "corpus_data_card": L.corpus_data_card,
 }
 
 # the 14 queries recorded since round 1 — their sum is the anchored

@@ -214,23 +214,7 @@ def minhash_lsh_pairs(
     shuffle is a few dozen bytes per row.
     """
     sigs = minhash_signatures(df, text_col, id_col, n, token_ids).persist()
-    r = MINHASH_K // MINHASH_BANDS
-    bands = sigs.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.concat_ws(
-                            "_", *[F.col(f"mh{b * r + i}") for i in range(r)]
-                        ).alias("key"),
-                    )
-                    for b in range(MINHASH_BANDS)
-                ]
-            )
-        ).alias("bk"),
-    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    bands = _band_keys(sigs)
     a, b = bands.alias("a"), bands.alias("b")
     cands = (
         a.join(
@@ -843,4 +827,131 @@ def boilerplate_ngram_stats(
                 4,
             ).alias("boiler_frac"),
         )
+    )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Asymmetric shingle-containment pairs: |inner ∩ outer| / |inner|
+    >= threshold, inner = the smaller shingle set (ties: smaller id).
+    Catches documents EMBEDDED in larger ones — a 50-word doc quoted
+    inside a 5000-word page has Jaccard ~0.01 (invisible to the
+    symmetric dedup family) but containment 1.0. Standard curation
+    step for quote/boilerplate-wrapper removal.
+
+    Same inverted-index candidate shape as ngram_jaccard_pairs (join
+    on shingle, never doc x doc); the only new math is dividing the
+    intersection by the smaller set size instead of the union.
+    """
+    sh = _doc_shingles(df, text_col, id_col, n)
+    if max_df is not None:
+        keep = (
+            sh.groupBy("shingle").count()
+            .filter(F.col("count") <= max_df).select("shingle")
+        )
+        sh = sh.join(keep, "shingle")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("set_size"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("set_size").alias("size_b"))
+    joined = inter.join(sa, "doc_a").join(sb, "doc_b")
+    a_is_inner = F.col("size_a") <= F.col("size_b")
+    containment = F.round(
+        F.col("inter") / F.least("size_a", "size_b"), 4
+    )
+    return (
+        joined.withColumn("containment", containment)
+        .filter(F.col("containment") >= threshold)
+        .select(
+            F.when(a_is_inner, F.col("doc_a")).otherwise(F.col("doc_b")).alias("inner_doc"),
+            F.when(a_is_inner, F.col("doc_b")).otherwise(F.col("doc_a")).alias("outer_doc"),
+            "containment",
+        )
+    )
+
+
+def _band_keys(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band, key) rows from a minhash_signatures frame —
+    the LSH banding shared by the self-join (minhash_lsh_pairs) and
+    the incremental probe (minhash_lsh_probe)."""
+    r = MINHASH_K // MINHASH_BANDS
+    return sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "_", *[F.col(f"mh{b * r + i}") for i in range(r)]
+                        ).alias("key"),
+                    )
+                    for b in range(MINHASH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
+def minhash_lsh_probe(
+    new_df: DataFrame,
+    hist_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    token_ids: str = "md5",
+) -> DataFrame:
+    """Incremental dedup: probe a NEW batch against the HISTORICAL
+    corpus without re-deduping history against itself — the shape a
+    running ingestion pipeline needs (history's band index is
+    precomputable and append-only; each arriving batch only signs
+    itself and equi-joins the index).
+
+    Cost scales with |new| + collisions, never |hist|²: the band join
+    is new-bands x hist-bands on the band key, and exact-Jaccard
+    verification runs on colliding pairs only. Returns verified
+    (new_doc, hist_doc, jaccard) rows at ``threshold``.
+    """
+    sig_new = minhash_signatures(new_df, text_col, id_col, n, token_ids).persist()
+    sig_hist = minhash_signatures(hist_df, text_col, id_col, n, token_ids).persist()
+    bn = _band_keys(sig_new).select(
+        F.col("doc_id").alias("new_doc"), "band", "key"
+    )
+    bh = _band_keys(sig_hist).select(
+        F.col("doc_id").alias("hist_doc"), "band", "key"
+    )
+    cands = (
+        bn.join(bh, ["band", "key"])
+        .select("new_doc", "hist_doc")
+        .dropDuplicates(["new_doc", "hist_doc"])
+    )
+    cands = cands.join(
+        sig_new.select(F.col("doc_id").alias("new_doc"), F.col("sids").alias("sids_n")),
+        "new_doc",
+    ).join(
+        sig_hist.select(F.col("doc_id").alias("hist_doc"), F.col("sids").alias("sids_h")),
+        "hist_doc",
+    )
+    inter = F.size(F.array_intersect("sids_n", "sids_h"))
+    union = F.size("sids_n") + F.size("sids_h") - inter
+    return (
+        cands.withColumn("jaccard", F.round(inter / union, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_doc", "hist_doc", "jaccard")
     )

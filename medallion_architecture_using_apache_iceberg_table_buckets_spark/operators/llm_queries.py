@@ -1131,3 +1131,67 @@ def text_token_rarity(spark, sf_dir):
     """Corpus-frequency rarity profile per doc (text.token_rarity):
     the exact-arithmetic core of a unigram-LM quality filter."""
     return TX.token_rarity(_docs(spark, sf_dir))
+
+
+def dedup_containment_pairs(spark, sf_dir):
+    """Asymmetric containment dedup (dedup.containment_pairs): the
+    first 20 docs are planted EMBEDDED inside wrapper documents
+    (prefix + text + commentary tail, id+500000). The original's
+    shingle set is ~fully contained in the wrapper (containment ~1.0)
+    while symmetric Jaccard sits well below the usual near-dup cut —
+    the case this operator exists to catch."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    wrappers = docs.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 500000).alias("doc_id"),
+        F.concat(
+            F.lit("article wrapper intro paragraph begins here "),
+            F.col("text"),
+            F.lit(" reader commentary section follows the quoted document"),
+        ).alias("text"),
+    )
+    return D.containment_pairs(
+        docs.unionByName(wrappers), threshold=0.8
+    )
+
+
+def dedup_incremental_probe(spark, sf_dir):
+    """Incremental-ingestion dedup (dedup.minhash_lsh_probe): docs
+    with doc_id % 4 == 0 arrive as the NEW batch, the rest are the
+    indexed HISTORICAL corpus; near-dup copies of early historical
+    docs (id+400000, perturbed tail) are planted into the new batch
+    so the probe has positives. History is never self-joined — the
+    cost model a running pipeline needs."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    hist = docs.filter(F.col("doc_id") % 4 != 0)
+    planted = hist.filter(F.col("doc_id") < 30).select(
+        (F.col("doc_id") + 400000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra token tail")).alias("text"),
+    )
+    new = docs.filter(F.col("doc_id") % 4 == 0).unionByName(planted)
+    return D.minhash_lsh_probe(new, hist, threshold=0.5)
+
+
+def corpus_data_card(spark, sf_dir):
+    """Per-(source, language) corpus data card: doc counts, token and
+    char totals, averages, and each slice's share of the corpus —
+    the summary table every released dataset ships with. One
+    aggregation over the corpus plus a 1-row total broadcast for the
+    shares; all arithmetic integer-exact until the final rounded
+    divisions."""
+    from ..functions.text import words
+
+    d = _docs(spark, sf_dir).select(
+        "source", "lang", "n_chars", F.size(words("text")).alias("n_toks")
+    )
+    per = d.groupBy("source", "lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum("n_toks").cast("long").alias("total_tokens"),
+        F.round(F.sum("n_toks").cast("double") / F.count("*"), 4).alias("avg_tokens"),
+    )
+    total = per.agg(F.sum("n_docs").alias("corpus_docs"))
+    return per.crossJoin(F.broadcast(total)).select(
+        "source", "lang", "n_docs", "total_chars", "total_tokens",
+        "avg_tokens",
+        F.round(F.col("n_docs") / F.col("corpus_docs"), 6).alias("doc_share"),
+    )

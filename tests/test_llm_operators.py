@@ -404,3 +404,43 @@ def test_paragraph_dedup_all_common_doc_empties(spark):
     )
     out = {r["doc_id"]: r for r in TX.paragraph_dedup(df, para_words=5, min_docs=3).collect()}
     assert all(r["clean_text"] == "" and r["n_paras_kept"] == 0 for r in out.values())
+
+
+# ---------------------------------------------------------------------------
+# Containment + incremental probe
+# ---------------------------------------------------------------------------
+
+def test_containment_catches_embedded_doc_jaccard_misses(spark):
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators import dedup as DD
+
+    inner = "alpha bravo charlie delta echo foxtrot golf hotel"
+    filler = " ".join(f"filler{i} pad{i} word{i}" for i in range(20))
+    df = spark.createDataFrame(
+        [(1, inner), (2, f"{filler} {inner} {filler}"),
+         (3, "completely unrelated text about something else entirely here")],
+        "doc_id long, text string",
+    )
+    cont = DD.containment_pairs(df, threshold=0.9).collect()
+    assert [(r["inner_doc"], r["outer_doc"]) for r in cont] == [(1, 2)]
+    assert cont[0]["containment"] == 1.0
+    # symmetric jaccard stays far below the near-dup cut for the pair
+    jac = DD.ngram_jaccard_pairs(df, threshold=0.5).collect()
+    assert not any({r["doc_a"], r["doc_b"]} == {1, 2} for r in jac)
+
+
+def test_incremental_probe_flags_only_new_vs_hist(spark):
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators import dedup as DD
+
+    base = "the quick brown fox jumps over the lazy dog by the river"
+    hist = spark.createDataFrame(
+        [(1, base), (2, "other historical content entirely different words here now")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(100, base + " extra tail"),     # near-dup of hist 1
+         (101, "fresh novel document with brand new vocabulary only")],
+        "doc_id long, text string",
+    )
+    got = DD.minhash_lsh_probe(new, hist, threshold=0.5).collect()
+    assert [(r["new_doc"], r["hist_doc"]) for r in got] == [(100, 1)]
+    assert got[0]["jaccard"] >= 0.5

@@ -308,6 +308,8 @@ def test_brute_baselines_are_the_only_all_pairs_plans(spark, sf_dir):
         # q11: 1-row national-total aggregate broadcast back as the
         # HAVING threshold (q15 pattern)
         "q11_important_part_value",
+        # data card: 1-row corpus-total broadcast for the shares
+        "corpus_data_card",
     }
     # Queries whose construction performs writes/iterative jobs; their
     # plan hygiene is asserted by dedicated tests.
