@@ -65,13 +65,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # text_quality_percentile_cut, window_rank_functions,
     # text_boilerplate_ngrams, agg_grouping_sets.
     #
-    # r06 window plan: those 4 deferred entries first, then the 11
+    # r06 window plan: those 4 deferred entries first, then the 12
     # added late in r5 (q2/q9/q11/q16/q20 TPC-H completion,
     # text_pii_scrub, text_paragraph_dedup, text_token_rarity,
     # dedup_containment_pairs, dedup_incremental_probe,
-    # corpus_data_card — all at the dict tail,
+    # corpus_data_card, streaming_static_enrich — all at the dict tail,
     # never driver-checked), then rotate the oldest of the r05-window
-    # block to fill the remaining 35 slots.
+    # block to fill the remaining 34 slots.
     return {
         # --- (1-2) added in r4 after that window froze: never had a
         # driver row ---
@@ -204,6 +204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_containment_pairs": L.dedup_containment_pairs,
         "dedup_incremental_probe": L.dedup_incremental_probe,
         "corpus_data_card": L.corpus_data_card,
+        "streaming_static_enrich": L.streaming_static_enrich,
     }
 
 
@@ -2216,5 +2217,13 @@ def oracle_sql() -> dict[str, str]:
                    round(n_docs / (SELECT sum(n_docs) FROM per), 6)
                      AS doc_share
             FROM per
+        """,
+        "streaming_static_enrich": """
+            SELECT coalesce(c_mktsegment, 'UNKNOWN') AS segment,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2)
+                     AS total_value
+            FROM events LEFT JOIN customer ON user_id = c_custkey
+            GROUP BY 1
         """,
     }

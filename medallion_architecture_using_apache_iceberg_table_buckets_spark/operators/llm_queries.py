@@ -1195,3 +1195,42 @@ def corpus_data_card(spark, sf_dir):
         "avg_tokens",
         F.round(F.col("n_docs") / F.col("corpus_docs"), 6).alias("doc_share"),
     )
+
+
+def streaming_static_enrich(spark, sf_dir):
+    """Stream-static enrichment (streaming/join.py:
+    enrich_stream_static) driven to batch completion: the events
+    stream left-joins the static customer dimension (broadcast,
+    stateless, no watermark needed) and aggregates value per market
+    segment; one AvailableNow drain in complete mode makes the sink
+    equal the batch GROUP BY, giving the streaming join an exact SQL
+    oracle. Unmatched users roll up under UNKNOWN."""
+    import tempfile
+    import uuid
+
+    from ..streaming.join import enrich_stream_static
+
+    ev = _events_stream(spark, sf_dir)
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enriched = enrich_stream_static(ev, cust, on="user_id", how="left")
+    agg = enriched.groupBy(
+        F.coalesce("c_mktsegment", F.lit("UNKNOWN")).alias("segment")
+    ).agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 2
+        ).alias("total_value"),
+    )
+    name = f"enrich_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="mats_se_ck_"))
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -59,3 +59,22 @@ def interval_join_streams(
         & (F.col(rts) <= F.col(lts) + F.expr(f"INTERVAL {upper}"))
     )
     return lw.join(rw, cond, how)
+
+
+def enrich_stream_static(
+    stream_df: DataFrame,
+    dim_df: DataFrame,
+    on: str | list[str],
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join: attach dimension attributes to a
+    live stream (user profile onto events, product metadata onto
+    orders) — the most common streaming join in practice.
+
+    Unlike stream-stream joins this needs NO watermark and keeps NO
+    join state: the static side is re-planned each micro-batch and
+    broadcast (pinned here — dimensions are the canonical broadcast
+    case; a dimension too big to broadcast belongs in a stream-stream
+    or lookup design instead), so the stream side is map-only.
+    """
+    return stream_df.join(F.broadcast(dim_df), on=on, how=how)

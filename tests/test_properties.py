@@ -160,3 +160,58 @@ def test_decontaminate_matches_bruteforce(spark, docs, n):
             if shared:
                 expected[i] = (len(shared), len(g))
     assert got == expected
+
+
+_word = st.sampled_from(
+    ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf",
+     "hotel", "india", "juliet", "kilo", "lima"]
+)
+_doc_text = st.lists(_word, min_size=3, max_size=14).map(" ".join)
+
+
+@given(docs=st.lists(_doc_text, min_size=2, max_size=8, unique=True))
+@settings(max_examples=12, deadline=None)
+def test_containment_dominates_jaccard(spark, docs):
+    """For every candidate pair, containment >= jaccard (the
+    intersection is divided by the smaller set instead of the union),
+    and containment values never exceed 1.0. Run with threshold 0 on
+    both operators so the full candidate set is compared."""
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators import dedup as D
+
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    jac = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(df, threshold=0.0).collect()
+    }
+    cont = D.containment_pairs(df, threshold=0.0).collect()
+    assert all(0.0 <= r["containment"] <= 1.0 for r in cont)
+    for r in cont:
+        pair = tuple(sorted((r["inner_doc"], r["outer_doc"])))
+        assert pair in jac
+        assert r["containment"] >= jac[pair] - 1e-9
+
+
+@given(docs=st.lists(_doc_text, min_size=2, max_size=8, unique=True))
+@settings(max_examples=10, deadline=None)
+def test_incremental_probe_equals_self_join_restriction(spark, docs):
+    """Probing NEW against HIST returns exactly the cross-side subset
+    of the full self-join's pairs: no pair invented, no cross-side
+    pair lost, and never a hist-hist or new-new pair."""
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators import dedup as D
+
+    rows = list(enumerate(docs))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    hist = df.filter("doc_id % 2 = 0")
+    new = df.filter("doc_id % 2 = 1")
+    probe = {
+        (r["new_doc"], r["hist_doc"], r["jaccard"])
+        for r in D.minhash_lsh_probe(new, hist, threshold=0.2).collect()
+    }
+    full = D.minhash_lsh_pairs(df, threshold=0.2).collect()
+    cross = set()
+    for r in full:
+        a, b = r["doc_a"], r["doc_b"]
+        if a % 2 != b % 2:  # one new, one hist
+            n, h = (a, b) if a % 2 == 1 else (b, a)
+            cross.add((n, h, r["jaccard"]))
+    assert probe == cross
