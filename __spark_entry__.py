@@ -65,13 +65,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # text_quality_percentile_cut, window_rank_functions,
     # text_boilerplate_ngrams, agg_grouping_sets.
     #
-    # r06 window plan: those 4 deferred entries first, then the 12
+    # r06 window plan: those 4 deferred entries first, then the 13
     # added late in r5 (q2/q9/q11/q16/q20 TPC-H completion,
     # text_pii_scrub, text_paragraph_dedup, text_token_rarity,
     # dedup_containment_pairs, dedup_incremental_probe,
-    # corpus_data_card, streaming_static_enrich — all at the dict tail,
+    # corpus_data_card, streaming_static_enrich,
+    # multimodal_decode_audio — all at the dict tail,
     # never driver-checked), then rotate the oldest of the r05-window
-    # block to fill the remaining 34 slots.
+    # block to fill the remaining 33 slots.
     return {
         # --- (1-2) added in r4 after that window froze: never had a
         # driver row ---
@@ -205,6 +206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental_probe": L.dedup_incremental_probe,
         "corpus_data_card": L.corpus_data_card,
         "streaming_static_enrich": L.streaming_static_enrich,
+        "multimodal_decode_audio": L.multimodal_decode_audio,
     }
 
 
@@ -2225,5 +2227,29 @@ def oracle_sql() -> dict[str, str]:
                      AS total_value
             FROM events LEFT JOIN customer ON user_id = c_custkey
             GROUP BY 1
+        """,
+        # audio decode: the oracle recomputes the WAV generator's
+        # sample arithmetic — abs of the centered modular sequence
+        "multimodal_decode_audio": """
+            WITH dims AS (
+              SELECT doc_id,
+                     8000 + (doc_id % 4) * 4000 AS rate,
+                     doc_id % 50 + 10 AS n
+              FROM documents
+            ),
+            px AS (SELECT doc_id, unnest(range(n)) AS i FROM dims),
+            sums AS (
+              SELECT doc_id,
+                     CAST(sum(abs((31 * i + doc_id) % 4001 - 2000))
+                          AS BIGINT) AS abs_sum
+              FROM px GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(d.rate AS INTEGER) AS sample_rate,
+                   CAST(1 AS INTEGER) AS channels,
+                   CAST(16 AS INTEGER) AS bits,
+                   CAST(d.n AS BIGINT) AS n_samples,
+                   s.abs_sum
+            FROM dims d JOIN sums s USING (doc_id)
         """,
     }

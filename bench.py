@@ -113,6 +113,7 @@ HEADLINE = {
     "dedup_containment_pairs": L.dedup_containment_pairs,
     "dedup_incremental_probe": L.dedup_incremental_probe,
     "corpus_data_card": L.corpus_data_card,
+    "multimodal_decode_audio": L.multimodal_decode_audio,
 }
 
 # the 14 queries recorded since round 1 — their sum is the anchored

@@ -1234,3 +1234,15 @@ def streaming_static_enrich(spark, sf_dir):
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def multimodal_decode_audio(spark, sf_dir):
+    """REAL audio decoding end-to-end (multimodal.decode_wav): PCM16
+    WAV containers are synthesized per doc and parsed back through
+    the RIFF chunk walk on the Arrow-batched mapInPandas shape. The
+    oracle recomputes the generator's sample arithmetic, so a header
+    misparse, chunk-alignment slip, or sign error in the PCM decode
+    hash-mismatches."""
+    from .multimodal import decode_audios, synth_audio
+
+    return decode_audios(synth_audio(_docs(spark, sf_dir)))

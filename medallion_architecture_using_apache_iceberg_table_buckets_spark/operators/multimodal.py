@@ -351,3 +351,116 @@ def fake_feature_extract(df: DataFrame, dim: int = EMBED_DIM) -> DataFrame:
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "embedding": vecs})
 
     return df.mapInPandas(embed_batches, schema=EMBED_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Audio: RIFF/WAVE PCM — the audio modality's decode_image counterpart.
+# Pure-Python codec (no audio libs in this container); compressed
+# codecs (mp3/ogg/aac) remain a declared seam exactly like JPEG/PNG.
+# ---------------------------------------------------------------------------
+
+def encode_wav(sample_rate: int, samples: list[int]) -> bytes:
+    """Canonical 16-bit mono PCM WAV: RIFF header + fmt + data chunks."""
+    import struct
+
+    body = b"".join(struct.pack("<h", s) for s in samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    return (
+        b"RIFF" + struct.pack("<I", 36 + len(body)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", len(body)) + body
+    )
+
+
+def decode_wav(content: bytes) -> dict:
+    """Decode PCM WAV by WALKING the RIFF chunk list (fmt/data may sit
+    in any order with vendor chunks between them — real files do
+    this). Returns rate/channels/bits/sample count plus the sum of
+    absolute sample values (an order-invariant content checksum the
+    oracle recomputes). Non-PCM formats raise NotImplementedError —
+    the compressed-codec seam."""
+    import struct
+
+    if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE container")
+    pos, n = 12, len(content)
+    fmt = data = None
+    while pos + 8 <= n:
+        cid = content[pos : pos + 4]
+        (size,) = struct.unpack("<I", content[pos + 4 : pos + 8])
+        chunk = content[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", chunk[:16])
+        elif cid == b"data":
+            data = chunk
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    audio_format, channels, rate, _, _, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise NotImplementedError(
+            f"non-PCM16 WAV (format={audio_format}, bits={bits}) needs a "
+            "real audio codec — not available in this environment"
+        )
+    count = len(data) // 2
+    samples = struct.unpack(f"<{count}h", data[: 2 * count])
+    return {
+        "sample_rate": rate,
+        "channels": channels,
+        "bits": bits,
+        "n_samples": count // channels,
+        "abs_sum": sum(abs(s) for s in samples),
+    }
+
+
+def synth_audio(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic synthetic WAV table: doc_id -> PCM16 container
+    bytes. rate = 8000 + (id%4)*4000; n = id%50 + 10 samples;
+    sample_i = ((31*i + id) % 4001) - 2000. Arrow-batched
+    mapInPandas, same shape as synth_images."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for d in pdf[id_col]:
+                d = int(d)
+                rate = 8000 + (d % 4) * 4000
+                count = d % 50 + 10
+                samples = [((31 * i + d) % 4001) - 2000 for i in range(count)]
+                ids.append(d)
+                blobs.append(encode_wav(rate, samples))
+            yield pd.DataFrame(
+                {"doc_id": pd.Series(ids, dtype="int64"), "content": blobs}
+            )
+
+    return df.select(id_col).mapInPandas(
+        gen, schema="doc_id long, content binary"
+    )
+
+
+AUDIO_SCHEMA = (
+    "doc_id long, sample_rate int, channels int, bits int, "
+    "n_samples long, abs_sum long"
+)
+
+
+def decode_audios(df: DataFrame) -> DataFrame:
+    """Decode a binary WAV column on the standard Arrow-batched
+    mapInPandas shape — geometry and checksum come from the container
+    bytes, not metadata riding alongside."""
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [decode_wav(bytes(b)) for b in pdf["content"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "sample_rate": pd.Series([r["sample_rate"] for r in rows], dtype="int32"),
+                    "channels": pd.Series([r["channels"] for r in rows], dtype="int32"),
+                    "bits": pd.Series([r["bits"] for r in rows], dtype="int32"),
+                    "n_samples": pd.Series([r["n_samples"] for r in rows], dtype="int64"),
+                    "abs_sum": pd.Series([r["abs_sum"] for r in rows], dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(dec, schema=AUDIO_SCHEMA)

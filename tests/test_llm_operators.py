@@ -444,3 +444,47 @@ def test_incremental_probe_flags_only_new_vs_hist(spark):
     got = DD.minhash_lsh_probe(new, hist, threshold=0.5).collect()
     assert [(r["new_doc"], r["hist_doc"]) for r in got] == [(100, 1)]
     assert got[0]["jaccard"] >= 0.5
+
+
+# ---------------------------------------------------------------------------
+# WAV audio codec
+# ---------------------------------------------------------------------------
+
+def test_wav_decode_walks_riff_chunks():
+    import struct
+
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    samples = [0, 100, -100, 32767, -32768, 5]
+    blob = encode_wav(16000, samples)
+    out = decode_wav(blob)
+    assert out == {"sample_rate": 16000, "channels": 1, "bits": 16,
+                   "n_samples": 6, "abs_sum": sum(abs(s) for s in samples)}
+    # vendor chunk (odd size, word-aligned) between WAVE and fmt must
+    # not derail the walk — real files carry LIST/INFO chunks
+    vendor = b"LIST" + struct.pack("<I", 5) + b"abcde" + b"\x00"
+    patched = blob[:12] + vendor + blob[12:]
+    patched = b"RIFF" + struct.pack("<I", len(patched) - 8) + patched[8:]
+    assert decode_wav(patched)["abs_sum"] == out["abs_sum"]
+
+
+def test_wav_decode_rejects_non_pcm():
+    import struct
+
+    import pytest as _pytest
+
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    blob = bytearray(encode_wav(8000, [1, 2, 3]))
+    # flip audio_format (offset 20) to 85 (MP3) — must raise the seam
+    blob[20:22] = struct.pack("<H", 85)
+    with _pytest.raises(NotImplementedError):
+        decode_wav(bytes(blob))
+    with _pytest.raises(ValueError):
+        decode_wav(b"RIFX not a wave")
