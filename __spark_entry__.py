@@ -65,14 +65,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # text_quality_percentile_cut, window_rank_functions,
     # text_boilerplate_ngrams, agg_grouping_sets.
     #
-    # r06 window plan: those 4 deferred entries first, then the 13
+    # r06 window plan: those 4 deferred entries first, then the 14
     # added late in r5 (q2/q9/q11/q16/q20 TPC-H completion,
     # text_pii_scrub, text_paragraph_dedup, text_token_rarity,
     # dedup_containment_pairs, dedup_incremental_probe,
     # corpus_data_card, streaming_static_enrich,
-    # multimodal_decode_audio — all at the dict tail,
+    # multimodal_decode_audio, multimodal_decode_video — all at the
+    # dict tail,
     # never driver-checked), then rotate the oldest of the r05-window
-    # block to fill the remaining 33 slots.
+    # block to fill the remaining 32 slots.
     return {
         # --- (1-2) added in r4 after that window froze: never had a
         # driver row ---
@@ -207,6 +208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_data_card": L.corpus_data_card,
         "streaming_static_enrich": L.streaming_static_enrich,
         "multimodal_decode_audio": L.multimodal_decode_audio,
+        "multimodal_decode_video": L.multimodal_decode_video,
     }
 
 
@@ -2250,6 +2252,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(16 AS INTEGER) AS bits,
                    CAST(d.n AS BIGINT) AS n_samples,
                    s.abs_sum
+            FROM dims d JOIN sums s USING (doc_id)
+        """,
+        # video decode: per-frame pixel bytes (11*i + 13*f + id) % 256
+        # summed over all frames — the AVI generator's arithmetic
+        "multimodal_decode_video": """
+            WITH dims AS (
+              SELECT doc_id,
+                     doc_id % 6 + 2 AS w,
+                     doc_id % 4 + 2 AS h,
+                     doc_id % 5 + 1 AS nf
+              FROM documents
+            ),
+            cells AS (
+              SELECT doc_id, f.f, i.i
+              FROM dims,
+                   unnest(range(nf)) AS f(f),
+                   unnest(range(3 * w * h)) AS i(i)
+            ),
+            sums AS (
+              SELECT doc_id,
+                     CAST(sum((11 * i + 13 * f + doc_id) % 256) AS BIGINT)
+                       AS pixel_sum
+              FROM cells GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(d.w AS INTEGER) AS width,
+                   CAST(d.h AS INTEGER) AS height,
+                   CAST(d.nf AS INTEGER) AS n_frames,
+                   s.pixel_sum
             FROM dims d JOIN sums s USING (doc_id)
         """,
     }

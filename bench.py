@@ -114,6 +114,7 @@ HEADLINE = {
     "dedup_incremental_probe": L.dedup_incremental_probe,
     "corpus_data_card": L.corpus_data_card,
     "multimodal_decode_audio": L.multimodal_decode_audio,
+    "multimodal_decode_video": L.multimodal_decode_video,
 }
 
 # the 14 queries recorded since round 1 — their sum is the anchored

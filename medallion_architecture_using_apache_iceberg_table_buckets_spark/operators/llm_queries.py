@@ -1246,3 +1246,17 @@ def multimodal_decode_audio(spark, sf_dir):
     from .multimodal import decode_audios, synth_audio
 
     return decode_audios(synth_audio(_docs(spark, sf_dir)))
+
+
+def multimodal_decode_video(spark, sf_dir):
+    """REAL video decoding end-to-end (multimodal.decode_avi):
+    uncompressed AVI containers (RIFF tree, one bottom-up DIB '00db'
+    chunk per frame) are synthesized per doc and parsed back on the
+    Arrow-batched mapInPandas shape — the decoder walks the RIFF
+    tree, validates the declared frame count against movi, un-DIBs
+    every frame back to RGB. The oracle recomputes the generator's
+    per-frame pixel arithmetic; compressed codecs raise the declared
+    seam, like JPEG/mp3."""
+    from .multimodal import decode_videos, synth_videos
+
+    return decode_videos(synth_videos(_docs(spark, sf_dir)))

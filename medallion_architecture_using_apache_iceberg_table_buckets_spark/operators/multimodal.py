@@ -464,3 +464,184 @@ def decode_audios(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(dec, schema=AUDIO_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Video: uncompressed AVI (RIFF + raw bottom-up DIB frames) — the video
+# modality's real decoder. Same pure-Python story as images/audio;
+# compressed codecs (h264/vp9/av1) remain the declared seam.
+# ---------------------------------------------------------------------------
+
+def _dib_rows(width: int, height: int, rgb: bytes) -> bytes:
+    """Row-major RGB -> bottom-up BGR rows padded to 4 bytes (the DIB
+    layout BMP and AVI '00db' frames share)."""
+    row_pad = (-3 * width) % 4
+    body = bytearray()
+    for r in range(height - 1, -1, -1):
+        row = rgb[3 * width * r : 3 * width * (r + 1)]
+        for c in range(width):
+            body += bytes((row[3 * c + 2], row[3 * c + 1], row[3 * c]))
+        body += b"\x00" * row_pad
+    return bytes(body)
+
+
+def _undib_rows(width: int, height: int, dib: bytes) -> bytes:
+    """Inverse of _dib_rows: bottom-up padded BGR -> row-major RGB."""
+    stride = 3 * width + ((-3 * width) % 4)
+    out = bytearray()
+    for r in range(height - 1, -1, -1):
+        row = dib[stride * r : stride * r + 3 * width]
+        for c in range(width):
+            out += bytes((row[3 * c + 2], row[3 * c + 1], row[3 * c]))
+    return bytes(out)
+
+
+def _chunk(cid: bytes, body: bytes) -> bytes:
+    import struct
+
+    return cid + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+
+def _list_chunk(kind: bytes, body: bytes) -> bytes:
+    return _chunk(b"LIST", kind + body)
+
+
+def encode_avi(width: int, height: int, frames: list[bytes], fps: int = 10) -> bytes:
+    """Minimal spec-true uncompressed AVI: hdrl (avih + one 'vids'/DIB
+    stream) then movi with one '00db' DIB frame chunk per frame."""
+    import struct
+
+    if any(len(f) != 3 * width * height for f in frames):
+        raise ValueError("each frame needs 3*w*h RGB bytes")
+    frame_size = len(_dib_rows(width, height, frames[0])) if frames else 0
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        1_000_000 // fps, frame_size * fps, 0, 0x10, len(frames), 0, 1,
+        frame_size, width, height, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIII4H",
+        b"vids", b"DIB ", 0, 0, 0, 0, 1, fps, 0, len(frames),
+        frame_size, 0, 0, 0, 0, width, height,
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, frame_size, 2835, 2835, 0, 0
+    )
+    hdrl = _list_chunk(
+        b"hdrl",
+        _chunk(b"avih", avih)
+        + _list_chunk(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf)),
+    )
+    movi = _list_chunk(
+        b"movi",
+        b"".join(_chunk(b"00db", _dib_rows(width, height, f)) for f in frames),
+    )
+    return _chunk(b"RIFF", b"AVI " + hdrl + movi)
+
+
+def decode_avi(content: bytes) -> dict:
+    """Decode an uncompressed AVI by walking the RIFF tree: avih gives
+    geometry/frame count, strf must declare 24-bit BI_RGB (anything
+    else raises the compressed-codec seam), and every movi '00db'
+    frame is un-DIB'd back to RGB. Returns geometry, frame count, and
+    the pixel-byte sum across all frames (order-invariant checksum).
+    """
+    import struct
+
+    if content[:4] != b"RIFF" or content[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI container")
+
+    width = height = declared_frames = None
+    compression = bit_count = None
+    frames: list[bytes] = []
+
+    def walk(buf: bytes) -> None:
+        nonlocal width, height, declared_frames, compression, bit_count
+        pos, n = 0, len(buf)
+        while pos + 8 <= n:
+            cid = buf[pos : pos + 4]
+            (size,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+            body = buf[pos + 8 : pos + 8 + size]
+            if cid == b"LIST":
+                walk(body[4:])  # skip the list kind, walk its children
+            elif cid == b"avih":
+                vals = struct.unpack("<IIIIIIIIII", body[:40])
+                declared_frames, width, height = vals[4], vals[8], vals[9]
+            elif cid == b"strf":
+                hdr = struct.unpack("<IiiHHI", body[:20])
+                bit_count, compression = hdr[4], hdr[5]
+            elif cid == b"00db":
+                frames.append(body)
+            pos += 8 + size + (size & 1)
+
+    walk(content[12:])
+    if width is None or compression is None:
+        raise ValueError("missing avih or strf header")
+    if compression != 0 or bit_count != 24:
+        raise NotImplementedError(
+            f"compressed AVI (biCompression={compression}, bits={bit_count}) "
+            "needs a real video codec — not available in this environment"
+        )
+    pixel_sum = 0
+    for f in frames:
+        pixel_sum += sum(_undib_rows(width, height, f))
+    if declared_frames != len(frames):
+        raise ValueError(
+            f"header declares {declared_frames} frames, movi has {len(frames)}"
+        )
+    return {
+        "width": width,
+        "height": height,
+        "n_frames": len(frames),
+        "pixel_sum": pixel_sum,
+    }
+
+
+def synth_videos(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic synthetic AVI table: w = id%6+2, h = id%4+2,
+    n_frames = id%5+1, frame f pixel byte i = (11*i + 13*f + id) % 256
+    (row-major RGB). Arrow-batched mapInPandas."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for d in pdf[id_col]:
+                d = int(d)
+                w, h, nf = d % 6 + 2, d % 4 + 2, d % 5 + 1
+                frames = [
+                    bytes((11 * i + 13 * f + d) % 256 for i in range(3 * w * h))
+                    for f in range(nf)
+                ]
+                ids.append(d)
+                blobs.append(encode_avi(w, h, frames))
+            yield pd.DataFrame(
+                {"doc_id": pd.Series(ids, dtype="int64"), "content": blobs}
+            )
+
+    return df.select(id_col).mapInPandas(
+        gen, schema="doc_id long, content binary"
+    )
+
+
+VIDEO_SCHEMA = "doc_id long, width int, height int, n_frames int, pixel_sum long"
+
+
+def decode_videos(df: DataFrame) -> DataFrame:
+    """Decode a binary AVI column on the Arrow-batched mapInPandas
+    shape — geometry, frame count, and checksum come from the
+    container bytes."""
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [decode_avi(bytes(b)) for b in pdf["content"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "width": pd.Series([r["width"] for r in rows], dtype="int32"),
+                    "height": pd.Series([r["height"] for r in rows], dtype="int32"),
+                    "n_frames": pd.Series([r["n_frames"] for r in rows], dtype="int32"),
+                    "pixel_sum": pd.Series([r["pixel_sum"] for r in rows], dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(dec, schema=VIDEO_SCHEMA)

@@ -488,3 +488,30 @@ def test_wav_decode_rejects_non_pcm():
         decode_wav(bytes(blob))
     with _pytest.raises(ValueError):
         decode_wav(b"RIFX not a wave")
+
+
+def test_avi_decode_rejects_compressed_and_frame_mismatch():
+    import struct
+
+    import pytest as _pytest
+
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators.multimodal import (
+        decode_avi,
+        encode_avi,
+    )
+
+    frames = [bytes(range(24)) * 1 + bytes(12)]  # 3*w*h = 36 -> w=3,h=4? no
+    w, h = 2, 3
+    frames = [bytes((i * 5) % 256 for i in range(3 * w * h)) for _ in range(2)]
+    blob = bytearray(encode_avi(w, h, frames))
+    # patch strf biCompression (offset: find 'strf' chunk body + 16)
+    off = bytes(blob).find(b"strf") + 8 + 16
+    blob[off:off + 4] = struct.pack("<I", 1)  # BI_RLE8
+    with _pytest.raises(NotImplementedError):
+        decode_avi(bytes(blob))
+    # header/movi frame-count mismatch must be caught, not ignored
+    blob2 = bytearray(encode_avi(w, h, frames))
+    off2 = bytes(blob2).find(b"avih") + 8 + 16
+    blob2[off2:off2 + 4] = struct.pack("<I", 9)
+    with _pytest.raises(ValueError):
+        decode_avi(bytes(blob2))
