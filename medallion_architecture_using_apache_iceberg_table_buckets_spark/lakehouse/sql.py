@@ -41,17 +41,23 @@ _DROP_TABLE = re.compile(
 _DROP_NS = re.compile(
     r"^\s*DROP\s+NAMESPACE\s+(IF\s+EXISTS\s+)?([\w.]+)\s*$", re.I
 )
+_SHOW_CREATE = re.compile(
+    r"^\s*SHOW\s+CREATE\s+TABLE\s+([\w.]+)\s*$", re.I
+)
+# the PARTITIONED BY body tolerates ONE paren nesting level so
+# multi-transform specs parse: bucket(4, id), days(ts)
+_PART_BODY = r"((?:[^()]|\([^()]*\))*)"
 _CREATE_TABLE = re.compile(
     r"^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*\((.+?)\)\s*"
     r"(?:USING\s+\w+\s*)?"
-    r"(?:PARTITIONED\s+BY\s*\(([^)]*)\)\s*)?"
+    r"(?:PARTITIONED\s+BY\s*\(" + _PART_BODY + r"\)\s*)?"
     r"(?:TBLPROPERTIES\s*\((.*)\)\s*)?$",
     re.I | re.S,
 )
 _CTAS = re.compile(
     r"^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*"
     r"(?:USING\s+\w+\s*)?"
-    r"(?:PARTITIONED\s+BY\s*\(([^)]*)\)\s*)?"
+    r"(?:PARTITIONED\s+BY\s*\(" + _PART_BODY + r"\)\s*)?"
     r"(?:TBLPROPERTIES\s*\((.*?)\)\s*)?"
     r"AS\s+((?:SELECT|WITH)\b.+)$",
     re.I | re.S,
@@ -332,6 +338,8 @@ class SqlSession:
             return self._create_table(m)
         if m := _ALTER.match(s):
             return self._alter_table(m)
+        if m := _SHOW_CREATE.match(s):
+            return self._show_create(m.group(1))
         if m := _DESCRIBE.match(s):
             return self._describe(m.group(1))
         if m := _INSERT_OVERWRITE.match(s):
@@ -403,7 +411,8 @@ class SqlSession:
                 )
             )
         partition_by = (
-            [p.strip() for p in part.split(",") if p.strip()] if part else ()
+            [p.strip() for p in _split_top_level(part) if p.strip()]
+            if part else ()
         )
         properties = {}
         if props_raw:
@@ -470,6 +479,40 @@ class SqlSession:
         raise ValueError(
             f"unsupported ALTER TABLE action {action!r} (dispatchable: "
             f"ADD COLUMN(S), RENAME COLUMN ... TO ..., DROP COLUMN)"
+        )
+
+    # engine-internal properties that must not leak into emitted DDL
+    # (they are derived state, re-created by the engine itself)
+    _INTERNAL_PROPS = ("iceberg.field-ids", "schema.renames",
+                       "merge-on-read.key")
+
+    def _show_create(self, ident: str) -> DataFrame:
+        """``SHOW CREATE TABLE t`` — emit canonical, RE-EXECUTABLE DDL
+        (stock Iceberg column name/shape): columns from the current
+        schema, PARTITIONED BY with the hidden-transform spellings,
+        TBLPROPERTIES with user properties only (internal bookkeeping
+        props stay hidden). The round-trip test re-runs the emitted
+        statement through this same dispatcher."""
+        ns, name = self._table_of(ident)
+        t = self.catalog.table(ns, name)
+        cols = ",\n  ".join(
+            f"{f.name} {f.dataType.simpleString().upper()}"
+            for f in t.schema.fields
+        )
+        stmt = f"CREATE TABLE {ns}.{name} (\n  {cols})\nUSING iceberg"
+        part = list(t.current_snapshot().partition_by)
+        if part:
+            stmt += "\nPARTITIONED BY (" + ", ".join(part) + ")"
+        props = {
+            k: v for k, v in t.properties.items()
+            if not k.startswith(self._INTERNAL_PROPS)
+        }
+        if props:
+            stmt += "\nTBLPROPERTIES (\n  " + ",\n  ".join(
+                f"'{k}' = '{props[k]}'" for k in sorted(props)
+            ) + ")"
+        return self.spark.createDataFrame(
+            [(stmt,)], "createtab_stmt string"
         )
 
     # -- DESCRIBE ------------------------------------------------------
@@ -606,7 +649,8 @@ class SqlSession:
         self._attach_current()
         df = self.spark.sql(self._rewrite_refs(select.strip()))
         partition_by = (
-            [p.strip() for p in part.split(",") if p.strip()] if part else ()
+            [p.strip() for p in _split_top_level(part) if p.strip()]
+            if part else ()
         )
         properties = {}
         if props_raw:

@@ -495,3 +495,43 @@ def test_call_rewrite_strategies(spark, sess):
         sess.sql(
             "CALL system.rewrite_data_files(table => 'ns2.grid', strategy => 'hilbert')"
         )
+
+
+def test_show_create_table_roundtrips(spark, tmp_path):
+    """SHOW CREATE TABLE emits canonical DDL that this dispatcher can
+    RE-EXECUTE: schema, partition transforms, and user properties all
+    survive; engine-internal bookkeeping props never leak."""
+    from pyspark.sql import types as T
+
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.lakehouse import (
+        Catalog,
+    )
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.lakehouse.sql import (
+        SqlSession,
+    )
+
+    cat = Catalog(tmp_path / "wh")
+    ses = SqlSession(spark, cat)
+    ses.sql("CREATE NAMESPACE a")
+    ses.sql("CREATE NAMESPACE b")
+    ses.sql(
+        "CREATE TABLE a.src (id BIGINT, v STRING, ts TIMESTAMP) "
+        "USING iceberg PARTITIONED BY (bucket(4, id), days(ts)) "
+        "TBLPROPERTIES ('write.parquet.compression-codec' = 'zstd')"
+    )
+    # evolve so internal props exist, then prove they don't leak
+    ses.sql("ALTER TABLE a.src RENAME COLUMN v TO v2")
+    stmt = ses.sql("SHOW CREATE TABLE a.src").collect()[0]["createtab_stmt"]
+    assert "bucket(4, id)" in stmt and "days(ts)" in stmt
+    assert "v2 STRING" in stmt
+    assert "write.parquet.compression-codec" in stmt
+    assert "iceberg.field-ids" not in stmt
+    assert "schema.renames" not in stmt
+    # re-execute the emitted DDL into the other namespace
+    ses.sql(stmt.replace("a.src", "b.dst"))
+    t2 = cat.table("b", "dst")
+    assert [f.name for f in t2.schema.fields] == ["id", "v2", "ts"]
+    assert list(t2.current_snapshot().partition_by) == [
+        "bucket(4, id)", "days(ts)"
+    ]
+    assert t2.properties["write.parquet.compression-codec"] == "zstd"
