@@ -209,6 +209,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_static_enrich": L.streaming_static_enrich,
         "multimodal_decode_audio": L.multimodal_decode_audio,
         "multimodal_decode_video": L.multimodal_decode_video,
+        # --- NEW in round 5 (post-window): Theta set algebra + KLL
+        # mergeable quantiles — the sketch pairs HLL/GK cannot be
+        # (intersection/difference; user-space quantile merge) ---
+        "sketch_theta_set_ops": L.sketch_theta_set_ops,
+        "sketch_kll_rollup_quantiles": L.sketch_kll_rollup_quantiles,
     }
 
 
@@ -1726,6 +1731,31 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY event_type
         """,
         "sketch_quantiles": """
+            SELECT event_type,
+                   count(*) AS n_rows,
+                   CAST(1 AS INTEGER) AS p50_ok,
+                   CAST(1 AS INTEGER) AS p95_ok,
+                   CAST(1 AS INTEGER) AS p99_ok
+            FROM events GROUP BY event_type
+        """,
+        "sketch_theta_set_ops": """
+            SELECT 'click' AS seg_a, 'purchase' AS seg_b,
+                   CAST(count(*) AS BIGINT) AS exact_union,
+                   CAST(sum(in_a * in_b) AS BIGINT) AS exact_intersection,
+                   CAST(sum(in_a * (1 - in_b)) AS BIGINT) AS exact_difference,
+                   CAST(1 AS INTEGER) AS union_ok,
+                   CAST(1 AS INTEGER) AS intersection_ok,
+                   CAST(1 AS INTEGER) AS difference_ok
+            FROM (
+                SELECT user_id,
+                       max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS in_a,
+                       max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS in_b
+                FROM events
+                WHERE event_type IN ('click', 'purchase')
+                GROUP BY user_id
+            )
+        """,
+        "sketch_kll_rollup_quantiles": """
             SELECT event_type,
                    count(*) AS n_rows,
                    CAST(1 AS INTEGER) AS p50_ok,

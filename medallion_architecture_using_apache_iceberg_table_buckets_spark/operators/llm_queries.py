@@ -1027,6 +1027,99 @@ def sketch_quantiles(spark, sf_dir):
     return g.select(*sel)
 
 
+def sketch_theta_set_ops(spark, sf_dir):
+    """Theta-sketch set algebra (sketches.theta_segment_sketches /
+    theta_set_estimates): distinct-user union, intersection, and
+    difference between the 'click' and 'purchase' audiences, each
+    estimate validated in-query against the exact figure from one
+    per-user flag aggregation. Theta is the sketch HLL cannot be:
+    intersection/difference are register algebra, so stored per-batch
+    sketches answer audience-overlap questions without re-scanning
+    events. Tolerance 5% of the exact union + 2 (lg_k=12 => ~1.6%
+    rse; intersection error scales with the union, so all three flags
+    share the union-relative bound). The 1-row estimate joins the
+    1-row exact via a broadcast — scalar BNLJ, fenced as such."""
+    from .sketches import theta_segment_sketches, theta_set_estimates
+
+    a, b = "click", "purchase"
+    ev = load(spark, sf_dir, "events")
+    est = theta_set_estimates(
+        theta_segment_sketches(ev, "user_id", "event_type", a, b, lg_k=12)
+    )
+    per_user = (
+        ev.filter(F.col("event_type").isin(a, b))
+        .groupBy("user_id")
+        .agg(
+            F.max((F.col("event_type") == a).cast("int")).alias("in_a"),
+            F.max((F.col("event_type") == b).cast("int")).alias("in_b"),
+        )
+    )
+    exact = per_user.agg(
+        F.count("*").alias("exact_union"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("exact_intersection"),
+        F.sum(F.col("in_a") * (1 - F.col("in_b"))).alias("exact_difference"),
+    )
+    tol = F.col("exact_union") * 0.05 + F.lit(2)
+
+    def ok(est_col: str, exact_col: str, label: str):
+        return (
+            (F.abs(F.col(est_col) - F.col(exact_col)) <= tol)
+            .cast("int")
+            .alias(label)
+        )
+
+    return exact.crossJoin(F.broadcast(est)).select(
+        F.lit(a).alias("seg_a"),
+        F.lit(b).alias("seg_b"),
+        F.col("exact_union").cast("long").alias("exact_union"),
+        F.col("exact_intersection").cast("long").alias("exact_intersection"),
+        F.col("exact_difference").cast("long").alias("exact_difference"),
+        ok("est_union", "exact_union", "union_ok"),
+        ok("est_intersection", "exact_intersection", "intersection_ok"),
+        ok("est_difference", "exact_difference", "difference_ok"),
+    )
+
+
+def sketch_kll_rollup_quantiles(spark, sf_dir):
+    """Mergeable-quantile contract end-to-end (sketches.kll_rollup /
+    kll_merge / kll_quantiles): one KLL sketch per (event_type, day)
+    cell, merged up to per-event_type through the public binary merge
+    function — values are never re-scanned — then p50/p95/p99 read
+    from the MERGED sketch and proven in-query with the same
+    rank-bound check as sketch_quantiles: rank_le(q_p) >= p*n - slack
+    and rank_lt(q_p) <= p*n + slack. KLL at k=2048 has normalized
+    rank error well under 1%; slack = 2%*n + 1 is generous. This is
+    the quantile twin of sketch_hll_rollup_merge — the stored-rollup
+    pattern that makes percentile dashboards O(cells), not O(rows),
+    at 100 TB."""
+    from .sketches import kll_merge, kll_quantiles, kll_rollup
+
+    probs = [0.5, 0.95, 0.99]
+    labels = ["p50", "p95", "p99"]
+    ev = load(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    fine = kll_rollup(ev, "value", ["event_type", "day"], k=2048)
+    merged = kll_merge(fine, ["event_type"])
+    q = kll_quantiles(merged, probs, [f"q{i}" for i in range(len(probs))])
+    aggs = [F.count("*").alias("n_rows")]
+    for i in range(len(probs)):
+        aggs.append(
+            F.sum((F.col("value") <= F.col(f"q{i}")).cast("long")).alias(f"le{i}")
+        )
+        aggs.append(
+            F.sum((F.col("value") < F.col(f"q{i}")).cast("long")).alias(f"lt{i}")
+        )
+    g = ev.join(q, "event_type").groupBy("event_type").agg(*aggs)
+    sel = ["event_type", "n_rows"]
+    for i, (p, label) in enumerate(zip(probs, labels)):
+        slack = F.col("n_rows") * 0.02 + F.lit(1)
+        cond = (
+            (F.col(f"le{i}") >= F.col("n_rows") * p - slack)
+            & (F.col(f"lt{i}") <= F.col("n_rows") * p + slack)
+        )
+        sel.append(cond.cast("int").alias(f"{label}_ok"))
+    return g.select(*sel)
+
+
 def text_repetition_scores(spark, sf_dir):
     """Gopher repetition-rule metrics per doc (text.repetition_scores,
     word 2-grams): duplicate-gram occurrence fraction + top-gram

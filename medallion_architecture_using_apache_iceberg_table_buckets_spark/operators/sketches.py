@@ -67,6 +67,114 @@ def hll_merge(
     return sketches.agg(agg)
 
 
+def theta_segment_sketches(
+    df: DataFrame,
+    entity_col: str,
+    seg_col: str,
+    seg_a: str,
+    seg_b: str,
+    lg_k: int = 12,
+) -> DataFrame:
+    """One Datasketches Theta sketch per segment, built in a SINGLE
+    pass with conditional aggregation (rows outside a segment feed
+    NULL, which the sketch ignores). Theta sketches support the full
+    set algebra HLL lacks — intersection and difference, not just
+    union — which is what corpus-overlap questions (shared users,
+    exclusive audiences, contamination across splits) actually need.
+    Returns one row ``(ta, tb)`` of binary sketches."""
+    e = F.col(entity_col).cast("string")
+    return df.agg(
+        F.theta_sketch_agg(
+            F.when(F.col(seg_col) == seg_a, e), F.lit(lg_k)
+        ).alias("ta"),
+        F.theta_sketch_agg(
+            F.when(F.col(seg_col) == seg_b, e), F.lit(lg_k)
+        ).alias("tb"),
+    )
+
+
+def theta_set_estimates(sketches: DataFrame) -> DataFrame:
+    """Distinct-count estimates for A∪B, A∩B, A\\B from a 1-row
+    ``(ta, tb)`` sketch pair — pure register algebra, the fact table
+    is never touched. At 100 TB the sketches are built once per
+    ingest batch and every audience-overlap question afterwards is a
+    driver-sized computation."""
+    return sketches.select(
+        F.theta_sketch_estimate(F.theta_union("ta", "tb")).alias("est_union"),
+        F.theta_sketch_estimate(F.theta_intersection("ta", "tb")).alias(
+            "est_intersection"
+        ),
+        F.theta_sketch_estimate(F.theta_difference("ta", "tb")).alias(
+            "est_difference"
+        ),
+    )
+
+
+def kll_rollup(
+    df: DataFrame,
+    value_col: str,
+    fine_keys: list[str],
+    k: int = 2048,
+) -> DataFrame:
+    """Materialize a fine-grained KLL quantile-sketch table (one
+    sketch per ``fine_keys`` cell). Unlike the Greenwald-Khanna
+    summary behind ``percentile_approx``, KLL sketches are MERGEABLE
+    through a public function — the stored rollup can answer coarser
+    quantile queries without re-scanning values, the same storage
+    contract as ``hll_rollup``."""
+    return df.groupBy(*fine_keys).agg(
+        F.kll_sketch_agg_double(F.col(value_col).cast("double"), F.lit(k)).alias(
+            "kll"
+        )
+    )
+
+
+def kll_merge(
+    sketches: DataFrame,
+    coarse_keys: list[str],
+    kll_col: str = "kll",
+) -> DataFrame:
+    """Merge per-cell KLL sketches up to ``coarse_keys`` granularity.
+    ``kll_sketch_merge_double`` is a binary scalar function, so the
+    per-group merge folds a ``collect_list`` of the cell sketches:
+    the cell count per coarse group is bounded by design (days per
+    type, files per partition — hundreds, not millions), and each
+    sketch is a few KB, so the collected array stays executor-sized
+    at any fact-table scale. The fold is associative; a tree
+    aggregation would replace it only if a group ever held ~1e5+
+    cells."""
+    arr = sketches.groupBy(*coarse_keys).agg(
+        F.collect_list(kll_col).alias("_ks")
+    )
+    rest = F.slice(
+        "_ks", F.lit(2), F.greatest(F.size("_ks") - 1, F.lit(0))
+    )
+    merged = F.aggregate(
+        rest,
+        F.element_at("_ks", 1),
+        lambda acc, x: F.kll_sketch_merge_double(acc, x),
+    ).alias(kll_col)
+    return arr.select(*coarse_keys, merged)
+
+
+def kll_quantiles(
+    sketches: DataFrame,
+    probs: list[float],
+    labels: list[str],
+    kll_col: str = "kll",
+) -> DataFrame:
+    """Read quantile values out of a (possibly merged) KLL sketch
+    column — one output column per requested rank."""
+    cols = [c for c in sketches.columns if c != kll_col]
+    return sketches.select(
+        *cols,
+        *[
+            F.kll_sketch_get_quantile_double(kll_col, F.lit(p)).alias(lab)
+            for p, lab in zip(probs, labels)
+        ],
+    )
+
+
 def approx_quantiles(
     df: DataFrame,
     value_col: str,

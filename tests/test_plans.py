@@ -310,6 +310,9 @@ def test_brute_baselines_are_the_only_all_pairs_plans(spark, sf_dir):
         "q11_important_part_value",
         # data card: 1-row corpus-total broadcast for the shares
         "corpus_data_card",
+        # theta set ops: 1-row sketch-estimate row broadcast onto the
+        # 1-row exact aggregate — scalar-sized by construction
+        "sketch_theta_set_ops",
     }
     # Queries whose construction performs writes/iterative jobs; their
     # plan hygiene is asserted by dedicated tests.

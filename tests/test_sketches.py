@@ -74,3 +74,70 @@ def test_approx_quantiles_bounds(spark):
         p50, p99 = out[g]
         assert abs(p50 - 5000) < 200
         assert abs(p99 - 9900) < 200
+
+
+def test_theta_set_algebra_exact_on_small(spark):
+    # A = users 0..999 (seg "a"), B = users 500..1499 (seg "b"):
+    # union 1500, intersection 500, difference (A\B) 500. At this
+    # cardinality (< 2^12 nominal entries) theta sketches are in
+    # exact mode, so the estimates are not just in-bounds but exact.
+    rows = [("a", u) for u in range(1000)] + [("b", u) for u in range(500, 1500)]
+    df = spark.createDataFrame(rows, "seg string, user_id long")
+    est = SK.theta_set_estimates(
+        SK.theta_segment_sketches(df, "user_id", "seg", "a", "b", lg_k=12)
+    ).collect()[0]
+    assert est["est_union"] == 1500
+    assert est["est_intersection"] == 500
+    assert est["est_difference"] == 500
+
+
+def test_theta_set_algebra_bounds_above_nominal(spark):
+    # 60k vs 60k with 20k overlap — well above 2^12 nominal entries,
+    # so the sketches downsample; estimates must stay inside ~3x the
+    # 1/sqrt(2^12) = 1.6% rse of the union for all three operations.
+    rows = [("a", u) for u in range(60_000)] + [
+        ("b", u) for u in range(40_000, 100_000)
+    ]
+    df = spark.createDataFrame(rows, "seg string, user_id long")
+    est = SK.theta_set_estimates(
+        SK.theta_segment_sketches(df, "user_id", "seg", "a", "b", lg_k=12)
+    ).collect()[0]
+    tol = 0.05 * 100_000
+    assert abs(est["est_union"] - 100_000) <= tol
+    assert abs(est["est_intersection"] - 20_000) <= tol
+    assert abs(est["est_difference"] - 40_000) <= tol
+
+
+def test_kll_rollup_merge_matches_direct_and_truth(spark):
+    # 4 cells x 25k uniform values; merged sketch must agree with a
+    # single direct sketch over all values (merge identity) and land
+    # near the true quantiles of uniform(0, 100k).
+    df = spark.range(0, 100_000).select(
+        (F.col("id") % 4).alias("cell"), F.col("id").cast("double").alias("v")
+    )
+    fine = SK.kll_rollup(df, "v", ["cell"], k=2048)
+    assert fine.count() == 4
+    merged = SK.kll_merge(fine.withColumn("g", F.lit(1)), ["g"])
+    got = SK.kll_quantiles(merged, [0.5, 0.95, 0.99], ["p50", "p95", "p99"]).collect()[0]
+    assert abs(got["p50"] - 50_000) < 1_500
+    assert abs(got["p95"] - 95_000) < 1_500
+    assert abs(got["p99"] - 99_000) < 1_500
+
+    direct = df.agg(
+        F.kll_sketch_get_quantile_double(
+            F.kll_sketch_agg_double("v", F.lit(2048)), F.lit(0.5)
+        ).alias("p50")
+    ).collect()[0]["p50"]
+    assert abs(got["p50"] - direct) <= 0.01 * 100_000
+
+
+def test_kll_merge_single_cell_group_is_identity(spark):
+    # a coarse group holding exactly one cell must pass the sketch
+    # through unchanged (the fold's init-only path)
+    df = spark.range(0, 1000).select(
+        F.lit(0).alias("cell"), F.col("id").cast("double").alias("v")
+    )
+    fine = SK.kll_rollup(df, "v", ["cell"], k=2048)
+    merged = SK.kll_merge(fine, ["cell"])
+    p50 = SK.kll_quantiles(merged, [0.5], ["p50"]).collect()[0]["p50"]
+    assert abs(p50 - 500) < 50
