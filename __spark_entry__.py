@@ -214,6 +214,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (intersection/difference; user-space quantile merge) ---
         "sketch_theta_set_ops": L.sketch_theta_set_ops,
         "sketch_kll_rollup_quantiles": L.sketch_kll_rollup_quantiles,
+        # --- NEW in round 5 (post-window): branch refs + WAP gate ---
+        "sql_branch_wap": L.sql_branch_wap,
     }
 
 
@@ -1492,6 +1494,17 @@ def oracle_sql() -> dict[str, str]:
                           ORDER BY tfidf DESC, term) AS rk
               FROM scored
             ) WHERE rk <= 5
+        """,
+        "sql_branch_wap": """
+            SELECT
+              CAST((SELECT count(*) FROM orders WHERE o_orderkey < 1000)
+                   AS BIGINT) AS n_base,
+              CAST((SELECT count(*) FROM orders WHERE o_orderkey < 2000)
+                   AS BIGINT) AS n_published,
+              CAST((SELECT count(*) FROM orders WHERE o_orderkey < 2000)
+                   AS BIGINT) AS n_staged_rejected,
+              CAST(0 AS INTEGER) AS bad_published,
+              CAST(1 AS INTEGER) AS good_published
         """,
         "sql_ctas_time_travel": """
             WITH base AS (

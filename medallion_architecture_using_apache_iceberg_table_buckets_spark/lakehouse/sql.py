@@ -66,14 +66,14 @@ _CTAS = re.compile(
 # statement (scripts/bronze-silver.py:119). Matched only right after
 # FROM/JOIN so ``alias.history`` column refs are never touched.
 _META_REF = re.compile(
-    r"\b(FROM|JOIN)\s+((?:\w+\.)*\w+)\.(history|snapshots|files)\b", re.I
+    r"\b(FROM|JOIN)\s+((?:\w+\.)*\w+)\.(history|snapshots|files|refs)\b", re.I
 )
 # Iceberg-style time travel in statement text:
 #   FROM t VERSION AS OF 123 / FOR SYSTEM_VERSION AS OF 123
 #   FROM t TIMESTAMP AS OF '2026-01-01 00:00:00' / FOR SYSTEM_TIME AS OF ...
 _TIME_TRAVEL = re.compile(
     r"\b(FROM|JOIN)\s+((?:\w+\.)*\w+)\s+(?:FOR\s+)?"
-    r"(?:(?:SYSTEM_VERSION|VERSION)\s+AS\s+OF\s+(\d+)"
+    r"(?:(?:SYSTEM_VERSION|VERSION)\s+AS\s+OF\s+(?:(\d+)|'(\w+)')"
     r"|(?:SYSTEM_TIME|TIMESTAMP)\s+AS\s+OF\s+'([^']*)')",
     re.I,
 )
@@ -83,6 +83,16 @@ _ALTER_RENAME = re.compile(
     r"^RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)$", re.I
 )
 _ALTER_DROP = re.compile(r"^DROP\s+COLUMNS?\s+\(?\s*(\w+)\s*\)?$", re.I)
+# Iceberg branch/tag DDL: ALTER TABLE t CREATE BRANCH b [AS OF
+# VERSION n] / CREATE TAG g [...] / DROP BRANCH b / DROP TAG g
+_ALTER_CREATE_REF = re.compile(
+    r"^CREATE\s+(BRANCH|TAG)\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)"
+    r"(?:\s+AS\s+OF\s+VERSION\s+(\d+))?$",
+    re.I,
+)
+_ALTER_DROP_REF = re.compile(
+    r"^DROP\s+(BRANCH|TAG)\s+(?:IF\s+EXISTS\s+)?(\w+)$", re.I
+)
 _DESCRIBE = re.compile(
     r"^\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?(?:EXTENDED\s+)?([\w.]+)\s*$", re.I
 )
@@ -270,17 +280,20 @@ class SqlSession:
         t = self.catalog.table(ns, name)
         if m.group(3) is not None:
             sid = int(m.group(3))
+        elif m.group(4) is not None:
+            # VERSION AS OF '<ref>': a named branch or tag
+            sid = t._resolve_ref(m.group(4)).snapshot_id
         else:
             from datetime import datetime, timezone
 
-            dt = datetime.fromisoformat(m.group(4))
+            dt = datetime.fromisoformat(m.group(5))
             if dt.tzinfo is None:
                 dt = dt.replace(tzinfo=timezone.utc)
             ts_ms = int(dt.timestamp() * 1000)
             older = [s for s in t.snapshots() if s.timestamp_ms <= ts_ms]
             if not older:
                 raise ValueError(
-                    f"no snapshot of {ns}.{name} at or before {m.group(4)!r}"
+                    f"no snapshot of {ns}.{name} at or before {m.group(5)!r}"
                 )
             sid = older[-1].snapshot_id
         view = f"__{ns}__{name}__v{sid}"
@@ -476,9 +489,30 @@ class SqlSession:
         if a := _ALTER_DROP.match(action):
             t.drop_column(a.group(1))
             return self._empty()
+        if a := _ALTER_CREATE_REF.match(action):
+            kind, ref = a.group(1).lower(), a.group(2)
+            sid = int(a.group(3)) if a.group(3) else None
+            if "IF NOT EXISTS" in action.upper() and ref in t.refs():
+                return self._empty()
+            (t.create_branch if kind == "branch" else t.create_tag)(ref, sid)
+            return self._empty()
+        if a := _ALTER_DROP_REF.match(action):
+            kind, ref = a.group(1).lower(), a.group(2)
+            refs = t.refs()
+            if ref not in refs:
+                if "IF EXISTS" in action.upper():
+                    return self._empty()
+                raise KeyError(f"{kind} {ref!r} not found on {ns}.{name}")
+            if refs[ref]["type"] != kind:
+                raise ValueError(
+                    f"{ref!r} is a {refs[ref]['type']}, not a {kind}"
+                )
+            t.drop_ref(ref)
+            return self._empty()
         raise ValueError(
             f"unsupported ALTER TABLE action {action!r} (dispatchable: "
-            f"ADD COLUMN(S), RENAME COLUMN ... TO ..., DROP COLUMN)"
+            f"ADD COLUMN(S), RENAME COLUMN ... TO ..., DROP COLUMN, "
+            f"CREATE/DROP BRANCH, CREATE/DROP TAG)"
         )
 
     # engine-internal properties that must not leak into emitted DDL
@@ -624,10 +658,32 @@ class SqlSession:
                 "previous_snapshot_id long, current_snapshot_id long,"
                 " engine_commit_snapshot_id long",
             )
+        if proc == "fast_forward":
+            # Iceberg: fast_forward(table, branch, to) — advance
+            # ``branch`` to ``to``'s head. The engine publishes onto
+            # main only (matching the WAP workflow), so ``branch``
+            # must be 'main'.
+            target = _val("branch", 1)
+            to = _val("to", 2)
+            if target is None or to is None:
+                raise ValueError(f"CALL {proc}: needs (table, branch, to)")
+            target = target.strip("'\"")
+            to = to.strip("'\"")
+            if target != "main":
+                raise ValueError(
+                    f"CALL {proc}: only 'main' can be fast-forwarded "
+                    f"(got {target!r})"
+                )
+            prev = t.current_snapshot().snapshot_id
+            snap = t.fast_forward(to)
+            return self.spark.createDataFrame(
+                [(target, prev, snap.snapshot_id)],
+                "branch_updated string, previous_ref long, updated_ref long",
+            )
         raise ValueError(
             f"unknown procedure {proc!r} (dispatchable: expire_snapshots, "
             f"rewrite_data_files/compact, remove_orphan_files/vacuum, "
-            f"rollback_to_snapshot/set_current_snapshot)"
+            f"rollback_to_snapshot/set_current_snapshot, fast_forward)"
         )
 
     # -- CREATE TABLE AS SELECT ----------------------------------------

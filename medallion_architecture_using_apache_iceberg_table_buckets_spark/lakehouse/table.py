@@ -44,6 +44,8 @@ from ..schema import schema_from_json, schema_to_json
 SNAPSHOT_DIR = "snapshots"
 DATA_DIR = "data"
 CURRENT_PTR = "CURRENT"
+REFS_FILE = "REFS"
+MAIN_BRANCH = "main"
 
 
 @dataclass
@@ -229,11 +231,26 @@ class Table:
             (self.snap_root / f"v{version:08d}.json").read_text()
         )
 
+    def _max_version(self) -> int:
+        """Highest snapshot version on disk — branch commits can sit
+        ABOVE the main head, so version allocation scans the manifest
+        dir rather than trusting CURRENT."""
+        vmax = self._current_version() if self.exists() else 0
+        if self.snap_root.exists():
+            for p in self.snap_root.glob("v*.json"):
+                try:
+                    vmax = max(vmax, int(p.stem[1:]))
+                except ValueError:
+                    continue
+        return vmax
+
     def snapshots(self) -> list[Snapshot]:
-        """All retained snapshots (expired manifests are skipped)."""
-        cur = self._current_version()
+        """All retained snapshots, including branch snapshots beyond
+        the main head (Iceberg's snapshots metadata table lists every
+        live snapshot regardless of ref). Expired manifests are
+        skipped."""
         out = []
-        for v in range(1, cur + 1):
+        for v in range(1, self._max_version() + 1):
             p = self.snap_root / f"v{v:08d}.json"
             if p.exists():
                 out.append(Snapshot.from_json(p.read_text()))
@@ -274,6 +291,131 @@ class Table:
         return snap
 
     # ------------------------------------------------------------------
+    # refs: named branches and tags (Iceberg v2 ``refs`` map).
+    #
+    # ``main`` is implicit — it IS the CURRENT pointer. Every other
+    # ref lives in a REFS json file at the table root:
+    #   {name: {"snapshot_id": int, "type": "branch" | "tag"}}
+    # Branches are writable heads (append/overwrite with ``branch=``
+    # move them); tags are immutable audit pointers. Both pin their
+    # target snapshot against expire_snapshots and, transitively,
+    # their data files against vacuum.
+    # ------------------------------------------------------------------
+    def refs(self) -> dict[str, dict]:
+        p = self.root / REFS_FILE
+        if not p.exists():
+            return {}
+        return json.loads(p.read_text())
+
+    def _write_refs(self, refs: dict[str, dict]) -> None:
+        tmp = self.root / f".REFS.{uuid.uuid4().hex}"
+        tmp.write_text(json.dumps(refs, indent=0))
+        os.replace(tmp, self.root / REFS_FILE)
+
+    def _make_ref(self, name: str, kind: str, snapshot_id: int | None) -> dict:
+        if name == MAIN_BRANCH:
+            raise ValueError("'main' is the implicit current branch")
+        refs = self.refs()
+        if name in refs:
+            raise ValueError(f"ref {name!r} already exists ({refs[name]['type']})")
+        sid = (
+            self.current_snapshot().snapshot_id
+            if snapshot_id is None
+            else self.snapshot_by_id(snapshot_id).snapshot_id
+        )
+        refs[name] = {"snapshot_id": sid, "type": kind}
+        self._write_refs(refs)
+        return refs[name]
+
+    def create_branch(self, name: str, snapshot_id: int | None = None) -> dict:
+        """``ALTER TABLE t CREATE BRANCH name [AS OF VERSION n]`` —
+        a writable head starting at the given (default: current)
+        snapshot. The write-audit-publish staging primitive."""
+        return self._make_ref(name, "branch", snapshot_id)
+
+    def create_tag(self, name: str, snapshot_id: int | None = None) -> dict:
+        """``ALTER TABLE t CREATE TAG name [AS OF VERSION n]`` — an
+        immutable named pointer (release/audit marker)."""
+        return self._make_ref(name, "tag", snapshot_id)
+
+    def drop_ref(self, name: str) -> None:
+        refs = self.refs()
+        if name not in refs:
+            raise KeyError(f"ref {name!r} not found on {self.root}")
+        del refs[name]
+        self._write_refs(refs)
+
+    def _resolve_ref(self, name: str) -> Snapshot:
+        if name == MAIN_BRANCH:
+            return self.current_snapshot()
+        refs = self.refs()
+        if name not in refs:
+            raise KeyError(f"ref {name!r} not found on {self.root}")
+        return self.snapshot_by_id(refs[name]["snapshot_id"])
+
+    def _commit_to_branch(self, snap: Snapshot, branch: str,
+                          expected_head: int) -> Snapshot:
+        """Atomic branch commit: write the snapshot manifest, then CAS
+        the ref from ``expected_head`` to the new snapshot id. CURRENT
+        (= main) never moves."""
+        refs = self.refs()
+        if branch not in refs or refs[branch]["type"] != "branch":
+            raise KeyError(f"{branch!r} is not a branch on {self.root}")
+        if refs[branch]["snapshot_id"] != expected_head:
+            raise RuntimeError(
+                f"concurrent commit detected on branch {branch!r}: expected "
+                f"head {expected_head}, found {refs[branch]['snapshot_id']}"
+            )
+        self.snap_root.mkdir(parents=True, exist_ok=True)
+        (self.snap_root / f"v{snap.version:08d}.json").write_text(snap.to_json())
+        refs[branch]["snapshot_id"] = snap.snapshot_id
+        self._write_refs(refs)
+        return snap
+
+    def is_ancestor(self, ancestor_id: int, descendant_id: int) -> bool:
+        """True when ``ancestor_id`` is on ``descendant_id``'s parent
+        chain (or equal) — the fast-forward eligibility test."""
+        by_id = {s.snapshot_id: s for s in self.snapshots()}
+        node = by_id.get(descendant_id)
+        while node is not None:
+            if node.snapshot_id == ancestor_id:
+                return True
+            node = by_id.get(node.parent_id) if node.parent_id else None
+        return False
+
+    def fast_forward(self, branch: str) -> Snapshot:
+        """Publish a staged branch: move main to the branch head,
+        Iceberg ``CALL system.fast_forward('t', 'main', branch)``.
+        Refuses unless main's head is an ancestor of the branch head
+        (a true fast-forward — no silent discarding of main commits
+        that landed after the branch forked)."""
+        head = self._resolve_ref(branch)
+        refs = self.refs()
+        if branch != MAIN_BRANCH and refs.get(branch, {}).get("type") != "branch":
+            raise ValueError(f"{branch!r} is a tag; only branches fast-forward")
+        cur = self.current_snapshot()
+        if head.snapshot_id == cur.snapshot_id:
+            return cur
+        if not self.is_ancestor(cur.snapshot_id, head.snapshot_id):
+            raise RuntimeError(
+                f"cannot fast-forward main to {branch!r}: main moved since "
+                f"the branch forked (not an ancestor of the branch head)"
+            )
+        return self._commit(head, expected_parent_version=cur.version)
+
+    def refs_df(self, spark: SparkSession) -> DataFrame:
+        """Metadata table: ``SELECT * FROM t.refs`` (name, type,
+        snapshot_id) — main listed first, like Iceberg's refs table."""
+        snap = self.current_snapshot()
+        rows = [(MAIN_BRANCH, "branch", snap.snapshot_id)]
+        for name in sorted(self.refs()):
+            r = self.refs()[name]
+            rows.append((name, r["type"], r["snapshot_id"]))
+        return spark.createDataFrame(
+            rows, "name string, type string, snapshot_id long"
+        )
+
+    # ------------------------------------------------------------------
     # writes
     # ------------------------------------------------------------------
     @classmethod
@@ -298,7 +440,7 @@ class Table:
             raise FileExistsError(f"table exists: {root}")
         t.root.mkdir(parents=True, exist_ok=True)
         t.data_root.mkdir(parents=True, exist_ok=True)
-        version = (t._current_version() + 1) if t.exists() else 1
+        version = (t._max_version() + 1) if t.exists() else 1
         snap = Snapshot(
             version=version,
             snapshot_id=version,
@@ -361,6 +503,7 @@ class Table:
         schema: T.StructType,
         expected_version: int,
         new_properties: dict[str, str] | None = None,
+        branch: str | None = None,
     ) -> Snapshot:
         parent = self._load(expected_version)
         file_set = set(files)
@@ -379,9 +522,13 @@ class Table:
             total_records = added_records
         else:
             total_records = total_records + added_records - removed_records
+        # versions are allocated above EVERY live snapshot (branch
+        # heads can sit beyond main), so main and branch commits never
+        # collide on a manifest filename
+        new_version = max(self._max_version(), expected_version) + 1
         snap = Snapshot(
-            version=expected_version + 1,
-            snapshot_id=expected_version + 1,
+            version=new_version,
+            snapshot_id=new_version,
             parent_id=parent.snapshot_id,
             timestamp_ms=time.time_ns() // 1_000_000,
             operation=operation,
@@ -399,23 +546,38 @@ class Table:
             },
             stats=stats,
         )
+        if branch is not None:
+            return self._commit_to_branch(
+                snap, branch, expected_head=parent.snapshot_id
+            )
         return self._commit(snap, expected_parent_version=expected_version)
 
-    def append(self, df: DataFrame) -> Snapshot:
-        """Append-only write (reference scripts/raw-bronze.py:180-182)."""
-        base = self._current_version()
-        cur = self._load(base)
+    def _write_base(self, branch: str | None) -> Snapshot:
+        """The snapshot a write builds on: main's head, or the named
+        branch's head."""
+        if branch is None or branch == MAIN_BRANCH:
+            return self.current_snapshot()
+        return self._resolve_ref(branch)
+
+    def append(self, df: DataFrame, branch: str | None = None) -> Snapshot:
+        """Append-only write (reference scripts/raw-bronze.py:180-182).
+        With ``branch=``, the new snapshot chains onto that branch's
+        head and only the branch ref moves (WAP staging)."""
+        cur = self._write_base(branch)
         added = self._write_files(df, cur.partition_by)
         return self._next_snapshot(
-            "append", cur.files + added, added, [], df.schema, base
+            "append", cur.files + added, added, [], df.schema, cur.version,
+            branch=None if branch == MAIN_BRANCH else branch,
         )
 
-    def overwrite(self, df: DataFrame) -> Snapshot:
+    def overwrite(self, df: DataFrame, branch: str | None = None) -> Snapshot:
         """Replace table contents (first-load path, scripts/raw-bronze.py:183-185)."""
-        base = self._current_version()
-        cur = self._load(base)
+        cur = self._write_base(branch)
         added = self._write_files(df, cur.partition_by)
-        return self._next_snapshot("overwrite", added, added, cur.files, df.schema, base)
+        return self._next_snapshot(
+            "overwrite", added, added, cur.files, df.schema, cur.version,
+            branch=None if branch == MAIN_BRANCH else branch,
+        )
 
     def replace_files(
         self, removed: list[str], df: DataFrame, operation: str = "merge"
@@ -1070,18 +1232,27 @@ class Table:
         ]
         return df.drop(*hidden) if hidden else df
 
-    def read(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:
-        """Full-table scan, optionally time-traveled to a snapshot.
+    def read(
+        self,
+        spark: SparkSession,
+        snapshot_id: int | None = None,
+        ref: str | None = None,
+    ) -> DataFrame:
+        """Full-table scan, optionally time-traveled to a snapshot or
+        a named ref (branch/tag — ``VERSION AS OF 'name'``).
 
         Partition pruning: files live under Hive-style ``col=value``
         dirs and the read carries an explicit schema, so Catalyst
         prunes partitions and pushes predicates into the Parquet scan.
         """
-        snap = (
-            self.current_snapshot()
-            if snapshot_id is None
-            else self.snapshot_by_id(snapshot_id)
-        )
+        if snapshot_id is not None and ref is not None:
+            raise ValueError("pass snapshot_id or ref, not both")
+        if ref is not None:
+            snap = self._resolve_ref(ref)
+        elif snapshot_id is not None:
+            snap = self.snapshot_by_id(snapshot_id)
+        else:
+            snap = self.current_snapshot()
         schema = schema_from_json(snap.schema_json)
         if self._delta_files(snap):
             return self._resolve_mor(spark, snap, schema)
@@ -1227,7 +1398,13 @@ class Table:
         cur = self._current_version()
         cutoff = cur - keep_last + 1
         current_files = set(self.current_snapshot().files)
-        to_expire = [s for s in self.snapshots() if s.version < cutoff]
+        # named refs pin their target snapshots (Iceberg retains every
+        # ref head through expiration)
+        pinned = {r["snapshot_id"] for r in self.refs().values()}
+        to_expire = [
+            s for s in self.snapshots()
+            if s.version < cutoff and s.snapshot_id not in pinned
+        ]
         for s in to_expire:
             if s.operation == "merge-delta" and set(s.added_files) & current_files:
                 raise ValueError(
@@ -1265,9 +1442,10 @@ class Table:
             )
         cur_files = set(cur.files)
         target_files = set(target.files)
+        new_version = max(self._max_version(), base) + 1
         snap = Snapshot(
-            version=base + 1,
-            snapshot_id=base + 1,
+            version=new_version,
+            snapshot_id=new_version,
             parent_id=cur.snapshot_id,
             timestamp_ms=time.time_ns() // 1_000_000,
             operation="rollback",

@@ -302,6 +302,62 @@ def sql_ctas_time_travel(spark, sf_dir):
     )
 
 
+def sql_branch_wap(spark, sf_dir):
+    """Write-audit-publish through branch refs (lakehouse/wap.py,
+    Iceberg branch semantics): base load, a TAG pinning the
+    pre-publish state, one staged batch that FAILS its audit (negated
+    prices planted on every 7th key) and must not reach main, then
+    the clean batch that passes and publishes via metadata-only
+    fast-forward. The result proves all four states from live reads:
+    the tag still sees the base, main sees exactly base+clean batch,
+    the rejected branch still holds its staged (isolated) rows, and
+    the two publish flags come from the WapResult."""
+    import tempfile
+
+    from ..lakehouse import Catalog
+    from ..lakehouse.wap import write_audit_publish
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    base = o.filter(F.col("o_orderkey") < 1000)
+    batch = o.filter((F.col("o_orderkey") >= 1000) & (F.col("o_orderkey") < 2000))
+    poisoned = batch.withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 7 == 0, -F.col("o_totalprice")).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    cat = Catalog(tempfile.mkdtemp(prefix="mats_wap_"))
+    t = cat.create_table("demo", "ord", base.schema)
+    t.append(base)
+    t.create_tag("pre_publish")
+    audits = [
+        ("positive_prices",
+         lambda df: df.filter(F.col("o_totalprice") <= 0).count() == 0),
+    ]
+    bad = write_audit_publish(spark, t, poisoned, audits)
+    good = write_audit_publish(spark, t, batch, audits)
+    n_base = t.read(spark, ref="pre_publish").agg(
+        F.count("*").alias("n_base")
+    )
+    n_pub = t.read(spark).agg(F.count("*").alias("n_published"))
+    n_rej = t.read(spark, ref=bad.branch).agg(
+        F.count("*").alias("n_staged_rejected")
+    )
+    return (
+        n_base.crossJoin(F.broadcast(n_pub))
+        .crossJoin(F.broadcast(n_rej))
+        .select(
+            "n_base",
+            "n_published",
+            "n_staged_rejected",
+            F.lit(int(bad.published)).cast("int").alias("bad_published"),
+            F.lit(int(good.published)).cast("int").alias("good_published"),
+        )
+    )
+
+
 def incremental_scan_changelog(spark, sf_dir):
     """Snapshot-range changelog read (SURVEY S7; Iceberg
     start-snapshot-id semantics, reference
