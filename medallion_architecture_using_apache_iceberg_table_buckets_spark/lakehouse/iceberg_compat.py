@@ -386,6 +386,18 @@ def table_metadata(table: Table) -> dict:
             k: v for k, v in head.properties.items() if k != FIELD_IDS_PROP
         },
         "current-snapshot-id": head.snapshot_id,
+        # Iceberg v2 refs map: main mirrors current-snapshot-id, the
+        # engine's named branches/tags export with their spec types
+        "refs": {
+            "main": {
+                "snapshot-id": head.snapshot_id,
+                "type": "branch",
+            },
+            **{
+                name: {"snapshot-id": r["snapshot_id"], "type": r["type"]}
+                for name, r in sorted(table.refs().items())
+            },
+        },
         "snapshots": [e["snapshot"] for e in exported],
         "snapshot-log": [
             {"snapshot-id": s.snapshot_id, "timestamp-ms": s.timestamp_ms}

@@ -544,3 +544,23 @@ def test_mor_deltas_export_as_equality_deletes(spark, tmp_path):
     for b, n in zip(back, native):
         assert b.files == sorted(n.files)
         assert b.added_files == sorted(n.added_files)
+
+
+def test_refs_export_as_v2_refs_map(spark, tmp_path):
+    # the refs map is part of the v2 spec: main mirrors
+    # current-snapshot-id, and every engine branch/tag exports with
+    # its spec type and pinned snapshot id
+    t = _table(spark, tmp_path)
+    t.create_tag("audit-2026", snapshot_id=t.snapshots()[0].snapshot_id)
+    t.create_branch("wip")
+    doc = table_metadata(t)
+    refs = doc["refs"]
+    assert refs["main"] == {
+        "snapshot-id": doc["current-snapshot-id"], "type": "branch"
+    }
+    assert refs["audit-2026"]["type"] == "tag"
+    assert refs["audit-2026"]["snapshot-id"] == t.snapshots()[0].snapshot_id
+    assert refs["wip"]["type"] == "branch"
+    # every ref points at an exported snapshot
+    exported_ids = {s["snapshot-id"] for s in doc["snapshots"]}
+    assert {r["snapshot-id"] for r in refs.values()} <= exported_ids
