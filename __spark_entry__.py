@@ -216,6 +216,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_kll_rollup_quantiles": L.sketch_kll_rollup_quantiles,
         # --- NEW in round 5 (post-window): branch refs + WAP gate ---
         "sql_branch_wap": L.sql_branch_wap,
+        # --- NEW in round 5 (post-window): SemDeDup cluster-scoped
+        # semantic dedup on the oracle-proven IVF quantizer ---
+        "dedup_semantic": L.dedup_semantic,
     }
 
 
@@ -488,6 +491,70 @@ def _zorder_oracle() -> str:
         FROM (SELECT event_id, user_id,
                      CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
               FROM events)
+    """
+
+
+def _semantic_dedup_oracle(eps: float = 0.4, n_centroids: int = 16) -> str:
+    """Exact oracle for dedup.semantic_dedup: the _ann_ivf_oracle
+    clustering CTEs (rank-spaced seeds, one Lloyd step with
+    round(avg,6) means, deterministic assignment), then the SemDeDup
+    keep rule — within a cluster, every pair at cos>=eps (round 4)
+    drops the member with the HIGHER round-6 centroid similarity
+    (ties drop the higher id)."""
+    assign = """
+      SELECT vec_id, embedding, centroid_id FROM (
+        SELECT r.vec_id, r.embedding, c.centroid_id,
+               row_number() OVER (PARTITION BY r.vec_id
+                 ORDER BY round(list_cosine_similarity(
+                            CAST(r.embedding AS DOUBLE[]), c.cv), 6) DESC,
+                          c.centroid_id ASC) AS rn
+        FROM embeddings r CROSS JOIN {cents} c)
+      WHERE rn = 1
+    """
+    return f"""
+    WITH params AS (SELECT greatest(1, count(*) // {n_centroids}) AS step FROM embeddings),
+    seeds AS (
+      SELECT CAST(rk - 1 AS INTEGER) AS centroid_id, cv FROM (
+        SELECT CAST(embedding AS DOUBLE[]) AS cv,
+               row_number() OVER (ORDER BY vec_id) AS rk
+        FROM embeddings, params WHERE vec_id % step = 0)
+      WHERE rk <= {n_centroids}
+    ),
+    assign0 AS ({assign.format(cents='seeds')}),
+    cells AS (
+      SELECT a.centroid_id, CAST(t.range AS INTEGER) AS d,
+             CAST(a.embedding AS DOUBLE[])[t.range] AS x
+      FROM assign0 a CROSS JOIN range(1, 65) t
+    ),
+    cents AS (
+      SELECT centroid_id, list(m ORDER BY d) AS cv FROM (
+        SELECT centroid_id, d, round(avg(x), 6) AS m
+        FROM cells GROUP BY centroid_id, d)
+      GROUP BY centroid_id
+    ),
+    lists AS ({assign.format(cents='cents')}),
+    scored AS (
+      SELECT l.vec_id, l.embedding, l.centroid_id,
+             round(list_cosine_similarity(
+               CAST(l.embedding AS DOUBLE[]), c.cv), 6) AS cent_sim
+      FROM lists l JOIN cents c USING (centroid_id)
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             a.cent_sim AS ca, b.cent_sim AS cb
+      FROM scored a JOIN scored b
+        ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                         b.embedding::DOUBLE[]), 4) >= {eps}
+    ),
+    dropped AS (
+      SELECT DISTINCT CASE WHEN ca > cb THEN id_a ELSE id_b END AS vec_id
+      FROM pairs
+    )
+    SELECT s.vec_id, s.centroid_id, s.cent_sim,
+           CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS INTEGER)
+               AS is_kept
+    FROM scored s LEFT JOIN dropped d USING (vec_id)
     """
 
 
@@ -1653,6 +1720,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding_lsh_pairs": _embedding_lsh_pairs_oracle(),
         "ann_lsh_topk": _ann_lsh_oracle(),
         "ann_ivf_topk": _ann_ivf_oracle(),
+        "dedup_semantic": _semantic_dedup_oracle(),
         "ann_recall_at_k": _ann_recall_oracle(),
         "skew_salted_agg": """
             SELECT l_returnflag,

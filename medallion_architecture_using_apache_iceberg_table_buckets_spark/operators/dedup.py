@@ -955,3 +955,85 @@ def minhash_lsh_probe(
         .filter(F.col("jaccard") >= threshold)
         .select("new_doc", "hist_doc", "jaccard")
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    eps: float = 0.4,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the corpus with the deterministic IVF
+    quantizer, then WITHIN each cluster drop one member of every pair
+    whose cosine exceeds ``eps`` — keeping the member LESS similar to
+    its cluster centroid (the paper's keep-the-edge-example rule; ties
+    drop the higher id). Returns every vector with
+    ``(vec_id, centroid_id, cent_sim, is_kept)``.
+
+    Scale shape: candidate generation is the cluster itself — a
+    broadcast-centroid map-only assignment followed by one equi-join
+    on centroid_id, never an all-pairs plan. Intra-cluster pairing is
+    quadratic in the CLUSTER size, which is the knob SemDeDup scales
+    by: at 100 TB you raise n_centroids so n/k stays bounded (the
+    paper runs 50k clusters), and the per-cluster work parallelizes
+    across the cluster key. Centroid seeding/refinement is the
+    oracle-proven ivf_centroids pipeline (rank-spaced seeds, one
+    distributive Lloyd step, round-6 quantized means).
+    """
+    from .similarity import _cos_join, _norm_col, ivf_assign, ivf_centroids
+
+    cents = ivf_centroids(
+        df, n_centroids, vec_col=vec_col, id_col=id_col, dim=dim
+    )
+    assigned = ivf_assign(df, cents, vec_col=vec_col, id_col=id_col, dim=dim)
+    cn = _norm_col(cents, "cv", "_cnrm", dim)
+    scored = (
+        assigned.join(F.broadcast(cn), "centroid_id")
+        .withColumn(
+            "cent_sim",
+            F.round(_cos_join("embedding", "cv", "nrm", "_cnrm", dim), 6),
+        )
+        .select("vec_id", "embedding", "centroid_id", "nrm", "cent_sim")
+    )
+    a = scored.select(
+        "centroid_id",
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+        F.col("cent_sim").alias("ca"),
+    )
+    b = scored.select(
+        "centroid_id",
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+        F.col("cent_sim").alias("cb"),
+    )
+    pairs = (
+        a.join(b, "centroid_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", F.round(_cos_join("ea", "eb", "na", "nb", dim), 4))
+        .filter(F.col("cos_sim") >= eps)
+    )
+    dropped = pairs.select(
+        F.when(F.col("ca") > F.col("cb"), F.col("id_a"))
+        .otherwise(F.col("id_b"))  # tie -> id_b (the higher id) goes
+        .alias("vec_id")
+    ).distinct()
+    return (
+        scored.join(
+            dropped.withColumn("_dropped", F.lit(1)), "vec_id", "left"
+        )
+        .select(
+            "vec_id",
+            "centroid_id",
+            "cent_sim",
+            F.when(F.col("_dropped").isNull(), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("is_kept"),
+        )
+    )

@@ -130,6 +130,18 @@ def ann_lsh_topk(spark, sf_dir):
     return S.cosine_topk_lsh(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
+def dedup_semantic(spark, sf_dir):
+    """SemDeDup over the embeddings corpus (dedup.semantic_dedup,
+    eps=0.4, 16 IVF clusters): cluster-scoped near-dup removal that
+    keeps the member least similar to its centroid. Fully
+    deterministic (rank-spaced seeds, quantized Lloyd means, rounded
+    cosines), so the DuckDB oracle reproduces the exact keep set."""
+    from .dedup import semantic_dedup
+
+    emb = load(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, eps=0.4, n_centroids=16, dim=64)
+
+
 def ann_ivf_topk(spark, sf_dir):
     """IVF inverted-list variant (nprobe centroids per query) —
     rows-only driver check; approximate by design."""

@@ -515,3 +515,44 @@ def test_avi_decode_rejects_compressed_and_frame_mismatch():
     blob2[off2:off2 + 4] = struct.pack("<I", 9)
     with _pytest.raises(ValueError):
         decode_avi(bytes(blob2))
+
+
+def test_semantic_dedup_keeps_edge_member(spark):
+    """Planted near-dup pair: the kept member must be the one LESS
+    similar to its cluster centroid (SemDeDup's keep rule), and
+    unrelated vectors stay kept."""
+    import math
+
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators.dedup import (
+        semantic_dedup,
+    )
+
+    dim = 8
+    def unit(theta, i, j):
+        v = [0.0] * dim
+        v[i], v[j] = math.cos(theta), math.sin(theta)
+        return v
+
+    rows = [
+        # cluster around e0: two near-dups (2° apart) + one edge
+        # vector 40° away that must survive
+        (0, unit(0.00, 0, 1)),
+        (1, unit(0.035, 0, 1)),   # ~2° from vec 0 -> near-dup pair
+        (2, unit(0.70, 0, 1)),    # ~40° away -> kept
+        # far-away cluster on another axis pair
+        (3, unit(0.0, 2, 3)),
+        (4, unit(0.9, 2, 3)),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(df, eps=0.9, n_centroids=2, dim=dim)
+    got = {r["vec_id"]: r for r in out.collect()}
+    assert len(got) == 5
+    dropped = {i for i, r in got.items() if r["is_kept"] == 0}
+    # exactly one of the near-dup pair is dropped — the member MORE
+    # similar to the centroid
+    assert len(dropped & {0, 1}) == 1
+    (d,) = dropped & {0, 1}
+    k = ({0, 1} - {d}).pop()
+    assert got[d]["cent_sim"] >= got[k]["cent_sim"]
+    # everything else survives
+    assert got[2]["is_kept"] == 1 and got[3]["is_kept"] == 1

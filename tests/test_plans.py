@@ -328,6 +328,11 @@ def test_brute_baselines_are_the_only_all_pairs_plans(spark, sf_dir):
         "ann_ivf_topk",
         "curation_end_to_end",
         "ann_recall_at_k",
+        # embeds the ivf_centroids seeding (scalar/centroid-count
+        # broadcast crossJoins) like ann_ivf_topk; its candidate
+        # generation is the centroid_id equi-join, asserted by
+        # test_semantic_dedup_plan_is_cluster_scoped
+        "dedup_semantic",
     }
 
     offenders = {}
@@ -352,3 +357,19 @@ def test_brute_baselines_are_the_only_all_pairs_plans(spark, sf_dir):
             or "BroadcastNestedLoopJoin" in brute_dedup)
     assert ("CartesianProduct" in brute_ann
             or "BroadcastNestedLoopJoin" in brute_ann)
+
+
+def test_semantic_dedup_plan_is_cluster_scoped(spark, sf_dir):
+    """SemDeDup's candidate generation must be the centroid_id
+    equi-join: the only BNLJ/cross shapes allowed are the tiny
+    centroid/scalar broadcasts the IVF quantizer uses (bounded by
+    n_centroids=16 rows), never a corpus-sized side."""
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators import (
+        llm_queries as L,
+    )
+
+    plan = plan_of(L.dedup_semantic(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # the intra-cluster pair join shows up as a real equi-join
+    assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+            or "BroadcastHashJoin" in plan)
