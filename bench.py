@@ -115,6 +115,12 @@ HEADLINE = {
     "corpus_data_card": L.corpus_data_card,
     "multimodal_decode_audio": L.multimodal_decode_audio,
     "multimodal_decode_video": L.multimodal_decode_video,
+    # round-5 late additions: theta set algebra, KLL rollup-merge,
+    # branch-staged WAP, SemDeDup
+    "sketch_theta_set_ops": L.sketch_theta_set_ops,
+    "sketch_kll_rollup_quantiles": L.sketch_kll_rollup_quantiles,
+    "sql_branch_wap": L.sql_branch_wap,
+    "dedup_semantic": L.dedup_semantic,
 }
 
 # the 14 queries recorded since round 1 — their sum is the anchored

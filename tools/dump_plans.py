@@ -126,6 +126,27 @@ def llm_queries_section():
             "(AQE picks broadcast only if the common set is runtime-small), "
             "order-preserving collect_list+array_sort rebuild.",
         ),
+        # round-5 final block
+        "dedup_semantic": (
+            L.dedup_semantic,
+            "SemDeDup: broadcast-centroid map-only assignment, then the "
+            "intra-cluster pair join as a real EQUI-join on centroid_id — "
+            "quadratic only within a cluster (the n_centroids knob), never "
+            "an all-pairs plan on the corpus.",
+        ),
+        "sketch_theta_set_ops": (
+            L.sketch_theta_set_ops,
+            "One conditional-agg pass builds both segment sketches; set "
+            "algebra is register-only on a 1-row frame; the exactness "
+            "check joins two 1-row aggregates by scalar broadcast.",
+        ),
+        "sketch_kll_rollup_quantiles": (
+            L.sketch_kll_rollup_quantiles,
+            "Fine KLL cells via one map-side-combined agg; the coarse "
+            "merge folds a bounded per-group sketch list (KB-sized "
+            "sketches, hundreds of cells); rank-bound validation is one "
+            "more aggregation over the fact table.",
+        ),
     }
 
 
