@@ -219,6 +219,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- NEW in round 5 (post-window): SemDeDup cluster-scoped
         # semantic dedup on the oracle-proven IVF quantizer ---
         "dedup_semantic": L.dedup_semantic,
+        # --- NEW in round 5 (post-window): merge-on-read position
+        # deletes (Iceberg v2 content=1) through SQL DELETE ---
+        "position_delete_mor": L.position_delete_mor,
     }
 
 
@@ -1721,6 +1724,17 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": _ann_lsh_oracle(),
         "ann_ivf_topk": _ann_ivf_oracle(),
         "dedup_semantic": _semantic_dedup_oracle(),
+        "position_delete_mor": """
+            SELECT o_orderstatus,
+                   count(*) AS n_orders,
+                   round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+                              AS DOUBLE), 2) AS sum_price
+            FROM orders
+            WHERE o_orderkey <= 8000
+              AND NOT (o_totalprice > 150000)
+            GROUP BY o_orderstatus
+            ORDER BY o_orderstatus
+        """,
         "ann_recall_at_k": _ann_recall_oracle(),
         "skew_salted_agg": """
             SELECT l_returnflag,

@@ -284,8 +284,17 @@ def partition_spec_to_iceberg(
     return {"spec-id": spec_id, "fields": fields}
 
 
-def snapshot_to_iceberg(snap: Snapshot, field_ids: dict[str, int]) -> dict:
-    """One snapshot -> (snapshots[] entry, manifest entries)."""
+def snapshot_to_iceberg(
+    snap: Snapshot,
+    field_ids: dict[str, int],
+    prev_delete_files: frozenset | None = None,
+) -> dict:
+    """One snapshot -> (snapshots[] entry, manifest entries).
+
+    ``prev_delete_files`` (the parent snapshot's live position-delete
+    set) classifies delete-file entries as ADDED vs EXISTING and emits
+    DELETED rows for materialized ones, mirroring the data-file
+    status logic."""
     added = set(snap.added_files)
     entries = []
     for f in sorted(snap.files):
@@ -328,6 +337,23 @@ def snapshot_to_iceberg(snap: Snapshot, field_ids: dict[str, int]) -> dict:
                                               "file-path": f"data/{f}",
                                               "file-format": "PARQUET"}}
         )
+    # position-delete files (Iceberg content=1) alongside the data
+    # entries — same ADDED/EXISTING/DELETED status protocol
+    prev_dels = prev_delete_files or frozenset()
+    for f in sorted(snap.delete_files):
+        entries.append(
+            {
+                "status": ADDED if f not in prev_dels else EXISTING,
+                "data-file": {"content": 1, "file-path": f"data/{f}",
+                              "file-format": "PARQUET"},
+            }
+        )
+    for f in sorted(prev_dels - set(snap.delete_files)):
+        entries.append(
+            {"status": DELETED, "data-file": {"content": 1,
+                                              "file-path": f"data/{f}",
+                                              "file-format": "PARQUET"}}
+        )
     summary = {"operation": _OP_MAP.get(snap.operation, "overwrite")}
     summary.update({k: str(v) for k, v in snap.summary.items()})
     # preserve the native spelling so import is lossless
@@ -363,7 +389,11 @@ def table_metadata(table: Table) -> dict:
         ice_schema = schema_to_iceberg(table.schema)
         last_column_id = _max_field_id(ice_schema)
     field_ids = _top_level_field_ids(ice_schema)
-    exported = [snapshot_to_iceberg(s, field_ids) for s in snaps]
+    exported = []
+    prev_dels: frozenset = frozenset()
+    for s in snaps:
+        exported.append(snapshot_to_iceberg(s, field_ids, prev_dels))
+        prev_dels = frozenset(s.delete_files)
     return {
         "format-version": 2,
         "table-uuid": str(uuid.uuid5(uuid.NAMESPACE_URL, str(table.root))),
@@ -417,9 +447,15 @@ def snapshot_from_iceberg(snap_entry: dict, manifest: list[dict],
     semantic fields (ids, lineage, operation, live/added/removed file
     sets) round-trip exactly; per-file stats are not reconstructed
     (a real migration re-derives them from parquet footers)."""
-    live, added, removed = [], [], []
+    live, added, removed, dels = [], [], [], []
     for e in manifest:
         path = e["data-file"]["file-path"].removeprefix("data/")
+        if e["data-file"].get("content", 0) == 1:
+            # position-delete file: live set only (a DELETED entry
+            # means it was materialized away — nothing to keep)
+            if e["status"] != DELETED:
+                dels.append(path)
+            continue
         if e["status"] == DELETED:
             removed.append(path)
         else:
@@ -443,6 +479,7 @@ def snapshot_from_iceberg(snap_entry: dict, manifest: list[dict],
         properties=dict(properties),
         summary={},
         stats={},
+        delete_files=sorted(dels),
     )
 
 
@@ -917,6 +954,70 @@ def export_iceberg_dir(table: Table, dest) -> "Path":
                 data_rows=data_part.num_rows, del_rows=del_part.num_rows,
             )
 
+    # ---- position-delete translation: v2 position-delete files ----
+    # The engine's delete file stores (file_name basename, pos);
+    # Iceberg wants (file_path, pos) under the RESERVED field-ids
+    # 2147483546/2147483545, sorted by (file_path, pos), and
+    # PARTITION-SCOPED in a partitioned spec (real readers index
+    # deletes by partition value) — so each engine delete file splits
+    # into one translated part per target-partition directory.
+    posdel_parts: dict[str, list[dict]] = {}
+    _posdel_first: dict[str, int] = {}
+    for s in snaps:
+        for f in s.delete_files:
+            _posdel_first.setdefault(f, s.snapshot_id)
+    if _posdel_first:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        base_rel: dict[str, str] = {}
+        for s in snaps:
+            for data_f in s.files:
+                base_rel.setdefault(data_f.rsplit("/", 1)[-1], data_f)
+        pos_schema = pa.schema(
+            [
+                pa.field("file_path", pa.string(), nullable=False,
+                         metadata={b"PARQUET:field_id": b"2147483546"}),
+                pa.field("pos", pa.int64(), nullable=False,
+                         metadata={b"PARQUET:field_id": b"2147483545"}),
+            ]
+        )
+        for f, first_snap in _posdel_first.items():
+            tbl = pq.read_table(table.data_root / f)
+            pairs = sorted(
+                (base_rel.get(n, n), p)
+                for n, p in zip(
+                    tbl.column("file_name").to_pylist(),
+                    tbl.column("pos").to_pylist(),
+                )
+            )
+            groups: dict[str, list] = {}
+            for rel, p in pairs:
+                part_dir = rel.rsplit("/", 1)[0] if "/" in rel else ""
+                groups.setdefault(part_dir, []).append((rel, p))
+            (dest / "data" / "__posdel__" / str(first_snap)).mkdir(
+                parents=True, exist_ok=True
+            )
+            first_seq.setdefault(f, first_snap)
+            parts = []
+            for k, (_part_dir, rows) in enumerate(sorted(groups.items())):
+                rel_out = (
+                    f"data/__posdel__/{first_snap}/{f}.{k}.posdel.parquet"
+                )
+                out = pa.table(
+                    {
+                        "file_path": [f"data/{r}" for r, _ in rows],
+                        "pos": [p for _, p in rows],
+                    },
+                    schema=pos_schema,
+                )
+                pq.write_table(out, dest / rel_out)
+                parts.append(
+                    {"rel": rel_out, "rows": out.num_rows,
+                     "sample": rows[0][0]}
+                )
+            posdel_parts[f] = parts
+
     # hardlink (copy-free) every untranslated data file into
     # dest/data/ so the export dir is a SELF-CONTAINED Iceberg table:
     # every file_path below resolves against dest, nothing points
@@ -1001,7 +1102,22 @@ def export_iceberg_dir(table: Table, dest) -> "Path":
         )
         return data_rec, rec(info["del_rel"], info["del_rows"], 2)
 
+    def _posdel_record(part: dict) -> dict:
+        prt = {
+            _spec_field_name(tr): _partition_value(tr, part["sample"])
+            for tr in transforms
+        }
+        return {
+            "content": 1,  # POSITION_DELETES
+            "file_path": part["rel"],
+            "file_format": "PARQUET",
+            "partition": prt,
+            "record_count": part["rows"],
+            "file_size_in_bytes": os.stat(dest / part["rel"]).st_size,
+        }
+
     list_records_by_snap: dict[int, list] = {}
+    prev_posdel: set[str] = set()
     for snap in snaps:
         added = set(snap.added_files)
 
@@ -1036,6 +1152,22 @@ def export_iceberg_dir(table: Table, dest) -> "Path":
                 entries.append(
                     _entry(DELETED, f, _data_file_record(f, snap))
                 )
+        # position-delete entries: ADDED on first appearance,
+        # EXISTING while carried, DELETED when a rewrite materializes
+        # them away (sequence number = the delete's commit snapshot,
+        # which exceeds every target data file's — the v2 rule
+        # "applies to data files with seq <= delete seq" holds)
+        cur_posdel = set(snap.delete_files)
+        for f in sorted(cur_posdel):
+            status = ADDED if f not in prev_posdel else EXISTING
+            for part in posdel_parts.get(f, []):
+                delete_entries.append(_entry(status, f, _posdel_record(part)))
+        for f in sorted(prev_posdel - cur_posdel):
+            for part in posdel_parts.get(f, []):
+                delete_entries.append(
+                    _entry(DELETED, f, _posdel_record(part))
+                )
+        prev_posdel = cur_posdel
         man_path = meta_dir / f"manifest-{snap.snapshot_id}.avro"
         write_container_file(man_path, entry_schema, entries)
         del_man_path = None
@@ -1147,12 +1279,23 @@ def import_iceberg_dir(dest) -> list[Snapshot]:
                 # single native delta file it came from: both halves
                 # carry the original relative path in their flattened
                 # file name
+                content = e["data_file"].get("content", 0)
                 if path.startswith("data/__mor__/"):
                     flat = path.rsplit("/", 1)[-1]
                     for suffix in (".data.parquet", ".eqdel.parquet"):
                         if flat.endswith(suffix):
                             flat = flat.removesuffix(suffix)
                     path = "data/" + flat.replace("%2F", "/")
+                    content = 0  # fused back to the native delta file
+                if path.startswith("data/__posdel__/"):
+                    # fuse the per-partition translated parts
+                    # (<orig>.<k>.posdel.parquet) back to the single
+                    # native delete file they came from
+                    flat = path.rsplit("/", 1)[-1]
+                    stem = flat.rsplit(".posdel.parquet", 1)[0]
+                    stem = stem.rsplit(".", 1)[0]  # strip part index
+                    path = "data/" + stem
+                    content = 1
                 key = (e["status"], path)
                 if key in seen:
                     continue
@@ -1160,7 +1303,8 @@ def import_iceberg_dir(dest) -> list[Snapshot]:
                 entries_json.append(
                     {
                         "status": e["status"],
-                        "data-file": {"file-path": path},
+                        "data-file": {"file-path": path,
+                                      "content": content},
                     }
                 )
         manifests[str(sid)] = entries_json
@@ -1186,13 +1330,15 @@ def compat_notes() -> list[str]:
     threaded through every ALTER primitive and preferred at export);
     MOR equality deletes (pending merge-delta files translate to v2
     equality-delete + data pairs with per-snapshot DELETE manifests —
-    the sequence rule reproduces newest-wins resolve exactly)."""
+    the sequence rule reproduces newest-wins resolve exactly).
+
+    Closed later in r5: position deletes — ``write.delete.mode =
+    merge-on-read`` DELETEs commit native (file_name, pos) delete
+    files which export as v2 position-delete parquet (reserved
+    field-ids 2147483546/2147483545, sorted, split per target
+    partition value) under content=1 DELETE manifests."""
     return [
         "pre-existing tables that evolved before this engine version "
         "have no recorded id history; their first post-upgrade ALTER "
         "seeds ids positionally from the then-current schema",
-        "position deletes are never emitted: the engine's only "
-        "row-level delete representation is key-based, which maps to "
-        "equality deletes; a migration needing position deletes must "
-        "rewrite them from the equality form",
     ]

@@ -183,8 +183,9 @@ def merge_into(
         # Pure insert: no file rewrite at all, just new files.
         return table.replace_files([], upsert_rows, operation="merge")
 
-    # 2. rewrite only touched files
-    touched_df = table._read_files(spark, touched_rel, table.schema)
+    # 2. rewrite only touched files (live view: any position deletes
+    # on them are applied, else the COW rewrite would resurrect rows)
+    touched_df = table._read_live(spark, touched_rel, table.schema)
     kept = touched_df.join(all_keys, keys, "left_anti")
     rewritten = kept.unionByName(upsert_rows)
     return table.replace_files(touched_rel, rewritten, operation="merge")

@@ -70,6 +70,13 @@ class Snapshot:
     # way Iceberg does, but the SKIPPING semantics (scan planning
     # reads stats, not data) are identical.
     stats: dict[str, dict] = field(default_factory=dict)
+    # live POSITION-delete files (rel to data/): parquet files of
+    # (file_name string, pos long) rows naming physically-deleted rows
+    # of the files in ``files``. The engine's merge-on-read DELETE
+    # representation (Iceberg v2 position deletes, content=1) next to
+    # the key-based merge-delta (equality-delete) one. Absent in
+    # pre-upgrade snapshot JSON -> default [] (backward compatible).
+    delete_files: list[str] = field(default_factory=list)
 
     def to_json(self) -> str:
         return json.dumps(self.__dict__, indent=0)
@@ -504,6 +511,7 @@ class Table:
         expected_version: int,
         new_properties: dict[str, str] | None = None,
         branch: str | None = None,
+        delete_files: list[str] | None = None,
     ) -> Snapshot:
         parent = self._load(expected_version)
         file_set = set(files)
@@ -515,6 +523,13 @@ class Table:
                 stats[f] = _file_column_stats(self.data_root / f, schema)
             except Exception:
                 stats.pop(f, None)  # no stats = never skipped
+        # position-delete carry-forward: inherited unless the write
+        # replaces the whole table (overwrite) or explicitly clears
+        # them (compact materializes deletes into the rewrite)
+        if delete_files is None:
+            delete_files = [] if operation == "overwrite" else list(
+                parent.delete_files
+            )
         added_records = sum(_file_rows(self.data_root / f) for f in added)
         total_records = parent.summary.get("total_records", 0)
         removed_records = sum(_file_rows(self.data_root / f) for f in removed)
@@ -522,6 +537,21 @@ class Table:
             total_records = added_records
         else:
             total_records = total_records + added_records - removed_records
+            # total_records stays LOGICAL under position deletes: new
+            # delete files subtract their row count (each (file,pos)
+            # row appears in at most one delete file — the discovery
+            # scan anti-joins already-deleted rows first); delete
+            # files cleared by a materializing rewrite add it back
+            # (the removed data files above were counted at full
+            # physical rows while the rewrite wrote logical rows)
+            parent_dels = set(parent.delete_files)
+            for f in delete_files:
+                if f not in parent_dels:
+                    total_records -= _file_rows(self.data_root / f)
+            new_dels = set(delete_files)
+            for f in parent_dels:
+                if f not in new_dels:
+                    total_records += _file_rows(self.data_root / f)
         # versions are allocated above EVERY live snapshot (branch
         # heads can sit beyond main), so main and branch commits never
         # collide on a manifest filename
@@ -545,6 +575,7 @@ class Table:
                 "total_records": total_records,
             },
             stats=stats,
+            delete_files=sorted(delete_files),
         )
         if branch is not None:
             return self._commit_to_branch(
@@ -863,16 +894,100 @@ class Table:
             out.append(str(Path(p).relative_to(root)))
         return sorted(set(out))
 
-    def delete_where(self, spark: SparkSession, condition: str) -> Snapshot:
-        """Row-level DELETE: rewrite only the files that contain a
-        matching row (untouched files carry over in the manifest)."""
+    DELETE_MODE_PROP = "write.delete.mode"  # Iceberg's property name
+
+    def delete_where(
+        self, spark: SparkSession, condition: str, mode: str | None = None
+    ) -> Snapshot:
+        """Row-level DELETE. ``mode`` (or the table's
+        ``write.delete.mode`` property, Iceberg's knob) picks the
+        representation:
+
+        - ``copy-on-write`` (default): rewrite only the files that
+          contain a matching row (untouched files carry over in the
+          manifest) — read-optimized.
+        - ``merge-on-read``: append a POSITION-delete parquet of
+          (file_name, pos) rows naming the matches; no data file is
+          touched and reads anti-join the delete set until compact()
+          — write-optimized, O(matches) commit cost on a 100 TB
+          table instead of O(touched-file bytes).
+        """
+        mode = mode or self.properties.get(
+            self.DELETE_MODE_PROP, "copy-on-write"
+        )
+        if mode not in ("copy-on-write", "merge-on-read"):
+            raise ValueError(f"unknown delete mode {mode!r}")
         touched = self._touched_by(spark, condition)
         if not touched:
             return self.current_snapshot()
-        kept = self._read_files(spark, touched, self.schema).filter(
+        if mode == "merge-on-read":
+            return self._delete_positions(spark, touched, condition)
+        kept = self._read_live(spark, touched, self.schema).filter(
             ~F.expr(condition) | F.expr(condition).isNull()
         )
         return self.replace_files(touched, kept, operation="delete")
+
+    def _delete_positions(
+        self, spark: SparkSession, touched: list[str], condition: str
+    ) -> Snapshot:
+        """Write one position-delete file set for the rows of
+        ``touched`` matching ``condition`` and commit a metadata-only
+        ``delete`` snapshot (files unchanged, delete_files grown).
+
+        Already-deleted rows are anti-joined out BEFORE the match, so
+        each (file, pos) appears in at most one live delete file —
+        the invariant the logical row accounting in _next_snapshot
+        relies on."""
+        base = self._current_version()
+        cur = self._load(base)
+        df = self._read_files(
+            spark, touched, self.schema, attach_pos=True
+        )
+        dels = self._position_deletes_df(spark, cur)
+        if dels is not None:
+            df = df.join(
+                dels,
+                (F.col(self.POS_FILE_COL) == dels["file_name"])
+                & (F.col(self.POS_POS_COL) == dels["pos"]),
+                "left_anti",
+            )
+        positions = (
+            df.filter(F.expr(condition))
+            .select(
+                F.col(self.POS_FILE_COL).alias("file_name"),
+                F.col(self.POS_POS_COL).alias("pos"),
+            )
+            # spec-style clustering: Iceberg requires position deletes
+            # sorted by (file_path, pos) so readers can merge-stream.
+            # No pinned partition count: AQE coalesces the usual tiny
+            # delete set to one part, while a delete-most-rows commit
+            # on a huge table still fans out
+            .repartitionByRange("file_name", "pos")
+            .sortWithinPartitions("file_name", "pos")
+        )
+        batch = uuid.uuid4().hex[:12]
+        staging = self.root / f"_staging-{batch}"
+        positions.write.mode("overwrite").parquet(str(staging))
+        added: list[str] = []
+        for rel in _list_parquet(staging):
+            dest_rel = f"posdel-{batch}-{Path(rel).name}"
+            os.replace(staging / rel, self.data_root / dest_rel)
+            added.append(dest_rel)
+        shutil.rmtree(staging, ignore_errors=True)
+        # keep only non-empty delete parts (a no-match predicate on a
+        # touched file produces an empty part)
+        added = [f for f in added if _file_rows(self.data_root / f) > 0]
+        if not added:
+            return cur
+        return self._next_snapshot(
+            "delete",
+            cur.files,
+            [],
+            [],
+            schema_from_json(cur.schema_json),
+            base,
+            delete_files=cur.delete_files + added,
+        )
 
     def update_where(
         self, spark: SparkSession, assignments: dict[str, str], condition: str
@@ -888,7 +1003,7 @@ class Table:
         touched = self._touched_by(spark, condition)
         if not touched:
             return self.current_snapshot()
-        df = self._read_files(spark, touched, schema)
+        df = self._read_live(spark, touched, schema)
         cond = F.expr(condition)
         by_name = {f.name: f for f in schema.fields}
         rewritten = df.select(
@@ -961,8 +1076,21 @@ class Table:
             schema.fields + [T.StructField(self.MOR_OP_COL, T.StringType())]
         )
         df = self._read_files(
-            spark, snap.files, schema_plus, renames=self._snap_renames(snap)
+            spark, snap.files, schema_plus,
+            renames=self._snap_renames(snap),
+            attach_pos=bool(snap.delete_files),
         )
+        pre_based = False
+        if snap.delete_files:
+            # position deletes name PHYSICAL rows (base or delta
+            # files alike) — apply before the key-wise newest-wins
+            # resolve so a deleted delta row can't win its key.
+            # _base must be captured HERE: input_file_name() is
+            # illegal once the anti-join adds a second file source,
+            # and the attach column already holds the basename.
+            df = df.withColumn("_base", F.col(self.POS_FILE_COL))
+            df = self._apply_position_deletes(spark, snap, df)
+            pre_based = True
         # keyed by basename, not full rel path: input_file_name()
         # percent-encodes partition dirs (escaped chars arrive as
         # %25XX), while basenames are uuid-hex + part names — always
@@ -974,7 +1102,9 @@ class Table:
         ]
         seq_df = spark.createDataFrame(seq_rows, "base_name string, _seq long")
         base_name = F.element_at(F.split(F.input_file_name(), "/"), -1)
-        df = df.withColumn("_base", base_name).join(
+        if not pre_based:
+            df = df.withColumn("_base", base_name)
+        df = df.join(
             F.broadcast(seq_df), F.col("_base") == F.col("base_name"), "left"
         )
         w = Window.partitionBy(*keys).orderBy(F.desc(self.MOR_SEQ_COL))
@@ -1031,7 +1161,9 @@ class Table:
         cur = self._load(base)
         added = self._write_files(df, cur.partition_by)
         return self._next_snapshot(
-            "replace", added, added, cur.files, schema_from_json(cur.schema_json), base
+            "replace", added, added, cur.files,
+            schema_from_json(cur.schema_json), base,
+            delete_files=[],  # the rewrite materialized them
         )
 
     # ------------------------------------------------------------------
@@ -1165,17 +1297,30 @@ class Table:
     # ------------------------------------------------------------------
     # reads
     # ------------------------------------------------------------------
+    # attach-column names for position-delete resolution: basename of
+    # the source file (uuid-unique, URI-safe — same keying as the MOR
+    # resolve) and the row's ordinal within it (_metadata.row_index,
+    # exactly Iceberg's ``pos``)
+    POS_FILE_COL = "_pd_file"
+    POS_POS_COL = "_pd_pos"
+
     def _read_files(
         self,
         spark: SparkSession,
         files: list[str],
         schema: T.StructType,
         renames: dict[str, str] | None = None,
+        attach_pos: bool = False,
     ) -> DataFrame:
         from .transforms import parse_spec
 
         if not files:
-            return spark.createDataFrame([], schema)
+            df = spark.createDataFrame([], schema)
+            if attach_pos:
+                df = df.withColumn(
+                    self.POS_FILE_COL, F.lit(None).cast("string")
+                ).withColumn(self.POS_POS_COL, F.lit(None).cast("long"))
+            return df
         if renames is None:
             renames = (
                 self._snap_renames(self.current_snapshot())
@@ -1230,7 +1375,70 @@ class Table:
             for t in parse_spec(self.partition_by if self.exists() else [])
             if t.hidden and t.partition_col in df.columns
         ]
-        return df.drop(*hidden) if hidden else df
+        if hidden:
+            df = df.drop(*hidden)
+        if attach_pos:
+            df = df.withColumn(
+                self.POS_FILE_COL,
+                F.element_at(F.split(F.input_file_name(), "/"), -1),
+            ).withColumn(self.POS_POS_COL, F.col("_metadata.row_index"))
+        return df
+
+    # ------------------------------------------------------------------
+    # merge-on-read POSITION deletes (Iceberg v2 content=1): a DELETE
+    # under write.delete.mode=merge-on-read appends a small parquet of
+    # (file_name, pos) rows instead of rewriting data files; every
+    # read anti-joins it away until compact() materializes
+    # ------------------------------------------------------------------
+    def _position_deletes_df(
+        self, spark: SparkSession, snap: Snapshot
+    ) -> DataFrame | None:
+        if not snap.delete_files:
+            return None
+        paths = [
+            str(self.data_root / f).replace("%", "[%]")
+            for f in snap.delete_files
+        ]
+        return spark.read.schema(
+            "file_name string, pos long"
+        ).parquet(*paths)
+
+    def _apply_position_deletes(
+        self, spark: SparkSession, snap: Snapshot, df: DataFrame
+    ) -> DataFrame:
+        """Anti-join the attach-column'd ``df`` against the snapshot's
+        live position deletes, then strip the attach columns. The
+        delete side is tiny relative to the table in the intended
+        regime (surgical deletes on a huge table) — AQE broadcasts it;
+        no pinned broadcast so a pathological delete-most-rows case
+        still plans a shuffle join."""
+        dels = self._position_deletes_df(spark, snap)
+        if dels is not None:
+            df = df.join(
+                dels,
+                (F.col(self.POS_FILE_COL) == dels["file_name"])
+                & (F.col(self.POS_POS_COL) == dels["pos"]),
+                "left_anti",
+            )
+        return df.drop(self.POS_FILE_COL, self.POS_POS_COL)
+
+    def _read_live(
+        self,
+        spark: SparkSession,
+        files: list[str],
+        schema: T.StructType,
+        snap: Snapshot | None = None,
+    ) -> DataFrame:
+        """Read the given data files with the CURRENT snapshot's
+        position deletes applied — the row set a rewrite (COW
+        DELETE/UPDATE/MERGE) must treat as the file's live contents,
+        else a copy-on-write rewrite would resurrect
+        position-deleted rows."""
+        snap = snap or self.current_snapshot()
+        if not snap.delete_files:
+            return self._read_files(spark, files, schema)
+        df = self._read_files(spark, files, schema, attach_pos=True)
+        return self._apply_position_deletes(spark, snap, df)
 
     def read(
         self,
@@ -1256,6 +1464,12 @@ class Table:
         schema = schema_from_json(snap.schema_json)
         if self._delta_files(snap):
             return self._resolve_mor(spark, snap, schema)
+        if snap.delete_files:
+            df = self._read_files(
+                spark, snap.files, schema,
+                renames=self._snap_renames(snap), attach_pos=True,
+            )
+            return self._apply_position_deletes(spark, snap, df)
         return self._read_files(
             spark, snap.files, schema, renames=self._snap_renames(snap)
         )
@@ -1275,6 +1489,14 @@ class Table:
         schema = schema_from_json(snap.schema_json)
         files = self._prune_files_by_predicate(spark, snap.files, where)
         files = self._prune_files_by_stats(spark, files, where)
+        if snap.delete_files:
+            df = self._read_files(
+                spark, files, schema,
+                renames=self._snap_renames(snap), attach_pos=True,
+            )
+            return self._apply_position_deletes(spark, snap, df).filter(
+                F.expr(where)
+            )
         return self._read_files(
             spark, files, schema, renames=self._snap_renames(snap)
         ).filter(F.expr(where))
@@ -1367,17 +1589,23 @@ class Table:
         ).drop("committed_at_ms")
 
     def files_df(self, spark: SparkSession) -> DataFrame:
+        """``<table>.files`` metadata table. ``content`` follows the
+        Iceberg enum: 0 = data file, 1 = position-delete file."""
         snap = self.current_snapshot()
         rows = [
             (
                 f,
+                content,
                 _file_rows(self.data_root / f),
                 (self.data_root / f).stat().st_size,
             )
-            for f in snap.files
+            for f, content in [(f, 0) for f in snap.files]
+            + [(f, 1) for f in snap.delete_files]
         ]
         return spark.createDataFrame(
-            rows, "file_path string, record_count long, file_size_in_bytes long"
+            rows,
+            "file_path string, content int, record_count long, "
+            "file_size_in_bytes long",
         )
 
     def latest_snapshot_id(self) -> int:
@@ -1433,7 +1661,11 @@ class Table:
         target = self.snapshot_by_id(snapshot_id)
         if target.snapshot_id == cur.snapshot_id:
             return cur
-        missing = [f for f in target.files if not (self.data_root / f).exists()]
+        missing = [
+            f
+            for f in list(target.files) + list(target.delete_files)
+            if not (self.data_root / f).exists()
+        ]
         if missing:
             raise ValueError(
                 f"cannot roll back to snapshot {snapshot_id}: "
@@ -1463,6 +1695,7 @@ class Table:
                 "rolled_back_to": target.snapshot_id,
             },
             stats=target.stats,
+            delete_files=list(target.delete_files),
         )
         return self._commit(snap, expected_parent_version=base)
 
@@ -1491,6 +1724,7 @@ class Table:
         referenced: set[str] = set()
         for s in self.snapshots():
             referenced.update(s.files)
+            referenced.update(s.delete_files)
         orphans = [
             f
             for f in _list_parquet(self.data_root)

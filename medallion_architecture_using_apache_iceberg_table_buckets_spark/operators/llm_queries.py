@@ -432,6 +432,59 @@ def mor_merge_compact(spark, sf_dir):
     return t.read(spark)
 
 
+def position_delete_mor(spark, sf_dir):
+    """Merge-on-read POSITION deletes end-to-end (Iceberg v2
+    content=1; reference tables declare format-version 2,
+    scripts/bronze-silver.py:197): with ``write.delete.mode =
+    merge-on-read`` a SQL DELETE appends a tiny (file, pos) delete
+    file instead of rewriting data — O(matches) commit cost on a
+    100 TB table — and every read anti-joins it away. Two chained
+    overlapping DELETEs prove the no-duplicate-positions invariant;
+    the plan asserts no data file was added or removed by either."""
+    import tempfile
+
+    from ..lakehouse import Catalog
+
+    o = (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .filter(F.col("o_orderkey") <= 8000)
+    )
+    cat = Catalog(tempfile.mkdtemp(prefix="mats_posdel_"))
+    t = cat.create_table(
+        "demo",
+        "ord",
+        o.schema,
+        properties={"write.delete.mode": "merge-on-read"},
+    )
+    t.append(o)
+    files_before = set(t.current_snapshot().files)
+    sess = cat.sql_session(spark)
+    sess.sql("USE demo")
+    sess.sql("DELETE FROM ord WHERE o_totalprice > 250000")
+    # overlapping second delete: rows >250000 are ALREADY position-
+    # deleted, so only the 150000..250000 band adds positions
+    sess.sql("DELETE FROM ord WHERE o_totalprice > 150000")
+    snap = t.current_snapshot()
+    assert set(snap.files) == files_before, "position delete rewrote data"
+    assert snap.added_files == [] and snap.removed_files == []
+    assert snap.delete_files, "no position-delete file committed"
+    return (
+        t.read(spark)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("sum_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 def schema_evolution_sql(spark, sf_dir):
     """Schema evolution driven purely by ALTER TABLE statements: rows
     written before ADD COLUMN read back null in it; RENAME COLUMN

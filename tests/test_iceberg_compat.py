@@ -222,14 +222,16 @@ def test_field_ids_are_deterministic(spark):
 
 def test_compat_notes_enumerate_the_shim_work():
     notes = compat_notes()
-    assert len(notes) >= 2
+    assert len(notes) >= 1
     # gaps CLOSED in r5 must not be listed: murmur3 bucket hash
     # (lakehouse/murmur3.py), Avro manifests / binary bounds
-    # (export_iceberg_dir), and the catalog pointer's atomic swap
-    # (commit_metadata_atomic)
+    # (export_iceberg_dir), the catalog pointer's atomic swap
+    # (commit_metadata_atomic), and position deletes
+    # (write.delete.mode=merge-on-read + export translation)
     assert not any("murmur3" in n for n in notes)
     assert not any("Avro manifest" in n for n in notes)
     assert not any("catalog pointer" in n for n in notes)
+    assert not any("position deletes are never emitted" in n for n in notes)
 
 
 def test_export_iceberg_dir_writes_real_avro_manifests(spark, tmp_path):
