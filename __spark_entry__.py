@@ -222,6 +222,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- NEW in round 5 (post-window): merge-on-read position
         # deletes (Iceberg v2 content=1) through SQL DELETE ---
         "position_delete_mor": L.position_delete_mor,
+        # --- NEW in round 5 (post-window): SCD type-2 history build
+        # from a changelog (operators/scd.py) ---
+        "scd2_user_status_history": L.scd2_user_status_history,
+        # --- NEW in round 5 (post-window): DoReMi-style domain
+        # mixture reweighting for training-corpus assembly ---
+        "corpus_mixture_weights": L.corpus_mixture_weights,
     }
 
 
@@ -1734,6 +1740,56 @@ def oracle_sql() -> dict[str, str]:
               AND NOT (o_totalprice > 150000)
             GROUP BY o_orderstatus
             ORDER BY o_orderstatus
+        """,
+        "scd2_user_status_history": """
+            WITH ordered AS (
+              SELECT user_id, event_type, ts, event_id,
+                     CASE WHEN lag(event_type) OVER w IS NULL
+                          OR lag(event_type) OVER w <> event_type
+                          THEN 1 ELSE 0 END AS chg
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), runs AS (
+              SELECT *, SUM(chg) OVER (
+                          PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS run
+              FROM ordered
+            ), versions AS (
+              SELECT user_id, run,
+                     min(ts) AS valid_from,
+                     min(event_type) AS event_type
+              FROM runs GROUP BY user_id, run
+            )
+            SELECT user_id, CAST(run AS INTEGER) AS version, event_type,
+                   valid_from,
+                   lead(valid_from) OVER w2 AS valid_to,
+                   lead(valid_from) OVER w2 IS NULL AS is_current
+            FROM versions
+            WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from)
+            ORDER BY user_id, version
+        """,
+        "corpus_mixture_weights": r"""
+            WITH dom AS (
+              SELECT source, count(*) AS n_docs,
+                     CAST(sum(len(string_split_regex(trim(text), '\s+')))
+                          AS BIGINT) AS n_tokens
+              FROM documents GROUP BY source
+            ), tot AS (
+              SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens,
+                     count(*) AS n_domains
+              FROM dom
+            )
+            SELECT source, n_docs, n_tokens,
+                   round(n_tokens / CAST(tot_tokens AS DOUBLE), 6) AS share,
+                   round(1.0 / n_domains, 6) AS target_share,
+                   round(least((1.0 / n_domains)
+                               / (n_tokens / CAST(tot_tokens AS DOUBLE)),
+                               5.0), 6) AS weight,
+                   CAST(round(n_tokens * round(least((1.0 / n_domains)
+                               / (n_tokens / CAST(tot_tokens AS DOUBLE)),
+                               5.0), 6)) AS BIGINT) AS expected_tokens
+            FROM dom CROSS JOIN tot
+            ORDER BY source
         """,
         "ann_recall_at_k": _ann_recall_oracle(),
         "skew_salted_agg": """

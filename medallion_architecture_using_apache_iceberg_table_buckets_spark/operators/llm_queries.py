@@ -485,6 +485,67 @@ def position_delete_mor(spark, sf_dir):
     )
 
 
+def corpus_mixture_weights(spark, sf_dir):
+    """Domain-mixture reweighting for training-data assembly
+    (DoReMi/Pile-style static weights, arXiv:2305.10429 §2): measure
+    each domain's token share, declare a target mixture (uniform
+    here), and emit the per-domain sampling multiplier
+    ``target_share / share`` (capped at 5x so a tiny domain can't be
+    upsampled into degenerate repetition). ``expected_tokens``
+    previews the post-sampling corpus. Plan: map-only per-doc token
+    count -> one shuffle to #domains rows -> broadcast 1-row total;
+    scales with the corpus, the mixture math runs on a
+    domains-sized frame."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+        .cast("long")
+        .alias("toks"),
+    )
+    dom = toks.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum("toks").alias("n_tokens")
+    )
+    tot = dom.agg(
+        F.sum("n_tokens").alias("tot_tokens"),
+        F.count("*").alias("n_domains"),
+    )
+    share = F.col("n_tokens") / F.col("tot_tokens").cast("double")
+    target = F.lit(1.0) / F.col("n_domains")
+    weight = F.round(F.least(target / share, F.lit(5.0)), 6)
+    return (
+        dom.crossJoin(F.broadcast(tot))  # 1-row scalar total
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(share, 6).alias("share"),
+            F.round(target, 6).alias("target_share"),
+            weight.alias("weight"),
+            F.round(F.col("n_tokens") * weight)
+            .cast("long")
+            .alias("expected_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+def scd2_user_status_history(spark, sf_dir):
+    """SCD type-2 history build (operators/scd.py): the events
+    changelog becomes a versioned dimension — one row per
+    (user, status run) with valid_from/valid_to/is_current — the
+    silver->gold step the reference's keep-latest-per-key silver
+    (SCD1, scripts/bronze-silver.py:254-269) destroys."""
+    from .scd import scd2_history
+
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    return scd2_history(
+        e, ["user_id"], "event_type", "ts", tie_cols=["event_id"]
+    ).orderBy("user_id", "version")
+
+
 def schema_evolution_sql(spark, sf_dir):
     """Schema evolution driven purely by ALTER TABLE statements: rows
     written before ADD COLUMN read back null in it; RENAME COLUMN
