@@ -228,6 +228,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- NEW in round 5 (post-window): DoReMi-style domain
         # mixture reweighting for training-corpus assembly ---
         "corpus_mixture_weights": L.corpus_mixture_weights,
+        # --- NEW in round 5 (post-window): per-file bloom index
+        # point lookups (lakehouse/bloom_index.py) ---
+        "bloom_point_lookup": L.bloom_point_lookup,
     }
 
 
@@ -1790,6 +1793,12 @@ def oracle_sql() -> dict[str, str]:
                                5.0), 6)) AS BIGINT) AS expected_tokens
             FROM dom CROSS JOIN tot
             ORDER BY source
+        """,
+        "bloom_point_lookup": """
+            SELECT doc_id, lang, source, n_chars
+            FROM documents
+            WHERE doc_id IN (7, 42, 123, 404, 499)
+            ORDER BY doc_id
         """,
         "ann_recall_at_k": _ann_recall_oracle(),
         "skew_salted_agg": """

@@ -1486,9 +1486,12 @@ class Table:
             # delta resolution needs every base+delta file; the
             # residual filter still applies
             return self.read(spark).filter(F.expr(where))
+        from .bloom_index import prune_files_by_bloom
+
         schema = schema_from_json(snap.schema_json)
         files = self._prune_files_by_predicate(spark, snap.files, where)
         files = self._prune_files_by_stats(spark, files, where)
+        files = prune_files_by_bloom(spark, self, files, where)
         if snap.delete_files:
             df = self._read_files(
                 spark, files, schema,
@@ -1616,6 +1619,27 @@ class Table:
     # expire_snapshots / remove_orphan_files pair every production
     # Iceberg table runs on a schedule)
     # ------------------------------------------------------------------
+    def build_bloom_index(
+        self,
+        spark: SparkSession,
+        cols: list[str],
+        num_bits: int | None = None,
+        num_hashes: int | None = None,
+    ) -> dict:
+        """Build/refresh the per-file bloom index on ``cols`` for
+        equality-predicate file skipping in ``scan()`` — the
+        point-lookup complement to min/max stats pruning (Iceberg's
+        Puffin-blob role). See lakehouse/bloom_index.py."""
+        from . import bloom_index as B
+
+        return B.build_bloom_index(
+            spark,
+            self,
+            cols,
+            num_bits or B.DEFAULT_BITS,
+            num_hashes or B.DEFAULT_HASHES,
+        )
+
     def expire_snapshots(self, keep_last: int = 1) -> list[int]:
         """Drop manifest history older than the last `keep_last`
         snapshots (time travel to them stops working); data files

@@ -485,6 +485,41 @@ def position_delete_mor(spark, sf_dir):
     )
 
 
+def bloom_point_lookup(spark, sf_dir):
+    """Per-file bloom-index point lookups (lakehouse/bloom_index.py —
+    the Puffin-blob role): documents land in interleaved files whose
+    doc_id [min,max] ranges all overlap, defeating min/max stats
+    skipping; the bloom index prunes each equality probe to the
+    file(s) that can actually match BEFORE any footer opens. The
+    query asserts pruning really dropped files (and that a miss
+    probe prunes everything), then returns the looked-up rows."""
+    import tempfile
+
+    from ..lakehouse import Catalog
+    from ..lakehouse.bloom_index import prune_files_by_bloom
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    cat = Catalog(tempfile.mkdtemp(prefix="mats_bloom_"))
+    t = cat.create_table("demo", "docs", d.schema)
+    # round-robin into 8 files: every file spans the whole id range
+    t.append(d.repartition(8))
+    t.build_bloom_index(spark, ["doc_id"])
+    files = t.current_snapshot().files
+    probes = [7, 42, 123, 404, 499]
+    for p in probes:
+        kept = prune_files_by_bloom(spark, t, files, f"doc_id = {p}")
+        assert len(kept) < len(files), "bloom index pruned nothing"
+    assert (
+        len(prune_files_by_bloom(spark, t, files, "doc_id = -1")) <= 1
+    ), "miss probe should prune (almost) everything"
+    out = t.scan(spark, f"doc_id = {probes[0]}")
+    for p in probes[1:] + [-1]:
+        out = out.unionByName(t.scan(spark, f"doc_id = {p}"))
+    return out.orderBy("doc_id")
+
+
 def corpus_mixture_weights(spark, sf_dir):
     """Domain-mixture reweighting for training-data assembly
     (DoReMi/Pile-style static weights, arXiv:2305.10429 §2): measure
