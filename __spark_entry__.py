@@ -231,6 +231,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- NEW in round 5 (post-window): per-file bloom index
         # point lookups (lakehouse/bloom_index.py) ---
         "bloom_point_lookup": L.bloom_point_lookup,
+        # --- NEW in round 5 (post-window): additive changelog gold
+        # mart (pipeline/gold.py refresh_gold_changelog) ---
+        "incremental_gold_rollup": L.incremental_gold_rollup,
     }
 
 
@@ -1799,6 +1802,19 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE doc_id IN (7, 42, 123, 404, 499)
             ORDER BY doc_id
+        """,
+        "incremental_gold_rollup": """
+            SELECT event_type,
+                   count(*) AS n,
+                   round(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE),
+                         4) AS total,
+                   round(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+                         / count(value), 4) AS avg_v,
+                   round(CAST(min(value) AS DOUBLE), 4) AS lo,
+                   round(CAST(max(value) AS DOUBLE), 4) AS hi
+            FROM events
+            GROUP BY event_type
+            ORDER BY event_type
         """,
         "ann_recall_at_k": _ann_recall_oracle(),
         "skew_salted_agg": """

@@ -485,6 +485,50 @@ def position_delete_mor(spark, sf_dir):
     )
 
 
+def incremental_gold_rollup(spark, sf_dir):
+    """Additive changelog maintenance of a gold mart
+    (pipeline/gold.py refresh_gold_changelog): three append batches
+    land in silver; after the first full build, each refresh reads
+    ONLY the appended delta (read_incremental — the reference's
+    start/end-snapshot-id CDC scan, scripts/bronze-silver.py:149-152),
+    partial-aggregates it, and folds exact accumulators into the mart
+    via MERGE on the group keys — O(delta) + O(touched groups), never
+    re-reading silver. Exact decimal accumulators keep N incremental
+    folds bit-identical to one full recompute."""
+    import tempfile
+
+    from ..lakehouse import Catalog
+    from ..pipeline.gold import refresh_gold_changelog
+
+    e = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    cat = Catalog(tempfile.mkdtemp(prefix="mats_goldinc_"))
+    silver = cat.create_table(
+        "demo", "ev", e.drop("event_id").schema
+    )
+    aggs = {
+        "n": ("*", "count"),
+        "total": ("value", "sum"),
+        "avg_v": ("value", "avg"),
+        "lo": ("value", "min"),
+        "hi": ("value", "max"),
+    }
+    for batch in range(3):
+        silver.append(
+            e.filter(F.col("event_id") % 3 == batch).drop("event_id")
+        )
+        st = refresh_gold_changelog(
+            spark, cat, "demo", "ev", "gold", ["event_type"], aggs
+        )
+        expected_mode = "full" if batch == 0 else "changelog"
+        assert st["mode"] == expected_mode, st
+    return (
+        cat.table("demo", "gold")
+        .read(spark)
+        .select("event_type", "n", "total", "avg_v", "lo", "hi")
+        .orderBy("event_type")
+    )
+
+
 def bloom_point_lookup(spark, sf_dir):
     """Per-file bloom-index point lookups (lakehouse/bloom_index.py —
     the Puffin-blob role): documents land in interleaved files whose

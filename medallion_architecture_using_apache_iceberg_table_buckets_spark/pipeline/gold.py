@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..lakehouse import Catalog
+from ..lakehouse.merge import merge_into
 from ..lakehouse.transforms import (
     HIVE_DEFAULT_PARTITION,
     parse_spec,
@@ -64,6 +65,155 @@ def _affected_partition_values(
                     return None
                 vals.add(unescape_path_name(raw))
     return vals
+
+
+def refresh_gold_changelog(
+    spark: SparkSession,
+    catalog: Catalog,
+    namespace: str,
+    silver_table: str,
+    gold_table: str,
+    group_by: Sequence[str],
+    aggs: dict[str, tuple[str, str]],
+) -> dict:
+    """Third refresh strategy: ADDITIVE changelog maintenance.
+
+    Reads only the rows appended to silver since the last refresh
+    (``read_incremental`` — the Iceberg start/end-snapshot-id scan the
+    reference uses for CDC, scripts/bronze-silver.py:149-152),
+    partial-aggregates them, and folds the partials into the mart via
+    MERGE on the group keys. Cost is O(delta) + O(touched groups) —
+    no silver partition is ever re-read, the strictest incremental
+    contract and the right one for append-only facts at 100 TB
+    (``partition`` refresh re-aggregates whole partitions; this
+    touches only the delta).
+
+    Exactness: the mart carries EXACT accumulator columns
+    (``_acc_<out>[_cnt]``: decimal sums, long counts, raw min/max)
+    and recomputes the presented columns from them after every fold,
+    so N incremental refreshes produce bit-identical results to one
+    full recompute — no rounded-value drift. Supported aggregates:
+    count/sum/min/max/avg (distributive or algebraic; append-only
+    silver means no retractions, so min/max are safe).
+
+    Falls back to a full rebuild when the snapshot range crosses a
+    non-append commit (compaction, MERGE) — the same rule
+    read_incremental enforces.
+    """
+    silver = catalog.table(namespace, silver_table)
+    silver_snap = silver.latest_snapshot_id()
+    keys = list(group_by)
+
+    acc_exprs, present = [], []
+    combiners: dict[str, str] = {}
+    for out, (col, fn) in aggs.items():
+        if fn == "count":
+            acc_exprs.append(
+                F.count("*" if col == "*" else col).cast("long")
+                .alias(f"_acc_{out}")
+            )
+            combiners[f"_acc_{out}"] = "sum"
+            present.append(F.col(f"_acc_{out}").alias(out))
+        elif fn == "sum":
+            acc_exprs.append(
+                F.sum(F.col(col).cast("decimal(28,6)"))
+                .cast("decimal(28,6)").alias(f"_acc_{out}")
+            )
+            combiners[f"_acc_{out}"] = "sum"
+            present.append(
+                F.round(F.col(f"_acc_{out}").cast("double"), 4).alias(out)
+            )
+        elif fn == "avg":
+            acc_exprs.append(
+                F.sum(F.col(col).cast("decimal(28,6)"))
+                .cast("decimal(28,6)").alias(f"_acc_{out}")
+            )
+            acc_exprs.append(
+                F.count(col).cast("long").alias(f"_acc_{out}_cnt")
+            )
+            combiners[f"_acc_{out}"] = "sum"
+            combiners[f"_acc_{out}_cnt"] = "sum"
+            present.append(
+                F.round(
+                    F.col(f"_acc_{out}").cast("double")
+                    / F.col(f"_acc_{out}_cnt"),
+                    4,
+                ).alias(out)
+            )
+        elif fn in ("min", "max"):
+            acc_exprs.append(getattr(F, fn)(col).alias(f"_acc_{out}"))
+            combiners[f"_acc_{out}"] = fn
+            present.append(
+                F.round(F.col(f"_acc_{out}").cast("double"), 4).alias(out)
+            )
+        else:
+            raise ValueError(f"unsupported aggregate: {fn}")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(*keys).agg(*acc_exprs)
+
+    def with_presented(df: DataFrame) -> DataFrame:
+        return df.select(*keys, *present, *combiners)
+
+    exists = catalog.table_exists(namespace, gold_table)
+    last_built = None
+    if exists:
+        props = catalog.table(namespace, gold_table).properties
+        if "gold.last-silver-snapshot" in props:
+            last_built = int(props["gold.last-silver-snapshot"])
+        if last_built == silver_snap:
+            return {"status": "up_to_date", "silver_snapshot": silver_snap}
+
+    mode = "full"
+    if exists and last_built is not None:
+        try:
+            delta = silver.read_incremental(spark, last_built)
+            gold = catalog.table(namespace, gold_table)
+            p = partial(delta).alias("p")
+            g = gold.read(spark).alias("g")
+            acc_types = {f.name: f.dataType for f in gold.schema.fields}
+            merged_accs = []
+            for acc, how in combiners.items():
+                a, b = F.col(f"g.{acc}"), F.col(f"p.{acc}")
+                if how == "sum":
+                    zero = F.lit(0)
+                    comb = F.coalesce(a, zero) + F.coalesce(b, zero)
+                elif how == "min":
+                    comb = F.least(a, b)  # null-skipping by spec
+                else:
+                    comb = F.greatest(a, b)
+                merged_accs.append(comb.cast(acc_types[acc]).alias(acc))
+            upserts = with_presented(
+                p.join(g, on=keys, how="left")
+                .select(*[F.col(k) for k in keys], *merged_accs)
+            )
+            merge_into(spark, gold, upserts, on=keys)
+            mode = "changelog"
+        except ValueError:
+            mode = "full"  # non-append snapshot crossed: rebuild
+
+    if mode == "full":
+        full = with_presented(partial(silver.read(spark)))
+        if not exists:
+            gold = catalog.create_table(
+                namespace, gold_table, full.schema, partition_by=()
+            )
+        else:
+            gold = catalog.table(namespace, gold_table)
+        gold.overwrite(full)
+
+    base = gold._current_version()
+    snap = gold._load(base)
+    gold._next_snapshot(
+        "set-properties",
+        snap.files,
+        [],
+        [],
+        gold.schema,
+        base,
+        new_properties={"gold.last-silver-snapshot": str(silver_snap)},
+    )
+    return {"status": "refreshed", "mode": mode, "silver_snapshot": silver_snap}
 
 
 def build_gold_mart(
