@@ -234,6 +234,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- NEW in round 5 (post-window): additive changelog gold
         # mart (pipeline/gold.py refresh_gold_changelog) ---
         "incremental_gold_rollup": L.incremental_gold_rollup,
+        # --- NEW in round 5 (post-window): WRITE ORDERED BY sort
+        # order + _file/_pos row-lineage metadata columns ---
+        "write_ordered_lineage": L.write_ordered_lineage,
     }
 
 
@@ -1815,6 +1818,14 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY event_type
             ORDER BY event_type
+        """,
+        "write_ordered_lineage": """
+            SELECT c_custkey, c_name,
+                   CAST(row_number() OVER (ORDER BY c_name DESC) - 1
+                        AS BIGINT) AS "_pos"
+            FROM customer
+            WHERE c_custkey <= 200
+            ORDER BY c_custkey
         """,
         "ann_recall_at_k": _ann_recall_oracle(),
         "skew_salted_agg": """

@@ -371,6 +371,28 @@ def snapshot_to_iceberg(
     return {"snapshot": entry, "manifest": entries}
 
 
+def _sort_orders(table: Table, field_ids: dict[str, int]) -> list[dict]:
+    """Iceberg sort-orders array: the unsorted order 0 plus, when the
+    table declares write.sort-order, order 1 with identity-transform
+    fields."""
+    orders = [{"order-id": 0, "fields": []}]
+    fields = []
+    for col, desc in table._parse_sort_order():
+        if col not in field_ids:
+            continue
+        fields.append(
+            {
+                "transform": "identity",
+                "source-id": field_ids[col],
+                "direction": "desc" if desc else "asc",
+                "null-order": "nulls-last" if desc else "nulls-first",
+            }
+        )
+    if fields:
+        orders.append({"order-id": 1, "fields": fields})
+    return orders
+
+
 def table_metadata(table: Table) -> dict:
     """Export the full Iceberg v2 TableMetadata document (+ one
     manifest entry list per snapshot under ``manifests``)."""
@@ -408,8 +430,13 @@ def table_metadata(table: Table) -> dict:
         ],
         "default-spec-id": 0,
         "last-partition-id": 999 + len(head.partition_by),
-        "sort-orders": [{"order-id": 0, "fields": []}],
-        "default-sort-order-id": 0,
+        # a declared write.sort-order exports as a real Iceberg sort
+        # order (identity transforms; ASC->nulls-first, DESC->
+        # nulls-last — the spec's SQL-default null orders)
+        "sort-orders": _sort_orders(table, field_ids),
+        "default-sort-order-id": (
+            1 if len(_sort_orders(table, field_ids)) > 1 else 0
+        ),
         # the field-id history is engine plumbing: its content IS the
         # exported "schemas" entry, so don't duplicate it as a prop
         "properties": {

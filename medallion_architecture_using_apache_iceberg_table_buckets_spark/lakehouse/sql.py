@@ -90,6 +90,13 @@ _ALTER_CREATE_REF = re.compile(
     r"(?:\s+AS\s+OF\s+VERSION\s+(\d+))?$",
     re.I,
 )
+_ALTER_SET_PROPS = re.compile(
+    r"^SET\s+TBLPROPERTIES\s*\((.+)\)\s*$", re.I | re.S
+)
+_ALTER_WRITE_ORDERED = re.compile(
+    r"^WRITE\s+ORDERED\s+BY\s*\(?\s*(.+?)\s*\)?\s*$", re.I | re.S
+)
+_ALTER_WRITE_UNORDERED = re.compile(r"^WRITE\s+UNORDERED\s*$", re.I)
 _ALTER_DROP_REF = re.compile(
     r"^DROP\s+(BRANCH|TAG)\s+(?:IF\s+EXISTS\s+)?(\w+)$", re.I
 )
@@ -509,10 +516,43 @@ class SqlSession:
                 )
             t.drop_ref(ref)
             return self._empty()
+        if a := _ALTER_SET_PROPS.match(action):
+            props = {}
+            for pair in _split_top_level(a.group(1)):
+                pm = re.match(
+                    r"^\s*'([^']+)'\s*=\s*'([^']*)'\s*$", pair
+                )
+                if not pm:
+                    raise ValueError(f"bad TBLPROPERTIES pair {pair!r}")
+                props[pm.group(1)] = pm.group(2)
+            t.set_properties(props)
+            return self._empty()
+        if a := _ALTER_WRITE_ORDERED.match(action):
+            cols = []
+            for part in _split_top_level(a.group(1)):
+                toks = part.strip().split()
+                if not toks or (
+                    len(toks) > 1 and toks[1].upper() not in ("ASC", "DESC")
+                ):
+                    raise ValueError(f"bad WRITE ORDERED BY term {part!r}")
+                declared = {f.name for f in t.schema.fields}
+                if toks[0] not in declared:
+                    raise KeyError(f"no such column {toks[0]!r}")
+                cols.append(
+                    toks[0]
+                    + (" DESC" if len(toks) > 1
+                       and toks[1].upper() == "DESC" else "")
+                )
+            t.set_properties({t.SORT_ORDER_PROP: ", ".join(cols)})
+            return self._empty()
+        if _ALTER_WRITE_UNORDERED.match(action):
+            t.set_properties({t.SORT_ORDER_PROP: ""})
+            return self._empty()
         raise ValueError(
             f"unsupported ALTER TABLE action {action!r} (dispatchable: "
             f"ADD COLUMN(S), RENAME COLUMN ... TO ..., DROP COLUMN, "
-            f"CREATE/DROP BRANCH, CREATE/DROP TAG)"
+            f"CREATE/DROP BRANCH, CREATE/DROP TAG, SET TBLPROPERTIES, "
+            f"WRITE ORDERED BY, WRITE UNORDERED)"
         )
 
     # engine-internal properties that must not leak into emitted DDL

@@ -465,6 +465,25 @@ class Table:
         t._commit(snap, expected_parent_version=None)
         return t
 
+    SORT_ORDER_PROP = "write.sort-order"  # "col [DESC][, ...]"
+    DIST_MODE_PROP = "write.distribution-mode"  # "none" | "range"
+
+    def _parse_sort_order(self) -> list[tuple[str, bool]]:
+        """[(col, is_desc)] from the write.sort-order property."""
+        raw = (
+            self.properties.get(self.SORT_ORDER_PROP, "")
+            if self.exists()
+            else ""
+        )
+        out = []
+        for part in raw.split(","):
+            toks = part.strip().split()
+            if not toks:
+                continue
+            desc = len(toks) > 1 and toks[1].upper() == "DESC"
+            out.append((toks[0], desc))
+        return out
+
     def _write_files(self, df: DataFrame, partition_by: list[str]) -> list[str]:
         """Write df as parquet into the canonical layout; return new rel paths.
 
@@ -472,6 +491,14 @@ class Table:
         produced files into ``data/<part dirs>/<batch>-<name>`` —
         pure metadata ops, O(#files), no data copy on a real
         FileSystem either.
+
+        A declared ``write.sort-order`` (ALTER TABLE ... WRITE ORDERED
+        BY) locally sorts every task's rows before writing — Iceberg's
+        default task-scoped sort — so parquet row-group min/max stay
+        tight on the order columns and manifest skipping prunes them;
+        ``write.distribution-mode = range`` additionally range-
+        partitions first, making whole FILES disjoint on the order key
+        (the global-clustering trade: one extra shuffle per write).
         """
         from .transforms import parse_spec
 
@@ -483,6 +510,16 @@ class Table:
                 df = df.withColumn(
                     t.partition_col, t.expr(df.schema[t.col].dataType)
                 )
+        order = self._parse_sort_order()
+        if order:
+            cols = [
+                F.col(c).desc() if d else F.col(c).asc() for c, d in order
+            ]
+            if (
+                self.properties.get(self.DIST_MODE_PROP, "none") == "range"
+            ):
+                df = df.repartitionByRange(*cols)
+            df = df.sortWithinPartitions(*cols)
         writer = df.write.mode("overwrite")
         codec = self.properties.get("write.parquet.compression-codec") if self.exists() else None
         if codec:
@@ -1619,6 +1656,64 @@ class Table:
     # expire_snapshots / remove_orphan_files pair every production
     # Iceberg table runs on a schedule)
     # ------------------------------------------------------------------
+    def set_properties(self, props: dict[str, str]) -> Snapshot:
+        """Metadata-only property commit (ALTER TABLE ... SET
+        TBLPROPERTIES): same files, new properties merged over the
+        current set."""
+        base = self._current_version()
+        cur = self._load(base)
+        return self._next_snapshot(
+            "set-properties",
+            cur.files,
+            [],
+            [],
+            schema_from_json(cur.schema_json),
+            base,
+            new_properties=dict(props),
+        )
+
+    def read_with_metadata(self, spark: SparkSession) -> DataFrame:
+        """Full-table scan plus Iceberg's row-lineage metadata columns
+        ``_file`` (data file, rel to data/) and ``_pos`` (row ordinal
+        within it — the same pos position deletes target). Live
+        position deletes are applied; a table with pending MOR
+        merge-deltas must compact first (resolved rows have no single
+        source file, same as Iceberg's changelog limitation)."""
+        snap = self.current_snapshot()
+        if self._delta_files(snap):
+            raise ValueError(
+                "metadata-column read with pending merge-deltas: "
+                "run compact() first"
+            )
+        schema = schema_from_json(snap.schema_json)
+        df = self._read_files(
+            spark, snap.files, schema,
+            renames=self._snap_renames(snap), attach_pos=True,
+        )
+        dels = self._position_deletes_df(spark, snap)
+        if dels is not None:
+            df = df.join(
+                dels,
+                (F.col(self.POS_FILE_COL) == dels["file_name"])
+                & (F.col(self.POS_POS_COL) == dels["pos"]),
+                "left_anti",
+            )
+        # basename -> rel path (the broadcast-map shape _resolve_mor
+        # uses; basenames are uuid-unique)
+        rel_rows = [(f.rsplit("/", 1)[-1], f) for f in snap.files]
+        rel_df = spark.createDataFrame(
+            rel_rows, "_mc_base string, _file string"
+        )
+        return (
+            df.join(
+                F.broadcast(rel_df),
+                F.col(self.POS_FILE_COL) == F.col("_mc_base"),
+                "left",
+            )
+            .withColumn("_pos", F.col(self.POS_POS_COL))
+            .drop(self.POS_FILE_COL, self.POS_POS_COL, "_mc_base")
+        )
+
     def build_bloom_index(
         self,
         spark: SparkSession,

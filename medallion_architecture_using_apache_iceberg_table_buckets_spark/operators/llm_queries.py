@@ -485,6 +485,35 @@ def position_delete_mor(spark, sf_dir):
     )
 
 
+def write_ordered_lineage(spark, sf_dir):
+    """WRITE ORDERED BY + row-lineage metadata columns: an ALTER
+    TABLE ... WRITE ORDERED BY (c_name DESC) sort order makes the
+    physical row layout deterministic, proven by reading the Iceberg
+    metadata columns back (read_with_metadata: ``_pos`` is the row's
+    ordinal in its data file — the same pos position deletes target).
+    The oracle reconstructs ``_pos`` from pure SQL row_number over
+    the declared order, so file layout itself is being checked."""
+    import tempfile
+
+    from ..lakehouse import Catalog
+
+    c = (
+        load(spark, sf_dir, "customer")
+        .select("c_custkey", "c_name")
+        .filter(F.col("c_custkey") <= 200)
+    )
+    cat = Catalog(tempfile.mkdtemp(prefix="mats_ordered_"))
+    t = cat.create_table("demo", "cust", c.schema)
+    sess = cat.sql_session(spark)
+    sess.sql("USE demo")
+    sess.sql("ALTER TABLE cust WRITE ORDERED BY (c_name DESC)")
+    t.append(c.coalesce(1))  # one file -> one global _pos sequence
+    out = t.read_with_metadata(spark)
+    assert set(r["_file"] for r in out.select("_file").distinct().collect()) \
+        == set(t.current_snapshot().files)
+    return out.select("c_custkey", "c_name", "_pos").orderBy("c_custkey")
+
+
 def incremental_gold_rollup(spark, sf_dir):
     """Additive changelog maintenance of a gold mart
     (pipeline/gold.py refresh_gold_changelog): three append batches
