@@ -237,6 +237,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- NEW in round 5 (post-window): WRITE ORDERED BY sort
         # order + _file/_pos row-lineage metadata columns ---
         "write_ordered_lineage": L.write_ordered_lineage,
+        # --- NEW in round 5 (post-window): partition-spec evolution
+        # (ALTER TABLE ADD/DROP PARTITION FIELD, mixed-layout scan) ---
+        "partition_evolution_scan": L.partition_evolution_scan,
     }
 
 
@@ -1826,6 +1829,15 @@ def oracle_sql() -> dict[str, str]:
             FROM customer
             WHERE c_custkey <= 200
             ORDER BY c_custkey
+        """,
+        "partition_evolution_scan": """
+            SELECT event_type,
+                   count(*) AS n_events,
+                   round(CAST(sum(CAST(value AS DECIMAL(18,4)))
+                              AS DOUBLE), 2) AS sum_value
+            FROM events
+            GROUP BY event_type
+            ORDER BY event_type
         """,
         "ann_recall_at_k": _ann_recall_oracle(),
         "skew_salted_agg": """

@@ -260,28 +260,53 @@ def evolve_field_ids(
 
 
 def partition_spec_to_iceberg(
-    partition_by: list[str], ice_schema: dict, spec_id: int = 0
+    partition_by: list[str],
+    ice_schema: dict,
+    spec_id: int = 0,
+    field_registry: dict | None = None,
 ) -> dict:
     """Our spec strings -> Iceberg partition-spec JSON. Partition
-    field-ids start at 1000 per the spec."""
+    field-ids start at 1000 per the spec. ``field_registry`` (shared
+    across the specs of one table) maps (source-id, transform) ->
+    field-id so an evolved table reuses the SAME id for the same
+    partition field across spec versions, as Iceberg does."""
     ids = _top_level_field_ids(ice_schema)
+    registry = field_registry if field_registry is not None else {}
     fields = []
-    for i, tr in enumerate(parse_spec(list(partition_by))):
+    for tr in parse_spec(list(partition_by)):
         if tr.kind == "bucket":
             transform, name = f"bucket[{tr.n}]", f"{tr.col}_bucket"
         elif tr.kind == "days":
             transform, name = "day", f"{tr.col}_day"
         else:
             transform, name = "identity", tr.col
+        key = (ids[tr.col], transform)
+        if key not in registry:
+            registry[key] = 1000 + len(registry)
         fields.append(
             {
                 "name": name,
                 "transform": transform,
                 "source-id": ids[tr.col],
-                "field-id": 1000 + i,
+                "field-id": registry[key],
             }
         )
     return {"spec-id": spec_id, "fields": fields}
+
+
+def all_partition_specs(table: Table) -> list[list[str]]:
+    """Ordered unique partition specs across retained history (first
+    appearance order). The current snapshot's spec is always present;
+    single-spec tables get a one-element list."""
+    seen: list[list[str]] = []
+    for s in table.snapshots():
+        spec = list(s.partition_by)
+        if spec not in seen:
+            seen.append(spec)
+    head = list(table.current_snapshot().partition_by)
+    if head not in seen:
+        seen.append(head)
+    return seen
 
 
 def snapshot_to_iceberg(
@@ -358,6 +383,9 @@ def snapshot_to_iceberg(
     summary.update({k: str(v) for k, v in snap.summary.items()})
     # preserve the native spelling so import is lossless
     summary["engine-operation"] = snap.operation
+    # per-snapshot spec (evolution makes it vary); '|' cannot appear
+    # in a spec string ('bucket(n, col)' / 'days(col)' / identifier)
+    summary["engine-partition-by"] = "|".join(snap.partition_by)
     entry = {
         "snapshot-id": snap.snapshot_id,
         "sequence-number": snap.snapshot_id,
@@ -411,6 +439,13 @@ def table_metadata(table: Table) -> dict:
         ice_schema = schema_to_iceberg(table.schema)
         last_column_id = _max_field_id(ice_schema)
     field_ids = _top_level_field_ids(ice_schema)
+    specs = all_partition_specs(table)
+    registry: dict = {}
+    spec_docs = [
+        partition_spec_to_iceberg(spec, ice_schema, i, registry)
+        for i, spec in enumerate(specs)
+    ]
+    default_spec_id = specs.index(list(head.partition_by))
     exported = []
     prev_dels: frozenset = frozenset()
     for s in snaps:
@@ -425,11 +460,12 @@ def table_metadata(table: Table) -> dict:
         "last-column-id": last_column_id,
         "schemas": [ice_schema],
         "current-schema-id": 0,
-        "partition-specs": [
-            partition_spec_to_iceberg(head.partition_by, ice_schema)
-        ],
-        "default-spec-id": 0,
-        "last-partition-id": 999 + len(head.partition_by),
+        "partition-specs": spec_docs,
+        "default-spec-id": default_spec_id,
+        "last-partition-id": max(
+            [999]
+            + [f["field-id"] for d in spec_docs for f in d["fields"]]
+        ),
         # a declared write.sort-order exports as a real Iceberg sort
         # order (identity transforms; ASC->nulls-first, DESC->
         # nulls-last — the spec's SQL-default null orders)
@@ -492,6 +528,12 @@ def snapshot_from_iceberg(snap_entry: dict, manifest: list[dict],
     op = snap_entry["summary"].get("engine-operation") or snap_entry[
         "summary"
     ]["operation"]
+    if "engine-partition-by" in snap_entry["summary"]:
+        partition_by = [
+            p
+            for p in snap_entry["summary"]["engine-partition-by"].split("|")
+            if p
+        ]
     return Snapshot(
         version=snap_entry["snapshot-id"],
         snapshot_id=snap_entry["snapshot-id"],
@@ -928,8 +970,27 @@ def export_iceberg_dir(table: Table, dest) -> "Path":
     ice_schema = doc["schemas"][0]
     field_ids = _top_level_field_ids(ice_schema)
     dtypes = {f.name: f.dataType for f in table.schema.fields}
-    transforms = parse_spec(list(table.current_snapshot().partition_by))
-    entry_schema = _manifest_entry_schema(transforms)
+    # one partition spec per retained layout: after a spec evolution
+    # the export writes PER-SPEC manifests (an Avro manifest's
+    # partition record type is fixed by its spec), matching files to
+    # specs by their path signature
+    specs = all_partition_specs(table)
+    spec_transforms = [parse_spec(list(s)) for s in specs]
+    spec_entry_schema = [
+        _manifest_entry_schema(trs) for trs in spec_transforms
+    ]
+    sig_to_spec: dict[tuple, int] = {}
+    for _i, _trs in enumerate(spec_transforms):
+        sig_to_spec.setdefault(
+            tuple(t.partition_col for t in _trs), _i
+        )
+    head_spec_id = specs.index(list(table.current_snapshot().partition_by))
+    multi_spec = len(specs) > 1
+
+    def _spec_of(rel: str) -> int:
+        sig = tuple(seg.split("=", 1)[0] for seg in rel.split("/")[:-1])
+        return sig_to_spec.get(sig, head_spec_id)
+
 
     # first snapshot each file appeared in = its data sequence number
     first_seq: dict[str, int] = {}
@@ -1072,7 +1133,8 @@ def export_iceberg_dir(table: Table, dest) -> "Path":
             if c != ":rows:" and c in field_ids
         }
         part = {
-            _spec_field_name(tr): _partition_value(tr, f) for tr in transforms
+            _spec_field_name(tr): _partition_value(tr, f)
+            for tr in spec_transforms[_spec_of(f)]
         }
         path_on_disk = table.data_root / f
         size = os.stat(path_on_disk).st_size if path_on_disk.exists() else 0
@@ -1107,7 +1169,8 @@ def export_iceberg_dir(table: Table, dest) -> "Path":
         file paths point at the translated pair."""
         info = delta_info[f]
         part = {
-            _spec_field_name(tr): _partition_value(tr, f) for tr in transforms
+            _spec_field_name(tr): _partition_value(tr, f)
+            for tr in spec_transforms[_spec_of(f)]
         }
 
         def rec(rel: str, rows: int, content: int) -> dict:
@@ -1132,7 +1195,7 @@ def export_iceberg_dir(table: Table, dest) -> "Path":
     def _posdel_record(part: dict) -> dict:
         prt = {
             _spec_field_name(tr): _partition_value(tr, part["sample"])
-            for tr in transforms
+            for tr in spec_transforms[_spec_of(part["sample"])]
         }
         return {
             "content": 1,  # POSITION_DELETES
@@ -1156,6 +1219,8 @@ def export_iceberg_dir(table: Table, dest) -> "Path":
                 "sequence_number": seq,
                 "file_sequence_number": seq,
                 "data_file": rec,
+                # manifest-grouping tag, popped before the Avro write
+                "_spec": _spec_of(f),
             }
 
         entries: list[dict] = []
@@ -1188,43 +1253,51 @@ def export_iceberg_dir(table: Table, dest) -> "Path":
         for f in sorted(cur_posdel):
             status = ADDED if f not in prev_posdel else EXISTING
             for part in posdel_parts.get(f, []):
-                delete_entries.append(_entry(status, f, _posdel_record(part)))
+                e = _entry(status, f, _posdel_record(part))
+                # delete parts group under their TARGET's spec (the
+                # engine delete file itself is layout-flat)
+                e["_spec"] = _spec_of(part["sample"])
+                delete_entries.append(e)
         for f in sorted(prev_posdel - cur_posdel):
             for part in posdel_parts.get(f, []):
-                delete_entries.append(
-                    _entry(DELETED, f, _posdel_record(part))
-                )
+                e = _entry(DELETED, f, _posdel_record(part))
+                e["_spec"] = _spec_of(part["sample"])
+                delete_entries.append(e)
         prev_posdel = cur_posdel
-        man_path = meta_dir / f"manifest-{snap.snapshot_id}.avro"
-        write_container_file(man_path, entry_schema, entries)
-        del_man_path = None
-        if delete_entries:
-            del_man_path = meta_dir / f"manifest-{snap.snapshot_id}-deletes.avro"
-            write_container_file(del_man_path, entry_schema, delete_entries)
+        def _pop_specs(es: list[dict]) -> dict[int, list[dict]]:
+            by: dict[int, list[dict]] = {}
+            for e in es:
+                by.setdefault(e.pop("_spec"), []).append(e)
+            return by
 
-        # per-partition-field summaries over the manifest's live files
-        summaries = []
-        for i, tr in enumerate(transforms):
-            vals = [
-                _partition_value(tr, f) for f in snap.files
-            ]
-            non_null = [v for v in vals if v is not None]
-            part_dt = (
-                T.IntegerType() if tr.kind == "bucket"
-                else T.DateType() if tr.kind == "days"
-                else T.StringType()
-            )
-            summaries.append(
-                {
-                    "contains_null": any(v is None for v in vals),
-                    "contains_nan": False,
-                    "lower_bound": single_value_bytes(min(non_null), part_dt)
-                    if non_null else None,
-                    "upper_bound": single_value_bytes(max(non_null), part_dt)
-                    if non_null else None,
-                }
-            )
-        def _list_record(path, man_entries, content: int) -> dict:
+        def _summaries(k: int) -> list[dict]:
+            """Per-partition-field summaries over THIS spec's live
+            files in the snapshot."""
+            live = [f for f in snap.files if _spec_of(f) == k]
+            out = []
+            for tr in spec_transforms[k]:
+                vals = [_partition_value(tr, f) for f in live]
+                non_null = [v for v in vals if v is not None]
+                part_dt = (
+                    T.IntegerType() if tr.kind == "bucket"
+                    else T.DateType() if tr.kind == "days"
+                    else T.StringType()
+                )
+                out.append(
+                    {
+                        "contains_null": any(v is None for v in vals),
+                        "contains_nan": False,
+                        "lower_bound": single_value_bytes(
+                            min(non_null), part_dt
+                        ) if non_null else None,
+                        "upper_bound": single_value_bytes(
+                            max(non_null), part_dt
+                        ) if non_null else None,
+                    }
+                )
+            return out
+
+        def _list_record(path, man_entries, content: int, k: int) -> dict:
             seqs = [e["sequence_number"] for e in man_entries] or [
                 snap.snapshot_id
             ]
@@ -1234,7 +1307,7 @@ def export_iceberg_dir(table: Table, dest) -> "Path":
             return {
                 "manifest_path": f"metadata/{path.name}",
                 "manifest_length": os.stat(path).st_size,
-                "partition_spec_id": 0,
+                "partition_spec_id": k,
                 "content": content,  # 0 = data, 1 = deletes
                 "sequence_number": snap.snapshot_id,
                 "min_sequence_number": min(seqs),
@@ -1245,20 +1318,31 @@ def export_iceberg_dir(table: Table, dest) -> "Path":
                 "added_rows_count": sum(by[ADDED]),
                 "existing_rows_count": sum(by[EXISTING]),
                 "deleted_rows_count": sum(by[DELETED]),
-                "partitions": summaries if transforms else None,
+                "partitions": _summaries(k) if spec_transforms[k] else None,
             }
 
-        list_records_by_snap[snap.snapshot_id] = [
-            _list_record(man_path, entries, 0)
-        ]
-        if del_man_path is not None:
-            list_records_by_snap[snap.snapshot_id].append(
-                _list_record(del_man_path, delete_entries, 1)
-            )
+        def _name(k: int, kind: str) -> str:
+            # single-spec tables keep the historical flat names
+            mid = f"-s{k}" if multi_spec else ""
+            return f"manifest-{snap.snapshot_id}{mid}{kind}.avro"
+
+        data_by_spec = _pop_specs(entries)
+        if not data_by_spec:
+            data_by_spec = {head_spec_id: []}  # empty create snapshot
+        recs: list[dict] = []
+        for k, es in sorted(data_by_spec.items()):
+            p = meta_dir / _name(k, "")
+            write_container_file(p, spec_entry_schema[k], es)
+            recs.append(_list_record(p, es, 0, k))
+        for k, es in sorted(_pop_specs(delete_entries).items()):
+            p = meta_dir / _name(k, "-deletes")
+            write_container_file(p, spec_entry_schema[k], es)
+            recs.append(_list_record(p, es, 1, k))
+        list_records_by_snap[snap.snapshot_id] = recs
         write_container_file(
             meta_dir / f"snap-{snap.snapshot_id}.avro",
             MANIFEST_FILE_SCHEMA,
-            list_records_by_snap[snap.snapshot_id],
+            recs,
         )
 
     # TableMetadata JSON: drop the engine's inline "manifests"

@@ -90,6 +90,12 @@ _ALTER_CREATE_REF = re.compile(
     r"(?:\s+AS\s+OF\s+VERSION\s+(\d+))?$",
     re.I,
 )
+_ALTER_ADD_PART = re.compile(
+    r"^ADD\s+PARTITION\s+FIELD\s+(.+?)\s*$", re.I | re.S
+)
+_ALTER_DROP_PART = re.compile(
+    r"^DROP\s+PARTITION\s+FIELD\s+(.+?)\s*$", re.I | re.S
+)
 _ALTER_SET_PROPS = re.compile(
     r"^SET\s+TBLPROPERTIES\s*\((.+)\)\s*$", re.I | re.S
 )
@@ -515,6 +521,24 @@ class SqlSession:
                     f"{ref!r} is a {refs[ref]['type']}, not a {kind}"
                 )
             t.drop_ref(ref)
+            return self._empty()
+        if a := _ALTER_ADD_PART.match(action):
+            spec = " ".join(a.group(1).split())
+            cur = list(t.partition_by)
+            norm = lambda s: re.sub(r"\s+", "", s)  # noqa: E731
+            if norm(spec) in {norm(s) for s in cur}:
+                raise ValueError(f"partition field {spec!r} already present")
+            t.evolve_partition_spec(cur + [spec])
+            return self._empty()
+        if a := _ALTER_DROP_PART.match(action):
+            spec = " ".join(a.group(1).split())
+            cur = list(t.partition_by)
+            norm = lambda s: re.sub(r"\s+", "", s)  # noqa: E731
+            if norm(spec) not in {norm(s) for s in cur}:
+                raise KeyError(f"partition field {spec!r} not in {cur!r}")
+            t.evolve_partition_spec(
+                [s for s in cur if norm(s) != norm(spec)]
+            )
             return self._empty()
         if a := _ALTER_SET_PROPS.match(action):
             props = {}

@@ -549,6 +549,7 @@ class Table:
         new_properties: dict[str, str] | None = None,
         branch: str | None = None,
         delete_files: list[str] | None = None,
+        partition_by: list[str] | None = None,
     ) -> Snapshot:
         parent = self._load(expected_version)
         file_set = set(files)
@@ -603,7 +604,11 @@ class Table:
             added_files=sorted(added),
             removed_files=sorted(removed),
             schema_json=schema_to_json(schema),
-            partition_by=parent.partition_by,
+            partition_by=(
+                parent.partition_by
+                if partition_by is None
+                else list(partition_by)
+            ),
             properties={**parent.properties, **(new_properties or {})},
             summary={
                 "added_files": len(added),
@@ -682,9 +687,17 @@ class Table:
         keeps the file."""
         from .transforms import parse_spec, unescape_path_name
 
-        idents = [
-            t for t in parse_spec(self.partition_by) if t.kind == "identity"
-        ]
+        # identity transforms from EVERY retained spec, not just the
+        # current one: after a partition-spec evolution the historical
+        # layouts remain prunable (the evaluation below is per-file
+        # and a file missing a segment is kept, so a column that was
+        # never a partition for some files costs nothing)
+        seen: dict[str, object] = {}
+        for s in self.snapshots():
+            for t in parse_spec(list(s.partition_by)):
+                if t.kind == "identity":
+                    seen.setdefault(t.col, t)
+        idents = list(seen.values())
         by_name = {f.name: f for f in self.schema.fields}
         idents = [t for t in idents if t.col in by_name]
         if not idents or not files:
@@ -1349,8 +1362,17 @@ class Table:
         renames: dict[str, str] | None = None,
         attach_pos: bool = False,
     ) -> DataFrame:
-        from .transforms import parse_spec
+        """Read the given data files as the declared ``schema``.
 
+        Files are grouped by their PARTITION-PATH SIGNATURE (the
+        ordered dir-segment keys) and each group reads under its own
+        basePath inference — after a partition-spec evolution
+        (evolve_partition_spec) a table legitimately holds files from
+        several layouts at once, and Hadoop's partition discovery
+        cannot mix them in one relation. Single-signature tables (the
+        overwhelmingly common case) take the direct path with no
+        extra work; the signature is derived from the path alone so
+        it survives snapshot expiry."""
         if not files:
             df = spark.createDataFrame([], schema)
             if attach_pos:
@@ -1364,6 +1386,37 @@ class Table:
                 if self.exists()
                 else {}
             )
+        groups: dict[tuple, list[str]] = {}
+        for f in files:
+            sig = tuple(
+                seg.split("=", 1)[0] for seg in f.split("/")[:-1]
+            )
+            groups.setdefault(sig, []).append(f)
+        if len(groups) == 1:
+            return self._read_file_group(
+                spark, files, schema, renames, attach_pos
+            )
+        parts, cols = [], None
+        for _sig, grp in sorted(groups.items()):
+            d = self._read_file_group(
+                spark, grp, schema, renames, attach_pos
+            )
+            if cols is None:
+                cols = d.columns
+            parts.append(d.select(*cols))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def _read_file_group(
+        self,
+        spark: SparkSession,
+        files: list[str],
+        schema: T.StructType,
+        renames: dict[str, str],
+        attach_pos: bool,
+    ) -> DataFrame:
         # Partition dirs are escapePathName()-encoded, so a literal
         # '%' can appear in a path; Hadoop's Path/glob machinery
         # re-encodes raw '%' and then fails to find the file. Wrapping
@@ -1405,13 +1458,11 @@ class Table:
             )
         if active:
             df = df.drop(*[a for aliases in active.values() for a in aliases])
-        # hidden transform partition columns (_p_*) come back from
-        # directory inference — strip them from the user-facing schema
-        hidden = [
-            t.partition_col
-            for t in parse_spec(self.partition_by if self.exists() else [])
-            if t.hidden and t.partition_col in df.columns
-        ]
+        # hidden transform partition columns (_p_* — an engine-reserved
+        # prefix, never a declared column) come back from directory
+        # inference — strip EVERY one, including those of historical
+        # specs the current partition_by no longer lists
+        hidden = [c for c in df.columns if c.startswith("_p_")]
         if hidden:
             df = df.drop(*hidden)
         if attach_pos:
@@ -1578,6 +1629,7 @@ class Table:
                     "append",
                     "create",
                     "evolve-schema",  # metadata-only: adds no files
+                    "evolve-spec",  # metadata-only: adds no files
                     "set-properties",
                 ):
                     raise ValueError(
@@ -1656,6 +1708,36 @@ class Table:
     # expire_snapshots / remove_orphan_files pair every production
     # Iceberg table runs on a schedule)
     # ------------------------------------------------------------------
+    def evolve_partition_spec(self, new_spec: list[str]) -> Snapshot:
+        """Partition-spec evolution (Iceberg's flagship metadata
+        trick): change how FUTURE writes are laid out without
+        rewriting a single existing file. Old files keep their old
+        directory layout; reads group files by their path signature
+        (_read_files) and union the layouts; partition pruning stays
+        correct because it is per-file and conservative (a file
+        missing the pruned dir segment is kept). compact() rewrites
+        everything into the current spec when wanted.
+        """
+        from .transforms import parse_spec
+
+        declared = {f.name for f in self.schema.fields}
+        for t in parse_spec(list(new_spec)):
+            if t.col not in declared:
+                raise KeyError(f"no such column {t.col!r} in {new_spec!r}")
+        base = self._current_version()
+        cur = self._load(base)
+        if list(new_spec) == list(cur.partition_by):
+            return cur
+        return self._next_snapshot(
+            "evolve-spec",
+            cur.files,
+            [],
+            [],
+            schema_from_json(cur.schema_json),
+            base,
+            partition_by=list(new_spec),
+        )
+
     def set_properties(self, props: dict[str, str]) -> Snapshot:
         """Metadata-only property commit (ALTER TABLE ... SET
         TBLPROPERTIES): same files, new properties merged over the

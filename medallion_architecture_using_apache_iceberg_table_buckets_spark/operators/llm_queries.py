@@ -485,6 +485,55 @@ def position_delete_mor(spark, sf_dir):
     )
 
 
+def partition_evolution_scan(spark, sf_dir):
+    """Partition-spec evolution end-to-end (Iceberg's flagship
+    metadata move; lakehouse/table.py evolve_partition_spec): batch 1
+    lands identity-partitioned on event_type, ALTER TABLE re-specs to
+    bucket(4, event_id), batch 2 lands bucketed — no file rewritten.
+    The query asserts both layouts coexist in the manifest, that a
+    partition-column scan still prunes the OLD layout's directories,
+    and returns an aggregate over the unioned read."""
+    import tempfile
+
+    from ..lakehouse import Catalog
+
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    cat = Catalog(tempfile.mkdtemp(prefix="mats_evospec_"))
+    t = cat.create_table(
+        "demo", "ev", e.schema, partition_by=["event_type"]
+    )
+    t.append(e.filter(F.col("event_id") % 2 == 0))
+    sess = cat.sql_session(spark)
+    sess.sql("USE demo")
+    sess.sql("ALTER TABLE ev DROP PARTITION FIELD event_type")
+    sess.sql("ALTER TABLE ev ADD PARTITION FIELD bucket(4, event_id)")
+    t.append(e.filter(F.col("event_id") % 2 == 1))
+    sigs = {
+        tuple(s.split("=")[0] for s in f.split("/")[:-1])
+        for f in t.current_snapshot().files
+    }
+    assert ("event_type",) in sigs and ("_p_event_id_bucket",) in sigs, sigs
+    # old identity dirs still prune under the NEW spec
+    pruned = t._prune_files_by_predicate(
+        spark, t.current_snapshot().files, "event_type = 'click'"
+    )
+    assert not any(f.startswith("event_type=error/") for f in pruned)
+    return (
+        t.read(spark)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,4)")).cast("double"),
+                2,
+            ).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def write_ordered_lineage(spark, sf_dir):
     """WRITE ORDERED BY + row-lineage metadata columns: an ALTER
     TABLE ... WRITE ORDERED BY (c_name DESC) sort order makes the
