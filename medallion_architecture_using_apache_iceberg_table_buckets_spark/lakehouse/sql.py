@@ -671,7 +671,17 @@ class SqlSession:
             if strategy == "binpack":
                 if cols:
                     raise ValueError("sort_order requires strategy => 'sort' or 'zorder'")
-                t.compact(self.spark, target_partitions=int(tp) if tp else None)
+                sfb = _val("small_file_bytes", 4)
+                if sfb is not None:
+                    # surgical small-file rewrite (Iceberg's actual
+                    # binpack contract): only files below the
+                    # threshold are touched
+                    t.compact_binpack(
+                        self.spark,
+                        small_file_bytes=int(sfb.strip("'\"")),
+                    )
+                else:
+                    t.compact(self.spark, target_partitions=int(tp) if tp else None)
             elif strategy == "sort":
                 if not cols:
                     raise ValueError("strategy 'sort' needs sort_order => 'col[, col...]'")

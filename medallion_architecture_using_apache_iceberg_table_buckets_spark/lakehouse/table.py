@@ -653,19 +653,27 @@ class Table:
         )
 
     def replace_files(
-        self, removed: list[str], df: DataFrame, operation: str = "merge"
+        self,
+        removed: list[str],
+        df: DataFrame,
+        operation: str = "merge",
+        delete_files: list[str] | None = None,
     ) -> Snapshot:
         """Copy-on-write file swap: rewrite `removed` as the rows of `df`.
 
         The primitive under MERGE INTO (lakehouse/merge.py) — same
         shape as Iceberg's COW RowLevelCommand file rewrite.
-        """
+        ``delete_files`` overrides the position-delete carry-forward
+        (binpack prunes materialized entries)."""
         base = self._current_version()
         cur = self._load(base)
         added = self._write_files(df, cur.partition_by)
         removed_set = set(removed)
         files = [f for f in cur.files if f not in removed_set] + added
-        return self._next_snapshot(operation, files, added, removed, df.schema, base)
+        return self._next_snapshot(
+            operation, files, added, removed, df.schema, base,
+            delete_files=delete_files,
+        )
 
     def _prune_files_by_predicate(
         self, spark: SparkSession, files: list[str], condition: str
@@ -1815,6 +1823,90 @@ class Table:
             cols,
             num_bits or B.DEFAULT_BITS,
             num_hashes or B.DEFAULT_HASHES,
+        )
+
+    def compact_binpack(
+        self,
+        spark: SparkSession,
+        small_file_bytes: int = 64 * 1024 * 1024,
+        min_group: int = 2,
+    ) -> Snapshot:
+        """SURGICAL small-file compaction (Iceberg
+        rewrite_data_files binpack strategy): rewrite only partitions'
+        files BELOW ``small_file_bytes``, leaving well-sized files
+        untouched in the manifest. This is the maintenance pass a
+        100 TB streaming-append table actually runs — full
+        ``compact()`` rewrites the whole table, which is a one-off
+        migration tool, not a scheduled job.
+
+        Grouping is per partition directory (a rewrite must not move
+        rows across partition dirs); a partition needs at least
+        ``min_group`` small files to be worth a rewrite. Live
+        position deletes on the chosen files are applied (the rewrite
+        materializes them for those files only; delete entries for
+        untouched files stay live). Refuses while MOR merge-deltas
+        are pending — their key-wise resolve spans files, so only the
+        full compact() can fold them."""
+        snap = self.current_snapshot()
+        if self._delta_files(snap):
+            raise ValueError(
+                "binpack with pending merge-deltas: the key-wise "
+                "resolve spans files — run full compact() instead"
+            )
+        by_dir: dict[str, list[str]] = {}
+        for f in snap.files:
+            try:
+                size = (self.data_root / f).stat().st_size
+            except OSError:
+                continue
+            if size < small_file_bytes:
+                d = f.rsplit("/", 1)[0] if "/" in f else ""
+                by_dir.setdefault(d, []).append(f)
+        chosen = [
+            f
+            for fs in by_dir.values()
+            if len(fs) >= min_group
+            for f in fs
+        ]
+        if not chosen:
+            return snap
+        rewritten = self._read_live(spark, chosen, self.schema, snap=snap)
+        # one output file per partition group is the binpack target;
+        # coalesce to the group count so Spark doesn't shuffle
+        n_groups = sum(1 for fs in by_dir.values() if len(fs) >= min_group)
+        rewritten = rewritten.coalesce(max(n_groups, 1))
+        # prune delete entries the rewrite just materialized, so the
+        # logical row accounting stays exact (a cleared entry adds its
+        # rows back; the physical removal re-subtracts them)
+        new_delete_files = None
+        if snap.delete_files:
+            import pyarrow as pa
+            import pyarrow.compute as pc
+            import pyarrow.parquet as pq
+
+            chosen_base = pa.array(
+                sorted(f.rsplit("/", 1)[-1] for f in chosen)
+            )
+            new_delete_files = []
+            for rel in snap.delete_files:
+                tbl = pq.read_table(self.data_root / rel)
+                kept = tbl.filter(
+                    pc.invert(
+                        pc.is_in(
+                            tbl.column("file_name"), value_set=chosen_base
+                        )
+                    )
+                )
+                if kept.num_rows == tbl.num_rows:
+                    new_delete_files.append(rel)
+                elif kept.num_rows > 0:
+                    out = f"posdel-{uuid.uuid4().hex[:12]}-binpack.parquet"
+                    pq.write_table(kept, self.data_root / out)
+                    new_delete_files.append(out)
+                # fully-materialized delete files drop out entirely
+        return self.replace_files(
+            chosen, rewritten, operation="replace",
+            delete_files=new_delete_files,
         )
 
     def expire_snapshots(self, keep_last: int = 1) -> list[int]:
