@@ -240,6 +240,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- NEW in round 5 (post-window): partition-spec evolution
         # (ALTER TABLE ADD/DROP PARTITION FIELD, mixed-layout scan) ---
         "partition_evolution_scan": L.partition_evolution_scan,
+        # --- NEW in round 5 (post-window): distributed BPE vocabulary
+        # induction (operators/bpe.py) ---
+        "bpe_vocab_merges": L.bpe_vocab_merges,
     }
 
 
@@ -513,6 +516,70 @@ def _zorder_oracle() -> str:
                      CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
               FROM events)
     """
+
+
+def _bpe_oracle(num_merges: int = 6) -> str:
+    """Replay operators/bpe.py's merge rounds as chained DuckDB CTEs:
+    round r counts adjacent symbol pairs over the word-frequency
+    table w{r-1}, takes the (count desc, pair asc) argmax b{r}, and
+    applies it with the same delimiter-safe replace. The merge
+    decision is inherently sequential, so the oracle is GENERATED —
+    one CTE block per round."""
+    parts = [
+        """
+        WITH w0 AS MATERIALIZED (
+          SELECT ' ' || array_to_string(regexp_extract_all(word, '.'), ' ')
+                 || ' </w> ' AS sym,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+'))
+                       AS word FROM documents)
+          GROUP BY 1
+        )"""
+    ]
+    for r in range(1, num_merges + 1):
+        parts.append(
+            f"""
+        , p{r} AS MATERIALIZED (
+          SELECT z[1] AS l, z[2] AS r, CAST(sum(c) AS BIGINT) AS cnt
+          FROM (
+            SELECT unnest(list_zip(L, L[2:])) AS z, c
+            FROM (SELECT string_split(trim(sym), ' ') AS L, c
+                  FROM w{r - 1})
+          )
+          WHERE z[2] IS NOT NULL
+          GROUP BY 1, 2
+        ), b{r} AS MATERIALIZED (
+          SELECT l, r, cnt FROM p{r} ORDER BY cnt DESC, l, r LIMIT 1
+        ), pat{r} AS MATERIALIZED (
+          SELECT ' ' || l || ' ' || r || ' ' AS pat,
+                 ' ' || l || r || ' ' AS rep
+          FROM b{r}
+        ), w{r} AS MATERIALIZED (
+          -- replace to FIXPOINT: one pass under-merges consecutive
+          -- runs (shared-delimiter block); iterating is exactly the
+          -- textbook left-to-right merge (operators/bpe.py
+          -- _apply_merge). Word chains are disjoint (distinct
+          -- words), so the fixed-point rows are the round's result.
+          WITH RECURSIVE fx AS (
+            SELECT sym, c FROM w{r - 1}
+            UNION ALL
+            SELECT replace(sym, (SELECT pat FROM pat{r}),
+                           (SELECT rep FROM pat{r})), c
+            FROM fx
+            WHERE replace(sym, (SELECT pat FROM pat{r}),
+                          (SELECT rep FROM pat{r})) <> sym
+          )
+          SELECT sym, c FROM fx
+          WHERE replace(sym, (SELECT pat FROM pat{r}),
+                        (SELECT rep FROM pat{r})) = sym
+        )"""
+        )
+    selects = " UNION ALL ".join(
+        f"SELECT {r} AS rank, l AS \"left\", r AS \"right\", "
+        f"l || r AS merged, cnt AS pair_count FROM b{r}"
+        for r in range(1, num_merges + 1)
+    )
+    return "".join(parts) + f" SELECT * FROM ({selects}) ORDER BY rank"
 
 
 def _semantic_dedup_oracle(eps: float = 0.4, n_centroids: int = 16) -> str:
@@ -1839,6 +1906,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY event_type
             ORDER BY event_type
         """,
+        "bpe_vocab_merges": _bpe_oracle(6),
         "ann_recall_at_k": _ann_recall_oracle(),
         "skew_salted_agg": """
             SELECT l_returnflag,

@@ -485,6 +485,22 @@ def position_delete_mor(spark, sf_dir):
     )
 
 
+def bpe_vocab_merges(spark, sf_dir):
+    """Distributed BPE vocabulary induction (operators/bpe.py,
+    arXiv:1508.07909): 6 merge rounds over the documents corpus's
+    word-frequency table — the tokenizer-training step of an LLM
+    pipeline. Each round is one aggregation over the distinct-word
+    table plus a 1-row driver argmax; merges apply as delimiter-safe
+    JVM string replaces (left-to-right non-overlapping = standard BPE
+    merge order). The oracle replays the identical rounds as chained
+    SQL CTEs."""
+    from .bpe import bpe_learn
+
+    return bpe_learn(
+        spark, load(spark, sf_dir, "documents"), "text", num_merges=6
+    )
+
+
 def partition_evolution_scan(spark, sf_dir):
     """Partition-spec evolution end-to-end (Iceberg's flagship
     metadata move; lakehouse/table.py evolve_partition_spec): batch 1

@@ -1,0 +1,114 @@
+"""Distributed BPE vocabulary induction (operators/bpe.py)."""
+
+from pyspark.sql import functions as F
+
+from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators.bpe import (
+    bpe_learn,
+    bpe_segment,
+    word_frequencies,
+)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                                 "doc_id long, text string")
+
+
+def _reference_bpe(texts, num_merges):
+    """Pure-Python reference (the textbook algorithm)."""
+    import collections
+    import re
+
+    wf = collections.Counter()
+    for t in texts:
+        for w in re.findall(r"[a-z]+", t.lower()):
+            wf[tuple(list(w) + ["</w>"])] += 1
+    merges = []
+    for rank in range(1, num_merges + 1):
+        pairs = collections.Counter()
+        for syms, c in wf.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += c
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), cnt = best
+        merges.append((rank, a, b, a + b, cnt))
+        new_wf = collections.Counter()
+        for syms, c in wf.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_wf[tuple(out)] += c
+        wf = new_wf
+    return merges
+
+
+TEXTS = [
+    "the cat sat on the mat",
+    "the bat and the rat chat",
+    "that hat is flat, the cat agrees",
+    "low lower lowest newer newest wider widest",
+]
+
+
+def test_matches_textbook_reference(spark):
+    got = [
+        (r["rank"], r["left"], r["right"], r["merged"], r["pair_count"])
+        for r in bpe_learn(spark, _docs(spark, TEXTS), num_merges=8)
+        .orderBy("rank").collect()
+    ]
+    assert got == _reference_bpe(TEXTS, 8)
+
+
+def test_overlapping_runs_merge_left_to_right(spark):
+    # 'aaaa' -> pairs (a,a) x3; merging (a,a) must give [aa, aa],
+    # not [aa, a, a] or a double-merge
+    texts = ["aaaa aaaa aaaa"]
+    got = [
+        (r["left"], r["right"], r["pair_count"])
+        for r in bpe_learn(spark, _docs(spark, texts), num_merges=2)
+        .orderBy("rank").collect()
+    ]
+    assert got == [(a, b, c) for _, a, b, _, c in _reference_bpe(texts, 2)]
+
+
+def test_segment_roundtrip_and_compression(spark):
+    docs = _docs(spark, TEXTS)
+    merges = [
+        (r["rank"], r["left"], r["right"], r["merged"], r["pair_count"])
+        for r in bpe_learn(spark, docs, num_merges=12)
+        .orderBy("rank").collect()
+    ]
+    seg = bpe_segment(docs, "text", merges).collect()
+    for row in seg:
+        import re
+
+        words = re.findall(r"[a-z]+", row["text"].lower())
+        assert len(row["tokens"]) == len(words)
+        for w, toks in zip(words, row["tokens"]):
+            # lossless: tokens re-concatenate to the word + marker
+            assert "".join(toks) == w + "</w>"
+        # merges compress: token count never exceeds character count
+        assert all(
+            len(toks) <= len(w) + 1
+            for w, toks in zip(words, row["tokens"])
+        )
+    # at least one multi-char token actually formed
+    assert any(
+        len(tok) > 1 and tok != "</w>"
+        for row in seg for toks in row["tokens"] for tok in toks
+    )
+
+
+def test_word_frequencies_is_word_level(spark):
+    wf = {
+        r["sym"]: r["c"]
+        for r in word_frequencies(_docs(spark, ["a a a b"])).collect()
+    }
+    assert wf == {" a </w> ": 3, " b </w> ": 1}

@@ -313,12 +313,20 @@ def test_brute_baselines_are_the_only_all_pairs_plans(spark, sf_dir):
         # theta set ops: 1-row sketch-estimate row broadcast onto the
         # 1-row exact aggregate — scalar-sized by construction
         "sketch_theta_set_ops",
+        # mixture weights: 1-row corpus-total broadcast for the
+        # shares (corpus_data_card pattern)
+        "corpus_mixture_weights",
     }
     # Queries whose construction performs writes/iterative jobs; their
     # plan hygiene is asserted by dedicated tests.
     SIDE_EFFECTING_PREFIXES = (
         "medallion_", "sql_", "incremental_", "mor_", "schema_",
         "maintenance_", "streaming_", "catalog_", "zorder_",
+        # round-5 lakehouse surface queries build temp tables / run
+        # driver-side iterations; their plan hygiene has dedicated
+        # tests (test_position_deletes, test_bloom_index,
+        # test_partition_evolution, test_sort_order_metadata, bpe)
+        "position_", "bloom_", "write_ordered_", "partition_", "bpe_",
     )
     # ann_recall_at_k embeds BOTH the fenced brute ground truth (an
     # intentional all-pairs baseline) and the IVF iterative seeding —

@@ -403,8 +403,11 @@ def test_alter_table_describe(spark, sess):
     sess.sql("ALTER TABLE orders DROP COLUMN processed_time")
     t = sess.catalog.table("ns", "orders")
     assert [f.name for f in t.schema.fields] == ["invoiceid", "cat", "discount"]
+    # SET TBLPROPERTIES is dispatchable since r5 (Table.set_properties)
+    sess.sql("ALTER TABLE orders SET TBLPROPERTIES ('a'='b')")
+    assert sess.catalog.table("ns", "orders").properties["a"] == "b"
     with pytest.raises(ValueError, match="unsupported ALTER"):
-        sess.sql("ALTER TABLE orders SET TBLPROPERTIES ('a'='b')")
+        sess.sql("ALTER TABLE orders FROBNICATE everything")
     # multi-column ADD with parens
     sess.sql("ALTER TABLE orders ADD COLUMNS (x BIGINT, y STRING)")
     assert [f.name for f in sess.catalog.table("ns", "orders").schema.fields] == [
