@@ -243,6 +243,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- NEW in round 5 (post-window): distributed BPE vocabulary
         # induction (operators/bpe.py) ---
         "bpe_vocab_merges": L.bpe_vocab_merges,
+        # --- NEW in round 5 (post-window): temporal as-of enrichment
+        # against the SCD2 history (interval join) ---
+        "scd2_temporal_enrich": L.scd2_temporal_enrich,
     }
 
 
@@ -1907,6 +1910,41 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY event_type
         """,
         "bpe_vocab_merges": _bpe_oracle(6),
+        "scd2_temporal_enrich": """
+            WITH ordered AS (
+              SELECT user_id, event_type, ts, event_id,
+                     CASE WHEN lag(event_type) OVER w IS NULL
+                          OR lag(event_type) OVER w <> event_type
+                          THEN 1 ELSE 0 END AS chg
+              FROM events WHERE event_type <> 'purchase'
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), runs AS (
+              SELECT *, SUM(chg) OVER (
+                          PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS run
+              FROM ordered
+            ), versions AS (
+              SELECT user_id, run, min(ts) AS valid_from,
+                     min(event_type) AS status_at_time
+              FROM runs GROUP BY user_id, run
+            ), hist AS (
+              SELECT user_id, status_at_time, valid_from,
+                     lead(valid_from) OVER (
+                       PARTITION BY user_id ORDER BY valid_from
+                     ) AS valid_to
+              FROM versions
+            )
+            SELECT h.status_at_time,
+                   count(*) AS n_purchases,
+                   count(DISTINCT p.user_id) AS n_users
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            JOIN hist h
+              ON p.user_id = h.user_id
+             AND p.ts >= h.valid_from
+             AND (h.valid_to IS NULL OR p.ts < h.valid_to)
+            GROUP BY h.status_at_time
+            ORDER BY h.status_at_time
+        """,
         "ann_recall_at_k": _ann_recall_oracle(),
         "skew_salted_agg": """
             SELECT l_returnflag,

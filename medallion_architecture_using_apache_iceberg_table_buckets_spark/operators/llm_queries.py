@@ -658,6 +658,52 @@ def bloom_point_lookup(spark, sf_dir):
     return out.orderBy("doc_id")
 
 
+def scd2_temporal_enrich(spark, sf_dir):
+    """Temporally-correct enrichment against the SCD2 history
+    (operators/scd.py): each purchase event joins the status version
+    VALID AT ITS EVENT TIME — equality on the dimension key plus a
+    half-open interval predicate, so Catalyst plans a keyed equi-join
+    (broadcast-hash at toy scale, sort-merge at size; AQE decides)
+    with the range as a residual filter — never a cartesian; the join
+    is user_id-partitioned and scales with the fact side. The
+    attribute joined is the user's status
+    run at purchase time — what a naive latest-value (SCD1) join
+    gets wrong."""
+    from .scd import scd2_history
+
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    # the dimension: history of the user's NON-purchase activity
+    # status (a purchase event would otherwise trivially join to its
+    # own run)
+    hist = scd2_history(
+        e.filter(F.col("event_type") != "purchase"),
+        ["user_id"], "event_type", "ts", tie_cols=["event_id"],
+    ).select(
+        F.col("user_id").alias("h_user"),
+        F.col("event_type").alias("status_at_time"),
+        "version",
+        "valid_from",
+        "valid_to",
+    )
+    purchases = e.filter(F.col("event_type") == "purchase")
+    joined = purchases.join(
+        hist,
+        (purchases["user_id"] == hist["h_user"])
+        & (purchases["ts"] >= hist["valid_from"])
+        & (hist["valid_to"].isNull() | (purchases["ts"] < hist["valid_to"])),
+    )
+    return (
+        joined.groupBy("status_at_time")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("status_at_time")
+    )
+
+
 def corpus_mixture_weights(spark, sf_dir):
     """Domain-mixture reweighting for training-data assembly
     (DoReMi/Pile-style static weights, arXiv:2305.10429 §2): measure
