@@ -65,15 +65,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # text_quality_percentile_cut, window_rank_functions,
     # text_boilerplate_ngrams, agg_grouping_sets.
     #
-    # r06 window plan: those 4 deferred entries first, then the 14
-    # added late in r5 (q2/q9/q11/q16/q20 TPC-H completion,
+    # r06 window plan: those 4 deferred entries first, then the 28
+    # added after this round's window froze (all at the dict tail,
+    # never driver-checked): q2/q9/q11/q16/q20 TPC-H completion,
     # text_pii_scrub, text_paragraph_dedup, text_token_rarity,
     # dedup_containment_pairs, dedup_incremental_probe,
     # corpus_data_card, streaming_static_enrich,
-    # multimodal_decode_audio, multimodal_decode_video — all at the
-    # dict tail,
-    # never driver-checked), then rotate the oldest of the r05-window
-    # block to fill the remaining 32 slots.
+    # multimodal_decode_audio, multimodal_decode_video,
+    # sketch_theta_set_ops, sketch_kll_rollup_quantiles,
+    # sql_branch_wap, dedup_semantic, position_delete_mor,
+    # scd2_user_status_history, scd2_temporal_enrich,
+    # corpus_mixture_weights, bloom_point_lookup,
+    # incremental_gold_rollup, write_ordered_lineage,
+    # partition_evolution_scan, bpe_vocab_merges — then rotate the
+    # oldest of the r05-window block to fill the remaining slots.
     return {
         # --- (1-2) added in r4 after that window froze: never had a
         # driver row ---

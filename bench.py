@@ -121,6 +121,18 @@ HEADLINE = {
     "sketch_kll_rollup_quantiles": L.sketch_kll_rollup_quantiles,
     "sql_branch_wap": L.sql_branch_wap,
     "dedup_semantic": L.dedup_semantic,
+    # round-5 final block: position deletes, SCD2 family, mixture
+    # weights, bloom point lookups, changelog gold, sort-order
+    # lineage, partition-spec evolution, BPE induction
+    "position_delete_mor": L.position_delete_mor,
+    "scd2_user_status_history": L.scd2_user_status_history,
+    "scd2_temporal_enrich": L.scd2_temporal_enrich,
+    "corpus_mixture_weights": L.corpus_mixture_weights,
+    "bloom_point_lookup": L.bloom_point_lookup,
+    "incremental_gold_rollup": L.incremental_gold_rollup,
+    "write_ordered_lineage": L.write_ordered_lineage,
+    "partition_evolution_scan": L.partition_evolution_scan,
+    "bpe_vocab_merges": L.bpe_vocab_merges,
 }
 
 # the 14 queries recorded since round 1 — their sum is the anchored
