@@ -147,6 +147,28 @@ def llm_queries_section():
             "sketches, hundreds of cells); rank-bound validation is one "
             "more aggregation over the fact table.",
         ),
+        # round-5 extended block (pure-relational members; the
+        # table-building queries have dedicated plan tests in their
+        # pytest suites)
+        "scd2_user_status_history": (
+            L.scd2_user_status_history,
+            "Run-collapse lag + running count and the interval lead are "
+            "ALL windows over (user_id) — every exchange is keyed by the "
+            "dimension key, no global window, no driver state.",
+        ),
+        "scd2_temporal_enrich": (
+            L.scd2_temporal_enrich,
+            "As-of interval join plans as a KEYED equi-join on user_id "
+            "with the half-open range as residual condition (AQE picks "
+            "hash vs sort-merge) — never BNLJ/cartesian; scales with the "
+            "fact side.",
+        ),
+        "corpus_mixture_weights": (
+            L.corpus_mixture_weights,
+            "Map-only token count -> one shuffle to #domains rows -> "
+            "explicit 1-row scalar broadcast for the total; the mixture "
+            "arithmetic runs on a domains-sized frame.",
+        ),
     }
 
 
