@@ -251,6 +251,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- NEW in round 5 (post-window): temporal as-of enrichment
         # against the SCD2 history (interval join) ---
         "scd2_temporal_enrich": L.scd2_temporal_enrich,
+        # --- NEW in round 5 (post-window): product-quantization ADC
+        # search (operators/similarity.py PQ half of IVF-PQ) ---
+        "ann_pq_topk": L.ann_pq_topk,
     }
 
 
@@ -805,6 +808,120 @@ _BRUTE_TOPK_PAIRS = """
       WHERE q.vec_id < 10
     ) WHERE rnk <= 5
 """
+
+
+def _ann_pq_oracle(
+    k: int = 5,
+    n_sub: int = 8,
+    k_sub: int = 16,
+    dim: int = 64,
+    rerank: int = 100,
+) -> str:
+    """Exact oracle for the PQ pipeline: rank-spaced seeds, one Lloyd
+    step per subspace (round(avg,6) means, round-6 L2 assignment with
+    lower-code tie-break), ADC scoring through the (subspace, code)
+    lookup table with exact DECIMAL partial sums, then the exact
+    rerank of the ADC shortlist — mirrors
+    similarity.pq_train_encode/cosine_topk_pq term for term."""
+    sd = dim // n_sub
+    l2 = (
+        "round(list_sum(list_transform(list_zip(b.sv, c.cv), "
+        "z -> (z[1]-z[2])*(z[1]-z[2]))), 6)"
+    )
+    assign = f"""
+      SELECT vec_id, subspace, code, sv FROM (
+        SELECT b.vec_id, b.subspace, c.code, b.sv,
+               row_number() OVER (PARTITION BY b.vec_id, b.subspace
+                 ORDER BY {l2} ASC, c.code ASC) AS rn
+        FROM subs b JOIN {{cb}} c ON c.subspace = b.subspace)
+      WHERE rn = 1
+    """
+    return f"""
+    WITH e AS MATERIALIZED (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    params AS (SELECT greatest(1, count(*) // {k_sub}) AS step FROM e),
+    seed_ids AS MATERIALIZED (
+      SELECT seed_id, CAST(rk - 1 AS INTEGER) AS code FROM (
+        SELECT vec_id AS seed_id,
+               row_number() OVER (ORDER BY vec_id) AS rk
+        FROM e, params WHERE vec_id % step = 0)
+      WHERE rk <= {k_sub}
+    ),
+    subs AS MATERIALIZED (
+      SELECT vec_id, CAST(s.range AS INTEGER) AS subspace,
+             v[s.range * {sd} + 1 : s.range * {sd} + {sd}] AS sv
+      FROM e CROSS JOIN range(0, {n_sub}) s
+    ),
+    seeds AS MATERIALIZED (
+      SELECT b.subspace, si.code, b.sv AS cv
+      FROM subs b JOIN seed_ids si ON b.vec_id = si.seed_id
+    ),
+    assign0 AS MATERIALIZED ({assign.format(cb='seeds')}),
+    cells AS (
+      SELECT subspace, code, CAST(t.range AS INTEGER) AS d,
+             sv[t.range] AS x
+      FROM assign0 CROSS JOIN range(1, {sd + 1}) t
+    ),
+    codebooks AS MATERIALIZED (
+      SELECT subspace, code, list(m ORDER BY d) AS cv FROM (
+        SELECT subspace, code, d, round(avg(x), 6) AS m
+        FROM cells GROUP BY subspace, code, d)
+      GROUP BY subspace, code
+    ),
+    codes AS MATERIALIZED (
+      SELECT vec_id, subspace, code
+      FROM ({assign.format(cb='codebooks')})
+    ),
+    q AS MATERIALIZED (
+      SELECT vec_id AS query_id, v,
+             round(sqrt(list_sum(list_transform(v, x -> x * x))), 6)
+               AS qnorm
+      FROM e WHERE vec_id < 10
+    ),
+    qsubs AS (
+      SELECT query_id, qnorm, CAST(s.range AS INTEGER) AS subspace,
+             v[s.range * {sd} + 1 : s.range * {sd} + {sd}] AS qsv
+      FROM q CROSS JOIN range(0, {n_sub}) s
+    ),
+    lut AS MATERIALIZED (
+      SELECT query_id, qnorm, c.subspace, c.code,
+             CAST(round(list_sum(list_transform(list_zip(qsv, c.cv),
+                    z -> z[1] * z[2])), 6) AS DECIMAL(18,6)) AS pdot,
+             CAST(round(list_sum(list_transform(list_zip(c.cv, c.cv),
+                    z -> z[1] * z[2])), 6) AS DECIMAL(18,6)) AS cn2
+      FROM qsubs JOIN codebooks c ON c.subspace = qsubs.subspace
+    ),
+    scored AS MATERIALIZED (
+      SELECT query_id, qnorm, vec_id,
+             CAST(sum(pdot) AS DOUBLE) AS sdot,
+             CAST(sum(cn2) AS DOUBLE) AS scn2
+      FROM codes JOIN lut USING (subspace, code)
+      WHERE query_id <> vec_id
+      GROUP BY 1, 2, 3
+    )
+    , shortlist AS MATERIALIZED (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY round(sdot / (qnorm * sqrt(scn2)), 4) DESC,
+                          vec_id ASC) AS rnk
+        FROM scored)
+      WHERE rnk <= {rerank}
+    )
+    SELECT query_id, neighbor_id, cos_sim, rnk FROM (
+      SELECT s.query_id, s.vec_id AS neighbor_id,
+             round(list_cosine_similarity(q.v, e2.v), 4) AS cos_sim,
+             CAST(row_number() OVER (PARTITION BY s.query_id
+               ORDER BY round(list_cosine_similarity(q.v, e2.v), 4)
+                          DESC,
+                        s.vec_id ASC) AS INTEGER) AS rnk
+      FROM shortlist s
+      JOIN e e2 ON e2.vec_id = s.vec_id
+      JOIN q ON q.query_id = s.query_id)
+    WHERE rnk <= {k}
+    ORDER BY query_id, rnk
+    """
 
 
 def _ann_recall_oracle(k: int = 5) -> str:
@@ -1915,6 +2032,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY event_type
         """,
         "bpe_vocab_merges": _bpe_oracle(6),
+        "ann_pq_topk": _ann_pq_oracle(),
         "scd2_temporal_enrich": """
             WITH ordered AS (
               SELECT user_id, event_type, ts, event_id,

@@ -485,6 +485,30 @@ def position_delete_mor(spark, sf_dir):
     )
 
 
+def ann_pq_topk(spark, sf_dir):
+    """Product-quantization ADC top-k (operators/similarity.py
+    pq_train_encode / cosine_topk_pq; Jégou et al. 2011): per-subspace
+    codebooks compress each vector to n_subspaces codes, and queries
+    score the corpus through a broadcast lookup table without ever
+    reading the stored vectors — the memory compression that makes
+    billion-vector search feasible. Fully deterministic (rank-spaced
+    seeds, round-6 quantized means/distances, exact decimal partial
+    sums), so the SQL oracle replays it exactly — then exact-reranks
+    ONLY the ADC shortlist's full vectors (the standard two-stage
+    search: compression decides what to read, the exact pass decides
+    the final order)."""
+    from .similarity import cosine_topk_pq
+
+    emb = load(spark, sf_dir, "embeddings")
+    return cosine_topk_pq(
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        k=5,
+        n_subspaces=8,
+        rerank=100,
+    ).orderBy("query_id", "rnk")
+
+
 def bpe_vocab_merges(spark, sf_dir):
     """Distributed BPE vocabulary induction (operators/bpe.py,
     arXiv:1508.07909): 6 merge rounds over the documents corpus's

@@ -373,3 +373,254 @@ def cosine_topk_lsh(
             F.col("rnk").cast("int").alias("rnk"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (IVF-PQ's compression half; Jégou et al. 2011,
+# "Product Quantization for Nearest Neighbor Search")
+# ---------------------------------------------------------------------------
+
+def _fold_dot(a, b):
+    """Strict left-to-right dot fold over two equal-length arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _fold_l2sq(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_train_encode(
+    corpus: DataFrame,
+    n_subspaces: int = 4,
+    k_sub: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Train per-subspace codebooks and encode the corpus.
+
+    The vector splits into ``n_subspaces`` contiguous subvectors;
+    each subspace gets an independent ``k_sub``-entry codebook
+    (rank-spaced seeds + one Lloyd step, the deterministic recipe of
+    ivf_centroids: means quantized to round(avg, 6), L2 assignment
+    rounded to 6 with lower-code tie-break, so the SQL oracle can
+    replay it bit-for-bit). A vector stores n_subspaces small codes
+    instead of dim floats — 64 doubles become 4 bytes here, the
+    memory move that makes billion-vector search feasible.
+
+    Returns ``(codebooks(subspace, code, cv), codes(vec_id,
+    subspace, code))``. Every stage is a broadcast-codebook map or a
+    (subspace, code, dim)-cell aggregation — nothing shuffles whole
+    vectors to one task.
+    """
+    sub_dim = dim // n_subspaces
+    subs = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice(
+                        to_double_array(vec_col), s * sub_dim + 1, sub_dim
+                    )
+                    for s in range(n_subspaces)
+                ]
+            )
+        ).alias("subspace", "sv"),
+    )
+    step_df = corpus.agg(
+        F.greatest(
+            F.expr(f"count(*) div {int(k_sub)}"), F.lit(1)
+        ).alias("_step")
+    )
+    seed_ids = (
+        corpus.crossJoin(F.broadcast(step_df))
+        .filter((F.col(id_col) % F.col("_step")) == 0)
+        .select(F.col(id_col).alias("seed_id"))
+        .withColumn(
+            "_rk", F.row_number().over(Window.orderBy("seed_id"))
+        )
+        .filter(F.col("_rk") <= k_sub)
+        .select(
+            "seed_id", (F.col("_rk") - 1).cast("int").alias("code")
+        )
+    )
+    seeds = subs.join(
+        F.broadcast(seed_ids), subs["vec_id"] == seed_ids["seed_id"]
+    ).select("subspace", "code", F.col("sv").alias("cv"))
+
+    def assign(cb: DataFrame) -> DataFrame:
+        j = subs.join(F.broadcast(cb), "subspace").withColumn(
+            "_d", F.round(_fold_l2sq(F.col("sv"), F.col("cv")), 6)
+        )
+        w = Window.partitionBy("vec_id", "subspace").orderBy(
+            F.asc("_d"), F.asc("code")
+        )
+        return (
+            j.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("vec_id", "subspace", "code", "sv")
+        )
+
+    a0 = assign(seeds)
+    cells = a0.select(
+        "subspace", "code", F.posexplode("sv").alias("d", "x")
+    )
+    codebooks = (
+        cells.groupBy("subspace", "code", "d")
+        .agg(F.round(F.avg("x"), 6).alias("m"))
+        .groupBy("subspace", "code")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("d"), F.col("m")))
+                ),
+                lambda s: s.getField("m"),
+            ).alias("cv")
+        )
+    )
+    codes = assign(codebooks).select("vec_id", "subspace", "code")
+    return codebooks, codes
+
+
+def cosine_topk_pq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_subspaces: int = 4,
+    k_sub: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rerank: int = 0,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes.
+
+    The dot product decomposes exactly over subspaces, so
+    ``dot(q, v) ~= sum_s dot(q_s, codebook[s][code_s])`` and
+    ``||v||^2 ~= sum_s ||codebook[s][code_s]||^2``: per query the
+    scorer precomputes a (subspace, code) lookup table of
+    ``n_subspaces * k_sub`` partial dots (tiny — broadcast), then
+    scoring the corpus is ONE broadcast-join over the stored codes
+    plus a (query, vec) aggregation. The full vectors are never read
+    at query time — that is the entire point of PQ.
+
+    ``rerank > k`` enables the standard two-stage search: the ADC
+    pass produces a ``rerank``-sized shortlist per query, whose FULL
+    vectors (and only those — a keyed equi-join on the candidate ids)
+    are then scored exactly; output ranks use the exact cosine. PQ
+    compression decides WHAT to read, the exact pass decides the
+    final order — recall is then bounded by shortlist coverage, not
+    quantization error.
+
+    Partial terms are summed as exact decimals (order-independent)
+    before the final rounding, so ranks are reproducible and the SQL
+    oracle matches.
+    """
+    sub_dim = dim // n_subspaces
+    codebooks, codes = pq_train_encode(
+        corpus, n_subspaces, k_sub, dim, id_col, vec_col
+    )
+    qv = to_double_array(vec_col)
+    q_base = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.round(F.sqrt(_fold_dot(qv, qv)), 6).alias("qnorm"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice(qv, s * sub_dim + 1, sub_dim)
+                    for s in range(n_subspaces)
+                ]
+            )
+        ).alias("subspace", "qsv"),
+    )
+    lut = q_base.join(F.broadcast(codebooks), "subspace").select(
+        "query_id",
+        "qnorm",
+        "subspace",
+        "code",
+        F.round(_fold_dot(F.col("qsv"), F.col("cv")), 6)
+        .cast("decimal(18,6)")
+        .alias("pdot"),
+        F.round(_fold_dot(F.col("cv"), F.col("cv")), 6)
+        .cast("decimal(18,6)")
+        .alias("cn2"),
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["subspace", "code"])
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .groupBy("query_id", "qnorm", "vec_id")
+        .agg(
+            F.sum("pdot").alias("sdot"), F.sum("cn2").alias("scn2")
+        )
+        .withColumn(
+            "approx_cos",
+            F.round(
+                F.col("sdot").cast("double")
+                / (
+                    F.col("qnorm")
+                    * F.sqrt(F.col("scn2").cast("double"))
+                ),
+                4,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_cos"), F.asc("vec_id")
+    )
+    ranked = scored.withColumn("rnk", F.row_number().over(w))
+    if not rerank or rerank <= k:
+        return (
+            ranked.filter(F.col("rnk") <= k)
+            .select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                "approx_cos",
+                F.col("rnk").cast("int").alias("rnk"),
+            )
+        )
+    shortlist = ranked.filter(F.col("rnk") <= rerank).select(
+        "query_id", "vec_id"
+    )
+    cand = shortlist.join(
+        corpus.select(
+            F.col(id_col).alias("vec_id"),
+            to_double_array(vec_col).alias("_cv"),
+        ),
+        "vec_id",
+    )
+    qfull = queries.select(
+        F.col(id_col).alias("query_id"),
+        to_double_array(vec_col).alias("_qv"),
+    )
+    exact = cand.join(F.broadcast(qfull), "query_id").withColumn(
+        "cos_sim",
+        F.round(
+            _fold_dot(F.col("_qv"), F.col("_cv"))
+            / (
+                F.sqrt(_fold_dot(F.col("_qv"), F.col("_qv")))
+                * F.sqrt(_fold_dot(F.col("_cv"), F.col("_cv")))
+            ),
+            4,
+        ),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("vec_id")
+    )
+    return (
+        exact.withColumn("rnk", F.row_number().over(w2))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "cos_sim",
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
