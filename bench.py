@@ -133,6 +133,7 @@ HEADLINE = {
     "write_ordered_lineage": L.write_ordered_lineage,
     "partition_evolution_scan": L.partition_evolution_scan,
     "bpe_vocab_merges": L.bpe_vocab_merges,
+    "ann_pq_topk": L.ann_pq_topk,
 }
 
 # the 14 queries recorded since round 1 — their sum is the anchored
