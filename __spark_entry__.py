@@ -254,6 +254,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- NEW in round 5 (post-window): product-quantization ADC
         # search (operators/similarity.py PQ half of IVF-PQ) ---
         "ann_pq_topk": L.ann_pq_topk,
+        # --- NEW in round 5 (post-window): widening type promotion
+        # across mixed physical generations ---
+        "type_promotion_scan": L.type_promotion_scan,
     }
 
 
@@ -2033,6 +2036,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bpe_vocab_merges": _bpe_oracle(6),
         "ann_pq_topk": _ann_pq_oracle(),
+        "type_promotion_scan": """
+            SELECT o_orderstatus,
+                   count(*) AS n_orders,
+                   CAST(max(o_custkey) AS BIGINT) AS max_cust,
+                   CAST(min(o_custkey) AS BIGINT) AS min_cust
+            FROM orders
+            WHERE o_orderkey <= 8000
+            GROUP BY o_orderstatus
+            ORDER BY o_orderstatus
+        """,
         "scd2_temporal_enrich": """
             WITH ordered AS (
               SELECT user_id, event_type, ts, event_id,

@@ -254,6 +254,21 @@ def evolve_field_ids(
             raise KeyError(f"no column {name!r} in the field-id history")
         doc["schema"]["fields"] = kept
         # last-column-id is NOT lowered: the dropped ids stay retired
+    elif action == "promote":
+        # widening type promotion KEEPS the field id (Iceberg's type
+        # evolution contract): only the primitive type string changes
+        for f in fields:
+            if f["name"] == name:
+                nid = [doc["last-column-id"]]
+
+                def nxt() -> int:  # primitives consume no new ids
+                    nid[0] += 1
+                    return nid[0]
+
+                f["type"] = _type_to_iceberg(dtype, nxt)
+                break
+        else:
+            raise KeyError(f"no column {name!r} in the field-id history")
     else:
         raise ValueError(f"unknown field-id action {action!r}")
     return _json.dumps(doc)

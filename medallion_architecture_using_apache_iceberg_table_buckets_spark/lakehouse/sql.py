@@ -90,6 +90,9 @@ _ALTER_CREATE_REF = re.compile(
     r"(?:\s+AS\s+OF\s+VERSION\s+(\d+))?$",
     re.I,
 )
+_ALTER_PROMOTE = re.compile(
+    r"^ALTER\s+COLUMN\s+(\w+)\s+TYPE\s+(.+?)\s*$", re.I | re.S
+)
 _ALTER_ADD_PART = re.compile(
     r"^ADD\s+PARTITION\s+FIELD\s+(.+?)\s*$", re.I | re.S
 )
@@ -521,6 +524,11 @@ class SqlSession:
                     f"{ref!r} is a {refs[ref]['type']}, not a {kind}"
                 )
             t.drop_ref(ref)
+            return self._empty()
+        if a := _ALTER_PROMOTE.match(action):
+            t.promote_column(
+                a.group(1), T._parse_datatype_string(a.group(2))
+            )
             return self._empty()
         if a := _ALTER_ADD_PART.match(action):
             spec = " ".join(a.group(1).split())

@@ -1281,6 +1281,67 @@ class Table:
             new_properties={FIELD_IDS_PROP: ids},
         )
 
+    # Iceberg's safe widening promotions (spec "Schema Evolution"):
+    # int -> long, float -> double, decimal(P,S) -> decimal(P'>P, S)
+    def promote_column(self, name: str, new_type: T.DataType | str) -> Snapshot:
+        """Widen a column's type (metadata-only commit, Iceberg's type
+        promotion). Old files keep their narrow physical type; the
+        Parquet vectorized reader up-casts at scan time (Spark 4
+        widening reads — int32 under a LONG schema, float under
+        DOUBLE, decimal at larger precision), so no data rewrite and
+        no per-file cast bookkeeping. The field-id is KEPT."""
+        base = self._current_version()
+        cur = self._load(base)
+        schema = schema_from_json(cur.schema_json)
+        by_name = {f.name: f for f in schema.fields}
+        if name not in by_name:
+            raise KeyError(f"no column {name!r}")
+        nt = (
+            new_type
+            if isinstance(new_type, T.DataType)
+            else T._parse_datatype_string(new_type)
+        )
+        old = by_name[name].dataType
+        ok = (
+            (isinstance(old, T.IntegerType) and isinstance(nt, T.LongType))
+            or (
+                isinstance(old, T.FloatType)
+                and isinstance(nt, T.DoubleType)
+            )
+            or (
+                isinstance(old, T.DecimalType)
+                and isinstance(nt, T.DecimalType)
+                and nt.scale == old.scale
+                and nt.precision > old.precision
+            )
+        )
+        if old == nt:
+            return cur
+        if not ok:
+            raise ValueError(
+                f"unsafe promotion {old.simpleString()} -> "
+                f"{nt.simpleString()}: allowed are int->bigint, "
+                f"float->double, decimal(P,S)->decimal(P'>P,S)"
+            )
+        new_schema = T.StructType(
+            [
+                T.StructField(
+                    f.name, nt if f.name == name else f.dataType, f.nullable
+                )
+                for f in schema.fields
+            ]
+        )
+        from .iceberg_compat import FIELD_IDS_PROP, evolve_field_ids
+
+        ids = evolve_field_ids(
+            cur.properties.get(FIELD_IDS_PROP), schema, "promote",
+            name=name, dtype=nt,
+        )
+        return self._next_snapshot(
+            "evolve-schema", cur.files, [], [], new_schema, base,
+            new_properties={FIELD_IDS_PROP: ids},
+        )
+
     def rename_column(self, old: str, new: str) -> Snapshot:
         """Rename a column without rewriting data. The mapping
         new -> physical name is stored in table properties; reads

@@ -485,6 +485,53 @@ def position_delete_mor(spark, sf_dir):
     )
 
 
+def type_promotion_scan(spark, sf_dir):
+    """Widening type promotion (Iceberg schema evolution;
+    lakehouse/table.py promote_column): batch 1 lands with an INT
+    key column, ALTER COLUMN ... TYPE BIGINT widens the schema
+    metadata-only (the field-id is kept, no file rewritten), batch 2
+    lands wide — and one scan reads BOTH physical generations, the
+    narrow files up-cast by the Parquet vectorized reader's widening
+    path. The aggregate runs over the mixed-generation table."""
+    import tempfile
+
+    from ..lakehouse import Catalog
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").cast("int").alias("cust"),
+        "o_orderstatus",
+    )
+    cat = Catalog(tempfile.mkdtemp(prefix="mats_promote_"))
+    t = cat.create_table(
+        "demo", "ord", o.drop("o_orderkey").schema
+    )
+    t.append(o.filter(F.col("o_orderkey") <= 4000).drop("o_orderkey"))
+    sess = cat.sql_session(spark)
+    sess.sql("USE demo")
+    sess.sql("ALTER TABLE ord ALTER COLUMN cust TYPE BIGINT")
+    t.append(
+        o.filter(
+            (F.col("o_orderkey") > 4000) & (F.col("o_orderkey") <= 8000)
+        )
+        .drop("o_orderkey")
+        .withColumn("cust", F.col("cust").cast("bigint"))
+    )
+    from pyspark.sql import types as T_
+
+    assert isinstance(t.schema["cust"].dataType, T_.LongType)
+    return (
+        t.read(spark)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.max("cust").alias("max_cust"),
+            F.min("cust").alias("min_cust"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 def ann_pq_topk(spark, sf_dir):
     """Product-quantization ADC top-k (operators/similarity.py
     pq_train_encode / cosine_topk_pq; Jégou et al. 2011): per-subspace
