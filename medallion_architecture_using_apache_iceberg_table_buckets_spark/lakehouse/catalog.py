@@ -15,6 +15,7 @@ runs against lakehouse tables.
 
 from __future__ import annotations
 
+import os
 import shutil
 from pathlib import Path
 from typing import Iterable
@@ -84,6 +85,25 @@ class Catalog:
 
     def drop_table(self, namespace: str, name: str) -> None:
         shutil.rmtree(self.table_path(namespace, name), ignore_errors=True)
+
+    def rename_table(
+        self, namespace: str, name: str, new_namespace: str, new_name: str
+    ) -> Table:
+        """ALTER TABLE ... RENAME TO: one directory rename — every
+        snapshot, data file, ref, and index moves with it (all table
+        paths are RELATIVE to the table root by design). Refuses to
+        clobber an existing table."""
+        src = self.table_path(namespace, name)
+        if not Table(src).exists():
+            raise KeyError(f"no table {namespace}.{name}")
+        self.create_namespace(new_namespace)
+        dst = self.table_path(new_namespace, new_name)
+        if dst.exists():
+            raise ValueError(
+                f"table {new_namespace}.{new_name} already exists"
+            )
+        os.rename(src, dst)
+        return Table(dst)
 
     # -- SQL surface (D4, D7; README.md:220-229) -----------------------
     def attach_views(

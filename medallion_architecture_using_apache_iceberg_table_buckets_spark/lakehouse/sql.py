@@ -93,6 +93,10 @@ _ALTER_CREATE_REF = re.compile(
 _ALTER_PROMOTE = re.compile(
     r"^ALTER\s+COLUMN\s+(\w+)\s+TYPE\s+(.+?)\s*$", re.I | re.S
 )
+_ALTER_RENAME_TABLE = re.compile(
+    r"^RENAME\s+TO\s+([\w.]+)\s*$", re.I
+)
+_TRUNCATE = re.compile(r"^\s*TRUNCATE\s+TABLE\s+([\w.]+)\s*$", re.I)
 _ALTER_ADD_PART = re.compile(
     r"^ADD\s+PARTITION\s+FIELD\s+(.+?)\s*$", re.I | re.S
 )
@@ -387,6 +391,11 @@ class SqlSession:
                 self.spark, m.group(2).strip()
             )
             return self._empty()
+        if m := _TRUNCATE.match(s):
+            ns, name = self._table_of(m.group(1))
+            t = self.catalog.table(ns, name)
+            t.overwrite(self.spark.createDataFrame([], t.schema))
+            return self._empty()
         if m := _UPDATE.match(s):
             ns, name = self._table_of(m.group(1))
             assignments = {}
@@ -504,6 +513,15 @@ class SqlSession:
             return self._empty()
         if a := _ALTER_DROP.match(action):
             t.drop_column(a.group(1))
+            return self._empty()
+        if a := _ALTER_RENAME_TABLE.match(action):
+            tgt = a.group(1)
+            if "." in tgt:
+                new_ns, new_name = tgt.rsplit(".", 1)
+            else:
+                new_ns, new_name = ns, tgt
+            self.catalog.rename_table(ns, name, new_ns, new_name)
+            self._attach_current()  # refresh the view registrations
             return self._empty()
         if a := _ALTER_CREATE_REF.match(action):
             kind, ref = a.group(1).lower(), a.group(2)

@@ -538,3 +538,33 @@ def test_show_create_table_roundtrips(spark, tmp_path):
         "bucket(4, id)", "days(ts)"
     ]
     assert t2.properties["write.parquet.compression-codec"] == "zstd"
+
+
+def test_rename_table_and_truncate(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    cat = Catalog(tmp_path / "wh")
+    sess = cat.sql_session(spark)
+    sess.sql("CREATE NAMESPACE IF NOT EXISTS a")
+    sess.sql("USE a")
+    sess.sql("CREATE TABLE t1 (k BIGINT, v STRING)")
+    sess.sql("INSERT INTO t1 VALUES (1, 'x'), (2, 'y')")
+    sess.sql("ALTER TABLE t1 RENAME TO t2")
+    assert not cat.table_exists("a", "t1")
+    assert cat.table_exists("a", "t2")
+    # history + data moved wholesale
+    assert sess.sql("SELECT count(*) AS n FROM t2").collect()[0]["n"] == 2
+    # cross-namespace rename
+    sess.sql("ALTER TABLE t2 RENAME TO b.t3")
+    assert cat.table_exists("b", "t3")
+    t3 = cat.table("b", "t3")
+    assert t3.read(spark).count() == 2
+    with pytest.raises(ValueError):
+        cat.rename_table("b", "t3", "b", "t3")
+    # TRUNCATE keeps schema + history, empties data
+    sess.sql("USE b")
+    pre = t3.current_snapshot().snapshot_id
+    sess.sql("TRUNCATE TABLE t3")
+    assert t3.read(spark).count() == 0
+    assert [f.name for f in t3.schema.fields] == ["k", "v"]
+    assert t3.read(spark, snapshot_id=pre).count() == 2  # time travel
