@@ -257,6 +257,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- NEW in round 5 (post-window): widening type promotion
         # across mixed physical generations ---
         "type_promotion_scan": L.type_promotion_scan,
+        # --- NEW in round 5 (post-window): row-level CDC changelog
+        # between snapshots (Table.changelog) ---
+        "cdc_changelog_diff": L.cdc_changelog_diff,
     }
 
 
@@ -2036,6 +2039,36 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bpe_vocab_merges": _bpe_oracle(6),
         "ann_pq_topk": _ann_pq_oracle(),
+        "cdc_changelog_diff": """
+            WITH base AS (
+              SELECT o_orderkey AS k, o_totalprice AS p
+              FROM orders WHERE o_orderkey <= 6000
+            ), ins AS (
+              SELECT o_orderkey AS k, o_totalprice AS p
+              FROM orders
+              WHERE o_orderkey > 6000 AND o_orderkey <= 6500
+            ), changes AS (
+              -- net INSERT: inserted and not deleted afterwards
+              SELECT 'INSERT' AS ct, p FROM ins WHERE k % 97 <> 0
+              UNION ALL
+              -- net DELETE: payload as of the START snapshot (a row
+              -- updated then deleted still nets to its old row)
+              SELECT 'DELETE', p FROM base WHERE k % 97 = 0
+              UNION ALL
+              SELECT 'UPDATE_BEFORE', p FROM base
+              WHERE k % 100 = 0 AND k % 97 <> 0
+              UNION ALL
+              SELECT 'UPDATE_AFTER', p * 2 FROM base
+              WHERE k % 100 = 0 AND k % 97 <> 0
+            )
+            SELECT ct AS _change_type,
+                   count(*) AS n_rows,
+                   round(CAST(sum(CAST(p AS DECIMAL(18,4))) AS DOUBLE),
+                         2) AS sum_price
+            FROM changes
+            GROUP BY ct
+            ORDER BY ct
+        """,
         "type_promotion_scan": """
             SELECT o_orderstatus,
                    count(*) AS n_orders,

@@ -1713,6 +1713,116 @@ class Table:
             renames=self._snap_renames(end),
         )
 
+    CHANGE_TYPE_COL = "_change_type"
+
+    def changelog(
+        self,
+        spark: SparkSession,
+        start_snapshot_id: int,
+        end_snapshot_id: int | None = None,
+        keys: list[str] | None = None,
+    ) -> DataFrame:
+        """Row-level CDC between two snapshots (Iceberg's
+        create_changelog_view): every row tagged INSERT / DELETE /
+        UPDATE_BEFORE / UPDATE_AFTER in ``_change_type``.
+
+        Cost scales with the CHANGED data, not the table: candidates
+        come only from files added/removed in the range plus files
+        targeted by position deletes committed in it — rows in
+        carried-over untouched files cannot have changed. With
+        ``keys``, old/new candidate rows pair up per key: both sides
+        present and payload-equal cancels (a COW rewrite carries
+        unchanged rows into new files — not a change), differing
+        payload emits the UPDATE pair. Without keys it degrades to a
+        set-diff (INSERT/DELETE only). Pending MOR merge-deltas are
+        refused (compact first) — their key-wise resolve hides row
+        provenance, the same restriction Iceberg's changelog has.
+        """
+        start = self.snapshot_by_id(start_snapshot_id)
+        end = (
+            self.current_snapshot()
+            if end_snapshot_id is None
+            else self.snapshot_by_id(end_snapshot_id)
+        )
+        if self._delta_files(start) or self._delta_files(end):
+            raise ValueError(
+                "changelog with pending merge-deltas: run compact() first"
+            )
+        start_files, end_files = set(start.files), set(end.files)
+        added = sorted(end_files - start_files)
+        removed = sorted(start_files - end_files)
+        # files whose live row set shrank via position deletes
+        # committed in the range: the delete files are delta-sized,
+        # reading their target names is driver-side planning work
+        new_posdels = [
+            f for f in end.delete_files if f not in set(start.delete_files)
+        ]
+        touched_bases: set[str] = set()
+        if new_posdels:
+            import pyarrow.parquet as pq
+
+            for f in new_posdels:
+                col = pq.read_table(
+                    self.data_root / f, columns=["file_name"]
+                ).column("file_name")
+                touched_bases.update(col.to_pylist())
+        posdel_targets = sorted(
+            f
+            for f in (start_files & end_files)
+            if f.rsplit("/", 1)[-1] in touched_bases
+        )
+        schema = schema_from_json(end.schema_json)
+        old_rows = self._read_live(
+            spark, removed + posdel_targets, schema, snap=start
+        )
+        new_rows = self._read_live(
+            spark, added + posdel_targets, schema, snap=end
+        )
+        names = [f.name for f in schema.fields]
+        ct = self.CHANGE_TYPE_COL
+        if not keys:
+            ins = new_rows.exceptAll(old_rows).withColumn(ct, F.lit("INSERT"))
+            del_ = old_rows.exceptAll(new_rows).withColumn(ct, F.lit("DELETE"))
+            return ins.unionByName(del_)
+        non_keys = [c for c in names if c not in keys]
+        # presence probes: a side is present when its row exists in
+        # the outer join (probe a constant tag column, so null payload
+        # values can't be mistaken for absence)
+        o2 = old_rows.withColumn("_o", F.lit(1)).alias("o")
+        n2 = new_rows.withColumn("_n", F.lit(1)).alias("n")
+        joined = o2.join(n2, on=keys, how="full_outer")
+        same = F.lit(True)
+        for c in non_keys:
+            same = same & F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+        both = F.col("o._o").isNotNull() & F.col("n._n").isNotNull()
+        only_old = F.col("n._n").isNull()
+        only_new = F.col("o._o").isNull()
+        old_sel = [F.col(k) for k in keys] + [
+            F.col(f"o.{c}").alias(c) for c in non_keys
+        ]
+        new_sel = [F.col(k) for k in keys] + [
+            F.col(f"n.{c}").alias(c) for c in non_keys
+        ]
+        inserts = joined.filter(only_new).select(
+            *new_sel, F.lit("INSERT").alias(ct)
+        )
+        deletes = joined.filter(only_old).select(
+            *old_sel, F.lit("DELETE").alias(ct)
+        )
+        changed = joined.filter(both & ~same)
+        upd_before = changed.select(
+            *old_sel, F.lit("UPDATE_BEFORE").alias(ct)
+        )
+        upd_after = changed.select(
+            *new_sel, F.lit("UPDATE_AFTER").alias(ct)
+        )
+        return (
+            inserts.unionByName(deletes)
+            .unionByName(upd_before)
+            .unionByName(upd_after)
+            .select(*names, ct)
+        )
+
     # ------------------------------------------------------------------
     # metadata tables (reference scripts/bronze-silver.py:119 queries
     # `<table>.history`; Iceberg also exposes .snapshots / .files)

@@ -485,6 +485,50 @@ def position_delete_mor(spark, sf_dir):
     )
 
 
+def cdc_changelog_diff(spark, sf_dir):
+    """Row-level CDC changelog between snapshots (Table.changelog —
+    Iceberg's create_changelog_view): after a COW MERGE (updates +
+    inserts) and a row-level DELETE, the changelog tags every net
+    change INSERT / DELETE / UPDATE_BEFORE / UPDATE_AFTER, with
+    candidates drawn only from files the range touched (carried
+    rewrite rows cancel by payload equality). A row updated THEN
+    deleted nets to a DELETE carrying the START-snapshot payload."""
+    import tempfile
+
+    from ..lakehouse import Catalog, merge_into
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    base = o.filter(F.col("o_orderkey") <= 6000)
+    cat = Catalog(tempfile.mkdtemp(prefix="mats_cdc_"))
+    t = cat.create_table("demo", "ord", base.schema)
+    t.append(base)
+    s0 = t.current_snapshot().snapshot_id
+    upd = base.filter(F.col("o_orderkey") % 100 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    ins = o.filter(
+        (F.col("o_orderkey") > 6000) & (F.col("o_orderkey") <= 6500)
+    )
+    merge_into(spark, t, upd.unionByName(ins), on="o_orderkey")
+    t.delete_where(spark, "o_orderkey % 97 = 0")
+    cl = t.changelog(spark, s0, keys=["o_orderkey"])
+    return (
+        cl.groupBy("_change_type")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(
+                F.sum(
+                    F.col("o_totalprice").cast("decimal(18,4)")
+                ).cast("double"),
+                2,
+            ).alias("sum_price"),
+        )
+        .orderBy("_change_type")
+    )
+
+
 def type_promotion_scan(spark, sf_dir):
     """Widening type promotion (Iceberg schema evolution;
     lakehouse/table.py promote_column): batch 1 lands with an INT
