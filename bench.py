@@ -134,6 +134,8 @@ HEADLINE = {
     "partition_evolution_scan": L.partition_evolution_scan,
     "bpe_vocab_merges": L.bpe_vocab_merges,
     "ann_pq_topk": L.ann_pq_topk,
+    "type_promotion_scan": L.type_promotion_scan,
+    "cdc_changelog_diff": L.cdc_changelog_diff,
 }
 
 # the 14 queries recorded since round 1 — their sum is the anchored

@@ -64,6 +64,15 @@ QUERIES = {
     "pack_training_sequences": L.pack_training_sequences,
     "curation_end_to_end": L.curation_end_to_end,
     "multimodal_decode_image": L.multimodal_decode_image,
+    # round-5 extended block: the new heavy machinery
+    "scd2_user_status_history": L.scd2_user_status_history,
+    "scd2_temporal_enrich": L.scd2_temporal_enrich,
+    "bpe_vocab_merges": L.bpe_vocab_merges,
+    "ann_pq_topk": L.ann_pq_topk,
+    "bloom_point_lookup": L.bloom_point_lookup,
+    "incremental_gold_rollup": L.incremental_gold_rollup,
+    "cdc_changelog_diff": L.cdc_changelog_diff,
+    "dedup_semantic": L.dedup_semantic,
 }
 
 
