@@ -1047,20 +1047,45 @@ class Table:
             delete_files=cur.delete_files + added,
         )
 
+    UPDATE_MODE_PROP = "write.update.mode"  # Iceberg's property name
+
     def update_where(
-        self, spark: SparkSession, assignments: dict[str, str], condition: str
+        self,
+        spark: SparkSession,
+        assignments: dict[str, str],
+        condition: str,
+        mode: str | None = None,
     ) -> Snapshot:
-        """Row-level UPDATE ... SET col = expr WHERE cond, file-scoped
-        COW like delete_where. Assignment expressions may reference
-        any table column."""
+        """Row-level UPDATE ... SET col = expr WHERE cond.
+        Assignment expressions may reference any table column.
+
+        ``mode`` (or the table's ``write.update.mode`` property):
+
+        - ``copy-on-write`` (default): file-scoped rewrite like
+          delete_where — read-optimized.
+        - ``merge-on-read``: ONE commit position-deletes the old
+          versions of matching rows and appends their updated
+          versions as new data files — O(matches) write cost, the
+          Iceberg v2 MOR UPDATE representation (delete file +
+          data file in the same snapshot).
+        """
         schema = self.schema
         names = [f.name for f in schema.fields]
         for col in assignments:
             if col not in names:
                 raise KeyError(f"no column {col!r}")
+        mode = mode or self.properties.get(
+            self.UPDATE_MODE_PROP, "copy-on-write"
+        )
+        if mode not in ("copy-on-write", "merge-on-read"):
+            raise ValueError(f"unknown update mode {mode!r}")
         touched = self._touched_by(spark, condition)
         if not touched:
             return self.current_snapshot()
+        if mode == "merge-on-read":
+            return self._update_positions(
+                spark, touched, assignments, condition
+            )
         df = self._read_live(spark, touched, schema)
         cond = F.expr(condition)
         by_name = {f.name: f for f in schema.fields}
@@ -1075,6 +1100,74 @@ class Table:
             ]
         )
         return self.replace_files(touched, rewritten, operation="update")
+
+    def _update_positions(
+        self,
+        spark: SparkSession,
+        touched: list[str],
+        assignments: dict[str, str],
+        condition: str,
+    ) -> Snapshot:
+        """MOR UPDATE: position-delete the matching rows and append
+        their updated versions — both sides of the swap land in ONE
+        snapshot, so readers never observe the intermediate state."""
+        base = self._current_version()
+        cur = self._load(base)
+        schema = schema_from_json(cur.schema_json)
+        names = [f.name for f in schema.fields]
+        by_name = {f.name: f for f in schema.fields}
+        df = self._read_files(spark, touched, schema, attach_pos=True)
+        dels = self._position_deletes_df(spark, cur)
+        if dels is not None:
+            df = df.join(
+                dels,
+                (F.col(self.POS_FILE_COL) == dels["file_name"])
+                & (F.col(self.POS_POS_COL) == dels["pos"]),
+                "left_anti",
+            )
+        matched = df.filter(F.expr(condition)).persist()
+        positions = (
+            matched.select(
+                F.col(self.POS_FILE_COL).alias("file_name"),
+                F.col(self.POS_POS_COL).alias("pos"),
+            )
+            .repartitionByRange("file_name", "pos")
+            .sortWithinPartitions("file_name", "pos")
+        )
+        batch = uuid.uuid4().hex[:12]
+        staging = self.root / f"_staging-{batch}"
+        positions.write.mode("overwrite").parquet(str(staging))
+        del_added: list[str] = []
+        for rel in _list_parquet(staging):
+            dest_rel = f"posdel-{batch}-{Path(rel).name}"
+            os.replace(staging / rel, self.data_root / dest_rel)
+            del_added.append(dest_rel)
+        shutil.rmtree(staging, ignore_errors=True)
+        del_added = [
+            f for f in del_added if _file_rows(self.data_root / f) > 0
+        ]
+        if not del_added:
+            matched.unpersist()
+            return cur
+        updated = matched.select(
+            *[
+                F.expr(assignments[n]).cast(by_name[n].dataType).alias(n)
+                if n in assignments
+                else F.col(n)
+                for n in names
+            ]
+        )
+        data_added = self._write_files(updated, cur.partition_by)
+        matched.unpersist()
+        return self._next_snapshot(
+            "update",
+            cur.files + data_added,
+            data_added,
+            [],
+            schema,
+            base,
+            delete_files=cur.delete_files + del_added,
+        )
 
     # ------------------------------------------------------------------
     # merge-on-read deltas + compaction

@@ -308,3 +308,43 @@ def _data_entries(dest, snapshot_id):
 
 def _rel_of(entry):
     return entry["data_file"]["file_path"].removeprefix("data/")
+
+
+def test_mor_update_single_commit(spark, tmp_path):
+    """merge-on-read UPDATE: old rows position-deleted, updated rows
+    appended, both in ONE snapshot; data files untouched."""
+    cat = Catalog(tmp_path / "wh")
+    t = cat.create_table(
+        "d", "up", SCHEMA,
+        properties={"write.update.mode": "merge-on-read"},
+    )
+    t.append(make(spark, [(1, "a", "x1"), (2, "a", "x2"), (3, "b", "x3")]))
+    before_files = set(t.current_snapshot().files)
+    v_before = t.current_snapshot().version
+    snap = t.update_where(spark, {"v": "upper(v)"}, "part = 'a'")
+    assert snap.version == v_before + 1  # ONE commit
+    assert snap.operation == "update"
+    assert before_files <= set(snap.files)  # old files stay
+    assert snap.added_files and not snap.removed_files
+    assert snap.delete_files
+    got = {r["id"]: r["v"] for r in t.read(spark).collect()}
+    assert got == {1: "X1", 2: "X2", 3: "x3"}
+    assert snap.summary["total_records"] == 3
+    # chained MOR update over already-updated rows
+    t.update_where(spark, {"v": "concat(v, '!')"}, "id = 1")
+    assert t.read(spark).filter("id = 1").collect()[0]["v"] == "X1!"
+    # compact materializes everything
+    t.compact(spark)
+    assert t.current_snapshot().delete_files == []
+    assert {r["v"] for r in t.read(spark).collect()} == {"X1!", "X2", "x3"}
+
+
+def test_mor_update_no_match_noop(spark, tmp_path):
+    cat = Catalog(tmp_path / "wh")
+    t = cat.create_table(
+        "d", "up2", SCHEMA,
+        properties={"write.update.mode": "merge-on-read"},
+    )
+    t.append(make(spark, [(1, "a", "x1")]))
+    v = t.current_snapshot().version
+    assert t.update_where(spark, {"v": "'z'"}, "id = 9").version == v
