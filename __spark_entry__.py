@@ -260,6 +260,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- NEW in round 5 (post-window): row-level CDC changelog
         # between snapshots (Table.changelog) ---
         "cdc_changelog_diff": L.cdc_changelog_diff,
+        # --- NEW in round 5 (post-window): merge-on-read UPDATE
+        # (position-delete + append in one commit) ---
+        "mor_update_positions": L.mor_update_positions,
     }
 
 
@@ -2039,6 +2042,23 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bpe_vocab_merges": _bpe_oracle(6),
         "ann_pq_topk": _ann_pq_oracle(),
+        "mor_update_positions": """
+            SELECT l_returnflag,
+                   count(*) AS n_items,
+                   round(CAST(sum(CAST(CASE WHEN q1 > 140 THEN q1 * 2
+                                            ELSE q1 END
+                                       AS DECIMAL(18,4))) AS DOUBLE),
+                         2) AS sum_qty
+            FROM (
+              SELECT l_returnflag,
+                     CASE WHEN l_returnflag = 'R'
+                          THEN l_quantity + 100
+                          ELSE l_quantity END AS q1
+              FROM lineitem WHERE l_orderkey <= 2000
+            )
+            GROUP BY l_returnflag
+            ORDER BY l_returnflag
+        """,
         "cdc_changelog_diff": """
             WITH base AS (
               SELECT o_orderkey AS k, o_totalprice AS p

@@ -485,6 +485,59 @@ def position_delete_mor(spark, sf_dir):
     )
 
 
+def mor_update_positions(spark, sf_dir):
+    """Merge-on-read UPDATE (write.update.mode=merge-on-read): each
+    SQL UPDATE position-deletes the matching rows and appends their
+    new versions in ONE snapshot — no data file is ever rewritten
+    (asserted across two chained updates, the second reading through
+    the first's delete set). O(matches) write cost on a 100 TB
+    table; reads resolve the delete set until compaction."""
+    import tempfile
+
+    from ..lakehouse import Catalog
+
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+        .filter(F.col("l_orderkey") <= 2000)
+    )
+    cat = Catalog(tempfile.mkdtemp(prefix="mats_morupd_"))
+    t = cat.create_table(
+        "demo",
+        "li",
+        li.schema,
+        properties={"write.update.mode": "merge-on-read"},
+    )
+    t.append(li)
+    sess = cat.sql_session(spark)
+    sess.sql("USE demo")
+    sess.sql(
+        "UPDATE li SET l_quantity = l_quantity + 100 "
+        "WHERE l_returnflag = 'R'"
+    )
+    sess.sql(
+        "UPDATE li SET l_quantity = l_quantity * 2 "
+        "WHERE l_quantity > 140"
+    )
+    for s in t.snapshots():
+        assert not s.removed_files, "MOR update rewrote a data file"
+    assert t.current_snapshot().delete_files
+    return (
+        t.read(spark)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(
+                F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("sum_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 def cdc_changelog_diff(spark, sf_dir):
     """Row-level CDC changelog between snapshots (Table.changelog —
     Iceberg's create_changelog_view): after a COW MERGE (updates +
