@@ -263,6 +263,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- NEW in round 5 (post-window): merge-on-read UPDATE
         # (position-delete + append in one commit) ---
         "mor_update_positions": L.mor_update_positions,
+        # --- NEW in round 5 (post-window): delta-join IVM for a
+        # materialized join mart (pipeline/ivm.py) ---
+        "incremental_join_view": L.incremental_join_view,
     }
 
 
@@ -2042,6 +2045,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bpe_vocab_merges": _bpe_oracle(6),
         "ann_pq_topk": _ann_pq_oracle(),
+        "incremental_join_view": """
+            SELECT c_mktsegment,
+                   count(*) AS n_orders,
+                   round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+                              AS DOUBLE), 2) AS sum_price
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+            ORDER BY c_mktsegment
+        """,
         "mor_update_positions": """
             SELECT l_returnflag,
                    count(*) AS n_items,

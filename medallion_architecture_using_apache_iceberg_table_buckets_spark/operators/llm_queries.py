@@ -485,6 +485,64 @@ def position_delete_mor(spark, sf_dir):
     )
 
 
+def incremental_join_view(spark, sf_dir):
+    """Incremental view maintenance for a JOIN mart
+    (pipeline/ivm.py): orders x customer materializes once, then each
+    refresh folds only the delta-join terms (new orders against the
+    full dim, old orders against new customers) — O(delta) probe
+    work, never a re-join. Both sides move across the batches
+    (including the both-at-once case whose cross term must appear
+    exactly once) and the delta mode is asserted; the oracle is the
+    plain full join."""
+    import tempfile
+
+    from ..lakehouse import Catalog
+    from ..pipeline.ivm import refresh_join_view
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    ).withColumnRenamed("c_custkey", "o_custkey")
+    cat = Catalog(tempfile.mkdtemp(prefix="mats_ivm_"))
+    lt = cat.create_table("demo", "ord", o.schema)
+    rt = cat.create_table("demo", "cust", c.schema)
+    half_c = F.col("o_custkey") % 2 == 0
+    lt.append(o.filter(F.col("o_orderkey") % 3 == 0))
+    rt.append(c.filter(half_c))
+    st = refresh_join_view(
+        spark, cat, "demo", "ord", "cust", "v", ["o_custkey"]
+    )
+    assert st["mode"] == "full"
+    lt.append(o.filter(F.col("o_orderkey") % 3 == 1))
+    st = refresh_join_view(
+        spark, cat, "demo", "ord", "cust", "v", ["o_custkey"]
+    )
+    assert st["mode"] == "delta", st
+    lt.append(o.filter(F.col("o_orderkey") % 3 == 2))
+    rt.append(c.filter(~half_c))
+    st = refresh_join_view(
+        spark, cat, "demo", "ord", "cust", "v", ["o_custkey"]
+    )
+    assert st["mode"] == "delta", st
+    return (
+        cat.table("demo", "v")
+        .read(spark)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(
+                F.sum(
+                    F.col("o_totalprice").cast("decimal(18,4)")
+                ).cast("double"),
+                2,
+            ).alias("sum_price"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 def mor_update_positions(spark, sf_dir):
     """Merge-on-read UPDATE (write.update.mode=merge-on-read): each
     SQL UPDATE position-deletes the matching rows and appends their

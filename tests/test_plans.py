@@ -316,6 +316,10 @@ def test_brute_baselines_are_the_only_all_pairs_plans(spark, sf_dir):
         # mixture weights: 1-row corpus-total broadcast for the
         # shares (corpus_data_card pattern)
         "corpus_mixture_weights",
+        # PQ: the 1-row seeding-step scalar broadcast (the IVF
+        # pattern); every data-sized join is a keyed equi-join on
+        # (subspace, code) / vec_id
+        "ann_pq_topk",
     }
     # Queries whose construction performs writes/iterative jobs; their
     # plan hygiene is asserted by dedicated tests.
