@@ -70,12 +70,24 @@ def refresh_join_view(
             d_left = left.read_incremental(spark, last[0])
             d_right = right.read_incremental(spark, last[1])
             view = catalog.table(namespace, view_table)
-            # dO x C_new  ∪  O_old x dC  (disjoint by construction)
-            old_left = left.read(spark, snapshot_id=last[0])
-            delta = joined(d_left, right.read(spark)).unionByName(
-                joined(old_left, d_right)
-            )
-            view.append(delta)
+            # dO x C_new  ∪  O_old x dC  (disjoint by construction).
+            # Each term is SKIPPED when its delta side is empty — the
+            # common case (facts append constantly, dims rarely) then
+            # never re-reads the old fact table at all. When the dim
+            # DID move, the O_old x dC term scans old facts once;
+            # partition/stats/bloom pruning on the join key bounds
+            # that scan when the fact table is keyed-partitioned.
+            terms = []
+            if l_snap != last[0]:
+                terms.append(joined(d_left, right.read(spark)))
+            if r_snap != last[1]:
+                old_left = left.read(spark, snapshot_id=last[0])
+                terms.append(joined(old_left, d_right))
+            if terms:
+                delta = terms[0]
+                for t_ in terms[1:]:
+                    delta = delta.unionByName(t_)
+                view.append(delta)
             mode = "delta"
         except (ValueError, KeyError):
             # non-append commit crossed, or the anchor snapshot was
