@@ -77,8 +77,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # scd2_user_status_history, scd2_temporal_enrich,
     # corpus_mixture_weights, bloom_point_lookup,
     # incremental_gold_rollup, write_ordered_lineage,
-    # partition_evolution_scan, bpe_vocab_merges — then rotate the
-    # oldest of the r05-window block to fill the remaining slots.
+    # partition_evolution_scan, bpe_vocab_merges,
+    # scd2_temporal_enrich, ann_pq_topk, type_promotion_scan,
+    # cdc_changelog_diff, mor_update_positions,
+    # incremental_join_view — then rotate the oldest of the
+    # r05-window block to fill the remaining slots.
     return {
         # --- (1-2) added in r4 after that window froze: never had a
         # driver row ---
