@@ -869,7 +869,16 @@ def bloom_point_lookup(spark, sf_dir):
     t = cat.create_table("demo", "docs", d.schema)
     # round-robin into 8 files: every file spans the whole id range
     t.append(d.repartition(8))
-    t.build_bloom_index(spark, ["doc_id"])
+    # size the filter from the MANIFEST row count (metadata-only, no
+    # extra scan): ~4 bits per stored probe keeps the fill ~25% and
+    # the false-positive rate ~0.4% at ANY corpus scale — a fixed
+    # bit budget would saturate at 10x data and stop pruning
+    snap = t.current_snapshot()
+    per_file = max(
+        1, snap.summary.get("total_records", 1) // max(len(snap.files), 1)
+    )
+    bits = 1 << max(13, (per_file * 16).bit_length())
+    t.build_bloom_index(spark, ["doc_id"], num_bits=bits)
     files = t.current_snapshot().files
     probes = [7, 42, 123, 404, 499]
     for p in probes:
