@@ -113,3 +113,40 @@ def test_changelog_refuses_pending_deltas(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="compact"):
         t.changelog(spark, s0, keys=["k"])
+
+
+def test_changelog_applies_back_to_end_state(spark, tmp_path):
+    """Property: start-state + changelog = end-state. Applying the
+    emitted changes (drop DELETE/UPDATE_BEFORE payloads, add
+    INSERT/UPDATE_AFTER payloads) to the start snapshot reproduces
+    the end snapshot exactly — on a randomized series of appends,
+    merges, and deletes."""
+    import random
+
+    rng = random.Random(5)
+    cat = Catalog(tmp_path / "wh")
+    t = cat.create_table("d", "t7", SCHEMA)
+    t.append(make(
+        spark, [(k, rng.choice("abc"), float(k)) for k in range(30)]
+    ))
+    s0 = t.current_snapshot().snapshot_id
+    for _ in range(3):
+        batch = [
+            (rng.randrange(45), rng.choice("xyz"), rng.random())
+            for _ in range(8)
+        ]
+        merge_into(spark, t, make(spark, batch), on="k")
+        t.delete_where(spark, f"k % 7 = {rng.randrange(7)}")
+
+    cl = t.changelog(spark, s0, keys=["k"])
+    start = t.read(spark, snapshot_id=s0)
+    minus = cl.filter(
+        F.col("_change_type").isin("DELETE", "UPDATE_BEFORE")
+    ).drop("_change_type")
+    plus = cl.filter(
+        F.col("_change_type").isin("INSERT", "UPDATE_AFTER")
+    ).drop("_change_type")
+    reconstructed = start.exceptAll(minus).unionByName(plus)
+    end = t.read(spark)
+    assert reconstructed.exceptAll(end).count() == 0
+    assert end.exceptAll(reconstructed).count() == 0
