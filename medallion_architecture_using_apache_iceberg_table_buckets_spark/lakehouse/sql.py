@@ -679,6 +679,12 @@ class SqlSession:
             raise ValueError(f"CALL {proc}: missing table argument")
         ns, name = self._table_of(ident.strip("'\""))
         t = self.catalog.table(ns, name)
+        if proc == "rewrite_position_delete_files":
+            snap = t.rewrite_position_deletes(self.spark)
+            return self.spark.createDataFrame(
+                [(len(snap.delete_files),)],
+                "rewritten_delete_files_count int",
+            )
         if proc == "expire_snapshots":
             keep = int(_val("retain_last", 1, "1"))
             expired = t.expire_snapshots(keep_last=keep)

@@ -2089,6 +2089,44 @@ class Table:
             num_hashes or B.DEFAULT_HASHES,
         )
 
+    def rewrite_position_deletes(self, spark: SparkSession) -> Snapshot:
+        """Consolidate the live position-delete file set into one
+        sorted file (Iceberg's rewrite_position_delete_files
+        procedure): every MOR DELETE/UPDATE commit adds a small delete
+        file, and reads anti-join ALL of them — a maintenance pass
+        caps that fan-in without touching any data file. Entries are
+        carried verbatim (including ones referencing since-removed
+        files — inert but accounting-neutral), so the logical row
+        count is unchanged by construction."""
+        base = self._current_version()
+        cur = self._load(base)
+        if len(cur.delete_files) <= 1:
+            return cur
+        merged = (
+            self._position_deletes_df(spark, cur)
+            .repartitionByRange("file_name", "pos")
+            .sortWithinPartitions("file_name", "pos")
+        )
+        batch = uuid.uuid4().hex[:12]
+        staging = self.root / f"_staging-{batch}"
+        merged.write.mode("overwrite").parquet(str(staging))
+        added: list[str] = []
+        for rel in _list_parquet(staging):
+            dest_rel = f"posdel-{batch}-consolidated-{Path(rel).name}"
+            os.replace(staging / rel, self.data_root / dest_rel)
+            added.append(dest_rel)
+        shutil.rmtree(staging, ignore_errors=True)
+        added = [f for f in added if _file_rows(self.data_root / f) > 0]
+        return self._next_snapshot(
+            "rewrite-deletes",
+            cur.files,
+            [],
+            [],
+            schema_from_json(cur.schema_json),
+            base,
+            delete_files=added,
+        )
+
     def compact_binpack(
         self,
         spark: SparkSession,

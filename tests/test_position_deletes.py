@@ -348,3 +348,36 @@ def test_mor_update_no_match_noop(spark, tmp_path):
     t.append(make(spark, [(1, "a", "x1")]))
     v = t.current_snapshot().version
     assert t.update_where(spark, {"v": "'z'"}, "id = 9").version == v
+
+
+def test_rewrite_position_deletes_consolidates(spark, tmp_path):
+    t = mor_table(spark, tmp_path)
+    for cond in ("id = 1", "id = 4", "id = 5"):
+        t.delete_where(spark, cond)
+    pre = t.current_snapshot()
+    assert len(pre.delete_files) == 3
+    total_before = pre.summary["total_records"]
+    snap = t.rewrite_position_deletes(spark)
+    assert snap.operation == "rewrite-deletes"
+    assert len(snap.delete_files) == 1
+    assert snap.files == pre.files  # no data file touched
+    assert snap.summary["total_records"] == total_before
+    assert {r["id"] for r in t.read(spark).collect()} == {2, 3}
+    # entries stay sorted; idempotent on a single file
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(t.data_root / snap.delete_files[0])
+    rows = list(zip(tbl.column("file_name").to_pylist(),
+                    tbl.column("pos").to_pylist()))
+    assert rows == sorted(rows) and len(rows) == 3
+    assert t.rewrite_position_deletes(spark).version == snap.version
+    # SQL procedure surface
+    cat = Catalog(tmp_path / "wh")
+    sess = cat.sql_session(spark)
+    sess.sql("USE d")
+    t.delete_where(spark, "id = 2")
+    out = sess.sql(
+        "CALL system.rewrite_position_delete_files(table => 't')"
+    ).collect()
+    assert out[0]["rewritten_delete_files_count"] == 1
+    assert {r["id"] for r in t.read(spark).collect()} == {3}
