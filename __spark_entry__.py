@@ -269,6 +269,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- NEW in round 5 (post-window): delta-join IVM for a
         # materialized join mart (pipeline/ivm.py) ---
         "incremental_join_view": L.incremental_join_view,
+        # --- NEW in round 5 (post-window): ExactSubstr repeated-span
+        # coverage (Lee et al. 2021; text.repeated_span_coverage) ---
+        "text_repeated_spans": L.text_repeated_spans,
     }
 
 
@@ -2821,5 +2824,72 @@ def oracle_sql() -> dict[str, str]:
                    CAST(d.nf AS INTEGER) AS n_frames,
                    s.pixel_sum
             FROM dims d JOIN sums s USING (doc_id)
+        """,
+        # ExactSubstr repeated-span coverage: positional 5-grams,
+        # corpus-occurrence >= 2 duplicate set, gaps-and-islands merge
+        # (new island when pos > prev + k), island covers
+        # max(pos) - min(pos) + k tokens
+        "text_repeated_spans": f"""
+            WITH corpus AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 11 = 0
+                          THEN 'the quick brown fox jumps over the lazy dog'
+                               || ' again and again ' || text
+                          ELSE text END AS text
+              FROM documents
+            ),
+            nw AS (
+              SELECT doc_id, string_split({_NORM.format(t='text')}, ' ') AS w
+              FROM corpus
+            ),
+            nt AS (
+              SELECT doc_id,
+                     CASE WHEN len(w) = 1 AND w[1] = '' THEN 0
+                          ELSE len(w) END AS n_tokens,
+                     w
+              FROM nw
+            ),
+            g AS (
+              SELECT doc_id, u.i AS pos,
+                     array_to_string(w[u.i : u.i + 4], ' ') AS gram
+              FROM nt, unnest(range(1, len(w) - 5 + 2)) AS u(i)
+              WHERE n_tokens >= 5
+            ),
+            dup AS (
+              SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2
+            ),
+            m AS (
+              SELECT g.doc_id, g.pos,
+                     lag(g.pos) OVER (PARTITION BY g.doc_id ORDER BY g.pos)
+                       AS prev
+              FROM g JOIN dup USING (gram)
+            ),
+            isl AS (
+              SELECT doc_id, pos,
+                     sum(CASE WHEN prev IS NULL OR pos > prev + 5
+                              THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY pos) AS island
+              FROM m
+            ),
+            sp AS (
+              SELECT doc_id, island,
+                     max(pos) - min(pos) + 5 AS span_tokens
+              FROM isl GROUP BY 1, 2
+            ),
+            pd AS (
+              SELECT doc_id,
+                     count(*) AS n_dup_spans,
+                     sum(span_tokens) AS dup_tokens
+              FROM sp GROUP BY 1
+            )
+            SELECT t.doc_id,
+                   CAST(t.n_tokens AS BIGINT) AS n_tokens,
+                   CAST(coalesce(n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+                   CAST(coalesce(dup_tokens, 0) AS BIGINT) AS dup_tokens,
+                   round(CASE WHEN t.n_tokens > 0
+                              THEN CAST(coalesce(dup_tokens, 0) AS DOUBLE)
+                                   / t.n_tokens
+                              ELSE 0.0 END, 4) AS dup_coverage
+            FROM nt t LEFT JOIN pd USING (doc_id)
         """,
     }

@@ -136,6 +136,9 @@ HEADLINE = {
     "ann_pq_topk": L.ann_pq_topk,
     "type_promotion_scan": L.type_promotion_scan,
     "cdc_changelog_diff": L.cdc_changelog_diff,
+    "mor_update_positions": L.mor_update_positions,
+    "incremental_join_view": L.incremental_join_view,
+    "text_repeated_spans": L.text_repeated_spans,
 }
 
 # the 14 queries recorded since round 1 — their sum is the anchored

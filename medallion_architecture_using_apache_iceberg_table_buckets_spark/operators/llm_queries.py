@@ -1989,3 +1989,26 @@ def multimodal_decode_video(spark, sf_dir):
     from .multimodal import decode_videos, synth_videos
 
     return decode_videos(synth_videos(_docs(spark, sf_dir)))
+
+
+def text_repeated_spans(spark, sf_dir):
+    """ExactSubstr repeated-span coverage (text.repeated_span_coverage,
+    word 5-grams, corpus occurrence >= 2): a fixed 12-word sentence is
+    planted at the head of every 11th doc, so those docs must report a
+    duplicated span covering (at least) the planted sentence while
+    untouched docs score only their natural corpus-level repeats. The
+    gaps-and-islands merge, the cross-doc duplicate join, and the
+    coverage arithmetic are all exercised against the exact oracle."""
+    from .text import repeated_span_coverage
+
+    plant = (
+        "the quick brown fox jumps over the lazy dog again and again"
+    )
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat_ws(" ", F.lit(plant), F.col("text")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return repeated_span_coverage(docs, k=5)

@@ -541,3 +541,103 @@ def token_rarity(
             F.min("tok_freq").cast("long").alias("min_token_freq"),
         )
     )
+
+
+def repeated_span_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    min_count: int = 2,
+) -> DataFrame:
+    """ExactSubstr-style repeated-span detection (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better"): find
+    every word ``k``-gram that occurs at least ``min_count`` times
+    ANYWHERE in the corpus (other docs or elsewhere in the same doc),
+    merge each document's duplicated gram positions into maximal
+    overlapping spans, and report per-doc span count / covered-token
+    count / coverage fraction. The paper removes the covered bytes;
+    this operator emits the measurements that drive that cut (and
+    paragraph_dedup performs a coarser removal).
+
+    The suffix-array machinery of the paper is a single-node design;
+    the positional-k-gram formulation here computes the same covered
+    regions for duplicates of length >= k with only key-local
+    shuffles: explode positional grams (map-only), count per gram
+    (one shuffle, map-side combine), inner-join positions to the
+    duplicated-gram set (shuffle on gram; at web scale both sides are
+    corpus-sized, AQE picks the strategy), then a per-doc
+    gaps-and-islands window merge (one shuffle on doc_id). All
+    arithmetic is integer except the final division — oracle-exact.
+
+    Two duplicated positions i < j chain into one span when
+    j <= i + k (their k-token windows overlap or touch); an island
+    covering positions [s, e] spans e - s + k tokens.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql import Window
+
+    tokened = df.select(
+        F.col(id_col).alias("doc_id"), words(text_col).alias("_w")
+    )
+    w = F.col("_w")
+    # normalized text is trimmed + collapsed, so the only empty token
+    # is the lone "" a fully-empty doc splits into
+    n_tokens = F.when(
+        (F.size(w) == 1) & (F.element_at(w, 1) == ""), F.lit(0)
+    ).otherwise(F.size(w))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(w) - F.lit(k) + F.lit(1)),
+        lambda i: F.concat_ws(" ", F.slice(w, i, k)),
+    )
+    base = tokened.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.when(n_tokens >= k, grams).otherwise(
+            F.array().cast("array<string>")
+        ).alias("grams"),
+    )
+    posed = base.select(
+        "doc_id", F.posexplode("grams").alias("pos0", "gram")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "gram")
+    dup = (
+        posed.groupBy("gram")
+        .agg(F.count("*").alias("occ"))
+        .filter(F.col("occ") >= min_count)
+        .select("gram")
+    )
+    marked = posed.join(dup, "gram").select("doc_id", "pos")
+    bydoc = Window.partitionBy("doc_id").orderBy("pos")
+    prev = F.lag("pos").over(bydoc)
+    with_island = marked.withColumn(
+        "new_span",
+        F.when(prev.isNull() | (F.col("pos") > prev + k), 1).otherwise(0),
+    ).withColumn(
+        "island",
+        F.sum("new_span").over(
+            bydoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    spans = with_island.groupBy("doc_id", "island").agg(
+        (F.max("pos") - F.min("pos") + k).alias("span_tokens")
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count("*").alias("n_dup_spans"),
+        F.sum("span_tokens").alias("dup_tokens"),
+    )
+    ids = base.select("doc_id", "n_tokens")
+    return ids.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
+        F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+        F.round(
+            F.when(
+                F.col("n_tokens") > 0,
+                F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("double")
+                / F.col("n_tokens"),
+            ).otherwise(F.lit(0.0)),
+            4,
+        ).alias("dup_coverage"),
+    )

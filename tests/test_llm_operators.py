@@ -556,3 +556,36 @@ def test_semantic_dedup_keeps_edge_member(spark):
     assert got[d]["cent_sim"] >= got[k]["cent_sim"]
     # everything else survives
     assert got[2]["is_kept"] == 1 and got[3]["is_kept"] == 1
+
+
+def test_repeated_span_coverage_islands_and_intra_doc(spark):
+    """ExactSubstr span math, hand-computed (k=3): cross-doc shared
+    grams merge into one island when overlapping (d1/d2), an
+    intra-doc triple repeat covers the whole doc (d4), two far-apart
+    copies yield two separate islands (d6), clean and empty docs
+    report zero coverage (d3/d5)."""
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators.text import (
+        repeated_span_coverage,
+    )
+
+    rows = [
+        (1, "a b c d e f"),
+        (2, "z a b c d q"),
+        (3, "p q r s t u"),
+        (4, "m n o m n o m n o"),
+        (5, ""),
+        (6, "a b c x1 x2 x3 x4 x5 a b c"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"], r["n_dup_spans"], r["dup_tokens"], r["dup_coverage"]
+        )
+        for r in repeated_span_coverage(df, k=3).collect()
+    }
+    assert got[1] == (6, 1, 4, 0.6667)   # dup pos {1,2} -> one span of 4
+    assert got[2] == (6, 1, 4, 0.6667)   # dup pos {2,3}
+    assert got[3] == (6, 0, 0, 0.0)
+    assert got[4] == (9, 1, 9, 1.0)      # every gram repeats -> full doc
+    assert got[5] == (0, 0, 0, 0.0)
+    assert got[6] == (11, 2, 6, 0.5455)  # pos {1,9}: 9 > 1+3 -> two islands
