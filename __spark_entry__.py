@@ -272,6 +272,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- NEW in round 5 (post-window): ExactSubstr repeated-span
         # coverage (Lee et al. 2021; text.repeated_span_coverage) ---
         "text_repeated_spans": L.text_repeated_spans,
+        # --- NEW in round 5 (post-window): keyless interval join via
+        # bucket expansion (window_ops.range_join_points_to_intervals) ---
+        "range_join_event_windows": R.range_join_event_windows,
     }
 
 
@@ -2891,5 +2894,23 @@ def oracle_sql() -> dict[str, str]:
                                    / t.n_tokens
                               ELSE 0.0 END, 4) AS dup_coverage
             FROM nt t LEFT JOIN pd USING (doc_id)
+        """,
+        # keyless point-in-interval join: every 97th event anchors a
+        # ±30-minute window; closed-interval containment
+        "range_join_event_windows": """
+            WITH a AS (
+              SELECT event_id AS window_id,
+                     ts - INTERVAL 30 MINUTE AS w_start,
+                     ts + INTERVAL 30 MINUTE AS w_end
+              FROM events WHERE event_id % 97 = 0
+            )
+            SELECT a.window_id,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users,
+                   CAST(min(e.event_id) AS BIGINT) AS first_event,
+                   CAST(max(e.event_id) AS BIGINT) AS last_event
+            FROM a JOIN events e
+              ON e.ts >= a.w_start AND e.ts <= a.w_end
+            GROUP BY 1
         """,
     }

@@ -139,6 +139,7 @@ HEADLINE = {
     "mor_update_positions": L.mor_update_positions,
     "incremental_join_view": L.incremental_join_view,
     "text_repeated_spans": L.text_repeated_spans,
+    "range_join_event_windows": R.range_join_event_windows,
 }
 
 # the 14 queries recorded since round 1 — their sum is the anchored

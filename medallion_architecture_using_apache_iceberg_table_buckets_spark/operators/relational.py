@@ -1332,3 +1332,34 @@ def q20_promotable_suppliers(spark, sf_dir):
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .select("s_suppkey", "s_name", "s_acctbal")
     )
+
+
+def range_join_event_windows(spark, sf_dir):
+    """KEYLESS interval join (interval.range_join_points with no equi
+    keys — the path range_join_incidents' keyed query never touches):
+    every 97th event anchors a ±30-minute incident window; every event
+    landing inside a window (pure range containment, no shared key)
+    is counted into it. Written naively this is a cross product —
+    the bucket-expansion rewrite joins on the derived 30-minute epoch
+    bucket ALONE (intervals replicate into ~3 buckets each, points
+    into exactly one, so each pair appears once) and the plan is an
+    ordinary shuffle join; the plan test pins the absence of
+    BroadcastNestedLoopJoin/CartesianProduct."""
+    from .interval import range_join_points
+
+    e = load(spark, sf_dir, "events")
+    anchors = e.filter(F.col("event_id") % 97 == 0).select(
+        F.col("event_id").alias("window_id"),
+        (F.col("ts") - F.expr("INTERVAL 30 MINUTES")).alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("w_end"),
+    )
+    pts = e.select("event_id", "user_id", "ts")
+    j = range_join_points(
+        pts, anchors, "ts", "w_start", "w_end", keys=None, bucket_width_s=1800
+    )
+    return j.groupBy("window_id").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.min("event_id").alias("first_event"),
+        F.max("event_id").alias("last_event"),
+    )

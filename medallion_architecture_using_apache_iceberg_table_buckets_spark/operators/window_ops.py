@@ -111,3 +111,4 @@ def asof_join(
         *lcols, *[F.col(f"_f_{c}").alias(c) for c in right_payload]
     )
     return out
+

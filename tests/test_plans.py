@@ -385,3 +385,15 @@ def test_semantic_dedup_plan_is_cluster_scoped(spark, sf_dir):
     # the intra-cluster pair join shows up as a real equi-join
     assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
             or "BroadcastHashJoin" in plan)
+
+
+def test_keyless_range_join_is_equi_join(spark, sf_dir):
+    """Bucket expansion with NO equi keys (the bucket column is the
+    entire join key) must still plan as a hash/sort-merge join — the
+    raw keyless inequality join would be a pure cross product."""
+    plan = plan_of(R.range_join_event_windows(spark, sf_dir))
+    assert "NestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    )
