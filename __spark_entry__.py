@@ -273,8 +273,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # coverage (Lee et al. 2021; text.repeated_span_coverage) ---
         "text_repeated_spans": L.text_repeated_spans,
         # --- NEW in round 5 (post-window): keyless interval join via
-        # bucket expansion (window_ops.range_join_points_to_intervals) ---
+        # bucket expansion (interval.range_join_points, keys=None) ---
         "range_join_event_windows": R.range_join_event_windows,
+        # --- NEW in round 5 (post-window): declarative data-quality
+        # constraint report (operators/quality.py) ---
+        "table_quality_checks": R.table_quality_checks,
     }
 
 
@@ -2912,5 +2915,67 @@ def oracle_sql() -> dict[str, str]:
             FROM a JOIN events e
               ON e.ts >= a.w_start AND e.ts <= a.w_end
             GROUP BY 1
+        """,
+        # data-quality constraint report over planted corruptions:
+        # both CASE predicates key on the ORIGINAL l_orderkey (the
+        # Spark side computes them in one projection the same way)
+        "table_quality_checks": """
+            WITH li AS (
+              SELECT CASE WHEN l_orderkey % 997 = 0
+                          THEN l_orderkey + 1000000000
+                          ELSE l_orderkey END AS l_orderkey,
+                     CASE WHEN l_orderkey % 1009 = 0
+                          THEN -l_quantity ELSE l_quantity END AS l_quantity,
+                     l_discount
+              FROM lineitem
+            ),
+            o0 AS (
+              SELECT o_orderkey,
+                     CASE WHEN o_orderkey % 501 = 0 THEN NULL
+                          ELSE o_custkey END AS o_custkey,
+                     o_orderstatus
+              FROM orders
+            ),
+            ords AS (
+              SELECT * FROM o0
+              UNION ALL SELECT * FROM o0 WHERE o_orderkey < 100
+            ),
+            rep AS (
+              SELECT 'lineitem_quantity_range' AS check_name,
+                     'row' AS kind,
+                     CAST(coalesce(sum(CASE WHEN NOT (l_quantity BETWEEN 1 AND 50)
+                                            THEN 1 ELSE 0 END), 0) AS BIGINT)
+                       AS n_violations
+              FROM li
+              UNION ALL
+              SELECT 'lineitem_discount_range', 'row',
+                     CAST(coalesce(sum(CASE WHEN NOT (l_discount BETWEEN 0 AND 0.10)
+                                            THEN 1 ELSE 0 END), 0) AS BIGINT)
+              FROM li
+              UNION ALL
+              SELECT 'orders_custkey_not_null', 'row',
+                     CAST(coalesce(sum(CASE WHEN o_custkey IS NULL
+                                            THEN 1 ELSE 0 END), 0) AS BIGINT)
+              FROM ords
+              UNION ALL
+              SELECT 'orders_status_accepted', 'row',
+                     CAST(coalesce(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+                                            THEN 1 ELSE 0 END), 0) AS BIGINT)
+              FROM ords
+              UNION ALL
+              SELECT 'orders_pk_unique', 'unique',
+                     CAST(coalesce(sum(cnt), 0) AS BIGINT)
+              FROM (SELECT o_orderkey, count(*) AS cnt FROM ords
+                    GROUP BY 1 HAVING count(*) > 1)
+              UNION ALL
+              SELECT 'lineitem_orderkey_fk', 'foreign_key',
+                     CAST(count(*) AS BIGINT)
+              FROM li
+              WHERE l_orderkey IS NOT NULL
+                AND l_orderkey NOT IN (SELECT o_orderkey FROM ords)
+            )
+            SELECT check_name, kind, n_violations,
+                   n_violations = 0 AS ok
+            FROM rep
         """,
     }

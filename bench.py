@@ -140,6 +140,7 @@ HEADLINE = {
     "incremental_join_view": L.incremental_join_view,
     "text_repeated_spans": L.text_repeated_spans,
     "range_join_event_windows": R.range_join_event_windows,
+    "table_quality_checks": R.table_quality_checks,
 }
 
 # the 14 queries recorded since round 1 — their sum is the anchored

@@ -1363,3 +1363,67 @@ def range_join_event_windows(spark, sf_dir):
         F.min("event_id").alias("first_event"),
         F.max("event_id").alias("last_event"),
     )
+
+
+def table_quality_checks(spark, sf_dir):
+    """Declarative data-quality verification (operators/quality.py —
+    the Deequ/dbt-test surface): four row predicates fused into ONE
+    aggregation scan per table, a primary-key uniqueness check (one
+    key-local shuffle), and a lineitem→orders referential check (one
+    anti-join). Violations are planted deterministically (negated
+    quantities on l_orderkey%1009, orphaned keys on %997, duplicated
+    orders below key 100, nulled custkeys on %501) so every check
+    kind reports a non-zero, oracle-verified count."""
+    from .quality import (
+        constraint_report,
+        fk_violations,
+        row_violations,
+        unique_violations,
+    )
+
+    li = load(spark, sf_dir, "lineitem").withColumn(
+        "l_quantity",
+        F.when(
+            F.col("l_orderkey") % 1009 == 0, -F.col("l_quantity")
+        ).otherwise(F.col("l_quantity")),
+    ).withColumn(
+        "l_orderkey",
+        F.when(
+            F.col("l_orderkey") % 997 == 0,
+            F.col("l_orderkey") + F.lit(1000000000),
+        ).otherwise(F.col("l_orderkey")),
+    )
+    o = load(spark, sf_dir, "orders").withColumn(
+        "o_custkey",
+        F.when(
+            F.col("o_orderkey") % 501 == 0, F.lit(None).cast("long")
+        ).otherwise(F.col("o_custkey")),
+    )
+    ords = o.unionByName(o.filter(F.col("o_orderkey") < 100))
+
+    li_rows = row_violations(
+        li,
+        {
+            "lineitem_quantity_range": ~F.col("l_quantity").between(1, 50),
+            "lineitem_discount_range": ~F.col("l_discount").between(
+                0.0, 0.10
+            ),
+        },
+    )
+    o_rows = row_violations(
+        ords,
+        {
+            "orders_custkey_not_null": F.col("o_custkey").isNull(),
+            "orders_status_accepted": ~F.col("o_orderstatus").isin(
+                "O", "F", "P"
+            ),
+        },
+    )
+    uniq = unique_violations(ords, ["o_orderkey"], "orders_pk_unique")
+    fk = fk_violations(
+        li, ["l_orderkey"], ords.select("o_orderkey"), ["o_orderkey"],
+        "lineitem_orderkey_fk",
+    )
+    return constraint_report([li_rows, o_rows, uniq, fk]).withColumnRenamed(
+        "check", "check_name"
+    )

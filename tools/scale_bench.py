@@ -72,7 +72,17 @@ QUERIES = {
     "bloom_point_lookup": L.bloom_point_lookup,
     "incremental_gold_rollup": L.incremental_gold_rollup,
     "cdc_changelog_diff": L.cdc_changelog_diff,
-    "dedup_semantic": L.dedup_semantic,
+    # registry wrapper pins 16 IVF clusters for oracle determinism —
+    # the configuration that goes quadratic at 10x (measured 25x);
+    # the library default auto-sizes k so cluster occupancy stays
+    # ~constant. Bench both (same pinned-vs-auto contrast as the
+    # embedding-LSH rows).
+    "dedup_semantic_pinned16": L.dedup_semantic,
+    "dedup_semantic_auto": lambda spark, sf_dir: __import__(
+        "medallion_architecture_using_apache_iceberg_table_buckets_spark.operators.dedup",
+        fromlist=["dedup"],
+    ).semantic_dedup(R.load(spark, sf_dir, "embeddings"), eps=0.4, dim=64),
+    "range_join_event_windows": R.range_join_event_windows,
 }
 
 
@@ -193,8 +203,21 @@ def main() -> None:
         "dedup_embedding_lsh_pairs_auto", "dedup_components",
     }
 
-    times: dict[str, dict] = {}
+    # optional subset: argv[2:] names re-run and merge into argv[1]'s
+    # existing record (everything else is kept verbatim) — so adding
+    # a query doesn't force re-timing the whole list
+    only = set(sys.argv[2:])
+    prior: dict[str, dict] = {}
+    if only and len(sys.argv) > 1 and os.path.exists(sys.argv[1]):
+        with open(sys.argv[1]) as f:
+            prior = json.loads(f.read()).get("queries", {})
+
+    times: dict[str, dict] = {
+        k: v for k, v in prior.items() if k not in only and k in QUERIES
+    }
     for name, fn in QUERIES.items():
+        if only and name not in only:
+            continue
         rec = {}
         for label, sf_dir in (("sf0.1", SRC), ("sf1", DST)):
             runs = []
