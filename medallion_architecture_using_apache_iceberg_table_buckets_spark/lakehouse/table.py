@@ -1972,6 +1972,74 @@ class Table:
             "file_size_in_bytes long",
         )
 
+    def partitions_df(self, spark: SparkSession) -> DataFrame:
+        """``<table>.partitions`` metadata table (Iceberg parity):
+        one row per live partition tuple with file/record/byte totals,
+        split by content kind (data vs position-delete files).
+        Partition values are parsed back from the writer's own Hive
+        ``col=value`` segments, so after spec evolution every spec
+        generation's tuples appear side by side — exactly how
+        Iceberg's partitions table surfaces mixed specs. Native
+        position-delete files are table-global (data-root level), so
+        their rows are attributed to partitions via the TARGET file
+        paths they name (a driver-side read of the small delete
+        parquets' file_name column; Iceberg gets the same attribution
+        from its per-partition delete manifests); a delete file
+        touching k partitions counts toward each's file count.
+        Driver-side metadata planning (one output row per partition),
+        the same cost class as files_df."""
+        from .transforms import HIVE_DEFAULT_PARTITION, unescape_path_name
+
+        snap = self.current_snapshot()
+
+        def key_of(rel: str):
+            parts = []
+            for seg in rel.split("/")[:-1]:
+                if "=" in seg:
+                    c, v = seg.split("=", 1)
+                    v = unescape_path_name(v)
+                    parts.append(
+                        (c, None if v == HIVE_DEFAULT_PARTITION else v)
+                    )
+            return tuple(parts)
+
+        agg: dict[tuple, list[int]] = {}
+        for f in snap.files:
+            a = agg.setdefault(key_of(f), [0, 0, 0, 0, 0])
+            a[0] += 1
+            a[1] += _file_rows(self.data_root / f)
+            a[2] += (self.data_root / f).stat().st_size
+        # delete rows name targets by BASENAME (delete files are
+        # data-root-global); the manifest's file list recovers the
+        # partition-laid-out path
+        by_base = {Path(f).name: f for f in snap.files}
+        for f in snap.delete_files:
+            import pyarrow.parquet as pq
+
+            names = pq.read_table(
+                self.data_root / f, columns=["file_name"]
+            ).column("file_name").to_pylist()
+            touched: set[tuple] = set()
+            for target in names:
+                k = key_of(by_base.get(target, target))
+                touched.add(k)
+                agg.setdefault(k, [0, 0, 0, 0, 0])[4] += 1
+            for k in touched:
+                agg[k][3] += 1
+        rows = [
+            (dict(k), a[0], a[1], a[2], a[3], a[4])
+            # str-keyed sort: partition values may be None (null
+            # partition), which Python won't order against str
+            for k, a in sorted(agg.items(), key=lambda kv: str(kv[0]))
+        ]
+        return spark.createDataFrame(
+            rows,
+            "partition map<string,string>, data_file_count long, "
+            "record_count long, total_data_file_size_in_bytes long, "
+            "position_delete_file_count long, "
+            "position_delete_record_count long",
+        )
+
     def latest_snapshot_id(self) -> int:
         return self.current_snapshot().snapshot_id
 

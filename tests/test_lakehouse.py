@@ -162,3 +162,56 @@ def test_concurrent_commit_detected(spark, cat, tmp_path):
     stale = t._load(1)
     with pytest.raises(RuntimeError):
         t._next_snapshot("append", snap.files, [], [], t.schema, expected_version=1)
+
+
+def test_partitions_metadata_table(spark, cat):
+    """<table>.partitions (Iceberg parity): one row per live Hive
+    partition tuple with per-content-kind totals; unpartitioned
+    tables report a single empty-map row."""
+    t = cat.create_table("demo", "tparts", SCHEMA, partition_by=["state"])
+    t.append(
+        make_df(
+            spark,
+            [(1, "a", 1.0, "SC"), (2, "b", 2.0, "SC"), (3, "c", 3.0, "CT")],
+        )
+    )
+    t.append(make_df(spark, [(4, "d", 4.0, "CT")]))
+    rows = {
+        tuple(sorted(r["partition"].items())): r
+        for r in t.partitions_df(spark).collect()
+    }
+    sc = rows[(("state", "SC"),)]
+    ct = rows[(("state", "CT"),)]
+    assert sc["record_count"] == 2 and sc["data_file_count"] >= 1
+    assert ct["record_count"] == 2 and ct["data_file_count"] >= 2
+    assert sc["total_data_file_size_in_bytes"] > 0
+    assert sc["position_delete_file_count"] == 0
+
+    # unpartitioned: single empty-map partition row
+    u = cat.create_table("demo", "tflat", SCHEMA)
+    u.append(make_df(spark, [(1, "a", 1.0, "SC")]))
+    flat = u.partitions_df(spark).collect()
+    assert len(flat) == 1 and flat[0]["partition"] == {}
+    assert flat[0]["record_count"] == 1
+
+
+def test_partitions_metadata_counts_position_deletes(spark, cat):
+    t = cat.create_table(
+        "demo", "tpmor", SCHEMA, partition_by=["state"],
+        properties={"write.delete.mode": "merge-on-read"},
+    )
+    t.append(
+        make_df(
+            spark,
+            [(1, "a", 1.0, "SC"), (2, "b", 2.0, "SC"), (3, "c", 3.0, "CT")],
+        )
+    )
+    t.delete_where(spark, "id = 2")
+    rows = {
+        tuple(sorted(r["partition"].items())): r
+        for r in t.partitions_df(spark).collect()
+    }
+    sc = rows[(("state", "SC"),)]
+    assert sc["position_delete_file_count"] == 1
+    assert sc["position_delete_record_count"] == 1
+    assert rows[(("state", "CT"),)]["position_delete_file_count"] == 0

@@ -568,3 +568,14 @@ def test_rename_table_and_truncate(spark, tmp_path):
     assert t3.read(spark).count() == 0
     assert [f.name for f in t3.schema.fields] == ["k", "v"]
     assert t3.read(spark, snapshot_id=pre).count() == 2  # time travel
+
+
+def test_partitions_metadata_via_sql(spark, sess):
+    sess.sql("CREATE NAMESPACE IF NOT EXISTS pmeta")
+    sess.sql("USE pmeta")
+    t = sess.catalog.create_table("pmeta", "orders", SCHEMA)
+    t.append(spark.createDataFrame([(1, "A", 1), (2, "B", 2)], SCHEMA))
+    rows = sess.sql(
+        "SELECT record_count, data_file_count FROM orders.partitions"
+    ).collect()
+    assert len(rows) == 1 and rows[0]["record_count"] == 2
