@@ -278,6 +278,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- NEW in round 5 (post-window): declarative data-quality
         # constraint report (operators/quality.py) ---
         "table_quality_checks": R.table_quality_checks,
+        # --- NEW in round 5 (post-window): Count-Min frequency sketch
+        # (portable md5 buckets — the one exactly-oracle-checkable
+        # member of the sketch family) ---
+        "sketch_cms_frequencies": L.sketch_cms_frequencies,
     }
 
 
@@ -2977,5 +2981,51 @@ def oracle_sql() -> dict[str, str]:
             SELECT check_name, kind, n_violations,
                    n_violations = 0 AS ok
             FROM rep
+        """,
+        # Count-Min sketch: 4x1024 grid, md5("row:value") buckets —
+        # the cell table, global merge, and min-over-rows probe are
+        # all exactly recomputable
+        "sketch_cms_frequencies": """
+            WITH cells AS (
+              SELECT o_orderpriority, r.r AS cms_row,
+                     ('0x' || substr(md5(r.r::VARCHAR || ':'
+                                         || o_custkey::VARCHAR), 1, 15)
+                     )::BIGINT % 1024 AS cms_col,
+                     count(*) AS cms_count
+              FROM orders, unnest([0, 1, 2, 3]) AS r(r)
+              GROUP BY 1, 2, 3
+            ),
+            merged AS (
+              SELECT cms_row, cms_col, sum(cms_count) AS cms_count
+              FROM cells GROUP BY 1, 2
+            ),
+            probes AS (
+              SELECT DISTINCT o_custkey FROM orders
+              WHERE o_custkey % 149 = 0
+            ),
+            probe_rows AS (
+              SELECT p.o_custkey, r.r AS cms_row,
+                     ('0x' || substr(md5(r.r::VARCHAR || ':'
+                                         || p.o_custkey::VARCHAR), 1, 15)
+                     )::BIGINT % 1024 AS cms_col
+              FROM probes p, unnest([0, 1, 2, 3]) AS r(r)
+            ),
+            est AS (
+              SELECT pr.o_custkey,
+                     CAST(min(coalesce(m.cms_count, 0)) AS BIGINT)
+                       AS cms_estimate
+              FROM probe_rows pr
+              LEFT JOIN merged m USING (cms_row, cms_col)
+              GROUP BY 1
+            ),
+            exact AS (
+              SELECT o.o_custkey, CAST(count(*) AS BIGINT) AS exact_count
+              FROM orders o JOIN probes USING (o_custkey)
+              GROUP BY 1
+            )
+            SELECT e.o_custkey, e.exact_count, s.cms_estimate,
+                   CAST(s.cms_estimate >= e.exact_count AS INTEGER)
+                     AS no_undercount
+            FROM exact e JOIN est s USING (o_custkey)
         """,
     }

@@ -141,6 +141,7 @@ HEADLINE = {
     "text_repeated_spans": L.text_repeated_spans,
     "range_join_event_windows": R.range_join_event_windows,
     "table_quality_checks": R.table_quality_checks,
+    "sketch_cms_frequencies": L.sketch_cms_frequencies,
 }
 
 # the 14 queries recorded since round 1 — their sum is the anchored

@@ -2012,3 +2012,37 @@ def text_repeated_spans(spark, sf_dir):
         ).otherwise(F.col("text")).alias("text"),
     )
     return repeated_span_coverage(docs, k=5)
+
+
+def sketch_cms_frequencies(spark, sf_dir):
+    """Count-Min frequency sketch end-to-end (sketches.cms_rollup /
+    cms_merge / cms_point_estimates, depth 4 x width 1024): per-
+    priority cell tables over orders' customer keys merge into a
+    global sketch, which is probed for every 149th custkey. The md5
+    bucket hashing is engine-portable, so — uniquely in the sketch
+    family — the DuckDB oracle reproduces cells, merge, and every
+    estimate EXACTLY; the one-sided CMS guarantee (estimate never
+    below the true count) is emitted as a checked column."""
+    from .sketches import cms_merge, cms_point_estimates, cms_rollup
+
+    o = load(spark, sf_dir, "orders")
+    cells = cms_rollup(o, "o_custkey", ["o_orderpriority"], depth=4, width=1024)
+    merged = cms_merge(cells, [])
+    probes = (
+        o.filter(F.col("o_custkey") % 149 == 0)
+        .select("o_custkey").distinct()
+    )
+    est = cms_point_estimates(merged, probes, "o_custkey", depth=4, width=1024)
+    exact = (
+        o.join(probes, "o_custkey")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("exact_count"))
+    )
+    return exact.join(est, "o_custkey").select(
+        "o_custkey",
+        "exact_count",
+        "cms_estimate",
+        (F.col("cms_estimate") >= F.col("exact_count"))
+        .cast("int")
+        .alias("no_undercount"),
+    )

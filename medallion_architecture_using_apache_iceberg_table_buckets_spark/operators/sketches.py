@@ -191,3 +191,97 @@ def approx_quantiles(
             value_col, F.array(*[F.lit(p) for p in probs]), F.lit(accuracy)
         ).alias("quantiles")
     )
+
+
+# ----------------------------------------------------------------------
+# Count-Min sketch — relational formulation
+# ----------------------------------------------------------------------
+
+def _cms_hash(value: F.Column, row_col: F.Column, width: int) -> F.Column:
+    """Sketch-row bucket for ``value``: 60-bit md5 draw of
+    "row:value" mod width. Deterministic and engine-portable (the
+    sampling.hash_draw idiom), so a DuckDB oracle reproduces the
+    whole sketch bit-for-bit — unlike the Datasketches HLL/KLL/Theta
+    family above, CMS cells are plain counts and the estimate is
+    exactly recomputable."""
+    key = F.concat_ws(":", row_col.cast("string"), value.cast("string"))
+    return (
+        F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
+        % F.lit(width)
+    )
+
+
+def cms_rollup(
+    df: DataFrame,
+    value_col: str,
+    fine_keys: list[str],
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Materialize a Count-Min sketch per ``fine_keys`` group as a
+    CELL TABLE ``(fine_keys..., cms_row, cms_col, cms_count)`` — the
+    stored frequency rollup a pipeline writes per ingest batch.
+
+    Scale shape: one explode to ``depth`` rows (map-only) + one
+    key-local count shuffle; the result is at most
+    ``groups * depth * width`` rows however large the fact table.
+    Cells are additive, so sketches MERGE by unioning cell tables and
+    re-summing (``cms_merge``) — the same rollup-then-merge contract
+    as hll_rollup/hll_merge, with CMS's one-sided overcount error
+    (est >= true; est <= true + eps*N w.p. 1 - (1/2)^depth,
+    eps ~ e/width).
+    """
+    rows = F.explode(
+        F.array(*[F.lit(i) for i in range(depth)])
+    ).alias("cms_row")
+    v = F.col(value_col)
+    e = df.select(*fine_keys, v.alias("_v"), rows).withColumn(
+        "cms_col", _cms_hash(F.col("_v"), F.col("cms_row"), width)
+    )
+    return (
+        e.groupBy(*fine_keys, "cms_row", "cms_col")
+        .agg(F.count("*").alias("cms_count"))
+    )
+
+
+def cms_merge(
+    cells: DataFrame,
+    coarse_keys: list[str],
+) -> DataFrame:
+    """Merge stored sketches to a coarser key (empty list = global):
+    cells are additive counters, so merge is a re-sum — never touches
+    the fact table."""
+    keys = coarse_keys + ["cms_row", "cms_col"]
+    return cells.groupBy(*keys).agg(
+        F.sum("cms_count").alias("cms_count")
+    )
+
+
+def cms_point_estimates(
+    cells: DataFrame,
+    queries: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Estimate each query value's frequency from a (global) cell
+    table: hash the value per sketch row, join the matching cells,
+    take the MIN over rows (absent cells read 0). Returns
+    ``(value_col, cms_estimate)``. The probe is an equi-join on
+    (cms_row, cms_col) — broadcastable query set, no scan of the
+    original data."""
+    rows = F.explode(
+        F.array(*[F.lit(i) for i in range(depth)])
+    ).alias("cms_row")
+    probes = queries.select(F.col(value_col), rows).withColumn(
+        "cms_col", _cms_hash(F.col(value_col), F.col("cms_row"), width)
+    )
+    return (
+        probes.join(cells, ["cms_row", "cms_col"], "left")
+        .groupBy(value_col)
+        .agg(
+            F.min(F.coalesce(F.col("cms_count"), F.lit(0)))
+            .cast("long")
+            .alias("cms_estimate")
+        )
+    )
