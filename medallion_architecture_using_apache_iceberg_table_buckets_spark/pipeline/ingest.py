@@ -236,3 +236,53 @@ def ingest_raw_to_bronze(
     catalog.table(namespace, table_name).append(df)
     source.commit(next_state)
     return len(files)
+
+
+def read_jsonl_batch(
+    spark: SparkSession,
+    files: list[str],
+    schema: T.StructType | None = None,
+    mode: str = "PERMISSIVE",
+    corrupt_record_col: str | None = None,
+    multiline: bool = False,
+) -> DataFrame:
+    """Batch JSON-Lines scan — the de-facto interchange format of
+    LLM training corpora (one document object per line), the same
+    malformed-row contract as :func:`read_csv_batch`.
+
+    With a declared schema the inference pass is skipped (at 100 TB
+    an inference pass reads the corpus twice); ``corrupt_record_col``
+    captures unparseable lines verbatim for the quarantine flow
+    (split with :func:`split_quarantine`). ``multiline=False`` keeps
+    files SPLITTABLE — a 1 GB .jsonl becomes many input splits;
+    multiline JSON arrays force one task per file, so the flag exists
+    but defaults off.
+    """
+    reader = spark.read.option("mode", mode).option(
+        "multiLine", str(multiline).lower()
+    )
+    if corrupt_record_col and schema is not None:
+        schema = T.StructType(
+            schema.fields + [T.StructField(corrupt_record_col, T.StringType())]
+        )
+        reader = reader.option("columnNameOfCorruptRecord", corrupt_record_col)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(files)
+
+
+def split_quarantine(
+    df: DataFrame, corrupt_record_col: str = "_corrupt_record"
+) -> tuple[DataFrame, DataFrame]:
+    """(clean_rows, quarantined_rows): a row is quarantined iff the
+    corrupt column captured raw text. Clean rows drop the capture
+    column; quarantined rows keep the full row (typed columns are
+    null-filled noise by PERMISSIVE's contract, but Spark forbids a
+    raw-file query that references ONLY the internal corrupt column —
+    and the raw line plus its null-pattern is the more useful
+    quarantine record anyway). Map-only — one filter each over the
+    same scan."""
+    bad = F.col(corrupt_record_col).isNotNull()
+    clean = df.filter(~bad).drop(corrupt_record_col)
+    quarantine = df.filter(bad)
+    return clean, quarantine
