@@ -687,8 +687,25 @@ class SqlSession:
                 "rewritten_delete_files_count int",
             )
         if proc == "expire_snapshots":
-            keep = int(_val("retain_last", 1, "1"))
-            expired = t.expire_snapshots(keep_last=keep)
+            keep = int(_val("retain_last", 2, "1"))
+            # Iceberg's stock signature: older_than TIMESTAMP (or
+            # epoch millis here), retain_last floor
+            older_raw = _val("older_than", 1)
+            older_ms = None
+            if older_raw is not None:
+                older_raw = older_raw.strip().strip("'\"")
+                if older_raw.isdigit():
+                    older_ms = int(older_raw)
+                else:
+                    from datetime import datetime, timezone
+
+                    dt = datetime.fromisoformat(older_raw)
+                    if dt.tzinfo is None:
+                        dt = dt.replace(tzinfo=timezone.utc)
+                    older_ms = int(dt.timestamp() * 1000)
+            expired = t.expire_snapshots(
+                keep_last=keep, older_than_ms=older_ms
+            )
             return self.spark.createDataFrame(
                 [(i,) for i in expired], "expired_snapshot_id long"
             )

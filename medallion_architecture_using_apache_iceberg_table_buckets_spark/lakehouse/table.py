@@ -2279,11 +2279,20 @@ class Table:
             delete_files=new_delete_files,
         )
 
-    def expire_snapshots(self, keep_last: int = 1) -> list[int]:
+    def expire_snapshots(
+        self, keep_last: int = 1, older_than_ms: int | None = None
+    ) -> list[int]:
         """Drop manifest history older than the last `keep_last`
         snapshots (time travel to them stops working); data files
         still referenced by retained snapshots are kept. Returns the
-        expired snapshot ids."""
+        expired snapshot ids.
+
+        ``older_than_ms`` is Iceberg's ``expireSnapshots().
+        expireOlderThan(ts)`` half of the contract: when given, a
+        snapshot must ALSO be older than the timestamp to expire —
+        ``keep_last`` stays a floor (Iceberg's ``retainLast``), so
+        recent history survives even when the timestamp would take
+        everything."""
         if keep_last < 1:
             raise ValueError("must keep at least the current snapshot")
         cur = self._current_version()
@@ -2294,7 +2303,9 @@ class Table:
         pinned = {r["snapshot_id"] for r in self.refs().values()}
         to_expire = [
             s for s in self.snapshots()
-            if s.version < cutoff and s.snapshot_id not in pinned
+            if s.version < cutoff
+            and s.snapshot_id not in pinned
+            and (older_than_ms is None or s.timestamp_ms < older_than_ms)
         ]
         for s in to_expire:
             if s.operation == "merge-delta" and set(s.added_files) & current_files:

@@ -134,3 +134,51 @@ def test_rollback_refuses_missing_target_state(spark, tmp_path):
     (t.data_root / old.files[0]).unlink()
     with pytest.raises(ValueError, match="vacuumed"):
         t.rollback_to(old.snapshot_id)
+
+
+def test_expire_older_than_timestamp_gate(spark, tmp_path):
+    """older_than_ms is an ADDITIONAL gate: a snapshot must be both
+    outside keep_last and older than the timestamp; keep_last stays
+    a floor when the timestamp would take everything."""
+    import time
+
+    cat = Catalog(tmp_path / "wh")
+    t = cat.create_table("d", "texp", SCHEMA)
+    s1 = t.append(make(spark, [(1, "a")]))
+    s2 = t.append(make(spark, [(2, "b")]))
+    t.append(make(spark, [(3, "c")]))
+
+    # timestamp before every commit -> nothing is old enough
+    assert t.expire_snapshots(keep_last=1, older_than_ms=0) == []
+    assert t.read(spark, snapshot_id=s1.snapshot_id).count() == 1
+
+    # timestamp in the future -> gate is moot, keep_last governs
+    future = int(time.time() * 1000) + 60_000
+    expired = t.expire_snapshots(keep_last=1, older_than_ms=future)
+    assert s1.snapshot_id in expired and s2.snapshot_id in expired
+    assert t.read(spark).count() == 3
+
+
+def test_expire_older_than_via_sql_call(spark, tmp_path):
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.lakehouse.sql import (
+        SqlSession,
+    )
+
+    cat = Catalog(tmp_path / "wh")
+    sess = SqlSession(spark, cat)
+    cat.create_namespace("d")
+    t = cat.create_table("d", "tsql", SCHEMA)
+    t.append(make(spark, [(1, "a")]))
+    t.append(make(spark, [(2, "b")]))
+    sess.sql("USE d")
+    # older_than as epoch millis 0: stock positional order, nothing
+    # qualifies
+    rows = sess.sql(
+        "CALL system.expire_snapshots('d.tsql', 0, 1)"
+    ).collect()
+    assert rows == []
+    # ISO timestamp far in the future: everything outside keep_last
+    rows = sess.sql(
+        "CALL system.expire_snapshots('d.tsql', '2099-01-01T00:00:00', 1)"
+    ).collect()
+    assert len(rows) == 2  # create + first append

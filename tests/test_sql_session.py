@@ -452,7 +452,8 @@ def test_call_procedures(spark, sess):
         "CALL system.remove_orphan_files('ns.orders', 0)"
     ).collect()
     # the compaction's replaced files are orphans once expired
-    sess.sql("CALL system.expire_snapshots('ns.orders', 1)")
+    # stock positional signature: (table, older_than, retain_last)
+    sess.sql("CALL system.expire_snapshots('ns.orders', retain_last => 1)")
     removed2 = sess.sql(
         "CALL system.remove_orphan_files(table => 'ns.orders', older_than_seconds => 0)"
     ).collect()
