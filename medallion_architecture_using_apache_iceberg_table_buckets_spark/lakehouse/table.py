@@ -466,7 +466,7 @@ class Table:
         return t
 
     SORT_ORDER_PROP = "write.sort-order"  # "col [DESC][, ...]"
-    DIST_MODE_PROP = "write.distribution-mode"  # "none" | "range"
+    DIST_MODE_PROP = "write.distribution-mode"  # "none" | "hash" | "range"
 
     def _parse_sort_order(self) -> list[tuple[str, bool]]:
         """[(col, is_desc)] from the write.sort-order property."""
@@ -510,14 +510,21 @@ class Table:
                 df = df.withColumn(
                     t.partition_col, t.expr(df.schema[t.col].dataType)
                 )
+        dist = self.properties.get(self.DIST_MODE_PROP, "none")
+        if dist == "hash" and transforms:
+            # Iceberg's default distribution for partitioned writes:
+            # cluster rows by partition value so each table partition
+            # is written by few tasks. Without it every task holding
+            # any row of partition P opens a file in P — an append
+            # from T tasks across P partitions lands T*P small files,
+            # the classic 100 TB small-file explosion; with it, ~P.
+            df = df.repartition(*[t.partition_col for t in transforms])
         order = self._parse_sort_order()
         if order:
             cols = [
                 F.col(c).desc() if d else F.col(c).asc() for c, d in order
             ]
-            if (
-                self.properties.get(self.DIST_MODE_PROP, "none") == "range"
-            ):
+            if dist == "range":
                 df = df.repartitionByRange(*cols)
             df = df.sortWithinPartitions(*cols)
         writer = df.write.mode("overwrite")

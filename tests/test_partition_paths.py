@@ -240,3 +240,37 @@ def test_merge_prune_collect_is_capped(spark, tmp_path, monkeypatch):
     merge_into(spark, t, src, on=["k"])
     got = {r["k"]: r["v"] for r in t.read(spark).collect()}
     assert got == {f"k{i}": (i * 10 if i < 6 else i) for i in range(8)}
+
+
+def test_hash_distribution_mode_collapses_small_files(spark, tmp_path):
+    """write.distribution-mode=hash clusters rows by partition value
+    before the write, so an N-task append to a partitioned table
+    produces ~1 file per partition instead of tasks x partitions."""
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.lakehouse import (
+        Catalog,
+    )
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("state", T.StringType())]
+    )
+    rows = [(i, ["SC", "CT", "PW"][i % 3]) for i in range(300)]
+    # many input partitions: every task holds rows of every state
+    df = spark.createDataFrame(rows, schema).repartition(8)
+
+    cat = Catalog(tmp_path / "wh")
+    spread = cat.create_table("d", "spread", schema, partition_by=["state"])
+    spread.append(df)
+    n_spread = len(spread.current_snapshot().files)
+
+    packed = cat.create_table(
+        "d", "packed", schema, partition_by=["state"],
+        properties={"write.distribution-mode": "hash"},
+    )
+    packed.append(df)
+    n_packed = len(packed.current_snapshot().files)
+
+    assert n_spread > 3  # the explosion the mode exists to prevent
+    assert n_packed == 3  # one file per partition value
+    assert {r["state"] for r in packed.read(spark).collect()} == {"SC", "CT", "PW"}
+    assert packed.read(spark).count() == 300
