@@ -65,23 +65,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # text_quality_percentile_cut, window_rank_functions,
     # text_boilerplate_ngrams, agg_grouping_sets.
     #
-    # r06 window plan: those 4 deferred entries first, then the 28
-    # added after this round's window froze (all at the dict tail,
-    # never driver-checked): q2/q9/q11/q16/q20 TPC-H completion,
-    # text_pii_scrub, text_paragraph_dedup, text_token_rarity,
-    # dedup_containment_pairs, dedup_incremental_probe,
-    # corpus_data_card, streaming_static_enrich,
-    # multimodal_decode_audio, multimodal_decode_video,
-    # sketch_theta_set_ops, sketch_kll_rollup_quantiles,
-    # sql_branch_wap, dedup_semantic, position_delete_mor,
-    # scd2_user_status_history, scd2_temporal_enrich,
-    # corpus_mixture_weights, bloom_point_lookup,
-    # incremental_gold_rollup, write_ordered_lineage,
-    # partition_evolution_scan, bpe_vocab_merges,
-    # scd2_temporal_enrich, ann_pq_topk, type_promotion_scan,
-    # cdc_changelog_diff, mor_update_positions,
-    # incremental_join_view — then rotate the oldest of the
-    # r05-window block to fill the remaining slots.
+    # r06 window plan (counted against the live registry, 140 entries
+    # as of the last r5 session): the 4 deferred r03-vintage entries
+    # first, then the 36 entries added after this round's window froze
+    # (everything from q2_min_cost_supplier to sketch_cms_frequencies
+    # at the dict tail — all never driver-checked), leaving 10 slots
+    # for the oldest of the rotated-out r04-window block
+    # (q12_late_lines_by_status onward). 4 + 36 + 10 = 50 exactly;
+    # re-count with len(list(queries())[50:]) before freezing r06.
     return {
         # --- (1-2) added in r4 after that window froze: never had a
         # driver row ---
