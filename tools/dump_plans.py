@@ -169,6 +169,32 @@ def llm_queries_section():
             "explicit 1-row scalar broadcast for the total; the mixture "
             "arithmetic runs on a domains-sized frame.",
         ),
+        "text_repeated_spans": (
+            L.text_repeated_spans,
+            "ExactSubstr coverage: positional-gram explode (map-only), "
+            "one count shuffle on gram, candidate join back on gram "
+            "(AQE decides — both sides corpus-sized at web scale), one "
+            "doc_id window for the islands merge. No all-pairs stage.",
+        ),
+        "range_join_event_windows": (
+            R.range_join_event_windows,
+            "KEYLESS interval containment: the epoch bucket is the "
+            "entire join key — hash/sort-merge join, range as residual; "
+            "the naive spelling would be a cross product.",
+        ),
+        "table_quality_checks": (
+            R.table_quality_checks,
+            "All row predicates fuse into ONE Aggregate per table "
+            "(adding checks never adds scans); unique = one key-local "
+            "count shuffle; FK = one anti-join AQE can broadcast.",
+        ),
+        "sketch_cms_frequencies": (
+            L.sketch_cms_frequencies,
+            "CMS cells: depth-row explode (map-only) + one key-local "
+            "count shuffle bounded by groups*depth*width; probe joins "
+            "the tiny query set to merged cells — the fact table is "
+            "scanned once for the sketch, once for the exact check.",
+        ),
     }
 
 
