@@ -166,32 +166,65 @@ def ivf_assign(
     deterministic centroid-id tie-break) — the IVF coarse quantizer.
 
     Centroids (columns ``centroid_id``, ``cv``) are broadcast; the
-    corpus streams through one pass. At 100 TB this is a map-only
-    stage: the argmax over centroids is a ``max_by`` aggregation
-    keyed on the vector id, which partial-aggregates INSIDE the
-    broadcast-join stage — each task emits one row per input vector,
-    so nothing proportional to n*k is ever shuffled. (The first
-    version picked the argmax with a row_number window, which
-    shuffled the whole n*k exploded set, embedding payloads and all
-    — measured 148s -> 16s at 20k vectors x 313 centroids.)
+    corpus streams through one pass. The argmax over centroids is a
+    ``max_by`` aggregation keyed on the vector id over FIXED-SIZE
+    columns only — cosine, centroid id, norm — so Spark plans a
+    whole-stage-codegen HashAggregate whose partial phase runs inside
+    the broadcast-join stage: each task emits one scalar row per
+    input vector, and nothing proportional to n*k is ever shuffled
+    or sorted. The embedding array rejoins by id afterwards (one
+    O(n) keyed exchange — which downstream consumers pay anyway to
+    co-locate by centroid).
+
+    Two prior shapes measured at 20k vectors x 313 centroids:
+    a row_number window shuffled the whole n*k exploded set with
+    embedding payloads (148s); carrying ``first(embedding)`` through
+    the aggregate forced SortAggregate — a spill-heavy SORT of the
+    same n*k rows (87s). Scalars-only + rejoin: ~8s.
     """
     base = _norm_col(df, vec_col, "_vnrm", dim)
     cents = _norm_col(centroids, "cv", "_cnrm", dim)
-    scored = base.crossJoin(F.broadcast(cents)).withColumn(
-        "_sim", F.round(_cos_join(vec_col, "cv", "_vnrm", "_cnrm", dim), 6)
-    )
-    # argmax by (_sim desc, centroid_id asc) — the negated id makes
-    # the struct max reproduce the window's deterministic tie-break
-    pick = F.struct(F.col("_sim"), (-F.col("centroid_id")).alias("_nid"))
-    out_nrm = [F.first("_vnrm").alias("nrm")] if dim else []
-    return (
-        scored.groupBy(F.col(id_col).alias("vec_id"))
-        .agg(
-            F.max_by("centroid_id", pick).alias("centroid_id"),
-            F.first(vec_col).alias("embedding"),
-            *out_nrm,
+    # the cosine itself runs on the Arrow path when dim is known:
+    # nothing below a BroadcastNestedLoopJoin whole-stage-codegens in
+    # this plan shape, so the expression chain would be evaluated
+    # INTERPRETED on all n*k pairs (~7us/cosine — 43s at 6.3M pairs);
+    # cosine_from_norms_pandas is bit-identical (strict left-to-right
+    # accumulation) and vectorizes the same pairs in ~3s
+    if dim:
+        from ..functions.vector import cosine_from_norms_pandas
+
+        sim = cosine_from_norms_pandas(
+            vec_col, "cv", F.col("_vnrm"), F.col("_cnrm"), dim
         )
-        .select("vec_id", "embedding", "centroid_id", *(["nrm"] if dim else []))
+    else:
+        sim = _cos_join(vec_col, "cv", "_vnrm", "_cnrm", dim)
+    scored = base.crossJoin(F.broadcast(cents)).withColumn(
+        "_sim", F.round(sim, 6)
+    )
+    # argmax by (_sim desc, centroid_id asc), encoded into ONE long:
+    # _sim is already quantized to 1e-6 steps, so round(_sim*1e6) is
+    # exact; scaling by 2^17 leaves room for any centroid_id under
+    # the 65536 auto-sizing clamp, and subtracting the id makes the
+    # larger encoded value the (higher sim, lower id) winner. A
+    # struct ordering here would demote the aggregate to
+    # SortAggregate (struct buffers aren't mutable) — the whole
+    # reason this isn't max_by(centroid_id, struct(...)).
+    enc = (
+        F.round(F.col("_sim") * 1e6).cast("long") * F.lit(131072)
+        - F.col("centroid_id")
+    )
+    # nrm is constant per vec_id (computed pre-join); max() keeps the
+    # buffer fixed-size where first() would not change the value
+    out_nrm = [F.max("_vnrm").alias("nrm")] if dim else []
+    best = scored.groupBy(F.col(id_col).alias("vec_id")).agg(
+        F.max_by("centroid_id", enc).alias("centroid_id"),
+        *out_nrm,
+    )
+    vecs = df.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+    )
+    return vecs.join(best, "vec_id").select(
+        "vec_id", "embedding", "centroid_id", *(["nrm"] if dim else [])
     )
 
 
