@@ -989,7 +989,8 @@ def semantic_dedup(
     ``(vec_id, centroid_id, cent_sim, is_kept)``.
 
     Scale shape: candidate generation is the cluster itself — a
-    broadcast-centroid map-only assignment followed by one equi-join
+    broadcast-centroid assignment (codegen'd scalar argmax + one
+    keyed embedding rejoin — similarity.ivf_assign) then one equi-join
     on centroid_id, never an all-pairs plan. Intra-cluster pairing is
     quadratic in the CLUSTER size, which is the knob SemDeDup scales
     by: at 100 TB you raise n_centroids so n/k stays bounded (the

@@ -129,7 +129,8 @@ def llm_queries_section():
         # round-5 final block
         "dedup_semantic": (
             L.dedup_semantic,
-            "SemDeDup: broadcast-centroid map-only assignment, then the "
+            "SemDeDup: broadcast-centroid Arrow-cosine assignment (codegen "
+            "hash-agg argmax, embedding rejoined by id), then the "
             "intra-cluster pair join as a real EQUI-join on centroid_id — "
             "quadratic only within a cluster (the n_centroids knob), never "
             "an all-pairs plan on the corpus.",
