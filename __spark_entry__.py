@@ -51,93 +51,69 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness gate samples a bounded
-    # prefix of this registry (50 rows per round so far). Each round a
-    # fresh slice rotates into positions 1-50 so every entry earns a
-    # driver row on recent code; rotated-out entries stay covered by the
-    # full local mirror (tools/check_oracles.py) and pytest.
+    # prefix of this registry (~50 rows per round). Each round a fresh
+    # slice rotates into positions 1-50 so every entry earns a driver
+    # row on recent code; rotated-out entries stay covered by the full
+    # local mirror (tools/check_oracles.py) and pytest.
     #
-    # Round-5 window (positions 1-50, counted exactly this time —
-    # the r4 comment mis-counted and 3 entries fell off the end):
-    #   2 never-driver-checked r4 queries + 2 new r5 queries
-    #   + 3 r02-vintage deferrals + the 3 entries r4's miscount
-    #   dropped (ADVICE item) + 40 of the 44 r03-vintage entries.
-    # The 4 r03-vintage deferred to r06 lead the tail:
-    # text_quality_percentile_cut, window_rank_functions,
-    # text_boilerplate_ngrams, agg_grouping_sets.
+    # Round-6 window (positions 1-50, closing the r5 coverage debt):
+    #   1-36  = the 36 round-5 additions that have never had a driver
+    #           row (VERDICT r5 "What's wrong" #2 list, verbatim);
+    #   37-40 = the 4 r03-vintage entries deferred from the r05 window
+    #           (text_quality_percentile_cut, window_rank_functions,
+    #            text_boilerplate_ngrams, agg_grouping_sets);
+    #   41-50 = the 10 oldest rotated-out r04-window entries
+    #           (q12_late_lines_by_status .. dedup_ngram_jaccard_pairs).
+    # 36 + 4 + 10 = 50 exactly. After this round every one of the 140
+    # names has a green driver row => union coverage 140/140.
     #
-    # r06 window plan (counted against the live registry, 140 entries
-    # as of the last r5 session): the 4 deferred r03-vintage entries
-    # first, then the 36 entries added after this round's window froze
-    # (everything from q2_min_cost_supplier to sketch_cms_frequencies
-    # at the dict tail — all never driver-checked), leaving 10 slots
-    # for the oldest of the rotated-out r04-window block
-    # (q12_late_lines_by_status onward). 4 + 36 + 10 = 50 exactly;
-    # re-count with len(list(queries())[50:]) before freezing r06.
+    # Tail (51+): remaining r04-window block in age order, then the
+    # r05-window entries (all driver-green on round-5 code). Any NEW
+    # round-6 queries append at the very end and lead the r07 window.
     return {
-        # --- (1-2) added in r4 after that window froze: never had a
-        # driver row ---
-        "text_repetition_scores": L.text_repetition_scores,
-        "text_leakage_safe_split": L.text_leakage_safe_split,
-        # --- (3-4) NEW in round 5: real image decode (pure-Python
-        # PPM/BMP/PGM codec) and ANN recall@k quality evidence ---
-        "multimodal_decode_image": L.multimodal_decode_image,
-        "ann_recall_at_k": L.ann_recall_at_k,
-        # --- (5-7) r02-vintage deferrals ---
-        "s1_scan_filter_project": R.s1_scan_filter_project,
-        "a1_count_star": R.a1_count_star,
-        "f3_derive_partition_date": R.f3_derive_partition_date,
-        # --- (8-10) dropped by r4's window miscount ---
-        "asof_click_purchase": R.asof_click_purchase,
-        "sessionize_events": R.sessionize_events,
-        "skew_salted_agg": L.skew_salted_agg,
-        # --- (11-50) r03-vintage rotation ---
-        "string_distance_pairs": L.string_distance_pairs,
-        "text_langid": L.text_langid,
-        "text_quality": L.text_quality,
-        "text_token_counts": L.text_token_counts,
-        "text_fingerprint": L.text_fingerprint,
-        "multimodal_meta": L.multimodal_meta,
-        "multimodal_frames": L.multimodal_frames,
-        "multimodal_resize": L.multimodal_resize,
-        "multimodal_embed_dims": L.multimodal_embed_dims,
-        "sql_ctas_time_travel": L.sql_ctas_time_travel,
-        "incremental_scan_changelog": L.incremental_scan_changelog,
-        "mor_merge_compact": L.mor_merge_compact,
-        "schema_evolution_sql": L.schema_evolution_sql,
-        "maintenance_procedures": L.maintenance_procedures,
-        "streaming_windowed_counts": L.streaming_windowed_counts,
-        "streaming_sessionize": L.streaming_sessionize,
-        "streaming_dedup": L.streaming_dedup,
-        "streaming_interval_join": L.streaming_interval_join,
-        "range_join_incidents": L.range_join_incidents,
-        "text_top_ngrams": L.text_top_ngrams,
-        "dedup_components": L.dedup_components,
-        "text_quality_filter": L.text_quality_filter,
-        "sample_hash_events": L.sample_hash_events,
-        "sample_stratified_events": L.sample_stratified_events,
-        "sample_mixture_documents": L.sample_mixture_documents,
-        "text_chunk_windows": L.text_chunk_windows,
-        "text_chunk_texts": L.text_chunk_texts,
-        "text_tfidf_topk": L.text_tfidf_topk,
-        "zorder_cluster_events": L.zorder_cluster_events,
-        "q4_priority_late_exists": R.q4_priority_late_exists,
-        "q6_forecast_revenue": R.q6_forecast_revenue,
-        "q13_customer_order_distribution": R.q13_customer_order_distribution,
-        "q14_promo_revenue_share": R.q14_promo_revenue_share,
-        "q17_small_quantity_revenue": R.q17_small_quantity_revenue,
-        "q19_disjunctive_predicates": R.q19_disjunctive_predicates,
-        "q21_waiting_supplier": R.q21_waiting_supplier,
-        "q22_dormant_customers": R.q22_dormant_customers,
-        "q8_market_share": R.q8_market_share,
-        "q15_top_supplier": R.q15_top_supplier,
-        "text_decontaminate": L.text_decontaminate,
-        # ================= tail (51+): r06 window starts here =======
-        # --- r03-vintage deferred to r06 ---
+        # --- (1-36) never-driver-checked round-5 additions ---
+        "q2_min_cost_supplier": R.q2_min_cost_supplier,
+        "q9_product_type_profit": R.q9_product_type_profit,
+        "q11_important_part_value": R.q11_important_part_value,
+        "q16_parts_supplier_counts": R.q16_parts_supplier_counts,
+        "q20_promotable_suppliers": R.q20_promotable_suppliers,
+        "text_pii_scrub": L.text_pii_scrub,
+        "text_paragraph_dedup": L.text_paragraph_dedup,
+        "text_token_rarity": L.text_token_rarity,
+        "dedup_containment_pairs": L.dedup_containment_pairs,
+        "dedup_incremental_probe": L.dedup_incremental_probe,
+        "corpus_data_card": L.corpus_data_card,
+        "streaming_static_enrich": L.streaming_static_enrich,
+        "multimodal_decode_audio": L.multimodal_decode_audio,
+        "multimodal_decode_video": L.multimodal_decode_video,
+        "sketch_theta_set_ops": L.sketch_theta_set_ops,
+        "sketch_kll_rollup_quantiles": L.sketch_kll_rollup_quantiles,
+        "sql_branch_wap": L.sql_branch_wap,
+        "dedup_semantic": L.dedup_semantic,
+        "position_delete_mor": L.position_delete_mor,
+        "scd2_user_status_history": L.scd2_user_status_history,
+        "corpus_mixture_weights": L.corpus_mixture_weights,
+        "bloom_point_lookup": L.bloom_point_lookup,
+        "incremental_gold_rollup": L.incremental_gold_rollup,
+        "write_ordered_lineage": L.write_ordered_lineage,
+        "partition_evolution_scan": L.partition_evolution_scan,
+        "bpe_vocab_merges": L.bpe_vocab_merges,
+        "scd2_temporal_enrich": L.scd2_temporal_enrich,
+        "ann_pq_topk": L.ann_pq_topk,
+        "type_promotion_scan": L.type_promotion_scan,
+        "cdc_changelog_diff": L.cdc_changelog_diff,
+        "mor_update_positions": L.mor_update_positions,
+        "incremental_join_view": L.incremental_join_view,
+        "text_repeated_spans": L.text_repeated_spans,
+        "range_join_event_windows": R.range_join_event_windows,
+        "table_quality_checks": R.table_quality_checks,
+        "sketch_cms_frequencies": L.sketch_cms_frequencies,
+        # --- (37-40) r03-vintage deferrals from the r05 window ---
         "text_quality_percentile_cut": L.text_quality_percentile_cut,
         "window_rank_functions": R.window_rank_functions,
         "text_boilerplate_ngrams": L.text_boilerplate_ngrams,
         "agg_grouping_sets": R.agg_grouping_sets,
-        # --- r04-green (driver rows on round-4 code) ---
+        # --- (41-50) oldest rotated-out r04-window entries ---
         "q12_late_lines_by_status": R.q12_late_lines_by_status,
         "pack_training_sequences": L.pack_training_sequences,
         "curation_end_to_end": L.curation_end_to_end,
@@ -148,6 +124,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_groups": L.dedup_exact_groups,
         "dedup_normalized_groups": L.dedup_normalized_groups,
         "dedup_ngram_jaccard_pairs": L.dedup_ngram_jaccard_pairs,
+        # ============ tail (51+): r07 window starts here ============
+        # --- remaining r04-window block (driver-green r04) ---
         "dedup_minhash_lsh_pairs": L.dedup_minhash_lsh_pairs,
         "dedup_simhash_pairs": L.dedup_simhash_pairs,
         "dedup_keep_list": L.dedup_keep_list,
@@ -188,91 +166,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_union_segments": R.set_union_segments,
         "set_intersect_building_buyers": R.set_intersect_building_buyers,
         "set_except_nonbuyers": R.set_except_nonbuyers,
-        # --- NEW in round 5 (post-window): TPC-H completion — the 5
-        # remaining query shapes (partsupp derived from lineitem since
-        # the testdata has no partsupp table). Rotate into the r06
-        # window per the discipline above. ---
-        "q2_min_cost_supplier": R.q2_min_cost_supplier,
-        "q9_product_type_profit": R.q9_product_type_profit,
-        "q11_important_part_value": R.q11_important_part_value,
-        "q16_parts_supplier_counts": R.q16_parts_supplier_counts,
-        "q20_promotable_suppliers": R.q20_promotable_suppliers,
-        # --- NEW in round 5 (post-window): PII scrub + CCNet-style
-        # paragraph dedup with reassembly ---
-        "text_pii_scrub": L.text_pii_scrub,
-        "text_paragraph_dedup": L.text_paragraph_dedup,
-        "text_token_rarity": L.text_token_rarity,
-        "dedup_containment_pairs": L.dedup_containment_pairs,
-        "dedup_incremental_probe": L.dedup_incremental_probe,
-        "corpus_data_card": L.corpus_data_card,
-        "streaming_static_enrich": L.streaming_static_enrich,
-        "multimodal_decode_audio": L.multimodal_decode_audio,
-        "multimodal_decode_video": L.multimodal_decode_video,
-        # --- NEW in round 5 (post-window): Theta set algebra + KLL
-        # mergeable quantiles — the sketch pairs HLL/GK cannot be
-        # (intersection/difference; user-space quantile merge) ---
-        "sketch_theta_set_ops": L.sketch_theta_set_ops,
-        "sketch_kll_rollup_quantiles": L.sketch_kll_rollup_quantiles,
-        # --- NEW in round 5 (post-window): branch refs + WAP gate ---
-        "sql_branch_wap": L.sql_branch_wap,
-        # --- NEW in round 5 (post-window): SemDeDup cluster-scoped
-        # semantic dedup on the oracle-proven IVF quantizer ---
-        "dedup_semantic": L.dedup_semantic,
-        # --- NEW in round 5 (post-window): merge-on-read position
-        # deletes (Iceberg v2 content=1) through SQL DELETE ---
-        "position_delete_mor": L.position_delete_mor,
-        # --- NEW in round 5 (post-window): SCD type-2 history build
-        # from a changelog (operators/scd.py) ---
-        "scd2_user_status_history": L.scd2_user_status_history,
-        # --- NEW in round 5 (post-window): DoReMi-style domain
-        # mixture reweighting for training-corpus assembly ---
-        "corpus_mixture_weights": L.corpus_mixture_weights,
-        # --- NEW in round 5 (post-window): per-file bloom index
-        # point lookups (lakehouse/bloom_index.py) ---
-        "bloom_point_lookup": L.bloom_point_lookup,
-        # --- NEW in round 5 (post-window): additive changelog gold
-        # mart (pipeline/gold.py refresh_gold_changelog) ---
-        "incremental_gold_rollup": L.incremental_gold_rollup,
-        # --- NEW in round 5 (post-window): WRITE ORDERED BY sort
-        # order + _file/_pos row-lineage metadata columns ---
-        "write_ordered_lineage": L.write_ordered_lineage,
-        # --- NEW in round 5 (post-window): partition-spec evolution
-        # (ALTER TABLE ADD/DROP PARTITION FIELD, mixed-layout scan) ---
-        "partition_evolution_scan": L.partition_evolution_scan,
-        # --- NEW in round 5 (post-window): distributed BPE vocabulary
-        # induction (operators/bpe.py) ---
-        "bpe_vocab_merges": L.bpe_vocab_merges,
-        # --- NEW in round 5 (post-window): temporal as-of enrichment
-        # against the SCD2 history (interval join) ---
-        "scd2_temporal_enrich": L.scd2_temporal_enrich,
-        # --- NEW in round 5 (post-window): product-quantization ADC
-        # search (operators/similarity.py PQ half of IVF-PQ) ---
-        "ann_pq_topk": L.ann_pq_topk,
-        # --- NEW in round 5 (post-window): widening type promotion
-        # across mixed physical generations ---
-        "type_promotion_scan": L.type_promotion_scan,
-        # --- NEW in round 5 (post-window): row-level CDC changelog
-        # between snapshots (Table.changelog) ---
-        "cdc_changelog_diff": L.cdc_changelog_diff,
-        # --- NEW in round 5 (post-window): merge-on-read UPDATE
-        # (position-delete + append in one commit) ---
-        "mor_update_positions": L.mor_update_positions,
-        # --- NEW in round 5 (post-window): delta-join IVM for a
-        # materialized join mart (pipeline/ivm.py) ---
-        "incremental_join_view": L.incremental_join_view,
-        # --- NEW in round 5 (post-window): ExactSubstr repeated-span
-        # coverage (Lee et al. 2021; text.repeated_span_coverage) ---
-        "text_repeated_spans": L.text_repeated_spans,
-        # --- NEW in round 5 (post-window): keyless interval join via
-        # bucket expansion (interval.range_join_points, keys=None) ---
-        "range_join_event_windows": R.range_join_event_windows,
-        # --- NEW in round 5 (post-window): declarative data-quality
-        # constraint report (operators/quality.py) ---
-        "table_quality_checks": R.table_quality_checks,
-        # --- NEW in round 5 (post-window): Count-Min frequency sketch
-        # (portable md5 buckets — the one exactly-oracle-checkable
-        # member of the sketch family) ---
-        "sketch_cms_frequencies": L.sketch_cms_frequencies,
+        # --- r05-window entries (driver-green r05) ---
+        "text_repetition_scores": L.text_repetition_scores,
+        "text_leakage_safe_split": L.text_leakage_safe_split,
+        "multimodal_decode_image": L.multimodal_decode_image,
+        "ann_recall_at_k": L.ann_recall_at_k,
+        "s1_scan_filter_project": R.s1_scan_filter_project,
+        "a1_count_star": R.a1_count_star,
+        "f3_derive_partition_date": R.f3_derive_partition_date,
+        "asof_click_purchase": R.asof_click_purchase,
+        "sessionize_events": R.sessionize_events,
+        "skew_salted_agg": L.skew_salted_agg,
+        "string_distance_pairs": L.string_distance_pairs,
+        "text_langid": L.text_langid,
+        "text_quality": L.text_quality,
+        "text_token_counts": L.text_token_counts,
+        "text_fingerprint": L.text_fingerprint,
+        "multimodal_meta": L.multimodal_meta,
+        "multimodal_frames": L.multimodal_frames,
+        "multimodal_resize": L.multimodal_resize,
+        "multimodal_embed_dims": L.multimodal_embed_dims,
+        "sql_ctas_time_travel": L.sql_ctas_time_travel,
+        "incremental_scan_changelog": L.incremental_scan_changelog,
+        "mor_merge_compact": L.mor_merge_compact,
+        "schema_evolution_sql": L.schema_evolution_sql,
+        "maintenance_procedures": L.maintenance_procedures,
+        "streaming_windowed_counts": L.streaming_windowed_counts,
+        "streaming_sessionize": L.streaming_sessionize,
+        "streaming_dedup": L.streaming_dedup,
+        "streaming_interval_join": L.streaming_interval_join,
+        "range_join_incidents": L.range_join_incidents,
+        "text_top_ngrams": L.text_top_ngrams,
+        "dedup_components": L.dedup_components,
+        "text_quality_filter": L.text_quality_filter,
+        "sample_hash_events": L.sample_hash_events,
+        "sample_stratified_events": L.sample_stratified_events,
+        "sample_mixture_documents": L.sample_mixture_documents,
+        "text_chunk_windows": L.text_chunk_windows,
+        "text_chunk_texts": L.text_chunk_texts,
+        "text_tfidf_topk": L.text_tfidf_topk,
+        "zorder_cluster_events": L.zorder_cluster_events,
+        "q4_priority_late_exists": R.q4_priority_late_exists,
+        "q6_forecast_revenue": R.q6_forecast_revenue,
+        "q13_customer_order_distribution": R.q13_customer_order_distribution,
+        "q14_promo_revenue_share": R.q14_promo_revenue_share,
+        "q17_small_quantity_revenue": R.q17_small_quantity_revenue,
+        "q19_disjunctive_predicates": R.q19_disjunctive_predicates,
+        "q21_waiting_supplier": R.q21_waiting_supplier,
+        "q22_dormant_customers": R.q22_dormant_customers,
+        "q8_market_share": R.q8_market_share,
+        "q15_top_supplier": R.q15_top_supplier,
+        "text_decontaminate": L.text_decontaminate,
     }
 
 

@@ -6,6 +6,13 @@ row count, column names, and an order-insensitive value comparison.
 
 Usage: python tools/check_oracles.py [sf_dir] [query ...]
 Default sf_dir: /root/testdata/sf0.001 (fast); the driver uses sf0.01.
+
+Truncation-proofing: every per-query result line is appended directly
+to the log file named by ``$MIRROR_LOG`` (default ``MIRROR.log`` in
+the repo root) with an fsync per line, so a clipped stdout capture can
+never damage the evidence. The summary line states both the match
+count and the number of names listed in the file itself, making the
+artifact self-consistent ("140/140 match: 140 names listed").
 """
 
 from __future__ import annotations
@@ -54,6 +61,20 @@ def canon(rows, cols):
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
+    log_path = os.environ.get(
+        "MIRROR_LOG",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "MIRROR.log"),
+    )
+    log_fh = open(log_path, "w")
+
+    def emit(line):
+        """Print AND append to the log file, fsynced per line, so a
+        head-truncated stdout capture can't damage the artifact."""
+        print(line)
+        log_fh.write(line + "\n")
+        log_fh.flush()
+        os.fsync(log_fh.fileno())
     spark = mats.get_spark(app_name="check-oracles", shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:
@@ -72,18 +93,18 @@ def main():
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
-            print(f"FAIL  {name}: spark error: {e}")
+            emit(f"FAIL  {name}: spark error: {e}")
             failures.append(name)
             continue
         if name not in oracles:
-            print(f"weak  {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
+            emit(f"weak  {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
             continue
         try:
             res = con.execute(oracles[name])
             ocols = [d[0] for d in res.description]
             orows = res.fetchall()
         except Exception as e:
-            print(f"FAIL  {name}: oracle error: {e}")
+            emit(f"FAIL  {name}: oracle error: {e}")
             failures.append(name)
             continue
         problems = []
@@ -99,15 +120,26 @@ def main():
                 ][:3]
                 problems.append(f"values differ; first diffs: {diffs}")
         if problems:
-            print(f"FAIL  {name}: " + "; ".join(problems))
+            emit(f"FAIL  {name}: " + "; ".join(problems))
             failures.append(name)
         else:
-            print(f"match {name} ({len(srows)} rows, {time.time()-t0:.1f}s)")
-    print()
+            emit(f"match {name} ({len(srows)} rows, {time.time()-t0:.1f}s)")
+    emit("")
+    total = len([n for n in qs if not only or n in only])
+    log_fh.flush()
+    with open(log_path) as fh:
+        listed = sum(
+            1 for ln in fh
+            if ln.startswith(("match ", "FAIL  ", "weak  "))
+        )
     if failures:
-        print(f"{len(failures)} FAILURES: {failures}")
+        emit(f"{len(failures)} FAILURES: {failures}")
+        emit(f"{total - len(failures)}/{total} match: {listed} names listed")
+        log_fh.close()
         sys.exit(1)
-    print(f"all {len([n for n in qs if not only or n in only])} queries match")
+    emit(f"all {total} queries match")
+    emit(f"{total}/{total} match: {listed} names listed")
+    log_fh.close()
 
 
 if __name__ == "__main__":
