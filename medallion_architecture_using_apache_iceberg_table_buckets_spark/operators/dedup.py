@@ -958,17 +958,19 @@ def minhash_lsh_probe(
 
 
 def _auto_centroids(df: DataFrame, target_cluster: int = 64,
-                    lo: int = 16, hi: int = 65536) -> int:
+                    lo: int = 16, hi: int = 65536,
+                    n_rows: int | None = None) -> int:
     """Size the IVF cluster count so the expected CLUSTER SIZE stays
     ~constant as the corpus grows. Intra-cluster pairing is quadratic
     in cluster size, so a FIXED k goes quadratic overall: the round-5
     10x step-up bench measured 25x runtime for pinned k=16. With
     k = n / target the per-cluster work is bounded and total cost is
     ~n * target / 2 — linear. Same planning-side count (parquet
-    footer metadata / one count job) as ``_auto_planes``."""
+    footer metadata / one count job) as ``_auto_planes``; callers
+    that already counted pass ``n_rows`` to avoid a second job."""
     import math
 
-    n = df.count()
+    n = df.count() if n_rows is None else n_rows
     return max(lo, min(hi, math.ceil(n / target_cluster)))
 
 
@@ -1006,13 +1008,21 @@ def semantic_dedup(
     """
     from .similarity import _cos_join, _norm_col, ivf_assign, ivf_centroids
 
+    # one planning-side count sizes both the auto cluster count and
+    # ivf_assign's small-input gate (skips the rejoin exchange when
+    # the n*k scored set is tiny)
+    n_rows = df.count()
     if n_centroids is None:
-        n_centroids = _auto_centroids(df)
+        n_centroids = _auto_centroids(df, n_rows=n_rows)
+    nk_hint = n_rows * n_centroids
 
     cents = ivf_centroids(
-        df, n_centroids, vec_col=vec_col, id_col=id_col, dim=dim
+        df, n_centroids, vec_col=vec_col, id_col=id_col, dim=dim,
+        nk_hint=nk_hint,
     )
-    assigned = ivf_assign(df, cents, vec_col=vec_col, id_col=id_col, dim=dim)
+    assigned = ivf_assign(
+        df, cents, vec_col=vec_col, id_col=id_col, dim=dim, nk_hint=nk_hint
+    )
     cn = _norm_col(cents, "cv", "_cnrm", dim)
     scored = (
         assigned.join(F.broadcast(cn), "centroid_id")

@@ -155,12 +155,23 @@ def hyperplane_buckets(
     )
 
 
+#: below this many scored (vector, centroid) pairs the single-stage
+#: window argmax beats the scalars-only aggregate: the rejoin-by-id
+#: exchange it saves costs more than the small n*k shuffle it avoids.
+#: 500k pairs with 64-dim embeddings is ~260 MB spread over the
+#: shuffle — well inside per-task memory at any realistic partition
+#: count; above it the embedding-carrying shuffle grows toward the
+#: measured 148 s blow-up (6.3M pairs) and the aggregate path wins.
+IVF_ASSIGN_SMALL_NK = 500_000
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     dim: int | None = None,
+    nk_hint: int | None = None,
 ) -> DataFrame:
     """Assign each vector to its nearest centroid (max cosine,
     deterministic centroid-id tie-break) — the IVF coarse quantizer.
@@ -181,6 +192,15 @@ def ivf_assign(
     embedding payloads (148s); carrying ``first(embedding)`` through
     the aggregate forced SortAggregate — a spill-heavy SORT of the
     same n*k rows (87s). Scalars-only + rejoin: ~8s.
+
+    ``nk_hint`` (callers pass n_vectors * n_centroids when they know
+    it from planning — a parquet footer count times the requested
+    list count) gates a SMALL-INPUT fast path: when the scored set is
+    under ``IVF_ASSIGN_SMALL_NK`` pairs, the rejoin exchange is pure
+    overhead, so the argmax runs as one row_number window over the
+    scored rows carrying the embedding directly. Both paths order by
+    (rounded cosine desc, centroid_id asc), so the chosen centroid is
+    bit-identical either way; only the physical plan differs.
     """
     base = _norm_col(df, vec_col, "_vnrm", dim)
     cents = _norm_col(centroids, "cv", "_cnrm", dim)
@@ -201,6 +221,20 @@ def ivf_assign(
     scored = base.crossJoin(F.broadcast(cents)).withColumn(
         "_sim", F.round(sim, 6)
     )
+    if nk_hint is not None and nk_hint <= IVF_ASSIGN_SMALL_NK:
+        w = Window.partitionBy(id_col).orderBy(
+            F.desc("_sim"), F.asc("centroid_id")
+        )
+        return (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(
+                F.col(id_col).alias("vec_id"),
+                F.col(vec_col).alias("embedding"),
+                "centroid_id",
+                *([F.col("_vnrm").alias("nrm")] if dim else []),
+            )
+        )
     # argmax by (_sim desc, centroid_id asc), encoded into ONE long:
     # _sim is already quantized to 1e-6 steps, so round(_sim*1e6) is
     # exact; scaling by 2^17 leaves room for any centroid_id under
@@ -235,10 +269,12 @@ def ivf_centroids(
     id_col: str = "vec_id",
     dim: int = 64,
     refine_iterations: int = 1,
+    nk_hint: int | None = None,
 ) -> DataFrame:
     """Deterministic IVF centroids: seed with evenly-spaced corpus
     vectors (ids divisible by n/n_centroids), then
-    `refine_iterations` Lloyd steps.
+    `refine_iterations` Lloyd steps. ``nk_hint`` forwards to
+    :func:`ivf_assign`'s small-input gate.
 
     Seeding never ranks the whole corpus: the id-mod filter reduces to
     ~n_centroids candidate rows BEFORE the (tiny) global window — a
@@ -279,7 +315,7 @@ def ivf_centroids(
     )
     cents = seeds
     for _ in range(refine_iterations):
-        assigned = ivf_assign(df, cents, vec_col, id_col, dim)
+        assigned = ivf_assign(df, cents, vec_col, id_col, dim, nk_hint=nk_hint)
         cells = assigned.select(
             "centroid_id", F.posexplode(to_double_array("embedding")).alias("d", "x")
         )
@@ -313,10 +349,22 @@ def cosine_topk_ivf(
     """IVF approximate top-k: search only the `nprobe` inverted lists
     nearest to each query. Complements the hyperplane-LSH variant;
     recall is measured against brute force in tests.
+
+    One planning-side ``corpus.count()`` (parquet footer metadata for
+    scan-backed corpora; a column-pruned count job otherwise — the
+    same planning-cost class as ``_auto_planes``) sizes the n*k
+    scored set, letting :func:`ivf_assign` skip its rejoin-by-id
+    exchange when the set is small. The count runs BEFORE
+    ``fan_out`` so a pure parquet scan answers from metadata.
     """
+    nk_hint = corpus.count() * n_centroids
     corpus = fan_out(corpus)
-    cents = ivf_centroids(corpus, n_centroids, vec_col, id_col).persist()
-    lists = ivf_assign(corpus, cents, vec_col, id_col, dim).persist()
+    cents = ivf_centroids(
+        corpus, n_centroids, vec_col, id_col, nk_hint=nk_hint
+    ).persist()
+    lists = ivf_assign(
+        corpus, cents, vec_col, id_col, dim, nk_hint=nk_hint
+    ).persist()
 
     q = _norm_col(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")),
