@@ -166,6 +166,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_union_segments": R.set_union_segments,
         "set_intersect_building_buyers": R.set_intersect_building_buyers,
         "set_except_nonbuyers": R.set_except_nonbuyers,
+        # --- NEW in round 6: real PNG decode (stdlib zlib inflate +
+        # full five-filter unfilter pass); leads the r07 window ---
+        "multimodal_decode_png": L.multimodal_decode_png,
         # --- r05-window entries (driver-green r05) ---
         "text_repetition_scores": L.text_repetition_scores,
         "text_leakage_safe_split": L.text_leakage_safe_split,
@@ -2420,6 +2423,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(d.h AS INTEGER) AS height,
                    CAST(CASE WHEN d.doc_id % 3 = 2 THEN 1 ELSE 3 END
                         AS INTEGER) AS channels,
+                   s.pixel_sum
+            FROM dims d JOIN sums s USING (doc_id)
+        """,
+        "multimodal_decode_png": """
+            WITH dims AS (
+              SELECT doc_id,
+                     doc_id % 8 + 2 AS w,
+                     doc_id % 6 + 2 AS h,
+                     CASE doc_id % 3 WHEN 0 THEN 1
+                                     WHEN 1 THEN 3
+                                     ELSE 4 END AS ch
+              FROM documents
+            ),
+            px AS (
+              SELECT doc_id, unnest(range(ch * w * h)) AS i FROM dims
+            ),
+            sums AS (
+              SELECT doc_id,
+                     CAST(sum((11 * i + 3 * doc_id) % 256) AS BIGINT)
+                       AS pixel_sum
+              FROM px GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   'png' AS img_format,
+                   CAST(d.w AS INTEGER) AS width,
+                   CAST(d.h AS INTEGER) AS height,
+                   CAST(d.ch AS INTEGER) AS channels,
                    s.pixel_sum
             FROM dims d JOIN sums s USING (doc_id)
         """,

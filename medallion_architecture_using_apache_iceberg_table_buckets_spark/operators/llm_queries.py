@@ -1552,6 +1552,20 @@ def multimodal_decode_image(spark, sf_dir):
     return decode_images(synth_images(_docs(spark, sf_dir)))
 
 
+def multimodal_decode_png(spark, sf_dir):
+    """REAL compressed-container decoding: spec-conforming PNG bytes
+    (stdlib zlib deflate, per-row filter rotating through all five
+    spec filter types) are synthesized per doc, then decoded BACK by
+    the stdlib-only PNG codec (chunk CRC walk + inflate + five-branch
+    unfilter, multimodal.decode_png) on the Arrow mapInPandas shape.
+    The oracle recomputes the generator's geometry and logical
+    pixel-sample checksum in SQL; a decoder that misreconstructs any
+    filter branch or channel layout hash-mismatches."""
+    from .multimodal import decode_images, synth_pngs
+
+    return decode_images(synth_pngs(_docs(spark, sf_dir)))
+
+
 def multimodal_embed_dims(spark, sf_dir):
     """Feature-extraction plumbing: batch-inference-shaped UDF
     producing a fixed-dim vector; surfaced as scalar columns so the

@@ -13,15 +13,17 @@ Design for image/audio/video at 100 TB:
   bytes-per-partition, not rows (``target_partitions`` helper).
 
 Compressed-codec libraries (PIL/ffmpeg/librosa) are NOT in this
-container, so JPEG/PNG/audio/video decoding stays a documented seam —
-but ``decode_image`` is REAL for the uncompressed formats a
-pure-Python parser can own: PPM (P6), PGM (P5), and 24-bit BI_RGB
-BMP. ``decode_images`` runs it over the standard Arrow-batched
+container, so entropy-coded formats (JPEG, MP3, H.264) stay a
+documented seam — but ``decode_image`` is REAL for everything a
+pure-Python parser can own: PPM (P6), PGM (P5), 24-bit BI_RGB BMP,
+and since round 6 non-interlaced 8-bit PNG (gray/RGB/RGBA) via
+stdlib zlib inflate plus the full five-branch scanline unfilter.
+``decode_images`` runs it over the standard Arrow-batched
 ``mapInPandas`` path and is oracle-checked end-to-end on
-deterministic synthetic bytes (``synth_images``); swapping the
-parser body for PIL calls would change no plan or schema.
-``fake_decode_meta`` remains the plumbing stub for formats the
-container cannot decode.
+deterministic synthetic bytes (``synth_images`` / ``synth_pngs``);
+swapping the parser body for PIL calls would change no plan or
+schema. ``fake_decode_meta`` remains the plumbing stub for formats
+the container cannot decode.
 """
 
 from __future__ import annotations
@@ -52,8 +54,11 @@ def attach_media(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
 
 
 # ---------------------------------------------------------------------------
-# Real image codec: uncompressed formats a pure-Python parser can own.
-# Compressed formats (JPEG/PNG) remain the library-gated seam.
+# Real image codecs. Uncompressed formats (PPM/PGM/BMP) a pure-Python
+# parser can own outright; PNG is a REAL compressed container decoded
+# with stdlib zlib (inflate) + a full spec unfilter pass — no image
+# library needed. JPEG (DCT entropy coding) remains the library-gated
+# seam.
 # ---------------------------------------------------------------------------
 
 def encode_ppm(width: int, height: int, pixels: bytes) -> bytes:
@@ -96,6 +101,159 @@ def encode_bmp(width: int, height: int, pixels: bytes) -> bytes:
     )
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+#: PNG color type -> sample count (bit depth 8 only): 0=grayscale,
+#: 2=truecolor RGB, 6=truecolor+alpha. Palette (3) and 16-bit stay
+#: out of scope — the corpus formats are the ML-pipeline common case.
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(body)) + ctype + body
+        + struct.pack(">I", zlib.crc32(ctype + body))
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG spec Paeth predictor (left, up, upper-left)."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def encode_png(
+    width: int,
+    height: int,
+    pixels: bytes,
+    channels: int = 3,
+    filter_for_row=None,
+) -> bytes:
+    """Spec-conforming non-interlaced 8-bit PNG (gray/RGB/RGBA).
+
+    ``filter_for_row(r) -> 0..4`` picks the scanline filter (default:
+    rotate ``r % 5`` so every filter type — None/Sub/Up/Average/Paeth
+    — appears in any image taller than 4 rows). Rotating filters is
+    deliberately adversarial: a decoder whose unfilter pass is wrong
+    in ANY branch produces wrong reconstructed samples and fails the
+    oracle's pixel checksum, where all-zero filters would mask it.
+    """
+    import struct
+    import zlib
+
+    color_type = {1: 0, 3: 2, 4: 6}[channels]
+    if len(pixels) != channels * width * height:
+        raise ValueError("PNG needs channels*w*h pixel bytes")
+    pick = filter_for_row if filter_for_row is not None else (lambda r: r % 5)
+    bpp, stride = channels, channels * width
+    raw = bytearray()
+    prior = bytes(stride)
+    for r in range(height):
+        row = pixels[stride * r : stride * (r + 1)]
+        ftype = pick(r) % 5
+        raw.append(ftype)
+        for x in range(stride):
+            left = row[x - bpp] if x >= bpp else 0
+            up = prior[x]
+            ul = prior[x - bpp] if x >= bpp else 0
+            pred = (
+                0 if ftype == 0
+                else left if ftype == 1
+                else up if ftype == 2
+                else (left + up) // 2 if ftype == 3
+                else _paeth(left, up, ul)
+            )
+            raw.append((row[x] - pred) & 0xFF)
+        prior = row
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(content: bytes) -> dict:
+    """Real PNG decode on stdlib only: chunk walk with CRC checks,
+    zlib inflate of the concatenated IDAT stream, and the full
+    five-branch unfilter reconstruction from the spec. Returns the
+    same shape as :func:`decode_image` (geometry + order-invariant
+    pixel-sample checksum). Interlaced, paletted, and 16-bit images
+    raise NotImplementedError — documented scope, not a stub."""
+    import struct
+    import zlib
+
+    if content[:8] != _PNG_SIG:
+        raise ValueError("not a PNG signature")
+    pos, n = 8, len(content)
+    width = height = None
+    channels = 0
+    idat = bytearray()
+    while pos + 8 <= n:
+        (length,) = struct.unpack_from(">I", content, pos)
+        ctype = content[pos + 4 : pos + 8]
+        body = content[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", content, pos + 8 + length)
+        if zlib.crc32(ctype + body) != crc:
+            raise ValueError(f"PNG chunk CRC mismatch in {ctype!r}")
+        if ctype == b"IHDR":
+            width, height, depth, color_type, comp, filt, interlace = (
+                struct.unpack(">IIBBBBB", body)
+            )
+            if depth != 8 or interlace != 0 or color_type not in _PNG_CHANNELS:
+                raise NotImplementedError(
+                    f"PNG depth={depth} color_type={color_type} "
+                    f"interlace={interlace}: only non-interlaced 8-bit "
+                    "gray/RGB/RGBA supported"
+                )
+            channels = _PNG_CHANNELS[color_type]
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    bpp, stride = channels, channels * width
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG scanline data length mismatch")
+    total = 0
+    prior = bytearray(stride)
+    for r in range(height):
+        off = r * (stride + 1)
+        ftype = raw[off]
+        if ftype > 4:
+            raise ValueError(f"PNG bad filter type {ftype}")
+        row = bytearray(raw[off + 1 : off + 1 + stride])
+        for x in range(stride):
+            left = row[x - bpp] if x >= bpp else 0
+            up = prior[x]
+            ul = prior[x - bpp] if x >= bpp else 0
+            pred = (
+                0 if ftype == 0
+                else left if ftype == 1
+                else up if ftype == 2
+                else (left + up) // 2 if ftype == 3
+                else _paeth(left, up, ul)
+            )
+            row[x] = (row[x] + pred) & 0xFF
+        total += sum(row)
+        prior = row
+    return {
+        "img_format": "png", "width": width, "height": height,
+        "channels": channels, "pixel_sum": total,
+    }
+
+
 def _parse_pnm_header(content: bytes) -> tuple[int, int, int, int]:
     """(width, height, maxval, data_offset) of a binary PNM header;
     handles '#' comments and arbitrary whitespace per the netpbm
@@ -117,14 +275,17 @@ def _parse_pnm_header(content: bytes) -> tuple[int, int, int, int]:
 
 
 def decode_image(content: bytes) -> dict:
-    """Decode an uncompressed image: P6 PPM (RGB), P5 PGM (gray), or
-    24-bit BI_RGB BMP. Returns format, geometry, channel count, and
-    the sum of all pixel-sample bytes (an order-invariant content
-    checksum the oracle recomputes). Compressed formats raise
-    NotImplementedError — that codec seam needs PIL/opencv, absent
-    from this environment."""
+    """Decode an image container: P6 PPM (RGB), P5 PGM (gray),
+    24-bit BI_RGB BMP, or non-interlaced 8-bit PNG (gray/RGB/RGBA —
+    real zlib inflate + unfilter, :func:`decode_png`). Returns
+    format, geometry, channel count, and the sum of all pixel-sample
+    bytes (an order-invariant content checksum the oracle
+    recomputes). JPEG raises NotImplementedError — that codec seam
+    needs PIL/opencv, absent from this environment."""
     import struct
 
+    if content[:8] == _PNG_SIG:
+        return decode_png(content)
     if content[:2] in (b"P6", b"P5"):
         w, h, maxval, off = _parse_pnm_header(content)
         ch = 3 if content[:2] == b"P6" else 1
@@ -163,8 +324,8 @@ def decode_image(content: bytes) -> dict:
             "channels": 3, "pixel_sum": total,
         }
     raise NotImplementedError(
-        "compressed image formats (JPEG/PNG/...) need an image codec "
-        "library (e.g. PIL), not available in this environment"
+        "JPEG and other entropy-coded image formats need an image "
+        "codec library (e.g. PIL), not available in this environment"
     )
 
 
@@ -196,6 +357,39 @@ def synth_images(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             yield pd.DataFrame(
                 {"doc_id": pd.Series(ids, dtype="int64"),
                  "content": blobs, "media_type": types}
+            )
+
+    return df.select(id_col).mapInPandas(
+        gen, schema="doc_id long, content binary, media_type string"
+    )
+
+
+def synth_pngs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic synthetic PNG table: doc_id -> real PNG bytes.
+    Geometry w = id%8+2, h = id%6+2; channels rotate 1/3/4 (gray,
+    RGB, RGBA) by id%3; logical samples p_i = (11*i + 3*id) % 256
+    row-major; scanline filter for row r is (id + r) % 5, so the
+    corpus collectively exercises every PNG filter type against
+    every channel layout. Arrow-batched mapInPandas like
+    :func:`synth_images`."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for d in pdf[id_col]:
+                d = int(d)
+                w, h = d % 8 + 2, d % 6 + 2
+                ch = (1, 3, 4)[d % 3]
+                pix = bytes((11 * i + 3 * d) % 256 for i in range(ch * w * h))
+                blobs.append(
+                    encode_png(w, h, pix, ch,
+                               filter_for_row=lambda r, d=d: (d + r) % 5)
+                )
+                ids.append(d)
+            yield pd.DataFrame(
+                {"doc_id": pd.Series(ids, dtype="int64"),
+                 "content": blobs,
+                 "media_type": ["image/png"] * len(ids)}
             )
 
     return df.select(id_col).mapInPandas(

@@ -333,10 +333,71 @@ def test_image_codec_roundtrip_and_decode_query():
     d = decode_image(bytes(bmp))
     assert (d["width"], d["height"]) == (3, 2)
 
-    with pytest.raises(NotImplementedError):
+    # PNG is a real codec since round 6: a truncated stream is a
+    # PARSE error, not an unimplemented format
+    with pytest.raises(ValueError):
         decode_image(b"\x89PNG\r\n\x1a\n....")
     with pytest.raises(NotImplementedError):
         decode_image(b"\xff\xd8\xff\xe0JFIF")
+
+
+def test_png_codec_round_trip_all_filters():
+    """The stdlib-only PNG codec reconstructs exact samples for every
+    (filter type x channel layout) combination, checks chunk CRCs,
+    and scopes out interlaced/paletted/16-bit cleanly."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators.multimodal import (
+        _png_chunk,
+        decode_image,
+        decode_png,
+        encode_png,
+    )
+
+    # every filter type against every channel count, plus the
+    # rotating-filter mix the synth corpus uses
+    for ch in (1, 3, 4):
+        for f in range(5):
+            w, h = 5, 6
+            pix = bytes((13 * i + f + ch) % 256 for i in range(ch * w * h))
+            d = decode_png(encode_png(w, h, pix, ch,
+                                      filter_for_row=lambda r, f=f: f))
+            assert d == {"img_format": "png", "width": w, "height": h,
+                         "channels": ch, "pixel_sum": sum(pix)}, (ch, f)
+        pix = bytes((11 * i + 7) % 256 for i in range(ch * 4 * 7))
+        d = decode_image(encode_png(4, 7, pix, ch))  # default r%5 rotation
+        assert d["pixel_sum"] == sum(pix)
+
+    # independent cross-check: filter-0 IDAT must inflate to the raw
+    # scanlines verbatim (0x00 + row bytes)
+    w, h, ch = 5, 4, 3
+    pix = bytes(range(60))
+    blob = encode_png(w, h, pix, ch, filter_for_row=lambda r: 0)
+    pos, idat = 8, b""
+    while pos < len(blob):
+        (ln,) = struct.unpack_from(">I", blob, pos)
+        if blob[pos + 4 : pos + 8] == b"IDAT":
+            idat += blob[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+    assert zlib.decompress(idat) == b"".join(
+        b"\x00" + pix[15 * r : 15 * (r + 1)] for r in range(4)
+    )
+
+    # corrupted chunk CRC is rejected
+    bad = bytearray(blob)
+    bad[-5] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(bad))
+
+    # out-of-scope headers raise NotImplementedError, not garbage
+    sig = b"\x89PNG\r\n\x1a\n"
+    for depth, ctype, interlace in [(16, 2, 0), (8, 3, 0), (8, 2, 1)]:
+        ihdr = struct.pack(">IIBBBBB", 2, 2, depth, ctype, 0, 0, interlace)
+        with pytest.raises(NotImplementedError):
+            decode_png(sig + _png_chunk(b"IHDR", ihdr))
 
 
 # ---------------------------------------------------------------------------
