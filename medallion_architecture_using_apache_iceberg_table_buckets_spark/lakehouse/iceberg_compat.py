@@ -1439,6 +1439,144 @@ def import_iceberg_dir(dest) -> list[Snapshot]:
     return import_table_metadata(doc)
 
 
+def read_exported_table(dest):
+    """Spec-following EXTERNAL reader: reconstruct the CURRENT rows of
+    an exported directory from the Iceberg-convention artifacts ONLY —
+    version-hint.text / vN.metadata.json / snap-*.avro manifest lists /
+    manifest Avro files / parquet data+delete files. No engine JSON,
+    no native :class:`Table`. Returns a pandas DataFrame (column order
+    per the Iceberg schema; row order unspecified).
+
+    This is the round-trip test's proof that a reader implementing the
+    published v2 protocol discovers and resolves the table with
+    nothing engine-specific (the engine's own scan path is
+    ``Table.scan``; this function deliberately shares no code with
+    it). Protocol implemented:
+
+    - catalog pointer: ``current_metadata_version`` (version-hint +
+      HadoopTableOperations forward walk) names the metadata document;
+    - ``current-snapshot-id`` picks the snapshot; its ``manifest-list``
+      Avro names the manifests;
+    - live entries (status != DELETED) of content=0 manifests are the
+      data files; content=1 manifests carry delete files;
+    - position deletes (record content=1) drop ``(file_path, pos)``
+      rows from data files with ``sequence_number <=`` the delete's;
+    - equality deletes (record content=2) drop rows matching the
+      delete rows' ``equality_ids`` columns from data files with
+      ``sequence_number`` STRICTLY below the delete's;
+    - identity partition values (path-only in the data files, Spark
+      ``partitionBy`` layout) are re-injected from each entry's
+      manifest ``partition`` record and cast per the Iceberg schema —
+      exactly what a spec reader does with metadata-only columns.
+
+    Driver-side pyarrow/pandas by design: it is the verification twin
+    for modest fixtures, not a scale path.
+    """
+    import json as _json
+    from pathlib import Path
+
+    import pandas as pd
+    import pyarrow.parquet as _pq
+
+    from ..functions.avro_codec import read_container_file
+
+    dest = Path(dest)
+    meta_dir = dest / "metadata"
+    version = current_metadata_version(meta_dir)
+    doc = _json.loads((meta_dir / f"v{version}.metadata.json").read_text())
+    cur_id = doc["current-snapshot-id"]
+    snap_entry = next(
+        s for s in doc["snapshots"] if s["snapshot-id"] == cur_id
+    )
+
+    schema_fields = doc["schemas"][0]["fields"]
+    fid_to_name = {f["id"]: f["name"] for f in schema_fields}
+    col_order = [f["name"] for f in schema_fields]
+    col_type = {f["name"]: f["type"] for f in schema_fields}
+
+    _, mlist = read_container_file(dest / snap_entry["manifest-list"])
+    data_entries: list[dict] = []
+    pos_deletes: list[dict] = []
+    eq_deletes: list[dict] = []
+    for mf in mlist:
+        _, entries = read_container_file(dest / mf["manifest_path"])
+        for e in entries:
+            if e["status"] == DELETED:
+                continue
+            rec = e["data_file"]
+            item = {
+                "path": rec["file_path"],
+                "seq": e["sequence_number"],
+                "partition": rec.get("partition") or {},
+                "equality_ids": rec.get("equality_ids"),
+            }
+            content = rec.get("content", 0)
+            (data_entries if content == 0
+             else pos_deletes if content == 1
+             else eq_deletes).append(item)
+
+    # (file_path -> [(pos, delete_seq)]) from every live position-
+    # delete file; applied per target data file below
+    posmap: dict[str, list[tuple[int, int]]] = {}
+    for d in pos_deletes:
+        t = _pq.read_table(dest / d["path"])
+        for fp, p in zip(t.column("file_path").to_pylist(),
+                         t.column("pos").to_pylist()):
+            posmap.setdefault(fp, []).append((p, d["seq"]))
+
+    # equality deletes: the delete rows' key tuples + their seq
+    eqs = []
+    for d in eq_deletes:
+        cols = [fid_to_name[i] for i in d["equality_ids"]]
+        t = _pq.read_table(dest / d["path"], columns=cols)
+        keys = set(zip(*(t.column(c).to_pylist() for c in cols)))
+        eqs.append({"seq": d["seq"], "cols": cols, "keys": keys})
+
+    def _cast_partition(val, ice_type):
+        if val is None or not isinstance(val, str):
+            return val  # already typed (bucket int / days date)
+        if ice_type in ("int", "long"):
+            return int(val)
+        if ice_type == "date":
+            import datetime
+
+            return datetime.date.fromisoformat(val)
+        if ice_type in ("float", "double"):
+            return float(val)
+        if ice_type == "string":
+            return val
+        raise NotImplementedError(
+            f"identity partition re-injection for Iceberg type "
+            f"{ice_type!r} not needed by any fixture yet"
+        )
+
+    frames = []
+    for de in data_entries:
+        pdf = _pq.read_table(dest / de["path"]).to_pandas()
+        pdf.index = range(len(pdf))  # row ordinal IS the spec 'pos'
+        drop = {
+            p for p, dseq in posmap.get(de["path"], []) if de["seq"] <= dseq
+        }
+        if drop:
+            pdf = pdf[~pdf.index.isin(drop)]
+        for eq in eqs:
+            if de["seq"] < eq["seq"] and len(pdf):
+                present = [c for c in eq["cols"] if c in pdf.columns]
+                if len(present) == len(eq["cols"]):
+                    keyvals = list(zip(*(pdf[c] for c in eq["cols"])))
+                    pdf = pdf[[kv not in eq["keys"] for kv in keyvals]]
+        # metadata-only identity partition columns
+        for pname, pval in de["partition"].items():
+            if pname not in pdf.columns and pname in col_type:
+                pdf[pname] = _cast_partition(pval, col_type[pname])
+        frames.append(pdf)
+
+    out = pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
+        columns=col_order
+    )
+    return out[[c for c in col_order if c in out.columns]]
+
+
 def compat_notes() -> list[str]:
     """The enumerated gap list a real-Iceberg migration shim must
     close (everything else round-trips through this module).

@@ -515,7 +515,38 @@ def embedding_cosine_pairs_lsh(
     Callers that need a reproducible bucket layout across differently
     sized corpora (the driver oracle does) pin an explicit value.
     """
-    from ..functions.vector import cosine_from_norms, norm_expr
+    from ..functions.vector import cosine_from_norms
+
+    cand = embedding_lsh_candidates(
+        df, vec_col, id_col, n_planes=n_planes, dim=dim,
+        multiprobe=multiprobe,
+    )
+    cos = cosine_from_norms("va", "vb", F.col("na"), F.col("nb"), dim)
+    return (
+        cand.withColumn("cos_sim", F.round(cos, 4))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
+def embedding_lsh_candidates(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int | None = None,
+    dim: int = 64,
+    multiprobe: int = 1,
+) -> DataFrame:
+    """The LSH candidate-pair set BEFORE exact-cosine verification:
+    ``(id_a, id_b, va, vb, na, nb)`` from the banded bucket equi-join
+    (id_a < id_b). This is the frame whose cardinality governs the
+    operator's cost — exposed separately so scale benches can price
+    candidate generation per pair, independent of how many verified
+    pairs the threshold emits (`BENCH_SCALE` records
+    sec-per-million-candidates across step-ups to back the ~linear
+    claim with a measurement rather than an occupancy argument).
+    """
+    from ..functions.vector import norm_expr
     from .similarity import hyperplane_buckets
 
     if n_planes is None:
@@ -556,13 +587,10 @@ def embedding_cosine_pairs_lsh(
     # _fan_out guarantees the shuffle-free probe pipeline isn't
     # serialized onto the input's (possibly single) scan splits.
     # 3.8s -> 1.5s at sf0.1.
-    cos = cosine_from_norms("va", "vb", F.col("na"), F.col("nb"), dim)
     return (
         probes.join(cands, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos_sim", F.round(cos, 4))
-        .filter(F.col("cos_sim") >= threshold)
-        .select("id_a", "id_b", "cos_sim")
+        .select("id_a", "id_b", "va", "vb", "na", "nb")
     )
 
 

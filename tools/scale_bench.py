@@ -60,6 +60,12 @@ QUERIES = {
     ),
     "dedup_components": L.dedup_components,
     "ann_ivf_topk": L.ann_ivf_topk,
+    # round-6 additions: the heavy ops the r5 study skipped (verdict
+    # item 6) — the positional-gram self-join, the remaining ANN
+    # variants, and the corpus-wide TF-IDF
+    "text_repeated_spans": L.text_repeated_spans,
+    "ann_lsh_topk": L.ann_lsh_topk,
+    "text_tfidf_topk": L.text_tfidf_topk,
     "text_repetition_scores": L.text_repetition_scores,
     "pack_training_sequences": L.pack_training_sequences,
     "curation_end_to_end": L.curation_end_to_end,
@@ -201,6 +207,28 @@ def main() -> None:
         "dedup_minhash_lsh_pairs", "dedup_ngram_jaccard_pairs",
         "dedup_embedding_lsh_pairs_pinned8",
         "dedup_embedding_lsh_pairs_auto", "dedup_components",
+        "text_repeated_spans",
+    }
+
+    # embedding-LSH cost is governed by the CANDIDATE-join cardinality
+    # (pairs sharing a probe bucket), not the verified output. For
+    # these entries also count candidates per scale and derive
+    # sec-per-million-candidates: if that unit cost is ~flat across
+    # the step-up, the operator is linear in its true work measure and
+    # the raw runtime factor is output/candidate growth, not a plan
+    # defect. (embedding_lsh_candidates is the operator's own
+    # pre-verify stage, so the count prices exactly the joined frame.)
+    def _cand_count(spark, sf_dir, n_planes):
+        from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators.dedup import (
+            embedding_lsh_candidates,
+        )
+
+        emb = R.load(spark, sf_dir, "embeddings")
+        return embedding_lsh_candidates(emb, n_planes=n_planes).count()
+
+    CANDIDATE_TRACKED = {
+        "dedup_embedding_lsh_pairs_pinned8": 8,
+        "dedup_embedding_lsh_pairs_auto": None,  # _auto_planes sizing
     }
 
     # optional subset: argv[2:] names re-run and merge into argv[1]'s
@@ -229,9 +257,22 @@ def main() -> None:
             rec[label] = round(min(runs), 3)
             if name in OUTPUT_TRACKED:
                 rec[f"rows_{label}"] = fn(spark, sf_dir).count()
+            if name in CANDIDATE_TRACKED:
+                cands = _cand_count(spark, sf_dir, CANDIDATE_TRACKED[name])
+                rec[f"cands_{label}"] = cands
+                rec[f"sec_per_M_cands_{label}"] = round(
+                    rec[label] / (cands / 1e6), 3
+                )
         rec["factor"] = round(rec["sf1"] / rec["sf0.1"], 2)
         if "rows_sf0.1" in rec and rec["rows_sf0.1"]:
             rec["rows_factor"] = round(rec["rows_sf1"] / rec["rows_sf0.1"], 2)
+        if "cands_sf0.1" in rec:
+            rec["cands_factor"] = round(
+                rec["cands_sf1"] / rec["cands_sf0.1"], 2
+            )
+            rec["unit_cost_factor"] = round(
+                rec["sec_per_M_cands_sf1"] / rec["sec_per_M_cands_sf0.1"], 2
+            )
         times[name] = rec
         print(f"# {name}: {rec}", file=sys.stderr)
 
