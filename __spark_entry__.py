@@ -166,9 +166,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_union_segments": R.set_union_segments,
         "set_intersect_building_buyers": R.set_intersect_building_buyers,
         "set_except_nonbuyers": R.set_except_nonbuyers,
-        # --- NEW in round 6: real PNG decode (stdlib zlib inflate +
-        # full five-filter unfilter pass); leads the r07 window ---
+        # --- NEW in round 6 (lead the r07 window): real PNG decode
+        # (stdlib zlib inflate + full five-filter unfilter pass) and
+        # CCNet-style bigram-LM surprisal scoring ---
         "multimodal_decode_png": L.multimodal_decode_png,
+        "text_ngram_lm_score": L.text_ngram_lm_score,
         # --- r05-window entries (driver-green r05) ---
         "text_repetition_scores": L.text_repetition_scores,
         "text_leakage_safe_split": L.text_leakage_safe_split,
@@ -2425,6 +2427,39 @@ def oracle_sql() -> dict[str, str]:
                         AS INTEGER) AS channels,
                    s.pixel_sum
             FROM dims d JOIN sums s USING (doc_id)
+        """,
+        "text_ngram_lm_score": f"""
+            WITH norm AS (
+              SELECT doc_id, string_split({_NORM.format(t='text')}, ' ') AS w
+              FROM documents
+            ),
+            toks AS (SELECT doc_id, unnest(w) AS w1 FROM norm),
+            uni AS (SELECT w1, count(*) AS cu FROM toks GROUP BY w1),
+            v AS (SELECT count(*) AS V FROM uni),
+            bg AS (
+              SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+              FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+                    FROM norm)
+            ),
+            big AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY w1, w2),
+            sc AS (
+              SELECT bg.doc_id,
+                     CAST(round(-ln(CAST(cb + 1 AS DOUBLE)
+                                  / CAST(cu + V AS DOUBLE))
+                                * 1000000.0) AS BIGINT) AS s_micro
+              FROM bg JOIN big USING (w1, w2) JOIN uni USING (w1)
+              CROSS JOIN v
+            ),
+            per AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                     round(CAST(sum(s_micro) AS DOUBLE)
+                           / (count(*) * 1000000.0), 6) AS avg_surprisal
+              FROM sc GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(p.n_bigrams, 0) AS n_bigrams,
+                   p.avg_surprisal
+            FROM documents d LEFT JOIN per p USING (doc_id)
         """,
         "multimodal_decode_png": """
             WITH dims AS (

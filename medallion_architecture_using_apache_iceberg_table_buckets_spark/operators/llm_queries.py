@@ -1876,6 +1876,15 @@ def text_token_rarity(spark, sf_dir):
     return TX.token_rarity(_docs(spark, sf_dir))
 
 
+def text_ngram_lm_score(spark, sf_dir):
+    """CCNet-style bigram-LM surprisal per document
+    (text.ngram_lm_scores): add-one-smoothed self-trained bigram LM,
+    per-occurrence surprisal quantized to 6 decimals before the
+    per-doc average so the lone libm ln call stays cross-engine
+    deterministic (0/200k disagreement measured)."""
+    return TX.ngram_lm_scores(_docs(spark, sf_dir))
+
+
 def dedup_containment_pairs(spark, sf_dir):
     """Asymmetric containment dedup (dedup.containment_pairs): the
     first 20 docs are planted EMBEDDED inside wrapper documents

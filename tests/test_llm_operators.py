@@ -650,3 +650,27 @@ def test_repeated_span_coverage_islands_and_intra_doc(spark):
     assert got[4] == (9, 1, 9, 1.0)      # every gram repeats -> full doc
     assert got[5] == (0, 0, 0, 0.0)
     assert got[6] == (11, 2, 6, 0.5455)  # pos {1,9}: 9 > 1+3 -> two islands
+
+
+def test_ngram_lm_scores_hand_computed(spark):
+    """Add-one bigram LM surprisal against hand-worked values:
+    corpus a-b/a-b-a-b/c gives c(a)=3, c(b)=3, c(c)=1, V=3,
+    c(a,b)=3, c(b,a)=1 -> s(a,b)=ln(1.5), s(b,a)=ln(3)."""
+    import math
+
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators.text import (
+        ngram_lm_scores,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "A, b!"), (3, "c")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in ngram_lm_scores(df).collect()}
+    s_ab = round(math.log(1.5) * 1e6)   # 405465
+    s_ba = round(math.log(3.0) * 1e6)   # 1098612
+    assert rows[1]["n_bigrams"] == 3
+    assert rows[1]["avg_surprisal"] == round(
+        (2 * s_ab + s_ba) / 3 / 1e6, 6)
+    assert rows[2]["n_bigrams"] == 1  # normalization strips ',' '!'
+    assert rows[2]["avg_surprisal"] == round(s_ab / 1e6, 6)
+    assert rows[3]["n_bigrams"] == 0 and rows[3]["avg_surprisal"] is None
