@@ -514,6 +514,16 @@ def embedding_cosine_pairs_lsh(
     it the candidate-join cost per row — stays constant at any scale.
     Callers that need a reproducible bucket layout across differently
     sized corpora (the driver oracle does) pin an explicit value.
+
+    Measured (r6 10x step-up, BENCH_SCALE_r06): cost per CANDIDATE
+    fell at 10x — 7.6 -> 3.0 sec per million candidate pairs (auto),
+    8.0 -> 3.1 (pinned-8) — so the raw runtime factor (21x auto) is
+    candidate/output growth, not per-pair cost: the 10x corpus's TRUE
+    verified-pair count grew 63x and candidates grew 52x, i.e. the
+    plan does ~0.8 candidates per emitted pair more work at 10x than
+    at 1x. The operator is output-bound, which is the optimum for a
+    near-dup miner — a corpus with quadratic pair structure costs
+    quadratic output no matter the algorithm.
     """
     from ..functions.vector import cosine_from_norms
 

@@ -711,6 +711,29 @@ def ann_pq_topk(spark, sf_dir):
     ).orderBy("query_id", "rnk")
 
 
+def ann_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ composed search (operators/similarity.py
+    cosine_topk_ivfpq; FAISS IndexIVFPQ shape): the coarse quantizer
+    restricts each query to its nprobe inverted lists, ADC over PQ
+    codes scores only those lists through the broadcast lookup table,
+    and the exact pass re-ranks the shortlist's full vectors. Both
+    quantizers use the deterministic training recipe (rank-spaced
+    seeds, one Lloyd step, round-6 means), so the SQL oracle replays
+    IVF assignment AND PQ encoding bit-for-bit."""
+    from .similarity import cosine_topk_ivfpq
+
+    emb = load(spark, sf_dir, "embeddings")
+    return cosine_topk_ivfpq(
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        k=5,
+        n_centroids=16,
+        nprobe=4,
+        n_subspaces=8,
+        rerank=50,
+    ).orderBy("query_id", "rnk")
+
+
 def bpe_vocab_merges(spark, sf_dir):
     """Distributed BPE vocabulary induction (operators/bpe.py,
     arXiv:1508.07909): 6 merge rounds over the documents corpus's

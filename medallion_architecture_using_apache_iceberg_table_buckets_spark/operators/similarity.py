@@ -712,3 +712,173 @@ def cosine_topk_pq(
             F.col("rnk").cast("int").alias("rnk"),
         )
     )
+
+
+def cosine_topk_ivfpq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    n_subspaces: int = 8,
+    k_sub: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rerank: int = 0,
+) -> DataFrame:
+    """IVF-PQ: the two compressions composed, the billion-vector
+    workhorse (FAISS ``IndexIVFPQ``; Jégou et al. 2011 §V). The IVF
+    coarse quantizer restricts each query to its ``nprobe`` nearest
+    inverted lists; ADC over PQ codes then scores ONLY vectors in the
+    probed lists through the broadcast (subspace, code) lookup table —
+    the stored vectors are read for neither stage. ``rerank > k``
+    adds the standard exact re-scoring of the ADC shortlist's full
+    vectors (a keyed equi-join on candidate ids).
+
+    At 100 TB the plan is: one broadcast-centroid assignment per
+    vector (ivf_assign — scalars-only hash aggregate above the
+    small-input gate), one broadcast-codebook code assignment
+    (pq_train_encode), then per query a broadcast probe-and-LUT join
+    whose input is |probed lists| * n_subspaces code rows — the only
+    corpus-sized shuffle is the (query, vec) partial-sum aggregation,
+    pre-combined map-side.
+
+    Simplification vs FAISS: codes encode RAW vectors, not residuals
+    from the assigned centroid, so one codebook set serves every list
+    and the deterministic training recipe stays replayable by the SQL
+    oracle bit-for-bit. Residual encoding is a recall refinement
+    inside the same plan shape (subtract the broadcast centroid
+    before encoding), not a different algorithm.
+    """
+    nk_hint = corpus.count() * n_centroids
+    corpus = fan_out(corpus)
+    cents = ivf_centroids(
+        corpus, n_centroids, vec_col, id_col, nk_hint=nk_hint
+    ).persist()
+    lists = ivf_assign(
+        corpus, cents, vec_col, id_col, dim, nk_hint=nk_hint
+    ).select("vec_id", "centroid_id")
+    codebooks, codes = pq_train_encode(
+        corpus, n_subspaces, k_sub, dim, id_col, vec_col
+    )
+
+    # probe the nprobe nearest centroids per query (ivf shape)
+    q = _norm_col(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        ),
+        "qv", "qn", dim,
+    )
+    qscore = q.crossJoin(
+        F.broadcast(_norm_col(cents, "cv", "_cnrm", dim))
+    ).withColumn(
+        "_sim", F.round(_cos_join("qv", "cv", "qn", "_cnrm", dim), 6)
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("_sim"), F.asc("centroid_id")
+    )
+    probes = (
+        qscore.withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= nprobe)
+        .select("query_id", "centroid_id")
+    )
+
+    # ADC lookup table per query (pq shape)
+    sub_dim = dim // n_subspaces
+    qv = to_double_array("qv")
+    q_base = q.select(
+        "query_id",
+        F.round(F.sqrt(_fold_dot(qv, qv)), 6).alias("qnorm"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice(qv, s * sub_dim + 1, sub_dim)
+                    for s in range(n_subspaces)
+                ]
+            )
+        ).alias("subspace", "qsv"),
+    )
+    lut = q_base.join(F.broadcast(codebooks), "subspace").select(
+        "query_id",
+        "qnorm",
+        "subspace",
+        "code",
+        F.round(_fold_dot(F.col("qsv"), F.col("cv")), 6)
+        .cast("decimal(18,6)")
+        .alias("pdot"),
+        F.round(_fold_dot(F.col("cv"), F.col("cv")), 6)
+        .cast("decimal(18,6)")
+        .alias("cn2"),
+    )
+
+    # score ONLY the probed lists: codes restricted by (vec ->
+    # centroid -> probed query) before the LUT join
+    probed_codes = codes.join(lists, "vec_id").join(
+        F.broadcast(probes), "centroid_id"
+    )
+    scored = (
+        probed_codes.join(
+            F.broadcast(lut), ["query_id", "subspace", "code"]
+        )
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .groupBy("query_id", "qnorm", "vec_id")
+        .agg(F.sum("pdot").alias("sdot"), F.sum("cn2").alias("scn2"))
+        .withColumn(
+            "approx_cos",
+            F.round(
+                F.col("sdot").cast("double")
+                / (F.col("qnorm") * F.sqrt(F.col("scn2").cast("double"))),
+                4,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_cos"), F.asc("vec_id")
+    )
+    ranked = scored.withColumn("rnk", F.row_number().over(w))
+    if not rerank or rerank <= k:
+        return ranked.filter(F.col("rnk") <= k).select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "approx_cos",
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    shortlist = ranked.filter(F.col("rnk") <= rerank).select(
+        "query_id", "vec_id"
+    )
+    cand = shortlist.join(
+        corpus.select(
+            F.col(id_col).alias("vec_id"),
+            to_double_array(vec_col).alias("_cv"),
+        ),
+        "vec_id",
+    )
+    qfull = queries.select(
+        F.col(id_col).alias("query_id"),
+        to_double_array(vec_col).alias("_qv"),
+    )
+    exact = cand.join(F.broadcast(qfull), "query_id").withColumn(
+        "cos_sim",
+        F.round(
+            _fold_dot(F.col("_qv"), F.col("_cv"))
+            / (
+                F.sqrt(_fold_dot(F.col("_qv"), F.col("_qv")))
+                * F.sqrt(_fold_dot(F.col("_cv"), F.col("_cv")))
+            ),
+            4,
+        ),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("vec_id")
+    )
+    return (
+        exact.withColumn("rnk", F.row_number().over(w2))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "cos_sim",
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )

@@ -142,14 +142,35 @@ def build_scaled_dir() -> None:
             f"{DST}/{name}.parquet"
         )
 
-    # documents: perturb text per copy so near-dup relations stay
-    # within-copy instead of forming 10-way identical cliques
+    # documents: perturb text per copy so duplicate relations stay
+    # within-copy instead of forming 10-way identical cliques. The
+    # first harness APPENDED a per-copy tail — that separates
+    # whole-document near-dup sets (Jaccard/minhash) but leaves every
+    # INTERIOR word n-gram cloned 10-way across copies, so gram-keyed
+    # operators (repeated spans, shingle joins) measured duplication-
+    # structure growth instead of data growth (the same defect the
+    # embedding jitter had before the rotation fix). Instead,
+    # interleave a per-copy marker token after every 4th word: every
+    # doc of a copy gets the SAME rewrite, so within-copy relations
+    # are preserved exactly, while any cross-copy word 5-gram spans a
+    # marker and differs — 10x data at the same internal duplicate
+    # rate.
     def doc_extra(df, i):
         if i == 0:
             return df
+        marker = F.lit(f"cvar{i}x")
+        toks = F.split(F.col("text"), " ")
+        with_markers = F.zip_with(
+            toks,
+            F.sequence(F.lit(0), F.size(toks) - F.lit(1)),
+            lambda w, idx: F.when(
+                idx % 4 == 3, F.concat_ws(" ", w, marker)
+            ).otherwise(w),
+        )
         return df.withColumn(
             "text",
-            F.concat(F.col("text"), F.lit(f" copyvariant{i} doc"),
+            F.concat(F.array_join(with_markers, " "),
+                     F.lit(" copyvariant{} doc".format(i)),
                      F.col("doc_id").cast("string")),
         )
 
