@@ -655,12 +655,24 @@ def repeated_span_coverage(
     The suffix-array machinery of the paper is a single-node design;
     the positional-k-gram formulation here computes the same covered
     regions for duplicates of length >= k with only key-local
-    shuffles: explode positional grams (map-only), count per gram
-    (one shuffle, map-side combine), inner-join positions to the
-    duplicated-gram set (shuffle on gram; at web scale both sides are
-    corpus-sized, AQE picks the strategy), then a per-doc
-    gaps-and-islands window merge (one shuffle on doc_id). All
-    arithmetic is integer except the final division — oracle-exact.
+    shuffles: explode positional TOKENS (map-only), assemble each
+    position's k-gram with ``lead()`` windows (one shuffle on
+    doc_id), count per gram (one shuffle, map-side combine),
+    inner-join positions to the duplicated-gram set (shuffle on gram;
+    at web scale both sides are corpus-sized, AQE picks the
+    strategy), then a per-doc gaps-and-islands window merge (reuses
+    the doc_id shuffle). All arithmetic is integer except the final
+    division — oracle-exact.
+
+    Why lead() windows and not a transform() lambda: higher-order
+    functions are CodegenFallback, and Spark's InferFiltersFromGenerate
+    copies the generator expression into a synthesized filter below
+    the posexplode — with a gram-building lambda that filter
+    re-evaluated the full tokenize chain (two regexes over the whole
+    text) PER GRAM ELEMENT per row, interpreted. Executor stacks
+    showed all task threads inside RegExpReplace.eval; the 10x
+    step-up ran 30+ minutes. The lead() formulation whole-stage-
+    codegens end-to-end and tokenizes each doc exactly once.
 
     Two duplicated positions i < j chain into one span when
     j <= i + k (their k-token windows overlap or touch); an island
@@ -679,20 +691,30 @@ def repeated_span_coverage(
     n_tokens = F.when(
         (F.size(w) == 1) & (F.element_at(w, 1) == ""), F.lit(0)
     ).otherwise(F.size(w))
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(w) - F.lit(k) + F.lit(1)),
-        lambda i: F.concat_ws(" ", F.slice(w, i, k)),
-    )
-    base = tokened.select(
+    base = tokened.select("doc_id", n_tokens.alias("n_tokens"), "_w")
+    toks = base.select(
         "doc_id",
-        n_tokens.alias("n_tokens"),
-        F.when(n_tokens >= k, grams).otherwise(
-            F.array().cast("array<string>")
-        ).alias("grams"),
+        F.posexplode_outer("_w").alias("pos0", "tok"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    seq = Window.partitionBy("doc_id").orderBy("pos")
+    gram_parts = [F.col("tok")] + [
+        F.lead("tok", j).over(seq) for j in range(1, k)
+    ]
+    # every window expression sits in ONE projection BEFORE the
+    # filter: the k-1 lead() calls and the completeness probe must
+    # see the unfiltered token stream (filtering first would shift
+    # the leads and truncate boundary grams)
+    posed = (
+        toks.select(
+            "doc_id",
+            "pos",
+            "tok",
+            F.concat_ws(" ", *gram_parts).alias("gram"),
+            F.lead("tok", k - 1).over(seq).alias("_last"),
+        )
+        .filter(F.col("_last").isNotNull() & (F.col("tok") != ""))
+        .select("doc_id", "pos", "gram")
     )
-    posed = base.select(
-        "doc_id", F.posexplode("grams").alias("pos0", "gram")
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "gram")
     dup = (
         posed.groupBy("gram")
         .agg(F.count("*").alias("occ"))

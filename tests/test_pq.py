@@ -79,3 +79,51 @@ def test_reranked_scores_are_exact(spark):
     assert j.filter(
         F.col("a.cos_sim") != F.col("t.cos_sim")
     ).count() == 0
+
+
+def test_ivfpq_recall_and_rank_contract(spark, sf_dir):
+    """Composed IVF-PQ must (a) return exact-cosine-ordered ranks
+    after the rerank pass, (b) only surface neighbors from probed
+    lists, and (c) keep recall near the PQ-only path at full probe
+    coverage (nprobe = n_centroids makes IVF a no-op filter, so any
+    recall drop would be a composition bug, not a quantization
+    trade)."""
+    from pyspark.sql import functions as F
+
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators.relational import load
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_ivfpq,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, queries, k=5).collect()
+    }
+
+    got = cosine_topk_ivfpq(
+        emb, queries, k=5, n_centroids=8, nprobe=8, n_subspaces=8,
+        rerank=50,
+    ).collect()
+    pairs = {(r["query_id"], r["neighbor_id"]) for r in got}
+    recall = len(exact & pairs) / len(exact)
+    assert recall >= 0.5, f"full-probe recall={recall}"
+
+    # rank contract: 1..k dense per query, cos_sim non-increasing
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r["rnk"])
+        assert [r["rnk"] for r in rows] == list(range(1, len(rows) + 1))
+        sims = [r["cos_sim"] for r in rows]
+        assert sims == sorted(sims, reverse=True)
+
+    # narrowing the probe can only shrink the candidate pool
+    narrow = cosine_topk_ivfpq(
+        emb, queries, k=5, n_centroids=8, nprobe=1, n_subspaces=8,
+        rerank=50,
+    ).collect()
+    assert len(narrow) <= len(got)
