@@ -142,6 +142,11 @@ HEADLINE = {
     "range_join_event_windows": R.range_join_event_windows,
     "table_quality_checks": R.table_quality_checks,
     "sketch_cms_frequencies": L.sketch_cms_frequencies,
+    # round-6 additions: real PNG decode (zlib inflate + unfilter),
+    # bigram-LM surprisal scoring, composed IVF-PQ search
+    "multimodal_decode_png": L.multimodal_decode_png,
+    "text_ngram_lm_score": L.text_ngram_lm_score,
+    "ann_ivfpq_topk": L.ann_ivfpq_topk,
 }
 
 # the 14 queries recorded since round 1 — their sum is the anchored

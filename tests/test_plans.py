@@ -320,6 +320,15 @@ def test_brute_baselines_are_the_only_all_pairs_plans(spark, sf_dir):
         # pattern); every data-sized join is a keyed equi-join on
         # (subspace, code) / vec_id
         "ann_pq_topk",
+        # IVF-PQ: the same 1-row seeding-step scalar plus the
+        # n_centroids-row probe broadcast (the ann_ivf/ann_pq
+        # patterns composed); ADC scoring and rerank are keyed
+        # equi-joins on (query_id, subspace, code) / vec_id
+        "ann_ivfpq_topk",
+        # bigram LM: the 1-row vocabulary-size scalar broadcast onto
+        # the scored bigram stream; gram-count joins are keyed
+        # equi-joins on (w1, w2) / w1
+        "text_ngram_lm_score",
     }
     # Queries whose construction performs writes/iterative jobs; their
     # plan hygiene is asserted by dedicated tests.
