@@ -172,6 +172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode_png": L.multimodal_decode_png,
         "text_ngram_lm_score": L.text_ngram_lm_score,
         "ann_ivfpq_topk": L.ann_ivfpq_topk,
+        "multimodal_resize_pixels": L.multimodal_resize_pixels,
         # --- r05-window entries (driver-green r05) ---
         "text_repetition_scores": L.text_repetition_scores,
         "text_leakage_safe_split": L.text_leakage_safe_split,
@@ -2610,6 +2611,48 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(p.n_bigrams, 0) AS n_bigrams,
                    p.avg_surprisal
             FROM documents d LEFT JOIN per p USING (doc_id)
+        """,
+        "multimodal_resize_pixels": """
+            WITH dims AS (
+              SELECT doc_id,
+                     doc_id % 8 + 2 AS w,
+                     doc_id % 6 + 2 AS h,
+                     CASE WHEN doc_id % 3 = 2 THEN 1 ELSE 3 END AS ch
+              FROM documents
+            ),
+            geo AS (
+              SELECT doc_id, w, h, ch,
+                     greatest(1, w // 2) AS dw,
+                     greatest(1, h // 2) AS dh
+              FROM dims
+            ),
+            cells AS (
+              SELECT g.doc_id, g.w, g.h, g.ch, g.dw, g.dh,
+                     y.range AS y, x.range AS x, c.range AS c
+              FROM geo g
+              CROSS JOIN range(0, 6) y
+              CROSS JOIN range(0, 4) x
+              CROSS JOIN range(0, 3) c
+              WHERE y.range < g.dh AND x.range < g.dw AND c.range < g.ch
+            ),
+            sums AS (
+              SELECT doc_id,
+                     CAST(sum(
+                       (7 * ((((y * h) // dh) * w + ((x * w) // dw)) * ch
+                             + c) + doc_id) % 256
+                     ) AS BIGINT) AS pixel_sum
+              FROM cells GROUP BY doc_id
+            )
+            SELECT g.doc_id,
+                   CASE g.doc_id % 3 WHEN 0 THEN 'ppm'
+                                     WHEN 1 THEN 'bmp'
+                                     ELSE 'pgm' END AS img_format,
+                   CAST(g.w AS INTEGER) AS src_w,
+                   CAST(g.h AS INTEGER) AS src_h,
+                   CAST(g.dw AS INTEGER) AS dst_w,
+                   CAST(g.dh AS INTEGER) AS dst_h,
+                   s.pixel_sum
+            FROM geo g JOIN sums s USING (doc_id)
         """,
         "multimodal_decode_png": """
             WITH dims AS (

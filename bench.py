@@ -147,6 +147,7 @@ HEADLINE = {
     "multimodal_decode_png": L.multimodal_decode_png,
     "text_ngram_lm_score": L.text_ngram_lm_score,
     "ann_ivfpq_topk": L.ann_ivfpq_topk,
+    "multimodal_resize_pixels": L.multimodal_resize_pixels,
 }
 
 # the 14 queries recorded since round 1 — their sum is the anchored

@@ -1589,6 +1589,22 @@ def multimodal_decode_png(spark, sf_dir):
     return decode_images(synth_pngs(_docs(spark, sf_dir)))
 
 
+def multimodal_resize_pixels(spark, sf_dir):
+    """REAL pixel resampling end-to-end: deterministic container
+    bytes (PPM/BMP/PGM) decode to row-major samples
+    (multimodal.decode_pixels), halve per side with nearest-neighbor
+    integer sampling, and report the resampled checksum — the oracle
+    recomputes the gathered pixel values directly from the generator
+    formula, so a resampler that mis-indexes rows, columns, or
+    channels (or a decoder that mangles BMP bottom-up/BGR order,
+    which checksums alone cannot catch) hash-mismatches.
+    multimodal_resize (resize_meta) remains the metadata-only
+    geometry planner."""
+    from .multimodal import resize_images, synth_images
+
+    return resize_images(synth_images(_docs(spark, sf_dir)))
+
+
 def multimodal_embed_dims(spark, sf_dir):
     """Feature-extraction plumbing: batch-inference-shaped UDF
     producing a fixed-dim vector; surfaced as scalar columns so the

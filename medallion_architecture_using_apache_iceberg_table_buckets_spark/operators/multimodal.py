@@ -181,13 +181,15 @@ def encode_png(
     )
 
 
-def decode_png(content: bytes) -> dict:
+def decode_png(content: bytes, want_pixels: bool = False) -> dict:
     """Real PNG decode on stdlib only: chunk walk with CRC checks,
     zlib inflate of the concatenated IDAT stream, and the full
     five-branch unfilter reconstruction from the spec. Returns the
     same shape as :func:`decode_image` (geometry + order-invariant
-    pixel-sample checksum). Interlaced, paletted, and 16-bit images
-    raise NotImplementedError — documented scope, not a stub."""
+    pixel-sample checksum); ``want_pixels`` adds the reconstructed
+    row-major samples (for the resample stage). Interlaced,
+    paletted, and 16-bit images raise NotImplementedError —
+    documented scope, not a stub."""
     import struct
     import zlib
 
@@ -228,6 +230,7 @@ def decode_png(content: bytes) -> dict:
         raise ValueError("PNG scanline data length mismatch")
     total = 0
     prior = bytearray(stride)
+    pixels = bytearray()
     for r in range(height):
         off = r * (stride + 1)
         ftype = raw[off]
@@ -248,10 +251,15 @@ def decode_png(content: bytes) -> dict:
             row[x] = (row[x] + pred) & 0xFF
         total += sum(row)
         prior = row
-    return {
+        if want_pixels:
+            pixels += row
+    out = {
         "img_format": "png", "width": width, "height": height,
         "channels": channels, "pixel_sum": total,
     }
+    if want_pixels:
+        out["pixels"] = bytes(pixels)
+    return out
 
 
 def _parse_pnm_header(content: bytes) -> tuple[int, int, int, int]:
@@ -362,6 +370,101 @@ def synth_images(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col).mapInPandas(
         gen, schema="doc_id long, content binary, media_type string"
     )
+
+
+def decode_pixels(content: bytes) -> dict:
+    """Like :func:`decode_image` but also returns the row-major
+    pixel samples — the input contract of the resample stage. PNM
+    and PNG rows are already row-major; BMP rows are re-ordered from
+    the stored bottom-up BGR layout to top-down RGB."""
+    import struct
+
+    if content[:8] == _PNG_SIG:
+        return decode_png(content, want_pixels=True)
+    if content[:2] in (b"P6", b"P5"):
+        meta = decode_image(content)
+        w, h, _maxval, off = _parse_pnm_header(content)
+        ch = meta["channels"]
+        meta["pixels"] = content[off : off + ch * w * h]
+        return meta
+    if content[:2] == b"BM":
+        meta = decode_image(content)
+        data_off = struct.unpack_from("<I", content, 10)[0]
+        w, h = meta["width"], meta["height"]
+        raw_h = struct.unpack_from("<Iii", content, 14)[2]
+        top_down = raw_h < 0
+        row_bytes, row_pad = 3 * w, (-3 * w) % 4
+        rows = []
+        pos = data_off
+        for _ in range(h):
+            row = content[pos : pos + row_bytes]
+            rgb = bytearray()
+            for c in range(w):
+                rgb += bytes(
+                    (row[3 * c + 2], row[3 * c + 1], row[3 * c])
+                )
+            rows.append(bytes(rgb))
+            pos += row_bytes + row_pad
+        if not top_down:
+            rows.reverse()
+        meta["pixels"] = b"".join(rows)
+        return meta
+    raise NotImplementedError("decode_pixels: unsupported container")
+
+
+RESIZE_PIXELS_SCHEMA = (
+    "doc_id long, img_format string, src_w int, src_h int, "
+    "dst_w int, dst_h int, pixel_sum long"
+)
+
+
+def resize_images(df: DataFrame) -> DataFrame:
+    """REAL pixel resampling on the multimodal execution shape:
+    decode each container's samples (:func:`decode_pixels`), halve
+    each side with nearest-neighbor sampling (``src = (dst * src_len)
+    // dst_len`` — pure integer arithmetic, so the oracle recomputes
+    the resampled checksum exactly from the synthetic pixel formula),
+    and emit geometry + the resampled pixel checksum. numpy fancy
+    indexing does the gather per image; batches flow through Arrow
+    ``mapInPandas`` like every other media stage. ``resize_meta``
+    remains the metadata-only planner twin."""
+    import numpy as np
+
+    def rz(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "img_format", "src_w", "src_h", "dst_w",
+                "dst_h", "pixel_sum")}
+            for did, blob in zip(pdf["doc_id"], pdf["content"]):
+                d = decode_pixels(bytes(blob))
+                w, h, ch = d["width"], d["height"], d["channels"]
+                dw, dh = max(1, w // 2), max(1, h // 2)
+                px = np.frombuffer(d["pixels"], dtype=np.uint8).reshape(
+                    h, w, ch
+                )
+                sy = (np.arange(dh) * h) // dh
+                sx = (np.arange(dw) * w) // dw
+                small = px[sy][:, sx]
+                out["doc_id"].append(int(did))
+                out["img_format"].append(d["img_format"])
+                out["src_w"].append(w)
+                out["src_h"].append(h)
+                out["dst_w"].append(dw)
+                out["dst_h"].append(dh)
+                out["pixel_sum"].append(int(small.sum(dtype=np.int64)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "img_format": out["img_format"],
+                    "src_w": pd.Series(out["src_w"], dtype="int32"),
+                    "src_h": pd.Series(out["src_h"], dtype="int32"),
+                    "dst_w": pd.Series(out["dst_w"], dtype="int32"),
+                    "dst_h": pd.Series(out["dst_h"], dtype="int32"),
+                    "pixel_sum": pd.Series(out["pixel_sum"], dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(rz, schema=RESIZE_PIXELS_SCHEMA)
 
 
 def synth_pngs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:

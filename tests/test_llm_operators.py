@@ -674,3 +674,58 @@ def test_ngram_lm_scores_hand_computed(spark):
     assert rows[2]["n_bigrams"] == 1  # normalization strips ',' '!'
     assert rows[2]["avg_surprisal"] == round(s_ab / 1e6, 6)
     assert rows[3]["n_bigrams"] == 0 and rows[3]["avg_surprisal"] is None
+
+
+def test_decode_pixels_and_resize_images(spark):
+    """decode_pixels returns exact row-major samples for all four
+    containers (BMP requires undoing bottom-up BGR, which checksum
+    tests cannot catch), and resize_images' nearest-neighbor gather
+    matches the direct index formula through the Spark path."""
+    import numpy as np
+
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators.multimodal import (
+        decode_pixels,
+        encode_bmp,
+        encode_pgm,
+        encode_png,
+        encode_ppm,
+        resize_images,
+        synth_images,
+    )
+
+    for d in range(12):
+        w, h = d % 8 + 2, d % 6 + 2
+        ch = 3 if d % 3 != 2 else 1
+        pix = bytes((7 * i + d) % 256 for i in range(ch * w * h))
+        enc = (encode_ppm, encode_bmp, encode_pgm)[d % 3]
+        assert decode_pixels(enc(w, h, pix))["pixels"] == pix, (d, "pnm/bmp")
+        assert decode_pixels(encode_png(w, h, pix, ch))["pixels"] == pix
+
+    # top-down BMP (negative height) must NOT be row-flipped
+    import struct
+
+    pix = bytes(range(18))
+    blob = bytearray(encode_bmp(3, 2, pix))
+    # stored bottom-up: flip stored rows + mark height negative ->
+    # logical image identical
+    data_off = struct.unpack_from("<I", bytes(blob), 10)[0]
+    rows = [bytes(blob[data_off + 12 * r : data_off + 12 * r + 12])
+            for r in range(2)]
+    blob[data_off:data_off + 24] = rows[1] + rows[0]
+    blob[22:26] = struct.pack("<i", -2)
+    assert decode_pixels(bytes(blob))["pixels"] == pix
+
+    # Spark path: resampled checksum equals the direct formula
+    docs = spark.range(0, 40).withColumnRenamed("id", "doc_id")
+    got = {r["doc_id"]: r for r in
+           resize_images(synth_images(docs)).collect()}
+    for d in range(40):
+        w, h = d % 8 + 2, d % 6 + 2
+        ch = 3 if d % 3 != 2 else 1
+        dw, dh = max(1, w // 2), max(1, h // 2)
+        expect = sum(
+            (7 * ((((y * h) // dh) * w + ((x * w) // dw)) * ch + c) + d)
+            % 256
+            for y in range(dh) for x in range(dw) for c in range(ch))
+        r = got[d]
+        assert (r["dst_w"], r["dst_h"], r["pixel_sum"]) == (dw, dh, expect)
