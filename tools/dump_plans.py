@@ -172,10 +172,36 @@ def llm_queries_section():
         ),
         "text_repeated_spans": (
             L.text_repeated_spans,
-            "ExactSubstr coverage: positional-gram explode (map-only), "
-            "one count shuffle on gram, candidate join back on gram "
-            "(AQE decides — both sides corpus-sized at web scale), one "
-            "doc_id window for the islands merge. No all-pairs stage.",
+            "ExactSubstr coverage, r6 lead-window formulation: one "
+            "tokenize per doc, positional-token explode (map-only), "
+            "k-gram assembly via lead() windows on doc_id (whole-stage "
+            "codegen — the former transform() lambda was CodegenFallback "
+            "and InferFiltersFromGenerate re-ran the tokenizer per gram "
+            "element, 30+ min at 10x), one count shuffle on gram, "
+            "candidate join back on gram (AQE decides), islands merge "
+            "reuses the doc_id shuffle. No all-pairs stage.",
+        ),
+        # round-6 additions
+        "text_ngram_lm_score": (
+            L.text_ngram_lm_score,
+            "Bigram-LM surprisal: map-side-combined unigram/bigram "
+            "counts, scoring joins keyed on the gram (corpus-sized, AQE "
+            "decides), 1-row vocabulary scalar broadcast, exact "
+            "integer micro-unit aggregation per doc.",
+        ),
+        "ann_ivfpq_topk": (
+            L.ann_ivfpq_topk,
+            "IVF-PQ composed: broadcast centroid probe restricts the "
+            "code stream via two keyed equi-joins (vec_id, centroid_id), "
+            "broadcast (query, subspace, code) LUT, map-side-combined "
+            "(query, vec) partial sums, keyed exact-rerank join. "
+            "Stored vectors read only for the shortlist.",
+        ),
+        "multimodal_resize_pixels": (
+            L.multimodal_resize_pixels,
+            "Arrow mapInPandas chain (synthesize -> decode -> numpy "
+            "nearest-neighbor gather) — partition-parallel, zero "
+            "exchanges, blobs never leave the executor.",
         ),
         "range_join_event_windows": (
             R.range_join_event_windows,
