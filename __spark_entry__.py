@@ -173,6 +173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_ngram_lm_score": L.text_ngram_lm_score,
         "ann_ivfpq_topk": L.ann_ivfpq_topk,
         "multimodal_resize_pixels": L.multimodal_resize_pixels,
+        "text_bm25_topk": L.text_bm25_topk,
         # --- r05-window entries (driver-green r05) ---
         "text_repetition_scores": L.text_repetition_scores,
         "text_leakage_safe_split": L.text_leakage_safe_split,
@@ -2611,6 +2612,63 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(p.n_bigrams, 0) AS n_bigrams,
                    p.avg_surprisal
             FROM documents d LEFT JOIN per p USING (doc_id)
+        """,
+        "text_bm25_topk": f"""
+            WITH norm AS (
+              SELECT doc_id, string_split({_NORM.format(t='text')}, ' ') AS w
+              FROM documents
+            ),
+            dl AS (
+              SELECT doc_id,
+                     CASE WHEN len(w) = 1 AND w[1] = '' THEN 0
+                          ELSE len(w) END AS dl
+              FROM norm
+            ),
+            stats AS (
+              SELECT count(*) AS N, sum(dl) AS sum_dl FROM dl
+            ),
+            toks AS (
+              SELECT doc_id, unnest(w) AS term FROM norm
+            ),
+            tf AS (
+              SELECT doc_id, term, count(*) AS tf FROM toks
+              WHERE term IN ('hash', 'join', 'vector')
+              GROUP BY doc_id, term
+            ),
+            dfreq AS (
+              SELECT term, count(*) AS df_t FROM tf GROUP BY term
+            ),
+            idf AS (
+              SELECT term,
+                     CAST(round(ln(1.0 + (N - df_t + 0.5) / (df_t + 0.5))
+                                * 1000000.0) AS BIGINT) AS idf_micro
+              FROM dfreq CROSS JOIN stats
+            ),
+            contrib AS (
+              SELECT tf.doc_id,
+                     CAST(round(
+                       CAST(idf_micro AS DOUBLE)
+                       * (tf * 2.2)
+                       / (tf + 1.2 * (0.25
+                            + 0.75 * dl
+                              / (CAST(sum_dl AS DOUBLE) / N)))
+                     ) AS BIGINT) AS contrib_micro
+              FROM tf
+              JOIN dl ON dl.doc_id = tf.doc_id
+              CROSS JOIN stats
+              JOIN idf ON idf.term = tf.term
+            ),
+            scored AS (
+              SELECT doc_id,
+                     round(CAST(sum(contrib_micro) AS DOUBLE)
+                           / 1000000.0, 6) AS bm25,
+                     CAST(count(*) AS BIGINT) AS n_matched_terms
+              FROM contrib GROUP BY doc_id
+            )
+            SELECT doc_id, bm25, n_matched_terms
+            FROM scored
+            ORDER BY bm25 DESC, doc_id ASC
+            LIMIT 15
         """,
         "multimodal_resize_pixels": """
             WITH dims AS (

@@ -148,6 +148,7 @@ HEADLINE = {
     "text_ngram_lm_score": L.text_ngram_lm_score,
     "ann_ivfpq_topk": L.ann_ivfpq_topk,
     "multimodal_resize_pixels": L.multimodal_resize_pixels,
+    "text_bm25_topk": L.text_bm25_topk,
 }
 
 # the 14 queries recorded since round 1 — their sum is the anchored

@@ -1915,6 +1915,15 @@ def text_token_rarity(spark, sf_dir):
     return TX.token_rarity(_docs(spark, sf_dir))
 
 
+def text_bm25_topk(spark, sf_dir):
+    """Okapi BM25 top-k retrieval (text.bm25_topk) for the fixed
+    query {hash, join, vector} — the lexical half of hybrid search
+    next to the ANN operators. IDF is the always-positive Lucene
+    variant; per-term contributions quantize to integer micro-units
+    before the per-doc sum so the oracle replays the score exactly."""
+    return TX.bm25_topk(_docs(spark, sf_dir), ["hash", "join", "vector"], k=15)
+
+
 def text_ngram_lm_score(spark, sf_dir):
     """CCNet-style bigram-LM surprisal per document
     (text.ngram_lm_scores): add-one-smoothed self-trained bigram LM,

@@ -635,6 +635,107 @@ def ngram_lm_scores(
     )
 
 
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Okapi BM25 ranked retrieval over the corpus (Robertson et al.;
+    the Lucene-variant IDF ``ln(1 + (N - df + 0.5)/(df + 0.5))``,
+    which is always positive). The classic lexical-retrieval scorer —
+    the counterpart of the TF-IDF profile for "find training docs
+    about X" curation queries and the standard hybrid-search partner
+    of the ANN operators.
+
+    Plan: one tokenize + explode pass; term frequencies for the
+    (tiny, fixed) query-term set come from a filtered aggregation,
+    document frequencies and ``avgdl`` from 1-row / per-term scalar
+    aggregations that BROADCAST back onto the tf stream; the final
+    top-k is one TakeOrderedAndProject. Nothing corpus-sized ever
+    sits on a build side.
+
+    Determinism: tf, dl, df, N are integers; avgdl is one exact
+    division; each term's score contribution is quantized to integer
+    micro-units BEFORE the per-doc sum (the ngram_lm_scores recipe),
+    so the cross-engine sum is exact and only ln's final ulp could
+    ever flip a 6th decimal (~1e-10/value measured risk).
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = sorted(set(query_terms))
+
+    toked = df.select(
+        F.col(id_col).alias("doc_id"), words(text_col).alias("_w")
+    )
+    w = F.col("_w")
+    dl = toked.select(
+        "doc_id",
+        F.when(
+            (F.size(w) == 1) & (F.element_at(w, 1) == ""), F.lit(0)
+        ).otherwise(F.size(w)).alias("dl"),
+    )
+    stats = dl.agg(
+        F.count("*").alias("N"), F.sum("dl").alias("sum_dl")
+    )
+    toks = toked.select(
+        "doc_id", F.explode(w).alias("term")
+    ).filter(F.col("term").isin(terms))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(
+        F.count("*").alias("df_t")
+    )
+    idf = (
+        dfreq.crossJoin(F.broadcast(stats))
+        .select(
+            "term",
+            F.round(
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("N") - F.col("df_t") + F.lit(0.5))
+                    / (F.col("df_t") + F.lit(0.5))
+                )
+                * F.lit(1_000_000.0)
+            ).cast("long").alias("idf_micro"),
+        )
+    )
+    norm = (
+        tf.join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .join(F.broadcast(idf), "term")
+        .withColumn("avgdl", F.col("sum_dl").cast("double") / F.col("N"))
+        .withColumn(
+            "contrib_micro",
+            F.round(
+                F.col("idf_micro").cast("double")
+                * (F.col("tf") * F.lit(k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (
+                        F.lit(1.0 - b)
+                        + F.lit(b) * F.col("dl") / F.col("avgdl")
+                    )
+                )
+            ).cast("long"),
+        )
+    )
+    scored = norm.groupBy("doc_id").agg(
+        F.round(
+            F.sum("contrib_micro").cast("double") / F.lit(1_000_000.0), 6
+        ).alias("bm25"),
+        F.count("*").cast("long").alias("n_matched_terms"),
+    )
+    return (
+        scored.orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", "bm25", "n_matched_terms")
+    )
+
+
 def repeated_span_coverage(
     df: DataFrame,
     text_col: str = "text",

@@ -729,3 +729,35 @@ def test_decode_pixels_and_resize_images(spark):
             for y in range(dh) for x in range(dw) for c in range(ch))
         r = got[d]
         assert (r["dst_w"], r["dst_h"], r["pixel_sum"]) == (dw, dh, expect)
+
+
+def test_bm25_hand_computed(spark):
+    """BM25 against the replicated formula on a 4-doc corpus with
+    known tf/df/dl — covers multi-term sum, the always-positive
+    Lucene IDF, and the (score desc, doc_id) tie order."""
+    import math
+
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators.text import (
+        bm25_topk,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "hash join hash"), (2, "join scan"), (3, "vector"),
+         (4, "other words here")],
+        "doc_id long, text string",
+    )
+    rows = bm25_topk(df, ["hash", "join", "vector"], k=10).collect()
+    got = {r["doc_id"]: (r["bm25"], r["n_matched_terms"]) for r in rows}
+
+    N, avgdl = 4, 9 / 4
+    def idf_micro(dft):
+        return round(math.log(1.0 + (N - dft + 0.5) / (dft + 0.5)) * 1e6)
+    def contrib(dft, tf, dl, k1=1.2, b=0.75):
+        return round(idf_micro(dft) * (tf * (k1 + 1))
+                     / (tf + k1 * (1 - b + b * dl / avgdl)))
+    exp1 = round((contrib(1, 2, 3) + contrib(2, 1, 3)) / 1e6, 6)
+    exp2 = round(contrib(2, 1, 2) / 1e6, 6)
+    exp3 = round(contrib(1, 1, 1) / 1e6, 6)
+    assert got == {1: (exp1, 2), 2: (exp2, 1), 3: (exp3, 1)}
+    assert [r["doc_id"] for r in rows] == sorted(
+        got, key=lambda d: (-got[d][0], d))

@@ -329,6 +329,9 @@ def test_brute_baselines_are_the_only_all_pairs_plans(spark, sf_dir):
         # the scored bigram stream; gram-count joins are keyed
         # equi-joins on (w1, w2) / w1
         "text_ngram_lm_score",
+        # BM25: the 1-row (N, sum_dl) corpus-stats scalar broadcast;
+        # tf/idf joins are keyed equi-joins on term / doc_id
+        "text_bm25_topk",
     }
     # Queries whose construction performs writes/iterative jobs; their
     # plan hygiene is asserted by dedicated tests.
