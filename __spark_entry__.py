@@ -174,6 +174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfpq_topk": L.ann_ivfpq_topk,
         "multimodal_resize_pixels": L.multimodal_resize_pixels,
         "text_bm25_topk": L.text_bm25_topk,
+        "bpe_encode_tokens": L.bpe_encode_tokens,
         # --- r05-window entries (driver-green r05) ---
         "text_repetition_scores": L.text_repetition_scores,
         "text_leakage_safe_split": L.text_leakage_safe_split,
@@ -500,13 +501,11 @@ def _zorder_oracle() -> str:
     """
 
 
-def _bpe_oracle(num_merges: int = 6) -> str:
-    """Replay operators/bpe.py's merge rounds as chained DuckDB CTEs:
-    round r counts adjacent symbol pairs over the word-frequency
-    table w{r-1}, takes the (count desc, pair asc) argmax b{r}, and
-    applies it with the same delimiter-safe replace. The merge
-    decision is inherently sequential, so the oracle is GENERATED —
-    one CTE block per round."""
+def _bpe_rounds_cte(num_merges: int = 6) -> str:
+    """The shared WITH-chain replaying operators/bpe.py's merge
+    rounds (w0 word table, p{r} pair counts, b{r} argmax, pat{r}
+    replace patterns, w{r} fixpoint-merged table) — the prefix of
+    both the merge-list oracle and the encode oracle."""
     parts = [
         """
         WITH w0 AS MATERIALIZED (
@@ -556,12 +555,59 @@ def _bpe_oracle(num_merges: int = 6) -> str:
                         (SELECT rep FROM pat{r})) = sym
         )"""
         )
+    return "".join(parts)
+
+
+def _bpe_oracle(num_merges: int = 6) -> str:
+    """Merge-list oracle: the round chain, then one row per merge.
+    The merge decision is inherently sequential, so the oracle is
+    GENERATED — one CTE block per round."""
     selects = " UNION ALL ".join(
         f"SELECT {r} AS rank, l AS \"left\", r AS \"right\", "
         f"l || r AS merged, cnt AS pair_count FROM b{r}"
         for r in range(1, num_merges + 1)
     )
-    return "".join(parts) + f" SELECT * FROM ({selects}) ORDER BY rank"
+    return (
+        _bpe_rounds_cte(num_merges)
+        + f" SELECT * FROM ({selects}) ORDER BY rank"
+    )
+
+
+def _bpe_encode_oracle(num_merges: int = 6) -> str:
+    """Encode oracle: learn the merges (same round chain), then
+    segment every document by applying each merge as ONE
+    left-to-right non-overlapping replace per word — the exact
+    semantics of bpe.bpe_segment's expression chain (single pass per
+    merge, no fixpoint). Emits order-sensitive evidence: token count
+    and an md5 fingerprint of the full in-order token stream."""
+    pat_cols = ", ".join(
+        f"pat{r}.pat AS p{r}, pat{r}.rep AS q{r}"
+        for r in range(1, num_merges + 1)
+    )
+    pat_from = ", ".join(f"pat{r}" for r in range(1, num_merges + 1))
+    chain = "' ' || array_to_string(regexp_extract_all(w, '.'), ' ') || ' </w> '"
+    for r in range(1, num_merges + 1):
+        chain = f"replace({chain}, p{r}, q{r})"
+    return (
+        _bpe_rounds_cte(num_merges)
+        + f"""
+        , pats AS MATERIALIZED (SELECT {pat_cols} FROM {pat_from})
+        , segged AS (
+          SELECT doc_id, words,
+                 flatten(list_transform(words,
+                   w -> string_split(trim({chain}), ' '))) AS flat
+          FROM (SELECT doc_id,
+                       regexp_extract_all(lower(text), '[a-z]+') AS words
+                FROM documents)
+          CROSS JOIN pats
+        )
+        SELECT doc_id,
+               CAST(len(words) AS BIGINT) AS n_words,
+               CAST(len(flat) AS BIGINT) AS n_tokens,
+               md5(array_to_string(flat, '|')) AS token_fp
+        FROM segged
+        """
+    )
 
 
 def _semantic_dedup_oracle(eps: float = 0.4, n_centroids: int = 16) -> str:
@@ -2003,6 +2049,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY event_type
         """,
         "bpe_vocab_merges": _bpe_oracle(6),
+        "bpe_encode_tokens": _bpe_encode_oracle(6),
         "ann_pq_topk": _ann_pq_oracle(),
         "incremental_join_view": """
             SELECT c_mktsegment,

@@ -149,6 +149,7 @@ HEADLINE = {
     "ann_ivfpq_topk": L.ann_ivfpq_topk,
     "multimodal_resize_pixels": L.multimodal_resize_pixels,
     "text_bm25_topk": L.text_bm25_topk,
+    "bpe_encode_tokens": L.bpe_encode_tokens,
 }
 
 # the 14 queries recorded since round 1 — their sum is the anchored

@@ -750,6 +750,34 @@ def bpe_vocab_merges(spark, sf_dir):
     )
 
 
+def bpe_encode_tokens(spark, sf_dir):
+    """Tokenizer APPLICATION closing the BPE loop (bpe.bpe_segment):
+    learn 6 merges over the corpus (bpe_learn — one bounded driver
+    argmax per round, the inherently sequential decision), then
+    segment every document map-only by composing the merges as
+    delimiter-safe JVM replaces. Evidence is order-sensitive: per-doc
+    word/token counts plus an md5 fingerprint of the in-order token
+    stream, so a segmentation that merges the wrong pair, the wrong
+    occurrence, or re-orders tokens hash-mismatches. The oracle
+    replays learning (the bpe_vocab_merges CTE chain) AND the
+    single-pass-per-merge segmentation."""
+    from .bpe import bpe_learn, bpe_segment
+
+    docs = _docs(spark, sf_dir)
+    merges = [
+        (r["rank"], r["left"], r["right"], r["merged"], r["pair_count"])
+        for r in bpe_learn(spark, docs, "text", num_merges=6).collect()
+    ]
+    seg = bpe_segment(docs.select("doc_id", "text"), "text", merges)
+    flat = F.flatten("tokens")
+    return seg.select(
+        "doc_id",
+        F.size("tokens").cast("long").alias("n_words"),
+        F.size(flat).cast("long").alias("n_tokens"),
+        F.md5(F.concat_ws("|", flat)).alias("token_fp"),
+    )
+
+
 def partition_evolution_scan(spark, sf_dir):
     """Partition-spec evolution end-to-end (Iceberg's flagship
     metadata move; lakehouse/table.py evolve_partition_spec): batch 1

@@ -112,3 +112,52 @@ def test_word_frequencies_is_word_level(spark):
         for r in word_frequencies(_docs(spark, ["a a a b"])).collect()
     }
     assert wf == {" a </w> ": 3, " b </w> ": 1}
+
+
+def test_bpe_encode_tokens_fingerprint_is_order_sensitive(spark):
+    """Segmentation evidence must be order-sensitive: applying the
+    learned merges to a tiny corpus reproduces the hand-derived
+    token streams, and swapping two tokens changes the fingerprint."""
+    import hashlib
+
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators.bpe import (
+        bpe_learn,
+        bpe_segment,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "low lower lowest"), (2, "low low")],
+        "doc_id long, text string",
+    )
+    merges = [
+        (r["rank"], r["left"], r["right"], r["merged"], r["pair_count"])
+        for r in bpe_learn(spark, df, "text", num_merges=3).collect()
+    ]
+    seg = bpe_segment(df, "text", merges)
+    out = {
+        r["doc_id"]: r["fp"]
+        for r in seg.select(
+            "doc_id",
+            F.md5(F.concat_ws("|", F.flatten("tokens"))).alias("fp"),
+        ).collect()
+    }
+    # independently recompute: apply merges with python single-pass
+    # left-to-right replace semantics per word
+    def segment(text):
+        toks = []
+        import re
+
+        for w in re.findall("[a-z]+", text.lower()):
+            sym = " " + " ".join(w) + " </w> "
+            for _rk, l, rr, _m, _c in merges:
+                sym = sym.replace(f" {l} {rr} ", f" {l}{rr} ")
+            toks.extend(sym.split())
+        return toks
+
+    for did, text in [(1, "low lower lowest"), (2, "low low")]:
+        want = hashlib.md5("|".join(segment(text)).encode()).hexdigest()
+        assert out[did] == want, did
+    swapped = segment("low lower lowest")
+    swapped[0], swapped[1] = swapped[1], swapped[0]
+    assert out[1] != hashlib.md5("|".join(swapped).encode()).hexdigest()
