@@ -66,7 +66,8 @@ _CTAS = re.compile(
 # statement (scripts/bronze-silver.py:119). Matched only right after
 # FROM/JOIN so ``alias.history`` column refs are never touched.
 _META_REF = re.compile(
-    r"\b(FROM|JOIN)\s+((?:\w+\.)*\w+)\.(history|snapshots|files|refs|partitions)\b",
+    r"\b(FROM|JOIN)\s+((?:\w+\.)*\w+)"
+    r"\.(history|snapshots|files|refs|partitions|entries|manifests)\b",
     re.I,
 )
 # Iceberg-style time travel in statement text:

@@ -1979,6 +1979,78 @@ class Table:
             "file_size_in_bytes long",
         )
 
+    def manifests_df(self, spark: SparkSession) -> DataFrame:
+        """``<table>.manifests`` metadata table (Iceberg parity): one
+        row per retained manifest file — path, length, the snapshot
+        it records, and its added/existing/removed data-file counts
+        plus the live position-delete file count. The native format
+        keeps exactly one manifest JSON per snapshot (no reused
+        shards), so Iceberg's added/existing/deleted delete-file
+        triple collapses to one live count here."""
+        rows = []
+        for s in self.snapshots():
+            p = self.snap_root / f"v{s.version:08d}.json"
+            live = set(s.files)
+            added = len(live & set(s.added_files))
+            rows.append(
+                (
+                    str(p),
+                    p.stat().st_size if p.exists() else None,
+                    s.snapshot_id,
+                    added,
+                    len(live) - added,
+                    len(s.removed_files),
+                    len(s.delete_files),
+                )
+            )
+        return spark.createDataFrame(
+            rows,
+            "path string, length long, snapshot_id long, "
+            "added_data_files_count int, existing_data_files_count int, "
+            "deleted_data_files_count int, delete_files_count int",
+        )
+
+    def entries_df(self, spark: SparkSession) -> DataFrame:
+        """``<table>.entries`` metadata table: one manifest entry per
+        (status, file) of the CURRENT snapshot. ``status`` follows
+        the Iceberg enum (0 EXISTING / 1 ADDED / 2 DELETED),
+        ``sequence_number`` is the file's first-appearance snapshot
+        id (the same data sequence number the v2 export writes),
+        ``content`` 0 = data, 1 = position deletes. Removed files
+        whose bytes were already vacuumed report NULL record_count."""
+        snap = self.current_snapshot()
+        first_seq: dict[str, int] = {}
+        for s in self.snapshots():
+            for f in list(s.files) + list(s.delete_files):
+                first_seq.setdefault(f, s.snapshot_id)
+
+        def rows_of(f: str):
+            p = self.data_root / f
+            return _file_rows(p) if p.exists() else None
+
+        added = set(snap.added_files)
+        rows = []
+        for f in sorted(snap.files):
+            rows.append(
+                (1 if f in added else 0, snap.snapshot_id,
+                 first_seq.get(f, snap.snapshot_id), f, 0, rows_of(f))
+            )
+        for f in sorted(snap.delete_files):
+            rows.append(
+                (1, snap.snapshot_id,
+                 first_seq.get(f, snap.snapshot_id), f, 1, rows_of(f))
+            )
+        for f in sorted(snap.removed_files):
+            rows.append(
+                (2, snap.snapshot_id,
+                 first_seq.get(f, snap.snapshot_id), f, 0, rows_of(f))
+            )
+        return spark.createDataFrame(
+            rows,
+            "status int, snapshot_id long, sequence_number long, "
+            "file_path string, content int, record_count long",
+        )
+
     def partitions_df(self, spark: SparkSession) -> DataFrame:
         """``<table>.partitions`` metadata table (Iceberg parity):
         one row per live partition tuple with file/record/byte totals,

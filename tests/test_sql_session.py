@@ -580,3 +580,68 @@ def test_partitions_metadata_via_sql(spark, sess):
         "SELECT record_count, data_file_count FROM orders.partitions"
     ).collect()
     assert len(rows) == 1 and rows[0]["record_count"] == 2
+
+
+def test_entries_and_manifests_metadata_via_sql(spark, sess):
+    """`FROM t.entries` / `FROM t.manifests` complete the Iceberg
+    metadata-table family: entries carry the status enum
+    (0 EXISTING / 1 ADDED / 2 DELETED) with first-appearance sequence
+    numbers; manifests list one row per retained snapshot manifest
+    with its file-count summary."""
+    sess.sql("CREATE NAMESPACE IF NOT EXISTS meta_ns")
+    sess.sql("USE meta_ns")
+    t = sess.catalog.create_table("meta_ns", "ent", SCHEMA)
+    t.append(spark.createDataFrame([(1, "A", 1), (2, "B", 2)], SCHEMA))
+    t.append(spark.createDataFrame([(3, "C", 3)], SCHEMA))
+
+    ent = sess.sql(
+        "SELECT status, content, sequence_number, record_count "
+        "FROM ent.entries ORDER BY sequence_number, file_path"
+    ).collect()
+    snaps = t.snapshots()
+    # current snapshot: batch-1 files EXISTING with batch-1 seq,
+    # batch-2 files ADDED with batch-2 seq; no deletes
+    assert all(r["content"] == 0 for r in ent)
+    by_status = {}
+    for r in ent:
+        by_status.setdefault(r["status"], []).append(r)
+    assert sum(r["record_count"] for r in by_status[0]) == 2
+    assert sum(r["record_count"] for r in by_status[1]) == 1
+    assert all(
+        r["sequence_number"] == snaps[1].snapshot_id for r in by_status[0]
+    )
+    assert all(
+        r["sequence_number"] == snaps[2].snapshot_id for r in by_status[1]
+    )
+    assert 2 not in by_status
+
+    # a MERGE that rewrites batch-1 files shows DELETED entries
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.lakehouse import (
+        merge_into,
+    )
+
+    merge_into(
+        spark, t, spark.createDataFrame([(1, "A2", 9)], SCHEMA),
+        on="invoiceid",
+    )
+    ent2 = sess.sql(
+        "SELECT status, count(*) AS n, sum(record_count) AS rows "
+        "FROM ent.entries GROUP BY status ORDER BY status"
+    ).collect()
+    stat = {r["status"]: (r["n"], r["rows"]) for r in ent2}
+    assert 2 in stat  # the rewritten file appears as DELETED
+    assert 1 in stat  # and its replacement as ADDED
+
+    man = sess.sql(
+        "SELECT snapshot_id, added_data_files_count, "
+        "existing_data_files_count, deleted_data_files_count, length "
+        "FROM ent.manifests ORDER BY snapshot_id"
+    ).collect()
+    assert len(man) == len(t.snapshots())
+    assert all(r["length"] > 0 for r in man)
+    head = {s.snapshot_id: s for s in t.snapshots()}
+    for r in man:
+        s = head[r["snapshot_id"]]
+        assert r["added_data_files_count"] == len(
+            set(s.files) & set(s.added_files))
+        assert r["deleted_data_files_count"] == len(s.removed_files)
