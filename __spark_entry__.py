@@ -68,8 +68,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # names has a green driver row => union coverage 140/140.
     #
     # Tail (51+): remaining r04-window block in age order, then the
-    # r05-window entries (all driver-green on round-5 code). Any NEW
-    # round-6 queries append at the very end and lead the r07 window.
+    # NEW round-6 queries (which lead the r07 window), then the
+    # r05-window entries (all driver-green on round-5 code).
+    #
+    # r07 window plan (live registry 146 entries): the 6 round-6
+    # additions first (multimodal_decode_png, text_ngram_lm_score,
+    # ann_ivfpq_topk, multimodal_resize_pixels, text_bm25_topk,
+    # bpe_encode_tokens — all never driver-checked), then continue
+    # down the r04-window tail from dedup_minhash_lsh_pairs; 50 - 6
+    # = 44 slots for it. Re-count with len(list(queries())[50:])
+    # before freezing r07.
     return {
         # --- (1-36) never-driver-checked round-5 additions ---
         "q2_min_cost_supplier": R.q2_min_cost_supplier,

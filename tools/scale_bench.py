@@ -89,6 +89,14 @@ QUERIES = {
         fromlist=["dedup"],
     ).semantic_dedup(R.load(spark, sf_dir, "embeddings"), eps=0.4, dim=64),
     "range_join_event_windows": R.range_join_event_windows,
+    # round-6 additions: PNG decode chain, bigram-LM scoring, BM25,
+    # composed IVF-PQ, pixel resampling, BPE encode
+    "multimodal_decode_png": L.multimodal_decode_png,
+    "text_ngram_lm_score": L.text_ngram_lm_score,
+    "text_bm25_topk": L.text_bm25_topk,
+    "ann_ivfpq_topk": L.ann_ivfpq_topk,
+    "multimodal_resize_pixels": L.multimodal_resize_pixels,
+    "bpe_encode_tokens": L.bpe_encode_tokens,
 }
 
 
