@@ -644,3 +644,38 @@ def test_external_spec_reader_reconstructs_current_rows(spark, tmp_path):
     dest_d = export_iceberg_dir(td, tmp_path / "exp_d")
     assert ext_rows(dest_d, cols_c) == rows_of(td.read(spark), cols_c)
     assert len(ext_rows(dest_d, cols_c)) == 6
+
+
+def test_external_spec_reader_across_partition_evolution(spark, tmp_path):
+    """The exported per-spec manifests (an Avro manifest's partition
+    record type is fixed by its spec) must remain readable by the
+    pure-spec protocol AFTER an identity -> bucket spec evolution:
+    batch-1 files carry identity partition records (re-injected),
+    batch-2 files carry bucket records (derived; source column stays
+    in the file)."""
+    from pyspark.sql import types as T2
+
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.lakehouse.iceberg_compat import (
+        export_iceberg_dir,
+        read_exported_table,
+    )
+
+    sch = T2.StructType.fromDDL("k long, p string, v double")
+    cat = Catalog(tmp_path / "wh_pe")
+    t = cat.create_table("d", "pe", sch, partition_by=["p"])
+    t.append(spark.createDataFrame(
+        [(i, "ab"[i % 2], float(i)) for i in range(8)], sch))
+    t.evolve_partition_spec(["bucket(4, k)"])
+    t.append(spark.createDataFrame(
+        [(100 + i, "c", 100.0 + i) for i in range(6)], sch))
+
+    dest = export_iceberg_dir(t, tmp_path / "exp_pe")
+    pdf = read_exported_table(dest)
+    got = sorted(
+        (int(r.k), r.p, float(r.v)) for r in pdf.itertuples(index=False)
+    )
+    want = sorted(
+        (r["k"], r["p"], r["v"])
+        for r in t.read(spark).collect()
+    )
+    assert got == want and len(got) == 14

@@ -203,6 +203,22 @@ def llm_queries_section():
             "nearest-neighbor gather) — partition-parallel, zero "
             "exchanges, blobs never leave the executor.",
         ),
+        "text_bm25_topk": (
+            L.text_bm25_topk,
+            "One tokenize + filtered explode; df/avgdl as 1-row and "
+            "per-term scalar broadcasts back onto the tf stream; "
+            "integer micro-unit contributions summed exactly; final "
+            "top-k is TakeOrderedAndProject. Nothing corpus-sized on "
+            "a build side.",
+        ),
+        "bpe_encode_tokens": (
+            L.bpe_encode_tokens,
+            "Learning: bounded sequential driver argmax over the "
+            "distinct-word table (6 rounds). Application: map-only — "
+            "the merge chain composes as 6 nested delimiter-safe JVM "
+            "replaces inside one projection; zero exchanges after "
+            "the word-frequency aggregation.",
+        ),
         "range_join_event_windows": (
             R.range_join_event_windows,
             "KEYLESS interval containment: the epoch bucket is the "
