@@ -183,6 +183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_resize_pixels": L.multimodal_resize_pixels,
         "text_bm25_topk": L.text_bm25_topk,
         "bpe_encode_tokens": L.bpe_encode_tokens,
+        "sample_weighted_by_source": L.sample_weighted_by_source,
         # --- r05-window entries (driver-green r05) ---
         "text_repetition_scores": L.text_repetition_scores,
         "text_leakage_safe_split": L.text_leakage_safe_split,
@@ -2667,6 +2668,25 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(p.n_bigrams, 0) AS n_bigrams,
                    p.avg_surprisal
             FROM documents d LEFT JOIN per p USING (doc_id)
+        """,
+        "sample_weighted_by_source": """
+            WITH t AS (
+              SELECT doc_id, source, n_chars,
+                     CAST(round(
+                       ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                           1, 15))::BIGINT + 1)
+                          / 1152921504606846976.0)
+                       / n_chars * 1000000.0) AS BIGINT) AS km
+              FROM documents
+              WHERE n_chars IS NOT NULL AND n_chars > 0
+            )
+            SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
+            FROM (
+              SELECT doc_id, source, n_chars,
+                     row_number() OVER (PARTITION BY source
+                       ORDER BY km DESC, doc_id) AS rn
+              FROM t)
+            WHERE rn <= 5
         """,
         "text_bm25_topk": f"""
             WITH norm AS (

@@ -150,6 +150,7 @@ HEADLINE = {
     "multimodal_resize_pixels": L.multimodal_resize_pixels,
     "text_bm25_topk": L.text_bm25_topk,
     "bpe_encode_tokens": L.bpe_encode_tokens,
+    "sample_weighted_by_source": L.sample_weighted_by_source,
 }
 
 # the 14 queries recorded since round 1 — their sum is the anchored

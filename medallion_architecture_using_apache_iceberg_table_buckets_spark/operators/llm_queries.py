@@ -1445,6 +1445,19 @@ def sample_mixture_documents(spark, sf_dir):
     )
 
 
+def sample_weighted_by_source(spark, sf_dir):
+    """Weight-proportional sampling without replacement
+    (sampling.sample_weighted, Efraimidis-Spirakis A-ES): the 5 docs
+    per source drawn with probability proportional to n_chars —
+    "keep a size-biased per-source sample, reproducibly". The A-ES
+    key ln(u)/w ranks md5-derived uniforms, quantized to integer
+    micro-units so the oracle replays the draw exactly."""
+    d = _docs(spark, sf_dir)
+    return SA.sample_weighted(
+        d, "n_chars", k=5, by=["source"], key_col="doc_id"
+    ).select("doc_id", "source", F.col("n_chars").cast("long").alias("n_chars"))
+
+
 BOILER_FOOTER = " all rights reserved share this page contact us"
 
 

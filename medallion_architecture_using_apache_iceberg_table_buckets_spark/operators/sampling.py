@@ -114,3 +114,60 @@ def sample_mixture(
     thr = thresholds[F.col(domain_col)]
     # null threshold (unlisted domain) compares to null -> filter drops
     return df.filter(hash_draw(F.col(key_col)) < thr)
+
+
+def sample_weighted(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    by: list[str] | None = None,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Weighted sampling without replacement: the ``k`` rows (per
+    ``by`` group, or globally) chosen with probability proportional
+    to ``weight_col`` — Efraimidis-Spirakis A-ES reservoir keys,
+    ranked deterministically instead of streamed (Efraimidis &
+    Spirakis 2006: each row draws u ~ U(0,1] and the top-k by
+    u^(1/w) IS a weight-proportional sample without replacement).
+    The curation use: "keep the best-k docs per source, biased by
+    quality score, reproducibly".
+
+    Determinism: u derives from the md5 hash draw (never an RNG), and
+    the ranking key is ``ln(u)/w`` (monotone in u^(1/w)) quantized to
+    integer micro-units — cross-engine exact modulo ln's final ulp,
+    ties broken by key. Rows with weight <= 0 or NULL are excluded
+    (zero-weight rows are unsampleable by definition).
+
+    Plan: one window shuffle on the group key (global k uses a
+    single TakeOrderedAndProject instead — no single-partition
+    window). The hash draw and key arithmetic are scan-local.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    # u in (0, 1]: (draw + 1) / HASH_SPACE over the 60-bit space
+    u = (hash_draw(F.col(key_col)) + F.lit(1)).cast("double") / F.lit(
+        float(HASH_SPACE)
+    )
+    # A-ES key ln(u)/w: maximizing u^(1/w) == maximizing ln(u)/w
+    # (ln(u) <= 0); quantize BEFORE ranking so both engines rank the
+    # same integers
+    key_micro = F.round(
+        F.log(u) / F.col(weight_col) * F.lit(1_000_000.0)
+    ).cast("long")
+    base = df.filter(
+        F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
+    ).withColumn("_aes_micro", key_micro)
+    if by:
+        w = Window.partitionBy(*by).orderBy(
+            F.desc("_aes_micro"), F.col(key_col)
+        )
+        return (
+            base.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .drop("_rn", "_aes_micro")
+        )
+    return (
+        base.orderBy(F.desc("_aes_micro"), F.col(key_col))
+        .limit(k)
+        .drop("_aes_micro")
+    )

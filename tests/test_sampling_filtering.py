@@ -207,3 +207,42 @@ def test_leakage_safe_split_coassigns_duplicates(spark):
         ).collect()
     }
     assert any(naive[i] != naive[1000 + i] for i in range(60))
+
+
+def test_sample_weighted_aes_invariants(spark):
+    """A-ES weighted sampling: a dominant weight wins the k=1 draw,
+    zero/NULL weights are unsampleable, per-group quotas hold, and
+    the top-k set nests inside the top-(k+1) set (ranking a fixed
+    key list)."""
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators.sampling import (
+        sample_weighted,
+    )
+
+    rows = [(i, "g", 1.0) for i in range(1, 100)] + [(1000, "g", 1e9)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, w double")
+    got = sample_weighted(df, "w", k=1, by=["grp"]).collect()
+    assert [r["doc_id"] for r in got] == [1000]
+
+    mixed = spark.createDataFrame(
+        [(1, "a", 5.0), (2, "a", 0.0), (3, "a", None), (4, "a", 2.0),
+         (5, "b", 1.0)],
+        "doc_id long, grp string, w double",
+    )
+    out = sample_weighted(mixed, "w", k=2, by=["grp"]).collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r["grp"], set()).add(r["doc_id"])
+    assert by_g["a"] == {1, 4}  # zero/NULL excluded, quota 2 of 2 valid
+    assert by_g["b"] == {5}
+
+    big = spark.createDataFrame(
+        [(i, "g", float(1 + i % 7)) for i in range(200)],
+        "doc_id long, grp string, w double",
+    )
+    k3 = {r["doc_id"] for r in sample_weighted(big, "w", k=3, by=["grp"]).collect()}
+    k4 = {r["doc_id"] for r in sample_weighted(big, "w", k=4, by=["grp"]).collect()}
+    assert len(k3) == 3 and len(k4) == 4 and k3 < k4
+
+    # global k (no grouping) uses the limit path
+    g2 = sample_weighted(big, "w", k=5).collect()
+    assert len(g2) == 5

@@ -211,6 +211,12 @@ def llm_queries_section():
             "top-k is TakeOrderedAndProject. Nothing corpus-sized on "
             "a build side.",
         ),
+        "sample_weighted_by_source": (
+            L.sample_weighted_by_source,
+            "Scan-local hash draw + quantized A-ES key, one window "
+            "shuffle on the group key; global k is a "
+            "TakeOrderedAndProject (no single-partition window).",
+        ),
         "bpe_encode_tokens": (
             L.bpe_encode_tokens,
             "Learning: bounded sequential driver argmax over the "

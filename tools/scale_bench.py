@@ -97,6 +97,7 @@ QUERIES = {
     "ann_ivfpq_topk": L.ann_ivfpq_topk,
     "multimodal_resize_pixels": L.multimodal_resize_pixels,
     "bpe_encode_tokens": L.bpe_encode_tokens,
+    "sample_weighted_by_source": L.sample_weighted_by_source,
 }
 
 
