@@ -950,15 +950,173 @@ def _ann_pq_oracle(
     """
 
 
+def _ann_ivfpq_oracle() -> str:
+    """IVF-PQ composed oracle: the ann_ivf coarse-quantizer CTEs
+    (seeds/assign/Lloyd/lists/probes) + the ann_pq codebook/codes/LUT
+    CTEs, ADC scoring restricted to the probed inverted lists, exact
+    rerank of the shortlist. Mirrors similarity.cosine_topk_ivfpq
+    with the registry configuration (16 lists, nprobe 4, 8 subspaces,
+    rerank 50)."""
+    return """
+    WITH e AS MATERIALIZED (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    params AS (SELECT greatest(1, count(*) // 16) AS step FROM e),
+    iseeds AS (
+      SELECT CAST(rk - 1 AS INTEGER) AS centroid_id, v AS cv FROM (
+        SELECT v, row_number() OVER (ORDER BY vec_id) AS rk
+        FROM e, params WHERE vec_id % step = 0)
+      WHERE rk <= 16
+    ),
+    iassign0 AS MATERIALIZED (
+      SELECT vec_id, v, centroid_id FROM (
+        SELECT r.vec_id, r.v, c.centroid_id,
+               row_number() OVER (PARTITION BY r.vec_id
+                 ORDER BY round(list_cosine_similarity(r.v, c.cv), 6)
+                          DESC, c.centroid_id ASC) AS rn
+        FROM e r CROSS JOIN iseeds c)
+      WHERE rn = 1
+    ),
+    icells AS (
+      SELECT centroid_id, CAST(t.range AS INTEGER) AS d,
+             v[t.range] AS x
+      FROM iassign0 CROSS JOIN range(1, 65) t
+    ),
+    cents AS MATERIALIZED (
+      SELECT centroid_id, list(m ORDER BY d) AS cv FROM (
+        SELECT centroid_id, d, round(avg(x), 6) AS m
+        FROM icells GROUP BY centroid_id, d)
+      GROUP BY centroid_id
+    ),
+    lists AS MATERIALIZED (
+      SELECT vec_id, centroid_id FROM (
+        SELECT r.vec_id, c.centroid_id,
+               row_number() OVER (PARTITION BY r.vec_id
+                 ORDER BY round(list_cosine_similarity(r.v, c.cv), 6)
+                          DESC, c.centroid_id ASC) AS rn
+        FROM e r CROSS JOIN cents c)
+      WHERE rn = 1
+    ),
+    probes AS MATERIALIZED (
+      SELECT query_id, centroid_id FROM (
+        SELECT q.vec_id AS query_id, c.centroid_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY round(list_cosine_similarity(q.v, c.cv), 6)
+                          DESC, c.centroid_id ASC) AS rn
+        FROM e q CROSS JOIN cents c WHERE q.vec_id < 10)
+      WHERE rn <= 4
+    ),
+    seed_ids AS MATERIALIZED (
+      SELECT seed_id, CAST(rk - 1 AS INTEGER) AS code FROM (
+        SELECT vec_id AS seed_id,
+               row_number() OVER (ORDER BY vec_id) AS rk
+        FROM e, params WHERE vec_id % step = 0)
+      WHERE rk <= 16
+    ),
+    subs AS MATERIALIZED (
+      SELECT vec_id, CAST(s.range AS INTEGER) AS subspace,
+             v[s.range * 8 + 1 : s.range * 8 + 8] AS sv
+      FROM e CROSS JOIN range(0, 8) s
+    ),
+    pseeds AS MATERIALIZED (
+      SELECT b.subspace, si.code, b.sv AS cv
+      FROM subs b JOIN seed_ids si ON b.vec_id = si.seed_id
+    ),
+    passign0 AS MATERIALIZED (
+      SELECT vec_id, subspace, code, sv FROM (
+        SELECT b.vec_id, b.subspace, c.code, b.sv,
+               row_number() OVER (PARTITION BY b.vec_id, b.subspace
+                 ORDER BY round(list_sum(list_transform(list_zip(b.sv, c.cv), z -> (z[1]-z[2])*(z[1]-z[2]))), 6) ASC, c.code ASC) AS rn
+        FROM subs b JOIN pseeds c ON c.subspace = b.subspace)
+      WHERE rn = 1
+    ),
+    pcells AS (
+      SELECT subspace, code, CAST(t.range AS INTEGER) AS d,
+             sv[t.range] AS x
+      FROM passign0 CROSS JOIN range(1, 9) t
+    ),
+    codebooks AS MATERIALIZED (
+      SELECT subspace, code, list(m ORDER BY d) AS cv FROM (
+        SELECT subspace, code, d, round(avg(x), 6) AS m
+        FROM pcells GROUP BY subspace, code, d)
+      GROUP BY subspace, code
+    ),
+    codes AS MATERIALIZED (
+      SELECT vec_id, subspace, code FROM (
+        SELECT b.vec_id, b.subspace, c.code,
+               row_number() OVER (PARTITION BY b.vec_id, b.subspace
+                 ORDER BY round(list_sum(list_transform(list_zip(b.sv, c.cv), z -> (z[1]-z[2])*(z[1]-z[2]))), 6) ASC, c.code ASC) AS rn
+        FROM subs b JOIN codebooks c ON c.subspace = b.subspace)
+      WHERE rn = 1
+    ),
+    q AS MATERIALIZED (
+      SELECT vec_id AS query_id, v,
+             round(sqrt(list_sum(list_transform(v, x -> x * x))), 6)
+               AS qnorm
+      FROM e WHERE vec_id < 10
+    ),
+    qsubs AS (
+      SELECT query_id, qnorm, CAST(s.range AS INTEGER) AS subspace,
+             v[s.range * 8 + 1 : s.range * 8 + 8] AS qsv
+      FROM q CROSS JOIN range(0, 8) s
+    ),
+    lut AS MATERIALIZED (
+      SELECT query_id, qnorm, c.subspace, c.code,
+             CAST(round(list_sum(list_transform(list_zip(qsv, c.cv),
+                    z -> z[1] * z[2])), 6) AS DECIMAL(18,6)) AS pdot,
+             CAST(round(list_sum(list_transform(list_zip(c.cv, c.cv),
+                    z -> z[1] * z[2])), 6) AS DECIMAL(18,6)) AS cn2
+      FROM qsubs JOIN codebooks c ON c.subspace = qsubs.subspace
+    ),
+    scored AS MATERIALIZED (
+      SELECT p.query_id, lut.qnorm, co.vec_id,
+             CAST(sum(lut.pdot) AS DOUBLE) AS sdot,
+             CAST(sum(lut.cn2) AS DOUBLE) AS scn2
+      FROM codes co
+      JOIN lists li ON li.vec_id = co.vec_id
+      JOIN probes p ON p.centroid_id = li.centroid_id
+      JOIN lut ON lut.query_id = p.query_id
+              AND lut.subspace = co.subspace AND lut.code = co.code
+      WHERE p.query_id <> co.vec_id
+      GROUP BY 1, 2, 3
+    ),
+    shortlist AS MATERIALIZED (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY round(sdot / (qnorm * sqrt(scn2)), 4) DESC,
+                          vec_id ASC) AS rnk
+        FROM scored)
+      WHERE rnk <= 50
+    )
+    SELECT query_id, neighbor_id, cos_sim, rnk FROM (
+      SELECT s.query_id, s.vec_id AS neighbor_id,
+             round(list_cosine_similarity(q.v, e2.v), 4) AS cos_sim,
+             CAST(row_number() OVER (PARTITION BY s.query_id
+               ORDER BY round(list_cosine_similarity(q.v, e2.v), 4)
+                          DESC,
+                        s.vec_id ASC) AS INTEGER) AS rnk
+      FROM shortlist s
+      JOIN e e2 ON e2.vec_id = s.vec_id
+      JOIN q ON q.query_id = s.query_id)
+    WHERE rnk <= 5
+    ORDER BY query_id, rnk
+        """
+
+
 def _ann_recall_oracle(k: int = 5) -> str:
-    """Recall@k oracle composed from the three exact ANN mirrors:
-    brute ground truth, LSH, and IVF all recomputed in SQL, then the
-    same hit counting the Spark query does. Floors mirror
+    """Recall@k oracle composed from the exact ANN mirrors: brute
+    ground truth plus LSH, IVF, PQ, and IVF-PQ all recomputed in
+    SQL (the pq/ivfpq full oracles nest as derived tables, their
+    inner WITH scopes shadowing cleanly), then the same hit counting
+    the Spark query does. Floors mirror
     llm_queries.ANN_RECALL_FLOOR."""
     return f"""
     WITH brute AS ({_BRUTE_TOPK_PAIRS}),
     lshq AS ({_ann_lsh_oracle(k=k)}),
     ivfq AS ({_ann_ivf_oracle(k=k)}),
+    pqq AS (SELECT query_id, neighbor_id FROM ({_ann_pq_oracle(k=k)})),
+    ivfpqq AS (SELECT query_id, neighbor_id FROM ({_ann_ivfpq_oracle()})),
     truth AS (SELECT count(*) AS truth FROM brute),
     m AS (
       SELECT 'lsh' AS method, count(*) AS hits
@@ -966,12 +1124,20 @@ def _ann_recall_oracle(k: int = 5) -> str:
       UNION ALL
       SELECT 'ivf' AS method, count(*) AS hits
       FROM ivfq JOIN brute USING (query_id, neighbor_id)
+      UNION ALL
+      SELECT 'pq' AS method, count(*) AS hits
+      FROM pqq JOIN brute USING (query_id, neighbor_id)
+      UNION ALL
+      SELECT 'ivfpq' AS method, count(*) AS hits
+      FROM ivfpqq JOIN brute USING (query_id, neighbor_id)
     )
     SELECT method, CAST({k} AS INTEGER) AS k,
            CAST(hits AS BIGINT) AS hits,
            CAST(truth AS BIGINT) AS truth,
            round(hits / truth, 4) AS recall,
            (CASE method WHEN 'lsh' THEN hits > 0.2 * truth
+                        WHEN 'pq' THEN hits > 0.5 * truth
+                        WHEN 'ivfpq' THEN hits > 0.3 * truth
                         ELSE hits > 0.4 * truth END) AS meets_floor
     FROM m CROSS JOIN truth
     """
@@ -2491,151 +2657,7 @@ def oracle_sql() -> dict[str, str]:
         # CTEs (seeds/assign/Lloyd/lists/probes) + the ann_pq_topk
         # codebook/codes/LUT CTEs, with ADC scoring restricted to the
         # probed inverted lists and exact rerank of the shortlist.
-        "ann_ivfpq_topk": """
-    WITH e AS MATERIALIZED (
-      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-    ),
-    params AS (SELECT greatest(1, count(*) // 16) AS step FROM e),
-    iseeds AS (
-      SELECT CAST(rk - 1 AS INTEGER) AS centroid_id, v AS cv FROM (
-        SELECT v, row_number() OVER (ORDER BY vec_id) AS rk
-        FROM e, params WHERE vec_id % step = 0)
-      WHERE rk <= 16
-    ),
-    iassign0 AS MATERIALIZED (
-      SELECT vec_id, v, centroid_id FROM (
-        SELECT r.vec_id, r.v, c.centroid_id,
-               row_number() OVER (PARTITION BY r.vec_id
-                 ORDER BY round(list_cosine_similarity(r.v, c.cv), 6)
-                          DESC, c.centroid_id ASC) AS rn
-        FROM e r CROSS JOIN iseeds c)
-      WHERE rn = 1
-    ),
-    icells AS (
-      SELECT centroid_id, CAST(t.range AS INTEGER) AS d,
-             v[t.range] AS x
-      FROM iassign0 CROSS JOIN range(1, 65) t
-    ),
-    cents AS MATERIALIZED (
-      SELECT centroid_id, list(m ORDER BY d) AS cv FROM (
-        SELECT centroid_id, d, round(avg(x), 6) AS m
-        FROM icells GROUP BY centroid_id, d)
-      GROUP BY centroid_id
-    ),
-    lists AS MATERIALIZED (
-      SELECT vec_id, centroid_id FROM (
-        SELECT r.vec_id, c.centroid_id,
-               row_number() OVER (PARTITION BY r.vec_id
-                 ORDER BY round(list_cosine_similarity(r.v, c.cv), 6)
-                          DESC, c.centroid_id ASC) AS rn
-        FROM e r CROSS JOIN cents c)
-      WHERE rn = 1
-    ),
-    probes AS MATERIALIZED (
-      SELECT query_id, centroid_id FROM (
-        SELECT q.vec_id AS query_id, c.centroid_id,
-               row_number() OVER (PARTITION BY q.vec_id
-                 ORDER BY round(list_cosine_similarity(q.v, c.cv), 6)
-                          DESC, c.centroid_id ASC) AS rn
-        FROM e q CROSS JOIN cents c WHERE q.vec_id < 10)
-      WHERE rn <= 4
-    ),
-    seed_ids AS MATERIALIZED (
-      SELECT seed_id, CAST(rk - 1 AS INTEGER) AS code FROM (
-        SELECT vec_id AS seed_id,
-               row_number() OVER (ORDER BY vec_id) AS rk
-        FROM e, params WHERE vec_id % step = 0)
-      WHERE rk <= 16
-    ),
-    subs AS MATERIALIZED (
-      SELECT vec_id, CAST(s.range AS INTEGER) AS subspace,
-             v[s.range * 8 + 1 : s.range * 8 + 8] AS sv
-      FROM e CROSS JOIN range(0, 8) s
-    ),
-    pseeds AS MATERIALIZED (
-      SELECT b.subspace, si.code, b.sv AS cv
-      FROM subs b JOIN seed_ids si ON b.vec_id = si.seed_id
-    ),
-    passign0 AS MATERIALIZED (
-      SELECT vec_id, subspace, code, sv FROM (
-        SELECT b.vec_id, b.subspace, c.code, b.sv,
-               row_number() OVER (PARTITION BY b.vec_id, b.subspace
-                 ORDER BY round(list_sum(list_transform(list_zip(b.sv, c.cv), z -> (z[1]-z[2])*(z[1]-z[2]))), 6) ASC, c.code ASC) AS rn
-        FROM subs b JOIN pseeds c ON c.subspace = b.subspace)
-      WHERE rn = 1
-    ),
-    pcells AS (
-      SELECT subspace, code, CAST(t.range AS INTEGER) AS d,
-             sv[t.range] AS x
-      FROM passign0 CROSS JOIN range(1, 9) t
-    ),
-    codebooks AS MATERIALIZED (
-      SELECT subspace, code, list(m ORDER BY d) AS cv FROM (
-        SELECT subspace, code, d, round(avg(x), 6) AS m
-        FROM pcells GROUP BY subspace, code, d)
-      GROUP BY subspace, code
-    ),
-    codes AS MATERIALIZED (
-      SELECT vec_id, subspace, code FROM (
-        SELECT b.vec_id, b.subspace, c.code,
-               row_number() OVER (PARTITION BY b.vec_id, b.subspace
-                 ORDER BY round(list_sum(list_transform(list_zip(b.sv, c.cv), z -> (z[1]-z[2])*(z[1]-z[2]))), 6) ASC, c.code ASC) AS rn
-        FROM subs b JOIN codebooks c ON c.subspace = b.subspace)
-      WHERE rn = 1
-    ),
-    q AS MATERIALIZED (
-      SELECT vec_id AS query_id, v,
-             round(sqrt(list_sum(list_transform(v, x -> x * x))), 6)
-               AS qnorm
-      FROM e WHERE vec_id < 10
-    ),
-    qsubs AS (
-      SELECT query_id, qnorm, CAST(s.range AS INTEGER) AS subspace,
-             v[s.range * 8 + 1 : s.range * 8 + 8] AS qsv
-      FROM q CROSS JOIN range(0, 8) s
-    ),
-    lut AS MATERIALIZED (
-      SELECT query_id, qnorm, c.subspace, c.code,
-             CAST(round(list_sum(list_transform(list_zip(qsv, c.cv),
-                    z -> z[1] * z[2])), 6) AS DECIMAL(18,6)) AS pdot,
-             CAST(round(list_sum(list_transform(list_zip(c.cv, c.cv),
-                    z -> z[1] * z[2])), 6) AS DECIMAL(18,6)) AS cn2
-      FROM qsubs JOIN codebooks c ON c.subspace = qsubs.subspace
-    ),
-    scored AS MATERIALIZED (
-      SELECT p.query_id, lut.qnorm, co.vec_id,
-             CAST(sum(lut.pdot) AS DOUBLE) AS sdot,
-             CAST(sum(lut.cn2) AS DOUBLE) AS scn2
-      FROM codes co
-      JOIN lists li ON li.vec_id = co.vec_id
-      JOIN probes p ON p.centroid_id = li.centroid_id
-      JOIN lut ON lut.query_id = p.query_id
-              AND lut.subspace = co.subspace AND lut.code = co.code
-      WHERE p.query_id <> co.vec_id
-      GROUP BY 1, 2, 3
-    ),
-    shortlist AS MATERIALIZED (
-      SELECT query_id, vec_id FROM (
-        SELECT query_id, vec_id,
-               row_number() OVER (PARTITION BY query_id
-                 ORDER BY round(sdot / (qnorm * sqrt(scn2)), 4) DESC,
-                          vec_id ASC) AS rnk
-        FROM scored)
-      WHERE rnk <= 50
-    )
-    SELECT query_id, neighbor_id, cos_sim, rnk FROM (
-      SELECT s.query_id, s.vec_id AS neighbor_id,
-             round(list_cosine_similarity(q.v, e2.v), 4) AS cos_sim,
-             CAST(row_number() OVER (PARTITION BY s.query_id
-               ORDER BY round(list_cosine_similarity(q.v, e2.v), 4)
-                          DESC,
-                        s.vec_id ASC) AS INTEGER) AS rnk
-      FROM shortlist s
-      JOIN e e2 ON e2.vec_id = s.vec_id
-      JOIN q ON q.query_id = s.query_id)
-    WHERE rnk <= 5
-    ORDER BY query_id, rnk
-        """,
+        "ann_ivfpq_topk": _ann_ivfpq_oracle(),
         "text_ngram_lm_score": f"""
             WITH norm AS (
               SELECT doc_id, string_split({_NORM.format(t='text')}, ' ') AS w

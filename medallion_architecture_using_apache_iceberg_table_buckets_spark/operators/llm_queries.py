@@ -149,23 +149,31 @@ def ann_ivf_topk(spark, sf_dir):
     return S.cosine_topk_ivf(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
-ANN_RECALL_FLOOR = {"lsh": 0.2, "ivf": 0.4}
+ANN_RECALL_FLOOR = {"lsh": 0.2, "ivf": 0.4, "pq": 0.5, "ivfpq": 0.3}
 
 
 def ann_recall_at_k(spark, sf_dir, k: int = 5):
-    """Search QUALITY as driver-checked data: recall@k of the two
-    scale-safe ANN variants against the fenced brute-force ground
-    truth, computed entirely in-query (left-semi join on
+    """Search QUALITY as driver-checked data: recall@k of all four
+    scale-safe ANN variants (hyperplane LSH, IVF, PQ+rerank, and the
+    composed IVF-PQ) against the fenced brute-force ground truth,
+    computed entirely in-query (left-semi join on
     (query_id, neighbor_id), integer hit counts, no collect). The
     meets_floor flag asserts recall above the per-method floor the
-    pytest suite also enforces — a bucketing/seeding regression flips
-    it to false and the driver hash breaks."""
+    pytest suite also enforces — a bucketing/seeding/encoding
+    regression flips it to false and the driver hash breaks. The
+    pq/ivfpq configurations mirror their registry queries exactly,
+    so their oracles replay the same trainings."""
     emb = load(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
     brute = S.cosine_topk(emb, q, k=k, dim=64).select("query_id", "neighbor_id")
     variants = {
         "lsh": S.cosine_topk_lsh(emb, q, k=k),
         "ivf": S.cosine_topk_ivf(emb, q, k=k),
+        "pq": S.cosine_topk_pq(emb, q, k=k, n_subspaces=8, rerank=100),
+        "ivfpq": S.cosine_topk_ivfpq(
+            emb, q, k=k, n_centroids=16, nprobe=4, n_subspaces=8,
+            rerank=50,
+        ),
     }
     out = None
     for method, approx in variants.items():
