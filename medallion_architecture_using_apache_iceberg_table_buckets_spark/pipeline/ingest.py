@@ -271,6 +271,23 @@ def read_jsonl_batch(
     return reader.json(files)
 
 
+def read_orc_batch(
+    spark: SparkSession,
+    files: list[str],
+    schema: T.StructType | None = None,
+) -> DataFrame:
+    """Batch ORC scan — the columnar interchange sibling of Parquet
+    (Hive-ecosystem exports commonly arrive as ORC). Self-describing
+    like Parquet, so no corrupt-record contract applies; a declared
+    schema projects/validates instead of inferring, and predicate
+    pushdown + column pruning work through the native ORC reader
+    exactly as for Parquet scans."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(files)
+
+
 def split_quarantine(
     df: DataFrame, corrupt_record_col: str = "_corrupt_record"
 ) -> tuple[DataFrame, DataFrame]:

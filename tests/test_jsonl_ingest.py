@@ -74,3 +74,31 @@ def test_dropmalformed_mode(spark, tmp_path):
     )
     df = read_jsonl_batch(spark, [f], schema=SCHEMA, mode="DROPMALFORMED")
     assert df.count() == 1
+
+
+def test_orc_batch_roundtrip_and_pushdown(spark, tmp_path):
+    """ORC batch scan: declared-schema read matches the written rows
+    and filters push into the native ORC scan."""
+    from pyspark.sql import types as T
+
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.pipeline.ingest import (
+        read_orc_batch,
+    )
+
+    sch = T.StructType.fromDDL("id long, name string, amount double")
+    rows = [(i, f"n{i}", float(i) * 1.5) for i in range(50)]
+    src = str(tmp_path / "orc_in")
+    spark.createDataFrame(rows, sch).write.orc(src)
+    import glob
+
+    files = sorted(glob.glob(f"{src}/*.orc"))
+    assert files
+    df = read_orc_batch(spark, files, schema=sch)
+    assert sorted(tuple(r) for r in df.collect()) == sorted(rows)
+    plan = (
+        df.filter("amount > 30")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters" in plan and "amount" in plan
