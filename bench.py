@@ -99,6 +99,11 @@ HEADLINE = {
     "text_leakage_safe_split": L.text_leakage_safe_split,
     # round-5 additions: real image decode + ANN recall evidence
     "multimodal_decode_image": L.multimodal_decode_image,
+    # NOTE: since r6 this trains all four ANN variants (LSH, IVF,
+    # PQ, IVF-PQ) against the brute ground truth in one query —
+    # ~12s at sf0.1 is four quantizer trainings' worth of QUALITY
+    # evidence, not a hot-path regression (each variant's own
+    # search-path time is its separate bench entry).
     "ann_recall_at_k": L.ann_recall_at_k,
     # round-5 TPC-H completion (derived-partsupp shapes) + PII scrub
     # + paragraph dedup
