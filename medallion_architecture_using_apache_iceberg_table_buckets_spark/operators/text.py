@@ -5,6 +5,9 @@ codegen); each has an exact DuckDB oracle twin.
 
 from __future__ import annotations
 
+from functools import reduce
+from operator import or_
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -651,83 +654,99 @@ def bm25_topk(
     about X" curation queries and the standard hybrid-search partner
     of the ANN operators.
 
-    Plan: one tokenize + explode pass; term frequencies for the
-    (tiny, fixed) query-term set come from a filtered aggregation,
-    document frequencies and ``avgdl`` from 1-row / per-term scalar
-    aggregations that BROADCAST back onto the tf stream; the final
+    Plan: the corpus is tokenized ONCE — a single explode feeds one
+    ``groupBy(doc_id)`` whose conditional aggregates produce ``dl``
+    plus a fixed-width ``tf`` column per query term (the term set is
+    tiny and fixed, so partial aggregation collapses each partition's
+    token stream to per-doc rows of width ``|terms| + 1`` before the
+    shuffle). Corpus stats (N, sum_dl) AND every per-term document
+    frequency then come from ONE 1-row aggregate over that per-doc
+    frame — Spark reuses the groupBy's exchange for both consumers
+    (ReusedExchange), so the scan + tokenize runs exactly once. The
+    1-row stats frame broadcasts onto the matched docs and the final
     top-k is one TakeOrderedAndProject. Nothing corpus-sized ever
-    sits on a build side.
+    sits on a build side. (The previous two-branch formulation
+    tokenized the corpus twice — the dl subtree and the tf subtree
+    each re-evaluated ``words()``; at scale the tokenize pass is the
+    dominant cost, so this halves it.)
 
     Determinism: tf, dl, df, N are integers; avgdl is one exact
     division; each term's score contribution is quantized to integer
-    micro-units BEFORE the per-doc sum (the ngram_lm_scores recipe),
-    so the cross-engine sum is exact and only ln's final ulp could
-    ever flip a 6th decimal (~1e-10/value measured risk).
+    micro-units BEFORE the per-doc sum (the ngram_lm_scores recipe)
+    — here a fixed-order sum of longs, exact — so the cross-engine
+    sum is exact and only ln's final ulp could ever flip a 6th
+    decimal (~1e-10/value measured risk).
     """
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
     terms = sorted(set(query_terms))
 
-    toked = df.select(
-        F.col(id_col).alias("doc_id"), words(text_col).alias("_w")
+    ex = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(words(text_col)).alias("term"),
     )
-    w = F.col("_w")
-    dl = toked.select(
-        "doc_id",
-        F.when(
-            (F.size(w) == 1) & (F.element_at(w, 1) == ""), F.lit(0)
-        ).otherwise(F.size(w)).alias("dl"),
+    # words('') == [''] (never an empty array), so every doc survives
+    # the explode; the '' token is excluded from dl by the filter.
+    per_doc = ex.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("term") != "", F.lit(1)).otherwise(F.lit(0))
+        ).cast("long").alias("dl"),
+        *[
+            F.sum(
+                F.when(F.col("term") == t, F.lit(1)).otherwise(F.lit(0))
+            ).cast("long").alias(f"tf_{i}")
+            for i, t in enumerate(terms)
+        ],
     )
-    stats = dl.agg(
-        F.count("*").alias("N"), F.sum("dl").alias("sum_dl")
+    stats = per_doc.agg(
+        F.count("*").alias("N"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(terms))
+        ],
     )
-    toks = toked.select(
-        "doc_id", F.explode(w).alias("term")
-    ).filter(F.col("term").isin(terms))
-    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    dfreq = tf.groupBy("term").agg(
-        F.count("*").alias("df_t")
+    matched = per_doc.filter(
+        reduce(or_, [F.col(f"tf_{i}") > 0 for i in range(len(terms))])
     )
-    idf = (
-        dfreq.crossJoin(F.broadcast(stats))
-        .select(
-            "term",
+    avgdl = F.col("sum_dl").cast("double") / F.col("N")
+
+    def _idf_micro(i: int):
+        # identical arithmetic to the per-term broadcast the old plan
+        # computed, so quantized values match the oracle bit-for-bit
+        return F.round(
+            F.log(
+                F.lit(1.0)
+                + (F.col("N") - F.col(f"df_{i}") + F.lit(0.5))
+                / (F.col(f"df_{i}") + F.lit(0.5))
+            )
+            * F.lit(1_000_000.0)
+        ).cast("long")
+
+    def _contrib_micro(i: int):
+        tf = F.col(f"tf_{i}")
+        return F.when(
+            tf > 0,
             F.round(
-                F.log(
-                    F.lit(1.0)
-                    + (F.col("N") - F.col("df_t") + F.lit(0.5))
-                    / (F.col("df_t") + F.lit(0.5))
-                )
-                * F.lit(1_000_000.0)
-            ).cast("long").alias("idf_micro"),
-        )
-    )
-    norm = (
-        tf.join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .join(F.broadcast(idf), "term")
-        .withColumn("avgdl", F.col("sum_dl").cast("double") / F.col("N"))
-        .withColumn(
-            "contrib_micro",
-            F.round(
-                F.col("idf_micro").cast("double")
-                * (F.col("tf") * F.lit(k1 + 1.0))
+                _idf_micro(i).cast("double")
+                * (tf * F.lit(k1 + 1.0))
                 / (
-                    F.col("tf")
+                    tf
                     + F.lit(k1)
-                    * (
-                        F.lit(1.0 - b)
-                        + F.lit(b) * F.col("dl") / F.col("avgdl")
-                    )
+                    * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / avgdl)
                 )
             ).cast("long"),
-        )
-    )
-    scored = norm.groupBy("doc_id").agg(
-        F.round(
-            F.sum("contrib_micro").cast("double") / F.lit(1_000_000.0), 6
-        ).alias("bm25"),
-        F.count("*").cast("long").alias("n_matched_terms"),
+        ).otherwise(F.lit(0).cast("long"))
+
+    total = _contrib_micro(0)
+    n_matched = (F.col("tf_0") > 0).cast("long")
+    for i in range(1, len(terms)):
+        total = total + _contrib_micro(i)
+        n_matched = n_matched + (F.col(f"tf_{i}") > 0).cast("long")
+    scored = matched.crossJoin(F.broadcast(stats)).select(
+        "doc_id",
+        F.round(total.cast("double") / F.lit(1_000_000.0), 6).alias("bm25"),
+        n_matched.alias("n_matched_terms"),
     )
     return (
         scored.orderBy(F.desc("bm25"), F.asc("doc_id"))

@@ -83,6 +83,13 @@ def main():
         )
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        # a typo'd name would otherwise select nothing and print a
+        # vacuous "all 0 queries match" — fail loudly instead
+        print(f"ERROR: unknown query name(s): {sorted(unknown)}",
+              file=sys.stderr)
+        sys.exit(2)
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
