@@ -56,84 +56,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # row on recent code; rotated-out entries stay covered by the full
     # local mirror (tools/check_oracles.py) and pytest.
     #
-    # Round-6 window (positions 1-50, closing the r5 coverage debt):
-    #   1-36  = the 36 round-5 additions that have never had a driver
-    #           row (VERDICT r5 "What's wrong" #2 list, verbatim);
-    #   37-40 = the 4 r03-vintage entries deferred from the r05 window
-    #           (text_quality_percentile_cut, window_rank_functions,
-    #            text_boilerplate_ngrams, agg_grouping_sets);
-    #   41-50 = the 10 oldest rotated-out r04-window entries
-    #           (q12_late_lines_by_status .. dedup_ngram_jaccard_pairs).
-    # 36 + 4 + 10 = 50 exactly. After this round every one of the 140
-    # names has a green driver row => union coverage 140/140.
+    # Round-7 window (positions 1-50, live registry 147 entries):
+    #   1-7   = the 7 round-6 additions that have never had a driver
+    #           row (VERDICT r6 carried debt, verbatim list) — after
+    #           their rows land, union driver coverage under current
+    #           names is 147/147;
+    #   8-47  = the remaining r04-window block, continuing down the
+    #           tail in age order from dedup_minhash_lsh_pairs
+    #           (40 entries, all driver-green r04 — refreshing their
+    #           rows onto current code);
+    #   48-50 = the first 3 r05-window entries (text_repetition_scores,
+    #           text_leakage_safe_split, multimodal_decode_image).
+    # 7 + 40 + 3 = 50 exactly. NEW round-7 queries are inserted right
+    # after position 7 as they land, each bump pushing the window's
+    # tail-most r04/r05 refresh entry below position 50 (those already
+    # have union-green rows, so coverage stays complete).
     #
-    # Tail (51+): remaining r04-window block in age order, then the
-    # NEW round-6 queries (which lead the r07 window), then the
-    # r05-window entries (all driver-green on round-5 code).
-    #
-    # r07 window plan (live registry 146 entries): the 6 round-6
-    # additions first (multimodal_decode_png, text_ngram_lm_score,
-    # ann_ivfpq_topk, multimodal_resize_pixels, text_bm25_topk,
-    # bpe_encode_tokens — all never driver-checked), then continue
-    # down the r04-window tail from dedup_minhash_lsh_pairs; 50 - 6
-    # = 44 slots for it. Re-count with len(list(queries())[50:])
-    # before freezing r07.
+    # Tail (51+): remaining r05-window entries in current order
+    # (ann_recall_at_k ..), then the 50 round-6-window entries (all
+    # driver-green r06 on current code).
     return {
-        # --- (1-36) never-driver-checked round-5 additions ---
-        "q2_min_cost_supplier": R.q2_min_cost_supplier,
-        "q9_product_type_profit": R.q9_product_type_profit,
-        "q11_important_part_value": R.q11_important_part_value,
-        "q16_parts_supplier_counts": R.q16_parts_supplier_counts,
-        "q20_promotable_suppliers": R.q20_promotable_suppliers,
-        "text_pii_scrub": L.text_pii_scrub,
-        "text_paragraph_dedup": L.text_paragraph_dedup,
-        "text_token_rarity": L.text_token_rarity,
-        "dedup_containment_pairs": L.dedup_containment_pairs,
-        "dedup_incremental_probe": L.dedup_incremental_probe,
-        "corpus_data_card": L.corpus_data_card,
-        "streaming_static_enrich": L.streaming_static_enrich,
-        "multimodal_decode_audio": L.multimodal_decode_audio,
-        "multimodal_decode_video": L.multimodal_decode_video,
-        "sketch_theta_set_ops": L.sketch_theta_set_ops,
-        "sketch_kll_rollup_quantiles": L.sketch_kll_rollup_quantiles,
-        "sql_branch_wap": L.sql_branch_wap,
-        "dedup_semantic": L.dedup_semantic,
-        "position_delete_mor": L.position_delete_mor,
-        "scd2_user_status_history": L.scd2_user_status_history,
-        "corpus_mixture_weights": L.corpus_mixture_weights,
-        "bloom_point_lookup": L.bloom_point_lookup,
-        "incremental_gold_rollup": L.incremental_gold_rollup,
-        "write_ordered_lineage": L.write_ordered_lineage,
-        "partition_evolution_scan": L.partition_evolution_scan,
-        "bpe_vocab_merges": L.bpe_vocab_merges,
-        "scd2_temporal_enrich": L.scd2_temporal_enrich,
-        "ann_pq_topk": L.ann_pq_topk,
-        "type_promotion_scan": L.type_promotion_scan,
-        "cdc_changelog_diff": L.cdc_changelog_diff,
-        "mor_update_positions": L.mor_update_positions,
-        "incremental_join_view": L.incremental_join_view,
-        "text_repeated_spans": L.text_repeated_spans,
-        "range_join_event_windows": R.range_join_event_windows,
-        "table_quality_checks": R.table_quality_checks,
-        "sketch_cms_frequencies": L.sketch_cms_frequencies,
-        # --- (37-40) r03-vintage deferrals from the r05 window ---
-        "text_quality_percentile_cut": L.text_quality_percentile_cut,
-        "window_rank_functions": R.window_rank_functions,
-        "text_boilerplate_ngrams": L.text_boilerplate_ngrams,
-        "agg_grouping_sets": R.agg_grouping_sets,
-        # --- (41-50) oldest rotated-out r04-window entries ---
-        "q12_late_lines_by_status": R.q12_late_lines_by_status,
-        "pack_training_sequences": L.pack_training_sequences,
-        "curation_end_to_end": L.curation_end_to_end,
-        "sketch_hll_distinct": L.sketch_hll_distinct,
-        "sketch_hll_rollup_merge": L.sketch_hll_rollup_merge,
-        "sketch_quantiles": L.sketch_quantiles,
-        "dedup_embedding_pairs_brute": L.dedup_embedding_pairs_brute,
-        "dedup_exact_groups": L.dedup_exact_groups,
-        "dedup_normalized_groups": L.dedup_normalized_groups,
-        "dedup_ngram_jaccard_pairs": L.dedup_ngram_jaccard_pairs,
-        # ============ tail (51+): r07 window starts here ============
-        # --- remaining r04-window block (driver-green r04) ---
+        # --- (1-7) never-driver-checked round-6 additions ---
+        "multimodal_decode_png": L.multimodal_decode_png,
+        "text_ngram_lm_score": L.text_ngram_lm_score,
+        "ann_ivfpq_topk": L.ann_ivfpq_topk,
+        "multimodal_resize_pixels": L.multimodal_resize_pixels,
+        "text_bm25_topk": L.text_bm25_topk,
+        "bpe_encode_tokens": L.bpe_encode_tokens,
+        "sample_weighted_by_source": L.sample_weighted_by_source,
+        # --- (8-47) r04-window refresh block (driver-green r04) ---
         "dedup_minhash_lsh_pairs": L.dedup_minhash_lsh_pairs,
         "dedup_simhash_pairs": L.dedup_simhash_pairs,
         "dedup_keep_list": L.dedup_keep_list,
@@ -174,20 +125,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_union_segments": R.set_union_segments,
         "set_intersect_building_buyers": R.set_intersect_building_buyers,
         "set_except_nonbuyers": R.set_except_nonbuyers,
-        # --- NEW in round 6 (lead the r07 window): real PNG decode
-        # (stdlib zlib inflate + full five-filter unfilter pass) and
-        # CCNet-style bigram-LM surprisal scoring ---
-        "multimodal_decode_png": L.multimodal_decode_png,
-        "text_ngram_lm_score": L.text_ngram_lm_score,
-        "ann_ivfpq_topk": L.ann_ivfpq_topk,
-        "multimodal_resize_pixels": L.multimodal_resize_pixels,
-        "text_bm25_topk": L.text_bm25_topk,
-        "bpe_encode_tokens": L.bpe_encode_tokens,
-        "sample_weighted_by_source": L.sample_weighted_by_source,
-        # --- r05-window entries (driver-green r05) ---
+        # --- (48-50) first r05-window refresh entries ---
         "text_repetition_scores": L.text_repetition_scores,
         "text_leakage_safe_split": L.text_leakage_safe_split,
         "multimodal_decode_image": L.multimodal_decode_image,
+        # ============ tail (51+) ============
+        # --- remaining r05-window entries (driver-green r05) ---
         "ann_recall_at_k": L.ann_recall_at_k,
         "s1_scan_filter_project": R.s1_scan_filter_project,
         "a1_count_star": R.a1_count_star,
@@ -235,6 +178,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q8_market_share": R.q8_market_share,
         "q15_top_supplier": R.q15_top_supplier,
         "text_decontaminate": L.text_decontaminate,
+        # --- r06-window entries (driver-green r06, current code) ---
+        "q2_min_cost_supplier": R.q2_min_cost_supplier,
+        "q9_product_type_profit": R.q9_product_type_profit,
+        "q11_important_part_value": R.q11_important_part_value,
+        "q16_parts_supplier_counts": R.q16_parts_supplier_counts,
+        "q20_promotable_suppliers": R.q20_promotable_suppliers,
+        "text_pii_scrub": L.text_pii_scrub,
+        "text_paragraph_dedup": L.text_paragraph_dedup,
+        "text_token_rarity": L.text_token_rarity,
+        "dedup_containment_pairs": L.dedup_containment_pairs,
+        "dedup_incremental_probe": L.dedup_incremental_probe,
+        "corpus_data_card": L.corpus_data_card,
+        "streaming_static_enrich": L.streaming_static_enrich,
+        "multimodal_decode_audio": L.multimodal_decode_audio,
+        "multimodal_decode_video": L.multimodal_decode_video,
+        "sketch_theta_set_ops": L.sketch_theta_set_ops,
+        "sketch_kll_rollup_quantiles": L.sketch_kll_rollup_quantiles,
+        "sql_branch_wap": L.sql_branch_wap,
+        "dedup_semantic": L.dedup_semantic,
+        "position_delete_mor": L.position_delete_mor,
+        "scd2_user_status_history": L.scd2_user_status_history,
+        "corpus_mixture_weights": L.corpus_mixture_weights,
+        "bloom_point_lookup": L.bloom_point_lookup,
+        "incremental_gold_rollup": L.incremental_gold_rollup,
+        "write_ordered_lineage": L.write_ordered_lineage,
+        "partition_evolution_scan": L.partition_evolution_scan,
+        "bpe_vocab_merges": L.bpe_vocab_merges,
+        "scd2_temporal_enrich": L.scd2_temporal_enrich,
+        "ann_pq_topk": L.ann_pq_topk,
+        "type_promotion_scan": L.type_promotion_scan,
+        "cdc_changelog_diff": L.cdc_changelog_diff,
+        "mor_update_positions": L.mor_update_positions,
+        "incremental_join_view": L.incremental_join_view,
+        "text_repeated_spans": L.text_repeated_spans,
+        "range_join_event_windows": R.range_join_event_windows,
+        "table_quality_checks": R.table_quality_checks,
+        "sketch_cms_frequencies": L.sketch_cms_frequencies,
+        "text_quality_percentile_cut": L.text_quality_percentile_cut,
+        "window_rank_functions": R.window_rank_functions,
+        "text_boilerplate_ngrams": L.text_boilerplate_ngrams,
+        "agg_grouping_sets": R.agg_grouping_sets,
+        "q12_late_lines_by_status": R.q12_late_lines_by_status,
+        "pack_training_sequences": L.pack_training_sequences,
+        "curation_end_to_end": L.curation_end_to_end,
+        "sketch_hll_distinct": L.sketch_hll_distinct,
+        "sketch_hll_rollup_merge": L.sketch_hll_rollup_merge,
+        "sketch_quantiles": L.sketch_quantiles,
+        "dedup_embedding_pairs_brute": L.dedup_embedding_pairs_brute,
+        "dedup_exact_groups": L.dedup_exact_groups,
+        "dedup_normalized_groups": L.dedup_normalized_groups,
+        "dedup_ngram_jaccard_pairs": L.dedup_ngram_jaccard_pairs,
     }
 
 
