@@ -61,16 +61,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #           row (VERDICT r6 carried debt, verbatim list) — after
     #           their rows land, union driver coverage under current
     #           names is 147/147;
-    #   8-47  = the remaining r04-window block, continuing down the
+    #   8     = hybrid_bm25_ann_topk, NEW this round (never checked);
+    #   9-48  = the remaining r04-window block, continuing down the
     #           tail in age order from dedup_minhash_lsh_pairs
     #           (40 entries, all driver-green r04 — refreshing their
     #           rows onto current code);
-    #   48-50 = the first 3 r05-window entries (text_repetition_scores,
-    #           text_leakage_safe_split, multimodal_decode_image).
-    # 7 + 40 + 3 = 50 exactly. NEW round-7 queries are inserted right
-    # after position 7 as they land, each bump pushing the window's
-    # tail-most r04/r05 refresh entry below position 50 (those already
-    # have union-green rows, so coverage stays complete).
+    #   49-50 = the first 2 r05-window entries (text_repetition_scores,
+    #           text_leakage_safe_split).
+    # 7 + 1 + 40 + 2 = 50 exactly. Further NEW round-7 queries are
+    # inserted right after position 8 as they land, each bump pushing
+    # the window's tail-most r04/r05 refresh entry below position 50
+    # (those already have union-green rows, so coverage stays
+    # complete).
     #
     # Tail (51+): remaining r05-window entries in current order
     # (ann_recall_at_k ..), then the 50 round-6-window entries (all
@@ -84,7 +86,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bm25_topk": L.text_bm25_topk,
         "bpe_encode_tokens": L.bpe_encode_tokens,
         "sample_weighted_by_source": L.sample_weighted_by_source,
-        # --- (8-47) r04-window refresh block (driver-green r04) ---
+        # --- (8) NEW in round 7: hybrid BM25+IVFPQ retrieval fusion ---
+        "hybrid_bm25_ann_topk": L.hybrid_bm25_ann_topk,
+        # --- (9-48) r04-window refresh block (driver-green r04) ---
         "dedup_minhash_lsh_pairs": L.dedup_minhash_lsh_pairs,
         "dedup_simhash_pairs": L.dedup_simhash_pairs,
         "dedup_keep_list": L.dedup_keep_list,
@@ -125,11 +129,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_union_segments": R.set_union_segments,
         "set_intersect_building_buyers": R.set_intersect_building_buyers,
         "set_except_nonbuyers": R.set_except_nonbuyers,
-        # --- (48-50) first r05-window refresh entries ---
+        # --- (49-50) first r05-window refresh entries ---
         "text_repetition_scores": L.text_repetition_scores,
         "text_leakage_safe_split": L.text_leakage_safe_split,
-        "multimodal_decode_image": L.multimodal_decode_image,
         # ============ tail (51+) ============
+        "multimodal_decode_image": L.multimodal_decode_image,
         # --- remaining r05-window entries (driver-green r05) ---
         "ann_recall_at_k": L.ann_recall_at_k,
         "s1_scan_filter_project": R.s1_scan_filter_project,
@@ -944,14 +948,16 @@ def _ann_pq_oracle(
     """
 
 
-def _ann_ivfpq_oracle() -> str:
+def _ann_ivfpq_oracle(k: int = 5, rerank: int = 50, q_max: int = 10) -> str:
     """IVF-PQ composed oracle: the ann_ivf coarse-quantizer CTEs
     (seeds/assign/Lloyd/lists/probes) + the ann_pq codebook/codes/LUT
     CTEs, ADC scoring restricted to the probed inverted lists, exact
     rerank of the shortlist. Mirrors similarity.cosine_topk_ivfpq
-    with the registry configuration (16 lists, nprobe 4, 8 subspaces,
-    rerank 50)."""
-    return """
+    with the registry configuration (16 lists, nprobe 4, 8
+    subspaces); defaults reproduce the ann_ivfpq_topk entry
+    (queries vec_id < 10, rerank 50, k 5), the hybrid-fusion oracle
+    instantiates it for one query with a deeper final list."""
+    return f"""
     WITH e AS MATERIALIZED (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ),
@@ -997,7 +1003,7 @@ def _ann_ivfpq_oracle() -> str:
                row_number() OVER (PARTITION BY q.vec_id
                  ORDER BY round(list_cosine_similarity(q.v, c.cv), 6)
                           DESC, c.centroid_id ASC) AS rn
-        FROM e q CROSS JOIN cents c WHERE q.vec_id < 10)
+        FROM e q CROSS JOIN cents c WHERE q.vec_id < {q_max})
       WHERE rn <= 4
     ),
     seed_ids AS MATERIALIZED (
@@ -1047,7 +1053,7 @@ def _ann_ivfpq_oracle() -> str:
       SELECT vec_id AS query_id, v,
              round(sqrt(list_sum(list_transform(v, x -> x * x))), 6)
                AS qnorm
-      FROM e WHERE vec_id < 10
+      FROM e WHERE vec_id < {q_max}
     ),
     qsubs AS (
       SELECT query_id, qnorm, CAST(s.range AS INTEGER) AS subspace,
@@ -1081,7 +1087,7 @@ def _ann_ivfpq_oracle() -> str:
                  ORDER BY round(sdot / (qnorm * sqrt(scn2)), 4) DESC,
                           vec_id ASC) AS rnk
         FROM scored)
-      WHERE rnk <= 50
+      WHERE rnk <= {rerank}
     )
     SELECT query_id, neighbor_id, cos_sim, rnk FROM (
       SELECT s.query_id, s.vec_id AS neighbor_id,
@@ -1093,7 +1099,7 @@ def _ann_ivfpq_oracle() -> str:
       FROM shortlist s
       JOIN e e2 ON e2.vec_id = s.vec_id
       JOIN q ON q.query_id = s.query_id)
-    WHERE rnk <= 5
+    WHERE rnk <= {k}
     ORDER BY query_id, rnk
         """
 
@@ -1196,6 +1202,106 @@ SELECT user_id, event_id, event_type, value, ts FROM (
                                ORDER BY ts DESC, event_id DESC) AS rn
   FROM events) WHERE rn = 1
 """
+
+
+def _bm25_scored_sql() -> str:
+    """WITH-chain ending at BM25's ``scored(doc_id, bm25,
+    n_matched_terms)`` for the fixed registry terms — the shared
+    prefix of the text_bm25_topk oracle and the hybrid-fusion
+    oracle. Arithmetic mirrors text.bm25_topk: integer tf/dl/df,
+    idf and per-term contributions quantized to micro-unit BIGINTs
+    before the exact per-doc sum."""
+    return f"""
+            WITH norm AS (
+              SELECT doc_id, string_split({_NORM.format(t='text')}, ' ') AS w
+              FROM documents
+            ),
+            dl AS (
+              SELECT doc_id,
+                     CASE WHEN len(w) = 1 AND w[1] = '' THEN 0
+                          ELSE len(w) END AS dl
+              FROM norm
+            ),
+            stats AS (
+              SELECT count(*) AS N, sum(dl) AS sum_dl FROM dl
+            ),
+            toks AS (
+              SELECT doc_id, unnest(w) AS term FROM norm
+            ),
+            tf AS (
+              SELECT doc_id, term, count(*) AS tf FROM toks
+              WHERE term IN ('hash', 'join', 'vector')
+              GROUP BY doc_id, term
+            ),
+            dfreq AS (
+              SELECT term, count(*) AS df_t FROM tf GROUP BY term
+            ),
+            idf AS (
+              SELECT term,
+                     CAST(round(ln(1.0 + (N - df_t + 0.5) / (df_t + 0.5))
+                                * 1000000.0) AS BIGINT) AS idf_micro
+              FROM dfreq CROSS JOIN stats
+            ),
+            contrib AS (
+              SELECT tf.doc_id,
+                     CAST(round(
+                       CAST(idf_micro AS DOUBLE)
+                       * (tf * 2.2)
+                       / (tf + 1.2 * (0.25
+                            + 0.75 * dl
+                              / (CAST(sum_dl AS DOUBLE) / N)))
+                     ) AS BIGINT) AS contrib_micro
+              FROM tf
+              JOIN dl ON dl.doc_id = tf.doc_id
+              CROSS JOIN stats
+              JOIN idf ON idf.term = tf.term
+            ),
+            scored AS (
+              SELECT doc_id,
+                     round(CAST(sum(contrib_micro) AS DOUBLE)
+                           / 1000000.0, 6) AS bm25,
+                     CAST(count(*) AS BIGINT) AS n_matched_terms
+              FROM contrib GROUP BY doc_id
+            )
+    """
+
+
+def _hybrid_oracle(k: int = 10, topn: int = 20, k0: int = 60) -> str:
+    """Twin of llm_queries.hybrid_bm25_ann_topk: the BM25 top-``topn``
+    list ranked (bm25 DESC, doc_id ASC), the IVF-PQ top-``topn`` list
+    for query vec_id=0 (full _ann_ivfpq_oracle instantiated with
+    q_max=1), FULL OUTER joined on doc_id, reciprocal-rank-fusion
+    scored with the same fixed-order double sum, top-``k``."""
+    lex_topn = _bm25_scored_sql() + f"""
+            SELECT doc_id, bm25
+            FROM scored
+            ORDER BY bm25 DESC, doc_id ASC
+            LIMIT {topn}
+    """
+    return f"""
+    WITH lex AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id ASC)
+                  AS INTEGER) AS lex_rank
+      FROM ({lex_topn})
+    ),
+    vec AS (
+      SELECT neighbor_id AS doc_id, rnk AS vec_rank
+      FROM ({_ann_ivfpq_oracle(k=topn, rerank=50, q_max=1)})
+    ),
+    fused AS (
+      SELECT coalesce(lex.doc_id, vec.doc_id) AS doc_id,
+             lex_rank, vec_rank
+      FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id
+    )
+    SELECT doc_id, lex_rank, vec_rank,
+           round(coalesce(CAST(1.0 AS DOUBLE) / ({k0} + lex_rank), 0.0)
+                 + coalesce(CAST(1.0 AS DOUBLE) / ({k0} + vec_rank), 0.0),
+                 6) AS rrf
+    FROM fused
+    ORDER BY rrf DESC, doc_id ASC
+    LIMIT {k}
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2704,63 +2810,13 @@ def oracle_sql() -> dict[str, str]:
               FROM t)
             WHERE rn <= 5
         """,
-        "text_bm25_topk": f"""
-            WITH norm AS (
-              SELECT doc_id, string_split({_NORM.format(t='text')}, ' ') AS w
-              FROM documents
-            ),
-            dl AS (
-              SELECT doc_id,
-                     CASE WHEN len(w) = 1 AND w[1] = '' THEN 0
-                          ELSE len(w) END AS dl
-              FROM norm
-            ),
-            stats AS (
-              SELECT count(*) AS N, sum(dl) AS sum_dl FROM dl
-            ),
-            toks AS (
-              SELECT doc_id, unnest(w) AS term FROM norm
-            ),
-            tf AS (
-              SELECT doc_id, term, count(*) AS tf FROM toks
-              WHERE term IN ('hash', 'join', 'vector')
-              GROUP BY doc_id, term
-            ),
-            dfreq AS (
-              SELECT term, count(*) AS df_t FROM tf GROUP BY term
-            ),
-            idf AS (
-              SELECT term,
-                     CAST(round(ln(1.0 + (N - df_t + 0.5) / (df_t + 0.5))
-                                * 1000000.0) AS BIGINT) AS idf_micro
-              FROM dfreq CROSS JOIN stats
-            ),
-            contrib AS (
-              SELECT tf.doc_id,
-                     CAST(round(
-                       CAST(idf_micro AS DOUBLE)
-                       * (tf * 2.2)
-                       / (tf + 1.2 * (0.25
-                            + 0.75 * dl
-                              / (CAST(sum_dl AS DOUBLE) / N)))
-                     ) AS BIGINT) AS contrib_micro
-              FROM tf
-              JOIN dl ON dl.doc_id = tf.doc_id
-              CROSS JOIN stats
-              JOIN idf ON idf.term = tf.term
-            ),
-            scored AS (
-              SELECT doc_id,
-                     round(CAST(sum(contrib_micro) AS DOUBLE)
-                           / 1000000.0, 6) AS bm25,
-                     CAST(count(*) AS BIGINT) AS n_matched_terms
-              FROM contrib GROUP BY doc_id
-            )
+        "text_bm25_topk": _bm25_scored_sql() + """
             SELECT doc_id, bm25, n_matched_terms
             FROM scored
             ORDER BY bm25 DESC, doc_id ASC
             LIMIT 15
         """,
+        "hybrid_bm25_ann_topk": _hybrid_oracle(),
         "multimodal_resize_pixels": """
             WITH dims AS (
               SELECT doc_id,

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from . import dedup as D
 from . import sampling as SA
@@ -740,6 +741,53 @@ def ann_ivfpq_topk(spark, sf_dir):
         n_subspaces=8,
         rerank=50,
     ).orderBy("query_id", "rnk")
+
+
+HYBRID_TERMS = ["hash", "join", "vector"]
+HYBRID_QUERY_VEC = 0  # query vector for the ANN branch
+HYBRID_TOPN = 20      # per-branch list depth fed into RRF
+HYBRID_K = 10
+
+
+def hybrid_bm25_ann_topk(spark, sf_dir):
+    """Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical
+    top-N (operators/text.py bm25_topk) and the IVF-PQ vector top-N
+    (operators/similarity.py cosine_topk_ivfpq) for one query —
+    fixed terms on the lexical side, embedding vec_id=0 on the
+    vector side, fused by similarity.rrf_fuse (Cormack et al. 2009).
+    The documents and embeddings tables share the id space, so the
+    fusion key is doc_id.
+
+    Plan: two independent top-k branches (each already
+    scale-audited: BM25 single-tokenize-pass, IVF-PQ
+    broadcast-probe + keyed ADC) and ONE keyed full-outer join over
+    the two 20-row lists — fusion adds no corpus-sized shuffle."""
+    from .similarity import cosine_topk_ivfpq, rrf_fuse
+
+    docs = _docs(spark, sf_dir)
+    emb = load(spark, sf_dir, "embeddings")
+    lex = (
+        TX.bm25_topk(docs, HYBRID_TERMS, k=HYBRID_TOPN)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("bm25"), F.asc("doc_id")))
+            .alias("lex_rank"),
+        )
+    )
+    vec = cosine_topk_ivfpq(
+        emb,
+        emb.filter(F.col("vec_id") == HYBRID_QUERY_VEC),
+        k=HYBRID_TOPN,
+        n_centroids=16,
+        nprobe=4,
+        n_subspaces=8,
+        rerank=50,
+    ).select(
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rnk").alias("vec_rank"),
+    )
+    return rrf_fuse([("lex", lex), ("vec", vec)], k=HYBRID_K)
 
 
 def bpe_vocab_merges(spark, sf_dir):

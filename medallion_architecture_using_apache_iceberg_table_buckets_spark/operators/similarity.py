@@ -714,6 +714,57 @@ def cosine_topk_pq(
     )
 
 
+def rrf_fuse(
+    ranked: list[tuple[str, DataFrame]],
+    k: int = 10,
+    k0: int = 60,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of
+    two or more top-N rankings — the standard way hybrid search
+    combines a lexical ranker (BM25) with a vector ranker (ANN):
+    ``score(d) = sum_r 1 / (k0 + rank_r(d))``, items missing from a
+    list contribute 0. Rank positions, not raw scores, so the two
+    scorers need no calibration against each other.
+
+    ``ranked`` is an ordered list of ``(name, frame)`` pairs; each
+    frame carries ``id_col`` plus an integer ``{name}_rank`` column
+    (1-based, dense within its own top-N list).
+
+    Plan/scale: the inputs are top-N lists — k-sized, NOT
+    corpus-sized — so the fusion is a chain of keyed full-outer
+    joins over a few dozen rows followed by one
+    TakeOrderedAndProject; the corpus-scale work all happened inside
+    the upstream rankers. Determinism: the reciprocal terms are
+    summed left-to-right in ``ranked`` order (a fixed-shape double
+    expression, reproducible cross-engine), ties on the rounded
+    score break by ascending id.
+    """
+    if len(ranked) < 2:
+        raise ValueError("rrf_fuse needs at least two rankings")
+    out: DataFrame | None = None
+    for _, df in ranked:
+        out = df if out is None else out.join(df, id_col, "full_outer")
+    score = None
+    for name, _ in ranked:
+        term = F.coalesce(
+            F.lit(1.0) / (F.lit(k0) + F.col(f"{name}_rank")), F.lit(0.0)
+        )
+        score = term if score is None else score + term
+    return (
+        out.select(
+            id_col,
+            *[
+                F.col(f"{name}_rank").cast("int").alias(f"{name}_rank")
+                for name, _ in ranked
+            ],
+            F.round(score, 6).alias("rrf"),
+        )
+        .orderBy(F.desc("rrf"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def cosine_topk_ivfpq(
     corpus: DataFrame,
     queries: DataFrame,

@@ -127,3 +127,41 @@ def test_ivfpq_recall_and_rank_contract(spark, sf_dir):
         rerank=50,
     ).collect()
     assert len(narrow) <= len(got)
+
+
+def test_rrf_fuse_contract(spark):
+    """RRF fusion: exact reciprocal-rank scores, full-outer
+    semantics (an item in only one list still scores), and the
+    (rrf DESC, id ASC) tie-break."""
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators.similarity import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3)], ["doc_id", "lex_rank"]
+    )
+    vec = spark.createDataFrame(
+        [(3, 1), (4, 2), (1, 3)], ["doc_id", "vec_rank"]
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in rrf_fuse([("lex", lex), ("vec", vec)], k=10, k0=60).collect()
+    }
+    assert set(rows) == {1, 2, 3, 4}
+    assert rows[1]["lex_rank"] == 1 and rows[1]["vec_rank"] == 3
+    assert rows[2]["vec_rank"] is None
+    assert abs(rows[1]["rrf"] - round(1 / 61 + 1 / 63, 6)) < 1e-9
+    assert abs(rows[2]["rrf"] - round(1 / 62, 6)) < 1e-9
+    # doc 1 (both lists) outranks doc 2 and 4 (single-list)
+    ordered = sorted(
+        rows.values(), key=lambda r: (-r["rrf"], r["doc_id"])
+    )
+    assert ordered[0]["doc_id"] in (1, 3)
+
+
+def test_rrf_fuse_needs_two_lists(spark):
+    import pytest
+
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators.similarity import rrf_fuse
+
+    df = spark.createDataFrame([(1, 1)], ["doc_id", "a_rank"])
+    with pytest.raises(ValueError):
+        rrf_fuse([("a", df)])
