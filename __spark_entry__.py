@@ -61,15 +61,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #           row (VERDICT r6 carried debt, verbatim list) — after
     #           their rows land, union driver coverage under current
     #           names is 147/147;
-    #   8     = hybrid_bm25_ann_topk, NEW this round (never checked);
-    #   9-48  = the remaining r04-window block, continuing down the
+    #   8-9   = hybrid_bm25_ann_topk and ann_ivfpq_residual_topk,
+    #           NEW this round (never checked);
+    #   10-49 = the remaining r04-window block, continuing down the
     #           tail in age order from dedup_minhash_lsh_pairs
     #           (40 entries, all driver-green r04 — refreshing their
     #           rows onto current code);
-    #   49-50 = the first 2 r05-window entries (text_repetition_scores,
-    #           text_leakage_safe_split).
-    # 7 + 1 + 40 + 2 = 50 exactly. Further NEW round-7 queries are
-    # inserted right after position 8 as they land, each bump pushing
+    #   50    = the first r05-window entry (text_repetition_scores).
+    # 7 + 2 + 40 + 1 = 50 exactly. Further NEW round-7 queries are
+    # inserted right after position 9 as they land, each bump pushing
     # the window's tail-most r04/r05 refresh entry below position 50
     # (those already have union-green rows, so coverage stays
     # complete).
@@ -86,9 +86,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bm25_topk": L.text_bm25_topk,
         "bpe_encode_tokens": L.bpe_encode_tokens,
         "sample_weighted_by_source": L.sample_weighted_by_source,
-        # --- (8) NEW in round 7: hybrid BM25+IVFPQ retrieval fusion ---
+        # --- (8-9) NEW in round 7: hybrid BM25+IVFPQ retrieval
+        # fusion; residual-encoded IVF-PQ ---
         "hybrid_bm25_ann_topk": L.hybrid_bm25_ann_topk,
-        # --- (9-48) r04-window refresh block (driver-green r04) ---
+        "ann_ivfpq_residual_topk": L.ann_ivfpq_residual_topk,
+        # --- (10-49) r04-window refresh block (driver-green r04) ---
         "dedup_minhash_lsh_pairs": L.dedup_minhash_lsh_pairs,
         "dedup_simhash_pairs": L.dedup_simhash_pairs,
         "dedup_keep_list": L.dedup_keep_list,
@@ -129,10 +131,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_union_segments": R.set_union_segments,
         "set_intersect_building_buyers": R.set_intersect_building_buyers,
         "set_except_nonbuyers": R.set_except_nonbuyers,
-        # --- (49-50) first r05-window refresh entries ---
+        # --- (50) first r05-window refresh entry ---
         "text_repetition_scores": L.text_repetition_scores,
-        "text_leakage_safe_split": L.text_leakage_safe_split,
         # ============ tail (51+) ============
+        "text_leakage_safe_split": L.text_leakage_safe_split,
         "multimodal_decode_image": L.multimodal_decode_image,
         # --- remaining r05-window entries (driver-green r05) ---
         "ann_recall_at_k": L.ann_recall_at_k,
@@ -948,7 +950,9 @@ def _ann_pq_oracle(
     """
 
 
-def _ann_ivfpq_oracle(k: int = 5, rerank: int = 50, q_max: int = 10) -> str:
+def _ann_ivfpq_oracle(
+    k: int = 5, rerank: int = 50, q_max: int = 10, residual: bool = False
+) -> str:
     """IVF-PQ composed oracle: the ann_ivf coarse-quantizer CTEs
     (seeds/assign/Lloyd/lists/probes) + the ann_pq codebook/codes/LUT
     CTEs, ADC scoring restricted to the probed inverted lists, exact
@@ -956,7 +960,89 @@ def _ann_ivfpq_oracle(k: int = 5, rerank: int = 50, q_max: int = 10) -> str:
     with the registry configuration (16 lists, nprobe 4, 8
     subspaces); defaults reproduce the ann_ivfpq_topk entry
     (queries vec_id < 10, rerank 50, k 5), the hybrid-fusion oracle
-    instantiates it for one query with a deeper final list."""
+    instantiates it for one query with a deeper final list.
+
+    ``residual=True`` replays the FAISS-proper residual path: the PQ
+    half (seeds, codebooks, codes) trains on ``v - centroid(v)``
+    (the rv CTE), and ADC scoring adds the per-(query, centroid)
+    dot terms (qc) and the (centroid, subspace, code) cross-term
+    table (cross_t) of the exact decomposition — every new term a
+    round-6 DECIMAL(18,6) summed exactly, mirroring the Spark
+    expressions term for term."""
+    src = "rv" if residual else "e"
+    rv_cte = """
+    rv AS MATERIALIZED (
+      SELECT l.vec_id,
+             list_transform(list_zip(e.v, c.cv), z -> z[1] - z[2]) AS v
+      FROM lists l
+      JOIN e ON e.vec_id = l.vec_id
+      JOIN cents c ON c.centroid_id = l.centroid_id
+    ),""" if residual else ""
+    if residual:
+        resid_ctes = """
+    qc AS MATERIALIZED (
+      SELECT p.query_id, p.centroid_id,
+             CAST(round(list_sum(list_transform(list_zip(q.v, c.cv),
+                    z -> z[1] * z[2])), 6) AS DECIMAL(18,6)) AS qcdot,
+             CAST(round(list_sum(list_transform(list_zip(c.cv, c.cv),
+                    z -> z[1] * z[2])), 6) AS DECIMAL(18,6)) AS cn2c
+      FROM probes p
+      JOIN q ON q.query_id = p.query_id
+      JOIN cents c ON c.centroid_id = p.centroid_id
+    ),
+    cross_t AS MATERIALIZED (
+      SELECT c.centroid_id, cb.subspace, cb.code,
+             CAST(round(list_sum(list_transform(
+                    list_zip(c.cv[cb.subspace * 8 + 1 : cb.subspace * 8 + 8],
+                             cb.cv),
+                    z -> z[1] * z[2])), 6) AS DECIMAL(18,6)) AS cdot
+      FROM cents c CROSS JOIN codebooks cb
+    ),"""
+        scored_cte = """
+    scored AS MATERIALIZED (
+      SELECT p.query_id, lut.qnorm, co.vec_id, li.centroid_id,
+             sum(lut.pdot) AS sdot, sum(lut.cn2) AS scn2,
+             sum(x.cdot) AS scdot
+      FROM codes co
+      JOIN lists li ON li.vec_id = co.vec_id
+      JOIN probes p ON p.centroid_id = li.centroid_id
+      JOIN lut ON lut.query_id = p.query_id
+              AND lut.subspace = co.subspace AND lut.code = co.code
+      JOIN cross_t x ON x.centroid_id = li.centroid_id
+              AND x.subspace = co.subspace AND x.code = co.code
+      WHERE p.query_id <> co.vec_id
+      GROUP BY 1, 2, 3, 4
+    ),
+    adc AS MATERIALIZED (
+      SELECT s.query_id, s.vec_id,
+             round(CAST(qc.qcdot + s.sdot AS DOUBLE)
+                   / (s.qnorm
+                      * sqrt(CAST(qc.cn2c + 2 * s.scdot + s.scn2
+                                  AS DOUBLE))), 4) AS approx_cos
+      FROM scored s
+      JOIN qc ON qc.query_id = s.query_id
+             AND qc.centroid_id = s.centroid_id
+    )"""
+    else:
+        resid_ctes = ""
+        scored_cte = """
+    scored AS MATERIALIZED (
+      SELECT p.query_id, lut.qnorm, co.vec_id,
+             CAST(sum(lut.pdot) AS DOUBLE) AS sdot,
+             CAST(sum(lut.cn2) AS DOUBLE) AS scn2
+      FROM codes co
+      JOIN lists li ON li.vec_id = co.vec_id
+      JOIN probes p ON p.centroid_id = li.centroid_id
+      JOIN lut ON lut.query_id = p.query_id
+              AND lut.subspace = co.subspace AND lut.code = co.code
+      WHERE p.query_id <> co.vec_id
+      GROUP BY 1, 2, 3
+    ),
+    adc AS MATERIALIZED (
+      SELECT query_id, vec_id,
+             round(sdot / (qnorm * sqrt(scn2)), 4) AS approx_cos
+      FROM scored
+    )"""
     return f"""
     WITH e AS MATERIALIZED (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -997,6 +1083,7 @@ def _ann_ivfpq_oracle(k: int = 5, rerank: int = 50, q_max: int = 10) -> str:
         FROM e r CROSS JOIN cents c)
       WHERE rn = 1
     ),
+    {rv_cte}
     probes AS MATERIALIZED (
       SELECT query_id, centroid_id FROM (
         SELECT q.vec_id AS query_id, c.centroid_id,
@@ -1016,7 +1103,7 @@ def _ann_ivfpq_oracle(k: int = 5, rerank: int = 50, q_max: int = 10) -> str:
     subs AS MATERIALIZED (
       SELECT vec_id, CAST(s.range AS INTEGER) AS subspace,
              v[s.range * 8 + 1 : s.range * 8 + 8] AS sv
-      FROM e CROSS JOIN range(0, 8) s
+      FROM {src} CROSS JOIN range(0, 8) s
     ),
     pseeds AS MATERIALIZED (
       SELECT b.subspace, si.code, b.sv AS cv
@@ -1068,25 +1155,13 @@ def _ann_ivfpq_oracle(k: int = 5, rerank: int = 50, q_max: int = 10) -> str:
                     z -> z[1] * z[2])), 6) AS DECIMAL(18,6)) AS cn2
       FROM qsubs JOIN codebooks c ON c.subspace = qsubs.subspace
     ),
-    scored AS MATERIALIZED (
-      SELECT p.query_id, lut.qnorm, co.vec_id,
-             CAST(sum(lut.pdot) AS DOUBLE) AS sdot,
-             CAST(sum(lut.cn2) AS DOUBLE) AS scn2
-      FROM codes co
-      JOIN lists li ON li.vec_id = co.vec_id
-      JOIN probes p ON p.centroid_id = li.centroid_id
-      JOIN lut ON lut.query_id = p.query_id
-              AND lut.subspace = co.subspace AND lut.code = co.code
-      WHERE p.query_id <> co.vec_id
-      GROUP BY 1, 2, 3
-    ),
+    {resid_ctes}{scored_cte},
     shortlist AS MATERIALIZED (
       SELECT query_id, vec_id FROM (
         SELECT query_id, vec_id,
                row_number() OVER (PARTITION BY query_id
-                 ORDER BY round(sdot / (qnorm * sqrt(scn2)), 4) DESC,
-                          vec_id ASC) AS rnk
-        FROM scored)
+                 ORDER BY approx_cos DESC, vec_id ASC) AS rnk
+        FROM adc)
       WHERE rnk <= {rerank}
     )
     SELECT query_id, neighbor_id, cos_sim, rnk FROM (
@@ -1116,7 +1191,8 @@ def _ann_recall_oracle(k: int = 5) -> str:
     lshq AS ({_ann_lsh_oracle(k=k)}),
     ivfq AS ({_ann_ivf_oracle(k=k)}),
     pqq AS (SELECT query_id, neighbor_id FROM ({_ann_pq_oracle(k=k)})),
-    ivfpqq AS (SELECT query_id, neighbor_id FROM ({_ann_ivfpq_oracle()})),
+    ivfpqq AS (SELECT query_id, neighbor_id
+               FROM ({_ann_ivfpq_oracle(residual=True)})),
     truth AS (SELECT count(*) AS truth FROM brute),
     m AS (
       SELECT 'lsh' AS method, count(*) AS hits
@@ -1135,12 +1211,23 @@ def _ann_recall_oracle(k: int = 5) -> str:
            CAST(hits AS BIGINT) AS hits,
            CAST(truth AS BIGINT) AS truth,
            round(hits / truth, 4) AS recall,
-           (CASE method WHEN 'lsh' THEN hits > 0.2 * truth
-                        WHEN 'pq' THEN hits > 0.5 * truth
-                        WHEN 'ivfpq' THEN hits > 0.3 * truth
-                        ELSE hits > 0.4 * truth END) AS meets_floor
+           (CASE method {_recall_floor_cases()}
+                        ELSE NULL END) AS meets_floor
     FROM m CROSS JOIN truth
     """
+
+
+def _recall_floor_cases() -> str:
+    """Floor WHENs generated from llm_queries.ANN_RECALL_FLOOR — one
+    source of truth for Spark and oracle."""
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators.llm_queries import (
+        ANN_RECALL_FLOOR,
+    )
+
+    return " ".join(
+        f"WHEN '{m}' THEN hits > {f} * truth"
+        for m, f in sorted(ANN_RECALL_FLOOR.items())
+    )
 
 
 _MINHASH_SEEDS = ",".join(
@@ -2758,6 +2845,7 @@ def oracle_sql() -> dict[str, str]:
         # codebook/codes/LUT CTEs, with ADC scoring restricted to the
         # probed inverted lists and exact rerank of the shortlist.
         "ann_ivfpq_topk": _ann_ivfpq_oracle(),
+        "ann_ivfpq_residual_topk": _ann_ivfpq_oracle(residual=True),
         "text_ngram_lm_score": f"""
             WITH norm AS (
               SELECT doc_id, string_split({_NORM.format(t='text')}, ' ') AS w

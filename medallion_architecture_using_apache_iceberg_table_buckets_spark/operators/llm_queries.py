@@ -150,20 +150,24 @@ def ann_ivf_topk(spark, sf_dir):
     return S.cosine_topk_ivf(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
-ANN_RECALL_FLOOR = {"lsh": 0.2, "ivf": 0.4, "pq": 0.5, "ivfpq": 0.3}
+#: ivfpq's floor was 0.3 on the raw-vector codes; residual encoding
+#: (round 7) lifted measured recall 0.46->0.50 (sf0.001) and
+#: 0.48->0.52 (sf0.01), so the floor rose with it.
+ANN_RECALL_FLOOR = {"lsh": 0.2, "ivf": 0.4, "pq": 0.5, "ivfpq": 0.4}
 
 
 def ann_recall_at_k(spark, sf_dir, k: int = 5):
     """Search QUALITY as driver-checked data: recall@k of all four
     scale-safe ANN variants (hyperplane LSH, IVF, PQ+rerank, and the
-    composed IVF-PQ) against the fenced brute-force ground truth,
-    computed entirely in-query (left-semi join on
-    (query_id, neighbor_id), integer hit counts, no collect). The
-    meets_floor flag asserts recall above the per-method floor the
-    pytest suite also enforces — a bucketing/seeding/encoding
-    regression flips it to false and the driver hash breaks. The
-    pq/ivfpq configurations mirror their registry queries exactly,
-    so their oracles replay the same trainings."""
+    composed IVF-PQ with residual encoding) against the fenced
+    brute-force ground truth, computed entirely in-query (left-semi
+    join on (query_id, neighbor_id), integer hit counts, no
+    collect). The meets_floor flag asserts recall above the
+    per-method floor the pytest suite also enforces — a
+    bucketing/seeding/encoding regression flips it to false and the
+    driver hash breaks. The pq/ivfpq configurations mirror their
+    registry queries exactly (ivfpq = ann_ivfpq_residual_topk), so
+    their oracles replay the same trainings."""
     emb = load(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
     brute = S.cosine_topk(emb, q, k=k, dim=64).select("query_id", "neighbor_id")
@@ -173,7 +177,7 @@ def ann_recall_at_k(spark, sf_dir, k: int = 5):
         "pq": S.cosine_topk_pq(emb, q, k=k, n_subspaces=8, rerank=100),
         "ivfpq": S.cosine_topk_ivfpq(
             emb, q, k=k, n_centroids=16, nprobe=4, n_subspaces=8,
-            rerank=50,
+            rerank=50, residual=True,
         ),
     }
     out = None
@@ -740,6 +744,30 @@ def ann_ivfpq_topk(spark, sf_dir):
         nprobe=4,
         n_subspaces=8,
         rerank=50,
+    ).orderBy("query_id", "rnk")
+
+
+def ann_ivfpq_residual_topk(spark, sf_dir):
+    """IVF-PQ with FAISS-proper residual encoding (similarity.py
+    cosine_topk_ivfpq residual=True): PQ codes quantize
+    v - centroid(v), ADC scores through the exact decomposition's
+    broadcast qc/cross-term tables, then the exact pass re-ranks the
+    shortlist. Same deterministic recipe as ann_ivfpq_topk, so the
+    SQL oracle replays the residual training bit-for-bit; measured
+    recall@5 rises 0.46->0.50 (sf0.001) / 0.48->0.52 (sf0.01) over
+    the raw-vector codes."""
+    from .similarity import cosine_topk_ivfpq
+
+    emb = load(spark, sf_dir, "embeddings")
+    return cosine_topk_ivfpq(
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        k=5,
+        n_centroids=16,
+        nprobe=4,
+        n_subspaces=8,
+        rerank=50,
+        residual=True,
     ).orderBy("query_id", "rnk")
 
 

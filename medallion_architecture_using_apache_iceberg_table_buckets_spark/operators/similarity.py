@@ -777,6 +777,7 @@ def cosine_topk_ivfpq(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     rerank: int = 0,
+    residual: bool = False,
 ) -> DataFrame:
     """IVF-PQ: the two compressions composed, the billion-vector
     workhorse (FAISS ``IndexIVFPQ``; Jégou et al. 2011 §V). The IVF
@@ -795,24 +796,50 @@ def cosine_topk_ivfpq(
     corpus-sized shuffle is the (query, vec) partial-sum aggregation,
     pre-combined map-side.
 
-    Simplification vs FAISS: codes encode RAW vectors, not residuals
-    from the assigned centroid, so one codebook set serves every list
-    and the deterministic training recipe stays replayable by the SQL
-    oracle bit-for-bit. Residual encoding is a recall refinement
-    inside the same plan shape (subtract the broadcast centroid
-    before encoding), not a different algorithm.
+    ``residual=False`` (the historical default) encodes RAW vectors,
+    so one codebook set serves every list with the simplest
+    replayable recipe. ``residual=True`` is FAISS-proper residual
+    encoding: PQ quantizes ``v - centroid(v)`` (a broadcast-centroid
+    map-only subtraction — the assignment is already in hand), which
+    centers every inverted list's codebook input near the origin and
+    cuts quantization error. ADC then scores through the exact
+    decomposition ``dot(q, v) ~= dot(q, c) + sum_s dot(q_s, r_s)``
+    and ``||v||^2 ~= ||c||^2 + 2*sum_s dot(c_s, r_s) +
+    sum_s ||r_s||^2`` — the extra terms come from two more broadcast
+    tables (per-(query, probed centroid) dots and a
+    (centroid, subspace, code) cross-term table of
+    n_centroids*n_subspaces*k_sub rows), so the plan shape and its
+    one corpus-sized shuffle are unchanged. All new terms are
+    round-6-quantized decimals summed exactly, keeping the SQL
+    oracle bit-for-bit replayable.
     """
     nk_hint = corpus.count() * n_centroids
     corpus = fan_out(corpus)
     cents = ivf_centroids(
         corpus, n_centroids, vec_col, id_col, nk_hint=nk_hint
     ).persist()
-    lists = ivf_assign(
+    assigned = ivf_assign(
         corpus, cents, vec_col, id_col, dim, nk_hint=nk_hint
-    ).select("vec_id", "centroid_id")
-    codebooks, codes = pq_train_encode(
-        corpus, n_subspaces, k_sub, dim, id_col, vec_col
     )
+    lists = assigned.select("vec_id", "centroid_id")
+    if residual:
+        # residual corpus: the assignment already carries the
+        # embedding; one 16-row broadcast join + map-only subtraction
+        rcorpus = assigned.join(F.broadcast(cents), "centroid_id").select(
+            "vec_id",
+            F.zip_with(
+                to_double_array("embedding"),
+                to_double_array("cv"),
+                lambda x, y: x - y,
+            ).alias("rv"),
+        )
+        codebooks, codes = pq_train_encode(
+            rcorpus, n_subspaces, k_sub, dim, "vec_id", "rv"
+        )
+    else:
+        codebooks, codes = pq_train_encode(
+            corpus, n_subspaces, k_sub, dim, id_col, vec_col
+        )
 
     # probe the nprobe nearest centroids per query (ivf shape)
     q = _norm_col(
@@ -829,11 +856,23 @@ def cosine_topk_ivfpq(
     wq = Window.partitionBy("query_id").orderBy(
         F.desc("_sim"), F.asc("centroid_id")
     )
-    probes = (
-        qscore.withColumn("_rn", F.row_number().over(wq))
-        .filter(F.col("_rn") <= nprobe)
-        .select("query_id", "centroid_id")
+    probes_full = qscore.withColumn("_rn", F.row_number().over(wq)).filter(
+        F.col("_rn") <= nprobe
     )
+    probes = probes_full.select("query_id", "centroid_id")
+    if residual:
+        # per-(query, probed centroid) exact-decimal dot terms for the
+        # residual ADC decomposition (tiny: n_queries * nprobe rows)
+        qc = probes_full.select(
+            "query_id",
+            "centroid_id",
+            F.round(
+                _fold_dot(to_double_array("qv"), to_double_array("cv")), 6
+            ).cast("decimal(18,6)").alias("qcdot"),
+            F.round(
+                _fold_dot(to_double_array("cv"), to_double_array("cv")), 6
+            ).cast("decimal(18,6)").alias("cn2c"),
+        )
 
     # ADC lookup table per query (pq shape)
     sub_dim = dim // n_subspaces
@@ -868,22 +907,78 @@ def cosine_topk_ivfpq(
     probed_codes = codes.join(lists, "vec_id").join(
         F.broadcast(probes), "centroid_id"
     )
-    scored = (
-        probed_codes.join(
-            F.broadcast(lut), ["query_id", "subspace", "code"]
+    if residual:
+        # (centroid, subspace, code) cross terms dot(c_s, r_s):
+        # n_centroids * n_subspaces * k_sub rows — broadcast
+        cslices = cents.select(
+            "centroid_id",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.slice(
+                            to_double_array("cv"), s * sub_dim + 1, sub_dim
+                        )
+                        for s in range(n_subspaces)
+                    ]
+                )
+            ).alias("subspace", "csv"),
         )
-        .filter(F.col("query_id") != F.col("vec_id"))
-        .groupBy("query_id", "qnorm", "vec_id")
-        .agg(F.sum("pdot").alias("sdot"), F.sum("cn2").alias("scn2"))
-        .withColumn(
-            "approx_cos",
-            F.round(
-                F.col("sdot").cast("double")
-                / (F.col("qnorm") * F.sqrt(F.col("scn2").cast("double"))),
-                4,
-            ),
+        cross = cslices.join(F.broadcast(codebooks), "subspace").select(
+            "centroid_id",
+            "subspace",
+            "code",
+            F.round(_fold_dot(F.col("csv"), F.col("cv")), 6)
+            .cast("decimal(18,6)")
+            .alias("cdot"),
         )
-    )
+        scored = (
+            probed_codes.join(
+                F.broadcast(lut), ["query_id", "subspace", "code"]
+            )
+            .join(F.broadcast(cross), ["centroid_id", "subspace", "code"])
+            .filter(F.col("query_id") != F.col("vec_id"))
+            .groupBy("query_id", "qnorm", "vec_id", "centroid_id")
+            .agg(
+                F.sum("pdot").alias("sdot"),
+                F.sum("cn2").alias("scn2"),
+                F.sum("cdot").alias("scdot"),
+            )
+            .join(F.broadcast(qc), ["query_id", "centroid_id"])
+            .withColumn(
+                "approx_cos",
+                F.round(
+                    (F.col("qcdot") + F.col("sdot")).cast("double")
+                    / (
+                        F.col("qnorm")
+                        * F.sqrt(
+                            (
+                                F.col("cn2c")
+                                + F.lit(2) * F.col("scdot")
+                                + F.col("scn2")
+                            ).cast("double")
+                        )
+                    ),
+                    4,
+                ),
+            )
+        )
+    else:
+        scored = (
+            probed_codes.join(
+                F.broadcast(lut), ["query_id", "subspace", "code"]
+            )
+            .filter(F.col("query_id") != F.col("vec_id"))
+            .groupBy("query_id", "qnorm", "vec_id")
+            .agg(F.sum("pdot").alias("sdot"), F.sum("cn2").alias("scn2"))
+            .withColumn(
+                "approx_cos",
+                F.round(
+                    F.col("sdot").cast("double")
+                    / (F.col("qnorm") * F.sqrt(F.col("scn2").cast("double"))),
+                    4,
+                ),
+            )
+        )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("approx_cos"), F.asc("vec_id")
     )

@@ -332,6 +332,14 @@ def test_brute_baselines_are_the_only_all_pairs_plans(spark, sf_dir):
         # BM25: the 1-row (N, sum_dl) corpus-stats scalar broadcast;
         # tf/idf joins are keyed equi-joins on term / doc_id
         "text_bm25_topk",
+        # hybrid fusion: inherits BM25's 1-row stats broadcast and
+        # IVF-PQ's seeding scalar; the fusion itself is a keyed
+        # full-outer join of two k-sized lists
+        "hybrid_bm25_ann_topk",
+        # residual IVF-PQ: same 1-row seeding-step scalar +
+        # centroid-count broadcasts as ann_ivfpq_topk; the residual
+        # qc/cross tables are nprobe- and codebook-sized broadcasts
+        "ann_ivfpq_residual_topk",
     }
     # Queries whose construction performs writes/iterative jobs; their
     # plan hygiene is asserted by dedicated tests.

@@ -165,3 +165,40 @@ def test_rrf_fuse_needs_two_lists(spark):
     df = spark.createDataFrame([(1, 1)], ["doc_id", "a_rank"])
     with pytest.raises(ValueError):
         rrf_fuse([("a", df)])
+
+
+def test_ivfpq_residual_recall_beats_floor(spark, sf_dir):
+    """Residual encoding (FAISS-proper) must clear the raised
+    ANN_RECALL_FLOOR['ivfpq'] and produce the exact-cosine rank
+    contract after the rerank pass."""
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators.llm_queries import (
+        ANN_RECALL_FLOOR,
+    )
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators.relational import load
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_ivfpq,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, queries, k=5).collect()
+    }
+    got = cosine_topk_ivfpq(
+        emb, queries, k=5, n_centroids=16, nprobe=4, n_subspaces=8,
+        rerank=50, residual=True,
+    ).collect()
+    pairs = {(r["query_id"], r["neighbor_id"]) for r in got}
+    recall = len(truth & pairs) / len(truth)
+    assert recall > ANN_RECALL_FLOOR["ivfpq"], f"residual recall {recall}"
+    # rank contract: dense 1..k, cos_sim non-increasing
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for rows in by_q.values():
+        rows.sort(key=lambda r: r["rnk"])
+        assert [r["rnk"] for r in rows] == list(range(1, len(rows) + 1))
+        sims = [r["cos_sim"] for r in rows]
+        assert sims == sorted(sims, reverse=True)
