@@ -1043,6 +1043,55 @@ def export_iceberg_dir(table: Table, dest) -> "Path":
 
         for f, info in delta_info.items():
             tbl = pq.read_table(table.data_root / f)
+            # identity-partition key columns live only in the Hive
+            # path of a partitioned delta parquet — re-inject them
+            # (typed per the table schema) so an equality delete
+            # keyed on a partition column exports its key values
+            missing = [k for k in info["keys"] if k not in tbl.column_names]
+            if missing:
+                import pyarrow as pa
+
+                from .transforms import (
+                    HIVE_DEFAULT_PARTITION,
+                    unescape_path_name,
+                )
+
+                pvals: dict[str, str | None] = {}
+                for seg in f.split("/")[:-1]:
+                    if "=" in seg:
+                        c, v = seg.split("=", 1)
+                        v = unescape_path_name(v)
+                        pvals[c] = (
+                            None if v == HIVE_DEFAULT_PARTITION else v
+                        )
+                stypes = {sf.name: sf.dataType.simpleString()
+                          for sf in table.schema.fields}
+                for k in missing:
+                    if k not in pvals:
+                        raise ValueError(
+                            f"equality-delete key column {k!r} absent "
+                            f"from delta file {f} and its partition path"
+                        )
+                    raw = pvals[k]
+                    st = stypes.get(k, "string")
+                    if raw is None:
+                        val, typ = None, pa.string()
+                    elif st in ("int", "integer"):
+                        val, typ = int(raw), pa.int32()
+                    elif st in ("bigint", "long"):
+                        val, typ = int(raw), pa.int64()
+                    elif st == "date":
+                        import datetime
+
+                        val = datetime.date.fromisoformat(raw)
+                        typ = pa.date32()
+                    elif st == "double":
+                        val, typ = float(raw), pa.float64()
+                    else:
+                        val, typ = raw, pa.string()
+                    tbl = tbl.append_column(
+                        k, pa.array([val] * tbl.num_rows, type=typ)
+                    )
             flat = f.replace("/", "%2F")
             d = dest / "data" / "__mor__" / str(info["snap"])
             d.mkdir(parents=True, exist_ok=True)
@@ -1489,7 +1538,14 @@ def read_exported_table(dest):
         s for s in doc["snapshots"] if s["snapshot-id"] == cur_id
     )
 
-    schema_fields = doc["schemas"][0]["fields"]
+    # resolve the CURRENT schema by id (a spec reader never assumes
+    # schemas[0] is current — schema evolution appends)
+    cur_schema_id = doc.get("current-schema-id", 0)
+    schema_doc = next(
+        (s for s in doc["schemas"] if s.get("schema-id") == cur_schema_id),
+        doc["schemas"][0],
+    )
+    schema_fields = schema_doc["fields"]
     fid_to_name = {f["id"]: f["name"] for f in schema_fields}
     col_order = [f["name"] for f in schema_fields]
     col_type = {f["name"]: f["type"] for f in schema_fields}
@@ -1504,9 +1560,15 @@ def read_exported_table(dest):
             if e["status"] == DELETED:
                 continue
             rec = e["data_file"]
+            # v2 sequence-number inheritance: an ADDED entry may leave
+            # sequence_number null and inherit the manifest's own
+            # sequence number from the manifest list
+            seq = e.get("sequence_number")
+            if seq is None:
+                seq = mf.get("sequence_number")
             item = {
                 "path": rec["file_path"],
-                "seq": e["sequence_number"],
+                "seq": seq,
                 "partition": rec.get("partition") or {},
                 "equality_ids": rec.get("equality_ids"),
             }
@@ -1559,16 +1621,24 @@ def read_exported_table(dest):
         }
         if drop:
             pdf = pdf[~pdf.index.isin(drop)]
-        for eq in eqs:
-            if de["seq"] < eq["seq"] and len(pdf):
-                present = [c for c in eq["cols"] if c in pdf.columns]
-                if len(present) == len(eq["cols"]):
-                    keyvals = list(zip(*(pdf[c] for c in eq["cols"])))
-                    pdf = pdf[[kv not in eq["keys"] for kv in keyvals]]
-        # metadata-only identity partition columns
+        # metadata-only identity partition columns — injected BEFORE
+        # equality deletes so a delete keyed on a partition column
+        # sees its values (the spec reads these from manifest
+        # partition metadata exactly like any other column)
         for pname, pval in de["partition"].items():
             if pname not in pdf.columns and pname in col_type:
                 pdf[pname] = _cast_partition(pval, col_type[pname])
+        for eq in eqs:
+            if de["seq"] < eq["seq"] and len(pdf):
+                missing = [c for c in eq["cols"] if c not in pdf.columns]
+                if missing:
+                    # silently skipping would resurrect deleted rows
+                    raise ValueError(
+                        f"equality-delete key column(s) {missing} absent "
+                        f"from data file {de['path']}"
+                    )
+                keyvals = list(zip(*(pdf[c] for c in eq["cols"])))
+                pdf = pdf[[kv not in eq["keys"] for kv in keyvals]]
         frames.append(pdf)
 
     out = pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(

@@ -2036,9 +2036,13 @@ class Table:
                  first_seq.get(f, snap.snapshot_id), f, 0, rows_of(f))
             )
         for f in sorted(snap.delete_files):
+            # delete files carry forward across commits just like data
+            # files: ADDED (1) only when this snapshot introduced the
+            # file, EXISTING (0) when inherited from the parent
+            fseq = first_seq.get(f, snap.snapshot_id)
             rows.append(
-                (1, snap.snapshot_id,
-                 first_seq.get(f, snap.snapshot_id), f, 1, rows_of(f))
+                (1 if fseq == snap.snapshot_id else 0, snap.snapshot_id,
+                 fseq, f, 1, rows_of(f))
             )
         for f in sorted(snap.removed_files):
             rows.append(

@@ -202,6 +202,11 @@ def decode_png(content: bytes, want_pixels: bool = False) -> dict:
     while pos + 8 <= n:
         (length,) = struct.unpack_from(">I", content, pos)
         ctype = content[pos + 4 : pos + 8]
+        if pos + 12 + length > n:
+            # a short body slice would otherwise make the CRC
+            # unpack_from read past the buffer and raise struct.error,
+            # breaking the ValueError parse-error contract
+            raise ValueError(f"PNG chunk {ctype!r} truncated")
         body = content[pos + 8 : pos + 8 + length]
         (crc,) = struct.unpack_from(">I", content, pos + 8 + length)
         if zlib.crc32(ctype + body) != crc:
@@ -222,9 +227,16 @@ def decode_png(content: bytes, want_pixels: bool = False) -> dict:
         elif ctype == b"IEND":
             break
         pos += 12 + length
+    else:
+        # ran off the end mid-header (fewer than 8 bytes left) —
+        # a truncated stream, same contract as a truncated body
+        raise ValueError("PNG stream truncated before IEND")
     if width is None:
         raise ValueError("PNG missing IHDR")
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise ValueError(f"PNG IDAT stream corrupt: {exc}") from exc
     bpp, stride = channels, channels * width
     if len(raw) != height * (stride + 1):
         raise ValueError("PNG scanline data length mismatch")

@@ -679,3 +679,45 @@ def test_external_spec_reader_across_partition_evolution(spark, tmp_path):
         for r in t.read(spark).collect()
     )
     assert got == want and len(got) == 14
+
+
+def test_external_reader_eq_delete_on_partition_column(spark, tmp_path):
+    """Equality deletes keyed on an identity-partition column: the
+    key values live ONLY in the path + manifest partition record, so
+    the spec reader must re-inject partition columns BEFORE applying
+    equality deletes. (It used to inject after, silently skipping
+    such deletes and resurrecting every deleted row.)"""
+    from pyspark.sql import functions as F
+
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.lakehouse.iceberg_compat import (
+        export_iceberg_dir,
+        read_exported_table,
+    )
+
+    sch = T.StructType.fromDDL("id long, seg string, amount double")
+    cat = Catalog(tmp_path / "wh_eqp")
+    t = cat.create_table(
+        "d", "eqp", sch, partition_by=["seg"],
+        properties={"write.merge.mode": "merge-on-read"},
+    )
+    t.append(spark.createDataFrame(
+        [(i, "ab"[i % 2], float(i)) for i in range(10)], sch))
+    dele = spark.createDataFrame(
+        [(3, "b", 0.0), (4, "a", 0.0)], sch).withColumn("Op", F.lit("D"))
+    merge_into(
+        spark, t, dele, on=["id", "seg"], delete_predicate="Op = 'D'")
+    assert t.current_snapshot().operation == "merge-delta"
+
+    engine = sorted(
+        tuple(r[c] for c in ("id", "seg", "amount"))
+        for r in t.read(spark).collect()
+    )
+    assert {r[0] for r in engine} == set(range(10)) - {3, 4}
+
+    dest = export_iceberg_dir(t, tmp_path / "exp_eqp")
+    pdf = read_exported_table(dest)
+    ext = sorted(
+        tuple(pdf[c][i] for c in ("id", "seg", "amount"))
+        for i in range(len(pdf))
+    )
+    assert ext == engine

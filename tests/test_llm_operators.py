@@ -399,6 +399,14 @@ def test_png_codec_round_trip_all_filters():
         with pytest.raises(NotImplementedError):
             decode_png(sig + _png_chunk(b"IHDR", ihdr))
 
+    # EVERY truncation point is a parse error (ValueError), never a
+    # struct.error from the CRC unpack or a raw zlib.error — mid-body,
+    # mid-header, and mid-IDAT cuts all included
+    whole = encode_png(4, 3, bytes(range(36)), 3)
+    for cut in range(len(whole)):
+        with pytest.raises((ValueError, NotImplementedError)):
+            decode_png(whole[:cut])
+
 
 # ---------------------------------------------------------------------------
 # PII scrub

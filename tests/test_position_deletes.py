@@ -381,3 +381,20 @@ def test_rewrite_position_deletes_consolidates(spark, tmp_path):
     ).collect()
     assert out[0]["rewritten_delete_files_count"] == 1
     assert {r["id"] for r in t.read(spark).collect()} == {3}
+
+
+def test_entries_status_for_carried_forward_delete_files(spark, tmp_path):
+    """<t>.entries mirrors the data-file status logic for delete
+    files: ADDED (1) only in the snapshot that introduced the delete
+    file, EXISTING (0) once the parent's delete files carry forward
+    into a later commit."""
+    t = mor_table(spark, tmp_path)
+    t.delete_where(spark, "id = 2")  # introduces a position-delete file
+    ent = t.entries_df(spark).where(F.col("content") == 1).collect()
+    assert len(ent) >= 1 and all(r["status"] == 1 for r in ent)
+
+    t.append(make(spark, [(6, "c", "x6")]))   # delete file carries forward
+    ent2 = t.entries_df(spark).where(F.col("content") == 1).collect()
+    assert len(ent2) == len(ent)
+    assert all(r["status"] == 0 for r in ent2), \
+        "carried-forward delete file must be EXISTING"
