@@ -824,7 +824,16 @@ def cosine_topk_ivfpq(
     lists = assigned.select("vec_id", "centroid_id")
     if residual:
         # residual corpus: the assignment already carries the
-        # embedding; one 16-row broadcast join + map-only subtraction
+        # embedding; one 16-row broadcast join + map-only subtraction.
+        # PERSISTED because pq_train_encode consumes its input from
+        # several subtrees (seed join, two assignment passes, cell
+        # aggregation) — with raw vectors each re-read is a cheap
+        # scan, but the residual lineage embeds the full ivf_assign
+        # (a pandas-cosine pass over n*k pairs), which re-executed
+        # per subtree measured 2.3x the raw path's wall time at
+        # sf0.1. Materializing residuals once during training is the
+        # standard trade (FAISS does the same); MEMORY_AND_DISK via
+        # default persist, spill-safe at scale.
         rcorpus = assigned.join(F.broadcast(cents), "centroid_id").select(
             "vec_id",
             F.zip_with(
@@ -832,7 +841,7 @@ def cosine_topk_ivfpq(
                 to_double_array("cv"),
                 lambda x, y: x - y,
             ).alias("rv"),
-        )
+        ).persist()
         codebooks, codes = pq_train_encode(
             rcorpus, n_subspaces, k_sub, dim, "vec_id", "rv"
         )
