@@ -61,15 +61,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #           row (VERDICT r6 carried debt, verbatim list) — after
     #           their rows land, union driver coverage under current
     #           names is 147/147;
-    #   8-9   = hybrid_bm25_ann_topk and ann_ivfpq_residual_topk,
-    #           NEW this round (never checked);
-    #   10-49 = the remaining r04-window block, continuing down the
+    #   8-10  = hybrid_bm25_ann_topk, ann_ivfpq_residual_topk, and
+    #           multimodal_decode_jpeg, NEW this round (never
+    #           checked);
+    #   11-50 = the remaining r04-window block, continuing down the
     #           tail in age order from dedup_minhash_lsh_pairs
     #           (40 entries, all driver-green r04 — refreshing their
-    #           rows onto current code);
-    #   50    = the first r05-window entry (text_repetition_scores).
-    # 7 + 2 + 40 + 1 = 50 exactly. Further NEW round-7 queries are
-    # inserted right after position 9 as they land, each bump pushing
+    #           rows onto current code).
+    # 7 + 3 + 40 = 50 exactly. Further NEW round-7 queries are
+    # inserted right after position 10 as they land, each bump pushing
     # the window's tail-most r04/r05 refresh entry below position 50
     # (those already have union-green rows, so coverage stays
     # complete).
@@ -86,11 +86,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bm25_topk": L.text_bm25_topk,
         "bpe_encode_tokens": L.bpe_encode_tokens,
         "sample_weighted_by_source": L.sample_weighted_by_source,
-        # --- (8-9) NEW in round 7: hybrid BM25+IVFPQ retrieval
-        # fusion; residual-encoded IVF-PQ ---
+        # --- (8-10) NEW in round 7: hybrid BM25+IVFPQ retrieval
+        # fusion; residual-encoded IVF-PQ; real baseline JPEG ---
         "hybrid_bm25_ann_topk": L.hybrid_bm25_ann_topk,
         "ann_ivfpq_residual_topk": L.ann_ivfpq_residual_topk,
-        # --- (10-49) r04-window refresh block (driver-green r04) ---
+        "multimodal_decode_jpeg": L.multimodal_decode_jpeg,
+        # --- (11-50) r04-window refresh block (driver-green r04) ---
         "dedup_minhash_lsh_pairs": L.dedup_minhash_lsh_pairs,
         "dedup_simhash_pairs": L.dedup_simhash_pairs,
         "dedup_keep_list": L.dedup_keep_list,
@@ -131,9 +132,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_union_segments": R.set_union_segments,
         "set_intersect_building_buyers": R.set_intersect_building_buyers,
         "set_except_nonbuyers": R.set_except_nonbuyers,
-        # --- (50) first r05-window refresh entry ---
-        "text_repetition_scores": L.text_repetition_scores,
         # ============ tail (51+) ============
+        "text_repetition_scores": L.text_repetition_scores,
         "text_leakage_safe_split": L.text_leakage_safe_split,
         "multimodal_decode_image": L.multimodal_decode_image,
         # --- remaining r05-window entries (driver-green r05) ---
@@ -2946,6 +2946,75 @@ def oracle_sql() -> dict[str, str]:
                    CAST(g.dh AS INTEGER) AS dst_h,
                    s.pixel_sum
             FROM geo g JOIN sums s USING (doc_id)
+        """,
+        # JPEG fixture: every 8x8 block constant -> DC-only DCT,
+        # exactly carried by the all-ones quant table, so the oracle
+        # replays the full codec chain closed-form. Float constants
+        # promote to DOUBLE (products with int columns), matching the
+        # Python encoder/decoder's left-associated expressions and
+        # floor(x+0.5) rounding term for term.
+        "multimodal_decode_jpeg": """
+            WITH dims AS (
+              SELECT doc_id,
+                     8 * (doc_id % 3 + 1) AS w,
+                     8 * (doc_id % 2 + 1) AS h,
+                     CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 3 END AS ch,
+                     (doc_id % 3 + 1) * (doc_id % 2 + 1) AS nb
+              FROM documents
+            ),
+            blocks AS (
+              SELECT doc_id, ch, unnest(range(nb)) AS b FROM dims
+            ),
+            vals AS (
+              SELECT doc_id, ch, b,
+                     (7 * doc_id + 13 * b) % 256 AS r,
+                     (11 * doc_id + 17 * b) % 256 AS g,
+                     (5 * doc_id + 19 * b) % 256 AS bl
+              FROM blocks
+            ),
+            ycc AS (
+              SELECT doc_id, ch, r,
+                     least(255, greatest(0, CAST(floor(
+                       CAST(0.299 AS DOUBLE) * r + CAST(0.587 AS DOUBLE) * g
+                       + CAST(0.114 AS DOUBLE) * bl + 0.5) AS BIGINT))) AS y,
+                     least(255, greatest(0, CAST(floor(
+                       CAST(128 AS DOUBLE) - CAST(0.168736 AS DOUBLE) * r
+                       - CAST(0.331264 AS DOUBLE) * g
+                       + CAST(0.5 AS DOUBLE) * bl + 0.5) AS BIGINT))) AS cb,
+                     least(255, greatest(0, CAST(floor(
+                       CAST(128 AS DOUBLE) + CAST(0.5 AS DOUBLE) * r
+                       - CAST(0.418688 AS DOUBLE) * g
+                       - CAST(0.081312 AS DOUBLE) * bl + 0.5) AS BIGINT))) AS cr
+              FROM vals
+            ),
+            rec AS (
+              SELECT doc_id, ch,
+                     CASE WHEN ch = 1 THEN r
+                          ELSE
+                       least(255, greatest(0, CAST(floor(
+                         y + CAST(1.402 AS DOUBLE) * (cr - 128) + 0.5)
+                         AS BIGINT)))
+                     + least(255, greatest(0, CAST(floor(
+                         y - CAST(0.344136 AS DOUBLE) * (cb - 128)
+                           - CAST(0.714136 AS DOUBLE) * (cr - 128) + 0.5)
+                         AS BIGINT)))
+                     + least(255, greatest(0, CAST(floor(
+                         y + CAST(1.772 AS DOUBLE) * (cb - 128) + 0.5)
+                         AS BIGINT)))
+                     END AS pxv
+              FROM ycc
+            ),
+            sums AS (
+              SELECT doc_id, CAST(64 * sum(pxv) AS BIGINT) AS pixel_sum
+              FROM rec GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   'jpeg' AS img_format,
+                   CAST(d.w AS INTEGER) AS width,
+                   CAST(d.h AS INTEGER) AS height,
+                   CAST(d.ch AS INTEGER) AS channels,
+                   s.pixel_sum
+            FROM dims d JOIN sums s USING (doc_id)
         """,
         "multimodal_decode_png": """
             WITH dims AS (

@@ -157,9 +157,10 @@ HEADLINE = {
     "bpe_encode_tokens": L.bpe_encode_tokens,
     "sample_weighted_by_source": L.sample_weighted_by_source,
     # round-7 additions: hybrid BM25+IVFPQ reciprocal-rank fusion,
-    # residual-encoded IVF-PQ
+    # residual-encoded IVF-PQ, real baseline JPEG codec
     "hybrid_bm25_ann_topk": L.hybrid_bm25_ann_topk,
     "ann_ivfpq_residual_topk": L.ann_ivfpq_residual_topk,
+    "multimodal_decode_jpeg": L.multimodal_decode_jpeg,
 }
 
 # the 14 queries recorded since round 1 — their sum is the anchored

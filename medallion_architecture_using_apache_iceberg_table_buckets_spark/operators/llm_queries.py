@@ -1714,6 +1714,24 @@ def multimodal_decode_png(spark, sf_dir):
     return decode_images(synth_pngs(_docs(spark, sf_dir)))
 
 
+def multimodal_decode_jpeg(spark, sf_dir):
+    """REAL entropy-coded container decoding: baseline sequential
+    JPEG bytes (Annex-K Huffman, all-ones quant, rotating restart
+    intervals) are synthesized per doc with block-constant content,
+    then decoded BACK by the stdlib-only codec (marker walk, canonical
+    Huffman, dequant, float IDCT, JFIF YCbCr->RGB —
+    multimodal.decode_jpeg) on the Arrow mapInPandas shape.
+    Constant blocks make the DCT DC-only and the all-ones table
+    carries it exactly, so the oracle replays the ENTIRE codec chain
+    (RGB->YCbCr floor(x+.5) rounding, DC round trip, YCbCr->RGB
+    reconstruction) closed-form in SQL — a decoder that misparses
+    Huffman codes, restarts, dequant, the IDCT constant, or the
+    color transform hash-mismatches."""
+    from .multimodal import decode_images, synth_jpegs
+
+    return decode_images(synth_jpegs(_docs(spark, sf_dir)))
+
+
 def multimodal_resize_pixels(spark, sf_dir):
     """REAL pixel resampling end-to-end: deterministic container
     bytes (PPM/BMP/PGM) decode to row-major samples

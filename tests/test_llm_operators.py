@@ -333,11 +333,11 @@ def test_image_codec_roundtrip_and_decode_query():
     d = decode_image(bytes(bmp))
     assert (d["width"], d["height"]) == (3, 2)
 
-    # PNG is a real codec since round 6: a truncated stream is a
-    # PARSE error, not an unimplemented format
+    # PNG (round 6) and JPEG (round 7) are real codecs: a truncated
+    # stream is a PARSE error, not an unimplemented format
     with pytest.raises(ValueError):
         decode_image(b"\x89PNG\r\n\x1a\n....")
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0JFIF")
 
 
@@ -769,3 +769,84 @@ def test_bm25_hand_computed(spark):
     assert got == {1: (exp1, 2), 2: (exp2, 1), 3: (exp3, 1)}
     assert [r["doc_id"] for r in rows] == sorted(
         got, key=lambda d: (-got[d][0], d))
+
+
+def test_jpeg_codec_round_trip():
+    """The stdlib-only baseline JPEG codec: exact round trip on
+    block-constant fixtures (DC-only DCT, all-ones quant), bounded
+    DCT-rounding error on arbitrary content, restart-marker
+    resynchronization, edge padding for non-block-aligned dims,
+    ValueError on every truncation prefix, NotImplementedError on
+    out-of-scope SOFs and subsampling."""
+    import math
+    import struct
+
+    import pytest
+
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators.multimodal import (
+        decode_image,
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    # exact: block-constant gray
+    w, h, vals = 24, 8, [17, 230, 99]
+    gray = bytes(vals[x // 8] for _ in range(h) for x in range(w))
+    d = decode_jpeg(encode_jpeg(w, h, gray, 1), want_pixels=True)
+    assert (d["img_format"], d["width"], d["height"], d["channels"]) == (
+        "jpeg", w, h, 1)
+    assert d["pixels"] == gray and d["pixel_sum"] == sum(gray)
+
+    # exact: block-constant color through the documented rounding chain
+    blocks = [(10, 200, 30), (250, 5, 120), (90, 90, 90), (0, 255, 128)]
+    w = h = 16
+    pix = bytes(
+        b for y in range(h) for x in range(w)
+        for b in blocks[(y // 8) * 2 + (x // 8)]
+    )
+
+    def chain(r, g, b):
+        y = min(255, max(0, math.floor(0.299 * r + 0.587 * g + 0.114 * b + 0.5)))
+        cb = min(255, max(0, math.floor(128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b + 0.5)))
+        cr = min(255, max(0, math.floor(128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b + 0.5)))
+        rr = math.floor(y + 1.402 * (cr - 128) + 0.5)
+        gg = math.floor(y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128) + 0.5)
+        bb = math.floor(y + 1.772 * (cb - 128) + 0.5)
+        return tuple(min(255, max(0, v)) for v in (rr, gg, bb))
+
+    want = bytes(
+        v for y in range(h) for x in range(w)
+        for v in chain(*blocks[(y // 8) * 2 + (x // 8)])
+    )
+    d = decode_jpeg(encode_jpeg(w, h, pix, 3), want_pixels=True)
+    assert d["pixels"] == want
+
+    # arbitrary content: all-ones quant keeps error to DCT rounding
+    pix = bytes((i * 53 + 7) % 256 for i in range(3 * 32 * 16))
+    d = decode_jpeg(encode_jpeg(32, 16, pix, 3, restart_interval=3),
+                    want_pixels=True)
+    assert max(abs(a - b) for a, b in zip(d["pixels"], pix)) <= 4
+
+    # edge padding: non-multiple-of-8 dims crop back exactly
+    pix = bytes((i * 37) % 256 for i in range(10 * 5))
+    d = decode_jpeg(encode_jpeg(10, 5, pix, 1), want_pixels=True)
+    assert (d["width"], d["height"]) == (10, 5)
+    assert max(abs(a - b) for a, b in zip(d["pixels"], pix)) <= 1
+
+    # every truncation point is a parse error; decode_image routes
+    blob = encode_jpeg(16, 8, bytes(range(128)), 1)
+    assert decode_image(blob)["img_format"] == "jpeg"
+    for cut in range(2, len(blob)):
+        with pytest.raises((ValueError, NotImplementedError)):
+            decode_jpeg(blob[:cut])
+
+    # out-of-scope: progressive SOF2 and subsampled 4:2:0
+    prog = blob.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(prog)
+    i = blob.index(b"\xff\xc0")
+    sub = bytearray(blob)
+    # FFC0 len(2) prec(1) h(2) w(2) ncomp(1) [id samp tq]...
+    sub[i + 11] = 0x22  # luma sampling 2x2
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(sub))

@@ -252,6 +252,14 @@ def llm_queries_section():
             "TakeOrderedAndProject — fusion adds no corpus-sized "
             "shuffle.",
         ),
+        "multimodal_decode_jpeg": (
+            L.multimodal_decode_jpeg,
+            "Arrow mapInPandas synth + decode chain — "
+            "partition-parallel, zero exchanges, blobs never leave "
+            "the executor; the Huffman/IDCT work is per-row Python "
+            "inside Arrow batches (stdlib-only constraint, same as "
+            "the PNG unfilter).",
+        ),
         "ann_ivfpq_residual_topk": (
             L.ann_ivfpq_residual_topk,
             "Residual IVF-PQ: codes quantize v - centroid(v) (16-row "
