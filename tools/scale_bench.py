@@ -98,7 +98,67 @@ QUERIES = {
     "multimodal_resize_pixels": L.multimodal_resize_pixels,
     "bpe_encode_tokens": L.bpe_encode_tokens,
     "sample_weighted_by_source": L.sample_weighted_by_source,
+    # round-7 additions (r6 verdict item 7 + the new queries):
+    # - ann_recall_at_k: the most expensive mirror query (all four
+    #   ANN trainings + the fenced brute ground truth)
+    # - streaming_windowed_counts: output-tracked — rows = distinct
+    #   (window, event_type) state cells; the 10x corpus replicates
+    #   the SAME time range, so state/output must NOT grow with data
+    # - curation stage prefixes: each times the chain up to one
+    #   stage, so a superlinear end-to-end factor names its stage
+    "ann_recall_at_k": L.ann_recall_at_k,
+    "streaming_windowed_counts": L.streaming_windowed_counts,
+    "curation_stage1_quality": lambda spark, sf_dir: _curation_prefix(
+        spark, sf_dir, 1
+    ),
+    "curation_stage2_minhash": lambda spark, sf_dir: _curation_prefix(
+        spark, sf_dir, 2
+    ),
+    "curation_stage3_chunkpack": lambda spark, sf_dir: _curation_prefix(
+        spark, sf_dir, 3
+    ),
+    "hybrid_bm25_ann_topk": L.hybrid_bm25_ann_topk,
+    "ann_ivfpq_residual_topk": L.ann_ivfpq_residual_topk,
+    "multimodal_decode_jpeg": L.multimodal_decode_jpeg,
 }
+
+
+def _curation_prefix(spark, sf_dir, stage: int):
+    """curation_end_to_end's chain cut after stage 1 (quality
+    filter), 2 (minhash pairs + keep list), or 3 (chunk + pack +
+    stats = the full query) — same operators, same planted corpus."""
+    from pyspark.sql import functions as F
+
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators import (
+        dedup as D,
+        text as TX,
+    )
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators.llm_queries import (
+        _planted,
+    )
+
+    corpus = _planted(
+        spark, sf_dir, 30, lambda t: F.concat(t, F.lit(" extra token tail"))
+    )
+    kept_ids = TX.quality_filter(corpus).filter("keep").select("doc_id")
+    kept = corpus.join(kept_ids, "doc_id")
+    if stage == 1:
+        return kept.select("doc_id")
+    pairs = D.minhash_lsh_pairs(kept, threshold=0.5)
+    survivors = D.keep_list(kept, pairs)
+    if stage == 2:
+        return survivors
+    chunks = TX.chunk_tokens(survivors, size=32, overlap=8).withColumn(
+        "shard_id", F.expr("doc_id div 100")
+    )
+    packed = TX.pack_sequences(
+        chunks, "n_tokens", "shard_id", ["doc_id", "chunk_id"], budget=256
+    )
+    return packed.groupBy("shard_id", "seq_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum("n_tokens").alias("seq_tokens"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
 
 
 def _copies(spark, name: str, shift_cols: dict[str, int], extra=None):
@@ -238,6 +298,14 @@ def main() -> None:
         "dedup_embedding_lsh_pairs_pinned8",
         "dedup_embedding_lsh_pairs_auto", "dedup_components",
         "text_repeated_spans",
+        # streaming: rows = (window, event_type) state cells; the 10x
+        # corpus spans the SAME time range, so rows_factor ~1 proves
+        # watermark-bounded state does not grow with corpus size
+        "streaming_windowed_counts",
+        # curation prefixes: the stage whose rows grow superlinearly
+        # is the stage that owns a superlinear end-to-end factor
+        "curation_stage1_quality", "curation_stage2_minhash",
+        "curation_stage3_chunkpack",
     }
 
     # embedding-LSH cost is governed by the CANDIDATE-join cardinality
