@@ -61,15 +61,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #           row (VERDICT r6 carried debt, verbatim list) — after
     #           their rows land, union driver coverage under current
     #           names is 147/147;
-    #   8-10  = hybrid_bm25_ann_topk, ann_ivfpq_residual_topk, and
-    #           multimodal_decode_jpeg, NEW this round (never
+    #   8-12  = hybrid_bm25_ann_topk, ann_ivfpq_residual_topk,
+    #           multimodal_decode_jpeg, ann_ivfsq_topk,
+    #           curation_ccnet_buckets — NEW this round (never
     #           checked);
-    #   11-50 = the remaining r04-window block, continuing down the
+    #   13-50 = the remaining r04-window block, continuing down the
     #           tail in age order from dedup_minhash_lsh_pairs
-    #           (40 entries, all driver-green r04 — refreshing their
-    #           rows onto current code).
-    # 7 + 3 + 40 = 50 exactly. Further NEW round-7 queries are
-    # inserted right after position 10 as they land, each bump pushing
+    #           (38 of its 40 entries; the tail-most two,
+    #           set_intersect_building_buyers and
+    #           set_except_nonbuyers — both driver-green r04 — wait
+    #           in the tail).
+    # 7 + 5 + 38 = 50 exactly. Further NEW round-7 queries are
+    # inserted right after position 12 as they land, each bump pushing
     # the window's tail-most r04/r05 refresh entry below position 50
     # (those already have union-green rows, so coverage stays
     # complete).
@@ -91,7 +94,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_bm25_ann_topk": L.hybrid_bm25_ann_topk,
         "ann_ivfpq_residual_topk": L.ann_ivfpq_residual_topk,
         "multimodal_decode_jpeg": L.multimodal_decode_jpeg,
-        # --- (11-50) r04-window refresh block (driver-green r04) ---
+        "ann_ivfsq_topk": L.ann_ivfsq_topk,
+        "curation_ccnet_buckets": L.curation_ccnet_buckets,
+        # --- (13-50) r04-window refresh block (driver-green r04) ---
         "dedup_minhash_lsh_pairs": L.dedup_minhash_lsh_pairs,
         "dedup_simhash_pairs": L.dedup_simhash_pairs,
         "dedup_keep_list": L.dedup_keep_list,
@@ -1177,6 +1182,193 @@ def _ann_ivfpq_oracle(
     WHERE rnk <= {k}
     ORDER BY query_id, rnk
         """
+
+
+def _ann_ivfsq_oracle(
+    k: int = 5, rerank: int = 50, nprobe: int = 4, q_max: int = 10
+) -> str:
+    """IVF-SQ8 oracle: the ann_ivf coarse-quantizer CTEs, a map-only
+    int8 encode (round(x*127/max|x|)), the decomposed probe/score
+    expressions mirroring similarity.cosine_topk_ivfsq term for term
+    (round-6 qnorm, unrounded centroid norm, round-6 probe sim,
+    round-4 asymmetric cosine over integer codes), exact rerank."""
+    assign = """
+      SELECT vec_id, v, centroid_id FROM (
+        SELECT r.vec_id, r.v, c.centroid_id,
+               row_number() OVER (PARTITION BY r.vec_id
+                 ORDER BY round(list_cosine_similarity(r.v, c.cv), 6)
+                          DESC, c.centroid_id ASC) AS rn
+        FROM e r CROSS JOIN {cents} c)
+      WHERE rn = 1
+    """
+    return f"""
+    WITH e AS MATERIALIZED (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    params AS (SELECT greatest(1, count(*) // 16) AS step FROM e),
+    iseeds AS (
+      SELECT CAST(rk - 1 AS INTEGER) AS centroid_id, v AS cv FROM (
+        SELECT v, row_number() OVER (ORDER BY vec_id) AS rk
+        FROM e, params WHERE vec_id % step = 0)
+      WHERE rk <= 16
+    ),
+    iassign0 AS MATERIALIZED ({assign.format(cents='iseeds')}),
+    icells AS (
+      SELECT centroid_id, CAST(t.range AS INTEGER) AS d,
+             v[t.range] AS x
+      FROM iassign0 CROSS JOIN range(1, 65) t
+    ),
+    cents AS MATERIALIZED (
+      SELECT centroid_id, list(m ORDER BY d) AS cv FROM (
+        SELECT centroid_id, d, round(avg(x), 6) AS m
+        FROM icells GROUP BY centroid_id, d)
+      GROUP BY centroid_id
+    ),
+    lists AS MATERIALIZED (
+      SELECT vec_id, centroid_id FROM ({assign.format(cents='cents')})
+    ),
+    codes AS MATERIALIZED (
+      SELECT vec_id, codes,
+             round(sqrt(list_sum(list_transform(codes,
+                    c -> CAST(c AS DOUBLE) * CAST(c AS DOUBLE)))), 6)
+               AS cnorm
+      FROM (
+        SELECT vec_id,
+               list_transform(v, x -> CAST(round(
+                 x * 127.0 / list_max(list_transform(v, y -> abs(y))))
+                 AS INTEGER)) AS codes
+        FROM e)
+    ),
+    q AS MATERIALIZED (
+      SELECT vec_id AS query_id, v AS qv,
+             round(sqrt(list_sum(list_transform(v, x -> x * x))), 6)
+               AS qnorm
+      FROM e WHERE vec_id < {q_max}
+    ),
+    probes AS MATERIALIZED (
+      SELECT query_id, qv, qnorm, centroid_id FROM (
+        SELECT q.query_id, q.qv, q.qnorm, c.centroid_id,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY round(
+                   list_sum(list_transform(list_zip(q.qv, c.cv),
+                            z -> z[1] * z[2]))
+                   / (q.qnorm * sqrt(list_sum(list_transform(c.cv,
+                        x -> x * x)))), 6) DESC,
+                   c.centroid_id ASC) AS rn
+        FROM q CROSS JOIN cents c)
+      WHERE rn <= {nprobe}
+    ),
+    scored AS MATERIALIZED (
+      SELECT p.query_id, co.vec_id,
+             round(
+               list_sum(list_transform(list_zip(p.qv, co.codes),
+                        z -> z[1] * CAST(z[2] AS DOUBLE)))
+               / (p.qnorm * co.cnorm), 4) AS approx_cos
+      FROM codes co
+      JOIN lists li ON li.vec_id = co.vec_id
+      JOIN probes p ON p.centroid_id = li.centroid_id
+      WHERE p.query_id <> co.vec_id
+    ),
+    shortlist AS MATERIALIZED (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY approx_cos DESC, vec_id ASC) AS rnk
+        FROM scored)
+      WHERE rnk <= {rerank}
+    )
+    SELECT query_id, neighbor_id, cos_sim, rnk FROM (
+      SELECT s.query_id, s.vec_id AS neighbor_id,
+             round(list_cosine_similarity(q.qv, e2.v), 4) AS cos_sim,
+             CAST(row_number() OVER (PARTITION BY s.query_id
+               ORDER BY round(list_cosine_similarity(q.qv, e2.v), 4)
+                          DESC,
+                        s.vec_id ASC) AS INTEGER) AS rnk
+      FROM shortlist s
+      JOIN e e2 ON e2.vec_id = s.vec_id
+      JOIN q ON q.query_id = s.query_id)
+    WHERE rnk <= {k}
+    ORDER BY query_id, rnk
+    """
+
+
+def _ccnet_buckets_oracle() -> str:
+    """Twin of llm_queries.curation_ccnet_buckets: the text_langid
+    and text_ngram_lm_score oracle chains composed over one shared
+    normalized-token CTE, per-language tercile boundaries via
+    quantile_cont rounded to 6 (mirroring the Spark side's rounded
+    F.percentile so interpolation ulps cannot flip a comparison),
+    then the same three-way CASE."""
+    return f"""
+    WITH norm AS (
+      SELECT doc_id, string_split({_NORM.format(t='text')}, ' ') AS w
+      FROM documents
+    ),
+    toks AS (SELECT doc_id, unnest(w) AS w1 FROM norm),
+    uni AS (SELECT w1, count(*) AS cu FROM toks GROUP BY w1),
+    v AS (SELECT count(*) AS V FROM uni),
+    bg AS (
+      SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+      FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+            FROM norm)
+    ),
+    big AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY w1, w2),
+    sc AS (
+      SELECT bg.doc_id,
+             CAST(round(-ln(CAST(cb + 1 AS DOUBLE)
+                          / CAST(cu + V AS DOUBLE))
+                        * 1000000.0) AS BIGINT) AS s_micro
+      FROM bg JOIN big USING (w1, w2) JOIN uni USING (w1)
+      CROSS JOIN v
+    ),
+    per AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             round(CAST(sum(s_micro) AS DOUBLE)
+                   / (count(*) * 1000000.0), 6) AS avg_surprisal
+      FROM sc GROUP BY doc_id
+    ),
+    lid AS (
+      SELECT doc_id,
+        CAST(len(list_filter(w, x -> list_contains(
+          ['the','a','of','and','to','in','is'], x))) AS INTEGER) AS score_en,
+        CAST(len(list_filter(w, x -> list_contains(
+          ['der','die','und','das','ist','nicht'], x))) AS INTEGER) AS score_de,
+        CAST(len(list_filter(w, x -> list_contains(
+          ['el','los','y','que','es','una'], x))) AS INTEGER) AS score_es,
+        CAST(len(list_filter(w, x -> list_contains(
+          ['le','les','et','des','est','une'], x))) AS INTEGER) AS score_fr
+      FROM norm
+    ),
+    lang AS (
+      SELECT doc_id,
+             CASE WHEN greatest(score_en, score_de, score_es, score_fr) <= 0 THEN 'und'
+                  WHEN score_en = greatest(score_en, score_de, score_es, score_fr) THEN 'en'
+                  WHEN score_de = greatest(score_en, score_de, score_es, score_fr) THEN 'de'
+                  WHEN score_es = greatest(score_en, score_de, score_es, score_fr) THEN 'es'
+                  ELSE 'fr' END AS predicted_lang
+      FROM lid
+    ),
+    j AS (
+      SELECT d.doc_id, l.predicted_lang,
+             COALESCE(p.n_bigrams, 0) AS n_bigrams, p.avg_surprisal
+      FROM documents d
+      JOIN lang l USING (doc_id)
+      LEFT JOIN per p USING (doc_id)
+    ),
+    bounds AS (
+      SELECT predicted_lang,
+             round(quantile_cont(avg_surprisal, {1 / 3!r}), 6) AS b1,
+             round(quantile_cont(avg_surprisal, {2 / 3!r}), 6) AS b2
+      FROM j WHERE avg_surprisal IS NOT NULL
+      GROUP BY predicted_lang
+    )
+    SELECT j.doc_id, j.predicted_lang, j.n_bigrams, j.avg_surprisal,
+           CASE WHEN j.avg_surprisal IS NULL THEN NULL
+                WHEN j.avg_surprisal <= b.b1 THEN 'head'
+                WHEN j.avg_surprisal <= b.b2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM j LEFT JOIN bounds b USING (predicted_lang)
+    """
 
 
 def _ann_recall_oracle(k: int = 5) -> str:
@@ -2846,6 +3038,8 @@ def oracle_sql() -> dict[str, str]:
         # probed inverted lists and exact rerank of the shortlist.
         "ann_ivfpq_topk": _ann_ivfpq_oracle(),
         "ann_ivfpq_residual_topk": _ann_ivfpq_oracle(residual=True),
+        "ann_ivfsq_topk": _ann_ivfsq_oracle(),
+        "curation_ccnet_buckets": _ccnet_buckets_oracle(),
         "text_ngram_lm_score": f"""
             WITH norm AS (
               SELECT doc_id, string_split({_NORM.format(t='text')}, ' ') AS w

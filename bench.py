@@ -161,6 +161,8 @@ HEADLINE = {
     "hybrid_bm25_ann_topk": L.hybrid_bm25_ann_topk,
     "ann_ivfpq_residual_topk": L.ann_ivfpq_residual_topk,
     "multimodal_decode_jpeg": L.multimodal_decode_jpeg,
+    "ann_ivfsq_topk": L.ann_ivfsq_topk,
+    "curation_ccnet_buckets": L.curation_ccnet_buckets,
 }
 
 # the 14 queries recorded since round 1 — their sum is the anchored

@@ -771,6 +771,71 @@ def ann_ivfpq_residual_topk(spark, sf_dir):
     ).orderBy("query_id", "rnk")
 
 
+def curation_ccnet_buckets(spark, sf_dir):
+    """CCNet-style corpus bucketing (Wenzek et al. 2020) as ONE
+    composed query: language-ID (text.langid) + self-trained
+    bigram-LM surprisal (text.ngram_lm_scores) + per-language
+    head/middle/tail terciles of the surprisal distribution — the
+    exact partitioning CCNet feeds downstream filtering with.
+
+    Scale: langid is map-only; the LM is ngram_lm_scores' audited
+    plan; tercile boundaries are a per-language 2-value
+    exact-percentile aggregate (output rows = #languages) broadcast
+    back, so the bucket assignment is a map-side comparison — no
+    per-language global sort or ntile. (CCNet proper uses FIXED
+    pretrained-LM perplexity cutoffs — also a broadcast comparison;
+    at 100 TB swap percentile_approx for the exact percentile.)
+    Boundaries are rounded to 6 decimals in both engines so a 1-ulp
+    interpolation difference cannot flip a boundary comparison."""
+    docs = _docs(spark, sf_dir)
+    lang = TX.langid(docs).select("doc_id", "predicted_lang")
+    lm = TX.ngram_lm_scores(docs)
+    j = lang.join(lm, "doc_id")
+    nn = j.filter(F.col("avg_surprisal").isNotNull())
+    bounds = nn.groupBy("predicted_lang").agg(
+        F.round(
+            F.percentile("avg_surprisal", F.lit(1 / 3)), 6
+        ).alias("b1"),
+        F.round(
+            F.percentile("avg_surprisal", F.lit(2 / 3)), 6
+        ).alias("b2"),
+    )
+    out = j.join(F.broadcast(bounds), "predicted_lang", "left")
+    bucket = (
+        F.when(F.col("avg_surprisal").isNull(), F.lit(None).cast("string"))
+        .when(F.col("avg_surprisal") <= F.col("b1"), F.lit("head"))
+        .when(F.col("avg_surprisal") <= F.col("b2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return out.select(
+        "doc_id", "predicted_lang", "n_bigrams", "avg_surprisal",
+        bucket.alias("bucket"),
+    )
+
+
+def ann_ivfsq_topk(spark, sf_dir):
+    """IVF + int8 scalar quantization (similarity.cosine_topk_ivfsq;
+    FAISS IVF,SQ8 shape): coarse-quantizer pruning to nprobe lists,
+    asymmetric scoring of the full query vector against
+    1-byte-per-dim codes (the per-vector scale cancels in cosine),
+    exact rerank of the shortlist. NO codebook training — encode is
+    one map-only projection, the structural contrast to IVF-PQ when
+    index build time matters. Fully deterministic (integer codes,
+    round-6 terms), so the SQL oracle replays encode + probe +
+    scoring + rerank exactly."""
+    from .similarity import cosine_topk_ivfsq
+
+    emb = load(spark, sf_dir, "embeddings")
+    return cosine_topk_ivfsq(
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        k=5,
+        n_centroids=16,
+        nprobe=4,
+        rerank=50,
+    ).orderBy("query_id", "rnk")
+
+
 HYBRID_TERMS = ["hash", "join", "vector"]
 HYBRID_QUERY_VEC = 0  # query vector for the ANN branch
 HYBRID_TOPN = 20      # per-branch list depth fed into RRF
@@ -1218,11 +1283,27 @@ def _events_stream(spark, sf_dir, copies: int = 1):
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = f"{sf_dir}/events.parquet"
     file_schema = spark.read.parquet(path).schema
-    # the file stream source requires a DIRECTORY; expose the single
-    # test file through a temp dir of symlinks (no data copied)
+    # the file stream source requires a DIRECTORY of plain files;
+    # expose the table through a temp dir of symlinks (no data
+    # copied). A Spark-written table is itself a directory of part
+    # files (the 10x scale corpus is one) — link each part, since
+    # the file source does not follow directory symlinks.
     src_dir = tempfile.mkdtemp(prefix="mats_stream_src_")
+    if os.path.isdir(path):
+        parts = sorted(
+            f for f in os.listdir(path) if f.endswith(".parquet")
+        )
+    else:
+        parts = None
     for i in range(copies):
-        os.symlink(path, os.path.join(src_dir, f"events_{i}.parquet"))
+        if parts is None:
+            os.symlink(path, os.path.join(src_dir, f"events_{i}.parquet"))
+        else:
+            for j, part in enumerate(parts):
+                os.symlink(
+                    os.path.join(path, part),
+                    os.path.join(src_dir, f"events_{i}_{j}.parquet"),
+                )
     src = spark.readStream.schema(file_schema).parquet(src_dir)
     ts_type = dict(src.dtypes).get("ts")
     if ts_type == "bigint":

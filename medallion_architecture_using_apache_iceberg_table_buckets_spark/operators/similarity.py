@@ -714,6 +714,173 @@ def cosine_topk_pq(
     )
 
 
+def sq8_encode(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scalar quantization to int8 (FAISS ``SQ8`` shape): each vector
+    stores one byte per dimension, ``code_i = round(x_i * 127 /
+    max|x|)`` — 8x smaller than float64 at ~full recall for cosine,
+    because the per-vector scale CANCELS in the cosine ratio (only
+    code direction matters). Unlike PQ there is NO training: encoding
+    is one map-only projection, which makes SQ the cheap-to-build
+    index tier (PQ compresses harder but must train codebooks).
+
+    Returns ``(vec_id, codes array<int>, cnorm)`` where ``cnorm`` is
+    the rounded L2 norm of the code vector (precomputed once so
+    query-time scoring never refolds it). Deterministic: max|x| is
+    exact, the scaled division is one double op per element, and the
+    rounded code is integer — the SQL oracle replays it exactly."""
+    v = to_double_array(vec_col)
+    mx = F.array_max(F.transform(v, F.abs))
+    codes = F.transform(v, lambda x: F.round(x * 127.0 / mx).cast("int"))
+    return corpus.select(
+        F.col(id_col).alias("vec_id"), codes.alias("codes")
+    ).withColumn(
+        "cnorm",
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.transform("codes", lambda c: c.cast("double")),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x * x,
+                )
+            ),
+            6,
+        ),
+    )
+
+
+def cosine_topk_ivfsq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rerank: int = 0,
+) -> DataFrame:
+    """IVF + int8 scalar quantization: the coarse quantizer prunes to
+    ``nprobe`` inverted lists, then asymmetric scoring runs the FULL
+    query vector against int8 codes — ``cos ~= dot(q, c) /
+    (||q|| * ||c||)`` (the stored per-vector scale cancels), so the
+    probed lists are scored from 1-byte-per-dim data without reading
+    stored vectors. ``rerank > k`` adds the exact full-vector pass
+    over the shortlist (keyed equi-join), same as the PQ variants.
+
+    At scale: encode is map-only (no codebook training jobs — the
+    structural win over IVF-PQ when index build time matters), the
+    probe is an ``n_centroids``-row broadcast, scoring joins the
+    code stream to the broadcast query set on centroid_id, and the
+    only corpus-sized shuffle is ivf_assign's aggregate. Every
+    scoring term is round-6 quantized, so the SQL oracle replays the
+    whole pipeline exactly."""
+    nk_hint = corpus.count() * n_centroids
+    corpus = fan_out(corpus)
+    cents = ivf_centroids(
+        corpus, n_centroids, vec_col, id_col, nk_hint=nk_hint
+    ).persist()
+    lists = ivf_assign(
+        corpus, cents, vec_col, id_col, dim, nk_hint=nk_hint
+    ).select("vec_id", "centroid_id")
+    codes = sq8_encode(corpus, id_col, vec_col).join(lists, "vec_id")
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        to_double_array(vec_col).alias("qv"),
+    ).withColumn("qnorm", F.round(F.sqrt(_fold_dot("qv", "qv")), 6))
+    qscore = q.crossJoin(
+        F.broadcast(_norm_col(cents, "cv", "_cnrm", dim))
+    ).withColumn(
+        "_sim",
+        F.round(
+            _fold_dot(F.col("qv"), F.col("cv"))
+            / (F.col("qnorm") * F.col("_cnrm")),
+            6,
+        ),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("_sim"), F.asc("centroid_id")
+    )
+    probes = (
+        qscore.withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= nprobe)
+        .select("query_id", "qv", "qnorm", "centroid_id")
+    )
+    scored = (
+        codes.join(F.broadcast(probes), "centroid_id")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .withColumn(
+            "approx_cos",
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("qv"),
+                        F.col("codes"),
+                        lambda x, c: x * c.cast("double"),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                / (F.col("qnorm") * F.col("cnorm")),
+                4,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_cos"), F.asc("vec_id")
+    )
+    ranked = scored.withColumn("rnk", F.row_number().over(w))
+    if not rerank or rerank <= k:
+        return ranked.filter(F.col("rnk") <= k).select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "approx_cos",
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    shortlist = ranked.filter(F.col("rnk") <= rerank).select(
+        "query_id", "vec_id"
+    )
+    cand = shortlist.join(
+        corpus.select(
+            F.col(id_col).alias("vec_id"),
+            to_double_array(vec_col).alias("_cv"),
+        ),
+        "vec_id",
+    )
+    qfull = queries.select(
+        F.col(id_col).alias("query_id"),
+        to_double_array(vec_col).alias("_qv"),
+    )
+    exact = cand.join(F.broadcast(qfull), "query_id").withColumn(
+        "cos_sim",
+        F.round(
+            _fold_dot(F.col("_qv"), F.col("_cv"))
+            / (
+                F.sqrt(_fold_dot(F.col("_qv"), F.col("_qv")))
+                * F.sqrt(_fold_dot(F.col("_cv"), F.col("_cv")))
+            ),
+            4,
+        ),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("vec_id")
+    )
+    return (
+        exact.withColumn("rnk", F.row_number().over(w2))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "cos_sim",
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
+
+
 def rrf_fuse(
     ranked: list[tuple[str, DataFrame]],
     k: int = 10,

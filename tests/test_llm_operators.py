@@ -850,3 +850,31 @@ def test_jpeg_codec_round_trip():
     sub[i + 11] = 0x22  # luma sampling 2x2
     with pytest.raises(NotImplementedError):
         decode_jpeg(bytes(sub))
+
+
+def test_ccnet_buckets_contract(spark, sf_dir):
+    """CCNet bucketing: every doc with a surprisal lands in exactly
+    one of head/middle/tail; per-language the head tercile's max
+    surprisal never exceeds the tail tercile's min; docs without
+    bigrams get a NULL bucket."""
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators.llm_queries import (
+        curation_ccnet_buckets,
+    )
+
+    rows = curation_ccnet_buckets(spark, sf_dir).collect()
+    assert rows
+    by_lang = {}
+    for r in rows:
+        if r["avg_surprisal"] is None:
+            assert r["bucket"] is None
+            continue
+        assert r["bucket"] in ("head", "middle", "tail")
+        by_lang.setdefault(r["predicted_lang"], []).append(r)
+    # the dominant language exercises all three buckets
+    biggest = max(by_lang.values(), key=len)
+    assert {r["bucket"] for r in biggest} == {"head", "middle", "tail"}
+    for rows_l in by_lang.values():
+        heads = [r["avg_surprisal"] for r in rows_l if r["bucket"] == "head"]
+        tails = [r["avg_surprisal"] for r in rows_l if r["bucket"] == "tail"]
+        if heads and tails:
+            assert max(heads) <= min(tails)

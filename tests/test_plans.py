@@ -340,6 +340,13 @@ def test_brute_baselines_are_the_only_all_pairs_plans(spark, sf_dir):
         # centroid-count broadcasts as ann_ivfpq_topk; the residual
         # qc/cross tables are nprobe- and codebook-sized broadcasts
         "ann_ivfpq_residual_topk",
+        # IVF-SQ8: the same IVF seeding scalar + centroid broadcasts;
+        # scoring is a keyed centroid_id equi-join of codes to the
+        # broadcast probe set
+        "ann_ivfsq_topk",
+        # CCNet buckets: inherits ngram-LM's 1-row vocabulary scalar;
+        # tercile bounds join is a keyed broadcast on predicted_lang
+        "curation_ccnet_buckets",
     }
     # Queries whose construction performs writes/iterative jobs; their
     # plan hygiene is asserted by dedicated tests.

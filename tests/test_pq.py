@@ -202,3 +202,50 @@ def test_ivfpq_residual_recall_beats_floor(spark, sf_dir):
         assert [r["rnk"] for r in rows] == list(range(1, len(rows) + 1))
         sims = [r["cos_sim"] for r in rows]
         assert sims == sorted(sims, reverse=True)
+
+
+def test_ivfsq_recall_and_rank_contract(spark, sf_dir):
+    """IVF-SQ8: int8 codes are near-exact for cosine (the per-vector
+    scale cancels), so with the exact rerank recall should at least
+    match the plain-IVF floor; ranks dense, scores non-increasing."""
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators.relational import load
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_ivfsq,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, queries, k=5).collect()
+    }
+    got = cosine_topk_ivfsq(
+        emb, queries, k=5, n_centroids=16, nprobe=4, rerank=50
+    ).collect()
+    pairs = {(r["query_id"], r["neighbor_id"]) for r in got}
+    recall = len(truth & pairs) / len(truth)
+    assert recall > 0.4, f"ivfsq recall {recall}"
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for rows in by_q.values():
+        rows.sort(key=lambda r: r["rnk"])
+        assert [r["rnk"] for r in rows] == list(range(1, len(rows) + 1))
+        sims = [r["cos_sim"] for r in rows]
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_sq8_codes_shape(spark, sf_dir):
+    """SQ8 encode: one int8-range code per dimension, max-magnitude
+    dimension maps to +/-127, cnorm positive."""
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators.relational import load
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators.similarity import sq8_encode
+
+    emb = load(spark, sf_dir, "embeddings")
+    rows = sq8_encode(emb).limit(50).collect()
+    for r in rows:
+        assert len(r["codes"]) == 64
+        assert all(-127 <= c <= 127 for c in r["codes"])
+        assert max(abs(c) for c in r["codes"]) == 127
+        assert r["cnorm"] > 0

@@ -252,6 +252,21 @@ def llm_queries_section():
             "TakeOrderedAndProject — fusion adds no corpus-sized "
             "shuffle.",
         ),
+        "ann_ivfsq_topk": (
+            L.ann_ivfsq_topk,
+            "IVF + int8 scalar quantization: map-only encode (NO "
+            "training jobs — the build-time contrast to IVF-PQ), "
+            "broadcast centroid probe, asymmetric scoring joins the "
+            "1-byte-per-dim code stream to the broadcast query set "
+            "on centroid_id, keyed exact rerank.",
+        ),
+        "curation_ccnet_buckets": (
+            L.curation_ccnet_buckets,
+            "CCNet bucketing: map-only langid + the ngram-LM plan + "
+            "per-language tercile bounds as a #languages-row "
+            "broadcast — bucket assignment is a map-side comparison, "
+            "never a per-language global sort/ntile.",
+        ),
         "multimodal_decode_jpeg": (
             L.multimodal_decode_jpeg,
             "Arrow mapInPandas synth + decode chain — "
