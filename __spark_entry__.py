@@ -61,18 +61,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #           row (VERDICT r6 carried debt, verbatim list) — after
     #           their rows land, union driver coverage under current
     #           names is 147/147;
-    #   8-12  = hybrid_bm25_ann_topk, ann_ivfpq_residual_topk,
+    #   8-13  = hybrid_bm25_ann_topk, ann_ivfpq_residual_topk,
     #           multimodal_decode_jpeg, ann_ivfsq_topk,
-    #           curation_ccnet_buckets — NEW this round (never
-    #           checked);
-    #   13-50 = the remaining r04-window block, continuing down the
+    #           curation_ccnet_buckets, decontaminate_semantic — NEW
+    #           this round (never checked);
+    #   14-50 = the remaining r04-window block, continuing down the
     #           tail in age order from dedup_minhash_lsh_pairs
-    #           (38 of its 40 entries; the tail-most two,
-    #           set_intersect_building_buyers and
-    #           set_except_nonbuyers — both driver-green r04 — wait
+    #           (37 of its 40 entries; the tail-most three,
+    #           set_union_segments, set_intersect_building_buyers,
+    #           set_except_nonbuyers — all driver-green r04 — wait
     #           in the tail).
-    # 7 + 5 + 38 = 50 exactly. Further NEW round-7 queries are
-    # inserted right after position 12 as they land, each bump pushing
+    # 7 + 6 + 37 = 50 exactly. Further NEW round-7 queries are
+    # inserted right after position 13 as they land, each bump pushing
     # the window's tail-most r04/r05 refresh entry below position 50
     # (those already have union-green rows, so coverage stays
     # complete).
@@ -96,7 +96,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode_jpeg": L.multimodal_decode_jpeg,
         "ann_ivfsq_topk": L.ann_ivfsq_topk,
         "curation_ccnet_buckets": L.curation_ccnet_buckets,
-        # --- (13-50) r04-window refresh block (driver-green r04) ---
+        "decontaminate_semantic": L.decontaminate_semantic,
+        # --- (14-50) r04-window refresh block (driver-green r04) ---
         "dedup_minhash_lsh_pairs": L.dedup_minhash_lsh_pairs,
         "dedup_simhash_pairs": L.dedup_simhash_pairs,
         "dedup_keep_list": L.dedup_keep_list,
@@ -1289,6 +1290,63 @@ def _ann_ivfsq_oracle(
       JOIN q ON q.query_id = s.query_id)
     WHERE rnk <= {k}
     ORDER BY query_id, rnk
+    """
+
+
+def _semantic_decontam_oracle(threshold: float = 0.4, n_planes: int = 8) -> str:
+    """Twin of llm_queries.decontaminate_semantic: same planted
+    training side, the deterministic hyperplane buckets
+    (_lsh_bucket_sql — bit-for-bit the Spark chain), benchmark-side
+    Hamming-1 probes, exact-cosine verify, per-training-vector
+    aggregation with a total (0/NULL/0) annotation."""
+    probes = ", ".join(
+        ["bucket"] + [f"xor(bucket, {1 << j})" for j in range(n_planes)]
+    )
+    return f"""
+    WITH bench AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id < 50
+    ),
+    train AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 50
+      UNION ALL
+      SELECT vec_id + 100000 AS vec_id, embedding FROM bench
+    ),
+    tb AS (
+      SELECT vec_id, embedding,
+             CAST({_lsh_bucket_sql()} AS INTEGER) AS bucket
+      FROM (SELECT vec_id, embedding,
+                   CAST(embedding AS DOUBLE[]) AS e FROM train)
+    ),
+    qb0 AS (
+      SELECT vec_id AS bench_id, embedding AS qv,
+             CAST({_lsh_bucket_sql()} AS INTEGER) AS bucket
+      FROM (SELECT vec_id, embedding,
+                   CAST(embedding AS DOUBLE[]) AS e FROM bench)
+    ),
+    qb AS (
+      SELECT bench_id, qv, unnest([{probes}]) AS bucket FROM qb0
+    ),
+    cand AS (
+      SELECT DISTINCT t.vec_id, q.bench_id,
+             round(list_cosine_similarity(q.qv::DOUBLE[],
+                                          t.embedding::DOUBLE[]), 4)
+               AS cos_sim
+      FROM tb t JOIN qb q ON q.bucket = t.bucket
+      WHERE round(list_cosine_similarity(q.qv::DOUBLE[],
+                                         t.embedding::DOUBLE[]), 4)
+            >= {threshold}
+    ),
+    hits AS (
+      SELECT vec_id, count(DISTINCT bench_id) AS n_bench_matches,
+             max(cos_sim) AS max_cos
+      FROM cand GROUP BY vec_id
+    )
+    SELECT t.vec_id,
+           COALESCE(h.n_bench_matches, 0) AS n_bench_matches,
+           h.max_cos,
+           CAST(CASE WHEN h.n_bench_matches IS NULL THEN 0 ELSE 1 END
+                AS INTEGER) AS contaminated
+    FROM train t LEFT JOIN hits h USING (vec_id)
     """
 
 
@@ -3040,6 +3098,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivfpq_residual_topk": _ann_ivfpq_oracle(residual=True),
         "ann_ivfsq_topk": _ann_ivfsq_oracle(),
         "curation_ccnet_buckets": _ccnet_buckets_oracle(),
+        "decontaminate_semantic": _semantic_decontam_oracle(),
         "text_ngram_lm_score": f"""
             WITH norm AS (
               SELECT doc_id, string_split({_NORM.format(t='text')}, ' ') AS w

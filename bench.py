@@ -163,6 +163,7 @@ HEADLINE = {
     "multimodal_decode_jpeg": L.multimodal_decode_jpeg,
     "ann_ivfsq_topk": L.ann_ivfsq_topk,
     "curation_ccnet_buckets": L.curation_ccnet_buckets,
+    "decontaminate_semantic": L.decontaminate_semantic,
 }
 
 # the 14 queries recorded since round 1 — their sum is the anchored

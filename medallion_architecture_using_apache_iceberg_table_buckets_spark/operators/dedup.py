@@ -820,6 +820,88 @@ def decontaminate_ngram_overlap(
     )
 
 
+def decontaminate_semantic(
+    train: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.4,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic (embedding-level) benchmark decontamination: flag
+    training vectors whose cosine to ANY benchmark vector reaches
+    ``threshold`` — the companion to the verbatim 8-gram probe
+    (:func:`decontaminate_ngram_overlap`) for paraphrased or
+    re-worded eval leakage that shares no literal n-gram.
+
+    Returns one row per TRAINING vector: ``(vec_id,
+    n_bench_matches, max_cos, contaminated)`` — 0/NULL/0 for clean
+    vectors, so the output is a total annotation (join-free to
+    consume as a filter).
+
+    Scale: the benchmark side is tiny relative to the corpus
+    (thousands of eval items vs billions of training vectors), so
+    its probe set — own bucket plus every Hamming-1 neighbor —
+    explodes and BROADCASTS; the training side is bucketed in one
+    map-only pass and hash-joined on the bucket key. The corpus
+    never shuffles by bucket and no all-pairs join exists; exact
+    cosine verifies candidates only. Buckets are the closed-form
+    deterministic hyperplanes (similarity._plane_sign), so the
+    DuckDB oracle reproduces the candidate set exactly.
+    """
+    from ..functions.vector import cosine_from_norms, norm_expr
+    from .similarity import hyperplane_buckets
+
+    tb = hyperplane_buckets(
+        _fan_out(train), vec_col, id_col, n_planes, dim
+    ).withColumn("nrm", norm_expr("embedding", dim))
+    qb = hyperplane_buckets(
+        benchmark, vec_col, id_col, n_planes, dim
+    ).withColumn("qn", norm_expr("embedding", dim))
+    masks = [0] + [1 << j for j in range(n_planes)]
+    probes = qb.select(
+        F.col("vec_id").alias("bench_id"),
+        F.col("embedding").alias("qv"),
+        F.col("qn"),
+        F.explode(
+            F.array(*[F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks])
+        ).alias("bucket"),
+    )
+    cand = (
+        tb.join(F.broadcast(probes), "bucket")
+        .withColumn(
+            "cos_sim",
+            F.round(
+                cosine_from_norms(
+                    "qv", "embedding", F.col("qn"), F.col("nrm"), dim
+                ),
+                4,
+            ),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+    hits = cand.groupBy("vec_id").agg(
+        F.countDistinct("bench_id").alias("n_bench_matches"),
+        F.max("cos_sim").alias("max_cos"),
+    )
+    return (
+        train.select(F.col(id_col).alias("vec_id"))
+        .join(hits, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce(
+                F.col("n_bench_matches"), F.lit(0).cast("long")
+            ).alias("n_bench_matches"),
+            "max_cos",
+            F.when(F.col("n_bench_matches").isNotNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("contaminated"),
+        )
+    )
+
+
 def boilerplate_ngram_stats(
     df: DataFrame,
     text_col: str = "text",

@@ -771,6 +771,29 @@ def ann_ivfpq_residual_topk(spark, sf_dir):
     ).orderBy("query_id", "rnk")
 
 
+def decontaminate_semantic(spark, sf_dir):
+    """Semantic benchmark decontamination over the embeddings table
+    (dedup.decontaminate_semantic): vec_id < 50 act as the held-out
+    benchmark; the training side is everything else PLUS planted
+    exact copies of the benchmark vectors (id+100000) so the probe
+    has guaranteed positives (cos = 1.0). The embedding-level
+    companion to text_decontaminate's verbatim 8-gram probe —
+    catches paraphrased eval leakage that shares no literal
+    n-gram."""
+    emb = load(spark, sf_dir, "embeddings")
+    bench = emb.select("vec_id", "embedding").filter(F.col("vec_id") < 50)
+    train = (
+        emb.select("vec_id", "embedding")
+        .filter(F.col("vec_id") >= 50)
+        .unionByName(
+            bench.select(
+                (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+            )
+        )
+    )
+    return D.decontaminate_semantic(train, bench, threshold=0.4)
+
+
 def curation_ccnet_buckets(spark, sf_dir):
     """CCNet-style corpus bucketing (Wenzek et al. 2020) as ONE
     composed query: language-ID (text.langid) + self-trained

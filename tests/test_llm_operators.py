@@ -878,3 +878,22 @@ def test_ccnet_buckets_contract(spark, sf_dir):
         tails = [r["avg_surprisal"] for r in rows_l if r["bucket"] == "tail"]
         if heads and tails:
             assert max(heads) <= min(tails)
+
+
+def test_semantic_decontamination_flags_planted_copies(spark, sf_dir):
+    """Exact benchmark copies (cos 1.0) must flag; the annotation is
+    total (a row for every training vector, clean ones 0/NULL/0)."""
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators.llm_queries import (
+        decontaminate_semantic,
+    )
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators.relational import load
+
+    rows = {r["vec_id"]: r for r in decontaminate_semantic(spark, sf_dir).collect()}
+    emb_n = load(spark, sf_dir, "embeddings").count()
+    # training side = (emb_n - 50 originals) + 50 planted copies
+    assert len(rows) == emb_n  # total annotation, one row per vector
+    planted = [r for v, r in rows.items() if v >= 100000]
+    assert planted and all(r["contaminated"] == 1 for r in planted)
+    assert all(r["max_cos"] == 1.0 for r in planted)
+    clean = [r for r in rows.values() if r["contaminated"] == 0]
+    assert all(r["n_bench_matches"] == 0 and r["max_cos"] is None for r in clean)

@@ -260,6 +260,13 @@ def llm_queries_section():
             "1-byte-per-dim code stream to the broadcast query set "
             "on centroid_id, keyed exact rerank.",
         ),
+        "decontaminate_semantic": (
+            L.decontaminate_semantic,
+            "Semantic decontamination: benchmark probe set (own + "
+            "Hamming-1 buckets) BROADCAST onto the map-only-bucketed "
+            "training side — a keyed bucket equi-join, corpus never "
+            "shuffled, exact cosine on candidates only.",
+        ),
         "curation_ccnet_buckets": (
             L.curation_ccnet_buckets,
             "CCNet bucketing: map-only langid + the ngram-LM plan + "
