@@ -61,18 +61,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #           row (VERDICT r6 carried debt, verbatim list) — after
     #           their rows land, union driver coverage under current
     #           names is 147/147;
-    #   8-13  = hybrid_bm25_ann_topk, ann_ivfpq_residual_topk,
+    #   8-15  = hybrid_bm25_ann_topk, ann_ivfpq_residual_topk,
     #           multimodal_decode_jpeg, ann_ivfsq_topk,
-    #           curation_ccnet_buckets, decontaminate_semantic — NEW
-    #           this round (never checked);
-    #   14-50 = the remaining r04-window block, continuing down the
+    #           curation_ccnet_buckets, decontaminate_semantic,
+    #           multimodal_audio_features, multimodal_video_motion —
+    #           NEW this round (never checked);
+    #   16-50 = the remaining r04-window block, continuing down the
     #           tail in age order from dedup_minhash_lsh_pairs
-    #           (37 of its 40 entries; the tail-most three,
+    #           (35 of its 40 entries; the tail-most five —
+    #           scalar_string_math, date_arithmetic,
     #           set_union_segments, set_intersect_building_buyers,
     #           set_except_nonbuyers — all driver-green r04 — wait
     #           in the tail).
-    # 7 + 6 + 37 = 50 exactly. Further NEW round-7 queries are
-    # inserted right after position 13 as they land, each bump pushing
+    # 7 + 8 + 35 = 50 exactly. Further NEW round-7 queries are
+    # inserted right after position 15 as they land, each bump pushing
     # the window's tail-most r04/r05 refresh entry below position 50
     # (those already have union-green rows, so coverage stays
     # complete).
@@ -97,7 +99,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfsq_topk": L.ann_ivfsq_topk,
         "curation_ccnet_buckets": L.curation_ccnet_buckets,
         "decontaminate_semantic": L.decontaminate_semantic,
-        # --- (14-50) r04-window refresh block (driver-green r04) ---
+        "multimodal_audio_features": L.multimodal_audio_features,
+        "multimodal_video_motion": L.multimodal_video_motion,
+        # --- (16-50) r04-window refresh block (driver-green r04) ---
         "dedup_minhash_lsh_pairs": L.dedup_minhash_lsh_pairs,
         "dedup_simhash_pairs": L.dedup_simhash_pairs,
         "dedup_keep_list": L.dedup_keep_list,
@@ -3099,6 +3103,62 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivfsq_topk": _ann_ivfsq_oracle(),
         "curation_ccnet_buckets": _ccnet_buckets_oracle(),
         "decontaminate_semantic": _semantic_decontam_oracle(),
+        # audio frames: closed-form replay of the synth WAV formula
+        # (samples ((31i+d)%4001)-2000, 16-sample frames); RMS is
+        # floor(sqrt*1e6+0.5) in BOTH engines — no language round
+        "multimodal_audio_features": """
+            WITH dims AS (
+              SELECT doc_id, doc_id % 50 + 10 AS cnt FROM documents
+            ),
+            s AS (SELECT doc_id, unnest(range(cnt)) AS i FROM dims),
+            sv AS (
+              SELECT doc_id, i, i // 16 AS frame_id,
+                     ((31 * i + doc_id) % 4001) - 2000 AS v
+              FROM s
+            )
+            SELECT doc_id, CAST(frame_id AS INTEGER) AS frame_id,
+                   CAST(count(*) AS INTEGER) AS n_samples,
+                   CAST(sum(v * v) AS BIGINT) AS sum_sq,
+                   CAST(max(abs(v)) AS INTEGER) AS peak,
+                   CAST(sum(CASE WHEN i % 16 > 0 AND (
+                         (((31 * (i - 1) + doc_id) % 4001) - 2000 < 0
+                          AND v > 0)
+                      OR (((31 * (i - 1) + doc_id) % 4001) - 2000 > 0
+                          AND v < 0))
+                      THEN 1 ELSE 0 END) AS INTEGER) AS zero_crossings,
+                   CAST(floor(sqrt(CAST(sum(v * v) AS DOUBLE)
+                                   / count(*)) * 1000000.0 + 0.5)
+                        AS BIGINT) AS rms_micro
+            FROM sv GROUP BY doc_id, frame_id
+        """,
+        # video motion: frame f vs f-1 byte diffs from the synth AVI
+        # pixel formula (11i+13f+d)%256 — integer-exact end to end
+        "multimodal_video_motion": """
+            WITH dims AS (
+              SELECT doc_id, doc_id % 6 + 2 AS w, doc_id % 4 + 2 AS h,
+                     doc_id % 5 + 1 AS nf
+              FROM documents
+            ),
+            pairs AS (
+              SELECT doc_id, w, h, unnest(range(1, nf)) AS f FROM dims
+            ),
+            px AS (
+              SELECT doc_id, f, unnest(range(3 * w * h)) AS i
+              FROM pairs
+            ),
+            d AS (
+              SELECT doc_id, f,
+                     abs(((11 * i + 13 * f + doc_id) % 256)
+                         - ((11 * i + 13 * (f - 1) + doc_id) % 256))
+                       AS dv
+              FROM px
+            )
+            SELECT doc_id, CAST(f AS INTEGER) AS frame_id,
+                   CAST(count(*) AS BIGINT) AS n_px,
+                   CAST(sum(dv) AS BIGINT) AS motion_sum,
+                   CAST(max(dv) AS INTEGER) AS motion_max
+            FROM d GROUP BY doc_id, f
+        """,
         "text_ngram_lm_score": f"""
             WITH norm AS (
               SELECT doc_id, string_split({_NORM.format(t='text')}, ' ') AS w

@@ -164,6 +164,8 @@ HEADLINE = {
     "ann_ivfsq_topk": L.ann_ivfsq_topk,
     "curation_ccnet_buckets": L.curation_ccnet_buckets,
     "decontaminate_semantic": L.decontaminate_semantic,
+    "multimodal_audio_features": L.multimodal_audio_features,
+    "multimodal_video_motion": L.multimodal_video_motion,
 }
 
 # the 14 queries recorded since round 1 — their sum is the anchored

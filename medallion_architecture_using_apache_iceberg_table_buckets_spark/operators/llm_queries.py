@@ -771,6 +771,29 @@ def ann_ivfpq_residual_topk(spark, sf_dir):
     ).orderBy("query_id", "rnk")
 
 
+def multimodal_audio_features(spark, sf_dir):
+    """Audio feature extraction over real decoded PCM
+    (multimodal.audio_frame_features): per-16-sample frame energy
+    (exact integer sum of squares), peak, strict-sign zero
+    crossings, and micro-unit RMS — the VAD/segmentation feature
+    set, replayed closed-form by the oracle from the synth WAV
+    generator formula."""
+    from .multimodal import audio_frame_features, synth_audio
+
+    return audio_frame_features(synth_audio(_docs(spark, sf_dir)))
+
+
+def multimodal_video_motion(spark, sf_dir):
+    """Per-frame-pair motion profile over real decoded AVI frames
+    (multimodal.video_motion_profile): sum and max of absolute
+    per-byte RGB differences between consecutive frames — the cheap
+    shot-change signal, all integer arithmetic so the oracle replays
+    it exactly from the synth generator formula."""
+    from .multimodal import synth_videos, video_motion_profile
+
+    return video_motion_profile(synth_videos(_docs(spark, sf_dir)))
+
+
 def decontaminate_semantic(spark, sf_dir):
     """Semantic benchmark decontamination over the embeddings table
     (dedup.decontaminate_semantic): vec_id < 50 act as the held-out

@@ -1333,13 +1333,14 @@ def encode_wav(sample_rate: int, samples: list[int]) -> bytes:
     )
 
 
-def decode_wav(content: bytes) -> dict:
+def decode_wav(content: bytes, want_samples: bool = False) -> dict:
     """Decode PCM WAV by WALKING the RIFF chunk list (fmt/data may sit
     in any order with vendor chunks between them — real files do
     this). Returns rate/channels/bits/sample count plus the sum of
     absolute sample values (an order-invariant content checksum the
-    oracle recomputes). Non-PCM formats raise NotImplementedError —
-    the compressed-codec seam."""
+    oracle recomputes); ``want_samples`` adds the decoded int16
+    samples (for the feature-extraction stage). Non-PCM formats
+    raise NotImplementedError — the compressed-codec seam."""
     import struct
 
     if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
@@ -1365,13 +1366,16 @@ def decode_wav(content: bytes) -> dict:
         )
     count = len(data) // 2
     samples = struct.unpack(f"<{count}h", data[: 2 * count])
-    return {
+    out = {
         "sample_rate": rate,
         "channels": channels,
         "bits": bits,
         "n_samples": count // channels,
         "abs_sum": sum(abs(s) for s in samples),
     }
+    if want_samples:
+        out["samples"] = list(samples)
+    return out
 
 
 def synth_audio(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -1500,12 +1504,14 @@ def encode_avi(width: int, height: int, frames: list[bytes], fps: int = 10) -> b
     return _chunk(b"RIFF", b"AVI " + hdrl + movi)
 
 
-def decode_avi(content: bytes) -> dict:
+def decode_avi(content: bytes, want_frames: bool = False) -> dict:
     """Decode an uncompressed AVI by walking the RIFF tree: avih gives
     geometry/frame count, strf must declare 24-bit BI_RGB (anything
     else raises the compressed-codec seam), and every movi '00db'
     frame is un-DIB'd back to RGB. Returns geometry, frame count, and
-    the pixel-byte sum across all frames (order-invariant checksum).
+    the pixel-byte sum across all frames (order-invariant checksum);
+    ``want_frames`` adds the decoded row-major RGB frames (for the
+    motion-profile stage).
     """
     import struct
 
@@ -1543,19 +1549,21 @@ def decode_avi(content: bytes) -> dict:
             f"compressed AVI (biCompression={compression}, bits={bit_count}) "
             "needs a real video codec — not available in this environment"
         )
-    pixel_sum = 0
-    for f in frames:
-        pixel_sum += sum(_undib_rows(width, height, f))
+    rgb_frames = [_undib_rows(width, height, f) for f in frames]
+    pixel_sum = sum(sum(f) for f in rgb_frames)
     if declared_frames != len(frames):
         raise ValueError(
             f"header declares {declared_frames} frames, movi has {len(frames)}"
         )
-    return {
+    out = {
         "width": width,
         "height": height,
         "n_frames": len(frames),
         "pixel_sum": pixel_sum,
     }
+    if want_frames:
+        out["frames"] = rgb_frames
+    return out
 
 
 def synth_videos(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -1584,7 +1592,114 @@ def synth_videos(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+AUDIO_FRAME_SCHEMA = (
+    "doc_id long, frame_id int, n_samples int, sum_sq long, peak int, "
+    "zero_crossings int, rms_micro long"
+)
+
+
+def audio_frame_features(df: DataFrame, frame_size: int = 16) -> DataFrame:
+    """Audio feature extraction over REAL decoded PCM: per
+    ``frame_size``-sample frame, energy (exact integer sum of
+    squares), peak amplitude, zero-crossing count (strict sign
+    flips), and RMS quantized to integer micro-units via
+    ``floor(x*1e6 + 0.5)`` — never a language-level round, so the
+    SQL oracle replays the one float op (sqrt) exactly. The classic
+    VAD/segmentation feature set, all integer-exact but the RMS.
+
+    Same Arrow mapInPandas shape as every media stage; a real
+    pipeline swaps the feature body for an encoder model, the
+    decode + framing plumbing is unchanged."""
+    import math
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "frame_id", "n_samples", "sum_sq", "peak",
+                "zero_crossings", "rms_micro")}
+            for did, blob in zip(pdf["doc_id"], pdf["content"]):
+                d = decode_wav(bytes(blob), want_samples=True)
+                s = d["samples"]
+                for f0 in range(0, len(s), frame_size):
+                    fr = s[f0 : f0 + frame_size]
+                    sum_sq = sum(v * v for v in fr)
+                    zc = sum(
+                        1
+                        for a, b in zip(fr, fr[1:])
+                        if (a < 0 < b) or (a > 0 > b)
+                    )
+                    out["doc_id"].append(int(did))
+                    out["frame_id"].append(f0 // frame_size)
+                    out["n_samples"].append(len(fr))
+                    out["sum_sq"].append(sum_sq)
+                    out["peak"].append(max(abs(v) for v in fr))
+                    out["zero_crossings"].append(zc)
+                    out["rms_micro"].append(
+                        math.floor(
+                            math.sqrt(sum_sq / len(fr)) * 1e6 + 0.5
+                        )
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "frame_id": pd.Series(out["frame_id"], dtype="int32"),
+                    "n_samples": pd.Series(out["n_samples"], dtype="int32"),
+                    "sum_sq": pd.Series(out["sum_sq"], dtype="int64"),
+                    "peak": pd.Series(out["peak"], dtype="int32"),
+                    "zero_crossings": pd.Series(
+                        out["zero_crossings"], dtype="int32"
+                    ),
+                    "rms_micro": pd.Series(out["rms_micro"], dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(feats, schema=AUDIO_FRAME_SCHEMA)
+
+
 VIDEO_SCHEMA = "doc_id long, width int, height int, n_frames int, pixel_sum long"
+
+
+MOTION_SCHEMA = (
+    "doc_id long, frame_id int, n_px long, motion_sum long, "
+    "motion_max int"
+)
+
+
+def video_motion_profile(df: DataFrame) -> DataFrame:
+    """Per-frame-pair motion metric over REAL decoded AVI frames:
+    for each consecutive (f-1, f) pair, the sum and max of absolute
+    per-byte differences of the row-major RGB samples — the standard
+    cheap shot/scene-change signal (all integer arithmetic, so the
+    oracle replays it exactly from the generator formula). Videos
+    with a single frame emit no rows. Arrow mapInPandas,
+    partition-parallel, frames never leave the executor."""
+
+    def motion(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "frame_id", "n_px", "motion_sum", "motion_max")}
+            for did, blob in zip(pdf["doc_id"], pdf["content"]):
+                d = decode_avi(bytes(blob), want_frames=True)
+                frames = d["frames"]
+                for f in range(1, len(frames)):
+                    prev, cur = frames[f - 1], frames[f]
+                    diffs = [abs(a - b) for a, b in zip(cur, prev)]
+                    out["doc_id"].append(int(did))
+                    out["frame_id"].append(f)
+                    out["n_px"].append(len(diffs))
+                    out["motion_sum"].append(sum(diffs))
+                    out["motion_max"].append(max(diffs) if diffs else 0)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "frame_id": pd.Series(out["frame_id"], dtype="int32"),
+                    "n_px": pd.Series(out["n_px"], dtype="int64"),
+                    "motion_sum": pd.Series(out["motion_sum"], dtype="int64"),
+                    "motion_max": pd.Series(out["motion_max"], dtype="int32"),
+                }
+            )
+
+    return df.mapInPandas(motion, schema=MOTION_SCHEMA)
 
 
 def decode_videos(df: DataFrame) -> DataFrame:

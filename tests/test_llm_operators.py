@@ -897,3 +897,42 @@ def test_semantic_decontamination_flags_planted_copies(spark, sf_dir):
     assert all(r["max_cos"] == 1.0 for r in planted)
     clean = [r for r in rows.values() if r["contaminated"] == 0]
     assert all(r["n_bench_matches"] == 0 and r["max_cos"] is None for r in clean)
+
+
+def test_audio_frame_features_and_video_motion(spark, sf_dir):
+    """Frame features agree with a direct per-sample recompute for a
+    couple of docs; motion rows exist exactly for multi-frame videos
+    and are zero-free only when frames differ."""
+    import math
+
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators.llm_queries import (
+        multimodal_audio_features,
+        multimodal_video_motion,
+    )
+
+    af = [r for r in multimodal_audio_features(spark, sf_dir).collect()
+          if r["doc_id"] in (3, 17)]
+    assert af
+    for r in af:
+        d, f0 = r["doc_id"], r["frame_id"] * 16
+        cnt = d % 50 + 10
+        s = [((31 * i + d) % 4001) - 2000 for i in range(cnt)][f0:f0 + 16]
+        assert r["n_samples"] == len(s)
+        assert r["sum_sq"] == sum(v * v for v in s)
+        assert r["peak"] == max(abs(v) for v in s)
+        assert r["zero_crossings"] == sum(
+            1 for a, b in zip(s, s[1:]) if (a < 0 < b) or (a > 0 > b))
+        assert r["rms_micro"] == math.floor(
+            math.sqrt(r["sum_sq"] / len(s)) * 1e6 + 0.5)
+
+    vm = multimodal_video_motion(spark, sf_dir).collect()
+    by_doc = {}
+    for r in vm:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for d, rows in list(by_doc.items())[:20]:
+        nf = d % 5 + 1
+        assert len(rows) == nf - 1
+        w, h = d % 6 + 2, d % 4 + 2
+        assert all(r["n_px"] == 3 * w * h for r in rows)
+        # consecutive synth frames differ by the 13*f term -> motion > 0
+        assert all(r["motion_sum"] > 0 for r in rows)

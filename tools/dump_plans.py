@@ -274,6 +274,17 @@ def llm_queries_section():
             "broadcast — bucket assignment is a map-side comparison, "
             "never a per-language global sort/ntile.",
         ),
+        "multimodal_audio_features": (
+            L.multimodal_audio_features,
+            "Arrow mapInPandas synth + decode + frame features — "
+            "partition-parallel, zero exchanges; features are "
+            "integer-exact but the micro-unit RMS.",
+        ),
+        "multimodal_video_motion": (
+            L.multimodal_video_motion,
+            "Arrow mapInPandas synth + decode + frame-pair diffs — "
+            "partition-parallel, zero exchanges, integer-exact.",
+        ),
         "multimodal_decode_jpeg": (
             L.multimodal_decode_jpeg,
             "Arrow mapInPandas synth + decode chain — "
