@@ -61,20 +61,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #           row (VERDICT r6 carried debt, verbatim list) — after
     #           their rows land, union driver coverage under current
     #           names is 147/147;
-    #   8-15  = hybrid_bm25_ann_topk, ann_ivfpq_residual_topk,
+    #   8-16  = hybrid_bm25_ann_topk, ann_ivfpq_residual_topk,
     #           multimodal_decode_jpeg, ann_ivfsq_topk,
     #           curation_ccnet_buckets, decontaminate_semantic,
-    #           multimodal_audio_features, multimodal_video_motion —
-    #           NEW this round (never checked);
-    #   16-50 = the remaining r04-window block, continuing down the
+    #           multimodal_audio_features, multimodal_video_motion,
+    #           sample_epoch_shuffle — NEW this round (never
+    #           checked);
+    #   17-50 = the remaining r04-window block, continuing down the
     #           tail in age order from dedup_minhash_lsh_pairs
-    #           (35 of its 40 entries; the tail-most five —
-    #           scalar_string_math, date_arithmetic,
-    #           set_union_segments, set_intersect_building_buyers,
-    #           set_except_nonbuyers — all driver-green r04 — wait
-    #           in the tail).
-    # 7 + 8 + 35 = 50 exactly. Further NEW round-7 queries are
-    # inserted right after position 15 as they land, each bump pushing
+    #           (34 of its 40 entries; the tail-most six —
+    #           events_daily_summary, scalar_string_math,
+    #           date_arithmetic, set_union_segments,
+    #           set_intersect_building_buyers, set_except_nonbuyers —
+    #           all driver-green r04 — wait in the tail).
+    # 7 + 9 + 34 = 50 exactly. Further NEW round-7 queries are
+    # inserted right after position 16 as they land, each bump pushing
     # the window's tail-most r04/r05 refresh entry below position 50
     # (those already have union-green rows, so coverage stays
     # complete).
@@ -101,7 +102,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_semantic": L.decontaminate_semantic,
         "multimodal_audio_features": L.multimodal_audio_features,
         "multimodal_video_motion": L.multimodal_video_motion,
-        # --- (16-50) r04-window refresh block (driver-green r04) ---
+        "sample_epoch_shuffle": L.sample_epoch_shuffle,
+        # --- (17-50) r04-window refresh block (driver-green r04) ---
         "dedup_minhash_lsh_pairs": L.dedup_minhash_lsh_pairs,
         "dedup_simhash_pairs": L.dedup_simhash_pairs,
         "dedup_keep_list": L.dedup_keep_list,
@@ -3133,6 +3135,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         # video motion: frame f vs f-1 byte diffs from the synth AVI
         # pixel formula (11i+13f+d)%256 — integer-exact end to end
+        # epoch shuffle: two epochs' permutation keys; map-only in
+        # Spark, the oracle is the same md5 over a VALUES expansion
+        "sample_epoch_shuffle": """
+            SELECT doc_id, CAST(e AS INTEGER) AS epoch,
+                   md5(CAST(e AS VARCHAR) || '|'
+                       || CAST(doc_id AS VARCHAR)) AS shuffle_key
+            FROM documents, (VALUES (0), (1)) AS t(e)
+        """,
         "multimodal_video_motion": """
             WITH dims AS (
               SELECT doc_id, doc_id % 6 + 2 AS w, doc_id % 4 + 2 AS h,

@@ -166,6 +166,7 @@ HEADLINE = {
     "decontaminate_semantic": L.decontaminate_semantic,
     "multimodal_audio_features": L.multimodal_audio_features,
     "multimodal_video_motion": L.multimodal_video_motion,
+    "sample_epoch_shuffle": L.sample_epoch_shuffle,
 }
 
 # the 14 queries recorded since round 1 — their sum is the anchored

@@ -771,6 +771,18 @@ def ann_ivfpq_residual_topk(spark, sf_dir):
     ).orderBy("query_id", "rnk")
 
 
+def sample_epoch_shuffle(spark, sf_dir):
+    """Deterministic per-epoch training shuffle order
+    (sampling.epoch_shuffle_keys): two epochs' independent
+    permutations of the documents corpus as sortable md5 keys — the
+    reproducible-restart epoch sequencing primitive. Map-only (the
+    epoch expansion is a literal-array explode); writers consume the
+    key with a range-partitioned sort, never a global row_number."""
+    return SA.epoch_shuffle_keys(
+        _docs(spark, sf_dir).select("doc_id"), epochs=2, key_col="doc_id"
+    )
+
+
 def multimodal_audio_features(spark, sf_dir):
     """Audio feature extraction over real decoded PCM
     (multimodal.audio_frame_features): per-16-sample frame energy

@@ -171,3 +171,41 @@ def sample_weighted(
         .limit(k)
         .drop("_aes_micro")
     )
+
+
+def epoch_shuffle_keys(
+    df: DataFrame,
+    epochs: int,
+    key_col: str,
+) -> DataFrame:
+    """Deterministic per-epoch global shuffle ORDER for training-data
+    sequencing: each epoch gets an independent pseudo-random
+    permutation of the corpus, reproducible run-to-run (restart a
+    crashed epoch, get the same order) and engine-to-engine.
+
+    The permutation is materialized as a sortable KEY
+    (``md5(epoch || '|' || row key)``), NOT as a global row_number —
+    a rank column would force every row through one partition's
+    window, while writers consume the key scale-safely with
+    ``repartitionByRange(shuffle_key).sortWithinPartitions(...)``
+    (a range-partitioned sort, Spark's normal TB-scale ordering
+    path). One output row per (row, epoch); the epoch expansion is
+    an explode of a literal array — map-only, no shuffle in this
+    operator at all.
+    """
+    if epochs < 1:
+        raise ValueError("epochs must be >= 1")
+    ep = F.explode(
+        F.array(*[F.lit(e) for e in range(epochs)])
+    ).alias("epoch")
+    out = df.select(F.col(key_col), ep)
+    return out.select(
+        key_col,
+        F.col("epoch").cast("int").alias("epoch"),
+        F.md5(
+            F.concat_ws(
+                "|", F.col("epoch").cast("string"),
+                F.col(key_col).cast("string"),
+            )
+        ).alias("shuffle_key"),
+    )

@@ -246,3 +246,30 @@ def test_sample_weighted_aes_invariants(spark):
     # global k (no grouping) uses the limit path
     g2 = sample_weighted(big, "w", k=5).collect()
     assert len(g2) == 5
+
+
+def test_epoch_shuffle_keys(spark):
+    """Each epoch is a deterministic, distinct permutation; the key
+    is reproducible run-to-run."""
+    import pytest
+
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators.sampling import (
+        epoch_shuffle_keys,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(40)], "doc_id long")
+    a = epoch_shuffle_keys(df, epochs=2, key_col="doc_id").collect()
+    assert len(a) == 80
+    by_epoch = {}
+    for r in a:
+        by_epoch.setdefault(r["epoch"], {})[r["doc_id"]] = r["shuffle_key"]
+    assert set(by_epoch) == {0, 1}
+    order0 = sorted(by_epoch[0], key=lambda d: by_epoch[0][d])
+    order1 = sorted(by_epoch[1], key=lambda d: by_epoch[1][d])
+    assert order0 != order1          # independent permutations
+    assert set(order0) == set(order1) == set(range(40))
+    # reproducible
+    b = epoch_shuffle_keys(df, epochs=2, key_col="doc_id").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    with pytest.raises(ValueError):
+        epoch_shuffle_keys(df, epochs=0, key_col="doc_id")
