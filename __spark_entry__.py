@@ -61,21 +61,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #           row (VERDICT r6 carried debt, verbatim list) — after
     #           their rows land, union driver coverage under current
     #           names is 147/147;
-    #   8-16  = hybrid_bm25_ann_topk, ann_ivfpq_residual_topk,
+    #   8-17  = hybrid_bm25_ann_topk, ann_ivfpq_residual_topk,
     #           multimodal_decode_jpeg, ann_ivfsq_topk,
     #           curation_ccnet_buckets, decontaminate_semantic,
     #           multimodal_audio_features, multimodal_video_motion,
-    #           sample_epoch_shuffle — NEW this round (never
-    #           checked);
-    #   17-50 = the remaining r04-window block, continuing down the
+    #           sample_epoch_shuffle, tokenizer_unigram_vocab — NEW
+    #           this round (never checked);
+    #   18-50 = the remaining r04-window block, continuing down the
     #           tail in age order from dedup_minhash_lsh_pairs
-    #           (34 of its 40 entries; the tail-most six —
-    #           events_daily_summary, scalar_string_math,
-    #           date_arithmetic, set_union_segments,
-    #           set_intersect_building_buyers, set_except_nonbuyers —
-    #           all driver-green r04 — wait in the tail).
-    # 7 + 9 + 34 = 50 exactly. Further NEW round-7 queries are
-    # inserted right after position 16 as they land, each bump pushing
+    #           (33 of its 40 entries; the tail-most seven —
+    #           array_map_funcs, events_daily_summary,
+    #           scalar_string_math, date_arithmetic,
+    #           set_union_segments, set_intersect_building_buyers,
+    #           set_except_nonbuyers — all driver-green r04 — wait
+    #           in the tail).
+    # 7 + 10 + 33 = 50 exactly. Further NEW round-7 queries are
+    # inserted right after position 17 as they land, each bump pushing
     # the window's tail-most r04/r05 refresh entry below position 50
     # (those already have union-green rows, so coverage stays
     # complete).
@@ -103,7 +104,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio_features": L.multimodal_audio_features,
         "multimodal_video_motion": L.multimodal_video_motion,
         "sample_epoch_shuffle": L.sample_epoch_shuffle,
-        # --- (17-50) r04-window refresh block (driver-green r04) ---
+        "tokenizer_unigram_vocab": L.tokenizer_unigram_vocab,
+        # --- (18-50) r04-window refresh block (driver-green r04) ---
         "dedup_minhash_lsh_pairs": L.dedup_minhash_lsh_pairs,
         "dedup_simhash_pairs": L.dedup_simhash_pairs,
         "dedup_keep_list": L.dedup_keep_list,
@@ -1297,6 +1299,131 @@ def _ann_ivfsq_oracle(
     WHERE rnk <= {k}
     ORDER BY query_id, rnk
     """
+
+
+def _unigram_oracle(em_rounds: int = 2) -> str:
+    """GENERATED oracle for operators/unigram_lm.unigram_lm_vocab —
+    the BPE-oracle recipe scaled up: per EM round, 16 unrolled
+    integer-exact Viterbi DP CTEs (argmax by the same score*8+k
+    encoding, ties to the larger last piece) plus 16 backtrace CTEs
+    emitting the chosen pieces, then the add-one-smoothed
+    re-estimation. The only float ops are ln (micro-quantized, the
+    ngram-LM precedent) and the seed/new-count divisions — the DP
+    itself is pure BIGINT arithmetic, so segmentations can never
+    drift between engines."""
+    L, P, M = 16, 3, 48
+    parts = [f"""
+    WITH w AS MATERIALIZED (
+      SELECT word, CAST(count(*) AS BIGINT) AS wcount FROM (
+        SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+        FROM documents)
+      WHERE length(word) <= {L}
+      GROUP BY word
+    ),
+    subs AS MATERIALIZED (
+      SELECT word, wcount, j, k, substr(word, j, k) AS piece,
+             j + k - 1 AS end_pos
+      FROM (
+        SELECT word, wcount, CAST(jj.range AS INTEGER) AS j,
+               CAST(kk.range AS INTEGER) AS k
+        FROM w
+        CROSS JOIN range(1, {L + 1}) jj
+        CROSS JOIN range(1, {P + 1}) kk
+        WHERE jj.range <= length(word)
+          AND jj.range + kk.range - 1 <= length(word))
+    ),
+    counts AS (
+      SELECT piece, CAST(sum(wcount) AS BIGINT) AS pcount
+      FROM subs GROUP BY piece
+    ),
+    cands AS MATERIALIZED (
+      SELECT piece, pcount FROM counts WHERE length(piece) = 1
+      UNION ALL
+      SELECT piece, pcount FROM (
+        SELECT piece, pcount,
+               row_number() OVER (ORDER BY pcount DESC, piece ASC) AS rn
+        FROM counts WHERE length(piece) > 1)
+      WHERE rn <= {M}
+    ),
+    lp0 AS MATERIALIZED (
+      SELECT piece,
+             CAST(round(ln(CAST(pcount AS DOUBLE) / t.tot)
+                        * 1000000.0) AS BIGINT) AS lp_micro
+      FROM cands,
+           (SELECT CAST(sum(pcount) AS DOUBLE) AS tot FROM cands) t
+    )"""]
+    for r in range(1, em_rounds + 1):
+        parts.append(f"""
+    , sc{r} AS MATERIALIZED (
+      SELECT s.word, s.k, s.end_pos, l.lp_micro
+      FROM subs s JOIN lp{r - 1} l USING (piece)
+    ),
+    b{r}_0 AS (SELECT word, CAST(0 AS BIGINT) AS score, 0 AS bk FROM w)""")
+        for j in range(1, L + 1):
+            branches = []
+            for k in range(1, min(P, j) + 1):
+                branches.append(f"""
+          SELECT s.word, p.score + s.lp_micro AS score, {k} AS bk
+          FROM sc{r} s JOIN b{r}_{j - k} p ON p.word = s.word
+          WHERE s.end_pos = {j} AND s.k = {k}""")
+            body = " UNION ALL ".join(branches)
+            parts.append(f"""
+    , b{r}_{j} AS MATERIALIZED (
+      SELECT word, score, bk FROM (
+        SELECT word, score, bk,
+               row_number() OVER (PARTITION BY word
+                 ORDER BY score * 8 + bk DESC) AS rn
+        FROM ({body}))
+      WHERE rn = 1
+    )""")
+        ball = " UNION ALL ".join(
+            f"SELECT word, {j} AS j, bk FROM b{r}_{j}"
+            for j in range(1, L + 1)
+        )
+        parts.append(f"""
+    , ball{r} AS MATERIALIZED ({ball}),
+    t{r}_0 AS (
+      SELECT word, wcount, length(word) AS pos FROM w
+      WHERE length(word) > 0
+    )""")
+        for s in range(1, L + 1):
+            parts.append(f"""
+    , u{r}_{s} AS MATERIALIZED (
+      SELECT t.word, t.wcount,
+             substr(t.word, t.pos - b.bk + 1, b.bk) AS piece,
+             t.pos - b.bk AS npos
+      FROM t{r}_{s - 1} t
+      JOIN ball{r} b ON b.word = t.word AND b.j = t.pos
+    ),
+    t{r}_{s} AS (
+      SELECT word, wcount, npos AS pos FROM u{r}_{s} WHERE npos > 0
+    )""")
+        emitted = " UNION ALL ".join(
+            f"SELECT piece, wcount FROM u{r}_{s}" for s in range(1, L + 1)
+        )
+        parts.append(f"""
+    , usage{r} AS (
+      SELECT piece, CAST(sum(wcount) AS BIGINT) AS us
+      FROM ({emitted}) GROUP BY piece
+    ),
+    cnt{r} AS MATERIALIZED (
+      SELECT c.piece, CAST(COALESCE(u.us, 0) + 1 AS BIGINT) AS count1
+      FROM cands c LEFT JOIN usage{r} u USING (piece)
+    ),
+    lp{r} AS MATERIALIZED (
+      SELECT piece,
+             CAST(round(ln(CAST(count1 AS DOUBLE) / t.tot)
+                        * 1000000.0) AS BIGINT) AS lp_micro
+      FROM cnt{r},
+           (SELECT CAST(sum(count1) AS DOUBLE) AS tot FROM cnt{r}) t
+    )""")
+    R = em_rounds
+    parts.append(f"""
+    SELECT c.piece, CAST(length(c.piece) AS INTEGER) AS n_chars,
+           c.count1 AS final_count, l.lp_micro
+    FROM cnt{R} c JOIN lp{R} l USING (piece)
+    """)
+    return "".join(parts)
 
 
 def _semantic_decontam_oracle(threshold: float = 0.4, n_planes: int = 8) -> str:
@@ -3143,6 +3270,7 @@ def oracle_sql() -> dict[str, str]:
                        || CAST(doc_id AS VARCHAR)) AS shuffle_key
             FROM documents, (VALUES (0), (1)) AS t(e)
         """,
+        "tokenizer_unigram_vocab": _unigram_oracle(),
         "multimodal_video_motion": """
             WITH dims AS (
               SELECT doc_id, doc_id % 6 + 2 AS w, doc_id % 4 + 2 AS h,

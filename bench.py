@@ -167,6 +167,7 @@ HEADLINE = {
     "multimodal_audio_features": L.multimodal_audio_features,
     "multimodal_video_motion": L.multimodal_video_motion,
     "sample_epoch_shuffle": L.sample_epoch_shuffle,
+    "tokenizer_unigram_vocab": L.tokenizer_unigram_vocab,
 }
 
 # the 14 queries recorded since round 1 — their sum is the anchored

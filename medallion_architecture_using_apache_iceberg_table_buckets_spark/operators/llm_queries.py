@@ -771,6 +771,20 @@ def ann_ivfpq_residual_topk(spark, sf_dir):
     ).orderBy("query_id", "rnk")
 
 
+def tokenizer_unigram_vocab(spark, sf_dir):
+    """SentencePiece-style unigram-LM tokenizer induction
+    (operators/unigram_lm.py; Kudo 2018): substring-frequency seed
+    inventory (every char + top-48 multi-char pieces), then two EM
+    rounds — integer-exact Viterbi segmentation of the distinct-word
+    table as the E-step, add-one-smoothed re-estimation as the
+    M-step. Completes the tokenizer family next to BPE
+    (bpe_vocab_merges / bpe_encode_tokens); the generated SQL oracle
+    replays every DP cell and backtrace step exactly."""
+    from .unigram_lm import unigram_lm_vocab
+
+    return unigram_lm_vocab(_docs(spark, sf_dir))
+
+
 def sample_epoch_shuffle(spark, sf_dir):
     """Deterministic per-epoch training shuffle order
     (sampling.epoch_shuffle_keys): two epochs' independent
@@ -848,7 +862,13 @@ def curation_ccnet_buckets(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     lang = TX.langid(docs).select("doc_id", "predicted_lang")
     lm = TX.ngram_lm_scores(docs)
-    j = lang.join(lm, "doc_id")
+    # PERSIST the scored doc table: the bounds aggregate and the
+    # bucket projection both consume it, and without materialization
+    # each branch re-runs the whole LM training+scoring pipeline
+    # (measured 11.7x at the 10x step-up vs ~10x data; the CCNet
+    # pipeline materializes scored shards at this exact point too).
+    # Narrow frame (5 scalar columns per doc), MEMORY_AND_DISK.
+    j = lang.join(lm, "doc_id").persist()
     nn = j.filter(F.col("avg_surprisal").isNotNull())
     bounds = nn.groupBy("predicted_lang").agg(
         F.round(

@@ -347,6 +347,11 @@ def test_brute_baselines_are_the_only_all_pairs_plans(spark, sf_dir):
         # CCNet buckets: inherits ngram-LM's 1-row vocabulary scalar;
         # tercile bounds join is a keyed broadcast on predicted_lang
         "curation_ccnet_buckets",
+        # unigram-LM tokenizer: the 1-row probability-mass total
+        # broadcast (_logp_micro); every DP/backtrace join is a
+        # keyed equi-join on word over checkpointed words-sized
+        # frames
+        "tokenizer_unigram_vocab",
     }
     # Queries whose construction performs writes/iterative jobs; their
     # plan hygiene is asserted by dedicated tests.

@@ -274,6 +274,15 @@ def llm_queries_section():
             "broadcast — bucket assignment is a map-side comparison, "
             "never a per-language global sort/ntile.",
         ),
+        "tokenizer_unigram_vocab": (
+            L.tokenizer_unigram_vocab,
+            "Unigram-LM EM on the DISTINCT-WORD table (the Zipf "
+            "reduction BPE also rides): corpus touched once; the "
+            "Viterbi DP is a constant number (16/position x 2 "
+            "rounds) of bounded words-sized join/argmax stages, "
+            "checkpointed per stage so lineage cannot branch "
+            "3^16-ways; scores are pure BIGINT.",
+        ),
         "multimodal_audio_features": (
             L.multimodal_audio_features,
             "Arrow mapInPandas synth + decode + frame features — "

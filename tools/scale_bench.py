@@ -120,6 +120,12 @@ QUERIES = {
     "hybrid_bm25_ann_topk": L.hybrid_bm25_ann_topk,
     "ann_ivfpq_residual_topk": L.ann_ivfpq_residual_topk,
     "multimodal_decode_jpeg": L.multimodal_decode_jpeg,
+    "ann_ivfsq_topk": L.ann_ivfsq_topk,
+    "curation_ccnet_buckets": L.curation_ccnet_buckets,
+    "decontaminate_semantic": L.decontaminate_semantic,
+    "multimodal_audio_features": L.multimodal_audio_features,
+    "multimodal_video_motion": L.multimodal_video_motion,
+    "sample_epoch_shuffle": L.sample_epoch_shuffle,
 }
 
 
