@@ -126,6 +126,7 @@ QUERIES = {
     "multimodal_audio_features": L.multimodal_audio_features,
     "multimodal_video_motion": L.multimodal_video_motion,
     "sample_epoch_shuffle": L.sample_epoch_shuffle,
+    "tokenizer_unigram_vocab": L.tokenizer_unigram_vocab,
 }
 
 
