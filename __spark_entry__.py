@@ -61,22 +61,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #           row (VERDICT r6 carried debt, verbatim list) — after
     #           their rows land, union driver coverage under current
     #           names is 147/147;
-    #   8-17  = hybrid_bm25_ann_topk, ann_ivfpq_residual_topk,
+    #   8-18  = hybrid_bm25_ann_topk, ann_ivfpq_residual_topk,
     #           multimodal_decode_jpeg, ann_ivfsq_topk,
     #           curation_ccnet_buckets, decontaminate_semantic,
     #           multimodal_audio_features, multimodal_video_motion,
-    #           sample_epoch_shuffle, tokenizer_unigram_vocab — NEW
-    #           this round (never checked);
-    #   18-50 = the remaining r04-window block, continuing down the
+    #           sample_epoch_shuffle, tokenizer_unigram_vocab,
+    #           tokenizer_unigram_encode — NEW this round (never
+    #           checked);
+    #   19-50 = the remaining r04-window block, continuing down the
     #           tail in age order from dedup_minhash_lsh_pairs
-    #           (33 of its 40 entries; the tail-most seven —
-    #           array_map_funcs, events_daily_summary,
-    #           scalar_string_math, date_arithmetic,
-    #           set_union_segments, set_intersect_building_buyers,
-    #           set_except_nonbuyers — all driver-green r04 — wait
-    #           in the tail).
-    # 7 + 10 + 33 = 50 exactly. Further NEW round-7 queries are
-    # inserted right after position 17 as they land, each bump pushing
+    #           (32 of its 40 entries; the tail-most eight —
+    #           json_extract_events, array_map_funcs,
+    #           events_daily_summary, scalar_string_math,
+    #           date_arithmetic, set_union_segments,
+    #           set_intersect_building_buyers, set_except_nonbuyers —
+    #           all driver-green r04 — wait in the tail).
+    # 7 + 11 + 32 = 50 exactly. Further NEW round-7 queries are
+    # inserted right after position 18 as they land, each bump pushing
     # the window's tail-most r04/r05 refresh entry below position 50
     # (those already have union-green rows, so coverage stays
     # complete).
@@ -105,7 +106,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_video_motion": L.multimodal_video_motion,
         "sample_epoch_shuffle": L.sample_epoch_shuffle,
         "tokenizer_unigram_vocab": L.tokenizer_unigram_vocab,
-        # --- (18-50) r04-window refresh block (driver-green r04) ---
+        "tokenizer_unigram_encode": L.tokenizer_unigram_encode,
+        # --- (19-50) r04-window refresh block (driver-green r04) ---
         "dedup_minhash_lsh_pairs": L.dedup_minhash_lsh_pairs,
         "dedup_simhash_pairs": L.dedup_simhash_pairs,
         "dedup_keep_list": L.dedup_keep_list,
@@ -1301,7 +1303,7 @@ def _ann_ivfsq_oracle(
     """
 
 
-def _unigram_oracle(em_rounds: int = 2) -> str:
+def _unigram_oracle(em_rounds: int = 2, segment: bool = False) -> str:
     """GENERATED oracle for operators/unigram_lm.unigram_lm_vocab —
     the BPE-oracle recipe scaled up: per EM round, 16 unrolled
     integer-exact Viterbi DP CTEs (argmax by the same score*8+k
@@ -1418,10 +1420,98 @@ def _unigram_oracle(em_rounds: int = 2) -> str:
            (SELECT CAST(sum(count1) AS DOUBLE) AS tot FROM cnt{r}) t
     )""")
     R = em_rounds
-    parts.append(f"""
+    if not segment:
+        parts.append(f"""
     SELECT c.piece, CAST(length(c.piece) AS INTEGER) AS n_chars,
            c.count1 AS final_count, l.lp_micro
     FROM cnt{R} c JOIN lp{R} l USING (piece)
+    """)
+        return "".join(parts)
+    # APPLY variant: one more Viterbi pass under the FINAL model
+    # lp{R}, then the word -> in-order piece-stream map and the
+    # position-exploded corpus join (twin of unigram_segment_corpus)
+    r = R + 1
+    parts.append(f"""
+    , sc{r} AS MATERIALIZED (
+      SELECT s.word, s.k, s.end_pos, l.lp_micro
+      FROM subs s JOIN lp{R} l USING (piece)
+    ),
+    b{r}_0 AS (SELECT word, CAST(0 AS BIGINT) AS score, 0 AS bk FROM w)""")
+    for j in range(1, L + 1):
+        branches = []
+        for k in range(1, min(P, j) + 1):
+            branches.append(f"""
+          SELECT s.word, p.score + s.lp_micro AS score, {k} AS bk
+          FROM sc{r} s JOIN b{r}_{j - k} p ON p.word = s.word
+          WHERE s.end_pos = {j} AND s.k = {k}""")
+        body = " UNION ALL ".join(branches)
+        parts.append(f"""
+    , b{r}_{j} AS MATERIALIZED (
+      SELECT word, score, bk FROM (
+        SELECT word, score, bk,
+               row_number() OVER (PARTITION BY word
+                 ORDER BY score * 8 + bk DESC) AS rn
+        FROM ({body}))
+      WHERE rn = 1
+    )""")
+    ball = " UNION ALL ".join(
+        f"SELECT word, {j} AS j, bk FROM b{r}_{j}" for j in range(1, L + 1)
+    )
+    parts.append(f"""
+    , ball{r} AS MATERIALIZED ({ball}),
+    t{r}_0 AS (
+      SELECT word, wcount, length(word) AS pos FROM w
+      WHERE length(word) > 0
+    )""")
+    for s in range(1, L + 1):
+        parts.append(f"""
+    , u{r}_{s} AS MATERIALIZED (
+      SELECT t.word, t.wcount,
+             substr(t.word, t.pos - b.bk + 1, b.bk) AS piece,
+             t.pos - b.bk AS npos
+      FROM t{r}_{s - 1} t
+      JOIN ball{r} b ON b.word = t.word AND b.j = t.pos
+    ),
+    t{r}_{s} AS (
+      SELECT word, wcount, npos AS pos FROM u{r}_{s} WHERE npos > 0
+    )""")
+    seg_union = " UNION ALL ".join(
+        f"SELECT word, {s} AS step, piece FROM u{r}_{s}"
+        for s in range(1, L + 1)
+    )
+    parts.append(f"""
+    , wp AS MATERIALIZED (
+      SELECT word,
+             string_agg(piece, '|' ORDER BY step DESC) AS pieces_str,
+             CAST(count(*) AS BIGINT) AS n_pieces
+      FROM ({seg_union}) GROUP BY word
+    ),
+    docw AS (
+      SELECT doc_id, CAST(i AS INTEGER) AS pos, ws[i + 1] AS word
+      FROM (
+        SELECT doc_id, ws, unnest(range(len(ws))) AS i
+        FROM (SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z]+') AS ws
+              FROM documents))
+    ),
+    per AS (
+      SELECT e.doc_id,
+             CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum(COALESCE(wp.n_pieces, length(e.word)))
+                  AS BIGINT) AS n_tokens,
+             md5(string_agg(
+               COALESCE(wp.pieces_str,
+                        array_to_string(
+                          regexp_extract_all(e.word, '.'), '|')),
+               '|' ORDER BY e.pos)) AS token_fp
+      FROM docw e LEFT JOIN wp ON wp.word = e.word
+      GROUP BY e.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(p.n_words, 0) AS BIGINT) AS n_words,
+           CAST(COALESCE(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+           COALESCE(p.token_fp, md5('')) AS token_fp
+    FROM documents d LEFT JOIN per p USING (doc_id)
     """)
     return "".join(parts)
 
@@ -3271,6 +3361,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents, (VALUES (0), (1)) AS t(e)
         """,
         "tokenizer_unigram_vocab": _unigram_oracle(),
+        "tokenizer_unigram_encode": _unigram_oracle(segment=True),
         "multimodal_video_motion": """
             WITH dims AS (
               SELECT doc_id, doc_id % 6 + 2 AS w, doc_id % 4 + 2 AS h,

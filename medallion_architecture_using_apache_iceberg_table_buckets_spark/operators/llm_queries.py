@@ -785,6 +785,19 @@ def tokenizer_unigram_vocab(spark, sf_dir):
     return unigram_lm_vocab(_docs(spark, sf_dir))
 
 
+def tokenizer_unigram_encode(spark, sf_dir):
+    """Unigram-LM tokenizer APPLY (unigram_lm.unigram_segment_corpus;
+    bpe_encode_tokens' counterpart): learn the model with the same
+    two EM rounds, segment every document under the final model via
+    one more Viterbi pass over the distinct-word table, and emit
+    order-sensitive evidence per doc (word count, token count, md5
+    of the in-order piece stream). The corpus join is a broadcast of
+    the tiny word->pieces map onto position-exploded words."""
+    from .unigram_lm import unigram_segment_corpus
+
+    return unigram_segment_corpus(_docs(spark, sf_dir))
+
+
 def sample_epoch_shuffle(spark, sf_dir):
     """Deterministic per-epoch training shuffle order
     (sampling.epoch_shuffle_keys): two epochs' independent

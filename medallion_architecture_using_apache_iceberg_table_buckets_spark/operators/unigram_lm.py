@@ -1,6 +1,7 @@
-"""SentencePiece-style unigram-LM tokenizer induction (Kudo 2018,
-"Subword Regularization", arXiv:1804.10959) — the second tokenizer
-family next to BPE (operators/bpe.py), distributed Spark-first.
+"""SentencePiece-style unigram-LM tokenizer induction and
+application (Kudo 2018, "Subword Regularization", arXiv:1804.10959)
+— the second tokenizer family next to BPE (operators/bpe.py),
+distributed Spark-first.
 
 Classic formulation over the word-frequency table: seed a candidate
 piece inventory from substring frequencies, then run EM — the E-step
@@ -15,18 +16,37 @@ recipe):
   (``round(ln(p) * 1e6)``), so Viterbi's DP is EXACT INTEGER
   arithmetic — no float compare ever decides a segmentation;
 - the Viterbi argmax tie-breaks deterministically by larger last
-  piece (encoded as ``score * 8 + k``, exact for 60-bit scores).
+  piece (encoded as ``score * 8 + k``, exact for 60-bit scores and
+  collision-free: ``8*(s1-s2) == k2-k1`` has no solution for
+  distinct ``k`` in 1..3).
 
 Scale design: everything runs on the DISTINCT-WORD table (Zipf: the
 word table is tiny relative to the corpus — the same reduction BPE
-uses), so the corpus is touched once to build it. The DP unrolls to
-``MAX_WORD_LEN`` bounded join/aggregate stages over that table —
-stage count is a constant, data per stage is words-sized, and no
-step is driver-side except the fixed Python loop emitting the plan
-(the BPE precedent). Words longer than ``MAX_WORD_LEN`` are excluded
-from INDUCTION (SentencePiece's trainer applies analogous caps);
-they would still be segmentable at apply time via single-char
-fallback.
+uses), so the corpus is touched once to build it. The Viterbi pass
+itself is a single map-only stage: the model is a vocabulary-sized
+``piece -> lp_micro`` table (|chars| + N_MULTI rows, bounded by
+construction) that the driver collects and broadcasts, and an
+Arrow-batched ``pandas_udf`` runs the per-word integer DP with zero
+shuffles — the murmur3/cosine precedent in this package, justified
+because the inner loop is a data-dependent DP with backtrace that
+column expressions cannot express, the input is the Zipf-reduced
+word table (not the corpus), and Python bigints reproduce the
+integer-exact scores bit-for-bit.
+
+(A first cut unrolled the DP into MAX_WORD_LEN join/argmax stages
+over the word table. Correct, but it is the wrong Spark plan twice
+over: ~33 eager checkpoints per pass serialize into a driver-side
+job storm, and Catalyst's size-only stats estimator multiplies
+``sizeInBytes`` through every join, so checkpointed plans accumulate
+multi-thousand-digit BigInteger stats whose ``rewriteStatsAndConstraints``
+on the NEXT pass's checkpoints dominates wall-clock — super-linearly
+in the number of Viterbi passes. The broadcast-model UDF removes the
+joins, the checkpoints, and the stats tower in one move.)
+
+Words longer than ``MAX_WORD_LEN`` are excluded from INDUCTION
+(SentencePiece's trainer applies analogous caps); at apply time they
+fall back to single-char segmentation (chars are always in the
+inventory).
 
 Reference parity note: the reference pipeline (scripts/
 raw-bronze.py, bronze-silver.py) carries no tokenizer machinery;
@@ -34,6 +54,8 @@ this module belongs to the LLM-curation extension surface.
 """
 
 from __future__ import annotations
+
+import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -124,98 +146,82 @@ def _logp_micro(pieces: DataFrame, count_col: str = "pcount") -> DataFrame:
     )
 
 
-def _viterbi_usage(words: DataFrame, lp: DataFrame) -> DataFrame:
-    """E-step: Viterbi-best segmentation of every word under
-    ``lp(piece, lp_micro)``; returns (piece, usage) with usage =
-    sum of wcount over words using the piece (once per occurrence).
+def _collect_model(lp: DataFrame) -> dict:
+    """Driver-side model snapshot: vocabulary-sized (bounded at
+    |distinct chars| + N_MULTI rows by candidate_pieces), collected
+    AFTER micro-quantization so the broadcast integers are exactly
+    the ones the oracle replays — the BPE merge-argmax precedent for
+    a bounded planning-scale collect."""
+    return {r["piece"]: r["lp_micro"] for r in lp.collect()}
 
-    Forward DP over positions 1..MAX_WORD_LEN as unrolled
-    join/argmax stages (exact integer scores, ties to the larger
-    last piece via the score*8+k encoding), then an unrolled
-    backtrace emitting the chosen pieces. Bounded constant stage
-    count; every frame is words-sized."""
-    scored = (
-        _substrings(words)
-        .join(lp, "piece")
-        .select("word", "k", "end_pos", "lp_micro")
-        .localCheckpoint()
+
+def _viterbi_pieces(words: DataFrame, lp_map: dict) -> DataFrame:
+    """Fixed-model Viterbi segmentation of every distinct word:
+    ``(word, wcount, pieces array<string>)`` — in reading order —
+    for words with a complete path under the model; words with none
+    (an inventory char can be absent when it only occurs in
+    over-MAX_WORD_LEN words) are dropped, matching the join-DP/
+    oracle semantics where they fall to the per-char fallback.
+
+    Map-only: the model broadcasts with the UDF closure; the DP per
+    word is O(len * MAX_PIECE_LEN) exact Python-bigint arithmetic
+    with the same ``score * 8 + k`` argmax encoding the SQL oracle
+    unrolls, so the chosen segmentation is identical bit-for-bit."""
+
+    @F.pandas_udf("array<string>")
+    def seg(col: pd.Series) -> pd.Series:
+        out = []
+        for w in col:
+            n = len(w)
+            # score[j] = best micro-logprob of w[:j]; bk[j] = length
+            # of the last piece of that best split (None = no path)
+            score = [0] + [None] * n
+            bk = [0] * (n + 1)
+            for j in range(1, n + 1):
+                best_enc = None
+                for k in range(1, min(MAX_PIECE_LEN, j) + 1):
+                    prev = score[j - k]
+                    if prev is None:
+                        continue
+                    lpm = lp_map.get(w[j - k : j])
+                    if lpm is None:
+                        continue
+                    enc = (prev + lpm) * 8 + k
+                    if best_enc is None or enc > best_enc:
+                        best_enc = enc
+                        score[j] = prev + lpm
+                        bk[j] = k
+                if best_enc is None:
+                    score[j] = None
+            if score[n] is None:
+                out.append(None)
+                continue
+            pieces = []
+            j = n
+            while j > 0:
+                pieces.append(w[j - bk[j] : j])
+                j -= bk[j]
+            pieces.reverse()
+            out.append(pieces)
+        return pd.Series(out)
+
+    return (
+        words.withColumn("pieces", seg("word"))
+        .filter(F.col("pieces").isNotNull())
     )
-    # bests[j]: (word, score, bk) — best segmentation score of the
-    # first j characters and the length of its last piece. Each
-    # stage is CHECKPOINTED: position j is consumed by positions
-    # j+1..j+3, so an un-materialized lineage branches 3-ways per
-    # position and the analyzed plan grows as 3^MAX_WORD_LEN. The
-    # frames are distinct-word-sized — 16 tiny bounded
-    # materializations per E-step, the same bounded-stage trade the
-    # BPE rounds make.
-    bests: list[DataFrame] = [
-        words.select(
-            "word",
-            F.lit(0).cast("long").alias("score"),
-            F.lit(0).alias("bk"),
-        ).localCheckpoint()
-    ]
-    for j in range(1, MAX_WORD_LEN + 1):
-        cand = None
-        for k in range(1, min(MAX_PIECE_LEN, j) + 1):
-            prev = bests[j - k].select(
-                "word", F.col("score").alias("_ps")
-            )
-            c = (
-                scored.filter((F.col("end_pos") == j) & (F.col("k") == k))
-                .join(prev, "word")
-                .select(
-                    "word",
-                    (F.col("_ps") + F.col("lp_micro")).alias("score"),
-                    F.lit(k).alias("bk"),
-                )
-            )
-            cand = c if cand is None else cand.unionByName(c)
-        enc = F.col("score") * F.lit(8) + F.col("bk")
-        bests.append(
-            cand.groupBy("word")
-            .agg(
-                F.max_by("score", enc).alias("score"),
-                F.max_by("bk", enc).alias("bk"),
-            )
-            .localCheckpoint()
-        )
-    ball = None
-    for j in range(1, MAX_WORD_LEN + 1):
-        bj = bests[j].select("word", F.lit(j).alias("j"), "bk")
-        ball = bj if ball is None else ball.unionByName(bj)
-    ball = ball.localCheckpoint()
-    # backtrace: walk pos -> pos - bk, emitting the chosen piece.
-    # Checkpoint per step for the same lineage-branching reason (the
-    # emitted union would otherwise re-evaluate every chain prefix).
-    cur = words.select("word", "wcount", F.length("word").alias("pos"))
-    emitted: list[DataFrame] = []
-    for _ in range(MAX_WORD_LEN):
-        hit = (
-            cur.alias("c")
-            .join(
-                ball.alias("b"),
-                (F.col("c.word") == F.col("b.word"))
-                & (F.col("c.pos") == F.col("b.j")),
-            )
-            .select(
-                F.col("c.word").alias("word"),
-                F.col("c.wcount").alias("wcount"),
-                F.expr(
-                    "substring(c.word, c.pos - b.bk + 1, b.bk)"
-                ).alias("piece"),
-                (F.col("c.pos") - F.col("b.bk")).alias("npos"),
-            )
-            .localCheckpoint()
-        )
-        emitted.append(hit.select("piece", "wcount"))
-        cur = hit.select(
-            "word", "wcount", F.col("npos").alias("pos")
-        ).filter(F.col("pos") > 0)
-    allp = emitted[0]
-    for e in emitted[1:]:
-        allp = allp.unionByName(e)
-    return allp.groupBy("piece").agg(F.sum("wcount").alias("usage"))
+
+
+def _viterbi_usage(words: DataFrame, lp_map: dict) -> DataFrame:
+    """E-step: piece usage under the model — Viterbi-segment every
+    distinct word (map-only), explode the chosen pieces, and sum
+    word frequencies per piece. One narrow stage + one hash-agg
+    shuffle over piece keys."""
+    return (
+        _viterbi_pieces(words, lp_map)
+        .select(F.explode("pieces").alias("piece"), "wcount")
+        .groupBy("piece")
+        .agg(F.sum("wcount").alias("usage"))
+    )
 
 
 def unigram_lm_vocab(
@@ -239,7 +245,7 @@ def unigram_lm_vocab(
     for _ in range(em_rounds):
         usage = (
             pieces.select("piece")
-            .join(_viterbi_usage(words, lp), "piece", "left")
+            .join(_viterbi_usage(words, _collect_model(lp)), "piece", "left")
             .select(
                 "piece",
                 (F.coalesce(F.col("usage"), F.lit(0)) + F.lit(1))
@@ -247,9 +253,8 @@ def unigram_lm_vocab(
                 .alias("count1"),
             )
             # bounded materialization per EM round: the frame is
-            # piece-inventory-sized (~100 rows); without it the next
-            # round's Viterbi plan nests this round's 16-stage DP
-            # inside every stage and analysis time explodes
+            # piece-inventory-sized (~100 rows) and feeds both the
+            # next round's model collect and the final output join
             .localCheckpoint()
         )
         lp = _logp_micro(usage, "count1")
@@ -260,5 +265,102 @@ def unigram_lm_vocab(
             F.length("piece").cast("int").alias("n_chars"),
             F.col("count1").alias("final_count"),
             "lp_micro",
+        )
+    )
+
+
+def unigram_segment_corpus(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    em_rounds: int = 2,
+) -> DataFrame:
+    """The APPLY half (the bpe_encode_tokens counterpart): learn the
+    unigram model (same EM as :func:`unigram_lm_vocab`), then
+    segment every document under the FINAL model — one more map-only
+    Viterbi pass over the distinct-word table builds a word ->
+    in-order piece-stream map, and the corpus join is a broadcast of
+    that (tiny, Zipf) map onto the position-exploded document words.
+
+    Emits order-sensitive evidence per doc: word count, token count,
+    and an md5 fingerprint of the full in-order piece stream — a
+    segmenter that reorders, drops, or re-ties any piece
+    hash-mismatches. Words over MAX_WORD_LEN (absent from the word
+    table) fall back to per-char segmentation, as do words with no
+    complete model path."""
+    words = word_table(df, text_col).persist()
+    pieces = candidate_pieces(words).persist()
+    lp = _logp_micro(pieces, "pcount")
+    for _ in range(em_rounds):
+        usage = (
+            pieces.select("piece")
+            .join(_viterbi_usage(words, _collect_model(lp)), "piece", "left")
+            .select(
+                "piece",
+                (F.coalesce(F.col("usage"), F.lit(0)) + F.lit(1))
+                .cast("long")
+                .alias("count1"),
+            )
+            .localCheckpoint()
+        )
+        lp = _logp_micro(usage, "count1")
+    # final-model segmentation of every distinct word (map-only)
+    word_pieces = _viterbi_pieces(words, _collect_model(lp)).select(
+        "word",
+        F.array_join("pieces", "|").alias("pieces_str"),
+        F.size("pieces").cast("long").alias("n_pieces"),
+    )
+    docw = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)")
+        ).alias("pos", "word"),
+    )
+    per = (
+        docw.join(F.broadcast(word_pieces), "word", "left")
+        .select(
+            "doc_id",
+            "pos",
+            F.coalesce(
+                F.col("pieces_str"),
+                F.array_join(
+                    F.expr("regexp_extract_all(word, '.', 0)"), "|"
+                ),
+            ).alias("s"),
+            F.coalesce(
+                F.col("n_pieces"), F.length("word").cast("long")
+            ).alias("nt"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("nt").cast("long").alias("n_tokens"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("pos", "s"))
+                        ),
+                        lambda x: x.getField("s"),
+                    ),
+                    "|",
+                )
+            ).alias("token_fp"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_words"), F.lit(0).cast("long")).alias(
+                "n_words"
+            ),
+            F.coalesce(F.col("n_tokens"), F.lit(0).cast("long")).alias(
+                "n_tokens"
+            ),
+            F.coalesce(F.col("token_fp"), F.md5(F.lit(""))).alias(
+                "token_fp"
+            ),
         )
     )
