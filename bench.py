@@ -168,6 +168,7 @@ HEADLINE = {
     "multimodal_video_motion": L.multimodal_video_motion,
     "sample_epoch_shuffle": L.sample_epoch_shuffle,
     "tokenizer_unigram_vocab": L.tokenizer_unigram_vocab,
+    "tokenizer_unigram_encode": L.tokenizer_unigram_encode,
 }
 
 # the 14 queries recorded since round 1 — their sum is the anchored
