@@ -464,8 +464,26 @@ def _dct_cos():
 
 def _fdct_quant(block, quant):
     """Forward 8x8 DCT of level-shifted samples, quantized to ints
-    (round half away from zero, like every reference encoder)."""
+    (round half away from zero, like every reference encoder).
+
+    Constant blocks (every real encoder's flat-region case, and all
+    of synth_jpegs' fixtures) take an exact O(1) fast path: the DC
+    accumulator is a sum of 64 identical small integers (exact in
+    float, replicated verbatim below with the loop's own association
+    order), and every AC accumulator is a cosine-row sum that is
+    mathematically zero and numerically ~1e-13, which quantizes to 0
+    under floor(|q| + 0.5) for any quant step >= 1 — so the fast
+    path's quantized output is bit-identical to the loop's."""
     import math
+
+    s0 = block[0]
+    if all(b == s0 for b in block):
+        cu = cv = 1 / math.sqrt(2)
+        f = 0.25 * cu * cv * float(64 * (s0 - 128))
+        q = f / quant[0]
+        out = [0] * 64
+        out[0] = int(math.floor(abs(q) + 0.5)) * (1 if q >= 0 else -1)
+        return out
 
     C = _dct_cos()
     shifted = [s - 128 for s in block]
@@ -489,8 +507,22 @@ def _fdct_quant(block, quant):
 def _idct(coef):
     """Inverse 8x8 DCT -> clamped 8-bit samples; rounding is
     floor(x + 0.5) (never Python's bankers' round), so the SQL
-    oracle can replay it exactly."""
+    oracle can replay it exactly.
+
+    DC-only blocks (flat regions; all of synth_jpegs' fixtures) take
+    an exact O(1) fast path: with every AC coefficient zero the
+    loop's accumulator is exactly the single (v=0, u=0) term — the
+    zero terms add 0.0, which never changes a float — so computing
+    that one product with the loop's own association order yields
+    the identical 64x-replicated sample."""
     import math
+
+    if not any(coef[1:]):
+        cu = cv = 1 / math.sqrt(2)
+        acc = ((cu * (1.0 * cv)) * coef[0]) * 1.0
+        s = int(math.floor(0.25 * acc + 128.0 + 0.5))
+        s = 0 if s < 0 else 255 if s > 255 else s
+        return [s] * 64
 
     C = _dct_cos()
     out = []
