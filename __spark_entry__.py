@@ -61,23 +61,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #           row (VERDICT r6 carried debt, verbatim list) — after
     #           their rows land, union driver coverage under current
     #           names is 147/147;
-    #   8-18  = hybrid_bm25_ann_topk, ann_ivfpq_residual_topk,
+    #   8-20  = hybrid_bm25_ann_topk, ann_ivfpq_residual_topk,
     #           multimodal_decode_jpeg, ann_ivfsq_topk,
     #           curation_ccnet_buckets, decontaminate_semantic,
     #           multimodal_audio_features, multimodal_video_motion,
     #           sample_epoch_shuffle, tokenizer_unigram_vocab,
-    #           tokenizer_unigram_encode — NEW this round (never
+    #           tokenizer_unigram_encode, tokenizer_wordpiece_vocab,
+    #           tokenizer_wordpiece_encode — NEW this round (never
     #           checked);
-    #   19-50 = the remaining r04-window block, continuing down the
+    #   21-50 = the remaining r04-window block, continuing down the
     #           tail in age order from dedup_minhash_lsh_pairs
-    #           (32 of its 40 entries; the tail-most eight —
+    #           (30 of its 40 entries; the tail-most ten —
+    #           pivot_event_counts, subquery_max_order,
     #           json_extract_events, array_map_funcs,
     #           events_daily_summary, scalar_string_math,
     #           date_arithmetic, set_union_segments,
     #           set_intersect_building_buyers, set_except_nonbuyers —
     #           all driver-green r04 — wait in the tail).
-    # 7 + 11 + 32 = 50 exactly. Further NEW round-7 queries are
-    # inserted right after position 18 as they land, each bump pushing
+    # 7 + 13 + 30 = 50 exactly. Further NEW round-7 queries are
+    # inserted right after position 20 as they land, each bump pushing
     # the window's tail-most r04/r05 refresh entry below position 50
     # (those already have union-green rows, so coverage stays
     # complete).
@@ -107,7 +109,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_epoch_shuffle": L.sample_epoch_shuffle,
         "tokenizer_unigram_vocab": L.tokenizer_unigram_vocab,
         "tokenizer_unigram_encode": L.tokenizer_unigram_encode,
-        # --- (19-50) r04-window refresh block (driver-green r04) ---
+        "tokenizer_wordpiece_vocab": L.tokenizer_wordpiece_vocab,
+        "tokenizer_wordpiece_encode": L.tokenizer_wordpiece_encode,
+        # --- (21-50) r04-window refresh block (driver-green r04) ---
         "dedup_minhash_lsh_pairs": L.dedup_minhash_lsh_pairs,
         "dedup_simhash_pairs": L.dedup_simhash_pairs,
         "dedup_keep_list": L.dedup_keep_list,
@@ -633,6 +637,185 @@ def _bpe_encode_oracle(num_merges: int = 6) -> str:
         FROM segged
         """
     )
+
+
+def _wordpiece_rounds_cte(num_merges: int = 6) -> str:
+    """GENERATED WITH-chain replaying operators/wordpiece.py's merge
+    rounds — the BPE round chain with WordPiece's two differences:
+    the ##-prefixed no-end-marker symbol seeding, and a likelihood
+    argmax (cnt / (u_left * u_right) in IEEE doubles from exact
+    BIGINT counts — both engines divide identical doubles, ties by
+    pair text). Word cap 16 mirrors wp_word_table."""
+    parts = [
+        """
+        WITH w0 AS MATERIALIZED (
+          SELECT word,
+                 ' ' || substr(word, 1, 1) ||
+                 CASE WHEN length(word) > 1
+                      THEN ' ##' || array_to_string(
+                        regexp_extract_all(substr(word, 2), '.'), ' ##')
+                      ELSE '' END || ' ' AS sym,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+'))
+                       AS word FROM documents)
+          WHERE length(word) <= 16
+          GROUP BY 1
+        )"""
+    ]
+    for r in range(1, num_merges + 1):
+        parts.append(
+            f"""
+        , u{r} AS MATERIALIZED (
+          SELECT s, CAST(sum(c) AS BIGINT) AS u
+          FROM (SELECT unnest(string_split(trim(sym), ' ')) AS s, c
+                FROM w{r - 1})
+          GROUP BY 1
+        ), p{r} AS MATERIALIZED (
+          SELECT z[1] AS l, z[2] AS r, CAST(sum(c) AS BIGINT) AS cnt
+          FROM (
+            SELECT unnest(list_zip(L, L[2:])) AS z, c
+            FROM (SELECT string_split(trim(sym), ' ') AS L, c
+                  FROM w{r - 1})
+          )
+          WHERE z[2] IS NOT NULL
+          GROUP BY 1, 2
+        ), b{r} AS MATERIALIZED (
+          SELECT p.l, p.r, p.cnt, ul.u AS ul, ur.u AS ur
+          FROM p{r} p
+          JOIN u{r} ul ON ul.s = p.l
+          JOIN u{r} ur ON ur.s = p.r
+          ORDER BY CAST(p.cnt AS DOUBLE)
+                   / (CAST(ul.u AS DOUBLE) * CAST(ur.u AS DOUBLE)) DESC,
+                   p.l, p.r
+          LIMIT 1
+        ), pat{r} AS MATERIALIZED (
+          SELECT ' ' || l || ' ' || r || ' ' AS pat,
+                 ' ' || l || substr(r, 3) || ' ' AS rep,
+                 l || substr(r, 3) AS merged
+          FROM b{r}
+        ), w{r} AS MATERIALIZED (
+          -- replace to FIXPOINT (the bpe-oracle reasoning verbatim)
+          WITH RECURSIVE fx AS (
+            SELECT word, sym, c FROM w{r - 1}
+            UNION ALL
+            SELECT word, replace(sym, (SELECT pat FROM pat{r}),
+                                 (SELECT rep FROM pat{r})), c
+            FROM fx
+            WHERE replace(sym, (SELECT pat FROM pat{r}),
+                          (SELECT rep FROM pat{r})) <> sym
+          )
+          SELECT word, sym, c FROM fx
+          WHERE replace(sym, (SELECT pat FROM pat{r}),
+                        (SELECT rep FROM pat{r})) = sym
+        )"""
+        )
+    return "".join(parts)
+
+
+def _wordpiece_oracle(num_merges: int = 6) -> str:
+    """Merge-list oracle: one row per likelihood-scored merge, exact
+    integers only (rank, pair, merged text, pair/left/right counts)."""
+    selects = " UNION ALL ".join(
+        f"SELECT {r} AS rank, b.l AS \"left\", b.r AS \"right\", "
+        f"p.merged, b.cnt AS pair_count, b.ul AS left_count, "
+        f"b.ur AS right_count FROM b{r} b, pat{r} p"
+        for r in range(1, num_merges + 1)
+    )
+    return (
+        _wordpiece_rounds_cte(num_merges)
+        + f" SELECT * FROM ({selects}) ORDER BY rank"
+    )
+
+
+def _wordpiece_encode_oracle(num_merges: int = 6) -> str:
+    """Encode oracle: learn the merges (same round chain), then
+    replay BERT's greedy longest-match-first segmenter as 16
+    unrolled match steps (each consumes >= 1 char of a <= 16-char
+    word): per step, join live (word, pos) states against the final
+    symbol inventory on substring equality with the ##/word-initial
+    split, keep the longest match (unique per length, so the argmax
+    is total), and advance; a live word with no match that step is
+    [UNK] wholesale. Then the position-exploded corpus join with
+    [UNK] fallback for over-cap words — the unigram-encode evidence
+    shape."""
+    R = num_merges
+    L = 16
+    merged_sel = " UNION ALL ".join(
+        f"SELECT merged AS s FROM pat{r}" for r in range(1, R + 1)
+    )
+    parts = [_wordpiece_rounds_cte(R)]
+    parts.append(f"""
+    , voc AS MATERIALIZED (
+      SELECT DISTINCT s AS vsym,
+             CASE WHEN s LIKE '##%' THEN substr(s, 3) ELSE s END AS vcontent,
+             (s LIKE '##%') AS is_cont,
+             length(CASE WHEN s LIKE '##%' THEN substr(s, 3) ELSE s END)
+               AS vlen
+      FROM (
+        SELECT unnest(string_split(trim(sym), ' ')) AS s FROM w0
+        UNION ALL {merged_sel}
+      )
+    ),
+    g0 AS (SELECT word, 0 AS pos FROM w0)""")
+    for s in range(1, L + 1):
+        parts.append(f"""
+    , m{s} AS MATERIALIZED (
+      SELECT word, pos, vsym, vlen FROM (
+        SELECT t.word, t.pos, v.vsym, v.vlen,
+               row_number() OVER (PARTITION BY t.word
+                 ORDER BY v.vlen DESC) AS rn
+        FROM g{s - 1} t JOIN voc v
+          ON v.is_cont = (t.pos > 0)
+         AND v.vlen <= length(t.word) - t.pos
+         AND substr(t.word, t.pos + 1, v.vlen) = v.vcontent
+      ) WHERE rn = 1
+    ), unk{s} AS (
+      SELECT word FROM g{s - 1} EXCEPT SELECT word FROM m{s}
+    ), g{s} AS MATERIALIZED (
+      SELECT word, pos + vlen AS pos FROM m{s}
+      WHERE pos + vlen < length(word)
+    )""")
+    allm = " UNION ALL ".join(
+        f"SELECT word, pos, vsym FROM m{s}" for s in range(1, L + 1)
+    )
+    allunk = " UNION ALL ".join(
+        f"SELECT word FROM unk{s}" for s in range(1, L + 1)
+    )
+    parts.append(f"""
+    , allm AS MATERIALIZED ({allm}),
+    unkw AS MATERIALIZED ({allunk}),
+    wp AS MATERIALIZED (
+      SELECT a.word,
+             string_agg(a.vsym, '|' ORDER BY a.pos) AS pieces_str,
+             CAST(count(*) AS BIGINT) AS n_pieces
+      FROM allm a
+      WHERE a.word NOT IN (SELECT word FROM unkw)
+      GROUP BY a.word
+    ),
+    docw AS (
+      SELECT doc_id, CAST(i AS INTEGER) AS pos, ws[i + 1] AS word
+      FROM (
+        SELECT doc_id, ws, unnest(range(len(ws))) AS i
+        FROM (SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z]+') AS ws
+              FROM documents))
+    ),
+    per AS (
+      SELECT e.doc_id,
+             CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum(COALESCE(wp.n_pieces, 1)) AS BIGINT) AS n_tokens,
+             md5(string_agg(COALESCE(wp.pieces_str, '[UNK]'),
+                            '|' ORDER BY e.pos)) AS token_fp
+      FROM docw e LEFT JOIN wp ON wp.word = e.word
+      GROUP BY e.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(p.n_words, 0) AS BIGINT) AS n_words,
+           CAST(COALESCE(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+           COALESCE(p.token_fp, md5('')) AS token_fp
+    FROM documents d LEFT JOIN per p USING (doc_id)
+    """)
+    return "".join(parts)
 
 
 def _semantic_dedup_oracle(eps: float = 0.4, n_centroids: int = 16) -> str:
@@ -3362,6 +3545,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "tokenizer_unigram_vocab": _unigram_oracle(),
         "tokenizer_unigram_encode": _unigram_oracle(segment=True),
+        "tokenizer_wordpiece_vocab": _wordpiece_oracle(6),
+        "tokenizer_wordpiece_encode": _wordpiece_encode_oracle(6),
         "multimodal_video_motion": """
             WITH dims AS (
               SELECT doc_id, doc_id % 6 + 2 AS w, doc_id % 4 + 2 AS h,

@@ -169,6 +169,8 @@ HEADLINE = {
     "sample_epoch_shuffle": L.sample_epoch_shuffle,
     "tokenizer_unigram_vocab": L.tokenizer_unigram_vocab,
     "tokenizer_unigram_encode": L.tokenizer_unigram_encode,
+    "tokenizer_wordpiece_vocab": L.tokenizer_wordpiece_vocab,
+    "tokenizer_wordpiece_encode": L.tokenizer_wordpiece_encode,
 }
 
 # the 14 queries recorded since round 1 — their sum is the anchored

@@ -798,6 +798,32 @@ def tokenizer_unigram_encode(spark, sf_dir):
     return unigram_segment_corpus(_docs(spark, sf_dir))
 
 
+def tokenizer_wordpiece_vocab(spark, sf_dir):
+    """WordPiece tokenizer induction (operators/wordpiece.py; Wu et
+    al. 2016) — the third family next to BPE and unigram-LM: six
+    merge rounds scored by likelihood gain count(l,r)/(count(l)*
+    count(r)) over the ##-prefixed symbol table. Emits exact
+    integers only (the score that ordered each round is
+    reconstructible from pair/left/right counts), so the driver hash
+    never touches a float."""
+    from .wordpiece import wordpiece_learn
+
+    merges, _ = wordpiece_learn(spark, _docs(spark, sf_dir))
+    return merges
+
+
+def tokenizer_wordpiece_encode(spark, sf_dir):
+    """WordPiece APPLY: BERT's greedy longest-match-first segmenter
+    (wordpiece.wordpiece_segment_corpus) under the six learned
+    merges — broadcast symbol inventory, map-only over the
+    distinct-word table, [UNK] for over-cap or unmatchable words —
+    with the same per-doc order-sensitive evidence as the BPE and
+    unigram encode queries."""
+    from .wordpiece import wordpiece_segment_corpus
+
+    return wordpiece_segment_corpus(_docs(spark, sf_dir))
+
+
 def sample_epoch_shuffle(spark, sf_dir):
     """Deterministic per-epoch training shuffle order
     (sampling.epoch_shuffle_keys): two epochs' independent

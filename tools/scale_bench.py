@@ -128,6 +128,8 @@ QUERIES = {
     "sample_epoch_shuffle": L.sample_epoch_shuffle,
     "tokenizer_unigram_vocab": L.tokenizer_unigram_vocab,
     "tokenizer_unigram_encode": L.tokenizer_unigram_encode,
+    "tokenizer_wordpiece_vocab": L.tokenizer_wordpiece_vocab,
+    "tokenizer_wordpiece_encode": L.tokenizer_wordpiece_encode,
 }
 
 
