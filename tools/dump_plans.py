@@ -278,10 +278,33 @@ def llm_queries_section():
             L.tokenizer_unigram_vocab,
             "Unigram-LM EM on the DISTINCT-WORD table (the Zipf "
             "reduction BPE also rides): corpus touched once; the "
-            "Viterbi DP is a constant number (16/position x 2 "
-            "rounds) of bounded words-sized join/argmax stages, "
-            "checkpointed per stage so lineage cannot branch "
-            "3^16-ways; scores are pure BIGINT.",
+            "Viterbi E-step is a single map-only Arrow pandas_udf "
+            "stage per round with the vocabulary-sized model "
+            "broadcast (collected post-quantization, Python-bigint "
+            "DP replays the score*8+k argmax bit-for-bit) — the "
+            "join-unrolled DP it replaced accumulated "
+            "BigInteger-stats towers at every checkpoint.",
+        ),
+        "tokenizer_unigram_encode": (
+            L.tokenizer_unigram_encode,
+            "Unigram apply: same EM, then one more map-only "
+            "fixed-model Viterbi pass builds the word->pieces map, "
+            "broadcast onto the position-exploded corpus; evidence "
+            "agg is one hash-agg by doc_id.",
+        ),
+        "tokenizer_wordpiece_vocab": (
+            L.tokenizer_wordpiece_vocab,
+            "WordPiece induction: per round one pair-count + one "
+            "symbol-count aggregation over the word table, "
+            "likelihood argmax as a driver-side 1-row collect "
+            "(the BPE/Lloyd precedent), fixpoint replace rounds.",
+        ),
+        "tokenizer_wordpiece_encode": (
+            L.tokenizer_wordpiece_encode,
+            "WordPiece apply: BERT greedy longest-match as a "
+            "broadcast-inventory Arrow pandas_udf over the word "
+            "table (map-only), then the corpus broadcast join + "
+            "one evidence hash-agg.",
         ),
         "multimodal_audio_features": (
             L.multimodal_audio_features,
