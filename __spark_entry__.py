@@ -61,25 +61,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #           row (VERDICT r6 carried debt, verbatim list) — after
     #           their rows land, union driver coverage under current
     #           names is 147/147;
-    #   8-20  = hybrid_bm25_ann_topk, ann_ivfpq_residual_topk,
+    #   8-21  = hybrid_bm25_ann_topk, ann_ivfpq_residual_topk,
     #           multimodal_decode_jpeg, ann_ivfsq_topk,
     #           curation_ccnet_buckets, decontaminate_semantic,
     #           multimodal_audio_features, multimodal_video_motion,
     #           sample_epoch_shuffle, tokenizer_unigram_vocab,
     #           tokenizer_unigram_encode, tokenizer_wordpiece_vocab,
-    #           tokenizer_wordpiece_encode — NEW this round (never
-    #           checked);
-    #   21-50 = the remaining r04-window block, continuing down the
+    #           tokenizer_wordpiece_encode, sample_doremi_mixture —
+    #           NEW this round (never checked);
+    #   22-50 = the remaining r04-window block, continuing down the
     #           tail in age order from dedup_minhash_lsh_pairs
-    #           (30 of its 40 entries; the tail-most ten —
-    #           pivot_event_counts, subquery_max_order,
+    #           (29 of its 40 entries; the tail-most eleven —
+    #           agg_collect_sorted, pivot_event_counts,
+    #           subquery_max_order,
     #           json_extract_events, array_map_funcs,
     #           events_daily_summary, scalar_string_math,
     #           date_arithmetic, set_union_segments,
     #           set_intersect_building_buyers, set_except_nonbuyers —
     #           all driver-green r04 — wait in the tail).
-    # 7 + 13 + 30 = 50 exactly. Further NEW round-7 queries are
-    # inserted right after position 20 as they land, each bump pushing
+    # 7 + 14 + 29 = 50 exactly. Further NEW round-7 queries are
+    # inserted right after position 21 as they land, each bump pushing
     # the window's tail-most r04/r05 refresh entry below position 50
     # (those already have union-green rows, so coverage stays
     # complete).
@@ -111,7 +112,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenizer_unigram_encode": L.tokenizer_unigram_encode,
         "tokenizer_wordpiece_vocab": L.tokenizer_wordpiece_vocab,
         "tokenizer_wordpiece_encode": L.tokenizer_wordpiece_encode,
-        # --- (21-50) r04-window refresh block (driver-green r04) ---
+        "sample_doremi_mixture": L.sample_doremi_mixture,
+        # --- (22-50) r04-window refresh block (driver-green r04) ---
         "dedup_minhash_lsh_pairs": L.dedup_minhash_lsh_pairs,
         "dedup_simhash_pairs": L.dedup_simhash_pairs,
         "dedup_keep_list": L.dedup_keep_list,
@@ -3605,6 +3607,74 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(p.n_bigrams, 0) AS n_bigrams,
                    p.avg_surprisal
             FROM documents d LEFT JOIN per p USING (doc_id)
+        """,
+        "sample_doremi_mixture": f"""
+            WITH norm AS (
+              SELECT doc_id, string_split({_NORM.format(t='text')}, ' ') AS w
+              FROM documents
+            ),
+            toks AS (SELECT doc_id, unnest(w) AS w1 FROM norm),
+            uni AS (SELECT w1, count(*) AS cu FROM toks GROUP BY w1),
+            v AS (SELECT count(*) AS V FROM uni),
+            bg AS (
+              SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+              FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+                    FROM norm)
+            ),
+            big AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY w1, w2),
+            sc AS (
+              SELECT bg.doc_id,
+                     CAST(round(-ln(CAST(cb + 1 AS DOUBLE)
+                                  / CAST(cu + V AS DOUBLE))
+                                * 1000000.0) AS BIGINT) AS s_micro
+              FROM bg JOIN big USING (w1, w2) JOIN uni USING (w1)
+              CROSS JOIN v
+            ),
+            sbg AS (
+              SELECT d.source,
+                     CAST(count(*) AS BIGINT) AS n_bigrams,
+                     CAST(sum(sc.s_micro) AS BIGINT) AS sum_s_micro
+              FROM sc JOIN documents d USING (doc_id)
+              GROUP BY d.source
+            ),
+            srcs AS (
+              SELECT s.source, s.n_docs,
+                     COALESCE(b.n_bigrams, 0) AS n_bigrams,
+                     COALESCE(b.sum_s_micro, 0) AS sum_s_micro
+              FROM (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+                    FROM documents GROUP BY source) s
+              LEFT JOIN sbg b USING (source)
+            ),
+            tot AS (
+              SELECT CAST(sum(n_docs) AS BIGINT) AS td,
+                     CAST(sum(n_bigrams) AS BIGINT) AS tb,
+                     CAST(sum(sum_s_micro) AS BIGINT) AS ts
+              FROM srcs
+            ),
+            calc AS (
+              SELECT source, n_docs, n_bigrams, sum_s_micro,
+                     CASE WHEN n_bigrams > 0 THEN greatest(
+                       0.0,
+                       CAST(sum_s_micro AS DOUBLE)
+                         / (CAST(n_bigrams AS DOUBLE) * 1000000.0)
+                       - CAST(ts AS DOUBLE)
+                         / (CAST(tb AS DOUBLE) * 1000000.0))
+                     ELSE 0.0 END AS excess_d,
+                     CAST(n_docs AS DOUBLE) / CAST(td AS DOUBLE) AS share
+              FROM srcs CROSS JOIN tot
+            ),
+            wr AS (
+              SELECT source, n_docs, n_bigrams, sum_s_micro, excess_d,
+                     CAST(round(share * exp(1.0 * excess_d)
+                                * 1000000000.0) AS BIGINT) AS wr_nano
+              FROM calc
+            ),
+            wt AS (SELECT CAST(sum(wr_nano) AS BIGINT) AS w_tot FROM wr)
+            SELECT source, n_docs, n_bigrams, sum_s_micro,
+                   round(excess_d, 6) AS excess,
+                   round(CAST(wr_nano AS DOUBLE)
+                         / CAST(w_tot AS DOUBLE), 6) AS weight
+            FROM wr CROSS JOIN wt
         """,
         "sample_weighted_by_source": """
             WITH t AS (

@@ -171,6 +171,7 @@ HEADLINE = {
     "tokenizer_unigram_encode": L.tokenizer_unigram_encode,
     "tokenizer_wordpiece_vocab": L.tokenizer_wordpiece_vocab,
     "tokenizer_wordpiece_encode": L.tokenizer_wordpiece_encode,
+    "sample_doremi_mixture": L.sample_doremi_mixture,
 }
 
 # the 14 queries recorded since round 1 — their sum is the anchored

@@ -824,6 +824,20 @@ def tokenizer_wordpiece_encode(spark, sf_dir):
     return wordpiece_segment_corpus(_docs(spark, sf_dir))
 
 
+def sample_doremi_mixture(spark, sf_dir):
+    """DoReMi-style domain mixture reweighting
+    (sampling.doremi_mixture_weights): per-source excess bigram-LM
+    surprisal vs the corpus average, mapped through
+    share * exp(excess) and normalized — the data-engine half of one
+    DoReMi update, composed from the ngram-LM stream and the
+    mixture machinery. Exact integer evidence columns; the two
+    rounded doubles derive from identical integer inputs in both
+    engines (exp nano-quantized before the normalizing sum)."""
+    from .sampling import doremi_mixture_weights
+
+    return doremi_mixture_weights(_docs(spark, sf_dir))
+
+
 def sample_epoch_shuffle(spark, sf_dir):
     """Deterministic per-epoch training shuffle order
     (sampling.epoch_shuffle_keys): two epochs' independent

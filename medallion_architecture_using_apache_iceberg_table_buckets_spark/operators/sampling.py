@@ -209,3 +209,109 @@ def epoch_shuffle_keys(
             )
         ).alias("shuffle_key"),
     )
+
+
+def doremi_mixture_weights(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    eta: float = 1.0,
+) -> DataFrame:
+    """DoReMi-style domain mixture reweighting (Xie et al. 2023,
+    arXiv:2305.10429, single-round proxy): upweight sources whose
+    text is HARDER for a reference model than the corpus average.
+    The full DoReMi alternates proxy-model training with exponential
+    weight updates; the data-engine half of one update is exactly
+    this query — per-domain excess loss under a reference model,
+    mapped through ``share * exp(eta * excess)`` and normalized.
+    The reference model here is the corpus-self-trained add-one
+    bigram LM (text.ngram_surprisal_stream), so the operator is
+    closed over its input like the CCNet scorer.
+
+    Determinism across engines: per-occurrence surprisal is
+    micro-unit-quantized, so every per-source aggregate is an exact
+    BIGINT; the excess and share divisions are correctly-rounded
+    IEEE ops on identical integers; ``exp`` is the one libm call
+    (the ngram-LM ``ln`` precedent), and its result is nano-unit
+    quantized per source BEFORE the normalizing sum, so the
+    normalization denominator is an exact integer — no
+    summation-order noise.
+
+    Plan shape (100 TB): the LM stream's corpus-sized gram equi-joins
+    (AQE decides), one hash-agg to source granularity, then
+    scalar-sized arithmetic: corpus totals and the weight-sum
+    normalizer each broadcast as 1-row aggregates. No driver state.
+    Sources with zero bigrams take excess 0 (share-only weight)."""
+    from .text import ngram_surprisal_stream
+
+    stream = ngram_surprisal_stream(df, text_col, id_col)
+    src = df.select(
+        F.col(id_col).alias("doc_id"), F.col(source_col).alias("source")
+    )
+    per_src_bg = (
+        stream.join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum("s_micro").cast("long").alias("sum_s_micro"),
+        )
+    )
+    srcs = (
+        src.groupBy("source")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .join(per_src_bg, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce(F.col("n_bigrams"), F.lit(0).cast("long")).alias(
+                "n_bigrams"
+            ),
+            F.coalesce(F.col("sum_s_micro"), F.lit(0).cast("long")).alias(
+                "sum_s_micro"
+            ),
+        )
+    )
+    totals = srcs.agg(
+        F.sum("n_docs").alias("td"),
+        F.sum("n_bigrams").alias("tb"),
+        F.sum("sum_s_micro").alias("ts"),
+    )
+    j = srcs.crossJoin(F.broadcast(totals))
+    src_avg = F.col("sum_s_micro").cast("double") / (
+        F.col("n_bigrams").cast("double") * F.lit(1_000_000.0)
+    )
+    corp_avg = F.col("ts").cast("double") / (
+        F.col("tb").cast("double") * F.lit(1_000_000.0)
+    )
+    excess = F.when(
+        F.col("n_bigrams") > 0,
+        F.greatest(F.lit(0.0), src_avg - corp_avg),
+    ).otherwise(F.lit(0.0))
+    share = F.col("n_docs").cast("double") / F.col("td").cast("double")
+    scored = j.select(
+        "source",
+        "n_docs",
+        "n_bigrams",
+        "sum_s_micro",
+        F.round(excess, 6).alias("excess"),
+        F.round(share * F.exp(F.lit(eta) * excess) * F.lit(1e9))
+        .cast("long")
+        .alias("wr_nano"),
+    )
+    w_tot = scored.agg(F.sum("wr_nano").alias("w_tot"))
+    return (
+        scored.crossJoin(F.broadcast(w_tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_bigrams",
+            "sum_s_micro",
+            "excess",
+            F.round(
+                F.col("wr_nano").cast("double")
+                / F.col("w_tot").cast("double"),
+                6,
+            ).alias("weight"),
+        )
+    )

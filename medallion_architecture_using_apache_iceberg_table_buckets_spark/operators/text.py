@@ -546,6 +546,60 @@ def token_rarity(
     )
 
 
+def ngram_surprisal_stream(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The bigram-surprisal occurrence stream ``(doc_id, w1, w2,
+    s_micro)`` under the corpus-self-trained add-one bigram LM —
+    the shared core of :func:`ngram_lm_scores` and the DoReMi-style
+    mixture reweighting (sampling.doremi_mixture_weights). Each
+    occurrence's surprisal is micro-unit-quantized BEFORE any
+    aggregation, so every consumer aggregates exact integers."""
+    toked = df.select(
+        F.col(id_col).alias("doc_id"), words(text_col).alias("_w")
+    )
+    w = F.col("_w")
+    bigram = toked.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size(w) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(w) - F.lit(1)),
+                    lambda i: F.struct(
+                        F.element_at(w, i).alias("w1"),
+                        F.element_at(w, i + F.lit(1)).alias("w2"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).alias("bg"),
+    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+
+    uni = (
+        toked.select(F.explode(w).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count("*").alias("cu"))
+    )
+    big = bigram.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
+    vocab = uni.agg(F.count("*").alias("V"))
+
+    return (
+        bigram.join(big, ["w1", "w2"])
+        .join(uni, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "s_micro",
+            F.round(
+                -F.log(
+                    (F.col("cb") + F.lit(1)).cast("double")
+                    / (F.col("cu") + F.col("V")).cast("double")
+                )
+                * F.lit(1_000_000.0)
+            ).cast("long"),
+        )
+    )
+
+
 def ngram_lm_scores(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -577,49 +631,7 @@ def ngram_lm_scores(
     state, no all-pairs anything. Docs with fewer than 2 words emit
     ``n_bigrams = 0`` with NULL surprisal (SQL avg-over-empty).
     """
-    toked = df.select(
-        F.col(id_col).alias("doc_id"), words(text_col).alias("_w")
-    )
-    w = F.col("_w")
-    bigram = toked.select(
-        "doc_id",
-        F.explode(
-            F.when(
-                F.size(w) >= 2,
-                F.transform(
-                    F.sequence(F.lit(1), F.size(w) - F.lit(1)),
-                    lambda i: F.struct(
-                        F.element_at(w, i).alias("w1"),
-                        F.element_at(w, i + F.lit(1)).alias("w2"),
-                    ),
-                ),
-            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
-        ).alias("bg"),
-    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
-
-    uni = (
-        toked.select(F.explode(w).alias("w1"))
-        .groupBy("w1")
-        .agg(F.count("*").alias("cu"))
-    )
-    big = bigram.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
-    vocab = uni.agg(F.count("*").alias("V"))
-
-    scored = (
-        bigram.join(big, ["w1", "w2"])
-        .join(uni, "w1")
-        .crossJoin(F.broadcast(vocab))
-        .withColumn(
-            "s_micro",
-            F.round(
-                -F.log(
-                    (F.col("cb") + F.lit(1)).cast("double")
-                    / (F.col("cu") + F.col("V")).cast("double")
-                )
-                * F.lit(1_000_000.0)
-            ).cast("long"),
-        )
-    )
+    scored = ngram_surprisal_stream(df, text_col, id_col)
     per_doc = scored.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_bigrams"),
         F.round(

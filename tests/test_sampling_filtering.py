@@ -273,3 +273,35 @@ def test_epoch_shuffle_keys(spark):
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
     with pytest.raises(ValueError):
         epoch_shuffle_keys(df, epochs=0, key_col="doc_id")
+
+
+def test_doremi_mixture_weights(spark):
+    """Harder sources get upweighted beyond their share; weights
+    normalize to ~1; exact evidence columns are consistent."""
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators.sampling import (
+        doremi_mixture_weights,
+    )
+
+    easy = "the cat sat on the mat and the cat sat again"
+    rows = [(i, easy, "easy") for i in range(30)]
+    # hard source: unique word soup -> every bigram is rare
+    rows += [
+        (100 + i, f"zq{i}a wbx{i} grl{i}m vnt{i}k plo{i}d", "hard")
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["source"]: r for r in doremi_mixture_weights(df).collect()}
+    assert set(out) == {"easy", "hard"}
+    assert out["easy"]["n_docs"] == 30 and out["hard"]["n_docs"] == 10
+    # the hard source's surprisal excess is positive, the easy one's 0
+    assert out["hard"]["excess"] > 0.0
+    assert out["easy"]["excess"] == 0.0
+    # normalized
+    assert abs(out["easy"]["weight"] + out["hard"]["weight"] - 1.0) < 1e-5
+    # upweighted beyond its 25% share
+    assert out["hard"]["weight"] > 10 / 40
+    # deterministic
+    again = {r["source"]: r for r in doremi_mixture_weights(df).collect()}
+    assert sorted(map(tuple, out.values())) == sorted(
+        map(tuple, again.values())
+    )

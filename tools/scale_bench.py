@@ -130,6 +130,7 @@ QUERIES = {
     "tokenizer_unigram_encode": L.tokenizer_unigram_encode,
     "tokenizer_wordpiece_vocab": L.tokenizer_wordpiece_vocab,
     "tokenizer_wordpiece_encode": L.tokenizer_wordpiece_encode,
+    "sample_doremi_mixture": L.sample_doremi_mixture,
 }
 
 
