@@ -67,20 +67,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #           multimodal_audio_features, multimodal_video_motion,
     #           sample_epoch_shuffle, tokenizer_unigram_vocab,
     #           tokenizer_unigram_encode, tokenizer_wordpiece_vocab,
-    #           tokenizer_wordpiece_encode, sample_doremi_mixture —
+    #           tokenizer_wordpiece_encode, sample_doremi_mixture,
+    #           curation_nb_classifier —
     #           NEW this round (never checked);
-    #   22-50 = the remaining r04-window block, continuing down the
+    #   23-50 = the remaining r04-window block, continuing down the
     #           tail in age order from dedup_minhash_lsh_pairs
-    #           (29 of its 40 entries; the tail-most eleven —
-    #           agg_collect_sorted, pivot_event_counts,
-    #           subquery_max_order,
+    #           (28 of its 40 entries; the tail-most twelve —
+    #           agg_percentiles, agg_collect_sorted,
+    #           pivot_event_counts, subquery_max_order,
     #           json_extract_events, array_map_funcs,
     #           events_daily_summary, scalar_string_math,
     #           date_arithmetic, set_union_segments,
     #           set_intersect_building_buyers, set_except_nonbuyers —
     #           all driver-green r04 — wait in the tail).
-    # 7 + 14 + 29 = 50 exactly. Further NEW round-7 queries are
-    # inserted right after position 21 as they land, each bump pushing
+    # 7 + 15 + 28 = 50 exactly. Further NEW round-7 queries are
+    # inserted right after position 22 as they land, each bump pushing
     # the window's tail-most r04/r05 refresh entry below position 50
     # (those already have union-green rows, so coverage stays
     # complete).
@@ -113,7 +114,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenizer_wordpiece_vocab": L.tokenizer_wordpiece_vocab,
         "tokenizer_wordpiece_encode": L.tokenizer_wordpiece_encode,
         "sample_doremi_mixture": L.sample_doremi_mixture,
-        # --- (22-50) r04-window refresh block (driver-green r04) ---
+        "curation_nb_classifier": L.curation_nb_classifier,
+        # --- (23-50) r04-window refresh block (driver-green r04) ---
         "dedup_minhash_lsh_pairs": L.dedup_minhash_lsh_pairs,
         "dedup_simhash_pairs": L.dedup_simhash_pairs,
         "dedup_keep_list": L.dedup_keep_list,
@@ -3607,6 +3609,63 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(p.n_bigrams, 0) AS n_bigrams,
                    p.avg_surprisal
             FROM documents d LEFT JOIN per p USING (doc_id)
+        """,
+        "curation_nb_classifier": f"""
+            WITH occ AS (
+              SELECT doc_id, w FROM (
+                SELECT doc_id,
+                       unnest(string_split({_NORM.format(t='text')}, ' '))
+                         AS w
+                FROM documents)
+              WHERE w <> ''
+            ),
+            docs AS (SELECT doc_id, lang AS label FROM documents),
+            tagged AS (
+              SELECT o.doc_id, o.w, d.label
+              FROM occ o JOIN docs d USING (doc_id)
+            ),
+            wcnt AS (
+              SELECT w, label, CAST(count(*) AS BIGINT) AS cwl
+              FROM tagged GROUP BY 1, 2
+            ),
+            tltab AS (
+              SELECT label, CAST(count(*) AS BIGINT) AS tl
+              FROM tagged GROUP BY 1
+            ),
+            voc AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS V FROM occ),
+            tdoc AS (SELECT CAST(count(*) AS BIGINT) AS td FROM docs),
+            classes AS (
+              SELECT d.label AS cls, COALESCE(t.tl, 0) AS tl,
+                     CAST(round(ln(CAST(d.nd AS DOUBLE)
+                                   / CAST(tdoc.td AS DOUBLE))
+                                * 1000000.0) AS BIGINT) AS prior_micro
+              FROM (SELECT label, count(*) AS nd FROM docs GROUP BY 1) d
+              LEFT JOIN tltab t USING (label)
+              CROSS JOIN tdoc
+            ),
+            sw AS (
+              SELECT o.doc_id, c.cls,
+                     CAST(round(ln(CAST(COALESCE(wcnt.cwl, 0) + 1 AS DOUBLE)
+                                   / CAST(c.tl + v.V AS DOUBLE))
+                                * 1000000.0) AS BIGINT) AS s_micro
+              FROM occ o CROSS JOIN classes c CROSS JOIN voc v
+              LEFT JOIN wcnt ON wcnt.w = o.w AND wcnt.label = c.cls
+            ),
+            pdc AS (
+              SELECT doc_id, cls, CAST(sum(s_micro) AS BIGINT) AS wsum
+              FROM sw GROUP BY 1, 2
+            ),
+            fullsc AS (
+              SELECT d.doc_id, d.label, c.cls,
+                     c.prior_micro + COALESCE(p.wsum, 0) AS score
+              FROM docs d CROSS JOIN classes c
+              LEFT JOIN pdc p ON p.doc_id = d.doc_id AND p.cls = c.cls
+            )
+            SELECT doc_id, label AS lang, cls AS pred_lang,
+                   CAST(label = cls AS INTEGER) AS correct
+            FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                    ORDER BY score DESC, cls) AS rn FROM fullsc)
+            WHERE rn = 1
         """,
         "sample_doremi_mixture": f"""
             WITH norm AS (

@@ -824,6 +824,18 @@ def tokenizer_wordpiece_encode(spark, sf_dir):
     return wordpiece_segment_corpus(_docs(spark, sf_dir))
 
 
+def curation_nb_classifier(spark, sf_dir):
+    """Model-based document classification (text.nb_train_predict):
+    multinomial Naive Bayes trained on the corpus's own lang labels
+    and applied in the same plan — the fastText-classifier slot of
+    published LLM data recipes, exact by construction (micro-unit
+    quantized log-likelihoods summed as BIGINTs, argmax ties to the
+    smallest class)."""
+    from .text import nb_train_predict
+
+    return nb_train_predict(_docs(spark, sf_dir))
+
+
 def sample_doremi_mixture(spark, sf_dir):
     """DoReMi-style domain mixture reweighting
     (sampling.doremi_mixture_weights): per-source excess bigram-LM

@@ -887,3 +887,128 @@ def repeated_span_coverage(
             4,
         ).alias("dup_coverage"),
     )
+
+
+def nb_train_predict(
+    df: DataFrame,
+    label_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Multinomial Naive Bayes trained and applied in one plan — the
+    model-based document classifier slot of a curation pipeline
+    (the role fastText-style quality/domain classifiers play in
+    published LLM data recipes; here self-trained on the corpus's
+    own labels, so the operator is closed over its input like the
+    bigram LM). Returns ``(doc_id, <label>, pred_<label>, correct)``
+    per document.
+
+    Training is three aggregations over the exploded word stream:
+    per-(word, class) counts, per-class token totals, and class
+    priors; V is one scalar. Scoring joins each word occurrence to
+    the class axis (a broadcast of the tiny class frame), LEFT-joins
+    the count table on (word, class) with add-one smoothing, and
+    sums per (doc, class); argmax breaks ties to the smallest class
+    label. Determinism: every ln is micro-unit-quantized per
+    occurrence before summation (the bigram-LM precedent), so class
+    scores are exact BIGINTs and the argmax never compares floats.
+
+    Plan shape (100 TB): the occurrence stream is corpus-sized and
+    each occurrence fans out to |classes| rows (a handful); the
+    (word, class) count join is a keyed equi-join AQE sizes; class
+    frame and V broadcast. No driver state, no window over the
+    corpus — the argmax window partitions by doc_id."""
+    from pyspark.sql import Window
+
+    docs = df.select(
+        F.col(id_col).alias("doc_id"), F.col(label_col).alias("label")
+    )
+    occ = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(words(text_col)).alias("w"),
+        )
+        .filter(F.col("w") != "")
+    )
+    tagged = occ.join(docs, "doc_id")
+    wc = tagged.groupBy("w", "label").agg(F.count("*").alias("cwl"))
+    tl = tagged.groupBy("label").agg(F.count("*").alias("tl"))
+    vocab = occ.select("w").distinct().agg(F.count("*").alias("V"))
+    td = docs.agg(F.count("*").alias("td"))
+    classes = (
+        docs.groupBy("label")
+        .agg(F.count("*").alias("nd"))
+        .join(tl, "label", "left")
+        .select(
+            F.col("label").alias("cls"),
+            "nd",
+            F.coalesce(F.col("tl"), F.lit(0)).alias("tl"),
+        )
+        .crossJoin(F.broadcast(td))
+        .select(
+            "cls",
+            "tl",
+            F.round(
+                F.log(F.col("nd").cast("double") / F.col("td").cast("double"))
+                * F.lit(1_000_000.0)
+            )
+            .cast("long")
+            .alias("prior_micro"),
+        )
+    )
+    wc2 = wc.select(
+        F.col("w").alias("_w2"), F.col("label").alias("_c2"), "cwl"
+    )
+    scored_words = (
+        occ.crossJoin(F.broadcast(classes))
+        .crossJoin(F.broadcast(vocab))
+        .join(
+            wc2,
+            (F.col("w") == F.col("_w2")) & (F.col("cls") == F.col("_c2")),
+            "left",
+        )
+        .select(
+            "doc_id",
+            "cls",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("cwl"), F.lit(0)) + F.lit(1)).cast(
+                        "double"
+                    )
+                    / (F.col("tl") + F.col("V")).cast("double")
+                )
+                * F.lit(1_000_000.0)
+            )
+            .cast("long")
+            .alias("s_micro"),
+        )
+    )
+    per_dc = scored_words.groupBy("doc_id", "cls").agg(
+        F.sum("s_micro").alias("wsum")
+    )
+    full = (
+        docs.crossJoin(F.broadcast(classes.select("cls", "prior_micro")))
+        .join(per_dc, ["doc_id", "cls"], "left")
+        .select(
+            "doc_id",
+            "label",
+            "cls",
+            (
+                F.col("prior_micro")
+                + F.coalesce(F.col("wsum"), F.lit(0).cast("long"))
+            ).alias("score"),
+        )
+    )
+    win = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("cls")
+    )
+    return (
+        full.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("label").alias(label_col),
+            F.col("cls").alias(f"pred_{label_col}"),
+            (F.col("label") == F.col("cls")).cast("int").alias("correct"),
+        )
+    )

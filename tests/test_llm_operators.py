@@ -936,3 +936,26 @@ def test_audio_frame_features_and_video_motion(spark, sf_dir):
         assert all(r["n_px"] == 3 * w * h for r in rows)
         # consecutive synth frames differ by the 13*f term -> motion > 0
         assert all(r["motion_sum"] > 0 for r in rows)
+
+
+def test_nb_classifier_learns_separable_labels(spark):
+    """On a cleanly separable corpus NB recovers every label; on a
+    doc whose words were never seen for its label, the prior decides
+    deterministically."""
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators.text import (
+        nb_train_predict,
+    )
+
+    rows = [(i, "apple banana cherry fruit salad", "food") for i in range(10)]
+    rows += [(100 + i, "gcc linker compiler segfault stack", "code")
+             for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r["doc_id"]: r for r in nb_train_predict(df).collect()}
+    assert len(out) == 20
+    assert all(r["correct"] == 1 for r in out.values())
+    assert out[0]["pred_lang"] == "food" and out[100]["pred_lang"] == "code"
+    # deterministic rerun
+    again = {r["doc_id"]: r for r in nb_train_predict(df).collect()}
+    assert sorted(map(tuple, out.values())) == sorted(
+        map(tuple, again.values())
+    )

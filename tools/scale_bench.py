@@ -131,6 +131,7 @@ QUERIES = {
     "tokenizer_wordpiece_vocab": L.tokenizer_wordpiece_vocab,
     "tokenizer_wordpiece_encode": L.tokenizer_wordpiece_encode,
     "sample_doremi_mixture": L.sample_doremi_mixture,
+    "curation_nb_classifier": L.curation_nb_classifier,
 }
 
 
