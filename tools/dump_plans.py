@@ -306,6 +306,20 @@ def llm_queries_section():
             "table (map-only), then the corpus broadcast join + "
             "one evidence hash-agg.",
         ),
+        "sample_doremi_mixture": (
+            L.sample_doremi_mixture,
+            "DoReMi reweighting: the LM stream's corpus-sized gram "
+            "equi-joins, one hash-agg to source granularity, then "
+            "scalar-sized arithmetic with 1-row totals/normalizer "
+            "broadcasts; exp nano-quantized before the sum.",
+        ),
+        "curation_nb_classifier": (
+            L.curation_nb_classifier,
+            "Naive Bayes train+apply: three word-stream "
+            "aggregations, occurrence x broadcast-class fan-out, "
+            "keyed (word,class) count join, BIGINT score sums; "
+            "argmax window partitions by doc_id only.",
+        ),
         "multimodal_audio_features": (
             L.multimodal_audio_features,
             "Arrow mapInPandas synth + decode + frame features — "
@@ -367,6 +381,21 @@ def main() -> None:
            "the sub-second magnitude, not a plan regression. Per-query",
            "times below ~1 s should be read with a",
            "+/-(stage_count x scheduler-latency) error bar.",
+           "",
+           "Late-r7 re-probe (after the r7 additions, idle box, load ~3/32",
+           "cores, /tmp fsync 0.77 ms): RDD job fixed cost 146 ms (1 task)",
+           "/ 243-261 ms (32 tasks); SQL-path job fixed cost 51 ms (1",
+           "partition) / 99 ms (32) - i.e. 5-10x a healthy local JVM, in",
+           "the JVM scheduler itself (Py4J round trip measures 0 ms; disk",
+           "and external load ruled out). Consequence for BENCH_r07: every",
+           "driver-iterating query (the four-training ann_recall_at_k, Lloyd",
+           "loops, BPE/WordPiece merge rounds, lakehouse maintenance chains,",
+           "bloom build) inflates by roughly (number of Spark jobs) x 50-250",
+           "ms versus the r6 record, while the data-path r01 subset runs",
+           "FASTER than r6 (10.76 s vs 11.84 s in the same session) - plan",
+           "shapes are unchanged (this file) and sf1 step-up factors stay",
+           "linear, so cross-round per-query deltas on stage-heavy entries",
+           "measure the box, not the code.",
            ""]
     for name, (fn, note) in {**QUERIES, **llm_queries_section()}.items():
         df = fn(spark, SF_DIR)
