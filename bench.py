@@ -173,6 +173,7 @@ HEADLINE = {
     "tokenizer_wordpiece_encode": L.tokenizer_wordpiece_encode,
     "sample_doremi_mixture": L.sample_doremi_mixture,
     "curation_nb_classifier": L.curation_nb_classifier,
+    "text_cdc_chunks": L.text_cdc_chunks,
 }
 
 # the 14 queries recorded since round 1 — their sum is the anchored

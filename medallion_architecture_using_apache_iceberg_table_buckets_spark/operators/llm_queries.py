@@ -824,6 +824,17 @@ def tokenizer_wordpiece_encode(spark, sf_dir):
     return wordpiece_segment_corpus(_docs(spark, sf_dir))
 
 
+def text_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking (text.cdc_chunks): word-hash
+    boundaries (expected length 8) make chunk identity stable under
+    edits — the storage/crawl dedup primitive fixed-size windows
+    can't provide. Relational end-to-end: explode + per-doc running
+    window + one (doc, chunk) hash-agg."""
+    from .text import cdc_chunks
+
+    return cdc_chunks(_docs(spark, sf_dir))
+
+
 def curation_nb_classifier(spark, sf_dir):
     """Model-based document classification (text.nb_train_predict):
     multinomial Naive Bayes trained on the corpus's own lang labels

@@ -1012,3 +1012,64 @@ def nb_train_predict(
             (F.col("label") == F.col("cls")).cast("int").alias("correct"),
         )
     )
+
+
+def cdc_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    avg_words: int = 8,
+) -> DataFrame:
+    """Content-defined chunking (the Rabin/Gear-CDC idea at word
+    granularity): a chunk boundary falls AFTER every word whose
+    portable 60-bit hash is ``0 mod avg_words`` — so boundaries are
+    decided by CONTENT, not position, and an insertion near the top
+    of a document shifts only the chunk it lands in, not every
+    downstream chunk (the property that makes CDC the storage/crawl
+    dedup primitive; fixed-size windows re-chunk everything after an
+    edit). Expected chunk length is ``avg_words`` words.
+
+    Returns ``(doc_id, chunk_id, n_words, chunk_fp)`` — chunk_id is
+    the 0-based chunk ordinal inside the doc, chunk_fp the md5 of
+    the space-joined chunk words. Everything is relational: explode
+    the word stream with positions, flag boundary words by hash, a
+    running SUM window PARTITIONED BY doc (never global) numbers the
+    chunks, and one hash-agg builds the fingerprints — at 100 TB
+    this is a scan + one per-doc window + one shuffle on
+    (doc, chunk)."""
+    from .dedup import token_id
+
+    docw = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(words(text_col)).alias("pos", "w"),
+    ).filter(F.col("w") != "")
+    from pyspark.sql import Window
+
+    flagged = docw.withColumn(
+        "is_boundary",
+        (token_id(F.col("w")) % F.lit(avg_words) == 0).cast("int"),
+    )
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chunked = flagged.withColumn(
+        "chunk_id",
+        F.coalesce(F.sum("is_boundary").over(win), F.lit(0)).cast("long"),
+    )
+    return (
+        chunked.groupBy("doc_id", "chunk_id")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                        lambda s: s.getField("w"),
+                    ),
+                    " ",
+                )
+            ).alias("chunk_fp"),
+        )
+    )

@@ -959,3 +959,35 @@ def test_nb_classifier_learns_separable_labels(spark):
     assert sorted(map(tuple, out.values())) == sorted(
         map(tuple, again.values())
     )
+
+
+def test_cdc_chunks_edit_stability(spark):
+    """The CDC property: inserting words near the front of a doc
+    changes only the chunk it lands in — every chunk fingerprint
+    after the next boundary is unchanged (fixed-size windows would
+    re-chunk everything downstream)."""
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators.text import (
+        cdc_chunks,
+    )
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon phi chi psi "
+            "omega one two three four five six seven eight nine ten")
+    edited = "inserted words here " + base
+    df = spark.createDataFrame(
+        [(1, base), (2, edited)], "doc_id long, text string"
+    )
+    out = cdc_chunks(df).collect()
+    fps1 = [r["chunk_fp"] for r in sorted(
+        (r for r in out if r["doc_id"] == 1), key=lambda r: r["chunk_id"])]
+    fps2 = [r["chunk_fp"] for r in sorted(
+        (r for r in out if r["doc_id"] == 2), key=lambda r: r["chunk_id"])]
+    # chunks are content-defined: the SUFFIX chunk streams realign
+    shared = set(fps1) & set(fps2)
+    assert len(shared) >= len(fps1) - 2, (fps1, fps2)
+    # and the tail of both docs chunks identically in order
+    k = min(len(fps1), len(fps2)) - 1
+    assert k >= 1 and fps1[-k:] == fps2[-k:]
+    # boundaries are deterministic
+    again = cdc_chunks(df).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))

@@ -132,6 +132,7 @@ QUERIES = {
     "tokenizer_wordpiece_encode": L.tokenizer_wordpiece_encode,
     "sample_doremi_mixture": L.sample_doremi_mixture,
     "curation_nb_classifier": L.curation_nb_classifier,
+    "text_cdc_chunks": L.text_cdc_chunks,
 }
 
 
