@@ -68,21 +68,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #           sample_epoch_shuffle, tokenizer_unigram_vocab,
     #           tokenizer_unigram_encode, tokenizer_wordpiece_vocab,
     #           tokenizer_wordpiece_encode, sample_doremi_mixture,
-    #           curation_nb_classifier, text_cdc_chunks —
+    #           curation_nb_classifier, text_cdc_chunks,
+    #           dedup_cdc_chunk_pairs —
     #           NEW this round (never checked);
-    #   24-50 = the remaining r04-window block, continuing down the
+    #   25-50 = the remaining r04-window block, continuing down the
     #           tail in age order from dedup_minhash_lsh_pairs
-    #           (27 of its 40 entries; the tail-most thirteen —
-    #           agg_cube_status_priority, agg_percentiles,
-    #           agg_collect_sorted,
+    #           (26 of its 40 entries; the tail-most fourteen —
+    #           agg_distinct_customers, agg_cube_status_priority,
+    #           agg_percentiles, agg_collect_sorted,
     #           pivot_event_counts, subquery_max_order,
     #           json_extract_events, array_map_funcs,
     #           events_daily_summary, scalar_string_math,
     #           date_arithmetic, set_union_segments,
     #           set_intersect_building_buyers, set_except_nonbuyers —
     #           all driver-green r04 — wait in the tail).
-    # 7 + 16 + 27 = 50 exactly. Further NEW round-7 queries are
-    # inserted right after position 23 as they land, each bump pushing
+    # 7 + 17 + 26 = 50 exactly. Further NEW round-7 queries are
+    # inserted right after position 24 as they land, each bump pushing
     # the window's tail-most r04/r05 refresh entry below position 50
     # (those already have union-green rows, so coverage stays
     # complete).
@@ -117,7 +118,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_doremi_mixture": L.sample_doremi_mixture,
         "curation_nb_classifier": L.curation_nb_classifier,
         "text_cdc_chunks": L.text_cdc_chunks,
-        # --- (24-50) r04-window refresh block (driver-green r04) ---
+        "dedup_cdc_chunk_pairs": L.dedup_cdc_chunk_pairs,
+        # --- (25-50) r04-window refresh block (driver-green r04) ---
         "dedup_minhash_lsh_pairs": L.dedup_minhash_lsh_pairs,
         "dedup_simhash_pairs": L.dedup_simhash_pairs,
         "dedup_keep_list": L.dedup_keep_list,
@@ -3641,6 +3643,50 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_words,
                    md5(string_agg(w, ' ' ORDER BY pos)) AS chunk_fp
             FROM chunked GROUP BY doc_id, chunk_id
+        """,
+        "dedup_cdc_chunk_pairs": f"""
+            WITH docw AS (
+              SELECT doc_id, CAST(i AS INTEGER) AS pos, ws[i + 1] AS w
+              FROM (
+                SELECT doc_id, ws, unnest(range(len(ws))) AS i
+                FROM (SELECT doc_id,
+                             string_split({_NORM.format(t='text')}, ' ')
+                               AS ws
+                      FROM documents))
+              WHERE ws[i + 1] <> ''
+            ),
+            flagged AS (
+              SELECT doc_id, pos, w,
+                     CASE WHEN ('0x' || substr(md5(w), 1, 15))::BIGINT
+                               % 2147483647 % 8 = 0
+                          THEN 1 ELSE 0 END AS b
+              FROM docw
+            ),
+            chunked AS (
+              SELECT doc_id, pos, w,
+                     COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS chunk_id
+              FROM flagged
+            ),
+            chunks AS (
+              SELECT DISTINCT doc_id, chunk_fp FROM (
+                SELECT doc_id, chunk_id,
+                       md5(string_agg(w, ' ' ORDER BY pos)) AS chunk_fp
+                FROM chunked GROUP BY doc_id, chunk_id)
+            ),
+            live AS (
+              SELECT c.doc_id, c.chunk_fp
+              FROM chunks c
+              JOIN (SELECT chunk_fp FROM chunks GROUP BY chunk_fp
+                    HAVING count(*) <= 32) f USING (chunk_fp)
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(count(*) AS BIGINT) AS shared_chunks
+            FROM live a JOIN live b
+              ON a.chunk_fp = b.chunk_fp AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+            HAVING count(*) >= 2
         """,
         "curation_nb_classifier": f"""
             WITH occ AS (

@@ -174,6 +174,7 @@ HEADLINE = {
     "sample_doremi_mixture": L.sample_doremi_mixture,
     "curation_nb_classifier": L.curation_nb_classifier,
     "text_cdc_chunks": L.text_cdc_chunks,
+    "dedup_cdc_chunk_pairs": L.dedup_cdc_chunk_pairs,
 }
 
 # the 14 queries recorded since round 1 — their sum is the anchored

@@ -835,6 +835,16 @@ def text_cdc_chunks(spark, sf_dir):
     return cdc_chunks(_docs(spark, sf_dir))
 
 
+def dedup_cdc_chunk_pairs(spark, sf_dir):
+    """Chunk-overlap near-dup pairs on CDC fingerprints
+    (text.cdc_shared_chunk_pairs): docs sharing >= 2 content-defined
+    chunks, stop-chunk frequency cap 32 before the fp equi-join —
+    the dedup application of text_cdc_chunks."""
+    from .text import cdc_shared_chunk_pairs
+
+    return cdc_shared_chunk_pairs(_docs(spark, sf_dir))
+
+
 def curation_nb_classifier(spark, sf_dir):
     """Model-based document classification (text.nb_train_predict):
     multinomial Naive Bayes trained on the corpus's own lang labels

@@ -1073,3 +1073,47 @@ def cdc_chunks(
             ).alias("chunk_fp"),
         )
     )
+
+
+def cdc_shared_chunk_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    avg_words: int = 8,
+    min_shared: int = 2,
+    max_fp_docs: int = 32,
+) -> DataFrame:
+    """Chunk-overlap near-dup detection on the CDC fingerprints —
+    the storage-dedup application of :func:`cdc_chunks`: two
+    documents that share ``min_shared``+ content-defined chunks
+    overlap in real content even when neither whole-doc hashing nor
+    whole-doc shingling fires (CDC boundaries realign after edits,
+    so a copied-then-edited passage still produces identical chunk
+    fingerprints). Returns ``(doc_a, doc_b, shared_chunks)`` with
+    doc_a < doc_b.
+
+    Scale fence: a chunk fingerprint appearing in more than
+    ``max_fp_docs`` documents is a STOP-CHUNK (boilerplate — nav
+    bars, license headers) and is excluded BEFORE the self-join, the
+    same frequency cap every shingle-blocked dedup in this package
+    applies — so the join fan-out per fingerprint is bounded and the
+    plan is an equi-join on chunk_fp, never a cross product."""
+    chunks = cdc_chunks(df, text_col, id_col, avg_words).select(
+        "doc_id", "chunk_fp"
+    ).distinct()
+    fp_freq = chunks.groupBy("chunk_fp").agg(
+        F.count("*").alias("_nf")
+    )
+    live = chunks.join(
+        fp_freq.filter(F.col("_nf") <= max_fp_docs).select("chunk_fp"),
+        "chunk_fp",
+    )
+    a = live.select(F.col("chunk_fp"), F.col("doc_id").alias("doc_a"))
+    b = live.select(F.col("chunk_fp"), F.col("doc_id").alias("doc_b"))
+    return (
+        a.join(b, "chunk_fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("shared_chunks"))
+        .filter(F.col("shared_chunks") >= min_shared)
+    )

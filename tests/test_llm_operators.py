@@ -991,3 +991,31 @@ def test_cdc_chunks_edit_stability(spark):
     # boundaries are deterministic
     again = cdc_chunks(df).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_cdc_shared_chunk_pairs_detects_copied_passage(spark):
+    """A passage copied into an otherwise-different doc produces
+    shared CDC chunks; a boilerplate chunk in >max_fp_docs docs is
+    excluded (stop-chunk cap keeps the fp join bounded)."""
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators.text import (
+        cdc_shared_chunk_pairs,
+    )
+
+    passage = ("alpha beta gamma delta epsilon zeta eta theta iota "
+               "kappa lam mu nu xi omicron pi rho sigma tau upsilon")
+    rows = [
+        (1, passage + " unique tail one two three"),
+        (2, "totally different front matter here " + passage),
+        (3, "unrelated words entirely disconnected from both docs"),
+    ]
+    # boilerplate shared by many docs -> stop-chunked away
+    rows += [(100 + i, "standard footer all rights reserved contact us")
+             for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r["doc_a"], r["doc_b"]): r["shared_chunks"]
+             for r in cdc_shared_chunk_pairs(df).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 2
+    assert not any(3 in p for p in pairs)
+    # the 40 footer docs share ALL their chunks but the fp appears in
+    # 40 > 32 docs -> capped out, no pair explosion
+    assert not any(a >= 100 and b >= 100 for a, b in pairs)

@@ -348,10 +348,20 @@ def test_brute_baselines_are_the_only_all_pairs_plans(spark, sf_dir):
         # tercile bounds join is a keyed broadcast on predicted_lang
         "curation_ccnet_buckets",
         # unigram-LM tokenizer: the 1-row probability-mass total
-        # broadcast (_logp_micro); every DP/backtrace join is a
-        # keyed equi-join on word over checkpointed words-sized
-        # frames
+        # broadcast (_logp_micro); the Viterbi E-step is a map-only
+        # broadcast-model pandas_udf stage (no DP joins since the
+        # r7 rewrite)
         "tokenizer_unigram_vocab",
+        # DoReMi reweighting: 1-row corpus-totals and 1-row
+        # weight-sum normalizer broadcasts onto the source-count
+        # frame; the only data-sized joins are the LM stream's
+        # keyed gram equi-joins
+        "sample_doremi_mixture",
+        # Naive Bayes: the |classes|-row class frame (priors +
+        # token totals) and 1-row vocabulary scalar broadcast onto
+        # the occurrence stream; the count join is a keyed
+        # (word, class) equi-join
+        "curation_nb_classifier",
     }
     # Queries whose construction performs writes/iterative jobs; their
     # plan hygiene is asserted by dedicated tests.
