@@ -69,12 +69,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #           tokenizer_unigram_encode, tokenizer_wordpiece_vocab,
     #           tokenizer_wordpiece_encode, sample_doremi_mixture,
     #           curation_nb_classifier, text_cdc_chunks,
-    #           dedup_cdc_chunk_pairs —
+    #           dedup_cdc_chunk_pairs, dedup_keep_best_quality —
     #           NEW this round (never checked);
-    #   25-50 = the remaining r04-window block, continuing down the
+    #   26-50 = the remaining r04-window block, continuing down the
     #           tail in age order from dedup_minhash_lsh_pairs
-    #           (26 of its 40 entries; the tail-most fourteen —
-    #           agg_distinct_customers, agg_cube_status_priority,
+    #           (25 of its 40 entries; the tail-most fifteen —
+    #           agg_rollup_orders, agg_distinct_customers,
+    #           agg_cube_status_priority,
     #           agg_percentiles, agg_collect_sorted,
     #           pivot_event_counts, subquery_max_order,
     #           json_extract_events, array_map_funcs,
@@ -82,8 +83,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #           date_arithmetic, set_union_segments,
     #           set_intersect_building_buyers, set_except_nonbuyers —
     #           all driver-green r04 — wait in the tail).
-    # 7 + 17 + 26 = 50 exactly. Further NEW round-7 queries are
-    # inserted right after position 24 as they land, each bump pushing
+    # 7 + 18 + 25 = 50 exactly. Further NEW round-7 queries are
+    # inserted right after position 25 as they land, each bump pushing
     # the window's tail-most r04/r05 refresh entry below position 50
     # (those already have union-green rows, so coverage stays
     # complete).
@@ -119,7 +120,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_nb_classifier": L.curation_nb_classifier,
         "text_cdc_chunks": L.text_cdc_chunks,
         "dedup_cdc_chunk_pairs": L.dedup_cdc_chunk_pairs,
-        # --- (25-50) r04-window refresh block (driver-green r04) ---
+        "dedup_keep_best_quality": L.dedup_keep_best_quality,
+        # --- (26-50) r04-window refresh block (driver-green r04) ---
         "dedup_minhash_lsh_pairs": L.dedup_minhash_lsh_pairs,
         "dedup_simhash_pairs": L.dedup_simhash_pairs,
         "dedup_keep_list": L.dedup_keep_list,
@@ -2719,6 +2721,79 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id AS doc_id, min(lbl) AS component_id
             FROM reach GROUP BY id
+        """,
+        "dedup_keep_best_quality": f"""
+            WITH RECURSIVE {_PLANT_TAIL}, {_SHINGLES},
+            seeds AS (SELECT * FROM (VALUES {_MINHASH_SEEDS}) s(j, a, b)),
+            mh AS (
+              SELECT doc_id, j, min((a * sid + b) % 2147483647) AS mh
+              FROM sids CROSS JOIN seeds GROUP BY doc_id, j
+            ),
+            bands AS (
+              SELECT doc_id, j // 3 AS band,
+                     string_agg(CAST(mh AS VARCHAR), '_' ORDER BY j) AS key
+              FROM mh GROUP BY doc_id, j // 3
+            ),
+            cands AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+            ),
+            inter AS (
+              SELECT c.doc_a, c.doc_b, count(*) AS inter
+              FROM cands c
+              JOIN sids sa ON sa.doc_id = c.doc_a
+              JOIN sids sb ON sb.doc_id = c.doc_b AND sb.sid = sa.sid
+              GROUP BY 1, 2
+            ),
+            pairs AS (
+              SELECT i.doc_a, i.doc_b
+              FROM inter i
+              JOIN sizes sa ON sa.doc_id = i.doc_a
+              JOIN sizes sb ON sb.doc_id = i.doc_b
+              WHERE round(inter / (sa.sz + sb.sz - inter), 4) >= 0.5
+            ),
+            edges AS (
+              SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION
+              SELECT doc_b, doc_a FROM pairs
+            ),
+            reach(id, lbl) AS (
+              SELECT DISTINCT src, src FROM edges
+              UNION
+              SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+            ),
+            comp AS (
+              SELECT id AS doc_id, min(lbl) AS component_id
+              FROM reach GROUP BY id
+            ),
+            q AS (
+              SELECT doc_id,
+                     round(least(1.0, len(w) / 120.0) * 0.5
+                           + len(list_filter(w, x -> list_contains(
+                               ['the','a','an','of','and','to','in','is',
+                                'it','for'], x)))
+                             / len(w) * 0.3
+                           + length(regexp_replace(lower(text), '[^a-z]',
+                                                   '', 'g'))
+                             / length(text) * 0.2, 4) AS quality_score
+              FROM (SELECT doc_id, text,
+                           string_split({_NORM.format(t='text')}, ' ') AS w
+                    FROM corpus)
+            ),
+            labeled AS (
+              SELECT c.doc_id,
+                     COALESCE(cm.component_id, c.doc_id) AS component_id,
+                     q.quality_score
+              FROM (SELECT doc_id FROM corpus) c
+              LEFT JOIN comp cm USING (doc_id)
+              JOIN q USING (doc_id)
+            )
+            SELECT doc_id, component_id, quality_score,
+                   CAST(row_number() OVER (PARTITION BY component_id
+                     ORDER BY quality_score DESC, doc_id) = 1 AS INTEGER)
+                     AS keep
+            FROM labeled
         """,
         "text_quality_filter": _quality_filter_oracle(),
         "zorder_cluster_events": _zorder_oracle(),

@@ -175,6 +175,7 @@ HEADLINE = {
     "curation_nb_classifier": L.curation_nb_classifier,
     "text_cdc_chunks": L.text_cdc_chunks,
     "dedup_cdc_chunk_pairs": L.dedup_cdc_chunk_pairs,
+    "dedup_keep_best_quality": L.dedup_keep_best_quality,
 }
 
 # the 14 queries recorded since round 1 — their sum is the anchored

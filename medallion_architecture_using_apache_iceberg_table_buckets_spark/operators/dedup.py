@@ -1191,3 +1191,63 @@ def semantic_dedup(
             .alias("is_kept"),
         )
     )
+
+
+def keep_best_quality(
+    df: DataFrame,
+    pairs: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "quality_score",
+) -> DataFrame:
+    """Canonical selection per duplicate cluster: where ``keep_list``
+    keeps the SMALLEST id of each near-dup group (cheap, no
+    closure), this keeps the HIGHEST-QUALITY member — what
+    production pipelines actually do once a quality signal exists
+    (dropping a clean original in favor of a boilerplate-padded
+    copy because it had a smaller id is a real data-quality bug).
+
+    Composition: :func:`connected_components` labels every doc in
+    the pair graph with its group; singletons form their own
+    1-member component; one window per component (argmax by score
+    desc, id asc — the score is the round(.,4) quality both engines
+    compute identically, so the argmax never tie-breaks on noise)
+    flags the kept canonical. Returns
+    ``(doc_id, component_id, <score>, keep)`` for every doc.
+
+    Scale: the component labeling is the bounded-round min-label
+    propagation; the argmax window partitions by component_id —
+    never a global window; the scores join is a corpus-sized
+    equi-join on id."""
+    from pyspark.sql import Window
+
+    comp = connected_components(pairs)
+    labeled = (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(
+            comp.select(F.col("id").alias("doc_id"), "component_id"),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component_id"), F.col("doc_id")).alias(
+                "component_id"
+            ),
+        )
+    )
+    scored = labeled.join(
+        scores.select(F.col(id_col).alias("doc_id"), score_col), "doc_id"
+    )
+    win = Window.partitionBy("component_id").orderBy(
+        F.desc(score_col), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(win))
+        .select(
+            "doc_id",
+            "component_id",
+            score_col,
+            (F.col("rn") == 1).cast("int").alias("keep"),
+        )
+    )

@@ -845,6 +845,22 @@ def dedup_cdc_chunk_pairs(spark, sf_dir):
     return cdc_shared_chunk_pairs(_docs(spark, sf_dir))
 
 
+def dedup_keep_best_quality(spark, sf_dir):
+    """Quality-aware canonical selection (dedup.keep_best_quality):
+    the planted near-dup corpus's MinHash-LSH pair graph, closed to
+    components, keeps each group's HIGHEST-quality member (argmax by
+    the round-4 quality score, id tie-break) instead of keep_list's
+    smallest-id policy — singletons keep themselves."""
+    from .text import quality_score
+
+    corpus = _planted(
+        spark, sf_dir, 30, lambda t: F.concat(t, F.lit(" extra token tail"))
+    )
+    pairs = D.minhash_lsh_pairs(corpus, threshold=0.5)
+    scores = quality_score(corpus).select("doc_id", "quality_score")
+    return D.keep_best_quality(corpus, pairs, scores)
+
+
 def curation_nb_classifier(spark, sf_dir):
     """Model-based document classification (text.nb_train_predict):
     multinomial Naive Bayes trained on the corpus's own lang labels

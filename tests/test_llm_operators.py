@@ -1019,3 +1019,28 @@ def test_cdc_shared_chunk_pairs_detects_copied_passage(spark):
     # the 40 footer docs share ALL their chunks but the fp appears in
     # 40 > 32 docs -> capped out, no pair explosion
     assert not any(a >= 100 and b >= 100 for a, b in pairs)
+
+
+def test_keep_best_quality_prefers_quality_over_id(spark):
+    """The canonical keeper is the highest-quality member, not the
+    smallest id; singletons keep themselves."""
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators.dedup import (
+        keep_best_quality,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "short junk"), (2, "a much longer and cleaner document "
+                               "with the usual stopwords in it for flow"),
+         (9, "standalone singleton document")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    scores = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (9, 0.5)], "doc_id long, quality_score double"
+    )
+    out = {r["doc_id"]: r for r in keep_best_quality(df, pairs, scores).collect()}
+    # doc 2 wins its cluster despite the larger id (keep_list would drop it)
+    assert out[2]["keep"] == 1 and out[1]["keep"] == 0
+    assert out[1]["component_id"] == out[2]["component_id"] == 1
+    # singleton keeps itself in its own component
+    assert out[9]["keep"] == 1 and out[9]["component_id"] == 9

@@ -134,6 +134,7 @@ QUERIES = {
     "curation_nb_classifier": L.curation_nb_classifier,
     "text_cdc_chunks": L.text_cdc_chunks,
     "dedup_cdc_chunk_pairs": L.dedup_cdc_chunk_pairs,
+    "dedup_keep_best_quality": L.dedup_keep_best_quality,
 }
 
 
