@@ -320,6 +320,24 @@ def llm_queries_section():
             "keyed (word,class) count join, BIGINT score sums; "
             "argmax window partitions by doc_id only.",
         ),
+        "text_cdc_chunks": (
+            L.text_cdc_chunks,
+            "CDC: explode + per-doc running-sum window (never "
+            "global) + one (doc, chunk) hash-agg — boundaries are "
+            "content hashes, so chunk identity survives edits.",
+        ),
+        "dedup_cdc_chunk_pairs": (
+            L.dedup_cdc_chunk_pairs,
+            "Chunk-overlap dedup: stop-chunk frequency cap BEFORE "
+            "the fp self-join bounds fan-out; the join is a keyed "
+            "equi-join on chunk_fp, never a cross product.",
+        ),
+        "dedup_keep_best_quality": (
+            L.dedup_keep_best_quality,
+            "Canonical selection: bounded-round component labeling, "
+            "corpus-sized scores equi-join, argmax window per "
+            "component_id (never global).",
+        ),
         "multimodal_audio_features": (
             L.multimodal_audio_features,
             "Arrow mapInPandas synth + decode + frame features — "
