@@ -222,6 +222,20 @@ def main() -> None:
     force(R.a1_count_star(spark, sf_dir))
     force(R.q1_pricing_summary(spark, sf_dir))
 
+    # environment probe recorded WITH the numbers: median wall time of
+    # a trivial 1-partition SQL count job. A healthy local-mode JVM
+    # schedules this in ~10-30 ms; this box has been observed at
+    # 50-150 ms (PLANS.md bench-environment note), which inflates
+    # every stage/job-count-heavy query by (jobs x this latency)
+    # while leaving data-path queries untouched — read cross-round
+    # per-query deltas against this number.
+    probes = []
+    for _ in range(9):
+        t0 = time.perf_counter()
+        spark.range(0, 1, 1, 1).count()
+        probes.append(time.perf_counter() - t0)
+    sched_probe_ms = round(sorted(probes)[len(probes) // 2] * 1000, 1)
+
     times: dict[str, float] = {}
     spreads: dict[str, float] = {}
     for name, fn in HEADLINE.items():
@@ -271,6 +285,7 @@ def main() -> None:
         "query_spread": spreads,
         "value_r01_subset": r01_subset,
         "spread": spread,
+        "sched_probe_ms": sched_probe_ms,
         "value": total,
     }
     print(json.dumps(full))
@@ -281,6 +296,7 @@ def main() -> None:
         "sf": sf,
         "value_r01_subset": r01_subset,
         "spread": spread,
+        "sched_probe_ms": sched_probe_ms,
         "n_queries": len(times),
     }
     print(json.dumps(compact))
