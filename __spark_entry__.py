@@ -56,12 +56,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # row on recent code; rotated-out entries stay covered by the full
     # local mirror (tools/check_oracles.py) and pytest.
     #
-    # Round-7 window (positions 1-50, live registry 147 entries):
+    # Round-7 window (positions 1-50, live registry 166 entries):
     #   1-7   = the 7 round-6 additions that have never had a driver
     #           row (VERDICT r6 carried debt, verbatim list) — after
-    #           their rows land, union driver coverage under current
-    #           names is 147/147;
-    #   8-21  = hybrid_bm25_ann_topk, ann_ivfpq_residual_topk,
+    #           their rows land, union driver coverage under
+    #           round-6-era names is complete;
+    #   8-26  = hybrid_bm25_ann_topk, ann_ivfpq_residual_topk,
     #           multimodal_decode_jpeg, ann_ivfsq_topk,
     #           curation_ccnet_buckets, decontaminate_semantic,
     #           multimodal_audio_features, multimodal_video_motion,
@@ -69,11 +69,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #           tokenizer_unigram_encode, tokenizer_wordpiece_vocab,
     #           tokenizer_wordpiece_encode, sample_doremi_mixture,
     #           curation_nb_classifier, text_cdc_chunks,
-    #           dedup_cdc_chunk_pairs, dedup_keep_best_quality —
+    #           dedup_cdc_chunk_pairs, dedup_keep_best_quality,
+    #           metadata_agg_pushdown —
     #           NEW this round (never checked);
-    #   26-50 = the remaining r04-window block, continuing down the
+    #   27-50 = the remaining r04-window block, continuing down the
     #           tail in age order from dedup_minhash_lsh_pairs
-    #           (25 of its 40 entries; the tail-most fifteen —
+    #           (24 of its 40 entries; the tail-most sixteen —
+    #           join_full_outer_spend,
     #           agg_rollup_orders, agg_distinct_customers,
     #           agg_cube_status_priority,
     #           agg_percentiles, agg_collect_sorted,
@@ -83,8 +85,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #           date_arithmetic, set_union_segments,
     #           set_intersect_building_buyers, set_except_nonbuyers —
     #           all driver-green r04 — wait in the tail).
-    # 7 + 18 + 25 = 50 exactly. Further NEW round-7 queries are
-    # inserted right after position 25 as they land, each bump pushing
+    # 7 + 19 + 24 = 50 exactly. Further NEW round-7 queries are
+    # inserted right after the last NEW entry as they land, each bump
+    # pushing
     # the window's tail-most r04/r05 refresh entry below position 50
     # (those already have union-green rows, so coverage stays
     # complete).
@@ -121,7 +124,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_cdc_chunks": L.text_cdc_chunks,
         "dedup_cdc_chunk_pairs": L.dedup_cdc_chunk_pairs,
         "dedup_keep_best_quality": L.dedup_keep_best_quality,
-        # --- (26-50) r04-window refresh block (driver-green r04) ---
+        "metadata_agg_pushdown": L.metadata_agg_pushdown,
+        # --- (27-50) r04-window refresh block (driver-green r04) ---
         "dedup_minhash_lsh_pairs": L.dedup_minhash_lsh_pairs,
         "dedup_simhash_pairs": L.dedup_simhash_pairs,
         "dedup_keep_list": L.dedup_keep_list,
@@ -2794,6 +2798,19 @@ def oracle_sql() -> dict[str, str]:
                      ORDER BY quality_score DESC, doc_id) = 1 AS INTEGER)
                      AS keep
             FROM labeled
+        """,
+        # metadata_agg_pushdown answers from manifest stats; the
+        # oracle is the equivalent real scan — agreeing proves the
+        # stats fold exact
+        "metadata_agg_pushdown": """
+            SELECT o_orderpriority,
+                   count(*) AS n_orders,
+                   min(o_orderdate) AS min_date,
+                   max(o_totalprice) AS max_price,
+                   count(o_custkey) AS n_cust
+            FROM orders
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
         """,
         "text_quality_filter": _quality_filter_oracle(),
         "zorder_cluster_events": _zorder_oracle(),

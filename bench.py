@@ -176,6 +176,7 @@ HEADLINE = {
     "text_cdc_chunks": L.text_cdc_chunks,
     "dedup_cdc_chunk_pairs": L.dedup_cdc_chunk_pairs,
     "dedup_keep_best_quality": L.dedup_keep_best_quality,
+    "metadata_agg_pushdown": L.metadata_agg_pushdown,
 }
 
 # the 14 queries recorded since round 1 — their sum is the anchored

@@ -62,6 +62,15 @@ _CTAS = re.compile(
     r"AS\s+((?:SELECT|WITH)\b.+)$",
     re.I | re.S,
 )
+# aggregate pushdown peephole: a bare SELECT COUNT(*) FROM <table>
+# (no WHERE / GROUP BY / JOIN) is answered from manifest statistics
+# when exact — Iceberg's aggregate-push-down; anything else (or an
+# unsupported snapshot state) falls through to the normal scan path
+_COUNT_STAR = re.compile(
+    r"^\s*SELECT\s+COUNT\s*\(\s*\*\s*\)\s*"
+    r"(?:AS\s+`?(\w+)`?\s*)?FROM\s+([\w.]+)\s*$",
+    re.I,
+)
 # ``SELECT * FROM <table>.history`` — the reference's own silver job
 # statement (scripts/bronze-silver.py:119). Matched only right after
 # FROM/JOIN so ``alias.history`` column refs are never touched.
@@ -419,10 +428,33 @@ class SqlSession:
             return self._empty()
         if _MERGE_HEAD.match(s):
             return self._merge(s)
+        if m := _COUNT_STAR.match(s):
+            out = self._count_star_meta(m)
+            if out is not None:
+                return out
         # everything else (SELECT / WITH / ...) runs on Spark SQL with
         # the active namespace attached as bare-name views
         self._attach_current()
         return self.spark.sql(self._rewrite_refs(s))
+
+    def _count_star_meta(self, m: re.Match) -> DataFrame | None:
+        """Metadata-only COUNT(*) when the target is a lakehouse table
+        and the snapshot state allows an exact answer; None = let the
+        normal Spark-SQL scan path handle it. The column is named
+        exactly as Spark's own ``count(*)`` so both paths are
+        indistinguishable to the caller."""
+        from .table import MetadataAggregateUnsupported
+
+        known = self._known(m.group(2))
+        if known is None:
+            return None
+        ns, name = known
+        try:
+            return self.catalog.table(ns, name).metadata_aggregate(
+                self.spark, count_alias=m.group(1) or "count(1)"
+            )
+        except MetadataAggregateUnsupported:
+            return None
 
     # -- CREATE TABLE --------------------------------------------------
     def _create_table(self, m) -> DataFrame:

@@ -145,7 +145,7 @@ def _file_rows(path: Path) -> int:
 _STATS_TYPES = (
     T.ByteType, T.ShortType, T.IntegerType, T.LongType,
     T.FloatType, T.DoubleType, T.DecimalType,
-    T.DateType, T.TimestampType, T.BooleanType,
+    T.DateType, T.TimestampType, T.TimestampNTZType, T.BooleanType,
 )
 
 
@@ -211,6 +211,12 @@ def _file_column_stats(path: Path, schema: T.StructType) -> dict:
     # column is stats-eligible or every eligible column was broken.
     out[":rows:"] = md.num_rows
     return out
+
+
+class MetadataAggregateUnsupported(ValueError):
+    """Manifest stats cannot answer this aggregate EXACTLY — the
+    caller must fall back to a real scan (the same bail-out contract
+    Iceberg's aggregate pushdown uses)."""
 
 
 class Table:
@@ -535,9 +541,16 @@ class Table:
             writer = writer.partitionBy(*[t.partition_col for t in transforms])
         writer.parquet(str(staging))
         added: list[str] = []
-        for rel in _list_parquet(staging):
+        # the index makes every BASENAME table-unique: a partitioned
+        # write emits the same part-NNNNN-<jobuuid> name in every
+        # partition dir it touches, and position deletes / MOR
+        # sequence resolution key rows by basename (URI-safe, unlike
+        # escaped partition segments) — without this, a position
+        # delete recorded in one partition would delete the same
+        # row position in EVERY partition sharing the part name
+        for i, rel in enumerate(_list_parquet(staging)):
             rel_p = Path(rel)
-            dest_rel = rel_p.parent / f"{batch}-{rel_p.name}"
+            dest_rel = rel_p.parent / f"{batch}-{i:05d}-{rel_p.name}"
             dest = self.data_root / dest_rel
             dest.parent.mkdir(parents=True, exist_ok=True)
             os.replace(staging / rel, dest)
@@ -1252,7 +1265,8 @@ class Table:
         # keyed by basename, not full rel path: input_file_name()
         # percent-encodes partition dirs (escaped chars arrive as
         # %25XX), while basenames are uuid-hex + part names — always
-        # URI-safe and unique per file (uuid batch prefix)
+        # URI-safe and unique per file (uuid batch prefix + per-file
+        # index assigned at staging promote, see _write_files)
         seq_rows = [
             (f.rsplit("/", 1)[-1], v)
             for f, v in self._file_sequence().items()
@@ -1760,6 +1774,218 @@ class Table:
         return self._read_files(
             spark, files, schema, renames=self._snap_renames(snap)
         ).filter(F.expr(where))
+
+    def metadata_aggregate(
+        self,
+        spark: SparkSession,
+        *,
+        group_by: Iterable[str] = (),
+        count_alias: str | None = "cnt",
+        min_of: dict[str, str] | None = None,
+        max_of: dict[str, str] | None = None,
+        count_of: dict[str, str] | None = None,
+    ) -> DataFrame:
+        """COUNT(*) / MIN / MAX / COUNT(col) answered ENTIRELY from
+        manifest statistics — zero data or footer IO at query time.
+
+        This is Iceberg's aggregate pushdown
+        (``spark.sql.iceberg.aggregate-push-down.enabled``): a
+        ``SELECT count(*), max(ts) FROM t`` on a 100 TB table should
+        cost O(#files) manifest metadata collected at WRITE time, not
+        a full scan. The engine records per-file exact row counts and
+        per-column [min, max, null_count, num_values] in the snapshot
+        at commit (``_file_column_stats`` — footer read once per
+        append), so the aggregate folds over a manifest-sized frame.
+
+        Exactness contract — raises ``MetadataAggregateUnsupported``
+        (callers fall back to a real scan) whenever stats cannot
+        answer EXACTLY:
+        - pending MOR merge deltas or position-delete files (deleted
+          rows change counts and can carry the extremes);
+        - any live data file without recorded stats, or without an
+          entry for a requested column (schema-evolution ambiguity:
+          "absent" could mean all-null OR broken stats — never guess);
+        - min/max/count over stats-ineligible types (strings may be
+          TRUNCATED by writers — same rule as the file-skipping
+          pruner, see ``_STATS_TYPES``);
+        - a ``group_by`` column that is not file-constant: the value
+          comes from the identity-partition path segment (any type,
+          exact written form) or, failing that, from a constant
+          [min==max, no nulls] / all-null stats range;
+        - any recorded value string Spark cannot cast back through
+          the declared type (evaluated with Spark's own cast
+          semantics, never a hand-rolled parser).
+
+        MIN/MAX ignore per-file all-null ranges (NULL min) exactly as
+        SQL's aggregates ignore NULL rows; a global COUNT(*) on an
+        empty table is 0, and renamed columns resolve through the
+        same physical-name history the reader uses.
+        """
+        min_of = dict(min_of or {})
+        max_of = dict(max_of or {})
+        count_of = dict(count_of or {})
+        group_by = list(group_by)
+        snap = self.current_snapshot()
+        if self._delta_files(snap):
+            raise MetadataAggregateUnsupported(
+                "pending merge-on-read deltas: row counts need resolve"
+            )
+        if snap.delete_files:
+            raise MetadataAggregateUnsupported(
+                "position-delete files present: stats predate deletes"
+            )
+        schema = schema_from_json(snap.schema_json)
+        by_name = {f.name: f for f in schema.fields}
+        renames = self._snap_renames(snap)
+
+        def names_for(col: str) -> list[str]:
+            return [col] + list(renames.get(col, []))
+
+        for col in list(min_of) + list(max_of) + list(count_of):
+            if col not in by_name:
+                raise MetadataAggregateUnsupported(f"no column {col!r}")
+            if not isinstance(by_name[col].dataType, _STATS_TYPES):
+                raise MetadataAggregateUnsupported(
+                    f"{col!r}: type {by_name[col].dataType.simpleString()}"
+                    " is stats-ineligible (writers may truncate)"
+                )
+        for col in group_by:
+            if col not in by_name:
+                raise MetadataAggregateUnsupported(f"no column {col!r}")
+
+        val_cols = sorted(set(min_of) | set(max_of) | set(count_of))
+        rows = []
+        for i, f in enumerate(snap.files):
+            st = snap.stats.get(f)
+            if st is None or ":rows:" not in st:
+                raise MetadataAggregateUnsupported(f"no stats for {f!r}")
+            if int(st[":rows:"]) == 0:
+                continue  # empty file: contributes nothing, no entries
+            row: list = [i, int(st[":rows:"])]
+            # group value: identity-partition path segment first (any
+            # type, the exact written form), else a file-constant
+            # stats range
+            seg = {}
+            for part in f.split("/")[:-1]:
+                if "=" in part:
+                    k, v = part.split("=", 1)
+                    seg[k] = v
+            for col in group_by:
+                raw = None
+                for nm in names_for(col):
+                    if nm in seg:
+                        raw = seg[nm]
+                        break
+                if raw is not None:
+                    from .transforms import unescape_path_name
+
+                    row.append(
+                        None
+                        if raw == "__HIVE_DEFAULT_PARTITION__"
+                        else unescape_path_name(raw)
+                    )
+                    continue
+                ent = next(
+                    (st[nm] for nm in names_for(col) if nm in st), None
+                )
+                if ent is None:
+                    raise MetadataAggregateUnsupported(
+                        f"group column {col!r} has no partition segment"
+                        f" or stats in {f!r}"
+                    )
+                lo, hi, nulls, n = ent
+                if nulls == 0 and lo is not None and lo == hi:
+                    row.append(lo)
+                elif nulls == n:
+                    row.append(None)
+                else:
+                    raise MetadataAggregateUnsupported(
+                        f"group column {col!r} is not constant in {f!r}"
+                    )
+            for col in val_cols:
+                ent = next(
+                    (st[nm] for nm in names_for(col) if nm in st), None
+                )
+                if ent is None:
+                    raise MetadataAggregateUnsupported(
+                        f"no stats entry for {col!r} in {f!r}"
+                    )
+                lo, hi, nulls, n = ent
+                row += [lo, hi, int(n) - int(nulls)]
+            rows.append(tuple(row))
+
+        fields = [
+            T.StructField("_fidx", T.IntegerType(), False),
+            T.StructField("_rows", T.LongType(), False),
+        ]
+        for col in group_by:
+            fields.append(T.StructField(f"_g_{col}", T.StringType()))
+        for col in val_cols:
+            fields += [
+                T.StructField(f"_min_{col}", T.StringType()),
+                T.StructField(f"_max_{col}", T.StringType()),
+                T.StructField(f"_nn_{col}", T.LongType(), False),
+            ]
+        mdf = spark.createDataFrame(rows, T.StructType(fields))
+
+        def typed(raw: str, col: str):
+            return F.expr(
+                f"try_cast(`{raw}` AS "
+                f"{by_name[col].dataType.simpleString()})"
+            )
+
+        # refuse on ANY unparseable recorded value (raw non-null but
+        # cast null) — manifest-sized probe, exact-or-bail contract
+        bad = F.lit(False)
+        for col in group_by:
+            bad = bad | (
+                F.col(f"_g_{col}").isNotNull()
+                & typed(f"_g_{col}", col).isNull()
+            )
+        for col in val_cols:
+            for side in ("min", "max"):
+                bad = bad | (
+                    F.col(f"_{side}_{col}").isNotNull()
+                    & typed(f"_{side}_{col}", col).isNull()
+                )
+        if mdf.filter(bad).limit(1).count() > 0:
+            raise MetadataAggregateUnsupported(
+                "a recorded stats value does not cast back through its"
+                " declared type"
+            )
+
+        sel = [F.col("_rows")]
+        for col in group_by:
+            sel.append(typed(f"_g_{col}", col).alias(col))
+        for col in val_cols:
+            sel += [
+                typed(f"_min_{col}", col).alias(f"_tmin_{col}"),
+                typed(f"_max_{col}", col).alias(f"_tmax_{col}"),
+                F.col(f"_nn_{col}"),
+            ]
+        t = mdf.select(*sel)
+
+        aggs = []
+        if count_alias is not None:
+            aggs.append(
+                F.coalesce(F.sum("_rows"), F.lit(0).cast("long")).alias(
+                    count_alias
+                )
+            )
+        for col, alias in min_of.items():
+            aggs.append(F.min(f"_tmin_{col}").alias(alias))
+        for col, alias in max_of.items():
+            aggs.append(F.max(f"_tmax_{col}").alias(alias))
+        for col, alias in count_of.items():
+            aggs.append(
+                F.coalesce(F.sum(f"_nn_{col}"), F.lit(0).cast("long"))
+                .alias(alias)
+            )
+        if not aggs:
+            raise ValueError("metadata_aggregate: nothing to compute")
+        if group_by:
+            return t.groupBy(*group_by).agg(*aggs)
+        return t.agg(*aggs)
 
     def read_incremental(
         self,

@@ -2521,3 +2521,45 @@ def sketch_cms_frequencies(spark, sf_dir):
         .cast("int")
         .alias("no_undercount"),
     )
+
+
+def metadata_agg_pushdown(spark, sf_dir):
+    """Aggregate pushdown to manifest statistics
+    (Table.metadata_aggregate — Iceberg's
+    ``spark.sql.iceberg.aggregate-push-down.enabled``): per-partition
+    COUNT(*) / MIN / MAX / COUNT(col) answered ENTIRELY from the
+    per-file stats the commit path records, zero data or footer IO at
+    query time. On a 100 TB table this turns a full scan into a fold
+    over a manifest-sized frame. Exact-or-bail: the method RAISES
+    whenever stats cannot answer exactly (MOR deltas, delete files,
+    missing stats, truncatable types) — so this query returning at
+    all proves the metadata path, and the oracle proves it agrees
+    with a real scan. Two commits per partition make the fold span
+    multiple files; group values come from the identity-partition
+    path segments."""
+    import tempfile
+
+    from ..lakehouse import Catalog
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    cat = Catalog(tempfile.mkdtemp(prefix="mats_magg_"))
+    t = cat.create_table(
+        "demo", "ord", o.schema, partition_by=["o_orderpriority"]
+    )
+    t.append(o.filter(F.col("o_orderkey") % 2 == 0))
+    t.append(o.filter(F.col("o_orderkey") % 2 == 1))
+    assert len(t.current_snapshot().files) > 5  # fold spans many files
+    return t.metadata_aggregate(
+        spark,
+        group_by=["o_orderpriority"],
+        count_alias="n_orders",
+        min_of={"o_orderdate": "min_date"},
+        max_of={"o_totalprice": "max_price"},
+        count_of={"o_custkey": "n_cust"},
+    ).orderBy("o_orderpriority")

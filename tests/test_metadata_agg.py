@@ -1,0 +1,199 @@
+"""Metadata-only aggregation (Iceberg aggregate pushdown twin).
+
+The contract under test: ``Table.metadata_aggregate`` answers
+COUNT(*)/MIN/MAX/COUNT(col) purely from manifest statistics — proven
+by DELETING the data file bytes before querying — and refuses
+(``MetadataAggregateUnsupported``) in every state where stats cannot
+be exact: MOR deltas, position deletes, missing stats entries,
+stats-ineligible types, non-constant group columns.
+"""
+
+import datetime
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from medallion_architecture_using_apache_iceberg_table_buckets_spark.lakehouse import (
+    Catalog,
+)
+from medallion_architecture_using_apache_iceberg_table_buckets_spark.lakehouse.table import (
+    MetadataAggregateUnsupported,
+)
+
+
+def _frame(spark):
+    rows = [
+        Row(k="a", v=10, price=1.5, d=datetime.date(2024, 1, 3)),
+        Row(k="a", v=None, price=-2.25, d=datetime.date(2024, 1, 1)),
+        Row(k="b", v=7, price=99.125, d=None),
+        Row(k="b", v=42, price=0.0, d=datetime.date(2024, 2, 1)),
+        Row(k=None, v=5, price=3.5, d=datetime.date(2023, 12, 31)),
+    ]
+    return spark.createDataFrame(
+        rows, "k string, v int, price double, d date"
+    )
+
+
+@pytest.fixture()
+def cat(tmp_path):
+    return Catalog(str(tmp_path / "wh"))
+
+
+def test_matches_scan_and_survives_data_loss(spark, cat):
+    df = _frame(spark)
+    t = cat.create_table("m", "t", df.schema, partition_by=["k"])
+    t.append(df.where("v is null or v <= 10"))
+    t.append(df.where("v > 10"))  # two snapshots, several files
+
+    expected = {
+        (r["k"], r["cnt"], r["nn_v"], r["min_p"], r["max_p"], r["min_d"])
+        for r in df.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.count("v").alias("nn_v"),
+            F.min("price").alias("min_p"),
+            F.max("price").alias("max_p"),
+            F.min("d").alias("min_d"),
+        )
+        .collect()
+    }
+
+    # the proof: wipe every data byte — only manifests remain
+    for f in t.current_snapshot().files:
+        os.remove(t.data_root / f)
+
+    got = t.metadata_aggregate(
+        spark,
+        group_by=["k"],
+        count_alias="cnt",
+        count_of={"v": "nn_v"},
+        min_of={"price": "min_p", "d": "min_d"},
+        max_of={"price": "max_p"},
+    )
+    assert got.columns == ["k", "cnt", "min_p", "min_d", "max_p", "nn_v"]
+    assert {
+        (r["k"], r["cnt"], r["nn_v"], r["min_p"], r["max_p"], r["min_d"])
+        for r in got.collect()
+    } == expected
+
+
+def test_global_aggregate_and_empty_table(spark, cat):
+    df = _frame(spark)
+    t = cat.create_table("m", "g", df.schema)
+    t.append(df)
+    row = t.metadata_aggregate(
+        spark, count_alias="n", min_of={"v": "lo"}, max_of={"v": "hi"}
+    ).collect()[0]
+    assert (row["n"], row["lo"], row["hi"]) == (5, 5, 42)
+
+    empty = cat.create_table("m", "e", df.schema)
+    row = empty.metadata_aggregate(
+        spark, count_alias="n", min_of={"v": "lo"}
+    ).collect()[0]
+    assert row["n"] == 0 and row["lo"] is None
+
+
+def test_group_by_stats_constant_without_partitioning(spark, cat):
+    # files written per-group but NOT partition-pathed: the grouper
+    # falls back to the constant [min==max, null-free] stats range
+    df = spark.createDataFrame(
+        [(g, i) for g in (1, 2) for i in range(3)], "g int, x int"
+    )
+    t = cat.create_table("m", "c", df.schema)
+    for g in (1, 2):
+        t.append(df.where(F.col("g") == g).repartition(1))
+    got = {
+        (r["g"], r["cnt"], r["hi"])
+        for r in t.metadata_aggregate(
+            spark, group_by=["g"], count_alias="cnt", max_of={"x": "hi"}
+        ).collect()
+    }
+    assert got == {(1, 3, 2), (2, 3, 2)}
+    # x is NOT file-constant -> refuse
+    with pytest.raises(MetadataAggregateUnsupported):
+        t.metadata_aggregate(spark, group_by=["x"], count_alias="cnt")
+    # mixed-group file -> refuse
+    t.append(df.repartition(1))
+    with pytest.raises(MetadataAggregateUnsupported):
+        t.metadata_aggregate(spark, group_by=["g"], count_alias="cnt")
+
+
+def test_refusals(spark, cat):
+    df = _frame(spark)
+    t = cat.create_table("m", "r", df.schema, partition_by=["k"])
+    # one file per partition, so k=a holds two distinct prices
+    t.append(df.repartition(1))
+    # string min/max: stats-ineligible by design (truncation hazard)
+    with pytest.raises(MetadataAggregateUnsupported):
+        t.metadata_aggregate(spark, min_of={"k": "lo"})
+    with pytest.raises(MetadataAggregateUnsupported):
+        t.metadata_aggregate(spark, min_of={"nope": "lo"})
+    # non-constant, non-partition group column
+    with pytest.raises(MetadataAggregateUnsupported):
+        t.metadata_aggregate(spark, group_by=["price"], count_alias="c")
+    with pytest.raises(ValueError):
+        t.metadata_aggregate(spark, count_alias=None)  # nothing to do
+
+    # position deletes make stats stale -> refuse
+    t.delete_where(spark, "v = 42", mode="merge-on-read")
+    with pytest.raises(MetadataAggregateUnsupported):
+        t.metadata_aggregate(spark, count_alias="c")
+
+
+def test_refuses_on_merge_delta(spark, cat):
+    df = _frame(spark).where("v is not null")
+    t = cat.create_table("m", "d", df.schema)
+    t.append(df)
+    t.append_merge_delta(
+        spark.createDataFrame(
+            [Row(k="z", v=7, price=1.0, d=datetime.date(2024, 3, 1))],
+            df.schema,
+        ),
+        keys=["v"],
+    )
+    with pytest.raises(MetadataAggregateUnsupported):
+        t.metadata_aggregate(spark, count_alias="c")
+
+
+def test_survives_column_rename(spark, cat):
+    df = _frame(spark)
+    t = cat.create_table("m", "rn", df.schema, partition_by=["k"])
+    t.append(df)
+    t.rename_column("price", "amount")
+    row = t.metadata_aggregate(
+        spark, count_alias="n", min_of={"amount": "lo"},
+        max_of={"amount": "hi"},
+    ).collect()[0]
+    assert (row["n"], row["lo"], row["hi"]) == (5, -2.25, 99.125)
+
+
+def test_sql_count_star_peephole(spark, cat, tmp_path):
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.lakehouse.sql import (
+        SqlSession,
+    )
+
+    sess = SqlSession(spark, cat)
+    sess.sql("CREATE NAMESPACE m")
+    sess.sql("USE m")
+    df = _frame(spark)
+    t = cat.create_table("m", "s", df.schema, partition_by=["k"])
+    t.append(df)
+    # anything beyond the bare shape goes to the scan path untouched
+    # (run BEFORE the wipe: the passthrough attaches every table of
+    # the namespace as a view, which reads real data)
+    assert (
+        sess.sql("SELECT COUNT(*) FROM s WHERE v > 6").collect()[0][0]
+        == 3
+    )
+
+    # wipe data bytes: only the metadata path can still answer
+    for f in t.current_snapshot().files:
+        os.remove(t.data_root / f)
+    out = sess.sql("SELECT COUNT(*) FROM s")
+    assert out.columns == ["count(1)"]
+    assert out.collect()[0][0] == 5
+    out = sess.sql("select count(*) as total from m.s")
+    assert out.columns == ["total"] and out.collect()[0][0] == 5

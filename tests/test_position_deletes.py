@@ -398,3 +398,28 @@ def test_entries_status_for_carried_forward_delete_files(spark, tmp_path):
     assert len(ent2) == len(ent)
     assert all(r["status"] == 0 for r in ent2), \
         "carried-forward delete file must be EXISTING"
+
+
+def test_partitioned_delete_does_not_cross_partitions(spark, tmp_path):
+    """Regression: one partitioned write emits the same part-NNNNN
+    basename in EVERY partition dir it touches, and position deletes
+    key rows by basename — before the per-file staging index, a
+    delete recorded in partition 'a' also anti-joined away the
+    same-position rows of 'b' and 'c'."""
+    cat = Catalog(tmp_path / "wh")
+    t = cat.create_table(
+        "d", "t", SCHEMA, partition_by=["part"],
+        properties={"write.delete.mode": "merge-on-read"},
+    )
+    # single-task write → identical part names in all three dirs;
+    # row ids 1/2/3 sit at position 0 of their respective files
+    t.append(
+        make(spark, [(1, "a", "x1"), (2, "b", "x2"), (3, "c", "x3"),
+                     (4, "a", "y1"), (5, "b", "y2")]).coalesce(1)
+    )
+    bases = [f.rsplit("/", 1)[-1] for f in t.current_snapshot().files]
+    assert len(bases) == len(set(bases)), "basenames must be table-unique"
+
+    t.delete_where(spark, "id = 1")  # position 0 of partition 'a' only
+    got = {r["id"] for r in t.read(spark).collect()}
+    assert got == {2, 3, 4, 5}, got
