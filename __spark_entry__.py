@@ -2809,6 +2809,7 @@ def oracle_sql() -> dict[str, str]:
                    max(o_totalprice) AS max_price,
                    count(o_custkey) AS n_cust
             FROM orders
+            WHERE o_orderpriority IN ('1-URGENT', '2-HIGH', '5-LOW')
             GROUP BY o_orderpriority
             ORDER BY o_orderpriority
         """,

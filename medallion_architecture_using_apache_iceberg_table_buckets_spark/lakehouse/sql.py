@@ -62,14 +62,23 @@ _CTAS = re.compile(
     r"AS\s+((?:SELECT|WITH)\b.+)$",
     re.I | re.S,
 )
-# aggregate pushdown peephole: a bare SELECT COUNT(*) FROM <table>
-# (no WHERE / GROUP BY / JOIN) is answered from manifest statistics
-# when exact — Iceberg's aggregate-push-down; anything else (or an
-# unsupported snapshot state) falls through to the normal scan path
+# aggregate pushdown peephole: SELECT COUNT(*) FROM <table>
+# [WHERE <pred>] (no GROUP BY / JOIN / subquery) is answered from
+# manifest statistics when exact — Iceberg's aggregate-push-down;
+# anything else (or an unsupported snapshot state / a predicate not
+# decidable from file-constant columns) falls through to the normal
+# scan path
 _COUNT_STAR = re.compile(
     r"^\s*SELECT\s+COUNT\s*\(\s*\*\s*\)\s*"
-    r"(?:AS\s+`?(\w+)`?\s*)?FROM\s+([\w.]+)\s*$",
-    re.I,
+    r"(?:AS\s+`?(\w+)`?\s*)?FROM\s+([\w.]+)"
+    r"(?:\s+WHERE\s+(.+?))?\s*$",
+    re.I | re.S,
+)
+# any of these inside the captured WHERE tail means the statement is
+# NOT the simple shape (conservative: peephole declines, scan path
+# answers — always correct, never required)
+_COUNT_STAR_VETO = re.compile(
+    r"\b(GROUP|ORDER|LIMIT|HAVING|JOIN|UNION|SELECT|WINDOW)\b", re.I
 )
 # ``SELECT * FROM <table>.history`` — the reference's own silver job
 # statement (scripts/bronze-silver.py:119). Matched only right after
@@ -445,13 +454,18 @@ class SqlSession:
         indistinguishable to the caller."""
         from .table import MetadataAggregateUnsupported
 
+        where = m.group(3)
+        if where is not None and _COUNT_STAR_VETO.search(where):
+            return None
         known = self._known(m.group(2))
         if known is None:
             return None
         ns, name = known
         try:
             return self.catalog.table(ns, name).metadata_aggregate(
-                self.spark, count_alias=m.group(1) or "count(1)"
+                self.spark,
+                where=where,
+                count_alias=m.group(1) or "count(1)",
             )
         except MetadataAggregateUnsupported:
             return None

@@ -1779,6 +1779,7 @@ class Table:
         self,
         spark: SparkSession,
         *,
+        where: str | None = None,
         group_by: Iterable[str] = (),
         count_alias: str | None = "cnt",
         min_of: dict[str, str] | None = None,
@@ -1814,7 +1815,17 @@ class Table:
           [min==max, no nulls] / all-null stats range;
         - any recorded value string Spark cannot cast back through
           the declared type (evaluated with Spark's own cast
-          semantics, never a hand-rolled parser).
+          semantics, never a hand-rolled parser);
+        - a ``where`` predicate touching any column that is not
+          file-constant in EVERY live file (Spark's own analyzer is
+          the gate: the expression must resolve against the
+          file-constant columns alone, then evaluates per FILE with
+          exact SQL semantics — a file whose constant value makes
+          the predicate false OR NULL contributes no rows, which is
+          row-exact precisely because the value is file-constant).
+          ``WHERE part_col = 'x'`` on a 100 TB table is thus a pure
+          manifest fold, like Iceberg's agg pushdown under a
+          partition predicate.
 
         MIN/MAX ignore per-file all-null ranges (NULL min) exactly as
         SQL's aggregates ignore NULL rows; a global COUNT(*) on an
@@ -1853,6 +1864,43 @@ class Table:
             if col not in by_name:
                 raise MetadataAggregateUnsupported(f"no column {col!r}")
 
+        # ``where``: over-approximate the referenced columns by word
+        # match (an extra column only tightens the checks below, never
+        # loosens them), then let Spark's OWN analyzer decide whether
+        # the predicate resolves against file-constant columns alone —
+        # no hand-rolled expression walker
+        refd: list[str] = []
+        if where is not None:
+            import re as _re
+
+            refd = [
+                c
+                for c in by_name
+                if _re.search(
+                    rf"(?<![A-Za-z0-9_`]){_re.escape(c)}(?![A-Za-z0-9_`])",
+                    where,
+                )
+            ]
+            probe = spark.createDataFrame(
+                [],
+                T.StructType(
+                    [by_name[c] for c in refd]
+                    # column-free predicates (WHERE 1=1) still need a
+                    # relation to resolve against
+                    or [T.StructField("_probe_", T.IntegerType())]
+                ),
+            )
+            try:
+                probe.filter(F.expr(where)).schema  # parse + resolve
+            except Exception as e:
+                raise MetadataAggregateUnsupported(
+                    f"predicate {where!r} is not decidable from "
+                    f"file-constant columns alone: {e}"
+                ) from None
+        const_cols = list(group_by) + [
+            c for c in refd if c not in group_by
+        ]
+
         val_cols = sorted(set(min_of) | set(max_of) | set(count_of))
         rows = []
         for i, f in enumerate(snap.files):
@@ -1870,7 +1918,7 @@ class Table:
                 if "=" in part:
                     k, v = part.split("=", 1)
                     seg[k] = v
-            for col in group_by:
+            for col in const_cols:
                 raw = None
                 for nm in names_for(col):
                     if nm in seg:
@@ -1890,8 +1938,8 @@ class Table:
                 )
                 if ent is None:
                     raise MetadataAggregateUnsupported(
-                        f"group column {col!r} has no partition segment"
-                        f" or stats in {f!r}"
+                        f"group/where column {col!r} has no partition"
+                        f" segment or stats in {f!r}"
                     )
                 lo, hi, nulls, n = ent
                 if nulls == 0 and lo is not None and lo == hi:
@@ -1900,7 +1948,8 @@ class Table:
                     row.append(None)
                 else:
                     raise MetadataAggregateUnsupported(
-                        f"group column {col!r} is not constant in {f!r}"
+                        f"group/where column {col!r} is not constant"
+                        f" in {f!r}"
                     )
             for col in val_cols:
                 ent = next(
@@ -1918,7 +1967,7 @@ class Table:
             T.StructField("_fidx", T.IntegerType(), False),
             T.StructField("_rows", T.LongType(), False),
         ]
-        for col in group_by:
+        for col in const_cols:
             fields.append(T.StructField(f"_g_{col}", T.StringType()))
         for col in val_cols:
             fields += [
@@ -1937,7 +1986,7 @@ class Table:
         # refuse on ANY unparseable recorded value (raw non-null but
         # cast null) — manifest-sized probe, exact-or-bail contract
         bad = F.lit(False)
-        for col in group_by:
+        for col in const_cols:
             bad = bad | (
                 F.col(f"_g_{col}").isNotNull()
                 & typed(f"_g_{col}", col).isNull()
@@ -1955,7 +2004,7 @@ class Table:
             )
 
         sel = [F.col("_rows")]
-        for col in group_by:
+        for col in const_cols:
             sel.append(typed(f"_g_{col}", col).alias(col))
         for col in val_cols:
             sel += [
@@ -1964,6 +2013,11 @@ class Table:
                 F.col(f"_nn_{col}"),
             ]
         t = mdf.select(*sel)
+        if where is not None:
+            # per-FILE evaluation with Spark's exact SQL semantics:
+            # false or NULL drops the whole file — row-exact because
+            # every kept column is file-constant
+            t = t.filter(F.expr(where))
 
         aggs = []
         if count_alias is not None:

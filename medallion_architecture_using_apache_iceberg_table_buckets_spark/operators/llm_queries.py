@@ -2536,7 +2536,9 @@ def metadata_agg_pushdown(spark, sf_dir):
     all proves the metadata path, and the oracle proves it agrees
     with a real scan. Two commits per partition make the fold span
     multiple files; group values come from the identity-partition
-    path segments."""
+    path segments, and the WHERE predicate (also answered from the
+    manifest — file-constant columns only) drops two partitions
+    before the fold."""
     import tempfile
 
     from ..lakehouse import Catalog
@@ -2557,6 +2559,7 @@ def metadata_agg_pushdown(spark, sf_dir):
     assert len(t.current_snapshot().files) > 5  # fold spans many files
     return t.metadata_aggregate(
         spark,
+        where="o_orderpriority IN ('1-URGENT', '2-HIGH', '5-LOW')",
         group_by=["o_orderpriority"],
         count_alias="n_orders",
         min_of={"o_orderdate": "min_date"},

@@ -197,3 +197,82 @@ def test_sql_count_star_peephole(spark, cat, tmp_path):
     assert out.collect()[0][0] == 5
     out = sess.sql("select count(*) as total from m.s")
     assert out.columns == ["total"] and out.collect()[0][0] == 5
+
+
+def test_where_partition_predicate_metadata_only(spark, cat):
+    df = _frame(spark)
+    t = cat.create_table("m", "w", df.schema, partition_by=["k"])
+    t.append(df)
+    t.append(df.where("k = 'a'"))  # second file for partition a
+
+    # the proof again: wipe every data byte first
+    for f in t.current_snapshot().files:
+        os.remove(t.data_root / f)
+
+    def agg(where):
+        return t.metadata_aggregate(
+            spark, where=where, count_alias="n", max_of={"price": "hi"}
+        ).collect()[0]
+
+    r = agg("k = 'a'")
+    assert (r["n"], r["hi"]) == (4, 1.5)
+    # SQL null semantics per file: NULL predicate drops the file,
+    # IS NULL keeps the all-null partition
+    assert agg("k IS NULL")["n"] == 1
+    assert agg("k = 'a' OR k IS NULL")["n"] == 5
+    assert agg("k IN ('b')")["n"] == 2
+    assert agg("upper(k) = 'A'")["n"] == 4  # full expression semantics
+    assert agg("1 = 0")["n"] == 0 and agg("1 = 0")["hi"] is None
+
+    # grouped + filtered in one fold
+    got = {
+        (r["k"], r["n"])
+        for r in t.metadata_aggregate(
+            spark, where="k IS NOT NULL", group_by=["k"], count_alias="n"
+        ).collect()
+    }
+    assert got == {("a", 4), ("b", 2)}
+
+
+def test_where_refusals(spark, cat):
+    df = _frame(spark)
+    t = cat.create_table("m", "wr", df.schema, partition_by=["k"])
+    # one file per partition dir, so k=a's file holds v in {10, NULL}
+    # — genuinely not file-constant (an unforced write can land one
+    # row per file, where ANY predicate is trivially file-decidable)
+    t.append(df.repartition(1))
+    # v is not file-constant -> not decidable per file
+    with pytest.raises(MetadataAggregateUnsupported):
+        t.metadata_aggregate(spark, where="v > 6", count_alias="n")
+    # unknown column -> analyzer refuses
+    with pytest.raises(MetadataAggregateUnsupported):
+        t.metadata_aggregate(spark, where="nope = 1", count_alias="n")
+    # unparseable -> refused, not crashed
+    with pytest.raises(MetadataAggregateUnsupported):
+        t.metadata_aggregate(spark, where="k ===", count_alias="n")
+
+
+def test_sql_count_star_where_peephole(spark, cat):
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.lakehouse.sql import (
+        SqlSession,
+    )
+
+    sess = SqlSession(spark, cat)
+    sess.sql("CREATE NAMESPACE m")
+    sess.sql("USE m")
+    df = _frame(spark)
+    t = cat.create_table("m", "sw", df.schema, partition_by=["k"])
+    t.append(df)
+    for f in t.current_snapshot().files:
+        os.remove(t.data_root / f)
+    # partition predicate: answered from the manifest after the wipe
+    assert (
+        sess.sql("SELECT COUNT(*) FROM sw WHERE k = 'b'").collect()[0][0]
+        == 2
+    )
+    assert (
+        sess.sql(
+            "SELECT COUNT(*) AS n FROM sw WHERE k IS NULL"
+        ).collect()[0]["n"]
+        == 1
+    )
