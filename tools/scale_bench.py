@@ -135,6 +135,12 @@ QUERIES = {
     "text_cdc_chunks": L.text_cdc_chunks,
     "dedup_cdc_chunk_pairs": L.dedup_cdc_chunk_pairs,
     "dedup_keep_best_quality": L.dedup_keep_best_quality,
+    # builds a partitioned lakehouse table from orders (two appends)
+    # then answers the filtered+grouped aggregate from the manifest:
+    # the measured factor is the WRITE's (data-linear); the aggregate
+    # itself is O(#files) manifest work on a frame that never touches
+    # data bytes
+    "metadata_agg_pushdown": L.metadata_agg_pushdown,
 }
 
 
