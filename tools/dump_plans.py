@@ -366,6 +366,15 @@ def llm_queries_section():
             "corpus-sized (query, vec) partial-sum shuffle as the raw "
             "path.",
         ),
+        "metadata_agg_pushdown": (
+            L.metadata_agg_pushdown,
+            "Aggregate pushdown: the plan aggregates a "
+            "createDataFrame manifest frame (one row per live data "
+            "file) — no parquet scan node anywhere; WHERE and "
+            "GROUP BY evaluate on file-constant typed columns, so "
+            "the whole query is O(#files) regardless of table "
+            "bytes.",
+        ),
     }
 
 
