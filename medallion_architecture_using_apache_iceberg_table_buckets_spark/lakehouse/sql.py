@@ -62,23 +62,30 @@ _CTAS = re.compile(
     r"AS\s+((?:SELECT|WITH)\b.+)$",
     re.I | re.S,
 )
-# aggregate pushdown peephole: SELECT COUNT(*) FROM <table>
-# [WHERE <pred>] (no GROUP BY / JOIN / subquery) is answered from
-# manifest statistics when exact — Iceberg's aggregate-push-down;
-# anything else (or an unsupported snapshot state / a predicate not
-# decidable from file-constant columns) falls through to the normal
-# scan path
-_COUNT_STAR = re.compile(
-    r"^\s*SELECT\s+COUNT\s*\(\s*\*\s*\)\s*"
-    r"(?:AS\s+`?(\w+)`?\s*)?FROM\s+([\w.]+)"
+# aggregate pushdown peephole: SELECT <agg>[, <agg> ...] FROM
+# <table> [WHERE <pred>] where every select item is COUNT(*) /
+# COUNT(col) / MIN(col) / MAX(col) (no GROUP BY / JOIN / subquery)
+# is answered from manifest statistics when exact — Iceberg's
+# aggregate-push-down surface; anything else (or an unsupported
+# snapshot state / a predicate not decidable from file-constant
+# columns) falls through to the normal scan path
+_AGG_ONLY = re.compile(
+    r"^\s*SELECT\s+(.+?)\s*FROM\s+([\w.]+)"
     r"(?:\s+WHERE\s+(.+?))?\s*$",
     re.I | re.S,
 )
-# any of these inside the captured WHERE tail means the statement is
-# NOT the simple shape (conservative: peephole declines, scan path
-# answers — always correct, never required)
-_COUNT_STAR_VETO = re.compile(
-    r"\b(GROUP|ORDER|LIMIT|HAVING|JOIN|UNION|SELECT|WINDOW)\b", re.I
+_AGG_ITEM = re.compile(
+    r"^(COUNT|MIN|MAX)\s*\(\s*(\*|`?\w+`?)\s*\)"
+    r"(?:\s+AS\s+`?(\w+)`?)?$",
+    re.I,
+)
+# any of these inside the captured select list or WHERE tail means
+# the statement is NOT the simple shape (conservative: peephole
+# declines, scan path answers — always correct, never required)
+_AGG_VETO = re.compile(
+    r"\b(GROUP|ORDER|LIMIT|HAVING|JOIN|UNION|SELECT|WINDOW|"
+    r"DISTINCT)\b",
+    re.I,
 )
 # ``SELECT * FROM <table>.history`` — the reference's own silver job
 # statement (scripts/bronze-silver.py:119). Matched only right after
@@ -437,8 +444,8 @@ class SqlSession:
             return self._empty()
         if _MERGE_HEAD.match(s):
             return self._merge(s)
-        if m := _COUNT_STAR.match(s):
-            out = self._count_star_meta(m)
+        if m := _AGG_ONLY.match(s):
+            out = self._agg_meta(m)
             if out is not None:
                 return out
         # everything else (SELECT / WITH / ...) runs on Spark SQL with
@@ -446,29 +453,64 @@ class SqlSession:
         self._attach_current()
         return self.spark.sql(self._rewrite_refs(s))
 
-    def _count_star_meta(self, m: re.Match) -> DataFrame | None:
-        """Metadata-only COUNT(*) when the target is a lakehouse table
-        and the snapshot state allows an exact answer; None = let the
-        normal Spark-SQL scan path handle it. The column is named
-        exactly as Spark's own ``count(*)`` so both paths are
-        indistinguishable to the caller."""
+    def _agg_meta(self, m: re.Match) -> DataFrame | None:
+        """Metadata-only COUNT(*)/COUNT(col)/MIN/MAX select when the
+        target is a lakehouse table and the snapshot state allows an
+        exact answer; None = let the normal Spark-SQL scan path
+        handle it. Default column names are exactly Spark's own
+        (``count(1)``, ``min(x)``, ...) so both paths are
+        indistinguishable to the caller, and the output keeps
+        select-list order."""
         from .table import MetadataAggregateUnsupported
 
-        where = m.group(3)
-        if where is not None and _COUNT_STAR_VETO.search(where):
+        sel, tbl, where = m.group(1), m.group(2), m.group(3)
+        if _AGG_VETO.search(sel) or (
+            where is not None and _AGG_VETO.search(where)
+        ):
             return None
-        known = self._known(m.group(2))
+        count_alias: str | None = None
+        min_of: dict[str, str] = {}
+        max_of: dict[str, str] = {}
+        count_of: dict[str, str] = {}
+        ordered: list[str] = []
+        # top-level comma split is safe: every accepted item takes a
+        # single identifier argument, so no nested commas exist
+        for item in sel.split(","):
+            im = _AGG_ITEM.match(item.strip())
+            if im is None:
+                return None
+            fn = im.group(1).upper()
+            arg = im.group(2).strip("`")
+            alias = im.group(3)
+            if arg == "*":
+                if fn != "COUNT" or count_alias is not None:
+                    return None
+                count_alias = alias or "count(1)"
+                ordered.append(count_alias)
+                continue
+            book = {"COUNT": count_of, "MIN": min_of, "MAX": max_of}[fn]
+            if arg in book:
+                return None  # duplicate aggregate: not worth special-casing
+            book[arg] = alias or f"{fn.lower()}({arg})"
+            ordered.append(book[arg])
+        if len(set(ordered)) != len(ordered):
+            return None  # colliding output names: let Spark SQL decide
+        known = self._known(tbl)
         if known is None:
             return None
         ns, name = known
         try:
-            return self.catalog.table(ns, name).metadata_aggregate(
+            out = self.catalog.table(ns, name).metadata_aggregate(
                 self.spark,
                 where=where,
-                count_alias=m.group(1) or "count(1)",
+                count_alias=count_alias,
+                min_of=min_of,
+                max_of=max_of,
+                count_of=count_of,
             )
         except MetadataAggregateUnsupported:
             return None
+        return out.select(*[f"`{c}`" for c in ordered])
 
     # -- CREATE TABLE --------------------------------------------------
     def _create_table(self, m) -> DataFrame:

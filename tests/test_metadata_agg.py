@@ -276,3 +276,39 @@ def test_sql_count_star_where_peephole(spark, cat):
         ).collect()[0]["n"]
         == 1
     )
+
+
+def test_sql_min_max_count_peephole(spark, cat):
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.lakehouse.sql import (
+        SqlSession,
+    )
+
+    sess = SqlSession(spark, cat)
+    sess.sql("CREATE NAMESPACE m")
+    sess.sql("USE m")
+    df = _frame(spark)
+    t = cat.create_table("m", "mm", df.schema, partition_by=["k"])
+    t.append(df)
+
+    # string MIN is stats-ineligible -> metadata path refuses -> the
+    # scan path answers (data still present here)
+    assert sess.sql("SELECT min(k) FROM mm").collect()[0][0] == "a"
+
+    for f in t.current_snapshot().files:
+        os.remove(t.data_root / f)
+
+    out = sess.sql(
+        "SELECT max(price) AS hi, COUNT(*), min(d), count(v) AS nv "
+        "FROM mm WHERE k IS NOT NULL"
+    )
+    # select-list order and Spark-identical default names
+    assert out.columns == ["hi", "count(1)", "min(d)", "nv"]
+    r = out.collect()[0]
+    assert (r["hi"], r["count(1)"], r["nv"]) == (99.125, 4, 3)
+    assert r["min(d)"] == datetime.date(2024, 1, 1)
+
+    # single MIN/MAX also rides the metadata path (data is gone;
+    # non-aggregate shapes keep falling to the scan path, covered by
+    # the pre-wipe passthrough in test_sql_count_star_peephole)
+    out2 = sess.sql("SELECT max(price) AS hi FROM mm")
+    assert out2.collect()[0]["hi"] == 99.125
