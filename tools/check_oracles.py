@@ -61,10 +61,14 @@ def canon(rows, cols):
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
+    # MIRROR.log is the FULL-registry artifact; a subset run (or a
+    # mistyped invocation) must never truncate it — those default to
+    # a side log unless MIRROR_LOG points elsewhere explicitly
+    default_name = "MIRROR.log" if not only else "MIRROR.subset.log"
     log_path = os.environ.get(
         "MIRROR_LOG",
         os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "MIRROR.log"),
+            os.path.abspath(__file__))), default_name),
     )
     log_fh = open(log_path, "w")
 
