@@ -25,6 +25,7 @@ from __future__ import annotations
 import re
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .catalog import Catalog
 from .merge import merge_into
@@ -62,16 +63,18 @@ _CTAS = re.compile(
     r"AS\s+((?:SELECT|WITH)\b.+)$",
     re.I | re.S,
 )
-# aggregate pushdown peephole: SELECT <agg>[, <agg> ...] FROM
-# <table> [WHERE <pred>] where every select item is COUNT(*) /
-# COUNT(col) / MIN(col) / MAX(col) (no GROUP BY / JOIN / subquery)
-# is answered from manifest statistics when exact — Iceberg's
-# aggregate-push-down surface; anything else (or an unsupported
-# snapshot state / a predicate not decidable from file-constant
-# columns) falls through to the normal scan path
+# aggregate pushdown peephole: SELECT <item>[, <item> ...] FROM
+# <table> [WHERE <pred>] [GROUP BY <cols>] where every item is
+# COUNT(*) / COUNT(col) / MIN(col) / MAX(col) or a GROUP BY column
+# (no JOIN / subquery / ORDER / HAVING) is answered from manifest
+# statistics when exact — Iceberg's aggregate-push-down surface;
+# anything else (or an unsupported snapshot state / a predicate or
+# grouping not decidable from file-constant columns) falls through
+# to the normal scan path
 _AGG_ONLY = re.compile(
     r"^\s*SELECT\s+(.+?)\s*FROM\s+([\w.]+)"
-    r"(?:\s+WHERE\s+(.+?))?\s*$",
+    r"(?:\s+WHERE\s+(.+?))?"
+    r"(?:\s+GROUP\s+BY\s+((?:`?\w+`?)(?:\s*,\s*`?\w+`?)*))?\s*$",
     re.I | re.S,
 )
 _AGG_ITEM = re.compile(
@@ -79,6 +82,9 @@ _AGG_ITEM = re.compile(
     r"(?:\s+AS\s+`?(\w+)`?)?$",
     re.I,
 )
+# a bare (optionally aliased) column in the select list — legal only
+# when it also appears in GROUP BY
+_BARE_COL = re.compile(r"^`?(\w+)`?(?:\s+AS\s+`?(\w+)`?)?$", re.I)
 # any of these inside the captured select list or WHERE tail means
 # the statement is NOT the simple shape (conservative: peephole
 # declines, scan path answers — always correct, never required)
@@ -454,46 +460,63 @@ class SqlSession:
         return self.spark.sql(self._rewrite_refs(s))
 
     def _agg_meta(self, m: re.Match) -> DataFrame | None:
-        """Metadata-only COUNT(*)/COUNT(col)/MIN/MAX select when the
-        target is a lakehouse table and the snapshot state allows an
-        exact answer; None = let the normal Spark-SQL scan path
-        handle it. Default column names are exactly Spark's own
-        (``count(1)``, ``min(x)``, ...) so both paths are
-        indistinguishable to the caller, and the output keeps
-        select-list order."""
+        """Metadata-only COUNT(*)/COUNT(col)/MIN/MAX select —
+        optionally GROUP BY file-constant columns — when the target
+        is a lakehouse table and the snapshot state allows an exact
+        answer; None = let the normal Spark-SQL scan path handle it.
+        Default column names are exactly Spark's own (``count(1)``,
+        ``min(x)``, ...) so both paths are indistinguishable to the
+        caller, and the output keeps select-list order."""
         from .table import MetadataAggregateUnsupported
 
-        sel, tbl, where = m.group(1), m.group(2), m.group(3)
+        sel, tbl, where, grp = (
+            m.group(1), m.group(2), m.group(3), m.group(4),
+        )
         if _AGG_VETO.search(sel) or (
             where is not None and _AGG_VETO.search(where)
         ):
+            return None
+        group_cols = (
+            [g.strip().strip("`") for g in grp.split(",")] if grp else []
+        )
+        if len(set(group_cols)) != len(group_cols):
             return None
         count_alias: str | None = None
         min_of: dict[str, str] = {}
         max_of: dict[str, str] = {}
         count_of: dict[str, str] = {}
-        ordered: list[str] = []
+        n_aggs = 0
+        ordered: list[tuple[str, str]] = []  # (source col, output name)
         # top-level comma split is safe: every accepted item takes a
         # single identifier argument, so no nested commas exist
         for item in sel.split(","):
-            im = _AGG_ITEM.match(item.strip())
-            if im is None:
+            item = item.strip()
+            if im := _AGG_ITEM.match(item):
+                fn = im.group(1).upper()
+                arg = im.group(2).strip("`")
+                alias = im.group(3)
+                n_aggs += 1
+                if arg == "*":
+                    if fn != "COUNT" or count_alias is not None:
+                        return None
+                    count_alias = alias or "count(1)"
+                    ordered.append((count_alias, count_alias))
+                    continue
+                book = {"COUNT": count_of, "MIN": min_of, "MAX": max_of}[fn]
+                if arg in book:
+                    return None  # duplicate aggregate: not worth the case
+                book[arg] = alias or f"{fn.lower()}({arg})"
+                ordered.append((book[arg], book[arg]))
+            elif bm := _BARE_COL.match(item):
+                col, alias = bm.group(1), bm.group(2)
+                if col not in group_cols:
+                    return None  # not grouped: let Spark SQL error out
+                ordered.append((col, alias or col))
+            else:
                 return None
-            fn = im.group(1).upper()
-            arg = im.group(2).strip("`")
-            alias = im.group(3)
-            if arg == "*":
-                if fn != "COUNT" or count_alias is not None:
-                    return None
-                count_alias = alias or "count(1)"
-                ordered.append(count_alias)
-                continue
-            book = {"COUNT": count_of, "MIN": min_of, "MAX": max_of}[fn]
-            if arg in book:
-                return None  # duplicate aggregate: not worth special-casing
-            book[arg] = alias or f"{fn.lower()}({arg})"
-            ordered.append(book[arg])
-        if len(set(ordered)) != len(ordered):
+        if n_aggs == 0:
+            return None  # pure DISTINCT shape: scan path's business
+        if len({out for _, out in ordered}) != len(ordered):
             return None  # colliding output names: let Spark SQL decide
         known = self._known(tbl)
         if known is None:
@@ -503,6 +526,7 @@ class SqlSession:
             out = self.catalog.table(ns, name).metadata_aggregate(
                 self.spark,
                 where=where,
+                group_by=group_cols,
                 count_alias=count_alias,
                 min_of=min_of,
                 max_of=max_of,
@@ -510,7 +534,9 @@ class SqlSession:
             )
         except MetadataAggregateUnsupported:
             return None
-        return out.select(*[f"`{c}`" for c in ordered])
+        return out.select(
+            *[F.col(f"`{src}`").alias(dst) for src, dst in ordered]
+        )
 
     # -- CREATE TABLE --------------------------------------------------
     def _create_table(self, m) -> DataFrame:

@@ -312,3 +312,40 @@ def test_sql_min_max_count_peephole(spark, cat):
     # the pre-wipe passthrough in test_sql_count_star_peephole)
     out2 = sess.sql("SELECT max(price) AS hi FROM mm")
     assert out2.collect()[0]["hi"] == 99.125
+
+
+def test_sql_group_by_peephole(spark, cat):
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.lakehouse.sql import (
+        SqlSession,
+    )
+
+    sess = SqlSession(spark, cat)
+    sess.sql("CREATE NAMESPACE m")
+    sess.sql("USE m")
+    df = _frame(spark)
+    t = cat.create_table("m", "gb", df.schema, partition_by=["k"])
+    t.append(df)
+    for f in t.current_snapshot().files:
+        os.remove(t.data_root / f)
+
+    out = sess.sql(
+        "SELECT k AS grp, COUNT(*) AS n, max(price) "
+        "FROM gb WHERE k IS NOT NULL GROUP BY k"
+    )
+    assert out.columns == ["grp", "n", "max(price)"]
+    got = {(r["grp"], r["n"], r["max(price)"]) for r in out.collect()}
+    assert got == {("a", 2, 1.5), ("b", 2, 99.125)}
+
+    # the partition-stats classic: group col not in select still fine
+    n = sess.sql("SELECT COUNT(*) FROM gb GROUP BY k").collect()
+    assert sorted(r[0] for r in n) == [1, 2, 2]
+
+    # this unforced write landed one row per file, so even the
+    # non-partition column v is file-constant and the stats-range
+    # grouper answers it exactly (data bytes are gone — only the
+    # metadata path can)
+    got_v = {
+        (r[0], r[1])
+        for r in sess.sql("SELECT v, COUNT(*) FROM gb GROUP BY v").collect()
+    }
+    assert got_v == {(10, 1), (None, 1), (7, 1), (42, 1), (5, 1)}
