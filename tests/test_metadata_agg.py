@@ -349,3 +349,68 @@ def test_sql_group_by_peephole(spark, cat):
         for r in sess.sql("SELECT v, COUNT(*) FROM gb GROUP BY v").collect()
     }
     assert got_v == {(10, 1), (None, 1), (7, 1), (42, 1), (5, 1)}
+
+
+def test_randomized_against_scan(spark, cat):
+    """Randomized cross-check: random frames, layouts, and aggregate
+    specs — whenever the metadata path ANSWERS, it must equal the
+    real scan exactly; refusing (MetadataAggregateUnsupported) is
+    always a legal outcome. Deterministic seed, same policy as the
+    tokenizer/CDC randomized suites."""
+    import random
+
+    rng = random.Random(20260815)
+    df_all = None
+    for trial in range(6):
+        n = rng.randint(1, 40)
+        rows = [
+            (
+                rng.choice(["x", "y", "z", None]),
+                rng.choice([rng.randint(-50, 50), None]),
+                rng.choice([round(rng.uniform(-9, 9), 3), None]),
+            )
+            for _ in range(n)
+        ]
+        df = spark.createDataFrame(rows, "k string, v int, p double")
+        part = rng.choice([[], ["k"]])
+        t = cat.create_table(
+            "m", f"rand{trial}", df.schema, partition_by=part
+        )
+        # 1-2 commits, sometimes coalesced so files hold several rows
+        for piece in range(rng.randint(1, 2)):
+            chunk = df.filter(F.col("v").isNull() | (F.col("v") % 2 == piece))
+            if rng.random() < 0.5:
+                chunk = chunk.coalesce(1)
+            t.append(chunk)
+        where = rng.choice(
+            [None, "k = 'x'", "k IS NOT NULL", "v >= 0", "p < 1.5"]
+        )
+        group = rng.choice([[], ["k"]])
+        try:
+            got = t.metadata_aggregate(
+                spark,
+                where=where,
+                group_by=group,
+                count_alias="n",
+                min_of={"v": "lo"},
+                max_of={"p": "hi"},
+                count_of={"p": "np"},
+            ).collect()
+        except MetadataAggregateUnsupported:
+            continue  # bail is always correct
+        base = t.read(spark)
+        if where:
+            base = base.filter(where)
+        agg = [
+            F.count(F.lit(1)).alias("n"),
+            F.min("v").alias("lo"),
+            F.max("p").alias("hi"),
+            F.count("p").alias("np"),
+        ]
+        exp = (
+            base.groupBy(*group).agg(*agg) if group else base.agg(*agg)
+        ).collect()
+        key = lambda r: tuple(repr(x) for x in r)
+        assert sorted(map(key, got)) == sorted(map(key, exp)), (
+            trial, where, group, got, exp,
+        )
