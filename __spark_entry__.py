@@ -95,6 +95,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Tail (51+): remaining r05-window entries in current order
     # (ann_recall_at_k ..), then the 50 round-6-window entries (all
     # driver-green r06 on current code).
+    #
+    # r08 window plan (execute at round-8 start, AFTER re-counting
+    # against CORRECTNESS_r07 and any r07 verdict instructions):
+    #   1-N  = round-8 additions as they land (never checked);
+    #   then = any r07-window entry whose driver row did NOT land
+    #          green in CORRECTNESS_r07 (expected none — all 19 r07
+    #          additions pre-checked 19/19 at sf0.01,
+    #          MIRROR_r07_window_sf0.01.log);
+    #   rest = continue the age-order refresh from the sixteen
+    #          waiting r04 entries (join_full_outer_spend,
+    #          agg_rollup_orders .. set_except_nonbuyers), then the
+    #          oldest r05-window tail entries (ann_recall_at_k ..).
+    # Re-count positions so the window is exactly 50; keep inserting
+    # new queries right after the newest NEW block.
     return {
         # --- (1-7) never-driver-checked round-6 additions ---
         "multimodal_decode_png": L.multimodal_decode_png,
