@@ -169,6 +169,21 @@ def test_survives_column_rename(spark, cat):
     ).collect()[0]
     assert (row["n"], row["lo"], row["hi"]) == (5, -2.25, 99.125)
 
+    # a WHERE on a renamed file-constant column rides the same
+    # names_for() physical-name history: the files' stats are keyed
+    # under the old name 'g', the predicate says 'grp'
+    df2 = spark.createDataFrame(
+        [(g, i) for g in (1, 2) for i in range(3)], "g int, x int"
+    )
+    t2 = cat.create_table("m", "rnw", df2.schema)
+    for g in (1, 2):
+        t2.append(df2.where(F.col("g") == g).repartition(1))
+    t2.rename_column("g", "grp")
+    row = t2.metadata_aggregate(
+        spark, where="grp = 1", count_alias="n"
+    ).collect()[0]
+    assert row["n"] == 3
+
 
 def test_sql_count_star_peephole(spark, cat, tmp_path):
     from medallion_architecture_using_apache_iceberg_table_buckets_spark.lakehouse.sql import (
