@@ -423,3 +423,24 @@ def test_partitioned_delete_does_not_cross_partitions(spark, tmp_path):
     t.delete_where(spark, "id = 1")  # position 0 of partition 'a' only
     got = {r["id"] for r in t.read(spark).collect()}
     assert got == {2, 3, 4, 5}, got
+
+
+def test_partitioned_mor_update_does_not_cross_partitions(spark, tmp_path):
+    """Same cross-partition hazard as the DELETE regression, through
+    the UPDATE path: position-deletes + replacement appends in one
+    commit must only touch the matched rows even when every partition
+    dir shares a part name from the single-task write."""
+    cat = Catalog(tmp_path / "wh")
+    t = cat.create_table(
+        "d", "t", SCHEMA, partition_by=["part"],
+        properties={"write.update.mode": "merge-on-read"},
+    )
+    t.append(
+        make(spark, [(1, "a", "x1"), (2, "b", "x2"), (3, "c", "x3"),
+                     (4, "a", "y1"), (5, "b", "y2")]).coalesce(1)
+    )
+    t.update_where(spark, {"v": "'upd'"}, "id = 1")
+    got = {(r["id"], r["v"]) for r in t.read(spark).collect()}
+    assert got == {(1, "upd"), (2, "x2"), (3, "x3"), (4, "y1"), (5, "y2")}
+    for s in t.snapshots():
+        assert not s.removed_files  # MOR: no data file rewritten
