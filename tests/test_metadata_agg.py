@@ -429,3 +429,36 @@ def test_randomized_against_scan(spark, cat):
         assert sorted(map(key, got)) == sorted(map(key, exp)), (
             trial, where, group, got, exp,
         )
+
+
+def test_across_partition_spec_evolution(spark, cat):
+    """Per-file group-value resolution spans spec generations. For a
+    stats-eligible group type (int), files written under the old spec
+    carry the value as a path segment and files written after
+    evolve_partition_spec([]) resolve it from the constant stats
+    range — one fold mixes both sources. A STRING group column only
+    resolves from segments (string stats are truncation-hazardous by
+    design), so the same evolution on a string-partitioned table
+    refuses once segment-less files exist."""
+    df = spark.createDataFrame(
+        [(g, i) for g in (1, 2) for i in range(2)], "g int, x int"
+    )
+    t = cat.create_table("m", "ev", df.schema, partition_by=["g"])
+    t.append(df.where("g = 1"))            # path-segment generation
+    t.evolve_partition_spec([])
+    t.append(df.where("g = 2").repartition(1))  # stats generation
+    got = {
+        (r["g"], r["n"])
+        for r in t.metadata_aggregate(
+            spark, group_by=["g"], count_alias="n"
+        ).collect()
+    }
+    assert got == {(1, 2), (2, 2)}
+
+    sdf = _frame(spark)
+    ts = cat.create_table("m", "evs", sdf.schema, partition_by=["k"])
+    ts.append(sdf.where("k = 'a'"))
+    ts.evolve_partition_spec([])
+    ts.append(sdf.where("k = 'b'").repartition(1))
+    with pytest.raises(MetadataAggregateUnsupported):
+        ts.metadata_aggregate(spark, group_by=["k"], count_alias="n")
