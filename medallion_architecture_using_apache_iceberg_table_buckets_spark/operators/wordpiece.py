@@ -153,14 +153,24 @@ def wordpiece_learn(
     df: DataFrame,
     text_col: str = "text",
     num_merges: int = 6,
+    word_table: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Learn ``num_merges`` likelihood-scored merges. Returns
     ``(merges_df, final_word_table)`` where merges_df has one row per
     merge: (rank, left, right, merged, pair_count, left_count,
     right_count) — exact integers only; the score that ordered the
     round is pair_count / (left_count * right_count), reconstructible
-    from the row."""
-    wf = wp_word_table(df, text_col).localCheckpoint()
+    from the row.
+
+    ``word_table`` lets a caller that already built the
+    ``wp_word_table`` pass it in so the corpus is tokenized exactly
+    once (the BM25 single-pass rule: at scale the corpus pass
+    dominates and the word table is the cheap part)."""
+    wf = (
+        word_table
+        if word_table is not None
+        else wp_word_table(df, text_col).localCheckpoint()
+    )
     merges = []
     for rank in range(1, num_merges + 1):
         uni = _sym_counts(wf)
@@ -261,7 +271,9 @@ def wordpiece_segment_corpus(
     are [UNK] (BERT's max_input_chars_per_word rule)."""
     spark = df.sparkSession
     seed = wp_word_table(df, text_col).localCheckpoint()
-    merges_df, _ = wordpiece_learn(spark, df, text_col, num_merges)
+    merges_df, _ = wordpiece_learn(
+        spark, df, text_col, num_merges, word_table=seed
+    )
     merged = [r["merged"] for r in merges_df.collect()]
     vocab = set(_vocab(seed, merged))
     word_pieces = _greedy_pieces(seed.select("word", "c"), vocab).select(

@@ -103,3 +103,19 @@ def test_wordpiece_segment_corpus_contract(spark):
     assert out[3]["n_words"] == 0 and out[3]["n_tokens"] == 0
     # order-sensitive fingerprint
     assert out[1]["token_fp"] != out[4]["token_fp"]
+
+
+def test_wordpiece_learn_single_corpus_pass(spark):
+    """With a precomputed word table, wordpiece_learn never touches
+    the corpus DataFrame — segment_corpus therefore tokenizes the
+    corpus exactly once (the BM25 single-pass rule). df=None would
+    raise on any attempt to rebuild the word table."""
+    df = spark.createDataFrame(
+        [(i, "banana band") for i in range(5)], "doc_id long, text string"
+    )
+    seed = wp_word_table(df).localCheckpoint()
+    merges, _ = wordpiece_learn(spark, None, num_merges=2, word_table=seed)
+    ref, _ = wordpiece_learn(spark, df, num_merges=2)
+    assert [tuple(r) for r in merges.collect()] == [
+        tuple(r) for r in ref.collect()
+    ]
