@@ -110,7 +110,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Re-count positions so the window is exactly 50; keep inserting
     # new queries right after the newest NEW block.
     return {
-        # --- (1-7) never-driver-checked round-6 additions ---
+        # ======== round-8 window ========
+        # --- (1-N) NEW in round 8 (never driver-checked) ---
+        "metadata_agg_mor_count": L.metadata_agg_mor_count,
+        # --- round-7 window entries (ALL driver-green r07) now in
+        # the refresh rotation; r04/r05-vintage refreshes follow the
+        # new block (window recounted to exactly 50 at round end) ---
         "multimodal_decode_png": L.multimodal_decode_png,
         "text_ngram_lm_score": L.text_ngram_lm_score,
         "ann_ivfpq_topk": L.ann_ivfpq_topk,
@@ -2812,6 +2817,18 @@ def oracle_sql() -> dict[str, str]:
                      ORDER BY quality_score DESC, doc_id) = 1 AS INTEGER)
                      AS keep
             FROM labeled
+        """,
+        # COUNT(*) under MOR position deletes: the query deletes every
+        # data byte (delete files included) before aggregating, so the
+        # per-priority live counts can only come from the manifest's
+        # per-target delete counts; the oracle recomputes the same
+        # live set from the raw table
+        "metadata_agg_mor_count": """
+            SELECT o_orderpriority, count(*) AS n_live
+            FROM orders
+            WHERE NOT (o_orderkey % 7 = 0 OR o_orderkey % 2 = 0)
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
         """,
         # metadata_agg_pushdown answers from manifest stats; the
         # oracle is the equivalent real scan — agreeing proves the

@@ -149,6 +149,30 @@ _STATS_TYPES = (
 )
 
 
+def _is_float_nan(v) -> bool:
+    import math
+
+    return isinstance(v, float) and math.isnan(v)
+
+
+def _delete_file_stats(path: Path) -> dict:
+    """Manifest record for a POSITION-delete file: total delete rows
+    and the per-target-data-file breakdown (by the basename the
+    delete rows store). Read ONCE at commit — O(rows in the delete
+    file), i.e. proportional to the delete itself — so COUNT(*)
+    under MOR deletes stays a zero-IO manifest fold at query time."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(path, columns=["file_name"])
+    counts = collections.Counter(tbl.column("file_name").to_pylist())
+    return {
+        ":rows:": tbl.num_rows,
+        ":by_target:": {k: int(v) for k, v in counts.items()},
+    }
+
+
 def _file_column_stats(path: Path, schema: T.StructType) -> dict:
     """Per-column [min, max, null_count, num_values] from the Parquet
     FOOTER (no data pages read) for stats-eligible top-level columns.
@@ -185,6 +209,16 @@ def _file_column_stats(path: Path, schema: T.StructType) -> dict:
             cur = agg.setdefault(name, [None, None, 0, 0])
             if n_vals > 0:
                 lo, hi = st.min, st.max
+                # NaN poisons the fold: every Python comparison with
+                # NaN is false, so a NaN bound recorded in a LATER row
+                # group would be silently dropped and the stored range
+                # would exclude a real value. parquet-mr records NaN
+                # into float/double bounds when present — treat the
+                # column as broken (no entry = never skipped, and
+                # metadata_aggregate bails to a real scan).
+                if _is_float_nan(lo) or _is_float_nan(hi):
+                    broken.add(name)
+                    continue
                 if cur[0] is None or lo < cur[0]:
                     cur[0] = lo
                 if cur[1] is None or hi > cur[1]:
@@ -572,7 +606,14 @@ class Table:
         partition_by: list[str] | None = None,
     ) -> Snapshot:
         parent = self._load(expected_version)
-        file_set = set(files)
+        # position-delete carry-forward: inherited unless the write
+        # replaces the whole table (overwrite) or explicitly clears
+        # them (compact materializes deletes into the rewrite)
+        if delete_files is None:
+            delete_files = [] if operation == "overwrite" else list(
+                parent.delete_files
+            )
+        file_set = set(files) | set(delete_files)
         stats = {
             f: s for f, s in parent.stats.items() if f in file_set
         }
@@ -581,13 +622,13 @@ class Table:
                 stats[f] = _file_column_stats(self.data_root / f, schema)
             except Exception:
                 stats.pop(f, None)  # no stats = never skipped
-        # position-delete carry-forward: inherited unless the write
-        # replaces the whole table (overwrite) or explicitly clears
-        # them (compact materializes deletes into the rewrite)
-        if delete_files is None:
-            delete_files = [] if operation == "overwrite" else list(
-                parent.delete_files
-            )
+        for f in delete_files:
+            if f in stats:
+                continue  # carried forward from the parent manifest
+            try:
+                stats[f] = _delete_file_stats(self.data_root / f)
+            except Exception:
+                stats.pop(f, None)  # no record = COUNT pushdown bails
         added_records = sum(_file_rows(self.data_root / f) for f in added)
         total_records = parent.summary.get("total_records", 0)
         removed_records = sum(_file_rows(self.data_root / f) for f in removed)
@@ -1801,8 +1842,23 @@ class Table:
         Exactness contract — raises ``MetadataAggregateUnsupported``
         (callers fall back to a real scan) whenever stats cannot
         answer EXACTLY:
-        - pending MOR merge deltas or position-delete files (deleted
-          rows change counts and can carry the extremes);
+        - pending MOR merge deltas (row counts need a resolve);
+        - position-delete files, UNLESS the request is COUNT(*) only:
+          live rows per data file = recorded rows − the per-target
+          delete counts the commit recorded into the manifest
+          (exact because each (file,pos) lives in at most one delete
+          file). MIN/MAX/COUNT(col) under deletes always bail — a
+          deleted row can carry the extreme or the null split;
+        - any file holding NaN in a requested float/double column:
+          the commit-time stats fold marks NaN-bounded columns
+          broken (parquet-mr always surfaces NaN in the max bound),
+          so such a file has no entry and the fold refuses — a
+          present entry proves NaN-freeness, keeping float/double
+          MIN/MAX and min==max constancy exact. Snapshots committed
+          BEFORE this engine version may carry pre-NaN-aware folds;
+          re-append/compact to refresh them;
+        - a nondeterministic ``where`` (per-file evaluation would
+          silently diverge from row-granular semantics);
         - any live data file without recorded stats, or without an
           entry for a requested column (schema-evolution ambiguity:
           "absent" could mean all-null OR broken stats — never guess);
@@ -1841,10 +1897,39 @@ class Table:
             raise MetadataAggregateUnsupported(
                 "pending merge-on-read deltas: row counts need resolve"
             )
+        deleted_by_base: dict[str, int] = {}
         if snap.delete_files:
-            raise MetadataAggregateUnsupported(
-                "position-delete files present: stats predate deletes"
-            )
+            # Pure position-delete snapshots still answer COUNT(*)
+            # exactly: each (file,pos) appears in at most ONE live
+            # delete file (the delete writers anti-join already-
+            # deleted rows first), so live rows per data file =
+            # recorded rows − Σ per-target delete counts, all from
+            # manifests. MIN/MAX/COUNT(col) stay a scan: a deleted
+            # row can carry the extreme or the per-column null split.
+            if min_of or max_of or count_of:
+                raise MetadataAggregateUnsupported(
+                    "position-delete files present: deleted rows can"
+                    " carry column extremes / null counts"
+                )
+            for rel in snap.delete_files:
+                dst = snap.stats.get(rel)
+                if dst is None or ":by_target:" not in dst:
+                    raise MetadataAggregateUnsupported(
+                        f"delete file {rel!r} has no per-target counts"
+                        " in the manifest (pre-upgrade snapshot)"
+                    )
+                for base, n in dst[":by_target:"].items():
+                    deleted_by_base[base] = (
+                        deleted_by_base.get(base, 0) + int(n)
+                    )
+            # delete rows name targets by BASENAME; refuse the
+            # (engine-impossible, uuid-named) ambiguity rather than
+            # guess
+            bases = [f.split("/")[-1] for f in snap.files]
+            if len(bases) != len(set(bases)):
+                raise MetadataAggregateUnsupported(
+                    "duplicate data-file basenames under deletes"
+                )
         schema = schema_from_json(snap.schema_json)
         by_name = {f.name: f for f in schema.fields}
         renames = self._snap_renames(snap)
@@ -1860,6 +1945,17 @@ class Table:
                     f"{col!r}: type {by_name[col].dataType.simpleString()}"
                     " is stats-ineligible (writers may truncate)"
                 )
+        # Float/double MIN/MAX stay exact because of a WRITE-side
+        # guarantee, not a query-side check: parquet-mr (the only
+        # writer of engine data files) folds NaN into the recorded
+        # max bound whenever NaN is present, and the commit-time
+        # stats fold (_file_column_stats) marks any NaN-bounded
+        # column BROKEN — so a PRESENT stats entry proves the file is
+        # NaN-free and its bounds order exactly like Spark's
+        # NaN-greatest total order. A file containing NaN simply has
+        # no entry and the per-file loop below raises. (Upstream
+        # Spark refuses float/double aggregate pushdown outright
+        # because it cannot assume the writer; this engine can.)
         for col in group_by:
             if col not in by_name:
                 raise MetadataAggregateUnsupported(f"no column {col!r}")
@@ -1891,12 +1987,31 @@ class Table:
                 ),
             )
             try:
-                probe.filter(F.expr(where)).schema  # parse + resolve
+                fdf = probe.filter(F.expr(where))
+                fdf.schema  # parse + resolve
             except Exception as e:
                 raise MetadataAggregateUnsupported(
                     f"predicate {where!r} is not decidable from "
                     f"file-constant columns alone: {e}"
                 ) from None
+            # the predicate evaluates once per FILE here, so a
+            # nondeterministic one (rand() < 0.5) would silently turn
+            # row-granular sampling into file-granular — ask
+            # Catalyst's own deterministic flag, no name list
+            try:
+                exprs = fdf._jdf.queryExecution().analyzed().expressions()
+                where_det = all(
+                    exprs.apply(i).deterministic()
+                    for i in range(exprs.size())
+                )
+            except Exception:
+                where_det = False  # introspection failed: bail to scan
+            if not where_det:
+                raise MetadataAggregateUnsupported(
+                    f"predicate {where!r} is nondeterministic:"
+                    " per-file evaluation would diverge from row"
+                    " semantics"
+                )
         const_cols = list(group_by) + [
             c for c in refd if c not in group_by
         ]
@@ -1907,9 +2022,16 @@ class Table:
             st = snap.stats.get(f)
             if st is None or ":rows:" not in st:
                 raise MetadataAggregateUnsupported(f"no stats for {f!r}")
-            if int(st[":rows:"]) == 0:
+            live_rows = int(st[":rows:"]) - deleted_by_base.get(
+                f.split("/")[-1], 0
+            )
+            if live_rows < 0:
+                raise MetadataAggregateUnsupported(
+                    f"delete counts exceed rows for {f!r}"
+                )
+            if live_rows == 0:
                 continue  # empty file: contributes nothing, no entries
-            row: list = [i, int(st[":rows:"])]
+            row: list = [i, live_rows]
             # group value: identity-partition path segment first (any
             # type, the exact written form), else a file-constant
             # stats range
@@ -1943,6 +2065,11 @@ class Table:
                     )
                 lo, hi, nulls, n = ent
                 if nulls == 0 and lo is not None and lo == hi:
+                    # min==max proves constancy for float/double too:
+                    # a stats entry only EXISTS for NaN-free files
+                    # (the commit fold marks NaN-bounded columns
+                    # broken), so [5.0, NaN] can never present as
+                    # bounds 5.0/5.0 here.
                     row.append(lo)
                 elif nulls == n:
                     row.append(None)

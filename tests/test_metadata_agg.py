@@ -137,10 +137,16 @@ def test_refusals(spark, cat):
     with pytest.raises(ValueError):
         t.metadata_aggregate(spark, count_alias=None)  # nothing to do
 
-    # position deletes make stats stale -> refuse
+    # position deletes: COUNT(*) stays exact from the manifest's
+    # per-target delete counts; anything touching column stats bails
     t.delete_where(spark, "v = 42", mode="merge-on-read")
+    assert (
+        t.metadata_aggregate(spark, count_alias="c").collect()[0]["c"] == 4
+    )
     with pytest.raises(MetadataAggregateUnsupported):
-        t.metadata_aggregate(spark, count_alias="c")
+        t.metadata_aggregate(spark, count_alias="c", min_of={"v": "lo"})
+    with pytest.raises(MetadataAggregateUnsupported):
+        t.metadata_aggregate(spark, count_alias="c", count_of={"v": "nv"})
 
 
 def test_refuses_on_merge_delta(spark, cat):
@@ -462,3 +468,115 @@ def test_across_partition_spec_evolution(spark, cat):
     ts.append(sdf.where("k = 'b'").repartition(1))
     with pytest.raises(MetadataAggregateUnsupported):
         ts.metadata_aggregate(spark, group_by=["k"], count_alias="n")
+
+
+def test_nan_bounds_refused_not_wrong(spark, cat):
+    """The ADVICE r7 repro: a multi-row-group double file where a
+    LATER row group's bounds carry NaN. The old Python fold dropped
+    the NaN bound (every NaN comparison is false) and answered
+    MAX=3999.0 while the scan answers NaN. The NaN-aware fold marks
+    the column broken at commit, so the metadata path now REFUSES —
+    exact-or-bail restored."""
+    rows = [(float(i),) for i in range(4000)] + [(float("nan"),)]
+    df = spark.createDataFrame(rows, "x double")
+    t = cat.create_table("m", "nan", df.schema)
+    # tiny block size forces several row groups in one file; the NaN
+    # row lands in the last one
+    t.append(
+        df.coalesce(1).sortWithinPartitions(F.monotonically_increasing_id())
+    )
+    import math
+
+    scan_max = t.read(spark).agg(F.max("x")).collect()[0][0]
+    assert math.isnan(scan_max)
+    with pytest.raises(MetadataAggregateUnsupported):
+        t.metadata_aggregate(spark, max_of={"x": "hi"})
+    # COUNT(*) is bound-free and still answers
+    assert (
+        t.metadata_aggregate(spark, count_alias="n").collect()[0]["n"]
+        == 4001
+    )
+    # a NaN-free double column keeps exact min/max
+    t2 = cat.create_table("m", "nanfree", df.schema)
+    t2.append(df.where("NOT isnan(x)"))
+    got = t2.metadata_aggregate(
+        spark, min_of={"x": "lo"}, max_of={"x": "hi"}
+    ).collect()[0]
+    assert (got["lo"], got["hi"]) == (0.0, 3999.0)
+
+
+def test_nan_single_row_group_also_refused(spark, cat):
+    df = spark.createDataFrame(
+        [(1.0,), (float("nan",),)], "x double"
+    )
+    t = cat.create_table("m", "nan1", df.schema)
+    t.append(df.coalesce(1))
+    with pytest.raises(MetadataAggregateUnsupported):
+        t.metadata_aggregate(spark, max_of={"x": "hi"})
+    with pytest.raises(MetadataAggregateUnsupported):
+        t.metadata_aggregate(spark, min_of={"x": "lo"})
+    # NaN also breaks the min==max constancy route for group/where
+    with pytest.raises(MetadataAggregateUnsupported):
+        t.metadata_aggregate(spark, where="x > 0", count_alias="n")
+
+
+def test_mor_count_star_from_manifest(spark, cat):
+    """COUNT(*) under pure position deletes is a manifest fold:
+    proven by wiping every DATA byte (delete files included) before
+    asking. Global, grouped, and where-filtered counts all adjust by
+    the per-target delete counts recorded at commit."""
+    df = spark.createDataFrame(
+        [(g, i) for g in ("a", "b") for i in range(10)],
+        "k string, v int",
+    )
+    t = cat.create_table("m", "morcnt", df.schema, partition_by=["k"])
+    t.append(df)
+    t.delete_where(spark, "k = 'a' AND v < 3", mode="merge-on-read")
+    t.delete_where(spark, "v = 9", mode="merge-on-read")  # both groups
+    expected = {("a", 6), ("b", 9)}
+    # wipe EVERY byte under data/ — only manifests remain
+    for f in t.current_snapshot().files + t.current_snapshot().delete_files:
+        os.remove(t.data_root / f)
+    got = {
+        (r["k"], r["n"])
+        for r in t.metadata_aggregate(
+            spark, group_by=["k"], count_alias="n"
+        ).collect()
+    }
+    assert got == expected
+    assert (
+        t.metadata_aggregate(spark, count_alias="n").collect()[0]["n"] == 15
+    )
+    assert (
+        t.metadata_aggregate(
+            spark, where="k = 'b'", count_alias="n"
+        ).collect()[0]["n"]
+        == 9
+    )
+
+
+def test_mor_count_all_rows_of_a_file_deleted(spark, cat):
+    df = spark.createDataFrame([(i,) for i in range(4)], "v int")
+    t = cat.create_table("m", "morall", df.schema)
+    t.append(df.coalesce(1))
+    t.append(df.coalesce(1))
+    t.delete_where(spark, "v >= 0", mode="merge-on-read")
+    assert (
+        t.metadata_aggregate(spark, count_alias="n").collect()[0]["n"] == 0
+    )
+
+
+def test_nondeterministic_where_refused(spark, cat):
+    df = _frame(spark)
+    t = cat.create_table("m", "nd", df.schema, partition_by=["k"])
+    t.append(df)
+    for w in ("rand() < 0.5", "k = 'a' AND rand() < 2", "uuid() IS NOT NULL"):
+        with pytest.raises(MetadataAggregateUnsupported):
+            t.metadata_aggregate(spark, where=w, count_alias="n")
+    # deterministic expressions keep answering
+    assert (
+        t.metadata_aggregate(
+            spark, where="upper(k) = 'A'", count_alias="n"
+        ).collect()[0]["n"]
+        == 2
+    )
