@@ -1461,8 +1461,12 @@ def _ann_ivfsq_oracle(
                AS cnorm
       FROM (
         SELECT vec_id,
+               -- zero-vector guard twin: max|x|=0 divides by 1
                list_transform(v, x -> CAST(round(
-                 x * 127.0 / list_max(list_transform(v, y -> abs(y))))
+                 x * 127.0 / (CASE
+                   WHEN list_max(list_transform(v, y -> abs(y))) = 0
+                   THEN 1.0
+                   ELSE list_max(list_transform(v, y -> abs(y))) END))
                  AS INTEGER)) AS codes
         FROM e)
     ),
@@ -1476,21 +1480,25 @@ def _ann_ivfsq_oracle(
       SELECT query_id, qv, qnorm, centroid_id FROM (
         SELECT q.query_id, q.qv, q.qnorm, c.centroid_id,
                row_number() OVER (PARTITION BY q.query_id
-                 ORDER BY round(
+                 ORDER BY (CASE WHEN q.qnorm = 0 OR
+                   sqrt(list_sum(list_transform(c.cv,
+                        x -> x * x))) = 0 THEN 0.0 ELSE round(
                    list_sum(list_transform(list_zip(q.qv, c.cv),
                             z -> z[1] * z[2]))
                    / (q.qnorm * sqrt(list_sum(list_transform(c.cv,
-                        x -> x * x)))), 6) DESC,
+                        x -> x * x)))), 6) END) DESC,
                    c.centroid_id ASC) AS rn
         FROM q CROSS JOIN cents c)
       WHERE rn <= {nprobe}
     ),
     scored AS MATERIALIZED (
       SELECT p.query_id, co.vec_id,
-             round(
+             -- zero-vector guard twin: cnorm/qnorm 0 scores 0
+             CASE WHEN co.cnorm = 0 OR p.qnorm = 0 THEN 0.0
+                  ELSE round(
                list_sum(list_transform(list_zip(p.qv, co.codes),
                         z -> z[1] * CAST(z[2] AS DOUBLE)))
-               / (p.qnorm * co.cnorm), 4) AS approx_cos
+               / (p.qnorm * co.cnorm), 4) END AS approx_cos
       FROM codes co
       JOIN lists li ON li.vec_id = co.vec_id
       JOIN probes p ON p.centroid_id = li.centroid_id

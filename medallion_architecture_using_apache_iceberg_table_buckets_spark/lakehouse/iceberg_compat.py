@@ -1087,8 +1087,21 @@ def export_iceberg_dir(table: Table, dest) -> "Path":
                         typ = pa.date32()
                     elif st == "double":
                         val, typ = float(raw), pa.float64()
-                    else:
+                    elif st == "float":
+                        val, typ = float(raw), pa.float32()
+                    elif st == "string":
                         val, typ = raw, pa.string()
+                    else:
+                        # stringifying silently would never equality-
+                        # match the typed data-file side
+                        # (_cast_partition) and deleted rows would
+                        # resurrect in the round-trip — fail loud,
+                        # mirroring _cast_partition's contract
+                        raise NotImplementedError(
+                            f"equality-delete partition-key"
+                            f" re-injection for type {st!r} is not"
+                            f" implemented"
+                        )
                     tbl = tbl.append_column(
                         k, pa.array([val] * tbl.num_rows, type=typ)
                     )
@@ -1603,7 +1616,14 @@ def read_exported_table(dest):
             import datetime
 
             return datetime.date.fromisoformat(val)
-        if ice_type in ("float", "double"):
+        if ice_type == "float":
+            # quantize through float32 so the injected value compares
+            # equal to float32 values read from parquet (0.1 as
+            # float64 != 0.1 as float32)
+            import struct
+
+            return struct.unpack("f", struct.pack("f", float(val)))[0]
+        if ice_type == "double":
             return float(val)
         if ice_type == "string":
             return val

@@ -733,7 +733,13 @@ def sq8_encode(
     exact, the scaled division is one double op per element, and the
     rounded code is integer — the SQL oracle replays it exactly."""
     v = to_double_array(vec_col)
+    # zero-vector guard: max|x| = 0 would make every code 0.0/0.0 =
+    # NaN (null after the int cast) and the vector would silently
+    # vanish from scoring; dividing by 1 instead encodes it to
+    # all-zero codes deterministically (it scores 0 against every
+    # query, which is the right cosine answer for a zero vector)
     mx = F.array_max(F.transform(v, F.abs))
+    mx = F.when(mx == 0.0, F.lit(1.0)).otherwise(mx)
     codes = F.transform(v, lambda x: F.round(x * 127.0 / mx).cast("int"))
     return corpus.select(
         F.col(id_col).alias("vec_id"), codes.alias("codes")
@@ -796,10 +802,17 @@ def cosine_topk_ivfsq(
         F.broadcast(_norm_col(cents, "cv", "_cnrm", dim))
     ).withColumn(
         "_sim",
-        F.round(
-            _fold_dot(F.col("qv"), F.col("cv"))
-            / (F.col("qnorm") * F.col("_cnrm")),
-            6,
+        # a zero centroid (a zero vector seeded its own list) or zero
+        # query makes this 0/0, which RAISES under ANSI — similarity
+        # to/of a zero vector is 0 by definition
+        F.when(
+            (F.col("_cnrm") == 0.0) | (F.col("qnorm") == 0.0), F.lit(0.0)
+        ).otherwise(
+            F.round(
+                _fold_dot(F.col("qv"), F.col("cv"))
+                / (F.col("qnorm") * F.col("_cnrm")),
+                6,
+            )
         ),
     )
     wq = Window.partitionBy("query_id").orderBy(
@@ -815,18 +828,26 @@ def cosine_topk_ivfsq(
         .filter(F.col("query_id") != F.col("vec_id"))
         .withColumn(
             "approx_cos",
-            F.round(
-                F.aggregate(
-                    F.zip_with(
-                        F.col("qv"),
-                        F.col("codes"),
-                        lambda x, c: x * c.cast("double"),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
+            # a zero vector (cnorm=0) or zero query (qnorm=0) scores
+            # 0 — without the guard 0.0/0.0 = NaN, which Spark's
+            # NaN-greatest DESC order would rank as the TOP neighbor
+            F.when(
+                (F.col("cnorm") == 0.0) | (F.col("qnorm") == 0.0),
+                F.lit(0.0),
+            ).otherwise(
+                F.round(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("qv"),
+                            F.col("codes"),
+                            lambda x, c: x * c.cast("double"),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                    / (F.col("qnorm") * F.col("cnorm")),
+                    4,
                 )
-                / (F.col("qnorm") * F.col("cnorm")),
-                4,
             ),
         )
     )

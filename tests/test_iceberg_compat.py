@@ -721,3 +721,45 @@ def test_external_reader_eq_delete_on_partition_column(spark, tmp_path):
         for i in range(len(pdf))
     )
     assert ext == engine
+
+
+def test_external_reader_eq_delete_on_float_partition(spark, tmp_path):
+    """Float identity-partition + equality delete keyed on it: the
+    re-injected key must be TYPED float32 on both the eqdel and data
+    sides. It used to stringify (str vs float never equality-matches,
+    resurrecting deleted rows), and a float64 injection would still
+    miss non-representable values like 0.1."""
+    from pyspark.sql import functions as F
+
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.lakehouse.iceberg_compat import (
+        export_iceberg_dir,
+        read_exported_table,
+    )
+
+    sch = T.StructType.fromDDL("id long, fseg float, amount double")
+    cat = Catalog(tmp_path / "wh_eqf")
+    t = cat.create_table(
+        "d", "eqf", sch, partition_by=["fseg"],
+        properties={"write.merge.mode": "merge-on-read"},
+    )
+    t.append(spark.createDataFrame(
+        [(i, [0.1, 0.2][i % 2], float(i)) for i in range(10)], sch))
+    dele = spark.createDataFrame(
+        [(3, 0.2, 0.0), (4, 0.1, 0.0)], sch).withColumn("Op", F.lit("D"))
+    merge_into(
+        spark, t, dele, on=["id", "fseg"], delete_predicate="Op = 'D'")
+    assert t.current_snapshot().operation == "merge-delta"
+
+    engine = sorted(
+        (r["id"], round(float(r["fseg"]), 6), r["amount"])
+        for r in t.read(spark).collect()
+    )
+    assert {r[0] for r in engine} == set(range(10)) - {3, 4}
+
+    dest = export_iceberg_dir(t, tmp_path / "exp_eqf")
+    pdf = read_exported_table(dest)
+    ext = sorted(
+        (pdf["id"][i], round(float(pdf["fseg"][i]), 6), pdf["amount"][i])
+        for i in range(len(pdf))
+    )
+    assert ext == engine

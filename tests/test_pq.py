@@ -249,3 +249,31 @@ def test_sq8_codes_shape(spark, sf_dir):
         assert all(-127 <= c <= 127 for c in r["codes"])
         assert max(abs(c) for c in r["codes"]) == 127
         assert r["cnorm"] > 0
+
+
+def test_sq8_zero_vector_deterministic(spark):
+    """An all-zero vector encodes to all-zero codes (not NaN/null
+    codes that silently vanish), and IVF-SQ scoring gives it score 0
+    instead of the 0/0 NaN that Spark's NaN-greatest DESC order would
+    rank FIRST."""
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators.similarity import (
+        cosine_topk_ivfsq,
+        sq8_encode,
+    )
+
+    rows = [(0, [0.0] * 64)] + [
+        (i, [float((i * 7 + d) % 13) - 6.0 for d in range(64)])
+        for i in range(1, 40)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    enc = {r["vec_id"]: r for r in sq8_encode(emb).collect()}
+    assert enc[0]["codes"] == [0] * 64
+    assert enc[0]["cnorm"] == 0.0
+    got = cosine_topk_ivfsq(
+        emb, emb.filter("vec_id = 1"), k=5, n_centroids=4, nprobe=4
+    ).collect()
+    # the zero vector never outranks a genuinely similar neighbor
+    for r in got:
+        assert r["approx_cos"] is not None
+        if r["neighbor_id"] == 0:
+            assert r["approx_cos"] == 0.0
