@@ -224,22 +224,13 @@ def _viterbi_usage(words: DataFrame, lp_map: dict) -> DataFrame:
     )
 
 
-def unigram_lm_vocab(
-    df: DataFrame,
-    text_col: str = "text",
-    em_rounds: int = 2,
-) -> DataFrame:
-    """Induce the unigram-LM piece vocabulary: seed from substring
-    frequencies, then ``em_rounds`` EM iterations (integer-exact
-    Viterbi E-step, add-one-smoothed M-step — the +1 keeps every
-    candidate alive so coverage never breaks mid-EM, the standard
-    smoothing choice).
-
-    Returns ``(piece, n_chars, final_count, lp_micro)`` — the full
-    surviving inventory with its post-EM usage (+1) and
-    micro-quantized log-probability."""
-    words = word_table(df, text_col).persist()
-    pieces = candidate_pieces(words).persist()
+def _em_fit(
+    words: DataFrame, pieces: DataFrame, em_rounds: int
+) -> tuple[DataFrame | None, DataFrame]:
+    """Run the EM loop once for both the vocab and segment paths (a
+    drift between two copies would silently diverge vocab from
+    encode). Returns ``(usage, lp)`` after ``em_rounds`` rounds —
+    ``usage`` is None when em_rounds == 0."""
     lp = _logp_micro(pieces, "pcount")
     usage = None
     for _ in range(em_rounds):
@@ -258,6 +249,26 @@ def unigram_lm_vocab(
             .localCheckpoint()
         )
         lp = _logp_micro(usage, "count1")
+    return usage, lp
+
+
+def unigram_lm_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    em_rounds: int = 2,
+) -> DataFrame:
+    """Induce the unigram-LM piece vocabulary: seed from substring
+    frequencies, then ``em_rounds`` EM iterations (integer-exact
+    Viterbi E-step, add-one-smoothed M-step — the +1 keeps every
+    candidate alive so coverage never breaks mid-EM, the standard
+    smoothing choice).
+
+    Returns ``(piece, n_chars, final_count, lp_micro)`` — the full
+    surviving inventory with its post-EM usage (+1) and
+    micro-quantized log-probability."""
+    words = word_table(df, text_col).persist()
+    pieces = candidate_pieces(words).persist()
+    usage, lp = _em_fit(words, pieces, em_rounds)
     return (
         usage.join(lp, "piece")
         .select(
@@ -290,20 +301,7 @@ def unigram_segment_corpus(
     complete model path."""
     words = word_table(df, text_col).persist()
     pieces = candidate_pieces(words).persist()
-    lp = _logp_micro(pieces, "pcount")
-    for _ in range(em_rounds):
-        usage = (
-            pieces.select("piece")
-            .join(_viterbi_usage(words, _collect_model(lp)), "piece", "left")
-            .select(
-                "piece",
-                (F.coalesce(F.col("usage"), F.lit(0)) + F.lit(1))
-                .cast("long")
-                .alias("count1"),
-            )
-            .localCheckpoint()
-        )
-        lp = _logp_micro(usage, "count1")
+    _, lp = _em_fit(words, pieces, em_rounds)
     # final-model segmentation of every distinct word (map-only)
     word_pieces = _viterbi_pieces(words, _collect_model(lp)).select(
         "word",
