@@ -215,7 +215,13 @@ def main() -> None:
     # isolation, but measured end-to-end across the whole suite the
     # extra task-scheduling overhead costs more than it saves
     # (25.4s -> 27-29s total), so the default split size stays.
-    spark = mats.get_spark(app_name="mats-bench")
+    # retainedJobs raised so the status tracker can still answer
+    # getJobIdsForGroup for the FIRST queries after ~120 queries x 3
+    # runs have executed (default retention is 1000 jobs)
+    spark = mats.get_spark(
+        app_name="mats-bench",
+        extra_conf={"spark.ui.retainedJobs": "100000"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     # warmup: JIT/codegen + file listing + whole-stage-codegen compile
@@ -239,6 +245,8 @@ def main() -> None:
 
     times: dict[str, float] = {}
     spreads: dict[str, float] = {}
+    n_jobs: dict[str, int] = {}
+    sc = spark.sparkContext
     for name, fn in HEADLINE.items():
         overrides = QUERY_CONF.get(name, {})
         saved = {k: spark.conf.get(k) for k in overrides}
@@ -250,15 +258,31 @@ def main() -> None:
             # varied +/-20%, ~+/-1.5s on the suite total).
             # clearCache between runs so operators that persist
             # intermediates don't get a free warm-cache second run.
-            runs = []
-            for _ in range(3):
+            runs, run_jobs = [], []
+            for i in range(3):
                 spark.catalog.clearCache()
+                # one job group per run: the status tracker then
+                # yields this run's Spark JOB COUNT, so cross-round
+                # per-query deltas can be corrected to
+                # wall - n_jobs x sched_probe (scheduler-latency
+                # adjudication by arithmetic, not argument). Jobs
+                # launched from OTHER threads (streaming drains)
+                # don't inherit the group and undercount — none of
+                # the headline queries are streaming.
+                group = f"{name}#run{i}"
+                sc.setJobGroup(group, name)
                 t0 = time.perf_counter()
                 force(fn(spark, sf_dir))
                 runs.append(time.perf_counter() - t0)
-            times[name] = round(min(runs), 3)
+                run_jobs.append(
+                    len(sc.statusTracker().getJobIdsForGroup(group))
+                )
+            best = min(range(len(runs)), key=runs.__getitem__)
+            times[name] = round(runs[best], 3)
             spreads[name] = round(max(runs) - min(runs), 3)
+            n_jobs[name] = run_jobs[best]
         finally:
+            sc.setJobGroup("", "")
             for k, v in saved.items():
                 spark.conf.set(k, v)
 
@@ -284,6 +308,7 @@ def main() -> None:
         "protocol": "min-of-3, clearCache between runs",
         "queries": times,
         "query_spread": spreads,
+        "query_n_jobs": n_jobs,
         "value_r01_subset": r01_subset,
         "spread": spread,
         "sched_probe_ms": sched_probe_ms,

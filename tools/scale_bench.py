@@ -350,6 +350,36 @@ def main() -> None:
         "dedup_embedding_lsh_pairs_auto": None,  # _auto_planes sizing
     }
 
+    # per-row explanations for factors the r6 rule flags (>5x must
+    # name what grows) — attached to the emitted record so the
+    # artifact is self-explaining without PLANS.md in hand
+    NOTES = {
+        "curation_end_to_end": (
+            "composed factor is the chain of its per-stage rows: "
+            "stage1 quality ~9.4x at rows 10.1x, stage2 minhash "
+            "~6.4x at rows 10.2x, stage3 chunk+pack ~5.9x at rows "
+            "12.7x — every stage is <=linear in ITS row growth, so "
+            "the end-to-end factor is sublinear in data; no single "
+            "stage grows superlinearly"
+        ),
+        "dedup_semantic_pinned16": (
+            "pinned k=16 is the quadratic CONTRAST row: cluster "
+            "occupancy grows with data so the in-cluster pair join "
+            "goes superlinear by construction; the auto-k row is "
+            "the operator's real scale path"
+        ),
+        "dedup_embedding_lsh_pairs_auto": (
+            "runtime follows candidate-set growth (cands_factor), "
+            "not data; unit_cost_factor <1 shows falling "
+            "sec-per-M-candidates at 10x"
+        ),
+        "dedup_embedding_lsh_pairs_pinned8": (
+            "pinned 8 planes is the bucket-collision CONTRAST row; "
+            "read with cands_factor/unit_cost_factor like the auto "
+            "row"
+        ),
+    }
+
     # optional subset: argv[2:] names re-run and merge into argv[1]'s
     # existing record (everything else is kept verbatim) — so adding
     # a query doesn't force re-timing the whole list
@@ -395,6 +425,9 @@ def main() -> None:
         times[name] = rec
         print(f"# {name}: {rec}", file=sys.stderr)
 
+    for k, rec in times.items():  # notes also reach merged prior rows
+        if k in NOTES:
+            rec["note"] = NOTES[k]
     factors = {k: v["factor"] for k, v in times.items()}
     out = {
         "metric": "scale_stepup_10x",
