@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ======== round-8 window ========
         # --- (1-N) NEW in round 8 (never driver-checked) ---
         "metadata_agg_mor_count": L.metadata_agg_mor_count,
+        "multimodal_decode_png_palette": L.multimodal_decode_png_palette,
         # --- round-7 window entries (ALL driver-green r07) now in
         # the refresh rotation; r04/r05-vintage refreshes follow the
         # new block (window recounted to exactly 50 at round end) ---
@@ -4079,6 +4080,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(d.w AS INTEGER) AS width,
                    CAST(d.h AS INTEGER) AS height,
                    CAST(d.ch AS INTEGER) AS channels,
+                   s.pixel_sum
+            FROM dims d JOIN sums s USING (doc_id)
+        """,
+        # paletted PNG: the oracle replays the generator's
+        # index -> PLTE lookup -> RGB sample sum closed-form
+        "multimodal_decode_png_palette": """
+            WITH dims AS (
+              SELECT doc_id,
+                     doc_id % 8 + 2 AS w,
+                     doc_id % 6 + 2 AS h,
+                     doc_id % 13 + 3 AS p
+              FROM documents
+            ),
+            px AS (
+              SELECT doc_id, p, unnest(range(w * h)) AS i FROM dims
+            ),
+            sums AS (
+              SELECT doc_id,
+                     CAST(sum(
+                         (7 * ((5 * i + doc_id) % p) + 3 * doc_id) % 256
+                       + (11 * ((5 * i + doc_id) % p) + 5 * doc_id) % 256
+                       + (13 * ((5 * i + doc_id) % p) + 7 * doc_id) % 256
+                     ) AS BIGINT) AS pixel_sum
+              FROM px GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   'png' AS img_format,
+                   CAST(d.w AS INTEGER) AS width,
+                   CAST(d.h AS INTEGER) AS height,
+                   CAST(3 AS INTEGER) AS channels,
                    s.pixel_sum
             FROM dims d JOIN sums s USING (doc_id)
         """,

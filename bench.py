@@ -177,6 +177,9 @@ HEADLINE = {
     "dedup_cdc_chunk_pairs": L.dedup_cdc_chunk_pairs,
     "dedup_keep_best_quality": L.dedup_keep_best_quality,
     "metadata_agg_pushdown": L.metadata_agg_pushdown,
+    # round-8 additions: MOR-count manifest fold, paletted PNG decode
+    "metadata_agg_mor_count": L.metadata_agg_mor_count,
+    "multimodal_decode_png_palette": L.multimodal_decode_png_palette,
 }
 
 # the 14 queries recorded since round 1 — their sum is the anchored

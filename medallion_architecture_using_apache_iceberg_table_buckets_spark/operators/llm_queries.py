@@ -1975,6 +1975,22 @@ def multimodal_decode_png(spark, sf_dir):
     return decode_images(synth_pngs(_docs(spark, sf_dir)))
 
 
+def multimodal_decode_png_palette(spark, sf_dir):
+    """Paletted (color-type-3) PNG decoding: real indexed PNG bytes
+    with a PLTE chunk are synthesized per doc (palette size rotates
+    3..15, filters rotate through all five spec types against the
+    1-byte-per-pixel indexed layout), then decoded by the stdlib-only
+    codec — unfilter at bpp=1, then LUT expansion to RGB samples
+    (multimodal.decode_png). The oracle replays index -> palette ->
+    sample sum closed-form in SQL; a decoder that unfilters at the
+    wrong bpp, mis-sizes the palette, or mis-maps any LUT entry
+    hash-mismatches. Closes the paletted seam from the r7 verdict
+    (interlaced/16-bit/tRNS remain documented NotImplementedError)."""
+    from .multimodal import decode_images, synth_palette_pngs
+
+    return decode_images(synth_palette_pngs(_docs(spark, sf_dir)))
+
+
 def multimodal_decode_jpeg(spark, sf_dir):
     """REAL entropy-coded container decoding: baseline sequential
     JPEG bytes (Annex-K Huffman, all-ones quant, rotating restart

@@ -16,8 +16,9 @@ Compressed-codec libraries (PIL/ffmpeg/librosa) are NOT in this
 container, so entropy-coded formats (JPEG, MP3, H.264) stay a
 documented seam — but ``decode_image`` is REAL for everything a
 pure-Python parser can own: PPM (P6), PGM (P5), 24-bit BI_RGB BMP,
-and since round 6 non-interlaced 8-bit PNG (gray/RGB/RGBA) via
-stdlib zlib inflate plus the full five-branch scanline unfilter.
+and since round 6 non-interlaced 8-bit PNG (gray/RGB/RGBA; paletted
+color-type 3 with PLTE lookup since round 8) via stdlib zlib inflate
+plus the full five-branch scanline unfilter.
 ``decode_images`` runs it over the standard Arrow-batched
 ``mapInPandas`` path and is oracle-checked end-to-end on
 deterministic synthetic bytes (``synth_images`` / ``synth_pngs``);
@@ -181,15 +182,68 @@ def encode_png(
     )
 
 
+def encode_png_palette(
+    width: int,
+    height: int,
+    indices: bytes,
+    palette: list[tuple[int, int, int]],
+    filter_for_row=None,
+) -> bytes:
+    """Spec-conforming non-interlaced 8-bit PALETTED PNG (color type
+    3): one palette index per pixel, PLTE chunk of RGB triples.
+    Filters rotate like :func:`encode_png` (bpp = 1 for indexed
+    scanlines, per spec)."""
+    import struct
+    import zlib
+
+    if len(indices) != width * height:
+        raise ValueError("paletted PNG needs w*h index bytes")
+    if not 1 <= len(palette) <= 256:
+        raise ValueError("PLTE needs 1..256 entries")
+    if any(i >= len(palette) for i in indices):
+        raise ValueError("palette index out of range")
+    pick = filter_for_row if filter_for_row is not None else (lambda r: r % 5)
+    raw = bytearray()
+    prior = bytes(width)
+    for r in range(height):
+        row = indices[width * r : width * (r + 1)]
+        ftype = pick(r) % 5
+        raw.append(ftype)
+        for x in range(width):
+            left = row[x - 1] if x >= 1 else 0
+            up = prior[x]
+            ul = prior[x - 1] if x >= 1 else 0
+            pred = (
+                0 if ftype == 0
+                else left if ftype == 1
+                else up if ftype == 2
+                else (left + up) // 2 if ftype == 3
+                else _paeth(left, up, ul)
+            )
+            raw.append((row[x] - pred) & 0xFF)
+        prior = row
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 3, 0, 0, 0)
+    plte = b"".join(bytes(c) for c in palette)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", plte)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 def decode_png(content: bytes, want_pixels: bool = False) -> dict:
     """Real PNG decode on stdlib only: chunk walk with CRC checks,
     zlib inflate of the concatenated IDAT stream, and the full
-    five-branch unfilter reconstruction from the spec. Returns the
+    five-branch unfilter reconstruction from the spec. 8-bit paletted
+    images (color type 3) decode through the PLTE lookup to RGB
+    samples, so downstream stages see one layout. Returns the
     same shape as :func:`decode_image` (geometry + order-invariant
     pixel-sample checksum); ``want_pixels`` adds the reconstructed
-    row-major samples (for the resample stage). Interlaced,
-    paletted, and 16-bit images raise NotImplementedError —
-    documented scope, not a stub."""
+    row-major samples (for the resample stage). Interlaced, 16-bit,
+    sub-8-bit-indexed, and tRNS-transparent images raise
+    NotImplementedError — documented scope, not a stub."""
     import struct
     import zlib
 
@@ -197,7 +251,7 @@ def decode_png(content: bytes, want_pixels: bool = False) -> dict:
         raise ValueError("not a PNG signature")
     pos, n = 8, len(content)
     width = height = None
-    channels = 0
+    channels, color_type, palette = 0, None, None
     idat = bytearray()
     while pos + 8 <= n:
         (length,) = struct.unpack_from(">I", content, pos)
@@ -215,13 +269,28 @@ def decode_png(content: bytes, want_pixels: bool = False) -> dict:
             width, height, depth, color_type, comp, filt, interlace = (
                 struct.unpack(">IIBBBBB", body)
             )
-            if depth != 8 or interlace != 0 or color_type not in _PNG_CHANNELS:
+            if (
+                depth != 8
+                or interlace != 0
+                or (color_type not in _PNG_CHANNELS and color_type != 3)
+            ):
                 raise NotImplementedError(
                     f"PNG depth={depth} color_type={color_type} "
                     f"interlace={interlace}: only non-interlaced 8-bit "
-                    "gray/RGB/RGBA supported"
+                    "gray/RGB/RGBA/paletted supported"
                 )
-            channels = _PNG_CHANNELS[color_type]
+            # indexed scanlines carry 1 byte per pixel; LUT expansion
+            # to RGB happens after unfilter
+            channels = 1 if color_type == 3 else _PNG_CHANNELS[color_type]
+        elif ctype == b"PLTE":
+            if len(body) % 3 or not 3 <= len(body) <= 768:
+                raise ValueError("PNG PLTE length invalid")
+            palette = [tuple(body[j : j + 3]) for j in range(0, len(body), 3)]
+        elif ctype == b"tRNS":
+            raise NotImplementedError(
+                "PNG tRNS transparency not supported (decoding to RGB"
+                " would silently drop alpha)"
+            )
         elif ctype == b"IDAT":
             idat += body
         elif ctype == b"IEND":
@@ -240,6 +309,10 @@ def decode_png(content: bytes, want_pixels: bool = False) -> dict:
     bpp, stride = channels, channels * width
     if len(raw) != height * (stride + 1):
         raise ValueError("PNG scanline data length mismatch")
+    if color_type == 3:
+        if palette is None:
+            raise ValueError("paletted PNG missing PLTE")
+        pal_bytes = [bytes(c) for c in palette]
     total = 0
     prior = bytearray(stride)
     pixels = bytearray()
@@ -261,13 +334,25 @@ def decode_png(content: bytes, want_pixels: bool = False) -> dict:
                 else _paeth(left, up, ul)
             )
             row[x] = (row[x] + pred) & 0xFF
-        total += sum(row)
         prior = row
-        if want_pixels:
-            pixels += row
+        if color_type == 3:
+            # LUT expansion: unfiltered bytes are palette INDICES;
+            # downstream sees plain RGB samples
+            try:
+                expanded = b"".join(pal_bytes[ix] for ix in row)
+            except IndexError:
+                raise ValueError("PNG palette index out of range") from None
+            total += sum(expanded)
+            if want_pixels:
+                pixels += expanded
+        else:
+            total += sum(row)
+            if want_pixels:
+                pixels += row
     out = {
         "img_format": "png", "width": width, "height": height,
-        "channels": channels, "pixel_sum": total,
+        "channels": 3 if color_type == 3 else channels,
+        "pixel_sum": total,
     }
     if want_pixels:
         out["pixels"] = bytes(pixels)
@@ -1134,6 +1219,47 @@ def synth_pngs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 blobs.append(
                     encode_png(w, h, pix, ch,
                                filter_for_row=lambda r, d=d: (d + r) % 5)
+                )
+                ids.append(d)
+            yield pd.DataFrame(
+                {"doc_id": pd.Series(ids, dtype="int64"),
+                 "content": blobs,
+                 "media_type": ["image/png"] * len(ids)}
+            )
+
+    return df.select(id_col).mapInPandas(
+        gen, schema="doc_id long, content binary, media_type string"
+    )
+
+
+def synth_palette_pngs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic synthetic PALETTED PNG table: doc_id -> real
+    color-type-3 PNG bytes. Geometry w = id%8+2, h = id%6+2; palette
+    size P = id%13+3 with entry j = ((7j+3d)%256, (11j+5d)%256,
+    (13j+7d)%256); pixel i's index = (5i+d) % P row-major; scanline
+    filter for row r = (id+r) % 5 (all five filters exercised against
+    the 1-byte-per-pixel indexed layout, whose filter bpp differs
+    from every truecolor case). Closed-form by construction, so the
+    SQL oracle replays index -> LUT -> sample sum exactly."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for d in pdf[id_col]:
+                d = int(d)
+                w, h = d % 8 + 2, d % 6 + 2
+                p = d % 13 + 3
+                pal = [
+                    ((7 * j + 3 * d) % 256, (11 * j + 5 * d) % 256,
+                     (13 * j + 7 * d) % 256)
+                    for j in range(p)
+                ]
+                idx = bytes((5 * i + d) % p for i in range(w * h))
+                blobs.append(
+                    encode_png_palette(
+                        w, h, idx, pal,
+                        filter_for_row=lambda r, d=d: (d + r) % 5,
+                    )
                 )
                 ids.append(d)
             yield pd.DataFrame(

@@ -393,8 +393,9 @@ def test_png_codec_round_trip_all_filters():
         decode_png(bytes(bad))
 
     # out-of-scope headers raise NotImplementedError, not garbage
+    # (4-bit paletted stays out of scope; 8-bit paletted is REAL now)
     sig = b"\x89PNG\r\n\x1a\n"
-    for depth, ctype, interlace in [(16, 2, 0), (8, 3, 0), (8, 2, 1)]:
+    for depth, ctype, interlace in [(16, 2, 0), (4, 3, 0), (8, 2, 1)]:
         ihdr = struct.pack(">IIBBBBB", 2, 2, depth, ctype, 0, 0, interlace)
         with pytest.raises(NotImplementedError):
             decode_png(sig + _png_chunk(b"IHDR", ihdr))
@@ -406,6 +407,85 @@ def test_png_codec_round_trip_all_filters():
     for cut in range(len(whole)):
         with pytest.raises((ValueError, NotImplementedError)):
             decode_png(whole[:cut])
+
+
+def test_png_palette_round_trip_and_errors():
+    """8-bit paletted PNG: unfilter at bpp=1 then LUT-expand to RGB.
+    Every filter type round-trips; missing PLTE, out-of-range index,
+    bad PLTE length, and tRNS all fail loud."""
+    import struct
+
+    import pytest
+
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators.multimodal import (
+        _png_chunk,
+        decode_image,
+        decode_png,
+        encode_png_palette,
+    )
+
+    pal = [(10, 20, 30), (200, 0, 100), (5, 5, 5), (255, 128, 64)]
+    for f in range(5):
+        w, h = 5, 6
+        idx = bytes((3 * i + f) % len(pal) for i in range(w * h))
+        blob = encode_png_palette(w, h, idx, pal,
+                                  filter_for_row=lambda r, f=f: f)
+        expected = sum(sum(pal[i]) for i in idx)
+        d = decode_png(blob)
+        assert d == {"img_format": "png", "width": w, "height": h,
+                     "channels": 3, "pixel_sum": expected}, f
+        # dispatcher sees the same thing
+        assert decode_image(blob)["pixel_sum"] == expected
+        # want_pixels yields the EXPANDED RGB stream in row-major order
+        px = decode_png(blob, want_pixels=True)["pixels"]
+        assert px == b"".join(bytes(pal[i]) for i in idx)
+
+    # truncation sweep: every prefix is a loud parse error
+    blob = encode_png_palette(3, 3, bytes([0, 1, 2] * 3), pal)
+    for cut in range(len(blob)):
+        with pytest.raises((ValueError, NotImplementedError)):
+            decode_png(blob[:cut])
+
+    def chunks_of(b):
+        pos, out = 8, []
+        while pos + 8 <= len(b):
+            (ln,) = struct.unpack_from(">I", b, pos)
+            out.append((b[pos + 4 : pos + 8], b[pos + 8 : pos + 8 + ln]))
+            pos += 12 + ln
+        return out
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    parts = dict(chunks_of(blob))
+    # missing PLTE
+    with pytest.raises(ValueError, match="PLTE"):
+        decode_png(sig + _png_chunk(b"IHDR", parts[b"IHDR"])
+                   + _png_chunk(b"IDAT", parts[b"IDAT"])
+                   + _png_chunk(b"IEND", b""))
+    # PLTE length not a multiple of 3
+    with pytest.raises(ValueError, match="PLTE"):
+        decode_png(sig + _png_chunk(b"IHDR", parts[b"IHDR"])
+                   + _png_chunk(b"PLTE", b"\x01\x02")
+                   + _png_chunk(b"IDAT", parts[b"IDAT"])
+                   + _png_chunk(b"IEND", b""))
+    # index beyond the palette
+    small = b"".join(bytes(c) for c in pal[:2])
+    with pytest.raises(ValueError, match="index"):
+        decode_png(sig + _png_chunk(b"IHDR", parts[b"IHDR"])
+                   + _png_chunk(b"PLTE", small)
+                   + _png_chunk(b"IDAT", parts[b"IDAT"])
+                   + _png_chunk(b"IEND", b""))
+    # tRNS transparency: loud, not silently dropped alpha
+    with pytest.raises(NotImplementedError, match="tRNS"):
+        decode_png(sig + _png_chunk(b"IHDR", parts[b"IHDR"])
+                   + _png_chunk(b"PLTE", parts[b"PLTE"])
+                   + _png_chunk(b"tRNS", b"\x80")
+                   + _png_chunk(b"IDAT", parts[b"IDAT"])
+                   + _png_chunk(b"IEND", b""))
+    # encoder-side validation
+    with pytest.raises(ValueError):
+        encode_png_palette(2, 2, bytes([0, 1, 2, 9]), pal)  # idx 9 OOB
+    with pytest.raises(ValueError):
+        encode_png_palette(2, 2, bytes(4), [])  # empty palette
 
 
 # ---------------------------------------------------------------------------

@@ -141,6 +141,11 @@ QUERIES = {
     # itself is O(#files) manifest work on a frame that never touches
     # data bytes
     "metadata_agg_pushdown": L.metadata_agg_pushdown,
+    # round-8 additions: same write-dominated shape as
+    # metadata_agg_pushdown (two appends + two MOR deletes), and the
+    # paletted-PNG decode chain (map-only over synthesized blobs)
+    "metadata_agg_mor_count": L.metadata_agg_mor_count,
+    "multimodal_decode_png_palette": L.multimodal_decode_png_palette,
 }
 
 
