@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- (1-N) NEW in round 8 (never driver-checked) ---
         "metadata_agg_mor_count": L.metadata_agg_mor_count,
         "multimodal_decode_png_palette": L.multimodal_decode_png_palette,
+        "text_sparse_retrieval_topk": L.text_sparse_retrieval_topk,
         # --- round-7 window entries (ALL driver-green r07) now in
         # the refresh rotation; r04/r05-vintage refreshes follow the
         # new block (window recounted to exactly 50 at round end) ---
@@ -2928,6 +2929,52 @@ def oracle_sql() -> dict[str, str]:
                    CAST(cum // 256 AS BIGINT) AS seq_id,
                    CAST(cum % 256 AS BIGINT) AS seq_offset
             FROM q
+        """,
+        # sparse TF-IDF cosine retrieval: integer milli-weights make
+        # dots/norms order-free integer sums (DuckDB int128 vs Spark
+        # DECIMAL(38,0) — both exact); sqrt/divide are the only floats
+        "text_sparse_retrieval_topk": f"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split({_NORM.format(t='text')}, ' '))
+                       AS term
+              FROM documents
+            ), tf AS (
+              SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+            ), dfreq AS (
+              SELECT term, count(*) AS df FROM tf GROUP BY 1
+            ), nd AS (
+              SELECT count(DISTINCT doc_id) AS n_docs FROM documents
+            ), w AS (
+              SELECT doc_id, term,
+                     CAST(round(tf * n_docs * 1000.0 / df) AS BIGINT) AS w
+              FROM tf JOIN dfreq USING (term) CROSS JOIN nd
+            ), norms AS (
+              SELECT doc_id, sum(w * w) AS n2 FROM w GROUP BY 1
+            ), qw AS (
+              SELECT doc_id AS query_id, term, w AS qw
+              FROM w WHERE doc_id < 10
+            ), dots AS (
+              SELECT q.query_id, w.doc_id, sum(q.qw * w.w) AS dot
+              FROM w JOIN qw q USING (term)
+              WHERE w.doc_id <> q.query_id
+              GROUP BY 1, 2
+            ), scored AS (
+              SELECT d.query_id, d.doc_id,
+                     round(CAST(d.dot AS DOUBLE)
+                           / (sqrt(CAST(qn.n2 AS DOUBLE))
+                              * sqrt(CAST(n.n2 AS DOUBLE))), 6) AS cos_sim
+              FROM dots d
+              JOIN norms n ON d.doc_id = n.doc_id
+              JOIN norms qn ON d.query_id = qn.doc_id
+            )
+            SELECT query_id, doc_id, cos_sim, CAST(rnk AS INTEGER) AS rnk
+            FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                          ORDER BY cos_sim DESC, doc_id) AS rnk
+              FROM scored)
+            WHERE rnk <= 10
+            ORDER BY query_id, rnk
         """,
         "text_tfidf_topk": f"""
             WITH toks AS (

@@ -180,6 +180,7 @@ HEADLINE = {
     # round-8 additions: MOR-count manifest fold, paletted PNG decode
     "metadata_agg_mor_count": L.metadata_agg_mor_count,
     "multimodal_decode_png_palette": L.multimodal_decode_png_palette,
+    "text_sparse_retrieval_topk": L.text_sparse_retrieval_topk,
 }
 
 # the 14 queries recorded since round 1 — their sum is the anchored

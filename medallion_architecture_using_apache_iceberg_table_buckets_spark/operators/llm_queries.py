@@ -1870,6 +1870,20 @@ def text_tfidf_topk(spark, sf_dir):
     return TX.tfidf_topk(_docs(spark, sf_dir), k=5)
 
 
+def text_sparse_retrieval_topk(spark, sf_dir):
+    """Sparse-vector IR retrieval (text.sparse_cosine_topk): top-10
+    corpus docs per probe doc by TF-IDF cosine over the shared-term
+    posting join — the lexical retrieval primitive next to the dense
+    ANN family. Milli-quantized BIGINT weights make every dot/norm an
+    integer sum (float-order-free), accumulated in DECIMAL(38,0);
+    only two exact sqrts and one divide are float. The probe side's
+    postings broadcast onto the corpus postings — no all-pairs."""
+    docs = _docs(spark, sf_dir)
+    return TX.sparse_cosine_topk(
+        docs, docs.filter(F.col("doc_id") < 10), k=10
+    ).orderBy("query_id", "rnk")
+
+
 def pack_training_sequences(spark, sf_dir):
     """Concatenate-and-cut sequence packing (text.pack_sequences):
     chunked docs are laid into fixed 256-token training sequences per

@@ -1124,3 +1124,37 @@ def test_keep_best_quality_prefers_quality_over_id(spark):
     assert out[1]["component_id"] == out[2]["component_id"] == 1
     # singleton keeps itself in its own component
     assert out[9]["keep"] == 1 and out[9]["component_id"] == 9
+
+
+def test_sparse_cosine_topk_contract(spark):
+    """TF-IDF sparse cosine retrieval: a doc sharing rare terms with
+    the query outranks one sharing only ubiquitous terms; self is
+    excluded; ranks are dense from 1; integer-weight determinism."""
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators.text import (
+        sparse_cosine_topk,
+    )
+
+    rows = [
+        (0, "zebra quokka common words here"),
+        (1, "zebra quokka overlap"),            # shares 2 rare terms
+        (2, "common words everywhere common"),  # shares only common
+        (3, "common words too also"),           # shares only common
+        (4, "entirely disjoint vocabulary piece"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sparse_cosine_topk(
+        df, df.filter("doc_id = 0"), k=4
+    ).collect()
+    by_rank = {r["rnk"]: r for r in got}
+    assert all(r["query_id"] == 0 for r in got)
+    assert all(r["doc_id"] != 0 for r in got)  # self excluded
+    assert [r["rnk"] for r in sorted(got, key=lambda r: r["rnk"])] == list(
+        range(1, len(got) + 1)
+    )
+    # doc 1 (rare-term overlap) beats docs 2/3 (common-term overlap)
+    assert by_rank[1]["doc_id"] == 1
+    # doc 4 shares nothing -> no dot row at all
+    assert all(r["doc_id"] != 4 for r in got)
+    sims = [r["cos_sim"] for r in sorted(got, key=lambda r: r["rnk"])]
+    assert sims == sorted(sims, reverse=True)
+    assert all(0.0 <= s <= 1.0 for s in sims)

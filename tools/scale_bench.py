@@ -146,6 +146,8 @@ QUERIES = {
     # paletted-PNG decode chain (map-only over synthesized blobs)
     "metadata_agg_mor_count": L.metadata_agg_mor_count,
     "multimodal_decode_png_palette": L.multimodal_decode_png_palette,
+    # inverted-index build (persisted posting table) + broadcast probe
+    "text_sparse_retrieval_topk": L.text_sparse_retrieval_topk,
 }
 
 
