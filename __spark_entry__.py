@@ -115,6 +115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metadata_agg_mor_count": L.metadata_agg_mor_count,
         "multimodal_decode_png_palette": L.multimodal_decode_png_palette,
         "text_sparse_retrieval_topk": L.text_sparse_retrieval_topk,
+        "sample_dsir_selection": L.sample_dsir_selection,
         # --- round-7 window entries (ALL driver-green r07) now in
         # the refresh rotation; r04/r05-vintage refreshes follow the
         # new block (window recounted to exactly 50 at round end) ---
@@ -2929,6 +2930,68 @@ def oracle_sql() -> dict[str, str]:
                    CAST(cum // 256 AS BIGINT) AS seq_id,
                    CAST(cum % 256 AS BIGINT) AS seq_offset
             FROM q
+        """,
+        # DSIR importance selection: hashed-bigram buckets via the
+        # md5-conv twin; bucket log-ratios micro-quantized once in a
+        # 1024-row model table; doc scores are integer dot products
+        "sample_dsir_selection": f"""
+            WITH toked AS (
+              SELECT doc_id,
+                     string_split({_NORM.format(t='text')}, ' ') AS w
+              FROM documents
+            ), grams AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, len(w)),
+                            i -> w[i] || ' ' || w[i + 1])) AS gram
+              FROM toked WHERE len(w) >= 2
+            ), doc_b AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(gram), 1, 15))::BIGINT % 1024
+                       AS b,
+                     count(*) AS n
+              FROM grams GROUP BY 1, 2
+            ), t_counts AS (
+              SELECT b, sum(n) AS ct FROM doc_b
+              WHERE doc_id % 17 = 0 GROUP BY 1
+            ), r_counts AS (
+              SELECT b, sum(n) AS cr FROM doc_b GROUP BY 1
+            ), model AS (
+              SELECT r.range AS b,
+                     COALESCE(t.ct, 0) AS ct,
+                     COALESCE(c.cr, 0) AS cr
+              FROM range(1024) r
+              LEFT JOIN t_counts t ON t.b = r.range
+              LEFT JOIN r_counts c ON c.b = r.range
+            ), tot AS (
+              SELECT sum(ct) AS tt, sum(cr) AS tr FROM model
+            ), lp AS (
+              SELECT b,
+                     CAST(round((
+                         ln(CAST(ct + 1 AS DOUBLE)
+                            / CAST(tt + 1024 AS DOUBLE))
+                       - ln(CAST(cr + 1 AS DOUBLE)
+                            / CAST(tr + 1024 AS DOUBLE))
+                     ) * 1000000.0) AS BIGINT) AS lr_micro
+              FROM model CROSS JOIN tot
+            ), scored AS (
+              SELECT d.doc_id,
+                     CAST(sum(d.n * l.lr_micro) AS BIGINT) AS dsir_micro,
+                     CAST(sum(d.n) AS BIGINT) AS n_grams
+              FROM doc_b d JOIN lp l USING (b)
+              GROUP BY 1
+            ), full_t AS (
+              SELECT doc_id,
+                     COALESCE(s.n_grams, 0) AS n_grams,
+                     COALESCE(s.dsir_micro, 0) AS dsir_micro
+              FROM documents LEFT JOIN scored s USING (doc_id)
+            ), ranked AS (
+              SELECT *, row_number() OVER (
+                        ORDER BY dsir_micro DESC, doc_id) AS rk
+              FROM full_t
+            )
+            SELECT doc_id, n_grams, dsir_micro,
+                   CAST(rk <= 100 AS INTEGER) AS selected
+            FROM ranked ORDER BY doc_id
         """,
         # sparse TF-IDF cosine retrieval: integer milli-weights make
         # dots/norms order-free integer sums (DuckDB int128 vs Spark

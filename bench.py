@@ -181,6 +181,7 @@ HEADLINE = {
     "metadata_agg_mor_count": L.metadata_agg_mor_count,
     "multimodal_decode_png_palette": L.multimodal_decode_png_palette,
     "text_sparse_retrieval_topk": L.text_sparse_retrieval_topk,
+    "sample_dsir_selection": L.sample_dsir_selection,
 }
 
 # the 14 queries recorded since round 1 — their sum is the anchored

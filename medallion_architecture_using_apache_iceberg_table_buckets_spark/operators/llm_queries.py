@@ -1870,6 +1870,26 @@ def text_tfidf_topk(spark, sf_dir):
     return TX.tfidf_topk(_docs(spark, sf_dir), k=5)
 
 
+def sample_dsir_selection(spark, sf_dir):
+    """DSIR importance-resampling data selection
+    (sampling.dsir_scores; Xie et al. 2023): every doc scored by its
+    hashed-bigram log importance weight ln p_target/p_raw under
+    add-one-smoothed 1024-bucket bag-of-ngrams models — target =
+    the doc_id % 17 == 0 pseudo-domain — and the top 100 marked
+    selected. Bucket log-ratios are micro-quantized integers in a
+    BOUNDED broadcast table (the published method's hashed features
+    exist exactly so the model stays broadcastable); per-doc scores
+    are exact integer dot products; selection is a distributed
+    TakeOrderedAndProject, not a one-partition window."""
+    from .sampling import dsir_scores
+
+    docs = _docs(spark, sf_dir)
+    return dsir_scores(
+        docs, docs.filter(F.col("doc_id") % 17 == 0), n_buckets=1024,
+        select_n=100,
+    ).orderBy("doc_id")
+
+
 def text_sparse_retrieval_topk(spark, sf_dir):
     """Sparse-vector IR retrieval (text.sparse_cosine_topk): top-10
     corpus docs per probe doc by TF-IDF cosine over the shared-term

@@ -315,3 +315,145 @@ def doremi_mixture_weights(
             ).alias("weight"),
         )
     )
+
+
+def dsir_scores(
+    df: DataFrame,
+    target_ids: DataFrame,
+    n_buckets: int = 1024,
+    select_n: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every
+    corpus document by its log importance weight under two hashed
+    bigram bag-of-ngrams unigram models — a TARGET model (counts from
+    ``target_ids``'s docs, the domain you want more of) and a RAW
+    model (counts from the whole corpus) — then mark the top
+    ``select_n`` docs. log w(x) = sum over the doc's bucket
+    occurrences of ln(p_target(b)) - ln(p_raw(b)), add-one smoothed
+    over ``n_buckets`` hashed-feature buckets.
+
+    Determinism (the ngram_lm_scores recipe): each bucket's log-ratio
+    is micro-quantized to an INTEGER once, in a BOUNDED per-bucket
+    table; per-doc scores are exact integer dot products of doc
+    bucket counts with that table. Bucket ids hash via the engine's
+    md5 convention, replayed verbatim by the oracle.
+
+    At 100 TB: ONE corpus tokenize pass builds the per-doc bucket
+    counts, which are persisted (both models and the scoring read
+    them); the model table is ``n_buckets`` rows — broadcast by
+    construction, like a trained classifier's weights. Raw counts
+    come from a map-side-combined aggregate; selection is one global
+    top-N window over doc-granularity rows. Never anything all-pairs;
+    the deliberately bounded feature space is the published method's
+    own design (DSIR's hashed n-grams exist exactly so the model
+    stays broadcastable)."""
+    toked = df.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t")
+    ).select(
+        "doc_id",
+        F.expr("regexp_extract_all(lower(_t), '[a-z0-9]+', 0)").alias("_w"),
+    )
+    w = F.col("_w")
+    grams = toked.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size(w) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(w) - F.lit(1)),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at(w, i), F.element_at(w, i + F.lit(1))
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("gram"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("gram")), 1, 15), 16, 10)
+        .cast("long") % F.lit(n_buckets)
+    ).alias("b")
+    doc_b = grams.select("doc_id", bucket).groupBy("doc_id", "b").agg(
+        F.count("*").cast("long").alias("n")
+    ).persist()
+    tids = target_ids.select(F.col(id_col).alias("doc_id"))
+    t_counts = (
+        doc_b.join(F.broadcast(tids), "doc_id")
+        .groupBy("b")
+        .agg(F.sum("n").alias("ct"))
+    )
+    r_counts = doc_b.groupBy("b").agg(F.sum("n").alias("cr"))
+    # bounded model table: n_buckets rows with integer micro log-ratio
+    model = (
+        spark_range_buckets(df.sparkSession, n_buckets)
+        .join(t_counts, "b", "left")
+        .join(r_counts, "b", "left")
+        .select(
+            "b",
+            F.coalesce(F.col("ct"), F.lit(0)).alias("ct"),
+            F.coalesce(F.col("cr"), F.lit(0)).alias("cr"),
+        )
+    )
+    tt = model.agg(
+        F.sum("ct").alias("tt"), F.sum("cr").alias("tr")
+    )
+    lp = (
+        model.crossJoin(F.broadcast(tt))
+        .select(
+            "b",
+            F.round(
+                (
+                    F.log(
+                        (F.col("ct") + F.lit(1)).cast("double")
+                        / (F.col("tt") + F.lit(n_buckets)).cast("double")
+                    )
+                    - F.log(
+                        (F.col("cr") + F.lit(1)).cast("double")
+                        / (F.col("tr") + F.lit(n_buckets)).cast("double")
+                    )
+                )
+                * F.lit(1_000_000.0)
+            )
+            .cast("long")
+            .alias("lr_micro"),
+        )
+    )
+    scored = (
+        doc_b.join(F.broadcast(lp), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("n") * F.col("lr_micro")).cast("long")
+            .alias("dsir_micro"),
+            F.sum("n").cast("long").alias("n_grams"),
+        )
+    )
+    all_docs = df.select(F.col(id_col).alias("doc_id"))
+    full = all_docs.join(scored, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_grams"), F.lit(0).cast("long")).alias("n_grams"),
+        F.coalesce(F.col("dsir_micro"), F.lit(0).cast("long")).alias(
+            "dsir_micro"
+        ),
+    )
+    # top-N via orderBy+limit = TakeOrderedAndProject (distributed
+    # partial top-N per partition, merged on the driver) — a global
+    # row_number window would sort everything in ONE partition
+    top = (
+        full.orderBy(F.desc("dsir_micro"), F.asc("doc_id"))
+        .limit(select_n)
+        .select("doc_id", F.lit(1).alias("_sel"))
+    )
+    return full.join(F.broadcast(top), "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        "dsir_micro",
+        F.coalesce(F.col("_sel"), F.lit(0)).cast("int").alias("selected"),
+    )
+
+
+def spark_range_buckets(spark, n_buckets: int) -> DataFrame:
+    """All bucket ids 0..n_buckets-1 — buckets no gram hashed into
+    still need their smoothed log-ratio so totals match the oracle."""
+    return spark.range(n_buckets).select(F.col("id").cast("long").alias("b"))

@@ -305,3 +305,51 @@ def test_doremi_mixture_weights(spark):
     assert sorted(map(tuple, out.values())) == sorted(
         map(tuple, again.values())
     )
+
+
+def test_dsir_scores_prefers_target_like_docs(spark):
+    """DSIR importance weights: docs sharing the target domain's
+    bigrams score above disjoint-vocabulary docs; every doc appears
+    exactly once; exactly select_n docs are selected; sub-2-word
+    docs score 0 with n_grams 0."""
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators.sampling import (
+        dsir_scores,
+    )
+
+    target_text = (
+        "spark shuffle partitions broadcast join executor memory spill"
+    )
+    # raw corpus much larger than the target set, so the smoothed
+    # log-ratio signal dominates the add-one baseline
+    rows = (
+        [(i, target_text) for i in range(5)]              # the target set
+        + [(10, "spark shuffle partitions broadcast tuning")]  # target-like
+        + [
+            (20 + i, f"sourdough recipe v{i} flour water salt yeast oven")
+            for i in range(20)
+        ]
+        + [(90, "one")]                                   # no bigrams
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in dsir_scores(
+            df, df.filter("doc_id < 5"), n_buckets=64, select_n=6
+        ).collect()
+    }
+    assert len(got) == 27
+    # the target docs and the target-like doc carry clearly positive
+    # importance weights; a no-gram doc is NEUTRAL (log-weight 0) —
+    # exactly DSIR's semantics
+    for i in list(range(5)) + [10]:
+        assert got[i]["dsir_micro"] > 0, i
+    assert got[90]["n_grams"] == 0 and got[90]["dsir_micro"] == 0
+    assert sum(r["selected"] for r in got.values()) == 6
+    # top-6 = the five target docs + the target-like doc, every
+    # off-domain doc unselected
+    assert all(got[i]["selected"] == 1 for i in list(range(5)) + [10])
+    assert all(got[20 + i]["selected"] == 0 for i in range(20))
+    # target-like beats every off-domain score
+    assert got[10]["dsir_micro"] > max(
+        got[20 + i]["dsir_micro"] for i in range(20)
+    )

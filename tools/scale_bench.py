@@ -148,6 +148,8 @@ QUERIES = {
     "multimodal_decode_png_palette": L.multimodal_decode_png_palette,
     # inverted-index build (persisted posting table) + broadcast probe
     "text_sparse_retrieval_topk": L.text_sparse_retrieval_topk,
+    # bounded 1024-bucket model table; one corpus gram pass, persisted
+    "sample_dsir_selection": L.sample_dsir_selection,
 }
 
 
