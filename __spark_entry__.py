@@ -116,6 +116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode_png_palette": L.multimodal_decode_png_palette,
         "text_sparse_retrieval_topk": L.text_sparse_retrieval_topk,
         "sample_dsir_selection": L.sample_dsir_selection,
+        "text_kn_lm_score": L.text_kn_lm_score,
         # --- round-7 window entries (ALL driver-green r07) now in
         # the refresh rotation; r04/r05-vintage refreshes follow the
         # new block (window recounted to exactly 50 at round end) ---
@@ -3823,6 +3824,50 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(dv) AS BIGINT) AS motion_sum,
                    CAST(max(dv) AS INTEGER) AS motion_max
             FROM d GROUP BY doc_id, f
+        """,
+        # interpolated Kneser-Ney bigram LM: discounted bigram term +
+        # continuation-probability backoff, identical operand order
+        "text_kn_lm_score": f"""
+            WITH norm AS (
+              SELECT doc_id, string_split({_NORM.format(t='text')}, ' ') AS w
+              FROM documents
+            ),
+            bg AS (
+              SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+              FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+                    FROM norm)
+            ),
+            big AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY w1, w2),
+            hist AS (
+              SELECT w1, sum(cb) AS hn, count(*) AS n1f
+              FROM big GROUP BY w1
+            ),
+            cont AS (SELECT w2, count(*) AS n1b FROM big GROUP BY w2),
+            ty AS (SELECT count(*) AS n1all FROM big),
+            sc AS (
+              SELECT bg.doc_id,
+                     CAST(round(-ln(
+                         greatest(CAST(cb AS DOUBLE) - 0.75, 0.0)
+                           / CAST(hn AS DOUBLE)
+                         + 0.75 * CAST(n1f AS DOUBLE)
+                           / CAST(hn AS DOUBLE)
+                           * (CAST(n1b AS DOUBLE)
+                              / CAST(n1all AS DOUBLE))
+                       ) * 1000000.0) AS BIGINT) AS s_micro
+              FROM bg JOIN big USING (w1, w2) JOIN hist USING (w1)
+              JOIN cont USING (w2) CROSS JOIN ty
+            ),
+            per AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                     round(CAST(sum(s_micro) AS DOUBLE)
+                           / (count(*) * 1000000.0), 6)
+                       AS avg_kn_surprisal
+              FROM sc GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(p.n_bigrams, 0) AS n_bigrams,
+                   p.avg_kn_surprisal
+            FROM documents d LEFT JOIN per p USING (doc_id)
         """,
         "text_ngram_lm_score": f"""
             WITH norm AS (

@@ -182,6 +182,7 @@ HEADLINE = {
     "multimodal_decode_png_palette": L.multimodal_decode_png_palette,
     "text_sparse_retrieval_topk": L.text_sparse_retrieval_topk,
     "sample_dsir_selection": L.sample_dsir_selection,
+    "text_kn_lm_score": L.text_kn_lm_score,
 }
 
 # the 14 queries recorded since round 1 — their sum is the anchored

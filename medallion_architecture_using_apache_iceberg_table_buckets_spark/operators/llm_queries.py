@@ -1870,6 +1870,17 @@ def text_tfidf_topk(spark, sf_dir):
     return TX.tfidf_topk(_docs(spark, sf_dir), k=5)
 
 
+def text_kn_lm_score(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram LM scoring (text.kn_lm_scores):
+    per-doc average KN surprisal under the corpus-self-trained model
+    with D=0.75 — the smoothing KenLM ships, scoring continuation
+    diversity instead of raw frequency. Occurrence surprisals are
+    micro-quantized integers before aggregation; the oracle replays
+    the discounted + continuation-interpolated probability with the
+    identical operand order."""
+    return TX.kn_lm_scores(_docs(spark, sf_dir))
+
+
 def sample_dsir_selection(spark, sf_dir):
     """DSIR importance-resampling data selection
     (sampling.dsir_scores; Xie et al. 2023): every doc scored by its

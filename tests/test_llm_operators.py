@@ -1158,3 +1158,38 @@ def test_sparse_cosine_topk_contract(spark):
     sims = [r["cos_sim"] for r in sorted(got, key=lambda r: r["rnk"])]
     assert sims == sorted(sims, reverse=True)
     assert all(0.0 <= s <= 1.0 for s in sims)
+
+
+def test_kn_lm_scores_contract(spark):
+    """Kneser-Ney properties on a planted corpus: (a) a frequent,
+    well-attested bigram carries lower surprisal than a one-off
+    cross pair; (b) the continuation term rewards words seen after
+    MANY histories over equally-frequent words welded to one history
+    — the property add-one smoothing cannot express; (c) sub-2-word
+    docs emit n_bigrams 0 with NULL score."""
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators.text import (
+        kn_lm_scores,
+    )
+
+    rows = (
+        # "the cat" x8: frequent bigram
+        [(i, "the cat") for i in range(8)]
+        # "dog ran", "fox ran", "kid ran": 'ran' follows 3 histories
+        + [(20, "dog ran"), (21, "fox ran"), (22, "kid ran")]
+        # "zig zag" x3: 'zag' equally frequent but ONE history
+        + [(30, "zig zag"), (31, "zig zag"), (32, "zig zag")]
+        # the probes: unseen-bigram docs pairing a known history with
+        # 'ran' (diverse continuation) vs 'zag' (welded continuation)
+        + [(40, "the ran"), (41, "the zag")]
+        + [(50, "word")]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in kn_lm_scores(df).collect()}
+    # frequent attested bigram beats a one-off unseen pairing
+    assert got[0]["avg_kn_surprisal"] < got[40]["avg_kn_surprisal"]
+    # continuation diversity: p(ran | the) > p(zag | the), so the
+    # 'ran' probe scores LOWER surprisal than the 'zag' probe even
+    # though c(ran) == c(zag) == 3
+    assert got[40]["avg_kn_surprisal"] < got[41]["avg_kn_surprisal"]
+    assert got[50]["n_bigrams"] == 0
+    assert got[50]["avg_kn_surprisal"] is None

@@ -150,6 +150,8 @@ QUERIES = {
     "text_sparse_retrieval_topk": L.text_sparse_retrieval_topk,
     # bounded 1024-bucket model table; one corpus gram pass, persisted
     "sample_dsir_selection": L.sample_dsir_selection,
+    # gram-keyed joins like ngram_lm_score (its measured ~9x linear)
+    "text_kn_lm_score": L.text_kn_lm_score,
 }
 
 
