@@ -117,6 +117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_sparse_retrieval_topk": L.text_sparse_retrieval_topk,
         "sample_dsir_selection": L.sample_dsir_selection,
         "text_kn_lm_score": L.text_kn_lm_score,
+        "multimodal_decode_gif": L.multimodal_decode_gif,
         # --- round-7 window entries (ALL driver-green r07) now in
         # the refresh rotation; r04/r05-vintage refreshes follow the
         # new block (window recounted to exactly 50 at round end) ---
@@ -4235,6 +4236,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(d.w AS INTEGER) AS width,
                    CAST(d.h AS INTEGER) AS height,
                    CAST(d.ch AS INTEGER) AS channels,
+                   s.pixel_sum
+            FROM dims d JOIN sums s USING (doc_id)
+        """,
+        # GIF: the oracle replays the generator's quadratic index
+        # stride -> palette -> RGB sample sum; the REAL LZW round
+        # trip happens entirely inside the Spark query
+        "multimodal_decode_gif": """
+            WITH dims AS (
+              SELECT doc_id,
+                     doc_id % 11 + 2 AS w,
+                     doc_id % 7 + 2 AS h,
+                     doc_id % 29 + 2 AS p
+              FROM documents
+            ),
+            px AS (
+              SELECT doc_id, p, unnest(range(w * h)) AS i FROM dims
+            ),
+            sums AS (
+              SELECT doc_id,
+                     CAST(sum(
+                         (5 * ((i * i + doc_id) % p) + 7 * doc_id) % 256
+                       + (9 * ((i * i + doc_id) % p) + 11 * doc_id) % 256
+                       + (3 * ((i * i + doc_id) % p) + 13 * doc_id) % 256
+                     ) AS BIGINT) AS pixel_sum
+              FROM px GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   'gif' AS img_format,
+                   CAST(d.w AS INTEGER) AS width,
+                   CAST(d.h AS INTEGER) AS height,
+                   CAST(3 AS INTEGER) AS channels,
                    s.pixel_sum
             FROM dims d JOIN sums s USING (doc_id)
         """,

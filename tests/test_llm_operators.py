@@ -1193,3 +1193,79 @@ def test_kn_lm_scores_contract(spark):
     assert got[40]["avg_kn_surprisal"] < got[41]["avg_kn_surprisal"]
     assert got[50]["n_bigrams"] == 0
     assert got[50]["avg_kn_surprisal"] is None
+
+
+def test_gif_codec_round_trip_and_errors():
+    """Real GIF/LZW codec: round trips with genuine dictionary growth
+    (width bumps + full-table CLEAR), the KwKwK pattern, and loud
+    failures for truncation, transparency, interlace, local color
+    tables, and out-of-range palette indices."""
+    import random
+    import struct
+
+    import pytest
+
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators.multimodal import (
+        decode_gif,
+        decode_image,
+        encode_gif,
+        lzw_decode,
+        lzw_encode,
+    )
+
+    # LZW pair: random / run / pattern streams incl. the 4096-entry
+    # CLEAR path and 12-bit widths
+    r = random.Random(8)
+    for p, n in [(4, 5000), (17, 3000), (256, 40000)]:
+        idx = bytes(r.randrange(p) for _ in range(n))
+        m = max(2, (p - 1).bit_length())
+        assert lzw_decode(lzw_encode(idx, m), m, n) == idx, (p, n)
+    kwkwk = b"\x00\x01" * 4000  # the classic code==next case
+    assert lzw_decode(lzw_encode(kwkwk, 2), 2, len(kwkwk)) == kwkwk
+
+    # container round trip through the dispatcher
+    pal = [((5 * j) % 256, (9 * j) % 256, (3 * j) % 256) for j in range(29)]
+    idx = bytes((i * i) % 29 for i in range(13 * 9))
+    blob = encode_gif(13, 9, idx, pal)
+    expected = sum(sum(pal[i]) for i in idx)
+    assert decode_gif(blob) == {
+        "img_format": "gif", "width": 13, "height": 9,
+        "channels": 3, "pixel_sum": expected,
+    }
+    assert decode_image(blob)["pixel_sum"] == expected
+
+    # every truncation point up to the image's sub-block terminator
+    # fails loud (the final 0x3B trailer is tolerated missing, like
+    # real decoders: the image is already complete)
+    for cut in range(len(blob) - 1):
+        with pytest.raises((ValueError, NotImplementedError)):
+            decode_gif(blob[:cut])
+
+    # transparency (GCE flag), interlace, local color table: loud
+    gce = b"\x21\xf9\x04\x01\x00\x00\x00\x00"  # transparency bit set
+    with_gce = blob[:13 + 3 * 32] + gce + blob[13 + 3 * 32:]
+    with pytest.raises(NotImplementedError, match="transparency"):
+        decode_gif(with_gce)
+    interlaced = bytearray(blob)
+    desc_off = 13 + 3 * 32  # image descriptor after the padded GCT
+    assert interlaced[desc_off] == 0x2C
+    interlaced[desc_off + 9] |= 0x40
+    with pytest.raises(NotImplementedError, match="interlace"):
+        decode_gif(bytes(interlaced))
+    local = bytearray(blob)
+    local[desc_off + 9] |= 0x80
+    with pytest.raises(NotImplementedError, match="local color"):
+        decode_gif(bytes(local))
+
+    # a skippable comment extension is fine per spec
+    comment = b"\x21\xfe\x05hello\x00"
+    assert decode_gif(blob[:13 + 3 * 32] + comment + blob[13 + 3 * 32:])[
+        "pixel_sum"
+    ] == expected
+
+    # encoder-side validation
+    with pytest.raises(ValueError):
+        encode_gif(2, 2, bytes([0, 1, 2, 9]), pal[:3])
+    with pytest.raises(ValueError):
+        encode_gif(2, 2, bytes(3), pal)  # wrong pixel count
+    struct  # parity import

@@ -152,6 +152,8 @@ QUERIES = {
     "sample_dsir_selection": L.sample_dsir_selection,
     # gram-keyed joins like ngram_lm_score (its measured ~9x linear)
     "text_kn_lm_score": L.text_kn_lm_score,
+    # map-only LZW decode over synthesized blobs (PNG-chain twin)
+    "multimodal_decode_gif": L.multimodal_decode_gif,
 }
 
 
