@@ -118,6 +118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_dsir_selection": L.sample_dsir_selection,
         "text_kn_lm_score": L.text_kn_lm_score,
         "multimodal_decode_gif": L.multimodal_decode_gif,
+        "multimodal_decode_mulaw": L.multimodal_decode_mulaw,
         # --- round-7 window entries (ALL driver-green r07) now in
         # the refresh rotation; r04/r05-vintage refreshes follow the
         # new block (window recounted to exactly 50 at round end) ---
@@ -4238,6 +4239,39 @@ def oracle_sql() -> dict[str, str]:
                    CAST(d.ch AS INTEGER) AS channels,
                    s.pixel_sum
             FROM dims d JOIN sums s USING (doc_id)
+        """,
+        # G.711 mu-law: the oracle replays the CCITT integer
+        # expansion (bias 132, 3-bit segment shift) per synthesized
+        # byte (7i+d)%256
+        "multimodal_decode_mulaw": """
+            WITH dims AS (
+              SELECT doc_id, doc_id % 60 + 20 AS n FROM documents
+            ),
+            b AS (
+              SELECT doc_id,
+                     255 - ((7 * unnest(range(n)) + doc_id) % 256) AS u
+              FROM dims
+            ),
+            v AS (
+              SELECT doc_id,
+                     ((u % 16) * 8 + 132) * (1 << ((u // 16) % 8)) AS t,
+                     u
+              FROM b
+            ),
+            s AS (
+              SELECT doc_id,
+                     CASE WHEN u >= 128 THEN 132 - t ELSE t - 132 END
+                       AS val
+              FROM v
+            )
+            SELECT d.doc_id,
+                   CAST(8000 AS INTEGER) AS sample_rate,
+                   CAST(1 AS INTEGER) AS channels,
+                   CAST(8 AS INTEGER) AS bits,
+                   CAST(d.n AS BIGINT) AS n_samples,
+                   CAST(sum(abs(s.val)) AS BIGINT) AS abs_sum
+            FROM dims d JOIN s USING (doc_id)
+            GROUP BY d.doc_id, d.n
         """,
         # GIF: the oracle replays the generator's quadratic index
         # stride -> palette -> RGB sample sum; the REAL LZW round

@@ -184,6 +184,7 @@ HEADLINE = {
     "sample_dsir_selection": L.sample_dsir_selection,
     "text_kn_lm_score": L.text_kn_lm_score,
     "multimodal_decode_gif": L.multimodal_decode_gif,
+    "multimodal_decode_mulaw": L.multimodal_decode_mulaw,
 }
 
 # the 14 queries recorded since round 1 — their sum is the anchored

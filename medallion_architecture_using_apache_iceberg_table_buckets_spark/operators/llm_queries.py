@@ -2036,6 +2036,19 @@ def multimodal_decode_png_palette(spark, sf_dir):
     return decode_images(synth_palette_pngs(_docs(spark, sf_dir)))
 
 
+def multimodal_decode_mulaw(spark, sf_dir):
+    """G.711 mu-law audio decoding (ITU-T's telephony companding —
+    the 8-bit compressed-audio tier next to PCM16): format-7 WAV
+    containers are synthesized per doc and decoded back through the
+    canonical CCITT integer expansion (multimodal._mulaw_expand) on
+    the Arrow mapInPandas shape. The expansion is pure integer
+    arithmetic, so the oracle replays byte -> segment/mantissa ->
+    linear sample closed-form in SQL."""
+    from .multimodal import decode_audios, synth_mulaw_audio
+
+    return decode_audios(synth_mulaw_audio(_docs(spark, sf_dir)))
+
+
 def multimodal_decode_gif(spark, sf_dir):
     """REAL LZW-compressed container decoding: spec-conforming GIF89a
     bytes (global color table + genuine variable-width LZW with

@@ -1795,6 +1795,13 @@ def decode_wav(content: bytes, want_samples: bool = False) -> dict:
     if fmt is None or data is None:
         raise ValueError("missing fmt or data chunk")
     audio_format, channels, rate, _, _, bits = fmt
+    if audio_format == 7 and bits == 8:
+        # ITU-T G.711 mu-law: canonical integer expansion (CCITT
+        # reference ulaw2linear) — one byte per sample to 14-bit
+        # linear. Pure integer arithmetic, so the SQL oracle replays
+        # it closed-form.
+        samples = tuple(_mulaw_expand(b) for b in data)
+        return _wav_out(rate, channels, bits, samples, want_samples)
     if audio_format != 1 or bits != 16:
         raise NotImplementedError(
             f"non-PCM16 WAV (format={audio_format}, bits={bits}) needs a "
@@ -1802,16 +1809,43 @@ def decode_wav(content: bytes, want_samples: bool = False) -> dict:
         )
     count = len(data) // 2
     samples = struct.unpack(f"<{count}h", data[: 2 * count])
+    return _wav_out(rate, channels, bits, samples, want_samples)
+
+
+def _mulaw_expand(u: int) -> int:
+    """G.711 mu-law byte -> linear sample (the CCITT ulaw2linear
+    reference: bias 0x84, 3-bit segment shift)."""
+    u = ~u & 0xFF
+    t = ((u & 0x0F) << 3) + 0x84
+    t <<= (u & 0x70) >> 4
+    return (0x84 - t) if (u & 0x80) else (t - 0x84)
+
+
+def _wav_out(rate, channels, bits, samples, want_samples) -> dict:
     out = {
         "sample_rate": rate,
         "channels": channels,
         "bits": bits,
-        "n_samples": count // channels,
+        "n_samples": len(samples) // channels,
         "abs_sum": sum(abs(s) for s in samples),
     }
     if want_samples:
         out["samples"] = list(samples)
     return out
+
+
+def encode_wav_mulaw(sample_rate: int, mulaw_bytes: bytes) -> bytes:
+    """Mono G.711 mu-law WAV (format code 7, 8 bits/sample)."""
+    import struct
+
+    fmt = struct.pack(
+        "<HHIIHH", 7, 1, sample_rate, sample_rate, 1, 8
+    )
+    return (
+        b"RIFF" + struct.pack("<I", 36 + len(mulaw_bytes)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", len(mulaw_bytes)) + mulaw_bytes
+    )
 
 
 def synth_audio(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -1830,6 +1864,31 @@ def synth_audio(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 samples = [((31 * i + d) % 4001) - 2000 for i in range(count)]
                 ids.append(d)
                 blobs.append(encode_wav(rate, samples))
+            yield pd.DataFrame(
+                {"doc_id": pd.Series(ids, dtype="int64"), "content": blobs}
+            )
+
+    return df.select(id_col).mapInPandas(
+        gen, schema="doc_id long, content binary"
+    )
+
+
+def synth_mulaw_audio(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic synthetic mu-law WAV table: doc_id -> format-7
+    container bytes. rate = 8000; n = id%60 + 20 mu-law bytes;
+    byte_i = (7*i + id) % 256 — every segment/sign/mantissa
+    combination occurs across the corpus, so the expansion formula
+    is exercised end to end."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for d in pdf[id_col]:
+                d = int(d)
+                count = d % 60 + 20
+                raw = bytes((7 * i + d) % 256 for i in range(count))
+                ids.append(d)
+                blobs.append(encode_wav_mulaw(8000, raw))
             yield pd.DataFrame(
                 {"doc_id": pd.Series(ids, dtype="int64"), "content": blobs}
             )

@@ -1269,3 +1269,36 @@ def test_gif_codec_round_trip_and_errors():
     with pytest.raises(ValueError):
         encode_gif(2, 2, bytes(3), pal)  # wrong pixel count
     struct  # parity import
+
+
+def test_mulaw_decode_matches_reference_table():
+    """G.711 mu-law: the expansion equals the CCITT reference for all
+    256 bytes (cross-checked against stdlib audioop where present),
+    and a format-7 WAV container routes through decode_wav."""
+    import struct
+
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators.multimodal import (
+        _mulaw_expand,
+        decode_wav,
+        encode_wav_mulaw,
+    )
+
+    try:
+        import audioop  # removed in Python 3.13; reference when present
+
+        for b in range(256):
+            ref = struct.unpack("<h", audioop.ulaw2lin(bytes([b]), 2))[0]
+            assert _mulaw_expand(b) == ref, b
+    except ImportError:
+        # spec anchors: 0xFF is +0, 0x7F is -0, 0x80 decodes to the
+        # most negative magnitude's positive twin of 0x00
+        assert _mulaw_expand(0xFF) == 0
+        assert _mulaw_expand(0x7F) == 0
+        assert _mulaw_expand(0x00) == -_mulaw_expand(0x80)
+
+    raw = bytes((7 * i + 3) % 256 for i in range(40))
+    d = decode_wav(encode_wav_mulaw(8000, raw), want_samples=True)
+    assert (d["sample_rate"], d["channels"], d["bits"]) == (8000, 1, 8)
+    assert d["n_samples"] == 40
+    assert d["samples"] == [_mulaw_expand(b) for b in raw]
+    assert d["abs_sum"] == sum(abs(_mulaw_expand(b)) for b in raw)

@@ -154,6 +154,7 @@ QUERIES = {
     "text_kn_lm_score": L.text_kn_lm_score,
     # map-only LZW decode over synthesized blobs (PNG-chain twin)
     "multimodal_decode_gif": L.multimodal_decode_gif,
+    "multimodal_decode_mulaw": L.multimodal_decode_mulaw,
 }
 
 
