@@ -119,6 +119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_kn_lm_score": L.text_kn_lm_score,
         "multimodal_decode_gif": L.multimodal_decode_gif,
         "multimodal_decode_mulaw": L.multimodal_decode_mulaw,
+        "text_phrase_retrieval": L.text_phrase_retrieval,
         # --- round-7 window entries (ALL driver-green r07) now in
         # the refresh rotation; r04/r05-vintage refreshes follow the
         # new block (window recounted to exactly 50 at round end) ---
@@ -3826,6 +3827,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(dv) AS BIGINT) AS motion_sum,
                    CAST(max(dv) AS INTEGER) AS motion_max
             FROM d GROUP BY doc_id, f
+        """,
+        # positional phrase retrieval: aligned (doc, pos-i) joins
+        "text_phrase_retrieval": f"""
+            WITH toked AS (
+              SELECT doc_id,
+                     string_split({_NORM.format(t='text')}, ' ') AS w
+              FROM documents
+            ), postings AS (
+              SELECT doc_id, CAST(i AS BIGINT) AS pos, w[i + 1] AS term
+              FROM (SELECT doc_id, w, unnest(range(len(w))) AS i
+                    FROM toked)
+            ),
+            p0 AS (SELECT doc_id, pos AS start FROM postings
+                   WHERE term = 'table'),
+            p1 AS (SELECT doc_id, pos - 1 AS start FROM postings
+                   WHERE term = 'scan'),
+            p2 AS (SELECT doc_id, pos - 2 AS start FROM postings
+                   WHERE term = 'merge')
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_hits,
+                   CAST(min(start) AS BIGINT) AS first_pos
+            FROM p0 JOIN p1 USING (doc_id, start)
+                    JOIN p2 USING (doc_id, start)
+            GROUP BY doc_id ORDER BY doc_id
         """,
         # interpolated Kneser-Ney bigram LM: discounted bigram term +
         # continuation-probability backoff, identical operand order

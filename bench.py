@@ -185,6 +185,7 @@ HEADLINE = {
     "text_kn_lm_score": L.text_kn_lm_score,
     "multimodal_decode_gif": L.multimodal_decode_gif,
     "multimodal_decode_mulaw": L.multimodal_decode_mulaw,
+    "text_phrase_retrieval": L.text_phrase_retrieval,
 }
 
 # the 14 queries recorded since round 1 — their sum is the anchored

@@ -1870,6 +1870,19 @@ def text_tfidf_topk(spark, sf_dir):
     return TX.tfidf_topk(_docs(spark, sf_dir), k=5)
 
 
+def text_phrase_retrieval(spark, sf_dir):
+    """Positional phrase retrieval (text.phrase_search): docs
+    containing the exact word sequence "table scan merge", with
+    occurrence counts and first positions. One posexplode + a
+    scan-local term filter BEFORE any shuffle (3 posting lists, not
+    the corpus), then equi-joins on aligned (doc_id, pos-i) starts —
+    the boolean/phrase primitive a lexical search stack pairs with
+    BM25's bag ranking."""
+    return TX.phrase_search(
+        _docs(spark, sf_dir), ["table", "scan", "merge"]
+    ).orderBy("doc_id")
+
+
 def text_kn_lm_score(spark, sf_dir):
     """Interpolated Kneser-Ney bigram LM scoring (text.kn_lm_scores):
     per-doc average KN surprisal under the corpus-self-trained model

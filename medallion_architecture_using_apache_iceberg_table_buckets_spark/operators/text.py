@@ -1308,3 +1308,42 @@ def kn_lm_scores(
         ),
         "avg_kn_surprisal",
     )
+
+
+def phrase_search(
+    df: DataFrame,
+    phrase: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Positional inverted-index phrase retrieval: docs containing
+    the EXACT word sequence ``phrase``, with occurrence count and
+    first position — the boolean/phrase query primitive of a lexical
+    search stack (BM25 ranks bags; this matches adjacency).
+
+    Plan: ONE posexplode builds the positional posting stream, a
+    scan-local ``isin`` filter drops every posting outside the
+    phrase's terms BEFORE any shuffle (at web scale this is the whole
+    game: a 3-term phrase touches ~3 posting lists, not the corpus),
+    then each term's postings join on ``(doc_id, pos - i)`` — pure
+    equi-joins on aligned start positions, no window, no cross
+    product. Occurrence counting is one per-doc aggregate."""
+    if not phrase:
+        raise ValueError("phrase must have at least one term")
+    toked = df.select(F.col(id_col).alias("doc_id"), words(text_col).alias("_w"))
+    postings = toked.select(
+        "doc_id", F.posexplode("_w").alias("pos", "term")
+    ).filter(F.col("term").isin([t.lower() for t in phrase]))
+    aligned = None
+    for i, t in enumerate(phrase):
+        p = postings.filter(F.col("term") == t.lower()).select(
+            "doc_id", (F.col("pos") - F.lit(i)).alias("start")
+        )
+        aligned = p if aligned is None else aligned.join(p, ["doc_id", "start"])
+    return (
+        aligned.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_hits"),
+            F.min("start").cast("long").alias("first_pos"),
+        )
+    )

@@ -1302,3 +1302,32 @@ def test_mulaw_decode_matches_reference_table():
     assert d["n_samples"] == 40
     assert d["samples"] == [_mulaw_expand(b) for b in raw]
     assert d["abs_sum"] == sum(abs(_mulaw_expand(b)) for b in raw)
+
+
+def test_phrase_search_contract(spark):
+    """Exact-adjacency phrase matching: scrambled and gapped word
+    orders don't match; overlapping occurrences each count; repeated
+    terms inside the phrase align correctly."""
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators.text import (
+        phrase_search,
+    )
+
+    rows = [
+        (1, "a table scan merge b table scan merge"),   # two hits
+        (2, "table merge scan"),                        # scrambled
+        (3, "table scan x merge"),                      # gapped
+        (4, "Table SCAN merge!"),                       # normalization
+        (5, "scan merge table"),                        # rotation
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in phrase_search(df, ["table", "scan", "merge"]).collect()
+    }
+    assert set(got) == {1, 4}
+    assert got[1]["n_hits"] == 2 and got[1]["first_pos"] == 1
+    assert got[4]["n_hits"] == 1 and got[4]["first_pos"] == 0
+    # repeated-term phrase: "b b" matches the overlapping run twice
+    df2 = spark.createDataFrame([(9, "b b b")], "doc_id long, text string")
+    r = phrase_search(df2, ["b", "b"]).collect()[0]
+    assert r["n_hits"] == 2 and r["first_pos"] == 0

@@ -155,6 +155,7 @@ QUERIES = {
     # map-only LZW decode over synthesized blobs (PNG-chain twin)
     "multimodal_decode_gif": L.multimodal_decode_gif,
     "multimodal_decode_mulaw": L.multimodal_decode_mulaw,
+    "text_phrase_retrieval": L.text_phrase_retrieval,
 }
 
 
