@@ -120,6 +120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode_gif": L.multimodal_decode_gif,
         "multimodal_decode_mulaw": L.multimodal_decode_mulaw,
         "text_phrase_retrieval": L.text_phrase_retrieval,
+        "metadata_ndv_sketch": L.metadata_ndv_sketch,
         # --- round-7 window entries (ALL driver-green r07) now in
         # the refresh rotation; r04/r05-vintage refreshes follow the
         # new block (window recounted to exactly 50 at round end) ---
@@ -2832,6 +2833,15 @@ def oracle_sql() -> dict[str, str]:
                      ORDER BY quality_score DESC, doc_id) = 1 AS INTEGER)
                      AS keep
             FROM labeled
+        """,
+        # Puffin-twin NDV: the estimate comes from manifest-stored
+        # HLL registers (data bytes wiped first); the oracle proves
+        # the exact count and the in-query bound flag
+        "metadata_ndv_sketch": """
+            SELECT CAST(count(DISTINCT user_id) AS BIGINT)
+                     AS exact_distinct,
+                   CAST(1 AS INTEGER) AS within_bounds
+            FROM events
         """,
         # COUNT(*) under MOR position deletes: the query deletes every
         # data byte (delete files included) before aggregating, so the

@@ -186,6 +186,7 @@ HEADLINE = {
     "multimodal_decode_gif": L.multimodal_decode_gif,
     "multimodal_decode_mulaw": L.multimodal_decode_mulaw,
     "text_phrase_retrieval": L.text_phrase_retrieval,
+    "metadata_ndv_sketch": L.metadata_ndv_sketch,
 }
 
 # the 14 queries recorded since round 1 — their sum is the anchored

@@ -604,6 +604,7 @@ class Table:
         branch: str | None = None,
         delete_files: list[str] | None = None,
         partition_by: list[str] | None = None,
+        extra_stats: dict[str, dict] | None = None,
     ) -> Snapshot:
         parent = self._load(expected_version)
         # position-delete carry-forward: inherited unless the write
@@ -629,6 +630,11 @@ class Table:
                 stats[f] = _delete_file_stats(self.data_root / f)
             except Exception:
                 stats.pop(f, None)  # no record = COUNT pushdown bails
+        # writer-supplied manifest extras (per-file NDV sketches) ride
+        # next to the footer-derived stats under reserved ':' keys
+        for f, extra in (extra_stats or {}).items():
+            if f in file_set:
+                stats.setdefault(f, {}).update(extra)
         added_records = sum(_file_rows(self.data_root / f) for f in added)
         total_records = parent.summary.get("total_records", 0)
         removed_records = sum(_file_rows(self.data_root / f) for f in removed)
@@ -693,6 +699,104 @@ class Table:
             return self.current_snapshot()
         return self._resolve_ref(branch)
 
+    # Puffin twin: per-file column NDV sketches recorded at write
+    # time when this property lists columns (comma-separated), merged
+    # register-wise at query time by ndv_estimate — Iceberg spells
+    # the same design as theta sketches in Puffin stats files.
+    NDV_SKETCH_PROP = "ndv.sketch.columns"
+
+    def _ndv_sketch_stats(
+        self, spark: SparkSession, added: list[str], lg_k: int = 12
+    ) -> dict[str, dict] | None:
+        """One Datasketches HLL per (new file, configured column),
+        base64-packed for the JSON manifest. Costs one column-pruned
+        read of the JUST-WRITTEN files (exactly when Puffin stats are
+        produced); collected output is #files x #cols rows."""
+        import base64
+
+        prop = self.properties.get(self.NDV_SKETCH_PROP, "").strip()
+        if not prop or not added:
+            return None
+        cols = [c.strip() for c in prop.split(",") if c.strip()]
+        declared = {f.name for f in self.schema.fields}
+        cols = [c for c in cols if c in declared]
+        if not cols:
+            return None
+        paths = [
+            str(self.data_root / f).replace("%", "[%]") for f in added
+        ]
+        df = (
+            spark.read.option("basePath", str(self.data_root))
+            .parquet(*paths)
+            .select(
+                F.element_at(
+                    F.split(F.input_file_name(), "/"), -1
+                ).alias("_f"),
+                *cols,
+            )
+        )
+        rows = df.groupBy("_f").agg(
+            *[
+                F.hll_sketch_agg(F.col(c).cast("string"), F.lit(lg_k))
+                .alias(c)
+                for c in cols
+            ]
+        ).collect()
+        by_base = {f.split("/")[-1]: f for f in added}
+        out: dict[str, dict] = {}
+        for r in rows:
+            from urllib.parse import unquote
+
+            rel = by_base.get(unquote(r["_f"]))
+            if rel is None:
+                continue
+            out[rel] = {
+                f":hll:{c}:": base64.b64encode(bytes(r[c])).decode()
+                for c in cols
+                if r[c] is not None
+            }
+        return out
+
+    def ndv_estimate(self, spark: SparkSession, col: str) -> DataFrame:
+        """Approximate COUNT(DISTINCT col) answered ENTIRELY from the
+        per-file HLL sketches the write path recorded (the
+        ``ndv.sketch.columns`` property) — O(#files) register unions,
+        zero data IO, the Puffin-stats NDV read path. Exact-or-bail
+        posture like metadata_aggregate: raises
+        MetadataAggregateUnsupported when any live file lacks the
+        sketch (non-append rewrites don't re-derive them), when MOR
+        deltas/deletes are pending, or after a rename (sketches key
+        by the physical write-time name)."""
+        snap = self.current_snapshot()
+        if self._delta_files(snap):
+            raise MetadataAggregateUnsupported(
+                "pending merge-on-read deltas: sketches predate them"
+            )
+        if snap.delete_files:
+            raise MetadataAggregateUnsupported(
+                "position-delete files present: deleted rows remain"
+                " in the recorded sketches"
+            )
+        key = f":hll:{col}:"
+        blobs = []
+        for f in snap.files:
+            st = snap.stats.get(f) or {}
+            if key not in st:
+                raise MetadataAggregateUnsupported(
+                    f"no NDV sketch for {col!r} in {f!r}"
+                )
+            blobs.append(st[key])
+        if not blobs:
+            return spark.range(1).select(
+                F.lit(0).cast("long").alias("approx_distinct")
+            )
+        mdf = spark.createDataFrame([(b,) for b in blobs], "hb string")
+        return mdf.agg(
+            F.hll_sketch_estimate(
+                F.hll_union_agg(F.unbase64(F.col("hb")))
+            ).alias("approx_distinct")
+        )
+
     def append(self, df: DataFrame, branch: str | None = None) -> Snapshot:
         """Append-only write (reference scripts/raw-bronze.py:180-182).
         With ``branch=``, the new snapshot chains onto that branch's
@@ -702,6 +806,7 @@ class Table:
         return self._next_snapshot(
             "append", cur.files + added, added, [], df.schema, cur.version,
             branch=None if branch == MAIN_BRANCH else branch,
+            extra_stats=self._ndv_sketch_stats(df.sparkSession, added),
         )
 
     def overwrite(self, df: DataFrame, branch: str | None = None) -> Snapshot:
@@ -711,6 +816,7 @@ class Table:
         return self._next_snapshot(
             "overwrite", added, added, cur.files, df.schema, cur.version,
             branch=None if branch == MAIN_BRANCH else branch,
+            extra_stats=self._ndv_sketch_stats(df.sparkSession, added),
         )
 
     def replace_files(

@@ -2671,6 +2671,45 @@ def metadata_agg_pushdown(spark, sf_dir):
     ).orderBy("o_orderpriority")
 
 
+def metadata_ndv_sketch(spark, sf_dir):
+    """Puffin-twin NDV statistics: with ``ndv.sketch.columns`` set,
+    every append records one Datasketches HLL per (file, column) into
+    the manifest; ``Table.ndv_estimate`` answers approximate
+    COUNT(DISTINCT) by unioning registers — O(#files), zero data IO,
+    proven by wiping every data byte first. Validated in-query
+    against the exact distinct count (computed BEFORE the wipe) with
+    the 5%+2 bound the sketch family uses (lg_k=12 ~ 1.6% rsd); the
+    oracle recomputes the exact count and flag."""
+    import os
+    import tempfile
+
+    from ..lakehouse import Catalog
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    exact = ev.agg(F.countDistinct("user_id").alias("exact_distinct"))
+    cat = Catalog(tempfile.mkdtemp(prefix="mats_ndv_"))
+    t = cat.create_table(
+        "demo", "ev", ev.schema,
+        properties={"ndv.sketch.columns": "user_id"},
+    )
+    t.append(ev.filter(F.col("event_id") % 2 == 0))
+    t.append(ev.filter(F.col("event_id") % 2 == 1))
+    snap = t.current_snapshot()
+    assert len(snap.files) > 1  # the union really merges registers
+    for f in snap.files:
+        os.remove(t.data_root / f)  # proof: manifests only
+    approx = t.ndv_estimate(spark, "user_id")
+    tol = F.col("exact_distinct") * 0.05 + F.lit(2)
+    return exact.crossJoin(F.broadcast(approx)).select(
+        "exact_distinct",
+        (F.abs(F.col("approx_distinct") - F.col("exact_distinct")) <= tol)
+        .cast("int")
+        .alias("within_bounds"),
+    )
+
+
 def metadata_agg_mor_count(spark, sf_dir):
     """COUNT(*) pushdown that stays exact UNDER merge-on-read
     position deletes: live rows per data file = manifest-recorded

@@ -580,3 +580,50 @@ def test_nondeterministic_where_refused(spark, cat):
         ).collect()[0]["n"]
         == 2
     )
+
+
+def test_ndv_sketch_lifecycle(spark, cat):
+    """Per-file HLL NDV sketches: recorded when the property lists
+    columns, carried across commits, merged register-wise with zero
+    data IO (bytes wiped), and exact-or-bail — a file written without
+    the property (or a rewrite) has no sketch, so the estimate
+    refuses rather than undercounting."""
+    df = spark.createDataFrame(
+        [(i, f"u{i % 37}") for i in range(300)], "id long, user string"
+    )
+    t = cat.create_table(
+        "m", "ndv", df.schema,
+        properties={"ndv.sketch.columns": "user"},
+    )
+    t.append(df.where("id % 2 = 0"))
+    t.append(df.where("id % 2 = 1"))
+    for f in t.current_snapshot().files:
+        os.remove(t.data_root / f)
+    got = t.ndv_estimate(spark, "user").collect()[0]["approx_distinct"]
+    assert abs(got - 37) <= 0.05 * 37 + 2
+    # un-sketched column refuses
+    with pytest.raises(MetadataAggregateUnsupported):
+        t.ndv_estimate(spark, "id")
+
+    # a table WITHOUT the property records nothing and refuses
+    t2 = cat.create_table("m", "nondv", df.schema)
+    t2.append(df)
+    with pytest.raises(MetadataAggregateUnsupported):
+        t2.ndv_estimate(spark, "user")
+
+    # MOR deletes invalidate the recorded sketches
+    t3 = cat.create_table(
+        "m", "ndvdel", df.schema,
+        properties={"ndv.sketch.columns": "user"},
+    )
+    t3.append(df)
+    t3.delete_where(spark, "id < 10", mode="merge-on-read")
+    with pytest.raises(MetadataAggregateUnsupported):
+        t3.ndv_estimate(spark, "user")
+
+    # empty table estimates 0
+    t4 = cat.create_table(
+        "m", "ndvempty", df.schema,
+        properties={"ndv.sketch.columns": "user"},
+    )
+    assert t4.ndv_estimate(spark, "user").collect()[0]["approx_distinct"] == 0

@@ -156,6 +156,7 @@ QUERIES = {
     "multimodal_decode_gif": L.multimodal_decode_gif,
     "multimodal_decode_mulaw": L.multimodal_decode_mulaw,
     "text_phrase_retrieval": L.text_phrase_retrieval,
+    "metadata_ndv_sketch": L.metadata_ndv_sketch,
 }
 
 
