@@ -121,6 +121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode_mulaw": L.multimodal_decode_mulaw,
         "text_phrase_retrieval": L.text_phrase_retrieval,
         "metadata_ndv_sketch": L.metadata_ndv_sketch,
+        "maintenance_rewrite_posdeletes": L.maintenance_rewrite_posdeletes,
         # --- round-7 window entries (ALL driver-green r07) now in
         # the refresh rotation; r04/r05-vintage refreshes follow the
         # new block (window recounted to exactly 50 at round end) ---
@@ -2833,6 +2834,19 @@ def oracle_sql() -> dict[str, str]:
                      ORDER BY quality_score DESC, doc_id) = 1 AS INTEGER)
                      AS keep
             FROM labeled
+        """,
+        # posdelete consolidation: the live set after two overlapping
+        # MOR deletes, answered from the REWRITTEN manifest (data and
+        # delete bytes wiped first); multiples of 5 or 3 are deleted
+        "maintenance_rewrite_posdeletes": """
+            SELECT o_orderpriority,
+                   count(*) AS n_live,
+                   CAST(1 AS INTEGER) AS n_delete_files,
+                   CAST(1 AS INTEGER) AS consolidated
+            FROM orders
+            WHERE NOT (o_orderkey % 5 = 0 OR o_orderkey % 3 = 0)
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
         """,
         # Puffin-twin NDV: the estimate comes from manifest-stored
         # HLL registers (data bytes wiped first); the oracle proves

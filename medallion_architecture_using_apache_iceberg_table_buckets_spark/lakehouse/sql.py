@@ -921,7 +921,8 @@ class SqlSession:
             )
         raise ValueError(
             f"unknown procedure {proc!r} (dispatchable: expire_snapshots, "
-            f"rewrite_data_files/compact, remove_orphan_files/vacuum, "
+            f"rewrite_data_files/compact, rewrite_position_delete_files, "
+            f"remove_orphan_files/vacuum, "
             f"rollback_to_snapshot/set_current_snapshot, fast_forward)"
         )
 

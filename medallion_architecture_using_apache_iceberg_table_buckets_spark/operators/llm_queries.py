@@ -2671,6 +2671,53 @@ def metadata_agg_pushdown(spark, sf_dir):
     ).orderBy("o_orderpriority")
 
 
+def maintenance_rewrite_posdeletes(spark, sf_dir):
+    """Position-delete consolidation
+    (Table.rewrite_position_deletes; Iceberg's
+    rewrite_position_delete_files procedure): two MOR delete commits
+    leave two delete files; the rewrite folds them into ONE
+    spec-sorted file in a metadata-only commit, after which every
+    byte under data/ is wiped and the per-priority live counts are
+    answered purely from the REWRITTEN manifest's per-target delete
+    counts — proving the consolidation preserved the delete set
+    exactly. Read-side effect at scale: the MOR anti-join input goes
+    from O(delete commits) files back to O(deleted rows)."""
+    import os
+    import tempfile
+
+    from ..lakehouse import Catalog
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    cat = Catalog(tempfile.mkdtemp(prefix="mats_rpd_"))
+    t = cat.create_table(
+        "demo", "ord", o.schema, partition_by=["o_orderpriority"]
+    )
+    t.append(o)
+    t.delete_where(spark, "o_orderkey % 5 = 0", mode="merge-on-read")
+    t.delete_where(spark, "o_orderkey % 3 = 0", mode="merge-on-read")
+    before = len(t.current_snapshot().delete_files)
+    assert before >= 2
+    snap = t.rewrite_position_deletes(spark)
+    after = len(snap.delete_files)
+    assert after == 1
+    for f in list(snap.files) + list(snap.delete_files):
+        os.remove(t.data_root / f)
+    return (
+        t.metadata_aggregate(
+            spark, group_by=["o_orderpriority"], count_alias="n_live"
+        )
+        .select(
+            "o_orderpriority",
+            "n_live",
+            F.lit(after).cast("int").alias("n_delete_files"),
+            F.lit(int(after < before)).cast("int").alias("consolidated"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 def metadata_ndv_sketch(spark, sf_dir):
     """Puffin-twin NDV statistics: with ``ndv.sketch.columns`` set,
     every append records one Datasketches HLL per (file, column) into
