@@ -375,6 +375,60 @@ def llm_queries_section():
             "the whole query is O(#files) regardless of table "
             "bytes.",
         ),
+        "metadata_agg_mor_count": (
+            L.metadata_agg_mor_count,
+            "MOR COUNT(*) pushdown: identical manifest-frame shape "
+            "to metadata_agg_pushdown (no parquet scan node); live "
+            "rows fold as recorded rows minus the per-target delete "
+            "counts the delete commits put in the manifest — still "
+            "O(#files) with delete files present.",
+        ),
+        "text_sparse_retrieval_topk": (
+            L.text_sparse_retrieval_topk,
+            "Sparse TF-IDF retrieval: the weighted posting table is "
+            "built in ONE tokenize pass and persisted (the inverted-"
+            "index materialization — InMemoryTableScan on every "
+            "consumer); query postings broadcast onto it; dots/norms "
+            "are integer sums in DECIMAL(38,0), top-k per query is "
+            "one window over probe-hit rows only.",
+        ),
+        "sample_dsir_selection": (
+            L.sample_dsir_selection,
+            "DSIR: one persisted per-doc bucket-count pass; the "
+            "1024-row log-ratio model table broadcasts (hashed "
+            "features exist so the model stays broadcastable); "
+            "selection is TakeOrderedAndProject, never a "
+            "one-partition global window.",
+        ),
+        "text_kn_lm_score": (
+            L.text_kn_lm_score,
+            "Kneser-Ney: four map-side-combined gram aggregates; "
+            "scoring joins are gram-keyed (AQE strategy); the "
+            "bigram-type total is a 1-row broadcast; per-occurrence "
+            "surprisal micro-quantized before the per-doc sum.",
+        ),
+        "text_phrase_retrieval": (
+            L.text_phrase_retrieval,
+            "Phrase search: scan-local isin() drops every posting "
+            "outside the 3 phrase terms BEFORE any shuffle; the "
+            "adjacency test is equi-joins on (doc_id, pos-i) aligned "
+            "starts — no window, no cross product.",
+        ),
+        "metadata_ndv_sketch": (
+            L.metadata_ndv_sketch,
+            "Puffin-twin NDV: the estimate aggregates a "
+            "createDataFrame frame of per-file HLL register blobs "
+            "(one row per live file) through hll_union_agg — zero "
+            "data IO at query time; the sketches were recorded at "
+            "write time from the just-written files.",
+        ),
+        "maintenance_rewrite_posdeletes": (
+            L.maintenance_rewrite_posdeletes,
+            "Posdelete consolidation evidence: the returned counts "
+            "aggregate the rewritten manifest frame only (no parquet "
+            "scan node); the rewrite itself reads O(deleted rows) "
+            "delete files once and swaps them metadata-only.",
+        ),
     }
 
 
