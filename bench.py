@@ -187,6 +187,7 @@ HEADLINE = {
     "multimodal_decode_mulaw": L.multimodal_decode_mulaw,
     "text_phrase_retrieval": L.text_phrase_retrieval,
     "metadata_ndv_sketch": L.metadata_ndv_sketch,
+    "maintenance_rewrite_posdeletes": L.maintenance_rewrite_posdeletes,
 }
 
 # the 14 queries recorded since round 1 — their sum is the anchored

@@ -77,6 +77,13 @@ _AGG_ONLY = re.compile(
     r"(?:\s+GROUP\s+BY\s+((?:`?\w+`?)(?:\s*,\s*`?\w+`?)*))?\s*$",
     re.I | re.S,
 )
+# NDV peephole: a single approx_count_distinct over a bare table —
+# answered from manifest HLL sketches when recorded (ndv.sketch.columns)
+_NDV_ONLY = re.compile(
+    r"^\s*SELECT\s+APPROX_COUNT_DISTINCT\s*\(\s*`?(\w+)`?\s*\)"
+    r"(?:\s+AS\s+`?(\w+)`?)?\s+FROM\s+([\w.]+)\s*$",
+    re.I,
+)
 _AGG_ITEM = re.compile(
     r"^(COUNT|MIN|MAX)\s*\(\s*(\*|`?\w+`?)\s*\)"
     r"(?:\s+AS\s+`?(\w+)`?)?$",
@@ -450,6 +457,10 @@ class SqlSession:
             return self._empty()
         if _MERGE_HEAD.match(s):
             return self._merge(s)
+        if m := _NDV_ONLY.match(s):
+            out = self._ndv_meta(m)
+            if out is not None:
+                return out
         if m := _AGG_ONLY.match(s):
             out = self._agg_meta(m)
             if out is not None:
@@ -458,6 +469,34 @@ class SqlSession:
         # the active namespace attached as bare-name views
         self._attach_current()
         return self.spark.sql(self._rewrite_refs(s))
+
+    def _ndv_meta(self, m: re.Match) -> DataFrame | None:
+        """``SELECT approx_count_distinct(col) FROM t`` answered from
+        the manifest's per-file HLL sketches (Table.ndv_estimate —
+        the Puffin-stats NDV read) when the table recorded them;
+        None = the Spark-SQL scan path evaluates its own HLL++ over
+        the data. Both paths are approximations of the same NDV with
+        comparable error, but they are DIFFERENT sketches — callers
+        wanting the exact count write COUNT(DISTINCT col), which
+        always scans."""
+        from .table import MetadataAggregateUnsupported
+
+        col, alias, tbl = m.group(1), m.group(2), m.group(3)
+        known = self._known(tbl)
+        if known is None:
+            return None
+        ns, name = known
+        try:
+            out = self.catalog.table(ns, name).ndv_estimate(
+                self.spark, col
+            )
+        except MetadataAggregateUnsupported:
+            return None
+        return out.select(
+            F.col("approx_distinct").alias(
+                alias or f"approx_count_distinct({col})"
+            )
+        )
 
     def _agg_meta(self, m: re.Match) -> DataFrame | None:
         """Metadata-only COUNT(*)/COUNT(col)/MIN/MAX select —

@@ -1331,9 +1331,14 @@ def phrase_search(
     if not phrase:
         raise ValueError("phrase must have at least one term")
     toked = df.select(F.col(id_col).alias("doc_id"), words(text_col).alias("_w"))
-    postings = toked.select(
-        "doc_id", F.posexplode("_w").alias("pos", "term")
-    ).filter(F.col("term").isin([t.lower() for t in phrase]))
+    # persisted: each phrase term's branch probes this SMALL filtered
+    # posting set — without it every branch re-tokenizes the corpus
+    # (|phrase| full passes; the BM25 single-pass rule)
+    postings = (
+        toked.select("doc_id", F.posexplode("_w").alias("pos", "term"))
+        .filter(F.col("term").isin([t.lower() for t in phrase]))
+        .persist()
+    )
     aligned = None
     for i, t in enumerate(phrase):
         p = postings.filter(F.col("term") == t.lower()).select(

@@ -627,3 +627,42 @@ def test_ndv_sketch_lifecycle(spark, cat):
         properties={"ndv.sketch.columns": "user"},
     )
     assert t4.ndv_estimate(spark, "user").collect()[0]["approx_distinct"] == 0
+
+
+def test_sql_approx_count_distinct_peephole(spark, cat):
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.lakehouse.sql import (
+        SqlSession,
+    )
+
+    sess = SqlSession(spark, cat)
+    sess.sql("CREATE NAMESPACE m")
+    sess.sql("USE m")
+    df = spark.createDataFrame(
+        [(i, f"u{i % 23}") for i in range(200)], "id long, user string"
+    )
+    t = cat.create_table(
+        "m", "nsql", df.schema,
+        properties={"ndv.sketch.columns": "user"},
+    )
+    t.append(df)
+    # wipe data bytes: only the sketch path can still answer
+    for f in t.current_snapshot().files:
+        os.remove(t.data_root / f)
+    out = sess.sql("SELECT approx_count_distinct(user) FROM nsql")
+    assert out.columns == ["approx_count_distinct(user)"]
+    got = out.collect()[0][0]
+    assert abs(got - 23) <= 0.05 * 23 + 2
+    out2 = sess.sql("SELECT APPROX_COUNT_DISTINCT(user) AS ndv FROM m.nsql")
+    assert out2.columns == ["ndv"] and out2.collect()[0]["ndv"] == got
+
+    # an un-sketched column falls through to the scan path, which
+    # needs real data — run in a namespace whose tables all still
+    # have bytes (the passthrough attaches EVERY namespace table)
+    sess.sql("CREATE NAMESPACE m2")
+    sess.sql("USE m2")
+    t2 = cat.create_table("m2", "nsql2", df.schema)
+    t2.append(df)
+    got2 = sess.sql(
+        "SELECT approx_count_distinct(user) FROM nsql2"
+    ).collect()[0][0]
+    assert abs(got2 - 23) <= 0.05 * 23 + 2  # Spark's own HLL++

@@ -157,6 +157,7 @@ QUERIES = {
     "multimodal_decode_mulaw": L.multimodal_decode_mulaw,
     "text_phrase_retrieval": L.text_phrase_retrieval,
     "metadata_ndv_sketch": L.metadata_ndv_sketch,
+    "maintenance_rewrite_posdeletes": L.maintenance_rewrite_posdeletes,
 }
 
 
@@ -343,6 +344,12 @@ def main() -> None:
         # is the stage that owns a superlinear end-to-end factor
         "curation_stage1_quality", "curation_stage2_minhash",
         "curation_stage3_chunkpack",
+        # phrase retrieval: output = docs containing the phrase — the
+        # 10x corpus holds ~10x matching docs, so runtime should track
+        # rows_factor (the posting lists of 3 common terms are
+        # corpus-sized; everything after the scan-local term filter is
+        # keyed equi-joins)
+        "text_phrase_retrieval",
     }
 
     # embedding-LSH cost is governed by the CANDIDATE-join cardinality
@@ -393,6 +400,14 @@ def main() -> None:
             "pinned 8 planes is the bucket-collision CONTRAST row; "
             "read with cands_factor/unit_cost_factor like the auto "
             "row"
+        ),
+        "text_phrase_retrieval": (
+            "the true work measure is the 3 common terms' POSTING "
+            "rows (~10x with the corpus; matching docs in rows_* "
+            "grow slower because cross-copy phrase hits span the "
+            "marker token): one persisted tokenize pass feeds all "
+            "three aligned branches, so the wall factor sits "
+            "sublinear to the posting growth"
         ),
     }
 
