@@ -362,6 +362,22 @@ def test_brute_baselines_are_the_only_all_pairs_plans(spark, sf_dir):
         # the occurrence stream; the count join is a keyed
         # (word, class) equi-join
         "curation_nb_classifier",
+        # sparse retrieval: the 1-row corpus-count scalar broadcast
+        # (the tfidf pattern); posting joins are keyed on term /
+        # doc_id against the persisted index
+        "text_sparse_retrieval_topk",
+        # DSIR: the 1-row target/raw-totals scalar broadcast onto the
+        # 1024-row model table; doc scoring is a keyed bucket
+        # equi-join
+        "sample_dsir_selection",
+        # Kneser-Ney: the 1-row bigram-type-total scalar broadcast;
+        # all count joins are keyed gram equi-joins (the
+        # text_ngram_lm_score pattern)
+        "text_kn_lm_score",
+        # NDV sketch: the 1-row register-union estimate broadcast
+        # onto the 1-row exact aggregate — scalar-sized by
+        # construction (the sketch_theta_set_ops pattern)
+        "metadata_ndv_sketch",
     }
     # Queries whose construction performs writes/iterative jobs; their
     # plan hygiene is asserted by dedicated tests.
