@@ -100,6 +100,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_phrase_retrieval": L.text_phrase_retrieval,
         "metadata_ndv_sketch": L.metadata_ndv_sketch,
         "maintenance_rewrite_posdeletes": L.maintenance_rewrite_posdeletes,
+        "events_funnel": R.events_funnel,
+        "events_cohort_retention": R.events_cohort_retention,
+        "sample_temperature_mixture": L.sample_temperature_mixture,
         # 11-26: the sixteen r04-vintage refreshes the r7 verdict
         # queued (all driver-green r04; judge re-verified at sf0.01)
         "join_full_outer_spend": R.join_full_outer_spend,
@@ -2811,6 +2814,79 @@ def oracle_sql() -> dict[str, str]:
                      ORDER BY quality_score DESC, doc_id) = 1 AS INTEGER)
                      AS keep
             FROM labeled
+        """,
+        # ordered funnel: conditional-min chain (click strictly after
+        # the first view, purchase strictly after that click)
+        "events_funnel": """
+            WITH fe AS (
+              SELECT user_id, event_type, ts FROM events
+              WHERE event_type IN ('view', 'click', 'purchase')
+            ),
+            t1 AS (
+              SELECT user_id, min(ts) AS t_view FROM fe
+              WHERE event_type = 'view' GROUP BY user_id
+            ),
+            t2 AS (
+              SELECT fe.user_id, min(ts) AS t_click
+              FROM fe JOIN t1 USING (user_id)
+              WHERE event_type = 'click' AND ts > t_view
+              GROUP BY fe.user_id
+            ),
+            t3 AS (
+              SELECT fe.user_id, min(ts) AS t_purchase
+              FROM fe JOIN t2 USING (user_id)
+              WHERE event_type = 'purchase' AND ts > t_click
+              GROUP BY fe.user_id
+            )
+            SELECT t1.user_id, t_view, t_click, t_purchase,
+                   CAST(1 + CAST(t_click IS NOT NULL AS INTEGER)
+                          + CAST(t_purchase IS NOT NULL AS INTEGER)
+                        AS INTEGER) AS stage_reached
+            FROM t1 LEFT JOIN t2 USING (user_id)
+                    LEFT JOIN t3 USING (user_id)
+            ORDER BY user_id
+        """,
+        # cohort retention: first-activity day x day-offset matrix
+        "events_cohort_retention": """
+            WITH active AS (
+              SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+              FROM events
+            ),
+            cohort AS (
+              SELECT user_id, min(day) AS cohort_day FROM active
+              GROUP BY user_id
+            )
+            SELECT cohort_day,
+                   CAST(day - cohort_day AS INTEGER) AS day_offset,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM active JOIN cohort USING (user_id)
+            GROUP BY cohort_day, day_offset
+            ORDER BY cohort_day, day_offset
+        """,
+        # temperature mixture: (n_i/N)^0.3 normalized (alpha sampling)
+        "sample_temperature_mixture": """
+            WITH counts AS (
+              SELECT source, count(*) AS n_docs FROM documents
+              GROUP BY source
+            ),
+            tot AS (SELECT sum(n_docs) AS total FROM counts),
+            z AS (
+              SELECT sum(pow(CAST(n_docs AS DOUBLE)
+                             / CAST(total AS DOUBLE), 0.3)) AS zz
+              FROM counts CROSS JOIN tot
+            )
+            SELECT source, n_docs,
+                   round(CAST(n_docs AS DOUBLE)
+                         / CAST(total AS DOUBLE), 6) AS share,
+                   round(pow(CAST(n_docs AS DOUBLE)
+                             / CAST(total AS DOUBLE), 0.3) / zz, 6)
+                     AS weight,
+                   CAST(round(pow(CAST(n_docs AS DOUBLE)
+                             / CAST(total AS DOUBLE), 0.3) / zz
+                         * CAST(total AS DOUBLE)) AS BIGINT)
+                     AS epoch_docs
+            FROM counts CROSS JOIN tot CROSS JOIN z
+            ORDER BY source
         """,
         # posdelete consolidation: the live set after two overlapping
         # MOR deletes, answered from the REWRITTEN manifest (data and

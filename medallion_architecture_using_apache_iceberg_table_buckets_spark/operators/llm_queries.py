@@ -1894,6 +1894,42 @@ def text_kn_lm_score(spark, sf_dir):
     return TX.kn_lm_scores(_docs(spark, sf_dir))
 
 
+def sample_temperature_mixture(spark, sf_dir):
+    """Temperature-scaled domain mixture (the mT5/XLM-R alpha-
+    sampling rule, alpha = 0.3): per-source sampling weights
+    q_i proportional to (n_i/N)^alpha — upweights small domains
+    relative to their natural share without flattening entirely.
+    Scalar arithmetic over the source-count frame; the one libm pow
+    is rounded at 6 decimals (the ln discipline). Output carries the
+    natural share, the tempered weight, and the expected docs per
+    epoch so the rebalancing is auditable."""
+    d = _docs(spark, sf_dir).select("doc_id", "source")
+    counts = d.groupBy("source").agg(F.count("*").alias("n_docs"))
+    tot = counts.agg(F.sum("n_docs").alias("total"))
+    j = counts.crossJoin(F.broadcast(tot))
+    p = F.col("n_docs").cast("double") / F.col("total").cast("double")
+    q_raw = F.pow(p, F.lit(0.3))
+    zsum = j.agg(
+        F.sum(F.pow(
+            F.col("n_docs").cast("double") / F.col("total").cast("double"),
+            F.lit(0.3),
+        )).alias("z")
+    )
+    return (
+        j.crossJoin(F.broadcast(zsum))
+        .select(
+            "source",
+            "n_docs",
+            F.round(p, 6).alias("share"),
+            F.round(q_raw / F.col("z"), 6).alias("weight"),
+            F.round(q_raw / F.col("z") * F.col("total").cast("double"))
+            .cast("long")
+            .alias("epoch_docs"),
+        )
+        .orderBy("source")
+    )
+
+
 def sample_dsir_selection(spark, sf_dir):
     """DSIR importance-resampling data selection
     (sampling.dsir_scores; Xie et al. 2023): every doc scored by its

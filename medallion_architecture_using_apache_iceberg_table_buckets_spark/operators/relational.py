@@ -1427,3 +1427,83 @@ def table_quality_checks(spark, sf_dir):
     return constraint_report([li_rows, o_rows, uniq, fk]).withColumnRenamed(
         "check", "check_name"
     )
+
+
+def events_funnel(spark, sf_dir):
+    """Ordered-funnel analysis (view -> click -> purchase): per user,
+    the earliest view, the earliest click STRICTLY AFTER it, and the
+    earliest purchase strictly after that — the product-analytics
+    primitive behind conversion reporting, where a click before the
+    first view must NOT count.
+
+    Plan (100 TB): a scan-local event_type filter keeps only the 3
+    funnel stages, then three conditional-min aggregates chained by
+    user_id equi-joins — every shuffle is on the user key (AQE reuses
+    the partitioning), nothing collects, no per-user arrays that
+    could blow memory on a power user with millions of events.
+    """
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    ).filter(F.col("event_type").isin("view", "click", "purchase"))
+    t1 = e.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t_view")
+    )
+    t2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(t1, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    t3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(t2, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        t1.join(t2, "user_id", "left")
+        .join(t3, "user_id", "left")
+        .select(
+            "user_id",
+            "t_view",
+            "t_click",
+            "t_purchase",
+            (
+                F.lit(1)
+                + F.col("t_click").isNotNull().cast("int")
+                + F.col("t_purchase").isNotNull().cast("int")
+            ).alias("stage_reached"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def events_cohort_retention(spark, sf_dir):
+    """Cohort retention: users grouped by FIRST-ACTIVITY day, counted
+    on each later day-offset they were active — the retention matrix
+    behind every growth dashboard.
+
+    Plan (100 TB): one distinct (user, activity-day) aggregate, one
+    per-user min for the cohort day, a user-keyed equi-join, and the
+    final (cohort, offset) count — all shuffles on user/cohort keys,
+    output is cohort-days x offsets (tiny)."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    active = e.distinct()
+    cohort = active.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        active.join(cohort, "user_id")
+        .select(
+            "cohort_day",
+            F.datediff(F.col("day"), F.col("cohort_day")).alias(
+                "day_offset"
+            ),
+            "user_id",
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    )

@@ -1331,3 +1331,68 @@ def test_phrase_search_contract(spark):
     df2 = spark.createDataFrame([(9, "b b b")], "doc_id long, text string")
     r = phrase_search(df2, ["b", "b"]).collect()[0]
     assert r["n_hits"] == 2 and r["first_pos"] == 0
+
+
+def test_events_funnel_strict_ordering(spark, monkeypatch, tmp_path):
+    """The funnel chain is STRICTLY ordered: a click before the first
+    view doesn't count, and a purchase before the qualifying click
+    doesn't either."""
+    import datetime as dt
+
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators import (
+        relational as R,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(uid, typ, minutes):
+        return (uid, t0 + dt.timedelta(minutes=minutes), typ)
+
+    rows = (
+        # user 1: full ordered funnel
+        [ev(1, "view", 0), ev(1, "click", 10), ev(1, "purchase", 20)]
+        # user 2: click BEFORE the first view -> stage 1 only
+        + [ev(2, "click", 0), ev(2, "view", 10)]
+        # user 3: purchase before the qualifying click -> stage 2
+        + [ev(3, "view", 0), ev(3, "purchase", 5), ev(3, "click", 10)]
+        # user 4: never viewed -> absent from the funnel
+        + [ev(4, "purchase", 0)]
+    )
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+    monkeypatch.setattr(R, "load", lambda spark, sf, name: df)
+    got = {r["user_id"]: r for r in R.events_funnel(spark, "x").collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1]["stage_reached"] == 3
+    assert got[2]["stage_reached"] == 1 and got[2]["t_click"] is None
+    assert got[3]["stage_reached"] == 2 and got[3]["t_purchase"] is None
+
+
+def test_events_cohort_retention_offsets(spark, monkeypatch):
+    import datetime as dt
+
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators import (
+        relational as R,
+    )
+
+    def ev(uid, day):
+        return (uid, dt.datetime(2024, 1, day, 12, 0))
+
+    rows = [
+        ev(1, 1), ev(1, 1), ev(1, 3),   # cohort 1/1, offsets 0 and 2
+        ev(2, 1), ev(2, 2),             # cohort 1/1, offsets 0 and 1
+        ev(3, 2),                       # cohort 1/2, offset 0
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    monkeypatch.setattr(R, "load", lambda spark, sf, name: df)
+    got = {
+        (str(r["cohort_day"]), r["day_offset"]): r["n_users"]
+        for r in R.events_cohort_retention(spark, "x").collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 2,
+        ("2024-01-01", 1): 1,
+        ("2024-01-01", 2): 1,
+        ("2024-01-02", 0): 1,
+    }

@@ -158,6 +158,9 @@ QUERIES = {
     "text_phrase_retrieval": L.text_phrase_retrieval,
     "metadata_ndv_sketch": L.metadata_ndv_sketch,
     "maintenance_rewrite_posdeletes": L.maintenance_rewrite_posdeletes,
+    "events_funnel": R.events_funnel,
+    "events_cohort_retention": R.events_cohort_retention,
+    "sample_temperature_mixture": L.sample_temperature_mixture,
 }
 
 
