@@ -110,6 +110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": R.events_funnel,
         "events_cohort_retention": R.events_cohort_retention,
         "sample_temperature_mixture": L.sample_temperature_mixture,
+        "graph_pagerank_dedup": L.graph_pagerank_dedup,
         # 11-26: the sixteen r04-vintage refreshes the r7 verdict
         # queued (all driver-green r04; judge re-verified at sf0.01)
         "join_full_outer_spend": R.join_full_outer_spend,
@@ -2821,6 +2822,91 @@ def oracle_sql() -> dict[str, str]:
                      ORDER BY quality_score DESC, doc_id) = 1 AS INTEGER)
                      AS keep
             FROM labeled
+        """,
+        # PageRank over the exact-Jaccard pair graph: 3 unrolled
+        # rounds, nano-quantized integer contributions, integer-
+        # percent damping — bit-exact replay
+        "graph_pagerank_dedup": f"""
+            WITH {_PLANT_TAIL}, {_SHINGLES},
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     count(*) AS inter
+              FROM sids a JOIN sids b
+                ON a.sid = b.sid AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ),
+            pairs AS (
+              SELECT doc_a, doc_b FROM inter
+              JOIN sizes sa ON sa.doc_id = doc_a
+              JOIN sizes sb ON sb.doc_id = doc_b
+              WHERE round(inter / (sa.sz + sb.sz - inter), 4) >= 0.5
+            ),
+            edges AS (
+              SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION
+              SELECT doc_b AS src, doc_a AS dst FROM pairs
+            ),
+            nodes AS (SELECT DISTINCT src AS node FROM edges),
+            scal AS (
+              SELECT count(*) AS n,
+                     1000000000 // count(*) AS base,
+                     (CAST(15 AS BIGINT) * 1000000000) // 100
+                       // count(*) AS tele
+              FROM nodes
+            ),
+            deg AS (SELECT src, count(*) AS degree FROM edges GROUP BY src),
+            pr0 AS (
+              SELECT node, CAST(base AS BIGINT) AS pr_nano
+              FROM nodes CROSS JOIN scal
+            ),
+            c1 AS (
+              SELECT e.dst AS node,
+                     CAST(floor(CAST(p.pr_nano AS DOUBLE) / d.degree)
+                          AS BIGINT) AS c
+              FROM edges e JOIN pr0 p ON p.node = e.src
+              JOIN deg d ON d.src = e.src
+            ),
+            s1 AS (SELECT node, CAST(sum(c) AS BIGINT) AS s FROM c1
+                   GROUP BY node),
+            pr1 AS (
+              SELECT n.node,
+                     CAST(tele + CAST(floor(COALESCE(s.s, 0) * 85 / 100)
+                                      AS BIGINT) AS BIGINT) AS pr_nano
+              FROM nodes n LEFT JOIN s1 s USING (node) CROSS JOIN scal
+            ),
+            c2 AS (
+              SELECT e.dst AS node,
+                     CAST(floor(CAST(p.pr_nano AS DOUBLE) / d.degree)
+                          AS BIGINT) AS c
+              FROM edges e JOIN pr1 p ON p.node = e.src
+              JOIN deg d ON d.src = e.src
+            ),
+            s2 AS (SELECT node, CAST(sum(c) AS BIGINT) AS s FROM c2
+                   GROUP BY node),
+            pr2 AS (
+              SELECT n.node,
+                     CAST(tele + CAST(floor(COALESCE(s.s, 0) * 85 / 100)
+                                      AS BIGINT) AS BIGINT) AS pr_nano
+              FROM nodes n LEFT JOIN s2 s USING (node) CROSS JOIN scal
+            ),
+            c3 AS (
+              SELECT e.dst AS node,
+                     CAST(floor(CAST(p.pr_nano AS DOUBLE) / d.degree)
+                          AS BIGINT) AS c
+              FROM edges e JOIN pr2 p ON p.node = e.src
+              JOIN deg d ON d.src = e.src
+            ),
+            s3 AS (SELECT node, CAST(sum(c) AS BIGINT) AS s FROM c3
+                   GROUP BY node),
+            pr3 AS (
+              SELECT n.node,
+                     CAST(tele + CAST(floor(COALESCE(s.s, 0) * 85 / 100)
+                                      AS BIGINT) AS BIGINT) AS pr_nano
+              FROM nodes n LEFT JOIN s3 s USING (node) CROSS JOIN scal
+            )
+            SELECT p.node, p.pr_nano, CAST(d.degree AS BIGINT) AS degree
+            FROM pr3 p JOIN deg d ON d.src = p.node
+            ORDER BY p.node
         """,
         # ordered funnel: conditional-min chain (click strictly after
         # the first view, purchase strictly after that click)

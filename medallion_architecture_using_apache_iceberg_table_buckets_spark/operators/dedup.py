@@ -1251,3 +1251,83 @@ def keep_best_quality(
             (F.col("rn") == 1).cast("int").alias("keep"),
         )
     )
+
+
+def pagerank_pairs(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    n_iter: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """PageRank over an undirected near-dup pair graph — link-analysis
+    authority for curation decisions (a doc duplicated by many
+    independent sources carries more evidential weight than a leaf of
+    one mirror chain; Common Crawl-scale pipelines rank canonical
+    picks by exactly this kind of graph centrality).
+
+    Determinism across engines: neighbor contributions are
+    NANO-QUANTIZED integers before each per-node sum (float summation
+    order never matters), so every iteration's scores are exact
+    integers and the oracle replays the unrolled rounds bit-for-bit.
+
+    At 100 TB: edges come from the banded pair operators (never
+    all-pairs); each of the ``n_iter`` bounded rounds is one keyed
+    aggregate over the edge list plus a node-keyed join — the
+    bounded-round discipline of connected_components, with
+    per-iteration localCheckpoints cutting the lineage the same way.
+    """
+    edges = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    )
+    edges = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().localCheckpoint()
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    n_nodes = nodes.count()  # scalar for the teleport term (driver int)
+    if n_nodes == 0:
+        return pairs.sparkSession.createDataFrame(
+            [], "node long, pr_nano long, degree long"
+        )
+    deg = edges.groupBy("src").agg(F.count("*").alias("degree"))
+    # all-integer scalars and damping (damping expressed in percent)
+    # so every engine computes the identical BIGINT score stream
+    d_pct = int(round(damping * 100))
+    base_nano = 10**9 // n_nodes
+    teleport_nano = (100 - d_pct) * 10**9 // 100 // n_nodes
+    pr = nodes.select(
+        "node", F.lit(base_nano).cast("long").alias("pr_nano")
+    ).localCheckpoint()
+    for _ in range(int(n_iter)):
+        contrib = (
+            edges.join(pr, edges["src"] == pr["node"])
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                # explicit floor: Spark's long cast truncates but
+                # DuckDB's BIGINT cast rounds — floor() agrees, and
+                # an integer-valued IEEE quotient is exact
+                F.floor(F.col("pr_nano") / F.col("degree"))
+                .cast("long")
+                .alias("c_nano"),
+            )
+        )
+        summed = contrib.groupBy("node").agg(
+            F.sum("c_nano").cast("long").alias("s_nano")
+        )
+        pr = (
+            nodes.join(summed, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(teleport_nano)
+                    + F.floor(
+                        F.coalesce(F.col("s_nano"), F.lit(0))
+                        * F.lit(d_pct)
+                        / F.lit(100)
+                    ).cast("long")
+                ).alias("pr_nano"),
+            )
+            .localCheckpoint()
+        )
+    return pr.join(deg.select(F.col("src").alias("node"), "degree"), "node")

@@ -1894,6 +1894,25 @@ def text_kn_lm_score(spark, sf_dir):
     return TX.kn_lm_scores(_docs(spark, sf_dir))
 
 
+def graph_pagerank_dedup(spark, sf_dir):
+    """Link-analysis centrality over the near-dup graph
+    (dedup.pagerank_pairs): 3 bounded PageRank rounds on the exact
+    n-gram Jaccard pair graph of the planted corpus — a doc
+    duplicated by many independent sources outranks a mirror-chain
+    leaf, the signal canonical-pick ranking uses at Common Crawl
+    scale. Neighbor contributions are nano-quantized integers before
+    every per-node sum (float order never matters) and the damping
+    arithmetic is integer percent, so the oracle replays the
+    unrolled rounds bit-for-bit."""
+    from .dedup import ngram_jaccard_pairs, pagerank_pairs
+
+    corpus = _planted(
+        spark, sf_dir, 30, lambda t: F.concat(t, F.lit(" extra token tail"))
+    )
+    pairs = ngram_jaccard_pairs(corpus, threshold=0.5)
+    return pagerank_pairs(pairs, n_iter=3).orderBy("node")
+
+
 def sample_temperature_mixture(spark, sf_dir):
     """Temperature-scaled domain mixture (the mT5/XLM-R alpha-
     sampling rule, alpha = 0.3): per-source sampling weights

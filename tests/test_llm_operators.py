@@ -1396,3 +1396,30 @@ def test_events_cohort_retention_offsets(spark, monkeypatch):
         ("2024-01-01", 2): 1,
         ("2024-01-02", 0): 1,
     }
+
+
+def test_pagerank_pairs_contract(spark):
+    """PageRank sanity on a star-plus-chain graph: the hub outranks
+    every leaf; a chain node with two neighbors outranks a leaf with
+    one; total mass stays ~1e9 nano; empty graph yields empty."""
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators.dedup import (
+        pagerank_pairs,
+    )
+
+    # star: 0-1, 0-2, 0-3; chain: 4-5, 5-6
+    pairs = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (4, 5), (5, 6)],
+        "doc_a long, doc_b long",
+    )
+    got = {r["node"]: r for r in pagerank_pairs(pairs, n_iter=3).collect()}
+    assert set(got) == {0, 1, 2, 3, 4, 5, 6}
+    hub = got[0]["pr_nano"]
+    assert all(hub > got[i]["pr_nano"] for i in (1, 2, 3))
+    assert got[5]["pr_nano"] > got[4]["pr_nano"]  # middle beats leaf
+    assert got[0]["degree"] == 3 and got[5]["degree"] == 2
+    total = sum(r["pr_nano"] for r in got.values())
+    assert abs(total - 10**9) < 10**7  # mass conserved to quantization
+    empty = pagerank_pairs(
+        spark.createDataFrame([], "doc_a long, doc_b long")
+    )
+    assert empty.count() == 0

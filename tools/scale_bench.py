@@ -161,6 +161,7 @@ QUERIES = {
     "events_funnel": R.events_funnel,
     "events_cohort_retention": R.events_cohort_retention,
     "sample_temperature_mixture": L.sample_temperature_mixture,
+    "graph_pagerank_dedup": L.graph_pagerank_dedup,
 }
 
 
@@ -403,6 +404,13 @@ def main() -> None:
             "pinned 8 planes is the bucket-collision CONTRAST row; "
             "read with cands_factor/unit_cost_factor like the auto "
             "row"
+        ),
+        "graph_pagerank_dedup": (
+            "dominated by the exact-Jaccard pair generation it feeds "
+            "on (dedup_ngram_jaccard_pairs' own row is ~9x = linear "
+            "in rows); the 3 PageRank rounds add edge-keyed "
+            "aggregates over an edge set that grows with the pair "
+            "count — composed factor sublinear to either input"
         ),
         "text_phrase_retrieval": (
             "the true work measure is the 3 common terms' POSTING "
