@@ -666,3 +666,46 @@ def test_sql_approx_count_distinct_peephole(spark, cat):
         "SELECT approx_count_distinct(user) FROM nsql2"
     ).collect()[0][0]
     assert abs(got2 - 23) <= 0.05 * 23 + 2  # Spark's own HLL++
+
+
+def test_randomized_mor_count_against_read(spark, cat):
+    """Randomized MOR-count cross-check: random frames, layouts, and
+    overlapping merge-on-read delete predicates — whenever the
+    metadata path ANSWERS COUNT(*), it must equal the real
+    anti-joined read's count exactly; refusing is always legal."""
+    import random
+
+    rng = random.Random(20260816)
+    for trial in range(5):
+        n = rng.randint(5, 60)
+        rows = [
+            (i, rng.choice(["x", "y", "z"]), rng.randint(0, 9))
+            for i in range(n)
+        ]
+        df = spark.createDataFrame(rows, "id long, k string, v int")
+        part = rng.choice([[], ["k"]])
+        t = cat.create_table(
+            "m", f"morrand{trial}", df.schema, partition_by=part
+        )
+        for piece in range(rng.randint(1, 2)):
+            t.append(df.filter(F.col("id") % 2 == piece))
+        for _ in range(rng.randint(1, 3)):
+            mod = rng.randint(2, 7)
+            rem = rng.randint(0, mod - 1)
+            t.delete_where(
+                spark, f"v % {mod} = {rem}", mode="merge-on-read"
+            )
+        expected = t.read(spark).count()
+        where = rng.choice([None, "k = 'x'", "k IN ('y', 'z')"])
+        base = t.read(spark)
+        if where:
+            expected_w = base.filter(where).count()
+        try:
+            got = t.metadata_aggregate(
+                spark, where=where, count_alias="n"
+            ).collect()[0]["n"]
+        except MetadataAggregateUnsupported:
+            continue
+        assert got == (expected_w if where else expected), (
+            trial, where, got,
+        )
