@@ -440,6 +440,22 @@ def main() -> None:
            "Auto-generated by `tools/dump_plans.py` at sf0.001. The notes",
            "call out the property each plan must keep at 100 TB.",
            "",
+           "## Bench-environment note (r8): the adjudication is now arithmetic",
+           "",
+           "bench.py records query_n_jobs (Spark job count per query,",
+           "status tracker, job group per run) next to sched_probe_ms,",
+           "so the box-vs-code question the r6/r7 notes argued from",
+           "probes is now a subtraction: corrected ~= wall - n_jobs x",
+           "sched_probe_ms. Builder run on the r8 box (probe 82.3 ms,",
+           "BENCH_r08_builder_local.json): the r01 data-path subset is",
+           "11.28 s (0.55x the anchored 20.605 s baseline), and the",
+           "stage-count-heavy entries decompose as expected — e.g.",
+           "sample_dsir_selection wall 4.66 s at 45 jobs is ~3.7 s of",
+           "pure scheduling, maintenance_rewrite_posdeletes 2.64 s at",
+           "22 jobs ~1.8 s, while the map-only codec queries (2 jobs)",
+           "carry almost none. Read every sub-second cross-round delta",
+           "against (delta n_jobs x probe) first.",
+           "",
            "## Bench-environment note (r7, re: the r5->r6 sub-second regressions)",
            "",
            "The five same-direction r5->r6 moves (dedup_semantic +0.41s,",
