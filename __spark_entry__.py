@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cohort_retention": R.events_cohort_retention,
         "sample_temperature_mixture": L.sample_temperature_mixture,
         "graph_pagerank_dedup": L.graph_pagerank_dedup,
+        "ann_matryoshka_recall": L.ann_matryoshka_recall,
         # 11-26: the sixteen r04-vintage refreshes the r7 verdict
         # queued (all driver-green r04; judge re-verified at sf0.01)
         "join_full_outer_spend": R.join_full_outer_spend,
@@ -2822,6 +2823,37 @@ def oracle_sql() -> dict[str, str]:
                      ORDER BY quality_score DESC, doc_id) = 1 AS INTEGER)
                      AS keep
             FROM labeled
+        """,
+        # Matryoshka truncation recall: exact top-k per prefix dim vs
+        # the full-dim truth, hit counts replayed with list slices
+        "ann_matryoshka_recall": """
+            WITH topk AS (
+              SELECT d, query_id, neighbor_id FROM (
+                SELECT d.d AS d, q.vec_id AS query_id,
+                       e.vec_id AS neighbor_id,
+                       CAST(row_number() OVER (
+                         PARTITION BY d.d, q.vec_id
+                         ORDER BY round(list_cosine_similarity(
+                             (q.embedding::DOUBLE[])[1:d.d],
+                             (e.embedding::DOUBLE[])[1:d.d]), 4) DESC,
+                           e.vec_id ASC) AS INTEGER) AS rnk
+                FROM embeddings q
+                JOIN embeddings e ON e.vec_id != q.vec_id
+                CROSS JOIN (SELECT unnest([64, 32, 16, 8]) AS d) d
+                WHERE q.vec_id < 10
+              ) WHERE rnk <= 5
+            ),
+            t AS (SELECT query_id, neighbor_id FROM topk WHERE d = 64),
+            tc AS (SELECT count(*) AS truth FROM t)
+            SELECT CAST(a.d AS INTEGER) AS trunc_dim,
+                   CAST(5 AS INTEGER) AS k,
+                   CAST(count(*) AS BIGINT) AS hits,
+                   CAST(tc.truth AS BIGINT) AS truth,
+                   round(count(*) / tc.truth, 4) AS recall
+            FROM topk a JOIN t USING (query_id, neighbor_id)
+            CROSS JOIN tc
+            GROUP BY a.d, tc.truth
+            ORDER BY trunc_dim DESC
         """,
         # PageRank over the exact-Jaccard pair graph: 3 unrolled
         # rounds, nano-quantized integer contributions, integer-

@@ -192,6 +192,7 @@ HEADLINE = {
     "events_cohort_retention": R.events_cohort_retention,
     "sample_temperature_mixture": L.sample_temperature_mixture,
     "graph_pagerank_dedup": L.graph_pagerank_dedup,
+    "ann_matryoshka_recall": L.ann_matryoshka_recall,
 }
 
 # the 14 queries recorded since round 1 — their sum is the anchored

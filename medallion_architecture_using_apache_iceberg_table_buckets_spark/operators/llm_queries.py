@@ -1894,6 +1894,49 @@ def text_kn_lm_score(spark, sf_dir):
     return TX.kn_lm_scores(_docs(spark, sf_dir))
 
 
+def ann_matryoshka_recall(spark, sf_dir, k: int = 5):
+    """Matryoshka-style truncation evaluation: recall@k of exact
+    retrieval over PREFIX-TRUNCATED embeddings (dims 32/16/8) against
+    the full-64-dim ground truth — the measurement behind
+    MRL-trained embedding deployments, where serving at a fraction of
+    the dimensions buys index size and the question is how much
+    recall it costs. The 64-dim row is the self-check (recall 1.0 by
+    construction). Same in-query hit counting as ann_recall_at_k
+    (left-semi join, integer counts, no collect); truncation is a
+    map-only F.slice. Plan note: embeds the fenced brute scorer per
+    dim BY DESIGN (the probe set broadcasts; fence-listed like
+    ann_recall_at_k)."""
+    from .similarity import cosine_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    truth = cosine_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=k, dim=64
+    ).select("query_id", "neighbor_id")
+    truth_n = truth.agg(F.count(F.lit(1)).alias("truth"))
+    out = None
+    for d in (64, 32, 16, 8):
+        trunc = emb.select(
+            "vec_id", F.slice("embedding", 1, d).alias("embedding")
+        )
+        approx = cosine_topk(
+            trunc, trunc.filter(F.col("vec_id") < 10), k=k, dim=d
+        ).select("query_id", "neighbor_id")
+        row = (
+            approx.join(truth, ["query_id", "neighbor_id"], "left_semi")
+            .agg(F.count(F.lit(1)).alias("hits"))
+            .crossJoin(F.broadcast(truth_n))
+            .select(
+                F.lit(d).cast("int").alias("trunc_dim"),
+                F.lit(k).cast("int").alias("k"),
+                F.col("hits").cast("long").alias("hits"),
+                F.col("truth").cast("long").alias("truth"),
+                F.round(F.col("hits") / F.col("truth"), 4).alias("recall"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy(F.desc("trunc_dim"))
+
+
 def graph_pagerank_dedup(spark, sf_dir):
     """Link-analysis centrality over the near-dup graph
     (dedup.pagerank_pairs): 3 bounded PageRank rounds on the exact

@@ -378,6 +378,10 @@ def test_brute_baselines_are_the_only_all_pairs_plans(spark, sf_dir):
         # onto the 1-row exact aggregate — scalar-sized by
         # construction (the sketch_theta_set_ops pattern)
         "metadata_ndv_sketch",
+        # temperature mixture: 1-row corpus-total and 1-row
+        # normalizer broadcasts onto the per-source count frame
+        # (the corpus_mixture_weights pattern)
+        "sample_temperature_mixture",
     }
     # Queries whose construction performs writes/iterative jobs; their
     # plan hygiene is asserted by dedicated tests.
@@ -403,6 +407,9 @@ def test_brute_baselines_are_the_only_all_pairs_plans(spark, sf_dir):
         # generation is the centroid_id equi-join, asserted by
         # test_semantic_dedup_plan_is_cluster_scoped
         "dedup_semantic",
+        # embeds the fenced brute scorer once per truncation dim BY
+        # DESIGN (recall evaluation, like ann_recall_at_k)
+        "ann_matryoshka_recall",
     }
 
     offenders = {}

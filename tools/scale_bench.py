@@ -162,6 +162,7 @@ QUERIES = {
     "events_cohort_retention": R.events_cohort_retention,
     "sample_temperature_mixture": L.sample_temperature_mixture,
     "graph_pagerank_dedup": L.graph_pagerank_dedup,
+    "ann_matryoshka_recall": L.ann_matryoshka_recall,
 }
 
 
