@@ -56,23 +56,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # row on recent code; rotated-out entries stay covered by the full
     # local mirror (tools/check_oracles.py) and pytest.
     #
-    # Round-8 window (positions 1-50, live registry 179 entries):
-    #   1-13  = the thirteen NEW round-8 queries (never
-    #           driver-checked; the last three — events_funnel,
-    #           events_cohort_retention, sample_temperature_mixture —
-    #           landed late and sit right after the first ten);
-    #   14-29 = the sixteen r04-vintage refreshes the r7 verdict
+    # Round-8 window (positions 1-50, live registry 181 entries):
+    #   1-15  = the fifteen NEW round-8 queries (never
+    #           driver-checked);
+    #   16-31 = the sixteen r04-vintage refreshes the r7 verdict
     #           queued verbatim (join_full_outer_spend,
     #           agg_rollup_orders .. set_except_nonbuyers — all
     #           driver-green r04, re-verified by the judge at sf0.01
     #           in the r7 session);
-    #   30-50 = the 21 oldest r05-window entries in age order
-    #           (text_repetition_scores .. incremental_scan_changelog;
-    #           the three next ones — mor_merge_compact,
+    #   32-50 = the 19 oldest r05-window entries in age order
+    #           (text_repetition_scores .. multimodal_embed_dims;
+    #           the five next ones — sql_ctas_time_travel,
+    #           incremental_scan_changelog, mor_merge_compact,
     #           schema_evolution_sql, maintenance_procedures — were
-    #           displaced to the tail by the late additions and stay
+    #           displaced to the tail by late additions and stay
     #           r05-green there, first in line for the r09 refresh).
-    # 13 + 16 + 21 = 50 exactly. Every r07-window entry landed green
+    # 15 + 16 + 19 = 50 exactly. Every r07-window entry landed green
     # in CORRECTNESS_r07 (50/50), so none needs a re-slot.
     #
     # Tail (51+): the remaining r05-window entries

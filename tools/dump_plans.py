@@ -429,6 +429,33 @@ def llm_queries_section():
             "scan node); the rewrite itself reads O(deleted rows) "
             "delete files once and swaps them metadata-only.",
         ),
+        "events_funnel": (
+            R.events_funnel,
+            "Ordered funnel: scan-local stage filter, three "
+            "conditional-min aggregates chained by user_id equi-"
+            "joins — no per-user arrays, every shuffle on the user "
+            "key.",
+        ),
+        "events_cohort_retention": (
+            R.events_cohort_retention,
+            "Cohort retention: distinct (user, day) aggregate, "
+            "per-user min, one user-keyed join, (cohort, offset) "
+            "count — tiny output, user/cohort-keyed shuffles only.",
+        ),
+        "graph_pagerank_dedup": (
+            L.graph_pagerank_dedup,
+            "PageRank: bounded rounds over the banded pair graph — "
+            "each round one edge-keyed aggregate + node-keyed join "
+            "on localCheckpointed integer scores; edges never come "
+            "from an all-pairs join.",
+        ),
+        "ann_matryoshka_recall": (
+            L.ann_matryoshka_recall,
+            "Matryoshka recall: per truncation dim the probe set "
+            "(10 rows) broadcasts onto a map-only sliced-vector "
+            "scan; hit counting is a left-semi join of k-sized "
+            "lists.",
+        ),
     }
 
 
