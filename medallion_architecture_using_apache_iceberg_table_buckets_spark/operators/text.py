@@ -675,12 +675,18 @@ def ngram_surprisal_stream(
         ).alias("bg"),
     ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
 
+    # persisted: the count tables are Zipf-bounded (distinct grams,
+    # NOT corpus-sized) and every consumer reference otherwise
+    # re-expands the corpus tokenize subtree under it — the scoring
+    # join alone re-tokenized the corpus 3 extra times (8 Generate
+    # nodes measured on the add-one query before the persist)
     uni = (
         toked.select(F.explode(w).alias("w1"))
         .groupBy("w1")
         .agg(F.count("*").alias("cu"))
+        .persist()
     )
-    big = bigram.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
+    big = bigram.groupBy("w1", "w2").agg(F.count("*").alias("cb")).persist()
     vocab = uni.agg(F.count("*").alias("V"))
 
     return (
@@ -1269,7 +1275,11 @@ def kn_lm_scores(
         ).alias("bg"),
     ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
 
-    big = bigram.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
+    # persisted: big is the Zipf-bounded bigram-type table; hist,
+    # cont, types, and the scoring join all read it — unpersisted,
+    # each reference re-expanded the corpus tokenize underneath
+    # (10 Generate nodes measured)
+    big = bigram.groupBy("w1", "w2").agg(F.count("*").alias("cb")).persist()
     hist = big.groupBy("w1").agg(
         F.sum("cb").alias("hn"), F.count("*").alias("n1f")
     )
