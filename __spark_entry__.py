@@ -56,22 +56,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # row on recent code; rotated-out entries stay covered by the full
     # local mirror (tools/check_oracles.py) and pytest.
     #
-    # Round-8 window (positions 1-50, live registry 181 entries):
-    #   1-15  = the fifteen NEW round-8 queries (never
+    # Round-8 window (positions 1-50, live registry 182 entries):
+    #   1-16  = the sixteen NEW round-8 queries (never
     #           driver-checked);
-    #   16-31 = the sixteen r04-vintage refreshes the r7 verdict
+    #   17-32 = the sixteen r04-vintage refreshes the r7 verdict
     #           queued verbatim (join_full_outer_spend,
     #           agg_rollup_orders .. set_except_nonbuyers — all
     #           driver-green r04, re-verified by the judge at sf0.01
     #           in the r7 session);
-    #   32-50 = the 19 oldest r05-window entries in age order
-    #           (text_repetition_scores .. multimodal_embed_dims;
-    #           the five next ones — sql_ctas_time_travel,
-    #           incremental_scan_changelog, mor_merge_compact,
-    #           schema_evolution_sql, maintenance_procedures — were
-    #           displaced to the tail by late additions and stay
-    #           r05-green there, first in line for the r09 refresh).
-    # 15 + 16 + 19 = 50 exactly. Every r07-window entry landed green
+    #   33-50 = the 18 oldest r05-window entries in age order
+    #           (text_repetition_scores .. multimodal_resize;
+    #           the six next ones — multimodal_embed_dims,
+    #           sql_ctas_time_travel, incremental_scan_changelog,
+    #           mor_merge_compact, schema_evolution_sql,
+    #           maintenance_procedures — were displaced to the tail
+    #           by late additions and stay r05-green there, first in
+    #           line for the r09 refresh).
+    # 16 + 16 + 18 = 50 exactly. Every r07-window entry landed green
     # in CORRECTNESS_r07 (50/50), so none needs a re-slot.
     #
     # Tail (51+): the remaining r05-window entries
@@ -111,6 +112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_temperature_mixture": L.sample_temperature_mixture,
         "graph_pagerank_dedup": L.graph_pagerank_dedup,
         "ann_matryoshka_recall": L.ann_matryoshka_recall,
+        "ann_index_health": L.ann_index_health,
         # 11-26: the sixteen r04-vintage refreshes the r7 verdict
         # queued (all driver-green r04; judge re-verified at sf0.01)
         "join_full_outer_spend": R.join_full_outer_spend,
@@ -2822,6 +2824,35 @@ def oracle_sql() -> dict[str, str]:
                      ORDER BY quality_score DESC, doc_id) = 1 AS INTEGER)
                      AS keep
             FROM labeled
+        """,
+        # LSH index health: per-bucket occupancy from the exact
+        # sign-chain bucket ids
+        "ann_index_health": f"""
+            WITH base AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+              FROM embeddings
+            ),
+            b AS (
+              SELECT vec_id, CAST({_lsh_bucket_sql()} AS INTEGER)
+                       AS bucket
+              FROM base
+            ),
+            occ AS (
+              SELECT bucket, count(*) AS n_vectors FROM b GROUP BY bucket
+            ),
+            tot AS (
+              SELECT sum(n_vectors) AS total,
+                     count(*) AS n_buckets_used
+              FROM occ
+            )
+            SELECT CAST(bucket AS INTEGER) AS bucket,
+                   CAST(n_vectors AS BIGINT) AS n_vectors,
+                   round(CAST(n_vectors AS DOUBLE)
+                         / CAST(total AS DOUBLE), 6) AS share,
+                   CAST(n_vectors * 256 > 2 * total AS INTEGER) AS hot,
+                   CAST(n_buckets_used AS INTEGER) AS n_buckets_used
+            FROM occ CROSS JOIN tot
+            ORDER BY bucket
         """,
         # Matryoshka truncation recall: exact top-k per prefix dim vs
         # the full-dim truth, hit counts replayed with list slices

@@ -193,6 +193,7 @@ HEADLINE = {
     "sample_temperature_mixture": L.sample_temperature_mixture,
     "graph_pagerank_dedup": L.graph_pagerank_dedup,
     "ann_matryoshka_recall": L.ann_matryoshka_recall,
+    "ann_index_health": L.ann_index_health,
 }
 
 # the 14 queries recorded since round 1 — their sum is the anchored

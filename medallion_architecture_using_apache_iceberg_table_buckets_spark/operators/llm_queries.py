@@ -1894,6 +1894,42 @@ def text_kn_lm_score(spark, sf_dir):
     return TX.kn_lm_scores(_docs(spark, sf_dir))
 
 
+def ann_index_health(spark, sf_dir):
+    """ANN index observability: per-bucket occupancy of the
+    hyperplane-LSH index (the operational readout an index operator
+    watches — hot buckets mean degenerate hashes and blown-up
+    candidate joins; empty buckets mean wasted probe fan-out).
+    Emits each bucket's vector count, its share of the corpus, and a
+    hot flag at 2x the uniform expectation. One map-only bucket
+    projection + one count aggregate; the 1-row total broadcasts.
+    The oracle replays the exact sign-chain bucket ids."""
+    from .similarity import hyperplane_buckets
+
+    emb = load(spark, sf_dir, "embeddings")
+    b = hyperplane_buckets(emb)
+    occ = b.groupBy("bucket").agg(F.count("*").alias("n_vectors"))
+    tot = occ.agg(
+        F.sum("n_vectors").alias("total"),
+        F.count("*").alias("n_buckets_used"),
+    )
+    return (
+        occ.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("bucket").cast("int").alias("bucket"),
+            F.col("n_vectors").cast("long").alias("n_vectors"),
+            F.round(
+                F.col("n_vectors") / F.col("total"), 6
+            ).alias("share"),
+            (
+                F.col("n_vectors") * 256
+                > F.lit(2) * F.col("total")
+            ).cast("int").alias("hot"),
+            F.col("n_buckets_used").cast("int").alias("n_buckets_used"),
+        )
+        .orderBy("bucket")
+    )
+
+
 def ann_matryoshka_recall(spark, sf_dir, k: int = 5):
     """Matryoshka-style truncation evaluation: recall@k of exact
     retrieval over PREFIX-TRUNCATED embeddings (dims 32/16/8) against

@@ -382,6 +382,9 @@ def test_brute_baselines_are_the_only_all_pairs_plans(spark, sf_dir):
         # normalizer broadcasts onto the per-source count frame
         # (the corpus_mixture_weights pattern)
         "sample_temperature_mixture",
+        # index health: the 1-row (total, buckets-used) scalar
+        # broadcast onto the <=256-row occupancy frame
+        "ann_index_health",
     }
     # Queries whose construction performs writes/iterative jobs; their
     # plan hygiene is asserted by dedicated tests.

@@ -163,6 +163,7 @@ QUERIES = {
     "sample_temperature_mixture": L.sample_temperature_mixture,
     "graph_pagerank_dedup": L.graph_pagerank_dedup,
     "ann_matryoshka_recall": L.ann_matryoshka_recall,
+    "ann_index_health": L.ann_index_health,
 }
 
 
