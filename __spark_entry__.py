@@ -56,23 +56,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # row on recent code; rotated-out entries stay covered by the full
     # local mirror (tools/check_oracles.py) and pytest.
     #
-    # Round-8 window (positions 1-50, live registry 182 entries):
-    #   1-16  = the sixteen NEW round-8 queries (never
+    # Round-8 window (positions 1-50, live registry 184 entries):
+    #   1-18  = the eighteen NEW round-8 queries (never
     #           driver-checked);
-    #   17-32 = the sixteen r04-vintage refreshes the r7 verdict
+    #   19-34 = the sixteen r04-vintage refreshes the r7 verdict
     #           queued verbatim (join_full_outer_spend,
     #           agg_rollup_orders .. set_except_nonbuyers — all
     #           driver-green r04, re-verified by the judge at sf0.01
     #           in the r7 session);
-    #   33-50 = the 18 oldest r05-window entries in age order
-    #           (text_repetition_scores .. multimodal_resize;
-    #           the six next ones — multimodal_embed_dims,
+    #   35-50 = the 16 oldest r05-window entries in age order
+    #           (text_repetition_scores .. multimodal_meta;
+    #           the eight next ones — multimodal_frames,
+    #           multimodal_resize, multimodal_embed_dims,
     #           sql_ctas_time_travel, incremental_scan_changelog,
     #           mor_merge_compact, schema_evolution_sql,
     #           maintenance_procedures — were displaced to the tail
     #           by late additions and stay r05-green there, first in
     #           line for the r09 refresh).
-    # 16 + 16 + 18 = 50 exactly. Every r07-window entry landed green
+    # 18 + 16 + 16 = 50 exactly. Every r07-window entry landed green
     # in CORRECTNESS_r07 (50/50), so none needs a re-slot.
     #
     # Tail (51+): the remaining r05-window entries
@@ -113,6 +114,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank_dedup": L.graph_pagerank_dedup,
         "ann_matryoshka_recall": L.ann_matryoshka_recall,
         "ann_index_health": L.ann_index_health,
+        "text_langid_confusion": L.text_langid_confusion,
+        "dedup_source_matrix": L.dedup_source_matrix,
         # 11-26: the sixteen r04-vintage refreshes the r7 verdict
         # queued (all driver-green r04; judge re-verified at sf0.01)
         "join_full_outer_spend": R.join_full_outer_spend,
@@ -2824,6 +2827,90 @@ def oracle_sql() -> dict[str, str]:
                      ORDER BY quality_score DESC, doc_id) = 1 AS INTEGER)
                      AS keep
             FROM labeled
+        """,
+        # langid confusion matrix: the langid oracle's prediction
+        # joined to the labeled lang column, counted per cell
+        "text_langid_confusion": f"""
+            WITH scored AS (
+              SELECT doc_id,
+                CAST(len(list_filter(w, x -> list_contains(
+                  ['the','a','of','and','to','in','is'], x)))
+                  AS INTEGER) AS score_en,
+                CAST(len(list_filter(w, x -> list_contains(
+                  ['der','die','und','das','ist','nicht'], x)))
+                  AS INTEGER) AS score_de,
+                CAST(len(list_filter(w, x -> list_contains(
+                  ['el','los','y','que','es','una'], x)))
+                  AS INTEGER) AS score_es,
+                CAST(len(list_filter(w, x -> list_contains(
+                  ['le','les','et','des','est','une'], x)))
+                  AS INTEGER) AS score_fr
+              FROM (SELECT doc_id,
+                           string_split({_NORM.format(t='text')}, ' ') AS w
+                    FROM documents)
+            ),
+            pred AS (
+              SELECT doc_id,
+                   CASE WHEN greatest(score_en, score_de, score_es,
+                                      score_fr) <= 0 THEN 'und'
+                        WHEN score_en = greatest(score_en, score_de,
+                                  score_es, score_fr) THEN 'en'
+                        WHEN score_de = greatest(score_en, score_de,
+                                  score_es, score_fr) THEN 'de'
+                        WHEN score_es = greatest(score_en, score_de,
+                                  score_es, score_fr) THEN 'es'
+                        ELSE 'fr' END AS predicted_lang
+              FROM scored
+            )
+            SELECT d.lang, p.predicted_lang,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM documents d JOIN pred p USING (doc_id)
+            GROUP BY d.lang, p.predicted_lang
+            ORDER BY d.lang, p.predicted_lang
+        """,
+        # cross-source contamination matrix over the minhash pairs
+        # (clone ids map back via doc_id % 100000)
+        "dedup_source_matrix": f"""
+            WITH {_PLANT_TAIL}, {_SHINGLES},
+            seeds AS (SELECT * FROM (VALUES {_MINHASH_SEEDS}) s(j, a, b)),
+            mh AS (
+              SELECT doc_id, j, min((a * sid + b) % 2147483647) AS mh
+              FROM sids CROSS JOIN seeds GROUP BY doc_id, j
+            ),
+            bands AS (
+              SELECT doc_id, j // 3 AS band,
+                     string_agg(CAST(mh AS VARCHAR), '_' ORDER BY j)
+                       AS key
+              FROM mh GROUP BY doc_id, j // 3
+            ),
+            cands AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.key = b.key
+               AND a.doc_id < b.doc_id
+            ),
+            inter AS (
+              SELECT c.doc_a, c.doc_b, count(*) AS inter
+              FROM cands c
+              JOIN sids sa ON sa.doc_id = c.doc_a
+              JOIN sids sb ON sb.doc_id = c.doc_b AND sb.sid = sa.sid
+              GROUP BY 1, 2
+            ),
+            pairs AS (
+              SELECT i.doc_a, i.doc_b
+              FROM inter i
+              JOIN sizes sa ON sa.doc_id = i.doc_a
+              JOIN sizes sb ON sb.doc_id = i.doc_b
+              WHERE round(inter / (sa.sz + sb.sz - inter), 4) >= 0.5
+            )
+            SELECT least(da.source, db.source) AS source_a,
+                   greatest(da.source, db.source) AS source_b,
+                   CAST(count(*) AS BIGINT) AS n_pairs
+            FROM pairs p
+            JOIN documents da ON da.doc_id = p.doc_a % 100000
+            JOIN documents db ON db.doc_id = p.doc_b % 100000
+            GROUP BY 1, 2
+            ORDER BY source_a, source_b
         """,
         # LSH index health: per-bucket occupancy from the exact
         # sign-chain bucket ids

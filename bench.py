@@ -194,6 +194,8 @@ HEADLINE = {
     "graph_pagerank_dedup": L.graph_pagerank_dedup,
     "ann_matryoshka_recall": L.ann_matryoshka_recall,
     "ann_index_health": L.ann_index_health,
+    "text_langid_confusion": L.text_langid_confusion,
+    "dedup_source_matrix": L.dedup_source_matrix,
 }
 
 # the 14 queries recorded since round 1 — their sum is the anchored

@@ -1894,6 +1894,57 @@ def text_kn_lm_score(spark, sf_dir):
     return TX.kn_lm_scores(_docs(spark, sf_dir))
 
 
+def text_langid_confusion(spark, sf_dir):
+    """Language-ID quality as a confusion matrix: the n-gram
+    heuristic's predictions crossed with the corpus's labeled
+    ``lang`` column, one row per (labeled, predicted) cell — the
+    evaluation every langid deployment reports before trusting the
+    filter. Two map-side aggregates and a doc_id equi-join."""
+    docs = _docs(spark, sf_dir)
+    pred = TX.langid(docs).select("doc_id", "predicted_lang")
+    return (
+        docs.select("doc_id", "lang")
+        .join(pred, "doc_id")
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .orderBy("lang", "predicted_lang")
+    )
+
+
+def dedup_source_matrix(spark, sf_dir):
+    """Cross-source near-dup contamination matrix: MinHash-LSH pairs
+    of the planted corpus mapped to their documents' ``source``
+    labels and counted per unordered source pair — the dashboard a
+    curation team reads to see WHICH feeds mirror each other (clone
+    ids map back via doc_id % 100000, the planting convention).
+    Pair generation stays the banded equi-join; the matrix is a
+    doc-keyed source join + one tiny group-by."""
+    corpus = _planted(
+        spark, sf_dir, 30, lambda t: F.concat(t, F.lit(" extra token tail"))
+    )
+    pairs = D.minhash_lsh_pairs(corpus, threshold=0.5)
+    src = _docs(spark, sf_dir).select("doc_id", "source")
+    sa = src.select(
+        F.col("doc_id").alias("_ida"), F.col("source").alias("src_a")
+    )
+    sb = src.select(
+        F.col("doc_id").alias("_idb"), F.col("source").alias("src_b")
+    )
+    return (
+        pairs.withColumn("_ida", F.col("doc_a") % 100000)
+        .withColumn("_idb", F.col("doc_b") % 100000)
+        .join(sa, "_ida")
+        .join(sb, "_idb")
+        .select(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+        .orderBy("source_a", "source_b")
+    )
+
+
 def ann_index_health(spark, sf_dir):
     """ANN index observability: per-bucket occupancy of the
     hyperplane-LSH index (the operational readout an index operator

@@ -164,6 +164,8 @@ QUERIES = {
     "graph_pagerank_dedup": L.graph_pagerank_dedup,
     "ann_matryoshka_recall": L.ann_matryoshka_recall,
     "ann_index_health": L.ann_index_health,
+    "text_langid_confusion": L.text_langid_confusion,
+    "dedup_source_matrix": L.dedup_source_matrix,
 }
 
 
@@ -406,6 +408,12 @@ def main() -> None:
             "pinned 8 planes is the bucket-collision CONTRAST row; "
             "read with cands_factor/unit_cost_factor like the auto "
             "row"
+        ),
+        "text_langid_confusion": (
+            "map-only per-doc scoring + one bounded group-by: wall "
+            "tracks the 10x input rows exactly — the per-doc "
+            "text-statistics family's linear profile; the output "
+            "matrix itself is a fixed handful of cells"
         ),
         "graph_pagerank_dedup": (
             "dominated by the exact-Jaccard pair generation it feeds "
