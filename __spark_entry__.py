@@ -2961,15 +2961,22 @@ def oracle_sql() -> dict[str, str]:
               ) WHERE rnk <= 5
             ),
             t AS (SELECT query_id, neighbor_id FROM topk WHERE d = 64),
-            tc AS (SELECT count(*) AS truth FROM t)
-            SELECT CAST(a.d AS INTEGER) AS trunc_dim,
+            tc AS (SELECT count(*) AS truth FROM t),
+            hits AS (
+              SELECT a.d AS d, count(*) AS n_hits
+              FROM topk a JOIN t USING (query_id, neighbor_id)
+              GROUP BY a.d
+            )
+            -- drive from the dim list so a truncation dim with ZERO
+            -- hits still yields its row (engine emits hits=0 rows)
+            SELECT CAST(dd.d AS INTEGER) AS trunc_dim,
                    CAST(5 AS INTEGER) AS k,
-                   CAST(count(*) AS BIGINT) AS hits,
+                   CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS hits,
                    CAST(tc.truth AS BIGINT) AS truth,
-                   round(count(*) / tc.truth, 4) AS recall
-            FROM topk a JOIN t USING (query_id, neighbor_id)
+                   round(COALESCE(h.n_hits, 0) / tc.truth, 4) AS recall
+            FROM (SELECT unnest([64, 32, 16, 8]) AS d) dd
+            LEFT JOIN hits h ON h.d = dd.d
             CROSS JOIN tc
-            GROUP BY a.d, tc.truth
             ORDER BY trunc_dim DESC
         """,
         # PageRank over the exact-Jaccard pair graph: 3 unrolled
@@ -3132,11 +3139,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         # posdelete consolidation: the live set after two overlapping
         # MOR deletes, answered from the REWRITTEN manifest (data and
-        # delete bytes wiped first); multiples of 5 or 3 are deleted
+        # delete bytes wiped first); multiples of 5 or 3 are deleted.
+        # Only the scale-independent `consolidated` flag (file count
+        # shrank) is pinned — AQE may legitimately size the rewritten
+        # delete set to >1 file on a larger corpus
         "maintenance_rewrite_posdeletes": """
             SELECT o_orderpriority,
                    count(*) AS n_live,
-                   CAST(1 AS INTEGER) AS n_delete_files,
                    CAST(1 AS INTEGER) AS consolidated
             FROM orders
             WHERE NOT (o_orderkey % 5 = 0 OR o_orderkey % 3 = 0)

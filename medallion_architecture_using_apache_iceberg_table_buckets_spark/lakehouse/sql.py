@@ -470,15 +470,21 @@ class SqlSession:
         self._attach_current()
         return self.spark.sql(self._rewrite_refs(s))
 
+    NDV_READ_PROP = "read.ndv-from-sketches"
+
     def _ndv_meta(self, m: re.Match) -> DataFrame | None:
         """``SELECT approx_count_distinct(col) FROM t`` answered from
         the manifest's per-file HLL sketches (Table.ndv_estimate —
-        the Puffin-stats NDV read) when the table recorded them;
-        None = the Spark-SQL scan path evaluates its own HLL++ over
-        the data. Both paths are approximations of the same NDV with
-        comparable error, but they are DIFFERENT sketches — callers
-        wanting the exact count write COUNT(DISTINCT col), which
-        always scans."""
+        the Puffin-stats NDV read); None = the Spark-SQL scan path
+        evaluates its own HLL++ over the data. Both paths are
+        approximations of the same NDV with comparable error, but
+        they are DIFFERENT sketches, so the same SQL would silently
+        return a different estimate than upstream Spark — the
+        substitution therefore requires an explicit READ-side opt-in:
+        the table property ``read.ndv-from-sketches=true`` (writing
+        sketches via ``ndv.sketch.columns`` alone never changes what
+        a query returns). Callers wanting the exact count write
+        COUNT(DISTINCT col), which always scans."""
         from .table import MetadataAggregateUnsupported
 
         col, alias, tbl = m.group(1), m.group(2), m.group(3)
@@ -486,10 +492,12 @@ class SqlSession:
         if known is None:
             return None
         ns, name = known
+        t = self.catalog.table(ns, name)
+        opted = t.properties.get(self.NDV_READ_PROP, "").strip().lower()
+        if opted not in ("true", "1"):
+            return None
         try:
-            out = self.catalog.table(ns, name).ndv_estimate(
-                self.spark, col
-            )
+            out = t.ndv_estimate(self.spark, col)
         except MetadataAggregateUnsupported:
             return None
         return out.select(

@@ -27,10 +27,13 @@ FileSystem API.
 from __future__ import annotations
 
 import json
+import logging
 import os
+import re
 import shutil
 import time
 import uuid
+from contextlib import contextmanager
 from dataclasses import dataclass, field
 from pathlib import Path
 from typing import Iterable
@@ -46,6 +49,51 @@ DATA_DIR = "data"
 CURRENT_PTR = "CURRENT"
 REFS_FILE = "REFS"
 MAIN_BRANCH = "main"
+
+
+@contextmanager
+def _quiet_probe():
+    """Scope PySpark's Python-side query-context loggers above ERROR.
+
+    The analyzer-gate probes below (partition-prune conjunct
+    resolution, ``metadata_aggregate``'s WHERE decidability gate)
+    EXPECT resolution failures on their bail path — that is the whole
+    point of asking Spark's analyzer instead of hand-walking the
+    expression. But PySpark 4 logs every query-context exception at
+    ERROR through ``SQLQueryContextLogger`` /
+    ``DataFrameQueryContextLogger`` (``pyspark/errors/exceptions/
+    base.py`` ``_log_exception``) at exception-construction time,
+    before the caller can catch it — so an expected, handled bail
+    prints a full UNRESOLVED_COLUMN stack trace and trains operators
+    to ignore real errors. Raising those two loggers to CRITICAL for
+    the probe's duration silences exactly that spam; the exception
+    itself still propagates and the analyzer remains the gate."""
+    names = ("SQLQueryContextLogger", "DataFrameQueryContextLogger")
+    lgs = [logging.getLogger(n) for n in names]
+    prev = [lg.level for lg in lgs]
+    for lg in lgs:
+        lg.setLevel(logging.CRITICAL)
+    try:
+        yield
+    finally:
+        for lg, lv in zip(lgs, prev):
+            lg.setLevel(lv)
+
+
+def _word_refs(expr_text: str, names: Iterable[str]) -> list[str]:
+    """Names from ``names`` that appear as whole words in
+    ``expr_text`` — the same over-approximation of column references
+    both analyzer probes use (a string literal containing a column
+    name is a false positive, which only makes the callers MORE
+    conservative, never less)."""
+    return [
+        c
+        for c in names
+        if re.search(
+            rf"(?<![A-Za-z0-9_`]){re.escape(c)}(?![A-Za-z0-9_`])",
+            expr_text,
+        )
+    ]
 
 
 @dataclass
@@ -155,6 +203,28 @@ def _is_float_nan(v) -> bool:
     return isinstance(v, float) and math.isnan(v)
 
 
+# Stats-format version stamped into every per-file stats entry under
+# the reserved ":stats_version:" key (":" can never collide with a
+# column identifier). Version 2 = the NaN-aware fold: a float/double
+# column entry only EXISTS when the file is provably NaN-free.
+# Entries WITHOUT the stamp were committed by a pre-NaN-aware engine,
+# so their float/double bounds may silently exclude NaN — readers
+# must refuse them for float/double MIN/MAX and file skipping
+# (COUNT(*) and non-float columns are unaffected). Re-append/compact
+# refreshes the stamp.
+STATS_VERSION = 2
+_NAN_AWARE_STATS_VERSION = 2
+
+
+def _stats_nan_aware(st: dict) -> bool:
+    try:
+        return (
+            int(st.get(":stats_version:", 1)) >= _NAN_AWARE_STATS_VERSION
+        )
+    except (TypeError, ValueError):
+        return False
+
+
 def _delete_file_stats(path: Path) -> dict:
     """Manifest record for a POSITION-delete file: total delete rows
     and the per-target-data-file breakdown (by the basename the
@@ -244,6 +314,7 @@ def _file_column_stats(path: Path, schema: T.StructType) -> dict:
     # it). Iceberg's data_file record-count needs this even when no
     # column is stats-eligible or every eligible column was broken.
     out[":rows:"] = md.num_rows
+    out[":stats_version:"] = STATS_VERSION
     return out
 
 
@@ -881,10 +952,20 @@ class Table:
         empty = spark.createDataFrame(
             [], T.StructType([by_name[t.col] for t in idents])
         )
+        probe_cols = {t.col for t in idents}
+        outside = [c for c in by_name if c not in probe_cols]
         usable = []
         for conj in _split_conjuncts(condition):
+            # cheap pre-screen: a conjunct word-referencing any table
+            # column OUTSIDE the probe schema can never resolve
+            # against it — skip without paying the analyzer exception
+            # (a literal containing such a name skips pruning for
+            # this conjunct: conservative, files are kept)
+            if _word_refs(conj, outside):
+                continue
             try:
-                empty.filter(F.expr(conj)).schema  # resolution probe
+                with _quiet_probe():
+                    empty.filter(F.expr(conj)).schema  # resolution probe
                 usable.append(conj)
             except Exception:
                 continue
@@ -1041,6 +1122,15 @@ class Table:
             row = [i]
             for col, _op, _lit in supported:
                 ent = st.get(col)
+                if ent is not None and not _stats_nan_aware(st) and (
+                    isinstance(
+                        by_name[col].dataType, (T.FloatType, T.DoubleType)
+                    )
+                ):
+                    # pre-NaN-aware float bounds may exclude a real
+                    # NaN row (NaN orders greatest, so e.g. col > 5
+                    # could wrongly skip) — treat as no stats: keep
+                    ent = None
                 if ent is None:
                     row += [None, None, False]
                 else:
@@ -1960,8 +2050,10 @@ class Table:
           broken (parquet-mr always surfaces NaN in the max bound),
           so such a file has no entry and the fold refuses — a
           present entry proves NaN-freeness, keeping float/double
-          MIN/MAX and min==max constancy exact. Snapshots committed
-          BEFORE this engine version may carry pre-NaN-aware folds;
+          MIN/MAX and min==max constancy exact. Entries committed
+          BEFORE the NaN-aware fold are DETECTED via the per-entry
+          ``:stats_version:`` stamp and refused for float/double
+          MIN/MAX and constancy (never silently trusted);
           re-append/compact to refresh them;
         - a nondeterministic ``where`` (per-file evaluation would
           silently diverge from row-granular semantics);
@@ -2073,16 +2165,7 @@ class Table:
         # no hand-rolled expression walker
         refd: list[str] = []
         if where is not None:
-            import re as _re
-
-            refd = [
-                c
-                for c in by_name
-                if _re.search(
-                    rf"(?<![A-Za-z0-9_`]){_re.escape(c)}(?![A-Za-z0-9_`])",
-                    where,
-                )
-            ]
+            refd = _word_refs(where, by_name)
             probe = spark.createDataFrame(
                 [],
                 T.StructType(
@@ -2093,8 +2176,9 @@ class Table:
                 ),
             )
             try:
-                fdf = probe.filter(F.expr(where))
-                fdf.schema  # parse + resolve
+                with _quiet_probe():
+                    fdf = probe.filter(F.expr(where))
+                    fdf.schema  # parse + resolve
             except Exception as e:
                 raise MetadataAggregateUnsupported(
                     f"predicate {where!r} is not decidable from "
@@ -2123,11 +2207,29 @@ class Table:
         ]
 
         val_cols = sorted(set(min_of) | set(max_of) | set(count_of))
+        # columns whose bounds are only trustworthy under the
+        # NaN-aware stats fold (see _stats_nan_aware)
+        float_cols = {
+            c
+            for c in by_name
+            if isinstance(by_name[c].dataType, (T.FloatType, T.DoubleType))
+        }
+        nan_sensitive = (
+            (set(min_of) | set(max_of)) & float_cols
+        )
         rows = []
         for i, f in enumerate(snap.files):
             st = snap.stats.get(f)
             if st is None or ":rows:" not in st:
                 raise MetadataAggregateUnsupported(f"no stats for {f!r}")
+            if nan_sensitive and not _stats_nan_aware(st):
+                raise MetadataAggregateUnsupported(
+                    f"stats for {f!r} predate the NaN-aware fold"
+                    f" (no :stats_version: >= {_NAN_AWARE_STATS_VERSION}):"
+                    f" float/double MIN/MAX on {sorted(nan_sensitive)}"
+                    " could silently drop NaN — re-append/compact to"
+                    " refresh"
+                )
             live_rows = int(st[":rows:"]) - deleted_by_base.get(
                 f.split("/")[-1], 0
             )
@@ -2170,12 +2272,22 @@ class Table:
                         f" segment or stats in {f!r}"
                     )
                 lo, hi, nulls, n = ent
+                if (
+                    col in float_cols
+                    and not _stats_nan_aware(st)
+                ):
+                    raise MetadataAggregateUnsupported(
+                        f"group/where column {col!r}: stats for {f!r}"
+                        " predate the NaN-aware fold, min==max cannot"
+                        " prove float constancy — re-append/compact"
+                    )
                 if nulls == 0 and lo is not None and lo == hi:
                     # min==max proves constancy for float/double too:
                     # a stats entry only EXISTS for NaN-free files
                     # (the commit fold marks NaN-bounded columns
                     # broken), so [5.0, NaN] can never present as
-                    # bounds 5.0/5.0 here.
+                    # bounds 5.0/5.0 here — guaranteed by the
+                    # :stats_version: gate just above.
                     row.append(lo)
                 elif nulls == n:
                     row.append(None)

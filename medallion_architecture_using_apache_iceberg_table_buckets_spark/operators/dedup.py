@@ -1284,6 +1284,16 @@ def pagerank_pairs(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct().localCheckpoint()
     nodes = edges.select(F.col("src").alias("node")).distinct()
+    # Eager count, DELIBERATELY not folded into the plan as a
+    # broadcast scalar (contrast the IVF seeding path, which does
+    # fold): the teleport terms below must be exact Python-int floor
+    # quotients (10^9 // n, (100-d)*10^9 // 100 // n) embedded as
+    # LITERALS so every engine replays the identical BIGINT score
+    # stream — an in-plan DOUBLE division would reintroduce the
+    # float-order nondeterminism the nano-quantization exists to
+    # kill, and the n==0 early return needs a driver int anyway.
+    # Cost: one O(nodes) scalar job over an already-localCheckpointed
+    # bounded node set, once per call — not per iteration.
     n_nodes = nodes.count()  # scalar for the teleport term (driver int)
     if n_nodes == 0:
         return pairs.sparkSession.createDataFrame(

@@ -2886,10 +2886,10 @@ def maintenance_rewrite_posdeletes(spark, sf_dir):
     assert before >= 2
     snap = t.rewrite_position_deletes(spark)
     after = len(snap.delete_files)
-    # AQE sizes the consolidated file set; at every oracle scale the
-    # tiny delete sets coalesce to ONE file (the value the oracle
-    # pins) — a 10x+ corpus may legitimately produce more, so the
-    # guard is consolidation, not a count
+    # only the scale-independent consolidation FLAG is surfaced: AQE
+    # sizes the rewritten file set, so the exact count (1 at oracle
+    # scales) may legitimately grow on a 10x+ corpus and must not be
+    # pinned by the oracle
     assert after <= before
     for f in list(snap.files) + list(snap.delete_files):
         os.remove(t.data_root / f)
@@ -2900,7 +2900,6 @@ def maintenance_rewrite_posdeletes(spark, sf_dir):
         .select(
             "o_orderpriority",
             "n_live",
-            F.lit(after).cast("int").alias("n_delete_files"),
             F.lit(int(after < before)).cast("int").alias("consolidated"),
         )
         .orderBy("o_orderpriority")

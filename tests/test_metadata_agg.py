@@ -520,6 +520,63 @@ def test_nan_single_row_group_also_refused(spark, cat):
         t.metadata_aggregate(spark, where="x > 0", count_alias="n")
 
 
+def test_pre_nan_aware_stats_detected_and_refused(spark, cat):
+    """A snapshot whose stats entries LACK the ``:stats_version:``
+    stamp (committed by a pre-NaN-aware engine) must be refused for
+    float/double MIN/MAX and float constancy — the stale fold could
+    have silently dropped a NaN bound. COUNT(*) and non-float bounds
+    remain answerable, and the file-skipping pruner must stop
+    trusting float ranges from such entries (treat as no stats)."""
+    import json as _json
+
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, 2.0), (3, 3.0)], "v int, price double"
+    )
+    t = cat.create_table("m", "prenan", df.schema)
+    t.append(df.coalesce(1))  # one file: no empty-part passthroughs
+    # simulate the pre-upgrade manifest: strip the version stamp
+    ver = t._current_version()
+    p = t.snap_root / f"v{ver:08d}.json"
+    d = _json.loads(p.read_text())
+    for st in d["stats"].values():
+        st.pop(":stats_version:", None)
+    p.write_text(_json.dumps(d))
+
+    with pytest.raises(MetadataAggregateUnsupported, match="NaN-aware"):
+        t.metadata_aggregate(spark, max_of={"price": "hi"})
+    with pytest.raises(MetadataAggregateUnsupported, match="NaN-aware"):
+        t.metadata_aggregate(spark, min_of={"price": "lo"})
+    # float constancy via min==max is equally untrustworthy
+    with pytest.raises(MetadataAggregateUnsupported):
+        t.metadata_aggregate(spark, where="price > 0", count_alias="n")
+    # COUNT(*) and integer bounds don't depend on NaN-awareness
+    assert (
+        t.metadata_aggregate(spark, count_alias="n").collect()[0]["n"] == 3
+    )
+    got = t.metadata_aggregate(
+        spark, min_of={"v": "lo"}, max_of={"v": "hi"}
+    ).collect()[0]
+    assert (got["lo"], got["hi"]) == (1, 3)
+    # pruner: a float conjunct that WOULD skip every file under the
+    # (stale) bounds must keep them instead — int conjuncts still prune
+    files = t.current_snapshot().files
+    assert t._prune_files_by_stats(spark, files, "price > 100") == files
+    assert t._prune_files_by_stats(spark, files, "v > 100") == []
+    # an append adds STAMPED entries for the new file, but the old
+    # file's entries stay pre-upgrade — the table-level answer must
+    # still refuse (one stale file poisons the fold)
+    t.append(df)
+    with pytest.raises(MetadataAggregateUnsupported, match="NaN-aware"):
+        t.metadata_aggregate(spark, max_of={"price": "hi"})
+    # a full rewrite (overwrite = compaction here) re-folds every
+    # file under the NaN-aware engine, restoring the metadata path
+    t.overwrite(df)
+    got2 = t.metadata_aggregate(
+        spark, min_of={"price": "lo"}, max_of={"price": "hi"}
+    ).collect()[0]
+    assert (got2["lo"], got2["hi"]) == (1.0, 3.0)
+
+
 def test_mor_count_star_from_manifest(spark, cat):
     """COUNT(*) under pure position deletes is a manifest fold:
     proven by wiping every DATA byte (delete files included) before
@@ -642,7 +699,12 @@ def test_sql_approx_count_distinct_peephole(spark, cat):
     )
     t = cat.create_table(
         "m", "nsql", df.schema,
-        properties={"ndv.sketch.columns": "user"},
+        properties={
+            "ndv.sketch.columns": "user",
+            # the peephole substitutes a DIFFERENT sketch than
+            # Spark's HLL++, so the read side opts in explicitly
+            "read.ndv-from-sketches": "true",
+        },
     )
     t.append(df)
     # wipe data bytes: only the sketch path can still answer
@@ -666,6 +728,20 @@ def test_sql_approx_count_distinct_peephole(spark, cat):
         "SELECT approx_count_distinct(user) FROM nsql2"
     ).collect()[0][0]
     assert abs(got2 - 23) <= 0.05 * 23 + 2  # Spark's own HLL++
+
+    # sketches WITHOUT the read-side opt-in: same SQL keeps upstream
+    # Spark's HLL++ scan semantics (the peephole must not substitute
+    # a different estimator invisibly)
+    t3 = cat.create_table(
+        "m2", "nsql3", df.schema,
+        properties={"ndv.sketch.columns": "user"},
+    )
+    t3.append(df)
+    got3 = sess.sql(
+        "SELECT approx_count_distinct(user) FROM nsql3"
+    ).collect()[0][0]
+    assert abs(got3 - 23) <= 0.05 * 23 + 2
+    assert got3 == got2  # identical estimator -> identical estimate
 
 
 def test_randomized_mor_count_against_read(spark, cat):
