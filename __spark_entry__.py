@@ -92,6 +92,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Re-count positions so the window is exactly 50; keep inserting
     # new queries right after the newest NEW block.
     return {
+        # ======== round-9 NEW queries (provisional; window ========
+        # ======== re-counted at end of round)              ========
+        "dedup_exact_substr_pairs": L.dedup_exact_substr_pairs,
         # ======== round-8 driver window (positions 1-50) ========
         # 1-10: NEW in round 8 (never driver-checked): MOR COUNT(*)
         # pushdown, paletted PNG, sparse TF-IDF retrieval, DSIR
@@ -2978,6 +2981,68 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN hits h ON h.d = dd.d
             CROSS JOIN tc
             ORDER BY trunc_dim DESC
+        """,
+        # ExactSubstr (Lee et al. 2022) as aligned-k-shingle diagonal
+        # runs: positioned 8-gram ids, df<=32 heavy-hitter cap, seed
+        # equi-join, gaps-and-islands per (pair, diagonal); a run of
+        # m consecutive seeds = m+7 shared verbatim tokens
+        "dedup_exact_substr_pairs": f"""
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 100000 AS doc_id,
+                     'zz plant prefix qq ' ||
+                     array_to_string(
+                       (string_split({_NORM.format(t='text')}, ' '))[6:25],
+                       ' ') ||
+                     ' zz plant suffix qq' AS text
+              FROM documents WHERE doc_id < 10
+            ),
+            norm AS (
+              SELECT doc_id,
+                     string_split({_NORM.format(t='text')}, ' ') AS w
+              FROM corpus
+            ),
+            sh0 AS (
+              SELECT doc_id, s.pos AS pos, s.gid AS gid FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(w) - 6),
+                         i -> struct_pack(pos := i,
+                           gid := {_TOKEN_ID.format(
+                               t="array_to_string(w[i:i+7], ' ')")})))
+                         AS s
+                FROM norm)
+            ),
+            keepg AS (
+              SELECT gid FROM sh0 GROUP BY gid HAVING count(*) <= 32
+            ),
+            sh AS (SELECT sh0.* FROM sh0 JOIN keepg USING (gid)),
+            seeds AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     a.pos AS pos_a, b.pos AS pos_b
+              FROM sh a JOIN sh b
+                ON a.gid = b.gid AND a.doc_id < b.doc_id
+            ),
+            isl AS (
+              SELECT doc_a, doc_b, pos_a - pos_b AS diag,
+                     pos_a - row_number() OVER (
+                       PARTITION BY doc_a, doc_b, pos_a - pos_b
+                       ORDER BY pos_a) AS island
+              FROM seeds
+            ),
+            runs AS (
+              SELECT doc_a, doc_b,
+                     CAST(count(*) + 7 AS BIGINT) AS match_tokens
+              FROM isl GROUP BY doc_a, doc_b, diag, island
+            )
+            SELECT doc_a, doc_b,
+                   CAST(max(match_tokens) AS BIGINT)
+                     AS longest_match_tokens,
+                   CAST(count(*) AS BIGINT) AS n_runs
+            FROM runs
+            WHERE match_tokens >= 15
+            GROUP BY doc_a, doc_b
+            ORDER BY doc_a, doc_b
         """,
         # PageRank over the exact-Jaccard pair graph: 3 unrolled
         # rounds, nano-quantized integer contributions, integer-

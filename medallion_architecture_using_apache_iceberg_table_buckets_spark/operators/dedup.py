@@ -1341,3 +1341,112 @@ def pagerank_pairs(
             .localCheckpoint()
         )
     return pr.join(deg.select(F.col("src").alias("node"), "degree"), "node")
+
+
+def exact_substring_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_match_tokens: int = 15,
+    max_df: int | None = 32,
+) -> DataFrame:
+    """ExactSubstr cross-document verbatim-overlap detection — the
+    suffix-array dedup of Lee et al. 2022 ("Deduplicating Training
+    Data Makes Language Models Better", the deduplicate-text-datasets
+    method), re-expressed relationally.
+
+    Key identity: a shared verbatim run of L >= k tokens between two
+    documents contains exactly L-k+1 ALIGNED k-token shingles —
+    consecutive in both documents with a CONSTANT position offset.
+    So instead of a corpus-wide suffix array (a single global sorted
+    structure no distributed job should build), the operator:
+
+    1. emits positioned k-shingles per document (one pass over the
+       tokenized array, JVM-side);
+    2. drops shingles occurring more than ``max_df`` times corpus-wide
+       (boilerplate heavy-hitters — the same fan-out cap discipline as
+       ``paragraph_dedup``; a run through a dropped shingle splits
+       into two reported runs, which is the documented approximation);
+    3. equi-joins shingle ids to get aligned seed positions — the
+       candidate generator is BANDED by shingle equality, never
+       all-pairs, with per-shingle fan-out bounded by max_df^2;
+    4. groups seeds by (doc_a, doc_b, pos_a - pos_b) — the DIAGONAL
+       of the implicit alignment matrix — and extends maximal runs of
+       consecutive seeds with one gaps-and-islands window (a run of m
+       consecutive seeds = a shared substring of m+k-1 tokens). The
+       window partitions by (pair, diagonal): bounded by document
+       length, never corpus-wide.
+
+    Returns one row per unordered pair with verbatim overlap:
+    ``doc_a, doc_b, longest_match_tokens, n_runs`` (runs counted at
+    >= min_match_tokens). This catches exactly the overlap class CDC
+    chunk fingerprints miss: a shared span shorter than the expected
+    chunk length almost never yields a shared chunk (boundaries
+    inside the span sit at different content offsets), while every
+    shared span of >= k tokens yields aligned k-shingles by
+    construction — ``tests/test_dedup.py`` proves the separation on
+    a planted fixture.
+
+    Shingle ids are the portable 60-bit md5 ints (``token_id``), so
+    the DuckDB oracle replays the whole construction bit-for-bit.
+    A hash collision can only add an isolated spurious SEED; a
+    reported match needs min_match_tokens-k+1 CONSECUTIVE seeds on
+    one diagonal, so collisions never fabricate a pair (and the
+    oracle computes identical ids anyway).
+    """
+    from pyspark.sql import Window
+
+    sk = int(k)
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), words(text_col).alias("w")
+    ).repartition(df.sparkSession.sparkContext.defaultParallelism)
+    grams = F.when(
+        F.size("w") >= sk,
+        F.transform(
+            F.sequence(F.lit(1), F.size("w") - (sk - 1)),
+            lambda i: F.struct(
+                i.alias("pos"),
+                token_id(F.concat_ws(" ", F.slice(F.col("w"), i, sk)))
+                .alias("gid"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,gid:long>>"))
+    sh = toks.select("doc_id", F.explode(grams).alias("s")).select(
+        "doc_id", F.col("s.pos").alias("pos"), F.col("s.gid").alias("gid")
+    )
+    if max_df is not None:
+        keep = (
+            sh.groupBy("gid")
+            .count()
+            .filter(F.col("count") <= int(max_df))
+            .select("gid")
+        )
+        sh = sh.join(keep, "gid")
+    a, b = sh.alias("a"), sh.alias("b")
+    seeds = a.join(
+        b,
+        (F.col("a.gid") == F.col("b.gid"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.pos").alias("pos_a"),
+        F.col("b.pos").alias("pos_b"),
+    )
+    diag = (F.col("pos_a") - F.col("pos_b")).alias("diag")
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+    isl = seeds.select("*", diag).withColumn(
+        "isl", F.col("pos_a") - F.row_number().over(w)
+    )
+    runs = isl.groupBy("doc_a", "doc_b", "diag", "isl").agg(
+        (F.count("*") + F.lit(sk - 1)).cast("long").alias("match_tokens")
+    )
+    return (
+        runs.filter(F.col("match_tokens") >= int(min_match_tokens))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.max("match_tokens").alias("longest_match_tokens"),
+            F.count("*").cast("long").alias("n_runs"),
+        )
+    )

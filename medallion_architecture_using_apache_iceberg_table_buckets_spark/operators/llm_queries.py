@@ -845,6 +845,34 @@ def dedup_cdc_chunk_pairs(spark, sf_dir):
     return cdc_shared_chunk_pairs(_docs(spark, sf_dir))
 
 
+def dedup_exact_substr_pairs(spark, sf_dir):
+    """ExactSubstr cross-document verbatim dedup
+    (dedup.exact_substring_pairs — the Lee et al. 2022
+    deduplicate-text-datasets suffix-array method, relationally as
+    aligned-k-shingle diagonal runs). The planted corpus embeds a
+    20-token verbatim slice of each source doc (normalized tokens
+    6..25) between 4-word sentinels, so every planted doc shares a
+    20-token run with its source but NO content-defined chunk — the
+    overlap class ``dedup_cdc_chunk_pairs`` provably misses
+    (tests/test_dedup.py::test_exact_substr_finds_what_cdc_misses).
+    """
+    from ..functions.text import words
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    planted = d.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.lit("zz plant prefix qq"),
+            F.concat_ws(" ", F.slice(words("text"), 6, 20)),
+            F.lit("zz plant suffix qq"),
+        ).alias("text"),
+    )
+    return D.exact_substring_pairs(d.unionByName(planted)).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
 def dedup_keep_best_quality(spark, sf_dir):
     """Quality-aware canonical selection (dedup.keep_best_quality):
     the planted near-dup corpus's MinHash-LSH pair graph, closed to

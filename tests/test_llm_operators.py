@@ -1423,3 +1423,86 @@ def test_pagerank_pairs_contract(spark):
         spark.createDataFrame([], "doc_a long, doc_b long")
     )
     assert empty.count() == 0
+
+
+def test_exact_substr_pairs_runs_and_diagonals(spark):
+    """ExactSubstr relational formulation: maximal diagonal runs,
+    split runs count separately, short overlaps stay silent."""
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators.dedup import (
+        exact_substring_pairs,
+    )
+
+    a = " ".join(f"w{i}" for i in range(60))
+    # two DISJOINT copied spans from a (20 tokens at 10, 16 at 40)
+    # separated by unrelated text -> two runs on different diagonals
+    b = (
+        "pre one two three "
+        + " ".join(f"w{i}" for i in range(10, 30))
+        + " mid four five six "
+        + " ".join(f"w{i}" for i in range(40, 56))
+        + " post seven"
+    )
+    c = "only w5 w6 w7 shared nothing else here at all really"  # < 8 tokens shared
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], "doc_id long, text string"
+    )
+    rows = {
+        (r["doc_a"], r["doc_b"]): (r["longest_match_tokens"], r["n_runs"])
+        for r in exact_substring_pairs(df).collect()
+    }
+    assert rows == {(1, 2): (20, 2)}
+
+    # max_df heavy-hitter cap: a shingle spammed across many docs is
+    # boilerplate and generates NO seeds once capped
+    spam = " ".join(f"s{i}" for i in range(20))
+    many = [(i, spam) for i in range(40)]
+    df2 = spark.createDataFrame(many, "doc_id long, text string")
+    assert exact_substring_pairs(df2, max_df=32).count() == 0
+    assert exact_substring_pairs(df2, max_df=None).count() == 40 * 39 // 2
+
+
+def test_exact_substr_finds_what_cdc_misses(spark):
+    """The separation fixture the r8 verdict asked for: a 20-token
+    verbatim cross-doc span made ENTIRELY of non-boundary words
+    (token_id % 8 != 0 for every word, so CDC places no boundary
+    inside the span). The span fuses into surrounding chunks that
+    differ between the two docs -> cdc_shared_chunk_pairs reports
+    NOTHING, while exact_substring_pairs reports the 20-token run.
+    """
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators.dedup import (
+        exact_substring_pairs,
+        token_id,
+    )
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators.text import (
+        cdc_shared_chunk_pairs,
+    )
+
+    span_words = [
+        "alpha", "charlie", "foxtrot", "golf", "hotel", "india",
+        "juliet", "kilo", "lima", "mike", "november", "oscar",
+        "papa", "quebec", "romeo", "sierra", "victor", "whiskey",
+        "xray", "yankee",
+    ]
+    span = " ".join(span_words)
+    df = spark.createDataFrame(
+        [
+            (1, "first doc filler words before " + span + " trailing bits one"),
+            (2, "completely different preamble here " + span + " other ending two"),
+        ],
+        "doc_id long, text string",
+    )
+    # fixture invariant: no span word is a CDC boundary word
+    import pyspark.sql.functions as SF
+
+    flags = (
+        spark.createDataFrame([(w,) for w in span_words], "w string")
+        .select((token_id(SF.col("w")) % 8 == 0).alias("b"))
+        .collect()
+    )
+    assert not any(r["b"] for r in flags)
+
+    assert cdc_shared_chunk_pairs(df).count() == 0  # CDC misses
+    got = exact_substring_pairs(df).collect()
+    assert [(r["doc_a"], r["doc_b"], r["longest_match_tokens"]) for r in got] == [
+        (1, 2, 20)
+    ]
