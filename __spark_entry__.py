@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ======== round-9 NEW queries (provisional; window ========
         # ======== re-counted at end of round)              ========
         "dedup_exact_substr_pairs": L.dedup_exact_substr_pairs,
+        "multimodal_decode_png_interlaced": L.multimodal_decode_png_interlaced,
         # ======== round-8 driver window (positions 1-50) ========
         # 1-10: NEW in round 8 (never driver-checked): MOR COUNT(*)
         # pushdown, paletted PNG, sparse TF-IDF retrieval, DSIR
@@ -4777,6 +4778,40 @@ def oracle_sql() -> dict[str, str]:
                    CAST(d.h AS INTEGER) AS height,
                    CAST(d.ch AS INTEGER) AS channels,
                    s.pixel_sum
+            FROM dims d JOIN sums s USING (doc_id)
+        """,
+        # Adam7-interlaced PNGs share multimodal_decode_png's closed
+        # sample form; the position-weighted possum pins the pass-grid
+        # scatter (plain pixel_sum is order-invariant and would pass
+        # a decoder that unfilters right but scatters wrong)
+        "multimodal_decode_png_interlaced": """
+            WITH dims AS (
+              SELECT doc_id,
+                     doc_id % 8 + 2 AS w,
+                     doc_id % 6 + 2 AS h,
+                     CASE doc_id % 3 WHEN 0 THEN 1
+                                     WHEN 1 THEN 3
+                                     ELSE 4 END AS ch
+              FROM documents
+            ),
+            px AS (
+              SELECT doc_id, unnest(range(ch * w * h)) AS i FROM dims
+            ),
+            sums AS (
+              SELECT doc_id,
+                     CAST(sum((11 * i + 3 * doc_id) % 256) AS BIGINT)
+                       AS pixel_sum,
+                     CAST(sum((i + 1) * ((11 * i + 3 * doc_id) % 256))
+                          AS BIGINT) AS pixel_possum
+              FROM px GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   'png' AS img_format,
+                   CAST(d.w AS INTEGER) AS width,
+                   CAST(d.h AS INTEGER) AS height,
+                   CAST(d.ch AS INTEGER) AS channels,
+                   s.pixel_sum,
+                   s.pixel_possum
             FROM dims d JOIN sums s USING (doc_id)
         """,
         # --- TPC-H completion (round 5, post-window). partsupp is

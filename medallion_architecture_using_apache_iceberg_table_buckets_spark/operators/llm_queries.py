@@ -2262,6 +2262,26 @@ def multimodal_decode_png_palette(spark, sf_dir):
     return decode_images(synth_palette_pngs(_docs(spark, sf_dir)))
 
 
+def multimodal_decode_png_interlaced(spark, sf_dir):
+    """Adam7-INTERLACED PNG decoding: real interlace=1 PNG bytes
+    (seven independently filtered pass sub-images; the small
+    geometries leave several passes empty per doc) are synthesized
+    per doc and reconstructed by the stdlib-only codec — per-pass
+    unfilter, then the pass-grid scatter into row-major samples
+    (multimodal.decode_png). Emits BOTH the order-invariant
+    pixel_sum and a position-weighted checksum sum((i+1)*p_i): a
+    decoder that unfilters correctly but scatters any pass to the
+    wrong coordinates passes the former and fails the latter. The
+    oracle replays both closed-form. Closes the Adam7 seam from the
+    r8 verdict (16-bit/sub-8-bit/tRNS remain documented
+    NotImplementedError)."""
+    from .multimodal import decode_images_positional, synth_interlaced_pngs
+
+    return decode_images_positional(
+        synth_interlaced_pngs(_docs(spark, sf_dir))
+    )
+
+
 def multimodal_decode_mulaw(spark, sf_dir):
     """G.711 mu-law audio decoding (ITU-T's telephony companding —
     the 8-bit compressed-audio tier next to PCM16): format-7 WAV

@@ -16,9 +16,10 @@ Compressed-codec libraries (PIL/ffmpeg/librosa) are NOT in this
 container, so entropy-coded formats (JPEG, MP3, H.264) stay a
 documented seam — but ``decode_image`` is REAL for everything a
 pure-Python parser can own: PPM (P6), PGM (P5), 24-bit BI_RGB BMP,
-and since round 6 non-interlaced 8-bit PNG (gray/RGB/RGBA; paletted
-color-type 3 with PLTE lookup since round 8) via stdlib zlib inflate
-plus the full five-branch scanline unfilter.
+and since round 6 8-bit PNG (gray/RGB/RGBA; paletted color-type 3
+with PLTE lookup since round 8; Adam7-interlaced streams since
+round 9) via stdlib zlib inflate plus the full five-branch scanline
+unfilter.
 ``decode_images`` runs it over the standard Arrow-batched
 ``mapInPandas`` path and is oracle-checked end-to-end on
 deterministic synthetic bytes (``synth_images`` / ``synth_pngs``);
@@ -104,8 +105,9 @@ def encode_bmp(width: int, height: int, pixels: bytes) -> bytes:
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 #: PNG color type -> sample count (bit depth 8 only): 0=grayscale,
-#: 2=truecolor RGB, 6=truecolor+alpha. Palette (3) and 16-bit stay
-#: out of scope — the corpus formats are the ML-pipeline common case.
+#: 2=truecolor RGB, 6=truecolor+alpha; palette (3) decodes through
+#: PLTE, Adam7 interlacing through the pass grid. 16-bit stays out
+#: of scope — the corpus formats are the ML-pipeline common case.
 _PNG_CHANNELS = {0: 1, 2: 3, 6: 4}
 
 
@@ -233,17 +235,110 @@ def encode_png_palette(
     )
 
 
+#: Adam7 pass grid (PNG spec 8.2): per pass, (x_start, y_start,
+#: x_step, y_step). Each pass is an independently FILTERED sub-image;
+#: passes whose sub-image is empty for the geometry contribute no
+#: bytes at all (not even filter bytes).
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def encode_png_interlaced(
+    width: int,
+    height: int,
+    pixels: bytes,
+    channels: int = 3,
+    filter_for_row=None,
+    palette: list[tuple[int, int, int]] | None = None,
+) -> bytes:
+    """Spec-conforming Adam7-INTERLACED 8-bit PNG.
+
+    Gray/RGB/RGBA via ``channels`` in (1, 3, 4); passing ``palette``
+    makes ``pixels`` palette INDICES and writes color type 3 + PLTE
+    (indexed scanlines filter at bpp=1, per spec). Each of the seven
+    Adam7 passes is extracted from the row-major samples, then
+    filtered as its own sub-image — filter bytes per PASS scanline,
+    predictors referencing the pass's own previous scanline, empty
+    passes emitting nothing. ``filter_for_row(seq)`` picks the filter
+    for the seq-th emitted pass scanline (default rotate ``seq % 5``;
+    same adversarial rationale as :func:`encode_png` — any wrong
+    unfilter branch or wrong pass geometry corrupts reconstructed
+    samples)."""
+    import struct
+    import zlib
+
+    if palette is not None:
+        if channels != 1:
+            raise ValueError("paletted interlaced PNG needs channels=1")
+        if not 1 <= len(palette) <= 256:
+            raise ValueError("PLTE needs 1..256 entries")
+        if any(i >= len(palette) for i in pixels):
+            raise ValueError("palette index out of range")
+        color_type = 3
+    else:
+        color_type = {1: 0, 3: 2, 4: 6}[channels]
+    if len(pixels) != channels * width * height:
+        raise ValueError("PNG needs channels*w*h pixel bytes")
+    pick = filter_for_row if filter_for_row is not None else (lambda r: r % 5)
+    bpp = channels
+    raw = bytearray()
+    seq = 0
+    for x0, y0, dx, dy in _ADAM7:
+        xs = range(x0, width, dx)
+        ys = range(y0, height, dy)
+        if not xs or not ys:
+            continue
+        stride = channels * len(xs)
+        prior = bytes(stride)
+        for y in ys:
+            row = bytearray()
+            for x in xs:
+                o = (y * width + x) * channels
+                row += pixels[o : o + channels]
+            ftype = pick(seq) % 5
+            seq += 1
+            raw.append(ftype)
+            for x in range(stride):
+                left = row[x - bpp] if x >= bpp else 0
+                up = prior[x]
+                ul = prior[x - bpp] if x >= bpp else 0
+                pred = (
+                    0 if ftype == 0
+                    else left if ftype == 1
+                    else up if ftype == 2
+                    else (left + up) // 2 if ftype == 3
+                    else _paeth(left, up, ul)
+                )
+                raw.append((row[x] - pred) & 0xFF)
+            prior = bytes(row)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 1)
+    out = _PNG_SIG + _png_chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += _png_chunk(b"PLTE", b"".join(bytes(c) for c in palette))
+    return (
+        out
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 def decode_png(content: bytes, want_pixels: bool = False) -> dict:
     """Real PNG decode on stdlib only: chunk walk with CRC checks,
     zlib inflate of the concatenated IDAT stream, and the full
     five-branch unfilter reconstruction from the spec. 8-bit paletted
     images (color type 3) decode through the PLTE lookup to RGB
-    samples, so downstream stages see one layout. Returns the
-    same shape as :func:`decode_image` (geometry + order-invariant
-    pixel-sample checksum); ``want_pixels`` adds the reconstructed
-    row-major samples (for the resample stage). Interlaced, 16-bit,
-    sub-8-bit-indexed, and tRNS-transparent images raise
-    NotImplementedError — documented scope, not a stub."""
+    samples, so downstream stages see one layout. Adam7-INTERLACED
+    streams (interlace=1) reconstruct through the seven-pass grid:
+    each pass unfilters as its own sub-image (predictors reference
+    the pass's previous scanline), then scatters into the full-size
+    row-major buffer. Returns the same shape as :func:`decode_image`
+    (geometry + order-invariant pixel-sample checksum);
+    ``want_pixels`` adds the reconstructed row-major samples (for
+    the resample stage). 16-bit, sub-8-bit-indexed, and
+    tRNS-transparent images raise NotImplementedError — documented
+    scope, not a stub."""
     import struct
     import zlib
 
@@ -252,6 +347,7 @@ def decode_png(content: bytes, want_pixels: bool = False) -> dict:
     pos, n = 8, len(content)
     width = height = None
     channels, color_type, palette = 0, None, None
+    interlace = 0
     idat = bytearray()
     while pos + 8 <= n:
         (length,) = struct.unpack_from(">I", content, pos)
@@ -269,16 +365,15 @@ def decode_png(content: bytes, want_pixels: bool = False) -> dict:
             width, height, depth, color_type, comp, filt, interlace = (
                 struct.unpack(">IIBBBBB", body)
             )
-            if (
-                depth != 8
-                or interlace != 0
-                or (color_type not in _PNG_CHANNELS and color_type != 3)
+            if depth != 8 or (
+                color_type not in _PNG_CHANNELS and color_type != 3
             ):
                 raise NotImplementedError(
-                    f"PNG depth={depth} color_type={color_type} "
-                    f"interlace={interlace}: only non-interlaced 8-bit "
-                    "gray/RGB/RGBA/paletted supported"
+                    f"PNG depth={depth} color_type={color_type}: only "
+                    "8-bit gray/RGB/RGBA/paletted supported"
                 )
+            if interlace not in (0, 1):
+                raise ValueError(f"PNG bad interlace method {interlace}")
             # indexed scanlines carry 1 byte per pixel; LUT expansion
             # to RGB happens after unfilter
             channels = 1 if color_type == 3 else _PNG_CHANNELS[color_type]
@@ -307,34 +402,74 @@ def decode_png(content: bytes, want_pixels: bool = False) -> dict:
     except zlib.error as exc:
         raise ValueError(f"PNG IDAT stream corrupt: {exc}") from exc
     bpp, stride = channels, channels * width
-    if len(raw) != height * (stride + 1):
-        raise ValueError("PNG scanline data length mismatch")
     if color_type == 3:
         if palette is None:
             raise ValueError("paletted PNG missing PLTE")
         pal_bytes = [bytes(c) for c in palette]
+
+    def unfilter(pos: int, stride: int, nrows: int):
+        """Spec unfilter of ``nrows`` scanlines of ``stride`` bytes
+        starting at ``pos`` in the inflated stream — used once for
+        the whole image (interlace 0) or once per Adam7 pass
+        sub-image (predictors reference only the pass's own previous
+        scanline)."""
+        rows = []
+        prior = bytearray(stride)
+        for _ in range(nrows):
+            if pos + 1 + stride > len(raw):
+                raise ValueError("PNG scanline data length mismatch")
+            ftype = raw[pos]
+            if ftype > 4:
+                raise ValueError(f"PNG bad filter type {ftype}")
+            row = bytearray(raw[pos + 1 : pos + 1 + stride])
+            for x in range(stride):
+                left = row[x - bpp] if x >= bpp else 0
+                up = prior[x]
+                ul = prior[x - bpp] if x >= bpp else 0
+                pred = (
+                    0 if ftype == 0
+                    else left if ftype == 1
+                    else up if ftype == 2
+                    else (left + up) // 2 if ftype == 3
+                    else _paeth(left, up, ul)
+                )
+                row[x] = (row[x] + pred) & 0xFF
+            rows.append(row)
+            prior = row
+            pos += stride + 1
+        return rows, pos
+
+    if interlace == 0:
+        if len(raw) != height * (stride + 1):
+            raise ValueError("PNG scanline data length mismatch")
+        full_rows, _ = unfilter(0, stride, height)
+    else:
+        # Adam7: unfilter each pass sub-image, scatter into the
+        # full-size row-major buffer via the pass grid
+        img = bytearray(stride * height)
+        p = 0
+        for x0, y0, dx, dy in _ADAM7:
+            xs = range(x0, width, dx)
+            ys = range(y0, height, dy)
+            if not xs or not ys:
+                continue  # empty pass: zero bytes in the stream
+            prows, p = unfilter(p, channels * len(xs), len(ys))
+            for yi, y in enumerate(ys):
+                prow = prows[yi]
+                base = y * stride
+                for xi, x in enumerate(xs):
+                    img[base + x * channels : base + (x + 1) * channels] = (
+                        prow[xi * channels : (xi + 1) * channels]
+                    )
+        if p != len(raw):
+            raise ValueError("PNG scanline data length mismatch")
+        full_rows = [
+            img[r * stride : (r + 1) * stride] for r in range(height)
+        ]
+
     total = 0
-    prior = bytearray(stride)
     pixels = bytearray()
-    for r in range(height):
-        off = r * (stride + 1)
-        ftype = raw[off]
-        if ftype > 4:
-            raise ValueError(f"PNG bad filter type {ftype}")
-        row = bytearray(raw[off + 1 : off + 1 + stride])
-        for x in range(stride):
-            left = row[x - bpp] if x >= bpp else 0
-            up = prior[x]
-            ul = prior[x - bpp] if x >= bpp else 0
-            pred = (
-                0 if ftype == 0
-                else left if ftype == 1
-                else up if ftype == 2
-                else (left + up) // 2 if ftype == 3
-                else _paeth(left, up, ul)
-            )
-            row[x] = (row[x] + pred) & 0xFF
-        prior = row
+    for row in full_rows:
         if color_type == 3:
             # LUT expansion: unfiltered bytes are palette INDICES;
             # downstream sees plain RGB samples
@@ -1513,6 +1648,85 @@ def synth_palette_pngs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col).mapInPandas(
         gen, schema="doc_id long, content binary, media_type string"
     )
+
+
+def synth_interlaced_pngs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic synthetic Adam7-INTERLACED PNG table: doc_id ->
+    real interlace=1 PNG bytes. Geometry w = id%8+2, h = id%6+2 —
+    small enough that several Adam7 passes are EMPTY for most docs,
+    so the corpus collectively exercises every empty-pass/partial-
+    pass combination; channels rotate 1/3/4 by id%3; logical samples
+    p_i = (11*i + 3*id) % 256 row-major (same closed form as
+    ``synth_pngs``, so the two corpora differ ONLY in interlacing);
+    pass-scanline filters rotate (id + seq) % 5. Arrow-batched
+    mapInPandas like every media synth stage."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for d in pdf[id_col]:
+                d = int(d)
+                w, h = d % 8 + 2, d % 6 + 2
+                ch = (1, 3, 4)[d % 3]
+                pix = bytes((11 * i + 3 * d) % 256 for i in range(ch * w * h))
+                blobs.append(
+                    encode_png_interlaced(
+                        w, h, pix, ch,
+                        filter_for_row=lambda s, d=d: (d + s) % 5,
+                    )
+                )
+                ids.append(d)
+            yield pd.DataFrame(
+                {"doc_id": pd.Series(ids, dtype="int64"),
+                 "content": blobs,
+                 "media_type": ["image/png"] * len(ids)}
+            )
+
+    return df.select(id_col).mapInPandas(
+        gen, schema="doc_id long, content binary, media_type string"
+    )
+
+
+DECODE_POSITIONAL_SCHEMA = (
+    "doc_id long, img_format string, width int, height int, "
+    "channels int, pixel_sum long, pixel_possum long"
+)
+
+
+def decode_images_positional(df: DataFrame) -> DataFrame:
+    """Like :func:`decode_images` but adds a POSITION-WEIGHTED sample
+    checksum ``pixel_possum = sum((i+1) * p_i)`` over the row-major
+    reconstruction. The plain ``pixel_sum`` is order-invariant, so a
+    decoder that unfilters correctly but SCATTERS Adam7 pass samples
+    to the wrong coordinates would still pass it — the positional
+    checksum is exactly what pins the pass-grid reassembly. Same
+    Arrow mapInPandas shape as every media stage."""
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for b in pdf["content"]:
+                r = decode_pixels(bytes(b))
+                px = r["pixels"]
+                r["pixel_possum"] = sum(
+                    (i + 1) * v for i, v in enumerate(px)
+                )
+                rows.append(r)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "img_format": [r["img_format"] for r in rows],
+                    "width": pd.Series([r["width"] for r in rows], dtype="int32"),
+                    "height": pd.Series([r["height"] for r in rows], dtype="int32"),
+                    "channels": pd.Series([r["channels"] for r in rows], dtype="int32"),
+                    "pixel_sum": pd.Series([r["pixel_sum"] for r in rows], dtype="int64"),
+                    "pixel_possum": pd.Series(
+                        [r["pixel_possum"] for r in rows], dtype="int64"
+                    ),
+                }
+            )
+
+    return df.mapInPandas(dec, schema=DECODE_POSITIONAL_SCHEMA)
 
 
 def synth_gifs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:

@@ -393,9 +393,10 @@ def test_png_codec_round_trip_all_filters():
         decode_png(bytes(bad))
 
     # out-of-scope headers raise NotImplementedError, not garbage
-    # (4-bit paletted stays out of scope; 8-bit paletted is REAL now)
+    # (4-bit paletted stays out of scope; 8-bit paletted is REAL
+    # since r8 and Adam7 interlacing since r9 — tested separately)
     sig = b"\x89PNG\r\n\x1a\n"
-    for depth, ctype, interlace in [(16, 2, 0), (4, 3, 0), (8, 2, 1)]:
+    for depth, ctype, interlace in [(16, 2, 0), (4, 3, 0), (16, 0, 1)]:
         ihdr = struct.pack(">IIBBBBB", 2, 2, depth, ctype, 0, 0, interlace)
         with pytest.raises(NotImplementedError):
             decode_png(sig + _png_chunk(b"IHDR", ihdr))
@@ -1506,3 +1507,97 @@ def test_exact_substr_finds_what_cdc_misses(spark):
     assert [(r["doc_a"], r["doc_b"], r["longest_match_tokens"]) for r in got] == [
         (1, 2, 20)
     ]
+
+
+def test_png_adam7_round_trip_and_errors():
+    """Adam7 codec: every channel layout / filter rotation / geometry
+    (including sizes where most passes are empty) reconstructs the
+    exact row-major samples; malformed streams keep the ValueError
+    parse contract."""
+    import random
+    import struct
+    import zlib
+
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators.multimodal import (
+        _png_chunk,
+        _PNG_SIG,
+        decode_png,
+        encode_png,
+        encode_png_interlaced,
+    )
+
+    rng = random.Random(20260815)
+    for w, h in [(1, 1), (2, 2), (8, 8), (9, 7), (16, 5), (3, 13)]:
+        for ch in (1, 3, 4):
+            pix = bytes(rng.randrange(256) for _ in range(ch * w * h))
+            d = decode_png(encode_png_interlaced(w, h, pix, ch),
+                           want_pixels=True)
+            assert (d["width"], d["height"], d["channels"]) == (w, h, ch)
+            assert d["pixels"] == pix
+            # interlaced and non-interlaced decode agree exactly
+            ref = decode_png(encode_png(w, h, pix, ch), want_pixels=True)
+            assert d["pixel_sum"] == ref["pixel_sum"] == sum(pix)
+
+    # paletted + interlaced: scatter indices, THEN LUT to RGB
+    pal = [(i, 255 - i, (7 * i) % 256) for i in range(16)]
+    idx = bytes((3 * i) % 16 for i in range(9 * 7))
+    d = decode_png(
+        encode_png_interlaced(9, 7, idx, 1, palette=pal),
+        want_pixels=True,
+    )
+    assert d["channels"] == 3
+    assert d["pixels"] == b"".join(bytes(pal[i]) for i in idx)
+
+    # bad interlace method is a ValueError (spec: only 0/1 exist)
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 7)
+    bad = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00ab\x00cd"))
+        + _png_chunk(b"IEND", b"")
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="interlace"):
+        decode_png(bad)
+
+    # truncated interlaced stream (missing final pass bytes) raises
+    good = encode_png_interlaced(8, 8, bytes(range(64)), 1)
+    # rebuild with IDAT cut short
+    raw = zlib.decompress(
+        good[good.index(b"IDAT") + 4 : good.rindex(b"IEND") - 8]
+    )
+    cut = zlib.compress(raw[:-5])
+    ihdr2 = struct.pack(">IIBBBBB", 8, 8, 8, 0, 0, 0, 1)
+    trunc = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr2)
+        + _png_chunk(b"IDAT", cut)
+        + _png_chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError, match="scanline"):
+        decode_png(trunc)
+
+
+def test_png_adam7_positional_checksum_pins_scatter(spark):
+    """decode_images_positional over synth_interlaced_pngs: both
+    checksums agree with the closed form, and the positional one is
+    genuinely order-sensitive (a permuted reconstruction would differ
+    for every doc with non-constant samples)."""
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators.multimodal import (
+        decode_images_positional,
+        synth_interlaced_pngs,
+    )
+
+    docs = spark.range(0, 24).select(F.col("id").alias("doc_id"))
+    out = decode_images_positional(synth_interlaced_pngs(docs)).collect()
+    assert len(out) == 24
+    for r in out:
+        d = r["doc_id"]
+        w, h = d % 8 + 2, d % 6 + 2
+        ch = (1, 3, 4)[d % 3]
+        n = ch * w * h
+        vals = [(11 * i + 3 * d) % 256 for i in range(n)]
+        assert (r["width"], r["height"], r["channels"]) == (w, h, ch)
+        assert r["pixel_sum"] == sum(vals)
+        assert r["pixel_possum"] == sum((i + 1) * v for i, v in enumerate(vals))
