@@ -96,6 +96,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ======== re-counted at end of round)              ========
         "dedup_exact_substr_pairs": L.dedup_exact_substr_pairs,
         "multimodal_decode_png_interlaced": L.multimodal_decode_png_interlaced,
+        "text_winnowing_fingerprints": L.text_winnowing_fingerprints,
+        "text_mojibake_score": L.text_mojibake_score,
+        "text_length_outliers": L.text_length_outliers,
+        "sample_reservoir_source": L.sample_reservoir_source,
+        "dedup_ngram_novelty": L.dedup_ngram_novelty,
+        "dedup_cluster_size_histogram": L.dedup_cluster_size_histogram,
+        "ann_range_search": L.ann_range_search,
+        "events_attribution": R.events_attribution,
+        "events_funnel_latency": R.events_funnel_latency,
         # ======== round-8 driver window (positions 1-50) ========
         # 1-10: NEW in round 8 (never driver-checked): MOR COUNT(*)
         # pushdown, paletted PNG, sparse TF-IDF retrieval, DSIR
@@ -3044,6 +3053,297 @@ def oracle_sql() -> dict[str, str]:
             WHERE match_tokens >= 15
             GROUP BY doc_a, doc_b
             ORDER BY doc_a, doc_b
+        """,
+        # ======== round-9 additions ========
+        # Winnowing (MOSS): positioned 5-gram ids, each gram covers
+        # its 4 window starts (full windows only), per-start min with
+        # RIGHTMOST argmin tie-break, distinct selections
+        "text_winnowing_fingerprints": f"""
+            WITH norm AS (
+              SELECT doc_id,
+                     string_split({_NORM.format(t='text')}, ' ') AS w
+              FROM documents
+            ),
+            g AS (
+              SELECT doc_id, s.pos AS pos, s.gid AS gid FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(w) - 3),
+                         i -> struct_pack(pos := i,
+                           gid := {_TOKEN_ID.format(
+                               t="array_to_string(w[i:i+4], ' ')")})))
+                         AS s
+                FROM norm)
+            ),
+            ng AS (
+              SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id
+            ),
+            cov0 AS (
+              SELECT doc_id, gid, pos,
+                     unnest(range(greatest(pos - 3, 1), pos + 1)) AS start
+              FROM g
+            ),
+            cov AS (
+              SELECT c.* FROM cov0 c JOIN ng USING (doc_id)
+              WHERE c.start <= ng.n_grams - 3
+            ),
+            wmin AS (
+              SELECT doc_id, start, min(gid) AS mh
+              FROM cov GROUP BY 1, 2
+            ),
+            sel AS (
+              SELECT DISTINCT doc_id, mh, sel_pos FROM (
+                SELECT c.doc_id, c.start, w.mh, max(c.pos) AS sel_pos
+                FROM cov c JOIN wmin w
+                  ON w.doc_id = c.doc_id AND w.start = c.start
+                     AND c.gid = w.mh
+                GROUP BY 1, 2, 3)
+            ),
+            fps AS (
+              SELECT doc_id,
+                     CAST(count(*) AS BIGINT) AS n_fingerprints,
+                     CAST(sum(mh) AS BIGINT) AS fp_checksum
+              FROM sel GROUP BY doc_id
+            )
+            SELECT ng.doc_id,
+                   CAST(ng.n_grams AS BIGINT) AS n_grams,
+                   COALESCE(f.n_fingerprints, 0) AS n_fingerprints,
+                   COALESCE(f.fp_checksum, 0) AS fp_checksum
+            FROM ng LEFT JOIN fps f USING (doc_id)
+            ORDER BY doc_id
+        """,
+        # mojibake marks = codepoint sequences a CP1252 misdecode
+        # produces; counts via length-difference, no regex engine
+        "text_mojibake_score": """
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 100000,
+                     text || ' caf' || chr(195) || chr(169) || ' don'
+                          || chr(226) || chr(8364) || chr(8482)
+                          || 't ' || chr(65533)
+              FROM documents WHERE doc_id < 15
+            ),
+            m AS (
+              SELECT doc_id,
+                CAST(length(text) - length(replace(text, chr(195), ''))
+                     AS BIGINT)
+                + CAST(length(text) - length(replace(text, chr(194), ''))
+                       AS BIGINT)
+                + CAST((length(text)
+                        - length(replace(text, chr(226) || chr(8364),
+                                         ''))) / 2 AS BIGINT) AS n_marks,
+                CAST(length(text) - length(replace(text, chr(65533), ''))
+                     AS BIGINT) AS n_repl
+              FROM corpus
+            )
+            SELECT doc_id,
+                   n_marks AS n_mojibake_marks,
+                   n_repl AS n_replacement_chars,
+                   CAST(n_marks + n_repl > 0 AS INTEGER) AS damaged
+            FROM m ORDER BY doc_id
+        """,
+        # robust median/MAD outlier screen in exact half-integer
+        # arithmetic: adev2 = 2|x-med| is integral, the z cut is
+        # adev2*10000 > 88956*mad2/2 (= 3 * 1.4826 scaled)
+        "text_length_outliers": """
+            WITH corpus AS (
+              SELECT doc_id, source, n_chars FROM documents
+              UNION ALL
+              SELECT doc_id + 100000, source, n_chars * 7
+              FROM documents WHERE doc_id < 20
+            ),
+            med AS (
+              SELECT source, quantile_cont(n_chars, 0.5) AS med,
+                     count(*) AS n_docs
+              FROM corpus GROUP BY source
+            ),
+            dev AS (
+              SELECT c.source,
+                     CAST(abs(c.n_chars - m.med) * 2 AS BIGINT) AS adev2
+              FROM corpus c JOIN med m USING (source)
+            ),
+            mad AS (
+              SELECT source, quantile_cont(adev2, 0.5) AS mad2
+              FROM dev GROUP BY source
+            ),
+            outl AS (
+              SELECT d.source,
+                     CAST(sum(CASE WHEN d.adev2 * 10000
+                                        > 88956 * a.mad2 / 2
+                                   THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_outliers
+              FROM dev d JOIN mad a USING (source) GROUP BY d.source
+            )
+            SELECT m.source,
+                   CAST(m.n_docs AS BIGINT) AS n_docs,
+                   round(m.med, 1) AS median_len,
+                   round(a.mad2 / 2, 2) AS mad_len,
+                   o.n_outliers
+            FROM med m JOIN mad a USING (source) JOIN outl o USING (source)
+            ORDER BY m.source
+        """,
+        # bottom-k-by-md5 per group = deterministic reservoir
+        "sample_reservoir_source": """
+            SELECT source, doc_id, rk FROM (
+              SELECT source, doc_id,
+                     CAST(row_number() OVER (PARTITION BY source
+                       ORDER BY md5('r1|' || CAST(doc_id AS VARCHAR)),
+                                doc_id) AS INTEGER) AS rk
+              FROM documents
+            ) WHERE rk <= 5 ORDER BY source, rk
+        """,
+        # novelty: a shingle is novel for the smallest doc_id holding
+        # it; planted near-dup copies score ~0 against their sources
+        "dedup_ngram_novelty": f"""
+            WITH {_PLANT_TAIL}, {_SHINGLES},
+            firstd AS (
+              SELECT shingle, min(doc_id) AS first_doc
+              FROM sh GROUP BY shingle
+            ),
+            per AS (
+              SELECT s.doc_id,
+                     CAST(count(*) AS BIGINT) AS n_grams,
+                     CAST(sum(CASE WHEN s.doc_id = f.first_doc
+                                   THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_novel
+              FROM sh s JOIN firstd f USING (shingle)
+              GROUP BY s.doc_id
+            )
+            SELECT doc_id, n_grams, n_novel,
+                   round(n_novel / n_grams, 4) AS novelty_ratio
+            FROM per ORDER BY doc_id
+        """,
+        # cluster-size rollup over the same recursive components
+        # closure dedup_components uses
+        "dedup_cluster_size_histogram": f"""
+            WITH RECURSIVE {_PLANT_TAIL}, {_SHINGLES},
+            seeds AS (SELECT * FROM (VALUES {_MINHASH_SEEDS}) s(j, a, b)),
+            mh AS (
+              SELECT doc_id, j, min((a * sid + b) % 2147483647) AS mh
+              FROM sids CROSS JOIN seeds GROUP BY doc_id, j
+            ),
+            bands AS (
+              SELECT doc_id, j // 3 AS band,
+                     string_agg(CAST(mh AS VARCHAR), '_' ORDER BY j) AS key
+              FROM mh GROUP BY doc_id, j // 3
+            ),
+            cands AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+            ),
+            inter AS (
+              SELECT c.doc_a, c.doc_b, count(*) AS inter
+              FROM cands c
+              JOIN sids sa ON sa.doc_id = c.doc_a
+              JOIN sids sb ON sb.doc_id = c.doc_b AND sb.sid = sa.sid
+              GROUP BY 1, 2
+            ),
+            pairs AS (
+              SELECT i.doc_a, i.doc_b
+              FROM inter i
+              JOIN sizes sa ON sa.doc_id = i.doc_a
+              JOIN sizes sb ON sb.doc_id = i.doc_b
+              WHERE round(inter / (sa.sz + sb.sz - inter), 4) >= 0.5
+            ),
+            edges AS (
+              SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION
+              SELECT doc_b, doc_a FROM pairs
+            ),
+            reach(id, lbl) AS (
+              SELECT DISTINCT src, src FROM edges
+              UNION
+              SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+            ),
+            comp AS (
+              SELECT id, min(lbl) AS component_id FROM reach GROUP BY id
+            ),
+            csize AS (
+              SELECT component_id, count(*) AS cluster_size
+              FROM comp GROUP BY 1
+            )
+            SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+                   CAST(count(*) AS BIGINT) AS n_clusters,
+                   CAST(cluster_size * count(*) AS BIGINT) AS n_dup_docs
+            FROM csize GROUP BY cluster_size ORDER BY cluster_size
+        """,
+        # fixed-radius dual of ann_bruteforce_topk: threshold on the
+        # identically rounded cosine, no rank window
+        "ann_range_search": """
+            SELECT query_id, neighbor_id, cos_sim FROM (
+              SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                     round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                                  e.embedding::DOUBLE[]),
+                           4) AS cos_sim
+              FROM embeddings q JOIN embeddings e ON e.vec_id != q.vec_id
+              WHERE q.vec_id < 10
+            ) WHERE cos_sim >= 0.3
+            ORDER BY query_id, neighbor_id
+        """,
+        # last-touch: latest click at-or-before each purchase (ties ->
+        # larger click_id, the asof_join right_order rule), 7-day
+        # lookback, per-day conversions + exact decimal revenue
+        "events_attribution": """
+            WITH p AS (
+              SELECT event_id AS purchase_id, user_id, ts AS p_ts,
+                     value AS revenue
+              FROM events WHERE event_type = 'purchase'
+            ),
+            c AS (
+              SELECT user_id, ts AS c_ts, event_id AS click_id
+              FROM events WHERE event_type = 'click'
+            ),
+            j AS (
+              SELECT p.purchase_id, p.revenue, p.p_ts, c.c_ts,
+                     row_number() OVER (PARTITION BY p.purchase_id
+                       ORDER BY c.c_ts DESC, c.click_id DESC) AS rn
+              FROM p JOIN c
+                ON c.user_id = p.user_id AND c.c_ts <= p.p_ts
+            ),
+            best AS (SELECT * FROM j WHERE rn = 1),
+            att AS (
+              SELECT p.purchase_id, p.revenue,
+                     CASE WHEN b.c_ts IS NOT NULL
+                               AND date_diff('second', b.c_ts, p.p_ts)
+                                   <= 7 * 86400
+                          THEN CAST(b.c_ts AS DATE) END
+                       AS attribution_day
+              FROM p LEFT JOIN best b USING (purchase_id)
+            )
+            SELECT attribution_day,
+                   CAST(count(*) AS BIGINT) AS n_conversions,
+                   round(CAST(sum(CAST(revenue AS DECIMAL(18,4)))
+                              AS DOUBLE), 4) AS attributed_revenue
+            FROM att GROUP BY attribution_day
+            ORDER BY attribution_day NULLS FIRST
+        """,
+        # click -> first-later-purchase latency percentiles over
+        # integer seconds (interpolated halves are engine-exact)
+        "events_funnel_latency": """
+            WITH e AS (
+              SELECT user_id, event_type, ts FROM events
+              WHERE event_type IN ('click', 'purchase')
+            ),
+            t1 AS (
+              SELECT user_id, min(ts) AS t_click
+              FROM e WHERE event_type = 'click' GROUP BY user_id
+            ),
+            t2 AS (
+              SELECT e.user_id, min(e.ts) AS t_purchase
+              FROM e JOIN t1 USING (user_id)
+              WHERE e.event_type = 'purchase' AND e.ts > t1.t_click
+              GROUP BY e.user_id
+            ),
+            lat AS (
+              SELECT date_diff('second', t1.t_click, t2.t_purchase)
+                       AS secs
+              FROM t1 JOIN t2 USING (user_id)
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_converted,
+                   round(quantile_cont(secs, 0.5), 1) AS median_secs,
+                   round(quantile_cont(secs, 0.9), 1) AS p90_secs
+            FROM lat
         """,
         # PageRank over the exact-Jaccard pair graph: 3 unrolled
         # rounds, nano-quantized integer contributions, integer-

@@ -1450,3 +1450,68 @@ def exact_substring_pairs(
             F.count("*").cast("long").alias("n_runs"),
         )
     )
+
+
+def ngram_novelty_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Per-document n-gram NOVELTY vs all earlier documents (by id —
+    ingestion order in a crawl pipeline): a shingle is novel for the
+    document with the SMALLEST id containing it. The streaming-order
+    twin of boilerplate detection: novelty collapsing toward 0 over
+    a source is the classic signal of template/mirror content, and
+    per-doc novelty is the cheap proxy for "how much new text does
+    this doc add" that dedup-aware mixture builders weight by.
+
+    One distinct-shingle pass + one min-per-shingle hash-agg + one
+    doc-keyed rollup; the shingle table is the same inverted index
+    every dedup family here builds, so at 100 TB this piggybacks on
+    an existing shuffle key. Docs shorter than n words have no
+    shingles and no row (mirrored by the oracle)."""
+    sh = _doc_shingles(df, text_col, id_col, n)
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    per = (
+        sh.join(first, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum((F.col("doc_id") == F.col("first_doc")).cast("long"))
+            .cast("long")
+            .alias("n_novel"),
+        )
+    )
+    return per.select(
+        "doc_id", "n_grams", "n_novel",
+        F.round(F.col("n_novel") / F.col("n_grams"), 4)
+        .alias("novelty_ratio"),
+    )
+
+
+def component_size_histogram(pairs: DataFrame) -> DataFrame:
+    """Duplicate-cluster SIZE distribution from a near-dup pair
+    graph: close the pairs to connected components, then roll up
+    per-size counts — the corpus-health observability panel next to
+    ann_index_health (a fat tail of giant clusters means boilerplate
+    is leaking through the candidate caps; mass at size 2 means
+    mostly simple mirrors). Returns (cluster_size, n_clusters,
+    n_dup_docs) with n_dup_docs = size * n_clusters; singleton docs
+    never enter the pair graph and are deliberately absent. Costs
+    two bounded hash-aggs beyond the components closure."""
+    comp = connected_components(pairs)  # (id, component_id)
+    sizes = comp.groupBy("component_id").agg(
+        F.count("*").alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count("*").cast("long").alias("n_clusters"))
+        .select(
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters"))
+            .cast("long")
+            .alias("n_dup_docs"),
+        )
+    )

@@ -873,6 +873,104 @@ def dedup_exact_substr_pairs(spark, sf_dir):
     )
 
 
+def text_winnowing_fingerprints(spark, sf_dir):
+    """Winnowing fingerprints (text.winnowing_fingerprints — the
+    Schleimer/Wilkerson/Aiken MOSS algorithm at word-5-gram
+    granularity, window 4): per-window rightmost-min hash selection
+    with the 2/(w+1) density guarantee. Per-doc fingerprint counts
+    and an order-invariant checksum; the oracle replays gram ids,
+    window minima, and the rightmost-argmin tie-break exactly."""
+    return TX.winnowing_fingerprints(_docs(spark, sf_dir)).orderBy(
+        "doc_id"
+    )
+
+
+def text_mojibake_score(spark, sf_dir):
+    """Encoding-damage screening (text.mojibake_scores): count UTF-8
+    double-encoding artifact sequences and U+FFFD replacement chars
+    per doc — the crawl-corpus first-pass screen. The clean synthetic
+    corpus is all-zero, so damaged copies are planted (doc_id <15
+    get a CP1252-mojibake tail); the oracle replays the codepoint
+    arithmetic via chr() literals."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    tail = (
+        " cafÃ© donâ€™t �"
+    )
+    planted = d.filter(F.col("doc_id") < 15).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(tail)).alias("text"),
+    )
+    return TX.mojibake_scores(d.unionByName(planted)).orderBy("doc_id")
+
+
+def text_length_outliers(spark, sf_dir):
+    """Robust per-source length-outlier profile
+    (text.length_outlier_stats): median/MAD of n_chars per source
+    with a 3-sigma-equivalent robust z cut, in exact half-integer
+    arithmetic. Planted extremes (doc_id < 20 re-entered at 7x
+    length) give every source a real outlier; the oracle recomputes
+    the interpolated medians and the integer-exact cut."""
+    d = _docs(spark, sf_dir).select("doc_id", "source", "n_chars")
+    planted = d.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        "source",
+        (F.col("n_chars") * 7).alias("n_chars"),
+    )
+    return TX.length_outlier_stats(d.unionByName(planted)).orderBy(
+        "source"
+    )
+
+
+def sample_reservoir_source(spark, sf_dir):
+    """Deterministic k-per-group reservoir sampling
+    (sampling.reservoir_sample_keys): bottom-5-by-md5 per source —
+    order-free and mergeable where a sequential reservoir would
+    serialize the stream, reproducible under the seed for
+    audit/restart. The oracle replays the md5 draw keys and ranks."""
+    return SA.reservoir_sample_keys(
+        _docs(spark, sf_dir), k=5
+    ).orderBy("source", "rk")
+
+
+def dedup_ngram_novelty(spark, sf_dir):
+    """Per-document 3-gram novelty vs earlier docs
+    (dedup.ngram_novelty_scores): the share of a doc's shingles
+    first seen in that doc — the ingestion-order signal mixture
+    builders weight by ("how much new text does this doc add").
+    Planted near-dup copies (id+100000) score ~0 novelty against
+    their sources, originals ~1."""
+    corpus = _planted(
+        spark, sf_dir, 30, lambda t: F.concat(t, F.lit(" extra token tail"))
+    )
+    return D.ngram_novelty_scores(corpus).orderBy("doc_id")
+
+
+def dedup_cluster_size_histogram(spark, sf_dir):
+    """Duplicate-cluster size distribution
+    (dedup.component_size_histogram): MinHash-LSH pairs closed to
+    components, rolled up per cluster size — the dedup-health
+    observability panel next to ann_index_health (fat tail = caps
+    leaking boilerplate; mass at 2 = simple mirrors)."""
+    corpus = _planted(
+        spark, sf_dir, 30, lambda t: F.concat(t, F.lit(" extra token tail"))
+    )
+    pairs = D.minhash_lsh_pairs(corpus, threshold=0.5)
+    return D.component_size_histogram(pairs).orderBy("cluster_size")
+
+
+def ann_range_search(spark, sf_dir):
+    """Fixed-radius cosine range query
+    (similarity.cosine_range_search): every neighbor at sim >= 0.3
+    for 10 probes — the "all near duplicates of these items" dual of
+    top-k, as one broadcast-probe scan + filter with no per-query
+    window at all. The oracle recomputes the rounded cosines and the
+    threshold boundary exactly."""
+    emb = load(spark, sf_dir, "embeddings")
+    return S.cosine_range_search(
+        emb, emb.filter(F.col("vec_id") < 10), threshold=0.3, dim=64
+    ).orderBy("query_id", "neighbor_id")
+
+
 def dedup_keep_best_quality(spark, sf_dir):
     """Quality-aware canonical selection (dedup.keep_best_quality):
     the planted near-dup corpus's MinHash-LSH pair graph, closed to

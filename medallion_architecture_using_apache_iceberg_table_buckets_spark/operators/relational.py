@@ -1507,3 +1507,109 @@ def events_cohort_retention(spark, sf_dir):
         .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
         .orderBy("cohort_day", "day_offset")
     )
+
+
+def events_attribution(spark, sf_dir):
+    """Last-touch attribution: every purchase is credited to the
+    user\'s LATEST click at-or-before it, but only within a 7-day
+    lookback window — the standard marketing-attribution rule.
+    Purchases with no qualifying click report in the unattributed
+    bucket. Rolled up per attribution day: conversions and exact
+    decimal revenue.
+
+    Plan (100 TB): the as-of pairing is the union + per-user window
+    forward-fill of window_ops.asof_join (ONE user-keyed shuffle, no
+    range join, no per-user arrays), then the 7-day window is a
+    map-side filter and the rollup is a bounded (day) hash-agg.
+    """
+    from .window_ops import asof_join
+
+    e = load(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("revenue"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    paired = asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="p_ts",
+        right_ts="c_ts",
+        right_payload=["click_id", "c_ts"],
+        right_order=["click_id"],
+    )
+    attributed = paired.select(
+        "purchase_id",
+        "revenue",
+        F.when(
+            F.col("c_ts").isNotNull()
+            & (
+                F.col("p_ts").cast("long") - F.col("c_ts").cast("long")
+                <= 7 * 86400
+            ),
+            F.to_date("c_ts"),
+        ).alias("attribution_day"),
+    )
+    return (
+        attributed.groupBy("attribution_day")
+        .agg(
+            F.count("*").cast("long").alias("n_conversions"),
+            F.round(
+                F.sum(F.col("revenue").cast("decimal(18,4)")).cast(
+                    "double"
+                ),
+                4,
+            ).alias("attributed_revenue"),
+        )
+        .orderBy(F.col("attribution_day").asc_nulls_first())
+    )
+
+
+def events_funnel_latency(spark, sf_dir):
+    """Conversion-latency distribution for the click -> purchase
+    funnel step: per user, the earliest click and the earliest
+    purchase strictly after it; report the converting-user count and
+    the interpolated median / p90 of the latency in seconds — the
+    "how long does conversion take" companion to events_funnel\'s
+    "how many convert".
+
+    Plan (100 TB): two conditional-min aggregates chained on the
+    user key (exactly events_funnel\'s shuffle discipline), then one
+    global percentile over the per-user latency scalars (one row per
+    CONVERTING user — corpus-bounded, never per-event). Latencies
+    are integer seconds, so the interpolated percentiles are exact
+    halves/tenths and engine-deterministic."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    ).filter(F.col("event_type").isin("click", "purchase"))
+    t1 = e.filter(F.col("event_type") == "click").groupBy("user_id").agg(
+        F.min("ts").alias("t_click")
+    )
+    t2 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(t1, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    lat = t1.join(t2, "user_id").select(
+        (
+            F.col("t_purchase").cast("long") - F.col("t_click").cast("long")
+        ).alias("secs")
+    )
+    return lat.agg(
+        F.count("*").cast("long").alias("n_converted"),
+        F.round(F.percentile(F.col("secs"), F.lit(0.5)), 1).alias(
+            "median_secs"
+        ),
+        F.round(F.percentile(F.col("secs"), F.lit(0.9)), 1).alias(
+            "p90_secs"
+        ),
+    )

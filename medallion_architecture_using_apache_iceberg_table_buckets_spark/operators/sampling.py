@@ -457,3 +457,45 @@ def spark_range_buckets(spark, n_buckets: int) -> DataFrame:
     """All bucket ids 0..n_buckets-1 — buckets no gram hashed into
     still need their smoothed log-ratio so totals match the oracle."""
     return spark.range(n_buckets).select(F.col("id").cast("long").alias("b"))
+
+
+def reservoir_sample_keys(
+    df: DataFrame,
+    k: int,
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    seed: str = "r1",
+) -> DataFrame:
+    """Deterministic k-per-group reservoir sample via bottom-k
+    hashing: rank rows inside each group by ``md5(seed|key)`` (key
+    tie-break) and keep ranks 1..k. Distribution-equivalent to a
+    sequential reservoir (every size-k subset equally likely under
+    the hash's uniformity) but ORDER-FREE and mergeable — the
+    property a distributed pipeline needs, where a true sequential
+    reservoir would serialize the stream. Re-running with the same
+    seed reproduces the sample exactly (audit/restart), changing the
+    seed redraws it.
+
+    The per-group window never sees the corpus: partitions by
+    ``group_col`` (bounded domains at any scale; for a heavy group
+    the bottom-k trick composes with per-partition pre-truncation to
+    k before the final rank, which AQE handles as an ordinary
+    skew-join-free agg).
+    """
+    from pyspark.sql import Window
+
+    hk = F.md5(
+        F.concat_ws(
+            "|", F.lit(str(seed)), F.col(key_col).cast("string")
+        )
+    ).alias("draw_key")
+    w = Window.partitionBy(group_col).orderBy("draw_key", key_col)
+    return (
+        df.select(F.col(group_col), F.col(key_col), hk)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= int(k))
+        .select(
+            group_col, key_col,
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )

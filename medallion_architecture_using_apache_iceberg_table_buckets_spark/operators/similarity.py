@@ -1225,3 +1225,45 @@ def cosine_topk_ivfpq(
             F.col("rnk").cast("int").alias("rnk"),
         )
     )
+
+
+def cosine_range_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    threshold: float = 0.8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int | None = None,
+) -> DataFrame:
+    """Exact cosine RANGE query: every corpus neighbor with
+    similarity >= threshold for each probe (self excluded) — the
+    fixed-radius dual of :func:`cosine_topk` for "all near
+    duplicates of these items" workloads where k is unknowable.
+
+    Plan shape: broadcast probes over ONE corpus scan, score, filter
+    — no per-query window at all (the threshold IS the selection),
+    so this is the cheapest possible shape for a threshold query:
+    scan + broadcast hash join + filter, fully whole-stage-codegen.
+    Rounded cosine (4dp) keeps the boundary engine-deterministic.
+    """
+    q = _norm_col(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        ),
+        "qv", "qn", dim,
+    )
+    c = _norm_col(
+        fan_out(corpus).select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+        ),
+        "cv", "cn", dim,
+    )
+    thr = round(float(threshold), 4)
+    return (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cos_sim", F.round(_cos_join("qv", "cv", "qn", "cn", dim), 4)
+        )
+        .filter(F.col("cos_sim") >= thr)
+        .select("query_id", "neighbor_id", "cos_sim")
+    )

@@ -1362,3 +1362,186 @@ def phrase_search(
             F.min("start").cast("long").alias("first_pos"),
         )
     )
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken
+    2003 — the MOSS local fingerprinting algorithm, at word-k-gram
+    granularity): hash every k-gram, slide a ``window``-gram window,
+    and select each window's MINIMUM hash, breaking ties by the
+    RIGHTMOST position; the distinct (hash, position) selections are
+    the document's fingerprint set. Guarantee: every shared run of
+    window+k-1 tokens shares at least one fingerprint, with expected
+    density 2/(window+1) — a principled sub-sample of the shingle
+    set, where head/modulo sampling has no locality guarantee.
+
+    Relational formulation: positioned k-gram ids -> each gram
+    covers the ``window`` window-starts [pos-window+1, pos] (a
+    sequence explode, map-side x window) -> per-start min hash ->
+    rightmost argmin -> DISTINCT selections. Two bounded hash-aggs
+    keyed by (doc, start); nothing corpus-global.
+
+    Returns per doc: ``n_grams``, ``n_fingerprints``, and
+    ``fp_checksum`` (sum of selected hashes — order-invariant,
+    engine-portable)."""
+    from .dedup import token_id
+
+    sk, sw = int(k), int(window)
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), words(text_col).alias("w")
+    ).repartition(df.sparkSession.sparkContext.defaultParallelism)
+    grams = F.when(
+        F.size("w") >= sk,
+        F.transform(
+            F.sequence(F.lit(1), F.size("w") - (sk - 1)),
+            lambda i: F.struct(
+                i.alias("pos"),
+                token_id(F.concat_ws(" ", F.slice(F.col("w"), i, sk)))
+                .alias("gid"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,gid:long>>"))
+    g = toks.select("doc_id", F.explode(grams).alias("s")).select(
+        "doc_id", F.col("s.pos").alias("pos"), F.col("s.gid").alias("gid")
+    )
+    n_grams = g.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    # a gram at pos covers window-starts max(1, pos-window+1)..pos;
+    # full windows only (starts beyond n_grams-window+1 are clipped),
+    # per the algorithm; the cover list is a map-side sequence explode
+    covers = g.select(
+        "doc_id", "gid", "pos",
+        F.explode(
+            F.sequence(
+                F.greatest(F.col("pos") - (sw - 1), F.lit(1)), F.col("pos")
+            )
+        ).alias("start"),
+    )
+    covers = covers.join(
+        n_grams.select(
+            "doc_id", (F.col("n_grams") - (sw - 1)).alias("max_start")
+        ),
+        "doc_id",
+    ).filter(F.col("start") <= F.col("max_start"))
+    wmin = covers.groupBy("doc_id", "start").agg(F.min("gid").alias("mh"))
+    sel = (
+        covers.join(wmin, ["doc_id", "start"])
+        .filter(F.col("gid") == F.col("mh"))
+        .groupBy("doc_id", "start", "mh")
+        .agg(F.max("pos").alias("sel_pos"))  # rightmost min per window
+        .select("doc_id", "mh", "sel_pos")
+        .distinct()
+    )
+    fps = sel.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_fingerprints"),
+        F.sum("mh").cast("long").alias("fp_checksum"),
+    )
+    return (
+        n_grams.join(fps, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.coalesce("n_fingerprints", F.lit(0)).cast("long")
+            .alias("n_fingerprints"),
+            F.coalesce("fp_checksum", F.lit(0)).cast("long")
+            .alias("fp_checksum"),
+        )
+    )
+
+
+#: UTF-8 double-encoding artifacts ("mojibake"): a CP1252/Latin-1
+#: reread of UTF-8 bytes turns every non-ASCII char into a sequence
+#: led by one of these characters (the core ftfy-style detector
+#: set); plus the U+FFFD replacement char a lossy decode inserts.
+#: Escaped so the source stays ASCII-clean.
+MOJIBAKE_MARKS = ["Ã", "Â", "â€", "�"]
+
+
+def mojibake_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Encoding-damage scoring: count UTF-8 double-encoding artifact
+    sequences (``MOJIBAKE_MARKS`` — the A-tilde / A-circumflex /
+    a-circumflex+euro lead sequences a CP1252 misdecode produces,
+    plus U+FFFD replacement chars) and flag damaged docs. Pure
+    string arithmetic — occurrences via length difference after
+    literal replace, no regex-engine divergence — and map-only: the
+    cheap first-pass screen every crawl-scale corpus runs before
+    tokenization."""
+    t = F.col(text_col)
+    n_marks = None
+    for m in MOJIBAKE_MARKS[:-1]:
+        cnt = (
+            (F.length(t) - F.length(F.replace(t, F.lit(m), F.lit(""))))
+            / len(m)
+        ).cast("long")
+        n_marks = cnt if n_marks is None else (n_marks + cnt)
+    repl = MOJIBAKE_MARKS[-1]
+    n_repl = (
+        F.length(t) - F.length(F.replace(t, F.lit(repl), F.lit("")))
+    ).cast("long")
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n_marks.alias("n_mojibake_marks"),
+        n_repl.alias("n_replacement_chars"),
+        ((n_marks + n_repl) > 0).cast("int").alias("damaged"),
+    )
+
+
+def length_outlier_stats(
+    df: DataFrame,
+    len_col: str = "n_chars",
+    group_col: str = "source",
+    z_cut: float = 3.0,
+) -> DataFrame:
+    """Robust per-source length-outlier profile: median and MAD
+    (median absolute deviation) of ``len_col`` per ``group_col``,
+    then count docs whose robust z-score |x-med| / (1.4826*MAD)
+    exceeds ``z_cut`` — the corpus-health screen for truncated or
+    concatenated documents (mean/stddev would let one giant doc mask
+    the rest). Exact interpolated medians over integers produce only
+    .0/.5 values, so every comparison is engine-deterministic; the
+    cut is evaluated as 20000*|x-med| > round(2*14826*z_cut)*MAD to
+    stay in exact decimal arithmetic. Two bounded group-by passes,
+    no corpus-wide window."""
+    scale = int(round(2 * 14826 * float(z_cut)))
+    med = df.groupBy(group_col).agg(
+        F.percentile(F.col(len_col), F.lit(0.5)).alias("med"),
+        F.count("*").alias("n_docs"),
+    )
+    dev = df.join(med, group_col).select(
+        F.col(group_col),
+        # 2*|x-med| is an exact integer (med is a .0/.5 half)
+        (F.abs(F.col(len_col) - F.col("med")) * 2)
+        .cast("long")
+        .alias("adev2"),
+    )
+    mad = dev.groupBy(group_col).agg(
+        F.percentile(F.col("adev2"), F.lit(0.5)).alias("mad2")
+    )
+    out = (
+        dev.join(mad, group_col)
+        .groupBy(group_col)
+        .agg(
+            F.sum(
+                (F.col("adev2") * 10000 > F.lit(scale) * F.col("mad2") / 2)
+                .cast("long")
+            ).alias("n_outliers")
+        )
+    )
+    return (
+        med.join(mad, group_col)
+        .join(out, group_col)
+        .select(
+            F.col(group_col),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.round("med", 1).alias("median_len"),
+            F.round(F.col("mad2") / 2, 2).alias("mad_len"),
+            F.col("n_outliers"),
+        )
+    )

@@ -1601,3 +1601,172 @@ def test_png_adam7_positional_checksum_pins_scatter(spark):
         assert (r["width"], r["height"], r["channels"]) == (w, h, ch)
         assert r["pixel_sum"] == sum(vals)
         assert r["pixel_possum"] == sum((i + 1) * v for i, v in enumerate(vals))
+
+
+def test_winnowing_guarantee_and_density(spark):
+    """The winnowing guarantee: two docs sharing a run of
+    window+k-1 = 8 tokens share at least one fingerprint hash; and
+    selections are a strict subsample of grams."""
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators.text import (
+        winnowing_fingerprints,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    df = spark.createDataFrame(
+        [
+            (1, "one two three " + shared + " four five six"),
+            (2, "seven eight nine ten " + shared + " eleven twelve"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in winnowing_fingerprints(df).collect()}
+    assert out[1]["n_fingerprints"] >= 1
+    # density: selections never exceed window starts
+    for r in out.values():
+        assert r["n_fingerprints"] <= max(r["n_grams"] - 3, 0)
+
+    # the shared-run guarantee, checked on the raw selection hashes:
+    # recompute fingerprints per doc and intersect
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators.dedup import (
+        token_id,
+    )
+    import pyspark.sql.functions as SF
+
+    def fps(text):
+        w = text.split()
+        grams = [" ".join(w[i:i + 5]) for i in range(len(w) - 4)]
+        gids = [
+            r["g"]
+            for r in spark.createDataFrame([(g,) for g in grams], "t string")
+            .select(token_id(SF.col("t")).alias("g")).collect()
+        ]
+        sel = set()
+        for s in range(len(gids) - 3):
+            wnd = gids[s:s + 4]
+            m = min(wnd)
+            sel.add(m)
+        return sel
+
+    texts = {r[0]: r[1] for r in df.collect()}
+    assert fps(texts[1]) & fps(texts[2])  # shared fingerprint exists
+
+
+def test_mojibake_scores_counts(spark):
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators.text import (
+        mojibake_scores,
+    )
+
+    rows = [
+        (1, "clean ascii text"),
+        (2, "cafÃ© two marks Ã©"),      # 2x C3
+        (3, "donâ€™t"),                        # 1x "a-circ+euro"
+        (4, "bad � bytes �"),                       # 2 replacements
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in mojibake_scores(df).collect()}
+    assert out[1]["n_mojibake_marks"] == 0 and out[1]["damaged"] == 0
+    assert out[2]["n_mojibake_marks"] == 2 and out[2]["damaged"] == 1
+    assert out[3]["n_mojibake_marks"] == 1
+    assert out[4]["n_replacement_chars"] == 2 and out[4]["damaged"] == 1
+
+
+def test_reservoir_sample_deterministic_and_bounded(spark):
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators.sampling import (
+        reservoir_sample_keys,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(100)], "doc_id long, source string"
+    )
+    a = sorted(
+        (r["source"], r["doc_id"], r["rk"])
+        for r in reservoir_sample_keys(df, 4, key_col="doc_id").collect()
+    )
+    b = sorted(
+        (r["source"], r["doc_id"], r["rk"])
+        for r in reservoir_sample_keys(df, 4, key_col="doc_id").collect()
+    )
+    assert a == b and len(a) == 12  # 3 groups x 4
+    c = reservoir_sample_keys(df, 4, key_col="doc_id", seed="other")
+    assert sorted(
+        (r["source"], r["doc_id"], r["rk"]) for r in c.collect()
+    ) != a  # a different seed redraws
+
+
+def test_ngram_novelty_planted(spark):
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators.dedup import (
+        ngram_novelty_scores,
+    )
+
+    base = " ".join(f"w{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(1, base), (2, base + " tail x y"), (3, "all fresh tokens here now")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in ngram_novelty_scores(df).collect()}
+    assert out[1]["novelty_ratio"] == 1.0
+    assert out[2]["novelty_ratio"] < 0.2   # near-copy of an earlier doc
+    assert out[3]["novelty_ratio"] == 1.0
+
+
+def test_events_attribution_window_edges(spark):
+    """Exactly-7-days attributes; 7 days + 1 second does not; the
+    LATEST at-or-before click wins; clickless purchases land in the
+    unattributed (null-day) bucket."""
+    import datetime as dt
+
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators.relational import (
+        events_attribution,
+    )
+    import tempfile
+
+    t0 = dt.datetime(2024, 1, 10, 12, 0, 0)
+    rows = [
+        # user 1: two clicks then a purchase -> latest click wins
+        (1, t0 - dt.timedelta(days=2), 1, "click", 0.0, "{}"),
+        (2, t0 - dt.timedelta(days=1), 1, "click", 0.0, "{}"),
+        (3, t0, 1, "purchase", 10.0, "{}"),
+        # user 2: click exactly 7 days before -> attributed
+        (4, t0 - dt.timedelta(days=7), 2, "click", 0.0, "{}"),
+        (5, t0, 2, "purchase", 20.0, "{}"),
+        # user 3: click 7 days + 1 s before -> unattributed
+        (6, t0 - dt.timedelta(days=7, seconds=1), 3, "click", 0.0, "{}"),
+        (7, t0, 3, "purchase", 40.0, "{}"),
+        # user 4: no click at all
+        (8, t0, 4, "purchase", 80.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double, props string"
+    )
+    d = tempfile.mkdtemp(prefix="mats_attr_")
+    df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    out = {
+        (str(r["attribution_day"]) if r["attribution_day"] else None):
+        (r["n_conversions"], r["attributed_revenue"])
+        for r in events_attribution(spark, d).collect()
+    }
+    assert out["2024-01-09"] == (1, 10.0)   # latest click of user 1
+    assert out["2024-01-03"] == (1, 20.0)   # exactly 7 days: in
+    assert out[None] == (2, 120.0)          # 7d+1s and clickless
+
+
+def test_cosine_range_search_threshold_edges(spark):
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators.similarity import (
+        cosine_range_search,
+    )
+
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [1.0, 0.0]),        # sim 1.0 with 1
+        (3, [0.6, 0.8]),        # sim 0.6 with 1
+        (4, [0.0, 1.0]),        # sim 0.0 with 1
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        (r["query_id"], r["neighbor_id"]): r["cos_sim"]
+        for r in cosine_range_search(
+            df, df.filter(F.col("vec_id") == 1), threshold=0.6, dim=2
+        ).collect()
+    }
+    assert got == {(1, 2): 1.0, (1, 3): 0.6}  # boundary INCLUSIVE
