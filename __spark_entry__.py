@@ -56,44 +56,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # row on recent code; rotated-out entries stay covered by the full
     # local mirror (tools/check_oracles.py) and pytest.
     #
-    # Round-8 window (positions 1-50, live registry 184 entries):
-    #   1-18  = the eighteen NEW round-8 queries (never
+    # Round-9 window (positions 1-50, live registry 200 entries):
+    #   1-16  = the sixteen NEW round-9 queries (never
     #           driver-checked);
-    #   19-34 = the sixteen r04-vintage refreshes the r7 verdict
-    #           queued verbatim (join_full_outer_spend,
-    #           agg_rollup_orders .. set_except_nonbuyers — all
-    #           driver-green r04, re-verified by the judge at sf0.01
-    #           in the r7 session);
-    #   35-50 = the 16 oldest r05-window entries in age order
-    #           (text_repetition_scores .. multimodal_meta;
-    #           the eight next ones — multimodal_frames,
-    #           multimodal_resize, multimodal_embed_dims,
-    #           sql_ctas_time_travel, incremental_scan_changelog,
-    #           mor_merge_compact, schema_evolution_sql,
-    #           maintenance_procedures — were displaced to the tail
-    #           by late additions and stay r05-green there, first in
-    #           line for the r09 refresh).
-    # 18 + 16 + 16 = 50 exactly. Every r07-window entry landed green
-    # in CORRECTNESS_r07 (50/50), so none needs a re-slot.
+    #   17-50 = ALL 34 remaining r05-vintage entries in age order —
+    #           the eight displaced from the r8 window
+    #           (multimodal_frames .. maintenance_procedures) first,
+    #           then streaming_windowed_counts .. text_decontaminate,
+    #           exactly as the r8 verdict's plan queued them.
+    # 16 + 34 = 50 exactly; after this round no registry entry's most
+    # recent driver row is older than r06. Every r08-window entry
+    # landed green in CORRECTNESS_r08 (50/50), so none needs a
+    # re-slot.
     #
-    # Tail (51+): the remaining r05-window entries
-    # (streaming_windowed_counts ..), then the r7-window entries (all
-    # driver-green r07) and the r06-window entries (driver-green r06).
+    # Tail (51+), in refresh-age order so future rotations just read
+    # off the front: the 50 r06-vintage entries (next in line for the
+    # r10 window), then the 50 r07-vintage, then the 50 r08-vintage.
     #
-    # r09 window plan (execute at round-9 start, AFTER re-counting
-    # against CORRECTNESS_r08 and any r08 verdict instructions):
-    #   1-N  = round-9 additions as they land (never checked);
-    #   then = any r08-window entry whose driver row did NOT land
-    #          green in CORRECTNESS_r08 (expected none — all ten r8
-    #          additions pre-checked locally, most at sf0.01);
-    #   rest = continue the age-order refresh from the remaining
-    #          r05-window tail (streaming_windowed_counts ..), then
-    #          the oldest r06-window entries.
+    # r10 window plan (execute at round-10 start, AFTER re-counting
+    # against CORRECTNESS_r09 and any r09 verdict instructions):
+    #   1-N  = round-10 additions as they land (never checked);
+    #   then = any r09-window entry whose driver row did NOT land
+    #          green in CORRECTNESS_r09 (expected none — all sixteen
+    #          r9 additions pre-checked locally at sf0.001 AND
+    #          sf0.01);
+    #   rest = the oldest r06-vintage tail entries
+    #          (dedup_exact_groups ..) in their listed order.
     # Re-count positions so the window is exactly 50; keep inserting
     # new queries right after the newest NEW block.
     return {
-        # ======== round-9 NEW queries (provisional; window ========
-        # ======== re-counted at end of round)              ========
+        # ======== round-9 driver window (positions 1-50) ========
+        # 1-16: NEW in round 9 (never driver-checked): ExactSubstr
+        # verbatim dedup, Adam7 PNG, winnowing fingerprints + pairs,
+        # mojibake screen, robust length outliers, per-source
+        # reservoir, n-gram novelty, cluster-size histogram, cosine
+        # range search, last-touch attribution, funnel latency,
+        # Heaps-law curve, per-channel image stats, LTV deciles,
+        # SQL views
         "dedup_exact_substr_pairs": L.dedup_exact_substr_pairs,
         "multimodal_decode_png_interlaced": L.multimodal_decode_png_interlaced,
         "text_winnowing_fingerprints": L.text_winnowing_fingerprints,
@@ -105,65 +104,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_range_search": L.ann_range_search,
         "events_attribution": R.events_attribution,
         "events_funnel_latency": R.events_funnel_latency,
-        # ======== round-8 driver window (positions 1-50) ========
-        # 1-10: NEW in round 8 (never driver-checked): MOR COUNT(*)
-        # pushdown, paletted PNG, sparse TF-IDF retrieval, DSIR
-        # selection, Kneser-Ney LM, GIF/LZW codec, G.711 mu-law,
-        # phrase retrieval, Puffin-twin NDV sketches, posdelete
-        # consolidation evidence
-        "metadata_agg_mor_count": L.metadata_agg_mor_count,
-        "multimodal_decode_png_palette": L.multimodal_decode_png_palette,
-        "text_sparse_retrieval_topk": L.text_sparse_retrieval_topk,
-        "sample_dsir_selection": L.sample_dsir_selection,
-        "text_kn_lm_score": L.text_kn_lm_score,
-        "multimodal_decode_gif": L.multimodal_decode_gif,
-        "multimodal_decode_mulaw": L.multimodal_decode_mulaw,
-        "text_phrase_retrieval": L.text_phrase_retrieval,
-        "metadata_ndv_sketch": L.metadata_ndv_sketch,
-        "maintenance_rewrite_posdeletes": L.maintenance_rewrite_posdeletes,
-        "events_funnel": R.events_funnel,
-        "events_cohort_retention": R.events_cohort_retention,
-        "sample_temperature_mixture": L.sample_temperature_mixture,
-        "graph_pagerank_dedup": L.graph_pagerank_dedup,
-        "ann_matryoshka_recall": L.ann_matryoshka_recall,
-        "ann_index_health": L.ann_index_health,
-        "text_langid_confusion": L.text_langid_confusion,
-        "dedup_source_matrix": L.dedup_source_matrix,
-        # 11-26: the sixteen r04-vintage refreshes the r7 verdict
-        # queued (all driver-green r04; judge re-verified at sf0.01)
-        "join_full_outer_spend": R.join_full_outer_spend,
-        "agg_rollup_orders": R.agg_rollup_orders,
-        "agg_distinct_customers": R.agg_distinct_customers,
-        "agg_cube_status_priority": R.agg_cube_status_priority,
-        "agg_percentiles": R.agg_percentiles,
-        "agg_collect_sorted": R.agg_collect_sorted,
-        "pivot_event_counts": R.pivot_event_counts,
-        "subquery_max_order": R.subquery_max_order,
-        "json_extract_events": R.json_extract_events,
-        "array_map_funcs": R.array_map_funcs,
-        "events_daily_summary": R.events_daily_summary,
-        "scalar_string_math": R.scalar_string_math,
-        "date_arithmetic": R.date_arithmetic,
-        "set_union_segments": R.set_union_segments,
-        "set_intersect_building_buyers": R.set_intersect_building_buyers,
-        "set_except_nonbuyers": R.set_except_nonbuyers,
-        # 27-50: the oldest r05-window entries, age order
-        "text_repetition_scores": L.text_repetition_scores,
-        "text_leakage_safe_split": L.text_leakage_safe_split,
-        "multimodal_decode_image": L.multimodal_decode_image,
-        "ann_recall_at_k": L.ann_recall_at_k,
-        "s1_scan_filter_project": R.s1_scan_filter_project,
-        "a1_count_star": R.a1_count_star,
-        "f3_derive_partition_date": R.f3_derive_partition_date,
-        "asof_click_purchase": R.asof_click_purchase,
-        "sessionize_events": R.sessionize_events,
-        "skew_salted_agg": L.skew_salted_agg,
-        "string_distance_pairs": L.string_distance_pairs,
-        "text_langid": L.text_langid,
-        "text_quality": L.text_quality,
-        "text_token_counts": L.text_token_counts,
-        "text_fingerprint": L.text_fingerprint,
-        "multimodal_meta": L.multimodal_meta,
+        "dedup_winnowing_pairs": L.dedup_winnowing_pairs,
+        "corpus_heaps_law": L.corpus_heaps_law,
+        "multimodal_channel_stats": L.multimodal_channel_stats,
+        "events_user_ltv_deciles": R.events_user_ltv_deciles,
+        "sql_view_dispatch": L.sql_view_dispatch,
+        # 17-50: ALL 34 remaining r05-vintage entries, age order (the
+        # eight displaced from the r8 window first, per the r8
+        # verdict's plan) — closing the refresh so no registry entry's
+        # most recent driver row is older than r06
         "multimodal_frames": L.multimodal_frames,
         "multimodal_resize": L.multimodal_resize,
         "multimodal_embed_dims": L.multimodal_embed_dims,
@@ -172,61 +121,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mor_merge_compact": L.mor_merge_compact,
         "schema_evolution_sql": L.schema_evolution_sql,
         "maintenance_procedures": L.maintenance_procedures,
-        # ============ tail (51+) ============
-        # remaining r05-window entries, then the r7-window entries
-        # (ALL driver-green r07) and the r06-window entries — every
-        # tail entry keeps its union-green driver row and the full
-        # local mirror covers it each round
-        "multimodal_decode_png": L.multimodal_decode_png,
-        "text_ngram_lm_score": L.text_ngram_lm_score,
-        "ann_ivfpq_topk": L.ann_ivfpq_topk,
-        "multimodal_resize_pixels": L.multimodal_resize_pixels,
-        "text_bm25_topk": L.text_bm25_topk,
-        "bpe_encode_tokens": L.bpe_encode_tokens,
-        "sample_weighted_by_source": L.sample_weighted_by_source,
-        "hybrid_bm25_ann_topk": L.hybrid_bm25_ann_topk,
-        "ann_ivfpq_residual_topk": L.ann_ivfpq_residual_topk,
-        "multimodal_decode_jpeg": L.multimodal_decode_jpeg,
-        "ann_ivfsq_topk": L.ann_ivfsq_topk,
-        "curation_ccnet_buckets": L.curation_ccnet_buckets,
-        "decontaminate_semantic": L.decontaminate_semantic,
-        "multimodal_audio_features": L.multimodal_audio_features,
-        "multimodal_video_motion": L.multimodal_video_motion,
-        "sample_epoch_shuffle": L.sample_epoch_shuffle,
-        "tokenizer_unigram_vocab": L.tokenizer_unigram_vocab,
-        "tokenizer_unigram_encode": L.tokenizer_unigram_encode,
-        "tokenizer_wordpiece_vocab": L.tokenizer_wordpiece_vocab,
-        "tokenizer_wordpiece_encode": L.tokenizer_wordpiece_encode,
-        "sample_doremi_mixture": L.sample_doremi_mixture,
-        "curation_nb_classifier": L.curation_nb_classifier,
-        "text_cdc_chunks": L.text_cdc_chunks,
-        "dedup_cdc_chunk_pairs": L.dedup_cdc_chunk_pairs,
-        "dedup_keep_best_quality": L.dedup_keep_best_quality,
-        "metadata_agg_pushdown": L.metadata_agg_pushdown,
-        "dedup_minhash_lsh_pairs": L.dedup_minhash_lsh_pairs,
-        "dedup_simhash_pairs": L.dedup_simhash_pairs,
-        "dedup_keep_list": L.dedup_keep_list,
-        "dedup_embedding_lsh_pairs": L.dedup_embedding_lsh_pairs,
-        "ann_bruteforce_topk": L.ann_bruteforce_topk,
-        "ann_lsh_topk": L.ann_lsh_topk,
-        "ann_ivf_topk": L.ann_ivf_topk,
-        "medallion_merge_state": R.medallion_merge_state,
-        "medallion_gold_mart": L.medallion_gold_mart,
-        "sql_dispatch_pipeline": L.sql_dispatch_pipeline,
-        "catalog_history_metadata": R.catalog_history_metadata,
-        "w1_latest_per_key": R.w1_latest_per_key,
-        "window_running_totals": R.window_running_totals,
-        "window_moving_avg": R.window_moving_avg,
-        "o1_topk_latest": R.o1_topk_latest,
-        "q1_pricing_summary": R.q1_pricing_summary,
-        "q3_shipping_priority": R.q3_shipping_priority,
-        "q5_region_revenue": R.q5_region_revenue,
-        "q7_volume_shipping": R.q7_volume_shipping,
-        "q10_returned_items": R.q10_returned_items,
-        "q18_large_orders": R.q18_large_orders,
-        "join_semi_big_spenders": R.join_semi_big_spenders,
-        "join_anti_never_ordered": R.join_anti_never_ordered,
-        "join_broadcast_brand_stats": R.join_broadcast_brand_stats,
         "streaming_windowed_counts": L.streaming_windowed_counts,
         "streaming_sessionize": L.streaming_sessionize,
         "streaming_dedup": L.streaming_dedup,
@@ -253,6 +147,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q8_market_share": R.q8_market_share,
         "q15_top_supplier": R.q15_top_supplier,
         "text_decontaminate": L.text_decontaminate,
+        # ============ tail (51+) ============
+        # age order continues for future rotations: the 50 r06-vintage
+        # entries first (next in line for the r10 window), then the 50
+        # r07-vintage, then the 50 r08-vintage — every tail entry keeps
+        # its green driver row and the full local mirror covers it
+        # each round
+        # -- last driver-green r06 --
         "q2_min_cost_supplier": R.q2_min_cost_supplier,
         "q9_product_type_profit": R.q9_product_type_profit,
         "q11_important_part_value": R.q11_important_part_value,
@@ -303,6 +204,108 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_groups": L.dedup_exact_groups,
         "dedup_normalized_groups": L.dedup_normalized_groups,
         "dedup_ngram_jaccard_pairs": L.dedup_ngram_jaccard_pairs,
+        # -- last driver-green r07 --
+        "multimodal_decode_png": L.multimodal_decode_png,
+        "text_ngram_lm_score": L.text_ngram_lm_score,
+        "ann_ivfpq_topk": L.ann_ivfpq_topk,
+        "multimodal_resize_pixels": L.multimodal_resize_pixels,
+        "text_bm25_topk": L.text_bm25_topk,
+        "bpe_encode_tokens": L.bpe_encode_tokens,
+        "sample_weighted_by_source": L.sample_weighted_by_source,
+        "hybrid_bm25_ann_topk": L.hybrid_bm25_ann_topk,
+        "ann_ivfpq_residual_topk": L.ann_ivfpq_residual_topk,
+        "multimodal_decode_jpeg": L.multimodal_decode_jpeg,
+        "ann_ivfsq_topk": L.ann_ivfsq_topk,
+        "curation_ccnet_buckets": L.curation_ccnet_buckets,
+        "decontaminate_semantic": L.decontaminate_semantic,
+        "multimodal_audio_features": L.multimodal_audio_features,
+        "multimodal_video_motion": L.multimodal_video_motion,
+        "sample_epoch_shuffle": L.sample_epoch_shuffle,
+        "tokenizer_unigram_vocab": L.tokenizer_unigram_vocab,
+        "tokenizer_unigram_encode": L.tokenizer_unigram_encode,
+        "tokenizer_wordpiece_vocab": L.tokenizer_wordpiece_vocab,
+        "tokenizer_wordpiece_encode": L.tokenizer_wordpiece_encode,
+        "sample_doremi_mixture": L.sample_doremi_mixture,
+        "curation_nb_classifier": L.curation_nb_classifier,
+        "text_cdc_chunks": L.text_cdc_chunks,
+        "dedup_cdc_chunk_pairs": L.dedup_cdc_chunk_pairs,
+        "dedup_keep_best_quality": L.dedup_keep_best_quality,
+        "metadata_agg_pushdown": L.metadata_agg_pushdown,
+        "dedup_minhash_lsh_pairs": L.dedup_minhash_lsh_pairs,
+        "dedup_simhash_pairs": L.dedup_simhash_pairs,
+        "dedup_keep_list": L.dedup_keep_list,
+        "dedup_embedding_lsh_pairs": L.dedup_embedding_lsh_pairs,
+        "ann_bruteforce_topk": L.ann_bruteforce_topk,
+        "ann_lsh_topk": L.ann_lsh_topk,
+        "ann_ivf_topk": L.ann_ivf_topk,
+        "medallion_merge_state": R.medallion_merge_state,
+        "medallion_gold_mart": L.medallion_gold_mart,
+        "sql_dispatch_pipeline": L.sql_dispatch_pipeline,
+        "catalog_history_metadata": R.catalog_history_metadata,
+        "w1_latest_per_key": R.w1_latest_per_key,
+        "window_running_totals": R.window_running_totals,
+        "window_moving_avg": R.window_moving_avg,
+        "o1_topk_latest": R.o1_topk_latest,
+        "q1_pricing_summary": R.q1_pricing_summary,
+        "q3_shipping_priority": R.q3_shipping_priority,
+        "q5_region_revenue": R.q5_region_revenue,
+        "q7_volume_shipping": R.q7_volume_shipping,
+        "q10_returned_items": R.q10_returned_items,
+        "q18_large_orders": R.q18_large_orders,
+        "join_semi_big_spenders": R.join_semi_big_spenders,
+        "join_anti_never_ordered": R.join_anti_never_ordered,
+        "join_broadcast_brand_stats": R.join_broadcast_brand_stats,
+        # -- last driver-green r08 --
+        "metadata_agg_mor_count": L.metadata_agg_mor_count,
+        "multimodal_decode_png_palette": L.multimodal_decode_png_palette,
+        "text_sparse_retrieval_topk": L.text_sparse_retrieval_topk,
+        "sample_dsir_selection": L.sample_dsir_selection,
+        "text_kn_lm_score": L.text_kn_lm_score,
+        "multimodal_decode_gif": L.multimodal_decode_gif,
+        "multimodal_decode_mulaw": L.multimodal_decode_mulaw,
+        "text_phrase_retrieval": L.text_phrase_retrieval,
+        "metadata_ndv_sketch": L.metadata_ndv_sketch,
+        "maintenance_rewrite_posdeletes": L.maintenance_rewrite_posdeletes,
+        "events_funnel": R.events_funnel,
+        "events_cohort_retention": R.events_cohort_retention,
+        "sample_temperature_mixture": L.sample_temperature_mixture,
+        "graph_pagerank_dedup": L.graph_pagerank_dedup,
+        "ann_matryoshka_recall": L.ann_matryoshka_recall,
+        "ann_index_health": L.ann_index_health,
+        "text_langid_confusion": L.text_langid_confusion,
+        "dedup_source_matrix": L.dedup_source_matrix,
+        "join_full_outer_spend": R.join_full_outer_spend,
+        "agg_rollup_orders": R.agg_rollup_orders,
+        "agg_distinct_customers": R.agg_distinct_customers,
+        "agg_cube_status_priority": R.agg_cube_status_priority,
+        "agg_percentiles": R.agg_percentiles,
+        "agg_collect_sorted": R.agg_collect_sorted,
+        "pivot_event_counts": R.pivot_event_counts,
+        "subquery_max_order": R.subquery_max_order,
+        "json_extract_events": R.json_extract_events,
+        "array_map_funcs": R.array_map_funcs,
+        "events_daily_summary": R.events_daily_summary,
+        "scalar_string_math": R.scalar_string_math,
+        "date_arithmetic": R.date_arithmetic,
+        "set_union_segments": R.set_union_segments,
+        "set_intersect_building_buyers": R.set_intersect_building_buyers,
+        "set_except_nonbuyers": R.set_except_nonbuyers,
+        "text_repetition_scores": L.text_repetition_scores,
+        "text_leakage_safe_split": L.text_leakage_safe_split,
+        "multimodal_decode_image": L.multimodal_decode_image,
+        "ann_recall_at_k": L.ann_recall_at_k,
+        "s1_scan_filter_project": R.s1_scan_filter_project,
+        "a1_count_star": R.a1_count_star,
+        "f3_derive_partition_date": R.f3_derive_partition_date,
+        "asof_click_purchase": R.asof_click_purchase,
+        "sessionize_events": R.sessionize_events,
+        "skew_salted_agg": L.skew_salted_agg,
+        "string_distance_pairs": L.string_distance_pairs,
+        "text_langid": L.text_langid,
+        "text_quality": L.text_quality,
+        "text_token_counts": L.text_token_counts,
+        "text_fingerprint": L.text_fingerprint,
+        "multimodal_meta": L.multimodal_meta,
     }
 
 
@@ -3344,6 +3347,150 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(secs, 0.5), 1) AS median_secs,
                    round(quantile_cont(secs, 0.9), 1) AS p90_secs
             FROM lat
+        """,
+        # MOSS's dedup application: distinct winnowed hashes per doc,
+        # stop-hash cap 32, fp equi-join, >= 2 shared
+        "dedup_winnowing_pairs": f"""
+            WITH {_PLANT_TAIL},
+            norm AS (
+              SELECT doc_id,
+                     string_split({_NORM.format(t='text')}, ' ') AS w
+              FROM corpus
+            ),
+            g AS (
+              SELECT doc_id, s.pos AS pos, s.gid AS gid FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(w) - 3),
+                         i -> struct_pack(pos := i,
+                           gid := {_TOKEN_ID.format(
+                               t="array_to_string(w[i:i+4], ' ')")})))
+                         AS s
+                FROM norm)
+            ),
+            ng AS (
+              SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id
+            ),
+            cov0 AS (
+              SELECT doc_id, gid, pos,
+                     unnest(range(greatest(pos - 3, 1), pos + 1)) AS start
+              FROM g
+            ),
+            cov AS (
+              SELECT c.* FROM cov0 c JOIN ng USING (doc_id)
+              WHERE c.start <= ng.n_grams - 3
+            ),
+            wmin AS (
+              SELECT doc_id, start, min(gid) AS mh
+              FROM cov GROUP BY 1, 2
+            ),
+            fp AS (SELECT DISTINCT doc_id, mh FROM wmin),
+            keepfp AS (
+              SELECT mh FROM fp GROUP BY mh HAVING count(*) <= 32
+            ),
+            live AS (SELECT fp.* FROM fp JOIN keepfp USING (mh))
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(count(*) AS BIGINT) AS shared_fps
+            FROM live a JOIN live b
+              ON a.mh = b.mh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2 HAVING count(*) >= 2
+            ORDER BY doc_a, doc_b
+        """,
+        # Heaps' law: cumulative vocab vs tokens at 10 id-order
+        # prefixes; cutoffs from max(doc_id), all-integer
+        "corpus_heaps_law": f"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split({_NORM.format(t='text')}, ' '))
+                       AS w
+              FROM documents
+            ),
+            toksf AS (SELECT * FROM toks WHERE w != ''),
+            nmax AS (SELECT max(doc_id) AS max_id FROM documents),
+            cuts AS (
+              SELECT CAST(b AS INTEGER) AS bucket,
+                     CAST((max_id + 1) * b // 10 - 1 AS BIGINT)
+                       AS cutoff_doc
+              FROM (SELECT max_id, unnest(range(1, 11)) AS b FROM nmax)
+            ),
+            dt AS (
+              SELECT doc_id, count(*) AS n_tokens
+              FROM toksf GROUP BY doc_id
+            ),
+            ct AS (
+              SELECT c.bucket, c.cutoff_doc,
+                     CAST(sum(d.n_tokens) AS BIGINT) AS cum_tokens
+              FROM dt d JOIN cuts c ON d.doc_id <= c.cutoff_doc
+              GROUP BY 1, 2
+            ),
+            fd AS (
+              SELECT w, min(doc_id) AS first_doc FROM toksf GROUP BY w
+            ),
+            cv AS (
+              SELECT c.bucket, CAST(count(*) AS BIGINT) AS cum_vocab
+              FROM fd f JOIN cuts c ON f.first_doc <= c.cutoff_doc
+              GROUP BY 1
+            )
+            SELECT ct.bucket, ct.cutoff_doc, ct.cum_tokens, cv.cum_vocab
+            FROM ct JOIN cv USING (bucket) ORDER BY bucket
+        """,
+        # channel c of the PNG corpus holds samples i with i mod C = c
+        "multimodal_channel_stats": """
+            WITH dims AS (
+              SELECT doc_id,
+                     doc_id % 8 + 2 AS w,
+                     doc_id % 6 + 2 AS h,
+                     CASE doc_id % 3 WHEN 0 THEN 1
+                                     WHEN 1 THEN 3
+                                     ELSE 4 END AS ch
+              FROM documents
+            ),
+            px AS (
+              SELECT doc_id, ch, unnest(range(ch * w * h)) AS i FROM dims
+            )
+            SELECT doc_id,
+                   CAST(i % ch AS INTEGER) AS channel,
+                   CAST(count(*) AS BIGINT) AS n_samples,
+                   CAST(sum((11 * i + 3 * doc_id) % 256) AS BIGINT)
+                     AS sample_sum,
+                   CAST(min((11 * i + 3 * doc_id) % 256) AS INTEGER)
+                     AS sample_min,
+                   CAST(max((11 * i + 3 * doc_id) % 256) AS INTEGER)
+                     AS sample_max
+            FROM px GROUP BY doc_id, i % ch
+            ORDER BY doc_id, channel
+        """,
+        # the two stored view bodies composed in plain SQL over the
+        # FULL table (the engine appends the odd half before reading,
+        # proving views re-resolve against live snapshots)
+        "sql_view_dispatch": """
+            WITH prio_rev AS (
+              SELECT o_orderpriority,
+                     CAST(count(*) AS BIGINT) AS n_orders,
+                     sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+              FROM orders GROUP BY o_orderpriority
+            )
+            SELECT o_orderpriority, n_orders,
+                   round(CAST(rev AS DOUBLE), 2) AS revenue
+            FROM prio_rev WHERE n_orders > 0
+            ORDER BY o_orderpriority
+        """,
+        # ntile over the deterministic (rev desc, user) total order
+        "events_user_ltv_deciles": """
+            WITH rev AS (
+              SELECT user_id, sum(CAST(value AS DECIMAL(18,4))) AS rev
+              FROM events WHERE event_type = 'purchase'
+              GROUP BY user_id
+            ),
+            cut AS (
+              SELECT user_id, rev,
+                     CAST(ntile(10) OVER (ORDER BY rev DESC, user_id)
+                          AS INTEGER) AS decile
+              FROM rev
+            )
+            SELECT decile,
+                   CAST(count(*) AS BIGINT) AS n_users,
+                   round(CAST(sum(rev) AS DOUBLE), 4) AS revenue
+            FROM cut GROUP BY decile ORDER BY decile
         """,
         # PageRank over the exact-Jaccard pair graph: 3 unrolled
         # rounds, nano-quantized integer contributions, integer-

@@ -196,6 +196,27 @@ HEADLINE = {
     "ann_index_health": L.ann_index_health,
     "text_langid_confusion": L.text_langid_confusion,
     "dedup_source_matrix": L.dedup_source_matrix,
+    # round-9 additions: ExactSubstr verbatim dedup, Adam7 PNG,
+    # winnowing (MOSS) fingerprints + pairs, encoding screen, robust
+    # outliers, reservoir sampling, novelty, cluster histogram,
+    # cosine range search, attribution, funnel latency, Heaps curve,
+    # channel stats, LTV deciles, SQL views
+    "dedup_exact_substr_pairs": L.dedup_exact_substr_pairs,
+    "multimodal_decode_png_interlaced": L.multimodal_decode_png_interlaced,
+    "text_winnowing_fingerprints": L.text_winnowing_fingerprints,
+    "text_mojibake_score": L.text_mojibake_score,
+    "text_length_outliers": L.text_length_outliers,
+    "sample_reservoir_source": L.sample_reservoir_source,
+    "dedup_ngram_novelty": L.dedup_ngram_novelty,
+    "dedup_cluster_size_histogram": L.dedup_cluster_size_histogram,
+    "ann_range_search": L.ann_range_search,
+    "events_attribution": R.events_attribution,
+    "events_funnel_latency": R.events_funnel_latency,
+    "dedup_winnowing_pairs": L.dedup_winnowing_pairs,
+    "corpus_heaps_law": L.corpus_heaps_law,
+    "multimodal_channel_stats": L.multimodal_channel_stats,
+    "events_user_ltv_deciles": R.events_user_ltv_deciles,
+    "sql_view_dispatch": L.sql_view_dispatch,
 }
 
 # the 14 queries recorded since round 1 — their sum is the anchored

@@ -105,6 +105,66 @@ class Catalog:
         os.rename(src, dst)
         return Table(dst)
 
+    # -- SQL views (Iceberg view-spec twin: the catalog stores the
+    # SQL representation; engines re-resolve it at read time) --------
+    def _views_path(self, namespace: str):
+        return self.warehouse / namespace / "_VIEWS.json"
+
+    def views(self, namespace: str) -> dict[str, str]:
+        """Stored view definitions (name -> SQL text) in CREATION
+        order — later views may reference earlier ones, exactly the
+        order the registration pass replays."""
+        import json
+
+        p = self._views_path(namespace)
+        if not p.exists():
+            return {}
+        return json.loads(p.read_text())
+
+    def _write_views(self, namespace: str, views: dict[str, str]) -> None:
+        import json
+        import uuid as _uuid
+
+        p = self._views_path(namespace)
+        tmp = p.parent / f".VIEWS.{_uuid.uuid4().hex}"
+        tmp.write_text(json.dumps(views, indent=0))
+        os.replace(tmp, p)
+
+    def view_exists(self, namespace: str, name: str) -> bool:
+        return name in self.views(namespace)
+
+    def create_view(
+        self,
+        namespace: str,
+        name: str,
+        sql_text: str,
+        replace: bool = False,
+    ) -> None:
+        """Store a named SQL view (the Iceberg view-spec model: the
+        catalog persists the SQL representation, not data; readers
+        re-resolve it against current table state, so a view always
+        reflects the latest snapshots). Atomic pointer-swap write,
+        same discipline as table commits. Refuses to shadow a table
+        — one namespace, one name universe."""
+        if namespace not in self.namespaces():
+            raise ValueError(f"namespace {namespace!r} does not exist")
+        if self.table_exists(namespace, name):
+            raise ValueError(
+                f"{namespace}.{name} is a table; views cannot shadow it"
+            )
+        views = self.views(namespace)
+        if name in views and not replace:
+            raise ValueError(f"view {namespace}.{name} already exists")
+        views[name] = sql_text
+        self._write_views(namespace, views)
+
+    def drop_view(self, namespace: str, name: str) -> None:
+        views = self.views(namespace)
+        if name not in views:
+            raise KeyError(f"no view {namespace}.{name}")
+        del views[name]
+        self._write_views(namespace, views)
+
     # -- SQL surface (D4, D7; README.md:220-229) -----------------------
     def attach_views(
         self, spark: SparkSession, namespace: str, with_metadata: bool = True

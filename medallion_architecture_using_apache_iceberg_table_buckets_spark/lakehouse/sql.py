@@ -45,6 +45,17 @@ _DROP_NS = re.compile(
 _SHOW_CREATE = re.compile(
     r"^\s*SHOW\s+CREATE\s+TABLE\s+([\w.]+)\s*$", re.I
 )
+# Iceberg-view-spec surface: the catalog stores the SQL text, every
+# read re-resolves it against current table state
+_CREATE_VIEW = re.compile(
+    r"^\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+(?:(IF\s+NOT\s+EXISTS)\s+)?"
+    r"([\w.]+)\s+AS\s+((?:SELECT|WITH)\b.+)$",
+    re.I | re.S,
+)
+_DROP_VIEW = re.compile(
+    r"^\s*DROP\s+VIEW\s+(IF\s+EXISTS\s+)?([\w.]+)\s*$", re.I
+)
+_SHOW_VIEWS = re.compile(r"^\s*SHOW\s+VIEWS(?:\s+IN\s+([\w.]+))?\s*$", re.I)
 # the PARTITIONED BY body tolerates ONE paren nesting level so
 # multi-transform specs parse: bucket(4, id), days(ts)
 _PART_BODY = r"((?:[^()]|\([^()]*\))*)"
@@ -302,12 +313,41 @@ class SqlSession:
 
     def _attach_current(self) -> None:
         """Bare-name snapshot views for the active namespace (what
-        ``USE ns`` buys in the reference)."""
+        ``USE ns`` buys in the reference), then the namespace's
+        STORED SQL views re-resolved against that state (the Iceberg
+        view-spec read model: a view always reflects the current
+        table snapshots). Views register in creation order, so later
+        views may build on earlier ones; a view whose base was
+        dropped is skipped (its next direct use raises normally)."""
         if self.namespace is None:
             return
         for name in self.catalog.tables(self.namespace):
             t = self.catalog.table(self.namespace, name)
             t.read(self.spark).createOrReplaceTempView(name)
+        for vname, vsql in self.catalog.views(self.namespace).items():
+            try:
+                df = self.spark.sql(self._rewrite_refs(vsql))
+            except Exception:
+                continue  # stale view: base table gone since creation
+            df.createOrReplaceTempView(vname)
+
+    def _create_view(self, m: re.Match) -> DataFrame:
+        """CREATE [OR REPLACE] VIEW [IF NOT EXISTS] n AS <select>:
+        validate the body resolves AGAINST CURRENT STATE (Spark's
+        analyzer, not a hand parser), then store the original SQL
+        text — data never materializes, matching the Iceberg view
+        spec's SQL-representation model."""
+        replace, if_not_exists, ident, body = (
+            m.group(1), m.group(2), m.group(3), m.group(4).strip(),
+        )
+        ns, name = self._table_of(ident)
+        if self.catalog.view_exists(ns, name) and if_not_exists:
+            return self._empty()
+        self._attach_current()
+        self.spark.sql(self._rewrite_refs(body)).schema  # analyze-only
+        self.catalog.create_view(ns, name, body, replace=bool(replace))
+        self._attach_current()  # make it usable in this statement seq
+        return self._empty()
 
     # -- statement-text rewrites (metadata tables, time travel) --------
     def _known(self, ident: str) -> tuple[str, str] | None:
@@ -409,6 +449,24 @@ class SqlSession:
             return self._create_table_as(m)
         if m := _CREATE_TABLE.match(s):
             return self._create_table(m)
+        if m := _CREATE_VIEW.match(s):
+            return self._create_view(m)
+        if m := _DROP_VIEW.match(s):
+            ns, name = self._table_of(m.group(2))
+            if not self.catalog.view_exists(ns, name):
+                if m.group(1):
+                    return self._empty()
+                raise ValueError(f"view {ns}.{name} does not exist")
+            self.catalog.drop_view(ns, name)
+            return self._empty()
+        if m := _SHOW_VIEWS.match(s):
+            ns = self._ns_of(m.group(1)) if m.group(1) else self.namespace
+            if ns is None:
+                raise ValueError("SHOW VIEWS needs USE <ns> or IN <ns>")
+            rows = [(ns, v) for v in sorted(self.catalog.views(ns))]
+            return self.spark.createDataFrame(
+                rows or [], "namespace string, viewName string"
+            )
         if m := _ALTER.match(s):
             return self._alter_table(m)
         if m := _SHOW_CREATE.match(s):

@@ -3129,3 +3129,97 @@ def metadata_agg_mor_count(spark, sf_dir):
     return t.metadata_aggregate(
         spark, group_by=["o_orderpriority"], count_alias="n_live"
     ).orderBy("o_orderpriority")
+
+
+def dedup_winnowing_pairs(spark, sf_dir):
+    """Fingerprint-overlap near-dup pairs on winnowed selections
+    (text.winnowing_pairs — MOSS\'s own dedup application): docs
+    sharing >= 2 winnowed hashes, stop-hash frequency cap 32 before
+    the fp equi-join. Planted near-dup copies guarantee positives;
+    sits between CDC chunk overlap and ExactSubstr on the
+    recall/cost curve at ~2/(window+1) of the shingle-join volume."""
+    corpus = _planted(
+        spark, sf_dir, 30, lambda t: F.concat(t, F.lit(" extra token tail"))
+    )
+    return TX.winnowing_pairs(corpus).orderBy("doc_a", "doc_b")
+
+
+def corpus_heaps_law(spark, sf_dir):
+    """Empirical Heaps-law curve (text.heaps_law_curve): cumulative
+    vocabulary vs cumulative tokens at 10 ingestion-order corpus
+    prefixes, all-integer outputs — the corpus-composition
+    diagnostic tokenizer-vocab sizing reads off. Cutoffs derive from
+    max(doc_id) in-plan (broadcast scalar, the IVF-seeding
+    precedent); the inequality joins fan out <= 10x against the
+    broadcast cutoff list."""
+    return TX.heaps_law_curve(_docs(spark, sf_dir)).orderBy("bucket")
+
+
+def multimodal_channel_stats(spark, sf_dir):
+    """Per-channel normalization statistics over real decoded pixels
+    (multimodal.image_channel_stats): count/sum/min/max of each
+    channel\'s samples from the synthetic PNG corpus (gray/RGB/RGBA
+    rotating, all five scanline filters) — the vision-pipeline
+    pre-standardization pass. Integer-exact; the oracle replays the
+    closed sample form grouped by i mod C."""
+    from .multimodal import image_channel_stats, synth_pngs
+
+    return image_channel_stats(synth_pngs(_docs(spark, sf_dir))).orderBy(
+        "doc_id", "channel"
+    )
+
+
+def sql_view_dispatch(spark, sf_dir):
+    """SQL VIEW surface (the Iceberg view-spec model: the catalog
+    stores the SQL text, readers re-resolve it against CURRENT table
+    state): CREATE VIEW / a dependent second view / CREATE OR
+    REPLACE / DROP VIEW, all as statement text through
+    lakehouse.SqlSession. The final SELECT reads the dependent view
+    AFTER an extra append, proving views track live snapshots rather
+    than materialized data. Exact decimal revenue; the oracle
+    recomputes the composed view bodies in plain SQL."""
+    import tempfile
+
+    from ..lakehouse import Catalog
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    cat = Catalog(tempfile.mkdtemp(prefix="mats_view_"))
+    sess = cat.sql_session(spark)
+    sess.sql("CREATE NAMESPACE IF NOT EXISTS demo")
+    sess.sql("USE demo")
+    t = cat.create_table("demo", "ord", o.schema)
+    t.append(o.filter(F.col("o_orderkey") % 2 == 0))
+    sess.sql(
+        """
+        CREATE VIEW prio_rev AS
+        SELECT o_orderpriority,
+               count(*) AS n_orders,
+               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        FROM ord GROUP BY o_orderpriority
+        """
+    )
+    # dependent view over the first one
+    sess.sql(
+        """
+        CREATE VIEW prio_share AS
+        SELECT o_orderpriority, n_orders,
+               round(CAST(rev AS DOUBLE), 2) AS revenue
+        FROM prio_rev
+        """
+    )
+    # replace exercises OR REPLACE; drop-and-recreate path
+    sess.sql(
+        """
+        CREATE OR REPLACE VIEW prio_share AS
+        SELECT o_orderpriority, n_orders,
+               round(CAST(rev AS DOUBLE), 2) AS revenue
+        FROM prio_rev WHERE n_orders > 0
+        """
+    )
+    # the view must track LIVE state: append the odd half afterwards
+    t.append(o.filter(F.col("o_orderkey") % 2 == 1))
+    return sess.sql(
+        "SELECT * FROM prio_share ORDER BY o_orderpriority"
+    )

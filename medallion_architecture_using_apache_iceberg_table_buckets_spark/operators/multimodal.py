@@ -2430,3 +2430,50 @@ def decode_videos(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(dec, schema=VIDEO_SCHEMA)
+
+
+CHANNEL_STATS_SCHEMA = (
+    "doc_id long, channel int, n_samples long, sample_sum long, "
+    "sample_min int, sample_max int"
+)
+
+
+def image_channel_stats(df: DataFrame) -> DataFrame:
+    """Per-channel sample statistics over REAL decoded pixels: for
+    each image and channel, the count / sum / min / max of that
+    channel\'s samples (row-major interleaved layout: sample i
+    belongs to channel i mod C) — the normalization-statistics pass
+    every vision-training pipeline runs before standardizing inputs.
+    Integer-exact outputs; Arrow mapInPandas like every media stage,
+    numpy strided views doing the per-channel gather."""
+    import numpy as np
+
+    def st(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "channel", "n_samples", "sample_sum",
+                "sample_min", "sample_max")}
+            for did, blob in zip(pdf["doc_id"], pdf["content"]):
+                d = decode_pixels(bytes(blob))
+                ch = d["channels"]
+                px = np.frombuffer(d["pixels"], dtype=np.uint8)
+                for c in range(ch):
+                    v = px[c::ch]
+                    out["doc_id"].append(int(did))
+                    out["channel"].append(c)
+                    out["n_samples"].append(int(v.size))
+                    out["sample_sum"].append(int(v.sum(dtype=np.int64)))
+                    out["sample_min"].append(int(v.min()))
+                    out["sample_max"].append(int(v.max()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "channel": pd.Series(out["channel"], dtype="int32"),
+                    "n_samples": pd.Series(out["n_samples"], dtype="int64"),
+                    "sample_sum": pd.Series(out["sample_sum"], dtype="int64"),
+                    "sample_min": pd.Series(out["sample_min"], dtype="int32"),
+                    "sample_max": pd.Series(out["sample_max"], dtype="int32"),
+                }
+            )
+
+    return df.mapInPandas(st, schema=CHANNEL_STATS_SCHEMA)

@@ -1613,3 +1613,42 @@ def events_funnel_latency(spark, sf_dir):
             "p90_secs"
         ),
     )
+
+
+def events_user_ltv_deciles(spark, sf_dir):
+    """User lifetime-value decile report: total purchase revenue per
+    user, users cut into 10 equal-size buckets by ntile over
+    (revenue desc, user_id) — the deterministic total order makes
+    ntile engine-exact — then per-decile user counts and exact
+    decimal revenue. The classic "top decile drives X% of revenue"
+    analytics cut, and the registry\'s ntile coverage.
+
+    Plan (100 TB): revenue is one user-keyed hash-agg; the ntile
+    window then orders USERS (corpus-bounded, one row per user), not
+    events. For a user table too large for one window partition the
+    same cut composes from percentile boundaries; at any realistic
+    user cardinality Spark\'s single-column sort handles it."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    rev = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("rev")
+        )
+    )
+    w = Window.orderBy(F.desc("rev"), F.asc("user_id"))
+    return (
+        rev.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.round(F.sum("rev").cast("double"), 4).alias("revenue"),
+        )
+        .orderBy("decile")
+        .select(
+            F.col("decile").cast("int").alias("decile"),
+            "n_users", "revenue",
+        )
+    )

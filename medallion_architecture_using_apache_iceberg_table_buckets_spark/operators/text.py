@@ -1390,6 +1390,33 @@ def winnowing_fingerprints(
     Returns per doc: ``n_grams``, ``n_fingerprints``, and
     ``fp_checksum`` (sum of selected hashes — order-invariant,
     engine-portable)."""
+    n_grams, sel = _winnowing_selections(df, text_col, id_col, k, window)
+    fps = sel.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_fingerprints"),
+        F.sum("mh").cast("long").alias("fp_checksum"),
+    )
+    return (
+        n_grams.join(fps, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.coalesce("n_fingerprints", F.lit(0)).cast("long")
+            .alias("n_fingerprints"),
+            F.coalesce("fp_checksum", F.lit(0)).cast("long")
+            .alias("fp_checksum"),
+        )
+    )
+
+
+def _winnowing_selections(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+    window: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared winnowing core: returns (per-doc gram counts,
+    distinct (doc_id, mh, sel_pos) fingerprint selections)."""
     from .dedup import token_id
 
     sk, sw = int(k), int(window)
@@ -1437,20 +1464,48 @@ def winnowing_fingerprints(
         .select("doc_id", "mh", "sel_pos")
         .distinct()
     )
-    fps = sel.groupBy("doc_id").agg(
-        F.count("*").cast("long").alias("n_fingerprints"),
-        F.sum("mh").cast("long").alias("fp_checksum"),
+    return n_grams, sel
+
+
+def winnowing_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    window: int = 4,
+    min_shared: int = 2,
+    max_fp_docs: int = 32,
+) -> DataFrame:
+    """Fingerprint-overlap near-dup pairs on winnowing selections —
+    the dedup application MOSS itself runs: two documents sharing
+    ``min_shared``+ winnowed hashes overlap in real content, with
+    the winnowing guarantee that any shared run of window+k-1 tokens
+    yields at least one shared fingerprint. Sits between CDC chunk
+    overlap (coarser: expected-8-word chunks) and ExactSubstr
+    (exhaustive alignment) on the recall/cost curve, at ~2/(w+1) of
+    the shingle-join volume.
+
+    Scale fence: fingerprints in more than ``max_fp_docs`` documents
+    are boilerplate stop-hashes, excluded BEFORE the self-join —
+    the same frequency cap every blocked dedup here applies, so the
+    equi-join fan-out per hash is bounded."""
+    _, sel = _winnowing_selections(df, text_col, id_col, k, window)
+    fp = sel.select("doc_id", "mh").distinct()
+    keep = (
+        fp.groupBy("mh")
+        .count()
+        .filter(F.col("count") <= int(max_fp_docs))
+        .select("mh")
     )
+    live = fp.join(keep, "mh")
+    a = live.select("mh", F.col("doc_id").alias("doc_a"))
+    b = live.select("mh", F.col("doc_id").alias("doc_b"))
     return (
-        n_grams.join(fps, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.col("n_grams").cast("long").alias("n_grams"),
-            F.coalesce("n_fingerprints", F.lit(0)).cast("long")
-            .alias("n_fingerprints"),
-            F.coalesce("fp_checksum", F.lit(0)).cast("long")
-            .alias("fp_checksum"),
-        )
+        a.join(b, "mh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= int(min_shared))
     )
 
 
@@ -1543,5 +1598,77 @@ def length_outlier_stats(
             F.round("med", 1).alias("median_len"),
             F.round(F.col("mad2") / 2, 2).alias("mad_len"),
             F.col("n_outliers"),
+        )
+    )
+
+
+def heaps_law_curve(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 10,
+) -> DataFrame:
+    """Empirical Heaps-law curve: cumulative vocabulary size vs
+    cumulative token count at ``buckets`` corpus prefixes (by id —
+    ingestion order). The sub-linear vocab growth curve is the
+    standard corpus-composition diagnostic: a kink flags a source
+    switch or template flood, and the curve's flattening rate is
+    what tokenizer-vocab sizing reads off. All-integer outputs.
+
+    Relational: one token explode -> per-word FIRST doc (min id) ->
+    each word/doc joins the (tiny, broadcast) cutoff list with an
+    inequality — fan-out <= buckets per row, then two bounded
+    hash-aggs. The cutoffs derive from max(id) IN-PLAN (broadcast
+    scalar frame, the IVF-seeding precedent), so nothing is
+    collected to the driver."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(words(text_col)).alias("w"),
+    ).filter(F.col("w") != "")
+    nmax = df.agg(F.max(F.col(id_col)).alias("max_id"))
+    cuts = (
+        nmax.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(int(buckets))),
+                    lambda b: F.struct(
+                        b.alias("bucket"),
+                        (
+                            F.floor(
+                                (F.col("max_id") + 1) * b / int(buckets)
+                            ) - 1
+                        ).cast("long").alias("cutoff_doc"),
+                    ),
+                )
+            ).alias("c")
+        )
+        .select(F.col("c.bucket").alias("bucket"),
+                F.col("c.cutoff_doc").alias("cutoff_doc"))
+    )
+    doc_tokens = toks.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens")
+    )
+    cum_tokens = (
+        doc_tokens.join(
+            F.broadcast(cuts),
+            F.col("doc_id") <= F.col("cutoff_doc"),
+        )
+        .groupBy("bucket", "cutoff_doc")
+        .agg(F.sum("n_tokens").cast("long").alias("cum_tokens"))
+    )
+    first_doc = toks.groupBy("w").agg(F.min("doc_id").alias("first_doc"))
+    cum_vocab = (
+        first_doc.join(
+            F.broadcast(cuts),
+            F.col("first_doc") <= F.col("cutoff_doc"),
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").cast("long").alias("cum_vocab"))
+    )
+    return (
+        cum_tokens.join(cum_vocab, "bucket")
+        .select(
+            F.col("bucket").cast("int").alias("bucket"),
+            "cutoff_doc", "cum_tokens", "cum_vocab",
         )
     )

@@ -385,6 +385,15 @@ def test_brute_baselines_are_the_only_all_pairs_plans(spark, sf_dir):
         # index health: the 1-row (total, buckets-used) scalar
         # broadcast onto the <=256-row occupancy frame
         "ann_index_health",
+        # range search: the 10-row probe set broadcast over ONE
+        # corpus scan (the cosine_topk probe pattern with the
+        # threshold as the selection — not all-pairs: the broadcast
+        # side is the fixed probe list)
+        "ann_range_search",
+        # Heaps curve: the 10-row cutoff list (from the 1-row
+        # max-id scalar) broadcast onto the word/doc frames via
+        # inequality — fan-out <= 10 per row by construction
+        "corpus_heaps_law",
     }
     # Queries whose construction performs writes/iterative jobs; their
     # plan hygiene is asserted by dedicated tests.

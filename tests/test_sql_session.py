@@ -645,3 +645,63 @@ def test_entries_and_manifests_metadata_via_sql(spark, sess):
         assert r["added_data_files_count"] == len(
             set(s.files) & set(s.added_files))
         assert r["deleted_data_files_count"] == len(s.removed_files)
+
+
+def test_views_lifecycle_and_live_resolution(spark, tmp_path):
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.lakehouse import (
+        Catalog,
+    )
+
+    cat = Catalog(str(tmp_path / "wh"))
+    sess = cat.sql_session(spark)
+    sess.sql("CREATE NAMESPACE v")
+    sess.sql("USE v")
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "a", 30.0)],
+        "id long, k string, x double",
+    )
+    t = cat.create_table("v", "base", df.schema)
+    t.append(df.filter("id <= 2"))
+    sess.sql("CREATE VIEW agg AS SELECT k, sum(x) AS s FROM base GROUP BY k")
+    # dependent view over a view
+    sess.sql("CREATE VIEW agg2 AS SELECT k, s * 2 AS s2 FROM agg")
+    got = {r["k"]: r["s2"] for r in sess.sql("SELECT * FROM agg2").collect()}
+    assert got == {"a": 20.0, "b": 40.0}
+
+    # views re-resolve against LIVE state (Iceberg view-spec model)
+    t.append(df.filter("id = 3"))
+    got = {r["k"]: r["s2"] for r in sess.sql("SELECT * FROM agg2").collect()}
+    assert got == {"a": 80.0, "b": 40.0}
+
+    # SHOW VIEWS / OR REPLACE / IF NOT EXISTS / DROP
+    names = [r["viewName"] for r in sess.sql("SHOW VIEWS").collect()]
+    assert names == ["agg", "agg2"]
+    sess.sql("CREATE VIEW IF NOT EXISTS agg AS SELECT 1 AS one")  # no-op
+    assert {r["k"] for r in sess.sql("SELECT * FROM agg").collect()} == {"a", "b"}
+    sess.sql("CREATE OR REPLACE VIEW agg2 AS SELECT k FROM agg")
+    assert sess.sql("SELECT * FROM agg2").columns == ["k"]
+    sess.sql("DROP VIEW agg2")
+    assert [r["viewName"] for r in sess.sql("SHOW VIEWS").collect()] == ["agg"]
+    sess.sql("DROP VIEW IF EXISTS nope")  # silent
+
+    # guard rails: duplicate without OR REPLACE, table shadowing,
+    # unresolvable body
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="already exists"):
+        sess.sql("CREATE VIEW agg AS SELECT 1 AS one")
+    with _pytest.raises(ValueError, match="shadow"):
+        sess.sql("CREATE VIEW base AS SELECT 1 AS one")
+    with _pytest.raises(Exception):
+        sess.sql("CREATE VIEW broken AS SELECT nope FROM base")
+    assert [r["viewName"] for r in sess.sql("SHOW VIEWS").collect()] == ["agg"]
+
+    # a view whose base table was dropped: skipped at attach, other
+    # statements keep working, and its direct use raises
+    sess.sql("CREATE VIEW doomed AS SELECT id FROM base")
+    cat.drop_table("v", "base")
+    assert [r["viewName"] for r in sess.sql("SHOW VIEWS").collect()] == [
+        "agg", "doomed",
+    ]
+    with _pytest.raises(Exception):
+        sess.sql("SELECT * FROM doomed").collect()
