@@ -456,6 +456,102 @@ def llm_queries_section():
             "scan; hit counting is a left-semi join of k-sized "
             "lists.",
         ),
+        # round-9 additions
+        "dedup_exact_substr_pairs": (
+            L.dedup_exact_substr_pairs,
+            "ExactSubstr: positioned-shingle EQUI-join (df<=32 cap "
+            "broadcast/keyed, never all-pairs) seeds the diagonals; "
+            "one window partitioned by (pair, diagonal) — bounded "
+            "by doc length — extends maximal runs; two bounded "
+            "hash-aggs close it.",
+        ),
+        "text_winnowing_fingerprints": (
+            L.text_winnowing_fingerprints,
+            "Winnowing: map-side cover explode (x window), two "
+            "(doc, start)-keyed hash-aggs for min + rightmost "
+            "argmin, per-doc rollup — no corpus-global window, no "
+            "self-join.",
+        ),
+        "dedup_winnowing_pairs": (
+            L.dedup_winnowing_pairs,
+            "Fingerprint pairs: stop-hash cap BEFORE the fp "
+            "equi-join (bounded fan-out per hash), same blocked-"
+            "join discipline as the CDC/MinHash pair generators.",
+        ),
+        "text_mojibake_score": (
+            L.text_mojibake_score,
+            "Map-only: length-difference counting of literal "
+            "sequences inside one WholeStageCodegen span — zero "
+            "exchanges beyond the planted union.",
+        ),
+        "text_length_outliers": (
+            L.text_length_outliers,
+            "Two bounded source-keyed percentile aggregates "
+            "(median, MAD) + one source-keyed recount; the cut is "
+            "exact half-integer arithmetic, no corpus window.",
+        ),
+        "sample_reservoir_source": (
+            L.sample_reservoir_source,
+            "Bottom-k-by-md5: one window per source partition over "
+            "draw keys — bounded group domains; no global sort, no "
+            "driver randomness.",
+        ),
+        "dedup_ngram_novelty": (
+            L.dedup_ngram_novelty,
+            "Novelty: shingle-keyed min-doc aggregate + doc-keyed "
+            "rollup, piggybacking the same inverted-index shuffle "
+            "key every dedup family uses.",
+        ),
+        "dedup_cluster_size_histogram": (
+            L.dedup_cluster_size_histogram,
+            "Components closure (bounded-round label propagation) + "
+            "two bounded hash-aggs; edges come from the banded "
+            "MinHash join, never all-pairs.",
+        ),
+        "ann_range_search": (
+            L.ann_range_search,
+            "Fixed-radius: 10-row probe set broadcast over ONE "
+            "corpus scan, rounded-cosine filter IS the selection — "
+            "no per-query window at all (cheapest threshold-query "
+            "shape).",
+        ),
+        "events_attribution": (
+            R.events_attribution,
+            "Last-touch: asof_join union + per-user window forward-"
+            "fill (ONE user-keyed shuffle, no range join); 7-day "
+            "window is a map-side filter; day rollup is bounded.",
+        ),
+        "events_funnel_latency": (
+            R.events_funnel_latency,
+            "Conditional-min chains on the user key (events_funnel "
+            "discipline), then one global percentile over per-USER "
+            "latency scalars — corpus-bounded, never per-event.",
+        ),
+        "events_user_ltv_deciles": (
+            R.events_user_ltv_deciles,
+            "User-keyed revenue agg, then ntile over the USER frame "
+            "(one row per user; deterministic total order); decile "
+            "rollup is 10 rows.",
+        ),
+        "corpus_heaps_law": (
+            L.corpus_heaps_law,
+            "Cutoffs derived in-plan from max(doc_id) (broadcast "
+            "scalar); the inequality joins are BNLJ against the "
+            "10-row cutoff list — fan-out <= 10 per row by "
+            "construction; everything else is keyed aggs.",
+        ),
+        "multimodal_channel_stats": (
+            L.multimodal_channel_stats,
+            "Arrow mapInPandas decode + numpy strided per-channel "
+            "gather; output is (doc, channel)-sized, integer-exact, "
+            "no shuffle after the media stage.",
+        ),
+        "multimodal_decode_png_interlaced": (
+            L.multimodal_decode_png_interlaced,
+            "Adam7 chain: map-only synth + decode stages (Arrow "
+            "mapInPandas); the position-weighted checksum is "
+            "computed inside the decode batch — zero exchanges.",
+        ),
     }
 
 

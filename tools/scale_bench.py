@@ -166,6 +166,25 @@ QUERIES = {
     "ann_index_health": L.ann_index_health,
     "text_langid_confusion": L.text_langid_confusion,
     "dedup_source_matrix": L.dedup_source_matrix,
+    # round-9 additions: the diagonal-run self-join (ExactSubstr),
+    # the winnowing cover/selection chain and its pair join, the
+    # Adam7 decode chain, the remaining map-only text screens, and
+    # the event-analytics shapes
+    "dedup_exact_substr_pairs": L.dedup_exact_substr_pairs,
+    "multimodal_decode_png_interlaced": L.multimodal_decode_png_interlaced,
+    "text_winnowing_fingerprints": L.text_winnowing_fingerprints,
+    "text_mojibake_score": L.text_mojibake_score,
+    "text_length_outliers": L.text_length_outliers,
+    "sample_reservoir_source": L.sample_reservoir_source,
+    "dedup_ngram_novelty": L.dedup_ngram_novelty,
+    "dedup_cluster_size_histogram": L.dedup_cluster_size_histogram,
+    "ann_range_search": L.ann_range_search,
+    "events_attribution": R.events_attribution,
+    "events_funnel_latency": R.events_funnel_latency,
+    "dedup_winnowing_pairs": L.dedup_winnowing_pairs,
+    "corpus_heaps_law": L.corpus_heaps_law,
+    "multimodal_channel_stats": L.multimodal_channel_stats,
+    "events_user_ltv_deciles": R.events_user_ltv_deciles,
 }
 
 
@@ -358,6 +377,10 @@ def main() -> None:
         # corpus-sized; everything after the scan-local term filter is
         # keyed equi-joins)
         "text_phrase_retrieval",
+        # r9 pair generators: output = verbatim-overlap / shared-fp
+        # pairs, which grow with the planted-dup count (linear here by
+        # construction: each copy pairs with its own source only)
+        "dedup_exact_substr_pairs", "dedup_winnowing_pairs",
     }
 
     # embedding-LSH cost is governed by the CANDIDATE-join cardinality
@@ -429,6 +452,38 @@ def main() -> None:
             "marker token): one persisted tokenize pass feeds all "
             "three aligned branches, so the wall factor sits "
             "sublinear to the posting growth"
+        ),
+        # r8-verdict item 4: the five standing >5x rows of the
+        # per-doc text-statistics family, each one sentence — all
+        # are map-only scoring / gram-keyed aggregates whose work is
+        # the 10x token stream itself (the family's linear profile
+        # documented since r6; factors <=10x = linear in rows)
+        "pack_training_sequences": (
+            "greedy shard packing over the chunk stream: wall tracks "
+            "the 10x chunk rows (the curation stage3 rows_factor "
+            "~12.7x upper-bounds it) — linear in its own input"
+        ),
+        "curation_ccnet_buckets": (
+            "per-doc LM scoring + per-lang tercile bounds: wall "
+            "tracks the 10x scored-doc rows; the bounds join is a "
+            "|langs|-row broadcast — text-statistics linear profile"
+        ),
+        "text_tfidf_topk": (
+            "corpus-wide (term, doc) tf table IS the work measure "
+            "and grows ~10x with rows; idf join is term-keyed, "
+            "per-doc top-k window partitions by doc — linear in the "
+            "posting stream"
+        ),
+        "sample_doremi_mixture": (
+            "dominated by the bigram-LM surprisal stream it composes "
+            "(text_ngram_lm_score's own row, gram-keyed equi-joins "
+            "~10x in gram rows); the reweighting itself is a "
+            "|sources|-row frame"
+        ),
+        "text_ngram_lm_score": (
+            "gram tables grow ~10x with the token stream; all joins "
+            "are gram-keyed equi-joins (persisted gram tables since "
+            "r8) — linear in rows, the family profile"
         ),
     }
 
