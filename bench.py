@@ -217,6 +217,7 @@ HEADLINE = {
     "multimodal_channel_stats": L.multimodal_channel_stats,
     "events_user_ltv_deciles": R.events_user_ltv_deciles,
     "sql_view_dispatch": L.sql_view_dispatch,
+    "dedup_exact_substr_removal": L.dedup_exact_substr_removal,
 }
 
 # the 14 queries recorded since round 1 — their sum is the anchored

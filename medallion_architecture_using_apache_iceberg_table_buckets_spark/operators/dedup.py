@@ -1343,7 +1343,7 @@ def pagerank_pairs(
     return pr.join(deg.select(F.col("src").alias("node"), "degree"), "node")
 
 
-def exact_substring_pairs(
+def _exact_substring_runs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -1354,7 +1354,9 @@ def exact_substring_pairs(
     """ExactSubstr cross-document verbatim-overlap detection — the
     suffix-array dedup of Lee et al. 2022 ("Deduplicating Training
     Data Makes Language Models Better", the deduplicate-text-datasets
-    method), re-expressed relationally.
+    method), re-expressed relationally. Shared core of
+    :func:`exact_substring_pairs` (the pair report) and
+    :func:`exact_substring_dedup` (the removal application).
 
     Key identity: a shared verbatim run of L >= k tokens between two
     documents contains exactly L-k+1 ALIGNED k-token shingles —
@@ -1378,15 +1380,16 @@ def exact_substring_pairs(
        window partitions by (pair, diagonal): bounded by document
        length, never corpus-wide.
 
-    Returns one row per unordered pair with verbatim overlap:
-    ``doc_a, doc_b, longest_match_tokens, n_runs`` (runs counted at
-    >= min_match_tokens). This catches exactly the overlap class CDC
-    chunk fingerprints miss: a shared span shorter than the expected
-    chunk length almost never yields a shared chunk (boundaries
-    inside the span sit at different content offsets), while every
-    shared span of >= k tokens yields aligned k-shingles by
-    construction — ``tests/test_dedup.py`` proves the separation on
-    a planted fixture.
+    Returns one row per MAXIMAL run of >= min_match_tokens tokens:
+    ``doc_a, doc_b, diag, isl, match_tokens, start_a, start_b``
+    (starts are 1-based token positions). This catches exactly the
+    overlap class CDC chunk fingerprints miss: a shared span shorter
+    than the expected chunk length almost never yields a shared
+    chunk (boundaries inside the span sit at different content
+    offsets), while every shared span of >= k tokens yields aligned
+    k-shingles by construction —
+    ``tests/test_llm_operators.py::test_exact_substr_finds_what_cdc_misses``
+    proves the separation on a planted fixture.
 
     Shingle ids are the portable 60-bit md5 ints (``token_id``), so
     the DuckDB oracle replays the whole construction bit-for-bit.
@@ -1440,15 +1443,109 @@ def exact_substring_pairs(
         "isl", F.col("pos_a") - F.row_number().over(w)
     )
     runs = isl.groupBy("doc_a", "doc_b", "diag", "isl").agg(
-        (F.count("*") + F.lit(sk - 1)).cast("long").alias("match_tokens")
+        (F.count("*") + F.lit(sk - 1)).cast("long").alias("match_tokens"),
+        F.min("pos_a").cast("long").alias("start_a"),
+        F.min("pos_b").cast("long").alias("start_b"),
     )
-    return (
-        runs.filter(F.col("match_tokens") >= int(min_match_tokens))
-        .groupBy("doc_a", "doc_b")
-        .agg(
-            F.max("match_tokens").alias("longest_match_tokens"),
-            F.count("*").cast("long").alias("n_runs"),
+    return runs.filter(F.col("match_tokens") >= int(min_match_tokens))
+
+
+def exact_substring_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_match_tokens: int = 15,
+    max_df: int | None = 32,
+) -> DataFrame:
+    """Pair report over :func:`_exact_substring_runs` — see that
+    docstring for the full construction. One row per unordered doc
+    pair with a shared verbatim run of >= min_match_tokens tokens:
+    longest run and run count."""
+    runs = _exact_substring_runs(
+        df, text_col, id_col, k, min_match_tokens, max_df
+    )
+    return runs.groupBy("doc_a", "doc_b").agg(
+        F.max("match_tokens").alias("longest_match_tokens"),
+        F.count("*").cast("long").alias("n_runs"),
+    )
+
+
+def exact_substring_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_match_tokens: int = 15,
+    max_df: int | None = 32,
+) -> DataFrame:
+    """The APPLY step of ExactSubstr dedup (Lee et al. 2022 remove
+    all but one copy of every duplicated span): for each maximal
+    cross-document verbatim run, the copy in the LATER document
+    (larger id — ingestion order, so the first-seen copy stays
+    canonical) is marked for removal; overlapping marked spans merge
+    (classic interval union via a per-doc running-max window), and
+    the report gives per affected document the token count before,
+    the tokens removed, and the tokens kept.
+
+    At 100 TB the added work over the pair detection is one
+    doc-keyed window over the RUN spans (rows = number of matches,
+    not tokens) plus two bounded hash-aggs — the interval-merge
+    never touches the token stream.
+    """
+    runs = _exact_substring_runs(
+        df, text_col, id_col, k, min_match_tokens, max_df
+    )
+    from pyspark.sql import Window
+
+    # span to cut, in the LATER doc's token coordinates (1-based,
+    # inclusive)
+    spans = runs.select(
+        F.col("doc_b").alias("doc_id"),
+        F.col("start_b").alias("s"),
+        (F.col("start_b") + F.col("match_tokens") - 1).alias("e"),
+    )
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    merged = (
+        spans.withColumn("prev_max_e", F.max("e").over(w_prev))
+        .withColumn(
+            "new_iv",
+            (
+                F.col("prev_max_e").isNull()
+                | (F.col("s") > F.col("prev_max_e") + 1)
+            ).cast("int"),
         )
+        .withColumn(
+            "iv",
+            F.sum("new_iv").over(
+                Window.partitionBy("doc_id")
+                .orderBy("s", "e")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("doc_id", "iv")
+        .agg(
+            (F.max("e") - F.min("s") + 1).cast("long").alias("cut_len")
+        )
+    )
+    removed = merged.groupBy("doc_id").agg(
+        F.sum("cut_len").cast("long").alias("n_removed"),
+        F.count("*").cast("long").alias("n_spans"),
+    )
+    sizes = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(words(text_col)).cast("long").alias("n_tokens"),
+    )
+    return removed.join(sizes, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        "n_spans",
+        "n_removed",
+        (F.col("n_tokens") - F.col("n_removed")).alias("n_kept"),
     )
 
 

@@ -971,6 +971,34 @@ def ann_range_search(spark, sf_dir):
     ).orderBy("query_id", "neighbor_id")
 
 
+def dedup_exact_substr_removal(spark, sf_dir):
+    """The APPLY step of ExactSubstr dedup
+    (dedup.exact_substring_dedup): every maximal cross-doc verbatim
+    run cuts its copy in the LATER document, overlapping/adjacent
+    cuts merging by interval union — per affected doc the
+    before/removed/kept token accounting. The plant embeds TWO
+    adjacent 20-token slices of each source (tokens 6..25 and
+    16..35), so the two runs land adjacent in the planted doc and
+    the interval merge is exercised on every planted row."""
+    from ..functions.text import words
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    w = words("text")
+    planted = d.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.lit("zz plant prefix qq"),
+            F.concat_ws(" ", F.slice(w, 6, 20)),
+            F.concat_ws(" ", F.slice(w, 16, 20)),
+            F.lit("zz plant suffix qq"),
+        ).alias("text"),
+    )
+    return D.exact_substring_dedup(d.unionByName(planted)).orderBy(
+        "doc_id"
+    )
+
+
 def dedup_keep_best_quality(spark, sf_dir):
     """Quality-aware canonical selection (dedup.keep_best_quality):
     the planted near-dup corpus's MinHash-LSH pair graph, closed to

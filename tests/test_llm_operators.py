@@ -1770,3 +1770,37 @@ def test_cosine_range_search_threshold_edges(spark):
         ).collect()
     }
     assert got == {(1, 2): 1.0, (1, 3): 0.6}  # boundary INCLUSIVE
+
+
+def test_exact_substr_removal_interval_merge(spark):
+    """The apply step cuts later-doc copies with interval-union
+    semantics: overlapping and adjacent spans merge; disjoint spans
+    count separately; the earlier (canonical) doc is never cut."""
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators.dedup import (
+        exact_substring_dedup,
+    )
+
+    src = " ".join(f"w{i}" for i in range(60))
+    docs = [
+        (1, src),
+        # two OVERLAPPING copied spans (20..39 and 30..49 of src):
+        # in doc-2 coords they sit adjacent/overlapping -> ONE cut
+        (2, "p1 p2 p3 "
+            + " ".join(f"w{i}" for i in range(20, 40))
+            + " "
+            + " ".join(f"w{i}" for i in range(30, 50))
+            + " s1 s2"),
+        # two DISJOINT spans separated by fresh text -> TWO cuts
+        (3, "q1 q2 "
+            + " ".join(f"w{i}" for i in range(0, 16))
+            + " mid1 mid2 mid3 "
+            + " ".join(f"w{i}" for i in range(40, 56))
+            + " q3"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in exact_substring_dedup(df).collect()}
+    assert 1 not in out  # canonical doc untouched
+    assert out[2]["n_spans"] == 1 and out[2]["n_removed"] == 40
+    assert out[2]["n_kept"] == out[2]["n_tokens"] - 40 == 5
+    assert out[3]["n_spans"] == 2 and out[3]["n_removed"] == 32
+    assert out[3]["n_kept"] == out[3]["n_tokens"] - 32

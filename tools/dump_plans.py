@@ -546,6 +546,13 @@ def llm_queries_section():
             "gather; output is (doc, channel)-sized, integer-exact, "
             "no shuffle after the media stage.",
         ),
+        "dedup_exact_substr_removal": (
+            L.dedup_exact_substr_removal,
+            "ExactSubstr APPLY: the same seeded diagonal runs, then "
+            "ONE doc-keyed window over RUN SPANS (rows = matches, "
+            "not tokens) for the interval union — the removal "
+            "accounting never touches the token stream.",
+        ),
         "multimodal_decode_png_interlaced": (
             L.multimodal_decode_png_interlaced,
             "Adam7 chain: map-only synth + decode stages (Arrow "

@@ -185,6 +185,7 @@ QUERIES = {
     "corpus_heaps_law": L.corpus_heaps_law,
     "multimodal_channel_stats": L.multimodal_channel_stats,
     "events_user_ltv_deciles": R.events_user_ltv_deciles,
+    "dedup_exact_substr_removal": L.dedup_exact_substr_removal,
 }
 
 
@@ -381,6 +382,7 @@ def main() -> None:
         # pairs, which grow with the planted-dup count (linear here by
         # construction: each copy pairs with its own source only)
         "dedup_exact_substr_pairs", "dedup_winnowing_pairs",
+        "dedup_exact_substr_removal",
     }
 
     # embedding-LSH cost is governed by the CANDIDATE-join cardinality
