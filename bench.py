@@ -218,6 +218,7 @@ HEADLINE = {
     "events_user_ltv_deciles": R.events_user_ltv_deciles,
     "sql_view_dispatch": L.sql_view_dispatch,
     "dedup_exact_substr_removal": L.dedup_exact_substr_removal,
+    "multimodal_decode_png16": L.multimodal_decode_png16,
 }
 
 # the 14 queries recorded since round 1 — their sum is the anchored

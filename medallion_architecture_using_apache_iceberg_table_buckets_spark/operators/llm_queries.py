@@ -3251,3 +3251,18 @@ def sql_view_dispatch(spark, sf_dir):
     return sess.sql(
         "SELECT * FROM prio_share ORDER BY o_orderpriority"
     )
+
+
+def multimodal_decode_png16(spark, sf_dir):
+    """16-BIT PNG decoding (multimodal.decode_png, depth-16 path):
+    real depth-16 streams — every second doc Adam7-interlaced — are
+    synthesized per doc and reconstructed with bpp = 2*channels byte
+    filters, then checksummed over the TRUE big-endian sample values
+    (25309-stride samples far above 255, so a depth-truncating or
+    endian-swapping decoder cannot match). Closes the 16-bit seam
+    left documented in r8/r9 (sub-8-bit-indexed and tRNS remain
+    NotImplementedError). The oracle replays geometry and the sample
+    sum closed-form."""
+    from .multimodal import decode_pngs_with_depth, synth_png16s
+
+    return decode_pngs_with_depth(synth_png16s(_docs(spark, sf_dir)))

@@ -16,10 +16,10 @@ Compressed-codec libraries (PIL/ffmpeg/librosa) are NOT in this
 container, so entropy-coded formats (JPEG, MP3, H.264) stay a
 documented seam — but ``decode_image`` is REAL for everything a
 pure-Python parser can own: PPM (P6), PGM (P5), 24-bit BI_RGB BMP,
-and since round 6 8-bit PNG (gray/RGB/RGBA; paletted color-type 3
-with PLTE lookup since round 8; Adam7-interlaced streams since
-round 9) via stdlib zlib inflate plus the full five-branch scanline
-unfilter.
+and since round 6 PNG (8-bit gray/RGB/RGBA; paletted color-type 3
+with PLTE lookup since round 8; Adam7-interlaced and true 16-bit
+streams since round 9) via stdlib zlib inflate plus the full
+five-branch scanline unfilter.
 ``decode_images`` runs it over the standard Arrow-batched
 ``mapInPandas`` path and is oracle-checked end-to-end on
 deterministic synthetic bytes (``synth_images`` / ``synth_pngs``);
@@ -106,8 +106,8 @@ def encode_bmp(width: int, height: int, pixels: bytes) -> bytes:
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 #: PNG color type -> sample count (bit depth 8 only): 0=grayscale,
 #: 2=truecolor RGB, 6=truecolor+alpha; palette (3) decodes through
-#: PLTE, Adam7 interlacing through the pass grid. 16-bit stays out
-#: of scope — the corpus formats are the ML-pipeline common case.
+#: PLTE, Adam7 interlacing through the pass grid, 16-bit through the
+#: two-byte sample path. Sub-8-bit and tRNS stay out of scope.
 _PNG_CHANNELS = {0: 1, 2: 3, 6: 4}
 
 
@@ -252,26 +252,34 @@ def encode_png_interlaced(
     channels: int = 3,
     filter_for_row=None,
     palette: list[tuple[int, int, int]] | None = None,
+    depth: int = 8,
 ) -> bytes:
-    """Spec-conforming Adam7-INTERLACED 8-bit PNG.
+    """Spec-conforming Adam7-INTERLACED PNG (8- or 16-bit).
 
     Gray/RGB/RGBA via ``channels`` in (1, 3, 4); passing ``palette``
     makes ``pixels`` palette INDICES and writes color type 3 + PLTE
-    (indexed scanlines filter at bpp=1, per spec). Each of the seven
-    Adam7 passes is extracted from the row-major samples, then
-    filtered as its own sub-image — filter bytes per PASS scanline,
-    predictors referencing the pass's own previous scanline, empty
-    passes emitting nothing. ``filter_for_row(seq)`` picks the filter
-    for the seq-th emitted pass scanline (default rotate ``seq % 5``;
-    same adversarial rationale as :func:`encode_png` — any wrong
-    unfilter branch or wrong pass geometry corrupts reconstructed
-    samples)."""
+    (indexed scanlines filter at bpp=1, per spec; depth must be 8).
+    ``depth=16`` takes ``pixels`` as big-endian 2-byte samples and
+    filters at bpp = 2*channels — filters always operate on BYTES
+    per spec. Each of the seven Adam7 passes is extracted from the
+    row-major samples, then filtered as its own sub-image — filter
+    bytes per PASS scanline, predictors referencing the pass's own
+    previous scanline, empty passes emitting nothing.
+    ``filter_for_row(seq)`` picks the filter for the seq-th emitted
+    pass scanline (default rotate ``seq % 5``; same adversarial
+    rationale as :func:`encode_png` — any wrong unfilter branch or
+    wrong pass geometry corrupts reconstructed samples)."""
     import struct
     import zlib
 
+    if depth not in (8, 16):
+        raise ValueError(f"unsupported PNG bit depth {depth}")
+    sample_bytes = depth // 8
     if palette is not None:
-        if channels != 1:
-            raise ValueError("paletted interlaced PNG needs channels=1")
+        if channels != 1 or depth != 8:
+            raise ValueError(
+                "paletted interlaced PNG needs channels=1, depth=8"
+            )
         if not 1 <= len(palette) <= 256:
             raise ValueError("PLTE needs 1..256 entries")
         if any(i >= len(palette) for i in pixels):
@@ -279,10 +287,11 @@ def encode_png_interlaced(
         color_type = 3
     else:
         color_type = {1: 0, 3: 2, 4: 6}[channels]
-    if len(pixels) != channels * width * height:
-        raise ValueError("PNG needs channels*w*h pixel bytes")
+    px_bytes = channels * sample_bytes
+    if len(pixels) != px_bytes * width * height:
+        raise ValueError("PNG needs channels*w*h*depth/8 pixel bytes")
     pick = filter_for_row if filter_for_row is not None else (lambda r: r % 5)
-    bpp = channels
+    bpp = px_bytes
     raw = bytearray()
     seq = 0
     for x0, y0, dx, dy in _ADAM7:
@@ -290,13 +299,13 @@ def encode_png_interlaced(
         ys = range(y0, height, dy)
         if not xs or not ys:
             continue
-        stride = channels * len(xs)
+        stride = px_bytes * len(xs)
         prior = bytes(stride)
         for y in ys:
             row = bytearray()
             for x in xs:
-                o = (y * width + x) * channels
-                row += pixels[o : o + channels]
+                o = (y * width + x) * px_bytes
+                row += pixels[o : o + px_bytes]
             ftype = pick(seq) % 5
             seq += 1
             raw.append(ftype)
@@ -313,12 +322,65 @@ def encode_png_interlaced(
                 )
                 raw.append((row[x] - pred) & 0xFF)
             prior = bytes(row)
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 1)
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, depth, color_type, 0, 0, 1
+    )
     out = _PNG_SIG + _png_chunk(b"IHDR", ihdr)
     if palette is not None:
         out += _png_chunk(b"PLTE", b"".join(bytes(c) for c in palette))
     return (
         out
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def encode_png16(
+    width: int,
+    height: int,
+    samples: list[int],
+    channels: int = 3,
+    filter_for_row=None,
+) -> bytes:
+    """Spec-conforming non-interlaced 16-BIT PNG (gray/RGB/RGBA):
+    row-major samples 0..65535 stored big-endian, scanlines filtered
+    at bpp = 2*channels bytes (PNG filters operate on BYTES at every
+    depth). Rotating per-row filters like :func:`encode_png`."""
+    import struct
+    import zlib
+
+    color_type = {1: 0, 3: 2, 4: 6}[channels]
+    if len(samples) != channels * width * height:
+        raise ValueError("PNG needs channels*w*h samples")
+    if any(not 0 <= v <= 0xFFFF for v in samples):
+        raise ValueError("16-bit PNG samples must be 0..65535")
+    pixels = struct.pack(f">{len(samples)}H", *samples)
+    pick = filter_for_row if filter_for_row is not None else (lambda r: r % 5)
+    bpp = 2 * channels
+    stride = bpp * width
+    raw = bytearray()
+    prior = bytes(stride)
+    for r in range(height):
+        row = pixels[stride * r : stride * (r + 1)]
+        ftype = pick(r) % 5
+        raw.append(ftype)
+        for x in range(stride):
+            left = row[x - bpp] if x >= bpp else 0
+            up = prior[x]
+            ul = prior[x - bpp] if x >= bpp else 0
+            pred = (
+                0 if ftype == 0
+                else left if ftype == 1
+                else up if ftype == 2
+                else (left + up) // 2 if ftype == 3
+                else _paeth(left, up, ul)
+            )
+            raw.append((row[x] - pred) & 0xFF)
+        prior = row
+    ihdr = struct.pack(">IIBBBBB", width, height, 16, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
         + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
         + _png_chunk(b"IEND", b"")
     )
@@ -333,12 +395,15 @@ def decode_png(content: bytes, want_pixels: bool = False) -> dict:
     streams (interlace=1) reconstruct through the seven-pass grid:
     each pass unfilters as its own sub-image (predictors reference
     the pass's previous scanline), then scatters into the full-size
-    row-major buffer. Returns the same shape as :func:`decode_image`
-    (geometry + order-invariant pixel-sample checksum);
-    ``want_pixels`` adds the reconstructed row-major samples (for
-    the resample stage). 16-bit, sub-8-bit-indexed, and
-    tRNS-transparent images raise NotImplementedError — documented
-    scope, not a stub."""
+    row-major buffer. 16-BIT streams (gray/RGB/RGBA, plain or
+    interlaced) unfilter at bpp = 2*channels bytes and checksum over
+    the true big-endian sample VALUES. Returns the same shape as
+    :func:`decode_image` (geometry + order-invariant pixel-sample
+    checksum) plus ``bit_depth``; ``want_pixels`` adds the
+    reconstructed row-major samples (for the resample stage; 8-bit
+    depths only — the 16-bit resample path stays out of scope).
+    Sub-8-bit-indexed and tRNS-transparent images raise
+    NotImplementedError — documented scope, not a stub."""
     import struct
     import zlib
 
@@ -365,18 +430,26 @@ def decode_png(content: bytes, want_pixels: bool = False) -> dict:
             width, height, depth, color_type, comp, filt, interlace = (
                 struct.unpack(">IIBBBBB", body)
             )
-            if depth != 8 or (
-                color_type not in _PNG_CHANNELS and color_type != 3
-            ):
+            if color_type not in _PNG_CHANNELS and color_type != 3:
                 raise NotImplementedError(
-                    f"PNG depth={depth} color_type={color_type}: only "
-                    "8-bit gray/RGB/RGBA/paletted supported"
+                    f"PNG color_type={color_type}: only "
+                    "gray/RGB/RGBA/paletted supported"
+                )
+            if depth == 16 and color_type == 3:
+                # not a legal spec combination (indexed depth <= 8)
+                raise ValueError("PNG 16-bit paletted is spec-invalid")
+            if depth not in (8, 16):
+                raise NotImplementedError(
+                    f"PNG depth={depth}: only 8/16-bit supported"
                 )
             if interlace not in (0, 1):
                 raise ValueError(f"PNG bad interlace method {interlace}")
             # indexed scanlines carry 1 byte per pixel; LUT expansion
-            # to RGB happens after unfilter
+            # to RGB happens after unfilter. 16-bit samples are two
+            # bytes each — filters operate on BYTES at every depth,
+            # so bpp/stride below count bytes.
             channels = 1 if color_type == 3 else _PNG_CHANNELS[color_type]
+            sample_bytes = depth // 8
         elif ctype == b"PLTE":
             if len(body) % 3 or not 3 <= len(body) <= 768:
                 raise ValueError("PNG PLTE length invalid")
@@ -401,7 +474,8 @@ def decode_png(content: bytes, want_pixels: bool = False) -> dict:
         raw = zlib.decompress(bytes(idat))
     except zlib.error as exc:
         raise ValueError(f"PNG IDAT stream corrupt: {exc}") from exc
-    bpp, stride = channels, channels * width
+    px_bytes = channels * sample_bytes
+    bpp, stride = px_bytes, px_bytes * width
     if color_type == 3:
         if palette is None:
             raise ValueError("paletted PNG missing PLTE")
@@ -453,13 +527,13 @@ def decode_png(content: bytes, want_pixels: bool = False) -> dict:
             ys = range(y0, height, dy)
             if not xs or not ys:
                 continue  # empty pass: zero bytes in the stream
-            prows, p = unfilter(p, channels * len(xs), len(ys))
+            prows, p = unfilter(p, px_bytes * len(xs), len(ys))
             for yi, y in enumerate(ys):
                 prow = prows[yi]
                 base = y * stride
                 for xi, x in enumerate(xs):
-                    img[base + x * channels : base + (x + 1) * channels] = (
-                        prow[xi * channels : (xi + 1) * channels]
+                    img[base + x * px_bytes : base + (x + 1) * px_bytes] = (
+                        prow[xi * px_bytes : (xi + 1) * px_bytes]
                     )
         if p != len(raw):
             raise ValueError("PNG scanline data length mismatch")
@@ -480,6 +554,18 @@ def decode_png(content: bytes, want_pixels: bool = False) -> dict:
             total += sum(expanded)
             if want_pixels:
                 pixels += expanded
+        elif sample_bytes == 2:
+            # 16-bit: checksum over the true big-endian SAMPLE values
+            # (byte sums would pass a decoder that swaps endianness)
+            total += sum(
+                struct.unpack(f">{len(row) // 2}H", bytes(row))
+            )
+            if want_pixels:
+                raise NotImplementedError(
+                    "16-bit PNG sample export (the 8-bit resample "
+                    "path) out of scope; pixel_sum is exact over the "
+                    "16-bit values"
+                )
         else:
             total += sum(row)
             if want_pixels:
@@ -487,6 +573,7 @@ def decode_png(content: bytes, want_pixels: bool = False) -> dict:
     out = {
         "img_format": "png", "width": width, "height": height,
         "channels": 3 if color_type == 3 else channels,
+        "bit_depth": depth,
         "pixel_sum": total,
     }
     if want_pixels:
@@ -2477,3 +2564,79 @@ def image_channel_stats(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(st, schema=CHANNEL_STATS_SCHEMA)
+
+
+def synth_png16s(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic synthetic 16-BIT PNG table: doc_id -> real
+    depth-16 PNG bytes. Geometry w = id%8+2, h = id%6+2; channels
+    rotate 1/3/4 by id%3; every second doc is Adam7-interlaced
+    (id%2), so the corpus exercises 16-bit against both layouts;
+    samples s_i = (25309*i + 77*id) % 65536 row-major (values far
+    above 255 prove true 16-bit decode — an 8-bit-truncating decoder
+    cannot reproduce the sum); pass/row filters rotate (id+seq) % 5.
+    Arrow mapInPandas like every media synth stage."""
+    import struct
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for d in pdf[id_col]:
+                d = int(d)
+                w, h = d % 8 + 2, d % 6 + 2
+                ch = (1, 3, 4)[d % 3]
+                vals = [
+                    (25309 * i + 77 * d) % 65536
+                    for i in range(ch * w * h)
+                ]
+                if d % 2:
+                    blob = encode_png_interlaced(
+                        w, h, struct.pack(f">{len(vals)}H", *vals), ch,
+                        filter_for_row=lambda s, d=d: (d + s) % 5,
+                        depth=16,
+                    )
+                else:
+                    blob = encode_png16(
+                        w, h, vals, ch,
+                        filter_for_row=lambda r, d=d: (d + r) % 5,
+                    )
+                blobs.append(blob)
+                ids.append(d)
+            yield pd.DataFrame(
+                {"doc_id": pd.Series(ids, dtype="int64"),
+                 "content": blobs,
+                 "media_type": ["image/png"] * len(ids)}
+            )
+
+    return df.select(id_col).mapInPandas(
+        gen, schema="doc_id long, content binary, media_type string"
+    )
+
+
+DECODE_DEPTH_SCHEMA = (
+    "doc_id long, img_format string, width int, height int, "
+    "channels int, bit_depth int, pixel_sum long"
+)
+
+
+def decode_pngs_with_depth(df: DataFrame) -> DataFrame:
+    """:func:`decode_images` variant surfacing ``bit_depth`` — the
+    column that proves a depth-16 stream decoded through the 16-bit
+    sample path rather than silently truncating. PNG-only input
+    (the other containers carry no depth field)."""
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [decode_png(bytes(b)) for b in pdf["content"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "img_format": [r["img_format"] for r in rows],
+                    "width": pd.Series([r["width"] for r in rows], dtype="int32"),
+                    "height": pd.Series([r["height"] for r in rows], dtype="int32"),
+                    "channels": pd.Series([r["channels"] for r in rows], dtype="int32"),
+                    "bit_depth": pd.Series([r["bit_depth"] for r in rows], dtype="int32"),
+                    "pixel_sum": pd.Series([r["pixel_sum"] for r in rows], dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(dec, schema=DECODE_DEPTH_SCHEMA)

@@ -1804,3 +1804,125 @@ def test_exact_substr_removal_interval_merge(spark):
     assert out[2]["n_kept"] == out[2]["n_tokens"] - 40 == 5
     assert out[3]["n_spans"] == 2 and out[3]["n_removed"] == 32
     assert out[3]["n_kept"] == out[3]["n_tokens"] - 32
+
+
+def test_exact_substr_matches_python_reference(spark):
+    """Randomized equivalence: exact_substring_pairs against a direct
+    O(n^2) dynamic-programming longest-common-substring reference on
+    small corpora with planted copies, shuffled fillers, and repeated
+    tokens. Checks the PAIR SET and each pair's longest run (the
+    reference computes true maximal token runs, uncapped)."""
+    import random
+
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators.dedup import (
+        exact_substring_pairs,
+    )
+
+    rng = random.Random(20260909)
+
+    def ref_longest(a, b):
+        """longest common CONTIGUOUS token run between token lists."""
+        best = 0
+        prev = [0] * (len(b) + 1)
+        for i in range(1, len(a) + 1):
+            cur = [0] * (len(b) + 1)
+            for j in range(1, len(b) + 1):
+                if a[i - 1] == b[j - 1]:
+                    cur[j] = prev[j - 1] + 1
+                    if cur[j] > best:
+                        best = cur[j]
+            prev = cur
+        return best
+
+    for trial in range(4):
+        vocab = [f"t{i}" for i in range(30)]
+        docs = []
+        for d in range(8):
+            # doc 0 is the plant SOURCE: keep it long enough for the
+            # 16..24-token slices below
+            n = rng.randint(26, 40) if d == 0 else rng.randint(12, 40)
+            docs.append([rng.choice(vocab) for _ in range(n)])
+        # plant verbatim copies of doc-0 slices into docs 5..7
+        for d in range(5, 8):
+            src = docs[0]
+            ln = rng.randint(16, min(24, len(src)))
+            st = rng.randrange(0, len(src) - ln + 1)
+            ins = rng.randrange(0, len(docs[d]) + 1)
+            docs[d] = docs[d][:ins] + src[st:st + ln] + docs[d][ins:]
+        df = spark.createDataFrame(
+            [(i, " ".join(t)) for i, t in enumerate(docs)],
+            "doc_id long, text string",
+        )
+        got = {
+            (r["doc_a"], r["doc_b"]): r["longest_match_tokens"]
+            for r in exact_substring_pairs(
+                df, min_match_tokens=15, max_df=None
+            ).collect()
+        }
+        exp = {}
+        for i in range(len(docs)):
+            for j in range(i + 1, len(docs)):
+                lcs = ref_longest(docs[i], docs[j])
+                if lcs >= 15:
+                    exp[(i, j)] = lcs
+        assert got == exp, (trial, got, exp)
+
+
+def test_png16_round_trip_and_guards():
+    """16-bit PNG: plain + Adam7 round-trips checksum over true
+    sample values; spec-invalid 16-bit paletted is a ValueError;
+    the 16-bit resample path stays a documented NotImplementedError;
+    8-bit decode output is unchanged (bit_depth=8, same pixels)."""
+    import random
+    import struct
+
+    import pytest as _pytest
+
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators.multimodal import (
+        _png_chunk,
+        _PNG_SIG,
+        decode_png,
+        encode_png,
+        encode_png16,
+        encode_png_interlaced,
+    )
+    import zlib
+
+    rng = random.Random(20260815)
+    for w, h, ch in [(1, 1, 1), (5, 3, 3), (9, 7, 4), (8, 8, 1)]:
+        vals = [rng.randrange(65536) for _ in range(ch * w * h)]
+        d = decode_png(encode_png16(w, h, vals, ch))
+        assert (d["width"], d["height"], d["channels"]) == (w, h, ch)
+        assert d["bit_depth"] == 16 and d["pixel_sum"] == sum(vals)
+        # 16-bit + Adam7 agrees
+        pix = struct.pack(f">{len(vals)}H", *vals)
+        d2 = decode_png(encode_png_interlaced(w, h, pix, ch, depth=16))
+        assert d2["pixel_sum"] == sum(vals) and d2["bit_depth"] == 16
+
+    # byte-sum aliasing guard: a decoder summing BYTES instead of
+    # 16-bit samples would differ for any value >= 256
+    vals = [256, 511, 65535, 0]
+    d = decode_png(encode_png16(2, 2, vals, 1))
+    assert d["pixel_sum"] == sum(vals) != sum(
+        struct.pack(">4H", *vals)
+    )
+
+    # 16-bit paletted violates the spec -> ValueError (not NIE)
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 3, 0, 0, 0)
+    bad = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", bytes(6))
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 10))
+        + _png_chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError, match="paletted"):
+        decode_png(bad)
+
+    with _pytest.raises(NotImplementedError, match="16-bit"):
+        decode_png(encode_png16(2, 2, [1] * 4, 1), want_pixels=True)
+
+    # 8-bit contract untouched
+    pix8 = bytes(range(48))
+    d8 = decode_png(encode_png(4, 4, pix8, 3), want_pixels=True)
+    assert d8["bit_depth"] == 8 and d8["pixels"] == pix8

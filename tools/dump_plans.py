@@ -553,6 +553,12 @@ def llm_queries_section():
             "not tokens) for the interval union — the removal "
             "accounting never touches the token stream.",
         ),
+        "multimodal_decode_png16": (
+            L.multimodal_decode_png16,
+            "16-bit chain: map-only synth + decode (Arrow "
+            "mapInPandas), bpp=2C byte unfilter, sample-value "
+            "checksum in the batch — zero exchanges.",
+        ),
         "multimodal_decode_png_interlaced": (
             L.multimodal_decode_png_interlaced,
             "Adam7 chain: map-only synth + decode stages (Arrow "

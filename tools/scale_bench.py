@@ -186,6 +186,7 @@ QUERIES = {
     "multimodal_channel_stats": L.multimodal_channel_stats,
     "events_user_ltv_deciles": R.events_user_ltv_deciles,
     "dedup_exact_substr_removal": L.dedup_exact_substr_removal,
+    "multimodal_decode_png16": L.multimodal_decode_png16,
 }
 
 
