@@ -488,6 +488,34 @@ def main() -> None:
             "are gram-keyed equi-joins (persisted gram tables since "
             "r8) — linear in rows, the family profile"
         ),
+        "text_bm25_topk": (
+            "the (term, doc) posting stream IS the work measure and "
+            "grows ~10x with rows; tf/idf joins are term/doc-keyed "
+            "equi-joins — posting-stream linear profile (factor "
+            "<= 10x = linear)"
+        ),
+        "dedup_ngram_novelty": (
+            "shingle-keyed min-doc aggregate + doc rollup over the "
+            "10x shingle stream — linear in rows (factor ~5x on a "
+            "10x stream = sublinear constants)"
+        ),
+        "corpus_heaps_law": (
+            "token explode + per-word first-doc aggregate scale "
+            "with the 10x token stream; the cutoff joins fan out "
+            "<= 10 per row against a broadcast 10-row list — linear "
+            "in rows (8.9x <= 10x)"
+        ),
+        "dedup_exact_substr_pairs": (
+            "planted-copy seeds grow with the corpus (rows_factor "
+            "~10x); factor ~5x < rows growth = output-bound, "
+            "candidate generation stays the capped shingle "
+            "equi-join"
+        ),
+        "dedup_exact_substr_removal": (
+            "same seeded runs as the pairs row (rows_factor ~10x); "
+            "the interval-union window runs over MATCH spans, not "
+            "tokens — factor tracks the pair row"
+        ),
     }
 
     # optional subset: argv[2:] names re-run and merge into argv[1]'s
