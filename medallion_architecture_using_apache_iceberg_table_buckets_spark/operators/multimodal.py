@@ -184,34 +184,59 @@ def encode_png(
     )
 
 
+def _pack_indices(indices, depth: int) -> bytes:
+    """depth-bit MSB-first packing of one scanline of palette
+    indices (identity at depth 8); trailing bits zero-padded per
+    spec."""
+    if depth == 8:
+        return bytes(indices)
+    per = 8 // depth
+    out = bytearray((len(indices) * depth + 7) // 8)
+    for i, v in enumerate(indices):
+        out[i // per] |= v << (8 - depth * (i % per + 1))
+    return bytes(out)
+
+
 def encode_png_palette(
     width: int,
     height: int,
     indices: bytes,
     palette: list[tuple[int, int, int]],
     filter_for_row=None,
+    depth: int = 8,
+    trans: list[int] | None = None,
 ) -> bytes:
-    """Spec-conforming non-interlaced 8-bit PALETTED PNG (color type
-    3): one palette index per pixel, PLTE chunk of RGB triples.
-    Filters rotate like :func:`encode_png` (bpp = 1 for indexed
-    scanlines, per spec)."""
+    """Spec-conforming non-interlaced PALETTED PNG (color type 3):
+    one palette index per pixel at ``depth`` in (1, 2, 4, 8) bits —
+    sub-8 depths pack MSB-first per spec — with a PLTE chunk of RGB
+    triples and, when ``trans`` is given, a tRNS chunk of per-entry
+    alphas (leading entries; the rest opaque). Filters rotate like
+    :func:`encode_png` (bpp = 1 byte for indexed scanlines, per
+    spec)."""
     import struct
     import zlib
 
+    if depth not in (1, 2, 4, 8):
+        raise ValueError(f"paletted PNG depth must be 1/2/4/8, got {depth}")
     if len(indices) != width * height:
         raise ValueError("paletted PNG needs w*h index bytes")
     if not 1 <= len(palette) <= 256:
         raise ValueError("PLTE needs 1..256 entries")
+    if len(palette) > (1 << depth):
+        raise ValueError(f"palette too large for depth {depth}")
     if any(i >= len(palette) for i in indices):
         raise ValueError("palette index out of range")
+    if trans is not None and len(trans) > len(palette):
+        raise ValueError("tRNS longer than PLTE")
     pick = filter_for_row if filter_for_row is not None else (lambda r: r % 5)
+    stride = (width * depth + 7) // 8
     raw = bytearray()
-    prior = bytes(width)
+    prior = bytes(stride)
     for r in range(height):
-        row = indices[width * r : width * (r + 1)]
+        row = _pack_indices(indices[width * r : width * (r + 1)], depth)
         ftype = pick(r) % 5
         raw.append(ftype)
-        for x in range(width):
+        for x in range(stride):
             left = row[x - 1] if x >= 1 else 0
             up = prior[x]
             ul = prior[x - 1] if x >= 1 else 0
@@ -224,12 +249,17 @@ def encode_png_palette(
             )
             raw.append((row[x] - pred) & 0xFF)
         prior = row
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, 3, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", width, height, depth, 3, 0, 0, 0)
     plte = b"".join(bytes(c) for c in palette)
-    return (
+    out = (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
         + _png_chunk(b"PLTE", plte)
+    )
+    if trans is not None:
+        out += _png_chunk(b"tRNS", bytes(trans))
+    return (
+        out
         + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
         + _png_chunk(b"IEND", b"")
     )
@@ -253,18 +283,20 @@ def encode_png_interlaced(
     filter_for_row=None,
     palette: list[tuple[int, int, int]] | None = None,
     depth: int = 8,
+    trans: list[int] | None = None,
 ) -> bytes:
     """Spec-conforming Adam7-INTERLACED PNG (8- or 16-bit).
 
     Gray/RGB/RGBA via ``channels`` in (1, 3, 4); passing ``palette``
     makes ``pixels`` palette INDICES and writes color type 3 + PLTE
-    (indexed scanlines filter at bpp=1, per spec; depth must be 8).
-    ``depth=16`` takes ``pixels`` as big-endian 2-byte samples and
-    filters at bpp = 2*channels — filters always operate on BYTES
-    per spec. Each of the seven Adam7 passes is extracted from the
-    row-major samples, then filtered as its own sub-image — filter
-    bytes per PASS scanline, predictors referencing the pass's own
-    previous scanline, empty passes emitting nothing.
+    (indexed scanlines pack at ``depth`` in (1, 2, 4, 8) bits and
+    filter at bpp=1, per spec; ``trans`` adds the per-entry tRNS
+    alpha chunk). ``depth=16`` takes ``pixels`` as big-endian 2-byte
+    samples and filters at bpp = 2*channels — filters always operate
+    on BYTES per spec. Each of the seven Adam7 passes is extracted
+    from the row-major samples, then filtered as its own sub-image —
+    filter bytes per PASS scanline, predictors referencing the
+    pass's own previous scanline, empty passes emitting nothing.
     ``filter_for_row(seq)`` picks the filter for the seq-th emitted
     pass scanline (default rotate ``seq % 5``; same adversarial
     rationale as :func:`encode_png` — any wrong unfilter branch or
@@ -272,26 +304,35 @@ def encode_png_interlaced(
     import struct
     import zlib
 
-    if depth not in (8, 16):
-        raise ValueError(f"unsupported PNG bit depth {depth}")
-    sample_bytes = depth // 8
     if palette is not None:
-        if channels != 1 or depth != 8:
+        if channels != 1:
+            raise ValueError("paletted interlaced PNG needs channels=1")
+        if depth not in (1, 2, 4, 8):
             raise ValueError(
-                "paletted interlaced PNG needs channels=1, depth=8"
+                f"paletted PNG depth must be 1/2/4/8, got {depth}"
             )
         if not 1 <= len(palette) <= 256:
             raise ValueError("PLTE needs 1..256 entries")
+        if len(palette) > (1 << depth):
+            raise ValueError(f"palette too large for depth {depth}")
         if any(i >= len(palette) for i in pixels):
             raise ValueError("palette index out of range")
+        if trans is not None and len(trans) > len(palette):
+            raise ValueError("tRNS longer than PLTE")
+        if len(pixels) != width * height:
+            raise ValueError("paletted PNG needs w*h index bytes")
         color_type = 3
     else:
+        if trans is not None:
+            raise ValueError("trans requires a palette")
+        if depth not in (8, 16):
+            raise ValueError(f"unsupported PNG bit depth {depth}")
         color_type = {1: 0, 3: 2, 4: 6}[channels]
-    px_bytes = channels * sample_bytes
-    if len(pixels) != px_bytes * width * height:
-        raise ValueError("PNG needs channels*w*h*depth/8 pixel bytes")
+        if len(pixels) != channels * (depth // 8) * width * height:
+            raise ValueError("PNG needs channels*w*h*depth/8 pixel bytes")
+    px_bytes = channels * (depth // 8)  # 0 for sub-8-bit indexed
     pick = filter_for_row if filter_for_row is not None else (lambda r: r % 5)
-    bpp = px_bytes
+    bpp = max(1, px_bytes)
     raw = bytearray()
     seq = 0
     for x0, y0, dx, dy in _ADAM7:
@@ -299,13 +340,20 @@ def encode_png_interlaced(
         ys = range(y0, height, dy)
         if not xs or not ys:
             continue
-        stride = px_bytes * len(xs)
-        prior = bytes(stride)
+        prior = None
         for y in ys:
-            row = bytearray()
-            for x in xs:
-                o = (y * width + x) * px_bytes
-                row += pixels[o : o + px_bytes]
+            if color_type == 3:
+                row = _pack_indices(
+                    bytes(pixels[y * width + x] for x in xs), depth
+                )
+            else:
+                row = bytearray()
+                for x in xs:
+                    o = (y * width + x) * px_bytes
+                    row += pixels[o : o + px_bytes]
+            stride = len(row)
+            if prior is None:
+                prior = bytes(stride)
             ftype = pick(seq) % 5
             seq += 1
             raw.append(ftype)
@@ -328,6 +376,8 @@ def encode_png_interlaced(
     out = _PNG_SIG + _png_chunk(b"IHDR", ihdr)
     if palette is not None:
         out += _png_chunk(b"PLTE", b"".join(bytes(c) for c in palette))
+        if trans is not None:
+            out += _png_chunk(b"tRNS", bytes(trans))
     return (
         out
         + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
@@ -411,7 +461,7 @@ def decode_png(content: bytes, want_pixels: bool = False) -> dict:
         raise ValueError("not a PNG signature")
     pos, n = 8, len(content)
     width = height = None
-    channels, color_type, palette = 0, None, None
+    channels, color_type, palette, trans = 0, None, None, None
     interlace = 0
     idat = bytearray()
     while pos + 8 <= n:
@@ -435,30 +485,49 @@ def decode_png(content: bytes, want_pixels: bool = False) -> dict:
                     f"PNG color_type={color_type}: only "
                     "gray/RGB/RGBA/paletted supported"
                 )
-            if depth == 16 and color_type == 3:
-                # not a legal spec combination (indexed depth <= 8)
-                raise ValueError("PNG 16-bit paletted is spec-invalid")
-            if depth not in (8, 16):
+            if color_type == 3:
+                if depth not in (1, 2, 4, 8):
+                    # indexed depth is 1/2/4/8 per spec (16 invalid)
+                    raise ValueError(
+                        f"PNG paletted depth={depth} is spec-invalid"
+                    )
+            elif depth in (1, 2, 4):
+                if color_type == 0:
+                    raise NotImplementedError(
+                        "PNG sub-8-bit GRAYSCALE not supported"
+                    )
+                raise ValueError(
+                    f"PNG depth={depth} color_type={color_type}"
+                    " is spec-invalid"
+                )
+            elif depth not in (8, 16):
                 raise NotImplementedError(
                     f"PNG depth={depth}: only 8/16-bit supported"
                 )
             if interlace not in (0, 1):
                 raise ValueError(f"PNG bad interlace method {interlace}")
-            # indexed scanlines carry 1 byte per pixel; LUT expansion
-            # to RGB happens after unfilter. 16-bit samples are two
-            # bytes each — filters operate on BYTES at every depth,
-            # so bpp/stride below count bytes.
+            # indexed scanlines carry depth-bit PACKED indices
+            # (MSB-first); LUT expansion happens after unfilter.
+            # 16-bit samples are two bytes each. Filters operate on
+            # BYTES at every depth, so bpp/stride below count bytes.
             channels = 1 if color_type == 3 else _PNG_CHANNELS[color_type]
-            sample_bytes = depth // 8
+            sample_bytes = depth // 8  # 0 for sub-8-bit indexed
+            bits_pp = depth if color_type == 3 else depth * channels
         elif ctype == b"PLTE":
             if len(body) % 3 or not 3 <= len(body) <= 768:
                 raise ValueError("PNG PLTE length invalid")
             palette = [tuple(body[j : j + 3]) for j in range(0, len(body), 3)]
         elif ctype == b"tRNS":
-            raise NotImplementedError(
-                "PNG tRNS transparency not supported (decoding to RGB"
-                " would silently drop alpha)"
-            )
+            if color_type == 3:
+                # paletted alpha: one byte per leading palette entry,
+                # missing entries fully opaque -> decode to RGBA
+                trans = list(body)
+            else:
+                raise NotImplementedError(
+                    "PNG tRNS key-color transparency (gray/truecolor)"
+                    " not supported — only paletted alpha decodes"
+                    " (to RGBA)"
+                )
         elif ctype == b"IDAT":
             idat += body
         elif ctype == b"IEND":
@@ -474,12 +543,38 @@ def decode_png(content: bytes, want_pixels: bool = False) -> dict:
         raw = zlib.decompress(bytes(idat))
     except zlib.error as exc:
         raise ValueError(f"PNG IDAT stream corrupt: {exc}") from exc
-    px_bytes = channels * sample_bytes
-    bpp, stride = px_bytes, px_bytes * width
+    px_bytes = channels * sample_bytes  # whole bytes/pixel (0 if sub-8)
+    stride = (width * bits_pp + 7) // 8
+    bpp = max(1, bits_pp // 8)  # filter distance is >= 1 byte per spec
+    out_channels = channels
     if color_type == 3:
         if palette is None:
             raise ValueError("paletted PNG missing PLTE")
-        pal_bytes = [bytes(c) for c in palette]
+        if trans is not None:
+            if len(trans) > len(palette):
+                raise ValueError("PNG tRNS longer than PLTE")
+            alphas = list(trans) + [255] * (len(palette) - len(trans))
+            pal_bytes = [
+                bytes(c) + bytes([a]) for c, a in zip(palette, alphas)
+            ]
+            out_channels = 4  # RGBA expansion keeps the alpha exact
+        else:
+            pal_bytes = [bytes(c) for c in palette]
+            out_channels = 3
+
+    def unpack_indices(rowbytes, npix: int) -> bytes:
+        """depth-bit MSB-first packed palette indices -> one byte per
+        pixel (identity at depth 8)."""
+        if depth == 8:
+            return bytes(rowbytes[:npix])
+        per = 8 // depth
+        mask = (1 << depth) - 1
+        out = bytearray(npix)
+        for i in range(npix):
+            out[i] = (
+                rowbytes[i // per] >> (8 - depth * (i % per + 1))
+            ) & mask
+        return bytes(out)
 
     def unfilter(pos: int, stride: int, nrows: int):
         """Spec unfilter of ``nrows`` scanlines of ``stride`` bytes
@@ -517,6 +612,31 @@ def decode_png(content: bytes, want_pixels: bool = False) -> dict:
         if len(raw) != height * (stride + 1):
             raise ValueError("PNG scanline data length mismatch")
         full_rows, _ = unfilter(0, stride, height)
+        if color_type == 3:
+            # rows become one-INDEX-per-pixel (unpacks sub-8 packing)
+            full_rows = [unpack_indices(r, width) for r in full_rows]
+    elif color_type == 3:
+        # Adam7 over indexed pixels: unfilter each pass at ITS packed
+        # stride, unpack to indices, scatter indices through the grid
+        img = bytearray(width * height)
+        p = 0
+        for x0, y0, dx, dy in _ADAM7:
+            xs = range(x0, width, dx)
+            ys = range(y0, height, dy)
+            if not xs or not ys:
+                continue  # empty pass: zero bytes in the stream
+            pstride = (len(xs) * bits_pp + 7) // 8
+            prows, p = unfilter(p, pstride, len(ys))
+            for yi, y in enumerate(ys):
+                idxs = unpack_indices(prows[yi], len(xs))
+                base = y * width
+                for xi, x in enumerate(xs):
+                    img[base + x] = idxs[xi]
+        if p != len(raw):
+            raise ValueError("PNG scanline data length mismatch")
+        full_rows = [
+            bytes(img[r * width : (r + 1) * width]) for r in range(height)
+        ]
     else:
         # Adam7: unfilter each pass sub-image, scatter into the
         # full-size row-major buffer via the pass grid
@@ -545,8 +665,9 @@ def decode_png(content: bytes, want_pixels: bool = False) -> dict:
     pixels = bytearray()
     for row in full_rows:
         if color_type == 3:
-            # LUT expansion: unfiltered bytes are palette INDICES;
-            # downstream sees plain RGB samples
+            # LUT expansion: rows are palette INDICES (one byte per
+            # pixel after unpack); downstream sees plain RGB — or
+            # RGBA when tRNS recorded per-entry alpha
             try:
                 expanded = b"".join(pal_bytes[ix] for ix in row)
             except IndexError:
@@ -572,7 +693,7 @@ def decode_png(content: bytes, want_pixels: bool = False) -> dict:
                 pixels += row
     out = {
         "img_format": "png", "width": width, "height": height,
-        "channels": 3 if color_type == 3 else channels,
+        "channels": out_channels,
         "bit_depth": depth,
         "pixel_sum": total,
     }
@@ -2640,3 +2761,55 @@ def decode_pngs_with_depth(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(dec, schema=DECODE_DEPTH_SCHEMA)
+
+
+def synth_sub8_pngs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic synthetic SUB-8-BIT / tRNS paletted PNG table:
+    depth rotates 1/2/4/8 by id%4 (sub-8 scanlines pack MSB-first);
+    every second doc is Adam7-interlaced; every third carries a tRNS
+    chunk (alpha[j] = (17j+9id)%256 over the first (id%P)+1 entries,
+    decoding to RGBA). Geometry w = id%8+2, h = id%6+2; palette size
+    P = min(id%13+3, 2^depth) with the synth_palette_pngs entry
+    formulas; pixel i's index = (5i+id) % P. Closed-form, so the SQL
+    oracle replays index -> LUT (+alpha) -> sample sum exactly."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for d in pdf[id_col]:
+                d = int(d)
+                w, h = d % 8 + 2, d % 6 + 2
+                depth = (1, 2, 4, 8)[d % 4]
+                p = min(d % 13 + 3, 1 << depth)
+                pal = [
+                    ((7 * j + 3 * d) % 256, (11 * j + 5 * d) % 256,
+                     (13 * j + 7 * d) % 256)
+                    for j in range(p)
+                ]
+                idx = bytes((5 * i + d) % p for i in range(w * h))
+                trans = (
+                    [(17 * j + 9 * d) % 256 for j in range((d % p) + 1)]
+                    if d % 3 == 0 else None
+                )
+                if d % 2:
+                    blob = encode_png_interlaced(
+                        w, h, idx, 1, palette=pal, depth=depth,
+                        trans=trans,
+                        filter_for_row=lambda s, d=d: (d + s) % 5,
+                    )
+                else:
+                    blob = encode_png_palette(
+                        w, h, idx, pal, depth=depth, trans=trans,
+                        filter_for_row=lambda r, d=d: (d + r) % 5,
+                    )
+                blobs.append(blob)
+                ids.append(d)
+            yield pd.DataFrame(
+                {"doc_id": pd.Series(ids, dtype="int64"),
+                 "content": blobs,
+                 "media_type": ["image/png"] * len(ids)}
+            )
+
+    return df.select(id_col).mapInPandas(
+        gen, schema="doc_id long, content binary, media_type string"
+    )

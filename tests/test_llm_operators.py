@@ -366,7 +366,8 @@ def test_png_codec_round_trip_all_filters():
             d = decode_png(encode_png(w, h, pix, ch,
                                       filter_for_row=lambda r, f=f: f))
             assert d == {"img_format": "png", "width": w, "height": h,
-                         "channels": ch, "pixel_sum": sum(pix)}, (ch, f)
+                         "channels": ch, "bit_depth": 8,
+                         "pixel_sum": sum(pix)}, (ch, f)
         pix = bytes((11 * i + 7) % 256 for i in range(ch * 4 * 7))
         d = decode_image(encode_png(4, 7, pix, ch))  # default r%5 rotation
         assert d["pixel_sum"] == sum(pix)
@@ -393,10 +394,10 @@ def test_png_codec_round_trip_all_filters():
         decode_png(bytes(bad))
 
     # out-of-scope headers raise NotImplementedError, not garbage
-    # (4-bit paletted stays out of scope; 8-bit paletted is REAL
-    # since r8 and Adam7 interlacing since r9 — tested separately)
+    # (paletted at all depths, Adam7, and 16-bit are REAL as of r9 —
+    # tested separately; sub-8 GRAYSCALE and gray+alpha remain out)
     sig = b"\x89PNG\r\n\x1a\n"
-    for depth, ctype, interlace in [(16, 2, 0), (4, 3, 0), (16, 0, 1)]:
+    for depth, ctype, interlace in [(4, 0, 0), (8, 4, 0), (2, 0, 1)]:
         ihdr = struct.pack(">IIBBBBB", 2, 2, depth, ctype, 0, 0, interlace)
         with pytest.raises(NotImplementedError):
             decode_png(sig + _png_chunk(b"IHDR", ihdr))
@@ -434,7 +435,8 @@ def test_png_palette_round_trip_and_errors():
         expected = sum(sum(pal[i]) for i in idx)
         d = decode_png(blob)
         assert d == {"img_format": "png", "width": w, "height": h,
-                     "channels": 3, "pixel_sum": expected}, f
+                     "channels": 3, "bit_depth": 8,
+                     "pixel_sum": expected}, f
         # dispatcher sees the same thing
         assert decode_image(blob)["pixel_sum"] == expected
         # want_pixels yields the EXPANDED RGB stream in row-major order
@@ -475,13 +477,28 @@ def test_png_palette_round_trip_and_errors():
                    + _png_chunk(b"PLTE", small)
                    + _png_chunk(b"IDAT", parts[b"IDAT"])
                    + _png_chunk(b"IEND", b""))
-    # tRNS transparency: loud, not silently dropped alpha
-    with pytest.raises(NotImplementedError, match="tRNS"):
-        decode_png(sig + _png_chunk(b"IHDR", parts[b"IHDR"])
-                   + _png_chunk(b"PLTE", parts[b"PLTE"])
-                   + _png_chunk(b"tRNS", b"\x80")
-                   + _png_chunk(b"IDAT", parts[b"IDAT"])
-                   + _png_chunk(b"IEND", b""))
+    # paletted tRNS decodes to RGBA since r9 (alpha never silently
+    # dropped): entry 0 gets alpha 0x80, the rest opaque 255
+    plain = (sig + _png_chunk(b"IHDR", parts[b"IHDR"])
+             + _png_chunk(b"PLTE", parts[b"PLTE"])
+             + _png_chunk(b"IDAT", parts[b"IDAT"])
+             + _png_chunk(b"IEND", b""))
+    dt = decode_png(sig + _png_chunk(b"IHDR", parts[b"IHDR"])
+                    + _png_chunk(b"PLTE", parts[b"PLTE"])
+                    + _png_chunk(b"tRNS", b"\x80")
+                    + _png_chunk(b"IDAT", parts[b"IDAT"])
+                    + _png_chunk(b"IEND", b""))
+    base = decode_png(plain, want_pixels=True)
+    # recover the index stream from the expanded RGB (palette entries
+    # are distinct triples in this fixture)
+    pal_map = {bytes(c): i for i, c in enumerate(pal)}
+    rgb = base["pixels"]
+    idxs = [pal_map[rgb[3 * i : 3 * i + 3]] for i in range(len(rgb) // 3)]
+    n0 = sum(1 for i in idxs if i == 0)
+    assert dt["channels"] == 4
+    assert dt["pixel_sum"] == (
+        base["pixel_sum"] + 0x80 * n0 + 255 * (len(idxs) - n0)
+    )
     # encoder-side validation
     with pytest.raises(ValueError):
         encode_png_palette(2, 2, bytes([0, 1, 2, 9]), pal)  # idx 9 OOB
@@ -1926,3 +1943,92 @@ def test_png16_round_trip_and_guards():
     pix8 = bytes(range(48))
     d8 = decode_png(encode_png(4, 4, pix8, 3), want_pixels=True)
     assert d8["bit_depth"] == 8 and d8["pixels"] == pix8
+
+
+def test_png_sub8_trns_round_trips_and_guards():
+    """Sub-8-bit paletted PNG (depths 1/2/4) + tRNS alpha: randomized
+    round-trips across plain and Adam7 layouts reconstruct the exact
+    RGB/RGBA expansion; remaining guards hold (sub-8 GRAYSCALE is
+    NotImplementedError, key-color tRNS too, spec-invalid sub-8
+    truecolor is a parse error)."""
+    import random
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators.multimodal import (
+        _png_chunk,
+        _PNG_SIG,
+        decode_png,
+        encode_png_interlaced,
+        encode_png_palette,
+    )
+
+    rng = random.Random(20260815)
+    for trial in range(80):
+        depth = rng.choice([1, 2, 4, 8])
+        w, h = rng.randint(1, 13), rng.randint(1, 11)
+        p = rng.randint(1, 1 << depth)
+        pal = [
+            (rng.randrange(256), rng.randrange(256), rng.randrange(256))
+            for _ in range(p)
+        ]
+        idx = bytes(rng.randrange(p) for _ in range(w * h))
+        trans = (
+            [rng.randrange(256) for _ in range(rng.randint(1, p))]
+            if rng.random() < 0.5 else None
+        )
+        if rng.random() < 0.5:
+            blob = encode_png_interlaced(
+                w, h, idx, 1, palette=pal, depth=depth, trans=trans
+            )
+        else:
+            blob = encode_png_palette(
+                w, h, idx, pal, depth=depth, trans=trans
+            )
+        d = decode_png(blob, want_pixels=True)
+        if trans is not None:
+            alphas = list(trans) + [255] * (p - len(trans))
+            exp = b"".join(bytes(pal[i]) + bytes([alphas[i]]) for i in idx)
+            assert d["channels"] == 4
+        else:
+            exp = b"".join(bytes(pal[i]) for i in idx)
+            assert d["channels"] == 3
+        assert d["pixels"] == exp and d["bit_depth"] == depth
+        assert d["pixel_sum"] == sum(exp)
+
+    # sub-8 GRAYSCALE stays guarded (NotImplementedError, not wrong)
+    ihdr = struct.pack(">IIBBBBB", 4, 2, 4, 0, 0, 0, 0)
+    g = (
+        _PNG_SIG + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00\x12\x34" * 2))
+        + _png_chunk(b"IEND", b"")
+    )
+    with _pytest.raises(NotImplementedError, match="GRAYSCALE"):
+        decode_png(g)
+
+    # sub-8 truecolor is spec-invalid -> parse error
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 4, 2, 0, 0, 0)
+    bad = (
+        _PNG_SIG + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 8))
+        + _png_chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError, match="spec-invalid"):
+        decode_png(bad)
+
+    # gray/truecolor KEY-COLOR transparency stays guarded
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    keyed = (
+        _PNG_SIG + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"tRNS", bytes(6))
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00" + b"\x01" * 6 + b"\x00" + b"\x02" * 6))
+        + _png_chunk(b"IEND", b"")
+    )
+    with _pytest.raises(NotImplementedError, match="key-color"):
+        decode_png(keyed)
+
+    # tRNS longer than PLTE is a parse error
+    with _pytest.raises(ValueError, match="tRNS"):
+        encode_png_palette(1, 1, b"\x00", [(1, 2, 3)], trans=[1, 2])

@@ -559,6 +559,12 @@ def llm_queries_section():
             "mapInPandas), bpp=2C byte unfilter, sample-value "
             "checksum in the batch — zero exchanges.",
         ),
+        "multimodal_decode_png_sub8": (
+            L.multimodal_decode_png_sub8,
+            "sub-8/tRNS chain: map-only synth + decode (Arrow "
+            "mapInPandas), packed-stride unfilter + bit unpack + "
+            "LUT(+alpha) in the batch — zero exchanges.",
+        ),
         "multimodal_decode_png_interlaced": (
             L.multimodal_decode_png_interlaced,
             "Adam7 chain: map-only synth + decode stages (Arrow "

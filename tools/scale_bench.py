@@ -187,6 +187,7 @@ QUERIES = {
     "events_user_ltv_deciles": R.events_user_ltv_deciles,
     "dedup_exact_substr_removal": L.dedup_exact_substr_removal,
     "multimodal_decode_png16": L.multimodal_decode_png16,
+    "multimodal_decode_png_sub8": L.multimodal_decode_png_sub8,
 }
 
 
