@@ -5392,8 +5392,9 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id,
                      doc_id % 8 + 2 AS w,
                      doc_id % 6 + 2 AS h,
-                     CASE doc_id % 3 WHEN 0 THEN 1
-                                     WHEN 1 THEN 3
+                     CASE doc_id % 4 WHEN 0 THEN 1
+                                     WHEN 1 THEN 2
+                                     WHEN 2 THEN 3
                                      ELSE 4 END AS ch
               FROM documents
             ),

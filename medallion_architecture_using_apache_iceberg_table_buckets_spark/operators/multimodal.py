@@ -105,10 +105,11 @@ def encode_bmp(width: int, height: int, pixels: bytes) -> bytes:
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 #: PNG color type -> sample count (bit depth 8 only): 0=grayscale,
-#: 2=truecolor RGB, 6=truecolor+alpha; palette (3) decodes through
-#: PLTE, Adam7 interlacing through the pass grid, 16-bit through the
-#: two-byte sample path. Sub-8-bit and tRNS stay out of scope.
-_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}
+#: 0=grayscale, 2=truecolor RGB, 4=gray+alpha, 6=truecolor+alpha;
+#: palette (3) decodes through PLTE (+tRNS alpha), Adam7 interlacing
+#: through the pass grid, 16-bit through the two-byte sample path.
+#: Sub-8-bit GRAYSCALE and key-color transparency stay out of scope.
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
 
 def _png_chunk(ctype: bytes, body: bytes) -> bytes:
@@ -151,7 +152,7 @@ def encode_png(
     import struct
     import zlib
 
-    color_type = {1: 0, 3: 2, 4: 6}[channels]
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
     if len(pixels) != channels * width * height:
         raise ValueError("PNG needs channels*w*h pixel bytes")
     pick = filter_for_row if filter_for_row is not None else (lambda r: r % 5)
@@ -327,7 +328,7 @@ def encode_png_interlaced(
             raise ValueError("trans requires a palette")
         if depth not in (8, 16):
             raise ValueError(f"unsupported PNG bit depth {depth}")
-        color_type = {1: 0, 3: 2, 4: 6}[channels]
+        color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
         if len(pixels) != channels * (depth // 8) * width * height:
             raise ValueError("PNG needs channels*w*h*depth/8 pixel bytes")
     px_bytes = channels * (depth // 8)  # 0 for sub-8-bit indexed
@@ -399,7 +400,7 @@ def encode_png16(
     import struct
     import zlib
 
-    color_type = {1: 0, 3: 2, 4: 6}[channels]
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
     if len(samples) != channels * width * height:
         raise ValueError("PNG needs channels*w*h samples")
     if any(not 0 <= v <= 0xFFFF for v in samples):
@@ -2690,8 +2691,10 @@ def image_channel_stats(df: DataFrame) -> DataFrame:
 def synth_png16s(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Deterministic synthetic 16-BIT PNG table: doc_id -> real
     depth-16 PNG bytes. Geometry w = id%8+2, h = id%6+2; channels
-    rotate 1/3/4 by id%3; every second doc is Adam7-interlaced
-    (id%2), so the corpus exercises 16-bit against both layouts;
+    rotate 1/2/3/4 by id%4 (gray, GRAY+ALPHA, RGB, RGBA — every
+    legal non-indexed color type); every second doc is
+    Adam7-interlaced (id%2), so the corpus exercises 16-bit against
+    both layouts;
     samples s_i = (25309*i + 77*id) % 65536 row-major (values far
     above 255 prove true 16-bit decode — an 8-bit-truncating decoder
     cannot reproduce the sum); pass/row filters rotate (id+seq) % 5.
@@ -2704,7 +2707,7 @@ def synth_png16s(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             for d in pdf[id_col]:
                 d = int(d)
                 w, h = d % 8 + 2, d % 6 + 2
-                ch = (1, 3, 4)[d % 3]
+                ch = (1, 2, 3, 4)[d % 4]
                 vals = [
                     (25309 * i + 77 * d) % 65536
                     for i in range(ch * w * h)

@@ -394,10 +394,11 @@ def test_png_codec_round_trip_all_filters():
         decode_png(bytes(bad))
 
     # out-of-scope headers raise NotImplementedError, not garbage
-    # (paletted at all depths, Adam7, and 16-bit are REAL as of r9 —
-    # tested separately; sub-8 GRAYSCALE and gray+alpha remain out)
+    # (paletted at all depths, Adam7, 16-bit, and gray+alpha are REAL
+    # as of r9 — tested separately; sub-8 GRAYSCALE and undefined
+    # color types remain out)
     sig = b"\x89PNG\r\n\x1a\n"
-    for depth, ctype, interlace in [(4, 0, 0), (8, 4, 0), (2, 0, 1)]:
+    for depth, ctype, interlace in [(4, 0, 0), (8, 5, 0), (2, 0, 1)]:
         ihdr = struct.pack(">IIBBBBB", 2, 2, depth, ctype, 0, 0, interlace)
         with pytest.raises(NotImplementedError):
             decode_png(sig + _png_chunk(b"IHDR", ihdr))
