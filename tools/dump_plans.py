@@ -582,6 +582,23 @@ def main() -> None:
            "Auto-generated by `tools/dump_plans.py` at sf0.001. The notes",
            "call out the property each plan must keep at 100 TB.",
            "",
+           "## Bench-environment note (r9)",
+           "",
+           "Builder run on the r9 box (probe 74.7 ms,",
+           "BENCH_r09_builder_local.json, 157 queries, 212.2 s total):",
+           "the anchored r01 data-path subset is 11.06 s (0.537x the",
+           "20.605 s baseline — the fastest anchored number of any",
+           "round). Cross-round per-query deltas vs r8's record are",
+           "sub-second and BROADLY distributed across queries whose",
+           "code did not change (n_jobs identical), while the",
+           "data-path anchor IMPROVED 11.28 -> 11.06 s — the standing",
+           "box-not-code adjudication applies; correct any per-query",
+           "comparison by wall - n_jobs x sched_probe first. The",
+           "nineteen r9 queries all land under 3.3 s each at sf0.1;",
+           "the top of the cost table is unchanged (ann_recall_at_k",
+           "16.5 s at 100 jobs - four ANN trainings of recall",
+           "evidence, probe-bound by design).",
+           "",
            "## Bench-environment note (r8): the adjudication is now arithmetic",
            "",
            "bench.py records query_n_jobs (Spark job count per query,",
