@@ -2033,3 +2033,93 @@ def test_png_sub8_trns_round_trips_and_guards():
     # tRNS longer than PLTE is a parse error
     with _pytest.raises(ValueError, match="tRNS"):
         encode_png_palette(1, 1, b"\x00", [(1, 2, 3)], trans=[1, 2])
+
+
+def test_png_codec_hypothesis_full_matrix():
+    """Property: EVERY supported (layout x color mode x depth x
+    filter x geometry) combination round-trips bit-exactly through
+    the pure-Python PNG codec pair — hypothesis drives the matrix
+    and shrinks failures to minimal cases."""
+    import struct
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+        encode_png16,
+        encode_png_interlaced,
+        encode_png_palette,
+    )
+
+    mode = st.sampled_from(
+        # (kind, channels-or-depth)
+        [("rgb8", 1), ("rgb8", 2), ("rgb8", 3), ("rgb8", 4),
+         ("rgb16", 1), ("rgb16", 2), ("rgb16", 3), ("rgb16", 4),
+         ("pal", 1), ("pal", 2), ("pal", 4), ("pal", 8)]
+    )
+
+    @settings(max_examples=80, deadline=None)
+    @given(
+        st.integers(1, 11), st.integers(1, 9), mode,
+        st.booleans(), st.booleans(), st.randoms(use_true_random=False),
+    )
+    def check(w, h, m, interlaced, with_trans, rng):
+        kind, p2 = m
+        filt = lambda r: (r * 3 + 1) % 5  # noqa: E731
+        if kind == "pal":
+            depth = p2
+            np_ = rng.randint(1, 1 << depth)
+            pal = [
+                (rng.randrange(256), rng.randrange(256), rng.randrange(256))
+                for _ in range(np_)
+            ]
+            idx = bytes(rng.randrange(np_) for _ in range(w * h))
+            trans = (
+                [rng.randrange(256) for _ in range(rng.randint(1, np_))]
+                if with_trans else None
+            )
+            if interlaced:
+                blob = encode_png_interlaced(
+                    w, h, idx, 1, filt, palette=pal, depth=depth,
+                    trans=trans,
+                )
+            else:
+                blob = encode_png_palette(
+                    w, h, idx, pal, filt, depth=depth, trans=trans
+                )
+            d = decode_png(blob, want_pixels=True)
+            if trans is not None:
+                al = list(trans) + [255] * (np_ - len(trans))
+                exp = b"".join(bytes(pal[i]) + bytes([al[i]]) for i in idx)
+                assert d["channels"] == 4
+            else:
+                exp = b"".join(bytes(pal[i]) for i in idx)
+                assert d["channels"] == 3
+            assert d["pixels"] == exp and d["bit_depth"] == depth
+        elif kind == "rgb8":
+            ch = p2
+            pix = bytes(rng.randrange(256) for _ in range(ch * w * h))
+            blob = (
+                encode_png_interlaced(w, h, pix, ch, filt)
+                if interlaced else encode_png(w, h, pix, ch, filt)
+            )
+            d = decode_png(blob, want_pixels=True)
+            assert d["pixels"] == pix and d["channels"] == ch
+            assert d["bit_depth"] == 8
+        else:
+            ch = p2
+            vals = [rng.randrange(65536) for _ in range(ch * w * h)]
+            if interlaced:
+                blob = encode_png_interlaced(
+                    w, h, struct.pack(f">{len(vals)}H", *vals), ch, filt,
+                    depth=16,
+                )
+            else:
+                blob = encode_png16(w, h, vals, ch, filt)
+            d = decode_png(blob)
+            assert d["pixel_sum"] == sum(vals)
+            assert d["channels"] == ch and d["bit_depth"] == 16
+
+    check()
