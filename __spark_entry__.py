@@ -3415,8 +3415,11 @@ def oracle_sql() -> dict[str, str]:
                      CAST(min(pos_b) AS BIGINT) AS start_b
               FROM isl GROUP BY doc_a, doc_b, diag, island
             ),
+            -- DISTINCT is load-bearing: tied (s, e) spans from two
+            -- source docs would let the two window passes order the
+            -- peers differently and split one merged interval
             sp AS (
-              SELECT doc_b AS doc_id, start_b AS s,
+              SELECT DISTINCT doc_b AS doc_id, start_b AS s,
                      start_b + match_tokens - 1 AS e
               FROM runs WHERE match_tokens >= 15
             ),

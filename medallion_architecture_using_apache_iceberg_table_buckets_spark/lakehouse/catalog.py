@@ -143,9 +143,13 @@ class Catalog:
         """Store a named SQL view (the Iceberg view-spec model: the
         catalog persists the SQL representation, not data; readers
         re-resolve it against current table state, so a view always
-        reflects the latest snapshots). Atomic pointer-swap write,
-        same discipline as table commits. Refuses to shadow a table
-        — one namespace, one name universe."""
+        reflects the latest snapshots). The registry write is an
+        atomic os.replace (readers never see a torn file); view DDL
+        itself follows the catalog's single-writer operating model —
+        unlike table commits there is no expected-parent CAS, so two
+        concurrent CREATE VIEWs could lose one (document-level
+        read-modify-write). Refuses to shadow a table — one
+        namespace, one name universe."""
         if namespace not in self.namespaces():
             raise ValueError(f"namespace {namespace!r} does not exist")
         if self.table_exists(namespace, name):

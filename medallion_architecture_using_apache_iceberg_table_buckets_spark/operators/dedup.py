@@ -1499,12 +1499,20 @@ def exact_substring_dedup(
     from pyspark.sql import Window
 
     # span to cut, in the LATER doc's token coordinates (1-based,
-    # inclusive)
+    # inclusive). DISTINCT is load-bearing, not an optimization: two
+    # different source docs can contribute the IDENTICAL (s, e) span
+    # (whole-doc duplicates do, at sf0.1), and with tied (s, e) keys
+    # the two window passes below (prev-max, then running island sum)
+    # may order the peers DIFFERENTLY — splitting one merged interval
+    # into two and double-counting the cut. A duplicate span adds
+    # nothing to an interval union, and after DISTINCT the (s, e)
+    # order is total, so both windows see the same sequence in every
+    # engine.
     spans = runs.select(
         F.col("doc_b").alias("doc_id"),
         F.col("start_b").alias("s"),
         (F.col("start_b") + F.col("match_tokens") - 1).alias("e"),
-    )
+    ).distinct()
     w_prev = (
         Window.partitionBy("doc_id")
         .orderBy("s", "e")

@@ -2123,3 +2123,26 @@ def test_png_codec_hypothesis_full_matrix():
             assert d["channels"] == ch and d["bit_depth"] == 16
 
     check()
+
+
+def test_exact_substr_removal_duplicate_spans_merge_once(spark):
+    """Regression (found by the sf0.1 oracle spot-check): two source
+    docs contributing the IDENTICAL (s, e) span to a later doc must
+    still merge to ONE cut — with tied (s, e) keys the prev-max and
+    running-sum windows could order peers differently and
+    double-count the cut (n_removed 2x the doc length, negative
+    n_kept). DISTINCT spans restore a total order."""
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators.dedup import (
+        exact_substring_dedup,
+    )
+
+    body = " ".join(f"w{i}" for i in range(28))
+    df = spark.createDataFrame(
+        [(1619, body), (2875, body), (3394, body)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in exact_substring_dedup(df).collect()}
+    assert 1619 not in out  # smallest id keeps the canonical copy
+    for d in (2875, 3394):
+        r = out[d]
+        assert (r["n_spans"], r["n_removed"], r["n_kept"]) == (1, 28, 0), r
