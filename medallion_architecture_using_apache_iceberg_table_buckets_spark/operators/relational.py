@@ -1617,17 +1617,29 @@ def events_funnel_latency(spark, sf_dir):
 
 def events_user_ltv_deciles(spark, sf_dir):
     """User lifetime-value decile report: total purchase revenue per
-    user, users cut into 10 equal-size buckets by ntile over
+    user, users cut into 10 equal-size buckets by rank over
     (revenue desc, user_id) — the deterministic total order makes
-    ntile engine-exact — then per-decile user counts and exact
+    the cut engine-exact — then per-decile user counts and exact
     decimal revenue. The classic "top decile drives X% of revenue"
-    analytics cut, and the registry\'s ntile coverage.
+    analytics cut. Semantics are exactly ``ntile(10) OVER (ORDER BY
+    rev DESC, user_id)`` (the oracle's formulation), but the plan
+    never funnels the user table through a single-partition window.
 
-    Plan (100 TB): revenue is one user-keyed hash-agg; the ntile
-    window then orders USERS (corpus-bounded, one row per user), not
-    events. For a user table too large for one window partition the
-    same cut composes from percentile boundaries; at any realistic
-    user cardinality Spark\'s single-column sort handles it."""
+    Plan (100 TB): revenue is one user-keyed hash-agg. The global
+    rank is then DISTRIBUTED: a range repartition on (rev desc,
+    user_id) orders partitions end-to-end; per-partition row counts
+    (at most spark.sql.shuffle.partitions rows — bounded planning
+    metadata, never user-cardinality) turn into cumulative offsets
+    via a tiny window; a broadcast join hands each user its
+    partition offset, so global rank = offset + per-partition
+    row_number. Every user-cardinality window below is PARTITIONED
+    (by pid); the only unpartitioned window runs over the <=
+    #shuffle-partitions count rows. ntile bucket math on (rank, n)
+    reproduces the SQL ntile definition bit-exactly: with
+    base = n div 10 and rem = n mod 10, the first rem buckets get
+    base+1 rows. Both plan branches below share the same
+    agg+range-exchange subplan, which Spark's ReuseExchange
+    deduplicates."""
     from pyspark.sql import Window
 
     e = load(spark, sf_dir, "events")
@@ -1638,9 +1650,60 @@ def events_user_ltv_deciles(spark, sf_dir):
             F.sum(F.col("value").cast("decimal(18,4)")).alias("rev")
         )
     )
-    w = Window.orderBy(F.desc("rev"), F.asc("user_id"))
+    # Range-partition by the total order, then stamp each row with its
+    # physical partition id. spark_partition_id() is nondeterministic-
+    # tagged, so Catalyst cannot push it through the exchange.
+    ranged = rev.repartitionByRange(
+        F.desc("rev"), F.asc("user_id")
+    ).withColumn("pid", F.spark_partition_id())
+    # Per-partition counts -> cumulative offsets + grand total. This
+    # frame has at most one row per shuffle partition, so the
+    # unpartitioned window here is bounded by cluster config, not by
+    # data volume.
+    w_prior = Window.orderBy("pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_all = Window.orderBy("pid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = (
+        ranged.groupBy("pid")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            "pid",
+            F.coalesce(F.sum("cnt").over(w_prior), F.lit(0)).alias("off"),
+            F.sum("cnt").over(w_all).alias("n"),
+        )
+    )
+    w_local = Window.partitionBy("pid").orderBy(
+        F.desc("rev"), F.asc("user_id")
+    )
+    def _ceil_div(a, b):
+        # Integer-exact ceil(a/b) for a >= 0, b >= 1: a % b is an
+        # exact integer op, and dividing an exact multiple of b is
+        # exactly rounded — no double-division boundary misrounds at
+        # 2^50-scale ranks.
+        q = ((a - (a % b)) / b).cast("long")
+        return q + F.when((a % b) > 0, F.lit(1)).otherwise(F.lit(0))
+
+    n_div = ((F.col("n") - (F.col("n") % 10)) / 10).cast("long")
+    rem = F.col("n") % 10
+    r = F.col("rank")
+    # SQL ntile(10): first rem buckets hold n_div+1 rows each. When
+    # n < 10 (n_div = 0) every rank lands in the first branch, so the
+    # greatest() clamp in the second branch is only ANSI-safety.
+    decile = F.when(
+        r <= rem * (n_div + 1),
+        _ceil_div(r, n_div + 1),
+    ).otherwise(
+        rem + _ceil_div(
+            r - rem * (n_div + 1), F.greatest(n_div, F.lit(1))
+        )
+    )
     return (
-        rev.withColumn("decile", F.ntile(10).over(w))
+        ranged.join(F.broadcast(offsets), "pid")
+        .withColumn("rank", F.row_number().over(w_local) + F.col("off"))
+        .withColumn("decile", decile)
         .groupBy("decile")
         .agg(
             F.count("*").cast("long").alias("n_users"),

@@ -474,3 +474,22 @@ def test_keyless_range_join_is_equi_join(spark, sf_dir):
     assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan) or (
         "ShuffledHashJoin" in plan
     )
+
+
+def test_ltv_deciles_window_is_partitioned(spark, sf_dir):
+    """The r9-verdict scale fix: the user-cardinality decile cut must
+    NOT run an unpartitioned ntile/row_number window (single-partition
+    exchange over one-row-per-user). The distributed-rank rewrite
+    keeps the user-frame window partitioned by pid; the only
+    unpartitioned window allowed is the per-shuffle-partition counts
+    frame (<= spark.sql.shuffle.partitions rows)."""
+    plan = plan_of(R.events_user_ltv_deciles(spark, sf_dir))
+    assert "ntile" not in plan
+    # the user-frame rank window is partitioned by the range pid
+    rn_lines = [ln for ln in plan.splitlines() if "row_number()" in ln]
+    assert rn_lines, "expected a row_number window in the plan"
+    for ln in rn_lines:
+        assert "], [pid#" in ln, f"unpartitioned rank window: {ln}"
+    # the global sort is a distributed range partitioning, not a
+    # single-partition funnel of the user frame
+    assert "rangepartitioning(rev" in plan
