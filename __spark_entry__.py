@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # cluster-size histogram, cosine range search, last-touch
         # attribution, funnel latency, Heaps-law curve, per-channel
         # image stats, LTV deciles, SQL views
+        "dedup_exact_substr_self": L.dedup_exact_substr_self,
         "dedup_exact_substr_pairs": L.dedup_exact_substr_pairs,
         "multimodal_decode_png_interlaced": L.multimodal_decode_png_interlaced,
         "text_winnowing_fingerprints": L.text_winnowing_fingerprints,
@@ -3422,6 +3423,129 @@ def oracle_sql() -> dict[str, str]:
               SELECT DISTINCT doc_b AS doc_id, start_b AS s,
                      start_b + match_tokens - 1 AS e
               FROM runs WHERE match_tokens >= 15
+            ),
+            mk AS (
+              SELECT doc_id, s, e,
+                     max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING) AS prev_max_e
+              FROM sp
+            ),
+            ivl AS (
+              SELECT doc_id, s, e,
+                     sum(CASE WHEN prev_max_e IS NULL
+                                   OR s > prev_max_e + 1
+                              THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY s, e
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS iv
+              FROM mk
+            ),
+            mg AS (
+              SELECT doc_id, iv, max(e) - min(s) + 1 AS cut_len
+              FROM ivl GROUP BY 1, 2
+            ),
+            rem AS (
+              SELECT doc_id,
+                     CAST(sum(cut_len) AS BIGINT) AS n_removed,
+                     CAST(count(*) AS BIGINT) AS n_spans
+              FROM mg GROUP BY doc_id
+            ),
+            sz AS (
+              SELECT doc_id,
+                     CAST(len(string_split({_NORM.format(t='text')},
+                                           ' ')) AS BIGINT) AS n_tokens
+              FROM corpus
+            )
+            SELECT r.doc_id, z.n_tokens, r.n_spans, r.n_removed,
+                   z.n_tokens - r.n_removed AS n_kept
+            FROM rem r JOIN sz z USING (doc_id)
+            ORDER BY r.doc_id
+        """,
+        # UNIFIED ExactSubstr removal (r10): cross-doc later-copy cuts
+        # UNION within-doc later-occurrence cuts (self-join at repeat
+        # distance pos_b - pos_a) feeding ONE interval union; the
+        # plant repeats the same 20-token slice twice per copy
+        "dedup_exact_substr_self": f"""
+            WITH plantsrc AS (
+              SELECT doc_id,
+                     string_split({_NORM.format(t='text')}, ' ') AS w
+              FROM documents WHERE doc_id < 10
+            ),
+            corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 100000 AS doc_id,
+                     'zz plant prefix qq ' ||
+                     array_to_string(w[6:25], ' ') ||
+                     ' mm filler middle nn ' ||
+                     array_to_string(w[6:25], ' ') ||
+                     ' zz plant suffix qq' AS text
+              FROM plantsrc
+            ),
+            norm AS (
+              SELECT doc_id,
+                     string_split({_NORM.format(t='text')}, ' ') AS w
+              FROM corpus
+            ),
+            sh0 AS (
+              SELECT doc_id, s.pos AS pos, s.gid AS gid FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(w) - 6),
+                         i -> struct_pack(pos := i,
+                           gid := {_TOKEN_ID.format(
+                               t="array_to_string(w[i:i+7], ' ')")})))
+                         AS s
+                FROM norm)
+            ),
+            keepg AS (
+              SELECT gid FROM sh0 GROUP BY gid HAVING count(*) <= 32
+            ),
+            sh AS (SELECT sh0.* FROM sh0 JOIN keepg USING (gid)),
+            xseeds AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     a.pos AS pos_a, b.pos AS pos_b
+              FROM sh a JOIN sh b
+                ON a.gid = b.gid AND a.doc_id < b.doc_id
+            ),
+            xisl AS (
+              SELECT doc_a, doc_b, pos_a - pos_b AS diag, pos_b,
+                     pos_a - row_number() OVER (
+                       PARTITION BY doc_a, doc_b, pos_a - pos_b
+                       ORDER BY pos_a) AS island
+              FROM xseeds
+            ),
+            xruns AS (
+              SELECT doc_b AS doc_id,
+                     CAST(count(*) + 7 AS BIGINT) AS match_tokens,
+                     CAST(min(pos_b) AS BIGINT) AS start_b
+              FROM xisl GROUP BY doc_a, doc_b, diag, island
+            ),
+            sseeds AS (
+              SELECT a.doc_id AS doc_id,
+                     a.pos AS pos_a, b.pos AS pos_b
+              FROM sh a JOIN sh b
+                ON a.gid = b.gid AND a.doc_id = b.doc_id
+                   AND a.pos < b.pos
+            ),
+            sisl AS (
+              SELECT doc_id, pos_b - pos_a AS diag, pos_b,
+                     pos_a - row_number() OVER (
+                       PARTITION BY doc_id, pos_b - pos_a
+                       ORDER BY pos_a) AS island
+              FROM sseeds
+            ),
+            sruns AS (
+              SELECT doc_id,
+                     CAST(count(*) + 7 AS BIGINT) AS match_tokens,
+                     CAST(min(pos_b) AS BIGINT) AS start_b
+              FROM sisl GROUP BY doc_id, diag, island
+            ),
+            sp AS (
+              SELECT DISTINCT doc_id, start_b AS s,
+                     start_b + match_tokens - 1 AS e
+              FROM (SELECT * FROM xruns UNION ALL SELECT * FROM sruns)
+              WHERE match_tokens >= 15
             ),
             mk AS (
               SELECT doc_id, s, e,

@@ -75,6 +75,16 @@ class Catalog:
         replace: bool = False,
     ) -> Table:
         self.create_namespace(namespace)
+        if self.view_exists(namespace, name):
+            # One name universe per namespace, enforced in BOTH
+            # directions: create_view refuses to shadow a table, and a
+            # table must not silently hide behind an existing view
+            # (the SQL session registers stored views after tables, so
+            # an unguarded create here would make every SELECT resolve
+            # to the stale view).
+            raise ValueError(
+                f"{namespace}.{name} is a view; tables cannot shadow it"
+            )
         return Table.create(
             self.table_path(namespace, name),
             schema,
@@ -101,6 +111,11 @@ class Catalog:
         if dst.exists():
             raise ValueError(
                 f"table {new_namespace}.{new_name} already exists"
+            )
+        if self.view_exists(new_namespace, new_name):
+            raise ValueError(
+                f"{new_namespace}.{new_name} is a view; tables cannot "
+                f"shadow it"
             )
         os.rename(src, dst)
         return Table(dst)
@@ -157,8 +172,18 @@ class Catalog:
                 f"{namespace}.{name} is a table; views cannot shadow it"
             )
         views = self.views(namespace)
-        if name in views and not replace:
-            raise ValueError(f"view {namespace}.{name} already exists")
+        if name in views:
+            if not replace:
+                raise ValueError(
+                    f"view {namespace}.{name} already exists"
+                )
+            # Re-append: the registry is replayed in creation order at
+            # attach time, so a REPLACEd body must move to the END of
+            # the order — it may now reference views created after the
+            # original slot, and nothing later can depend on it without
+            # itself being re-resolvable (views are re-resolved from
+            # SQL text, never snapshot-frozen).
+            del views[name]
         views[name] = sql_text
         self._write_views(namespace, views)
 

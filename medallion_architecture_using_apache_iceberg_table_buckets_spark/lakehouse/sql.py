@@ -324,12 +324,25 @@ class SqlSession:
         for name in self.catalog.tables(self.namespace):
             t = self.catalog.table(self.namespace, name)
             t.read(self.spark).createOrReplaceTempView(name)
-        for vname, vsql in self.catalog.views(self.namespace).items():
-            try:
-                df = self.spark.sql(self._rewrite_refs(vsql))
-            except Exception:
-                continue  # stale view: base table gone since creation
-            df.createOrReplaceTempView(vname)
+        # Fixpoint replay: creation order resolves forward references
+        # in the common case, and the retry loop covers bodies whose
+        # dependencies land later in the registry (e.g. a REPLACEd
+        # view re-appended after its dependents). Views that still
+        # fail are stale (base table gone) and are skipped; their next
+        # direct use raises normally.
+        pending = list(self.catalog.views(self.namespace).items())
+        while pending:
+            still = []
+            for vname, vsql in pending:
+                try:
+                    df = self.spark.sql(self._rewrite_refs(vsql))
+                except Exception:
+                    still.append((vname, vsql))
+                    continue
+                df.createOrReplaceTempView(vname)
+            if len(still) == len(pending):
+                break  # no progress: remaining views are stale
+            pending = still
 
     def _create_view(self, m: re.Match) -> DataFrame:
         """CREATE [OR REPLACE] VIEW [IF NOT EXISTS] n AS <select>:
@@ -340,6 +353,14 @@ class SqlSession:
         replace, if_not_exists, ident, body = (
             m.group(1), m.group(2), m.group(3), m.group(4).strip(),
         )
+        if replace and if_not_exists:
+            # Contradictory intents (Spark's parser rejects the combo
+            # too): IF NOT EXISTS says "keep the old body", OR REPLACE
+            # says "overwrite it" — refusing beats silently picking one.
+            raise ValueError(
+                "CREATE OR REPLACE VIEW cannot be combined with "
+                "IF NOT EXISTS"
+            )
         ns, name = self._table_of(ident)
         if self.catalog.view_exists(ns, name) and if_not_exists:
             return self._empty()

@@ -67,17 +67,26 @@ def _quiet_probe():
     prints a full UNRESOLVED_COLUMN stack trace and trains operators
     to ignore real errors. Raising those two loggers to CRITICAL for
     the probe's duration silences exactly that spam; the exception
-    itself still propagates and the analyzer remains the gate."""
+    itself still propagates and the analyzer remains the gate.
+
+    Reentrancy: silencing is a per-probe ``logging.Filter`` added and
+    removed around the scope — never a save/restore of the loggers'
+    global levels, which two nested/concurrent probes could interleave
+    into permanently restoring CRITICAL as the "previous" level and
+    silencing real error contexts for the rest of the session."""
     names = ("SQLQueryContextLogger", "DataFrameQueryContextLogger")
     lgs = [logging.getLogger(n) for n in names]
-    prev = [lg.level for lg in lgs]
+
+    def _mute(_record):
+        return False
+
     for lg in lgs:
-        lg.setLevel(logging.CRITICAL)
+        lg.addFilter(_mute)
     try:
         yield
     finally:
-        for lg, lv in zip(lgs, prev):
-            lg.setLevel(lv)
+        for lg in lgs:
+            lg.removeFilter(_mute)
 
 
 def _word_refs(expr_text: str, names: Iterable[str]) -> list[str]:

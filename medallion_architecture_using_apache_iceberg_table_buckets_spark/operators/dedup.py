@@ -1343,6 +1343,109 @@ def pagerank_pairs(
     return pr.join(deg.select(F.col("src").alias("node"), "degree"), "node")
 
 
+def _positioned_shingles(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+    max_df: int | None,
+) -> DataFrame:
+    """Positioned k-token shingle table ``(doc_id, pos, gid)`` shared
+    by the cross-document and within-document ExactSubstr detectors:
+    one JVM-side pass over the tokenized array, then the corpus-wide
+    ``max_df`` heavy-hitter cap (boilerplate shingles never reach a
+    self-join). Shingle ids are the portable 60-bit md5 ints
+    (``token_id``) so DuckDB oracles replay them bit-for-bit."""
+    sk = int(k)
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), words(text_col).alias("w")
+    ).repartition(df.sparkSession.sparkContext.defaultParallelism)
+    grams = F.when(
+        F.size("w") >= sk,
+        F.transform(
+            F.sequence(F.lit(1), F.size("w") - (sk - 1)),
+            lambda i: F.struct(
+                i.alias("pos"),
+                token_id(F.concat_ws(" ", F.slice(F.col("w"), i, sk)))
+                .alias("gid"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,gid:long>>"))
+    sh = toks.select("doc_id", F.explode(grams).alias("s")).select(
+        "doc_id", F.col("s.pos").alias("pos"), F.col("s.gid").alias("gid")
+    )
+    if max_df is not None:
+        keep = (
+            sh.groupBy("gid")
+            .count()
+            .filter(F.col("count") <= int(max_df))
+            .select("gid")
+        )
+        sh = sh.join(keep, "gid")
+    return sh
+
+
+def _interval_removal_report(
+    spans: DataFrame, sizes: DataFrame
+) -> DataFrame:
+    """Interval-union removal accounting shared by the cross-document
+    and within-document ExactSubstr APPLY steps: merge overlapping or
+    adjacent ``(doc_id, s, e)`` cut spans (1-based inclusive token
+    positions) per document, then report per affected doc the token
+    count before, the merged span count, tokens removed, and tokens
+    kept. ``sizes`` supplies ``(doc_id, n_tokens)``.
+
+    DISTINCT on the spans is load-bearing, not an optimization: two
+    different sources can contribute the IDENTICAL (s, e) span, and
+    with tied keys the two window passes (prev-max, then running
+    island sum) may order the peers DIFFERENTLY — splitting one
+    merged interval into two and double-counting the cut. After
+    DISTINCT the (s, e) order is total per doc, so both windows see
+    the same sequence in every engine. Both windows partition by
+    doc_id — rows here are match SPANS, never token streams."""
+    from pyspark.sql import Window
+
+    spans = spans.select("doc_id", "s", "e").distinct()
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    merged = (
+        spans.withColumn("prev_max_e", F.max("e").over(w_prev))
+        .withColumn(
+            "new_iv",
+            (
+                F.col("prev_max_e").isNull()
+                | (F.col("s") > F.col("prev_max_e") + 1)
+            ).cast("int"),
+        )
+        .withColumn(
+            "iv",
+            F.sum("new_iv").over(
+                Window.partitionBy("doc_id")
+                .orderBy("s", "e")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("doc_id", "iv")
+        .agg(
+            (F.max("e") - F.min("s") + 1).cast("long").alias("cut_len")
+        )
+    )
+    removed = merged.groupBy("doc_id").agg(
+        F.sum("cut_len").cast("long").alias("n_removed"),
+        F.count("*").cast("long").alias("n_spans"),
+    )
+    return removed.join(sizes, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        "n_spans",
+        "n_removed",
+        (F.col("n_tokens") - F.col("n_removed")).alias("n_kept"),
+    )
+
+
 def _exact_substring_runs(
     df: DataFrame,
     text_col: str = "text",
@@ -1401,31 +1504,7 @@ def _exact_substring_runs(
     from pyspark.sql import Window
 
     sk = int(k)
-    toks = df.select(
-        F.col(id_col).alias("doc_id"), words(text_col).alias("w")
-    ).repartition(df.sparkSession.sparkContext.defaultParallelism)
-    grams = F.when(
-        F.size("w") >= sk,
-        F.transform(
-            F.sequence(F.lit(1), F.size("w") - (sk - 1)),
-            lambda i: F.struct(
-                i.alias("pos"),
-                token_id(F.concat_ws(" ", F.slice(F.col("w"), i, sk)))
-                .alias("gid"),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<struct<pos:int,gid:long>>"))
-    sh = toks.select("doc_id", F.explode(grams).alias("s")).select(
-        "doc_id", F.col("s.pos").alias("pos"), F.col("s.gid").alias("gid")
-    )
-    if max_df is not None:
-        keep = (
-            sh.groupBy("gid")
-            .count()
-            .filter(F.col("count") <= int(max_df))
-            .select("gid")
-        )
-        sh = sh.join(keep, "gid")
+    sh = _positioned_shingles(df, text_col, id_col, sk, max_df)
     a, b = sh.alias("a"), sh.alias("b")
     seeds = a.join(
         b,
@@ -1478,15 +1557,23 @@ def exact_substring_dedup(
     k: int = 8,
     min_match_tokens: int = 15,
     max_df: int | None = 32,
+    include_self: bool = False,
 ) -> DataFrame:
     """The APPLY step of ExactSubstr dedup (Lee et al. 2022 remove
     all but one copy of every duplicated span): for each maximal
     cross-document verbatim run, the copy in the LATER document
     (larger id — ingestion order, so the first-seen copy stays
     canonical) is marked for removal; overlapping marked spans merge
-    (classic interval union via a per-doc running-max window), and
+    (classic interval union — :func:`_interval_removal_report`), and
     the report gives per affected document the token count before,
     the tokens removed, and the tokens kept.
+
+    ``include_self=True`` unifies the WITHIN-document repeats into
+    the same accounting (Lee et al. dedup both): every maximal
+    intra-doc repeated run (:func:`_exact_substring_self_runs`) cuts
+    its LATER occurrence, and those spans join the cross-doc spans in
+    one interval union — a token covered by both a self-repeat and a
+    cross-doc copy is counted once.
 
     At 100 TB the added work over the pair detection is one
     doc-keyed window over the RUN spans (rows = number of matches,
@@ -1496,65 +1583,116 @@ def exact_substring_dedup(
     runs = _exact_substring_runs(
         df, text_col, id_col, k, min_match_tokens, max_df
     )
-    from pyspark.sql import Window
-
     # span to cut, in the LATER doc's token coordinates (1-based,
-    # inclusive). DISTINCT is load-bearing, not an optimization: two
-    # different source docs can contribute the IDENTICAL (s, e) span
-    # (whole-doc duplicates do, at sf0.1), and with tied (s, e) keys
-    # the two window passes below (prev-max, then running island sum)
-    # may order the peers DIFFERENTLY — splitting one merged interval
-    # into two and double-counting the cut. A duplicate span adds
-    # nothing to an interval union, and after DISTINCT the (s, e)
-    # order is total, so both windows see the same sequence in every
-    # engine.
+    # inclusive)
     spans = runs.select(
         F.col("doc_b").alias("doc_id"),
         F.col("start_b").alias("s"),
         (F.col("start_b") + F.col("match_tokens") - 1).alias("e"),
-    ).distinct()
-    w_prev = (
-        Window.partitionBy("doc_id")
-        .orderBy("s", "e")
-        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    merged = (
-        spans.withColumn("prev_max_e", F.max("e").over(w_prev))
-        .withColumn(
-            "new_iv",
-            (
-                F.col("prev_max_e").isNull()
-                | (F.col("s") > F.col("prev_max_e") + 1)
-            ).cast("int"),
+    if include_self:
+        self_runs = _exact_substring_self_runs(
+            df, text_col, id_col, k, min_match_tokens, max_df
         )
-        .withColumn(
-            "iv",
-            F.sum("new_iv").over(
-                Window.partitionBy("doc_id")
-                .orderBy("s", "e")
-                .rowsBetween(Window.unboundedPreceding, 0)
-            ),
+        spans = spans.unionByName(
+            self_runs.select(
+                "doc_id",
+                F.col("start_b").alias("s"),
+                (
+                    F.col("start_b") + F.col("match_tokens") - 1
+                ).alias("e"),
+            )
         )
-        .groupBy("doc_id", "iv")
-        .agg(
-            (F.max("e") - F.min("s") + 1).cast("long").alias("cut_len")
-        )
+    sizes = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(words(text_col)).cast("long").alias("n_tokens"),
     )
-    removed = merged.groupBy("doc_id").agg(
-        F.sum("cut_len").cast("long").alias("n_removed"),
-        F.count("*").cast("long").alias("n_spans"),
+    return _interval_removal_report(spans, sizes)
+
+
+def _exact_substring_self_runs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_match_tokens: int = 15,
+    max_df: int | None = 32,
+) -> DataFrame:
+    """WITHIN-document ExactSubstr detection — the intra-doc half of
+    Lee et al. 2022 (a suffix array finds repeats inside one document
+    exactly as readily as across documents; ``text_repeated_spans``
+    detects them but feeds no removal accounting). Same machinery as
+    :func:`_exact_substring_runs`, restricted to one document: the
+    positioned-shingle table self-joins on shingle id WITHIN the doc
+    with ``pos_a < pos_b``; the diagonal is the repeat DISTANCE
+    ``pos_b - pos_a``; gaps-and-islands per (doc, distance) extends
+    maximal runs. For tandem/periodic repeats the later-occurrence
+    spans overlap and the downstream interval union keeps exactly the
+    FIRST occurrence (every repeated token's later copy is covered by
+    some (first, later) seed pair, and position 1's copy never is).
+
+    Returns one row per MAXIMAL intra-doc run of >= min_match_tokens
+    tokens: ``doc_id, diag, isl, match_tokens, start_a, start_b``
+    (1-based token positions; start_a < start_b are the two
+    occurrence starts). The per-(doc, distance) window is bounded by
+    document length, never corpus-wide; the max_df cap bounds the
+    per-shingle self-join fan-out exactly as in the cross case."""
+    from pyspark.sql import Window
+
+    sk = int(k)
+    sh = _positioned_shingles(df, text_col, id_col, sk, max_df)
+    a, b = sh.alias("a"), sh.alias("b")
+    seeds = a.join(
+        b,
+        (F.col("a.gid") == F.col("b.gid"))
+        & (F.col("a.doc_id") == F.col("b.doc_id"))
+        & (F.col("a.pos") < F.col("b.pos")),
+    ).select(
+        F.col("a.doc_id").alias("doc_id"),
+        F.col("a.pos").alias("pos_a"),
+        F.col("b.pos").alias("pos_b"),
+    )
+    diag = (F.col("pos_b") - F.col("pos_a")).alias("diag")
+    w = Window.partitionBy("doc_id", "diag").orderBy("pos_a")
+    isl = seeds.select("*", diag).withColumn(
+        "isl", F.col("pos_a") - F.row_number().over(w)
+    )
+    runs = isl.groupBy("doc_id", "diag", "isl").agg(
+        (F.count("*") + F.lit(sk - 1)).cast("long").alias("match_tokens"),
+        F.min("pos_a").cast("long").alias("start_a"),
+        F.min("pos_b").cast("long").alias("start_b"),
+    )
+    return runs.filter(F.col("match_tokens") >= int(min_match_tokens))
+
+
+def exact_substring_self_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_match_tokens: int = 15,
+    max_df: int | None = 32,
+) -> DataFrame:
+    """Within-document ExactSubstr removal accounting: every maximal
+    intra-doc repeated run (:func:`_exact_substring_self_runs`) cuts
+    its LATER occurrence; overlapping cuts merge through the same
+    interval union as the cross-document APPLY step
+    (:func:`_interval_removal_report`), keeping exactly the first
+    occurrence of every repeated span. Per affected doc:
+    ``doc_id, n_tokens, n_spans, n_removed, n_kept``."""
+    runs = _exact_substring_self_runs(
+        df, text_col, id_col, k, min_match_tokens, max_df
+    )
+    spans = runs.select(
+        "doc_id",
+        F.col("start_b").alias("s"),
+        (F.col("start_b") + F.col("match_tokens") - 1).alias("e"),
     )
     sizes = df.select(
         F.col(id_col).alias("doc_id"),
         F.size(words(text_col)).cast("long").alias("n_tokens"),
     )
-    return removed.join(sizes, "doc_id").select(
-        "doc_id",
-        "n_tokens",
-        "n_spans",
-        "n_removed",
-        (F.col("n_tokens") - F.col("n_removed")).alias("n_kept"),
-    )
+    return _interval_removal_report(spans, sizes)
 
 
 def ngram_novelty_scores(

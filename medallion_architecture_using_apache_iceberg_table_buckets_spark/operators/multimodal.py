@@ -453,8 +453,10 @@ def decode_png(content: bytes, want_pixels: bool = False) -> dict:
     checksum) plus ``bit_depth``; ``want_pixels`` adds the
     reconstructed row-major samples (for the resample stage; 8-bit
     depths only — the 16-bit resample path stays out of scope).
-    Sub-8-bit-indexed and tRNS-transparent images raise
-    NotImplementedError — documented scope, not a stub."""
+    Sub-8-bit INDEXED (depths 1/2/4) expands through the palette LUT
+    and paletted tRNS alpha decodes to RGBA; the only remaining
+    NotImplementedError guards are sub-8-bit GRAYSCALE and
+    gray/truecolor key-color tRNS — documented scope, not stubs."""
     import struct
     import zlib
 

@@ -2146,3 +2146,80 @@ def test_exact_substr_removal_duplicate_spans_merge_once(spark):
     for d in (2875, 3394):
         r = out[d]
         assert (r["n_spans"], r["n_removed"], r["n_kept"]) == (1, 28, 0), r
+
+
+def test_exact_substr_self_and_unified_removal(spark):
+    """r9 verdict #4 fixture: within-doc repeats feed the SAME
+    interval-union removal accounting as cross-doc copies.
+
+    doc 1: a 16-token span repeated twice inside ONE document (with a
+    filler between) — the cross-doc detector reports nothing, the
+    self detector cuts exactly the LATER occurrence (16 tokens).
+    doc 2: shares the same span once — the unified report counts its
+    cross-doc cut AND doc 1's intra-doc cut without double-counting
+    the overlap (doc 1's later copy is also a cross-doc match of
+    doc 2's span; one interval union covers both)."""
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators.dedup import (
+        exact_substring_dedup,
+        exact_substring_pairs,
+        exact_substring_self_dedup,
+    )
+
+    span = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliet kilo lima mike november oscar papa")  # 16 tokens
+    doc1 = f"start words here {span} middle filler bits {span} end tail"
+    doc2 = f"totally different lead {span} and another ending"
+    df = spark.createDataFrame(
+        [(1, doc1), (2, doc2)], "doc_id long, text string"
+    )
+
+    # self-only: doc 1 loses exactly the later 16-token occurrence
+    self_rows = {r["doc_id"]: r for r in
+                 exact_substring_self_dedup(df).collect()}
+    assert list(self_rows) == [1]
+    r1 = self_rows[1]
+    assert r1["n_spans"] == 1
+    assert r1["n_removed"] == 16
+    assert r1["n_kept"] == r1["n_tokens"] - 16
+
+    # cross-only: doc 2 (later id) loses its single copy; doc 1 keeps
+    # both (it is the earlier doc)
+    cross_rows = {r["doc_id"]: r for r in
+                  exact_substring_dedup(df).collect()}
+    assert list(cross_rows) == [2]
+    assert cross_rows[2]["n_removed"] == 16
+
+    # unified: doc 1's intra-doc cut joins the report; doc 2
+    # unchanged; nothing double-counted
+    uni = {r["doc_id"]: r for r in
+           exact_substring_dedup(df, include_self=True).collect()}
+    assert set(uni) == {1, 2}
+    assert uni[1]["n_removed"] == 16 and uni[1]["n_spans"] == 1
+    assert uni[2]["n_removed"] == 16
+
+    # sanity: the cross detector still reports the (1, 2) pair twice
+    # (one run per copy in doc 1)
+    p = exact_substring_pairs(df).collect()
+    assert [(p[0]["doc_a"], p[0]["doc_b"], p[0]["n_runs"])] == [(1, 2, 2)]
+
+
+def test_exact_substr_self_tandem_keeps_first_occurrence(spark):
+    """Periodic/tandem repeats: the union of later-occurrence cuts
+    keeps exactly ONE copy (the first). 4x repetition of an 8-token
+    phrase -> 32 tokens total, 24 removed, 8 kept (plus sentinels)."""
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators.dedup import (
+        exact_substring_self_dedup,
+    )
+
+    phrase = "red orange yellow green blue indigo violet ultra"
+    text = "lead in words " + " ".join([phrase] * 4) + " out tail"
+    df = spark.createDataFrame([(7, text)], "doc_id long, text string")
+    rows = exact_substring_self_dedup(
+        df, k=8, min_match_tokens=8
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # 3 + 32 + 2 = 37 tokens; later copies = tokens 12..35 (24 cut)
+    assert r["n_tokens"] == 37
+    assert r["n_removed"] == 24
+    assert r["n_kept"] == 13

@@ -705,3 +705,102 @@ def test_views_lifecycle_and_live_resolution(spark, tmp_path):
     ]
     with _pytest.raises(Exception):
         sess.sql("SELECT * FROM doomed").collect()
+
+
+def test_name_universe_guard_is_bidirectional(spark, tmp_path):
+    """r9 ADVICE: tables must refuse to shadow views too — otherwise
+    the attach pass (views registered after tables) makes every
+    SELECT on the new table silently resolve to the stale view."""
+    import pytest as _pytest
+
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.lakehouse import (
+        Catalog,
+    )
+
+    cat = Catalog(str(tmp_path / "wh"))
+    sess = cat.sql_session(spark)
+    sess.sql("CREATE NAMESPACE g")
+    sess.sql("USE g")
+    df = spark.createDataFrame([(1, 2.0)], "id long, x double")
+    cat.create_table("g", "base", df.schema).append(df)
+    sess.sql("CREATE VIEW vu AS SELECT id FROM base")
+
+    with _pytest.raises(ValueError, match="view"):
+        sess.sql("CREATE TABLE vu (id BIGINT)")
+    with _pytest.raises(ValueError, match="view"):
+        sess.sql("CREATE TABLE vu AS SELECT * FROM base")
+    with _pytest.raises(ValueError, match="view"):
+        cat.create_table("g", "vu", df.schema)
+    with _pytest.raises(ValueError, match="view"):
+        cat.rename_table("g", "base", "g", "vu")
+    # the view is untouched and still resolves
+    assert sess.sql("SELECT * FROM vu").columns == ["id"]
+
+
+def test_replace_view_reorders_and_rejects_contradiction(spark, tmp_path):
+    """r9 ADVICE: OR REPLACE + IF NOT EXISTS is rejected (not a silent
+    no-op), and a REPLACEd view moves to the END of the creation-order
+    registry so a body referencing a later-created view re-resolves at
+    attach; dependents of the moved view survive via fixpoint replay."""
+    import pytest as _pytest
+
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.lakehouse import (
+        Catalog,
+    )
+
+    cat = Catalog(str(tmp_path / "wh"))
+    sess = cat.sql_session(spark)
+    sess.sql("CREATE NAMESPACE rv")
+    sess.sql("USE rv")
+    df = spark.createDataFrame([(1, 10.0), (2, 20.0)], "id long, x double")
+    cat.create_table("rv", "base", df.schema).append(df)
+
+    sess.sql("CREATE VIEW v1 AS SELECT id, x FROM base")
+    sess.sql("CREATE VIEW v2 AS SELECT id, x * 2 AS x2 FROM base")
+    # dependent of v1, created after it
+    sess.sql("CREATE VIEW dep AS SELECT sum(x) AS s FROM v1")
+
+    with _pytest.raises(ValueError, match="cannot be combined"):
+        sess.sql(
+            "CREATE OR REPLACE VIEW IF NOT EXISTS v1 AS SELECT 1 AS one"
+        )
+
+    # replace v1 to reference v2 (created AFTER v1's original slot):
+    # without the re-append this silently skipped at attach time
+    sess.sql("CREATE OR REPLACE VIEW v1 AS SELECT id, x2 AS x FROM v2")
+    # fresh session = fresh attach replay from the stored registry
+    sess2 = cat.sql_session(spark)
+    sess2.sql("USE rv")
+    got = {r["id"]: r["x"] for r in sess2.sql("SELECT * FROM v1").collect()}
+    assert got == {1: 20.0, 2: 40.0}
+    # dep (now listed BEFORE v1 in the registry) still resolves via
+    # the fixpoint replay
+    assert sess2.sql("SELECT * FROM dep").collect()[0]["s"] == 60.0
+
+
+def test_quiet_probe_is_reentrant():
+    """r9 ADVICE: nested probes must not permanently silence the
+    query-context loggers (save/restore of global levels could
+    restore CRITICAL as 'previous')."""
+    import logging
+
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.lakehouse.table import (
+        _quiet_probe,
+    )
+
+    lg = logging.getLogger("SQLQueryContextLogger")
+    before_level = lg.level
+    before_filters = list(lg.filters)
+    with _quiet_probe():
+        with _quiet_probe():
+            assert not lg.isEnabledFor(logging.ERROR) or not lg.filter(
+                logging.LogRecord("SQLQueryContextLogger", logging.ERROR,
+                                  __file__, 0, "m", (), None)
+            )
+        # inner exit must NOT re-enable... outer scope still muted
+        assert not lg.filter(
+            logging.LogRecord("SQLQueryContextLogger", logging.ERROR,
+                              __file__, 0, "m", (), None)
+        )
+    assert lg.level == before_level
+    assert list(lg.filters) == before_filters
