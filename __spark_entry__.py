@@ -100,6 +100,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # attribution, funnel latency, Heaps-law curve, per-channel
         # image stats, LTV deciles, SQL views
         "dedup_exact_substr_self": L.dedup_exact_substr_self,
+        "dedup_winnowing_components": L.dedup_winnowing_components,
+        "multimodal_decode_gif_interlaced": L.multimodal_decode_gif_interlaced,
         "dedup_exact_substr_pairs": L.dedup_exact_substr_pairs,
         "multimodal_decode_png_interlaced": L.multimodal_decode_png_interlaced,
         "text_winnowing_fingerprints": L.text_winnowing_fingerprints,
@@ -3632,6 +3634,65 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2 HAVING count(*) >= 2
             ORDER BY doc_a, doc_b
         """,
+        # r10: the winnowing pair graph closed to duplicate groups by
+        # the SAME min-label closure the MinHash chain uses
+        "dedup_winnowing_components": f"""
+            WITH RECURSIVE {_PLANT_TAIL},
+            norm AS (
+              SELECT doc_id,
+                     string_split({_NORM.format(t='text')}, ' ') AS w
+              FROM corpus
+            ),
+            g AS (
+              SELECT doc_id, s.pos AS pos, s.gid AS gid FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(w) - 3),
+                         i -> struct_pack(pos := i,
+                           gid := {_TOKEN_ID.format(
+                               t="array_to_string(w[i:i+4], ' ')")})))
+                         AS s
+                FROM norm)
+            ),
+            ng AS (
+              SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id
+            ),
+            cov0 AS (
+              SELECT doc_id, gid, pos,
+                     unnest(range(greatest(pos - 3, 1), pos + 1)) AS start
+              FROM g
+            ),
+            cov AS (
+              SELECT c.* FROM cov0 c JOIN ng USING (doc_id)
+              WHERE c.start <= ng.n_grams - 3
+            ),
+            wmin AS (
+              SELECT doc_id, start, min(gid) AS mh
+              FROM cov GROUP BY 1, 2
+            ),
+            fp AS (SELECT DISTINCT doc_id, mh FROM wmin),
+            keepfp AS (
+              SELECT mh FROM fp GROUP BY mh HAVING count(*) <= 32
+            ),
+            live AS (SELECT fp.* FROM fp JOIN keepfp USING (mh)),
+            wpairs AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM live a JOIN live b
+                ON a.mh = b.mh AND a.doc_id < b.doc_id
+              GROUP BY 1, 2 HAVING count(*) >= 2
+            ),
+            edges AS (
+              SELECT doc_a AS src, doc_b AS dst FROM wpairs
+              UNION
+              SELECT doc_b, doc_a FROM wpairs
+            ),
+            reach(id, lbl) AS (
+              SELECT DISTINCT src, src FROM edges
+              UNION
+              SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+            )
+            SELECT id AS doc_id, min(lbl) AS component_id
+            FROM reach GROUP BY id ORDER BY doc_id
+        """,
         # Heaps' law: cumulative vocab vs tokens at 10 id-order
         # prefixes; cutoffs from max(doc_id), all-integer
         "corpus_heaps_law": f"""
@@ -5405,6 +5466,46 @@ def oracle_sql() -> dict[str, str]:
                    CAST(d.h AS INTEGER) AS height,
                    CAST(3 AS INTEGER) AS channels,
                    s.pixel_sum
+            FROM dims d JOIN sums s USING (doc_id)
+        """,
+        # r10: interlaced + local-color-table GIF — same closed form
+        # as multimodal_decode_gif plus the position-weighted checksum
+        # (pixel i's RGB bytes sit at 3i, 3i+1, 3i+2)
+        "multimodal_decode_gif_interlaced": """
+            WITH dims AS (
+              SELECT doc_id,
+                     doc_id % 11 + 2 AS w,
+                     doc_id % 7 + 2 AS h,
+                     doc_id % 29 + 2 AS p
+              FROM documents
+            ),
+            px AS (
+              SELECT doc_id, p, unnest(range(w * h)) AS i FROM dims
+            ),
+            sums AS (
+              SELECT doc_id,
+                     CAST(sum(
+                         (5 * ((i * i + doc_id) % p) + 7 * doc_id) % 256
+                       + (9 * ((i * i + doc_id) % p) + 11 * doc_id) % 256
+                       + (3 * ((i * i + doc_id) % p) + 13 * doc_id) % 256
+                     ) AS BIGINT) AS pixel_sum,
+                     CAST(sum(
+                         (3 * i + 1) *
+                         ((5 * ((i * i + doc_id) % p) + 7 * doc_id) % 256)
+                       + (3 * i + 2) *
+                         ((9 * ((i * i + doc_id) % p) + 11 * doc_id) % 256)
+                       + (3 * i + 3) *
+                         ((3 * ((i * i + doc_id) % p) + 13 * doc_id) % 256)
+                     ) AS BIGINT) AS pixel_possum
+              FROM px GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   'gif' AS img_format,
+                   CAST(d.w AS INTEGER) AS width,
+                   CAST(d.h AS INTEGER) AS height,
+                   CAST(3 AS INTEGER) AS channels,
+                   s.pixel_sum,
+                   s.pixel_possum
             FROM dims d JOIN sums s USING (doc_id)
         """,
         # paletted PNG: the oracle replays the generator's

@@ -2471,6 +2471,25 @@ def multimodal_decode_gif(spark, sf_dir):
     return decode_images(synth_gifs(_docs(spark, sf_dir)))
 
 
+def multimodal_decode_gif_interlaced(spark, sf_dir):
+    """INTERLACED + LOCAL-color-table GIF decoding (r10 — the two
+    stdlib-feasible GIF seams from the r9 verdict's codec note):
+    4-pass interlaced GIF89a bytes, odd doc_ids carrying the palette
+    as a LOCAL table behind a reversed decoy global table, decoded by
+    the stdlib-only codec (multimodal.decode_gif: LZW, pass-order row
+    scatter back to display order, local-over-global table
+    precedence). Emits BOTH the order-invariant pixel_sum and the
+    position-weighted pixel_possum: skipping the deinterlace passes
+    the former and fails the latter; reading the decoy global table
+    fails both. The oracle replays index -> palette -> both sums
+    closed-form."""
+    from .multimodal import decode_images_positional, synth_interlaced_gifs
+
+    return decode_images_positional(
+        synth_interlaced_gifs(_docs(spark, sf_dir))
+    )
+
+
 def multimodal_decode_jpeg(spark, sf_dir):
     """REAL entropy-coded container decoding: baseline sequential
     JPEG bytes (Annex-K Huffman, all-ones quant, rotating restart
@@ -3204,6 +3223,24 @@ def dedup_winnowing_pairs(spark, sf_dir):
         spark, sf_dir, 30, lambda t: F.concat(t, F.lit(" extra token tail"))
     )
     return TX.winnowing_pairs(corpus).orderBy("doc_a", "doc_b")
+
+
+def dedup_winnowing_components(spark, sf_dir):
+    """Winnowing pairs WIRED INTO the dedup-application chain (the
+    r9 verdict's composition ask): the MOSS fingerprint-overlap pair
+    graph (text.winnowing_pairs) closes to duplicate groups through
+    the SAME connected-components operator the MinHash chain uses
+    (dedup.connected_components, unchanged) — every doc with at least
+    one winnowed near-dup, labeled with the smallest doc_id in its
+    group. Proves the pair generators are interchangeable inputs to
+    the keep/group/histogram application operators."""
+    corpus = _planted(
+        spark, sf_dir, 30, lambda t: F.concat(t, F.lit(" extra token tail"))
+    )
+    pairs = TX.winnowing_pairs(corpus)
+    return D.connected_components(pairs).select(
+        F.col("id").alias("doc_id"), "component_id"
+    ).orderBy("doc_id")
 
 
 def corpus_heaps_law(spark, sf_dir):

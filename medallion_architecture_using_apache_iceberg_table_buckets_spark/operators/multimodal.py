@@ -834,15 +834,35 @@ def lzw_decode(data: bytes, min_code_size: int, n_expected: int) -> bytes:
     return bytes(out)
 
 
+def _gif_interlace_rows(height: int) -> list[int]:
+    """GIF 4-pass interlace row order (spec appendix E): the display
+    rows in the order they are STORED — pass 1 every 8th row from 0,
+    pass 2 every 8th from 4, pass 3 every 4th from 2, pass 4 every
+    2nd from 1."""
+    order = []
+    for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+        order.extend(range(start, height, step))
+    return order
+
+
 def encode_gif(
     width: int,
     height: int,
     indices: bytes,
     palette: list[tuple[int, int, int]],
+    interlaced: bool = False,
+    local_palette: bool = False,
 ) -> bytes:
-    """Spec-conforming GIF89a: logical screen descriptor, global
-    color table (padded to a power of two), one image descriptor,
-    REAL LZW-compressed pixel data in 255-byte sub-blocks."""
+    """Spec-conforming GIF89a: logical screen descriptor, color
+    table (padded to a power of two), one image descriptor, REAL
+    LZW-compressed pixel data in 255-byte sub-blocks.
+
+    ``interlaced`` stores the rows in the 4-pass interlace order and
+    sets the image-descriptor interlace flag. ``local_palette``
+    moves the color table into the image descriptor (local) and
+    writes a DECOY global table with the entries reversed — a
+    decoder that ignores the local table and falls back to the
+    global one produces a wrong (not merely shuffled) sample sum."""
     import struct
 
     if len(indices) != width * height:
@@ -853,13 +873,34 @@ def encode_gif(
         raise ValueError("palette index out of range")
     depth = max(1, (max(len(palette) - 1, 1)).bit_length())
     table_size = 1 << depth
-    gct = b"".join(bytes(c) for c in palette)
-    gct += bytes(3 * (table_size - len(palette)))
-    packed = 0x80 | ((depth - 1) << 4) | (depth - 1)
+    ct = b"".join(bytes(c) for c in palette)
+    ct += bytes(3 * (table_size - len(palette)))
     out = bytearray(b"GIF89a")
-    out += struct.pack("<HHBBB", width, height, packed, 0, 0)
-    out += gct
-    out += struct.pack("<BHHHHB", 0x2C, 0, 0, width, height, 0)
+    if local_palette:
+        decoy = b"".join(
+            bytes(c) for c in reversed(palette)
+        ) + bytes(3 * (table_size - len(palette)))
+        packed = 0x80 | ((depth - 1) << 4) | (depth - 1)
+        out += struct.pack("<HHBBB", width, height, packed, 0, 0)
+        out += decoy
+    else:
+        packed = 0x80 | ((depth - 1) << 4) | (depth - 1)
+        out += struct.pack("<HHBBB", width, height, packed, 0, 0)
+        out += ct
+    ipacked = 0
+    if local_palette:
+        ipacked |= 0x80 | (depth - 1)
+    if interlaced:
+        ipacked |= 0x40
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, width, height, ipacked)
+    if local_palette:
+        out += ct
+    if interlaced:
+        rows = [
+            indices[r * width : (r + 1) * width]
+            for r in _gif_interlace_rows(height)
+        ]
+        indices = b"".join(rows)
     min_code = max(2, depth)
     out.append(min_code)
     payload = lzw_encode(indices, min_code)
@@ -872,14 +913,16 @@ def encode_gif(
     return bytes(out)
 
 
-def decode_gif(content: bytes) -> dict:
+def decode_gif(content: bytes, want_pixels: bool = False) -> dict:
     """Real GIF decode on stdlib only: header + logical screen
-    descriptor, global color table, block walk (plain extensions are
+    descriptor, color tables, block walk (plain extensions are
     skipped per spec), REAL LZW decompression of the image data, and
-    palette expansion to RGB samples. Non-interlaced single-frame
-    GIFs with a global color table are in scope; interlaced rows,
-    local color tables, and GCE transparency raise
-    NotImplementedError — documented scope, not a stub."""
+    palette expansion to RGB samples. Single-frame GIFs are in scope
+    including INTERLACED row order (4-pass reorder back to display
+    order — r10) and LOCAL color tables (the image descriptor's
+    table overrides the global one — r10); GCE transparency raises
+    NotImplementedError — documented scope, not a stub.
+    ``want_pixels`` adds the row-major RGB samples."""
     import struct
 
     if content[:6] not in (b"GIF87a", b"GIF89a"):
@@ -929,9 +972,15 @@ def decode_gif(content: bytes) -> dict:
         _l, _t, iw, ih, ipacked = struct.unpack_from("<HHHHB", content, pos)
         pos += 9
         if ipacked & 0x80:
-            raise NotImplementedError("GIF local color tables not supported")
-        if ipacked & 0x40:
-            raise NotImplementedError("GIF interlaced rows not supported")
+            # local color table: overrides the global one per spec
+            n = 2 << (ipacked & 0x07)
+            if pos + 3 * n > len(content):
+                raise ValueError("GIF local color table truncated")
+            palette = [
+                content[pos + 3 * j : pos + 3 * j + 3] for j in range(n)
+            ]
+            pos += 3 * n
+        interlaced = bool(ipacked & 0x40)
         if not palette:
             raise ValueError("GIF image without a color table")
         if pos >= len(content):
@@ -956,11 +1005,23 @@ def decode_gif(content: bytes) -> dict:
         bad = next((i for i in idx if i >= len(palette)), None)
         if bad is not None:
             raise ValueError("GIF palette index out of range")
+        if interlaced:
+            # stored rows are in 4-pass order; scatter back to
+            # display (row-major) order
+            disp = bytearray(iw * ih)
+            for stored, display in enumerate(_gif_interlace_rows(ih)):
+                disp[display * iw : (display + 1) * iw] = idx[
+                    stored * iw : (stored + 1) * iw
+                ]
+            idx = bytes(disp)
         total = sum(sum(palette[i]) for i in idx)
-        return {
+        out = {
             "img_format": "gif", "width": iw, "height": ih,
             "channels": 3, "pixel_sum": total,
         }
+        if want_pixels:
+            out["pixels"] = b"".join(palette[i] for i in idx)
+        return out
     raise ValueError("GIF stream truncated before image data")
 
 
@@ -1707,6 +1768,8 @@ def decode_pixels(content: bytes) -> dict:
         ch = meta["channels"]
         meta["pixels"] = content[off : off + ch * w * h]
         return meta
+    if content[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(content, want_pixels=True)
     if content[:2] == b"BM":
         meta = decode_image(content)
         data_off = struct.unpack_from("<I", content, 10)[0]
@@ -1964,6 +2027,44 @@ def synth_gifs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 ]
                 idx = bytes((i * i + d) % p for i in range(w * h))
                 blobs.append(encode_gif(w, h, idx, pal))
+                ids.append(d)
+            yield pd.DataFrame(
+                {"doc_id": pd.Series(ids, dtype="int64"),
+                 "content": blobs,
+                 "media_type": ["image/gif"] * len(ids)}
+            )
+
+    return df.select(id_col).mapInPandas(
+        gen, schema="doc_id long, content binary, media_type string"
+    )
+
+
+def synth_interlaced_gifs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic INTERLACED GIF table (r10): same geometry /
+    palette / index formulas as :func:`synth_gifs` (so the oracle's
+    closed form is unchanged), but every image stores its rows in the
+    4-pass interlace order, and ODD doc_ids move the color table into
+    the image descriptor (LOCAL table) behind a reversed DECOY global
+    table — a decoder that skips deinterlacing fails the positional
+    checksum, and one that reads the global table fails both sums."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for d in pdf[id_col]:
+                d = int(d)
+                w, h = d % 11 + 2, d % 7 + 2
+                p = d % 29 + 2
+                pal = [
+                    ((5 * j + 7 * d) % 256, (9 * j + 11 * d) % 256,
+                     (3 * j + 13 * d) % 256)
+                    for j in range(p)
+                ]
+                idx = bytes((i * i + d) % p for i in range(w * h))
+                blobs.append(
+                    encode_gif(w, h, idx, pal, interlaced=True,
+                               local_palette=bool(d % 2))
+                )
                 ids.append(d)
             yield pd.DataFrame(
                 {"doc_id": pd.Series(ids, dtype="int64"),

@@ -1260,21 +1260,21 @@ def test_gif_codec_round_trip_and_errors():
         with pytest.raises((ValueError, NotImplementedError)):
             decode_gif(blob[:cut])
 
-    # transparency (GCE flag), interlace, local color table: loud
+    # transparency (GCE flag): loud — the remaining GIF scope guard
     gce = b"\x21\xf9\x04\x01\x00\x00\x00\x00"  # transparency bit set
     with_gce = blob[:13 + 3 * 32] + gce + blob[13 + 3 * 32:]
     with pytest.raises(NotImplementedError, match="transparency"):
         decode_gif(with_gce)
+    # interlace + local color tables decode since r10: flipping the
+    # interlace flag on a non-interlaced stream REORDERS rows (same
+    # sample multiset, so the order-invariant sum is unchanged —
+    # position-sensitive coverage lives in
+    # test_gif_interlace_and_local_palette_round_trip)
     interlaced = bytearray(blob)
     desc_off = 13 + 3 * 32  # image descriptor after the padded GCT
     assert interlaced[desc_off] == 0x2C
     interlaced[desc_off + 9] |= 0x40
-    with pytest.raises(NotImplementedError, match="interlace"):
-        decode_gif(bytes(interlaced))
-    local = bytearray(blob)
-    local[desc_off + 9] |= 0x80
-    with pytest.raises(NotImplementedError, match="local color"):
-        decode_gif(bytes(local))
+    assert decode_gif(bytes(interlaced))["pixel_sum"] == expected
 
     # a skippable comment extension is fine per spec
     comment = b"\x21\xfe\x05hello\x00"
@@ -2223,3 +2223,60 @@ def test_exact_substr_self_tandem_keeps_first_occurrence(spark):
     assert r["n_tokens"] == 37
     assert r["n_removed"] == 24
     assert r["n_kept"] == 13
+
+
+def test_gif_interlace_and_local_palette_round_trip():
+    """r10 GIF seams: 4-pass interlaced rows scatter back to the
+    exact row-major indices, and a LOCAL color table wins over a
+    decoy global table. Malformed variants keep the ValueError
+    contract."""
+    import random
+
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators.multimodal import (
+        _gif_interlace_rows,
+        decode_gif,
+        encode_gif,
+    )
+
+    # the pass order is a permutation of all rows, for any height
+    for h in range(1, 40):
+        order = _gif_interlace_rows(h)
+        assert sorted(order) == list(range(h))
+
+    rng = random.Random(20260815)
+    for w, h in [(2, 2), (3, 3), (5, 8), (11, 7), (4, 13), (2, 3)]:
+        p = rng.randrange(3, 17)
+        pal = [(rng.randrange(256), rng.randrange(256), rng.randrange(256))
+               for _ in range(p)]
+        idx = bytes(rng.randrange(p) for _ in range(w * h))
+        want = b"".join(bytes(pal[i]) for i in idx)
+        for local in (False, True):
+            d = decode_gif(
+                encode_gif(w, h, idx, pal, interlaced=True,
+                           local_palette=local),
+                want_pixels=True,
+            )
+            assert (d["width"], d["height"]) == (w, h)
+            assert d["pixels"] == want, (w, h, local)
+        # plain non-interlaced local-palette variant too
+        d = decode_gif(
+            encode_gif(w, h, idx, pal, local_palette=True),
+            want_pixels=True,
+        )
+        assert d["pixels"] == want
+
+    # the decoy global table is genuinely wrong: decoding the HEADER
+    # palette (reversed) gives different pixels unless palette is
+    # palindromic — use a clearly asymmetric palette
+    pal = [(0, 0, 0), (10, 20, 30), (200, 100, 50)]
+    idx = bytes([0, 1, 2, 2, 1, 0])
+    blob = encode_gif(3, 2, idx, pal, local_palette=True)
+    good = decode_gif(blob, want_pixels=True)["pixels"]
+    assert good == b"".join(bytes(pal[i]) for i in idx)
+
+    # truncated local table raises the parse contract
+    cut = blob[: 13 + 3 * 4 + 9 + 2]  # into the local table
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode_gif(cut)
