@@ -56,116 +56,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # row on recent code; rotated-out entries stay covered by the full
     # local mirror (tools/check_oracles.py) and pytest.
     #
-    # Round-9 window (positions 1-53, live registry 203 entries):
-    #   1-19  = the nineteen NEW round-9 queries (never
-    #           driver-checked);
-    #   20-53 = ALL 34 remaining r05-vintage entries in age order —
-    #           the eight displaced from the r8 window
-    #           (multimodal_frames .. maintenance_procedures) first,
-    #           then streaming_windowed_counts .. text_decontaminate,
-    #           exactly as the r8 verdict's plan queued them.
-    # 19 + 34 = 53: three more than the driver's ~50-row sample, so
-    # the LAST slots (q8_market_share, q15_top_supplier,
-    # text_decontaminate) may miss the
-    # cut — acceptable because text_decontaminate carries the
-    # freshest independent evidence of the 34 (the r8 judge ran its
-    # sf0.01 oracle pair directly that session) and both are covered
-    # by this round's full 202-entry mirrors at sf0.001 AND sf0.01;
-    # whatever slips is first in line for r10. Every r08-window entry
-    # landed green in CORRECTNESS_r08 (50/50), so none needs a
-    # re-slot.
+    # Round-10 window (positions 1-50, live registry 207 entries):
+    #   1-4   = the four NEW round-10 queries (never driver-checked);
+    #   5     = events_user_ltv_deciles, re-slotted because its code
+    #           changed this round (distributed-rank rewrite);
+    #   6-8   = the three r05-vintage entries that slipped the r9
+    #           sample (q8_market_share, q15_top_supplier,
+    #           text_decontaminate) — the r9 verdict's explicit ask;
+    #   9-50  = the 42 oldest r06-vintage entries in age order.
+    # After this round no entry's most recent driver row is older
+    # than r07 except the 8 r06-vintage tail leads, which head the
+    # r11 window.
     #
-    # Tail (51+), in refresh-age order so future rotations just read
-    # off the front: the 50 r06-vintage entries (next in line for the
-    # r10 window), then the 50 r07-vintage, then the 50 r08-vintage.
-    #
-    # r10 window plan (execute at round-10 start, AFTER re-counting
-    # against CORRECTNESS_r09 and any r09 verdict instructions):
-    #   1-N  = round-10 additions as they land (never checked);
-    #   then = any r09-window entry whose driver row did NOT land
-    #          green in CORRECTNESS_r09 (expected none — all sixteen
-    #          r9 additions pre-checked locally at sf0.001 AND
-    #          sf0.01);
-    #   rest = the oldest r06-vintage tail entries
-    #          (dedup_exact_groups ..) in their listed order.
+    # r11 window plan (execute at round-11 start, AFTER re-counting
+    # against CORRECTNESS_r10 and any r10 verdict instructions):
+    #   1-N  = round-11 additions as they land (never checked);
+    #   then = any r10-window entry whose driver row did NOT land
+    #          green in CORRECTNESS_r10 (expected none — all four r10
+    #          additions pre-checked locally at sf0.001 AND sf0.01);
+    #   rest = the 8 remaining r06-vintage tail leads
+    #          (curation_end_to_end .. dedup_ngram_jaccard_pairs),
+    #          then the oldest r07-vintage entries
+    #          (multimodal_decode_png ..) in their listed order.
     # Re-count positions so the window is exactly 50; keep inserting
     # new queries right after the newest NEW block.
     return {
-        # ======== round-9 driver window (positions 1-53) ========
-        # 1-19: NEW in round 9 (never driver-checked): ExactSubstr
-        # verbatim dedup (detect + removal apply), Adam7 PNG,
-        # winnowing fingerprints + pairs, mojibake screen, robust
-        # length outliers, per-source reservoir, n-gram novelty,
-        # cluster-size histogram, cosine range search, last-touch
-        # attribution, funnel latency, Heaps-law curve, per-channel
-        # image stats, LTV deciles, SQL views
+        # ======== round-10 driver window (positions 1-50) ========
+        # 1-4: NEW in round 10 (never driver-checked): unified
+        # cross+self ExactSubstr removal, winnowing pairs closed to
+        # components, interlaced/local-table GIF decode, AllPairs/
+        # PPJoin prefix-filter exact-Jaccard pairs
         "dedup_exact_substr_self": L.dedup_exact_substr_self,
         "dedup_winnowing_components": L.dedup_winnowing_components,
         "multimodal_decode_gif_interlaced": L.multimodal_decode_gif_interlaced,
-        "dedup_exact_substr_pairs": L.dedup_exact_substr_pairs,
-        "multimodal_decode_png_interlaced": L.multimodal_decode_png_interlaced,
-        "text_winnowing_fingerprints": L.text_winnowing_fingerprints,
-        "text_mojibake_score": L.text_mojibake_score,
-        "text_length_outliers": L.text_length_outliers,
-        "sample_reservoir_source": L.sample_reservoir_source,
-        "dedup_ngram_novelty": L.dedup_ngram_novelty,
-        "dedup_cluster_size_histogram": L.dedup_cluster_size_histogram,
-        "ann_range_search": L.ann_range_search,
-        "events_attribution": R.events_attribution,
-        "events_funnel_latency": R.events_funnel_latency,
-        "dedup_winnowing_pairs": L.dedup_winnowing_pairs,
-        "corpus_heaps_law": L.corpus_heaps_law,
-        "multimodal_channel_stats": L.multimodal_channel_stats,
+        "dedup_prefix_filter_pairs": L.dedup_prefix_filter_pairs,
+        # 5: re-slotted — its r10 distributed-rank rewrite (the r9
+        # verdict's partition-safety fix) needs a fresh driver row on
+        # the NEW code
         "events_user_ltv_deciles": R.events_user_ltv_deciles,
-        "sql_view_dispatch": L.sql_view_dispatch,
-        "dedup_exact_substr_removal": L.dedup_exact_substr_removal,
-        "multimodal_decode_png16": L.multimodal_decode_png16,
-        "multimodal_decode_png_sub8": L.multimodal_decode_png_sub8,
-        # 20-53: ALL 34 remaining r05-vintage entries, age order (the
-        # eight displaced from the r8 window first, per the r8
-        # verdict's plan) — closing the refresh so no registry entry's
-        # most recent driver row is older than r06
-        "multimodal_frames": L.multimodal_frames,
-        "multimodal_resize": L.multimodal_resize,
-        "multimodal_embed_dims": L.multimodal_embed_dims,
-        "sql_ctas_time_travel": L.sql_ctas_time_travel,
-        "incremental_scan_changelog": L.incremental_scan_changelog,
-        "mor_merge_compact": L.mor_merge_compact,
-        "schema_evolution_sql": L.schema_evolution_sql,
-        "maintenance_procedures": L.maintenance_procedures,
-        "streaming_windowed_counts": L.streaming_windowed_counts,
-        "streaming_sessionize": L.streaming_sessionize,
-        "streaming_dedup": L.streaming_dedup,
-        "streaming_interval_join": L.streaming_interval_join,
-        "range_join_incidents": L.range_join_incidents,
-        "text_top_ngrams": L.text_top_ngrams,
-        "dedup_components": L.dedup_components,
-        "text_quality_filter": L.text_quality_filter,
-        "sample_hash_events": L.sample_hash_events,
-        "sample_stratified_events": L.sample_stratified_events,
-        "sample_mixture_documents": L.sample_mixture_documents,
-        "text_chunk_windows": L.text_chunk_windows,
-        "text_chunk_texts": L.text_chunk_texts,
-        "text_tfidf_topk": L.text_tfidf_topk,
-        "zorder_cluster_events": L.zorder_cluster_events,
-        "q4_priority_late_exists": R.q4_priority_late_exists,
-        "q6_forecast_revenue": R.q6_forecast_revenue,
-        "q13_customer_order_distribution": R.q13_customer_order_distribution,
-        "q14_promo_revenue_share": R.q14_promo_revenue_share,
-        "q17_small_quantity_revenue": R.q17_small_quantity_revenue,
-        "q19_disjunctive_predicates": R.q19_disjunctive_predicates,
-        "q21_waiting_supplier": R.q21_waiting_supplier,
-        "q22_dormant_customers": R.q22_dormant_customers,
+        # 6-8: the three r05-vintage entries that slipped the ~50-row
+        # r9 sample (first in line per the r9 plan and verdict)
         "q8_market_share": R.q8_market_share,
         "q15_top_supplier": R.q15_top_supplier,
         "text_decontaminate": L.text_decontaminate,
-        # ============ tail (51+) ============
-        # age order continues for future rotations: the 50 r06-vintage
-        # entries first (next in line for the r10 window), then the 50
-        # r07-vintage, then the 50 r08-vintage — every tail entry keeps
-        # its green driver row and the full local mirror covers it
-        # each round
-        # -- last driver-green r06 --
+        # 9-50: the 42 oldest r06-vintage entries in age order —
+        # after this round only 8 r06-vintage rows remain (they lead
+        # the r11 window)
         "q2_min_cost_supplier": R.q2_min_cost_supplier,
         "q9_product_type_profit": R.q9_product_type_profit,
         "q11_important_part_value": R.q11_important_part_value,
@@ -208,6 +144,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_grouping_sets": R.agg_grouping_sets,
         "q12_late_lines_by_status": R.q12_late_lines_by_status,
         "pack_training_sequences": L.pack_training_sequences,
+        # ============ tail (51+) ============
+        # refresh-age order so future rotations read off the front:
+        # the 8 remaining r06-vintage entries (next in line for r11),
+        # then the 50 r07-vintage, the 50 r08-vintage, and the 49
+        # r09-refreshed entries (freshest) last.
+        # -- last driver-green r06 (r11 window leads) --
         "curation_end_to_end": L.curation_end_to_end,
         "sketch_hll_distinct": L.sketch_hll_distinct,
         "sketch_hll_rollup_merge": L.sketch_hll_rollup_merge,
@@ -318,6 +260,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_counts": L.text_token_counts,
         "text_fingerprint": L.text_fingerprint,
         "multimodal_meta": L.multimodal_meta,
+        # -- last driver-green r09 --
+        "dedup_exact_substr_pairs": L.dedup_exact_substr_pairs,
+        "multimodal_decode_png_interlaced": L.multimodal_decode_png_interlaced,
+        "text_winnowing_fingerprints": L.text_winnowing_fingerprints,
+        "text_mojibake_score": L.text_mojibake_score,
+        "text_length_outliers": L.text_length_outliers,
+        "sample_reservoir_source": L.sample_reservoir_source,
+        "dedup_ngram_novelty": L.dedup_ngram_novelty,
+        "dedup_cluster_size_histogram": L.dedup_cluster_size_histogram,
+        "ann_range_search": L.ann_range_search,
+        "events_attribution": R.events_attribution,
+        "events_funnel_latency": R.events_funnel_latency,
+        "dedup_winnowing_pairs": L.dedup_winnowing_pairs,
+        "corpus_heaps_law": L.corpus_heaps_law,
+        "multimodal_channel_stats": L.multimodal_channel_stats,
+        "sql_view_dispatch": L.sql_view_dispatch,
+        "dedup_exact_substr_removal": L.dedup_exact_substr_removal,
+        "multimodal_decode_png16": L.multimodal_decode_png16,
+        "multimodal_decode_png_sub8": L.multimodal_decode_png_sub8,
+        "multimodal_frames": L.multimodal_frames,
+        "multimodal_resize": L.multimodal_resize,
+        "multimodal_embed_dims": L.multimodal_embed_dims,
+        "sql_ctas_time_travel": L.sql_ctas_time_travel,
+        "incremental_scan_changelog": L.incremental_scan_changelog,
+        "mor_merge_compact": L.mor_merge_compact,
+        "schema_evolution_sql": L.schema_evolution_sql,
+        "maintenance_procedures": L.maintenance_procedures,
+        "streaming_windowed_counts": L.streaming_windowed_counts,
+        "streaming_sessionize": L.streaming_sessionize,
+        "streaming_dedup": L.streaming_dedup,
+        "streaming_interval_join": L.streaming_interval_join,
+        "range_join_incidents": L.range_join_incidents,
+        "text_top_ngrams": L.text_top_ngrams,
+        "dedup_components": L.dedup_components,
+        "text_quality_filter": L.text_quality_filter,
+        "sample_hash_events": L.sample_hash_events,
+        "sample_stratified_events": L.sample_stratified_events,
+        "sample_mixture_documents": L.sample_mixture_documents,
+        "text_chunk_windows": L.text_chunk_windows,
+        "text_chunk_texts": L.text_chunk_texts,
+        "text_tfidf_topk": L.text_tfidf_topk,
+        "zorder_cluster_events": L.zorder_cluster_events,
+        "q4_priority_late_exists": R.q4_priority_late_exists,
+        "q6_forecast_revenue": R.q6_forecast_revenue,
+        "q13_customer_order_distribution": R.q13_customer_order_distribution,
+        "q14_promo_revenue_share": R.q14_promo_revenue_share,
+        "q17_small_quantity_revenue": R.q17_small_quantity_revenue,
+        "q19_disjunctive_predicates": R.q19_disjunctive_predicates,
+        "q21_waiting_supplier": R.q21_waiting_supplier,
+        "q22_dormant_customers": R.q22_dormant_customers,
     }
 
 
@@ -2659,6 +2651,24 @@ def oracle_sql() -> dict[str, str]:
             FROM corpus GROUP BY 1
         """,
         "dedup_ngram_jaccard_pairs": f"""
+            WITH {_PLANT_TAIL}, {_SHINGLES},
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+              FROM sids a JOIN sids b
+                ON a.sid = b.sid AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b,
+                   round(inter / (sa.sz + sb.sz - inter), 4) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE round(inter / (sa.sz + sb.sz - inter), 4) >= 0.5
+        """,
+        # r10 AllPairs/PPJoin: the prefix filter is LOSSLESS, so the
+        # oracle is the same naive exact-Jaccard join as the full
+        # inverted-index operator — equality IS the correctness claim
+        "dedup_prefix_filter_pairs": f"""
             WITH {_PLANT_TAIL}, {_SHINGLES},
             inter AS (
               SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter

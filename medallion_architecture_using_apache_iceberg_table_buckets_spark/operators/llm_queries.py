@@ -55,6 +55,21 @@ def dedup_minhash_lsh_pairs(spark, sf_dir):
     return D.minhash_lsh_pairs(corpus, threshold=0.5)
 
 
+def dedup_prefix_filter_pairs(spark, sf_dir):
+    """EXACT Jaccard pairs via PREFIX FILTERING
+    (dedup.prefix_filter_pairs — the AllPairs/PPJoin candidate
+    generator, r10): each doc's globally-rarest |d|-ceil(t|d|)+1
+    shingles are its prefix; candidates come from the prefix join +
+    length filter, then exact verification. LOSSLESS, so the oracle
+    is the naive exact-Jaccard join — identical results to
+    dedup_ngram_jaccard_pairs through a candidate volume dominated by
+    the inverted index's SMALLEST buckets instead of its largest."""
+    corpus = _planted(
+        spark, sf_dir, 30, lambda t: F.concat(t, F.lit(" extra token tail"))
+    )
+    return D.prefix_filter_pairs(corpus, threshold=0.5)
+
+
 def dedup_keep_list(spark, sf_dir):
     """End-to-end near-dup dedup decision: MinHash-LSH pairs -> keep
     the smallest id of each duplicate group; returns survivors."""

@@ -2280,3 +2280,57 @@ def test_gif_interlace_and_local_palette_round_trip():
 
     with _pytest.raises(ValueError):
         decode_gif(cut)
+
+
+def test_prefix_filter_equals_full_join(spark, sf_dir):
+    """The AllPairs/PPJoin prefix filter is LOSSLESS: on the planted
+    near-dup corpus its output is row-identical to the full
+    inverted-index exact-Jaccard join."""
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        prefix_filter_pairs,
+    )
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators.llm_queries import (
+        _planted,
+    )
+    import pyspark.sql.functions as SF
+
+    corpus = _planted(
+        spark, sf_dir, 30, lambda t: SF.concat(t, SF.lit(" extra token tail"))
+    )
+    full = sorted(
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in ngram_jaccard_pairs(corpus, threshold=0.5).collect()
+    )
+    pf = sorted(
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in prefix_filter_pairs(corpus, threshold=0.5).collect()
+    )
+    assert pf == full and len(full) >= 30  # every plant found
+
+
+def test_prefix_filter_threshold_edges(spark):
+    """Prefix length and length-filter edges: t=1.0 degenerates to
+    exact set equality (prefix = 1 rarest shingle), and disjoint or
+    below-threshold docs yield nothing."""
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators.dedup import (
+        prefix_filter_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "aa bb cc dd ee ff gg hh"),
+            (2, "aa bb cc dd ee ff gg hh"),          # exact dup of 1
+            (3, "aa bb cc dd ee zz yy xx"),          # partial overlap
+            (4, "qq ww rr tt uu ii oo pp"),          # disjoint
+        ],
+        "doc_id long, text string",
+    )
+    eq = prefix_filter_pairs(df, threshold=1.0).collect()
+    assert [(r["doc_a"], r["doc_b"], r["jaccard"]) for r in eq] == [
+        (1, 2, 1.0)
+    ]
+    half = {(r["doc_a"], r["doc_b"]) for r in
+            prefix_filter_pairs(df, threshold=0.2).collect()}
+    assert (1, 2) in half and (1, 3) in half and (2, 3) in half
+    assert not any(4 in p for p in half)

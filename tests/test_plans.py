@@ -411,6 +411,9 @@ def test_brute_baselines_are_the_only_all_pairs_plans(spark, sf_dir):
     # its job is to measure the approximate variants against them
     SKIP = {
         "dedup_components",
+        # same iterative min-label closure as dedup_components, fed by
+        # the winnowing pair graph instead of MinHash
+        "dedup_winnowing_components",
         "ann_ivf_topk",
         "curation_end_to_end",
         "ann_recall_at_k",
