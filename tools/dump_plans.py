@@ -529,9 +529,14 @@ def llm_queries_section():
         ),
         "events_user_ltv_deciles": (
             R.events_user_ltv_deciles,
-            "User-keyed revenue agg, then ntile over the USER frame "
-            "(one row per user; deterministic total order); decile "
-            "rollup is 10 rows.",
+            "r10 DISTRIBUTED RANK rewrite: range repartition on "
+            "(rev desc, user_id), pid-PARTITIONED row_number + "
+            "broadcast cumulative offsets; the only SinglePartition "
+            "window is the <= #shuffle-partitions counts frame. "
+            "ntile math derived integer-exactly from (rank, n); the "
+            "agg+range exchange is ReuseExchange-deduplicated at "
+            "runtime. Plan fence: "
+            "test_ltv_deciles_window_is_partitioned.",
         ),
         "corpus_heaps_law": (
             L.corpus_heaps_law,
@@ -570,6 +575,32 @@ def llm_queries_section():
             "Adam7 chain: map-only synth + decode stages (Arrow "
             "mapInPandas); the position-weighted checksum is "
             "computed inside the decode batch — zero exchanges.",
+        ),
+        # round-10 additions
+        "dedup_exact_substr_self": (
+            L.dedup_exact_substr_self,
+            "Unified cross+self ExactSubstr removal: the cross-doc "
+            "diagonal runs plus a WITHIN-doc self-join at repeat "
+            "distance pos_b - pos_a (same max_df-capped shingle "
+            "table, (doc, distance)-keyed windows), both span "
+            "sources union into ONE doc-keyed interval-union window "
+            "over MATCH spans — never token streams.",
+        ),
+        "dedup_prefix_filter_pairs": (
+            L.dedup_prefix_filter_pairs,
+            "AllPairs/PPJoin: doc-partitioned window selects the "
+            "|d|-ceil(t|d|)+1 globally-RAREST shingles as the "
+            "prefix; candidates come from the prefix equi-join + "
+            "length filter (the inverted index's SMALLEST buckets), "
+            "then pair-keyed exact verification. Lossless — output "
+            "row-identical to the full join.",
+        ),
+        "multimodal_decode_gif_interlaced": (
+            L.multimodal_decode_gif_interlaced,
+            "Interlaced/local-table GIF chain: map-only synth + "
+            "decode (Arrow mapInPandas) with the 4-pass row scatter "
+            "and local-over-global palette inside the batch — zero "
+            "exchanges; the positional checksum pins row order.",
         ),
     }
 

@@ -188,6 +188,15 @@ QUERIES = {
     "dedup_exact_substr_removal": L.dedup_exact_substr_removal,
     "multimodal_decode_png16": L.multimodal_decode_png16,
     "multimodal_decode_png_sub8": L.multimodal_decode_png_sub8,
+    # round-10 additions: the within-doc self-join + unified removal,
+    # winnowing pairs closed to components, interlaced GIF decode,
+    # prefix-filtered exact Jaccard, and the distributed-rank LTV
+    # rewrite (already listed above — its r10 plan replaces the
+    # unpartitioned ntile)
+    "dedup_exact_substr_self": L.dedup_exact_substr_self,
+    "dedup_winnowing_components": L.dedup_winnowing_components,
+    "multimodal_decode_gif_interlaced": L.multimodal_decode_gif_interlaced,
+    "dedup_prefix_filter_pairs": L.dedup_prefix_filter_pairs,
 }
 
 
@@ -385,6 +394,12 @@ def main() -> None:
         # construction: each copy pairs with its own source only)
         "dedup_exact_substr_pairs", "dedup_winnowing_pairs",
         "dedup_exact_substr_removal",
+        # r10: unified removal report rows and winnowing component
+        # rows grow with the planted-dup count; prefix-filter output
+        # is the exact pair set (grows with plants); interlaced GIF
+        # decode is one row per doc
+        "dedup_exact_substr_self", "dedup_winnowing_components",
+        "dedup_prefix_filter_pairs", "multimodal_decode_gif_interlaced",
     }
 
     # embedding-LSH cost is governed by the CANDIDATE-join cardinality
