@@ -1652,9 +1652,15 @@ def events_user_ltv_deciles(spark, sf_dir):
     )
     # Range-partition by the total order, then stamp each row with its
     # physical partition id. spark_partition_id() is nondeterministic-
-    # tagged, so Catalyst cannot push it through the exchange.
+    # tagged, so Catalyst cannot push it through the exchange. The
+    # partition count is EXPLICIT: a bare repartitionByRange would let
+    # AQE coalesce each of the two consumers (offsets branch, rank
+    # branch) independently, and a different coalescing would
+    # desynchronize pid between them — an explicit count is preserved
+    # verbatim by AQE, so both branches see identical pids.
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     ranged = rev.repartitionByRange(
-        F.desc("rev"), F.asc("user_id")
+        n_part, F.desc("rev"), F.asc("user_id")
     ).withColumn("pid", F.spark_partition_id())
     # Per-partition counts -> cumulative offsets + grand total. This
     # frame has at most one row per shuffle partition, so the
