@@ -56,16 +56,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # row on recent code; rotated-out entries stay covered by the full
     # local mirror (tools/check_oracles.py) and pytest.
     #
-    # Round-10 window (positions 1-50, live registry 207 entries):
-    #   1-4   = the four NEW round-10 queries (never driver-checked);
-    #   5     = events_user_ltv_deciles, re-slotted because its code
+    # Round-10 window (positions 1-50, live registry 208 entries):
+    #   1-5   = the five NEW round-10 queries (never driver-checked);
+    #   6     = events_user_ltv_deciles, re-slotted because its code
     #           changed this round (distributed-rank rewrite);
-    #   6-8   = the three r05-vintage entries that slipped the r9
+    #   7-9   = the three r05-vintage entries that slipped the r9
     #           sample (q8_market_share, q15_top_supplier,
     #           text_decontaminate) — the r9 verdict's explicit ask;
-    #   9-50  = the 42 oldest r06-vintage entries in age order.
+    #   10-50 = the 41 oldest r06-vintage entries in age order.
     # After this round no entry's most recent driver row is older
-    # than r07 except the 8 r06-vintage tail leads, which head the
+    # than r07 except the 9 r06-vintage tail leads, which head the
     # r11 window.
     #
     # r11 window plan (execute at round-11 start, AFTER re-counting
@@ -74,33 +74,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   then = any r10-window entry whose driver row did NOT land
     #          green in CORRECTNESS_r10 (expected none — all four r10
     #          additions pre-checked locally at sf0.001 AND sf0.01);
-    #   rest = the 8 remaining r06-vintage tail leads
-    #          (curation_end_to_end .. dedup_ngram_jaccard_pairs),
+    #   rest = the 9 remaining r06-vintage tail leads
+    #          (pack_training_sequences .. dedup_ngram_jaccard_pairs),
     #          then the oldest r07-vintage entries
     #          (multimodal_decode_png ..) in their listed order.
     # Re-count positions so the window is exactly 50; keep inserting
     # new queries right after the newest NEW block.
     return {
         # ======== round-10 driver window (positions 1-50) ========
-        # 1-4: NEW in round 10 (never driver-checked): unified
+        # 1-5: NEW in round 10 (never driver-checked): unified
         # cross+self ExactSubstr removal, winnowing pairs closed to
         # components, interlaced/local-table GIF decode, AllPairs/
-        # PPJoin prefix-filter exact-Jaccard pairs
+        # PPJoin prefix-filter exact-Jaccard pairs, retrieval
+        # hard-negative mining
         "dedup_exact_substr_self": L.dedup_exact_substr_self,
         "dedup_winnowing_components": L.dedup_winnowing_components,
         "multimodal_decode_gif_interlaced": L.multimodal_decode_gif_interlaced,
         "dedup_prefix_filter_pairs": L.dedup_prefix_filter_pairs,
-        # 5: re-slotted — its r10 distributed-rank rewrite (the r9
+        "retrieval_hard_negatives": L.retrieval_hard_negatives,
+        # 6: re-slotted — its r10 distributed-rank rewrite (the r9
         # verdict's partition-safety fix) needs a fresh driver row on
         # the NEW code
         "events_user_ltv_deciles": R.events_user_ltv_deciles,
-        # 6-8: the three r05-vintage entries that slipped the ~50-row
+        # 7-9: the three r05-vintage entries that slipped the ~50-row
         # r9 sample (first in line per the r9 plan and verdict)
         "q8_market_share": R.q8_market_share,
         "q15_top_supplier": R.q15_top_supplier,
         "text_decontaminate": L.text_decontaminate,
-        # 9-50: the 42 oldest r06-vintage entries in age order —
-        # after this round only 8 r06-vintage rows remain (they lead
+        # 10-50: the 41 oldest r06-vintage entries in age order —
+        # after this round only 9 r06-vintage rows remain (they lead
         # the r11 window)
         "q2_min_cost_supplier": R.q2_min_cost_supplier,
         "q9_product_type_profit": R.q9_product_type_profit,
@@ -143,13 +145,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_boilerplate_ngrams": L.text_boilerplate_ngrams,
         "agg_grouping_sets": R.agg_grouping_sets,
         "q12_late_lines_by_status": R.q12_late_lines_by_status,
-        "pack_training_sequences": L.pack_training_sequences,
         # ============ tail (51+) ============
         # refresh-age order so future rotations read off the front:
-        # the 8 remaining r06-vintage entries (next in line for r11),
-        # then the 50 r07-vintage, the 50 r08-vintage, and the 49
+        # the 9 remaining r06-vintage entries (next in line for r11 —
+        # pack_training_sequences leads, displaced from the window
+        # when retrieval_hard_negatives landed at position 5), then
+        # the 50 r07-vintage, the 50 r08-vintage, and the 49
         # r09-refreshed entries (freshest) last.
         # -- last driver-green r06 (r11 window leads) --
+        "pack_training_sequences": L.pack_training_sequences,
         "curation_end_to_end": L.curation_end_to_end,
         "sketch_hll_distinct": L.sketch_hll_distinct,
         "sketch_hll_rollup_merge": L.sketch_hll_rollup_merge,
@@ -2107,6 +2111,33 @@ def _hybrid_oracle(k: int = 10, topn: int = 20, k0: int = 60) -> str:
     FROM fused
     ORDER BY rrf DESC, doc_id ASC
     LIMIT {k}
+    """
+
+
+def _hard_negatives_oracle(topn: int = 20) -> str:
+    """Twin of llm_queries.retrieval_hard_negatives: the IVF-PQ
+    top-``topn`` neighbors of query vec_id=0 anti-joined against the
+    BM25 top-``topn`` lexical positive set, re-ranked by vector rank
+    (a <= topn-row window)."""
+    lex_topn = _bm25_scored_sql() + f"""
+            SELECT doc_id, bm25
+            FROM scored
+            ORDER BY bm25 DESC, doc_id ASC
+            LIMIT {topn}
+    """
+    return f"""
+    WITH lex AS (SELECT doc_id FROM ({lex_topn})),
+    vec AS (
+      SELECT neighbor_id AS doc_id, rnk AS vec_rank
+      FROM ({_ann_ivfpq_oracle(k=topn, rerank=50, q_max=1)})
+    )
+    SELECT v.doc_id,
+           CAST(row_number() OVER (ORDER BY v.vec_rank ASC)
+                AS INTEGER) AS neg_rank,
+           v.vec_rank
+    FROM vec v LEFT JOIN lex ON lex.doc_id = v.doc_id
+    WHERE lex.doc_id IS NULL
+    ORDER BY neg_rank
     """
 
 
@@ -5303,6 +5334,8 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 15
         """,
         "hybrid_bm25_ann_topk": _hybrid_oracle(),
+        # r10: ANN neighbors minus lexical positives (hard negatives)
+        "retrieval_hard_negatives": _hard_negatives_oracle(),
         "multimodal_resize_pixels": """
             WITH dims AS (
               SELECT doc_id,

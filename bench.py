@@ -230,6 +230,8 @@ HEADLINE = {
     "sessionize_events": R.sessionize_events,
     "mor_merge_compact": L.mor_merge_compact,
     "maintenance_procedures": L.maintenance_procedures,
+    "retrieval_hard_negatives": L.retrieval_hard_negatives,
+    "dedup_prefix_filter_pairs": L.dedup_prefix_filter_pairs,
 }
 
 # Registry entries deliberately NOT benched, each with its reason (the

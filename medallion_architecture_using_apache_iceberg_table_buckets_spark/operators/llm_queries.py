@@ -1264,6 +1264,44 @@ def hybrid_bm25_ann_topk(spark, sf_dir):
     return rrf_fuse([("lex", lex), ("vec", vec)], k=HYBRID_K)
 
 
+def retrieval_hard_negatives(spark, sf_dir):
+    """HARD-NEGATIVE MINING for retrieval-model training (r10 — the
+    training-data op behind DPR/contrastive fine-tuning, Karpukhin et
+    al. 2020's BM25-negatives recipe inverted): the query's ANN
+    neighbors (IVF-PQ top-N, the semantically-closest candidates)
+    that are NOT in its lexical positive set (BM25 top-N) — exactly
+    the near-miss documents a contrastive loss needs. Composes the
+    two audited retrieval branches unchanged; the mining itself is
+    ONE left-anti join of two N-row lists plus a bounded re-rank
+    window (<= N rows) — no new corpus-sized shuffle at any scale."""
+    from .similarity import cosine_topk_ivfpq
+
+    docs = _docs(spark, sf_dir)
+    emb = load(spark, sf_dir, "embeddings")
+    lex = TX.bm25_topk(docs, HYBRID_TERMS, k=HYBRID_TOPN).select("doc_id")
+    vec = cosine_topk_ivfpq(
+        emb,
+        emb.filter(F.col("vec_id") == HYBRID_QUERY_VEC),
+        k=HYBRID_TOPN,
+        n_centroids=16,
+        nprobe=4,
+        n_subspaces=8,
+        rerank=50,
+    ).select(
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rnk").alias("vec_rank"),
+    )
+    negs = vec.join(lex, "doc_id", "left_anti")
+    return negs.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.asc("vec_rank")))
+        .cast("int")
+        .alias("neg_rank"),
+        "vec_rank",
+    ).orderBy("neg_rank")
+
+
 def bpe_vocab_merges(spark, sf_dir):
     """Distributed BPE vocabulary induction (operators/bpe.py,
     arXiv:1508.07909): 6 merge rounds over the documents corpus's

@@ -336,6 +336,10 @@ def test_brute_baselines_are_the_only_all_pairs_plans(spark, sf_dir):
         # IVF-PQ's seeding scalar; the fusion itself is a keyed
         # full-outer join of two k-sized lists
         "hybrid_bm25_ann_topk",
+        # hard-negative mining: the same two branches as hybrid
+        # fusion (BM25 stats scalar + IVF-PQ seeding scalar); the
+        # mining is a left-anti join of two k-sized lists
+        "retrieval_hard_negatives",
         # residual IVF-PQ: same 1-row seeding-step scalar +
         # centroid-count broadcasts as ann_ivfpq_topk; the residual
         # qc/cross tables are nprobe- and codebook-sized broadcasts
