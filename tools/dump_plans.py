@@ -613,6 +613,28 @@ def main() -> None:
            "Auto-generated by `tools/dump_plans.py` at sf0.001. The notes",
            "call out the property each plan must keep at 100 TB.",
            "",
+           "## Bench-environment note (r10)",
+           "",
+           "Builder run on the r10 box (probe 78.3 ms,",
+           "BENCH_r10_builder_local.json, 165 queries, 292.0 s total):",
+           "the anchored r01 data-path subset is 11.15 s (0.541x the",
+           "20.605 s baseline — flat vs r9's 11.06 s). The +80 s",
+           "headline delta decomposes as +25.9 s from the 8 newly",
+           "benched queries and ~+54 s spread thinly across 157",
+           "unchanged queries on a slower box session (probe 74.7 ->",
+           "78.3 ms; total spread 56.8 -> 85.7 s). Only two rows trip",
+           "the >1.5x & >1 s flag, both code-untouched with identical",
+           "n_jobs: ann_ivf_topk 2.85 -> 4.61 s (its own run spread is",
+           "4.3 s — noise wider than the delta) and",
+           "tokenizer_wordpiece_encode 2.84 -> 4.48 s (71 jobs,",
+           "scheduling-bound; solo min-of-3 re-times reproduce the r10",
+           "number on an idle box, so it is the session, not load or",
+           "code). The flat data-path anchor is the adjudicator. The",
+           "five r10 queries land at 0.8-7.1 s each; the most",
+           "expensive (retrieval_hard_negatives 7.1 s) is an IVF-PQ",
+           "training + BM25 branch pair, both already in the cost",
+           "table solo.",
+           "",
            "## Bench-environment note (r9)",
            "",
            "Builder run on the r9 box (probe 74.7 ms,",

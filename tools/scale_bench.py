@@ -197,6 +197,7 @@ QUERIES = {
     "dedup_winnowing_components": L.dedup_winnowing_components,
     "multimodal_decode_gif_interlaced": L.multimodal_decode_gif_interlaced,
     "dedup_prefix_filter_pairs": L.dedup_prefix_filter_pairs,
+    "retrieval_hard_negatives": L.retrieval_hard_negatives,
 }
 
 
