@@ -2696,9 +2696,9 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = doc_b
             WHERE round(inter / (sa.sz + sb.sz - inter), 4) >= 0.5
         """,
-        # r10 AllPairs/PPJoin: the prefix filter is LOSSLESS, so the
-        # oracle is the same naive exact-Jaccard join as the full
-        # inverted-index operator — equality IS the correctness claim
+        # r10 AllPairs/PPJoin: the prefix + positional filters are
+        # LOSSLESS, so the oracle is the naive exact-Jaccard join at
+        # the same t=0.8 — equality IS the correctness claim
         "dedup_prefix_filter_pairs": f"""
             WITH {_PLANT_TAIL}, {_SHINGLES},
             inter AS (
@@ -2712,7 +2712,7 @@ def oracle_sql() -> dict[str, str]:
             FROM inter
             JOIN sizes sa ON sa.doc_id = doc_a
             JOIN sizes sb ON sb.doc_id = doc_b
-            WHERE round(inter / (sa.sz + sb.sz - inter), 4) >= 0.5
+            WHERE round(inter / (sa.sz + sb.sz - inter), 4) >= 0.8
         """,
         "dedup_minhash_lsh_pairs": f"""
             WITH {_PLANT_TAIL}, {_SHINGLES},

@@ -171,17 +171,30 @@ def prefix_filter_pairs(
     MUST share a prefix shingle — the filter is LOSSLESS (the verify
     step sees every true pair; ``test_prefix_filter_equals_full_join``
     asserts output equality with the full join). Candidates also pass
-    the length filter ``min(|a|,|b|) >= t * max(|a|,|b|)``.
+    the length filter ``min(|a|,|b|) >= t * max(|a|,|b|)`` and
+    PPJoin's POSITIONAL filter: a shared prefix shingle at ranks
+    (i, j) bounds the overlap by ``1 + min(|a|-i, |b|-j)``, which
+    must reach ``alpha = ceil(t/(1+t) * (|a|+|b|))`` (the first
+    common token in the global order sits in both prefixes, so a
+    true pair always survives through that row — still lossless;
+    the ceil argument is relaxed by 1e-9 so FP rounding can only
+    ADMIT a candidate, never drop a true pair).
 
-    100 TB plan: the candidate join touches only prefix tokens —
-    at t=0.5 about half of each set, and the RAREST half, so the
-    per-token fan-out is the inverted index's smallest buckets; the
-    frequent shingles that dominate the full join's candidate volume
-    never enter it (the frequency-order trick that makes AllPairs
-    beat the naive index at scale, no max_df approximation needed).
-    Per-doc prefix selection is a doc-partitioned window; document
-    frequency is one shingle-keyed agg; verification joins are
-    pair-keyed. Nothing all-pairs, nothing corpus-wide.
+    100 TB plan AND regime: the candidate join touches only prefix
+    tokens — ``(1-t)*|d| + 1`` of them, the RAREST ones — so the
+    per-token fan-out is the inverted index's smallest buckets. The
+    filter's power is proportional to t: at t >= ~0.8 (the
+    high-similarity mining AllPairs/PPJoin was built for) prefixes
+    are ~20% of each set and candidates collapse toward the true
+    pair count; at t ~0.5 on a vocabulary-dense corpus the prefix is
+    half the set and candidate volume approaches the naive join's
+    (measured 39x at a 10x step-up at t=0.5 before the positional
+    filter and regime note — BENCH_SCALE_r10) — there, use
+    :func:`ngram_jaccard_pairs` (group-then-verify, no per-pair
+    set join) or MinHash-LSH instead. Per-doc prefix selection is a
+    doc-partitioned window; document frequency is one shingle-keyed
+    agg; verification joins are pair-keyed. Nothing all-pairs,
+    nothing corpus-wide.
     """
     from pyspark.sql import Window
 
@@ -202,8 +215,13 @@ def prefix_filter_pairs(
     prefix = ranked.filter(
         F.col("rnk")
         <= F.col("set_size") - F.ceil(F.lit(t) * F.col("set_size")) + 1
-    ).select("doc_id", "shingle", "set_size")
+    ).select("doc_id", "shingle", "set_size", "rnk")
     a, b = prefix.alias("a"), prefix.alias("b")
+    alpha = F.ceil(
+        F.lit(t / (1.0 + t))
+        * (F.col("a.set_size") + F.col("b.set_size"))
+        - F.lit(1e-9)
+    )
     cand = (
         a.join(
             b,
@@ -213,6 +231,14 @@ def prefix_filter_pairs(
                 F.least(F.col("a.set_size"), F.col("b.set_size"))
                 >= F.lit(t)
                 * F.greatest(F.col("a.set_size"), F.col("b.set_size"))
+            )
+            & (
+                F.lit(1)
+                + F.least(
+                    F.col("a.set_size") - F.col("a.rnk"),
+                    F.col("b.set_size") - F.col("b.rnk"),
+                )
+                >= alpha
             ),
         )
         .select(

@@ -58,16 +58,19 @@ def dedup_minhash_lsh_pairs(spark, sf_dir):
 def dedup_prefix_filter_pairs(spark, sf_dir):
     """EXACT Jaccard pairs via PREFIX FILTERING
     (dedup.prefix_filter_pairs — the AllPairs/PPJoin candidate
-    generator, r10): each doc's globally-rarest |d|-ceil(t|d|)+1
-    shingles are its prefix; candidates come from the prefix join +
-    length filter, then exact verification. LOSSLESS, so the oracle
-    is the naive exact-Jaccard join — identical results to
-    dedup_ngram_jaccard_pairs through a candidate volume dominated by
-    the inverted index's SMALLEST buckets instead of its largest."""
+    generator, r10) at the algorithm's home regime t=0.8: each doc's
+    globally-rarest |d|-ceil(t|d|)+1 shingles (~20% at this
+    threshold) are its prefix; candidates come from the prefix join
+    + length filter + PPJoin positional filter, then exact
+    verification. LOSSLESS, so the oracle is the naive exact-Jaccard
+    join at the same threshold. High-similarity mining is where the
+    filter collapses candidates toward the true pair count; the
+    operator docstring records the measured low-threshold regime
+    boundary (use the inverted-index or MinHash path below ~0.6)."""
     corpus = _planted(
         spark, sf_dir, 30, lambda t: F.concat(t, F.lit(" extra token tail"))
     )
-    return D.prefix_filter_pairs(corpus, threshold=0.5)
+    return D.prefix_filter_pairs(corpus, threshold=0.8)
 
 
 def dedup_keep_list(spark, sf_dir):

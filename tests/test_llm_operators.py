@@ -2283,9 +2283,12 @@ def test_gif_interlace_and_local_palette_round_trip():
 
 
 def test_prefix_filter_equals_full_join(spark, sf_dir):
-    """The AllPairs/PPJoin prefix filter is LOSSLESS: on the planted
-    near-dup corpus its output is row-identical to the full
-    inverted-index exact-Jaccard join."""
+    """The AllPairs/PPJoin prefix + positional filters are LOSSLESS:
+    on the planted near-dup corpus the output is row-identical to the
+    full inverted-index exact-Jaccard join — at the home-regime
+    t=0.8 AND at the adversarial low threshold t=0.5 (where the
+    positional filter does the most pruning and a soundness bug
+    would drop true pairs)."""
     from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators.dedup import (
         ngram_jaccard_pairs,
         prefix_filter_pairs,
@@ -2298,15 +2301,17 @@ def test_prefix_filter_equals_full_join(spark, sf_dir):
     corpus = _planted(
         spark, sf_dir, 30, lambda t: SF.concat(t, SF.lit(" extra token tail"))
     )
-    full = sorted(
-        (r["doc_a"], r["doc_b"], r["jaccard"])
-        for r in ngram_jaccard_pairs(corpus, threshold=0.5).collect()
-    )
-    pf = sorted(
-        (r["doc_a"], r["doc_b"], r["jaccard"])
-        for r in prefix_filter_pairs(corpus, threshold=0.5).collect()
-    )
-    assert pf == full and len(full) >= 30  # every plant found
+    for t in (0.8, 0.5):
+        full = sorted(
+            (r["doc_a"], r["doc_b"], r["jaccard"])
+            for r in ngram_jaccard_pairs(corpus, threshold=t).collect()
+        )
+        pf = sorted(
+            (r["doc_a"], r["doc_b"], r["jaccard"])
+            for r in prefix_filter_pairs(corpus, threshold=t).collect()
+        )
+        assert pf == full, f"threshold {t}"
+        assert len(full) >= 30  # every plant found
 
 
 def test_prefix_filter_threshold_edges(spark):

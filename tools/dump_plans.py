@@ -602,6 +602,13 @@ def llm_queries_section():
             "and local-over-global palette inside the batch — zero "
             "exchanges; the positional checksum pins row order.",
         ),
+        "retrieval_hard_negatives": (
+            L.retrieval_hard_negatives,
+            "Hard-negative mining: the audited BM25 and IVF-PQ "
+            "branches unchanged, then ONE left-anti join of two "
+            "k-row lists + a <= k-row re-rank window — no new "
+            "corpus-sized shuffle.",
+        ),
     }
 
 

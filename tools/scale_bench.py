@@ -533,6 +533,16 @@ def main() -> None:
             "the interval-union window runs over MATCH spans, not "
             "tokens — factor tracks the pair row"
         ),
+        "dedup_prefix_filter_pairs": (
+            "AllPairs/PPJoin at its home regime t=0.8: prefix + "
+            "positional filters keep candidates near the true pair "
+            "count, factor < rows_factor = sublinear. The t=0.5 "
+            "first measurement (39x, r10 working log) is the "
+            "documented low-threshold regime boundary — prefixes "
+            "cover half of each set there and the per-pair verify "
+            "goes candidate-bound; the operator docstring routes "
+            "low thresholds to ngram_jaccard_pairs/MinHash"
+        ),
     }
 
     # optional subset: argv[2:] names re-run and merge into argv[1]'s
