@@ -57,15 +57,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # local mirror (tools/check_oracles.py) and pytest.
     #
     # Round-10 window (positions 1-50, live registry 208 entries):
-    #   1-5   = the five NEW round-10 queries (never driver-checked);
-    #   6     = events_user_ltv_deciles, re-slotted because its code
+    #   1-6   = the six NEW round-10 queries (never driver-checked);
+    #   7     = events_user_ltv_deciles, re-slotted because its code
     #           changed this round (distributed-rank rewrite);
-    #   7-9   = the three r05-vintage entries that slipped the r9
+    #   8-10  = the three r05-vintage entries that slipped the r9
     #           sample (q8_market_share, q15_top_supplier,
     #           text_decontaminate) — the r9 verdict's explicit ask;
-    #   10-50 = the 41 oldest r06-vintage entries in age order.
+    #   11-50 = the 40 oldest r06-vintage entries in age order.
     # After this round no entry's most recent driver row is older
-    # than r07 except the 9 r06-vintage tail leads, which head the
+    # than r07 except the 10 r06-vintage tail leads, which head the
     # r11 window.
     #
     # r11 window plan (execute at round-11 start, AFTER re-counting
@@ -74,35 +74,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   then = any r10-window entry whose driver row did NOT land
     #          green in CORRECTNESS_r10 (expected none — all four r10
     #          additions pre-checked locally at sf0.001 AND sf0.01);
-    #   rest = the 9 remaining r06-vintage tail leads
-    #          (pack_training_sequences .. dedup_ngram_jaccard_pairs),
+    #   rest = the 10 remaining r06-vintage tail leads
+    #          (q12_late_lines_by_status .. dedup_ngram_jaccard_pairs),
     #          then the oldest r07-vintage entries
     #          (multimodal_decode_png ..) in their listed order.
     # Re-count positions so the window is exactly 50; keep inserting
     # new queries right after the newest NEW block.
     return {
         # ======== round-10 driver window (positions 1-50) ========
-        # 1-5: NEW in round 10 (never driver-checked): unified
+        # 1-6: NEW in round 10 (never driver-checked): unified
         # cross+self ExactSubstr removal, winnowing pairs closed to
         # components, interlaced/local-table GIF decode, AllPairs/
         # PPJoin prefix-filter exact-Jaccard pairs, retrieval
-        # hard-negative mining
+        # hard-negative mining, and the apply step producing the
+        # deduplicated text itself
         "dedup_exact_substr_self": L.dedup_exact_substr_self,
+        "dedup_exact_substr_apply": L.dedup_exact_substr_apply,
         "dedup_winnowing_components": L.dedup_winnowing_components,
         "multimodal_decode_gif_interlaced": L.multimodal_decode_gif_interlaced,
         "dedup_prefix_filter_pairs": L.dedup_prefix_filter_pairs,
         "retrieval_hard_negatives": L.retrieval_hard_negatives,
-        # 6: re-slotted — its r10 distributed-rank rewrite (the r9
+        # 7: re-slotted — its r10 distributed-rank rewrite (the r9
         # verdict's partition-safety fix) needs a fresh driver row on
         # the NEW code
         "events_user_ltv_deciles": R.events_user_ltv_deciles,
-        # 7-9: the three r05-vintage entries that slipped the ~50-row
+        # 8-10: the three r05-vintage entries that slipped the ~50-row
         # r9 sample (first in line per the r9 plan and verdict)
         "q8_market_share": R.q8_market_share,
         "q15_top_supplier": R.q15_top_supplier,
         "text_decontaminate": L.text_decontaminate,
-        # 10-50: the 41 oldest r06-vintage entries in age order —
-        # after this round only 9 r06-vintage rows remain (they lead
+        # 11-50: the 40 oldest r06-vintage entries in age order —
+        # after this round only 10 r06-vintage rows remain (they lead
         # the r11 window)
         "q2_min_cost_supplier": R.q2_min_cost_supplier,
         "q9_product_type_profit": R.q9_product_type_profit,
@@ -144,15 +146,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_rank_functions": R.window_rank_functions,
         "text_boilerplate_ngrams": L.text_boilerplate_ngrams,
         "agg_grouping_sets": R.agg_grouping_sets,
-        "q12_late_lines_by_status": R.q12_late_lines_by_status,
         # ============ tail (51+) ============
         # refresh-age order so future rotations read off the front:
-        # the 9 remaining r06-vintage entries (next in line for r11 —
-        # pack_training_sequences leads, displaced from the window
-        # when retrieval_hard_negatives landed at position 5), then
+        # the 10 remaining r06-vintage entries (next in line for r11
+        # — q12_late_lines_by_status and pack_training_sequences
+        # lead, displaced from the window as the r10 additions landed
+        # at the front), then
         # the 50 r07-vintage, the 50 r08-vintage, and the 49
         # r09-refreshed entries (freshest) last.
         # -- last driver-green r06 (r11 window leads) --
+        "q12_late_lines_by_status": R.q12_late_lines_by_status,
         "pack_training_sequences": L.pack_training_sequences,
         "curation_end_to_end": L.curation_end_to_end,
         "sketch_hll_distinct": L.sketch_hll_distinct,
@@ -3627,6 +3630,129 @@ def oracle_sql() -> dict[str, str]:
                    z.n_tokens - r.n_removed AS n_kept
             FROM rem r JOIN sz z USING (doc_id)
             ORDER BY r.doc_id
+        """,
+        # r10 PRODUCE step: same span pipeline as _self, then merged
+        # intervals -> positioned-token anti-join -> ordered
+        # string_agg of the surviving normalized tokens
+        "dedup_exact_substr_apply": f"""
+            WITH plantsrc AS (
+              SELECT doc_id,
+                     string_split({_NORM.format(t='text')}, ' ') AS w
+              FROM documents WHERE doc_id < 10
+            ),
+            corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 100000 AS doc_id,
+                     'zz plant prefix qq ' ||
+                     array_to_string(w[6:25], ' ') ||
+                     ' mm filler middle nn ' ||
+                     array_to_string(w[6:25], ' ') ||
+                     ' zz plant suffix qq' AS text
+              FROM plantsrc
+            ),
+            norm AS (
+              SELECT doc_id,
+                     string_split({_NORM.format(t='text')}, ' ') AS w
+              FROM corpus
+            ),
+            sh0 AS (
+              SELECT doc_id, s.pos AS pos, s.gid AS gid FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(w) - 6),
+                         i -> struct_pack(pos := i,
+                           gid := {_TOKEN_ID.format(
+                               t="array_to_string(w[i:i+7], ' ')")})))
+                         AS s
+                FROM norm)
+            ),
+            keepg AS (
+              SELECT gid FROM sh0 GROUP BY gid HAVING count(*) <= 32
+            ),
+            sh AS (SELECT sh0.* FROM sh0 JOIN keepg USING (gid)),
+            xseeds AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     a.pos AS pos_a, b.pos AS pos_b
+              FROM sh a JOIN sh b
+                ON a.gid = b.gid AND a.doc_id < b.doc_id
+            ),
+            xisl AS (
+              SELECT doc_a, doc_b, pos_a - pos_b AS diag, pos_b,
+                     pos_a - row_number() OVER (
+                       PARTITION BY doc_a, doc_b, pos_a - pos_b
+                       ORDER BY pos_a) AS island
+              FROM xseeds
+            ),
+            xruns AS (
+              SELECT doc_b AS doc_id,
+                     CAST(count(*) + 7 AS BIGINT) AS match_tokens,
+                     CAST(min(pos_b) AS BIGINT) AS start_b
+              FROM xisl GROUP BY doc_a, doc_b, diag, island
+            ),
+            sseeds AS (
+              SELECT a.doc_id AS doc_id,
+                     a.pos AS pos_a, b.pos AS pos_b
+              FROM sh a JOIN sh b
+                ON a.gid = b.gid AND a.doc_id = b.doc_id
+                   AND a.pos < b.pos
+            ),
+            sisl AS (
+              SELECT doc_id, pos_b - pos_a AS diag, pos_b,
+                     pos_a - row_number() OVER (
+                       PARTITION BY doc_id, pos_b - pos_a
+                       ORDER BY pos_a) AS island
+              FROM sseeds
+            ),
+            sruns AS (
+              SELECT doc_id,
+                     CAST(count(*) + 7 AS BIGINT) AS match_tokens,
+                     CAST(min(pos_b) AS BIGINT) AS start_b
+              FROM sisl GROUP BY doc_id, diag, island
+            ),
+            sp AS (
+              SELECT DISTINCT doc_id, start_b AS s,
+                     start_b + match_tokens - 1 AS e
+              FROM (SELECT * FROM xruns UNION ALL SELECT * FROM sruns)
+              WHERE match_tokens >= 15
+            ),
+            mk AS (
+              SELECT doc_id, s, e,
+                     max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING) AS prev_max_e
+              FROM sp
+            ),
+            ivl AS (
+              SELECT doc_id, s, e,
+                     sum(CASE WHEN prev_max_e IS NULL
+                                   OR s > prev_max_e + 1
+                              THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY s, e
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS iv
+              FROM mk
+            ),
+            mg AS (
+              SELECT doc_id, iv, min(s) AS ms, max(e) AS me
+              FROM ivl GROUP BY 1, 2
+            ),
+            toks AS (
+              SELECT doc_id, s.pos AS pos, s.tok AS tok FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(w) + 1),
+                         i -> struct_pack(pos := i, tok := w[i]))) AS s
+                FROM norm)
+            ),
+            keptt AS (
+              SELECT t.* FROM toks t
+              WHERE NOT EXISTS (
+                SELECT 1 FROM mg
+                WHERE mg.doc_id = t.doc_id
+                  AND t.pos BETWEEN mg.ms AND mg.me)
+            )
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                   string_agg(tok, ' ' ORDER BY pos) AS kept_text
+            FROM keptt GROUP BY doc_id ORDER BY doc_id
         """,
         # MOSS's dedup application: distinct winnowed hashes per doc,
         # stop-hash cap 32, fp equi-join, >= 2 shared

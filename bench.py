@@ -232,6 +232,7 @@ HEADLINE = {
     "maintenance_procedures": L.maintenance_procedures,
     "retrieval_hard_negatives": L.retrieval_hard_negatives,
     "dedup_prefix_filter_pairs": L.dedup_prefix_filter_pairs,
+    "dedup_exact_substr_apply": L.dedup_exact_substr_apply,
 }
 
 # Registry entries deliberately NOT benched, each with its reason (the

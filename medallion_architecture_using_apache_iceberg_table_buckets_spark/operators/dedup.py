@@ -1507,24 +1507,14 @@ def _positioned_shingles(
     return sh
 
 
-def _interval_removal_report(
-    spans: DataFrame, sizes: DataFrame
-) -> DataFrame:
-    """Interval-union removal accounting shared by the cross-document
-    and within-document ExactSubstr APPLY steps: merge overlapping or
-    adjacent ``(doc_id, s, e)`` cut spans (1-based inclusive token
-    positions) per document, then report per affected doc the token
-    count before, the merged span count, tokens removed, and tokens
-    kept. ``sizes`` supplies ``(doc_id, n_tokens)``.
-
-    DISTINCT on the spans is load-bearing, not an optimization: two
-    different sources can contribute the IDENTICAL (s, e) span, and
-    with tied keys the two window passes (prev-max, then running
-    island sum) may order the peers DIFFERENTLY — splitting one
-    merged interval into two and double-counting the cut. After
-    DISTINCT the (s, e) order is total per doc, so both windows see
-    the same sequence in every engine. Both windows partition by
-    doc_id — rows here are match SPANS, never token streams."""
+def _merged_intervals(spans: DataFrame) -> DataFrame:
+    """Union of ``(doc_id, s, e)`` cut spans (1-based inclusive) into
+    maximal merged intervals ``(doc_id, ms, me)`` — overlapping OR
+    adjacent spans coalesce. Classic prev-max gaps-and-islands over
+    doc-partitioned windows; input rows are match SPANS, never token
+    streams. DISTINCT first so tied (s, e) keys cannot order
+    differently between the two window passes (see
+    :func:`_interval_removal_report`'s docstring)."""
     from pyspark.sql import Window
 
     spans = spans.select("doc_id", "s", "e").distinct()
@@ -1533,7 +1523,7 @@ def _interval_removal_report(
         .orderBy("s", "e")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    merged = (
+    return (
         spans.withColumn("prev_max_e", F.max("e").over(w_prev))
         .withColumn(
             "new_iv",
@@ -1552,11 +1542,33 @@ def _interval_removal_report(
         )
         .groupBy("doc_id", "iv")
         .agg(
-            (F.max("e") - F.min("s") + 1).cast("long").alias("cut_len")
+            F.min("s").cast("long").alias("ms"),
+            F.max("e").cast("long").alias("me"),
         )
     )
+
+
+def _interval_removal_report(
+    spans: DataFrame, sizes: DataFrame
+) -> DataFrame:
+    """Interval-union removal accounting shared by the cross-document
+    and within-document ExactSubstr APPLY steps: merge overlapping or
+    adjacent ``(doc_id, s, e)`` cut spans (1-based inclusive token
+    positions) per document, then report per affected doc the token
+    count before, the merged span count, tokens removed, and tokens
+    kept. ``sizes`` supplies ``(doc_id, n_tokens)``.
+
+    DISTINCT on the spans is load-bearing, not an optimization: two
+    different sources can contribute the IDENTICAL (s, e) span, and
+    with tied keys the two window passes (prev-max, then running
+    island sum) may order the peers DIFFERENTLY — splitting one
+    merged interval into two and double-counting the cut. After
+    DISTINCT the (s, e) order is total per doc, so both windows see
+    the same sequence in every engine. Both windows partition by
+    doc_id — rows here are match SPANS, never token streams."""
+    merged = _merged_intervals(spans)
     removed = merged.groupBy("doc_id").agg(
-        F.sum("cut_len").cast("long").alias("n_removed"),
+        F.sum(F.col("me") - F.col("ms") + 1).cast("long").alias("n_removed"),
         F.count("*").cast("long").alias("n_spans"),
     )
     return removed.join(sizes, "doc_id").select(
@@ -1702,11 +1714,34 @@ def exact_substring_dedup(
     not tokens) plus two bounded hash-aggs — the interval-merge
     never touches the token stream.
     """
+    spans = _exact_substring_cut_spans(
+        df, text_col, id_col, k, min_match_tokens, max_df, include_self
+    )
+    sizes = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(words(text_col)).cast("long").alias("n_tokens"),
+    )
+    return _interval_removal_report(spans, sizes)
+
+
+def _exact_substring_cut_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+    min_match_tokens: int,
+    max_df: int | None,
+    include_self: bool,
+) -> DataFrame:
+    """Cut spans ``(doc_id, s, e)`` (1-based inclusive token
+    positions) of every LATER copy: cross-document runs cut in the
+    larger-id doc; with ``include_self`` the within-doc runs cut
+    their later occurrence too. Shared by the removal REPORT
+    (:func:`exact_substring_dedup`) and the text APPLY
+    (:func:`exact_substring_apply`)."""
     runs = _exact_substring_runs(
         df, text_col, id_col, k, min_match_tokens, max_df
     )
-    # span to cut, in the LATER doc's token coordinates (1-based,
-    # inclusive)
     spans = runs.select(
         F.col("doc_b").alias("doc_id"),
         F.col("start_b").alias("s"),
@@ -1725,11 +1760,65 @@ def exact_substring_dedup(
                 ).alias("e"),
             )
         )
-    sizes = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.size(words(text_col)).cast("long").alias("n_tokens"),
+    return spans
+
+
+def exact_substring_apply(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_match_tokens: int = 15,
+    max_df: int | None = 32,
+    include_self: bool = True,
+) -> DataFrame:
+    """PRODUCE the deduplicated corpus — the step after the removal
+    report: cut every later-copy token span (cross-document, plus
+    within-document with ``include_self``) out of the NORMALIZED
+    token stream and reassemble each document's surviving text. The
+    output is what a training pipeline actually feeds the tokenizer
+    after ExactSubstr dedup (Lee et al. 2022 apply their suffix-array
+    spans the same way); the report operators only say HOW MUCH this
+    step would cut.
+
+    Returns ``doc_id, n_kept, kept_text`` for every document with at
+    least one surviving token (a fully-cut document disappears, like
+    an empty one). ``kept_text`` is the space-joined surviving
+    NORMALIZED tokens — the same token stream the match detection ran
+    on, so cuts land exactly on the reported spans.
+
+    100 TB plan: merged intervals come from doc-keyed windows over
+    MATCH spans; the cut itself is one doc-keyed left-anti join of
+    the positioned token stream against the merged intervals (equi on
+    doc_id, the s<=pos<=e range as a join residual — per-token
+    fan-out bounded by intervals-per-doc); reassembly is a per-doc
+    aggregate (array_sort over the doc's own tokens, JVM-side). No
+    corpus-wide window, no driver data."""
+    spans = _exact_substring_cut_spans(
+        df, text_col, id_col, k, min_match_tokens, max_df, include_self
     )
-    return _interval_removal_report(spans, sizes)
+    merged = _merged_intervals(spans)
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(words(text_col)).alias("pos0", "tok"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    kept = toks.join(
+        merged,
+        (toks["doc_id"] == merged["doc_id"])
+        & (toks["pos"] >= merged["ms"])
+        & (toks["pos"] <= merged["me"]),
+        "left_anti",
+    )
+    return kept.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("kept_text"),
+    )
 
 
 def _exact_substring_self_runs(

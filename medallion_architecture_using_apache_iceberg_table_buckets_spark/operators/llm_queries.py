@@ -1049,6 +1049,36 @@ def dedup_exact_substr_self(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def dedup_exact_substr_apply(spark, sf_dir):
+    """The PRODUCE step of ExactSubstr dedup
+    (dedup.exact_substring_apply, r10): the same planted corpus as
+    dedup_exact_substr_self (each copy carries the 20-token slice
+    TWICE), but instead of the removal accounting the query emits the
+    actual deduplicated text — every later-copy span (cross-doc and
+    within-doc, one interval union) cut from the normalized token
+    stream, survivors reassembled per doc. The oracle replays
+    spans -> merged intervals -> token anti-join -> ordered
+    string_agg, so the kept_text STRINGS hash-compare byte-for-byte."""
+    from ..functions.text import words
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    w = words("text")
+    planted = d.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.lit("zz plant prefix qq"),
+            F.concat_ws(" ", F.slice(w, 6, 20)),
+            F.lit("mm filler middle nn"),
+            F.concat_ws(" ", F.slice(w, 6, 20)),
+            F.lit("zz plant suffix qq"),
+        ).alias("text"),
+    )
+    return D.exact_substring_apply(
+        d.unionByName(planted), include_self=True
+    ).orderBy("doc_id")
+
+
 def dedup_keep_best_quality(spark, sf_dir):
     """Quality-aware canonical selection (dedup.keep_best_quality):
     the planted near-dup corpus's MinHash-LSH pair graph, closed to

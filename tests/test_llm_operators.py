@@ -2339,3 +2339,39 @@ def test_prefix_filter_threshold_edges(spark):
             prefix_filter_pairs(df, threshold=0.2).collect()}
     assert (1, 2) in half and (1, 3) in half and (2, 3) in half
     assert not any(4 in p for p in half)
+
+
+def test_exact_substr_apply_produces_deduped_text(spark):
+    """The PRODUCE step: surviving text equals the normalized token
+    stream with every later-copy span cut — byte-for-byte on the
+    unified (cross + self) fixture from
+    test_exact_substr_self_and_unified_removal."""
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators.dedup import (
+        exact_substring_apply,
+    )
+
+    span = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliet kilo lima mike november oscar papa")  # 16 tokens
+    doc1 = f"start words here {span} middle filler bits {span} end tail"
+    doc2 = f"totally different lead {span} and another ending"
+    df = spark.createDataFrame(
+        [(1, doc1), (2, doc2)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in
+           exact_substring_apply(df, include_self=True).collect()}
+    # doc 1 keeps everything except the SECOND span occurrence
+    assert got[1]["kept_text"] == (
+        f"start words here {span} middle filler bits end tail"
+    )
+    assert got[1]["n_kept"] == 3 + 16 + 3 + 2
+    # doc 2 (later id) loses its only copy
+    assert got[2]["kept_text"] == (
+        "totally different lead and another ending"
+    )
+    assert got[2]["n_kept"] == 6
+
+    # cross-only mode keeps doc 1 fully intact
+    cross = {r["doc_id"]: r for r in
+             exact_substring_apply(df, include_self=False).collect()}
+    assert cross[1]["n_kept"] == len(doc1.split())
+    assert cross[2]["n_kept"] == 6

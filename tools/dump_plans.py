@@ -602,6 +602,14 @@ def llm_queries_section():
             "and local-over-global palette inside the batch — zero "
             "exchanges; the positional checksum pins row order.",
         ),
+        "dedup_exact_substr_apply": (
+            L.dedup_exact_substr_apply,
+            "The PRODUCE step: merged cut intervals from doc-keyed "
+            "span windows, then ONE doc-keyed left-anti range join "
+            "of the positioned token stream against them and a "
+            "per-doc array_sort reassembly — no corpus-wide window, "
+            "no driver data.",
+        ),
         "retrieval_hard_negatives": (
             L.retrieval_hard_negatives,
             "Hard-negative mining: the audited BM25 and IVF-PQ "

@@ -198,6 +198,7 @@ QUERIES = {
     "multimodal_decode_gif_interlaced": L.multimodal_decode_gif_interlaced,
     "dedup_prefix_filter_pairs": L.dedup_prefix_filter_pairs,
     "retrieval_hard_negatives": L.retrieval_hard_negatives,
+    "dedup_exact_substr_apply": L.dedup_exact_substr_apply,
 }
 
 
@@ -399,7 +400,8 @@ def main() -> None:
         # rows grow with the planted-dup count; prefix-filter output
         # is the exact pair set (grows with plants); interlaced GIF
         # decode is one row per doc
-        "dedup_exact_substr_self", "dedup_winnowing_components",
+        "dedup_exact_substr_self", "dedup_exact_substr_apply",
+        "dedup_winnowing_components",
         "dedup_prefix_filter_pairs", "multimodal_decode_gif_interlaced",
     }
 
