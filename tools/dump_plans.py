@@ -630,25 +630,26 @@ def main() -> None:
            "",
            "## Bench-environment note (r10)",
            "",
-           "Builder run on the r10 box (probe 78.3 ms,",
-           "BENCH_r10_builder_local.json, 165 queries, 292.0 s total):",
-           "the anchored r01 data-path subset is 11.15 s (0.541x the",
-           "20.605 s baseline — flat vs r9's 11.06 s). The +80 s",
-           "headline delta decomposes as +25.9 s from the 8 newly",
-           "benched queries and ~+54 s spread thinly across 157",
-           "unchanged queries on a slower box session (probe 74.7 ->",
-           "78.3 ms; total spread 56.8 -> 85.7 s). Only two rows trip",
-           "the >1.5x & >1 s flag, both code-untouched with identical",
-           "n_jobs: ann_ivf_topk 2.85 -> 4.61 s (its own run spread is",
-           "4.3 s — noise wider than the delta) and",
-           "tokenizer_wordpiece_encode 2.84 -> 4.48 s (71 jobs,",
-           "scheduling-bound; solo min-of-3 re-times reproduce the r10",
-           "number on an idle box, so it is the session, not load or",
-           "code). The flat data-path anchor is the adjudicator. The",
-           "five r10 queries land at 0.8-7.1 s each; the most",
-           "expensive (retrieval_hard_negatives 7.1 s) is an IVF-PQ",
-           "training + BM25 branch pair, both already in the cost",
-           "table solo.",
+           "Standing artifact: BENCH_r10_builder_local.json — the",
+           "complete 166-query record (probe 76.0 ms, 247.3 s total,",
+           "anchored r01 data-path subset 12.00 s = 0.583x the",
+           "20.605 s baseline). The round's FIRST full run (165",
+           "queries, probe 78.3 ms, 292.0 s, r01 11.15 s, total",
+           "spread 85.7 s) was a visibly noisier session; the rerun's",
+           "spread fell to 67.8 s and no query regressed between the",
+           "two same-code runs at the >1.5x & >1 s bar — the 11.15 vs",
+           "12.00 s anchor wobble (0.54-0.58x baseline) is the box's",
+           "run-to-run envelope on identical code. Versus r9's record",
+           "(212.2 s / 157 queries): +26-30 s is the 9 newly benched",
+           "queries; two flagged rows (ann_ivf_topk 2.85 -> ~4.6 s,",
+           "tokenizer_wordpiece_encode 2.84 -> ~4.5 s) are",
+           "code-untouched with identical n_jobs — solo min-of-3",
+           "re-times reproduce them on an idle box, so it is the",
+           "session, not load or code; the data-path anchor stays",
+           "within its envelope and is the adjudicator. The six r10",
+           "queries land at 0.8-7.1 s each; the most expensive",
+           "(retrieval_hard_negatives) is an IVF-PQ training + BM25",
+           "branch pair, both already in the cost table solo.",
            "",
            "## Bench-environment note (r9)",
            "",
