@@ -56,33 +56,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # row on recent code; rotated-out entries stay covered by the full
     # local mirror (tools/check_oracles.py) and pytest.
     #
-    # Round-10 window (positions 1-50, live registry 208 entries):
-    #   1-6   = the six NEW round-10 queries (never driver-checked);
-    #   7     = events_user_ltv_deciles, re-slotted because its code
+    # Round-10 window (positions 1-50, live registry 212 entries):
+    #   1-9   = the nine NEW round-10 queries (never driver-checked);
+    #   10    = events_user_ltv_deciles, re-slotted because its code
     #           changed this round (distributed-rank rewrite);
-    #   8-10  = the three r05-vintage entries that slipped the r9
+    #   11-13 = the three r05-vintage entries that slipped the r9
     #           sample (q8_market_share, q15_top_supplier,
     #           text_decontaminate) — the r9 verdict's explicit ask;
-    #   11-50 = the 40 oldest r06-vintage entries in age order.
+    #   14-50 = the 37 oldest r06-vintage entries in age order (the
+    #           next three — window_rank_functions,
+    #           text_boilerplate_ngrams, agg_grouping_sets — were
+    #           displaced into the tail head as late-r10 additions
+    #           landed at the front; they lead the r11 window).
     # After this round no entry's most recent driver row is older
-    # than r07 except the 10 r06-vintage tail leads, which head the
+    # than r07 except the 13 r06-vintage tail leads, which head the
     # r11 window.
     #
     # r11 window plan (execute at round-11 start, AFTER re-counting
     # against CORRECTNESS_r10 and any r10 verdict instructions):
     #   1-N  = round-11 additions as they land (never checked);
     #   then = any r10-window entry whose driver row did NOT land
-    #          green in CORRECTNESS_r10 (expected none — all four r10
+    #          green in CORRECTNESS_r10 (expected none — all r10
     #          additions pre-checked locally at sf0.001 AND sf0.01);
-    #   rest = the 10 remaining r06-vintage tail leads
-    #          (q12_late_lines_by_status .. dedup_ngram_jaccard_pairs),
+    #   rest = the 13 remaining r06-vintage tail leads
+    #          (window_rank_functions .. dedup_ngram_jaccard_pairs),
     #          then the oldest r07-vintage entries
     #          (multimodal_decode_png ..) in their listed order.
     # Re-count positions so the window is exactly 50; keep inserting
     # new queries right after the newest NEW block.
     return {
         # ======== round-10 driver window (positions 1-50) ========
-        # 1-6: NEW in round 10 (never driver-checked): unified
+        # 1-3: NEWEST in round 10 (never driver-checked): per-node
+        # triangle participation over the near-dup graph, the
+        # hashing-trick featurizer, and the LSH-banding recall audit
+        # against lossless prefix-filter ground truth
+        "graph_triangle_count": L.graph_triangle_count,
+        "text_feature_hashing": L.text_feature_hashing,
+        "dedup_lsh_recall": L.dedup_lsh_recall,
+        # 4-9: NEW in round 10 (never driver-checked): unified
         # cross+self ExactSubstr removal, winnowing pairs closed to
         # components, interlaced/local-table GIF decode, AllPairs/
         # PPJoin prefix-filter exact-Jaccard pairs, retrieval
@@ -143,18 +154,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_quality_checks": R.table_quality_checks,
         "sketch_cms_frequencies": L.sketch_cms_frequencies,
         "text_quality_percentile_cut": L.text_quality_percentile_cut,
-        "window_rank_functions": R.window_rank_functions,
-        "text_boilerplate_ngrams": L.text_boilerplate_ngrams,
-        "agg_grouping_sets": R.agg_grouping_sets,
         # ============ tail (51+) ============
         # refresh-age order so future rotations read off the front:
-        # the 10 remaining r06-vintage entries (next in line for r11
-        # — q12_late_lines_by_status and pack_training_sequences
-        # lead, displaced from the window as the r10 additions landed
-        # at the front), then
+        # the 13 remaining r06-vintage entries (next in line for r11
+        # — window_rank_functions, text_boilerplate_ngrams, and
+        # agg_grouping_sets lead, displaced from the window as the
+        # late-r10 additions landed at the front), then
         # the 50 r07-vintage, the 50 r08-vintage, and the 49
         # r09-refreshed entries (freshest) last.
         # -- last driver-green r06 (r11 window leads) --
+        "window_rank_functions": R.window_rank_functions,
+        "text_boilerplate_ngrams": L.text_boilerplate_ngrams,
+        "agg_grouping_sets": R.agg_grouping_sets,
         "q12_late_lines_by_status": R.q12_late_lines_by_status,
         "pack_training_sequences": L.pack_training_sequences,
         "curation_end_to_end": L.curation_end_to_end,
@@ -2716,6 +2727,126 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = doc_a
             JOIN sizes sb ON sb.doc_id = doc_b
             WHERE round(inter / (sa.sz + sb.sz - inter), 4) >= 0.8
+        """,
+        # r10 triangles: the Spark side's degree-ordered orientation
+        # counts each triangle once at its lowest-ordered vertex; the
+        # oracle is the naive three-edge join over the same exact
+        # all-pairs edge set (u < v canonical), so equality proves
+        # the orientation loses and double-counts nothing
+        "graph_triangle_count": f"""
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 100000, text || ' extra token tail'
+              FROM documents WHERE doc_id < 30
+              UNION ALL
+              SELECT doc_id + 200000, text || ' extra tail too'
+              FROM documents WHERE doc_id < 10
+              UNION ALL
+              SELECT doc_id + 300000, text || ' extra token too'
+              FROM documents WHERE doc_id < 5
+            ),
+            {_SHINGLES},
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+              FROM sids a JOIN sids b
+                ON a.sid = b.sid AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ),
+            edges AS (
+              SELECT doc_a AS u, doc_b AS v
+              FROM inter
+              JOIN sizes sa ON sa.doc_id = doc_a
+              JOIN sizes sb ON sb.doc_id = doc_b
+              WHERE round(inter / (sa.sz + sb.sz - inter), 4) >= 0.5
+            ),
+            tri AS (
+              SELECT e1.u AS a, e1.v AS b, e2.v AS c
+              FROM edges e1
+              JOIN edges e2 ON e2.u = e1.v
+              JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+            )
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_triangles
+            FROM (
+              SELECT a AS doc_id FROM tri
+              UNION ALL SELECT b FROM tri
+              UNION ALL SELECT c FROM tri
+            )
+            GROUP BY doc_id
+        """,
+        # r10 hashing trick: bucket from the top-60-bit md5 slice mod
+        # 64, sign from hex digit 16 parity — disjoint digest bits,
+        # mirrored bit-for-bit on the Spark side (conv(substring(..)))
+        "text_feature_hashing": f"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split({_NORM.format(t='text')}, ' ')) AS tok
+              FROM documents WHERE doc_id < 200
+            ),
+            sel AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(tok), 1, 15))::BIGINT % 64 AS bucket,
+                     CASE WHEN ('0x' || substr(md5(tok), 16, 1))::BIGINT % 2 = 0
+                          THEN 1 ELSE -1 END AS sign
+              FROM toks WHERE tok <> ''
+            )
+            SELECT doc_id,
+                   CAST(bucket AS INT) AS bucket,
+                   CAST(sum(sign) AS BIGINT) AS weight,
+                   CAST(count(*) AS BIGINT) AS n_terms
+            FROM sel
+            GROUP BY doc_id, bucket
+            HAVING sum(sign) <> 0
+        """,
+        # r10 recall audit: the exact side is the lossless all-pairs
+        # join; the LSH side replays the banding + exact verify, so
+        # the quotient is pure banding recall
+        "dedup_lsh_recall": f"""
+            WITH {_PLANT_TAIL}, {_SHINGLES},
+            exact AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+              FROM sids a JOIN sids b
+                ON a.sid = b.sid AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ),
+            exact_pairs AS (
+              SELECT doc_a, doc_b FROM exact
+              JOIN sizes sa ON sa.doc_id = doc_a
+              JOIN sizes sb ON sb.doc_id = doc_b
+              WHERE round(inter / (sa.sz + sb.sz - inter), 4) >= 0.8
+            ),
+            seeds AS (SELECT * FROM (VALUES {_MINHASH_SEEDS}) s(j, a, b)),
+            mh AS (
+              SELECT doc_id, j, min((a * sid + b) % 2147483647) AS mh
+              FROM sids CROSS JOIN seeds GROUP BY doc_id, j
+            ),
+            bands AS (
+              SELECT doc_id, j // 3 AS band,
+                     string_agg(CAST(mh AS VARCHAR), '_' ORDER BY j) AS key
+              FROM mh GROUP BY doc_id, j // 3
+            ),
+            cands AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+            ),
+            linter AS (
+              SELECT c.doc_a, c.doc_b, count(*) AS inter
+              FROM cands c
+              JOIN sids sa ON sa.doc_id = c.doc_a
+              JOIN sids sb ON sb.doc_id = c.doc_b AND sb.sid = sa.sid
+              GROUP BY 1, 2
+            ),
+            lsh_pairs AS (
+              SELECT i.doc_a, i.doc_b FROM linter i
+              JOIN sizes sa ON sa.doc_id = i.doc_a
+              JOIN sizes sb ON sb.doc_id = i.doc_b
+              WHERE round(inter / (sa.sz + sb.sz - inter), 4) >= 0.8
+            )
+            SELECT CAST((SELECT count(*) FROM exact_pairs) AS BIGINT) AS n_exact,
+                   CAST((SELECT count(*) FROM lsh_pairs) AS BIGINT) AS n_lsh,
+                   round((SELECT count(*) FROM lsh_pairs)
+                         / (SELECT count(*) FROM exact_pairs), 4) AS recall4
         """,
         "dedup_minhash_lsh_pairs": f"""
             WITH {_PLANT_TAIL}, {_SHINGLES},

@@ -233,6 +233,9 @@ HEADLINE = {
     "retrieval_hard_negatives": L.retrieval_hard_negatives,
     "dedup_prefix_filter_pairs": L.dedup_prefix_filter_pairs,
     "dedup_exact_substr_apply": L.dedup_exact_substr_apply,
+    "graph_triangle_count": L.graph_triangle_count,
+    "text_feature_hashing": L.text_feature_hashing,
+    "dedup_lsh_recall": L.dedup_lsh_recall,
 }
 
 # Registry entries deliberately NOT benched, each with its reason (the

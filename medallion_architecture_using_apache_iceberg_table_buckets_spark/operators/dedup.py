@@ -1969,3 +1969,95 @@ def component_size_histogram(pairs: DataFrame) -> DataFrame:
             .alias("n_dup_docs"),
         )
     )
+
+
+def triangle_counts(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+) -> DataFrame:
+    """Per-node triangle participation over an undirected pair graph:
+    (doc_id, n_triangles) for every node that closes at least one
+    triangle. Triangles are the density signal the cluster-size
+    histogram can't see — a size-5 component that is a clique (10
+    triangles per node is impossible; C(4,2)=6 each) is mutual
+    boilerplate, while a size-5 chain (0 triangles) is a drift
+    cascade where transitive dedup may over-delete.
+
+    Algorithm (degree-ordered compact-forward — the standard
+    distributed triangle enumeration, cf. Suri & Vassilvitskii
+    WWW'11): orient every undirected edge from its lower endpoint to
+    its higher endpoint under the total order (degree, id). Each
+    triangle is then counted EXACTLY ONCE, as the wedge at its
+    lowest-ordered vertex plus the closing edge. The orientation
+    bounds every vertex's out-degree by O(sqrt(m)) regardless of
+    skew: a hub of degree d ranks above most neighbors, so the
+    wedge join fans out on the many low-degree vertices (each a few
+    out-edges), never d^2 at the hub. Cost: one degree agg, one
+    (src)-keyed wedge self-join, one (v, w)-keyed closing equi-join —
+    all hash-partitioned, no driver state, no all-pairs step.
+    """
+    # canonical undirected edge set (dedup both orientations)
+    e = pairs.select(
+        F.least(F.col(id_a), F.col(id_b)).cast("long").alias("u"),
+        F.greatest(F.col(id_a), F.col(id_b)).cast("long").alias("v"),
+    ).filter(F.col("u") != F.col("v")).distinct()
+    deg = (
+        e.select(F.explode(F.array("u", "v")).alias("id"))
+        .groupBy("id")
+        .agg(F.count("*").alias("deg"))
+    )
+    # orient by (deg, id): src = lower endpoint in that order; carry
+    # the dst's order key so the wedge join can order its two spokes
+    # without re-joining degrees
+    ed = (
+        e.join(deg.select(F.col("id").alias("u"), F.col("deg").alias("du")), "u")
+        .join(deg.select(F.col("id").alias("v"), F.col("deg").alias("dv")), "v")
+        .select(
+            F.when(
+                F.struct(F.col("du"), F.col("u"))
+                < F.struct(F.col("dv"), F.col("v")),
+                F.struct(
+                    F.col("u").alias("src"),
+                    F.col("v").alias("dst"),
+                    F.col("dv").alias("ddeg"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.col("v").alias("src"),
+                    F.col("u").alias("dst"),
+                    F.col("du").alias("ddeg"),
+                )
+            )
+            .alias("o")
+        )
+        .select("o.src", "o.dst", "o.ddeg")
+        .persist()
+    )
+    w1, w2 = ed.alias("w1"), ed.alias("w2")
+    # wedges at the lowest-ordered vertex; spokes ordered so the
+    # closing edge's orientation (lower spoke -> higher spoke) is known
+    wedges = w1.join(
+        w2,
+        (F.col("w1.src") == F.col("w2.src"))
+        & (
+            F.struct(F.col("w1.ddeg"), F.col("w1.dst"))
+            < F.struct(F.col("w2.ddeg"), F.col("w2.dst"))
+        ),
+    ).select(
+        F.col("w1.src").alias("a"),
+        F.col("w1.dst").alias("b"),
+        F.col("w2.dst").alias("c"),
+    )
+    closing = ed.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    tri = wedges.join(closing, ["b", "c"])
+    # persist stays live for the lazy result (same pattern as
+    # minhash_lsh_pairs' sigs): ed feeds the wedge self-join twice
+    # plus the closing join, and unpersisting before the action
+    # would just force three recomputes of the orientation subplan
+    return (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+    )

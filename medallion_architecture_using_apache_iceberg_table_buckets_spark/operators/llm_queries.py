@@ -3439,3 +3439,74 @@ def multimodal_decode_png_sub8(spark, sf_dir):
     from .multimodal import decode_pngs_with_depth, synth_sub8_pngs
 
     return decode_pngs_with_depth(synth_sub8_pngs(_docs(spark, sf_dir)))
+
+
+def graph_triangle_count(spark, sf_dir):
+    """Per-node triangle participation over the near-dup pair graph
+    (dedup.triangle_counts, r10): the density signal between pairs
+    and components — cliques (mutual boilerplate) vs chains (drift
+    cascades where transitive dedup over-deletes). Fixture plants a
+    K4 for doc_id < 5 (original + three perturbed copies -> 3
+    triangles per member) and a K3 for 5 <= doc_id < 30 (1 each), on
+    top of exact inverted-index Jaccard pairs at t=0.5, so the
+    counts separate clique sizes. Oracle: naive three-edge SQL join
+    over the same all-pairs edge set — the Spark side's
+    degree-ordered orientation is exact, so equality IS the claim."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    tails = [
+        (100000, " extra token tail", 30),
+        (200000, " extra tail too", 10),
+        (300000, " extra token too", 5),
+    ]
+    corpus = d
+    for off, tail, n in tails:
+        corpus = corpus.unionByName(
+            d.filter(F.col("doc_id") < n).select(
+                (F.col("doc_id") + off).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(tail)).alias("text"),
+            )
+        )
+    pairs = D.ngram_jaccard_pairs(corpus, threshold=0.5)
+    return D.triangle_counts(pairs)
+
+
+def text_feature_hashing(spark, sf_dir):
+    """Hashing-trick signed term-frequency vectors
+    (text.feature_hash_vectors, r10) at dim=64 over doc_id < 200:
+    the dictionary-free fixed-width featurizer (HashingTF family)
+    whose signed collisions cancel in expectation. Non-zero
+    coordinates only; n_terms exposes collision mass per bucket.
+    The doc_id cap bounds the oracle compare (<= 200*64 rows), not
+    the operator — the plan is one explode + one (doc, bucket)
+    hash-agg at any corpus size."""
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    return TX.feature_hash_vectors(d, dim=64)
+
+
+def dedup_lsh_recall(spark, sf_dir):
+    """CANDIDATE-RECALL audit of the MinHash-LSH banding against
+    exact ground truth (r10): both sides verify candidates with
+    exact Jaccard at t=0.8, and the exact side (prefix-filter
+    AllPairs join — lossless) sees every true pair, so the gap is
+    PURELY banding misses — the number the 4-band/3-row LSH config
+    trades for never joining all pairs. The eval every production
+    dedup pipeline should publish next to its dedup rate; composes
+    the two existing generators unchanged. Single row:
+    (n_exact, n_lsh, recall4). Scale: both generators are
+    banded/blocked joins; the comparison is two counts + one
+    crossJoin of 1-row aggregates."""
+    corpus = _planted(
+        spark, sf_dir, 30, lambda t: F.concat(t, F.lit(" extra token tail"))
+    )
+    exact = D.prefix_filter_pairs(corpus, threshold=0.8)
+    lsh = D.minhash_lsh_pairs(corpus, threshold=0.8)
+    n_exact = exact.agg(F.count("*").cast("long").alias("n_exact"))
+    n_lsh = lsh.agg(F.count("*").cast("long").alias("n_lsh"))
+    return (
+        n_exact.crossJoin(n_lsh)
+        .select(
+            "n_exact",
+            "n_lsh",
+            F.round(F.col("n_lsh") / F.col("n_exact"), 4).alias("recall4"),
+        )
+    )

@@ -1672,3 +1672,61 @@ def heaps_law_curve(
             "cutoff_doc", "cum_tokens", "cum_vocab",
         )
     )
+
+
+def feature_hash_vectors(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 64,
+) -> DataFrame:
+    """Hashing-trick term-frequency vectors (Weinberger et al.
+    ICML'09 — the feature extractor behind spark.ml's HashingTF and
+    vowpal-wabbit): every token occurrence lands in bucket
+    ``h(token) mod dim`` with a +/-1 sign from an INDEPENDENT hash
+    bit, and the per-(doc, bucket) weight is the signed occurrence
+    sum. The signed variant makes collisions cancel in expectation,
+    so the sketch preserves inner products — the standard
+    fixed-width featurizer for quality classifiers over unbounded
+    vocabularies (no dictionary, no fit step, works on the first
+    pass of a 100 TB corpus).
+
+    Hash derivation is engine-portable md5 (same family as
+    dedup.token_id): bucket from the top-60-bit slice mod dim, sign
+    from hex digit 16 — disjoint digest bits, so bucket and sign are
+    independent. DuckDB twins documented in the oracle.
+
+    Plan: one explode + one (doc_id, bucket) hash-agg with map-side
+    combine — linear in token count, keyed by doc so vocabulary skew
+    (stopwords) cannot hot-spot a reducer. Returns only non-zero
+    coordinates: (doc_id, bucket, weight, n_terms) where n_terms
+    counts the occurrences folded into the bucket (collision
+    observability).
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(words(text_col)).alias("tok"),
+    ).filter(F.col("tok") != "")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
+        % dim
+    )
+    sign = F.when(
+        F.conv(F.substring(F.md5(F.col("tok")), 16, 1), 16, 10).cast("long")
+        % 2
+        == 0,
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+    return (
+        toks.select(
+            "doc_id",
+            bucket.cast("int").alias("bucket"),
+            sign.alias("sign"),
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(
+            F.sum("sign").cast("long").alias("weight"),
+            F.count("*").cast("long").alias("n_terms"),
+        )
+        .filter(F.col("weight") != 0)
+    )

@@ -2375,3 +2375,99 @@ def test_exact_substr_apply_produces_deduped_text(spark):
              exact_substring_apply(df, include_self=False).collect()}
     assert cross[1]["n_kept"] == len(doc1.split())
     assert cross[2]["n_kept"] == 6
+
+
+def test_triangle_counts_known_graph(spark):
+    """Hand-built graph: K4 (1-4, three triangles per node), an
+    isolated triangle (5-7, one each), a chain (8-9-10, none), a
+    pendant off the K4 (11, none). Input includes a duplicated and a
+    reversed pair to exercise canonicalization."""
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators.dedup import (
+        triangle_counts,
+    )
+
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    edges = k4 + [(5, 6), (6, 7), (5, 7), (8, 9), (9, 10), (1, 11)]
+    edges += [(2, 1), (5, 6)]  # reversed + duplicate
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {
+        r["doc_id"]: r["n_triangles"] for r in triangle_counts(df).collect()
+    }
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3, 5: 1, 6: 1, 7: 1}
+
+
+def test_triangle_counts_hub_star(spark):
+    """Skew shape: a hub with 30 leaves has NO triangles (star), and
+    adding one leaf-leaf edge closes exactly one — the degree
+    ordering must not double-count at the hub."""
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators.dedup import (
+        triangle_counts,
+    )
+
+    star = [(0, i) for i in range(1, 31)]
+    df = spark.createDataFrame(star, "doc_a long, doc_b long")
+    assert triangle_counts(df).count() == 0
+    df2 = spark.createDataFrame(star + [(1, 2)], "doc_a long, doc_b long")
+    got = {
+        r["doc_id"]: r["n_triangles"] for r in triangle_counts(df2).collect()
+    }
+    assert got == {0: 1, 1: 1, 2: 1}
+
+
+def test_feature_hash_vectors_portable_hash(spark):
+    """The Spark md5-slice bucket/sign math matches a pure-Python
+    reimplementation token-for-token, and per-doc totals conserve
+    occurrences (sum n_terms == token count; |weight| <= n_terms
+    with matching parity)."""
+    import hashlib
+
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators.text import (
+        feature_hash_vectors,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),
+        (3, "pack my box with five dozen liquor jugs"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = feature_hash_vectors(df, dim=64).collect()
+    by_doc = {}
+    for r in out:
+        assert 0 <= r["bucket"] < 64
+        assert r["weight"] != 0
+        assert abs(r["weight"]) <= r["n_terms"]
+        assert (r["n_terms"] - abs(r["weight"])) % 2 == 0
+        by_doc.setdefault(r["doc_id"], {})[r["bucket"]] = (
+            r["weight"], r["n_terms"],
+        )
+    # identical text -> identical vector
+    assert by_doc[1] == by_doc[2]
+
+    # pure-Python twin over doc 3
+    expect: dict[int, int] = {}
+    terms: dict[int, int] = {}
+    for tok in rows[2][1].split():
+        h = hashlib.md5(tok.encode()).hexdigest()
+        bucket = int(h[:15], 16) % 64
+        sign = 1 if int(h[15], 16) % 2 == 0 else -1
+        expect[bucket] = expect.get(bucket, 0) + sign
+        terms[bucket] = terms.get(bucket, 0) + 1
+    expect_nz = {
+        b: (w, terms[b]) for b, w in expect.items() if w != 0
+    }
+    assert by_doc[3] == expect_nz
+
+
+def test_lsh_recall_bounds(spark, sf_dir):
+    """The recall audit is internally consistent: LSH-verified pairs
+    are a subset of the lossless exact pairs, so n_lsh <= n_exact and
+    0 < recall4 <= 1 with the quotient matching the counts."""
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators.llm_queries import (
+        dedup_lsh_recall,
+    )
+
+    row = dedup_lsh_recall(spark, sf_dir).collect()[0]
+    assert row["n_exact"] >= 30  # every plant is a true pair
+    assert 0 < row["n_lsh"] <= row["n_exact"]
+    assert row["recall4"] == round(row["n_lsh"] / row["n_exact"], 4)
