@@ -56,20 +56,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # row on recent code; rotated-out entries stay covered by the full
     # local mirror (tools/check_oracles.py) and pytest.
     #
-    # Round-10 window (positions 1-50, live registry 212 entries):
-    #   1-9   = the nine NEW round-10 queries (never driver-checked);
-    #   10    = events_user_ltv_deciles, re-slotted because its code
+    # Round-10 window (positions 1-50, live registry 213 entries):
+    #   1-10  = the ten NEW round-10 queries (never driver-checked);
+    #   11    = events_user_ltv_deciles, re-slotted because its code
     #           changed this round (distributed-rank rewrite);
-    #   11-13 = the three r05-vintage entries that slipped the r9
+    #   12-14 = the three r05-vintage entries that slipped the r9
     #           sample (q8_market_share, q15_top_supplier,
     #           text_decontaminate) — the r9 verdict's explicit ask;
-    #   14-50 = the 37 oldest r06-vintage entries in age order (the
-    #           next three — window_rank_functions,
-    #           text_boilerplate_ngrams, agg_grouping_sets — were
-    #           displaced into the tail head as late-r10 additions
-    #           landed at the front; they lead the r11 window).
+    #   15-50 = the 36 oldest r06-vintage entries in age order (the
+    #           next four — text_quality_percentile_cut,
+    #           window_rank_functions, text_boilerplate_ngrams,
+    #           agg_grouping_sets — were displaced into the tail head
+    #           as late-r10 additions landed at the front; they lead
+    #           the r11 window).
     # After this round no entry's most recent driver row is older
-    # than r07 except the 13 r06-vintage tail leads, which head the
+    # than r07 except the 14 r06-vintage tail leads, which head the
     # r11 window.
     #
     # r11 window plan (execute at round-11 start, AFTER re-counting
@@ -78,22 +79,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   then = any r10-window entry whose driver row did NOT land
     #          green in CORRECTNESS_r10 (expected none — all r10
     #          additions pre-checked locally at sf0.001 AND sf0.01);
-    #   rest = the 13 remaining r06-vintage tail leads
-    #          (window_rank_functions .. dedup_ngram_jaccard_pairs),
+    #   rest = the 14 remaining r06-vintage tail leads
+    #          (text_quality_percentile_cut .. dedup_ngram_jaccard_pairs),
     #          then the oldest r07-vintage entries
     #          (multimodal_decode_png ..) in their listed order.
     # Re-count positions so the window is exactly 50; keep inserting
     # new queries right after the newest NEW block.
     return {
         # ======== round-10 driver window (positions 1-50) ========
-        # 1-3: NEWEST in round 10 (never driver-checked): per-node
+        # 1-4: NEWEST in round 10 (never driver-checked): per-node
         # triangle participation over the near-dup graph, the
-        # hashing-trick featurizer, and the LSH-banding recall audit
-        # against lossless prefix-filter ground truth
+        # hashing-trick featurizer, the LSH-banding recall audit
+        # against lossless prefix-filter ground truth, and the QOI
+        # codec (all six op families)
         "graph_triangle_count": L.graph_triangle_count,
         "text_feature_hashing": L.text_feature_hashing,
         "dedup_lsh_recall": L.dedup_lsh_recall,
-        # 4-9: NEW in round 10 (never driver-checked): unified
+        "multimodal_decode_qoi": L.multimodal_decode_qoi,
+        # 5-10: NEW in round 10 (never driver-checked): unified
         # cross+self ExactSubstr removal, winnowing pairs closed to
         # components, interlaced/local-table GIF decode, AllPairs/
         # PPJoin prefix-filter exact-Jaccard pairs, retrieval
@@ -153,16 +156,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_event_windows": R.range_join_event_windows,
         "table_quality_checks": R.table_quality_checks,
         "sketch_cms_frequencies": L.sketch_cms_frequencies,
-        "text_quality_percentile_cut": L.text_quality_percentile_cut,
         # ============ tail (51+) ============
         # refresh-age order so future rotations read off the front:
-        # the 13 remaining r06-vintage entries (next in line for r11
-        # — window_rank_functions, text_boilerplate_ngrams, and
-        # agg_grouping_sets lead, displaced from the window as the
-        # late-r10 additions landed at the front), then
+        # the 14 remaining r06-vintage entries (next in line for r11
+        # — text_quality_percentile_cut, window_rank_functions,
+        # text_boilerplate_ngrams, and agg_grouping_sets lead,
+        # displaced from the window as the late-r10 additions landed
+        # at the front), then
         # the 50 r07-vintage, the 50 r08-vintage, and the 49
         # r09-refreshed entries (freshest) last.
         # -- last driver-green r06 (r11 window leads) --
+        "text_quality_percentile_cut": L.text_quality_percentile_cut,
         "window_rank_functions": R.window_rank_functions,
         "text_boilerplate_ngrams": L.text_boilerplate_ngrams,
         "agg_grouping_sets": R.agg_grouping_sets,
@@ -5740,6 +5744,57 @@ def oracle_sql() -> dict[str, str]:
         # GIF: the oracle replays the generator's quadratic index
         # stride -> palette -> RGB sample sum; the REAL LZW round
         # trip happens entirely inside the Spark query
+        # r10 QOI: the fixture's pixels are closed-form (multimodal.
+        # synth_qois documents the formulas); the oracle replays
+        # geometry, channel count, and the per-sample sum — including
+        # the stepping alpha on 4-channel docs — without touching the
+        # codec, so any op-family decode error mismatches
+        "multimodal_decode_qoi": """
+            WITH dims AS (
+              SELECT doc_id,
+                     doc_id % 9 + 2 AS w,
+                     doc_id % 5 + 2 AS h,
+                     CASE WHEN doc_id % 3 = 0 THEN 4 ELSE 3 END AS ch
+              FROM documents
+            ),
+            px AS (
+              SELECT doc_id, ch, unnest(range(w * h)) AS i FROM dims
+            ),
+            eff AS (
+              SELECT doc_id, ch, i, i % 8 AS phi,
+                     CASE WHEN (i // 8) % 3 = 2 THEN 0 ELSE i // 8 END AS se
+              FROM px
+            ),
+            offs AS (
+              SELECT doc_id, ch, i, se,
+                CASE WHEN phi IN (3,4,5) THEN 6 WHEN phi = 6 THEN 3
+                     WHEN phi = 7 THEN 1 ELSE 0 END AS ro,
+                CASE WHEN phi IN (3,4,5) THEN 5 WHEN phi = 6 THEN 2
+                     WHEN phi = 7 THEN 1 ELSE 0 END AS go,
+                CASE WHEN phi IN (3,4,5) THEN 3 WHEN phi = 6 THEN 1
+                     WHEN phi = 7 THEN 1 ELSE 0 END AS bo
+              FROM eff
+            ),
+            sums AS (
+              SELECT doc_id,
+                     CAST(sum(
+                         (7 * doc_id + 211 * se + ro) % 256
+                       + (11 * doc_id + 197 * se + go) % 256
+                       + (13 * doc_id + 181 * se + bo) % 256
+                       + CASE WHEN ch = 4
+                              THEN (5 * doc_id + 23 * (i // 11)) % 256
+                              ELSE 0 END
+                     ) AS BIGINT) AS pixel_sum
+              FROM offs GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   'qoi' AS img_format,
+                   CAST(d.w AS INTEGER) AS width,
+                   CAST(d.h AS INTEGER) AS height,
+                   CAST(d.ch AS INTEGER) AS channels,
+                   s.pixel_sum
+            FROM dims d JOIN sums s USING (doc_id)
+        """,
         "multimodal_decode_gif": """
             WITH dims AS (
               SELECT doc_id,

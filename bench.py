@@ -236,6 +236,7 @@ HEADLINE = {
     "graph_triangle_count": L.graph_triangle_count,
     "text_feature_hashing": L.text_feature_hashing,
     "dedup_lsh_recall": L.dedup_lsh_recall,
+    "multimodal_decode_qoi": L.multimodal_decode_qoi,
 }
 
 # Registry entries deliberately NOT benched, each with its reason (the

@@ -3510,3 +3510,18 @@ def dedup_lsh_recall(spark, sf_dir):
             F.round(F.col("n_lsh") / F.col("n_exact"), 4).alias("recall4"),
         )
     )
+
+
+def multimodal_decode_qoi(spark, sf_dir):
+    """QOI container decoding (r10 — multimodal.decode_qoi, the
+    complete one-page public spec): real QOI streams synthesized per
+    doc with closed-form pixels SHAPED to drive all six op families
+    (RUN / INDEX / DIFF / LUMA / RGB / RGBA — the fixture-coverage
+    test asserts each occurs), decoded back on the Arrow mapInPandas
+    shape. Every third doc is 4-channel with a stepping alpha, so a
+    decoder that drops alpha or mis-tracks the running pixel through
+    RGBA ops mismatches. The oracle replays the pixel formulas
+    closed-form, never touching the codec."""
+    from .multimodal import decode_images, synth_qois
+
+    return decode_images(synth_qois(_docs(spark, sf_dir)))

@@ -2471,3 +2471,106 @@ def test_lsh_recall_bounds(spark, sf_dir):
     assert row["n_exact"] >= 30  # every plant is a true pair
     assert 0 < row["n_lsh"] <= row["n_exact"]
     assert row["recall4"] == round(row["n_lsh"] / row["n_exact"], 4)
+
+
+def test_qoi_codec_hypothesis_round_trip():
+    """Property: arbitrary RGB/RGBA images round-trip bit-exactly
+    through the pure-Python QOI codec pair. The pixel strategy mixes
+    repeats (RUN), +/-2 walks (DIFF), luma-range walks (LUMA), fresh
+    colors (RGB/INDEX), and alpha steps (RGBA) so all op families
+    are exercised under shrinkage."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators.multimodal import (
+        decode_qoi,
+        encode_qoi,
+    )
+
+    @settings(max_examples=120, deadline=None)
+    @given(
+        st.integers(1, 12), st.integers(1, 9),
+        st.sampled_from([3, 4]), st.randoms(use_true_random=False),
+    )
+    def check(w, h, ch, rng):
+        px = bytearray()
+        prev = [0, 0, 0, 255]
+        for i in range(w * h):
+            mode = rng.randint(0, 5)
+            if mode <= 1 and i:
+                pass
+            elif mode == 2:
+                prev = [
+                    (prev[j] + rng.randint(-2, 1)) % 256 for j in range(3)
+                ] + [prev[3]]
+            elif mode == 3:
+                dg = rng.randint(-32, 31)
+                prev = [
+                    (prev[0] + dg + rng.randint(-8, 7)) % 256,
+                    (prev[1] + dg) % 256,
+                    (prev[2] + dg + rng.randint(-8, 7)) % 256,
+                    prev[3],
+                ]
+            elif mode == 4:
+                prev = [rng.randrange(256) for _ in range(3)] + [prev[3]]
+            else:
+                prev = [rng.randrange(256) for _ in range(4)]
+            px += bytes(prev[:ch])
+        out = decode_qoi(encode_qoi(w, h, ch, bytes(px)), want_pixels=True)
+        assert out["pixels"] == bytes(px)
+        assert out["pixel_sum"] == sum(px)
+        assert (out["width"], out["height"], out["channels"]) == (w, h, ch)
+
+    check()
+
+
+def test_qoi_fixture_covers_all_ops_and_guards(spark):
+    """The synth_qois fixture streams collectively contain ALL SIX
+    QOI op families (so the decode query exercises every branch),
+    runs longer than 62 pixels split correctly, and malformed
+    streams raise instead of returning short images."""
+    import pytest as pt
+
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators.multimodal import (
+        _QOI_END,
+        decode_qoi,
+        encode_qoi,
+        synth_qois,
+    )
+
+    docs = spark.range(0, 60).withColumnRenamed("id", "doc_id")
+    blobs = [bytes(r["content"]) for r in synth_qois(docs).collect()]
+    ops = set()
+    for blob in blobs:
+        pos, end = 14, len(blob) - 8
+        while pos < end:
+            b1 = blob[pos]
+            if b1 == 0xFE:
+                ops.add("RGB"); pos += 4
+            elif b1 == 0xFF:
+                ops.add("RGBA"); pos += 5
+            elif b1 >> 6 == 0:
+                ops.add("INDEX"); pos += 1
+            elif b1 >> 6 == 1:
+                ops.add("DIFF"); pos += 1
+            elif b1 >> 6 == 2:
+                ops.add("LUMA"); pos += 2
+            else:
+                ops.add("RUN"); pos += 1
+    assert ops == {"RGB", "RGBA", "INDEX", "DIFF", "LUMA", "RUN"}
+
+    # >62-pixel run splits into multiple RUN ops and round-trips
+    px = bytes([9, 8, 7]) * 130
+    out = decode_qoi(encode_qoi(13, 10, 3, px), want_pixels=True)
+    assert out["pixels"] == px
+
+    # guards: bad magic, truncated ops, run overflow, trailing ops
+    with pt.raises(ValueError, match="magic"):
+        decode_qoi(b"nope" + bytes(20))
+    good = encode_qoi(2, 2, 3, bytes(range(12)))
+    with pt.raises(ValueError):
+        decode_qoi(good[:14] + _QOI_END)  # ops ended early
+    # a 63-pixel run claim on a 4-pixel image overflows the count
+    bad_run = good[:14] + bytes([0xC0 | 62]) + _QOI_END
+    with pt.raises(ValueError, match="overflow|early|trailing"):
+        decode_qoi(bad_run)
