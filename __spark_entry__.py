@@ -56,21 +56,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # row on recent code; rotated-out entries stay covered by the full
     # local mirror (tools/check_oracles.py) and pytest.
     #
-    # Round-10 window (positions 1-50, live registry 213 entries):
-    #   1-10  = the ten NEW round-10 queries (never driver-checked);
-    #   11    = events_user_ltv_deciles, re-slotted because its code
+    # Round-10 window (positions 1-50, live registry 214 entries):
+    #   1-11  = the eleven NEW round-10 queries (never driver-checked);
+    #   12    = events_user_ltv_deciles, re-slotted because its code
     #           changed this round (distributed-rank rewrite);
-    #   12-14 = the three r05-vintage entries that slipped the r9
+    #   13-15 = the three r05-vintage entries that slipped the r9
     #           sample (q8_market_share, q15_top_supplier,
     #           text_decontaminate) — the r9 verdict's explicit ask;
-    #   15-50 = the 36 oldest r06-vintage entries in age order (the
-    #           next four — text_quality_percentile_cut,
-    #           window_rank_functions, text_boilerplate_ngrams,
-    #           agg_grouping_sets — were displaced into the tail head
-    #           as late-r10 additions landed at the front; they lead
-    #           the r11 window).
+    #   16-50 = the 35 oldest r06-vintage entries in age order (the
+    #           next five — sketch_cms_frequencies,
+    #           text_quality_percentile_cut, window_rank_functions,
+    #           text_boilerplate_ngrams, agg_grouping_sets — were
+    #           displaced into the tail head as late-r10 additions
+    #           landed at the front; they lead the r11 window).
     # After this round no entry's most recent driver row is older
-    # than r07 except the 14 r06-vintage tail leads, which head the
+    # than r07 except the 15 r06-vintage tail leads, which head the
     # r11 window.
     #
     # r11 window plan (execute at round-11 start, AFTER re-counting
@@ -79,24 +79,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   then = any r10-window entry whose driver row did NOT land
     #          green in CORRECTNESS_r10 (expected none — all r10
     #          additions pre-checked locally at sf0.001 AND sf0.01);
-    #   rest = the 14 remaining r06-vintage tail leads
-    #          (text_quality_percentile_cut .. dedup_ngram_jaccard_pairs),
+    #   rest = the 15 remaining r06-vintage tail leads
+    #          (sketch_cms_frequencies .. dedup_ngram_jaccard_pairs),
     #          then the oldest r07-vintage entries
     #          (multimodal_decode_png ..) in their listed order.
     # Re-count positions so the window is exactly 50; keep inserting
     # new queries right after the newest NEW block.
     return {
         # ======== round-10 driver window (positions 1-50) ========
-        # 1-4: NEWEST in round 10 (never driver-checked): per-node
+        # 1-5: NEWEST in round 10 (never driver-checked): per-node
         # triangle participation over the near-dup graph, the
         # hashing-trick featurizer, the LSH-banding recall audit
-        # against lossless prefix-filter ground truth, and the QOI
-        # codec (all six op families)
+        # against lossless prefix-filter ground truth, the QOI codec
+        # (all six op families), and the WebDataset tar-shard
+        # round trip
         "graph_triangle_count": L.graph_triangle_count,
         "text_feature_hashing": L.text_feature_hashing,
         "dedup_lsh_recall": L.dedup_lsh_recall,
         "multimodal_decode_qoi": L.multimodal_decode_qoi,
-        # 5-10: NEW in round 10 (never driver-checked): unified
+        "source_webdataset_roundtrip": L.source_webdataset_roundtrip,
+        # 6-11: NEW in round 10 (never driver-checked): unified
         # cross+self ExactSubstr removal, winnowing pairs closed to
         # components, interlaced/local-table GIF decode, AllPairs/
         # PPJoin prefix-filter exact-Jaccard pairs, retrieval
@@ -155,17 +157,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repeated_spans": L.text_repeated_spans,
         "range_join_event_windows": R.range_join_event_windows,
         "table_quality_checks": R.table_quality_checks,
-        "sketch_cms_frequencies": L.sketch_cms_frequencies,
         # ============ tail (51+) ============
         # refresh-age order so future rotations read off the front:
-        # the 14 remaining r06-vintage entries (next in line for r11
-        # — text_quality_percentile_cut, window_rank_functions,
-        # text_boilerplate_ngrams, and agg_grouping_sets lead,
-        # displaced from the window as the late-r10 additions landed
-        # at the front), then
+        # the 15 remaining r06-vintage entries (next in line for r11
+        # — sketch_cms_frequencies, text_quality_percentile_cut,
+        # window_rank_functions, text_boilerplate_ngrams, and
+        # agg_grouping_sets lead, displaced from the window as the
+        # late-r10 additions landed at the front), then
         # the 50 r07-vintage, the 50 r08-vintage, and the 49
         # r09-refreshed entries (freshest) last.
         # -- last driver-green r06 (r11 window leads) --
+        "sketch_cms_frequencies": L.sketch_cms_frequencies,
         "text_quality_percentile_cut": L.text_quality_percentile_cut,
         "window_rank_functions": R.window_rank_functions,
         "text_boilerplate_ngrams": L.text_boilerplate_ngrams,
@@ -5744,6 +5746,18 @@ def oracle_sql() -> dict[str, str]:
         # GIF: the oracle replays the generator's quadratic index
         # stride -> palette -> RGB sample sum; the REAL LZW round
         # trip happens entirely inside the Spark query
+        # r10 WebDataset: every output value flows through the tar
+        # container (doc_id + n_bytes parsed from the .json sidecar,
+        # txt_bytes from the .txt payload), so the oracle recomputing
+        # them straight from documents pins the whole pack/unpack path
+        "source_webdataset_roundtrip": """
+            SELECT doc_id,
+                   doc_id // 64 AS shard_id,
+                   CAST(2 AS BIGINT) AS n_members,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS txt_bytes,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS meta_bytes
+            FROM documents
+        """,
         # r10 QOI: the fixture's pixels are closed-form (multimodal.
         # synth_qois documents the formulas); the oracle replays
         # geometry, channel count, and the per-sample sum — including

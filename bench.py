@@ -237,6 +237,7 @@ HEADLINE = {
     "text_feature_hashing": L.text_feature_hashing,
     "dedup_lsh_recall": L.dedup_lsh_recall,
     "multimodal_decode_qoi": L.multimodal_decode_qoi,
+    "source_webdataset_roundtrip": L.source_webdataset_roundtrip,
 }
 
 # Registry entries deliberately NOT benched, each with its reason (the

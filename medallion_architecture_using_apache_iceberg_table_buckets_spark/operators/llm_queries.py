@@ -3525,3 +3525,32 @@ def multimodal_decode_qoi(spark, sf_dir):
     from .multimodal import decode_images, synth_qois
 
     return decode_images(synth_qois(_docs(spark, sf_dir)))
+
+
+def source_webdataset_roundtrip(spark, sf_dir):
+    """WebDataset tar-shard round trip (r10 — pipeline.webdataset):
+    documents are packed into deterministic tar shards (64 samples
+    per shard; {key}.txt + {key}.json members), the shards are
+    unpacked by a real tarfile walk on the mapInPandas shape, and
+    members re-associate into samples by (shard, key). Every output
+    value flows THROUGH the container: doc_id and the byte count
+    come from the parsed .json sidecar, txt_bytes from the parsed
+    .txt payload — so a tar writer/reader wrong in any header field,
+    member boundary, or padding rule mismatches the oracle, which
+    recomputes the same values straight from the documents table."""
+    from ..pipeline.webdataset import (
+        assemble_samples,
+        read_shard_members,
+        write_shards,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    shards = write_shards(d, samples_per_shard=64)
+    samples = assemble_samples(read_shard_members(shards))
+    return samples.select(
+        F.get_json_object("meta_json", "$.doc_id").cast("long").alias("doc_id"),
+        "shard_id",
+        "n_members",
+        F.octet_length("text").cast("long").alias("txt_bytes"),
+        F.get_json_object("meta_json", "$.n_bytes").cast("long").alias("meta_bytes"),
+    )
