@@ -56,21 +56,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # row on recent code; rotated-out entries stay covered by the full
     # local mirror (tools/check_oracles.py) and pytest.
     #
-    # Round-10 window (positions 1-50, live registry 214 entries):
-    #   1-11  = the eleven NEW round-10 queries (never driver-checked);
-    #   12    = events_user_ltv_deciles, re-slotted because its code
+    # Round-10 window (positions 1-50, live registry 215 entries):
+    #   1-12  = the twelve NEW round-10 queries (never driver-checked);
+    #   13    = events_user_ltv_deciles, re-slotted because its code
     #           changed this round (distributed-rank rewrite);
-    #   13-15 = the three r05-vintage entries that slipped the r9
+    #   14-16 = the three r05-vintage entries that slipped the r9
     #           sample (q8_market_share, q15_top_supplier,
     #           text_decontaminate) — the r9 verdict's explicit ask;
-    #   16-50 = the 35 oldest r06-vintage entries in age order (the
-    #           next five — sketch_cms_frequencies,
-    #           text_quality_percentile_cut, window_rank_functions,
-    #           text_boilerplate_ngrams, agg_grouping_sets — were
-    #           displaced into the tail head as late-r10 additions
-    #           landed at the front; they lead the r11 window).
+    #   17-50 = the 34 oldest r06-vintage entries in age order (the
+    #           next six — table_quality_checks,
+    #           sketch_cms_frequencies, text_quality_percentile_cut,
+    #           window_rank_functions, text_boilerplate_ngrams,
+    #           agg_grouping_sets — were displaced into the tail head
+    #           as late-r10 additions landed at the front; they lead
+    #           the r11 window).
     # After this round no entry's most recent driver row is older
-    # than r07 except the 15 r06-vintage tail leads, which head the
+    # than r07 except the 16 r06-vintage tail leads, which head the
     # r11 window.
     #
     # r11 window plan (execute at round-11 start, AFTER re-counting
@@ -79,26 +80,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   then = any r10-window entry whose driver row did NOT land
     #          green in CORRECTNESS_r10 (expected none — all r10
     #          additions pre-checked locally at sf0.001 AND sf0.01);
-    #   rest = the 15 remaining r06-vintage tail leads
-    #          (sketch_cms_frequencies .. dedup_ngram_jaccard_pairs),
+    #   rest = the 16 remaining r06-vintage tail leads
+    #          (table_quality_checks .. dedup_ngram_jaccard_pairs),
     #          then the oldest r07-vintage entries
     #          (multimodal_decode_png ..) in their listed order.
     # Re-count positions so the window is exactly 50; keep inserting
     # new queries right after the newest NEW block.
     return {
         # ======== round-10 driver window (positions 1-50) ========
-        # 1-5: NEWEST in round 10 (never driver-checked): per-node
+        # 1-6: NEWEST in round 10 (never driver-checked): per-node
         # triangle participation over the near-dup graph, the
         # hashing-trick featurizer, the LSH-banding recall audit
         # against lossless prefix-filter ground truth, the QOI codec
-        # (all six op families), and the WebDataset tar-shard
-        # round trip
+        # (all six op families), the WebDataset tar-shard round
+        # trip, and the embedding Gram matrix (PCA sufficient
+        # statistic)
         "graph_triangle_count": L.graph_triangle_count,
         "text_feature_hashing": L.text_feature_hashing,
         "dedup_lsh_recall": L.dedup_lsh_recall,
         "multimodal_decode_qoi": L.multimodal_decode_qoi,
         "source_webdataset_roundtrip": L.source_webdataset_roundtrip,
-        # 6-11: NEW in round 10 (never driver-checked): unified
+        "embedding_gram_matrix": L.embedding_gram_matrix,
+        # 7-12: NEW in round 10 (never driver-checked): unified
         # cross+self ExactSubstr removal, winnowing pairs closed to
         # components, interlaced/local-table GIF decode, AllPairs/
         # PPJoin prefix-filter exact-Jaccard pairs, retrieval
@@ -156,17 +159,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_join_view": L.incremental_join_view,
         "text_repeated_spans": L.text_repeated_spans,
         "range_join_event_windows": R.range_join_event_windows,
-        "table_quality_checks": R.table_quality_checks,
         # ============ tail (51+) ============
         # refresh-age order so future rotations read off the front:
-        # the 15 remaining r06-vintage entries (next in line for r11
-        # — sketch_cms_frequencies, text_quality_percentile_cut,
-        # window_rank_functions, text_boilerplate_ngrams, and
-        # agg_grouping_sets lead, displaced from the window as the
-        # late-r10 additions landed at the front), then
+        # the 16 remaining r06-vintage entries (next in line for r11
+        # — table_quality_checks, sketch_cms_frequencies,
+        # text_quality_percentile_cut, window_rank_functions,
+        # text_boilerplate_ngrams, and agg_grouping_sets lead,
+        # displaced from the window as the late-r10 additions landed
+        # at the front), then
         # the 50 r07-vintage, the 50 r08-vintage, and the 49
         # r09-refreshed entries (freshest) last.
         # -- last driver-green r06 (r11 window leads) --
+        "table_quality_checks": R.table_quality_checks,
         "sketch_cms_frequencies": L.sketch_cms_frequencies,
         "text_quality_percentile_cut": L.text_quality_percentile_cut,
         "window_rank_functions": R.window_rank_functions,
@@ -5746,6 +5750,29 @@ def oracle_sql() -> dict[str, str]:
         # GIF: the oracle replays the generator's quadratic index
         # stride -> palette -> RGB sample sum; the REAL LZW round
         # trip happens entirely inside the Spark query
+        # r10 Gram matrix: embedding values quantized to 1e-6 units by
+        # TRUNCATION (tie-free, bit-identical across engines — the
+        # float32->double widening and *1e6 multiply are exact IEEE
+        # ops), integer products summed exactly; only the 2080 output
+        # cells see a double division + 4-dp round
+        "embedding_gram_matrix": """
+            WITH pairs AS (
+              SELECT i.i, j.j
+              FROM (SELECT unnest(range(64)) AS i) i
+              JOIN (SELECT unnest(range(64)) AS j) j ON j.j >= i.i
+            ),
+            vals AS (
+              SELECT p.i, p.j,
+                     CAST(trunc(CAST(e.embedding[p.i + 1] AS DOUBLE)
+                                * 1000000.0) AS BIGINT)
+                     * CAST(trunc(CAST(e.embedding[p.j + 1] AS DOUBLE)
+                                  * 1000000.0) AS BIGINT) AS pd
+              FROM embeddings e CROSS JOIN pairs p
+            )
+            SELECT CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j,
+                   round(CAST(sum(pd) AS DOUBLE) / 1e12, 4) AS gram4
+            FROM vals GROUP BY i, j
+        """,
         # r10 WebDataset: every output value flows through the tar
         # container (doc_id + n_bytes parsed from the .json sidecar,
         # txt_bytes from the .txt payload), so the oracle recomputing

@@ -238,6 +238,7 @@ HEADLINE = {
     "dedup_lsh_recall": L.dedup_lsh_recall,
     "multimodal_decode_qoi": L.multimodal_decode_qoi,
     "source_webdataset_roundtrip": L.source_webdataset_roundtrip,
+    "embedding_gram_matrix": L.embedding_gram_matrix,
 }
 
 # Registry entries deliberately NOT benched, each with its reason (the

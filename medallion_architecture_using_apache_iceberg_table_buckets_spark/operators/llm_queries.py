@@ -3554,3 +3554,17 @@ def source_webdataset_roundtrip(spark, sf_dir):
         F.octet_length("text").cast("long").alias("txt_bytes"),
         F.get_json_object("meta_json", "$.n_bytes").cast("long").alias("meta_bytes"),
     )
+
+
+def embedding_gram_matrix(spark, sf_dir):
+    """Uncentered Gram (second-moment) matrix of the embeddings table
+    (similarity.embedding_gram_matrix, r10): the sufficient statistic
+    behind PCA whitening / dimensionality cuts in embedding curation.
+    Output is the CONSTANT-size upper triangle (2080 cells at dim=64)
+    whatever the corpus size; every cell is a 6-dp-quantized
+    DECIMAL accumulation, so the value is order-independent and the
+    DuckDB oracle reproduces it bit-for-bit. The eigenbasis /
+    projection path on top is similarity.pca_basis / pca_project
+    (driver eigensolve over the 64x64 result — pytest-covered; the
+    Gram pass is the distributed work)."""
+    return S.embedding_gram_matrix(load(spark, sf_dir, "embeddings"))

@@ -1267,3 +1267,146 @@ def cosine_range_search(
         .filter(F.col("cos_sim") >= thr)
         .select("query_id", "neighbor_id", "cos_sim")
     )
+
+
+def embedding_gram_matrix(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Uncentered second-moment (Gram) matrix of an embedding column:
+    (i, j, gram4) for the upper triangle i <= j — the sufficient
+    statistic behind PCA whitening / dimensionality cuts in embedding
+    curation (SemDeDup-style preprocessing): covariance = gram/n -
+    mean_i*mean_j composes from it and the per-dim means; the
+    eigenbasis comes from :func:`pca_basis`.
+
+    Determinism (the cross-engine contract): each embedding VALUE is
+    quantized to 1e-6 units by TRUNCATION toward zero — bit-identical
+    in any engine, because float32 -> double widening and the * 1e6
+    multiply are exact IEEE ops and truncation has no rounding ties
+    (per-product round() does: Spark's shortest-repr HALF_UP and
+    DuckDB's scale-multiply round disagree on near-tie doubles, which
+    a 12M-product pass WILL hit). Integer products of the quantized
+    values then accumulate exactly (DECIMAL(38,0) — immune to both
+    summation order and int64 overflow at any corpus size); only the
+    final 2080 cells see a double division + 4-dp round.
+
+    Plan (100 TB): one map-side nested transform builds the
+    dim*(dim+1)/2 product terms per row (JVM codegen, no Python),
+    explode feeds a (i, j)-keyed hash-agg whose key space is a
+    CONSTANT 2080 cells at dim=64 — partial aggregation collapses
+    each partition to 2080 rows before the only shuffle, so network
+    cost is #partitions * 2080 rows regardless of corpus size. The
+    dim^2 fan-out is pure CPU; for a Python-free engine that beats
+    shipping vectors to an Arrow worker at every scale we measured.
+    """
+    arr = to_double_array(vec_col)
+    # quantized copy once per row (64 casts), not once per pair (2080)
+    q = F.transform(arr, lambda x: (x * F.lit(1000000.0)).cast("long"))
+    idx = F.sequence(F.lit(0), F.lit(dim - 1))
+    terms = F.flatten(
+        F.transform(
+            idx,
+            lambda i: F.transform(
+                F.sequence(i, F.lit(dim - 1)),
+                lambda j: F.struct(
+                    i.cast("int").alias("i"),
+                    j.cast("int").alias("j"),
+                    (F.element_at(q, i + 1) * F.element_at(q, j + 1))
+                    .alias("pd"),
+                ),
+            ),
+        )
+    )
+    return (
+        df.select(F.explode(terms).alias("t"))
+        .select("t.i", "t.j", F.col("t.pd").cast("decimal(38,0)").alias("pd"))
+        .groupBy("i", "j")
+        .agg(
+            F.round(F.sum("pd").cast("double") / F.lit(1e12), 4)
+            .alias("gram4")
+        )
+    )
+
+
+def pca_basis(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_components: int = 8,
+) -> "tuple[DataFrame, list[float]]":
+    """Top principal directions of the (uncentered) embedding cloud:
+    returns (components_df, explained) where components_df holds
+    (component, dim_idx, weight) for the top ``n_components``
+    eigenvectors of the Gram matrix and ``explained`` their
+    eigenvalues in descending order.
+
+    The Gram matrix itself is the distributed pass
+    (:func:`embedding_gram_matrix`); the eigendecomposition runs on
+    the DRIVER over a dim x dim array — bounded planning metadata
+    (64x64 = 4 KB), the same legitimate-collect class as the
+    pagerank node count (operators/dedup.py) — then the basis ships
+    back as a plain DataFrame for a broadcast projection join. No
+    data-path collect at any corpus size.
+
+    Sign convention: each eigenvector is flipped so its
+    largest-magnitude coordinate is positive (eigenvectors are
+    sign-ambiguous; pinning one makes results reproducible).
+    """
+    import numpy as np
+
+    g = embedding_gram_matrix(df, vec_col, dim).collect()
+    m = np.zeros((dim, dim))
+    for r in g:
+        m[r["i"], r["j"]] = m[r["j"], r["i"]] = r["gram4"]
+    vals, vecs = np.linalg.eigh(m)  # ascending
+    order = np.argsort(vals)[::-1][:n_components]
+    rows = []
+    explained = []
+    for c, k in enumerate(order):
+        v = vecs[:, k]
+        pin = int(np.argmax(np.abs(v)))
+        if v[pin] < 0:
+            v = -v
+        explained.append(float(vals[k]))
+        rows.extend(
+            (c, d, float(round(v[d], 6))) for d in range(dim)
+        )
+    spark = df.sparkSession
+    comp = spark.createDataFrame(
+        rows, "component int, dim_idx int, weight double"
+    )
+    return comp, explained
+
+
+def pca_project(
+    df: DataFrame,
+    components: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+) -> DataFrame:
+    """Project embeddings onto a PCA basis: (id, component, score4).
+    One broadcast join against the (component, dim_idx, weight) basis
+    + a keyed sum — the corpus never re-shuffles, so projection cost
+    is a map-side pass at any scale. Scores round to 4 dp after a
+    6-dp-quantized decimal accumulation (the same order-independent
+    determinism contract as the Gram pass)."""
+    arr = to_double_array(vec_col)
+    expl = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.posexplode(arr).alias("dim_idx", "x"),
+    )
+    return (
+        expl.join(F.broadcast(components), "dim_idx")
+        .select(
+            "vec_id",
+            "component",
+            F.round(F.col("x") * F.col("weight"), 6)
+            .cast("decimal(18,6)")
+            .alias("pd"),
+        )
+        .groupBy("vec_id", "component")
+        .agg(F.round(F.sum("pd").cast("double"), 4).alias("score4"))
+    )
