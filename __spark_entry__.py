@@ -56,22 +56,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # row on recent code; rotated-out entries stay covered by the full
     # local mirror (tools/check_oracles.py) and pytest.
     #
-    # Round-10 window (positions 1-50, live registry 215 entries):
-    #   1-12  = the twelve NEW round-10 queries (never driver-checked);
-    #   13    = events_user_ltv_deciles, re-slotted because its code
+    # Round-10 window (positions 1-50, live registry 218 entries):
+    #   1-15  = the fifteen NEW round-10 queries (never driver-checked);
+    #   16    = events_user_ltv_deciles, re-slotted because its code
     #           changed this round (distributed-rank rewrite);
-    #   14-16 = the three r05-vintage entries that slipped the r9
+    #   17-19 = the three r05-vintage entries that slipped the r9
     #           sample (q8_market_share, q15_top_supplier,
     #           text_decontaminate) — the r9 verdict's explicit ask;
-    #   17-50 = the 34 oldest r06-vintage entries in age order (the
-    #           next six — table_quality_checks,
-    #           sketch_cms_frequencies, text_quality_percentile_cut,
-    #           window_rank_functions, text_boilerplate_ngrams,
+    #   20-50 = the 31 oldest r06-vintage entries in age order (the
+    #           next nine — incremental_join_view ..
     #           agg_grouping_sets — were displaced into the tail head
     #           as late-r10 additions landed at the front; they lead
     #           the r11 window).
     # After this round no entry's most recent driver row is older
-    # than r07 except the 16 r06-vintage tail leads, which head the
+    # than r07 except the 19 r06-vintage tail leads, which head the
     # r11 window.
     #
     # r11 window plan (execute at round-11 start, AFTER re-counting
@@ -80,28 +78,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   then = any r10-window entry whose driver row did NOT land
     #          green in CORRECTNESS_r10 (expected none — all r10
     #          additions pre-checked locally at sf0.001 AND sf0.01);
-    #   rest = the 16 remaining r06-vintage tail leads
-    #          (table_quality_checks .. dedup_ngram_jaccard_pairs),
+    #   rest = the 19 remaining r06-vintage tail leads
+    #          (incremental_join_view .. dedup_ngram_jaccard_pairs),
     #          then the oldest r07-vintage entries
     #          (multimodal_decode_png ..) in their listed order.
     # Re-count positions so the window is exactly 50; keep inserting
     # new queries right after the newest NEW block.
     return {
         # ======== round-10 driver window (positions 1-50) ========
-        # 1-6: NEWEST in round 10 (never driver-checked): per-node
+        # 1-9: NEWEST in round 10 (never driver-checked): per-node
         # triangle participation over the near-dup graph, the
         # hashing-trick featurizer, the LSH-banding recall audit
         # against lossless prefix-filter ground truth, the QOI codec
         # (all six op families), the WebDataset tar-shard round
-        # trip, and the embedding Gram matrix (PCA sufficient
-        # statistic)
+        # trip, the embedding Gram matrix (PCA sufficient
+        # statistic), Markov event transitions, the MinHash
+        # estimator-calibration view, and per-source TV drift
         "graph_triangle_count": L.graph_triangle_count,
         "text_feature_hashing": L.text_feature_hashing,
         "dedup_lsh_recall": L.dedup_lsh_recall,
         "multimodal_decode_qoi": L.multimodal_decode_qoi,
         "source_webdataset_roundtrip": L.source_webdataset_roundtrip,
         "embedding_gram_matrix": L.embedding_gram_matrix,
-        # 7-12: NEW in round 10 (never driver-checked): unified
+        "events_markov_transitions": R.events_markov_transitions,
+        "dedup_minhash_estimator_error": L.dedup_minhash_estimator_error,
+        "text_source_divergence": L.text_source_divergence,
+        # 10-15: NEW in round 10 (never driver-checked): unified
         # cross+self ExactSubstr removal, winnowing pairs closed to
         # components, interlaced/local-table GIF decode, AllPairs/
         # PPJoin prefix-filter exact-Jaccard pairs, retrieval
@@ -156,20 +158,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "type_promotion_scan": L.type_promotion_scan,
         "cdc_changelog_diff": L.cdc_changelog_diff,
         "mor_update_positions": L.mor_update_positions,
-        "incremental_join_view": L.incremental_join_view,
-        "text_repeated_spans": L.text_repeated_spans,
-        "range_join_event_windows": R.range_join_event_windows,
         # ============ tail (51+) ============
         # refresh-age order so future rotations read off the front:
-        # the 16 remaining r06-vintage entries (next in line for r11
-        # — table_quality_checks, sketch_cms_frequencies,
-        # text_quality_percentile_cut, window_rank_functions,
-        # text_boilerplate_ngrams, and agg_grouping_sets lead,
-        # displaced from the window as the late-r10 additions landed
-        # at the front), then
+        # the 19 remaining r06-vintage entries (next in line for r11
+        # — incremental_join_view, text_repeated_spans,
+        # range_join_event_windows, table_quality_checks,
+        # sketch_cms_frequencies, text_quality_percentile_cut,
+        # window_rank_functions, text_boilerplate_ngrams, and
+        # agg_grouping_sets lead, displaced from the window as the
+        # late-r10 additions landed at the front), then
         # the 50 r07-vintage, the 50 r08-vintage, and the 49
         # r09-refreshed entries (freshest) last.
         # -- last driver-green r06 (r11 window leads) --
+        "incremental_join_view": L.incremental_join_view,
+        "text_repeated_spans": L.text_repeated_spans,
+        "range_join_event_windows": R.range_join_event_windows,
         "table_quality_checks": R.table_quality_checks,
         "sketch_cms_frequencies": L.sketch_cms_frequencies,
         "text_quality_percentile_cut": L.text_quality_percentile_cut,
@@ -5750,6 +5753,108 @@ def oracle_sql() -> dict[str, str]:
         # GIF: the oracle replays the generator's quadratic index
         # stride -> palette -> RGB sample sum; the REAL LZW round
         # trip happens entirely inside the Spark query
+        # r10 Markov transitions: the same deterministic (ts,
+        # event_id) total order as the funnel/attribution queries
+        "events_markov_transitions": """
+            WITH seq AS (
+              SELECT event_type,
+                     lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                     ) AS prev_type
+              FROM events
+            ),
+            t AS (
+              SELECT prev_type, event_type,
+                     CAST(count(*) AS BIGINT) AS n_transitions
+              FROM seq WHERE prev_type IS NOT NULL
+              GROUP BY 1, 2
+            )
+            SELECT prev_type, event_type, n_transitions,
+                   round(n_transitions / sum(n_transitions)
+                         OVER (PARTITION BY prev_type), 4) AS prob4
+            FROM t
+        """,
+        # r10 estimator calibration: per-candidate-pair signature
+        # match count vs exact Jaccard, replaying the same seeds/
+        # banding CTEs as the LSH-pairs oracle
+        "dedup_minhash_estimator_error": f"""
+            WITH {_PLANT_TAIL}, {_SHINGLES},
+            seeds AS (SELECT * FROM (VALUES {_MINHASH_SEEDS}) s(j, a, b)),
+            mh AS (
+              SELECT doc_id, j, min((a * sid + b) % 2147483647) AS mh
+              FROM sids CROSS JOIN seeds GROUP BY doc_id, j
+            ),
+            bands AS (
+              SELECT doc_id, j // 3 AS band,
+                     string_agg(CAST(mh AS VARCHAR), '_' ORDER BY j) AS key
+              FROM mh GROUP BY doc_id, j // 3
+            ),
+            cands AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+            ),
+            matches AS (
+              SELECT c.doc_a, c.doc_b,
+                     CAST(sum(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_match
+              FROM cands c
+              JOIN mh ma ON ma.doc_id = c.doc_a
+              JOIN mh mb ON mb.doc_id = c.doc_b AND mb.j = ma.j
+              GROUP BY 1, 2
+            ),
+            inter AS (
+              SELECT c.doc_a, c.doc_b, count(*) AS inter
+              FROM cands c
+              JOIN sids sa ON sa.doc_id = c.doc_a
+              JOIN sids sb ON sb.doc_id = c.doc_b AND sb.sid = sa.sid
+              GROUP BY 1, 2
+            )
+            SELECT m.doc_a, m.doc_b, m.n_match,
+                   round(m.n_match / 12.0, 4) AS est4,
+                   round(i.inter / (sa.sz + sb.sz - i.inter), 4) AS exact4
+            FROM matches m
+            JOIN inter i ON i.doc_a = m.doc_a AND i.doc_b = m.doc_b
+            JOIN sizes sa ON sa.doc_id = m.doc_a
+            JOIN sizes sb ON sb.doc_id = m.doc_b
+        """,
+        # r10 source drift: integer-exact cross-multiplied TV
+        # numerators (DuckDB promotes the bigint sums to HUGEINT);
+        # missing-term mass folded closed-form, same as the Spark side
+        "text_source_divergence": f"""
+            WITH toks AS (
+              SELECT source,
+                     unnest(string_split({_NORM.format(t='text')}, ' ')) AS tok
+              FROM documents
+            ),
+            tf AS (
+              SELECT source, tok, count(*) AS s_cnt
+              FROM toks WHERE tok <> '' GROUP BY 1, 2
+            ),
+            cf AS (SELECT tok, sum(s_cnt) AS c_cnt FROM tf GROUP BY 1),
+            ns AS (SELECT source, sum(s_cnt) AS n_s FROM tf GROUP BY 1),
+            tot AS (SELECT sum(c_cnt) AS n_all FROM cf),
+            per AS (
+              SELECT t.source,
+                     sum(abs(t.s_cnt * n_all - c.c_cnt * n.n_s))
+                       AS present_num,
+                     sum(c.c_cnt) AS covered_c,
+                     max(n.n_s) AS n_s,
+                     max(n_all) AS n_all
+              FROM tf t
+              JOIN cf c USING (tok)
+              JOIN ns n USING (source)
+              CROSS JOIN tot
+              GROUP BY 1
+            )
+            SELECT source,
+                   CAST(n_s AS BIGINT) AS n_tokens,
+                   round(CAST(present_num + n_s * (n_all - covered_c)
+                              AS DOUBLE)
+                         / (2.0 * CAST(n_s AS DOUBLE)
+                            * CAST(n_all AS DOUBLE)), 4) AS tv4
+            FROM per
+        """,
         # r10 Gram matrix: embedding values quantized to 1e-6 units by
         # TRUNCATION (tie-free, bit-identical across engines — the
         # float32->double widening and *1e6 multiply are exact IEEE

@@ -239,6 +239,9 @@ HEADLINE = {
     "multimodal_decode_qoi": L.multimodal_decode_qoi,
     "source_webdataset_roundtrip": L.source_webdataset_roundtrip,
     "embedding_gram_matrix": L.embedding_gram_matrix,
+    "events_markov_transitions": R.events_markov_transitions,
+    "dedup_minhash_estimator_error": L.dedup_minhash_estimator_error,
+    "text_source_divergence": L.text_source_divergence,
 }
 
 # Registry entries deliberately NOT benched, each with its reason (the

@@ -3568,3 +3568,68 @@ def embedding_gram_matrix(spark, sf_dir):
     (driver eigensolve over the 64x64 result — pytest-covered; the
     Gram pass is the distributed work)."""
     return S.embedding_gram_matrix(load(spark, sf_dir, "embeddings"))
+
+
+def dedup_minhash_estimator_error(spark, sf_dir):
+    """MinHash ESTIMATOR calibration (r10): for every LSH candidate
+    pair, the signature-level Jaccard estimate (matching components /
+    K=12) side by side with the exact shingle-set Jaccard — the
+    per-pair view of what the K=12 signature actually buys
+    (dedup_lsh_recall measures banding misses; this measures
+    estimate bias on the pairs the banding DOES surface). Columns:
+    (doc_a, doc_b, n_match, est4, exact4). Scale: the signature and
+    candidate machinery of minhash_lsh_pairs unchanged; the estimate
+    adds one 12-column comparison on the already-joined rows."""
+    corpus = _planted(
+        spark, sf_dir, 30, lambda t: F.concat(t, F.lit(" extra token tail"))
+    )
+    sigs = D.minhash_signatures(corpus).persist()
+    bands = D._band_keys(sigs)
+    a, b = bands.alias("a"), bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    k = D.MINHASH_K
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sids").alias("sids_a"),
+        *[F.col(f"mh{j}").alias(f"a{j}") for j in range(k)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sids").alias("sids_b"),
+        *[F.col(f"mh{j}").alias(f"b{j}") for j in range(k)],
+    )
+    joined = cands.join(sa, "doc_a").join(sb, "doc_b")
+    n_match = sum(
+        F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0)
+        for j in range(k)
+    )
+    inter = F.size(F.array_intersect("sids_a", "sids_b"))
+    union = F.size("sids_a") + F.size("sids_b") - inter
+    return joined.select(
+        "doc_a",
+        "doc_b",
+        n_match.cast("long").alias("n_match"),
+        F.round(n_match / F.lit(k), 4).alias("est4"),
+        F.round(inter / union, 4).alias("exact4"),
+    )
+
+
+def text_source_divergence(spark, sf_dir):
+    """Per-source unigram total-variation drift
+    (text.source_tv_divergence, r10): integer-exact cross-multiplied
+    numerators summed as DECIMAL(38,0), missing-term mass folded
+    closed-form — the source-mix health check next to
+    corpus_mixture_weights, with no log() anywhere so the value-hash
+    contract holds exactly."""
+    return TX.source_tv_divergence(_docs(spark, sf_dir))

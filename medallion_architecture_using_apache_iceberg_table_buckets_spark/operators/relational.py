@@ -1721,3 +1721,38 @@ def events_user_ltv_deciles(spark, sf_dir):
             "n_users", "revenue",
         )
     )
+
+
+def events_markov_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    sequences (r10): each user's events ordered by (ts, event_id) —
+    a deterministic total order, same tie-break rule as the funnel
+    and attribution queries — yield (prev_type -> event_type) bigram
+    counts and the row-normalized transition probability. The
+    behavioral-sequence statistic behind next-event prediction and
+    anomaly screens.
+
+    Plan (100 TB): ONE user-keyed shuffle for the lag window (users
+    are many and small — no skew pressure), then a bounded
+    (prev_type, event_type) hash-agg with map-side combine; the
+    normalizing window runs over the aggregated matrix itself —
+    at most n_event_types^2 rows, bounded planning-scale metadata,
+    never event-cardinality."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    t = seq.groupBy("prev_type", "event_type").agg(
+        F.count("*").cast("long").alias("n_transitions")
+    )
+    norm = Window.partitionBy("prev_type")
+    return t.select(
+        "prev_type",
+        "event_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions") / F.sum("n_transitions").over(norm), 4
+        ).alias("prob4"),
+    )

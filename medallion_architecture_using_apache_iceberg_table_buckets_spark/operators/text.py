@@ -1730,3 +1730,75 @@ def feature_hash_vectors(
         )
         .filter(F.col("weight") != 0)
     )
+
+
+def source_tv_divergence(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source unigram-distribution drift: total-variation distance
+    TV(source) = 1/2 * sum_t |p_t(source) - p_t(corpus)| — the
+    source-mix health check (a source drifting from the corpus blend
+    shows up before quality filters catch individual docs). TV is
+    used instead of KL/JS deliberately: it needs NO log(), so the
+    whole statistic stays in exact integer arithmetic (libm log
+    differs in the last ulp across engines and would poison the
+    value-hash contract).
+
+    Exactness: with c_t = corpus count, s_t = source count, N and
+    n_s the token totals, TV = sum_t |s_t*N - c_t*n_s| / (2*n_s*N).
+    The numerator is summed as DECIMAL(38,0) — order-independent and
+    overflow-free at any corpus size (counts*totals ~ 1e24 << 1e38);
+    only the final per-source division happens in double. Terms
+    absent from a source contribute c_t*n_s each, folded CLOSED-FORM
+    as n_s*(N - sum of c_t over the source's own terms) — so the
+    plan never outer-joins the vocabulary per source.
+
+    Plan (100 TB): one (source, term) hash-agg, one term-keyed join
+    of per-source term counts to corpus term counts (AQE picks the
+    strategy; the corpus side is vocabulary-sized), two bounded
+    per-source aggs, one broadcast of the 1-row grand total.
+    """
+    toks = df.select(
+        F.col(source_col).alias("source"),
+        F.explode(words(text_col)).alias("tok"),
+    ).filter(F.col("tok") != "")
+    tf = toks.groupBy("source", "tok").agg(F.count("*").alias("s_cnt"))
+    cf = tf.groupBy("tok").agg(F.sum("s_cnt").alias("c_cnt"))
+    ns = tf.groupBy("source").agg(
+        F.sum("s_cnt").cast("decimal(38,0)").alias("n_s")
+    )
+    n_total = cf.agg(F.sum("c_cnt").cast("decimal(38,0)").alias("n_all"))
+    joined = (
+        tf.join(cf, "tok")
+        .join(ns, "source")
+        .crossJoin(F.broadcast(n_total))
+    )
+    per_src = joined.groupBy("source").agg(
+        F.sum(
+            F.abs(
+                F.col("s_cnt").cast("decimal(38,0)") * F.col("n_all")
+                - F.col("c_cnt").cast("decimal(38,0)") * F.col("n_s")
+            )
+        ).alias("present_num"),
+        F.sum("c_cnt").cast("decimal(38,0)").alias("covered_c"),
+        F.first("n_s").alias("n_s"),
+        F.first("n_all").alias("n_all"),
+    )
+    return per_src.select(
+        "source",
+        F.col("n_s").cast("long").alias("n_tokens"),
+        F.round(
+            (
+                F.col("present_num")
+                + F.col("n_s") * (F.col("n_all") - F.col("covered_c"))
+            ).cast("double")
+            / (
+                F.lit(2.0)
+                * F.col("n_s").cast("double")
+                * F.col("n_all").cast("double")
+            ),
+            4,
+        ).alias("tv4"),
+    )

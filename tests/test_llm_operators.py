@@ -2574,3 +2574,71 @@ def test_qoi_fixture_covers_all_ops_and_guards(spark):
     bad_run = good[:14] + bytes([0xC0 | 62]) + _QOI_END
     with pt.raises(ValueError, match="overflow|early|trailing"):
         decode_qoi(bad_run)
+
+
+def test_markov_transitions_hand_sequences(spark):
+    """Known sequences: user 1 walks a->b->a->c, user 2 walks a->b;
+    transition counts and row-normalized probabilities follow, and
+    cross-user boundaries never produce a transition."""
+    import datetime as dt
+
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators.relational import (
+        events_markov_transitions,
+    )
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = []
+    for i, (uid, types) in enumerate([(1, "abac"), (2, "ab")]):
+        for j, ch in enumerate(types):
+            rows.append((i * 100 + j, t0 + dt.timedelta(minutes=j), uid, ch, 0.0, "{}"))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    import os
+    d = "/tmp/markov_fixture"
+    df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    got = {
+        (r["prev_type"], r["event_type"]): (r["n_transitions"], r["prob4"])
+        for r in events_markov_transitions(spark, d).collect()
+    }
+    assert got == {
+        ("a", "b"): (2, 0.6667),
+        ("a", "c"): (1, 0.3333),
+        ("b", "a"): (1, 1.0),
+    }
+
+
+def test_minhash_estimator_error_bounds(spark, sf_dir):
+    """Estimator view consistency: n_match in 0..12, est4 is exactly
+    n_match/12, exact4 in (0, 1], and every emitted pair is an LSH
+    candidate (shares at least one full band -> n_match >= 3)."""
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators.llm_queries import (
+        dedup_minhash_estimator_error,
+    )
+
+    rows = dedup_minhash_estimator_error(spark, sf_dir).collect()
+    assert len(rows) >= 30
+    for r in rows:
+        assert 3 <= r["n_match"] <= 12  # a shared band = 3 equal components
+        assert r["est4"] == round(r["n_match"] / 12, 4)
+        assert 0 < r["exact4"] <= 1
+
+
+def test_source_tv_divergence_hand_corpus(spark):
+    """Hand-computable TV: source A = (x x y), source B = (y z);
+    TV(A) = 1/2(|2/3-2/5| + |1/3-2/5| + 1/5) = 0.2667,
+    TV(B) = 1/2(2/5 + |1/2-2/5| + |1/2-1/5|) = 0.4 — including the
+    missing-term mass folded closed-form."""
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators.text import (
+        source_tv_divergence,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "x x y", "A"), (2, "y z", "B")],
+        "doc_id long, text string, source string",
+    )
+    got = {r["source"]: (r["n_tokens"], r["tv4"])
+           for r in source_tv_divergence(df).collect()}
+    assert got == {"A": (3, 0.2667), "B": (2, 0.4)}
