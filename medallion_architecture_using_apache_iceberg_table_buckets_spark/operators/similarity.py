@@ -1292,41 +1292,68 @@ def embedding_gram_matrix(
     summation order and int64 overflow at any corpus size); only the
     final 2080 cells see a double division + 4-dp round.
 
-    Plan (100 TB): one map-side nested transform builds the
-    dim*(dim+1)/2 product terms per row (JVM codegen, no Python),
-    explode feeds a (i, j)-keyed hash-agg whose key space is a
-    CONSTANT 2080 cells at dim=64 — partial aggregation collapses
-    each partition to 2080 rows before the only shuffle, so network
-    cost is #partitions * 2080 rows regardless of corpus size. The
-    dim^2 fan-out is pure CPU; for a Python-free engine that beats
-    shipping vectors to an Arrow worker at every scale we measured.
+    Plan (100 TB): an Arrow ``mapInPandas`` partial-Gram pass — each
+    task folds its Arrow batches into ONE dim x dim integer matrix
+    (numpy ``q.T @ q`` per batch, cross-batch accumulation in Python
+    ints so no partition size can overflow) and emits exactly 2080
+    upper-triangle rows, so the only shuffle carries #partitions *
+    2080 rows regardless of corpus size, into a constant-key
+    hash-agg. This is the measured exception to the JVM-first rule:
+    the declarative nested-transform formulation (2080 per-row terms
+    through higher-order-function lambdas) leaves whole-stage
+    codegen and ran 59 s at sf0.1 vs ~1 s for the vectorized
+    partial-sum — a dense dim^2 inner product is exactly the shape
+    Arrow-batched numpy exists for.
     """
-    arr = to_double_array(vec_col)
-    # quantized copy once per row (64 casts), not once per pair (2080)
-    q = F.transform(arr, lambda x: (x * F.lit(1000000.0)).cast("long"))
-    idx = F.sequence(F.lit(0), F.lit(dim - 1))
-    terms = F.flatten(
-        F.transform(
-            idx,
-            lambda i: F.transform(
-                F.sequence(i, F.lit(dim - 1)),
-                lambda j: F.struct(
-                    i.cast("int").alias("i"),
-                    j.cast("int").alias("j"),
-                    (F.element_at(q, i + 1) * F.element_at(q, j + 1))
-                    .alias("pd"),
-                ),
-            ),
+    from decimal import Decimal
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    d = int(dim)
+
+    def partials(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        tot: list[list[int]] | None = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            a = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            # exact twin of (x * 1e6).cast(long): float32 -> double
+            # widening and the *1e6 multiply are exact IEEE ops,
+            # trunc toward zero is tie-free
+            q = np.trunc(a * 1e6).astype(np.int64)
+            g = q.T @ q  # per-batch int64: rows_per_batch * 1e12 << 2^63
+            if tot is None:
+                tot = [[int(x) for x in row] for row in g]
+            else:
+                for r in range(d):
+                    tr, gr = tot[r], g[r]
+                    for c in range(d):
+                        tr[c] += int(gr[c])
+        if tot is None:
+            return
+        ii, jj, pp = [], [], []
+        for i in range(d):
+            for j in range(i, d):
+                ii.append(i)
+                jj.append(j)
+                pp.append(Decimal(tot[i][j]))
+        yield pd.DataFrame(
+            {
+                "i": pd.Series(ii, dtype="int32"),
+                "j": pd.Series(jj, dtype="int32"),
+                "pd": pp,
+            }
         )
+
+    part = df.select(vec_col).mapInPandas(
+        partials, schema="i int, j int, pd decimal(38,0)"
     )
-    return (
-        df.select(F.explode(terms).alias("t"))
-        .select("t.i", "t.j", F.col("t.pd").cast("decimal(38,0)").alias("pd"))
-        .groupBy("i", "j")
-        .agg(
-            F.round(F.sum("pd").cast("double") / F.lit(1e12), 4)
-            .alias("gram4")
-        )
+    return part.groupBy("i", "j").agg(
+        F.round(F.sum("pd").cast("double") / F.lit(1e12), 4).alias("gram4")
     )
 
 
