@@ -56,20 +56,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # row on recent code; rotated-out entries stay covered by the full
     # local mirror (tools/check_oracles.py) and pytest.
     #
-    # Round-10 window (positions 1-50, live registry 218 entries):
-    #   1-15  = the fifteen NEW round-10 queries (never driver-checked);
-    #   16    = events_user_ltv_deciles, re-slotted because its code
+    # Round-10 window (positions 1-50, live registry 219 entries):
+    #   1-16  = the sixteen NEW round-10 queries (never driver-checked);
+    #   17    = events_user_ltv_deciles, re-slotted because its code
     #           changed this round (distributed-rank rewrite);
-    #   17-19 = the three r05-vintage entries that slipped the r9
+    #   18-20 = the three r05-vintage entries that slipped the r9
     #           sample (q8_market_share, q15_top_supplier,
     #           text_decontaminate) — the r9 verdict's explicit ask;
-    #   20-50 = the 31 oldest r06-vintage entries in age order (the
-    #           next nine — incremental_join_view ..
+    #   21-50 = the 30 oldest r06-vintage entries in age order (the
+    #           next ten — mor_update_positions ..
     #           agg_grouping_sets — were displaced into the tail head
     #           as late-r10 additions landed at the front; they lead
     #           the r11 window).
     # After this round no entry's most recent driver row is older
-    # than r07 except the 19 r06-vintage tail leads, which head the
+    # than r07 except the 20 r06-vintage tail leads, which head the
     # r11 window.
     #
     # r11 window plan (execute at round-11 start, AFTER re-counting
@@ -78,22 +78,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   then = any r10-window entry whose driver row did NOT land
     #          green in CORRECTNESS_r10 (expected none — all r10
     #          additions pre-checked locally at sf0.001 AND sf0.01);
-    #   rest = the 19 remaining r06-vintage tail leads
-    #          (incremental_join_view .. dedup_ngram_jaccard_pairs),
+    #   rest = the 20 remaining r06-vintage tail leads
+    #          (mor_update_positions .. dedup_ngram_jaccard_pairs),
     #          then the oldest r07-vintage entries
     #          (multimodal_decode_png ..) in their listed order.
     # Re-count positions so the window is exactly 50; keep inserting
     # new queries right after the newest NEW block.
     return {
         # ======== round-10 driver window (positions 1-50) ========
-        # 1-9: NEWEST in round 10 (never driver-checked): per-node
+        # 1-10: NEWEST in round 10 (never driver-checked): per-node
         # triangle participation over the near-dup graph, the
         # hashing-trick featurizer, the LSH-banding recall audit
         # against lossless prefix-filter ground truth, the QOI codec
         # (all six op families), the WebDataset tar-shard round
         # trip, the embedding Gram matrix (PCA sufficient
         # statistic), Markov event transitions, the MinHash
-        # estimator-calibration view, and per-source TV drift
+        # estimator-calibration view, per-source TV drift, and the
+        # streaming trending top-k
         "graph_triangle_count": L.graph_triangle_count,
         "text_feature_hashing": L.text_feature_hashing,
         "dedup_lsh_recall": L.dedup_lsh_recall,
@@ -103,7 +104,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_markov_transitions": R.events_markov_transitions,
         "dedup_minhash_estimator_error": L.dedup_minhash_estimator_error,
         "text_source_divergence": L.text_source_divergence,
-        # 10-15: NEW in round 10 (never driver-checked): unified
+        "streaming_topk_trending": L.streaming_topk_trending,
+        # 11-16: NEW in round 10 (never driver-checked): unified
         # cross+self ExactSubstr removal, winnowing pairs closed to
         # components, interlaced/local-table GIF decode, AllPairs/
         # PPJoin prefix-filter exact-Jaccard pairs, retrieval
@@ -157,19 +159,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_topk": L.ann_pq_topk,
         "type_promotion_scan": L.type_promotion_scan,
         "cdc_changelog_diff": L.cdc_changelog_diff,
-        "mor_update_positions": L.mor_update_positions,
         # ============ tail (51+) ============
         # refresh-age order so future rotations read off the front:
-        # the 19 remaining r06-vintage entries (next in line for r11
-        # — incremental_join_view, text_repeated_spans,
-        # range_join_event_windows, table_quality_checks,
-        # sketch_cms_frequencies, text_quality_percentile_cut,
-        # window_rank_functions, text_boilerplate_ngrams, and
-        # agg_grouping_sets lead, displaced from the window as the
-        # late-r10 additions landed at the front), then
+        # the 20 remaining r06-vintage entries (next in line for r11
+        # — mor_update_positions, incremental_join_view,
+        # text_repeated_spans, range_join_event_windows,
+        # table_quality_checks, sketch_cms_frequencies,
+        # text_quality_percentile_cut, window_rank_functions,
+        # text_boilerplate_ngrams, and agg_grouping_sets lead,
+        # displaced from the window as the late-r10 additions landed
+        # at the front), then
         # the 50 r07-vintage, the 50 r08-vintage, and the 49
         # r09-refreshed entries (freshest) last.
         # -- last driver-green r06 (r11 window leads) --
+        "mor_update_positions": L.mor_update_positions,
         "incremental_join_view": L.incremental_join_view,
         "text_repeated_spans": L.text_repeated_spans,
         "range_join_event_windows": R.range_join_event_windows,
@@ -4599,6 +4602,27 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT gram, count(*) AS df FROM sh GROUP BY gram
             ORDER BY df DESC, gram ASC LIMIT 20
+        """,
+        # r10 trending: rank over the drained windowed counts —
+        # deterministic, so the streaming composition keeps an exact
+        # oracle (same tie-break as the Spark side)
+        "streaming_topk_trending": """
+            WITH c AS (
+              SELECT date_trunc('hour', ts) AS window_start,
+                     event_type,
+                     count(*) AS n_events
+              FROM events GROUP BY 1, 2
+            ),
+            r AS (
+              SELECT window_start, event_type,
+                     CAST(n_events AS BIGINT) AS n_events,
+                     CAST(row_number() OVER (
+                       PARTITION BY window_start
+                       ORDER BY n_events DESC, event_type
+                     ) AS INTEGER) AS rk
+              FROM c
+            )
+            SELECT * FROM r WHERE rk <= 3
         """,
         "streaming_windowed_counts": """
             SELECT date_trunc('hour', ts) AS window_start,

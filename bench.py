@@ -295,6 +295,7 @@ EXCLUDED_REASONS = {
     "dedup_normalized_groups": ("trivial", "dedup_exact_groups"),
     "sketch_hll_distinct": ("trivial", "sketch_hll_rollup_merge"),
     "streaming_windowed_counts": ("streaming", None),
+    "streaming_topk_trending": ("streaming", None),
     "streaming_sessionize": ("streaming", None),
     "streaming_dedup": ("streaming", None),
     "streaming_interval_join": ("streaming", None),

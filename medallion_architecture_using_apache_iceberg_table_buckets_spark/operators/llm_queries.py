@@ -3633,3 +3633,34 @@ def text_source_divergence(spark, sf_dir):
     corpus_mixture_weights, with no log() anywhere so the value-hash
     contract holds exactly."""
     return TX.source_tv_divergence(_docs(spark, sf_dir))
+
+
+def streaming_topk_trending(spark, sf_dir):
+    """Trending dashboard over the streaming rollup (r10): the
+    watermarked 1-hour windowed counts drain to completion
+    (streaming_windowed_counts' exact machinery), then each window's
+    event types rank by (n_events desc, event_type) and the top 3
+    survive — the "what's hot right now" panel every event pipeline
+    feeds. The rank runs BATCH on the drained sink (per-window
+    partitioned window, never a global sort); in production the same
+    rank sits in a foreachBatch on the update stream. Deterministic
+    end-to-end, so the streaming composition keeps an exact SQL
+    oracle."""
+    from pyspark.sql import Window as W
+
+    counts = streaming_windowed_counts(spark, sf_dir)
+    rk = F.row_number().over(
+        W.partitionBy("window_start").orderBy(
+            F.desc("n_events"), F.asc("event_type")
+        )
+    )
+    return (
+        counts.withColumn("rk", rk)
+        .filter(F.col("rk") <= 3)
+        .select(
+            "window_start",
+            "event_type",
+            "n_events",
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )
