@@ -90,6 +90,7 @@ QUERIES = {
 def llm_queries_section():
     from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators import (
         llm_queries as L,
+        relational as R,
     )
 
     return {
@@ -616,6 +617,64 @@ def llm_queries_section():
             "branches unchanged, then ONE left-anti join of two "
             "k-row lists + a <= k-row re-rank window — no new "
             "corpus-sized shuffle.",
+        ),
+        "graph_triangle_count": (
+            L.graph_triangle_count,
+            "Degree-ordered compact-forward triangles: degree agg, "
+            "(deg,id)-oriented edges, src-keyed wedge self-join + "
+            "(v,w)-keyed closing equi-join — out-degree bounded "
+            "O(sqrt(m)) under the orientation, so hubs never fan "
+            "out d^2; no all-pairs step.",
+        ),
+        "text_feature_hashing": (
+            L.text_feature_hashing,
+            "Hashing trick: one explode + one (doc, bucket) hash-agg "
+            "with map-side combine — linear in tokens, keyed by doc "
+            "so stopword skew cannot hot-spot a reducer.",
+        ),
+        "dedup_lsh_recall": (
+            L.dedup_lsh_recall,
+            "Recall audit: the two audited pair generators unchanged "
+            "(prefix-filter exact + banded MinHash), meeting in a "
+            "crossJoin of two 1-row aggregates.",
+        ),
+        "multimodal_decode_qoi": (
+            L.multimodal_decode_qoi,
+            "QOI chain: map-only synth + decode on Arrow mapInPandas "
+            "— zero exchanges; blobs never leave the executor.",
+        ),
+        "source_webdataset_roundtrip": (
+            L.source_webdataset_roundtrip,
+            "Tar shards: shard-keyed applyInPandas pack (bounded "
+            "blob per group), mapInPandas tar walk, one (shard, key) "
+            "hash-agg to re-associate members — the shard is the "
+            "parallelism unit at any scale.",
+        ),
+        "embedding_gram_matrix": (
+            L.embedding_gram_matrix,
+            "Arrow partial-Gram: each task folds its batches to one "
+            "dim x dim integer matrix and emits 2080 rows; the only "
+            "shuffle is #partitions x 2080 rows into a constant-key "
+            "agg (measured 67x over the nested-transform plan).",
+        ),
+        "events_markov_transitions": (
+            R.events_markov_transitions,
+            "ONE user-keyed shuffle for the lag window, bounded "
+            "(prev,type) hash-agg; the normalizing window runs over "
+            "the <= n_types^2-row matrix, never event cardinality.",
+        ),
+        "dedup_minhash_estimator_error": (
+            L.dedup_minhash_estimator_error,
+            "The signature/banding machinery of minhash_lsh_pairs "
+            "unchanged; the estimate adds a 12-column comparison on "
+            "the already-joined candidate rows.",
+        ),
+        "text_source_divergence": (
+            L.text_source_divergence,
+            "Integer-exact TV drift: (source, term) agg, term-keyed "
+            "join to corpus counts, two bounded per-source aggs, one "
+            "1-row broadcast — missing-term mass folded closed-form, "
+            "never an outer join against the vocabulary.",
         ),
     }
 

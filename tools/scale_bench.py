@@ -199,6 +199,20 @@ QUERIES = {
     "dedup_prefix_filter_pairs": L.dedup_prefix_filter_pairs,
     "retrieval_hard_negatives": L.retrieval_hard_negatives,
     "dedup_exact_substr_apply": L.dedup_exact_substr_apply,
+    # late-r10 additions: dedup-graph triangles, hashing-trick
+    # featurizer, LSH recall audit, QOI decode, tar-shard round trip,
+    # Arrow partial-Gram, Markov transitions, estimator calibration,
+    # TV drift (streaming_topk_trending stays out with the other
+    # streaming drains)
+    "graph_triangle_count": L.graph_triangle_count,
+    "text_feature_hashing": L.text_feature_hashing,
+    "dedup_lsh_recall": L.dedup_lsh_recall,
+    "multimodal_decode_qoi": L.multimodal_decode_qoi,
+    "source_webdataset_roundtrip": L.source_webdataset_roundtrip,
+    "embedding_gram_matrix": L.embedding_gram_matrix,
+    "events_markov_transitions": R.events_markov_transitions,
+    "dedup_minhash_estimator_error": L.dedup_minhash_estimator_error,
+    "text_source_divergence": L.text_source_divergence,
 }
 
 
@@ -403,6 +417,10 @@ def main() -> None:
         "dedup_exact_substr_self", "dedup_exact_substr_apply",
         "dedup_winnowing_components",
         "dedup_prefix_filter_pairs", "multimodal_decode_gif_interlaced",
+        # late-r10: triangle rows and estimator-error rows grow with
+        # the planted-dup count; QOI decode is one row per doc
+        "graph_triangle_count", "dedup_minhash_estimator_error",
+        "multimodal_decode_qoi",
     }
 
     # embedding-LSH cost is governed by the CANDIDATE-join cardinality
