@@ -56,20 +56,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # row on recent code; rotated-out entries stay covered by the full
     # local mirror (tools/check_oracles.py) and pytest.
     #
-    # Round-10 window (positions 1-50, live registry 219 entries):
-    #   1-16  = the sixteen NEW round-10 queries (never driver-checked);
-    #   17    = events_user_ltv_deciles, re-slotted because its code
+    # Round-10 window (positions 1-50, live registry 220 entries):
+    #   1-17  = the seventeen NEW round-10 queries (never driver-checked);
+    #   18    = events_user_ltv_deciles, re-slotted because its code
     #           changed this round (distributed-rank rewrite);
-    #   18-20 = the three r05-vintage entries that slipped the r9
+    #   19-21 = the three r05-vintage entries that slipped the r9
     #           sample (q8_market_share, q15_top_supplier,
     #           text_decontaminate) — the r9 verdict's explicit ask;
-    #   21-50 = the 30 oldest r06-vintage entries in age order (the
-    #           next ten — mor_update_positions ..
+    #   22-50 = the 29 oldest r06-vintage entries in age order (the
+    #           next eleven — cdc_changelog_diff ..
     #           agg_grouping_sets — were displaced into the tail head
     #           as late-r10 additions landed at the front; they lead
     #           the r11 window).
     # After this round no entry's most recent driver row is older
-    # than r07 except the 20 r06-vintage tail leads, which head the
+    # than r07 except the 21 r06-vintage tail leads, which head the
     # r11 window.
     #
     # r11 window plan (execute at round-11 start, AFTER re-counting
@@ -78,34 +78,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   then = any r10-window entry whose driver row did NOT land
     #          green in CORRECTNESS_r10 (expected none — all r10
     #          additions pre-checked locally at sf0.001 AND sf0.01);
-    #   rest = the 20 remaining r06-vintage tail leads
-    #          (mor_update_positions .. dedup_ngram_jaccard_pairs),
+    #   rest = the 21 remaining r06-vintage tail leads
+    #          (cdc_changelog_diff .. dedup_ngram_jaccard_pairs),
     #          then the oldest r07-vintage entries
     #          (multimodal_decode_png ..) in their listed order.
     # Re-count positions so the window is exactly 50; keep inserting
     # new queries right after the newest NEW block.
     return {
         # ======== round-10 driver window (positions 1-50) ========
-        # 1-10: NEWEST in round 10 (never driver-checked): per-node
+        # 1-11: NEWEST in round 10 (never driver-checked): per-node
         # triangle participation over the near-dup graph, the
         # hashing-trick featurizer, the LSH-banding recall audit
         # against lossless prefix-filter ground truth, the QOI codec
         # (all six op families), the WebDataset tar-shard round
         # trip, the embedding Gram matrix (PCA sufficient
         # statistic), Markov event transitions, the MinHash
-        # estimator-calibration view, per-source TV drift, and the
-        # streaming trending top-k
+        # estimator-calibration view, per-source TV drift, the
+        # streaming trending top-k, and the PNG->QOI transcode stage
         "graph_triangle_count": L.graph_triangle_count,
         "text_feature_hashing": L.text_feature_hashing,
         "dedup_lsh_recall": L.dedup_lsh_recall,
         "multimodal_decode_qoi": L.multimodal_decode_qoi,
+        "multimodal_transcode_qoi": L.multimodal_transcode_qoi,
         "source_webdataset_roundtrip": L.source_webdataset_roundtrip,
         "embedding_gram_matrix": L.embedding_gram_matrix,
         "events_markov_transitions": R.events_markov_transitions,
         "dedup_minhash_estimator_error": L.dedup_minhash_estimator_error,
         "text_source_divergence": L.text_source_divergence,
         "streaming_topk_trending": L.streaming_topk_trending,
-        # 11-16: NEW in round 10 (never driver-checked): unified
+        # 12-17: NEW in round 10 (never driver-checked): unified
         # cross+self ExactSubstr removal, winnowing pairs closed to
         # components, interlaced/local-table GIF decode, AllPairs/
         # PPJoin prefix-filter exact-Jaccard pairs, retrieval
@@ -158,11 +159,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_temporal_enrich": L.scd2_temporal_enrich,
         "ann_pq_topk": L.ann_pq_topk,
         "type_promotion_scan": L.type_promotion_scan,
-        "cdc_changelog_diff": L.cdc_changelog_diff,
         # ============ tail (51+) ============
         # refresh-age order so future rotations read off the front:
-        # the 20 remaining r06-vintage entries (next in line for r11
-        # — mor_update_positions, incremental_join_view,
+        # the 21 remaining r06-vintage entries (next in line for r11
+        # — cdc_changelog_diff, mor_update_positions,
+        # incremental_join_view,
         # text_repeated_spans, range_join_event_windows,
         # table_quality_checks, sketch_cms_frequencies,
         # text_quality_percentile_cut, window_rank_functions,
@@ -172,6 +173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the 50 r07-vintage, the 50 r08-vintage, and the 49
         # r09-refreshed entries (freshest) last.
         # -- last driver-green r06 (r11 window leads) --
+        "cdc_changelog_diff": L.cdc_changelog_diff,
         "mor_update_positions": L.mor_update_positions,
         "incremental_join_view": L.incremental_join_view,
         "text_repeated_spans": L.text_repeated_spans,
@@ -5913,6 +5915,40 @@ def oracle_sql() -> dict[str, str]:
                    CAST(octet_length(encode(text)) AS BIGINT) AS txt_bytes,
                    CAST(octet_length(encode(text)) AS BIGINT) AS meta_bytes
             FROM documents
+        """,
+        # r10 transcode: PNG sample formula replayed closed-form with
+        # the x3 gray expansion; geometry/channels from the re-encoded
+        # QOI bytes
+        "multimodal_transcode_qoi": """
+            WITH dims AS (
+              SELECT doc_id,
+                     doc_id % 8 + 2 AS w,
+                     doc_id % 6 + 2 AS h,
+                     CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3
+                          ELSE 4 END AS ch_in
+              FROM documents
+            ),
+            px AS (
+              SELECT doc_id, ch_in,
+                     unnest(range(ch_in * w * h)) AS i
+              FROM dims
+            ),
+            sums AS (
+              SELECT doc_id,
+                     CAST(sum(
+                       ((11 * i + 3 * doc_id) % 256)
+                       * CASE WHEN ch_in = 1 THEN 3 ELSE 1 END
+                     ) AS BIGINT) AS pixel_sum
+              FROM px GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   'qoi' AS img_format,
+                   CAST(d.w AS INTEGER) AS width,
+                   CAST(d.h AS INTEGER) AS height,
+                   CAST(CASE WHEN d.ch_in = 1 THEN 3 ELSE d.ch_in END
+                        AS INTEGER) AS channels,
+                   s.pixel_sum
+            FROM dims d JOIN sums s USING (doc_id)
         """,
         # r10 QOI: the fixture's pixels are closed-form (multimodal.
         # synth_qois documents the formulas); the oracle replays

@@ -242,6 +242,7 @@ HEADLINE = {
     "events_markov_transitions": R.events_markov_transitions,
     "dedup_minhash_estimator_error": L.dedup_minhash_estimator_error,
     "text_source_divergence": L.text_source_divergence,
+    "multimodal_transcode_qoi": L.multimodal_transcode_qoi,
 }
 
 # Registry entries deliberately NOT benched, each with its reason (the

@@ -3664,3 +3664,17 @@ def streaming_topk_trending(spark, sf_dir):
             F.col("rk").cast("int").alias("rk"),
         )
     )
+
+
+def multimodal_transcode_qoi(spark, sf_dir):
+    """PNG -> QOI transcode stage (r10 — multimodal.
+    transcode_pngs_to_qoi): the synth PNG fixture (all five scanline
+    filters x gray/RGB/RGBA layouts) is decoded, channel-widened
+    where QOI requires it (gray -> RGB), re-encoded as QOI, and the
+    RE-ENCODED bytes decoded for the output stats — two real codecs
+    chained in one Arrow pass, the everyday normalize-the-container
+    step of a multimodal ingest pipeline. The oracle replays the PNG
+    sample formula closed-form with the x3 gray expansion."""
+    from .multimodal import synth_pngs, transcode_pngs_to_qoi
+
+    return transcode_pngs_to_qoi(synth_pngs(_docs(spark, sf_dir)))

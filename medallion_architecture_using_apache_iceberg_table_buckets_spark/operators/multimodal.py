@@ -3146,3 +3146,52 @@ def synth_qois(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col).mapInPandas(
         gen, schema="doc_id long, content binary, media_type string"
     )
+
+
+def transcode_pngs_to_qoi(df: DataFrame) -> DataFrame:
+    """Media-pipeline transcode stage: PNG blobs -> QOI blobs ->
+    decoded stats, in one Arrow pass (blobs never leave the
+    executor). Grayscale expands to RGB (gray+alpha to RGBA) before
+    re-encoding — QOI carries only 3- and 4-channel images, and the
+    replicate-expansion is the standard lossless widening. The
+    emitted geometry/checksum come from decoding the RE-ENCODED QOI
+    bytes, so a defect in either codec or in the expansion breaks
+    the closed-form oracle, not just a pytest."""
+
+    def tx(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fmts, ws, hs, chs, sums = [], [], [], [], [], []
+            for d, blob in zip(pdf["doc_id"], pdf["content"]):
+                meta = decode_png(bytes(blob), want_pixels=True)
+                px, ch = meta["pixels"], meta["channels"]
+                if ch == 1:
+                    px = bytes(b for s in px for b in (s, s, s))
+                    ch = 3
+                elif ch == 2:
+                    px = bytes(
+                        b
+                        for g, a in zip(px[0::2], px[1::2])
+                        for b in (g, g, g, a)
+                    )
+                    ch = 4
+                out = decode_qoi(
+                    encode_qoi(meta["width"], meta["height"], ch, px)
+                )
+                ids.append(int(d))
+                fmts.append(out["img_format"])
+                ws.append(out["width"])
+                hs.append(out["height"])
+                chs.append(out["channels"])
+                sums.append(out["pixel_sum"])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "img_format": fmts,
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "channels": pd.Series(chs, dtype="int32"),
+                    "pixel_sum": pd.Series(sums, dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(tx, schema=DECODE_SCHEMA)

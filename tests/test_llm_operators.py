@@ -2642,3 +2642,39 @@ def test_source_tv_divergence_hand_corpus(spark):
     got = {r["source"]: (r["n_tokens"], r["tv4"])
            for r in source_tv_divergence(df).collect()}
     assert got == {"A": (3, 0.2667), "B": (2, 0.4)}
+
+
+def test_transcode_png_to_qoi_pixel_exact(spark):
+    """The transcode stage is lossless: for each PNG layout (gray,
+    RGB, RGBA) the QOI re-encode round-trips the (expanded) pixel
+    bytes exactly, and gray expansion triples each sample."""
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators.multimodal import (
+        decode_png,
+        decode_qoi,
+        encode_qoi,
+        synth_pngs,
+        transcode_pngs_to_qoi,
+    )
+
+    docs = spark.range(0, 12).withColumnRenamed("id", "doc_id")
+    pngs = {r["doc_id"]: bytes(r["content"]) for r in synth_pngs(docs).collect()}
+    out = {r["doc_id"]: r for r in transcode_pngs_to_qoi(synth_pngs(docs)).collect()}
+    assert len(out) == 12
+    for d, blob in pngs.items():
+        meta = decode_png(blob, want_pixels=True)
+        px, ch = meta["pixels"], meta["channels"]
+        if ch == 1:
+            px = bytes(b for s in px for b in (s, s, s))
+            ch = 3
+        r = out[d]
+        assert (r["width"], r["height"], r["channels"]) == (
+            meta["width"], meta["height"], ch,
+        )
+        assert r["img_format"] == "qoi"
+        assert r["pixel_sum"] == sum(px)
+        # bit-exact round trip through the re-encoded container
+        rt = decode_qoi(
+            encode_qoi(meta["width"], meta["height"], ch, px),
+            want_pixels=True,
+        )
+        assert rt["pixels"] == px
