@@ -213,6 +213,7 @@ QUERIES = {
     "events_markov_transitions": R.events_markov_transitions,
     "dedup_minhash_estimator_error": L.dedup_minhash_estimator_error,
     "text_source_divergence": L.text_source_divergence,
+    "multimodal_transcode_qoi": L.multimodal_transcode_qoi,
 }
 
 
@@ -420,7 +421,7 @@ def main() -> None:
         # late-r10: triangle rows and estimator-error rows grow with
         # the planted-dup count; QOI decode is one row per doc
         "graph_triangle_count", "dedup_minhash_estimator_error",
-        "multimodal_decode_qoi",
+        "multimodal_decode_qoi", "multimodal_transcode_qoi",
     }
 
     # embedding-LSH cost is governed by the CANDIDATE-join cardinality
