@@ -398,6 +398,16 @@ def test_brute_baselines_are_the_only_all_pairs_plans(spark, sf_dir):
         # max-id scalar) broadcast onto the word/doc frames via
         # inequality — fan-out <= 10 per row by construction
         "corpus_heaps_law",
+        # LSH recall audit: the crossJoin of TWO 1-row count
+        # aggregates (n_exact x n_lsh) — scalar-sized by
+        # construction (the sketch_theta_set_ops pattern); both
+        # pair generators underneath are the fenced banded/blocked
+        # equi-joins
+        "dedup_lsh_recall",
+        # TV drift: the 1-row grand-total broadcast onto the
+        # per-source frame (the corpus_data_card pattern); the
+        # term join is a keyed equi-join on tok
+        "text_source_divergence",
     }
     # Queries whose construction performs writes/iterative jobs; their
     # plan hygiene is asserted by dedicated tests.
