@@ -56,20 +56,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # row on recent code; rotated-out entries stay covered by the full
     # local mirror (tools/check_oracles.py) and pytest.
     #
-    # Round-10 window (positions 1-50, live registry 220 entries):
-    #   1-17  = the seventeen NEW round-10 queries (never driver-checked);
-    #   18    = events_user_ltv_deciles, re-slotted because its code
+    # Round-10 window (positions 1-50, live registry 221 entries):
+    #   1-18  = the eighteen NEW round-10 queries (never driver-checked);
+    #   19    = events_user_ltv_deciles, re-slotted because its code
     #           changed this round (distributed-rank rewrite);
-    #   19-21 = the three r05-vintage entries that slipped the r9
+    #   20-22 = the three r05-vintage entries that slipped the r9
     #           sample (q8_market_share, q15_top_supplier,
     #           text_decontaminate) — the r9 verdict's explicit ask;
-    #   22-50 = the 29 oldest r06-vintage entries in age order (the
-    #           next eleven — cdc_changelog_diff ..
+    #   23-50 = the 28 oldest r06-vintage entries in age order (the
+    #           next twelve — type_promotion_scan ..
     #           agg_grouping_sets — were displaced into the tail head
     #           as late-r10 additions landed at the front; they lead
     #           the r11 window).
     # After this round no entry's most recent driver row is older
-    # than r07 except the 21 r06-vintage tail leads, which head the
+    # than r07 except the 22 r06-vintage tail leads, which head the
     # r11 window.
     #
     # r11 window plan (execute at round-11 start, AFTER re-counting
@@ -78,15 +78,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   then = any r10-window entry whose driver row did NOT land
     #          green in CORRECTNESS_r10 (expected none — all r10
     #          additions pre-checked locally at sf0.001 AND sf0.01);
-    #   rest = the 21 remaining r06-vintage tail leads
-    #          (cdc_changelog_diff .. dedup_ngram_jaccard_pairs),
+    #   rest = the 22 remaining r06-vintage tail leads
+    #          (type_promotion_scan .. dedup_ngram_jaccard_pairs),
     #          then the oldest r07-vintage entries
     #          (multimodal_decode_png ..) in their listed order.
     # Re-count positions so the window is exactly 50; keep inserting
     # new queries right after the newest NEW block.
     return {
         # ======== round-10 driver window (positions 1-50) ========
-        # 1-11: NEWEST in round 10 (never driver-checked): per-node
+        # 1-12: NEWEST in round 10 (never driver-checked): per-node
         # triangle participation over the near-dup graph, the
         # hashing-trick featurizer, the LSH-banding recall audit
         # against lossless prefix-filter ground truth, the QOI codec
@@ -94,7 +94,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # trip, the embedding Gram matrix (PCA sufficient
         # statistic), Markov event transitions, the MinHash
         # estimator-calibration view, per-source TV drift, the
-        # streaming trending top-k, and the PNG->QOI transcode stage
+        # streaming trending top-k, the PNG->QOI transcode stage, and
+        # greedy token-budget curation
         "graph_triangle_count": L.graph_triangle_count,
         "text_feature_hashing": L.text_feature_hashing,
         "dedup_lsh_recall": L.dedup_lsh_recall,
@@ -106,7 +107,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_estimator_error": L.dedup_minhash_estimator_error,
         "text_source_divergence": L.text_source_divergence,
         "streaming_topk_trending": L.streaming_topk_trending,
-        # 12-17: NEW in round 10 (never driver-checked): unified
+        "corpus_token_budget": L.corpus_token_budget,
+        # 13-18: NEW in round 10 (never driver-checked): unified
         # cross+self ExactSubstr removal, winnowing pairs closed to
         # components, interlaced/local-table GIF decode, AllPairs/
         # PPJoin prefix-filter exact-Jaccard pairs, retrieval
@@ -158,12 +160,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_vocab_merges": L.bpe_vocab_merges,
         "scd2_temporal_enrich": L.scd2_temporal_enrich,
         "ann_pq_topk": L.ann_pq_topk,
-        "type_promotion_scan": L.type_promotion_scan,
         # ============ tail (51+) ============
         # refresh-age order so future rotations read off the front:
-        # the 21 remaining r06-vintage entries (next in line for r11
-        # — cdc_changelog_diff, mor_update_positions,
-        # incremental_join_view,
+        # the 22 remaining r06-vintage entries (next in line for r11
+        # — type_promotion_scan, cdc_changelog_diff,
+        # mor_update_positions, incremental_join_view,
         # text_repeated_spans, range_join_event_windows,
         # table_quality_checks, sketch_cms_frequencies,
         # text_quality_percentile_cut, window_rank_functions,
@@ -173,6 +174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the 50 r07-vintage, the 50 r08-vintage, and the 49
         # r09-refreshed entries (freshest) last.
         # -- last driver-green r06 (r11 window leads) --
+        "type_promotion_scan": L.type_promotion_scan,
         "cdc_changelog_diff": L.cdc_changelog_diff,
         "mor_update_positions": L.mor_update_positions,
         "incremental_join_view": L.incremental_join_view,
@@ -5880,6 +5882,35 @@ def oracle_sql() -> dict[str, str]:
                          / (2.0 * CAST(n_s AS DOUBLE)
                             * CAST(n_all AS DOUBLE)), 4) AS tv4
             FROM per
+        """,
+        # r10 token budget: naive window cumsum replay of the
+        # distributed ranked prefix-sum (quality = distinct words,
+        # ties by doc_id; greedy whole-doc prefix at 30% of corpus
+        # tokens)
+        "corpus_token_budget": f"""
+            WITH scored AS (
+              SELECT doc_id,
+                     CAST(len(list_distinct(list_filter(
+                       string_split({_NORM.format(t='text')}, ' '),
+                       t -> t <> ''))) AS BIGINT) AS n_distinct,
+                     CAST(len(list_filter(
+                       string_split({_NORM.format(t='text')}, ' '),
+                       t -> t <> '')) AS BIGINT) AS n_tokens
+              FROM documents
+            ),
+            cum AS (
+              SELECT doc_id, n_tokens,
+                     CAST(sum(n_tokens) OVER (
+                       ORDER BY n_distinct DESC, doc_id
+                     ) AS BIGINT) AS cum_tokens
+              FROM scored
+            ),
+            b AS (
+              SELECT CAST(floor(sum(n_tokens) * 0.3) AS BIGINT) AS budget
+              FROM scored
+            )
+            SELECT doc_id, n_tokens, cum_tokens
+            FROM cum, b WHERE cum_tokens <= budget
         """,
         # r10 Gram matrix: embedding values quantized to 1e-6 units by
         # TRUNCATION (tie-free, bit-identical across engines — the

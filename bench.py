@@ -243,6 +243,7 @@ HEADLINE = {
     "dedup_minhash_estimator_error": L.dedup_minhash_estimator_error,
     "text_source_divergence": L.text_source_divergence,
     "multimodal_transcode_qoi": L.multimodal_transcode_qoi,
+    "corpus_token_budget": L.corpus_token_budget,
 }
 
 # Registry entries deliberately NOT benched, each with its reason (the

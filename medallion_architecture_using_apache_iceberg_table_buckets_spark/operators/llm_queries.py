@@ -3678,3 +3678,31 @@ def multimodal_transcode_qoi(spark, sf_dir):
     from .multimodal import synth_pngs, transcode_pngs_to_qoi
 
     return transcode_pngs_to_qoi(synth_pngs(_docs(spark, sf_dir)))
+
+
+def corpus_token_budget(spark, sf_dir):
+    """Greedy token-budget curation over documents
+    (sampling.token_budget_selection, r10): quality = per-doc
+    DISTINCT word count (an exact, engine-portable information-mass
+    proxy), budget = 30% of corpus tokens; keep the best-ranked
+    prefix whose running token total fits. The distributed ranked
+    prefix-sum never moves document-cardinality data through a
+    single-partition window (the LTV distributed-rank machinery
+    applied to a cumulative measure); the oracle replays the naive
+    window cumsum."""
+    d = _docs(spark, sf_dir)
+    from ..functions.text import words
+
+    scored = d.select(
+        "doc_id",
+        F.size(F.array_distinct(F.filter(words("text"), lambda w: w != "")))
+        .cast("long")
+        .alias("n_distinct"),
+        F.size(F.filter(words("text"), lambda w: w != ""))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    return SA.token_budget_selection(
+        scored, quality_col="n_distinct", tokens_col="n_tokens",
+        budget_frac=0.3,
+    )

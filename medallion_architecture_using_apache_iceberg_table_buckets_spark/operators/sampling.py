@@ -499,3 +499,78 @@ def reservoir_sample_keys(
             F.col("rk").cast("int").alias("rk"),
         )
     )
+
+
+def token_budget_selection(
+    df: DataFrame,
+    quality_col: str,
+    tokens_col: str,
+    id_col: str = "doc_id",
+    budget_frac: float = 0.3,
+) -> DataFrame:
+    """Greedy token-budget curation: rank documents by
+    (quality desc, id) and keep the prefix whose CUMULATIVE token
+    count fits the budget (``budget_frac`` of the corpus total) —
+    "fill the training budget with the best documents", the selection
+    step every fixed-compute pretraining run performs after scoring.
+    Returns (doc_id, n_tokens, cum_tokens) for the kept prefix; a doc
+    is kept iff the running total THROUGH it fits (classic greedy
+    prefix, no partial documents).
+
+    The global ranked prefix-sum is DISTRIBUTED (the same
+    machinery as events_user_ltv_deciles' distributed rank, applied
+    to a cumulative measure): a range repartition on the total order
+    gives ordered partitions; per-partition token totals (<=
+    #shuffle-partitions rows — bounded planning metadata) turn into
+    cumulative offsets via a tiny window; each doc's global running
+    total = its partition's offset + a PARTITIONED local cumsum. No
+    document-cardinality frame ever passes through a single-partition
+    window, and the budget itself is a 1-row broadcast scalar. The
+    explicit partition count keeps both branches' pids in sync under
+    AQE (see the LTV rationale).
+    """
+    spark = df.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(quality_col).alias("q"),
+        F.col(tokens_col).cast("long").alias("n_tokens"),
+    )
+    ranged = base.repartitionByRange(
+        n_part, F.desc("q"), F.asc("doc_id")
+    ).withColumn("pid", F.spark_partition_id())
+    w_prior = Window.orderBy("pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        ranged.groupBy("pid")
+        .agg(F.sum("n_tokens").alias("part_tokens"))
+        .select(
+            "pid",
+            F.coalesce(F.sum("part_tokens").over(w_prior), F.lit(0))
+            .alias("off"),
+        )
+    )
+    w_local = Window.partitionBy("pid").orderBy(
+        F.desc("q"), F.asc("doc_id")
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        ranged.withColumn("local_cum", F.sum("n_tokens").over(w_local))
+        .join(F.broadcast(offsets), "pid")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("off") + F.col("local_cum")).cast("long")
+            .alias("cum_tokens"),
+        )
+    )
+    budget = base.agg(
+        F.floor(F.sum("n_tokens") * F.lit(float(budget_frac)))
+        .cast("long")
+        .alias("budget")
+    )
+    return (
+        cum.crossJoin(F.broadcast(budget))
+        .filter(F.col("cum_tokens") <= F.col("budget"))
+        .select("doc_id", "n_tokens", "cum_tokens")
+    )

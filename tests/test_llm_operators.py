@@ -2678,3 +2678,37 @@ def test_transcode_png_to_qoi_pixel_exact(spark):
             want_pixels=True,
         )
         assert rt["pixels"] == px
+
+
+def test_token_budget_greedy_prefix_property(spark):
+    """Greedy semantics on a hand corpus: kept docs are exactly the
+    quality-ranked prefix whose running token total fits the budget,
+    and the next-ranked doc would overflow it."""
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators.sampling import (
+        token_budget_selection,
+    )
+
+    # quality = q, tokens = n; budget_frac 0.5 of total 100 -> 50
+    rows = [
+        (1, 10, 30),  # rank 1 (q=10): cum 30, kept
+        (2, 9, 15),   # rank 2: cum 45, kept
+        (3, 8, 10),   # rank 3: cum 55 > 50, cut — and everything after
+        (4, 7, 5),
+        (5, 6, 40),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, q long, n_tokens long")
+    got = {r["doc_id"]: (r["n_tokens"], r["cum_tokens"])
+           for r in token_budget_selection(
+               df, "q", "n_tokens", budget_frac=0.5).collect()}
+    assert got == {1: (30, 30), 2: (15, 45)}
+
+    # tie on quality breaks by doc_id ascending
+    tied = spark.createDataFrame(
+        [(1, 5, 20), (2, 5, 20), (3, 5, 20)],
+        "doc_id long, q long, n_tokens long",
+    )
+    kept = sorted(
+        r["doc_id"] for r in token_budget_selection(
+            tied, "q", "n_tokens", budget_frac=0.67).collect()
+    )
+    assert kept == [1, 2]  # 40 <= floor(60*0.67)=40, third would be 60

@@ -408,6 +408,9 @@ def test_brute_baselines_are_the_only_all_pairs_plans(spark, sf_dir):
         # per-source frame (the corpus_data_card pattern); the
         # term join is a keyed equi-join on tok
         "text_source_divergence",
+        # token budget: the 1-row budget scalar broadcast onto the
+        # ranked cumsum frame (the q15/q11 threshold pattern)
+        "corpus_token_budget",
     }
     # Queries whose construction performs writes/iterative jobs; their
     # plan hygiene is asserted by dedicated tests.
@@ -510,3 +513,25 @@ def test_ltv_deciles_window_is_partitioned(spark, sf_dir):
     # the global sort is a distributed range partitioning, not a
     # single-partition funnel of the user frame
     assert "rangepartitioning(rev" in plan
+
+
+def test_token_budget_windows_are_partitioned(spark, sf_dir):
+    """The token-budget selection's document-cardinality cumsum runs
+    inside a pid-PARTITIONED window (the LTV distributed-rank
+    machinery applied to a cumulative measure); the only
+    unpartitioned window allowed is the <= #shuffle-partitions
+    offsets frame, and the global order arrives via a distributed
+    range partitioning, never a single-partition funnel."""
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators import (
+        llm_queries as L,
+    )
+
+    plan = plan_of(L.corpus_token_budget(spark, sf_dir))
+    sum_lines = [
+        ln for ln in plan.splitlines()
+        if "windowspecdefinition" in ln.lower() and "n_tokens" in ln
+    ]
+    assert sum_lines, "expected the cumulative token window in the plan"
+    for ln in sum_lines:
+        assert "pid#" in ln, f"unpartitioned doc-cardinality window: {ln}"
+    assert "rangepartitioning(q" in plan or "rangepartitioning(n_distinct" in plan
