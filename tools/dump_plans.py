@@ -676,6 +676,19 @@ def llm_queries_section():
             "1-row broadcast — missing-term mass folded closed-form, "
             "never an outer join against the vocabulary.",
         ),
+        "multimodal_transcode_qoi": (
+            L.multimodal_transcode_qoi,
+            "PNG->QOI transcode: two codecs chained in one Arrow "
+            "mapInPandas pass — zero exchanges, blobs never leave "
+            "the executor.",
+        ),
+        "corpus_token_budget": (
+            L.corpus_token_budget,
+            "Distributed ranked prefix-sum: range repartition on the "
+            "quality order, pid-PARTITIONED local cumsum + broadcast "
+            "cumulative offsets (the LTV machinery on a cumulative "
+            "measure); the 1-row budget scalar is the only BNLJ.",
+        ),
     }
 
 

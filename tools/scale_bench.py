@@ -214,6 +214,7 @@ QUERIES = {
     "dedup_minhash_estimator_error": L.dedup_minhash_estimator_error,
     "text_source_divergence": L.text_source_divergence,
     "multimodal_transcode_qoi": L.multimodal_transcode_qoi,
+    "corpus_token_budget": L.corpus_token_budget,
 }
 
 
@@ -422,6 +423,7 @@ def main() -> None:
         # the planted-dup count; QOI decode is one row per doc
         "graph_triangle_count", "dedup_minhash_estimator_error",
         "multimodal_decode_qoi", "multimodal_transcode_qoi",
+        "corpus_token_budget",
     }
 
     # embedding-LSH cost is governed by the CANDIDATE-join cardinality
