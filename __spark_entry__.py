@@ -56,9 +56,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # row on recent code; rotated-out entries stay covered by the full
     # local mirror (tools/check_oracles.py) and pytest.
     #
-    # Round-10 window (positions 1-50, live registry 221 entries):
-    #   1-18  = the eighteen NEW round-10 queries (never driver-checked);
-    #   19    = events_user_ltv_deciles, re-slotted because its code
+    # Round-10 window (positions 1-50, live registry 226 entries):
+    #   1-5   = the five THIRD-window r10 additions (basket lift, RFM,
+    #           split leakage, ADPCM, TIFF — never driver-checked);
+    #   6-23  = the eighteen earlier NEW round-10 queries;
+    #   24    = events_user_ltv_deciles, re-slotted because its code
     #           changed this round (distributed-rank rewrite);
     #   20-22 = the three r05-vintage entries that slipped the r9
     #           sample (q8_market_share, q15_top_supplier,
@@ -86,7 +88,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # new queries right after the newest NEW block.
     return {
         # ======== round-10 driver window (positions 1-50) ========
-        # 1-12: NEWEST in round 10 (never driver-checked): per-node
+        # 1-5: THIRD-window round-10 additions (never driver-checked):
+        # market-basket association mining (A-priori frequent-pair
+        # pass with exact ppm fixed-point lift), the RFM quintile
+        # scorecard on the factored partition-safe distributed ntile,
+        # the train/val near-dup split-leakage audit over the
+        # lossless prefix-filter pairs, IMA ADPCM audio decode (the
+        # compressed-audio seam; oracle = recursive-CTE replay of the
+        # IMA state machine), and baseline TIFF decode (both byte
+        # orders, strips, PackBits)
+        "events_basket_lift": R.events_basket_lift,
+        "events_rfm_segments": R.events_rfm_segments,
+        "dedup_split_leakage": L.dedup_split_leakage,
+        "multimodal_decode_adpcm": L.multimodal_decode_adpcm,
+        "multimodal_decode_tiff": L.multimodal_decode_tiff,
+        # 6-17: NEWEST in round 10's second window: per-node
         # triangle participation over the near-dup graph, the
         # hashing-trick featurizer, the LSH-banding recall audit
         # against lossless prefix-filter ground truth, the QOI codec
@@ -108,7 +124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_source_divergence": L.text_source_divergence,
         "streaming_topk_trending": L.streaming_topk_trending,
         "corpus_token_budget": L.corpus_token_budget,
-        # 13-18: NEW in round 10 (never driver-checked): unified
+        # 18-23: NEW in round 10 (never driver-checked): unified
         # cross+self ExactSubstr removal, winnowing pairs closed to
         # components, interlaced/local-table GIF decode, AllPairs/
         # PPJoin prefix-filter exact-Jaccard pairs, retrieval
@@ -120,16 +136,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode_gif_interlaced": L.multimodal_decode_gif_interlaced,
         "dedup_prefix_filter_pairs": L.dedup_prefix_filter_pairs,
         "retrieval_hard_negatives": L.retrieval_hard_negatives,
-        # 7: re-slotted — its r10 distributed-rank rewrite (the r9
+        # 24: re-slotted — its r10 distributed-rank rewrite (the r9
         # verdict's partition-safety fix) needs a fresh driver row on
         # the NEW code
         "events_user_ltv_deciles": R.events_user_ltv_deciles,
-        # 8-10: the three r05-vintage entries that slipped the ~50-row
+        # 25-27: the three r05-vintage entries that slipped the ~50-row
         # r9 sample (first in line per the r9 plan and verdict)
         "q8_market_share": R.q8_market_share,
         "q15_top_supplier": R.q15_top_supplier,
         "text_decontaminate": L.text_decontaminate,
-        # 11-50: the 40 oldest r06-vintage entries in age order —
+        # 28-50: the oldest r06-vintage entries in age order —
         # after this round only 10 r06-vintage rows remain (they lead
         # the r11 window)
         "q2_min_cost_supplier": R.q2_min_cost_supplier,
@@ -2177,6 +2193,197 @@ def _hard_negatives_oracle(topn: int = 20) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # r10 third window: A-priori market-basket pairs — the ppm
+        # metrics are BIGINT floor divisions (`div`/`//`), exact in
+        # both engines, never floor-of-a-double
+        "events_basket_lift": """
+            WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            freq AS (
+              SELECT l_partkey, CAST(count(*) AS BIGINT) AS part_cnt
+              FROM op GROUP BY 1 HAVING count(*) >= 25
+            ),
+            fop AS (
+              SELECT o.l_orderkey, o.l_partkey, f.part_cnt
+              FROM op o JOIN freq f USING (l_partkey)
+            ),
+            n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM op),
+            pairs AS (
+              SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                     CAST(count(*) AS BIGINT) AS pair_cnt,
+                     CAST(min(a.part_cnt) AS BIGINT) AS cnt_a,
+                     CAST(min(b.part_cnt) AS BIGINT) AS cnt_b
+              FROM fop a
+              JOIN fop b ON a.l_orderkey = b.l_orderkey
+                        AND a.l_partkey < b.l_partkey
+              GROUP BY 1, 2 HAVING count(*) >= 3
+            )
+            SELECT part_a, part_b, pair_cnt, cnt_a, cnt_b,
+                   (1000000 * pair_cnt) // n_orders AS support_ppm,
+                   (1000000 * pair_cnt) // cnt_a AS confidence_ppm,
+                   (1000000 * pair_cnt * n_orders) // (cnt_a * cnt_b)
+                     AS lift_ppm
+            FROM pairs, n
+        """,
+        # r10 third window: RFM quintiles — the oracle states the
+        # SEMANTICS (plain ntile over deterministic total orders);
+        # the Spark side proves the partition-safe distributed-rank
+        # formulation computes the identical cut
+        "events_rfm_segments": """
+            WITH per_user AS (
+              SELECT user_id,
+                     max(CAST(ts AS DATE)) AS last_day,
+                     CAST(sum(CASE WHEN event_type = 'purchase'
+                                   THEN 1 ELSE 0 END) AS BIGINT) AS freq,
+                     coalesce(sum(CASE WHEN event_type = 'purchase'
+                                       THEN CAST(value AS DECIMAL(18,4)) END),
+                              CAST(0 AS DECIMAL(18,4))) AS monetary
+              FROM events GROUP BY user_id
+            ),
+            mx AS (SELECT max(last_day) AS d FROM per_user),
+            u AS (
+              SELECT user_id, freq, monetary,
+                     CAST(datediff('day', last_day, d) AS BIGINT)
+                       AS recency_days
+              FROM per_user, mx
+            ),
+            q AS (
+              SELECT user_id, freq, monetary,
+                     ntile(5) OVER (ORDER BY recency_days DESC, user_id)
+                       AS r_q,
+                     ntile(5) OVER (ORDER BY freq ASC, user_id) AS f_q,
+                     ntile(5) OVER (ORDER BY monetary ASC, user_id) AS m_q
+              FROM u
+            )
+            SELECT CAST(r_q AS INTEGER) AS r_q,
+                   CAST(f_q AS INTEGER) AS f_q,
+                   CAST(m_q AS INTEGER) AS m_q,
+                   CAST(count(*) AS BIGINT) AS n_users,
+                   round(CAST(sum(monetary) AS DOUBLE), 4) AS monetary,
+                   CAST(sum(freq) AS BIGINT) AS n_purchases
+            FROM q GROUP BY 1, 2, 3
+        """,
+        # r10 third window: near-dup pairs straddling the content-hash
+        # train/val cut — pairs replayed lossless (the prefix-filter
+        # oracle's exact join), split replayed from the same md5
+        # bucket formula as text_leakage_safe_split
+        "dedup_split_leakage": f"""
+            WITH {_PLANT_TAIL}, {_SHINGLES},
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+              FROM sids a JOIN sids b
+                ON a.sid = b.sid AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ),
+            pairs AS (
+              SELECT doc_a, doc_b,
+                     round(inter / (sa.sz + sb.sz - inter), 4) AS jaccard
+              FROM inter
+              JOIN sizes sa ON sa.doc_id = doc_a
+              JOIN sizes sb ON sb.doc_id = doc_b
+              WHERE round(inter / (sa.sz + sb.sz - inter), 4) >= 0.8
+            ),
+            sp AS (
+              SELECT doc_id,
+                     CASE WHEN ('0x' || substr(md5({_NORM.format(t='text')}), 1, 15))::BIGINT
+                               % 100 < 10
+                          THEN 'val' ELSE 'train' END AS split
+              FROM corpus
+            )
+            SELECT p.doc_a, p.doc_b, p.jaccard,
+                   a.split AS split_a, b.split AS split_b,
+                   CAST(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END
+                        AS INTEGER) AS is_leak
+            FROM pairs p
+            JOIN sp a ON a.doc_id = p.doc_a
+            JOIN sp b ON b.doc_id = p.doc_b
+        """,
+        # r10 third window: IMA ADPCM — the oracle is an INDEPENDENT
+        # second implementation of the spec: the exact nonlinear
+        # (predictor, step-index) recurrence replayed per sample by a
+        # recursive CTE over the public IMA reference tables
+        "multimodal_decode_adpcm": """
+            WITH RECURSIVE dims AS (
+              SELECT doc_id,
+                     ((37 * doc_id) % 4001) - 2000 AS p0,
+                     doc_id % 89 AS i0,
+                     2 * (doc_id % 24 + 8) AS n
+              FROM documents
+            ),
+            tabs AS (
+              SELECT [7,8,9,10,11,12,13,14,16,17,
+                      19,21,23,25,28,31,34,37,41,45,
+                      50,55,60,66,73,80,88,97,107,118,
+                      130,143,157,173,190,209,230,253,279,307,
+                      337,371,408,449,494,544,598,658,724,796,
+                      876,963,1060,1166,1282,1411,1552,1707,1878,2066,
+                      2272,2499,2749,3024,3327,3660,4026,4428,4871,5358,
+                      5894,6484,7132,7845,8630,9493,10442,11487,12635,13899,
+                      15289,16818,18500,20350,22385,24623,27086,29794,32767]
+                       AS st,
+                     [-1,-1,-1,-1,2,4,6,8,-1,-1,-1,-1,2,4,6,8] AS it
+            ),
+            rec AS (
+              SELECT doc_id, 0 AS i, p0 AS pred, i0 AS idx, n FROM dims
+              UNION ALL
+              SELECT doc_id, i + 1, pred2, idx2, n
+              FROM (
+                SELECT r.doc_id, r.i, r.n,
+                       greatest(-32768, least(32767,
+                         r.pred
+                         + CASE WHEN ((7 * r.i + r.doc_id) % 16) >= 8
+                                THEN -1 ELSE 1 END
+                         * ((t.st[r.idx + 1] >> 3)
+                            + CASE WHEN (((7 * r.i + r.doc_id) % 16) & 1) = 1
+                                   THEN t.st[r.idx + 1] >> 2 ELSE 0 END
+                            + CASE WHEN (((7 * r.i + r.doc_id) % 16) & 2) = 2
+                                   THEN t.st[r.idx + 1] >> 1 ELSE 0 END
+                            + CASE WHEN (((7 * r.i + r.doc_id) % 16) & 4) = 4
+                                   THEN t.st[r.idx + 1] ELSE 0 END)
+                       )) AS pred2,
+                       greatest(0, least(88,
+                         r.idx + t.it[((7 * r.i + r.doc_id) % 16) + 1]
+                       )) AS idx2
+                FROM rec r, tabs t
+                WHERE r.i < r.n
+              ) np(doc_id, i, n, pred2, idx2)
+            )
+            SELECT doc_id,
+                   CAST(8000 AS INTEGER) AS sample_rate,
+                   CAST(1 AS INTEGER) AS channels,
+                   CAST(4 AS INTEGER) AS bits,
+                   CAST(max(n) + 1 AS BIGINT) AS n_samples,
+                   CAST(sum(abs(pred)) AS BIGINT) AS abs_sum
+            FROM rec GROUP BY doc_id
+        """,
+        # r10 third window: baseline TIFF — closed-form replay of the
+        # generator's sample arithmetic; pixel_possum pins strip
+        # order, short final strips, and PackBits run boundaries
+        "multimodal_decode_tiff": """
+            WITH dims AS (
+              SELECT doc_id,
+                     doc_id % 6 + 2 AS w,
+                     doc_id % 5 + 2 AS h,
+                     CASE WHEN doc_id % 2 = 1 THEN 3 ELSE 1 END AS ch
+              FROM documents
+            ),
+            px AS (SELECT doc_id, unnest(range(w * h * ch)) AS i FROM dims),
+            sums AS (
+              SELECT doc_id,
+                     CAST(sum((7 * i + doc_id) % 256) AS BIGINT)
+                       AS pixel_sum,
+                     CAST(sum((i + 1) * ((7 * i + doc_id) % 256)) AS BIGINT)
+                       AS pixel_possum
+              FROM px GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   'tiff' AS img_format,
+                   CAST(d.w AS INTEGER) AS width,
+                   CAST(d.h AS INTEGER) AS height,
+                   CAST(d.ch AS INTEGER) AS channels,
+                   s.pixel_sum,
+                   s.pixel_possum
+            FROM dims d JOIN sums s USING (doc_id)
+        """,
         "s1_scan_filter_project": """
             SELECT o_orderkey, o_orderstatus, o_totalprice
             FROM orders WHERE o_totalprice > 450000.0

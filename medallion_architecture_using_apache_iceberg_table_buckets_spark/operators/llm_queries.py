@@ -3706,3 +3706,78 @@ def corpus_token_budget(spark, sf_dir):
         scored, quality_col="n_distinct", tokens_col="n_tokens",
         budget_frac=0.3,
     )
+
+
+def dedup_split_leakage(spark, sf_dir):
+    """Train/val SPLIT-LEAKAGE audit (r10 third window): the
+    content-hash split (text.leakage_safe_split) closes the
+    exact-duplicate hole by construction, but NEAR-duplicates can
+    still straddle the cut — the eval-contamination failure mode a
+    benchmark release has to publish. This query measures it: the
+    LOSSLESS prefix-filter exact-Jaccard pairs at t=0.8
+    (dedup.prefix_filter_pairs) joined to each endpoint's split
+    label; ``is_leak = 1`` iff the pair crosses train/val. The
+    planted perturbed copies (' extra token tail') are near- but not
+    normalized-equal, so both leak and non-leak pairs genuinely
+    occur.
+
+    Plan (100 TB): the pair generator is the audited prefix-filter
+    join (candidate volume from the rarest-shingle prefixes — never
+    all-pairs); the split is a map-only md5; the label attachment is
+    two doc-keyed equi-joins of a pair list that is tiny relative to
+    the corpus. The oracle replays pairs AND split closed-form."""
+    corpus = _planted(
+        spark, sf_dir, 30, lambda t: F.concat(t, F.lit(" extra token tail"))
+    )
+    pairs = D.prefix_filter_pairs(corpus, threshold=0.8)
+    splits = TX.leakage_safe_split(corpus)
+    sa = splits.select(
+        F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
+    )
+    sb = splits.select(
+        F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a", "doc_b", "jaccard", "split_a", "split_b",
+            F.when(F.col("split_a") != F.col("split_b"), 1)
+            .otherwise(0).cast("int").alias("is_leak"),
+        )
+    )
+
+
+def multimodal_decode_adpcm(spark, sf_dir):
+    """IMA/DVI ADPCM audio decoding (r10 third window — WAV format
+    tag 0x11, the compressed-audio seam the mu-law query left open):
+    real format-0x11 containers (20-byte fmt chunk with the
+    wSamplesPerBlock extension, fact chunk, block header whose
+    predictor is the first output sample, low-nibble-first 4-bit
+    codes) are synthesized per doc and decoded back through the
+    RIFF walk + the IMA state machine (step/index tables, shift-add
+    difference expansion, int16 clamp) on the Arrow mapInPandas
+    shape. The oracle replays the EXACT nonlinear recurrence with a
+    recursive CTE over the same reference tables — an independent
+    second implementation of the spec, not a copied constant."""
+    from .multimodal import decode_audios, synth_adpcm_audio
+
+    return decode_audios(synth_adpcm_audio(_docs(spark, sf_dir)))
+
+
+def multimodal_decode_tiff(spark, sf_dir):
+    """Baseline TIFF decoding (r10 third window — multimodal
+    .decode_tiff): real TIFF 6.0 containers in BOTH byte orders
+    ('II' little, 'MM' big — co-varying with gray/RGB photometric by
+    doc parity), strip-organized with RowsPerStrip=2 (short final
+    strips whenever height is odd), every third doc PackBits-
+    compressed, multi-value fields (RGB BitsPerSample, strip tables)
+    through real offset indirections. Emits BOTH the order-invariant
+    pixel_sum and the position-weighted pixel_possum: a reader that
+    reassembles strips out of order, drops the short last strip, or
+    mis-decodes a PackBits run passes neither. The oracle replays the
+    generator's closed-form sample arithmetic; LZW/tiled/planar TIFF
+    raises the declared seam like every other codec family."""
+    from .multimodal import decode_images_positional, synth_tiffs
+
+    return decode_images_positional(synth_tiffs(_docs(spark, sf_dir)))

@@ -1047,6 +1047,8 @@ def decode_image(content: bytes) -> dict:
         return decode_jpeg(content)
     if content[:4] == b"qoif":
         return decode_qoi(content)
+    if content[:4] in (b"II*\x00", b"MM\x00*"):
+        return decode_tiff(content)
     if content[:2] in (b"P6", b"P5"):
         w, h, maxval, off = _parse_pnm_header(content)
         ch = 3 if content[:2] == b"P6" else 1
@@ -1765,6 +1767,8 @@ def decode_pixels(content: bytes) -> dict:
 
     if content[:8] == _PNG_SIG:
         return decode_png(content, want_pixels=True)
+    if content[:4] in (b"II*\x00", b"MM\x00*"):
+        return decode_tiff(content, want_pixels=True)
     if content[:2] in (b"P6", b"P5"):
         meta = decode_image(content)
         w, h, _maxval, off = _parse_pnm_header(content)
@@ -2323,13 +2327,28 @@ def decode_wav(content: bytes, want_samples: bool = False) -> dict:
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("missing fmt or data chunk")
-    audio_format, channels, rate, _, _, bits = fmt
+    audio_format, channels, rate, _, block_align, bits = fmt
     if audio_format == 7 and bits == 8:
         # ITU-T G.711 mu-law: canonical integer expansion (CCITT
         # reference ulaw2linear) — one byte per sample to 14-bit
         # linear. Pure integer arithmetic, so the SQL oracle replays
         # it closed-form.
         samples = tuple(_mulaw_expand(b) for b in data)
+        return _wav_out(rate, channels, bits, samples, want_samples)
+    if audio_format == 0x11 and bits == 4:
+        # IMA/DVI ADPCM (WAV format tag 0x11): block-structured —
+        # each block opens with a 4-byte header (int16 predictor,
+        # uint8 step index, reserved) whose predictor IS the first
+        # output sample, then 4-bit codes two-per-byte, LOW nibble
+        # first, each advancing the (predictor, index) state machine.
+        # Pure integer arithmetic end to end, so the SQL oracle can
+        # replay the exact recurrence with a recursive CTE.
+        samples = []
+        for off in range(0, len(data), block_align):
+            block = data[off : off + block_align]
+            if len(block) < 4:
+                break
+            samples.extend(_adpcm_decode_block(block))
         return _wav_out(rate, channels, bits, samples, want_samples)
     if audio_format != 1 or bits != 16:
         raise NotImplementedError(
@@ -2348,6 +2367,118 @@ def _mulaw_expand(u: int) -> int:
     t = ((u & 0x0F) << 3) + 0x84
     t <<= (u & 0x70) >> 4
     return (0x84 - t) if (u & 0x80) else (t - 0x84)
+
+
+# IMA/DVI ADPCM reference tables (IMA Digital Audio Focus and
+# Technical Working Groups recommendation, 1992 — the public spec
+# every .wav format-0x11 reader implements)
+_IMA_STEP_TABLE = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17,
+    19, 21, 23, 25, 28, 31, 34, 37, 41, 45,
+    50, 55, 60, 66, 73, 80, 88, 97, 107, 118,
+    130, 143, 157, 173, 190, 209, 230, 253, 279, 307,
+    337, 371, 408, 449, 494, 544, 598, 658, 724, 796,
+    876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358,
+    5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899,
+    15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+)
+_IMA_INDEX_TABLE = (-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8)
+
+
+def _adpcm_step(pred: int, idx: int, nib: int) -> tuple[int, int]:
+    """One IMA ADPCM state transition: 4-bit code -> next
+    (predictor, step index). The canonical shift-add difference
+    expansion — diff = step/8 + (b0?step/4) + (b1?step/2) +
+    (b2?step), sign from b3 — all integer, clamped to int16/[0,88]."""
+    step = _IMA_STEP_TABLE[idx]
+    diff = step >> 3
+    if nib & 1:
+        diff += step >> 2
+    if nib & 2:
+        diff += step >> 1
+    if nib & 4:
+        diff += step
+    pred = pred - diff if nib & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    idx = max(0, min(88, idx + _IMA_INDEX_TABLE[nib]))
+    return pred, idx
+
+
+def _adpcm_decode_block(block: bytes) -> list[int]:
+    """Decode one IMA ADPCM block: header sample + one sample per
+    nibble (low nibble of each byte first)."""
+    import struct
+
+    pred = struct.unpack("<h", block[0:2])[0]
+    idx = min(88, block[2])
+    out = [pred]
+    for byte in block[4:]:
+        for nib in (byte & 0x0F, byte >> 4):
+            pred, idx = _adpcm_step(pred, idx, nib)
+            out.append(pred)
+    return out
+
+
+def encode_wav_adpcm(
+    sample_rate: int, predictor: int, index: int, nibbles: list[int]
+) -> bytes:
+    """Mono IMA ADPCM WAV (format tag 0x11): 20-byte fmt chunk with
+    the wSamplesPerBlock extension, a fact chunk carrying the
+    decoded sample count, and ONE data block (header + packed
+    nibbles, low nibble first). ``len(nibbles)`` must be even so the
+    block carries no padding codes."""
+    import struct
+
+    if len(nibbles) % 2:
+        raise ValueError("nibble count must be even (two codes per byte)")
+    body = struct.pack("<hBB", predictor, index, 0) + bytes(
+        (nibbles[i] & 0x0F) | ((nibbles[i + 1] & 0x0F) << 4)
+        for i in range(0, len(nibbles), 2)
+    )
+    n_samples = len(nibbles) + 1
+    block_align = len(body)
+    byte_rate = (sample_rate * block_align + n_samples - 1) // n_samples
+    fmt = struct.pack(
+        "<HHIIHHHH", 0x11, 1, sample_rate, byte_rate, block_align, 4,
+        2, n_samples,
+    )
+    fact = struct.pack("<I", n_samples)
+    payload = (
+        b"fmt " + struct.pack("<I", 20) + fmt
+        + b"fact" + struct.pack("<I", 4) + fact
+        + b"data" + struct.pack("<I", len(body)) + body
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(payload)) + b"WAVE" + payload
+
+
+def synth_adpcm_audio(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic synthetic IMA ADPCM WAV table: doc_id ->
+    format-0x11 container bytes. predictor = ((37*id) % 4001) - 2000;
+    step index = id % 89 (every table entry is some doc's starting
+    step); n = 2*(id%24 + 8) nibbles (16..62, even);
+    nibble_i = (7*i + id) % 16 — all sixteen codes occur, so sign
+    bit, every magnitude bit, and both clamp directions are
+    exercised across the corpus."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for d in pdf[id_col]:
+                d = int(d)
+                pred = ((37 * d) % 4001) - 2000
+                idx = d % 89
+                count = 2 * (d % 24 + 8)
+                nibs = [(7 * i + d) % 16 for i in range(count)]
+                ids.append(d)
+                blobs.append(encode_wav_adpcm(8000, pred, idx, nibs))
+            yield pd.DataFrame(
+                {"doc_id": pd.Series(ids, dtype="int64"), "content": blobs}
+            )
+
+    return df.select(id_col).mapInPandas(
+        gen, schema="doc_id long, content binary"
+    )
 
 
 def _wav_out(rate, channels, bits, samples, want_samples) -> dict:
@@ -3195,3 +3326,276 @@ def transcode_pngs_to_qoi(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(tx, schema=DECODE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# TIFF: baseline bilevel-free grayscale/RGB TIFF 6.0 (strips,
+# uncompressed or PackBits, both byte orders). The remaining TIFF
+# surface (LZW/JPEG-in-TIFF, tiles, planar config 2) stays a declared
+# seam — a PIL-equipped deployment delegates the whole family.
+# ---------------------------------------------------------------------------
+
+def _packbits_encode(data: bytes) -> bytes:
+    """Apple PackBits (TIFF 6.0 §9): literal runs <= 128, repeat runs
+    <= 128 encoded as (257 - n) & 0xFF. Repeats of >= 3 switch to a
+    run; the -128 no-op code is never emitted."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            out.append((257 - run) & 0xFF)
+            out.append(data[i])
+            i += run
+            continue
+        lit_start = i
+        i += run
+        while i < n and i - lit_start < 128:
+            run = 1
+            while i + run < n and run < 128 and data[i + run] == data[i]:
+                run += 1
+            if run >= 3:
+                break
+            i += run
+            if i - lit_start > 128:
+                i = lit_start + 128
+                break
+        out.append(i - lit_start - 1)
+        out.extend(data[lit_start:i])
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes, n_expected: int) -> bytes:
+    """Inverse of :func:`_packbits_encode`; stops exactly at
+    ``n_expected`` output bytes (strip boundaries are exact in TIFF)."""
+    out = bytearray()
+    i = 0
+    while len(out) < n_expected:
+        if i >= len(data):
+            raise ValueError("truncated PackBits strip")
+        code = data[i]
+        i += 1
+        if code < 128:          # literal run of code+1 bytes
+            out.extend(data[i : i + code + 1])
+            i += code + 1
+        elif code > 128:        # repeat next byte 257-code times
+            out.extend(bytes([data[i]]) * (257 - code))
+            i += 1
+        # code == 128: no-op
+    if len(out) != n_expected:
+        raise ValueError("PackBits strip overran its expected size")
+    return bytes(out)
+
+
+_TIFF_COMPRESSION_NONE = 1
+_TIFF_COMPRESSION_PACKBITS = 32773
+
+
+def encode_tiff(
+    width: int,
+    height: int,
+    pixels: bytes,
+    channels: int = 1,
+    *,
+    packbits: bool = False,
+    big_endian: bool = False,
+    rows_per_strip: int = 2,
+) -> bytes:
+    """Baseline TIFF 6.0 writer: 8-bit grayscale (Photometric 1) or
+    RGB (Photometric 2), row-major samples cut into strips of
+    ``rows_per_strip`` rows, each strip optionally PackBits-
+    compressed, in either byte order ('II' little / 'MM' big).
+    Layout: header, strip data, out-of-line arrays, IFD — every
+    multi-value field (BitsPerSample at 3 channels, strip tables
+    past one entry) goes through a real offset indirection, so a
+    reader that only handles inline values fails loudly."""
+    import struct
+
+    e = ">" if big_endian else "<"
+    row_bytes = width * channels
+    if len(pixels) != row_bytes * height:
+        raise ValueError("pixel buffer does not match geometry")
+    strips = []
+    for r0 in range(0, height, rows_per_strip):
+        raw = pixels[r0 * row_bytes : (r0 + min(rows_per_strip, height - r0)) * row_bytes]
+        strips.append(_packbits_encode(raw) if packbits else raw)
+
+    pos = 8
+    strip_offsets = []
+    for s in strips:
+        strip_offsets.append(pos)
+        pos += len(s)
+    extra = bytearray()
+    extra_base = pos
+
+    def put_array(fmt_ch: str, values) -> int:
+        off = extra_base + len(extra)
+        for v in values:
+            extra.extend(struct.pack(e + fmt_ch, v))
+        return off
+
+    entries = []
+
+    def entry(tag: int, typ: int, count: int, value: bytes):
+        entries.append(struct.pack(e + "HHI", tag, typ, count) + value)
+
+    def short_inline(v: int) -> bytes:
+        return struct.pack(e + "H", v) + b"\x00\x00"
+
+    def long_inline(v: int) -> bytes:
+        return struct.pack(e + "I", v)
+
+    n_strips = len(strips)
+    entry(256, 3, 1, short_inline(width))
+    entry(257, 3, 1, short_inline(height))
+    if channels == 3:
+        entry(258, 3, 3, long_inline(put_array("H", (8, 8, 8))))
+    else:
+        entry(258, 3, 1, short_inline(8))
+    entry(259, 3, 1, short_inline(
+        _TIFF_COMPRESSION_PACKBITS if packbits else _TIFF_COMPRESSION_NONE))
+    entry(262, 3, 1, short_inline(2 if channels == 3 else 1))
+    if n_strips == 1:
+        entry(273, 4, 1, long_inline(strip_offsets[0]))
+    else:
+        entry(273, 4, n_strips, long_inline(put_array("I", strip_offsets)))
+    entry(277, 3, 1, short_inline(channels))
+    entry(278, 3, 1, short_inline(rows_per_strip))
+    if n_strips == 1:
+        entry(279, 4, 1, long_inline(len(strips[0])))
+    else:
+        entry(279, 4, n_strips,
+              long_inline(put_array("I", [len(s) for s in strips])))
+
+    ifd_off = extra_base + len(extra)
+    ifd = struct.pack(e + "H", len(entries)) + b"".join(entries) + struct.pack(
+        e + "I", 0
+    )
+    header = (b"MM" if big_endian else b"II") + struct.pack(
+        e + "HI", 42, ifd_off
+    )
+    return header + b"".join(strips) + bytes(extra) + ifd
+
+
+def _tiff_read_values(content, e, typ, count, value_field):
+    """Read an IFD entry's values, following the offset indirection
+    when the payload exceeds the 4 inline bytes."""
+    import struct
+
+    fmt_ch, size = {3: ("H", 2), 4: ("I", 4)}[typ]
+    total = size * count
+    if total <= 4:
+        buf = value_field[:total]
+    else:
+        (off,) = struct.unpack(e + "I", value_field)
+        buf = content[off : off + total]
+    return list(struct.unpack(e + f"{count}{fmt_ch}", buf))
+
+
+def decode_tiff(content: bytes, want_pixels: bool = False) -> dict:
+    """Decode a baseline TIFF: both byte orders, 8-bit gray/RGB,
+    strip organization, Compression 1 (none) or 32773 (PackBits).
+    Strip reassembly is positional — the last strip may be short
+    (height not divisible by RowsPerStrip) and each PackBits strip
+    must decompress to exactly its raw size, so the positional
+    checksum downstream pins both. Unsupported compressions / bit
+    depths raise NotImplementedError (the LZW/tiled/planar seam)."""
+    import struct
+
+    if content[:4] not in (b"II*\x00", b"MM\x00*"):
+        raise ValueError("not a TIFF container")
+    e = "<" if content[:2] == b"II" else ">"
+    (ifd_off,) = struct.unpack(e + "I", content[4:8])
+    (n_entries,) = struct.unpack(e + "H", content[ifd_off : ifd_off + 2])
+    tags = {}
+    for k in range(n_entries):
+        base = ifd_off + 2 + 12 * k
+        tag, typ, count = struct.unpack(e + "HHI", content[base : base + 8])
+        tags[tag] = _tiff_read_values(
+            content, e, typ, count, content[base + 8 : base + 12]
+        )
+    width, height = tags[256][0], tags[257][0]
+    bits = tags.get(258, [8])
+    compression = tags.get(259, [1])[0]
+    channels = tags.get(277, [1])[0]
+    if any(b != 8 for b in bits) or len(bits) != channels:
+        raise NotImplementedError(
+            f"only 8-bit samples supported (BitsPerSample={bits})"
+        )
+    if compression not in (_TIFF_COMPRESSION_NONE, _TIFF_COMPRESSION_PACKBITS):
+        raise NotImplementedError(
+            f"TIFF compression {compression} (LZW/JPEG/deflate) needs a "
+            "full TIFF library — documented seam"
+        )
+    rows_per_strip = tags.get(278, [height])[0]
+    offsets, counts = tags[273], tags[279]
+    if len(offsets) != len(counts):
+        raise ValueError("StripOffsets/StripByteCounts length mismatch")
+    row_bytes = width * channels
+    out = bytearray()
+    for k, (off, cnt) in enumerate(zip(offsets, counts)):
+        n_rows = min(rows_per_strip, height - k * rows_per_strip)
+        raw_size = n_rows * row_bytes
+        strip = content[off : off + cnt]
+        if len(strip) != cnt:
+            raise ValueError("truncated TIFF strip")
+        if compression == _TIFF_COMPRESSION_PACKBITS:
+            strip = _packbits_decode(strip, raw_size)
+        elif len(strip) != raw_size:
+            raise ValueError("uncompressed strip size mismatch")
+        out.extend(strip)
+    if len(out) != row_bytes * height:
+        raise ValueError("TIFF strip reassembly size mismatch")
+    meta = {
+        "img_format": "tiff",
+        "width": width,
+        "height": height,
+        "channels": channels,
+        "pixel_sum": sum(out),
+    }
+    if want_pixels:
+        meta["pixels"] = bytes(out)
+    return meta
+
+
+def synth_tiffs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic synthetic TIFF table: doc_id -> baseline TIFF
+    bytes. Geometry w = id%6+2, h = id%5+2; RGB when id is odd else
+    grayscale; PackBits when id%3 == 0 else uncompressed; big-endian
+    'MM' when id%2 == 1 else 'II' (so byte order and photometric
+    co-vary with parity and BOTH paths run every batch);
+    RowsPerStrip=2 forces multi-strip files with a short final strip
+    whenever h is odd. sample_i = (7*i + id) % 256 row-major —
+    closed-form, so the SQL oracle replays geometry and both
+    checksums without touching the codec. Long runs for the PackBits
+    run-coding path come from docs where 7*i wraps slowly relative
+    to the row length; literal runs dominate elsewhere."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for d in pdf[id_col]:
+                d = int(d)
+                w, h = d % 6 + 2, d % 5 + 2
+                ch = 3 if d % 2 else 1
+                px = bytes((7 * i + d) % 256 for i in range(w * h * ch))
+                blobs.append(
+                    encode_tiff(
+                        w, h, px, ch,
+                        packbits=(d % 3 == 0),
+                        big_endian=(d % 2 == 1),
+                        rows_per_strip=2,
+                    )
+                )
+                ids.append(d)
+            yield pd.DataFrame(
+                {"doc_id": pd.Series(ids, dtype="int64"),
+                 "content": blobs,
+                 "media_type": ["image/tiff"] * len(ids)}
+            )
+
+    return df.select(id_col).mapInPandas(
+        gen, schema="doc_id long, content binary, media_type string"
+    )

@@ -1756,3 +1756,190 @@ def events_markov_transitions(spark, sf_dir):
             F.col("n_transitions") / F.sum("n_transitions").over(norm), 4
         ).alias("prob4"),
     )
+
+
+def events_basket_lift(spark, sf_dir, min_item_support: int = 25,
+                       min_pair_support: int = 3):
+    """Market-basket association mining over lineitem: parts that
+    co-occur in the same order, with support / confidence / lift —
+    the A-priori-style pair pass behind "frequently bought together".
+
+    Determinism: the floating association metrics are emitted as
+    EXACT integer-arithmetic fixed-point values (parts-per-million,
+    floor division on BIGINTs), so both engines compute identical
+    cells with no double-rounding boundary; the raw integer counts
+    ride alongside for auditability.
+
+    Plan (100 TB): the A-priori downward-closure pushdown — a part
+    must itself be frequent before any pair containing it can be —
+    runs FIRST as one part-keyed hash-agg, and the surviving
+    frequent-part list joins back BROADCAST, so the order-keyed pair
+    self-join only ever sees frequent items. Pair fan-out per order
+    is C(k,2) of its *frequent* line count — bounded by order size
+    (TPC-H max 7 lines), never by corpus size. One shuffle on
+    l_orderkey for the self-join, one bounded (part_a, part_b)
+    hash-agg with map-side combine. The ppm math stays in BIGINT:
+    1e6 * pair_cnt * n_orders fits 63 bits up to ~9e12
+    pair-count*order products; at larger scale the same expressions
+    promote to DECIMAL(38,0) unchanged."""
+    li = load(spark, sf_dir, "lineitem")
+    # distinct (order, part): a part twice in one order is one basket item
+    op = li.select("l_orderkey", "l_partkey").dropDuplicates(
+        ["l_orderkey", "l_partkey"]
+    )
+    freq = (
+        op.groupBy("l_partkey")
+        .agg(F.count("*").cast("long").alias("part_cnt"))
+        .filter(F.col("part_cnt") >= min_item_support)
+    )
+    fop = op.join(F.broadcast(freq), "l_partkey").select(
+        "l_orderkey", "l_partkey", "part_cnt"
+    )
+    a = fop.select(
+        "l_orderkey",
+        F.col("l_partkey").alias("part_a"),
+        F.col("part_cnt").alias("cnt_a"),
+    )
+    b = fop.select(
+        "l_orderkey",
+        F.col("l_partkey").alias("part_b"),
+        F.col("part_cnt").alias("cnt_b"),
+    )
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(
+            F.count("*").cast("long").alias("pair_cnt"),
+            F.first("cnt_a").alias("cnt_a"),
+            F.first("cnt_b").alias("cnt_b"),
+        )
+        .filter(F.col("pair_cnt") >= min_pair_support)
+    )
+    # Eager scalar count, embedded as an integer literal: the ppm
+    # columns need the EXACT order total inside integer-div
+    # expressions (a broadcast-scalar join would carry it as a column
+    # but costs the same one aggregate job); one bounded COUNT
+    # DISTINCT, planning metadata — same rationale as pagerank's
+    # eager nodes.count().
+    n_orders = op.select("l_orderkey").distinct().count()
+    # ppm fixed-point via BIGINT `div` — exact integer floor division
+    # on both engines (DuckDB's `//`), never floor-of-a-double
+    return pairs.selectExpr(
+        "part_a", "part_b", "pair_cnt", "cnt_a", "cnt_b",
+        f"(1000000 * pair_cnt) div {n_orders} AS support_ppm",
+        "(1000000 * pair_cnt) div cnt_a AS confidence_ppm",
+        f"(1000000 * pair_cnt * {n_orders}) div (cnt_a * cnt_b)"
+        " AS lift_ppm",
+    )
+
+
+def _distributed_ntile(df, n_buckets: int, order_cols, out_col: str):
+    """Partition-safe ntile over a deterministic total order: the
+    exact machinery of events_user_ltv_deciles' distributed-rank
+    rewrite (see its docstring for the full rationale), factored so
+    multi-metric scorecards (RFM) reuse it per dimension.
+
+    Semantics are bit-exactly ``ntile(n) OVER (ORDER BY
+    order_cols)``; the plan range-partitions on the total order,
+    turns per-partition counts (<= #shuffle-partitions rows) into
+    broadcast cumulative offsets, and derives the bucket from
+    offset + per-partition row_number with integer-exact math — no
+    data-cardinality row ever crosses a SinglePartition window."""
+    spark = df.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = df.repartitionByRange(n_part, *order_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_prior = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_all = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = (
+        ranged.groupBy("_pid")
+        .agg(F.count("*").alias("_cnt"))
+        .select(
+            "_pid",
+            F.coalesce(F.sum("_cnt").over(w_prior), F.lit(0)).alias("_off"),
+            F.sum("_cnt").over(w_all).alias("_n"),
+        )
+    )
+    w_local = Window.partitionBy("_pid").orderBy(*order_cols)
+    r = (F.col("_off") + F.row_number().over(w_local)).alias("_rank")
+    with_rank = ranged.join(F.broadcast(offsets), "_pid").select(
+        *df.columns, r, F.col("_n")
+    )
+    # SQL ntile(n): base = _n div n, rem = _n mod n; the first rem
+    # buckets hold base+1 rows. rank <= rem*(base+1) -> bucket from
+    # the wide region, else offset into the narrow region.
+    k = F.lit(n_buckets).cast("long")
+    base = ((F.col("_n") - (F.col("_n") % k)) / k).cast("long")
+    rem = F.col("_n") % k
+    rank = F.col("_rank")
+    wide_span = rem * (base + 1)
+    in_wide = rank <= wide_span
+    bucket_wide = ((rank - 1 - ((rank - 1) % (base + 1))) / (base + 1)).cast(
+        "long"
+    ) + 1
+    over = rank - wide_span
+    bucket_narrow = (
+        rem
+        + ((over - 1 - ((over - 1) % F.greatest(base, F.lit(1))))
+           / F.greatest(base, F.lit(1))).cast("long")
+        + 1
+    )
+    bucket = F.when(in_wide, bucket_wide).otherwise(bucket_narrow)
+    return with_rank.select(
+        *df.columns, bucket.cast("int").alias(out_col)
+    )
+
+
+def events_rfm_segments(spark, sf_dir):
+    """RFM customer scorecard over the events stream: per user,
+    Recency (days since last activity, vs the corpus max date),
+    Frequency (purchase count), Monetary (exact-decimal purchase
+    revenue), each cut into quintiles by the partition-safe
+    distributed ntile — deterministic total orders (metric, user_id)
+    make every cut engine-exact — then segment-level rollup. The
+    classic marketing segmentation ("5-5-5 champions", "1-1-1
+    lost") computed the way a 100 TB event store needs it.
+
+    Recency quintile 5 = most recent; frequency/monetary quintile
+    5 = highest: each metric orders so quintile 1 is "worst", via
+    (metric_direction, user_id) total orders.
+
+    Plan (100 TB): ONE user-keyed hash-agg builds all three metrics
+    (conditional aggregation — no second pass over events), then
+    three _distributed_ntile range exchanges over the user-level
+    frame (users << events); the final segment rollup is a bounded
+    125-cell hash-agg."""
+    e = load(spark, sf_dir, "events")
+    is_p = F.col("event_type") == "purchase"
+    per_user = e.groupBy("user_id").agg(
+        F.max(F.to_date("ts")).alias("last_day"),
+        F.sum(F.when(is_p, 1).otherwise(0)).cast("long").alias("freq"),
+        F.coalesce(
+            F.sum(F.when(is_p, F.col("value").cast("decimal(18,4)"))),
+            F.lit(0).cast("decimal(18,4)"),
+        ).alias("monetary"),
+    )
+    max_day = per_user.agg(F.max("last_day").alias("d")).select("d")
+    u = per_user.join(F.broadcast(max_day)).withColumn(
+        "recency_days", F.datediff(F.col("d"), F.col("last_day")).cast("long")
+    ).drop("d")
+    u = _distributed_ntile(
+        u, 5, [F.desc("recency_days"), F.asc("user_id")], "r_q"
+    )
+    u = _distributed_ntile(u, 5, [F.asc("freq"), F.asc("user_id")], "f_q")
+    u = _distributed_ntile(u, 5, [F.asc("monetary"), F.asc("user_id")], "m_q")
+    return (
+        u.groupBy("r_q", "f_q", "m_q")
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.round(F.sum("monetary").cast("double"), 4).alias("monetary"),
+            F.sum("freq").cast("long").alias("n_purchases"),
+        )
+        .orderBy("r_q", "f_q", "m_q")
+    )

@@ -2712,3 +2712,376 @@ def test_token_budget_greedy_prefix_property(spark):
             tied, "q", "n_tokens", budget_frac=0.67).collect()
     )
     assert kept == [1, 2]  # 40 <= floor(60*0.67)=40, third would be 60
+
+
+# ---------------------------------------------------------------------------
+# IMA ADPCM audio codec (r10 third window)
+# ---------------------------------------------------------------------------
+
+def _adpcm_reference(pred, idx, nibbles):
+    """Independent pure-Python replay of the IMA recurrence used to
+    pin the codec (the SQL oracle is a third implementation)."""
+    step_tab = [
+        7, 8, 9, 10, 11, 12, 13, 14, 16, 17,
+        19, 21, 23, 25, 28, 31, 34, 37, 41, 45,
+        50, 55, 60, 66, 73, 80, 88, 97, 107, 118,
+        130, 143, 157, 173, 190, 209, 230, 253, 279, 307,
+        337, 371, 408, 449, 494, 544, 598, 658, 724, 796,
+        876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+        2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358,
+        5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899,
+        15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+    ]
+    idx_tab = [-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8]
+    out = [pred]
+    for nib in nibbles:
+        step = step_tab[idx]
+        diff = step >> 3
+        if nib & 1:
+            diff += step >> 2
+        if nib & 2:
+            diff += step >> 1
+        if nib & 4:
+            diff += step
+        pred = pred - diff if nib & 8 else pred + diff
+        pred = max(-32768, min(32767, pred))
+        idx = max(0, min(88, idx + idx_tab[nib]))
+        out.append(pred)
+    return out
+
+
+def test_adpcm_wav_round_trip_matches_reference():
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav_adpcm,
+    )
+
+    cases = [
+        (0, 0, [0, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14]),
+        (2000, 88, [7, 7, 7, 7, 7, 7, 7, 7, 7, 7]),       # clamp high
+        (-2000, 88, [15, 15, 15, 15, 15, 15, 15, 15]),     # clamp low
+        (-42, 44, [(7 * i + 5) % 16 for i in range(40)]),
+    ]
+    for pred, idx, nibs in cases:
+        blob = encode_wav_adpcm(8000, pred, idx, nibs)
+        out = decode_wav(blob, want_samples=True)
+        exp = _adpcm_reference(pred, idx, nibs)
+        assert out["samples"] == exp
+        assert out["bits"] == 4 and out["channels"] == 1
+        assert out["n_samples"] == len(nibs) + 1
+        assert out["abs_sum"] == sum(abs(s) for s in exp)
+    # clamps were actually hit in the designed cases
+    high = _adpcm_reference(2000, 88, [7] * 10)
+    low = _adpcm_reference(-2000, 88, [15] * 8)
+    assert max(high) == 32767 and min(low) == -32768
+
+
+def test_adpcm_encoder_rejects_odd_nibble_count():
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators.multimodal import (
+        encode_wav_adpcm,
+    )
+
+    with pytest.raises(ValueError):
+        encode_wav_adpcm(8000, 0, 0, [1, 2, 3])
+
+
+def test_adpcm_container_structure():
+    """The format-0x11 container carries the 20-byte fmt chunk with
+    wSamplesPerBlock, a fact chunk, and a data block whose header
+    predictor is the first sample — field-level checks so a reader
+    from the spec (not from this encoder) parses it."""
+    import struct
+
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators.multimodal import (
+        encode_wav_adpcm,
+    )
+
+    blob = encode_wav_adpcm(8000, -1234, 17, [3, 9] * 5)
+    assert blob[:4] == b"RIFF" and blob[8:12] == b"WAVE"
+    assert blob[12:16] == b"fmt " and struct.unpack("<I", blob[16:20])[0] == 20
+    fmt = struct.unpack("<HHIIHHHH", blob[20:40])
+    assert fmt[0] == 0x11 and fmt[1] == 1 and fmt[5] == 4
+    assert fmt[7] == 11                   # samples per block
+    assert blob[40:44] == b"fact"
+    assert struct.unpack("<I", blob[48:52])[0] == 11
+    assert blob[52:56] == b"data"
+    body = blob[60:]
+    assert struct.unpack("<h", body[:2])[0] == -1234
+    assert body[2] == 17
+
+
+# ---------------------------------------------------------------------------
+# TIFF codec (r10 third window)
+# ---------------------------------------------------------------------------
+
+def test_packbits_round_trip_hypothesis():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators.multimodal import (
+        _packbits_decode,
+        _packbits_encode,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.binary(max_size=600))
+    def check(data):
+        assert _packbits_decode(_packbits_encode(data), len(data)) == data
+
+    check()
+
+
+def test_tiff_codec_hypothesis_round_trip():
+    """Property: geometry x channels x compression x byte order x
+    strip height all round-trip pixel-exactly."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators.multimodal import (
+        decode_tiff,
+        encode_tiff,
+    )
+
+    @settings(max_examples=120, deadline=None)
+    @given(
+        st.integers(1, 12), st.integers(1, 10), st.sampled_from([1, 3]),
+        st.booleans(), st.booleans(), st.integers(1, 11),
+        st.randoms(use_true_random=False),
+    )
+    def check(w, h, ch, packbits, big_endian, rps, rng):
+        px = bytes(rng.randrange(256) for _ in range(w * h * ch))
+        blob = encode_tiff(
+            w, h, px, ch, packbits=packbits, big_endian=big_endian,
+            rows_per_strip=rps,
+        )
+        out = decode_tiff(blob, want_pixels=True)
+        assert out["pixels"] == px
+        assert (out["width"], out["height"], out["channels"]) == (w, h, ch)
+        assert out["pixel_sum"] == sum(px)
+
+    check()
+
+
+def test_tiff_rejects_unsupported_and_truncated():
+    import struct
+
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators.multimodal import (
+        decode_tiff,
+        encode_tiff,
+    )
+
+    blob = bytearray(encode_tiff(4, 4, bytes(range(16)), 1, rows_per_strip=2))
+    # find the Compression entry (tag 259) in the IFD and flip to LZW (5)
+    (ifd_off,) = struct.unpack("<I", bytes(blob[4:8]))
+    (n,) = struct.unpack("<H", bytes(blob[ifd_off : ifd_off + 2]))
+    for k in range(n):
+        base = ifd_off + 2 + 12 * k
+        tag = struct.unpack("<H", bytes(blob[base : base + 2]))[0]
+        if tag == 259:
+            blob[base + 8 : base + 10] = struct.pack("<H", 5)
+    with pytest.raises(NotImplementedError):
+        decode_tiff(bytes(blob))
+    with pytest.raises(ValueError):
+        decode_tiff(b"II+\x00garbage")
+    # single-strip file with StripByteCounts inflated past EOF — the
+    # truncated-strip guard must fire, not a silent short read
+    good = bytearray(encode_tiff(4, 4, bytes(range(16)), 1, rows_per_strip=4))
+    (ifd_off,) = struct.unpack("<I", bytes(good[4:8]))
+    (n,) = struct.unpack("<H", bytes(good[ifd_off : ifd_off + 2]))
+    for k in range(n):
+        base = ifd_off + 2 + 12 * k
+        tag = struct.unpack("<H", bytes(good[base : base + 2]))[0]
+        if tag == 279:
+            good[base + 8 : base + 12] = struct.pack("<I", 10_000)
+    with pytest.raises(ValueError):
+        decode_tiff(bytes(good))
+
+
+def test_tiff_fixture_streams_cover_both_orders_and_packbits(spark):
+    """The synth fixture must exercise II and MM, gray and RGB,
+    PackBits and uncompressed, and short final strips — otherwise
+    the oracle row proves less than the docstring claims."""
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators.multimodal import (
+        synth_tiffs,
+    )
+
+    docs = spark.range(0, 12).select(F.col("id").alias("doc_id"))
+    blobs = {r["doc_id"]: bytes(r["content"])
+             for r in synth_tiffs(docs).collect()}
+    orders = {b[:2] for b in blobs.values()}
+    assert orders == {b"II", b"MM"}
+    import struct
+
+    comps = set()
+    for d, b in blobs.items():
+        e = "<" if b[:2] == b"II" else ">"
+        (ifd_off,) = struct.unpack(e + "I", b[4:8])
+        (n,) = struct.unpack(e + "H", b[ifd_off : ifd_off + 2])
+        for k in range(n):
+            base = ifd_off + 2 + 12 * k
+            tag = struct.unpack(e + "H", b[base : base + 2])[0]
+            if tag == 259:
+                comps.add(struct.unpack(e + "H", b[base + 8 : base + 10])[0])
+    assert comps == {1, 32773}
+
+
+# ---------------------------------------------------------------------------
+# Basket lift / RFM / split leakage (r10 third window)
+# ---------------------------------------------------------------------------
+
+def test_basket_lift_math_planted(spark, tmp_path):
+    """Four orders with known co-occurrence: parts (1,2) appear
+    together in 3 of 4 orders; support/confidence/lift ppm values
+    follow by hand."""
+    import pyspark.sql.functions as SF
+
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators import relational as R
+
+    rows = []
+    baskets = {10: [1, 2, 3], 11: [1, 2], 12: [1, 2], 13: [1, 3]}
+    ln = 0
+    for ok, parts in baskets.items():
+        for p in parts:
+            ln += 1
+            rows.append((ok, p, 99, ln, 1.0, 10.0, 0.0, 0.0, "N", "O",
+                         "1995-01-01"))
+    df = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate string",
+    ).withColumn("l_shipdate", SF.to_date("l_shipdate"))
+    d = str(tmp_path / "sf")
+    df.write.parquet(f"{d}/lineitem.parquet")
+    got = {
+        (r["part_a"], r["part_b"]): r
+        for r in R.events_basket_lift(
+            spark, d, min_item_support=2, min_pair_support=2
+        ).collect()
+    }
+    r12 = got[(1, 2)]
+    # pair(1,2)=3, cnt(1)=4, cnt(2)=3, n_orders=4
+    assert r12["pair_cnt"] == 3 and r12["cnt_a"] == 4 and r12["cnt_b"] == 3
+    assert r12["support_ppm"] == 750000          # 3/4
+    assert r12["confidence_ppm"] == 750000       # 3/4
+    assert r12["lift_ppm"] == 1000000            # (3*4)/(4*3)
+    r13 = got[(1, 3)]
+    assert r13["pair_cnt"] == 2 and r13["lift_ppm"] == 1000000
+    # (2,3) co-occur only once — below min_pair_support, filtered
+    assert (2, 3) not in got
+
+
+def test_distributed_ntile_matches_sql_ntile(spark):
+    """The factored helper must agree with ntile() for every bucket
+    count and tie pattern, including n not divisible by buckets."""
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators.relational import (
+        _distributed_ntile,
+    )
+
+    rows = [(i, (i * 37) % 11) for i in range(97)]   # heavy ties
+    df = spark.createDataFrame(rows, "uid long, metric long")
+    for k in (3, 5, 10):
+        got = {
+            r["uid"]: r["q"]
+            for r in _distributed_ntile(
+                df, k, [F.asc("metric"), F.asc("uid")], "q"
+            ).collect()
+        }
+        exp = {
+            r["uid"]: r["q"]
+            for r in df.selectExpr(
+                "uid",
+                f"ntile({k}) OVER (ORDER BY metric ASC, uid ASC) AS q",
+            ).collect()
+        }
+        assert got == exp, f"k={k}"
+
+
+def test_rfm_includes_zero_purchase_users(spark, tmp_path):
+    """A user with activity but no purchases must appear with
+    freq=0 / monetary=0, not drop out of the scorecard."""
+    import datetime
+
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators import relational as R
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for u in range(10):
+        for k in range(3):
+            eid += 1
+            etype = "purchase" if (u + k) % 3 == 0 and u != 4 else "view"
+            rows.append(
+                (eid, base + datetime.timedelta(days=u, hours=k),
+                 f"u{u}", etype, float(u * 10 + k), "{}")
+            )
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id string, event_type string, "
+        "value double, props string",
+    )
+    d = str(tmp_path / "sf")
+    df.write.parquet(f"{d}/events.parquet")
+    seg = R.events_rfm_segments(spark, d).collect()
+    assert sum(r["n_users"] for r in seg) == 10
+    assert all(1 <= r[c] <= 5 for r in seg for c in ("r_q", "f_q", "m_q"))
+
+
+def test_split_leakage_against_brute_force(spark):
+    """Independent pin: hand-compute normalized 3-gram Jaccard and
+    the md5 split bucket for a small corpus; the operator composition
+    must report exactly the >= 0.8 pairs with the right leak flags."""
+    import hashlib
+    import re
+
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators import (
+        dedup as DD,
+    )
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators import (
+        text as TT,
+    )
+
+    texts = {
+        1: "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        2: "alpha beta gamma delta epsilon zeta eta theta iota kappa extra",
+        3: "one two three four five six seven eight nine ten",
+        4: "one two three four five six seven eight nine ten extra",
+        5: "completely different content with no overlap at all here",
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    pairs = DD.prefix_filter_pairs(df, threshold=0.8)
+    splits = TT.leakage_safe_split(df)
+    sa = splits.select(F.col("doc_id").alias("doc_a"),
+                       F.col("split").alias("split_a"))
+    sb = splits.select(F.col("doc_id").alias("doc_b"),
+                       F.col("split").alias("split_b"))
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["jaccard"], r["split_a"], r["split_b"])
+        for r in pairs.join(sa, "doc_a").join(sb, "doc_b").collect()
+    }
+
+    def norm(t):
+        t = re.sub(r"[^a-z0-9 ]", " ", t.lower())
+        return re.sub(r" +", " ", t).strip()
+
+    def shingles(t):
+        w = norm(t).split(" ")
+        return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+
+    def bucket(t):
+        return int(hashlib.md5(norm(t).encode()).hexdigest()[:15], 16) % 100
+
+    exp = {}
+    ids = sorted(texts)
+    for i in ids:
+        for j in ids:
+            if i >= j:
+                continue
+            si, sj = shingles(texts[i]), shingles(texts[j])
+            jac = round(len(si & sj) / len(si | sj), 4)
+            if jac >= 0.8:
+                spl_i = "val" if bucket(texts[i]) < 10 else "train"
+                spl_j = "val" if bucket(texts[j]) < 10 else "train"
+                exp[(i, j)] = (jac, spl_i, spl_j)
+    assert got == exp and len(exp) == 2

@@ -535,3 +535,17 @@ def test_token_budget_windows_are_partitioned(spark, sf_dir):
     for ln in sum_lines:
         assert "pid#" in ln, f"unpartitioned doc-cardinality window: {ln}"
     assert "rangepartitioning(q" in plan or "rangepartitioning(n_distinct" in plan
+
+
+def test_rfm_ntile_windows_are_partitioned(spark, sf_dir):
+    """The RFM scorecard runs THREE user-cardinality quintile cuts —
+    each must go through the distributed-rank machinery (pid-
+    partitioned row_number over a range exchange), never an
+    unpartitioned ntile/window funnel of the user frame."""
+    plan = plan_of(R.events_rfm_segments(spark, sf_dir))
+    assert "ntile" not in plan
+    rn_lines = [ln for ln in plan.splitlines() if "row_number()" in ln]
+    assert rn_lines, "expected row_number windows in the plan"
+    for ln in rn_lines:
+        assert "], [_pid#" in ln, f"unpartitioned rank window: {ln}"
+    assert "rangepartitioning" in plan
