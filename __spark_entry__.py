@@ -102,6 +102,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_split_leakage": L.dedup_split_leakage,
         "multimodal_decode_adpcm": L.multimodal_decode_adpcm,
         "multimodal_decode_tiff": L.multimodal_decode_tiff,
+        # 6-9: more third-window additions: rolling median/MAD
+        # anomaly screen (bounded 7-row frames, exact
+        # average-of-middles median), TGA 2.0 decode (all four
+        # baseline types, both origins, footer dispatch), per-user
+        # Gini-Simpson behavioral diversity in exact ppm integers,
+        # and the k-anonymity quasi-identifier audit
+        "events_rolling_mad_anomaly": R.events_rolling_mad_anomaly,
+        "multimodal_decode_tga": L.multimodal_decode_tga,
+        "events_user_diversity": R.events_user_diversity,
+        "events_kanonymity": R.events_kanonymity,
         # 6-17: NEWEST in round 10's second window: per-node
         # triangle participation over the near-dup graph, the
         # hashing-trick featurizer, the LSH-banding recall audit
@@ -2193,6 +2203,115 @@ def _hard_negatives_oracle(topn: int = 20) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # r10 third window: rolling robust anomaly screen — median and
+        # MAD replayed from the identical sorted-frame arithmetic
+        # (list window agg + average-of-middles), so the 3-MAD flag is
+        # bit-exact across engines
+        "events_rolling_mad_anomaly": """
+            WITH fr AS (
+              SELECT user_id, event_id, value,
+                     list_sort(list(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS fr
+              FROM events
+            ),
+            m AS (
+              SELECT user_id, event_id, value, len(fr) AS n, fr,
+                     CASE WHEN len(fr) % 2 = 1
+                          THEN fr[(len(fr) + 1) // 2]
+                          ELSE (fr[len(fr) // 2] + fr[len(fr) // 2 + 1])
+                               / 2.0 END AS med
+              FROM fr
+            ),
+            d AS (
+              SELECT user_id, event_id, value, n, med,
+                     list_sort(list_transform(fr, x -> abs(x - med)))
+                       AS devs
+              FROM m
+            ),
+            md AS (
+              SELECT user_id, event_id, value, n, med,
+                     CASE WHEN n % 2 = 1
+                          THEN devs[(n + 1) // 2]
+                          ELSE (devs[n // 2] + devs[n // 2 + 1]) / 2.0
+                     END AS mad
+              FROM d
+            )
+            SELECT user_id, event_id,
+                   round(value, 4) AS value,
+                   CAST(n AS INTEGER) AS n_in_frame,
+                   round(med, 4) AS med,
+                   round(mad, 4) AS mad,
+                   CAST(CASE WHEN abs(value - med) > 3 * mad
+                        THEN 1 ELSE 0 END AS INTEGER) AS is_anomaly
+            FROM md
+        """,
+        # r10 third window: TGA — closed-form replay; pixel_possum
+        # pins the bottom-up flip, BGR undo, and RLE packet math
+        "multimodal_decode_tga": """
+            WITH dims AS (
+              SELECT doc_id,
+                     doc_id % 7 + 2 AS w,
+                     doc_id % 4 + 2 AS h,
+                     CASE WHEN doc_id % 2 = 1 THEN 3 ELSE 1 END AS ch
+              FROM documents
+            ),
+            px AS (SELECT doc_id, unnest(range(w * h * ch)) AS i FROM dims),
+            sums AS (
+              SELECT doc_id,
+                     CAST(sum((11 * i + 3 * doc_id) % 256) AS BIGINT)
+                       AS pixel_sum,
+                     CAST(sum((i + 1) * ((11 * i + 3 * doc_id) % 256))
+                          AS BIGINT) AS pixel_possum
+              FROM px GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   'tga' AS img_format,
+                   CAST(d.w AS INTEGER) AS width,
+                   CAST(d.h AS INTEGER) AS height,
+                   CAST(d.ch AS INTEGER) AS channels,
+                   s.pixel_sum,
+                   s.pixel_possum
+            FROM dims d JOIN sums s USING (doc_id)
+        """,
+        # r10 third window: Gini-Simpson diversity in exact ppm
+        # integer arithmetic — no log, no float
+        "events_user_diversity": """
+            WITH per_type AS (
+              SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+              FROM events GROUP BY 1, 2
+            ),
+            agg AS (
+              SELECT user_id,
+                     CAST(sum(c) AS BIGINT) AS n_events,
+                     CAST(count(*) AS BIGINT) AS n_types,
+                     CAST(sum(c * c) AS BIGINT) AS sum_sq
+              FROM per_type GROUP BY user_id
+            )
+            SELECT user_id, n_events, n_types,
+                   1000000 - (1000000 * sum_sq) // (n_events * n_events)
+                     AS diversity_ppm
+            FROM agg
+        """,
+        # r10 third window: k-anonymity equivalence classes over the
+        # (type, value-bucket, day) quasi-identifier
+        "events_kanonymity": """
+            WITH per_user AS (
+              SELECT event_type,
+                     CAST(floor(value / 100) AS BIGINT) AS value_bucket,
+                     CAST(ts AS DATE) AS day,
+                     user_id,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2, 3, 4
+            )
+            SELECT event_type, value_bucket,
+                   strftime(day, '%Y-%m-%d') AS day,
+                   CAST(sum(n) AS BIGINT) AS n_rows,
+                   CAST(count(*) AS BIGINT) AS n_users,
+                   CAST(CASE WHEN count(*) < 5 THEN 1 ELSE 0 END
+                        AS INTEGER) AS at_risk
+            FROM per_user GROUP BY 1, 2, 3
+        """,
         # r10 third window: A-priori market-basket pairs — the ppm
         # metrics are BIGINT floor divisions (`div`/`//`), exact in
         # both engines, never floor-of-a-double

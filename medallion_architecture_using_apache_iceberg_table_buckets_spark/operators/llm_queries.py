@@ -3781,3 +3781,20 @@ def multimodal_decode_tiff(spark, sf_dir):
     from .multimodal import decode_images_positional, synth_tiffs
 
     return decode_images_positional(synth_tiffs(_docs(spark, sf_dir)))
+
+
+def multimodal_decode_tga(spark, sf_dir):
+    """TGA 2.0 decoding (r10 third window — multimodal.decode_tga):
+    real Targa containers across all four baseline image types
+    (2/3/10/11: gray + truecolor, uncompressed + RLE), BOTH vertical
+    origins (bottom-up storage rows flipped back by the decoder),
+    BGR storage order undone, footer-signature dispatch (TGA has no
+    leading magic — the 2.0 footer is the real-world detection
+    rule). Emits order-invariant and position-weighted checksums: a
+    decoder that skips the row flip or mis-counts an RLE packet
+    passes neither. The oracle replays the generator's closed-form
+    sample arithmetic; colormapped/16-bit TGA raises the declared
+    seam."""
+    from .multimodal import decode_images_positional, synth_tgas
+
+    return decode_images_positional(synth_tgas(_docs(spark, sf_dir)))

@@ -1049,6 +1049,8 @@ def decode_image(content: bytes) -> dict:
         return decode_qoi(content)
     if content[:4] in (b"II*\x00", b"MM\x00*"):
         return decode_tiff(content)
+    if len(content) >= 26 and content[-26:] == _TGA_FOOTER:
+        return decode_tga(content)
     if content[:2] in (b"P6", b"P5"):
         w, h, maxval, off = _parse_pnm_header(content)
         ch = 3 if content[:2] == b"P6" else 1
@@ -1769,6 +1771,8 @@ def decode_pixels(content: bytes) -> dict:
         return decode_png(content, want_pixels=True)
     if content[:4] in (b"II*\x00", b"MM\x00*"):
         return decode_tiff(content, want_pixels=True)
+    if len(content) >= 26 and content[-26:] == _TGA_FOOTER:
+        return decode_tga(content, want_pixels=True)
     if content[:2] in (b"P6", b"P5"):
         meta = decode_image(content)
         w, h, _maxval, off = _parse_pnm_header(content)
@@ -3594,6 +3598,196 @@ def synth_tiffs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 {"doc_id": pd.Series(ids, dtype="int64"),
                  "content": blobs,
                  "media_type": ["image/tiff"] * len(ids)}
+            )
+
+    return df.select(id_col).mapInPandas(
+        gen, schema="doc_id long, content binary, media_type string"
+    )
+
+
+# ---------------------------------------------------------------------------
+# TGA (Truevision Targa 2.0): uncompressed and RLE, 8-bit grayscale and
+# 24-bit truecolor, both vertical origins, with the TGA 2.0 footer
+# signature (the format has no leading magic — real dispatchers key on
+# the footer, and so does decode_image here).
+# ---------------------------------------------------------------------------
+
+_TGA_FOOTER = b"\x00\x00\x00\x00\x00\x00\x00\x00TRUEVISION-XFILE.\x00"
+
+
+def encode_tga(
+    width: int,
+    height: int,
+    pixels: bytes,
+    channels: int = 3,
+    *,
+    rle: bool = False,
+    top_down: bool = True,
+) -> bytes:
+    """TGA 2.0 writer: row-major RGB (stored BGR per spec) or
+    grayscale, image types 2/3 (uncompressed) or 10/11 (RLE),
+    origin bit 5 per ``top_down``, 26-byte footer with the 2.0
+    signature. RLE packets never cross row boundaries (the spec's
+    encoder recommendation) — runs >= 2 become run packets, the rest
+    raw packets, both capped at 128 pixels."""
+    import struct
+
+    px_bytes = channels
+    row_bytes = width * px_bytes
+    if len(pixels) != row_bytes * height:
+        raise ValueError("pixel buffer does not match geometry")
+    # RGB -> BGR storage order
+    if channels == 3:
+        stored = bytearray()
+        for i in range(0, len(pixels), 3):
+            stored += bytes((pixels[i + 2], pixels[i + 1], pixels[i]))
+        stored = bytes(stored)
+    else:
+        stored = pixels
+    rows = [
+        stored[r * row_bytes : (r + 1) * row_bytes] for r in range(height)
+    ]
+    if not top_down:
+        rows = rows[::-1]
+
+    def rle_row(row: bytes) -> bytes:
+        out = bytearray()
+        px = [row[i : i + px_bytes] for i in range(0, len(row), px_bytes)]
+        i, n = 0, len(px)
+        while i < n:
+            run = 1
+            while i + run < n and run < 128 and px[i + run] == px[i]:
+                run += 1
+            if run >= 2:
+                out.append(0x80 | (run - 1))
+                out += px[i]
+                i += run
+                continue
+            start = i
+            i += 1
+            while (
+                i < n and i - start < 128
+                and not (i + 1 < n and px[i + 1] == px[i])
+            ):
+                i += 1
+            out.append(i - start - 1)
+            out += b"".join(px[start:i])
+        return bytes(out)
+
+    body = b"".join(rle_row(r) for r in rows) if rle else b"".join(rows)
+    if channels == 3:
+        img_type = 10 if rle else 2
+    else:
+        img_type = 11 if rle else 3
+    descriptor = 0x20 if top_down else 0x00
+    header = struct.pack(
+        "<BBBHHBHHHHBB",
+        0, 0, img_type, 0, 0, 0, 0, 0, width, height,
+        8 * channels, descriptor,
+    )
+    return header + body + _TGA_FOOTER
+
+
+def decode_tga(content: bytes, want_pixels: bool = False) -> dict:
+    """Decode a TGA 2.0 container (validated by the footer
+    signature): types 2/3/10/11, 8/24-bit, either origin. Returns
+    top-down row-major RGB/gray samples; BGR->RGB and the bottom-up
+    row flip are part of the decode, so the positional checksum
+    pins both. Colormapped/16-bit/interleaved TGA raises
+    NotImplementedError (the declared seam)."""
+    import struct
+
+    if content[-26:] != _TGA_FOOTER:
+        raise ValueError("missing TGA 2.0 footer signature")
+    (id_len, cmap_type, img_type, _f, _n, _sz, _x, _y,
+     width, height, depth, desc) = struct.unpack(
+        "<BBBHHBHHHHBB", content[:18]
+    )
+    if cmap_type != 0 or img_type not in (2, 3, 10, 11):
+        raise NotImplementedError(
+            f"TGA type {img_type}/colormap {cmap_type} unsupported "
+            "(colormapped/interleaved seam)"
+        )
+    channels = 3 if img_type in (2, 10) else 1
+    if depth != 8 * channels:
+        raise NotImplementedError(f"TGA depth {depth} unsupported")
+    px_bytes = channels
+    row_bytes = width * px_bytes
+    data = content[18 + id_len : -26]
+    if img_type in (10, 11):
+        raw = bytearray()
+        i = 0
+        need = row_bytes * height
+        while len(raw) < need:
+            if i >= len(data):
+                raise ValueError("truncated TGA RLE stream")
+            hdr = data[i]
+            i += 1
+            count = (hdr & 0x7F) + 1
+            if hdr & 0x80:
+                raw += data[i : i + px_bytes] * count
+                i += px_bytes
+            else:
+                raw += data[i : i + count * px_bytes]
+                i += count * px_bytes
+        if len(raw) != need:
+            raise ValueError("TGA RLE stream overran the image size")
+        data = bytes(raw)
+    if len(data) < row_bytes * height:
+        raise ValueError("truncated TGA pixel data")
+    rows = [
+        data[r * row_bytes : (r + 1) * row_bytes] for r in range(height)
+    ]
+    if not (desc & 0x20):          # bottom-up storage -> flip
+        rows = rows[::-1]
+    out = bytearray()
+    for row in rows:
+        if channels == 3:
+            for c in range(0, len(row), 3):
+                out += bytes((row[c + 2], row[c + 1], row[c]))
+        else:
+            out += row
+    meta = {
+        "img_format": "tga",
+        "width": width,
+        "height": height,
+        "channels": channels,
+        "pixel_sum": sum(out),
+    }
+    if want_pixels:
+        meta["pixels"] = bytes(out)
+    return meta
+
+
+def synth_tgas(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic synthetic TGA table: doc_id -> TGA 2.0 bytes.
+    Geometry w = id%7+2, h = id%4+2; truecolor when id is odd else
+    grayscale; RLE when id%3 == 0; BOTTOM-UP storage when id%5 < 2
+    (so the row flip and the origin bit both run);
+    sample_i = (11*i + 3*id) % 256 row-major top-down — closed-form
+    for the oracle. The quasi-periodic ramp yields both pixel runs
+    (RLE run packets) and literal spans within rows."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for d in pdf[id_col]:
+                d = int(d)
+                w, h = d % 7 + 2, d % 4 + 2
+                ch = 3 if d % 2 else 1
+                px = bytes((11 * i + 3 * d) % 256 for i in range(w * h * ch))
+                blobs.append(
+                    encode_tga(
+                        w, h, px, ch,
+                        rle=(d % 3 == 0),
+                        top_down=(d % 5 >= 2),
+                    )
+                )
+                ids.append(d)
+            yield pd.DataFrame(
+                {"doc_id": pd.Series(ids, dtype="int64"),
+                 "content": blobs,
+                 "media_type": ["image/x-tga"] * len(ids)}
             )
 
     return df.select(id_col).mapInPandas(

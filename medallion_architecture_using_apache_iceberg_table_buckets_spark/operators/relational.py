@@ -1943,3 +1943,128 @@ def events_rfm_segments(spark, sf_dir):
         )
         .orderBy("r_q", "f_q", "m_q")
     )
+
+
+def events_rolling_mad_anomaly(spark, sf_dir):
+    """Rolling robust anomaly detection per user: over each user's
+    last 7 events (6 preceding + current, ordered by the
+    deterministic (ts, event_id) total order), the EXACT rolling
+    median of `value` and the median absolute deviation (MAD), and
+    a flag for points beyond 3 MADs — the outlier screen that, unlike
+    z-scores, a single spike cannot poison. Median/MAD are computed
+    from the sorted frame array (average-of-middles for even
+    frames), identical IEEE arithmetic to the oracle's replay, so
+    the flag is engine-exact; both statistics are also emitted
+    rounded for the value hash.
+
+    Plan (100 TB): ONE user-keyed shuffle for the window; the frame
+    is a bounded 7-row rowsBetween, so state per row is O(7)
+    whatever the corpus — no unbounded running state, no
+    sort-the-world. The sort/median runs inside the projection on a
+    7-element array (whole-stage codegen, no UDF)."""
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, 0)
+    )
+    frame = F.array_sort(F.collect_list("value").over(w))
+
+    def _median(arr):
+        n = F.size(arr)
+        lo = F.element_at(arr, ((n + 1) / 2).cast("int"))
+        hi = F.element_at(arr, (n / 2).cast("int") + 1)
+        return F.when(n % 2 == 1, lo).otherwise((lo + hi) / 2.0)
+
+    with_frame = e.select(
+        "user_id", "event_id", "value", frame.alias("fr")
+    )
+    med = _median(F.col("fr"))
+    with_med = with_frame.select(
+        "user_id", "event_id", "value",
+        F.size("fr").alias("n_in_frame"),
+        med.alias("med"),
+        F.array_sort(
+            F.transform("fr", lambda x: F.abs(x - med))
+        ).alias("devs"),
+    )
+    mad = _median(F.col("devs"))
+    return with_med.select(
+        "user_id", "event_id",
+        F.round("value", 4).alias("value"),
+        "n_in_frame",
+        F.round("med", 4).alias("med"),
+        F.round(mad, 4).alias("mad"),
+        F.when(F.abs(F.col("value") - F.col("med")) > 3 * mad, 1)
+        .otherwise(0).cast("int").alias("is_anomaly"),
+    )
+
+
+def events_user_diversity(spark, sf_dir):
+    """Per-user behavioral diversity: the Gini-Simpson index
+    1 - sum(p_i^2) over the user's event-type distribution, emitted
+    as an EXACT parts-per-million integer (1e6 - (1e6*sum(c_i^2)) div
+    n^2 — BIGINT floor division, no floating point anywhere), plus
+    the raw counts. The screen that separates single-behavior bots
+    (diversity 0) from organic multi-surface users — and, on a
+    training corpus, repetitive-source detection by the same math.
+
+    Plan (100 TB): one (user, type) hash-agg with map-side combine,
+    then a user-keyed rollup whose per-user fan-in is bounded by the
+    event-type vocabulary — two shuffles, both on keys with
+    corpus-size-independent group width."""
+    e = load(spark, sf_dir, "events")
+    per_type = e.groupBy("user_id", "event_type").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    return (
+        per_type.groupBy("user_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_events"),
+            F.count("*").cast("long").alias("n_types"),
+            F.sum(F.col("c") * F.col("c")).cast("long").alias("sum_sq"),
+        )
+        .selectExpr(
+            "user_id", "n_events", "n_types",
+            "1000000 - (1000000 * sum_sq) div (n_events * n_events)"
+            " AS diversity_ppm",
+        )
+    )
+
+
+def events_kanonymity(spark, sf_dir, k: int = 5):
+    """K-anonymity audit over the event stream's quasi-identifier
+    tuple (event_type, value bucketed to 100s, activity date): the
+    governance check run before releasing interaction data into a
+    training corpus — any tuple shared by fewer than k distinct
+    users re-identifies its members. Emits every equivalence class
+    with its row count, distinct-user count, and an at_risk flag.
+
+    Plan (100 TB): one hash-agg on the quasi-identifier tuple
+    (count + count-distinct users via a two-level agg so the
+    distinct never funnels), map-side partials throughout; class
+    cardinality is data-dependent but each class row is O(1)."""
+    e = load(spark, sf_dir, "events")
+    qi = e.select(
+        "event_type",
+        F.floor(F.col("value") / 100).cast("long").alias("value_bucket"),
+        F.to_date("ts").alias("day"),
+        "user_id",
+    )
+    per_user = qi.groupBy(
+        "event_type", "value_bucket", "day", "user_id"
+    ).agg(F.count("*").cast("long").alias("n"))
+    return (
+        per_user.groupBy("event_type", "value_bucket", "day")
+        .agg(
+            F.sum("n").cast("long").alias("n_rows"),
+            F.count("*").cast("long").alias("n_users"),
+        )
+        .select(
+            "event_type", "value_bucket",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n_rows", "n_users",
+            F.when(F.col("n_users") < k, 1).otherwise(0)
+            .cast("int").alias("at_risk"),
+        )
+    )

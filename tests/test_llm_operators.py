@@ -3085,3 +3085,185 @@ def test_split_leakage_against_brute_force(spark):
                 spl_j = "val" if bucket(texts[j]) < 10 else "train"
                 exp[(i, j)] = (jac, spl_i, spl_j)
     assert got == exp and len(exp) == 2
+
+
+# ---------------------------------------------------------------------------
+# TGA codec / rolling MAD / diversity / k-anonymity (r10 third window)
+# ---------------------------------------------------------------------------
+
+def test_tga_codec_hypothesis_round_trip():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators.multimodal import (
+        decode_tga,
+        encode_tga,
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        st.integers(1, 14), st.integers(1, 9), st.sampled_from([1, 3]),
+        st.booleans(), st.booleans(), st.booleans(),
+        st.randoms(use_true_random=False),
+    )
+    def check(w, h, ch, rle, top_down, runs, rng):
+        if runs:
+            px = bytes(rng.choice([9, 10]) for _ in range(w * h * ch))
+        else:
+            px = bytes(rng.randrange(256) for _ in range(w * h * ch))
+        out = decode_tga(
+            encode_tga(w, h, px, ch, rle=rle, top_down=top_down),
+            want_pixels=True,
+        )
+        assert out["pixels"] == px
+        assert (out["width"], out["height"], out["channels"]) == (w, h, ch)
+
+    check()
+
+
+def test_tga_guards_and_footer_dispatch():
+    import struct
+
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators.multimodal import (
+        decode_image,
+        decode_tga,
+        encode_tga,
+    )
+
+    px = bytes(range(12))
+    blob = encode_tga(2, 2, px, 3, rle=False, top_down=True)
+    assert decode_image(blob)["img_format"] == "tga"
+    with pytest.raises(ValueError):
+        decode_tga(blob[:-26])               # footer stripped
+    # colormapped type must raise the declared seam
+    b = bytearray(blob)
+    b[1], b[2] = 1, 1
+    with pytest.raises(NotImplementedError):
+        decode_tga(bytes(b))
+    # truncated RLE stream
+    rle_blob = bytearray(encode_tga(4, 4, bytes(48), 3, rle=True))
+    clipped = bytes(rle_blob[:20]) + rle_blob[-26:]
+    with pytest.raises(ValueError):
+        decode_tga(clipped)
+    # bottom-up vs top-down must decode to the same logical image
+    down = encode_tga(3, 2, px[: 3 * 2 * 1], 1, top_down=True)
+    up = encode_tga(3, 2, px[: 3 * 2 * 1], 1, top_down=False)
+    assert down != up
+    assert (
+        decode_tga(down, want_pixels=True)["pixels"]
+        == decode_tga(up, want_pixels=True)["pixels"]
+    )
+    # origin bit really flips the stored rows
+    hdr_desc_down = down[17] & 0x20
+    hdr_desc_up = up[17] & 0x20
+    assert hdr_desc_down and not hdr_desc_up
+    assert struct.unpack("<H", down[12:14])[0] == 3
+
+
+def test_rolling_mad_against_brute_force(spark, tmp_path):
+    """Pin the window semantics against a plain-Python replay:
+    per-user trailing-7 frames, average-of-middles median, 3-MAD
+    flag."""
+    import datetime
+
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators import relational as R
+
+    base = datetime.datetime(2024, 3, 1)
+    vals = {
+        "a": [1.0, 1.5, 1.2, 9.9, 1.1, 1.3, 1.4, 1.2, 50.0, 1.1],
+        "b": [5.0, 5.0, 5.0, 5.0],
+    }
+    rows, eid = [], 0
+    for u, vs in vals.items():
+        for k, v in enumerate(vs):
+            eid += 1
+            rows.append((eid, base + datetime.timedelta(minutes=k), u,
+                         "click", v, "{}"))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id string, event_type string, "
+        "value double, props string",
+    )
+    d = str(tmp_path / "sf")
+    df.write.parquet(f"{d}/events.parquet")
+    got = {
+        r["event_id"]: r
+        for r in R.events_rolling_mad_anomaly(spark, d).collect()
+    }
+
+    def median(xs):
+        s, n = sorted(xs), len(xs)
+        return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2.0
+
+    eid = 0
+    for u, vs in vals.items():
+        for k, v in enumerate(vs):
+            eid += 1
+            frame = vs[max(0, k - 6) : k + 1]
+            med = median(frame)
+            mad = median([abs(x - med) for x in frame])
+            r = got[eid]
+            assert r["n_in_frame"] == len(frame)
+            assert r["med"] == round(med, 4) and r["mad"] == round(mad, 4)
+            assert r["is_anomaly"] == (1 if abs(v - med) > 3 * mad else 0)
+    # the spikes are flagged, the plateau user is not
+    spikes = [e for e, r in got.items() if r["is_anomaly"]]
+    assert len(spikes) >= 2 and all(got[e]["value"] in (9.9, 50.0) for e in spikes)
+
+
+def test_diversity_ppm_exact_integers(spark, tmp_path):
+    import datetime
+
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators import relational as R
+
+    base = datetime.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    # u0: 4 events of one type -> diversity 0
+    # u1: 2+2 of two types -> 1 - (4+4)/16 = 0.5 -> 500000
+    # u2: 3+1 -> 1 - (9+1)/16 = 0.375 -> 375000
+    plan = {"u0": ["a"] * 4, "u1": ["a", "a", "b", "b"],
+            "u2": ["a", "a", "a", "b"]}
+    for u, types in plan.items():
+        for k, t in enumerate(types):
+            eid += 1
+            rows.append((eid, base + datetime.timedelta(hours=k), u, t,
+                         1.0, "{}"))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id string, event_type string, "
+        "value double, props string",
+    )
+    d = str(tmp_path / "sf")
+    df.write.parquet(f"{d}/events.parquet")
+    got = {r["user_id"]: r["diversity_ppm"]
+           for r in R.events_user_diversity(spark, d).collect()}
+    assert got == {"u0": 0, "u1": 500000, "u2": 375000}
+
+
+def test_kanonymity_flags_small_classes(spark, tmp_path):
+    import datetime
+
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators import relational as R
+
+    day = datetime.datetime(2024, 6, 1, 12)
+    rows, eid = [], 0
+    # class A: 6 distinct users -> safe; class B: 2 users -> at risk
+    for u in range(6):
+        eid += 1
+        rows.append((eid, day, f"a{u}", "view", 150.0, "{}"))
+    for u in range(2):
+        eid += 1
+        rows.append((eid, day, f"b{u}", "purchase", 950.0, "{}"))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id string, event_type string, "
+        "value double, props string",
+    )
+    d = str(tmp_path / "sf")
+    df.write.parquet(f"{d}/events.parquet")
+    got = {(r["event_type"], r["value_bucket"]): r
+           for r in R.events_kanonymity(spark, d).collect()}
+    assert got[("view", 1)]["n_users"] == 6
+    assert got[("view", 1)]["at_risk"] == 0
+    assert got[("purchase", 9)]["n_users"] == 2
+    assert got[("purchase", 9)]["at_risk"] == 1
