@@ -112,6 +112,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode_tga": L.multimodal_decode_tga,
         "events_user_diversity": R.events_user_diversity,
         "events_kanonymity": R.events_kanonymity,
+        # 10-11: the discrete churn-hazard life table (exact ppm
+        # hazard over the bounded lifetime histogram) and
+        # bounded-round k-core peeling of the near-dup graph
+        # (oracle unrolls the identical rounds)
+        "events_churn_hazard": R.events_churn_hazard,
+        "graph_kcore_dedup": L.graph_kcore_dedup,
+        # 12: perceptual-hash image dedup — aHash bands + lossless
+        # banded Hamming pairs (the image twin of the prefix filter)
+        "dedup_image_phash_pairs": L.dedup_image_phash_pairs,
         # 6-17: NEWEST in round 10's second window: per-node
         # triangle participation over the near-dup graph, the
         # hashing-trick featurizer, the LSH-banding recall audit
@@ -2203,6 +2212,163 @@ def _hard_negatives_oracle(topn: int = 20) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # r10 third window: perceptual-hash image dedup — the oracle
+        # replays pixels -> integer grayscale -> 8x8 nearest
+        # subsample -> division-free threshold -> 16-bit bands ->
+        # naive all-pairs Hamming; the Spark side's banded LSH is
+        # lossless at radius 3 by pigeonhole, so equality IS the claim
+        "dedup_image_phash_pairs": """
+            WITH dims AS (
+              SELECT doc_id, doc_id % 8 + 2 AS w, doc_id % 6 + 2 AS h,
+                     CASE WHEN doc_id % 3 = 2 THEN 1 ELSE 3 END AS ch
+              FROM documents
+            ),
+            cells AS (
+              SELECT doc_id, w, h, ch, y.y, x.x
+              FROM dims, unnest(range(8)) AS y(y), unnest(range(8)) AS x(x)
+            ),
+            samp AS (
+              SELECT doc_id, y * 8 + x AS b,
+                     CASE WHEN ch = 1
+                          THEN (7 * ((y*h)//8*w + (x*w)//8) + doc_id) % 256
+                          ELSE ((7 * (3*((y*h)//8*w + (x*w)//8)) + doc_id) % 256
+                              + (7 * (3*((y*h)//8*w + (x*w)//8) + 1) + doc_id) % 256
+                              + (7 * (3*((y*h)//8*w + (x*w)//8) + 2) + doc_id) % 256
+                               ) // 3
+                     END AS g
+              FROM cells
+            ),
+            tot AS (SELECT doc_id, sum(g) AS total FROM samp GROUP BY doc_id),
+            bits AS (
+              SELECT s.doc_id, s.b,
+                     CASE WHEN 64 * s.g > t.total THEN 1 ELSE 0 END AS bit
+              FROM samp s JOIN tot t USING (doc_id)
+            ),
+            bands AS (
+              SELECT doc_id, b // 16 AS bi,
+                     CAST(sum(bit * (1 << (15 - (b % 16)))) AS BIGINT) AS bv
+              FROM bits GROUP BY 1, 2
+            ),
+            hashes AS (
+              SELECT doc_id,
+                     max(CASE WHEN bi = 0 THEN bv END) AS b0,
+                     max(CASE WHEN bi = 1 THEN bv END) AS b1,
+                     max(CASE WHEN bi = 2 THEN bv END) AS b2,
+                     max(CASE WHEN bi = 3 THEN bv END) AS b3
+              FROM bands GROUP BY doc_id
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(bit_count(xor(a.b0, b.b0))
+                      + bit_count(xor(a.b1, b.b1))
+                      + bit_count(xor(a.b2, b.b2))
+                      + bit_count(xor(a.b3, b.b3)) AS INTEGER) AS hamming
+            FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+                + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+                <= 3
+        """,
+        # r10 third window: discrete hazard (life table) — exact ppm
+        # integer hazard; the cumsum runs over the bounded lifetime
+        # histogram, never user cardinality
+        "events_churn_hazard": """
+            WITH per_user AS (
+              SELECT user_id,
+                     CAST(datediff('day', min(CAST(ts AS DATE)),
+                                   max(CAST(ts AS DATE))) AS BIGINT)
+                       AS lifetime_days
+              FROM events GROUP BY user_id
+            ),
+            hist AS (
+              SELECT lifetime_days, CAST(count(*) AS BIGINT) AS n_churned
+              FROM per_user GROUP BY 1
+            ),
+            cum AS (
+              SELECT lifetime_days, n_churned,
+                     CAST(sum(n_churned) OVER (
+                       ORDER BY lifetime_days DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS n_at_risk
+              FROM hist
+            )
+            SELECT lifetime_days, n_churned, n_at_risk,
+                   (1000000 * n_churned) // n_at_risk AS hazard_ppm
+            FROM cum
+        """,
+        # r10 third window: bounded-round k-core — the peel unrolled
+        # round by round over the same exact edge set (pagerank
+        # precedent); converged compares the last two live sets
+        "graph_kcore_dedup": f"""
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 100000, text || ' extra token tail'
+              FROM documents WHERE doc_id < 30
+              UNION ALL
+              SELECT doc_id + 200000, text || ' extra tail too'
+              FROM documents WHERE doc_id < 10
+              UNION ALL
+              SELECT doc_id + 300000, text || ' extra token too'
+              FROM documents WHERE doc_id < 5
+            ),
+            {_SHINGLES},
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+              FROM sids a JOIN sids b
+                ON a.sid = b.sid AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ),
+            prs AS (
+              SELECT doc_a, doc_b
+              FROM inter
+              JOIN sizes sa ON sa.doc_id = doc_a
+              JOIN sizes sb ON sb.doc_id = doc_b
+              WHERE round(inter / (sa.sz + sb.sz - inter), 4) >= 0.5
+            ),
+            edges AS MATERIALIZED (
+              -- six degree rounds read this CTE; materialize it so
+              -- the engine cannot re-inline the shingle self-join
+              -- once per round
+              SELECT doc_a AS src, doc_b AS dst FROM prs
+              UNION
+              SELECT doc_b AS src, doc_a AS dst FROM prs
+            ),
+            live0 AS (SELECT DISTINCT src AS node FROM edges),
+            d1 AS (
+              SELECT e.src, count(*) AS c FROM edges e
+              JOIN live0 a ON a.node = e.src
+              JOIN live0 b ON b.node = e.dst GROUP BY e.src
+            ),
+            live1 AS (SELECT src AS node FROM d1 WHERE c >= 3),
+            d2 AS (
+              SELECT e.src, count(*) AS c FROM edges e
+              JOIN live1 a ON a.node = e.src
+              JOIN live1 b ON b.node = e.dst GROUP BY e.src
+            ),
+            live2 AS (SELECT src AS node FROM d2 WHERE c >= 3),
+            d3 AS (
+              SELECT e.src, count(*) AS c FROM edges e
+              JOIN live2 a ON a.node = e.src
+              JOIN live2 b ON b.node = e.dst GROUP BY e.src
+            ),
+            live3 AS (SELECT src AS node FROM d3 WHERE c >= 3),
+            d4 AS (
+              SELECT e.src, count(*) AS c FROM edges e
+              JOIN live3 a ON a.node = e.src
+              JOIN live3 b ON b.node = e.dst GROUP BY e.src
+            ),
+            live4 AS (SELECT src AS node FROM d4 WHERE c >= 3),
+            degf AS (
+              SELECT e.src, count(*) AS c FROM edges e
+              JOIN live4 a ON a.node = e.src
+              JOIN live4 b ON b.node = e.dst GROUP BY e.src
+            )
+            SELECT l.node,
+                   CAST(coalesce(d.c, 0) AS BIGINT) AS degree,
+                   CAST(CASE WHEN (SELECT count(*) FROM live4)
+                                  = (SELECT count(*) FROM live3)
+                        THEN 1 ELSE 0 END AS INTEGER) AS converged
+            FROM live4 l LEFT JOIN degf d ON d.src = l.node
+        """,
         # r10 third window: rolling robust anomaly screen — median and
         # MAD replayed from the identical sorted-frame arithmetic
         # (list window agg + average-of-middles), so the 3-MAD flag is

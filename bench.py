@@ -244,6 +244,20 @@ HEADLINE = {
     "text_source_divergence": L.text_source_divergence,
     "multimodal_transcode_qoi": L.multimodal_transcode_qoi,
     "corpus_token_budget": L.corpus_token_budget,
+    # round-10 third window: association mining, robust anomaly
+    # screen, governance audits, and the three new codec families
+    "events_basket_lift": R.events_basket_lift,
+    "events_rfm_segments": R.events_rfm_segments,
+    "events_rolling_mad_anomaly": R.events_rolling_mad_anomaly,
+    "events_user_diversity": R.events_user_diversity,
+    "events_kanonymity": R.events_kanonymity,
+    "dedup_split_leakage": L.dedup_split_leakage,
+    "multimodal_decode_adpcm": L.multimodal_decode_adpcm,
+    "multimodal_decode_tiff": L.multimodal_decode_tiff,
+    "multimodal_decode_tga": L.multimodal_decode_tga,
+    "events_churn_hazard": R.events_churn_hazard,
+    "graph_kcore_dedup": L.graph_kcore_dedup,
+    "dedup_image_phash_pairs": L.dedup_image_phash_pairs,
 }
 
 # Registry entries deliberately NOT benched, each with its reason (the

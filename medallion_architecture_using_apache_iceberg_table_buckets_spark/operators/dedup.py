@@ -2061,3 +2061,153 @@ def triangle_counts(
         .groupBy("doc_id")
         .agg(F.count("*").cast("long").alias("n_triangles"))
     )
+
+
+def k_core_bounded(
+    pairs: DataFrame,
+    k: int = 3,
+    rounds: int = 4,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+) -> DataFrame:
+    """Bounded-round k-core peel of a near-dup pair graph: nodes
+    surviving ``rounds`` rounds of "remove every node with fewer
+    than k live neighbors", with their final live degree and a
+    corpus-wide ``converged`` flag (1 iff the last round removed
+    nothing, i.e. the survivors ARE the exact k-core). The density
+    classifier between boilerplate cliques (high core number — safe
+    to collapse aggressively) and drift chains (core 1 — transitive
+    dedup over-deletes); the bounded-round contract follows the
+    pagerank precedent so the result is deterministic and the SQL
+    oracle can unroll the same rounds.
+
+    Plan (100 TB): each round is two semi-join filters of the edge
+    list against the live set plus one degree agg — edge-cardinality
+    keyed shuffles, never corpus-cardinality; ``localCheckpoint``
+    cuts lineage per round so the plan stays flat. The per-round
+    live counts are driver-side scalars (bounded planning metadata,
+    the connected_components convergence-check precedent)."""
+    edges = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(id_a).cast("long").alias("src"),
+                        F.col(id_b).cast("long").alias("dst"),
+                    ),
+                    F.struct(
+                        F.col(id_b).cast("long").alias("src"),
+                        F.col(id_a).cast("long").alias("dst"),
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+        .dropDuplicates(["src", "dst"])
+        .persist()
+    )
+    live = edges.select(F.col("src").alias("node")).distinct()
+    prev_n = live.count()
+    converged = False
+    deg = None
+    for _ in range(rounds):
+        e_live = edges.join(
+            live.select(F.col("node").alias("src")), "src"
+        ).join(live.select(F.col("node").alias("dst")), "dst")
+        deg = e_live.groupBy("src").agg(
+            F.count("*").cast("long").alias("degree")
+        )
+        live = (
+            deg.filter(F.col("degree") >= k)
+            .select(F.col("src").alias("node"))
+            .localCheckpoint(eager=False)
+        )
+        n = live.count()
+        if n == prev_n:
+            converged = True
+            break
+        prev_n = n
+    # final degree over the SURVIVOR subgraph (at a fixpoint this
+    # equals the last round's degree; at the round bound it reports
+    # the survivors' current live degree, 0 for bound-isolated nodes)
+    e_final = edges.join(
+        live.select(F.col("node").alias("src")), "src"
+    ).join(live.select(F.col("node").alias("dst")), "dst")
+    deg_final = e_final.groupBy("src").agg(
+        F.count("*").cast("long").alias("degree")
+    )
+    out = live.join(
+        deg_final.select(F.col("src").alias("node"), "degree"),
+        "node",
+        "left",
+    ).select(
+        "node",
+        F.coalesce("degree", F.lit(0)).cast("long").alias("degree"),
+        F.lit(1 if converged else 0).cast("int").alias("converged"),
+    )
+    edges.unpersist()
+    return out
+
+
+def phash_hamming_pairs(
+    bands: DataFrame, max_hamming: int = 3
+) -> DataFrame:
+    """Near-duplicate image pairs from banded 64-bit perceptual
+    hashes (multimodal.ahash_images): candidates from a band
+    equi-join — LOSSLESS at Hamming radius <= 3 by pigeonhole over
+    the 4 bands — then exact Hamming verification with bit_count on
+    the band XORs. The image twin of the text prefix-filter: exact
+    answer, candidate volume from bucket collisions rather than
+    all-pairs. At petabyte scale, heavy hash buckets (monochrome
+    boilerplate) take the same stop-key cap as the winnowing /
+    ExactSubstr generators — wider bands (8x8-bit) or a band-df cap
+    trade candidate volume against the verified radius."""
+    melted = bands.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.col(f"b{i}").alias("band_val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("e"),
+    ).select("doc_id", "e.band_idx", "e.band_val")
+    a, b = melted.alias("a"), melted.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    ha = bands.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"b{i}").alias(f"a{i}") for i in range(4)],
+    )
+    hb = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"b{i}").alias(f"b{i}") for i in range(4)],
+    )
+    joined = cands.join(ha, "doc_a").join(hb, "doc_b")
+    hamming = sum(
+        F.bit_count(
+            F.col(f"a{i}").bitwiseXOR(F.col(f"b{i}")).cast("int")
+        )
+        for i in range(4)
+    )
+    return (
+        joined.select(
+            "doc_a", "doc_b", hamming.cast("int").alias("hamming")
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -3798,3 +3798,51 @@ def multimodal_decode_tga(spark, sf_dir):
     from .multimodal import decode_images_positional, synth_tgas
 
     return decode_images_positional(synth_tgas(_docs(spark, sf_dir)))
+
+
+def graph_kcore_dedup(spark, sf_dir):
+    """Bounded-round k-core decomposition of the near-dup graph
+    (dedup.k_core_bounded, r10 third window, k=3 / 4 peel rounds):
+    the planted K4 cliques (doc_id < 5 with three perturbed copies)
+    survive the 3-core peel while the K3 plants and natural chains
+    dissolve — the density classifier between collapse-safe
+    boilerplate cliques and over-delete-prone drift chains. Same
+    exact inverted-index pair graph as the triangle query, so the
+    two density signals are directly comparable. The oracle unrolls
+    the identical peel rounds in SQL (the bounded-round pagerank
+    precedent); converged=1 certifies the survivors are the exact
+    k-core, not a bound artifact."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    tails = [
+        (100000, " extra token tail", 30),
+        (200000, " extra tail too", 10),
+        (300000, " extra token too", 5),
+    ]
+    corpus = d
+    for off, tail, n in tails:
+        corpus = corpus.unionByName(
+            d.filter(F.col("doc_id") < n).select(
+                (F.col("doc_id") + off).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(tail)).alias("text"),
+            )
+        )
+    pairs = D.ngram_jaccard_pairs(corpus, threshold=0.5)
+    return D.k_core_bounded(pairs, k=3, rounds=4)
+
+
+def dedup_image_phash_pairs(spark, sf_dir):
+    """Perceptual-hash image dedup (r10 third window —
+    multimodal.average_hash_bands + dedup.phash_hamming_pairs): the
+    synthetic PPM/BMP/PGM corpus is decoded, aHashed (integer
+    grayscale, 8x8 nearest subsample, division-free threshold), and
+    paired by band-bucket LSH with exact Hamming verification at
+    radius 3 — LOSSLESS by pigeonhole, the image twin of the text
+    prefix filter. The ramp-structured fixture images hash into
+    genuine collision groups across doc_ids, so real pairs exist
+    without planting. The oracle replays pixels -> grayscale ->
+    subsample -> threshold -> bands -> naive all-pairs Hamming
+    closed-form, never touching the codec or the banding."""
+    from .multimodal import ahash_images, synth_images
+
+    bands = ahash_images(synth_images(_docs(spark, sf_dir)))
+    return D.phash_hamming_pairs(bands, max_hamming=3)

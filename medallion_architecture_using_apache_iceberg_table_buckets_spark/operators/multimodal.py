@@ -3793,3 +3793,68 @@ def synth_tgas(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col).mapInPandas(
         gen, schema="doc_id long, content binary, media_type string"
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image hashing (aHash): the image-modality dedup signal.
+# ---------------------------------------------------------------------------
+
+def average_hash_bands(pixels: bytes, w: int, h: int, channels: int) -> list[int]:
+    """64-bit average hash of an image, returned as four 16-bit band
+    integers (the LSH-friendly representation: by pigeonhole, two
+    hashes within Hamming distance 3 agree on at least one of the 4
+    bands, so a band equi-join is a LOSSLESS candidate generator at
+    that radius). All arithmetic is integer — grayscale by
+    (r+g+b)//3, 8x8 nearest-neighbor subsample src=(dst*src_len)//8,
+    threshold by 64*p > sum (strict, division-free) — so the SQL
+    oracle replays it bit-for-bit. Bit b (row-major y*8+x) lands in
+    band b//16 at position 15 - b%16."""
+    g = []
+    for y in range(8):
+        for x in range(8):
+            src = ((y * h) // 8) * w + (x * w) // 8
+            if channels == 1:
+                g.append(pixels[src])
+            else:
+                base = 3 * src
+                g.append(
+                    (pixels[base] + pixels[base + 1] + pixels[base + 2]) // 3
+                )
+    total = sum(g)
+    bands = [0, 0, 0, 0]
+    for b, v in enumerate(g):
+        if 64 * v > total:
+            bands[b // 16] |= 1 << (15 - b % 16)
+    return bands
+
+
+def ahash_images(df: DataFrame) -> DataFrame:
+    """Per-image aHash on the standard multimodal execution shape:
+    decode the container (any supported format), hash the
+    reconstructed samples, emit the four band integers. Map-only —
+    blobs never leave the executor; output is 5 small ints per
+    image whatever the image size."""
+
+    def hsh(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for b in pdf["content"]:
+                m = decode_pixels(bytes(b))
+                rows.append(
+                    average_hash_bands(
+                        m["pixels"], m["width"], m["height"], m["channels"]
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "b0": pd.Series([r[0] for r in rows], dtype="int32"),
+                    "b1": pd.Series([r[1] for r in rows], dtype="int32"),
+                    "b2": pd.Series([r[2] for r in rows], dtype="int32"),
+                    "b3": pd.Series([r[3] for r in rows], dtype="int32"),
+                }
+            )
+
+    return df.mapInPandas(
+        hsh, schema="doc_id long, b0 int, b1 int, b2 int, b3 int"
+    )

@@ -2068,3 +2068,41 @@ def events_kanonymity(spark, sf_dir, k: int = 5):
             .cast("int").alias("at_risk"),
         )
     )
+
+
+def events_churn_hazard(spark, sf_dir):
+    """Discrete survival analysis of user lifetimes: per lifetime
+    t (days between a user's first and last activity), the number of
+    users churning exactly at t, the number still at risk (lifetime
+    >= t), and the discrete hazard d(t)/n(t) as an EXACT ppm
+    integer — the life table behind retention curves, computed
+    without any floating point (the Kaplan-Meier survival curve is
+    the running product of (1 - hazard); the hazard table is its
+    sufficient statistic and stays integer-exact).
+
+    Plan (100 TB): one user-keyed agg for lifetimes, then a
+    lifetime histogram whose row count is bounded by the calendar
+    span of the data (never user cardinality); the at-risk cumsum
+    window runs over that bounded histogram — planning-scale
+    metadata, same class as the Markov matrix normalization."""
+    e = load(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.datediff(F.max(F.to_date("ts")), F.min(F.to_date("ts")))
+        .cast("long")
+        .alias("lifetime_days")
+    )
+    hist = per_user.groupBy("lifetime_days").agg(
+        F.count("*").cast("long").alias("n_churned")
+    )
+    w = Window.orderBy(F.desc("lifetime_days")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        hist.withColumn(
+            "n_at_risk", F.sum("n_churned").over(w).cast("long")
+        )
+        .selectExpr(
+            "lifetime_days", "n_churned", "n_at_risk",
+            "(1000000 * n_churned) div n_at_risk AS hazard_ppm",
+        )
+    )

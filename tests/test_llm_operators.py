@@ -3267,3 +3267,138 @@ def test_kanonymity_flags_small_classes(spark, tmp_path):
     assert got[("view", 1)]["at_risk"] == 0
     assert got[("purchase", 9)]["n_users"] == 2
     assert got[("purchase", 9)]["at_risk"] == 1
+
+
+# ---------------------------------------------------------------------------
+# Churn hazard / bounded k-core (r10 third window)
+# ---------------------------------------------------------------------------
+
+def test_churn_hazard_life_table(spark, tmp_path):
+    """Hand-built lifetimes: 4 users churn at day 0, 3 at day 2,
+    3 at day 5 — the at-risk counts and ppm hazards follow by
+    hand."""
+    import datetime
+
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators import relational as R
+
+    base = datetime.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    lifetimes = [0, 0, 0, 0, 2, 2, 2, 5, 5, 5]
+    for u, lt in enumerate(lifetimes):
+        for day in {0, lt}:
+            eid += 1
+            rows.append((eid, base + datetime.timedelta(days=day),
+                         f"u{u}", "view", 1.0, "{}"))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id string, event_type string, "
+        "value double, props string",
+    )
+    d = str(tmp_path / "sf")
+    df.write.parquet(f"{d}/events.parquet")
+    got = {r["lifetime_days"]: r
+           for r in R.events_churn_hazard(spark, d).collect()}
+    assert got[0]["n_churned"] == 4 and got[0]["n_at_risk"] == 10
+    assert got[0]["hazard_ppm"] == 400000
+    assert got[2]["n_churned"] == 3 and got[2]["n_at_risk"] == 6
+    assert got[2]["hazard_ppm"] == 500000
+    assert got[5]["n_churned"] == 3 and got[5]["n_at_risk"] == 3
+    assert got[5]["hazard_ppm"] == 1000000
+
+
+def test_kcore_peels_planted_graph(spark):
+    """K4 + pendant chain: the 2-core keeps the K4 and drops the
+    chain; the 3-core keeps exactly the K4 at degree 3; k=5 peels
+    everything (empty, converged)."""
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators import (
+        dedup as DD,
+    )
+
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    chain = [(4, 5), (5, 6), (6, 7)]
+    pairs = spark.createDataFrame(k4 + chain, "doc_a long, doc_b long")
+    core3 = {r["node"]: r for r in DD.k_core_bounded(pairs, k=3).collect()}
+    assert set(core3) == {1, 2, 3, 4}
+    assert all(r["degree"] == 3 and r["converged"] == 1
+               for r in core3.values())
+    core2 = {r["node"] for r in DD.k_core_bounded(pairs, k=2).collect()}
+    assert core2 == {1, 2, 3, 4}
+    core5 = DD.k_core_bounded(pairs, k=5).collect()
+    assert core5 == []
+
+
+def test_kcore_round_bound_reported(spark):
+    """A long chain peels one node per end per round — at rounds=2
+    the operator must report converged=0 (bound artifact), and the
+    same call with enough rounds converges to the empty 2-core."""
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators import (
+        dedup as DD,
+    )
+
+    chain = [(i, i + 1) for i in range(12)]
+    pairs = spark.createDataFrame(chain, "doc_a long, doc_b long")
+    bounded = DD.k_core_bounded(pairs, k=2, rounds=2).collect()
+    assert bounded and all(r["converged"] == 0 for r in bounded)
+    full = DD.k_core_bounded(pairs, k=2, rounds=10).collect()
+    assert full == []
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image hashing (r10 third window)
+# ---------------------------------------------------------------------------
+
+def test_ahash_bands_math():
+    """Pin the hash math on a hand-checkable image: a half-dark /
+    half-bright 8x8 grayscale image hashes to bands where exactly
+    the bright half's bits are set."""
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators.multimodal import (
+        average_hash_bands,
+    )
+
+    px = bytes([10] * 32 + [200] * 32)       # rows 0-3 dark, 4-7 bright
+    bands = average_hash_bands(px, 8, 8, 1)
+    assert bands == [0, 0, 0xFFFF, 0xFFFF]
+    # RGB image collapses to the same grayscale
+    rgb = b"".join(bytes((v, v, v)) for v in px)
+    assert average_hash_bands(rgb, 8, 8, 3) == bands
+    # constant image: no bit strictly exceeds the mean -> all zero
+    assert average_hash_bands(bytes([77] * 64), 8, 8, 1) == [0, 0, 0, 0]
+
+
+def test_phash_banding_lossless_at_radius_3(spark):
+    """Property the operator claims: banded candidates + verify ==
+    brute-force Hamming pairs at radius <= 3 (pigeonhole over 4
+    bands). Random band quadruples with planted near-misses."""
+    import random
+
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators import (
+        dedup as DD,
+    )
+
+    rnd = random.Random(11)
+    rows = []
+    for i in range(60):
+        rows.append((i, rnd.getrandbits(16), rnd.getrandbits(16),
+                     rnd.getrandbits(16), rnd.getrandbits(16)))
+    # plant close pairs: copy with <=3 flipped bits
+    for j in range(20):
+        base = rows[j]
+        b = list(base[1:])
+        for _ in range(rnd.randrange(0, 4)):
+            k = rnd.randrange(4)
+            b[k] ^= 1 << rnd.randrange(16)
+        rows.append((1000 + j, *b))
+    df = spark.createDataFrame(
+        rows, "doc_id long, b0 int, b1 int, b2 int, b3 int"
+    )
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"]
+           for r in DD.phash_hamming_pairs(df, max_hamming=3).collect()}
+    exp = {}
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            a, b = rows[i], rows[j]
+            hd = sum(bin(a[k + 1] ^ b[k + 1]).count("1") for k in range(4))
+            if hd <= 3:
+                lo, hi = sorted((a[0], b[0]))
+                exp[(lo, hi)] = hd
+    assert got == exp and len(exp) >= 15

@@ -689,6 +689,86 @@ def llm_queries_section():
             "cumulative offsets (the LTV machinery on a cumulative "
             "measure); the 1-row budget scalar is the only BNLJ.",
         ),
+        # r10 third window
+        "events_basket_lift": (
+            R.events_basket_lift,
+            "A-priori downward closure FIRST: frequent-part list "
+            "broadcast back onto the (order, part) frame, so the "
+            "order-keyed pair self-join sees only frequent items; "
+            "pair fan-out bounded by order width; ppm metrics in "
+            "BIGINT `div` (no doubles).",
+        ),
+        "events_rfm_segments": (
+            R.events_rfm_segments,
+            "ONE conditional user-keyed agg builds R/F/M, then three "
+            "_distributed_ntile range exchanges over the user frame "
+            "(pid-partitioned row_number + broadcast offsets each); "
+            "final rollup is a bounded 125-cell agg. Plan fence: "
+            "test_rfm_ntile_windows_are_partitioned.",
+        ),
+        "events_rolling_mad_anomaly": (
+            R.events_rolling_mad_anomaly,
+            "ONE user-keyed shuffle; the frame is a bounded 7-row "
+            "rowsBetween so per-row state is O(7) at any corpus "
+            "size; median/MAD arithmetic runs on the 7-element "
+            "array inside codegen, no UDF.",
+        ),
+        "events_user_diversity": (
+            R.events_user_diversity,
+            "Two keyed aggs with map-side combine ((user,type) then "
+            "user); per-user fan-in bounded by the event-type "
+            "vocabulary; Gini-Simpson in exact ppm integer math.",
+        ),
+        "events_kanonymity": (
+            R.events_kanonymity,
+            "Two-level agg so the distinct-user count never funnels: "
+            "(QI, user) partial then QI rollup — both map-side "
+            "combined keyed shuffles.",
+        ),
+        "dedup_split_leakage": (
+            L.dedup_split_leakage,
+            "Pairs from the audited prefix-filter join (rarest-"
+            "shingle prefixes, never all-pairs); split is map-only "
+            "md5; label attachment is two doc-keyed equi-joins of "
+            "the tiny pair list.",
+        ),
+        "multimodal_decode_adpcm": (
+            L.multimodal_decode_adpcm,
+            "Map-only synth + decode on Arrow mapInPandas — zero "
+            "exchanges; the IMA state machine runs per blob inside "
+            "the executor.",
+        ),
+        "multimodal_decode_tiff": (
+            L.multimodal_decode_tiff,
+            "Map-only synth + decode (both byte orders, strips, "
+            "PackBits) on Arrow mapInPandas — zero exchanges.",
+        ),
+        "multimodal_decode_tga": (
+            L.multimodal_decode_tga,
+            "Map-only synth + decode (RLE packets, origin flip, BGR "
+            "undo) on Arrow mapInPandas — zero exchanges.",
+        ),
+        "events_churn_hazard": (
+            R.events_churn_hazard,
+            "User-keyed lifetime agg, then the at-risk cumsum over "
+            "the calendar-bounded lifetime histogram — the "
+            "unpartitioned window is planning-scale, never user "
+            "cardinality; hazard in BIGINT div ppm.",
+        ),
+        "graph_kcore_dedup": (
+            L.graph_kcore_dedup,
+            "Bounded-round peel: per round two semi-filters of the "
+            "persisted edge list + one degree agg, localCheckpoint "
+            "lineage cuts; per-round live counts are driver scalars "
+            "(components/pagerank precedent).",
+        ),
+        "dedup_image_phash_pairs": (
+            L.dedup_image_phash_pairs,
+            "aHash on the map-only media shape (5 ints per image "
+            "out), then band equi-join candidates (lossless at "
+            "radius 3 by pigeonhole) + bit_count verify — never "
+            "all-pairs on the corpus.",
+        ),
     }
 
 

@@ -215,6 +215,21 @@ QUERIES = {
     "text_source_divergence": L.text_source_divergence,
     "multimodal_transcode_qoi": L.multimodal_transcode_qoi,
     "corpus_token_budget": L.corpus_token_budget,
+    # r10 third window: association mining, robust anomaly screen,
+    # governance audits, split-leakage composition, and the three
+    # new codec families (TIFF/TGA/ADPCM decode are one row per doc)
+    "events_basket_lift": R.events_basket_lift,
+    "events_rfm_segments": R.events_rfm_segments,
+    "events_rolling_mad_anomaly": R.events_rolling_mad_anomaly,
+    "events_user_diversity": R.events_user_diversity,
+    "events_kanonymity": R.events_kanonymity,
+    "dedup_split_leakage": L.dedup_split_leakage,
+    "multimodal_decode_adpcm": L.multimodal_decode_adpcm,
+    "multimodal_decode_tiff": L.multimodal_decode_tiff,
+    "multimodal_decode_tga": L.multimodal_decode_tga,
+    "events_churn_hazard": R.events_churn_hazard,
+    "graph_kcore_dedup": L.graph_kcore_dedup,
+    "dedup_image_phash_pairs": L.dedup_image_phash_pairs,
 }
 
 
@@ -424,6 +439,17 @@ def main() -> None:
         "graph_triangle_count", "dedup_minhash_estimator_error",
         "multimodal_decode_qoi", "multimodal_transcode_qoi",
         "corpus_token_budget",
+        # r10 third window: basket pairs / anomaly rows / k-anon
+        # classes / leakage pairs grow with the data (pairs with the
+        # plants); the codec decodes are one row per doc
+        "events_basket_lift", "events_rolling_mad_anomaly",
+        "events_kanonymity", "dedup_split_leakage",
+        # kcore survivors grow with the planted-clique count
+        "graph_kcore_dedup",
+        # phash pairs grow with hash-collision groups in the data
+        "dedup_image_phash_pairs",
+        "multimodal_decode_adpcm", "multimodal_decode_tiff",
+        "multimodal_decode_tga",
     }
 
     # embedding-LSH cost is governed by the CANDIDATE-join cardinality
