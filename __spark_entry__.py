@@ -56,16 +56,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # row on recent code; rotated-out entries stay covered by the full
     # local mirror (tools/check_oracles.py) and pytest.
     #
-    # Round-10 window (positions 1-50, live registry 226 entries):
-    #   1-5   = the five THIRD-window r10 additions (basket lift, RFM,
-    #           split leakage, ADPCM, TIFF — never driver-checked);
-    #   6-23  = the eighteen earlier NEW round-10 queries;
-    #   24    = events_user_ltv_deciles, re-slotted because its code
+    # Round-10 window (positions 1-50, live registry 233 entries):
+    #   1-12  = the twelve THIRD-window r10 additions (basket lift,
+    #           RFM, split leakage, ADPCM, TIFF, rolling MAD, TGA,
+    #           Simpson diversity, k-anonymity, churn hazard, k-core,
+    #           image phash — never driver-checked);
+    #   13-30 = the eighteen earlier NEW round-10 queries;
+    #   31    = events_user_ltv_deciles, re-slotted because its code
     #           changed this round (distributed-rank rewrite);
-    #   20-22 = the three r05-vintage entries that slipped the r9
+    #   32-34 = the three r05-vintage entries that slipped the r9
     #           sample (q8_market_share, q15_top_supplier,
     #           text_decontaminate) — the r9 verdict's explicit ask;
-    #   23-50 = the 28 oldest r06-vintage entries in age order (the
+    #   35-50 = the oldest r06-vintage entries in age order (the
     #           next twelve — type_promotion_scan ..
     #           agg_grouping_sets — were displaced into the tail head
     #           as late-r10 additions landed at the front; they lead
@@ -143,7 +145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_source_divergence": L.text_source_divergence,
         "streaming_topk_trending": L.streaming_topk_trending,
         "corpus_token_budget": L.corpus_token_budget,
-        # 18-23: NEW in round 10 (never driver-checked): unified
+        # NEW in round 10, second window (never driver-checked): unified
         # cross+self ExactSubstr removal, winnowing pairs closed to
         # components, interlaced/local-table GIF decode, AllPairs/
         # PPJoin prefix-filter exact-Jaccard pairs, retrieval
@@ -155,16 +157,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode_gif_interlaced": L.multimodal_decode_gif_interlaced,
         "dedup_prefix_filter_pairs": L.dedup_prefix_filter_pairs,
         "retrieval_hard_negatives": L.retrieval_hard_negatives,
-        # 24: re-slotted — its r10 distributed-rank rewrite (the r9
+        # re-slotted — its r10 distributed-rank rewrite (the r9
         # verdict's partition-safety fix) needs a fresh driver row on
         # the NEW code
         "events_user_ltv_deciles": R.events_user_ltv_deciles,
-        # 25-27: the three r05-vintage entries that slipped the ~50-row
+        # the three r05-vintage entries that slipped the ~50-row
         # r9 sample (first in line per the r9 plan and verdict)
         "q8_market_share": R.q8_market_share,
         "q15_top_supplier": R.q15_top_supplier,
         "text_decontaminate": L.text_decontaminate,
-        # 28-50: the oldest r06-vintage entries in age order —
+        # window tail: the oldest r06-vintage entries in age order —
         # after this round only 10 r06-vintage rows remain (they lead
         # the r11 window)
         "q2_min_cost_supplier": R.q2_min_cost_supplier,
