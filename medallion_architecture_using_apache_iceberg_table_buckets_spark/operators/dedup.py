@@ -2136,7 +2136,12 @@ def k_core_bounded(
     deg_final = e_final.groupBy("src").agg(
         F.count("*").cast("long").alias("degree")
     )
-    out = live.join(
+    # edges stays persisted: the RETURNED plan reads it again (the
+    # final-degree pass), so an eager unpersist here would force the
+    # consumer to recompute the whole upstream pair pipeline — the
+    # cache follows the session's normal eviction instead (the
+    # minhash-signature persist precedent)
+    return live.join(
         deg_final.select(F.col("src").alias("node"), "degree"),
         "node",
         "left",
@@ -2145,8 +2150,6 @@ def k_core_bounded(
         F.coalesce("degree", F.lit(0)).cast("long").alias("degree"),
         F.lit(1 if converged else 0).cast("int").alias("converged"),
     )
-    edges.unpersist()
-    return out
 
 
 def phash_hamming_pairs(

@@ -598,6 +598,25 @@ def main() -> None:
             "the interval-union window runs over MATCH spans, not "
             "tokens — factor tracks the pair row"
         ),
+        "graph_kcore_dedup": (
+            "dominated by the exact-Jaccard pair generation it "
+            "shares with pagerank/triangles (dedup_ngram_jaccard_"
+            "pairs' own row is ~9x = linear in rows); the 4 peel "
+            "rounds add edge-keyed semi-filters + degree aggs over "
+            "the grown edge set — 4.2x composed (after keeping the "
+            "edge cache live for the final-degree pass), inside "
+            "the pagerank (7.8x) / triangle (5.4x) family envelope"
+        ),
+        "dedup_image_phash_pairs": (
+            "OUTPUT-BOUND: runtime 23x against 98x output rows. The "
+            "replica's ramp images form large identical-aHash "
+            "classes, so the true pair count grows quadratically in "
+            "class size — the operator emits exactly that answer "
+            "through the band equi-join (never all-pairs); runtime "
+            "well under output growth = optimal up to constants. "
+            "Production path for pathological classes: band-df "
+            "stop-key cap / wider bands (see operator docstring)"
+        ),
         "dedup_prefix_filter_pairs": (
             "AllPairs/PPJoin at its home regime t=0.8: prefix + "
             "positional filters keep candidates near the true pair "
