@@ -308,6 +308,12 @@ def test_brute_baselines_are_the_only_all_pairs_plans(spark, sf_dir):
         # q11: 1-row national-total aggregate broadcast back as the
         # HAVING threshold (q15 pattern)
         "q11_important_part_value",
+        # RFM: the 1-row corpus-max-date aggregate broadcast onto the
+        # user frame for recency derivation (q15/subquery_max_order
+        # pattern — scalar-sized by construction); the quintile cuts
+        # themselves are fence-checked partitioned windows
+        # (test_rfm_ntile_windows_are_partitioned)
+        "events_rfm_segments",
         # data card: 1-row corpus-total broadcast for the shares
         "corpus_data_card",
         # theta set ops: 1-row sketch-estimate row broadcast onto the
