@@ -123,6 +123,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 12: perceptual-hash image dedup — aHash bands + lossless
         # banded Hamming pairs (the image twin of the prefix filter)
         "dedup_image_phash_pairs": L.dedup_image_phash_pairs,
+        # 13-14: the phash pair graph closed to IMAGE dup groups by
+        # the same min-label components operator (cross-modality
+        # chain proof), and segmental type-token ratio (exact ppm
+        # lexical diversity; planted low-TTR tail segments)
+        "dedup_image_phash_components": L.dedup_image_phash_components,
+        "text_segment_ttr": L.text_segment_ttr,
         # 6-17: NEWEST in round 10's second window: per-node
         # triangle participation over the near-dup graph, the
         # hashing-trick featurizer, the LSH-banding recall audit
@@ -2214,6 +2220,99 @@ def _hard_negatives_oracle(topn: int = 20) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # r10 third window: segmental TTR — positions from the range
+        # subscript (same token stream as the Spark posexplode,
+        # interior empties impossible after normalization)
+        "text_segment_ttr": f"""
+            WITH corpus AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 13 = 0
+                          THEN text || ' the same words repeat the same'
+                               || ' words repeat the same words repeat'
+                               || ' the same words repeat'
+                          ELSE text END AS text
+              FROM documents
+            ),
+            nw AS (
+              SELECT doc_id,
+                     string_split({_NORM.format(t='text')}, ' ') AS w
+              FROM corpus
+            ),
+            toks AS (
+              SELECT doc_id, i - 1 AS pos, w[i] AS tok
+              FROM nw, unnest(range(1, len(w) + 1)) AS t(i)
+              WHERE w[i] <> ''
+            )
+            SELECT doc_id,
+                   CAST(pos // 50 AS BIGINT) AS seg,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(count(DISTINCT tok) AS BIGINT) AS n_types,
+                   (1000000 * count(DISTINCT tok)) // count(*) AS ttr_ppm
+            FROM toks GROUP BY doc_id, pos // 50
+        """,
+        # r10 third window: phash pairs -> min-label closure (the
+        # dedup_components recursive-reach oracle over the phash
+        # edge set; corpus bounded to doc_id < 1500)
+        "dedup_image_phash_components": """
+            WITH RECURSIVE dims AS (
+              SELECT doc_id, doc_id % 8 + 2 AS w, doc_id % 6 + 2 AS h,
+                     CASE WHEN doc_id % 3 = 2 THEN 1 ELSE 3 END AS ch
+              FROM documents WHERE doc_id < 1500
+            ),
+            cells AS (
+              SELECT doc_id, w, h, ch, y.y, x.x
+              FROM dims, unnest(range(8)) AS y(y), unnest(range(8)) AS x(x)
+            ),
+            samp AS (
+              SELECT doc_id, y * 8 + x AS b,
+                     CASE WHEN ch = 1
+                          THEN (7 * ((y*h)//8*w + (x*w)//8) + doc_id) % 256
+                          ELSE ((7 * (3*((y*h)//8*w + (x*w)//8)) + doc_id) % 256
+                              + (7 * (3*((y*h)//8*w + (x*w)//8) + 1) + doc_id) % 256
+                              + (7 * (3*((y*h)//8*w + (x*w)//8) + 2) + doc_id) % 256
+                               ) // 3
+                     END AS g
+              FROM cells
+            ),
+            tot AS (SELECT doc_id, sum(g) AS total FROM samp GROUP BY doc_id),
+            bits AS (
+              SELECT s.doc_id, s.b,
+                     CASE WHEN 64 * s.g > t.total THEN 1 ELSE 0 END AS bit
+              FROM samp s JOIN tot t USING (doc_id)
+            ),
+            bnd AS (
+              SELECT doc_id, b // 16 AS bi,
+                     CAST(sum(bit * (1 << (15 - (b % 16)))) AS BIGINT) AS bv
+              FROM bits GROUP BY 1, 2
+            ),
+            hashes AS MATERIALIZED (
+              SELECT doc_id,
+                     max(CASE WHEN bi = 0 THEN bv END) AS b0,
+                     max(CASE WHEN bi = 1 THEN bv END) AS b1,
+                     max(CASE WHEN bi = 2 THEN bv END) AS b2,
+                     max(CASE WHEN bi = 3 THEN bv END) AS b3
+              FROM bnd GROUP BY doc_id
+            ),
+            prs AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+              WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+                  + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+                  <= 3
+            ),
+            edges AS MATERIALIZED (
+              SELECT doc_a AS src, doc_b AS dst FROM prs
+              UNION
+              SELECT doc_b, doc_a FROM prs
+            ),
+            reach(id, lbl) AS (
+              SELECT DISTINCT src, src FROM edges
+              UNION
+              SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+            )
+            SELECT id AS doc_id, min(lbl) AS component_id
+            FROM reach GROUP BY id
+        """,
         # r10 third window: perceptual-hash image dedup — the oracle
         # replays pixels -> integer grayscale -> 8x8 nearest
         # subsample -> division-free threshold -> 16-bit bands ->

@@ -258,6 +258,8 @@ HEADLINE = {
     "events_churn_hazard": R.events_churn_hazard,
     "graph_kcore_dedup": L.graph_kcore_dedup,
     "dedup_image_phash_pairs": L.dedup_image_phash_pairs,
+    "dedup_image_phash_components": L.dedup_image_phash_components,
+    "text_segment_ttr": L.text_segment_ttr,
 }
 
 # Registry entries deliberately NOT benched, each with its reason (the

@@ -3846,3 +3846,43 @@ def dedup_image_phash_pairs(spark, sf_dir):
 
     bands = ahash_images(synth_images(_docs(spark, sf_dir)))
     return D.phash_hamming_pairs(bands, max_hamming=3)
+
+
+def text_segment_ttr(spark, sf_dir):
+    """Segmental type-token ratio (text.segment_ttr, r10 third
+    window): 50-token segments, exact ppm integer ratios — the
+    lexical-diversity cut of the quality family. A repeated
+    boilerplate block is planted at the TAIL of every 13th doc, so
+    flagged docs show a final low-TTR segment while their head
+    segments score normally — exactly the per-segment signal whole-
+    document TTR averages away."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    plant = (
+        " the same words repeat the same words repeat the same words"
+        " repeat the same words repeat"
+    )
+    corpus = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 13 == 0, F.concat(F.col("text"), F.lit(plant))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return TX.segment_ttr(corpus)
+
+
+def dedup_image_phash_components(spark, sf_dir):
+    """Image duplicate GROUPS: the perceptual-hash pair graph closed
+    to connected components by the SAME min-label operator the
+    MinHash and winnowing chains use (r10 third window) — pair
+    generators are interchangeable inputs to the dedup-application
+    chain, now across modalities. Corpus bounded to doc_id < 1500 so
+    the recursive-closure oracle stays cheap at every mirror scale;
+    the operator itself is the scale-audited components pass."""
+    from .multimodal import ahash_images, synth_images
+
+    d = _docs(spark, sf_dir).select("doc_id").filter(F.col("doc_id") < 1500)
+    bands = ahash_images(synth_images(d))
+    pairs = D.phash_hamming_pairs(bands, max_hamming=3)
+    return D.connected_components(pairs).select(
+        F.col("id").alias("doc_id"), "component_id"
+    )

@@ -1802,3 +1802,43 @@ def source_tv_divergence(
             4,
         ).alias("tv4"),
     )
+
+
+def segment_ttr(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    segment_tokens: int = 50,
+) -> DataFrame:
+    """Segmental type-token ratio: each document's token stream cut
+    into fixed-size segments (the standard correction for TTR's
+    length sensitivity), with per-segment distinct-type counts and
+    the ratio as an EXACT ppm integer. The lexical-diversity signal
+    that separates template/boilerplate output (low TTR everywhere)
+    from organic prose — and, segment-wise, catches documents whose
+    tail degenerates into repetition even when the head is clean.
+
+    Plan (100 TB): one posexplode (map-only) + one
+    (doc, segment, token)-keyed distinct and one (doc, segment) agg
+    — keyed shuffles whose group width is bounded by
+    ``segment_tokens``; ppm math in BIGINT `div`."""
+    from ..functions.text import words
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(words(text_col)).alias("pos", "tok"),
+    ).filter(F.col("tok") != "")
+    seg = toks.selectExpr(
+        "doc_id", f"pos div {int(segment_tokens)} AS seg", "tok"
+    )
+    return (
+        seg.groupBy("doc_id", "seg")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.countDistinct("tok").cast("long").alias("n_types"),
+        )
+        .selectExpr(
+            "doc_id", "CAST(seg AS BIGINT) AS seg", "n_tokens", "n_types",
+            "(1000000 * n_types) div n_tokens AS ttr_ppm",
+        )
+    )

@@ -3402,3 +3402,49 @@ def test_phash_banding_lossless_at_radius_3(spark):
                 lo, hi = sorted((a[0], b[0]))
                 exp[(lo, hi)] = hd
     assert got == exp and len(exp) >= 15
+
+
+def test_segment_ttr_planted(spark):
+    """120-token doc: segment 0 all-distinct (ttr 1e6), segment 1 a
+    single repeated type (ttr 20000), segment 2 half-distinct."""
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators import (
+        text as TT,
+    )
+
+    seg0 = " ".join(f"w{i}" for i in range(50))
+    seg1 = " ".join(["dup"] * 50)
+    seg2 = " ".join(f"x{i // 2}" for i in range(20))
+    df = spark.createDataFrame(
+        [(1, f"{seg0} {seg1} {seg2}")], "doc_id long, text string"
+    )
+    got = {r["seg"]: r for r in TT.segment_ttr(df).collect()}
+    assert got[0]["n_tokens"] == 50 and got[0]["n_types"] == 50
+    assert got[0]["ttr_ppm"] == 1000000
+    assert got[1]["n_tokens"] == 50 and got[1]["n_types"] == 1
+    assert got[1]["ttr_ppm"] == 20000
+    assert got[2]["n_tokens"] == 20 and got[2]["n_types"] == 10
+    assert got[2]["ttr_ppm"] == 500000
+
+
+def test_phash_components_transitive_chain(spark):
+    """A-B and B-C within radius 3 but A-C outside it: components
+    must still close the chain into one group labeled min(id)."""
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators import (
+        dedup as DD,
+    )
+
+    rows = [
+        (1, 0x0000, 0, 0, 0),
+        (2, 0x0003, 0, 0, 0),   # hamming(1,2)=2
+        (3, 0x003B, 0, 0, 0),   # hamming(2,3)=3, hamming(1,3)=5
+        (9, 0xFFFF, 0xFFFF, 0, 0),  # isolated
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, b0 int, b1 int, b2 int, b3 int"
+    )
+    pairs = DD.phash_hamming_pairs(df, max_hamming=3)
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in pairs.collect()}
+    assert got == {(1, 2): 2, (2, 3): 3}
+    comp = {r["id"]: r["component_id"]
+            for r in DD.connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1}

@@ -769,6 +769,12 @@ def llm_queries_section():
             "radius 3 by pigeonhole) + bit_count verify — never "
             "all-pairs on the corpus.",
         ),
+        "text_segment_ttr": (
+            L.text_segment_ttr,
+            "One posexplode + (doc, seg)-keyed distinct/count aggs; "
+            "group width bounded by the 50-token segment; ppm in "
+            "BIGINT div.",
+        ),
     }
 
 

@@ -230,6 +230,12 @@ QUERIES = {
     "events_churn_hazard": R.events_churn_hazard,
     "graph_kcore_dedup": L.graph_kcore_dedup,
     "dedup_image_phash_pairs": L.dedup_image_phash_pairs,
+    "text_segment_ttr": L.text_segment_ttr,
+    # phash_components corpus is bounded (doc_id < 1500) by design —
+    # the closure over unbounded phash pairs is scale-covered by the
+    # dedup_components row (same operator) + the phash_pairs row
+    # (same generator); still step it up to record the bound holds
+    "dedup_image_phash_components": L.dedup_image_phash_components,
 }
 
 
@@ -447,7 +453,7 @@ def main() -> None:
         # kcore survivors grow with the planted-clique count
         "graph_kcore_dedup",
         # phash pairs grow with hash-collision groups in the data
-        "dedup_image_phash_pairs",
+        "dedup_image_phash_pairs", "text_segment_ttr",
         "multimodal_decode_adpcm", "multimodal_decode_tiff",
         "multimodal_decode_tga",
     }
