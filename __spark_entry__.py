@@ -82,10 +82,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   then = any r10-window entry whose driver row did NOT land
     #          green in CORRECTNESS_r10 (expected none — all r10
     #          additions pre-checked locally at sf0.001 AND sf0.01);
-    #   rest = the 22 remaining r06-vintage tail leads
-    #          (type_promotion_scan .. dedup_ngram_jaccard_pairs),
-    #          then the oldest r07-vintage entries
-    #          (multimodal_decode_png ..) in their listed order.
+    #   rest = the r06-vintage entries displaced from this window by
+    #          the fourteen third-window insertions (the final 14 of
+    #          the pre-insertion window, q2_min_cost_supplier-era
+    #          block) FIRST, then the remaining r06-vintage tail
+    #          leads (type_promotion_scan ..
+    #          dedup_ngram_jaccard_pairs), then the oldest
+    #          r07-vintage entries (multimodal_decode_png ..) in
+    #          their listed order.
     # Re-count positions so the window is exactly 50; keep inserting
     # new queries right after the newest NEW block.
     return {
