@@ -2340,6 +2340,14 @@ def decode_wav(content: bytes, want_samples: bool = False) -> dict:
         samples = tuple(_mulaw_expand(b) for b in data)
         return _wav_out(rate, channels, bits, samples, want_samples)
     if audio_format == 0x11 and bits == 4:
+        if channels != 1:
+            # Stereo IMA ADPCM interleaves per-channel block headers
+            # and 4-sample nibble groups — a different block layout
+            # than the mono path below would silently mis-decode.
+            raise NotImplementedError(
+                f"multi-channel ({channels}) IMA ADPCM WAV — "
+                "interleaved-block seam; only mono is supported"
+            )
         # IMA/DVI ADPCM (WAV format tag 0x11): block-structured —
         # each block opens with a 4-byte header (int16 predictor,
         # uint8 step index, reserved) whose predictor IS the first
@@ -3426,11 +3434,18 @@ def encode_tiff(
         raw = pixels[r0 * row_bytes : (r0 + min(rows_per_strip, height - r0)) * row_bytes]
         strips.append(_packbits_encode(raw) if packbits else raw)
 
+    # TIFF 6.0 requires all field values and the IFD to begin on a
+    # word (even) boundary — pad between strips (StripByteCounts
+    # stays exact; the pad bytes are dead space) so the extra-array
+    # region and IFD land even no matter the strip byte counts.
     pos = 8
     strip_offsets = []
+    strip_blobs = []
     for s in strips:
         strip_offsets.append(pos)
-        pos += len(s)
+        pad = len(s) & 1
+        strip_blobs.append(s + b"\x00" * pad)
+        pos += len(s) + pad
     extra = bytearray()
     extra_base = pos
 
@@ -3480,14 +3495,19 @@ def encode_tiff(
     header = (b"MM" if big_endian else b"II") + struct.pack(
         e + "HI", 42, ifd_off
     )
-    return header + b"".join(strips) + bytes(extra) + ifd
+    return header + b"".join(strip_blobs) + bytes(extra) + ifd
 
 
 def _tiff_read_values(content, e, typ, count, value_field):
     """Read an IFD entry's values, following the offset indirection
-    when the payload exceeds the 4 inline bytes."""
+    when the payload exceeds the 4 inline bytes. Entries whose type
+    is not SHORT(3)/LONG(4) — BYTE/ASCII/RATIONAL metadata such as
+    XResolution — return None so the caller can skip them instead of
+    crashing on tags the baseline decoder never consumes."""
     import struct
 
+    if typ not in (3, 4):
+        return None
     fmt_ch, size = {3: ("H", 2), 4: ("I", 4)}[typ]
     total = size * count
     if total <= 4:
@@ -3517,9 +3537,11 @@ def decode_tiff(content: bytes, want_pixels: bool = False) -> dict:
     for k in range(n_entries):
         base = ifd_off + 2 + 12 * k
         tag, typ, count = struct.unpack(e + "HHI", content[base : base + 8])
-        tags[tag] = _tiff_read_values(
+        vals = _tiff_read_values(
             content, e, typ, count, content[base + 8 : base + 12]
         )
+        if vals is not None:  # skip BYTE/ASCII/RATIONAL metadata tags
+            tags[tag] = vals
     width, height = tags[256][0], tags[257][0]
     bits = tags.get(258, [8])
     compression = tags.get(259, [1])[0]
@@ -3532,6 +3554,21 @@ def decode_tiff(content: bytes, want_pixels: bool = False) -> dict:
         raise NotImplementedError(
             f"TIFF compression {compression} (LZW/JPEG/deflate) needs a "
             "full TIFF library — documented seam"
+        )
+    planar = tags.get(284, [1])[0]
+    if planar != 1:
+        # PlanarConfiguration 2 stores each channel in its own strip
+        # set — the chunky reassembly below would emit wrong pixel
+        # order; loud seam instead of silent mis-decode.
+        raise NotImplementedError(
+            f"TIFF PlanarConfiguration {planar} (planar) unsupported — "
+            "only chunky (1) is implemented"
+        )
+    orientation = tags.get(274, [1])[0]
+    if orientation != 1:
+        raise NotImplementedError(
+            f"TIFF Orientation {orientation} (rotated/mirrored) "
+            "unsupported — only top-left (1) is implemented"
         )
     rows_per_strip = tags.get(278, [height])[0]
     offsets, counts = tags[273], tags[279]
@@ -3711,6 +3748,13 @@ def decode_tga(content: bytes, want_pixels: bool = False) -> dict:
     channels = 3 if img_type in (2, 10) else 1
     if depth != 8 * channels:
         raise NotImplementedError(f"TGA depth {depth} unsupported")
+    if desc & 0x10:
+        # descriptor bit 4 = right-to-left pixel order within rows;
+        # the reader below assumes left-to-right — loud seam instead
+        # of silently reversed rows.
+        raise NotImplementedError(
+            "TGA right-to-left storage (descriptor bit 4) unsupported"
+        )
     px_bytes = channels
     row_bytes = width * px_bytes
     data = content[18 + id_len : -26]

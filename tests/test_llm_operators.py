@@ -3448,3 +3448,145 @@ def test_phash_components_transitive_chain(spark):
     comp = {r["id"]: r["component_id"]
             for r in DD.connected_components(pairs).collect()}
     assert comp == {1: 1, 2: 1, 3: 1}
+
+
+# ---------------------------------------------------------------------------
+# r11 ADVICE seam guards: planar/rotated TIFF, metadata IFD types,
+# stereo ADPCM, right-to-left TGA, TIFF word alignment
+# ---------------------------------------------------------------------------
+
+def _tiff_overwrite_entry(blob: bytes, victim_tag: int, new_tag: int,
+                          new_type: int, new_count: int,
+                          new_value: bytes) -> bytes:
+    """Rewrite one IFD entry in a little-endian TIFF (test helper for
+    injecting foreign tags without re-laying-out the file)."""
+    import struct
+
+    b = bytearray(blob)
+    (ifd_off,) = struct.unpack("<I", bytes(b[4:8]))
+    (n,) = struct.unpack("<H", bytes(b[ifd_off : ifd_off + 2]))
+    for k in range(n):
+        base = ifd_off + 2 + 12 * k
+        tag = struct.unpack("<H", bytes(b[base : base + 2]))[0]
+        if tag == victim_tag:
+            b[base : base + 12] = (
+                struct.pack("<HHI", new_tag, new_type, new_count)
+                + new_value.ljust(4, b"\x00")
+            )
+            return bytes(b)
+    raise AssertionError(f"tag {victim_tag} not found")
+
+
+def test_tiff_rejects_planar_configuration():
+    import struct
+
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators.multimodal import (
+        decode_tiff,
+        encode_tiff,
+    )
+
+    blob = encode_tiff(4, 4, bytes(range(16)), 1, rows_per_strip=4)
+    # replace RowsPerStrip (278, defaulting to height is harmless for
+    # this single-strip file) with PlanarConfiguration=2
+    bad = _tiff_overwrite_entry(blob, 278, 284, 3, 1, struct.pack("<H", 2))
+    with pytest.raises(NotImplementedError, match="PlanarConfiguration"):
+        decode_tiff(bad)
+
+
+def test_tiff_rejects_nontrivial_orientation():
+    import struct
+
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators.multimodal import (
+        decode_tiff,
+        encode_tiff,
+    )
+
+    blob = encode_tiff(4, 4, bytes(range(16)), 1, rows_per_strip=4)
+    bad = _tiff_overwrite_entry(blob, 278, 274, 3, 1, struct.pack("<H", 6))
+    with pytest.raises(NotImplementedError, match="Orientation"):
+        decode_tiff(bad)
+
+
+def test_tiff_skips_rational_and_ascii_metadata_tags():
+    """A RATIONAL XResolution (type 5) or ASCII Software (type 2)
+    entry must be skipped, not crash the IFD walk (real-world files
+    carry these routinely)."""
+    import struct
+
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators.multimodal import (
+        decode_tiff,
+        encode_tiff,
+    )
+
+    px = bytes(range(16))
+    blob = encode_tiff(4, 4, px, 1, rows_per_strip=4)
+    # XResolution: RATIONAL, offset points at arbitrary in-file bytes
+    tampered = _tiff_overwrite_entry(
+        blob, 278, 282, 5, 1, struct.pack("<I", 8)
+    )
+    out = decode_tiff(tampered, want_pixels=True)
+    assert out["pixels"] == px
+    # ASCII Software tag, inline value
+    tampered = _tiff_overwrite_entry(blob, 278, 305, 2, 3, b"ab\x00")
+    out = decode_tiff(tampered, want_pixels=True)
+    assert out["pixels"] == px
+
+
+def test_tiff_encoder_word_alignment():
+    """TIFF 6.0: value arrays and the IFD must start on even offsets
+    even when strip byte counts are odd (3-wide gray rows, PackBits
+    outputs of odd length)."""
+    import struct
+
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators.multimodal import (
+        decode_tiff,
+        encode_tiff,
+    )
+
+    for packbits in (False, True):
+        px = bytes((5 * i) % 256 for i in range(3 * 5))  # 3x5 gray
+        blob = encode_tiff(3, 5, px, 1, packbits=packbits,
+                           rows_per_strip=1)
+        (ifd_off,) = struct.unpack("<I", blob[4:8])
+        assert ifd_off % 2 == 0
+        (n,) = struct.unpack("<H", blob[ifd_off : ifd_off + 2])
+        for k in range(n):
+            base = ifd_off + 2 + 12 * k
+            tag, typ, count = struct.unpack(
+                "<HHI", blob[base : base + 8]
+            )
+            size = {3: 2, 4: 4}[typ] * count
+            if size > 4:  # out-of-line array: offset must be even
+                (off,) = struct.unpack("<I", blob[base + 8 : base + 12])
+                assert off % 2 == 0, f"tag {tag} at odd offset {off}"
+        assert decode_tiff(blob, want_pixels=True)["pixels"] == px
+
+
+def test_adpcm_rejects_stereo():
+    """A stereo format-0x11 WAV interleaves per-channel block headers
+    — decoding it with the mono state machine would produce garbage,
+    so the channel guard must fire."""
+    import struct
+
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav_adpcm,
+    )
+
+    blob = bytearray(encode_wav_adpcm(8000, 100, 5, [1, 2, 3, 4]))
+    # fmt chunk data starts at byte 20; nChannels is its 2nd field
+    blob[22:24] = struct.pack("<H", 2)
+    with pytest.raises(NotImplementedError, match="multi-channel"):
+        decode_wav(bytes(blob))
+
+
+def test_tga_rejects_right_to_left_storage():
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators.multimodal import (
+        decode_tga,
+        encode_tga,
+    )
+
+    blob = bytearray(encode_tga(3, 2, bytes(range(18)), 3))
+    blob[17] |= 0x10                   # descriptor bit 4
+    with pytest.raises(NotImplementedError, match="right-to-left"):
+        decode_tga(bytes(blob))
