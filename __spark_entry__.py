@@ -55,144 +55,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # slice rotates into positions 1-50 so every entry earns a driver
     # row on recent code; rotated-out entries stay covered by the full
     # local mirror (tools/check_oracles.py) and pytest.
-    #
-    # Round-10 window (positions 1-50, live registry 233 entries):
-    #   1-12  = the twelve THIRD-window r10 additions (basket lift,
-    #           RFM, split leakage, ADPCM, TIFF, rolling MAD, TGA,
-    #           Simpson diversity, k-anonymity, churn hazard, k-core,
-    #           image phash — never driver-checked);
-    #   13-30 = the eighteen earlier NEW round-10 queries;
-    #   31    = events_user_ltv_deciles, re-slotted because its code
-    #           changed this round (distributed-rank rewrite);
-    #   32-34 = the three r05-vintage entries that slipped the r9
-    #           sample (q8_market_share, q15_top_supplier,
-    #           text_decontaminate) — the r9 verdict's explicit ask;
-    #   35-50 = the oldest r06-vintage entries in age order (the
-    #           next twelve — type_promotion_scan ..
-    #           agg_grouping_sets — were displaced into the tail head
-    #           as late-r10 additions landed at the front; they lead
-    #           the r11 window).
-    # After this round no entry's most recent driver row is older
-    # than r07 except the 22 r06-vintage tail leads, which head the
-    # r11 window.
-    #
-    # r11 window plan (execute at round-11 start, AFTER re-counting
-    # against CORRECTNESS_r10 and any r10 verdict instructions):
-    #   1-N  = round-11 additions as they land (never checked);
-    #   then = any r10-window entry whose driver row did NOT land
-    #          green in CORRECTNESS_r10 (expected none — all r10
-    #          additions pre-checked locally at sf0.001 AND sf0.01);
-    #   rest = the r06-vintage entries displaced from this window by
-    #          the fourteen third-window insertions (the final 14 of
-    #          the pre-insertion window, q2_min_cost_supplier-era
-    #          block) FIRST, then the remaining r06-vintage tail
-    #          leads (type_promotion_scan ..
-    #          dedup_ngram_jaccard_pairs), then the oldest
-    #          r07-vintage entries (multimodal_decode_png ..) in
-    #          their listed order.
-    # Re-count positions so the window is exactly 50; keep inserting
-    # new queries right after the newest NEW block.
     return {
-        # ======== round-10 driver window (positions 1-50) ========
-        # 1-5: THIRD-window round-10 additions (never driver-checked):
-        # market-basket association mining (A-priori frequent-pair
-        # pass with exact ppm fixed-point lift), the RFM quintile
-        # scorecard on the factored partition-safe distributed ntile,
-        # the train/val near-dup split-leakage audit over the
-        # lossless prefix-filter pairs, IMA ADPCM audio decode (the
-        # compressed-audio seam; oracle = recursive-CTE replay of the
-        # IMA state machine), and baseline TIFF decode (both byte
-        # orders, strips, PackBits)
-        "events_basket_lift": R.events_basket_lift,
-        "events_rfm_segments": R.events_rfm_segments,
-        "dedup_split_leakage": L.dedup_split_leakage,
-        "multimodal_decode_adpcm": L.multimodal_decode_adpcm,
-        "multimodal_decode_tiff": L.multimodal_decode_tiff,
-        # 6-9: more third-window additions: rolling median/MAD
-        # anomaly screen (bounded 7-row frames, exact
-        # average-of-middles median), TGA 2.0 decode (all four
-        # baseline types, both origins, footer dispatch), per-user
-        # Gini-Simpson behavioral diversity in exact ppm integers,
-        # and the k-anonymity quasi-identifier audit
-        "events_rolling_mad_anomaly": R.events_rolling_mad_anomaly,
-        "multimodal_decode_tga": L.multimodal_decode_tga,
-        "events_user_diversity": R.events_user_diversity,
-        "events_kanonymity": R.events_kanonymity,
-        # 10-11: the discrete churn-hazard life table (exact ppm
-        # hazard over the bounded lifetime histogram) and
-        # bounded-round k-core peeling of the near-dup graph
-        # (oracle unrolls the identical rounds)
-        "events_churn_hazard": R.events_churn_hazard,
-        "graph_kcore_dedup": L.graph_kcore_dedup,
-        # 12: perceptual-hash image dedup — aHash bands + lossless
-        # banded Hamming pairs (the image twin of the prefix filter)
-        "dedup_image_phash_pairs": L.dedup_image_phash_pairs,
-        # 13-14: the phash pair graph closed to IMAGE dup groups by
-        # the same min-label components operator (cross-modality
-        # chain proof), and segmental type-token ratio (exact ppm
-        # lexical diversity; planted low-TTR tail segments)
-        "dedup_image_phash_components": L.dedup_image_phash_components,
-        "text_segment_ttr": L.text_segment_ttr,
-        # 6-17: NEWEST in round 10's second window: per-node
-        # triangle participation over the near-dup graph, the
-        # hashing-trick featurizer, the LSH-banding recall audit
-        # against lossless prefix-filter ground truth, the QOI codec
-        # (all six op families), the WebDataset tar-shard round
-        # trip, the embedding Gram matrix (PCA sufficient
-        # statistic), Markov event transitions, the MinHash
-        # estimator-calibration view, per-source TV drift, the
-        # streaming trending top-k, the PNG->QOI transcode stage, and
-        # greedy token-budget curation
-        "graph_triangle_count": L.graph_triangle_count,
-        "text_feature_hashing": L.text_feature_hashing,
-        "dedup_lsh_recall": L.dedup_lsh_recall,
-        "multimodal_decode_qoi": L.multimodal_decode_qoi,
-        "multimodal_transcode_qoi": L.multimodal_transcode_qoi,
-        "source_webdataset_roundtrip": L.source_webdataset_roundtrip,
-        "embedding_gram_matrix": L.embedding_gram_matrix,
-        "events_markov_transitions": R.events_markov_transitions,
-        "dedup_minhash_estimator_error": L.dedup_minhash_estimator_error,
-        "text_source_divergence": L.text_source_divergence,
-        "streaming_topk_trending": L.streaming_topk_trending,
-        "corpus_token_budget": L.corpus_token_budget,
-        # NEW in round 10, second window (never driver-checked): unified
-        # cross+self ExactSubstr removal, winnowing pairs closed to
-        # components, interlaced/local-table GIF decode, AllPairs/
-        # PPJoin prefix-filter exact-Jaccard pairs, retrieval
-        # hard-negative mining, and the apply step producing the
-        # deduplicated text itself
-        "dedup_exact_substr_self": L.dedup_exact_substr_self,
-        "dedup_exact_substr_apply": L.dedup_exact_substr_apply,
-        "dedup_winnowing_components": L.dedup_winnowing_components,
-        "multimodal_decode_gif_interlaced": L.multimodal_decode_gif_interlaced,
-        "dedup_prefix_filter_pairs": L.dedup_prefix_filter_pairs,
-        "retrieval_hard_negatives": L.retrieval_hard_negatives,
-        # re-slotted — its r10 distributed-rank rewrite (the r9
-        # verdict's partition-safety fix) needs a fresh driver row on
-        # the NEW code
-        "events_user_ltv_deciles": R.events_user_ltv_deciles,
-        # the three r05-vintage entries that slipped the ~50-row
-        # r9 sample (first in line per the r9 plan and verdict)
-        "q8_market_share": R.q8_market_share,
-        "q15_top_supplier": R.q15_top_supplier,
-        "text_decontaminate": L.text_decontaminate,
-        # window tail: the oldest r06-vintage entries in age order —
-        # after this round only 10 r06-vintage rows remain (they lead
-        # the r11 window)
-        "q2_min_cost_supplier": R.q2_min_cost_supplier,
-        "q9_product_type_profit": R.q9_product_type_profit,
-        "q11_important_part_value": R.q11_important_part_value,
-        "q16_parts_supplier_counts": R.q16_parts_supplier_counts,
-        "q20_promotable_suppliers": R.q20_promotable_suppliers,
-        "text_pii_scrub": L.text_pii_scrub,
-        "text_paragraph_dedup": L.text_paragraph_dedup,
-        "text_token_rarity": L.text_token_rarity,
-        "dedup_containment_pairs": L.dedup_containment_pairs,
-        "dedup_incremental_probe": L.dedup_incremental_probe,
-        "corpus_data_card": L.corpus_data_card,
-        "streaming_static_enrich": L.streaming_static_enrich,
-        "multimodal_decode_audio": L.multimodal_decode_audio,
-        "multimodal_decode_video": L.multimodal_decode_video,
+        # ======== round-11 driver window (positions 1-50) ========
+        # Goal (r10 verdict item 1): retire the 36-entry r06-vintage
+        # driver-row debt — after this round no entry's most recent
+        # driver row is older than r07, and the r12 window finishes
+        # the backlog with the remaining r07-vintage entries.
+        #   1     = the round-11 addition (never driver-checked):
+        #           incremental IVF index maintenance — new-batch
+        #           assignment to stale centroids + drift audit;
+        #   2-15  = the 14 entries displaced past position 50 by the
+        #           r10 third-window insertions (last driver row r06:
+        #           sketch_theta_set_ops .. ann_pq_topk);
+        #   16-37 = the 22 remaining r06-vintage tail leads
+        #           (type_promotion_scan .. dedup_ngram_jaccard_pairs);
+        #   38-50 = the 13 oldest r07-vintage entries
+        #           (multimodal_decode_png .. decontaminate_semantic).
+        #
+        # r12 window plan (execute at round-12 start, AFTER
+        # re-counting against CORRECTNESS_r11 and the r11 verdict):
+        #   1-N  = round-12 additions as they land;
+        #   then = any r11-window entry that did NOT land green in
+        #          CORRECTNESS_r11 (expected none);
+        #   rest = the remaining r07-vintage entries in tail order
+        #          (multimodal_audio_features ..
+        #          join_broadcast_brand_stats — 37 of them), then the
+        #          oldest r08-vintage (metadata_agg_mor_count ..).
+        # Re-count positions so the window is exactly 50; keep
+        # inserting new queries right after the newest NEW block.
+        "ann_incremental_ivf_append": L.ann_incremental_ivf_append,
         "sketch_theta_set_ops": L.sketch_theta_set_ops,
         "sketch_kll_rollup_quantiles": L.sketch_kll_rollup_quantiles,
         "sql_branch_wap": L.sql_branch_wap,
@@ -207,20 +98,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_vocab_merges": L.bpe_vocab_merges,
         "scd2_temporal_enrich": L.scd2_temporal_enrich,
         "ann_pq_topk": L.ann_pq_topk,
-        # ============ tail (51+) ============
-        # refresh-age order so future rotations read off the front:
-        # the 22 remaining r06-vintage entries (next in line for r11
-        # — type_promotion_scan, cdc_changelog_diff,
-        # mor_update_positions, incremental_join_view,
-        # text_repeated_spans, range_join_event_windows,
-        # table_quality_checks, sketch_cms_frequencies,
-        # text_quality_percentile_cut, window_rank_functions,
-        # text_boilerplate_ngrams, and agg_grouping_sets lead,
-        # displaced from the window as the late-r10 additions landed
-        # at the front), then
-        # the 50 r07-vintage, the 50 r08-vintage, and the 49
-        # r09-refreshed entries (freshest) last.
-        # -- last driver-green r06 (r11 window leads) --
         "type_promotion_scan": L.type_promotion_scan,
         "cdc_changelog_diff": L.cdc_changelog_diff,
         "mor_update_positions": L.mor_update_positions,
@@ -243,7 +120,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_groups": L.dedup_exact_groups,
         "dedup_normalized_groups": L.dedup_normalized_groups,
         "dedup_ngram_jaccard_pairs": L.dedup_ngram_jaccard_pairs,
-        # -- last driver-green r07 --
         "multimodal_decode_png": L.multimodal_decode_png,
         "text_ngram_lm_score": L.text_ngram_lm_score,
         "ann_ivfpq_topk": L.ann_ivfpq_topk,
@@ -257,6 +133,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfsq_topk": L.ann_ivfsq_topk,
         "curation_ccnet_buckets": L.curation_ccnet_buckets,
         "decontaminate_semantic": L.decontaminate_semantic,
+        # ============ tail (51+) ============
+        # refresh-age order so future rotations read off the front:
+        # the 37 remaining r07-vintage entries lead (next in line for
+        # r12 — multimodal_audio_features .. join_broadcast_brand_stats),
+        # then the r08-vintage block, the r09-refreshed block, and the
+        # 50 entries driver-checked in r10 (freshest) last.
         "multimodal_audio_features": L.multimodal_audio_features,
         "multimodal_video_motion": L.multimodal_video_motion,
         "sample_epoch_shuffle": L.sample_epoch_shuffle,
@@ -294,7 +176,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_semi_big_spenders": R.join_semi_big_spenders,
         "join_anti_never_ordered": R.join_anti_never_ordered,
         "join_broadcast_brand_stats": R.join_broadcast_brand_stats,
-        # -- last driver-green r08 --
         "metadata_agg_mor_count": L.metadata_agg_mor_count,
         "multimodal_decode_png_palette": L.multimodal_decode_png_palette,
         "text_sparse_retrieval_topk": L.text_sparse_retrieval_topk,
@@ -345,7 +226,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_counts": L.text_token_counts,
         "text_fingerprint": L.text_fingerprint,
         "multimodal_meta": L.multimodal_meta,
-        # -- last driver-green r09 --
         "dedup_exact_substr_pairs": L.dedup_exact_substr_pairs,
         "multimodal_decode_png_interlaced": L.multimodal_decode_png_interlaced,
         "text_winnowing_fingerprints": L.text_winnowing_fingerprints,
@@ -395,6 +275,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_disjunctive_predicates": R.q19_disjunctive_predicates,
         "q21_waiting_supplier": R.q21_waiting_supplier,
         "q22_dormant_customers": R.q22_dormant_customers,
+        "events_basket_lift": R.events_basket_lift,
+        "events_rfm_segments": R.events_rfm_segments,
+        "dedup_split_leakage": L.dedup_split_leakage,
+        "multimodal_decode_adpcm": L.multimodal_decode_adpcm,
+        "multimodal_decode_tiff": L.multimodal_decode_tiff,
+        "events_rolling_mad_anomaly": R.events_rolling_mad_anomaly,
+        "multimodal_decode_tga": L.multimodal_decode_tga,
+        "events_user_diversity": R.events_user_diversity,
+        "events_kanonymity": R.events_kanonymity,
+        "events_churn_hazard": R.events_churn_hazard,
+        "graph_kcore_dedup": L.graph_kcore_dedup,
+        "dedup_image_phash_pairs": L.dedup_image_phash_pairs,
+        "dedup_image_phash_components": L.dedup_image_phash_components,
+        "text_segment_ttr": L.text_segment_ttr,
+        "graph_triangle_count": L.graph_triangle_count,
+        "text_feature_hashing": L.text_feature_hashing,
+        "dedup_lsh_recall": L.dedup_lsh_recall,
+        "multimodal_decode_qoi": L.multimodal_decode_qoi,
+        "multimodal_transcode_qoi": L.multimodal_transcode_qoi,
+        "source_webdataset_roundtrip": L.source_webdataset_roundtrip,
+        "embedding_gram_matrix": L.embedding_gram_matrix,
+        "events_markov_transitions": R.events_markov_transitions,
+        "dedup_minhash_estimator_error": L.dedup_minhash_estimator_error,
+        "text_source_divergence": L.text_source_divergence,
+        "streaming_topk_trending": L.streaming_topk_trending,
+        "corpus_token_budget": L.corpus_token_budget,
+        "dedup_exact_substr_self": L.dedup_exact_substr_self,
+        "dedup_exact_substr_apply": L.dedup_exact_substr_apply,
+        "dedup_winnowing_components": L.dedup_winnowing_components,
+        "multimodal_decode_gif_interlaced": L.multimodal_decode_gif_interlaced,
+        "dedup_prefix_filter_pairs": L.dedup_prefix_filter_pairs,
+        "retrieval_hard_negatives": L.retrieval_hard_negatives,
+        "events_user_ltv_deciles": R.events_user_ltv_deciles,
+        "q8_market_share": R.q8_market_share,
+        "q15_top_supplier": R.q15_top_supplier,
+        "text_decontaminate": L.text_decontaminate,
+        "q2_min_cost_supplier": R.q2_min_cost_supplier,
+        "q9_product_type_profit": R.q9_product_type_profit,
+        "q11_important_part_value": R.q11_important_part_value,
+        "q16_parts_supplier_counts": R.q16_parts_supplier_counts,
+        "q20_promotable_suppliers": R.q20_promotable_suppliers,
+        "text_pii_scrub": L.text_pii_scrub,
+        "text_paragraph_dedup": L.text_paragraph_dedup,
+        "text_token_rarity": L.text_token_rarity,
+        "dedup_containment_pairs": L.dedup_containment_pairs,
+        "dedup_incremental_probe": L.dedup_incremental_probe,
+        "corpus_data_card": L.corpus_data_card,
+        "streaming_static_enrich": L.streaming_static_enrich,
+        "multimodal_decode_audio": L.multimodal_decode_audio,
+        "multimodal_decode_video": L.multimodal_decode_video,
     }
 
 
@@ -1158,6 +1088,82 @@ def _ann_ivf_oracle(k: int = 5, n_centroids: int = 16, nprobe: int = 4) -> str:
                ORDER BY cos_sim DESC, neighbor_id ASC) AS INTEGER) AS rnk
       FROM scored)
     WHERE rnk <= {k}
+    """
+
+
+def _ivf_train_ctes(corpus: str, sfx: str, n_centroids: int = 16) -> str:
+    """CTE fragment training IVF centroids over ``corpus`` (mirrors
+    similarity.ivf_centroids exactly: rank-spaced seeds, one Lloyd
+    step with round(avg,6)-quantized means); emits ``cents{sfx}``."""
+    assign = f"""
+      SELECT vec_id, embedding, centroid_id FROM (
+        SELECT r.vec_id, r.embedding, c.centroid_id,
+               row_number() OVER (PARTITION BY r.vec_id
+                 ORDER BY round(list_cosine_similarity(
+                            CAST(r.embedding AS DOUBLE[]), c.cv), 6) DESC,
+                          c.centroid_id ASC) AS rn
+        FROM {corpus} r CROSS JOIN seeds{sfx} c)
+      WHERE rn = 1
+    """
+    return f"""
+    params{sfx} AS (
+      SELECT greatest(1, count(*) // {n_centroids}) AS step FROM {corpus}),
+    seeds{sfx} AS (
+      SELECT CAST(rk - 1 AS INTEGER) AS centroid_id, cv FROM (
+        SELECT CAST(embedding AS DOUBLE[]) AS cv,
+               row_number() OVER (ORDER BY vec_id) AS rk
+        FROM {corpus}, params{sfx} WHERE vec_id % step = 0)
+      WHERE rk <= {n_centroids}
+    ),
+    assign0{sfx} AS ({assign}),
+    cells{sfx} AS (
+      SELECT a.centroid_id, CAST(t.range AS INTEGER) AS d,
+             CAST(a.embedding AS DOUBLE[])[t.range] AS x
+      FROM assign0{sfx} a CROSS JOIN range(1, 65) t
+    ),
+    cents{sfx} AS (
+      SELECT centroid_id, list(m ORDER BY d) AS cv FROM (
+        SELECT centroid_id, d, round(avg(x), 6) AS m
+        FROM cells{sfx} GROUP BY centroid_id, d)
+      GROUP BY centroid_id
+    )"""
+
+
+def _ivf_incremental_oracle(n_centroids: int = 16) -> str:
+    """Exact oracle for similarity.ivf_incremental_assign: batch =
+    vec_id%8==5, stale centroids trained on the history (the rest),
+    fresh centroids on the full corpus, nearest-centroid pick with
+    the round-6/centroid-id tie-break on both codebooks."""
+
+    def pick(cents: str) -> str:
+        return f"""
+      SELECT vec_id, centroid_id, cent_sim FROM (
+        SELECT b.vec_id, c.centroid_id,
+               round(list_cosine_similarity(
+                 CAST(b.embedding AS DOUBLE[]), c.cv), 6) AS cent_sim,
+               row_number() OVER (PARTITION BY b.vec_id
+                 ORDER BY round(list_cosine_similarity(
+                            CAST(b.embedding AS DOUBLE[]), c.cv), 6) DESC,
+                          c.centroid_id ASC) AS rn
+        FROM batch b CROSS JOIN {cents} c)
+      WHERE rn = 1
+    """
+
+    return f"""
+    WITH hist AS MATERIALIZED (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id % 8 != 5),
+    batch AS MATERIALIZED (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id % 8 = 5),
+    {_ivf_train_ctes('hist', '_h', n_centroids)},
+    {_ivf_train_ctes('embeddings', '_f', n_centroids)},
+    a_stale AS ({pick('cents_h')}),
+    a_fresh AS ({pick('cents_f')})
+    SELECT s.vec_id, s.centroid_id AS stale_centroid,
+           s.cent_sim AS stale_sim,
+           f.centroid_id AS fresh_centroid,
+           CAST(CASE WHEN s.centroid_id != f.centroid_id
+                THEN 1 ELSE 0 END AS INTEGER) AS drifted
+    FROM a_stale s JOIN a_fresh f USING (vec_id)
     """
 
 
@@ -5298,6 +5304,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding_lsh_pairs": _embedding_lsh_pairs_oracle(),
         "ann_lsh_topk": _ann_lsh_oracle(),
         "ann_ivf_topk": _ann_ivf_oracle(),
+        "ann_incremental_ivf_append": _ivf_incremental_oracle(),
         "dedup_semantic": _semantic_dedup_oracle(),
         "position_delete_mor": """
             SELECT o_orderstatus,

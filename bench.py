@@ -260,6 +260,9 @@ HEADLINE = {
     "dedup_image_phash_pairs": L.dedup_image_phash_pairs,
     "dedup_image_phash_components": L.dedup_image_phash_components,
     "text_segment_ttr": L.text_segment_ttr,
+    # round-11 addition: incremental IVF index maintenance (new-batch
+    # assignment to stale centroids + full-corpus drift audit)
+    "ann_incremental_ivf_append": L.ann_incremental_ivf_append,
 }
 
 # Registry entries deliberately NOT benched, each with its reason (the

@@ -221,6 +221,22 @@ def ann_recall_at_k(spark, sf_dir, k: int = 5):
     return out
 
 
+def ann_incremental_ivf_append(spark, sf_dir):
+    """Incremental ANN index maintenance
+    (similarity.ivf_incremental_assign): vectors with vec_id%8==5
+    arrive as the NEW batch; the rest is the already-indexed history.
+    The batch is assigned to the stale history-trained IVF centroids
+    (one broadcast pass over just the batch — the O(new-data) append
+    path), and the staleness audit retrains on the full corpus and
+    flags drifted assignments. Fully deterministic (rank-spaced
+    seeds, round-6 quantized Lloyd means/cosines), so the DuckDB
+    oracle replays both trainings exactly."""
+    emb = load(spark, sf_dir, "embeddings")
+    history = emb.filter(F.col("vec_id") % 8 != 5)
+    batch = emb.filter(F.col("vec_id") % 8 == 5)
+    return S.ivf_incremental_assign(history, batch, n_centroids=16, dim=64)
+
+
 def medallion_gold_mart(spark, sf_dir):
     """Full medallion through the real machinery: events -> silver
     (partitioned lakehouse table, one CDC merge) -> gold mart with

@@ -399,6 +399,71 @@ def cosine_topk_ivf(
     )
 
 
+def ivf_incremental_assign(
+    history: DataFrame,
+    batch: DataFrame,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+) -> DataFrame:
+    """Incremental IVF index maintenance: assign ONLY a new batch's
+    vectors to the EXISTING (history-trained) centroids, plus a
+    staleness audit — the ANN analogue of the running pipeline's
+    new-vs-history near-dup probe (dedup.incremental_dedup_probe).
+
+    The append path is the cheap one: 16 stale centroids broadcast,
+    one pass over just the new batch (``ivf_assign`` unchanged) — at
+    100 TB the history centroids are a saved k-row artifact and the
+    per-micro-batch cost is O(batch), never a corpus rescan. The
+    staleness audit retrains on history+batch (the full-corpus Lloyd
+    chain the oracle replays) and flags each batch vector whose
+    nearest-centroid id DRIFTED between stale and refreshed
+    codebooks; its mean is the re-train trigger a maintenance job
+    watches. Both trainings use rank-spaced seeding, so centroid ids
+    correspond positionally across the two codebooks — drift measures
+    assignment movement under the same seeding rule, not arbitrary id
+    relabeling. Everything is round-6 quantized (ivf_centroids /
+    ivf_assign), so the audit is deterministic and oracle-paired.
+
+    Returns one row per batch vector:
+    ``(vec_id, stale_centroid, stale_sim, fresh_centroid, drifted)``.
+    """
+    stale_cents = ivf_centroids(
+        history, n_centroids, vec_col=vec_col, id_col=id_col, dim=dim
+    )
+    fresh_cents = ivf_centroids(
+        history.unionByName(batch), n_centroids,
+        vec_col=vec_col, id_col=id_col, dim=dim,
+    )
+    a_stale = ivf_assign(batch, stale_cents, vec_col, id_col, dim)
+    cn = _norm_col(stale_cents, "cv", "_cnrm", dim)
+    stale = (
+        a_stale.join(F.broadcast(cn), "centroid_id")
+        .withColumn(
+            "stale_sim",
+            F.round(_cos_join("embedding", "cv", "nrm", "_cnrm", dim), 6),
+        )
+        .select(
+            "vec_id",
+            F.col("centroid_id").alias("stale_centroid"),
+            "stale_sim",
+        )
+    )
+    a_fresh = ivf_assign(batch, fresh_cents, vec_col, id_col, dim).select(
+        "vec_id", F.col("centroid_id").alias("fresh_centroid")
+    )
+    return stale.join(a_fresh, "vec_id").select(
+        "vec_id",
+        "stale_centroid",
+        "stale_sim",
+        "fresh_centroid",
+        (F.col("stale_centroid") != F.col("fresh_centroid"))
+        .cast("int")
+        .alias("drifted"),
+    )
+
+
 def cosine_topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,

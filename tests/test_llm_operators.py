@@ -3590,3 +3590,40 @@ def test_tga_rejects_right_to_left_storage():
     blob[17] |= 0x10                   # descriptor bit 4
     with pytest.raises(NotImplementedError, match="right-to-left"):
         decode_tga(bytes(blob))
+
+
+# ---------------------------------------------------------------------------
+# r11: incremental IVF index maintenance
+# ---------------------------------------------------------------------------
+
+def test_ivf_incremental_assign_planted_clusters(spark):
+    """Two well-separated clusters; history covers both, the new
+    batch lands in cluster A. The stale (history-trained) assignment
+    must put batch vectors with A's members, the fresh retrain must
+    agree (drifted=0), and stale_sim must be near 1."""
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators import (
+        similarity as S,
+    )
+
+    def vec(axis, wiggle):
+        v = [0.0] * 64
+        v[axis] = 1.0
+        v[(axis + 2) % 64] = wiggle
+        return v
+
+    hist_rows = [(i, vec(0, 0.01 * (i % 3))) for i in range(10)] + [
+        (10 + i, vec(1, 0.01 * (i % 3))) for i in range(10)
+    ]
+    batch_rows = [(100, vec(0, 0.02)), (101, vec(0, 0.0))]
+    schema = "vec_id long, embedding array<double>"
+    history = spark.createDataFrame(hist_rows, schema)
+    batch = spark.createDataFrame(batch_rows, schema)
+    out = S.ivf_incremental_assign(history, batch, n_centroids=2, dim=64)
+    rows = {r["vec_id"]: r for r in out.collect()}
+    assert set(rows) == {100, 101}
+    for r in rows.values():
+        assert r["drifted"] == 0
+        assert r["stale_centroid"] == r["fresh_centroid"]
+        assert r["stale_sim"] > 0.95
+    # both batch vectors are cluster-A-like: same centroid
+    assert rows[100]["stale_centroid"] == rows[101]["stale_centroid"]

@@ -440,6 +440,11 @@ def test_brute_baselines_are_the_only_all_pairs_plans(spark, sf_dir):
         "ann_ivf_topk",
         "curation_end_to_end",
         "ann_recall_at_k",
+        # incremental IVF maintenance: the same ivf_centroids seeding
+        # scalar + n_centroids-row codebook broadcasts as ann_ivf_topk
+        # (twice — stale and fresh); the only data-sized joins are the
+        # vec_id equi-joins merging the two assignments
+        "ann_incremental_ivf_append",
         # embeds the ivf_centroids seeding (scalar/centroid-count
         # broadcast crossJoins) like ann_ivf_topk; its candidate
         # generation is the centroid_id equi-join, asserted by
