@@ -347,6 +347,16 @@ QUERY_CONF = {
     "q3_shipping_priority": {"spark.sql.files.maxPartitionBytes": "8m"},
     "q5_region_revenue": {"spark.sql.files.maxPartitionBytes": "8m"},
     "join_broadcast_brand_stats": {"spark.sql.files.maxPartitionBytes": "8m"},
+    # The two heaviest ANN trainings plan ~70-285 TINY exchanges
+    # (codebook/LUT/probe broadcasts, quantized aggregates with
+    # predictable uniform-key sizes). AQE materializes each as its
+    # own job — pure per-job scheduling latency on this shape, with
+    # nothing for AQE to re-plan (no skew, no surprise sizes).
+    # Measured at sf0.1: ann_recall_at_k 100 jobs/21s -> 28 jobs/15s;
+    # ann_ivfpq_residual_topk 73 jobs/12.3s -> 20 jobs/8.3s. The
+    # other ANN queries keep AQE (neutral or better there).
+    "ann_recall_at_k": {"spark.sql.adaptive.enabled": "false"},
+    "ann_ivfpq_residual_topk": {"spark.sql.adaptive.enabled": "false"},
 }
 
 

@@ -185,40 +185,86 @@ def ann_recall_at_k(spark, sf_dir, k: int = 5):
     bucketing/seeding/encoding regression flips it to false and the
     driver hash breaks. The pq/ivfpq configurations mirror their
     registry queries exactly (ivfpq = ann_ivfpq_residual_topk), so
-    their oracles replay the same trainings."""
+    their oracles replay the same trainings.
+
+    The shared upstream — the fanned-out corpus scan, the IVF
+    codebook, and the corpus assignment (identical parametrization
+    in the ivf and ivfpq variants: 16 centroids, nprobe 4) — is
+    trained ONCE and persisted, then injected into both variants
+    (r10 verdict item 3: this folded ~100 Spark jobs into ~60 and
+    cut the bench line proportionally without moving a single
+    output value, since the round-6-quantized training is
+    deterministic under sharing)."""
+    n_centroids = 16
     emb = load(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
-    brute = S.cosine_topk(emb, q, k=k, dim=64).select("query_id", "neighbor_id")
+    nk_hint = emb.count() * n_centroids
+    corpus = S.fan_out(emb)
+    cents = S.ivf_centroids(
+        corpus, n_centroids, nk_hint=nk_hint
+    ).persist()
+    assigned = S.ivf_assign(
+        corpus, cents, dim=64, nk_hint=nk_hint
+    ).persist()
+    # the ~(10*k)-row ground-truth shortlist feeds 4 semi-joins and 4
+    # truth-count aggregates — persist it so the brute scorer runs
+    # once, not once per consumer branch
+    brute = (
+        S.cosine_topk(emb, q, k=k, dim=64)
+        .select("query_id", "neighbor_id")
+        .persist()
+    )
     variants = {
         "lsh": S.cosine_topk_lsh(emb, q, k=k),
-        "ivf": S.cosine_topk_ivf(emb, q, k=k),
+        "ivf": S.cosine_topk_ivf(
+            emb, q, k=k, cents=cents, assigned=assigned
+        ),
         "pq": S.cosine_topk_pq(emb, q, k=k, n_subspaces=8, rerank=100),
         "ivfpq": S.cosine_topk_ivfpq(
-            emb, q, k=k, n_centroids=16, nprobe=4, n_subspaces=8,
-            rerank=50, residual=True,
+            emb, q, k=k, n_centroids=n_centroids, nprobe=4,
+            n_subspaces=8, rerank=50, residual=True,
+            cents=cents, assigned=assigned,
         ),
     }
-    out = None
+    # fold the four recall arms into ONE pass: tag + union the four
+    # (10*k)-row shortlists, one semi-join against the ground truth,
+    # one groupBy(method) — instead of 4x (semi-join + count + truth
+    # crossJoin) branches each re-planning the brute subtree
+    tagged = None
     for method, approx in variants.items():
-        scored = (
-            approx.select("query_id", "neighbor_id")
-            .join(brute, ["query_id", "neighbor_id"], "left_semi")
-            .agg(F.count(F.lit(1)).alias("hits"))
-            .crossJoin(F.broadcast(brute.agg(F.count(F.lit(1)).alias("truth"))))
-            .select(
-                F.lit(method).alias("method"),
-                F.lit(k).cast("int").alias("k"),
-                F.col("hits").cast("long").alias("hits"),
-                F.col("truth").cast("long").alias("truth"),
-                F.round(F.col("hits") / F.col("truth"), 4).alias("recall"),
-                (
-                    F.col("hits")
-                    > F.lit(ANN_RECALL_FLOOR[method]) * F.col("truth")
-                ).alias("meets_floor"),
-            )
+        t = approx.select(
+            F.lit(method).alias("method"), "query_id", "neighbor_id"
         )
-        out = scored if out is None else out.unionByName(scored)
-    return out
+        tagged = t if tagged is None else tagged.unionByName(t)
+    hits = (
+        tagged.join(brute, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("method")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    truth = brute.agg(F.count(F.lit(1)).alias("truth"))
+    floors = spark.createDataFrame(
+        sorted(ANN_RECALL_FLOOR.items()), "method string, floor double"
+    )
+    # left join from the 4-row floors frame so a zero-hit method still
+    # emits its row (hits=0), exactly like the per-branch aggregates
+    return (
+        F.broadcast(floors)
+        .join(hits, "method", "left")
+        .crossJoin(F.broadcast(truth))
+        .select(
+            "method",
+            F.lit(k).cast("int").alias("k"),
+            F.coalesce(F.col("hits"), F.lit(0)).cast("long").alias("hits"),
+            F.col("truth").cast("long").alias("truth"),
+            F.round(
+                F.coalesce(F.col("hits"), F.lit(0)) / F.col("truth"), 4
+            ).alias("recall"),
+            (
+                F.coalesce(F.col("hits"), F.lit(0))
+                > F.col("floor") * F.col("truth")
+            ).alias("meets_floor"),
+        )
+    )
 
 
 def ann_incremental_ivf_append(spark, sf_dir):

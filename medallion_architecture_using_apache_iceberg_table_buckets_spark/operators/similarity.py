@@ -345,6 +345,8 @@ def cosine_topk_ivf(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     dim: int | None = 64,
+    cents: DataFrame | None = None,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: search only the `nprobe` inverted lists
     nearest to each query. Complements the hyperplane-LSH variant;
@@ -356,15 +358,23 @@ def cosine_topk_ivf(
     scored set, letting :func:`ivf_assign` skip its rejoin-by-id
     exchange when the set is small. The count runs BEFORE
     ``fan_out`` so a pure parquet scan answers from metadata.
+
+    ``cents``/``assigned`` (pass BOTH) inject a pre-trained,
+    already-persisted codebook + corpus assignment so a caller
+    evaluating several IVF-backed variants (ann_recall_at_k) trains
+    the quantizer once instead of per variant — values are identical
+    because the round-6-quantized training is deterministic.
     """
-    nk_hint = corpus.count() * n_centroids
-    corpus = fan_out(corpus)
-    cents = ivf_centroids(
-        corpus, n_centroids, vec_col, id_col, nk_hint=nk_hint
-    ).persist()
-    lists = ivf_assign(
-        corpus, cents, vec_col, id_col, dim, nk_hint=nk_hint
-    ).persist()
+    if cents is None or assigned is None:
+        nk_hint = corpus.count() * n_centroids
+        corpus = fan_out(corpus)
+        cents = ivf_centroids(
+            corpus, n_centroids, vec_col, id_col, nk_hint=nk_hint
+        ).persist()
+        assigned = ivf_assign(
+            corpus, cents, vec_col, id_col, dim, nk_hint=nk_hint
+        ).persist()
+    lists = assigned
 
     q = _norm_col(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")),
@@ -1031,6 +1041,8 @@ def cosine_topk_ivfpq(
     vec_col: str = "embedding",
     rerank: int = 0,
     residual: bool = False,
+    cents: DataFrame | None = None,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ: the two compressions composed, the billion-vector
     workhorse (FAISS ``IndexIVFPQ``; Jégou et al. 2011 §V). The IVF
@@ -1065,15 +1077,21 @@ def cosine_topk_ivfpq(
     one corpus-sized shuffle are unchanged. All new terms are
     round-6-quantized decimals summed exactly, keeping the SQL
     oracle bit-for-bit replayable.
+
+    ``cents``/``assigned`` (pass BOTH, pre-persisted) inject a shared
+    coarse quantizer + corpus assignment so multi-variant callers
+    (ann_recall_at_k) train it once — deterministic round-6 training
+    makes the injected values identical to the in-function ones.
     """
-    nk_hint = corpus.count() * n_centroids
-    corpus = fan_out(corpus)
-    cents = ivf_centroids(
-        corpus, n_centroids, vec_col, id_col, nk_hint=nk_hint
-    ).persist()
-    assigned = ivf_assign(
-        corpus, cents, vec_col, id_col, dim, nk_hint=nk_hint
-    )
+    if cents is None or assigned is None:
+        nk_hint = corpus.count() * n_centroids
+        corpus = fan_out(corpus)
+        cents = ivf_centroids(
+            corpus, n_centroids, vec_col, id_col, nk_hint=nk_hint
+        ).persist()
+        assigned = ivf_assign(
+            corpus, cents, vec_col, id_col, dim, nk_hint=nk_hint
+        )
     lists = assigned.select("vec_id", "centroid_id")
     if residual:
         # residual corpus: the assignment already carries the
