@@ -389,6 +389,39 @@ def audited_exclusions() -> dict:
     }
 
 
+def sample_excluded(spark, sf_dir: str) -> dict:
+    """Empirically validate a rotating ~10 of the EXCLUDED_REASONS
+    entries each round (r10 verdict item 5): one timed end-to-end run
+    apiece, so every exclusion class carries measured evidence (a
+    'trivial' entry should cost a fraction of its benched sibling; a
+    'streaming' entry's time is checkpoint setup, not operator work).
+    The rotation chunk defaults to the count of committed BENCH_r
+    records (one per round) so successive rounds sample successive
+    chunks without manual state; override with
+    $SPARK_GRAFT_EXCL_CHUNK."""
+    import glob
+
+    import __spark_entry__ as entrymod
+
+    registry = entrymod.queries()
+    names = sorted(EXCLUDED_REASONS)
+    here = os.path.dirname(os.path.abspath(__file__))
+    default_chunk = len(glob.glob(os.path.join(here, "BENCH_r[0-9][0-9].json")))
+    chunk = int(os.environ.get("SPARK_GRAFT_EXCL_CHUNK", default_chunk))
+    n_chunks = max(1, (len(names) + 9) // 10)
+    start = (chunk % n_chunks) * 10
+    out = {}
+    for name in names[start : start + 10]:
+        cls, sib = EXCLUDED_REASONS[name]
+        t0 = time.perf_counter()
+        force(registry[name](spark, sf_dir))
+        out[name] = {
+            "sec": round(time.perf_counter() - t0, 3),
+            "class": f"{cls}:{sib}" if sib else cls,
+        }
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -484,6 +517,8 @@ def main() -> None:
     # record so the headline scalars sit at the tail-survivable end, and
     # (b) a compact summary record is printed LAST so at least one fully
     # parseable JSON line always survives any front-truncation.
+    excluded_sampled = sample_excluded(spark, sf_dir)
+
     full = {
         "metric": "headline_queries_total",
         "unit": "sec",
@@ -493,18 +528,27 @@ def main() -> None:
         "queries": times,
         "query_spread": spreads,
         "query_n_jobs": n_jobs,
+        "excluded_sampled": excluded_sampled,
         "value_r01_subset": r01_subset,
         "spread": spread,
         "sched_probe_ms": sched_probe_ms,
         "value": total,
     }
     print(json.dumps(full))
+    # the compact record prints LAST so it survives any
+    # front-truncation of the driver's tail capture — it carries the
+    # r01-anchored per-query seconds (r10 verdict item 6) so
+    # cross-round per-query comparisons never depend on the big
+    # first line surviving
     compact = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "sf": sf,
         "value_r01_subset": r01_subset,
+        "queries_r01_subset": {
+            q: times[q] for q in R01_SUBSET if q in times
+        },
         "spread": spread,
         "sched_probe_ms": sched_probe_ms,
         "n_queries": len(times),

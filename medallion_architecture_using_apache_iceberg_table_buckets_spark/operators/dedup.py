@@ -1202,18 +1202,32 @@ def minhash_lsh_probe(
 def _auto_centroids(df: DataFrame, target_cluster: int = 64,
                     lo: int = 16, hi: int = 65536,
                     n_rows: int | None = None) -> int:
-    """Size the IVF cluster count so the expected CLUSTER SIZE stays
-    ~constant as the corpus grows. Intra-cluster pairing is quadratic
-    in cluster size, so a FIXED k goes quadratic overall: the round-5
-    10x step-up bench measured 25x runtime for pinned k=16. With
-    k = n / target the per-cluster work is bounded and total cost is
-    ~n * target / 2 — linear. Same planning-side count (parquet
-    footer metadata / one count job) as ``_auto_planes``; callers
-    that already counted pass ``n_rows`` to avoid a second job."""
+    """Size the IVF cluster count to BALANCE the two cost terms that
+    bracket every cluster-scoped algorithm:
+
+    - assignment: n * k vector comparisons (the broadcast-centroid
+      argmax pass — every vector scores every centroid);
+    - intra-cluster pairing: ~n * (n/k) / 2 comparisons (cluster
+      size n/k, quadratic within the cluster).
+
+    A FIXED k sends the pair term quadratic (the round-5 10x
+    step-up measured 25x for pinned k=16); the earlier
+    cluster-size-64 rule (k = n/64) fixed that but sent the
+    ASSIGNMENT term quadratic instead — invisible at 10x (n*k =
+    6.8e8 at 208k vectors) but 6.7e10 comparisons at the 100x
+    decade (the r11 chained step-up's find). k = sqrt(n/2) equates
+    the terms at ~n^1.5 apiece — the same balance FAISS's k ~ sqrt(n)
+    training guideline encodes. ``target_cluster`` caps k from above
+    (k never exceeds n/target_cluster, keeping tiny corpora at the
+    lo clamp and mid-size cluster occupancy sane). Same
+    planning-side count (parquet footer metadata / one count job) as
+    ``_auto_planes``; callers that already counted pass ``n_rows``
+    to avoid a second job."""
     import math
 
     n = df.count() if n_rows is None else n_rows
-    return max(lo, min(hi, math.ceil(n / target_cluster)))
+    balanced = math.ceil(math.sqrt(n / 2))
+    return max(lo, min(hi, balanced, math.ceil(n / target_cluster)))
 
 
 def semantic_dedup(
@@ -1240,9 +1254,11 @@ def semantic_dedup(
     by: at 100 TB you raise n_centroids so n/k stays bounded (the
     paper runs 50k clusters), and the per-cluster work parallelizes
     across the cluster key. ``n_centroids=None`` (the default) does
-    that automatically — ``_auto_centroids`` holds the expected
-    cluster size at ~64 members whatever the corpus count, restoring
-    linear total cost; callers needing a reproducible clustering
+    that automatically — ``_auto_centroids`` sizes k ~ sqrt(n/2) so
+    the centroid-assignment pass (n*k) and the intra-cluster pair
+    join (n^2/k) stay BALANCED at ~n^1.5 each as the corpus grows
+    (cluster size then grows as sqrt(2n), which is what keeps the
+    assignment from going quadratic); callers needing a reproducible clustering
     across differently sized corpora (the driver oracle does) pin an
     explicit k. Centroid seeding/refinement is the oracle-proven
     ivf_centroids pipeline (rank-spaced seeds, one distributive Lloyd

@@ -35,6 +35,11 @@ from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators i
 SRC = "/root/testdata/sf0.1"
 DST = os.environ.get("SPARK_GRAFT_SCALE_DIR", "/tmp/mats_sf1")
 COPIES = 10
+# the 100x decade for the chained step-up (r10 verdict item 2):
+# documents + embeddings only — the chain queries are the dedup/ANN/
+# text paths, which never touch the TPC-H tables
+DST100 = os.environ.get("SPARK_GRAFT_SCALE100_DIR", "/tmp/mats_sf10")
+COPIES100 = 100
 
 # The heaviest / most representative headline queries (r4 verdict's
 # plan-audit list + the big TPC-H joins + the new r5 ops).
@@ -236,7 +241,75 @@ QUERIES = {
     # dedup_components row (same operator) + the phash_pairs row
     # (same generator); still step it up to record the bound holds
     "dedup_image_phash_components": L.dedup_image_phash_components,
+    # r11 (verdict item 4): the ENGINE-ONLY unbounded composition —
+    # aHash -> banded Hamming pairs -> bounded-round components over
+    # the WHOLE synth corpus. The registry row keeps its doc_id<1500
+    # bound so the recursive DuckDB closure oracle stays cheap; this
+    # row measures the operator itself.
+    "dedup_image_phash_components_full": lambda spark, sf_dir: (
+        _phash_components_full(spark, sf_dir)
+    ),
+    # r11: auto-sized IVF search twin (the registry row pins k=16 for
+    # oracle determinism; this is the production auto-k path, showing
+    # _auto_centroids re-sizing across the chained decades)
+    "ann_ivf_topk_auto": lambda spark, sf_dir: _ann_ivf_auto(spark, sf_dir),
 }
+
+# r10 verdict item 2: the ~10 most expensive auto-tuned paths get a
+# SECOND decade (sf0.1 -> 10x -> 100x replicas of documents/
+# embeddings) so the scale evidence is a chained factor, not one
+# step. factor100 is sf10/sf0.1; chain_factor is sf10/sf1 (the
+# second decade alone — compare it against the first-decade factor
+# to see whether unit costs hold, rise, or fall).
+CHAIN = {
+    "dedup_minhash_lsh_pairs",
+    "dedup_prefix_filter_pairs",
+    "dedup_components",
+    "dedup_semantic_auto",
+    "dedup_embedding_lsh_pairs_auto",
+    "ann_ivf_topk",
+    "ann_ivf_topk_auto",
+    "ann_ivfpq_residual_topk",
+    "ann_recall_at_k",
+    "text_bm25_topk",
+    "text_sparse_retrieval_topk",
+    "dedup_exact_substr_apply",
+}
+
+
+def _phash_components_full(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators import (
+        dedup as D,
+    )
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators.llm_queries import (
+        _docs,
+    )
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators.multimodal import (
+        ahash_images,
+        synth_images,
+    )
+
+    bands = ahash_images(synth_images(_docs(spark, sf_dir).select("doc_id")))
+    pairs = D.phash_hamming_pairs(bands, max_hamming=3)
+    return D.connected_components(pairs).select(
+        F.col("id").alias("doc_id"), "component_id"
+    )
+
+
+def _ann_ivf_auto(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators import (
+        dedup as D,
+        similarity as S,
+    )
+
+    emb = R.load(spark, sf_dir, "embeddings")
+    k = D._auto_centroids(emb)
+    q = emb.filter(F.col("vec_id") < 10)
+    return S.cosine_topk_ivf(emb, q, k=5, n_centroids=k)
 
 
 def _curation_prefix(spark, sf_dir, stage: int):
@@ -277,13 +350,14 @@ def _curation_prefix(spark, sf_dir, stage: int):
     )
 
 
-def _copies(spark, name: str, shift_cols: dict[str, int], extra=None):
-    """UNION of COPIES key-shifted copies of one sf0.1 table."""
+def _copies(spark, name: str, shift_cols: dict[str, int], extra=None,
+            copies: int = COPIES):
+    """UNION of ``copies`` key-shifted copies of one sf0.1 table."""
     from pyspark.sql import functions as F
 
     base = spark.read.parquet(f"{SRC}/{name}.parquet")
     out = None
-    for i in range(COPIES):
+    for i in range(copies):
         df = base
         for col, domain in shift_cols.items():
             df = df.withColumn(col, F.col(col) + F.lit(i * domain))
@@ -392,6 +466,74 @@ def build_scaled_dir() -> None:
     spark.stop()
 
 
+def build_scaled_dir100() -> None:
+    """100x decade: documents + embeddings only (the chained-step-up
+    queries are the dedup/ANN/text paths). Same perturbation rules as
+    the 10x build, extended to 100 copies:
+
+    - documents: the per-copy marker interleave already parametrizes
+      by copy index, so within-copy duplicate relations are preserved
+      and cross-copy n-grams differ for every i.
+    - embeddings: a 64-dim circular shift only yields 64 distinct
+      rotations, so copies >= 64 ALSO reverse the vector — reversal
+      is a permutation (within-copy cosines preserved exactly) and
+      reverse-rotate vs rotate cross-copy cosines sit at
+      random-vector level, so 100x data carries the same internal
+      duplicate rate instead of antipodal/identical cliques.
+    """
+    from pyspark.sql import functions as F
+
+    if os.path.isdir(DST100) and os.path.exists(f"{DST100}/_DONE"):
+        return
+    shutil.rmtree(DST100, ignore_errors=True)
+    os.makedirs(DST100, exist_ok=True)
+    spark = mats.get_spark(app_name="mats-scale-gen-100")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def doc_extra(df, i):
+        if i == 0:
+            return df
+        marker = F.lit(f"cvar{i}x")
+        toks = F.split(F.col("text"), " ")
+        with_markers = F.zip_with(
+            toks,
+            F.sequence(F.lit(0), F.size(toks) - F.lit(1)),
+            lambda w, idx: F.when(
+                idx % 4 == 3, F.concat_ws(" ", w, marker)
+            ).otherwise(w),
+        )
+        return df.withColumn(
+            "text",
+            F.concat(F.array_join(with_markers, " "),
+                     F.lit(" copyvariant{} doc".format(i)),
+                     F.col("doc_id").cast("string")),
+        )
+
+    def emb_extra(df, i):
+        rot = i % 64
+        if rot:
+            df = df.withColumn(
+                "embedding",
+                F.concat(
+                    F.slice("embedding", rot + 1, 64 - rot),
+                    F.slice("embedding", 1, rot),
+                ),
+            )
+        if i >= 64:
+            df = df.withColumn("embedding", F.reverse("embedding"))
+        return df
+
+    _copies(
+        spark, "documents", {"doc_id": 10**6}, doc_extra, copies=COPIES100
+    ).write.mode("overwrite").parquet(f"{DST100}/documents.parquet")
+    _copies(
+        spark, "embeddings", {"vec_id": 10**6}, emb_extra, copies=COPIES100
+    ).write.mode("overwrite").parquet(f"{DST100}/embeddings.parquet")
+
+    open(f"{DST100}/_DONE", "w").write("ok")
+    spark.stop()
+
+
 def main() -> None:
     build_scaled_dir()
     spark = mats.get_spark(app_name="mats-scale-bench")
@@ -456,6 +598,10 @@ def main() -> None:
         "dedup_image_phash_pairs", "text_segment_ttr",
         "multimodal_decode_adpcm", "multimodal_decode_tiff",
         "multimodal_decode_tga",
+        # r11: unbounded components output = every doc in a phash dup
+        # group — grows with the collision-group structure like the
+        # pairs row it closes over
+        "dedup_image_phash_components_full",
     }
 
     # embedding-LSH cost is governed by the CANDIDATE-join cardinality
@@ -668,8 +814,25 @@ def main() -> None:
                     rec[label] / (cands / 1e6), 3
                 )
         rec["factor"] = round(rec["sf1"] / rec["sf0.1"], 2)
+        if name in CHAIN:
+            # second decade: one timed run (decade evidence, not a
+            # regression baseline — the min-of-2 protocol covers the
+            # first step)
+            build_scaled_dir100()
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            force(fn(spark, DST100))
+            rec["sf10"] = round(time.perf_counter() - t0, 3)
+            rec["factor100"] = round(rec["sf10"] / rec["sf0.1"], 2)
+            rec["chain_factor"] = round(rec["sf10"] / rec["sf1"], 2)
+            if name in OUTPUT_TRACKED:
+                rec["rows_sf10"] = fn(spark, DST100).count()
         if "rows_sf0.1" in rec and rec["rows_sf0.1"]:
             rec["rows_factor"] = round(rec["rows_sf1"] / rec["rows_sf0.1"], 2)
+            if "rows_sf10" in rec:
+                rec["rows_factor100"] = round(
+                    rec["rows_sf10"] / rec["rows_sf0.1"], 2
+                )
         if "cands_sf0.1" in rec:
             rec["cands_factor"] = round(
                 rec["cands_sf1"] / rec["cands_sf0.1"], 2
@@ -684,12 +847,35 @@ def main() -> None:
         if k in NOTES:
             rec["note"] = NOTES[k]
     factors = {k: v["factor"] for k, v in times.items()}
+    # _auto_planes / _auto_centroids re-sizing across the decades —
+    # recorded so the chained factors can be read against the knob
+    # values the auto-tuned paths actually used at each scale
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators import (
+        dedup as D,
+    )
+
+    auto_sizing = {}
+    for label, d in (("sf0.1", SRC), ("sf1", DST), ("sf10", DST100)):
+        if not os.path.exists(f"{d}/_DONE") and d != SRC:
+            continue
+        emb = R.load(spark, d, "embeddings")
+        n = emb.count()
+        auto_sizing[label] = {
+            "n_vectors": n,
+            "auto_planes": D._auto_planes(emb),
+            "auto_centroids": D._auto_centroids(emb, n_rows=n),
+        }
     out = {
         "metric": "scale_stepup_10x",
         "unit": "sec",
         "copies": COPIES,
-        "protocol": "min-of-2 per scale, clearCache between runs",
+        "copies_chain": COPIES100,
+        "protocol": (
+            "min-of-2 per scale, clearCache between runs; "
+            "sf10 (100x docs/embeddings) single-run for CHAIN rows"
+        ),
         "queries": times,
+        "auto_sizing": auto_sizing,
         "worst_factor": max(factors.values()),
         "median_factor": sorted(factors.values())[len(factors) // 2],
     }
