@@ -61,16 +61,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver-row debt — after this round no entry's most recent
         # driver row is older than r07, and the r12 window finishes
         # the backlog with the remaining r07-vintage entries.
-        #   1     = the round-11 addition (never driver-checked):
-        #           incremental IVF index maintenance — new-batch
-        #           assignment to stale centroids + drift audit;
-        #   2-15  = the 14 entries displaced past position 50 by the
+        #   1-2   = the round-11 additions (never driver-checked):
+        #           incremental IVF index maintenance (new-batch
+        #           assignment to stale centroids + drift audit) and
+        #           incremental dup-group components (contract closed
+        #           components to supernodes, close only the batch's
+        #           edge graph; oracle = the full recompute);
+        #   3-16  = the 14 entries displaced past position 50 by the
         #           r10 third-window insertions (last driver row r06:
         #           sketch_theta_set_ops .. ann_pq_topk);
-        #   16-37 = the 22 remaining r06-vintage tail leads
+        #   17-38 = the 22 remaining r06-vintage tail leads
         #           (type_promotion_scan .. dedup_ngram_jaccard_pairs);
-        #   38-50 = the 13 oldest r07-vintage entries
-        #           (multimodal_decode_png .. decontaminate_semantic).
+        #   39-50 = the 12 oldest r07-vintage entries
+        #           (multimodal_decode_png .. curation_ccnet_buckets;
+        #           decontaminate_semantic was displaced to the tail
+        #           head and leads the r12 window).
         #
         # r12 window plan (execute at round-12 start, AFTER
         # re-counting against CORRECTNESS_r11 and the r11 verdict):
@@ -78,12 +83,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   then = any r11-window entry that did NOT land green in
         #          CORRECTNESS_r11 (expected none);
         #   rest = the remaining r07-vintage entries in tail order
-        #          (multimodal_audio_features ..
-        #          join_broadcast_brand_stats — 37 of them), then the
-        #          oldest r08-vintage (metadata_agg_mor_count ..).
+        #          (decontaminate_semantic, multimodal_audio_features
+        #          .. join_broadcast_brand_stats — 38 of them), then
+        #          the oldest r08-vintage (metadata_agg_mor_count ..).
         # Re-count positions so the window is exactly 50; keep
         # inserting new queries right after the newest NEW block.
         "ann_incremental_ivf_append": L.ann_incremental_ivf_append,
+        "dedup_incremental_components": L.dedup_incremental_components,
         "sketch_theta_set_ops": L.sketch_theta_set_ops,
         "sketch_kll_rollup_quantiles": L.sketch_kll_rollup_quantiles,
         "sql_branch_wap": L.sql_branch_wap,
@@ -132,8 +138,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode_jpeg": L.multimodal_decode_jpeg,
         "ann_ivfsq_topk": L.ann_ivfsq_topk,
         "curation_ccnet_buckets": L.curation_ccnet_buckets,
-        "decontaminate_semantic": L.decontaminate_semantic,
         # ============ tail (51+) ============
+        # decontaminate_semantic was displaced from position 50 by
+        # the second r11 addition — it leads the r12 window
+        "decontaminate_semantic": L.decontaminate_semantic,
         # refresh-age order so future rotations read off the front:
         # the 37 remaining r07-vintage entries lead (next in line for
         # r12 — multimodal_audio_features .. join_broadcast_brand_stats),
@@ -7142,6 +7150,66 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sn ON sn.doc_id = i.new_doc
             JOIN sizes sh3 ON sh3.doc_id = i.hist_doc
             WHERE round(inter / (sn.sz + sh3.sz - inter), 4) >= 0.5
+        """,
+        # full-recompute oracle for the INCREMENTAL operator: the
+        # recursive closure over the combined corpus's MinHash pair
+        # graph — a hash match proves contraction-based incremental
+        # maintenance equals closing everything from scratch
+        "dedup_incremental_components": f"""
+            WITH RECURSIVE corpus AS (
+              SELECT doc_id, text FROM documents WHERE doc_id % 4 != 0
+              UNION ALL
+              SELECT doc_id + 300000 AS doc_id,
+                     text || ' extra token tail' AS text
+              FROM documents WHERE doc_id % 4 != 0 AND doc_id < 20
+              UNION ALL
+              SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0
+              UNION ALL
+              SELECT doc_id + 400000 AS doc_id,
+                     text || ' extra token tail' AS text
+              FROM documents WHERE doc_id % 4 != 0 AND doc_id < 30
+            ), {_SHINGLES},
+            seeds AS (SELECT * FROM (VALUES {_MINHASH_SEEDS}) s(j, a, b)),
+            mh AS (
+              SELECT doc_id, j, min((a * sid + b) % 2147483647) AS mh
+              FROM sids CROSS JOIN seeds GROUP BY doc_id, j
+            ),
+            bands AS (
+              SELECT doc_id, j // 3 AS band,
+                     string_agg(CAST(mh AS VARCHAR), '_' ORDER BY j) AS key
+              FROM mh GROUP BY doc_id, j // 3
+            ),
+            cands AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+            ),
+            inter AS (
+              SELECT c.doc_a, c.doc_b, count(*) AS inter
+              FROM cands c
+              JOIN sids sa ON sa.doc_id = c.doc_a
+              JOIN sids sb ON sb.doc_id = c.doc_b AND sb.sid = sa.sid
+              GROUP BY 1, 2
+            ),
+            pairs AS (
+              SELECT i.doc_a, i.doc_b
+              FROM inter i
+              JOIN sizes sa ON sa.doc_id = i.doc_a
+              JOIN sizes sb ON sb.doc_id = i.doc_b
+              WHERE round(inter / (sa.sz + sb.sz - inter), 4) >= 0.5
+            ),
+            edges AS (
+              SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION
+              SELECT doc_b, doc_a FROM pairs
+            ),
+            reach(id, lbl) AS (
+              SELECT DISTINCT src, src FROM edges
+              UNION
+              SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+            )
+            SELECT id AS doc_id, min(lbl) AS component_id
+            FROM reach GROUP BY id
         """,
         "corpus_data_card": f"""
             WITH per AS (

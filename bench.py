@@ -260,9 +260,11 @@ HEADLINE = {
     "dedup_image_phash_pairs": L.dedup_image_phash_pairs,
     "dedup_image_phash_components": L.dedup_image_phash_components,
     "text_segment_ttr": L.text_segment_ttr,
-    # round-11 addition: incremental IVF index maintenance (new-batch
-    # assignment to stale centroids + full-corpus drift audit)
+    # round-11 additions: incremental IVF index maintenance (new-batch
+    # assignment to stale centroids + full-corpus drift audit) and
+    # incremental dup-group components (supernode contraction)
     "ann_incremental_ivf_append": L.ann_incremental_ivf_append,
+    "dedup_incremental_components": L.dedup_incremental_components,
 }
 
 # Registry entries deliberately NOT benched, each with its reason (the

@@ -891,6 +891,83 @@ def connected_components(
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
 
 
+def incremental_components(
+    history_labels: DataFrame,
+    new_pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Update an existing dup-group labeling with a NEW batch's edges
+    WITHOUT re-closing history — the components analogue of
+    :func:`minhash_lsh_probe` (and the third member of the
+    incremental family next to ``ann_incremental_ivf_append``).
+
+    ``history_labels`` is a complete closure ``(id, component_id)``
+    of the historical pair graph (component_id = min reachable id —
+    exactly :func:`connected_components`' output). ``new_pairs`` are
+    the batch's edges: new-vs-history probe hits plus new-vs-new
+    pairs. Each existing component is CONTRACTED to its label
+    (supernode) — connectivity through a closed component needs no
+    interior edges — so the min-label iteration runs only on the
+    contracted graph, whose size is proportional to the batch's edge
+    set, never |history|. At 100 TB the history labeling is a stored
+    table and each micro-batch closes a graph of its own collisions.
+
+    Output: ``(id, component_id)`` for every historically labeled id
+    plus every id appearing in ``new_pairs`` — bit-identical to
+    re-running :func:`connected_components` on the union of all
+    edges (contraction preserves both connectivity and the min-id
+    label, since history labels ARE min member ids). Proven against
+    the full recompute by the driver oracle and the pytest
+    equivalence test.
+    """
+    ep = new_pairs.select(
+        F.col(id_a).cast("long").alias("a"),
+        F.col(id_b).cast("long").alias("b"),
+    )
+    hl = history_labels.select(
+        F.col("id").cast("long").alias("id"),
+        F.col("component_id").cast("long").alias("lbl"),
+    ).persist()
+    mapped = (
+        ep.join(
+            hl.select(F.col("id").alias("a"), F.col("lbl").alias("la")),
+            "a", "left",
+        )
+        .join(
+            hl.select(F.col("id").alias("b"), F.col("lbl").alias("lb")),
+            "b", "left",
+        )
+        .select(
+            F.coalesce("la", F.col("a")).alias("doc_a"),
+            F.coalesce("lb", F.col("b")).alias("doc_b"),
+        )
+        .filter(F.col("doc_a") != F.col("doc_b"))
+    )
+    remap = connected_components(mapped, "doc_a", "doc_b", max_iter).select(
+        F.col("id").alias("old_lbl"), F.col("component_id").alias("new_lbl")
+    )
+    hist_out = (
+        hl.join(remap, hl["lbl"] == remap["old_lbl"], "left")
+        .select("id", F.coalesce("new_lbl", "lbl").alias("component_id"))
+    )
+    new_ids = (
+        ep.select(F.col("a").alias("id"))
+        .union(ep.select(F.col("b").alias("id")))
+        .distinct()
+        .join(hl.select("id"), "id", "left_anti")
+    )
+    new_out = (
+        new_ids.join(remap, new_ids["id"] == remap["old_lbl"], "left")
+        .select("id", F.coalesce("new_lbl", F.col("id")).alias("component_id"))
+    )
+    # hl stays persisted: the returned frames consume it again at the
+    # caller's action, and re-deriving it would re-run the (possibly
+    # expensive) history closure it represents
+    return hist_out.unionByName(new_out)
+
+
 def decontaminate_ngram_overlap(
     train: DataFrame,
     benchmark: DataFrame,

@@ -3038,6 +3038,46 @@ def dedup_incremental_probe(spark, sf_dir):
     return D.minhash_lsh_probe(new, hist, threshold=0.5)
 
 
+def dedup_incremental_components(spark, sf_dir):
+    """Incremental dup-GROUP maintenance (dedup.incremental_components):
+    history (doc_id % 4 != 0, plus planted near-dup copies id+300000
+    of docs < 20 so history has real components) is closed once; the
+    NEW batch (doc_id % 4 == 0, plus planted copies id+400000 of
+    history docs < 30) probes history and pairs within itself; the
+    incremental operator then merges the new edges into the existing
+    labeling by contracting closed components to supernodes — never
+    re-closing history. The planted chains make new vertices join
+    existing components AND bridge them (doc 5's history copy 300005
+    and new copy 400005 collapse into one group labeled 5). The
+    oracle is the FULL recompute: the recursive closure over the
+    combined corpus's MinHash pair graph — passing it proves
+    incremental == from-scratch."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    base_hist = docs.filter(F.col("doc_id") % 4 != 0)
+    hist_plants = base_hist.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra token tail")).alias("text"),
+    )
+    hist = base_hist.unionByName(hist_plants)
+    new_plants = base_hist.filter(F.col("doc_id") < 30).select(
+        (F.col("doc_id") + 400000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra token tail")).alias("text"),
+    )
+    new = docs.filter(F.col("doc_id") % 4 == 0).unionByName(new_plants)
+    history_labels = D.connected_components(
+        D.minhash_lsh_pairs(hist, threshold=0.5)
+    )
+    probe = D.minhash_lsh_probe(new, hist, threshold=0.5).select(
+        F.col("new_doc").alias("doc_a"), F.col("hist_doc").alias("doc_b")
+    )
+    new_edges = probe.unionByName(
+        D.minhash_lsh_pairs(new, threshold=0.5).select("doc_a", "doc_b")
+    )
+    return D.incremental_components(history_labels, new_edges).select(
+        F.col("id").alias("doc_id"), "component_id"
+    )
+
+
 def corpus_data_card(spark, sf_dir):
     """Per-(source, language) corpus data card: doc counts, token and
     char totals, averages, and each slice's share of the corpus —

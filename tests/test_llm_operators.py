@@ -3627,3 +3627,58 @@ def test_ivf_incremental_assign_planted_clusters(spark):
         assert r["stale_sim"] > 0.95
     # both batch vectors are cluster-A-like: same centroid
     assert rows[100]["stale_centroid"] == rows[101]["stale_centroid"]
+
+
+def test_incremental_components_equals_full_recompute(spark):
+    """Contraction-based incremental maintenance must reproduce the
+    from-scratch closure exactly: history components {1,2,3} and
+    {10,11}; new edges join a new vertex to one component, BRIDGE the
+    two components through a new vertex, and add a disjoint new-new
+    pair."""
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators import (
+        dedup as DD,
+    )
+
+    hist_pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    history_labels = DD.connected_components(hist_pairs)
+    new_pairs = spark.createDataFrame(
+        [(100, 3), (200, 2), (200, 11), (300, 301)],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        r["id"]: r["component_id"]
+        for r in DD.incremental_components(history_labels, new_pairs).collect()
+    }
+    full = {
+        r["id"]: r["component_id"]
+        for r in DD.connected_components(
+            hist_pairs.unionByName(new_pairs)
+        ).collect()
+    }
+    assert got == full
+    # the bridge vertex 200 merges both history components into min=1
+    assert got[200] == 1 and got[10] == 1 and got[11] == 1
+    assert got[300] == 300 and got[301] == 300
+
+
+def test_incremental_components_untouched_history_kept(spark):
+    """Components not touched by any new edge keep their labels, and
+    an unlabeled history doc first matched by a new doc gets the
+    merged label."""
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators import (
+        dedup as DD,
+    )
+
+    hist_pairs = spark.createDataFrame(
+        [(5, 6), (20, 21)], "doc_a long, doc_b long"
+    )
+    history_labels = DD.connected_components(hist_pairs)
+    # doc 50 was never in any history pair; new doc 400 matches it
+    new_pairs = spark.createDataFrame([(400, 50)], "doc_a long, doc_b long")
+    got = {
+        r["id"]: r["component_id"]
+        for r in DD.incremental_components(history_labels, new_pairs).collect()
+    }
+    assert got == {5: 5, 6: 5, 20: 20, 21: 20, 400: 50, 50: 50}

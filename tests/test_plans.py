@@ -437,6 +437,9 @@ def test_brute_baselines_are_the_only_all_pairs_plans(spark, sf_dir):
         # same iterative min-label closure as dedup_components, fed by
         # the winnowing pair graph instead of MinHash
         "dedup_winnowing_components",
+        # closes the history graph once, then the contracted batch
+        # graph — two iterative closures (dedup_components class)
+        "dedup_incremental_components",
         "ann_ivf_topk",
         "curation_end_to_end",
         "ann_recall_at_k",

@@ -775,6 +775,14 @@ def llm_queries_section():
             "group width bounded by the 50-token segment; ppm in "
             "BIGINT div.",
         ),
+        "ann_incremental_ivf_append": (
+            L.ann_incremental_ivf_append,
+            "Append path touches ONLY the new batch: stale codebook "
+            "broadcast onto the batch (scalars-only argmax agg); the "
+            "staleness audit's full-corpus retrain is the audited "
+            "ivf_centroids chain; the stale/fresh merge is a "
+            "batch-sized vec_id equi-join.",
+        ),
     }
 
 

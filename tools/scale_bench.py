@@ -253,6 +253,11 @@ QUERIES = {
     # oracle determinism; this is the production auto-k path, showing
     # _auto_centroids re-sizing across the chained decades)
     "ann_ivf_topk_auto": lambda spark, sf_dir: _ann_ivf_auto(spark, sf_dir),
+    # r11: incremental dup-group maintenance — history closed once,
+    # the batch merged by supernode contraction; the measured factor
+    # prices the WHOLE query (history closure included), while the
+    # incremental step itself touches only the batch's edge graph
+    "dedup_incremental_components": L.dedup_incremental_components,
 }
 
 # r10 verdict item 2: the ~10 most expensive auto-tuned paths get a
