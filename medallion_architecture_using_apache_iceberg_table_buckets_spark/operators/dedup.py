@@ -195,6 +195,20 @@ def prefix_filter_pairs(
     doc-partitioned window; document frequency is one shingle-keyed
     agg; verification joins are pair-keyed. Nothing all-pairs,
     nothing corpus-wide.
+
+    SECOND REGIME LIMIT (r11 100x chained step-up's find): the
+    filter also assumes a vocabulary that GROWS with the corpus
+    (Heaps' law — true of real text), so each doc's rarest shingles
+    stay globally rare. On a BOUNDED-vocabulary corpus every
+    shingle's df grows linearly with n, prefix buckets grow with it
+    (measured prefix-bucket pair mass 303k -> 20.6M -> 808M across
+    sf0.1 -> 10x -> 100x on the fixed-vocabulary synth corpus;
+    hottest prefix token 8 -> 52 -> 129 docs), and the candidate
+    join degrades toward the naive product. There, route to
+    MinHash-LSH banding (its 100x chained row holds 16x on 87x
+    output) or cap with ngram_jaccard_pairs' max_df stop-shingles.
+    Detection is one aggregate: prefix-bucket occupancy vs corpus
+    growth.
     """
     from pyspark.sql import Window
 
@@ -601,6 +615,22 @@ def _auto_planes(df: DataFrame, target_occupancy: int = 8,
     Planning-side count: parquet-backed inputs answer from footer
     metadata; the general-DataFrame fallback is one count job — the
     same planning-cost class as merge partition pruning.
+
+    REGIME LIMIT (r11 100x chained step-up's find): the occupancy
+    model assumes vectors SPREAD across the 2^n_planes sign
+    patterns. A low-entropy embedding distribution realizes only a
+    bounded number of distinct patterns — the synthetic 100x corpus
+    saturates at 128 occupied buckets no matter the plane count
+    (measured occupancy-sum-of-squares 139k at 2k vectors -> 1.36e9
+    at 200k) — and then more planes DON'T split buckets, occupancy
+    grows linearly with n, and the candidate join is quadratic
+    again. Hyperplane LSH is the right tool for spread (real-world,
+    high-entropy) embeddings; for clustered/structured
+    distributions, use data-ADAPTIVE candidate generation —
+    ``semantic_dedup``'s IVF clustering (centroids follow the data,
+    so cluster sizes stay bounded by construction) or the IVF-based
+    search family. Detection is one cheap aggregate: bucket
+    occupancy stats vs target_occupancy.
     """
     import math
 

@@ -783,6 +783,14 @@ def llm_queries_section():
             "ivf_centroids chain; the stale/fresh merge is a "
             "batch-sized vec_id equi-join.",
         ),
+        "dedup_incremental_components": (
+            L.dedup_incremental_components,
+            "History closed once; the batch's edges map endpoints to "
+            "component supernodes (two label equi-joins), the "
+            "min-label iteration runs only on the contracted batch "
+            "graph, and touched components relabel via one "
+            "label-keyed join — history is never re-closed.",
+        ),
     }
 
 
@@ -793,6 +801,36 @@ def main() -> None:
            "",
            "Auto-generated by `tools/dump_plans.py` at sf0.001. The notes",
            "call out the property each plan must keep at 100 TB.",
+           "",
+           "## Scale note (r11): the chained 100x decade",
+           "",
+           "BENCH_SCALE_r11.json adds a SECOND replica decade (100x",
+           "documents/embeddings) for the most expensive auto-tuned",
+           "dedup/ANN/text paths. Every chained row lands sublinear at",
+           "100x data: minhash pairs 16.2x (87x output rows), components",
+           "8.6x, incremental components 8.7x, ann_recall_at_k 3.0x,",
+           "IVF-PQ residual 2.8x, BM25 18x, sparse retrieval 33x,",
+           "ExactSubstr apply 36x (102x output). The decade surfaced",
+           "three real regime findings, all fixed or documented: (1)",
+           "_auto_centroids' constant-occupancy rule (k=n/64) sent the",
+           "IVF ASSIGNMENT term n*k quadratic — now k ~ sqrt(n/2)",
+           "balances assignment against intra-cluster pairing at ~n^1.5",
+           "each (FAISS's k ~ sqrt(n) guideline); (2) hyperplane LSH",
+           "auto-sizing cannot bound occupancy on low-entropy embedding",
+           "distributions — the synth corpus realizes only 128 sign",
+           "patterns at ANY plane count (occupancy-sum-of-squares 139k",
+           "-> 13.9M -> 1.36e9 across the decades), so",
+           "dedup_embedding_lsh_pairs_auto is deliberately NOT chained",
+           "and _auto_planes' REGIME LIMIT note routes such",
+           "distributions to IVF-clustered candidates (semantic_dedup,",
+           "whose auto-k row IS chained: 45.5x at 100x, matching its",
+           "~n^1.5 design point); (3) AllPairs/PPJoin prefix filtering",
+           "assumes a Heaps-law vocabulary — on the synth corpus's",
+           "BOUNDED vocabulary every shingle's df grows linearly and",
+           "prefix-bucket pair mass grew 303k -> 20.6M -> 808M across",
+           "the decades, so the prefix row is not chained either and",
+           "its SECOND REGIME LIMIT note routes bounded-vocab corpora",
+           "to MinHash banding (chained, 16x at 100x).",
            "",
            "## Bench-environment note (r10)",
            "",

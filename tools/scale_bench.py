@@ -268,10 +268,17 @@ QUERIES = {
 # to see whether unit costs hold, rise, or fall).
 CHAIN = {
     "dedup_minhash_lsh_pairs",
-    "dedup_prefix_filter_pairs",
+    # dedup_prefix_filter_pairs is NOT chained: the 100x attempt
+    # exposed AllPairs' second regime limit — the synth corpus's
+    # BOUNDED vocabulary makes every shingle's df grow linearly with
+    # n, so prefix buckets grow too (pair mass 303k -> 20.6M -> 808M
+    # across the decades, hottest prefix token 8 -> 52 -> 129 docs)
+    # and the candidate join degrades toward the naive product;
+    # real Heaps-law vocabularies keep prefixes rare. Documented in
+    # the operator's SECOND REGIME LIMIT note; the bounded-vocab
+    # remedy (MinHash banding) IS chained and holds 16x at 100x.
     "dedup_components",
     "dedup_semantic_auto",
-    "dedup_embedding_lsh_pairs_auto",
     "ann_ivf_topk",
     "ann_ivf_topk_auto",
     "ann_ivfpq_residual_topk",
@@ -279,6 +286,17 @@ CHAIN = {
     "text_bm25_topk",
     "text_sparse_retrieval_topk",
     "dedup_exact_substr_apply",
+    "dedup_incremental_components",
+    # dedup_embedding_lsh_pairs_auto is deliberately NOT chained:
+    # the 100x attempt exposed _auto_planes' regime limit on the
+    # structured synthetic embeddings — they realize only 128
+    # distinct hyperplane sign patterns at ANY plane count
+    # (occupancy-sum-of-squares 139k at 2k vectors -> 13.9M at 20k
+    # -> 1.36e9 at 200k), so candidates grow quadratically however
+    # many planes auto-sizing adds. Documented in _auto_planes'
+    # REGIME LIMIT note; the data-adaptive candidate generator for
+    # such distributions is semantic_dedup's IVF clustering, whose
+    # auto-k row IS chained.
 }
 
 
@@ -476,9 +494,21 @@ def build_scaled_dir100() -> None:
     queries are the dedup/ANN/text paths). Same perturbation rules as
     the 10x build, extended to 100 copies:
 
-    - documents: the per-copy marker interleave already parametrizes
-      by copy index, so within-copy duplicate relations are preserved
-      and cross-copy n-grams differ for every i.
+    - documents: per-copy marker tokens interleave after every 2ND
+      word (the 10x build uses every 4th). The chain queries shingle
+      at word n=3, and a marker-every-4-words stream leaves 2 of
+      every 5 trigram windows marker-free — identical across ALL
+      copies — so each doc acquires ~(copies-1) structured
+      sub-threshold twins whose MinHash bands still collide at ~50%:
+      a quadratic CANDIDATE explosion that measures the replica
+      structure, not the operator (observed as 9 straggler tasks
+      pinned >20min on the first sf10 minhash attempt). Markers
+      every 2nd word put a marker inside EVERY trigram window, so
+      cross-copy trigram overlap is zero while within-copy relations
+      (same rewrite both sides) are preserved exactly. The sf1->sf10
+      chain factor for shingle-based rows therefore compares a
+      mildly-twinned 10x against a clean 100x — read it with this
+      note.
     - embeddings: a 64-dim circular shift only yields 64 distinct
       rotations, so copies >= 64 ALSO reverse the vector — reversal
       is a permutation (within-copy cosines preserved exactly) and
@@ -492,7 +522,13 @@ def build_scaled_dir100() -> None:
         return
     shutil.rmtree(DST100, ignore_errors=True)
     os.makedirs(DST100, exist_ok=True)
-    spark = mats.get_spark(app_name="mats-scale-gen-100")
+    # invoked lazily from inside main()'s bench loop: REUSE the live
+    # session — get_spark is getOrCreate, so stopping a session here
+    # would kill the caller's (the o69.clearCache NPE failure mode)
+    from pyspark.sql import SparkSession
+
+    active = SparkSession.getActiveSession()
+    spark = active or mats.get_spark(app_name="mats-scale-gen-100")
     spark.sparkContext.setLogLevel("ERROR")
 
     def doc_extra(df, i):
@@ -504,7 +540,7 @@ def build_scaled_dir100() -> None:
             toks,
             F.sequence(F.lit(0), F.size(toks) - F.lit(1)),
             lambda w, idx: F.when(
-                idx % 4 == 3, F.concat_ws(" ", w, marker)
+                idx % 2 == 1, F.concat_ws(" ", w, marker)
             ).otherwise(w),
         )
         return df.withColumn(
@@ -536,7 +572,8 @@ def build_scaled_dir100() -> None:
     ).write.mode("overwrite").parquet(f"{DST100}/embeddings.parquet")
 
     open(f"{DST100}/_DONE", "w").write("ok")
-    spark.stop()
+    if active is None:
+        spark.stop()
 
 
 def main() -> None:
@@ -667,7 +704,13 @@ def main() -> None:
         "dedup_embedding_lsh_pairs_auto": (
             "runtime follows candidate-set growth (cands_factor), "
             "not data; unit_cost_factor <1 shows falling "
-            "sec-per-M-candidates at 10x"
+            "sec-per-M-candidates at 10x. NOT chained to 100x: the "
+            "structured synth embeddings saturate at 128 occupied "
+            "buckets at any plane count (occ-sum-of-squares 139k -> "
+            "13.9M -> 1.36e9 across the decades), so auto-sizing "
+            "cannot keep occupancy bounded — _auto_planes' REGIME "
+            "LIMIT note routes such distributions to IVF-clustered "
+            "candidates (semantic_dedup, chained here)"
         ),
         "dedup_embedding_lsh_pairs_pinned8": (
             "pinned 8 planes is the bucket-collision CONTRAST row; "
@@ -774,6 +817,12 @@ def main() -> None:
             "Production path for pathological classes: band-df "
             "stop-key cap / wider bands (see operator docstring)"
         ),
+        "dedup_incremental_components": (
+            "prices the WHOLE query — history closure + probe + "
+            "batch self-pairs + contraction; the incremental step "
+            "itself is the contracted batch graph only, so the "
+            "factor tracks the minhash pair rows it composes"
+        ),
         "dedup_prefix_filter_pairs": (
             "AllPairs/PPJoin at its home regime t=0.8: prefix + "
             "positional filters keep candidates near the true pair "
@@ -782,7 +831,13 @@ def main() -> None:
             "documented low-threshold regime boundary — prefixes "
             "cover half of each set there and the per-pair verify "
             "goes candidate-bound; the operator docstring routes "
-            "low thresholds to ngram_jaccard_pairs/MinHash"
+            "low thresholds to ngram_jaccard_pairs/MinHash. NOT "
+            "chained to 100x: the synth corpus's bounded vocabulary "
+            "makes prefix-bucket pair mass grow 303k -> 20.6M -> "
+            "808M across the decades (SECOND REGIME LIMIT note in "
+            "the docstring) — Heaps-law vocabularies keep prefixes "
+            "rare; bounded-vocab corpora route to MinHash banding "
+            "(chained, 16x at 100x)"
         ),
     }
 
