@@ -802,6 +802,28 @@ def main() -> None:
            "Auto-generated by `tools/dump_plans.py` at sf0.001. The notes",
            "call out the property each plan must keep at 100 TB.",
            "",
+           "## Bench-environment note (r11)",
+           "",
+           "Standing artifact: BENCH_r11_builder_local.json — the",
+           "complete 193-query record (probe 72.5 ms, 301.6 s total,",
+           "anchored r01 data-path subset 12.75 s = 0.62x the 20.605 s",
+           "baseline; clean solo session, min-of-3 protocol). The r10",
+           "verdict's footprint item landed: ann_recall_at_k 16.3 s /",
+           "100 jobs -> 13.5 s / 28 jobs (shared IVF upstream + folded",
+           "recall arms + AQE off for its hundreds of tiny uniform",
+           "exchanges) and ann_ivfpq_residual_topk 11.1 s / 73 jobs ->",
+           "9.4 s / 20 jobs — recall floors and oracle hashes",
+           "unchanged. The two r11 queries land at 3.8 s",
+           "(ann_incremental_ivf_append) and 7.2 s",
+           "(dedup_incremental_components — prices the full history",
+           "closure + probe + contraction chain). The record now also",
+           "carries excluded_sampled (a rotating 10 of the 44",
+           "excluded entries, timed: every 'trivial'-class sample ran",
+           "sub-second, a strict subset of its named sibling) and the",
+           "compact tail line carries the r01-subset per-query",
+           "seconds, so driver-tail truncation can no longer lose",
+           "them.",
+           "",
            "## Scale note (r11): the chained 100x decade",
            "",
            "BENCH_SCALE_r11.json adds a SECOND replica decade (100x",
