@@ -412,9 +412,23 @@ def sample_excluded(spark, sf_dir: str) -> dict:
     chunk = int(os.environ.get("SPARK_GRAFT_EXCL_CHUNK", default_chunk))
     n_chunks = max(1, (len(names) + 9) // 10)
     start = (chunk % n_chunks) * 10
+    sampled = names[start : start + 10]
+    # every round additionally samples ONE rotating `streaming`-class
+    # exclusion (r11 verdict item 4): the class rationale ("the
+    # AvailableNow drain's time is checkpoint setup, not operator
+    # work") gets measured evidence each round, exactly like the
+    # trivial class — not only when the alphabetical chunk happens to
+    # reach the streaming_* block
+    streaming = [n for n in names if EXCLUDED_REASONS[n][0] == "streaming"]
+    if streaming and not any(n in streaming for n in sampled):
+        sampled = sampled + [streaming[chunk % len(streaming)]]
     out = {}
-    for name in names[start : start + 10]:
+    for name in sampled:
         cls, sib = EXCLUDED_REASONS[name]
+        # cold-ish sample, matching the headline protocol: persisted
+        # intermediates left by earlier headline runs (cents/assigned/
+        # brute shortlists) must not deflate the sampled time
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         force(registry[name](spark, sf_dir))
         out[name] = {

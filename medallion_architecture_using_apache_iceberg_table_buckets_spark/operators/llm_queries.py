@@ -246,10 +246,13 @@ def ann_recall_at_k(spark, sf_dir, k: int = 5):
         sorted(ANN_RECALL_FLOOR.items()), "method string, floor double"
     )
     # left join from the 4-row floors frame so a zero-hit method still
-    # emits its row (hits=0), exactly like the per-branch aggregates
+    # emits its row (hits=0), exactly like the per-branch aggregates.
+    # The broadcast hint goes on HITS — the build (non-preserved)
+    # side: Spark silently ignores a hint on the row-preserving side
+    # of an outer join (left-outer supports BuildRight only).
     return (
-        F.broadcast(floors)
-        .join(hits, "method", "left")
+        floors
+        .join(F.broadcast(hits), "method", "left")
         .crossJoin(F.broadcast(truth))
         .select(
             "method",
