@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Re-count positions so the window is exactly 50; keep
         # inserting new queries right after the newest NEW block.
         "ann_incremental_ivf_append": L.ann_incremental_ivf_append,
+        "ann_incremental_ivf_sampled": L.ann_incremental_ivf_sampled,
         "dedup_incremental_components": L.dedup_incremental_components,
         "sketch_theta_set_ops": L.sketch_theta_set_ops,
         "sketch_kll_rollup_quantiles": L.sketch_kll_rollup_quantiles,
@@ -1137,11 +1138,19 @@ def _ivf_train_ctes(corpus: str, sfx: str, n_centroids: int = 16) -> str:
     )"""
 
 
-def _ivf_incremental_oracle(n_centroids: int = 16) -> str:
+def _ivf_incremental_oracle(
+    n_centroids: int = 16, sample_mod: int | None = None
+) -> str:
     """Exact oracle for similarity.ivf_incremental_assign: batch =
     vec_id%8==5, stale centroids trained on the history (the rest),
-    fresh centroids on the full corpus, nearest-centroid pick with
-    the round-6/centroid-id tie-break on both codebooks."""
+    refreshed centroids on history+batch — or, with ``sample_mod``,
+    on the 1-in-m systematic history sample plus the batch — nearest-
+    centroid pick with the round-6/centroid-id tie-break on both
+    codebooks, and the label-invariant drift flag (round-4 cosine
+    improvement > IVF_DRIFT_EPS)."""
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators.similarity import (
+        IVF_DRIFT_EPS,
+    )
 
     def pick(cents: str) -> str:
         return f"""
@@ -1157,19 +1166,26 @@ def _ivf_incremental_oracle(n_centroids: int = 16) -> str:
       WHERE rn = 1
     """
 
+    hist_sample = f" WHERE vec_id % {sample_mod} = 0" if sample_mod else ""
     return f"""
     WITH hist AS MATERIALIZED (
       SELECT vec_id, embedding FROM embeddings WHERE vec_id % 8 != 5),
     batch AS MATERIALIZED (
       SELECT vec_id, embedding FROM embeddings WHERE vec_id % 8 = 5),
+    fresh_corpus AS MATERIALIZED (
+      SELECT vec_id, embedding FROM hist{hist_sample}
+      UNION ALL
+      SELECT vec_id, embedding FROM batch),
     {_ivf_train_ctes('hist', '_h', n_centroids)},
-    {_ivf_train_ctes('embeddings', '_f', n_centroids)},
+    {_ivf_train_ctes('fresh_corpus', '_f', n_centroids)},
     a_stale AS ({pick('cents_h')}),
     a_fresh AS ({pick('cents_f')})
     SELECT s.vec_id, s.centroid_id AS stale_centroid,
            s.cent_sim AS stale_sim,
            f.centroid_id AS fresh_centroid,
-           CAST(CASE WHEN s.centroid_id != f.centroid_id
+           f.cent_sim AS fresh_sim,
+           CAST(CASE WHEN round(f.cent_sim - s.cent_sim, 4)
+                          > {IVF_DRIFT_EPS}
                 THEN 1 ELSE 0 END AS INTEGER) AS drifted
     FROM a_stale s JOIN a_fresh f USING (vec_id)
     """
@@ -5313,6 +5329,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": _ann_lsh_oracle(),
         "ann_ivf_topk": _ann_ivf_oracle(),
         "ann_incremental_ivf_append": _ivf_incremental_oracle(),
+        "ann_incremental_ivf_sampled": _ivf_incremental_oracle(sample_mod=4),
         "dedup_semantic": _semantic_dedup_oracle(),
         "position_delete_mor": """
             SELECT o_orderstatus,

@@ -265,6 +265,11 @@ HEADLINE = {
     # incremental dup-group components (supernode contraction)
     "ann_incremental_ivf_append": L.ann_incremental_ivf_append,
     "dedup_incremental_components": L.dedup_incremental_components,
+    # round-12 additions: the sampled-history staleness audit (the
+    # O(|hist|/m + |batch|) configuration a scheduled maintenance job
+    # runs — benched next to the exact audit so the saving is a
+    # recorded number, not a docstring claim)
+    "ann_incremental_ivf_sampled": L.ann_incremental_ivf_sampled,
 }
 
 # Registry entries deliberately NOT benched, each with its reason (the

@@ -277,13 +277,33 @@ def ann_incremental_ivf_append(spark, sf_dir):
     The batch is assigned to the stale history-trained IVF centroids
     (one broadcast pass over just the batch — the O(new-data) append
     path), and the staleness audit retrains on the full corpus and
-    flags drifted assignments. Fully deterministic (rank-spaced
-    seeds, round-6 quantized Lloyd means/cosines), so the DuckDB
-    oracle replays both trainings exactly."""
+    flags batch vectors the refreshed codebook fits better by more
+    than IVF_DRIFT_EPS cosine (label-invariant: assigned-centroid
+    cosines, never centroid ids). Fully deterministic (rank-spaced
+    seeds, round-6 quantized Lloyd means/cosines, round-4 margin),
+    so the DuckDB oracle replays both trainings exactly."""
     emb = load(spark, sf_dir, "embeddings")
     history = emb.filter(F.col("vec_id") % 8 != 5)
     batch = emb.filter(F.col("vec_id") % 8 == 5)
     return S.ivf_incremental_assign(history, batch, n_centroids=16, dim=64)
+
+
+def ann_incremental_ivf_sampled(spark, sf_dir):
+    """The staleness audit a SCHEDULED maintenance job runs
+    (similarity.ivf_incremental_assign with history_sample_mod=4):
+    same batch split as ann_incremental_ivf_append, but the refresh
+    retrain reads only the 1-in-4 systematic history sample
+    (vec_id%4==0) plus the full batch — O(|history|/4 + |batch|)
+    instead of a full-corpus rescan, with the sampling-error bound
+    documented on the operator. The sample is id arithmetic (no
+    RNG), so this variant keeps a full value-hash oracle: DuckDB
+    replays the sampled retrain exactly."""
+    emb = load(spark, sf_dir, "embeddings")
+    history = emb.filter(F.col("vec_id") % 8 != 5)
+    batch = emb.filter(F.col("vec_id") % 8 == 5)
+    return S.ivf_incremental_assign(
+        history, batch, n_centroids=16, dim=64, history_sample_mod=4
+    )
 
 
 def medallion_gold_mart(spark, sf_dir):

@@ -409,6 +409,16 @@ def cosine_topk_ivf(
     )
 
 
+# A batch vector counts as DRIFTED when the refreshed codebook fits
+# it better than the stale one by more than this cosine margin. The
+# margin is a heuristic sensitivity dial (like an ANN recall floor):
+# large enough that round-6 quantization and ordinary centroid
+# jitter from adding the batch to the training set never trip it,
+# small enough that a vector whose true cluster only exists in the
+# refreshed codebook always does.
+IVF_DRIFT_EPS = 0.01
+
+
 def ivf_incremental_assign(
     history: DataFrame,
     batch: DataFrame,
@@ -416,6 +426,7 @@ def ivf_incremental_assign(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     dim: int = 64,
+    history_sample_mod: int | None = None,
 ) -> DataFrame:
     """Incremental IVF index maintenance: assign ONLY a new batch's
     vectors to the EXISTING (history-trained) centroids, plus a
@@ -426,49 +437,77 @@ def ivf_incremental_assign(
     one pass over just the new batch (``ivf_assign`` unchanged) — at
     100 TB the history centroids are a saved k-row artifact and the
     per-micro-batch cost is O(batch), never a corpus rescan. The
-    staleness audit retrains on history+batch (the full-corpus Lloyd
-    chain the oracle replays) and flags each batch vector whose
-    nearest-centroid id DRIFTED between stale and refreshed
-    codebooks; its mean is the re-train trigger a maintenance job
-    watches. Both trainings use rank-spaced seeding, so centroid ids
-    correspond positionally across the two codebooks — drift measures
-    assignment movement under the same seeding rule, not arbitrary id
-    relabeling. Everything is round-6 quantized (ivf_centroids /
-    ivf_assign), so the audit is deterministic and oracle-paired.
+    staleness audit retrains a refreshed codebook and flags each
+    batch vector the refreshed codebook fits BETTER by more than
+    ``IVF_DRIFT_EPS`` cosine; the flag's mean is the re-train
+    trigger a maintenance job watches. Drift is measured on assigned-
+    centroid COSINES, never centroid ids, so it is invariant to how
+    either training labels its clusters — a pure relabeling of the
+    same partition moves every cosine by ~0 and trips nothing.
 
-    Returns one row per batch vector:
-    ``(vec_id, stale_centroid, stale_sim, fresh_centroid, drifted)``.
+    ``history_sample_mod=None`` retrains on all of history+batch
+    (the exact audit the DuckDB oracle replays). ``history_sample_mod
+    = m`` retrains on the 1-in-m systematic history sample
+    ``id % m == 0`` plus the full batch — O(|history|/m + |batch|)
+    instead of a corpus rescan, the configuration a scheduled
+    maintenance job runs. Sampling error: refreshed centroids are
+    k-means means over ~n/m points, so each drifts from the
+    full-history solution by ~sigma*sqrt(m/n) per coordinate (SRS
+    standard error of a mean); with cluster sizes n/k ~ sqrt(n)
+    vectors (``dedup._auto_centroids`` sizing) the induced cosine
+    perturbation stays an order of magnitude under IVF_DRIFT_EPS,
+    and the planted-cluster pytest checks sampled == exact drift
+    rate on both a drifting and a non-drifting batch. The sample is
+    deterministic (id arithmetic, no RNG), so the sampled variant
+    keeps a full DuckDB oracle too.
+
+    Returns one row per batch vector: ``(vec_id, stale_centroid,
+    stale_sim, fresh_centroid, fresh_sim, drifted)``.
     """
     stale_cents = ivf_centroids(
         history, n_centroids, vec_col=vec_col, id_col=id_col, dim=dim
     )
+    retrain_hist = (
+        history
+        if history_sample_mod is None
+        else history.filter(F.col(id_col) % history_sample_mod == 0)
+    )
     fresh_cents = ivf_centroids(
-        history.unionByName(batch), n_centroids,
+        retrain_hist.unionByName(batch), n_centroids,
         vec_col=vec_col, id_col=id_col, dim=dim,
     )
-    a_stale = ivf_assign(batch, stale_cents, vec_col, id_col, dim)
-    cn = _norm_col(stale_cents, "cv", "_cnrm", dim)
-    stale = (
-        a_stale.join(F.broadcast(cn), "centroid_id")
-        .withColumn(
-            "stale_sim",
-            F.round(_cos_join("embedding", "cv", "nrm", "_cnrm", dim), 6),
+
+    def scored(cents: DataFrame, tag: str) -> DataFrame:
+        a = ivf_assign(batch, cents, vec_col, id_col, dim)
+        cn = _norm_col(cents, "cv", "_cnrm", dim)
+        return (
+            a.join(F.broadcast(cn), "centroid_id")
+            .withColumn(
+                f"{tag}_sim",
+                F.round(_cos_join("embedding", "cv", "nrm", "_cnrm", dim), 6),
+            )
+            .select(
+                "vec_id",
+                F.col("centroid_id").alias(f"{tag}_centroid"),
+                f"{tag}_sim",
+            )
         )
-        .select(
-            "vec_id",
-            F.col("centroid_id").alias("stale_centroid"),
-            "stale_sim",
-        )
-    )
-    a_fresh = ivf_assign(batch, fresh_cents, vec_col, id_col, dim).select(
-        "vec_id", F.col("centroid_id").alias("fresh_centroid")
-    )
-    return stale.join(a_fresh, "vec_id").select(
+
+    # round-4 the margin before comparing: both engines subtract the
+    # same round-6 doubles, so the rounded difference is bit-identical
+    # and the > comparison cannot straddle FP noise at the threshold
+    return scored(stale_cents, "stale").join(
+        scored(fresh_cents, "fresh"), "vec_id"
+    ).select(
         "vec_id",
         "stale_centroid",
         "stale_sim",
         "fresh_centroid",
-        (F.col("stale_centroid") != F.col("fresh_centroid"))
+        "fresh_sim",
+        (
+            F.round(F.col("fresh_sim") - F.col("stale_sim"), 4)
+            > F.lit(IVF_DRIFT_EPS)
+        )
         .cast("int")
         .alias("drifted"),
     )

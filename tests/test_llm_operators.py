@@ -3623,10 +3623,50 @@ def test_ivf_incremental_assign_planted_clusters(spark):
     assert set(rows) == {100, 101}
     for r in rows.values():
         assert r["drifted"] == 0
-        assert r["stale_centroid"] == r["fresh_centroid"]
         assert r["stale_sim"] > 0.95
+        # label-invariant drift: the refreshed codebook fits a stable
+        # batch no better than the stale one (same partition, means
+        # nudged by two extra members)
+        assert abs(r["fresh_sim"] - r["stale_sim"]) < S.IVF_DRIFT_EPS
     # both batch vectors are cluster-A-like: same centroid
     assert rows[100]["stale_centroid"] == rows[101]["stale_centroid"]
+
+
+def test_ivf_incremental_sampled_matches_exact_drift_rate(spark):
+    """Sampled-history retrain (history_sample_mod) must reproduce
+    the exact audit's drift verdict on the planted-cluster fixture —
+    both when the batch opens a NEW cluster (every vector drifts:
+    the stale codebook has no axis-2 centroid, the refreshed one
+    does) and when the batch is stable (nothing drifts)."""
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators import (
+        similarity as S,
+    )
+
+    def vec(axis, wiggle):
+        v = [0.0] * 64
+        v[axis] = 1.0
+        v[(axis + 3) % 64] = wiggle
+        return v
+
+    schema = "vec_id long, embedding array<double>"
+    hist_rows = [(i, vec(0, 0.01 * (i % 3))) for i in range(12)] + [
+        (12 + i, vec(1, 0.01 * (i % 3))) for i in range(12)
+    ]
+    history = spark.createDataFrame(hist_rows, schema)
+
+    def drift_rate(batch_rows, mod):
+        batch = spark.createDataFrame(batch_rows, schema)
+        out = S.ivf_incremental_assign(
+            history, batch, n_centroids=3, dim=64, history_sample_mod=mod
+        ).collect()
+        return sum(r["drifted"] for r in out) / len(out)
+
+    new_cluster = [(100 + i, vec(2, 0.01 * (i % 3))) for i in range(8)]
+    stable = [(100 + i, vec(0, 0.01 * (i % 3))) for i in range(8)]
+    assert drift_rate(new_cluster, None) == 1.0
+    assert drift_rate(new_cluster, 2) == 1.0
+    assert drift_rate(stable, None) == 0.0
+    assert drift_rate(stable, 2) == 0.0
 
 
 def test_incremental_components_equals_full_recompute(spark):

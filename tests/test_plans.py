@@ -448,6 +448,9 @@ def test_brute_baselines_are_the_only_all_pairs_plans(spark, sf_dir):
         # (twice — stale and fresh); the only data-sized joins are the
         # vec_id equi-joins merging the two assignments
         "ann_incremental_ivf_append",
+        # same plan family, refresh retrained on the 1-in-4 history
+        # sample plus the batch
+        "ann_incremental_ivf_sampled",
         # embeds the ivf_centroids seeding (scalar/centroid-count
         # broadcast crossJoins) like ann_ivf_topk; its candidate
         # generation is the centroid_id equi-join, asserted by

@@ -258,6 +258,9 @@ QUERIES = {
     # prices the WHOLE query (history closure included), while the
     # incremental step itself touches only the batch's edge graph
     "dedup_incremental_components": L.dedup_incremental_components,
+    # r12: the sampled-history staleness audit — its factor should
+    # track the SAMPLE (|hist|/4 + |batch|), not the corpus
+    "ann_incremental_ivf_sampled": L.ann_incremental_ivf_sampled,
 }
 
 # r10 verdict item 2: the ~10 most expensive auto-tuned paths get a
