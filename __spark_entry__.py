@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_incremental_ivf_append": L.ann_incremental_ivf_append,
         "ann_incremental_ivf_sampled": L.ann_incremental_ivf_sampled,
         "dedup_incremental_components": L.dedup_incremental_components,
+        "dedup_incremental_delta": L.dedup_incremental_delta,
         "sketch_theta_set_ops": L.sketch_theta_set_ops,
         "sketch_kll_rollup_quantiles": L.sketch_kll_rollup_quantiles,
         "sql_branch_wap": L.sql_branch_wap,
@@ -1189,6 +1190,101 @@ def _ivf_incremental_oracle(
                 THEN 1 ELSE 0 END AS INTEGER) AS drifted
     FROM a_stale s JOIN a_fresh f USING (vec_id)
     """
+
+
+def _incremental_cc_oracle(delta: bool = False) -> str:
+    """Full-recompute oracle for dedup.incremental_components over
+    the _incremental_cc_fixture corpus: the recursive min-label
+    closure of the combined corpus's MinHash pair graph. With
+    ``delta`` the result is EXCEPT-ed against the history-only
+    closure (MinHash signatures are per-doc, so restricting the
+    combined pair graph to history ids equals closing history alone)
+    — the exact changed+new row set the delta output mode contracts
+    to emit."""
+    # is_hist: base history docs (id%4!=0) or the +300000 plants
+    hist_pred = (
+        "({c} % 4 != 0 AND {c} < 300000) OR ({c} >= 300000 AND {c} < 400000)"
+    )
+    delta_ctes = f""",
+            hist_pairs AS (
+              SELECT doc_a, doc_b FROM pairs
+              WHERE ({hist_pred.format(c='doc_a')})
+                AND ({hist_pred.format(c='doc_b')})
+            ),
+            hedges AS (
+              SELECT doc_a AS src, doc_b AS dst FROM hist_pairs
+              UNION
+              SELECT doc_b, doc_a FROM hist_pairs
+            ),
+            hreach(id, lbl) AS (
+              SELECT DISTINCT src, src FROM hedges
+              UNION
+              SELECT e.dst, r.lbl FROM hreach r JOIN hedges e ON e.src = r.id
+            )"""
+    full_tail = """
+            SELECT id AS doc_id, min(lbl) AS component_id
+            FROM reach GROUP BY id"""
+    delta_tail = """
+            SELECT id AS doc_id, min(lbl) AS component_id
+            FROM reach GROUP BY id
+            EXCEPT
+            SELECT id AS doc_id, min(lbl) AS component_id
+            FROM hreach GROUP BY id"""
+    return f"""
+            WITH RECURSIVE corpus AS (
+              SELECT doc_id, text FROM documents WHERE doc_id % 4 != 0
+              UNION ALL
+              SELECT doc_id + 300000 AS doc_id,
+                     text || ' extra token tail' AS text
+              FROM documents WHERE doc_id % 4 != 0 AND doc_id < 20
+              UNION ALL
+              SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0
+              UNION ALL
+              SELECT doc_id + 400000 AS doc_id,
+                     text || ' extra token tail' AS text
+              FROM documents WHERE doc_id % 4 != 0 AND doc_id < 30
+            ), {_SHINGLES},
+            seeds AS (SELECT * FROM (VALUES {_MINHASH_SEEDS}) s(j, a, b)),
+            mh AS (
+              SELECT doc_id, j, min((a * sid + b) % 2147483647) AS mh
+              FROM sids CROSS JOIN seeds GROUP BY doc_id, j
+            ),
+            bands AS (
+              SELECT doc_id, j // 3 AS band,
+                     string_agg(CAST(mh AS VARCHAR), '_' ORDER BY j) AS key
+              FROM mh GROUP BY doc_id, j // 3
+            ),
+            cands AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+            ),
+            inter AS (
+              SELECT c.doc_a, c.doc_b, count(*) AS inter
+              FROM cands c
+              JOIN sids sa ON sa.doc_id = c.doc_a
+              JOIN sids sb ON sb.doc_id = c.doc_b AND sb.sid = sa.sid
+              GROUP BY 1, 2
+            ),
+            pairs AS (
+              SELECT i.doc_a, i.doc_b
+              FROM inter i
+              JOIN sizes sa ON sa.doc_id = i.doc_a
+              JOIN sizes sb ON sb.doc_id = i.doc_b
+              WHERE round(inter / (sa.sz + sb.sz - inter), 4) >= 0.5
+            ),
+            edges AS (
+              SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION
+              SELECT doc_b, doc_a FROM pairs
+            ),
+            reach(id, lbl) AS (
+              SELECT DISTINCT src, src FROM edges
+              UNION
+              SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+            ){delta_ctes if delta else ''}
+            {delta_tail if delta else full_tail}
+        """
 
 
 _BRUTE_TOPK_PAIRS = """
@@ -7168,66 +7264,14 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sh3 ON sh3.doc_id = i.hist_doc
             WHERE round(inter / (sn.sz + sh3.sz - inter), 4) >= 0.5
         """,
-        # full-recompute oracle for the INCREMENTAL operator: the
+        # full-recompute oracles for the INCREMENTAL operator: the
         # recursive closure over the combined corpus's MinHash pair
-        # graph — a hash match proves contraction-based incremental
-        # maintenance equals closing everything from scratch
-        "dedup_incremental_components": f"""
-            WITH RECURSIVE corpus AS (
-              SELECT doc_id, text FROM documents WHERE doc_id % 4 != 0
-              UNION ALL
-              SELECT doc_id + 300000 AS doc_id,
-                     text || ' extra token tail' AS text
-              FROM documents WHERE doc_id % 4 != 0 AND doc_id < 20
-              UNION ALL
-              SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0
-              UNION ALL
-              SELECT doc_id + 400000 AS doc_id,
-                     text || ' extra token tail' AS text
-              FROM documents WHERE doc_id % 4 != 0 AND doc_id < 30
-            ), {_SHINGLES},
-            seeds AS (SELECT * FROM (VALUES {_MINHASH_SEEDS}) s(j, a, b)),
-            mh AS (
-              SELECT doc_id, j, min((a * sid + b) % 2147483647) AS mh
-              FROM sids CROSS JOIN seeds GROUP BY doc_id, j
-            ),
-            bands AS (
-              SELECT doc_id, j // 3 AS band,
-                     string_agg(CAST(mh AS VARCHAR), '_' ORDER BY j) AS key
-              FROM mh GROUP BY doc_id, j // 3
-            ),
-            cands AS (
-              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-              FROM bands a JOIN bands b
-                ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-            ),
-            inter AS (
-              SELECT c.doc_a, c.doc_b, count(*) AS inter
-              FROM cands c
-              JOIN sids sa ON sa.doc_id = c.doc_a
-              JOIN sids sb ON sb.doc_id = c.doc_b AND sb.sid = sa.sid
-              GROUP BY 1, 2
-            ),
-            pairs AS (
-              SELECT i.doc_a, i.doc_b
-              FROM inter i
-              JOIN sizes sa ON sa.doc_id = i.doc_a
-              JOIN sizes sb ON sb.doc_id = i.doc_b
-              WHERE round(inter / (sa.sz + sb.sz - inter), 4) >= 0.5
-            ),
-            edges AS (
-              SELECT doc_a AS src, doc_b AS dst FROM pairs
-              UNION
-              SELECT doc_b, doc_a FROM pairs
-            ),
-            reach(id, lbl) AS (
-              SELECT DISTINCT src, src FROM edges
-              UNION
-              SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
-            )
-            SELECT id AS doc_id, min(lbl) AS component_id
-            FROM reach GROUP BY id
-        """,
+        # graph (a hash match proves contraction-based incremental
+        # maintenance equals closing everything from scratch); the
+        # delta row additionally EXCEPTs the history-only closure,
+        # proving the emitted delta is exactly the changed+new rows
+        "dedup_incremental_components": _incremental_cc_oracle(),
+        "dedup_incremental_delta": _incremental_cc_oracle(delta=True),
         "corpus_data_card": f"""
             WITH per AS (
               SELECT source, lang,

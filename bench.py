@@ -268,8 +268,11 @@ HEADLINE = {
     # round-12 additions: the sampled-history staleness audit (the
     # O(|hist|/m + |batch|) configuration a scheduled maintenance job
     # runs — benched next to the exact audit so the saving is a
-    # recorded number, not a docstring claim)
+    # recorded number, not a docstring claim) and the delta output
+    # contract (only changed+new labels, the MERGE-able upsert set —
+    # benched next to the full-rewrite mode for the same reason)
     "ann_incremental_ivf_sampled": L.ann_incremental_ivf_sampled,
+    "dedup_incremental_delta": L.dedup_incremental_delta,
 }
 
 # Registry entries deliberately NOT benched, each with its reason (the

@@ -927,6 +927,7 @@ def incremental_components(
     id_a: str = "doc_a",
     id_b: str = "doc_b",
     max_iter: int = 50,
+    output_mode: str = "full",
 ) -> DataFrame:
     """Update an existing dup-group labeling with a NEW batch's edges
     WITHOUT re-closing history — the components analogue of
@@ -944,14 +945,32 @@ def incremental_components(
     set, never |history|. At 100 TB the history labeling is a stored
     table and each micro-batch closes a graph of its own collisions.
 
-    Output: ``(id, component_id)`` for every historically labeled id
-    plus every id appearing in ``new_pairs`` — bit-identical to
-    re-running :func:`connected_components` on the union of all
-    edges (contraction preserves both connectivity and the min-id
-    label, since history labels ARE min member ids). Proven against
-    the full recompute by the driver oracle and the pytest
-    equivalence test.
+    ``output_mode="full"`` outputs ``(id, component_id)`` for every
+    historically labeled id plus every id appearing in ``new_pairs``
+    — bit-identical to re-running :func:`connected_components` on
+    the union of all edges (contraction preserves both connectivity
+    and the min-id label, since history labels ARE min member ids).
+    Proven against the full recompute by the driver oracle and the
+    pytest equivalence test.
+
+    ``output_mode="delta"`` outputs ONLY the rows a maintained
+    labels table must upsert: history ids whose component label
+    CHANGED plus ids not historically labeled — exactly
+    ``full_recompute EXCEPT history_labels``. This is the honest
+    incremental contract at 100 TB: the full mode re-emits the
+    entire O(|history|) labeling every micro-batch (read+write
+    amplification proportional to the corpus), while the delta is
+    proportional to the batch's touched components and applies as a
+    MERGE INTO the stored table. The label remap (one row per
+    touched closed component — bounded by the batch's edge count,
+    never |history|) is broadcast in both modes, so the history-side
+    relabel join is shuffle-free. The delta's own driver oracle
+    hashes it against the set-difference of two from-scratch
+    closures, proving minimality (no unchanged row is re-emitted)
+    as well as correctness.
     """
+    if output_mode not in ("full", "delta"):
+        raise ValueError(f"output_mode must be 'full' or 'delta', got {output_mode!r}")
     ep = new_pairs.select(
         F.col(id_a).cast("long").alias("a"),
         F.col(id_b).cast("long").alias("b"),
@@ -978,10 +997,20 @@ def incremental_components(
     remap = connected_components(mapped, "doc_a", "doc_b", max_iter).select(
         F.col("id").alias("old_lbl"), F.col("component_id").alias("new_lbl")
     )
-    hist_out = (
-        hl.join(remap, hl["lbl"] == remap["old_lbl"], "left")
-        .select("id", F.coalesce("new_lbl", "lbl").alias("component_id"))
-    )
+    if output_mode == "delta":
+        # only the touched history rows: components whose label moved
+        hist_out = (
+            hl.join(
+                F.broadcast(remap.filter(F.col("new_lbl") != F.col("old_lbl"))),
+                hl["lbl"] == remap["old_lbl"],
+            )
+            .select("id", F.col("new_lbl").alias("component_id"))
+        )
+    else:
+        hist_out = (
+            hl.join(F.broadcast(remap), hl["lbl"] == remap["old_lbl"], "left")
+            .select("id", F.coalesce("new_lbl", "lbl").alias("component_id"))
+        )
     new_ids = (
         ep.select(F.col("a").alias("id"))
         .union(ep.select(F.col("b").alias("id")))
@@ -989,7 +1018,7 @@ def incremental_components(
         .join(hl.select("id"), "id", "left_anti")
     )
     new_out = (
-        new_ids.join(remap, new_ids["id"] == remap["old_lbl"], "left")
+        new_ids.join(F.broadcast(remap), new_ids["id"] == remap["old_lbl"], "left")
         .select("id", F.coalesce("new_lbl", F.col("id")).alias("component_id"))
     )
     # hl stays persisted: the returned frames consume it again at the

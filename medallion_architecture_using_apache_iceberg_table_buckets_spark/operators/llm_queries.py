@@ -3061,20 +3061,16 @@ def dedup_incremental_probe(spark, sf_dir):
     return D.minhash_lsh_probe(new, hist, threshold=0.5)
 
 
-def dedup_incremental_components(spark, sf_dir):
-    """Incremental dup-GROUP maintenance (dedup.incremental_components):
-    history (doc_id % 4 != 0, plus planted near-dup copies id+300000
-    of docs < 20 so history has real components) is closed once; the
-    NEW batch (doc_id % 4 == 0, plus planted copies id+400000 of
-    history docs < 30) probes history and pairs within itself; the
-    incremental operator then merges the new edges into the existing
-    labeling by contracting closed components to supernodes — never
-    re-closing history. The planted chains make new vertices join
-    existing components AND bridge them (doc 5's history copy 300005
-    and new copy 400005 collapse into one group labeled 5). The
-    oracle is the FULL recompute: the recursive closure over the
-    combined corpus's MinHash pair graph — passing it proves
-    incremental == from-scratch."""
+def _incremental_cc_fixture(spark, sf_dir):
+    """Shared fixture for the incremental-components family: history
+    (doc_id % 4 != 0, plus planted near-dup copies id+300000 of docs
+    < 20 so history has real components) closed once into
+    ``history_labels``; the NEW batch (doc_id % 4 == 0, plus planted
+    copies id+400000 of history docs < 30) probes history and pairs
+    within itself into ``new_edges``. The planted chains make new
+    vertices join existing components AND bridge them (doc 5's
+    history copy 300005 and new copy 400005 collapse into one group
+    labeled 5)."""
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     base_hist = docs.filter(F.col("doc_id") % 4 != 0)
     hist_plants = base_hist.filter(F.col("doc_id") < 20).select(
@@ -3096,9 +3092,38 @@ def dedup_incremental_components(spark, sf_dir):
     new_edges = probe.unionByName(
         D.minhash_lsh_pairs(new, threshold=0.5).select("doc_a", "doc_b")
     )
+    return history_labels, new_edges
+
+
+def dedup_incremental_components(spark, sf_dir):
+    """Incremental dup-GROUP maintenance (dedup.incremental_components
+    over the shared _incremental_cc_fixture): the incremental
+    operator merges the batch's edges into the existing labeling by
+    contracting closed components to supernodes — never re-closing
+    history. The oracle is the FULL recompute: the recursive closure
+    over the combined corpus's MinHash pair graph — passing it
+    proves incremental == from-scratch."""
+    history_labels, new_edges = _incremental_cc_fixture(spark, sf_dir)
     return D.incremental_components(history_labels, new_edges).select(
         F.col("id").alias("doc_id"), "component_id"
     )
+
+
+def dedup_incremental_delta(spark, sf_dir):
+    """The DELTA contract of incremental dup-group maintenance
+    (dedup.incremental_components with output_mode='delta' over the
+    shared _incremental_cc_fixture): emit ONLY the rows a maintained
+    labels table must upsert — history ids whose component label
+    changed plus newly labeled ids — instead of rewriting the whole
+    O(|history|) labeling per micro-batch. The oracle is the
+    set-difference of two from-scratch closures (combined-corpus
+    closure EXCEPT history-only closure), so the value hash proves
+    the delta is exactly the changed+new rows: correct AND minimal
+    (re-emitting even one unchanged history row fails the hash)."""
+    history_labels, new_edges = _incremental_cc_fixture(spark, sf_dir)
+    return D.incremental_components(
+        history_labels, new_edges, output_mode="delta"
+    ).select(F.col("id").alias("doc_id"), "component_id")
 
 
 def corpus_data_card(spark, sf_dir):

@@ -3722,3 +3722,46 @@ def test_incremental_components_untouched_history_kept(spark):
         for r in DD.incremental_components(history_labels, new_pairs).collect()
     }
     assert got == {5: 5, 6: 5, 20: 20, 21: 20, 400: 50, 50: 50}
+
+
+def test_incremental_components_delta_is_minimal_upsert(spark):
+    """Delta output mode must emit exactly full_recompute EXCEPT
+    history_labels: changed history rows + newly labeled ids, and
+    NOTHING for untouched components — so applying it as an upsert
+    over the stored labeling reproduces the full mode."""
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators import (
+        dedup as DD,
+    )
+
+    hist_pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21)], "doc_a long, doc_b long"
+    )
+    history_labels = DD.connected_components(hist_pairs).persist()
+    # bridge {1,2,3} and {10,11} via new vertex 200; {20,21} untouched;
+    # disjoint new-new pair (300, 301)
+    new_pairs = spark.createDataFrame(
+        [(200, 2), (200, 11), (300, 301)], "doc_a long, doc_b long"
+    )
+    delta = {
+        r["id"]: r["component_id"]
+        for r in DD.incremental_components(
+            history_labels, new_pairs, output_mode="delta"
+        ).collect()
+    }
+    # changed: {10,11} relabel to 1; new: 200 joins 1, 300/301 form 300.
+    # NOT present: 1,2,3 (label already 1) and the untouched {20,21}.
+    assert delta == {10: 1, 11: 1, 200: 1, 300: 300, 301: 300}
+    # upsert(delta, history) == full mode == from-scratch closure
+    hist = {r["id"]: r["component_id"] for r in history_labels.collect()}
+    applied = {**hist, **delta}
+    full = {
+        r["id"]: r["component_id"]
+        for r in DD.connected_components(
+            hist_pairs.unionByName(new_pairs)
+        ).collect()
+    }
+    assert applied == full
+    history_labels.unpersist()
+
+    with pytest.raises(ValueError, match="output_mode"):
+        DD.incremental_components(history_labels, new_pairs, output_mode="bogus")

@@ -440,6 +440,9 @@ def test_brute_baselines_are_the_only_all_pairs_plans(spark, sf_dir):
         # closes the history graph once, then the contracted batch
         # graph — two iterative closures (dedup_components class)
         "dedup_incremental_components",
+        # same composition, delta output mode: the history relabel is
+        # an inner join against the broadcast changed-labels remap
+        "dedup_incremental_delta",
         "ann_ivf_topk",
         "curation_end_to_end",
         "ann_recall_at_k",

@@ -261,6 +261,12 @@ QUERIES = {
     # r12: the sampled-history staleness audit — its factor should
     # track the SAMPLE (|hist|/4 + |batch|), not the corpus
     "ann_incremental_ivf_sampled": L.ann_incremental_ivf_sampled,
+    # r12: the delta output contract — same composition as
+    # dedup_incremental_components, but the history-side relabel is
+    # an inner join against the broadcast changed-labels remap, so
+    # the OUTPUT is the touched components only (the full mode
+    # re-emits the entire history labeling per batch)
+    "dedup_incremental_delta": L.dedup_incremental_delta,
 }
 
 # r10 verdict item 2: the ~10 most expensive auto-tuned paths get a
