@@ -92,6 +92,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_incremental_ivf_sampled": L.ann_incremental_ivf_sampled,
         "dedup_incremental_components": L.dedup_incremental_components,
         "dedup_incremental_delta": L.dedup_incremental_delta,
+        "lm_incremental_gram_update": L.lm_incremental_gram_update,
+        "card_incremental_update": L.card_incremental_update,
         "sketch_theta_set_ops": L.sketch_theta_set_ops,
         "sketch_kll_rollup_quantiles": L.sketch_kll_rollup_quantiles,
         "sql_branch_wap": L.sql_branch_wap,
@@ -7272,6 +7274,67 @@ def oracle_sql() -> dict[str, str]:
         # proving the emitted delta is exactly the changed+new rows
         "dedup_incremental_components": _incremental_cc_oracle(),
         "dedup_incremental_delta": _incremental_cc_oracle(delta=True),
+        # incremental LM-count maintenance: combined-corpus counts
+        # semi-joined to the batch's gram set == stored history counts
+        # merged with one batch-only pass (counts are additive) — the
+        # join-to-batch-grams side proves MINIMALITY of the delta
+        "lm_incremental_gram_update": f"""
+            WITH norm_all AS (
+              SELECT string_split({_NORM.format(t='text')}, ' ') AS w
+              FROM documents
+            ),
+            norm_b AS (
+              SELECT string_split({_NORM.format(t='text')}, ' ') AS w
+              FROM documents WHERE doc_id % 4 = 0
+            ),
+            uni_all AS (
+              SELECT w1, CAST(count(*) AS BIGINT) AS cnt
+              FROM (SELECT unnest(w) AS w1 FROM norm_all) GROUP BY w1
+            ),
+            big_all AS (
+              SELECT w1, w2, CAST(count(*) AS BIGINT) AS cnt
+              FROM (SELECT w[i] AS w1, w[i + 1] AS w2
+                    FROM (SELECT w, unnest(range(1, len(w))) AS i
+                          FROM norm_all))
+              GROUP BY w1, w2
+            ),
+            ub AS (
+              SELECT DISTINCT w1
+              FROM (SELECT unnest(w) AS w1 FROM norm_b)
+            ),
+            bb AS (
+              SELECT DISTINCT w1, w2
+              FROM (SELECT w[i] AS w1, w[i + 1] AS w2
+                    FROM (SELECT w, unnest(range(1, len(w))) AS i
+                          FROM norm_b))
+            )
+            SELECT 'uni' AS gram_type, u.w1, '' AS w2, u.cnt
+            FROM uni_all u JOIN ub USING (w1)
+            UNION ALL
+            SELECT 'big' AS gram_type, b.w1, b.w2, b.cnt
+            FROM big_all b JOIN bb USING (w1, w2)
+        """,
+        # incremental data-card maintenance: from-scratch combined
+        # card inner-joined to the batch's slice set == stored history
+        # card merged with the batch's additive stats
+        "card_incremental_update": f"""
+            WITH per AS (
+              SELECT source, lang,
+                     CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                     CAST(sum(len(string_split({_NORM.format(t='text')},
+                           ' '))) AS BIGINT) AS total_tokens
+              FROM documents GROUP BY 1, 2
+            ),
+            touched AS (
+              SELECT DISTINCT source, lang FROM documents
+              WHERE doc_id % 4 = 0 AND source IN ('src0', 'src1', 'src2')
+            )
+            SELECT p.source, p.lang, n_docs, total_chars, total_tokens,
+                   round(CAST(total_tokens AS DOUBLE) / n_docs, 4)
+                     AS avg_tokens
+            FROM per p JOIN touched USING (source, lang)
+        """,
         "corpus_data_card": f"""
             WITH per AS (
               SELECT source, lang,

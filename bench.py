@@ -273,6 +273,11 @@ HEADLINE = {
     # benched next to the full-rewrite mode for the same reason)
     "ann_incremental_ivf_sampled": L.ann_incremental_ivf_sampled,
     "dedup_incremental_delta": L.dedup_incremental_delta,
+    # the statistics members of the incremental family: stored
+    # gram-count table merged by one batch-only pass, and the
+    # maintained per-slice data card (touched-slices-only upsert)
+    "lm_incremental_gram_update": L.lm_incremental_gram_update,
+    "card_incremental_update": L.card_incremental_update,
 }
 
 # Registry entries deliberately NOT benched, each with its reason (the

@@ -3023,6 +3023,66 @@ def text_ngram_lm_score(spark, sf_dir):
     return TX.ngram_lm_scores(_docs(spark, sf_dir))
 
 
+def lm_incremental_gram_update(spark, sf_dir):
+    """Incremental n-gram LM maintenance (text.incremental_gram_counts)
+    — the statistics member of the incremental family: the stored
+    unigram+bigram count table (text.gram_counts over history,
+    doc_id % 4 != 0) is merged with the NEW batch's counts
+    (doc_id % 4 == 0) by one batch-only tokenize pass plus one
+    gram-key equi-join; history text is never re-read. The output is
+    the upsert DELTA — one row per distinct gram of the batch with
+    the merged total — and the oracle is the full recompute over the
+    combined corpus semi-joined to the batch's gram set, so the
+    value hash proves both correctness (merged totals equal
+    from-scratch counts) and minimality (emitting a batch-untouched
+    gram fails the hash)."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    hist = docs.filter(F.col("doc_id") % 4 != 0)
+    batch = docs.filter(F.col("doc_id") % 4 == 0)
+    return TX.incremental_gram_counts(TX.gram_counts(hist), batch)
+
+
+def card_incremental_update(spark, sf_dir):
+    """Incremental corpus data-card maintenance
+    (sampling.incremental_slice_stats): the stored per-(source, lang)
+    additive stats (doc count, char and token totals) over history
+    are merged with a batch that touches only sources src0-src2
+    (doc_id % 4 == 0 there), emitting merged totals for the touched
+    slices ONLY — plus the slice-local derived avg_tokens. The
+    oracle recomputes the combined-corpus card from scratch and
+    inner-joins it to the batch's slice set: a hash match proves the
+    delta is the correct and minimal upsert for the stored card."""
+    docs = _docs(spark, sf_dir)
+    from ..functions.text import words
+
+    in_batch = (F.col("doc_id") % 4 == 0) & F.col("source").isin(
+        "src0", "src1", "src2"
+    )
+    d = docs.select(
+        "source", "lang", "n_chars",
+        F.size(words("text")).alias("n_toks"), in_batch.alias("in_batch"),
+    )
+
+    def slice_stats(frame):
+        return frame.groupBy("source", "lang").agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.sum("n_toks").cast("long").alias("total_tokens"),
+        )
+
+    merged = SA.incremental_slice_stats(
+        slice_stats(d.filter(~F.col("in_batch"))),
+        slice_stats(d.filter(F.col("in_batch"))),
+        keys=["source", "lang"],
+        sums=["n_docs", "total_chars", "total_tokens"],
+    )
+    return merged.select(
+        "source", "lang", "n_docs", "total_chars", "total_tokens",
+        F.round(F.col("total_tokens").cast("double") / F.col("n_docs"), 4)
+        .alias("avg_tokens"),
+    )
+
+
 def dedup_containment_pairs(spark, sf_dir):
     """Asymmetric containment dedup (dedup.containment_pairs): the
     first 20 docs are planted EMBEDDED inside wrapper documents

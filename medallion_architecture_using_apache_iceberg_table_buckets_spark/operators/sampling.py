@@ -574,3 +574,44 @@ def token_budget_selection(
         .filter(F.col("cum_tokens") <= F.col("budget"))
         .select("doc_id", "n_tokens", "cum_tokens")
     )
+
+
+def incremental_slice_stats(
+    history_stats: DataFrame,
+    batch_stats: DataFrame,
+    keys: list[str],
+    sums: list[str],
+) -> DataFrame:
+    """Incremental corpus data-card maintenance — merge a NEW
+    batch's per-slice ADDITIVE statistics (doc counts, token/char
+    totals, …) into the stored per-slice table and emit only the
+    upsert delta: one row per slice PRESENT IN THE BATCH with the
+    merged ``history + batch`` totals. Slices the batch never
+    touched are not re-emitted, so the output applies as a MERGE
+    INTO the stored card instead of rewriting it.
+
+    Only additive columns belong in the stored artifact; derived
+    ratios (avg tokens per doc, corpus shares) are computed at read
+    time from the sums — a share's denominator moves with EVERY
+    batch, so storing it would force a full-card rewrite and break
+    the delta contract this operator exists to provide.
+
+    Plan shape (100 TB): the stored card is slice-count-sized (tiny),
+    the batch aggregation is one map-side-combined groupBy over the
+    batch only, and the merge is a broadcast-sized equi-join on the
+    slice key — history text is never touched.
+    """
+    if not sums:
+        raise ValueError("sums must be non-empty")
+    h = history_stats.select(
+        *keys, *[F.col(c).alias(f"_h_{c}") for c in sums]
+    )
+    return batch_stats.join(h, keys, "left").select(
+        *keys,
+        *[
+            (F.coalesce(f"_h_{c}", F.lit(0)) + F.col(c))
+            .cast("long")
+            .alias(c)
+            for c in sums
+        ],
+    )

@@ -706,6 +706,98 @@ def ngram_surprisal_stream(
     )
 
 
+def gram_counts(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The stored count artifact an add-one bigram LM is built from:
+    one row per distinct unigram and bigram of the corpus —
+    ``(gram_type 'uni'|'big', w1, w2, cnt)`` with ``w2 = ''`` for
+    unigrams so the gram key is never null (a maintained table
+    merges on it; null keys don't equi-join). The token and bigram
+    streams are exactly :func:`ngram_surprisal_stream`'s, so counts
+    produced here reproduce that LM's probabilities (vocab size V =
+    the table's 'uni' row count).
+
+    Plan shape: unigram and bigram occurrences explode from ONE
+    projection into one map-side-combined groupBy — a single corpus
+    scan and a single shuffle (a union of per-type groupBys would
+    scan and tokenize the corpus once per gram order); output is
+    Zipf-bounded (distinct grams), never corpus-sized.
+    """
+    toked = df.select(F.col(id_col).alias("doc_id"), words(text_col).alias("_w"))
+    w = F.col("_w")
+    gram_struct = "array<struct<gram_type:string,w1:string,w2:string>>"
+    unis = F.transform(
+        w,
+        lambda t: F.struct(
+            F.lit("uni").alias("gram_type"),
+            t.alias("w1"),
+            F.lit("").alias("w2"),
+        ),
+    )
+    bigs = F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - F.lit(1)),
+            lambda i: F.struct(
+                F.lit("big").alias("gram_type"),
+                F.element_at(w, i).alias("w1"),
+                F.element_at(w, i + F.lit(1)).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast(gram_struct))
+    return (
+        toked.select(F.explode(F.concat(unis, bigs)).alias("g"))
+        .groupBy(
+            F.col("g.gram_type").alias("gram_type"),
+            F.col("g.w1").alias("w1"),
+            F.col("g.w2").alias("w2"),
+        )
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def incremental_gram_counts(
+    history_counts: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental n-gram LM maintenance — the statistics member of
+    the incremental family (next to ``minhash_lsh_probe`` /
+    ``incremental_components`` / ``ivf_incremental_assign``): merge
+    a NEW batch's gram counts into the stored count table WITHOUT
+    re-reading the historical corpus, and emit only the upsert
+    delta.
+
+    ``history_counts`` is a stored :func:`gram_counts` table. The
+    output has one row per distinct gram OF THE BATCH with the
+    merged total ``history + batch`` — exactly the row set a MERGE
+    INTO the stored table needs (grams absent from the batch are
+    untouched and not re-emitted). Counts are additive, so delta +
+    stored history == full recompute over the combined corpus; the
+    driver oracle hashes the delta against the combined-corpus
+    counts semi-joined to the batch's gram set, proving correctness
+    and minimality in one check.
+
+    Plan shape (100 TB): one tokenize + count pass over the BATCH
+    only, then one equi-join against the stored table on the gram
+    key — both sides Zipf-bounded; history text is never touched.
+    """
+    batch_counts = gram_counts(batch, text_col, id_col).withColumnRenamed(
+        "cnt", "b_cnt"
+    )
+    hist = history_counts.withColumnRenamed("cnt", "h_cnt")
+    return batch_counts.join(hist, ["gram_type", "w1", "w2"], "left").select(
+        "gram_type",
+        "w1",
+        "w2",
+        (F.coalesce("h_cnt", F.lit(0)) + F.col("b_cnt"))
+        .cast("long")
+        .alias("cnt"),
+    )
+
+
 def ngram_lm_scores(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -3765,3 +3765,72 @@ def test_incremental_components_delta_is_minimal_upsert(spark):
 
     with pytest.raises(ValueError, match="output_mode"):
         DD.incremental_components(history_labels, new_pairs, output_mode="bogus")
+
+
+def test_incremental_gram_counts_is_minimal_merged_delta(spark):
+    """The gram-count delta must cover exactly the batch's distinct
+    grams, carry history+batch merged totals, and never re-emit a
+    batch-untouched gram."""
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators import (
+        text as TXX,
+    )
+
+    schema = "doc_id long, text string"
+    hist = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the dog sat")], schema
+    )
+    batch = spark.createDataFrame([(10, "the cat ran")], schema)
+    delta = {
+        (r["gram_type"], r["w1"], r["w2"]): r["cnt"]
+        for r in TXX.incremental_gram_counts(
+            TXX.gram_counts(hist), batch
+        ).collect()
+    }
+    assert delta == {
+        # unigrams of the batch, merged with history counts
+        ("uni", "the", ""): 3,   # 2 hist + 1 batch
+        ("uni", "cat", ""): 2,   # 1 + 1
+        ("uni", "ran", ""): 1,   # new gram
+        # bigrams of the batch
+        ("big", "the", "cat"): 2,
+        ("big", "cat", "ran"): 1,
+    }
+    # batch-untouched grams (dog, sat, 'dog sat', ...) never re-emitted
+    assert not any(w1 in ("dog", "sat") for (_, w1, _w2) in delta)
+    # applying the delta over the stored table reproduces the full
+    # recompute (counts are additive)
+    stored = {
+        (r["gram_type"], r["w1"], r["w2"]): r["cnt"]
+        for r in TXX.gram_counts(hist).collect()
+    }
+    full = {
+        (r["gram_type"], r["w1"], r["w2"]): r["cnt"]
+        for r in TXX.gram_counts(hist.unionByName(batch)).collect()
+    }
+    assert {**stored, **delta} == full
+
+
+def test_incremental_slice_stats_touched_slices_only(spark):
+    """Slice-stats merge: only slices present in the batch come back,
+    with history+batch additive totals (history-absent slices start
+    from zero)."""
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators import (
+        sampling as SAA,
+    )
+
+    schema = "source string, n_docs long, total_tokens long"
+    hist = spark.createDataFrame(
+        [("a", 10, 1000), ("b", 5, 500)], schema
+    )
+    batch = spark.createDataFrame(
+        [("a", 2, 150), ("c", 3, 90)], schema
+    )
+    got = {
+        r["source"]: (r["n_docs"], r["total_tokens"])
+        for r in SAA.incremental_slice_stats(
+            hist, batch, keys=["source"], sums=["n_docs", "total_tokens"]
+        ).collect()
+    }
+    assert got == {"a": (12, 1150), "c": (3, 90)}  # 'b' untouched, absent
+    with pytest.raises(ValueError, match="sums"):
+        SAA.incremental_slice_stats(hist, batch, keys=["source"], sums=[])

@@ -267,6 +267,10 @@ QUERIES = {
     # the OUTPUT is the touched components only (the full mode
     # re-emits the entire history labeling per batch)
     "dedup_incremental_delta": L.dedup_incremental_delta,
+    # r12: incremental LM-count maintenance — the measured factor
+    # prices the whole composition (stored-table build included);
+    # the merge step itself is batch-tokenize + one gram-key join
+    "lm_incremental_gram_update": L.lm_incremental_gram_update,
 }
 
 # r10 verdict item 2: the ~10 most expensive auto-tuned paths get a
