@@ -56,44 +56,79 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # row on recent code; rotated-out entries stay covered by the full
     # local mirror (tools/check_oracles.py) and pytest.
     return {
-        # ======== round-11 driver window (positions 1-50) ========
-        # Goal (r10 verdict item 1): retire the 36-entry r06-vintage
-        # driver-row debt — after this round no entry's most recent
-        # driver row is older than r07, and the r12 window finishes
-        # the backlog with the remaining r07-vintage entries.
-        #   1-2   = the round-11 additions (never driver-checked):
-        #           incremental IVF index maintenance (new-batch
-        #           assignment to stale centroids + drift audit) and
-        #           incremental dup-group components (contract closed
-        #           components to supernodes, close only the batch's
-        #           edge graph; oracle = the full recompute);
-        #   3-16  = the 14 entries displaced past position 50 by the
-        #           r10 third-window insertions (last driver row r06:
-        #           sketch_theta_set_ops .. ann_pq_topk);
-        #   17-38 = the 22 remaining r06-vintage tail leads
-        #           (type_promotion_scan .. dedup_ngram_jaccard_pairs);
-        #   39-50 = the 12 oldest r07-vintage entries
-        #           (multimodal_decode_png .. curation_ccnet_buckets;
-        #           decontaminate_semantic was displaced to the tail
-        #           head and leads the r12 window).
+        # r12 window (positions 1-50), per the r11 verdict item 1 —
+        # this finishes the rotation backlog for good:
+        #   1-4   = the four entries with no driver row yet (added
+        #           after the r11 driver ran): sampled IVF staleness
+        #           audit, delta-output incremental components, and
+        #           the two r12 incremental-statistics members
+        #           (LM gram-count merge, data-card slice upsert);
+        #   5-42  = ALL 38 remaining r07-vintage entries in tail
+        #           order (decontaminate_semantic ..
+        #           join_broadcast_brand_stats) — after this round no
+        #           entry's latest driver row is older than r08;
+        #   43-50 = the 8 oldest r08-vintage entries
+        #           (metadata_agg_mor_count .. text_phrase_retrieval).
         #
-        # r12 window plan (execute at round-12 start, AFTER
-        # re-counting against CORRECTNESS_r11 and the r11 verdict):
-        #   1-N  = round-12 additions as they land;
-        #   then = any r11-window entry that did NOT land green in
-        #          CORRECTNESS_r11 (expected none);
-        #   rest = the remaining r07-vintage entries in tail order
-        #          (decontaminate_semantic, multimodal_audio_features
-        #          .. join_broadcast_brand_stats — 38 of them), then
-        #          the oldest r08-vintage (metadata_agg_mor_count ..).
-        # Re-count positions so the window is exactly 50; keep
-        # inserting new queries right after the newest NEW block.
-        "ann_incremental_ivf_append": L.ann_incremental_ivf_append,
+        # r13 window plan: new r13 additions first, then any r12
+        # window entry that did not land green in CORRECTNESS_r12
+        # (expected none), then the remaining 42 r08-vintage entries
+        # in registry order (metadata_ndv_sketch,
+        # maintenance_rewrite_posdeletes, events_funnel, ...), then
+        # the oldest r09-vintage. Keep inserting new queries right
+        # after position 0 and re-count so the window is exactly 50.
         "ann_incremental_ivf_sampled": L.ann_incremental_ivf_sampled,
-        "dedup_incremental_components": L.dedup_incremental_components,
         "dedup_incremental_delta": L.dedup_incremental_delta,
         "lm_incremental_gram_update": L.lm_incremental_gram_update,
         "card_incremental_update": L.card_incremental_update,
+        "decontaminate_semantic": L.decontaminate_semantic,
+        "multimodal_audio_features": L.multimodal_audio_features,
+        "multimodal_video_motion": L.multimodal_video_motion,
+        "sample_epoch_shuffle": L.sample_epoch_shuffle,
+        "tokenizer_unigram_vocab": L.tokenizer_unigram_vocab,
+        "tokenizer_unigram_encode": L.tokenizer_unigram_encode,
+        "tokenizer_wordpiece_vocab": L.tokenizer_wordpiece_vocab,
+        "tokenizer_wordpiece_encode": L.tokenizer_wordpiece_encode,
+        "sample_doremi_mixture": L.sample_doremi_mixture,
+        "curation_nb_classifier": L.curation_nb_classifier,
+        "text_cdc_chunks": L.text_cdc_chunks,
+        "dedup_cdc_chunk_pairs": L.dedup_cdc_chunk_pairs,
+        "dedup_keep_best_quality": L.dedup_keep_best_quality,
+        "metadata_agg_pushdown": L.metadata_agg_pushdown,
+        "dedup_minhash_lsh_pairs": L.dedup_minhash_lsh_pairs,
+        "dedup_simhash_pairs": L.dedup_simhash_pairs,
+        "dedup_keep_list": L.dedup_keep_list,
+        "dedup_embedding_lsh_pairs": L.dedup_embedding_lsh_pairs,
+        "ann_bruteforce_topk": L.ann_bruteforce_topk,
+        "ann_lsh_topk": L.ann_lsh_topk,
+        "ann_ivf_topk": L.ann_ivf_topk,
+        "medallion_merge_state": R.medallion_merge_state,
+        "medallion_gold_mart": L.medallion_gold_mart,
+        "sql_dispatch_pipeline": L.sql_dispatch_pipeline,
+        "catalog_history_metadata": R.catalog_history_metadata,
+        "w1_latest_per_key": R.w1_latest_per_key,
+        "window_running_totals": R.window_running_totals,
+        "window_moving_avg": R.window_moving_avg,
+        "o1_topk_latest": R.o1_topk_latest,
+        "q1_pricing_summary": R.q1_pricing_summary,
+        "q3_shipping_priority": R.q3_shipping_priority,
+        "q5_region_revenue": R.q5_region_revenue,
+        "q7_volume_shipping": R.q7_volume_shipping,
+        "q10_returned_items": R.q10_returned_items,
+        "q18_large_orders": R.q18_large_orders,
+        "join_semi_big_spenders": R.join_semi_big_spenders,
+        "join_anti_never_ordered": R.join_anti_never_ordered,
+        "join_broadcast_brand_stats": R.join_broadcast_brand_stats,
+        "metadata_agg_mor_count": L.metadata_agg_mor_count,
+        "multimodal_decode_png_palette": L.multimodal_decode_png_palette,
+        "text_sparse_retrieval_topk": L.text_sparse_retrieval_topk,
+        "sample_dsir_selection": L.sample_dsir_selection,
+        "text_kn_lm_score": L.text_kn_lm_score,
+        "multimodal_decode_gif": L.multimodal_decode_gif,
+        "multimodal_decode_mulaw": L.multimodal_decode_mulaw,
+        "text_phrase_retrieval": L.text_phrase_retrieval,
+        "ann_incremental_ivf_append": L.ann_incremental_ivf_append,
+        "dedup_incremental_components": L.dedup_incremental_components,
         "sketch_theta_set_ops": L.sketch_theta_set_ops,
         "sketch_kll_rollup_quantiles": L.sketch_kll_rollup_quantiles,
         "sql_branch_wap": L.sql_branch_wap,
@@ -142,60 +177,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode_jpeg": L.multimodal_decode_jpeg,
         "ann_ivfsq_topk": L.ann_ivfsq_topk,
         "curation_ccnet_buckets": L.curation_ccnet_buckets,
-        # ============ tail (51+) ============
-        # decontaminate_semantic was displaced from position 50 by
-        # the second r11 addition — it leads the r12 window
-        "decontaminate_semantic": L.decontaminate_semantic,
-        # refresh-age order so future rotations read off the front:
-        # the 37 remaining r07-vintage entries lead (next in line for
-        # r12 — multimodal_audio_features .. join_broadcast_brand_stats),
-        # then the r08-vintage block, the r09-refreshed block, and the
-        # 50 entries driver-checked in r10 (freshest) last.
-        "multimodal_audio_features": L.multimodal_audio_features,
-        "multimodal_video_motion": L.multimodal_video_motion,
-        "sample_epoch_shuffle": L.sample_epoch_shuffle,
-        "tokenizer_unigram_vocab": L.tokenizer_unigram_vocab,
-        "tokenizer_unigram_encode": L.tokenizer_unigram_encode,
-        "tokenizer_wordpiece_vocab": L.tokenizer_wordpiece_vocab,
-        "tokenizer_wordpiece_encode": L.tokenizer_wordpiece_encode,
-        "sample_doremi_mixture": L.sample_doremi_mixture,
-        "curation_nb_classifier": L.curation_nb_classifier,
-        "text_cdc_chunks": L.text_cdc_chunks,
-        "dedup_cdc_chunk_pairs": L.dedup_cdc_chunk_pairs,
-        "dedup_keep_best_quality": L.dedup_keep_best_quality,
-        "metadata_agg_pushdown": L.metadata_agg_pushdown,
-        "dedup_minhash_lsh_pairs": L.dedup_minhash_lsh_pairs,
-        "dedup_simhash_pairs": L.dedup_simhash_pairs,
-        "dedup_keep_list": L.dedup_keep_list,
-        "dedup_embedding_lsh_pairs": L.dedup_embedding_lsh_pairs,
-        "ann_bruteforce_topk": L.ann_bruteforce_topk,
-        "ann_lsh_topk": L.ann_lsh_topk,
-        "ann_ivf_topk": L.ann_ivf_topk,
-        "medallion_merge_state": R.medallion_merge_state,
-        "medallion_gold_mart": L.medallion_gold_mart,
-        "sql_dispatch_pipeline": L.sql_dispatch_pipeline,
-        "catalog_history_metadata": R.catalog_history_metadata,
-        "w1_latest_per_key": R.w1_latest_per_key,
-        "window_running_totals": R.window_running_totals,
-        "window_moving_avg": R.window_moving_avg,
-        "o1_topk_latest": R.o1_topk_latest,
-        "q1_pricing_summary": R.q1_pricing_summary,
-        "q3_shipping_priority": R.q3_shipping_priority,
-        "q5_region_revenue": R.q5_region_revenue,
-        "q7_volume_shipping": R.q7_volume_shipping,
-        "q10_returned_items": R.q10_returned_items,
-        "q18_large_orders": R.q18_large_orders,
-        "join_semi_big_spenders": R.join_semi_big_spenders,
-        "join_anti_never_ordered": R.join_anti_never_ordered,
-        "join_broadcast_brand_stats": R.join_broadcast_brand_stats,
-        "metadata_agg_mor_count": L.metadata_agg_mor_count,
-        "multimodal_decode_png_palette": L.multimodal_decode_png_palette,
-        "text_sparse_retrieval_topk": L.text_sparse_retrieval_topk,
-        "sample_dsir_selection": L.sample_dsir_selection,
-        "text_kn_lm_score": L.text_kn_lm_score,
-        "multimodal_decode_gif": L.multimodal_decode_gif,
-        "multimodal_decode_mulaw": L.multimodal_decode_mulaw,
-        "text_phrase_retrieval": L.text_phrase_retrieval,
         "metadata_ndv_sketch": L.metadata_ndv_sketch,
         "maintenance_rewrite_posdeletes": L.maintenance_rewrite_posdeletes,
         "events_funnel": R.events_funnel,
