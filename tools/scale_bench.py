@@ -40,6 +40,19 @@ COPIES = 10
 # text paths, which never touch the TPC-H tables
 DST100 = os.environ.get("SPARK_GRAFT_SCALE100_DIR", "/tmp/mats_sf10")
 COPIES100 = 100
+# the 1000x THIRD decade (r11 verdict item 6): documents ONLY. The
+# three decade-3 rows are the posting-stream/text paths whose >=8x
+# chain factors read as linear-per-decade; a third decade either
+# confirms the linear profile or exposes the bend. Embeddings are
+# deliberately ABSENT at this scale: the perturbation family that
+# preserves within-copy cosine exactly (64 circular shifts x optional
+# reversal) has only 128 distinct members, so past 128 copies two
+# copies would share a transform and form true cross-copy near-dup
+# cliques — the fixture bound that makes a 1000x embedding replica
+# set unconstructible with per-copy perturbation (this is why no
+# embedding-path row is chained past 100x).
+DST1000 = os.environ.get("SPARK_GRAFT_SCALE1000_DIR", "/tmp/mats_sf100")
+COPIES1000 = 1000
 
 # The heaviest / most representative headline queries (r4 verdict's
 # plan-audit list + the big TPC-H joins + the new r5 ops).
@@ -310,6 +323,21 @@ CHAIN = {
     # REGIME LIMIT note; the data-adaptive candidate generator for
     # such distributions is semantic_dedup's IVF clustering, whose
     # auto-k row IS chained.
+}
+
+# r11 verdict item 6: the chain rows whose 100x factors were >=8x with
+# linear-per-decade notes get a THIRD decade (1000x documents) to close
+# the posting-stream-linearity argument by measurement. Gated behind
+# SPARK_GRAFT_DECADE3=1 — the sf100 corpus build plus three single
+# timed runs cost ~1h, so they only run when explicitly requested
+# (per-name merges of other rows must not pay for them). The other
+# >=8x chain rows are embedding-path (semantic_auto) or compose pair
+# emitters whose output grows with data; the documents-only fixture
+# bound (see DST1000 comment) keeps them at two decades.
+CHAIN1000 = {
+    "text_bm25_topk",
+    "text_sparse_retrieval_topk",
+    "dedup_exact_substr_apply",
 }
 
 
@@ -589,6 +617,77 @@ def build_scaled_dir100() -> None:
         spark.stop()
 
 
+def build_scaled_dir1000() -> None:
+    """1000x third decade: documents ONLY (see the DST1000 comment for
+    why embeddings cannot be replicated this far). Perturbation is the
+    sf10 rule — a per-copy marker token after every 2nd word puts a
+    marker inside EVERY word-trigram window, so cross-copy trigram
+    overlap is zero for all 1000 distinct markers while within-copy
+    relations are preserved exactly (one rewrite per copy).
+
+    Construction differs from the 10x/100x builders: a 1000-way
+    unionByName would be a 1000-leaf plan (minutes of planning alone),
+    so the copies come from ONE crossJoin against a broadcast
+    ``spark.range(copies)`` frame with the copy index as a COLUMN —
+    the marker is computed per-row from that column, producing the
+    exact same text the per-copy-literal rewrite would. Copy 0 stays
+    byte-identical to the source corpus, matching the other builders.
+    """
+    from pyspark.sql import functions as F
+
+    if os.path.isdir(DST1000) and os.path.exists(f"{DST1000}/_DONE"):
+        return
+    shutil.rmtree(DST1000, ignore_errors=True)
+    os.makedirs(DST1000, exist_ok=True)
+    from pyspark.sql import SparkSession
+
+    active = SparkSession.getActiveSession()
+    spark = active or mats.get_spark(app_name="mats-scale-gen-1000")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    base = spark.read.parquet(f"{SRC}/documents.parquet")
+    copies = spark.range(COPIES1000).select(
+        F.col("id").cast("int").alias("_copy")
+    )
+    d = base.crossJoin(F.broadcast(copies)).withColumn(
+        # shift BEFORE the text rewrite so the per-doc tail token
+        # carries the shifted id, exactly like _copies + doc_extra
+        "doc_id",
+        F.col("doc_id") + F.col("_copy").cast("long") * 10**6,
+    )
+    marker = F.concat(F.lit("cvar"), F.col("_copy"), F.lit("x"))
+    toks = F.split(F.col("text"), " ")
+    with_markers = F.zip_with(
+        toks,
+        F.sequence(F.lit(0), F.size(toks) - F.lit(1)),
+        lambda w, idx: F.when(
+            idx % 2 == 1, F.concat_ws(" ", w, marker)
+        ).otherwise(w),
+    )
+    out = (
+        d.withColumn(
+            "text",
+            F.when(F.col("_copy") == 0, F.col("text")).otherwise(
+                F.concat(
+                    F.array_join(with_markers, " "),
+                    F.lit(" copyvariant"),
+                    F.col("_copy"),
+                    F.lit(" doc"),
+                    F.col("doc_id").cast("string"),
+                )
+            ),
+        )
+        .drop("_copy")
+        # spread the 5M generated rows across real parquet files so
+        # downstream scans parallelize like a real 1000x corpus would
+        .repartition(64)
+    )
+    out.write.mode("overwrite").parquet(f"{DST1000}/documents.parquet")
+    open(f"{DST1000}/_DONE", "w").write("ok")
+    if active is None:
+        spark.stop()
+
+
 def main() -> None:
     build_scaled_dir()
     spark = mats.get_spark(app_name="mats-scale-bench")
@@ -680,6 +779,47 @@ def main() -> None:
         "dedup_embedding_lsh_pairs_auto": None,  # _auto_planes sizing
     }
 
+    # r11-verdict item 4: semantic dedup's ~n^1.5 design point,
+    # MEASURED instead of asserted. The two cost terms _auto_centroids
+    # balances are counted at each scale from the ACTUAL clustering:
+    # nk = n * k scalar-product scores of the broadcast-centroid
+    # assignment pass, icpairs = sum over clusters of c*(c-1)/2 (the
+    # in-cluster pair join's exact cardinality, from the measured
+    # occupancy histogram — not the uniform n^2/k idealization). The
+    # chained row then reads runtime against work_factor100: with k ~
+    # sqrt(n/2) both terms grow ~n^1.5 (~1000x work at 100x data), so
+    # a runtime factor FAR below the work factor (falling
+    # sec-per-M-work) certifies the envelope holds with per-unit cost
+    # amortizing, while a runtime factor above it would flag a plan
+    # defect no data-only factor could localize.
+    def _semantic_work(spark, sf_dir):
+        from pyspark.sql import functions as F
+        from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators import (
+            dedup as D,
+        )
+        from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators.similarity import (
+            ivf_assign, ivf_centroids,
+        )
+
+        emb = R.load(spark, sf_dir, "embeddings")
+        n = emb.count()
+        k = D._auto_centroids(emb, n_rows=n)
+        cents = ivf_centroids(
+            emb, k, vec_col="embedding", id_col="vec_id", dim=64,
+            nk_hint=n * k,
+        )
+        assigned = ivf_assign(
+            emb, cents, vec_col="embedding", id_col="vec_id", dim=64,
+            nk_hint=n * k,
+        )
+        occ = assigned.groupBy("centroid_id").count()
+        icpairs = occ.select(
+            F.sum(F.col("count") * (F.col("count") - 1) / 2)
+        ).first()[0]
+        return {"n": n, "k": k, "nk": n * k, "icpairs": int(icpairs)}
+
+    WORK_TRACKED = {"dedup_semantic_auto"}
+
     # per-row explanations for factors the r6 rule flags (>5x must
     # name what grows) — attached to the emitted record so the
     # artifact is self-explaining without PLANS.md in hand
@@ -707,6 +847,16 @@ def main() -> None:
             "12.7x — every stage is <=linear in ITS row growth, so "
             "the end-to-end factor is sublinear in data; no single "
             "stage grows superlinearly"
+        ),
+        "dedup_semantic_auto": (
+            "read runtime against the MEASURED work columns: work = "
+            "nk (broadcast-assignment scores) + icpairs (exact "
+            "in-cluster pair cardinality from the occupancy "
+            "histogram). k ~ sqrt(n/2) makes both terms ~n^1.5, so "
+            "work_factor100 ~ 1000x at 100x data by design; a "
+            "runtime factor far below it (falling sec_per_M_work) "
+            "means the envelope holds and per-unit cost amortizes "
+            "— the n^1.5 design point is priced, not asserted"
         ),
         "dedup_semantic_pinned16": (
             "pinned k=16 is the quadratic CONTRAST row: cluster "
@@ -886,6 +1036,16 @@ def main() -> None:
                 rec[f"sec_per_M_cands_{label}"] = round(
                     rec[label] / (cands / 1e6), 3
                 )
+            if name in WORK_TRACKED:
+                wm = _semantic_work(spark, sf_dir)
+                rec[f"k_{label}"] = wm["k"]
+                rec[f"nk_{label}"] = wm["nk"]
+                rec[f"icpairs_{label}"] = wm["icpairs"]
+                work = wm["nk"] + wm["icpairs"]
+                rec[f"work_{label}"] = work
+                rec[f"sec_per_M_work_{label}"] = round(
+                    rec[label] / (work / 1e6), 4
+                )
         rec["factor"] = round(rec["sf1"] / rec["sf0.1"], 2)
         if name in CHAIN:
             # second decade: one timed run (decade evidence, not a
@@ -900,6 +1060,29 @@ def main() -> None:
             rec["chain_factor"] = round(rec["sf10"] / rec["sf1"], 2)
             if name in OUTPUT_TRACKED:
                 rec["rows_sf10"] = fn(spark, DST100).count()
+            if name in WORK_TRACKED:
+                wm = _semantic_work(spark, DST100)
+                rec["k_sf10"] = wm["k"]
+                rec["nk_sf10"] = wm["nk"]
+                rec["icpairs_sf10"] = wm["icpairs"]
+                work = wm["nk"] + wm["icpairs"]
+                rec["work_sf10"] = work
+                rec["sec_per_M_work_sf10"] = round(
+                    rec["sf10"] / (work / 1e6), 4
+                )
+        if name in CHAIN1000 and os.environ.get("SPARK_GRAFT_DECADE3") == "1":
+            # third decade: single timed run at 1000x documents;
+            # decade3_factor (sf100/sf10) is the per-decade growth the
+            # linearity claim predicts stays ~10x
+            build_scaled_dir1000()
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            force(fn(spark, DST1000))
+            rec["sf100"] = round(time.perf_counter() - t0, 3)
+            rec["factor1000"] = round(rec["sf100"] / rec["sf0.1"], 2)
+            rec["decade3_factor"] = round(rec["sf100"] / rec["sf10"], 2)
+            if name in OUTPUT_TRACKED:
+                rec["rows_sf100"] = fn(spark, DST1000).count()
         if "rows_sf0.1" in rec and rec["rows_sf0.1"]:
             rec["rows_factor"] = round(rec["rows_sf1"] / rec["rows_sf0.1"], 2)
             if "rows_sf10" in rec:
@@ -913,6 +1096,15 @@ def main() -> None:
             rec["unit_cost_factor"] = round(
                 rec["sec_per_M_cands_sf1"] / rec["sec_per_M_cands_sf0.1"], 2
             )
+        if "work_sf0.1" in rec:
+            rec["work_factor"] = round(rec["work_sf1"] / rec["work_sf0.1"], 2)
+            rec["unit_cost_work_factor"] = round(
+                rec["sec_per_M_work_sf1"] / rec["sec_per_M_work_sf0.1"], 3
+            )
+            if "work_sf10" in rec:
+                rec["work_factor100"] = round(
+                    rec["work_sf10"] / rec["work_sf0.1"], 2
+                )
         times[name] = rec
         print(f"# {name}: {rec}", file=sys.stderr)
 
