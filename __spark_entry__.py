@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # maintenance_rewrite_posdeletes, events_funnel, ...), then
         # the oldest r09-vintage. Keep inserting new queries right
         # after position 0 and re-count so the window is exactly 50.
+        "retrieval_incremental_bm25": L.retrieval_incremental_bm25,
         "ann_incremental_ivf_sampled": L.ann_incremental_ivf_sampled,
         "dedup_incremental_delta": L.dedup_incremental_delta,
         "lm_incremental_gram_update": L.lm_incremental_gram_update,
@@ -7255,6 +7256,16 @@ def oracle_sql() -> dict[str, str]:
         # proving the emitted delta is exactly the changed+new rows
         "dedup_incremental_components": _incremental_cc_oracle(),
         "dedup_incremental_delta": _incremental_cc_oracle(delta=True),
+        # BM25 from the incrementally maintained index: the oracle is
+        # the FULL-corpus recompute (text_bm25_topk's oracle verbatim)
+        # — hash equality proves appended-index + additively merged
+        # stats serve queries exactly like a from-scratch build
+        "retrieval_incremental_bm25": _bm25_scored_sql() + """
+            SELECT doc_id, bm25, n_matched_terms
+            FROM scored
+            ORDER BY bm25 DESC, doc_id ASC
+            LIMIT 15
+        """,
         # incremental LM-count maintenance: combined-corpus counts
         # semi-joined to the batch's gram set == stored history counts
         # merged with one batch-only pass (counts are additive) — the

@@ -278,6 +278,9 @@ HEADLINE = {
     # maintained per-slice data card (touched-slices-only upsert)
     "lm_incremental_gram_update": L.lm_incremental_gram_update,
     "card_incremental_update": L.card_incremental_update,
+    # the retrieval member: BM25 answered from the maintained
+    # (appended per-doc index + additively merged stats) artifacts
+    "retrieval_incremental_bm25": L.retrieval_incremental_bm25,
 }
 
 # Registry entries deliberately NOT benched, each with its reason (the

@@ -3083,6 +3083,26 @@ def card_incremental_update(spark, sf_dir):
     )
 
 
+def retrieval_incremental_bm25(spark, sf_dir):
+    """BM25 served from the incrementally maintained index
+    (text.bm25_topk_incremental) — the retrieval member of the
+    incremental family: the stored per-doc index over history
+    (doc_id % 4 != 0) is appended with the NEW batch's rows
+    (doc_id % 4 == 0, one batch-only tokenize pass) and the 1-row
+    corpus stats merge additively; scoring runs the byte-identical
+    bm25_topk arithmetic over the maintained artifacts. The oracle is
+    the FULL-corpus BM25 recompute (the text_bm25_topk oracle
+    verbatim), so the value hash proves the maintained index answers
+    queries exactly like a from-scratch build — the equivalence that
+    makes incremental maintenance trustworthy at 100 TB."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    hist = docs.filter(F.col("doc_id") % 4 != 0)
+    batch = docs.filter(F.col("doc_id") % 4 == 0)
+    return TX.bm25_topk_incremental(
+        hist, batch, ["hash", "join", "vector"], k=15
+    )
+
+
 def dedup_containment_pairs(spark, sf_dir):
     """Asymmetric containment dedup (dedup.containment_pairs): the
     first 20 docs are planted EMBEDDED inside wrapper documents

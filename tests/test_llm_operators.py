@@ -3834,3 +3834,40 @@ def test_incremental_slice_stats_touched_slices_only(spark):
     assert got == {"a": (12, 1150), "c": (3, 90)}  # 'b' untouched, absent
     with pytest.raises(ValueError, match="sums"):
         SAA.incremental_slice_stats(hist, batch, keys=["source"], sums=[])
+
+
+def test_bm25_incremental_equals_full_rebuild(spark):
+    """The maintained-index BM25 (appended per-doc rows + additively
+    merged 1-row stats) must equal bm25_topk over the combined corpus
+    exactly — scores, match counts, and ordering."""
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators import (
+        text as TXX,
+    )
+
+    schema = "doc_id long, text string"
+    hist = spark.createDataFrame(
+        [
+            (1, "hash join beats nested loop"),
+            (2, "vector search with hash buckets"),
+            (3, "sort merge join strategies"),
+            (5, "plain prose with no query words"),
+        ],
+        schema,
+    )
+    batch = spark.createDataFrame(
+        [(4, "hash hash hash everywhere"), (8, "vector join hash")], schema
+    )
+    terms = ["hash", "join", "vector"]
+    inc = TXX.bm25_topk_incremental(hist, batch, terms, k=10).collect()
+    full = TXX.bm25_topk(hist.unionByName(batch), terms, k=10).collect()
+    assert [tuple(r) for r in inc] == [tuple(r) for r in full]
+    assert len(inc) == 5  # doc 5 matches nothing
+    # the batch changed history scores too (df/N/avgdl moved): the
+    # equality above therefore proves the STATS merge is right, not
+    # just the appended rows
+    hist_only = TXX.bm25_topk(hist, terms, k=10).collect()
+    assert {r["doc_id"]: r["bm25"] for r in hist_only} != {
+        r["doc_id"]: r["bm25"] for r in inc if r["doc_id"] in (1, 2, 3)
+    }
+    with pytest.raises(ValueError, match="query_terms"):
+        TXX.bm25_topk_incremental(hist, batch, [])
