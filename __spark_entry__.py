@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # maintenance_rewrite_posdeletes, events_funnel, ...), then
         # the oldest r09-vintage. Keep inserting new queries right
         # after position 0 and re-count so the window is exactly 50.
+        "mine_bitext_margin": L.mine_bitext_margin,
         "retrieval_incremental_bm25": L.retrieval_incremental_bm25,
         "ann_incremental_ivf_sampled": L.ann_incremental_ivf_sampled,
         "dedup_incremental_delta": L.dedup_incremental_delta,
@@ -7256,6 +7257,56 @@ def oracle_sql() -> dict[str, str]:
         # proving the emitted delta is exactly the changed+new rows
         "dedup_incremental_components": _incremental_cc_oracle(),
         "dedup_incremental_delta": _incremental_cc_oracle(delta=True),
+        # LASER-style margin mining: micro-unit BIGINT cosines make
+        # the two neighborhood sums order-free and engine-exact; the
+        # margin is one integer ratio -> one IEEE division + round
+        "mine_bitext_margin": """
+            WITH a AS (
+              SELECT vec_id AS query_id, embedding FROM embeddings
+              WHERE vec_id % 2 = 0 AND vec_id < 20
+            ),
+            b AS (
+              SELECT vec_id AS match_id, embedding FROM embeddings
+              WHERE vec_id % 2 = 1
+            ),
+            scored AS (
+              SELECT query_id, match_id,
+                     CAST(round(list_cosine_similarity(
+                       a.embedding::DOUBLE[], b.embedding::DOUBLE[]
+                     ) * 10000) AS BIGINT) AS cosm
+              FROM a CROSS JOIN b
+            ),
+            fwd AS (
+              SELECT query_id, sum(cosm) AS fwd_sum
+              FROM (SELECT query_id, cosm,
+                           row_number() OVER (PARTITION BY query_id
+                             ORDER BY cosm DESC, match_id ASC) AS rn
+                    FROM scored)
+              WHERE rn <= 4 GROUP BY query_id
+            ),
+            bwd AS (
+              SELECT match_id, sum(cosm) AS bwd_sum
+              FROM (SELECT match_id, cosm,
+                           row_number() OVER (PARTITION BY match_id
+                             ORDER BY cosm DESC, query_id ASC) AS rn
+                    FROM scored)
+              WHERE rn <= 4 GROUP BY match_id
+            ),
+            margins AS (
+              SELECT s.query_id, s.match_id, s.cosm,
+                     round(CAST(s.cosm * 8 AS DOUBLE)
+                           / (fwd_sum + bwd_sum), 4) AS margin
+              FROM scored s
+              JOIN fwd USING (query_id)
+              JOIN bwd USING (match_id)
+            )
+            SELECT query_id, match_id,
+                   cosm / 10000.0 AS cos_sim, margin, rnk
+            FROM (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY margin DESC, match_id ASC) AS INTEGER) AS rnk
+                  FROM margins)
+            WHERE rnk <= 3
+        """,
         # BM25 from the incrementally maintained index: the oracle is
         # the FULL-corpus recompute (text_bm25_topk's oracle verbatim)
         # — hash equality proves appended-index + additively merged

@@ -281,6 +281,9 @@ HEADLINE = {
     # the retrieval member: BM25 answered from the maintained
     # (appended per-doc index + additively merged stats) artifacts
     "retrieval_incremental_bm25": L.retrieval_incremental_bm25,
+    # LASER-style margin-based bitext mining: one probe-shard
+    # broadcast scan, two neighborhood windows, exact-integer margins
+    "mine_bitext_margin": L.mine_bitext_margin,
 }
 
 # Registry entries deliberately NOT benched, each with its reason (the

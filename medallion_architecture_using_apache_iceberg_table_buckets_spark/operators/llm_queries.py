@@ -3083,6 +3083,23 @@ def card_incremental_update(spark, sf_dir):
     )
 
 
+def mine_bitext_margin(spark, sf_dir):
+    """Margin-based bitext mining (similarity.mine_bitext_margin;
+    Artetxe & Schwenk 2019 / the LASER-CCMatrix criterion): even
+    vec_ids < 20 play the source-language probe shard, odd vec_ids
+    the target-language corpus; each candidate's cosine is rescaled
+    by the mean cosine of BOTH sides' k=4 cross-lingual neighborhoods
+    — the hubness correction that makes mined-pair scores comparable
+    across queries — and the top-3 matches per probe are emitted.
+    Micro-unit BIGINT cosines make both neighborhood sums engine-
+    exact, so the DuckDB oracle reproduces margins and ranks
+    bit-for-bit."""
+    emb = load(spark, sf_dir, "embeddings")
+    a = emb.filter((F.col("vec_id") % 2 == 0) & (F.col("vec_id") < 20))
+    b = emb.filter(F.col("vec_id") % 2 == 1)
+    return S.mine_bitext_margin(a, b, k=4, m=3)
+
+
 def retrieval_incremental_bm25(spark, sf_dir):
     """BM25 served from the incrementally maintained index
     (text.bm25_topk_incremental) — the retrieval member of the

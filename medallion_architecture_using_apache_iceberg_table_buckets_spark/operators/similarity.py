@@ -1391,6 +1391,117 @@ def cosine_range_search(
     )
 
 
+def mine_bitext_margin(
+    corpus_a: DataFrame,
+    corpus_b: DataFrame,
+    k: int = 4,
+    m: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+) -> DataFrame:
+    """Margin-based parallel-text mining (Artetxe & Schwenk 2019,
+    "Margin-based Parallel Corpus Mining with Multilingual Sentence
+    Embeddings"; the LASER / CCMatrix mining criterion): score every
+    (a, b) candidate not by raw cosine — which a hubness-prone
+    embedding space miscalibrates — but by the RATIO margin
+
+        margin(x, y) = cos(x, y) /
+            (sum_{z in NNk(x)} cos(x,z)/2k + sum_{z in NNk(y)} cos(y,z)/2k)
+
+    where NNk are each side's k nearest neighbors on the OTHER side.
+    Returns the top-``m`` b-side matches per a-side query:
+    ``(query_id, match_id, cos_sim, margin, rnk)``.
+
+    ``corpus_a`` is the probe batch (broadcast, bounded — production
+    mines in query shards exactly like :func:`cosine_topk` probes);
+    everything derives from ONE scored frame: the b-side stream joins
+    the broadcast probes once, cosines quantize to micro-unit BIGINTs
+    (cosm), and both neighborhood sums are windows over that frame —
+    forward per query_id (k rows each, a broadcast-sized aggregate),
+    backward per match_id (corpus-keyed, shuffle on the b-side id).
+    The margin is then one exact-integer ratio per candidate:
+    cosm * 2k / (fwd_sum + bwd_sum) — sums of BIGINT micro-units are
+    order-free and engine-exact, so the only float ops are the single
+    IEEE division and the final round, which is what lets a DuckDB
+    oracle reproduce the ranking bit-for-bit.
+
+    100 TB shape: the scored frame is |probes| x |b| for ONE probe
+    shard — the same bounded-broadcast pattern as brute top-k; for
+    full-corpus x-ing, shard the a-side and (optionally) pre-shortlist
+    the b-side with :func:`cosine_topk_ivf`'s clustering. The
+    backward window is the only corpus-sized shuffle and is keyed by
+    match_id (no skew: every match carries exactly |probes| rows).
+    """
+    a = _norm_col(
+        corpus_a.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        ),
+        "qv", "qn", dim,
+    )
+    bset = _norm_col(
+        fan_out(corpus_b).select(
+            F.col(id_col).alias("match_id"), F.col(vec_col).alias("cv")
+        ),
+        "cv", "cn", dim,
+    )
+    scored = (
+        bset.join(F.broadcast(a), F.lit(True))
+        .select(
+            "query_id",
+            "match_id",
+            F.round(_cos_join("qv", "cv", "qn", "cn", dim) * 10000)
+            .cast("long")
+            .alias("cosm"),
+        )
+        .persist()
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.desc("cosm"), F.asc("match_id")
+    )
+    fwd = (
+        scored.withColumn("rn", F.row_number().over(wf))
+        .filter(F.col("rn") <= k)
+        .groupBy("query_id")
+        .agg(F.sum("cosm").alias("fwd_sum"))
+    )
+    wb = Window.partitionBy("match_id").orderBy(
+        F.desc("cosm"), F.asc("query_id")
+    )
+    bwd = (
+        scored.withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") <= k)
+        .groupBy("match_id")
+        .agg(F.sum("cosm").alias("bwd_sum"))
+    )
+    margins = (
+        scored.join(F.broadcast(fwd), "query_id")
+        .join(bwd, "match_id")
+        .withColumn(
+            "margin",
+            F.round(
+                (F.col("cosm") * F.lit(2 * k)).cast("double")
+                / (F.col("fwd_sum") + F.col("bwd_sum")),
+                4,
+            ),
+        )
+    )
+    wm = Window.partitionBy("query_id").orderBy(
+        F.desc("margin"), F.asc("match_id")
+    )
+    return (
+        margins.withColumn("rnk", F.row_number().over(wm))
+        .filter(F.col("rnk") <= m)
+        .select(
+            "query_id",
+            "match_id",
+            (F.col("cosm") / F.lit(10000.0)).alias("cos_sim"),
+            "margin",
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
+
+
 def embedding_gram_matrix(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -3871,3 +3871,45 @@ def test_bm25_incremental_equals_full_rebuild(spark):
     }
     with pytest.raises(ValueError, match="query_terms"):
         TXX.bm25_topk_incremental(hist, batch, [])
+
+
+def test_bitext_margin_prefers_mutual_neighbors(spark):
+    """Margin rescaling must rank a mutually-isolated pair above a
+    hub: y0 is cosine-closest to BOTH probes (a hub), but for probe
+    x1 the margin of its dedicated partner y1 must win because y1's
+    backward neighborhood is weak."""
+    import math
+
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators import (
+        similarity as SS,
+    )
+
+    def unit(theta):
+        # 2-D-in-4-D unit vectors, padded so dim=4 arithmetic runs
+        return [math.cos(theta), math.sin(theta), 0.0, 0.0]
+
+    # probes x0 at 0 rad, x1 at 1.0 rad; hub y0 at 0.2 rad (close to
+    # x0, moderately close to x1), partner y1 at 1.05 rad (very close
+    # to x1 only)
+    a = spark.createDataFrame(
+        [(0, unit(0.0)), (2, unit(1.0))], "vec_id long, embedding array<double>"
+    )
+    b = spark.createDataFrame(
+        [(1, unit(0.2)), (3, unit(1.05)), (5, unit(2.6)), (7, unit(-1.4))],
+        "vec_id long, embedding array<double>",
+    )
+    out = SS.mine_bitext_margin(a, b, k=2, m=4, dim=4).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    # x1's top match by raw cosine AND margin is its partner y1
+    assert by_q[2][0]["match_id"] == 3
+    # every probe got all 4 ranked matches, margins sorted desc
+    for q, rows in by_q.items():
+        assert [r["rnk"] for r in rows] == [1, 2, 3, 4]
+        margins = [r["margin"] for r in rows]
+        assert margins == sorted(margins, reverse=True)
+    # margin normalization: a perfect mutual pair's margin ~ 1/avg of
+    # its neighborhoods — strictly above a hub-shared candidate's for
+    # the same query
+    assert by_q[2][0]["margin"] > by_q[2][1]["margin"]

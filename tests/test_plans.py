@@ -417,6 +417,16 @@ def test_brute_baselines_are_the_only_all_pairs_plans(spark, sf_dir):
         # token budget: the 1-row budget scalar broadcast onto the
         # ranked cumsum frame (the q15/q11 threshold pattern)
         "corpus_token_budget",
+        # margin mining: the 10-row probe shard broadcast over ONE
+        # b-side scan (the ann_range_search probe pattern — the
+        # broadcast side is the bounded probe list, never the
+        # corpus); neighborhood sums and the final ranking are
+        # keyed windows / equi-joins on query_id / match_id
+        "mine_bitext_margin",
+        # incremental BM25: text_bm25_topk's 1-row stats scalar,
+        # twice (stored history stats x batch stats, merged by a
+        # 1-row x 1-row cross join); index joins stay keyed
+        "retrieval_incremental_bm25",
     }
     # Queries whose construction performs writes/iterative jobs; their
     # plan hygiene is asserted by dedicated tests.
