@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # maintenance_rewrite_posdeletes, events_funnel, ...), then
         # the oldest r09-vintage. Keep inserting new queries right
         # after position 0 and re-count so the window is exactly 50.
+        "streaming_incremental_grams": L.streaming_incremental_grams,
         "mine_bitext_margin": L.mine_bitext_margin,
         "retrieval_incremental_bm25": L.retrieval_incremental_bm25,
         "ann_incremental_ivf_sampled": L.ann_incremental_ivf_sampled,
@@ -7257,6 +7258,29 @@ def oracle_sql() -> dict[str, str]:
         # proving the emitted delta is exactly the changed+new rows
         "dedup_incremental_components": _incremental_cc_oracle(),
         "dedup_incremental_delta": _incremental_cc_oracle(delta=True),
+        # streaming gram maintenance: four foreachBatch delta merges
+        # must compose to the from-scratch count over the whole
+        # corpus — the oracle IS that full recompute
+        "streaming_incremental_grams": f"""
+            WITH norm_all AS (
+              SELECT string_split({_NORM.format(t='text')}, ' ') AS w
+              FROM documents
+            ),
+            uni_all AS (
+              SELECT w1, CAST(count(*) AS BIGINT) AS cnt
+              FROM (SELECT unnest(w) AS w1 FROM norm_all) GROUP BY w1
+            ),
+            big_all AS (
+              SELECT w1, w2, CAST(count(*) AS BIGINT) AS cnt
+              FROM (SELECT w[i] AS w1, w[i + 1] AS w2
+                    FROM (SELECT w, unnest(range(1, len(w))) AS i
+                          FROM norm_all))
+              GROUP BY w1, w2
+            )
+            SELECT 'uni' AS gram_type, w1, '' AS w2, cnt FROM uni_all
+            UNION ALL
+            SELECT 'big' AS gram_type, w1, w2, cnt FROM big_all
+        """,
         # LASER-style margin mining: micro-unit BIGINT cosines make
         # the two neighborhood sums order-free and engine-exact; the
         # margin is one integer ratio -> one IEEE division + round

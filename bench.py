@@ -342,6 +342,7 @@ EXCLUDED_REASONS = {
     "streaming_dedup": ("streaming", None),
     "streaming_interval_join": ("streaming", None),
     "streaming_static_enrich": ("streaming", None),
+    "streaming_incremental_grams": ("streaming", None),
 }
 
 # the 14 queries recorded since round 1 — their sum is the anchored

@@ -3083,6 +3083,80 @@ def card_incremental_update(spark, sf_dir):
     )
 
 
+def streaming_incremental_grams(spark, sf_dir):
+    """The incremental-statistics family under the REAL micro-batch
+    engine: the documents table is exposed to a file-source stream as
+    four files (doc_id % 4 slices, maxFilesPerTrigger=1 +
+    Trigger.AvailableNow => four micro-batches), and ``foreachBatch``
+    maintains a stored gram-count parquet table by applying
+    text.incremental_gram_counts' upsert delta each batch — history
+    TEXT is never re-read; only the Zipf-bounded stored table cycles.
+    Returns the final stored table, whose oracle is the from-scratch
+    gram count over the whole corpus: a hash match proves four
+    successive delta merges compose to exactly the full recompute
+    (counts are additive and commutative, so batch arrival order
+    cannot matter — which is also why a redelivered batch would be
+    the one failure mode, covered by the checkpointed source). The
+    multi-batch delivery itself is asserted in
+    tests/test_llm_operators.py."""
+    import os
+    import shutil
+    import tempfile
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    stage = tempfile.mkdtemp(prefix="mats_sig_stage_")
+    stream_dir = tempfile.mkdtemp(prefix="mats_sig_src_")
+    for i in range(4):
+        sub = f"{stage}/b{i}"
+        docs.filter(F.col("doc_id") % 4 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(sub)
+        part = next(
+            f for f in sorted(os.listdir(sub)) if f.endswith(".parquet")
+        )
+        os.symlink(
+            os.path.join(sub, part),
+            os.path.join(stream_dir, f"batch_{i}.parquet"),
+        )
+    store = os.path.join(tempfile.mkdtemp(prefix="mats_sig_store_"), "grams")
+
+    def merge_batch(bdf, batch_id):
+        sess = bdf.sparkSession
+        if os.path.exists(store):
+            stored = sess.read.parquet(store)
+        else:
+            stored = sess.createDataFrame(
+                [], "gram_type string, w1 string, w2 string, cnt long"
+            )
+        delta = TX.incremental_gram_counts(stored, bdf)
+        untouched = stored.join(
+            delta.select("gram_type", "w1", "w2"),
+            ["gram_type", "w1", "w2"],
+            "left_anti",
+        )
+        merged = untouched.unionByName(delta)
+        # versioned swap: never overwrite the table a plan may still
+        # be reading (the MOR/metadata tables' copy-on-write idiom)
+        tmp = f"{store}_v{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(store, ignore_errors=True)
+        os.rename(tmp, store)
+
+    q = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+        .writeStream.foreachBatch(merge_batch)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="mats_sig_ck_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(store)
+
+
 def mine_bitext_margin(spark, sf_dir):
     """Margin-based bitext mining (similarity.mine_bitext_margin;
     Artetxe & Schwenk 2019 / the LASER-CCMatrix criterion): even

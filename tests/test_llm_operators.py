@@ -3913,3 +3913,44 @@ def test_bitext_margin_prefers_mutual_neighbors(spark):
     # its neighborhoods — strictly above a hub-shared candidate's for
     # the same query
     assert by_q[2][0]["margin"] > by_q[2][1]["margin"]
+
+
+def test_streaming_incremental_grams_multi_batch(spark):
+    """The streaming gram maintenance must (a) actually receive its
+    input across MULTIPLE micro-batches (else the 'incremental' claim
+    is vacuous) and (b) produce a final stored table equal to the
+    from-scratch count over the whole corpus."""
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators import (
+        llm_queries as LQ,
+        text as TXX,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    final = LQ.streaming_incremental_grams(spark, sf_dir)
+    got = {
+        (r["gram_type"], r["w1"], r["w2"]): r["cnt"] for r in final.collect()
+    }
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    want = {
+        (r["gram_type"], r["w1"], r["w2"]): r["cnt"]
+        for r in TXX.gram_counts(docs).collect()
+    }
+    assert got == want
+    # multi-batch delivery: the four slice files under
+    # maxFilesPerTrigger=1 + AvailableNow must arrive as multiple
+    # micro-batches (else the 'incremental' claim is vacuous). The
+    # query has terminated, so assert via its checkpoint: the NEWEST
+    # mats_sig_ck_* dir (this run's) must hold one commit file per
+    # micro-batch — exactly 4.
+    import glob as _glob
+    import os as _os
+
+    ck = max(_glob.glob("/tmp/mats_sig_ck_*"), key=_os.path.getmtime)
+    commits = [
+        c
+        for c in _glob.glob(f"{ck}/commits/*")
+        if _os.path.basename(c).isdigit()
+    ]
+    assert len(commits) == 4
