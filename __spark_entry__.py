@@ -58,25 +58,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # r12 window (positions 1-50), per the r11 verdict item 1 —
         # this finishes the rotation backlog for good:
-        #   1-4   = the four entries with no driver row yet (added
-        #           after the r11 driver ran): sampled IVF staleness
-        #           audit, delta-output incremental components, and
-        #           the two r12 incremental-statistics members
-        #           (LM gram-count merge, data-card slice upsert);
-        #   5-42  = ALL 38 remaining r07-vintage entries in tail
+        #   1-7   = the seven entries with no driver row yet: the
+        #           three r12 additions (streaming gram maintenance,
+        #           margin bitext mining, incremental-index BM25) and
+        #           the four added after the r11 driver ran (sampled
+        #           IVF staleness audit, delta-output incremental
+        #           components, LM gram-count merge, data-card slice
+        #           upsert);
+        #   8-45  = ALL 38 remaining r07-vintage entries in tail
         #           order (decontaminate_semantic ..
         #           join_broadcast_brand_stats) — after this round no
         #           entry's latest driver row is older than r08;
-        #   43-50 = the 8 oldest r08-vintage entries
-        #           (metadata_agg_mor_count .. text_phrase_retrieval).
+        #   46-50 = the 5 oldest r08-vintage entries
+        #           (metadata_agg_mor_count .. text_kn_lm_score).
         #
         # r13 window plan: new r13 additions first, then any r12
         # window entry that did not land green in CORRECTNESS_r12
-        # (expected none), then the remaining 42 r08-vintage entries
-        # in registry order (metadata_ndv_sketch,
-        # maintenance_rewrite_posdeletes, events_funnel, ...), then
-        # the oldest r09-vintage. Keep inserting new queries right
-        # after position 0 and re-count so the window is exactly 50.
+        # (expected none), then the remaining 45 r08-vintage entries
+        # in registry order (multimodal_decode_gif,
+        # multimodal_decode_mulaw, text_phrase_retrieval,
+        # metadata_ndv_sketch, maintenance_rewrite_posdeletes, ...),
+        # then the oldest r09-vintage. Keep inserting new queries
+        # right after position 0 and re-count so the window is
+        # exactly 50.
         "streaming_incremental_grams": L.streaming_incremental_grams,
         "mine_bitext_margin": L.mine_bitext_margin,
         "retrieval_incremental_bm25": L.retrieval_incremental_bm25,
