@@ -333,8 +333,17 @@ def sparse_cosine_topk(
         )
         .persist()
     )
+    # the squares/products MUST be computed in decimal, not long: a
+    # df=1 term's weight is n_docs * 1000, so at 5M docs (the 1000x
+    # third-decade fixture) w^2 = 2.5e19 > Long.MaxValue — ANSI mode
+    # turns that into a hard ARITHMETIC_OVERFLOW. Casting one operand
+    # first makes the multiply a decimal op (same exact integer
+    # values, DuckDB's int128 semantics, no overflow until 38 digits).
     norms = weights.groupBy("doc_id").agg(
-        F.sum((F.col("w") * F.col("w")).cast("decimal(38,0)")).alias("n2")
+        F.sum(
+            (F.col("w").cast("decimal(19,0)") * F.col("w"))
+            .cast("decimal(38,0)")
+        ).alias("n2")
     ).persist()
     qids = query_ids.select(F.col(id_col).alias("query_id"))
     qw = weights.join(
@@ -345,8 +354,11 @@ def sparse_cosine_topk(
         .filter(F.col("doc_id") != F.col("query_id"))
         .groupBy("query_id", "doc_id")
         .agg(
-            F.sum((F.col("qw") * F.col("w")).cast("decimal(38,0)"))
-            .alias("dot")
+            # decimal multiply for the same overflow reason as n2
+            F.sum(
+                (F.col("qw").cast("decimal(19,0)") * F.col("w"))
+                .cast("decimal(38,0)")
+            ).alias("dot")
         )
     )
     qn = norms.select(

@@ -284,6 +284,14 @@ QUERIES = {
     # prices the whole composition (stored-table build included);
     # the merge step itself is batch-tokenize + one gram-key join
     "lm_incremental_gram_update": L.lm_incremental_gram_update,
+    # r12: BM25 from the maintained index (prices index build +
+    # stats merge + scoring; the per-batch marginal cost is the
+    # batch tokenize alone) and margin bitext mining (one bounded
+    # probe broadcast over the b-side scan + two neighborhood
+    # windows — the backward window is the only corpus-keyed
+    # shuffle)
+    "retrieval_incremental_bm25": L.retrieval_incremental_bm25,
+    "mine_bitext_margin": L.mine_bitext_margin,
 }
 
 # r10 verdict item 2: the ~10 most expensive auto-tuned paths get a
