@@ -102,30 +102,35 @@ def bpe_learn(
 
 
 def _apply_merge(wf: DataFrame, left: str, right: str) -> DataFrame:
-    """Apply one merge to the word table, EXACTLY matching textbook
-    left-to-right non-overlapping pair merging.
+    """Apply one merge to the word table, EXACTLY matching the
+    per-round replace-to-FIXPOINT semantics (and byte-identical
+    output) of the previous loop implementation, as two unconditional
+    delimiter-safe replaces in ONE projection — no action, no
+    checkpoint, no driver round-trip per merge round.
 
-    A single delimiter-safe replace under-merges consecutive runs
-    (' a a a a ': the first match consumes the shared middle space,
-    blocking the second pair), so the replace iterates to a per-round
-    FIXPOINT. This is provably the textbook result: replacing
-    ' l r ' -> ' lr ' can never create a new occurrence of the same
-    round's pattern (the merged token is one symbol; neighbors become
-    adjacent to IT, not to each other), so each pass only merges
-    originally-present, previously-boundary-blocked occurrences in
-    left-to-right order. Runs shorter than 4 repeated symbols — i.e.
-    virtually every real word — converge in one pass."""
+    Why two passes always reach the fixpoint: a single delimiter-safe
+    replace under-merges consecutive runs (' a a a a ': the first
+    match consumes the shared middle space, blocking the second
+    pair). Replacing ' l r ' -> ' lr ' can never create a NEW
+    occurrence of the same round's pattern (the merged token is one
+    symbol; neighbors become adjacent to IT, not to each other), so
+    the only occurrences left after pass 1 are originally-present
+    ones whose leading space pass 1 consumed. Those survivors are
+    never adjacent to EACH OTHER — pass 1's scan alternates
+    replace/block along any chain — so pass 2 replaces every survivor
+    and can block nothing. Property-tested exhaustively against the
+    iterated-replace fixpoint in tests/test_bpe.py.
+
+    This was the former per-merge-round driver loop: 6-8 rounds each
+    paid a localCheckpoint job plus a count job (two full barriers
+    over the distinct-word table per round — pure scheduling overhead
+    locally, and at 100 TB two cluster-wide barriers per round that
+    this formulation simply deletes)."""
     pat, rep = F.lit(f" {left} {right} "), F.lit(f" {left}{right} ")
-    while True:
-        stepped = wf.select(
-            F.col("sym").alias("_old"),
-            F.replace(F.col("sym"), pat, rep).alias("sym"),
-            "c",
-        ).localCheckpoint()  # truncate the per-pass lineage
-        changed = stepped.filter(F.col("sym") != F.col("_old")).count()
-        wf = stepped.drop("_old")
-        if changed == 0:
-            return wf
+    return wf.select(
+        F.replace(F.replace(F.col("sym"), pat, rep), pat, rep).alias("sym"),
+        "c",
+    )
 
 
 def bpe_segment(

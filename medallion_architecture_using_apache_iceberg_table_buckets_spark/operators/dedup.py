@@ -333,6 +333,7 @@ def minhash_lsh_pairs(
     n: int = 3,
     threshold: float = 0.5,
     token_ids: str = "md5",
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs, exact-Jaccard verified.
 
@@ -348,8 +349,16 @@ def minhash_lsh_pairs(
     both sides of the verify join; the band self-join carries only
     (doc_id, band, key), never the array payload, so the pairwise
     shuffle is a few dozen bytes per row.
+
+    ``sigs`` injects a pre-persisted :func:`minhash_signatures`
+    frame so a caller composing several minhash operators over the
+    SAME corpus (the incremental-components fixture signs history
+    for its closure AND for the probe) signs each side once — the
+    cents/assigned injection pattern of similarity.cosine_topk_ivf;
+    signatures are deterministic, so injection cannot move a value.
     """
-    sigs = minhash_signatures(df, text_col, id_col, n, token_ids).persist()
+    if sigs is None:
+        sigs = minhash_signatures(df, text_col, id_col, n, token_ids).persist()
     bands = _band_keys(sigs)
     a, b = bands.alias("a"), bands.alias("b")
     cands = (
@@ -901,8 +910,13 @@ def connected_components(
         .distinct()
         .persist()
     )
+    # non-eager localCheckpoints: the per-iteration convergence
+    # checksum is the ONLY action — materializing the checkpoint
+    # inside it makes each round exactly one job (one cluster
+    # barrier), where an eager checkpoint paid a second, separate
+    # materialization job per round (the k_core_bounded pattern)
     labels = edges.select(F.col("src").alias("id")).distinct().withColumn("lbl", F.col("id"))
-    labels = labels.localCheckpoint(eager=True)
+    labels = labels.localCheckpoint(eager=False)
     checksum = labels.agg(F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")).first()["s"]
     for _ in range(max_iter):
         msgs = (
@@ -911,7 +925,7 @@ def connected_components(
         )
         labels = (
             labels.union(msgs).groupBy("id").agg(F.min("lbl").alias("lbl"))
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         new_sum = labels.agg(F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")).first()["s"]
         if new_sum == checksum:
             edges.unpersist()
@@ -1294,6 +1308,8 @@ def minhash_lsh_probe(
     n: int = 3,
     threshold: float = 0.5,
     token_ids: str = "md5",
+    new_sigs: DataFrame | None = None,
+    hist_sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental dedup: probe a NEW batch against the HISTORICAL
     corpus without re-deduping history against itself — the shape a
@@ -1305,9 +1321,21 @@ def minhash_lsh_probe(
     is new-bands x hist-bands on the band key, and exact-Jaccard
     verification runs on colliding pairs only. Returns verified
     (new_doc, hist_doc, jaccard) rows at ``threshold``.
+
+    ``new_sigs``/``hist_sigs`` inject pre-persisted
+    :func:`minhash_signatures` frames (see minhash_lsh_pairs) so a
+    caller that also self-pairs either side signs it exactly once.
     """
-    sig_new = minhash_signatures(new_df, text_col, id_col, n, token_ids).persist()
-    sig_hist = minhash_signatures(hist_df, text_col, id_col, n, token_ids).persist()
+    sig_new = (
+        new_sigs
+        if new_sigs is not None
+        else minhash_signatures(new_df, text_col, id_col, n, token_ids).persist()
+    )
+    sig_hist = (
+        hist_sigs
+        if hist_sigs is not None
+        else minhash_signatures(hist_df, text_col, id_col, n, token_ids).persist()
+    )
     bn = _band_keys(sig_new).select(
         F.col("doc_id").alias("new_doc"), "band", "key"
     )
@@ -1418,6 +1446,15 @@ def semantic_dedup(
         df, cents, vec_col=vec_col, id_col=id_col, dim=dim, nk_hint=nk_hint
     )
     cn = _norm_col(cents, "cv", "_cnrm", dim)
+    # PERSISTED: three consumers read this frame (both sides of the
+    # intra-cluster pair join below plus the final keep/drop join),
+    # and its lineage embeds the full Lloyd training + assignment —
+    # without the persist the plan re-executed that subtree three
+    # times per action (measured 96 Exchange nodes in the final plan
+    # at sf0.1, 12.4 s; persisting collapses the re-execution the way
+    # ann_recall_at_k's shared persisted IVF upstream does). Round-6
+    # quantized training makes every re-read bit-identical, so this
+    # cannot move a value.
     scored = (
         assigned.join(F.broadcast(cn), "centroid_id")
         .withColumn(
@@ -1425,6 +1462,7 @@ def semantic_dedup(
             F.round(_cos_join("embedding", "cv", "nrm", "_cnrm", dim), 6),
         )
         .select("vec_id", "embedding", "centroid_id", "nrm", "cent_sim")
+        .persist()
     )
     a = scored.select(
         "centroid_id",
@@ -1554,9 +1592,12 @@ def pagerank_pairs(
     edges = pairs.select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
     )
+    # non-eager: the n_nodes count below is the first action and
+    # materializes the checkpoint in the same job (one barrier, not
+    # two — the connected_components/k_core pattern)
     edges = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct().localCheckpoint()
+    ).distinct().localCheckpoint(eager=False)
     nodes = edges.select(F.col("src").alias("node")).distinct()
     # Eager count, DELIBERATELY not folded into the plan as a
     # broadcast scalar (contrast the IVF seeding path, which does
@@ -1579,9 +1620,14 @@ def pagerank_pairs(
     d_pct = int(round(damping * 100))
     base_nano = 10**9 // n_nodes
     teleport_nano = (100 - d_pct) * 10**9 // 100 // n_nodes
+    # the per-round checkpoints are non-eager: n_iter is a small
+    # bound (the plan stays flat), no intermediate round needs its
+    # own materialization job, and the caller's single action
+    # computes the whole unrolled chain in ONE job while still
+    # caching + truncating lineage at each marked round
     pr = nodes.select(
         "node", F.lit(base_nano).cast("long").alias("pr_nano")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     for _ in range(int(n_iter)):
         contrib = (
             edges.join(pr, edges["src"] == pr["node"])
@@ -1612,7 +1658,7 @@ def pagerank_pairs(
                     ).cast("long")
                 ).alias("pr_nano"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return pr.join(deg.select(F.col("src").alias("node"), "degree"), "node")
 

@@ -3254,14 +3254,26 @@ def _incremental_cc_fixture(spark, sf_dir):
         F.concat(F.col("text"), F.lit(" extra token tail")).alias("text"),
     )
     new = docs.filter(F.col("doc_id") % 4 == 0).unionByName(new_plants)
+    # sign each side ONCE and inject into all three minhash
+    # operators (history self-pairs, probe, batch self-pairs): the
+    # signature pass — tokenize + shingle + set-collect + 12 hashes,
+    # the corpus-sized cost — previously ran twice per side inside
+    # the fixture. Signatures are deterministic, so sharing cannot
+    # move a value (the ann_recall_at_k shared-IVF precedent).
+    sig_hist = D.minhash_signatures(hist).persist()
+    sig_new = D.minhash_signatures(new).persist()
     history_labels = D.connected_components(
-        D.minhash_lsh_pairs(hist, threshold=0.5)
+        D.minhash_lsh_pairs(hist, threshold=0.5, sigs=sig_hist)
     )
-    probe = D.minhash_lsh_probe(new, hist, threshold=0.5).select(
+    probe = D.minhash_lsh_probe(
+        new, hist, threshold=0.5, new_sigs=sig_new, hist_sigs=sig_hist
+    ).select(
         F.col("new_doc").alias("doc_a"), F.col("hist_doc").alias("doc_b")
     )
     new_edges = probe.unionByName(
-        D.minhash_lsh_pairs(new, threshold=0.5).select("doc_a", "doc_b")
+        D.minhash_lsh_pairs(new, threshold=0.5, sigs=sig_new).select(
+            "doc_a", "doc_b"
+        )
     )
     return history_labels, new_edges
 

@@ -1128,9 +1128,15 @@ def cosine_topk_ivfpq(
         cents = ivf_centroids(
             corpus, n_centroids, vec_col, id_col, nk_hint=nk_hint
         ).persist()
+        # persisted like cosine_topk_ivf's in-function assignment:
+        # `lists` reads it below, and the residual path reads it a
+        # second time to build rcorpus — unpersisted, each consumer
+        # re-executed the full pandas-cosine n*k assignment pass
+        # (the duplicated subtree showed up as 421 Exchange nodes in
+        # ann_ivfpq_residual_topk's final plan)
         assigned = ivf_assign(
             corpus, cents, vec_col, id_col, dim, nk_hint=nk_hint
-        )
+        ).persist()
     lists = assigned.select("vec_id", "centroid_id")
     if residual:
         # residual corpus: the assignment already carries the

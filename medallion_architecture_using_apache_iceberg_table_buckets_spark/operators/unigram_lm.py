@@ -245,8 +245,12 @@ def _em_fit(
             )
             # bounded materialization per EM round: the frame is
             # piece-inventory-sized (~100 rows) and feeds both the
-            # next round's model collect and the final output join
-            .localCheckpoint()
+            # next round's model collect and the final output join.
+            # Non-eager: the next round's _collect_model (or the
+            # vocab/encode caller's action) is the first consumer and
+            # materializes it in the same job — one barrier per EM
+            # round instead of two
+            .localCheckpoint(eager=False)
         )
         lp = _logp_micro(usage, "count1")
     return usage, lp

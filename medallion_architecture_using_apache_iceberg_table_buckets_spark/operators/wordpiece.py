@@ -130,22 +130,22 @@ def _merged_text(left: str, right: str) -> str:
 
 def _apply_merge(wf: DataFrame, left: str, right: str) -> DataFrame:
     """One merge round on the symbol table: delimiter-safe replace to
-    a per-round fixpoint — identical reasoning to bpe._apply_merge
-    (the replace can never create a new same-round occurrence), with
-    the ##-dropping WordPiece concatenation."""
+    the per-round fixpoint, computed as two unconditional replaces in
+    one projection — identical reasoning (and byte-identical output)
+    to bpe._apply_merge: the replace can never create a new
+    same-round occurrence, and pass-1 survivors (occurrences whose
+    leading space pass 1 consumed) are never adjacent to each other,
+    so pass 2 finishes the round with nothing blocked. Replaces the
+    former localCheckpoint+count fixpoint loop (two jobs — two full
+    word-table barriers — per merge round); with the ##-dropping
+    WordPiece concatenation."""
     pat = F.lit(f" {left} {right} ")
     rep = F.lit(f" {_merged_text(left, right)} ")
-    while True:
-        stepped = wf.select(
-            "word",
-            F.col("sym").alias("_old"),
-            F.replace(F.col("sym"), pat, rep).alias("sym"),
-            "c",
-        ).localCheckpoint()
-        changed = stepped.filter(F.col("sym") != F.col("_old")).count()
-        wf = stepped.drop("_old")
-        if changed == 0:
-            return wf
+    return wf.select(
+        "word",
+        F.replace(F.replace(F.col("sym"), pat, rep), pat, rep).alias("sym"),
+        "c",
+    )
 
 
 def wordpiece_learn(

@@ -161,3 +161,51 @@ def test_bpe_encode_tokens_fingerprint_is_order_sensitive(spark):
     swapped = segment("low lower lowest")
     swapped[0], swapped[1] = swapped[1], swapped[0]
     assert out[1] != hashlib.md5("|".join(swapped).encode()).hexdigest()
+
+
+def test_apply_merge_two_pass_equals_iterated_fixpoint(spark):
+    """_apply_merge computes the per-round replace-to-FIXPOINT result
+    with two unconditional replaces (no per-pass count/checkpoint
+    jobs). This pins the equivalence on adversarial chains — long
+    same-symbol runs and alternating l/r chains, where pass 1's
+    consumed delimiter spaces block occurrences — by comparing the
+    operator against a Python emulation of the ITERATED replace-all
+    fixpoint (scan-resumes-after-replacement semantics, matching
+    UTF8String.replace)."""
+    from medallion_architecture_using_apache_iceberg_table_buckets_spark.operators.bpe import (
+        _apply_merge,
+    )
+
+    def replace_all(s, pat, rep):
+        out, i = [], 0
+        while True:
+            j = s.find(pat, i)
+            if j < 0:
+                out.append(s[i:])
+                return "".join(out)
+            out.append(s[i:j])
+            out.append(rep)
+            i = j + len(pat)
+
+    def fixpoint(s, pat, rep):
+        while True:
+            t = replace_all(s, pat, rep)
+            if t == s:
+                return s
+            s = t
+
+    chains = [
+        " a ", " a a ", " a a a ", " a a a a ", " a a a a a ",
+        " a a a a a a a a a ",  # 9-run: pass-1 blocking alternates
+        " l r ", " l r l r ", " l r l r l r ", " l r l r l r l r ",
+        " x l r l r x ", " l r r l r ", " r l r l ", " l l r r ",
+        " a l r a l r a ", " lr l r lr ",
+    ]
+    for left, right in [("a", "a"), ("l", "r"), ("r", "l")]:
+        pat, rep = f" {left} {right} ", f" {left}{right} "
+        df = spark.createDataFrame(
+            [(s, 1) for s in chains], "sym string, c long"
+        )
+        got = {r["sym"] for r in _apply_merge(df, left, right).collect()}
+        want = {fixpoint(s, pat, rep) for s in chains}
+        assert got == want, (left, right, got ^ want)
