@@ -58,6 +58,28 @@ def dot_expr(a: str, b: str, dim: int) -> Column:
     return F.expr(f"(0.0D + {terms})")
 
 
+def l2sq_expr(a: str, b: str, dim: int) -> Column:
+    """Inline-chain squared L2 distance for FIXED-dim array columns.
+
+    Bit-identical to the interpreted
+    ``aggregate(zip_with(a, b, (x,y) -> (x-y)*(x-y)), 0.0, +)`` fold —
+    same leading 0.0 accumulator, same left-to-right term order, same
+    per-element (x-y)*(x-y) double arithmetic — but assembled as one
+    SQL chain so it whole-stage-codegens. aggregate()/zip_with are
+    CodegenFallback (interpreted per row with a zipped-array
+    allocation): above a broadcast hash join scoring n*k candidate
+    pairs that interpretation is the stage's hot loop (the same
+    measured pathology dot_expr exists for). ANSI note: indexes
+    0..dim-1 must exist; callers pass the exact stored sub-dim.
+    """
+    terms = " + ".join(
+        f"(CAST(`{a}`[{d}] AS DOUBLE) - CAST(`{b}`[{d}] AS DOUBLE))"
+        f" * (CAST(`{a}`[{d}] AS DOUBLE) - CAST(`{b}`[{d}] AS DOUBLE))"
+        for d in range(dim)
+    )
+    return F.expr(f"(0.0D + {terms})")
+
+
 def cosine_sim_expr(a: str, b: str, dim: int) -> Column:
     """Fixed-dim inline twin of :func:`cosine_sim` (same null-on-zero
     -norm semantics, bit-identical values).

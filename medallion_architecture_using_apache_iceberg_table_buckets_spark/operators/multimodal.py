@@ -42,6 +42,22 @@ MEDIA_META_SCHEMA = (
 )
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Spread rows across the cluster before CPU-heavy per-row Python
+    codec work (similarity.fan_out's reasoning, applied to the media
+    stages): the documents table arrives as few parquet files and a
+    scan cannot split below row-group granularity, so without this
+    every mapInPandas synth/encode/decode chain runs on as many cores
+    as there are input splits — ONE, at the bench scales (measured:
+    the whole JPEG synth+decode pipeline serialized on a single
+    Python worker, 4.9 s for work that is ~0.15 s spread over the
+    local cores). The shuffled rows are just ids (a few bytes each);
+    at 100 TB the same repartition keeps per-task codec work balanced
+    across executors. Each row is processed independently, so
+    placement cannot change any value."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def attach_media(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Build a media table from text bytes (the offline stand-in for
     real image/audio ingestion): binary content + typed metadata."""
@@ -2132,7 +2148,11 @@ def synth_jpegs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                  "media_type": ["image/jpeg"] * len(ids)}
             )
 
-    return df.select(id_col).mapInPandas(
+    # _spread: JPEG is the one synth whose per-row Python encode is
+    # expensive enough (~0.8 ms/row: per-block FDCT + Huffman bit-
+    # writing) to repay a row shuffle; the cheap generators measured
+    # net-negative under the same treatment and stay scan-partitioned.
+    return _spread(df.select(id_col)).mapInPandas(
         gen, schema="doc_id long, content binary, media_type string"
     )
 

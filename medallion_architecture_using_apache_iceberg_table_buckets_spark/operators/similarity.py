@@ -30,6 +30,7 @@ from ..functions.vector import (
     cosine_from_norms,
     cosine_sim,
     cosine_sim_expr,
+    l2sq_expr,
     norm_expr,
     to_double_array,
 )
@@ -659,8 +660,15 @@ def pq_train_encode(
     ).select("subspace", "code", F.col("sv").alias("cv"))
 
     def assign(cb: DataFrame) -> DataFrame:
+        # fixed-dim inline chain (l2sq_expr) instead of the
+        # interpreted aggregate/zip_with fold: this projection sits
+        # above a BroadcastHashJoin scoring n * n_subspaces * k_sub
+        # candidate rows — the training's hot loop — and the chain
+        # whole-stage-codegens where the fold is CodegenFallback
+        # (interpreted, one zipped-array allocation per pair).
+        # Bit-identical accumulation order, so codes cannot move.
         j = subs.join(F.broadcast(cb), "subspace").withColumn(
-            "_d", F.round(_fold_l2sq(F.col("sv"), F.col("cv")), 6)
+            "_d", F.round(l2sq_expr("sv", "cv", sub_dim), 6)
         )
         w = Window.partitionBy("vec_id", "subspace").orderBy(
             F.asc("_d"), F.asc("code")
@@ -675,6 +683,11 @@ def pq_train_encode(
     cells = a0.select(
         "subspace", "code", F.posexplode("sv").alias("d", "x")
     )
+    # NOT persisted (measured): codebooks/codes are consumed by 2-3
+    # subtrees of the SAME action, where AQE's ReusedExchange already
+    # dedupes the identical training chain at runtime — adding
+    # persist() here cost +1-2 s per query (cache materialization +
+    # broken pipelines) against zero saved work.
     codebooks = (
         cells.groupBy("subspace", "code", "d")
         .agg(F.round(F.avg("x"), 6).alias("m"))
@@ -1128,15 +1141,17 @@ def cosine_topk_ivfpq(
         cents = ivf_centroids(
             corpus, n_centroids, vec_col, id_col, nk_hint=nk_hint
         ).persist()
-        # persisted like cosine_topk_ivf's in-function assignment:
-        # `lists` reads it below, and the residual path reads it a
-        # second time to build rcorpus — unpersisted, each consumer
-        # re-executed the full pandas-cosine n*k assignment pass
-        # (the duplicated subtree showed up as 421 Exchange nodes in
-        # ann_ivfpq_residual_topk's final plan)
+        # persisted ONLY on the residual path, where two consumers
+        # (`lists` below and the rcorpus residual build) re-execute
+        # the pandas-cosine n*k assignment pass; non-residual has a
+        # single consumer and AQE's ReusedExchange already covers the
+        # within-action duplication — persisting there measured as a
+        # net cost (cache materialization against zero saved work)
         assigned = ivf_assign(
             corpus, cents, vec_col, id_col, dim, nk_hint=nk_hint
-        ).persist()
+        )
+        if residual:
+            assigned = assigned.persist()
     lists = assigned.select("vec_id", "centroid_id")
     if residual:
         # residual corpus: the assignment already carries the

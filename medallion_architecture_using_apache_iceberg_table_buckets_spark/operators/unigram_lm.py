@@ -245,12 +245,8 @@ def _em_fit(
             )
             # bounded materialization per EM round: the frame is
             # piece-inventory-sized (~100 rows) and feeds both the
-            # next round's model collect and the final output join.
-            # Non-eager: the next round's _collect_model (or the
-            # vocab/encode caller's action) is the first consumer and
-            # materializes it in the same job — one barrier per EM
-            # round instead of two
-            .localCheckpoint(eager=False)
+            # next round's model collect and the final output join
+            .localCheckpoint()
         )
         lp = _logp_micro(usage, "count1")
     return usage, lp
