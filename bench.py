@@ -571,6 +571,34 @@ def main() -> None:
         "value": total,
     }
     print(json.dumps(full))
+    # Capture-safe per-query record (r12 verdict item 1): the driver's
+    # tail capture keeps only the last few KB of output, so the big
+    # single-line `full` record above loses its per-query map to
+    # front-truncation. Re-emit the SAME per-query seconds as chunked
+    # JSON lines (each < 1 KB, independently parseable, additive — the
+    # full record and the compact summary are unchanged), ordered by
+    # ASCENDING cost so the most expensive queries sit in the LAST
+    # chunks, nearest the guaranteed-surviving end of the stream:
+    # whatever suffix of the output survives the driver's window
+    # always covers the heaviest (comparison-relevant) queries.
+    chunk_items = sorted(times.items(), key=lambda kv: (kv[1], kv[0]))
+    chunks: list[dict] = []
+    cur: dict[str, float] = {}
+    for qname, qsec in chunk_items:
+        cur[qname] = qsec
+        if len(json.dumps({"queries": cur})) > 820:
+            chunks.append(cur)
+            cur = {}
+    if cur:
+        chunks.append(cur)
+    for i, ch in enumerate(chunks):
+        print(json.dumps({
+            "metric": "headline_queries_chunk",
+            "part": i + 1,
+            "parts": len(chunks),
+            "sf": sf,
+            "queries": ch,
+        }))
     # the compact record prints LAST so it survives any
     # front-truncation of the driver's tail capture — it carries the
     # r01-anchored per-query seconds (r10 verdict item 6) so

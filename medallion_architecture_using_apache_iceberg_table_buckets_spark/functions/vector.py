@@ -51,6 +51,8 @@ def dot_expr(a: str, b: str, dim: int) -> Column:
     ANSI note: indexes 0..dim-1 must exist (shorter arrays raise);
     callers with unknown dims use the generic :func:`dot`.
     """
+    if dim < 1:
+        raise ValueError(f"dot_expr needs dim >= 1, got {dim}")
     terms = " + ".join(
         f"CAST(`{a}`[{d}] AS DOUBLE) * CAST(`{b}`[{d}] AS DOUBLE)"
         for d in range(dim)
@@ -72,6 +74,8 @@ def l2sq_expr(a: str, b: str, dim: int) -> Column:
     measured pathology dot_expr exists for). ANSI note: indexes
     0..dim-1 must exist; callers pass the exact stored sub-dim.
     """
+    if dim < 1:
+        raise ValueError(f"l2sq_expr needs dim >= 1, got {dim}")
     terms = " + ".join(
         f"(CAST(`{a}`[{d}] AS DOUBLE) - CAST(`{b}`[{d}] AS DOUBLE))"
         f" * (CAST(`{a}`[{d}] AS DOUBLE) - CAST(`{b}`[{d}] AS DOUBLE))"

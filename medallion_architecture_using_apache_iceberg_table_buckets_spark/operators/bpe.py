@@ -94,6 +94,14 @@ def bpe_learn(
         )
         merges.append((rank, left, right, left + right, cnt))
         wf = _apply_merge(wf, left, right)
+        # lineage bound: each round's _pair_counts recomputes every
+        # prior round's replace from the last checkpointed base, so an
+        # unbounded chain costs O(num_merges^2) replace work and a
+        # linearly growing plan. A checkpoint every 16 rounds caps the
+        # chain at 16 replaces per round; at the default num_merges=8
+        # this never fires (the measured r12 two-pass win is unchanged).
+        if rank % 16 == 0:
+            wf = wf.localCheckpoint()
     return spark.createDataFrame(
         merges,
         "rank int, left string, right string, merged string, "

@@ -214,6 +214,17 @@ def ann_recall_at_k(spark, sf_dir, k: int = 5):
         .select("query_id", "neighbor_id")
         .persist()
     )
+    # NOT shared (r13, measured): deriving both PQ trainings' subspace
+    # splits from one persisted frame over the IVF assignment
+    # (pq_shared_splits — r12 verdict item 1) is value-identical but
+    # measured NET-NEGATIVE in a matched decomposition at sf0.1: it
+    # couples the raw-PQ arm (otherwise independent of the IVF
+    # training) to the assigned/cents cache chain, serializing arms
+    # the scheduler previously overlapped (pq arm 10 -> 15 jobs,
+    # 4.2 -> 6.1 s in isolation; full query 13.4 -> 18.2 s). The
+    # split each training re-derives is a cheap projection; the
+    # expensive shared upstream (IVF codebook + assignment) is
+    # already trained once and injected below.
     variants = {
         "lsh": S.cosine_topk_lsh(emb, q, k=k),
         "ivf": S.cosine_topk_ivf(

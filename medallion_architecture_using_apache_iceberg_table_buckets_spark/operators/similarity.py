@@ -286,7 +286,14 @@ def ivf_centroids(
     The refinement mean is computed distributively: posexplode the
     assigned vectors to (cluster, dim, value), average per cell, and
     rebuild the array — groupBy shuffles only (cluster, dim) cells,
-    never whole-vector lists to one task.
+    never whole-vector lists to one task. (r13 note: a single
+    dim-wide avg-array aggregate — the pq_train_encode codebook shape
+    — was tried and MEASURED SLOWER here: at dim=64 the 64-buffer
+    aggregate's generated update method crosses the JIT/codegen size
+    thresholds and the affected queries gained ~1-2 s each
+    (ann_ivf_topk 3.3 -> 4.2-5.4 s, ann_incremental_ivf_append
+    3.7 -> 5.5 s in matched A/Bs); pq's sub_dim<=16 version of the
+    same fusion measured a WIN and is kept there.)
 
     Each mean is rounded to 6 decimals: double summation order is
     partition-dependent, and the rounding quantizes that noise away so
@@ -592,14 +599,6 @@ def _fold_dot(a, b):
     )
 
 
-def _fold_l2sq(a, b):
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-
-
 def pq_train_encode(
     corpus: DataFrame,
     n_subspaces: int = 4,
@@ -618,6 +617,12 @@ def pq_train_encode(
     replay it bit-for-bit). A vector stores n_subspaces small codes
     instead of dim floats — 64 doubles become 4 bytes here, the
     memory move that makes billion-vector search feasible.
+
+    (r13, measured: injecting a shared pre-persisted split here for
+    multi-training callers — the r12-verdict subs-sharing idea — was
+    value-identical but NET-NEGATIVE at sf0.1: it couples otherwise-
+    independent trainings to the split's cache chain and serializes
+    arms the scheduler overlapped; see ann_recall_at_k's note.)
 
     Returns ``(codebooks(subspace, code, cv), codes(vec_id,
     subspace, code))``. Every stage is a broadcast-codebook map or a
@@ -680,26 +685,21 @@ def pq_train_encode(
         )
 
     a0 = assign(seeds)
-    cells = a0.select(
-        "subspace", "code", F.posexplode("sv").alias("d", "x")
-    )
     # NOT persisted (measured): codebooks/codes are consumed by 2-3
     # subtrees of the SAME action, where AQE's ReusedExchange already
     # dedupes the identical training chain at runtime — adding
     # persist() here cost +1-2 s per query (cache materialization +
     # broken pipelines) against zero saved work.
-    codebooks = (
-        cells.groupBy("subspace", "code", "d")
-        .agg(F.round(F.avg("x"), 6).alias("m"))
-        .groupBy("subspace", "code")
-        .agg(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("d"), F.col("m")))
-                ),
-                lambda s: s.getField("m"),
-            ).alias("cv")
-        )
+    # Codebook means as ONE fixed-width hash aggregate (r13, the
+    # ivf_centroids treatment): sub_dim per-element avg() buffers per
+    # (subspace, code) cell, rounded and rebuilt as the array in the
+    # same aggregation — the former posexplode -> groupBy(s, c, d) ->
+    # groupBy(s, c) collect_list chain paid a Generate plus a second
+    # exchange per codebook build for the same per-cell averages.
+    codebooks = a0.groupBy("subspace", "code").agg(
+        F.array(
+            *[F.round(F.avg(F.col("sv")[d]), 6) for d in range(sub_dim)]
+        ).alias("cv")
     )
     codes = assign(codebooks).select("vec_id", "subspace", "code")
     return codebooks, codes

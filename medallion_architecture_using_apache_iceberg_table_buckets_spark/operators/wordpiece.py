@@ -199,6 +199,11 @@ def wordpiece_learn(
              b["cnt"], b["ul"], b["ur"])
         )
         wf = _apply_merge(wf, b["l"], b["r"])
+        # lineage bound every 16 rounds (see bpe_learn): caps the
+        # replace-chain each round's counts recompute; never fires at
+        # the default num_merges=6
+        if rank % 16 == 0:
+            wf = wf.localCheckpoint()
     return (
         spark.createDataFrame(
             merges,

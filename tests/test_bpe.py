@@ -203,9 +203,13 @@ def test_apply_merge_two_pass_equals_iterated_fixpoint(spark):
     ]
     for left, right in [("a", "a"), ("l", "r"), ("r", "l")]:
         pat, rep = f" {left} {right} ", f" {left}{right} "
+        # per-row association via the carried `c` column (the chain's
+        # index): a bug that swapped two chains' outputs — or collapsed
+        # duplicates — would pass a set comparison but fail this map
         df = spark.createDataFrame(
-            [(s, 1) for s in chains], "sym string, c long"
+            [(s, i) for i, s in enumerate(chains)], "sym string, c long"
         )
-        got = {r["sym"] for r in _apply_merge(df, left, right).collect()}
-        want = {fixpoint(s, pat, rep) for s in chains}
-        assert got == want, (left, right, got ^ want)
+        got = {r["c"]: r["sym"] for r in _apply_merge(df, left, right).collect()}
+        assert len(got) == len(chains), (left, right)
+        for i, s in enumerate(chains):
+            assert got[i] == fixpoint(s, pat, rep), (left, right, i, s)
