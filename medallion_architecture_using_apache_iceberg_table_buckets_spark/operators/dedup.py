@@ -1835,6 +1835,11 @@ def _exact_substring_runs(
     sk = int(k)
     sh = _positioned_shingles(df, text_col, id_col, sk, max_df)
     a, b = sh.alias("a"), sh.alias("b")
+    # pos_b is NOT carried through the diagonal shuffle (r13, guide
+    # §2.3): within a (doc_a, doc_b, diag) group every seed satisfies
+    # pos_b = pos_a - diag exactly (integers), so start_b re-derives
+    # from the aggregated min(pos_a) after the window — one of the
+    # five shuffled columns deleted from the corpus-sized seed set.
     seeds = a.join(
         b,
         (F.col("a.gid") == F.col("b.gid"))
@@ -1843,17 +1848,17 @@ def _exact_substring_runs(
         F.col("a.doc_id").alias("doc_a"),
         F.col("b.doc_id").alias("doc_b"),
         F.col("a.pos").alias("pos_a"),
-        F.col("b.pos").alias("pos_b"),
+        (F.col("a.pos") - F.col("b.pos")).alias("diag"),
     )
-    diag = (F.col("pos_a") - F.col("pos_b")).alias("diag")
     w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
-    isl = seeds.select("*", diag).withColumn(
+    isl = seeds.withColumn(
         "isl", F.col("pos_a") - F.row_number().over(w)
     )
     runs = isl.groupBy("doc_a", "doc_b", "diag", "isl").agg(
         (F.count("*") + F.lit(sk - 1)).cast("long").alias("match_tokens"),
         F.min("pos_a").cast("long").alias("start_a"),
-        F.min("pos_b").cast("long").alias("start_b"),
+    ).withColumn(
+        "start_b", (F.col("start_a") - F.col("diag")).cast("long")
     )
     return runs.filter(F.col("match_tokens") >= int(min_match_tokens))
 
@@ -2048,6 +2053,9 @@ def _exact_substring_self_runs(
     sk = int(k)
     sh = _positioned_shingles(df, text_col, id_col, sk, max_df)
     a, b = sh.alias("a"), sh.alias("b")
+    # pos_b re-derives from the repeat distance after the window
+    # (start_b = start_a + diag), exactly as in the cross-document
+    # variant — one shuffled column fewer on the corpus-sized seeds
     seeds = a.join(
         b,
         (F.col("a.gid") == F.col("b.gid"))
@@ -2056,17 +2064,17 @@ def _exact_substring_self_runs(
     ).select(
         F.col("a.doc_id").alias("doc_id"),
         F.col("a.pos").alias("pos_a"),
-        F.col("b.pos").alias("pos_b"),
+        (F.col("b.pos") - F.col("a.pos")).alias("diag"),
     )
-    diag = (F.col("pos_b") - F.col("pos_a")).alias("diag")
     w = Window.partitionBy("doc_id", "diag").orderBy("pos_a")
-    isl = seeds.select("*", diag).withColumn(
+    isl = seeds.withColumn(
         "isl", F.col("pos_a") - F.row_number().over(w)
     )
     runs = isl.groupBy("doc_id", "diag", "isl").agg(
         (F.count("*") + F.lit(sk - 1)).cast("long").alias("match_tokens"),
         F.min("pos_a").cast("long").alias("start_a"),
-        F.min("pos_b").cast("long").alias("start_b"),
+    ).withColumn(
+        "start_b", (F.col("start_a") + F.col("diag")).cast("long")
     )
     return runs.filter(F.col("match_tokens") >= int(min_match_tokens))
 
@@ -2360,6 +2368,14 @@ def phash_hamming_pairs(
     boilerplate) take the same stop-key cap as the winnowing /
     ExactSubstr generators — wider bands (8x8-bit) or a band-df cap
     trade candidate volume against the verified radius."""
+    # PERSISTED (r13, guide §5): four subtrees consume `bands` in one
+    # action (both sides of the banded self-join plus the two exact-
+    # verification hash lookups), and its lineage is the Python
+    # synth+decode+aHash mapInPandas chain — re-executed per subtree
+    # without this (the semantic_dedup scored-frame precedent). Five
+    # small ints per image, deterministic, so re-reads are
+    # bit-identical and cannot move a value.
+    bands = bands.persist()
     melted = bands.select(
         "doc_id",
         F.explode(

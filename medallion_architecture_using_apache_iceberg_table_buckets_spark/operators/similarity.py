@@ -701,7 +701,29 @@ def pq_train_encode(
             *[F.round(F.avg(F.col("sv")[d]), 6) for d in range(sub_dim)]
         ).alias("cv")
     )
-    codes = assign(codebooks).select("vec_id", "subspace", "code")
+    # Final code assignment as a scalars-only aggregate (r13, the
+    # ivf_assign argmax trick): unlike a0 — whose sv payload the
+    # codebook means still need — the stored codes are just
+    # (vec_id, subspace, code), so the row_number window (which
+    # shuffles and sorts all n * n_subspaces * k_sub scored candidate
+    # rows with their subvector payloads) is replaced by a map-side-
+    # combining min_by over the same candidates: each task emits one
+    # scalar row per (vec_id, subspace), k_sub-fold fewer shuffled
+    # rows, no sort, at any scale. The encoded ordering is exact: _d
+    # is round-6 quantized so round(_d * 1e6) is an exact integer,
+    # 131072 > any code, and minimizing d6 * 131072 + code picks the
+    # same (lowest distance, lowest code) winner as the window's
+    # (_d asc, code asc) row_number — bit-identical codes.
+    j = subs.join(F.broadcast(codebooks), "subspace").withColumn(
+        "_d", F.round(l2sq_expr("sv", "cv", sub_dim), 6)
+    )
+    enc = (
+        F.round(F.col("_d") * 1e6).cast("long") * F.lit(131072)
+        + F.col("code")
+    )
+    codes = j.groupBy("vec_id", "subspace").agg(
+        F.min_by("code", enc).alias("code")
+    ).select("vec_id", "subspace", "code")
     return codebooks, codes
 
 
