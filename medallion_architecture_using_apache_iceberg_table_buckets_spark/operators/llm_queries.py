@@ -2504,7 +2504,12 @@ def curation_end_to_end(spark, sf_dir):
     agree on schemas and determinism end to end."""
     corpus = _planted(spark, sf_dir, 30, lambda t: F.concat(t, F.lit(" extra token tail")))
     kept_ids = TX.quality_filter(corpus).filter("keep").select("doc_id")
-    kept = corpus.join(kept_ids, "doc_id")
+    # PERSISTED (r13, guide §5): three subtrees re-run the quality
+    # scoring pass + join without it (the MinHash signature build,
+    # the keep-list anti-join's corpus side, and the chunker reading
+    # the survivors). Deterministic filter, so re-reads are identical;
+    # matched interleaved A/B at sf0.1: 6.3 -> 4.3 s, 25 -> 16 jobs.
+    kept = corpus.join(kept_ids, "doc_id").persist()
     pairs = D.minhash_lsh_pairs(kept, threshold=0.5)
     survivors = D.keep_list(kept, pairs)
     chunks = TX.chunk_tokens(survivors, size=32, overlap=8).withColumn(
