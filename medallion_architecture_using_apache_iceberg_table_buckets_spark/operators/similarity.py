@@ -472,8 +472,18 @@ def ivf_incremental_assign(
     Returns one row per batch vector: ``(vec_id, stale_centroid,
     stale_sim, fresh_centroid, fresh_sim, drifted)``.
     """
+    # two planning-side counts size the n*k scored sets of all four
+    # internal ivf_assign passes (r13): without a hint every pass took
+    # the aggregate + rejoin-by-id path — one keyed exchange each that
+    # the small-input window path skips (the cosine_topk_ivf
+    # precedent). The retrain corpus hint uses the full-history count,
+    # a valid upper bound for the sampled variant (the gate only needs
+    # "small enough", and both paths are bit-identical by design).
+    n_hist = history.count()
+    n_batch = batch.count()
     stale_cents = ivf_centroids(
-        history, n_centroids, vec_col=vec_col, id_col=id_col, dim=dim
+        history, n_centroids, vec_col=vec_col, id_col=id_col, dim=dim,
+        nk_hint=n_hist * n_centroids,
     )
     retrain_hist = (
         history
@@ -483,10 +493,14 @@ def ivf_incremental_assign(
     fresh_cents = ivf_centroids(
         retrain_hist.unionByName(batch), n_centroids,
         vec_col=vec_col, id_col=id_col, dim=dim,
+        nk_hint=(n_hist + n_batch) * n_centroids,
     )
 
     def scored(cents: DataFrame, tag: str) -> DataFrame:
-        a = ivf_assign(batch, cents, vec_col, id_col, dim)
+        a = ivf_assign(
+            batch, cents, vec_col, id_col, dim,
+            nk_hint=n_batch * n_centroids,
+        )
         cn = _norm_col(cents, "cv", "_cnrm", dim)
         return (
             a.join(F.broadcast(cn), "centroid_id")
